@@ -1,0 +1,175 @@
+"""Spec → ConstraintProgram compilation (the analog of matcher compilation +
+schema lint, reference: matchers/matcher.rs:175-208 and the schema-sanity
+walkers count_non_literal_matchers_in_children.rs:40-85 /
+check_repeating_matchers.rs:8-37).
+
+Compilation is pure Python on the driver: it validates every rule, rejects
+malformed specs with typed SchemaError (never at run time, never per-row), and
+groups rules into execution *stages* so each stage is one fused DataFrame pass
+— the engine-level equivalent of the reference evaluating all constraints of a
+container in a single child sweep (containers.rs:212-230) rather than one walk
+per rule.
+
+Stage families:
+  row    — NotNull/Regex/Literal/Range/Domain: ONE fused select over the scan
+  group  — Unique/Count: shuffling aggregations (salted where skew-prone)
+  ref    — RefIntegrity: broadcast left-anti joins
+  stats  — ColumnStats: one agg pass emitting metrics
+  pixel  — PixelRule: Arrow-batched mapInPandas decode stage (only stage that
+           reads the binary column — column pruning keeps it out of all others)
+  drift  — DriftRule: global finalize-only (needs full-table view)
+
+Incremental semantics (reference validator.rs:101-185): row/ref/stats/pixel
+stages are per-partition (evaluated only on pending partitions); group+drift
+are *global* and run in the finalize pass — the analog of the reference's
+EOF full revalidation (validator.rs:162-168) that produces the canonical
+error set once all input has arrived.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from .errors import (
+    ConflictingRulesError,
+    DuplicateRuleIdError,
+    InvalidBoundsError,
+    MalformedRegexError,
+    MixedLiteralAndBoundsError,
+    SchemaError,
+)
+from .spec import (
+    ColumnStatsRule,
+    CountRule,
+    DomainRule,
+    DriftRule,
+    LiteralRule,
+    NotNullRule,
+    PixelRule,
+    RangeRule,
+    RefIntegrityRule,
+    RegexRule,
+    Rule,
+    Spec,
+    UniqueRule,
+)
+
+ROW_KINDS = (NotNullRule, RegexRule, LiteralRule, RangeRule, DomainRule)
+
+
+@dataclass(frozen=True)
+class ConstraintProgram:
+    """Compiled, validated constraint DAG grouped into stages."""
+
+    spec: Spec
+    row_rules: tuple[Rule, ...] = ()
+    group_rules: tuple[Rule, ...] = ()      # Unique + global Count
+    count_rules: tuple[CountRule, ...] = () # per-partition Count
+    ref_rules: tuple[RefIntegrityRule, ...] = ()
+    stats_rules: tuple[ColumnStatsRule, ...] = ()
+    pixel_rules: tuple[PixelRule, ...] = ()
+    drift_rules: tuple[DriftRule, ...] = ()
+    # columns any per-partition stage needs (for pruned scans)
+    scan_columns: tuple[str, ...] = field(default=())
+
+    @property
+    def all_rules(self) -> tuple[Rule, ...]:
+        return self.spec.rules
+
+
+def compile_spec(spec: Spec, available_columns: list[str] | None = None) -> ConstraintProgram:
+    """Validate + stage a Spec. Raises SchemaError subclasses on invalid specs;
+    never raises for data problems (those become violation rows)."""
+
+    seen_ids: set[str] = set()
+    pattern_rules_by_col: dict[str, list[str]] = {}
+
+    for r in spec.rules:
+        if r.id in seen_ids:
+            raise DuplicateRuleIdError(r.id)
+        seen_ids.add(r.id)
+
+        if isinstance(r, RegexRule):
+            try:
+                re.compile(r.pattern)
+            except re.error as e:  # reject before touching data (matcher.rs:175-208)
+                raise MalformedRegexError(r.id, r.pattern, str(e)) from e
+            pattern_rules_by_col.setdefault(r.column, []).append(r.id)
+
+        if isinstance(r, LiteralRule):
+            if (r.value is None) == (r.other_column is None):
+                raise SchemaError(
+                    f"rule {r.id!r}: exactly one of value/other_column required"
+                )
+            # literal escape cannot carry bounds (matcher_extras.rs:163-170) —
+            # bounds live on CountRule; a LiteralRule with bounds is unrepresentable
+            # by construction, but a dict-built spec may smuggle them:
+            if getattr(r, "min", None) is not None or getattr(r, "max", None) is not None:
+                raise MixedLiteralAndBoundsError(r.id)
+
+        if isinstance(r, (RangeRule, CountRule)):
+            lo, hi = r.min, r.max
+            if lo is not None and hi is not None and lo > hi:
+                raise InvalidBoundsError(r.id, lo, hi)
+            if isinstance(r, CountRule) and (
+                (lo is not None and lo < 0) or (hi is not None and hi < 0)
+            ):
+                raise InvalidBoundsError(r.id, lo, hi)
+
+        if isinstance(r, DomainRule) and not r.values:
+            raise SchemaError(f"rule {r.id!r}: empty domain")
+
+        if isinstance(r, UniqueRule) and not r.columns:
+            raise SchemaError(f"rule {r.id!r}: unique rule needs >=1 column")
+
+        if isinstance(r, DriftRule) and r.method not in ("ks", "psi"):
+            raise SchemaError(f"rule {r.id!r}: unknown drift method {r.method!r}")
+
+        if available_columns is not None:
+            for c in r.targets():
+                if c and c not in available_columns:
+                    from .errors import UnknownColumnError
+
+                    raise UnknownColumnError(r.id, c)
+
+    # >1 regex rule on one column is a conflict, like >1 non-literal matcher
+    # per container (count_non_literal_matchers_in_children.rs:40-85)
+    for col, ids in pattern_rules_by_col.items():
+        if len(ids) > 1:
+            raise ConflictingRulesError(col, ids)
+
+    row = tuple(r for r in spec.rules if isinstance(r, ROW_KINDS))
+    group = tuple(
+        r
+        for r in spec.rules
+        if isinstance(r, UniqueRule)
+        or (isinstance(r, CountRule) and r.group_by)
+    )
+    counts = tuple(
+        r for r in spec.rules if isinstance(r, CountRule) and not r.group_by
+    )
+    refs = tuple(r for r in spec.rules if isinstance(r, RefIntegrityRule))
+    stats = tuple(r for r in spec.rules if isinstance(r, ColumnStatsRule))
+    pixel = tuple(r for r in spec.rules if isinstance(r, PixelRule))
+    drift = tuple(r for r in spec.rules if isinstance(r, DriftRule))
+
+    scan_cols: list[str] = [spec.key_column]
+    if spec.partition_column:
+        scan_cols.append(spec.partition_column)
+    for r in (*row, *counts, *refs, *stats):
+        for c in r.targets():
+            if c and c not in scan_cols:
+                scan_cols.append(c)
+
+    return ConstraintProgram(
+        spec=spec,
+        row_rules=row,
+        group_rules=group,
+        count_rules=counts,
+        ref_rules=refs,
+        stats_rules=stats,
+        pixel_rules=pixel,
+        drift_rules=drift,
+        scan_columns=tuple(scan_cols),
+    )

@@ -1,0 +1,124 @@
+"""Typed error taxonomy for the constraint engine.
+
+Mirrors the reference's two-level split (reference: src/mdschema/validation/
+errors.rs:137-152): *SchemaError* — the spec itself is invalid, rejected at
+compile time before any data is touched — versus *SchemaViolation* — the data
+fails a valid rule, reported as violation rows, never raised.
+
+Violation "kinds" extend the reference's NodeContentMismatchKind
+(errors.rs:294-303 — Prefix/Suffix/Matcher/Literal) with the tabular rule
+families this engine adds (see FIXTURES.md §3).
+"""
+
+from __future__ import annotations
+
+
+class MdvSparkError(Exception):
+    """Base for all engine errors."""
+
+
+class SchemaError(MdvSparkError):
+    """The constraint spec is invalid (compile-time).
+
+    Analog of reference SchemaError (errors.rs:191-263): bad regex, conflicting
+    rules on one target, malformed bounds, etc. Raised by ``compile_spec``.
+    """
+
+
+class DuplicateRuleIdError(SchemaError):
+    def __init__(self, rule_id: str):
+        super().__init__(f"duplicate rule id: {rule_id!r}")
+        self.rule_id = rule_id
+
+
+class ConflictingRulesError(SchemaError):
+    """>1 pattern-matching rule on the same target column.
+
+    Analog of MultipleMatchersInNodeChildren (reference
+    count_non_literal_matchers_in_children.rs:40-85, errors.rs:192-197): a
+    container may hold at most one non-literal matcher; here, a column may hold
+    at most one regex rule (literal rules, like literal matchers, don't count).
+    """
+
+    def __init__(self, column: str, rule_ids: list[str]):
+        super().__init__(
+            f"conflicting pattern rules on column {column!r}: {rule_ids}"
+        )
+        self.column = column
+        self.rule_ids = rule_ids
+
+
+class MalformedRegexError(SchemaError):
+    def __init__(self, rule_id: str, pattern: str, cause: str):
+        super().__init__(f"rule {rule_id!r}: invalid regex {pattern!r}: {cause}")
+        self.rule_id = rule_id
+        self.pattern = pattern
+
+
+class MixedLiteralAndBoundsError(SchemaError):
+    """Literal-escape combined with repetition bounds is illegal.
+
+    Analog of MixedLiteralAndOthers (reference matcher_extras.rs:163-170): the
+    ``!`` literal escape cannot be combined with ``{min,max}`` extras.
+    """
+
+    def __init__(self, rule_id: str):
+        super().__init__(
+            f"rule {rule_id!r}: literal comparison cannot carry {{min,max}} bounds"
+        )
+        self.rule_id = rule_id
+
+
+class InvalidBoundsError(SchemaError):
+    """min > max, or negative bounds (analog matcher_extras.rs:129-157)."""
+
+    def __init__(self, rule_id: str, min_v, max_v):
+        super().__init__(f"rule {rule_id!r}: invalid bounds min={min_v} max={max_v}")
+        self.rule_id = rule_id
+
+
+class UnboundedRepeatNotLastError(SchemaError):
+    """Analog of RepeatingMatcherUnbounded (reference lists.rs:151-162):
+    in an ordered chain of count rules, only the last may be open-ended."""
+
+    def __init__(self, rule_id: str):
+        super().__init__(f"rule {rule_id!r}: open-ended bound must be last in chain")
+        self.rule_id = rule_id
+
+
+class UnknownColumnError(SchemaError):
+    def __init__(self, rule_id: str, column: str):
+        super().__init__(f"rule {rule_id!r}: unknown column {column!r}")
+        self.rule_id = rule_id
+        self.column = column
+
+
+# Violation kinds — superset of reference NodeContentMismatchKind
+# (errors.rs:294-303). These are *data* in violation rows, not exceptions.
+KIND_LITERAL = "literal"
+KIND_MATCHER = "matcher"
+KIND_PREFIX = "prefix"
+KIND_SUFFIX = "suffix"
+KIND_DOMAIN = "domain"
+KIND_RANGE = "range"
+KIND_NULL = "null"
+KIND_DUPLICATE = "duplicate"
+KIND_ORPHAN = "orphan"
+KIND_COUNT = "count"
+KIND_DRIFT = "drift"
+KIND_PIXEL = "pixel"
+
+ALL_KINDS = (
+    KIND_LITERAL,
+    KIND_MATCHER,
+    KIND_PREFIX,
+    KIND_SUFFIX,
+    KIND_DOMAIN,
+    KIND_RANGE,
+    KIND_NULL,
+    KIND_DUPLICATE,
+    KIND_ORPHAN,
+    KIND_COUNT,
+    KIND_DRIFT,
+    KIND_PIXEL,
+)

@@ -1,0 +1,122 @@
+"""Deterministic image codec + reference-image regeneration.
+
+The sandbox has no image libraries (PIL absent), so the engine ships a
+self-contained codec with the two properties the pixel stage needs to be
+*real*: a lossless format ("png") that round-trips exactly, and lossy formats
+("jpeg", "webp") whose reconstruction error is bounded by a uniform quantizer
+— giving a true, measurable PSNR in the 43–47 dB band (above the 40 dB gate).
+If PIL is ever available the ``HAVE_PIL`` branch can swap in real codecs; the
+Spark-side plumbing (binary column → Arrow batch → numpy decode → violation
+rows) is identical either way.
+
+Container layout:  b"MDV" + fmt_code(1B) + w(u16 LE) + h(u16 LE) +
+zlib(raw HxWx3 u8).  Lossy formats quantize with step Q before compression;
+decode returns the quantized reconstruction (max abs error Q/2, like a
+DCT-free JPEG).
+
+The reference analog: fenced-code-block *body* capture & literal verification
+(reference: walkers/validators/code.rs:189-205) — the payload is opaque to the
+tree walker and checked by a dedicated kernel; here the payload is the image
+bytes and the kernel is vectorized.
+
+Reference-image regeneration: each image derives from a deterministic base
+pattern (`pattern_id`); the first 32 pixels of row 0 carry pattern_id as a
+high-contrast bit stamp (R channel 0/255), which survives lossy quantization —
+so a validator can recover pattern_id from decoded pixels alone, regenerate
+the original, and measure PSNR without any side channel.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+try:  # pragma: no cover - not present in this sandbox
+    import PIL  # noqa: F401
+
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+MAGIC = b"MDV"
+# fmt name -> (code, quant step); step 1 = lossless
+FORMATS = {"png": (0, 1), "jpeg": (1, 4), "webp": (2, 6)}
+CODE_TO_FMT = {v[0]: k for k, v in FORMATS.items()}
+
+_STAMP_BITS = 32
+
+
+def splitmix64(x: int) -> int:
+    """Deterministic 64-bit bit-mixer (public-domain splitmix64 finalizer);
+    used to spread pattern ids into phash values."""
+    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return x ^ (x >> 31)
+
+
+def phash_of_pattern(pattern_id: int) -> int:
+    """The table's phash value for a base pattern — signed int64 for Spark."""
+    v = splitmix64(int(pattern_id))
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def base_image(pattern_id: int, w: int, h: int) -> np.ndarray:
+    """Deterministic HxWx3 uint8 image for a pattern, with the pattern_id
+    bit-stamped into row 0 (quantization-proof 0/255 levels)."""
+    rng = np.random.default_rng(int(pattern_id) & 0xFFFFFFFF)
+    arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    n = min(_STAMP_BITS, w)
+    bits = (int(pattern_id) >> np.arange(n)) & 1
+    arr[0, :n, 0] = (bits * 255).astype(np.uint8)
+    return arr
+
+
+def read_pattern_id(arr: np.ndarray) -> int:
+    """Recover the stamped pattern_id from a (possibly lossy) decoded image."""
+    n = min(_STAMP_BITS, arr.shape[1])
+    bits = (arr[0, :n, 0].astype(np.int32) > 127).astype(np.int64)
+    return int((bits << np.arange(n, dtype=np.int64)).sum())
+
+
+def encode(arr: np.ndarray, fmt: str) -> bytes:
+    if fmt not in FORMATS:
+        raise ValueError(f"unknown format {fmt!r}")
+    code, step = FORMATS[fmt]
+    h, w = arr.shape[:2]
+    if step > 1:
+        arr = ((arr.astype(np.int32) // step) * step + step // 2).clip(0, 255).astype(
+            np.uint8
+        )
+    payload = zlib.compress(arr.tobytes(), level=1)
+    return MAGIC + struct.pack("<BHH", code, w, h) + payload
+
+
+def decode(data: bytes):
+    """bytes -> (HxWx3 uint8 array, fmt, w, h). Raises ValueError on garbage."""
+    if data is None or len(data) < 8 or data[:3] != MAGIC:
+        raise ValueError("not an MDV image")
+    code, w, h = struct.unpack("<BHH", data[3:8])
+    fmt = CODE_TO_FMT.get(code)
+    if fmt is None:
+        raise ValueError(f"unknown format code {code}")
+    raw = zlib.decompress(data[8:])
+    arr = np.frombuffer(raw, dtype=np.uint8)
+    if arr.size != w * h * 3:
+        raise ValueError("payload size mismatch")
+    return arr.reshape(h, w, 3), fmt, w, h
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB; inf for identical images."""
+    diff = a.astype(np.float64) - b.astype(np.float64)
+    mse = float(np.mean(diff * diff))
+    if mse == 0.0:
+        return float("inf")
+    return 20.0 * np.log10(255.0) - 10.0 * np.log10(mse)
+
+
+def is_lossless(fmt: str) -> bool:
+    return FORMATS.get(fmt, (0, 1))[1] == 1

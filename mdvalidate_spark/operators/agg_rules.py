@@ -1,0 +1,170 @@
+"""Group / aggregate rule executors: uniqueness, cardinality bounds, column
+stats.
+
+Uniqueness is the degenerate `{1,1}`-per-key repetition of the reference
+(reference: walkers/validators/lists.rs:168-264 — consume items, error when
+count leaves [min,max]); CountRule is the general `{m,n}` bound
+(matcher_extras.rs:228-252, containers.rs:316-349). ColumnStats is the
+metrics/capture side (the matches-JSON analog, validator.rs:33-36).
+
+Skew posture (north-rule mandate): uniqueness keys like phash are hot-keyed
+(near-duplicate clusters), so the duplicate count uses a *salted two-phase*
+aggregation — groupBy(key, salt) partial-count, then groupBy(key) sum — which
+turns one giant reducer per hot key into S map-side partials. AQE skew
+handling stays on as the backstop. Violation output is one row per duplicated
+key (with the observed count), not one per duplicate row — bounded output even
+when a key has millions of duplicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..compile import ConstraintProgram
+from ..errors import KIND_COUNT, KIND_DUPLICATE
+from ..spec import ColumnStatsRule, CountRule, UniqueRule
+
+N_SALT = 16  # map-side fanout per key for the salted partial aggregation
+
+
+def _key_expr(columns: tuple[str, ...]):
+    if len(columns) == 1:
+        return F.col(columns[0]).cast("string")
+    return F.concat_ws("", *[F.col(c).cast("string") for c in columns])
+
+
+def unique_violations(
+    df: DataFrame, rule: UniqueRule, run_id: str, salt: int = N_SALT
+) -> DataFrame:
+    """Salted two-phase duplicate detection.
+
+    Phase 1 shuffles on (key, salt) so a hot key spreads over `salt` reducers;
+    phase 2 shuffles only the per-(key,salt) partials — at most `salt` rows per
+    distinct key — so no reducer ever sees a hot key's full row set.
+    """
+    key = _key_expr(rule.columns).alias("_k")
+    salt_col = F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(salt))
+
+    partial = (
+        df.select(key, salt_col.alias("_s"))
+        .groupBy("_k", "_s")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    dup = (
+        partial.groupBy("_k")
+        .agg(F.sum("_n").alias("n"))
+        .where(F.col("n") > 1)
+    )
+    return dup.select(
+        F.lit(run_id).alias("run_id"),
+        F.lit(None).cast("int").alias("partition_id"),
+        F.lit(rule.id).alias("rule_id"),
+        F.col("_k").alias("image_id"),
+        F.lit(",".join(rule.columns)).alias("column"),
+        F.lit("unique").alias("expected"),
+        F.concat(F.lit("count="), F.col("n").cast("string")).alias("actual"),
+        F.lit(KIND_DUPLICATE).alias("kind"),
+    )
+
+
+def count_violations(
+    df: DataFrame, rule: CountRule, run_id: str, partition_scope: bool = False
+) -> DataFrame:
+    """`{min,max}` cardinality per group (or per engine partition).
+
+    Emits one violation per out-of-bounds group. Open bounds (None) check one
+    side only, like `{n,}` / `{,n}` (matcher_extras.rs:129-157).
+    """
+    group_cols = list(rule.group_by) if rule.group_by else ["partition_id"]
+    counted = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n"))
+
+    conds = []
+    if rule.min is not None:
+        conds.append(F.col("n") < rule.min)
+    if rule.max is not None:
+        conds.append(F.col("n") > rule.max)
+    if not conds:
+        fail = F.lit(False)
+    else:
+        fail = conds[0] if len(conds) == 1 else (conds[0] | conds[1])
+
+    bad = counted.where(fail)
+    part_col = (
+        F.col("partition_id").cast("int")
+        if not rule.group_by
+        else F.lit(None).cast("int")
+    )
+    return bad.select(
+        F.lit(run_id).alias("run_id"),
+        part_col.alias("partition_id"),
+        F.lit(rule.id).alias("rule_id"),
+        _key_expr(tuple(group_cols)).alias("image_id"),
+        F.lit(",".join(group_cols)).alias("column"),
+        F.lit(f"count in [{rule.min}, {rule.max}]").alias("expected"),
+        F.col("n").cast("string").alias("actual"),
+        F.lit(KIND_COUNT).alias("kind"),
+    )
+
+
+def column_stats_metrics(
+    df: DataFrame, rules: tuple[ColumnStatsRule, ...], run_id: str
+) -> DataFrame:
+    """All stats rules in ONE aggregation pass (single shuffle-free partial +
+    final agg): count / null_count / min / max / distinct per column.
+
+    Cardinality uses HLL++ (approx_count_distinct) by default — mergeable
+    sketch, constant memory per column at any scale; exact_distinct=True uses
+    count_distinct for small-scale oracle parity.
+    """
+    if not rules:
+        return df.sparkSession.createDataFrame(
+            [],
+            "run_id string, partition_id int, rule_id string, metric string, "
+            "value double, value_str string",
+        )
+
+    aggs = []
+    for r in rules:
+        c = F.col(r.column)
+        aggs += [
+            F.count(F.lit(1)).alias(f"{r.id}__rows"),
+            F.count(c).alias(f"{r.id}__nonnull"),
+            F.min(c).cast("string").alias(f"{r.id}__min"),
+            F.max(c).cast("string").alias(f"{r.id}__max"),
+            (
+                F.count_distinct(c) if r.exact_distinct else F.approx_count_distinct(c)
+            ).alias(f"{r.id}__distinct"),
+        ]
+    wide = df.agg(*aggs)
+
+    # melt wide → long metrics rows
+    parts = []
+    for r in rules:
+        rows = F.col(f"{r.id}__rows").cast("double")
+        nonnull = F.col(f"{r.id}__nonnull").cast("double")
+        null_rate = F.when(rows > 0, (rows - nonnull) / rows).otherwise(F.lit(0.0))
+        for metric, val, val_str in [
+            ("count", rows, F.lit(None).cast("string")),
+            ("null_rate", null_rate, F.lit(None).cast("string")),
+            ("distinct", F.col(f"{r.id}__distinct").cast("double"), F.lit(None).cast("string")),
+            ("min", F.lit(None).cast("double"), F.col(f"{r.id}__min")),
+            ("max", F.lit(None).cast("double"), F.col(f"{r.id}__max")),
+        ]:
+            parts.append(
+                F.struct(
+                    F.lit(r.id).alias("rule_id"),
+                    F.lit(metric).alias("metric"),
+                    val.alias("value"),
+                    val_str.alias("value_str"),
+                )
+            )
+    long = wide.select(F.explode(F.array(*parts)).alias("m")).select(
+        F.lit(run_id).alias("run_id"),
+        F.lit(None).cast("int").alias("partition_id"),
+        F.col("m.rule_id").alias("rule_id"),
+        F.col("m.metric").alias("metric"),
+        F.col("m.value").alias("value"),
+        F.col("m.value_str").alias("value_str"),
+    )
+    return long

@@ -1,0 +1,115 @@
+"""Distribution-drift detection (north-rule mandate; no reference analog —
+the closest ancestor is the EOF full-revalidation global pass,
+validator.rs:162-168, which is where this stage runs).
+
+Plan shape (scale-first): the heavy work stays distributed —
+  1. bin edges = approxQuantile of the *reference* slice (Greenwald-Khanna
+     sketch, driver receives n_bins+1 doubles);
+  2. ONE groupBy(is_probe, bin).count() histogram pass over the column —
+     driver receives ≤ 2·n_bins rows;
+  3. KS / PSI computed on the driver from the two histograms (O(n_bins)).
+No per-row data ever reaches the driver, so the stage costs one scan + one
+tiny shuffle regardless of table size.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..errors import KIND_DRIFT
+from ..spec import DriftRule
+
+_EPS = 1e-6
+
+
+def _histograms(df: DataFrame, rule: DriftRule) -> tuple[list[float], list[float]]:
+    """Return (probe_hist, ref_hist) as aligned density lists."""
+    col = rule.column
+    probe_cond = F.col(rule.group_column).cast("string") == str(rule.group_value)
+    base = df.select(
+        F.col(col).cast("double").alias("_x"), probe_cond.alias("_probe")
+    ).where(F.col("_x").isNotNull())
+
+    qs = [i / rule.n_bins for i in range(rule.n_bins + 1)]
+    edges = base.where(~F.col("_probe")).approxQuantile("_x", qs, 0.001)
+    # dedupe degenerate edges (constant stretches) while keeping order
+    uniq: list[float] = []
+    for e in edges:
+        if not uniq or e > uniq[-1]:
+            uniq.append(e)
+    if len(uniq) < 2:
+        uniq = [uniq[0] - 0.5, uniq[0] + 0.5] if uniq else [0.0, 1.0]
+    inner = uniq[1:-1]  # interior edges; outer bins are open-ended
+
+    # bin index = number of interior edges the value exceeds (sum of indicators)
+    bin_expr = sum(
+        [F.when(F.col("_x") > F.lit(e), 1).otherwise(0) for e in inner],
+        F.lit(0),
+    )
+
+    counts = (
+        base.groupBy(F.col("_probe"), bin_expr.alias("_bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    nb = len(inner) + 1
+    probe = [0.0] * nb
+    ref = [0.0] * nb
+    for r in counts:
+        (probe if r["_probe"] else ref)[r["_bin"]] += r["n"]
+    p_tot, r_tot = sum(probe) or 1.0, sum(ref) or 1.0
+    return [v / p_tot for v in probe], [v / r_tot for v in ref]
+
+
+def psi(probe: list[float], ref: list[float]) -> float:
+    return sum(
+        (p - q) * math.log((p + _EPS) / (q + _EPS)) for p, q in zip(probe, ref)
+    )
+
+
+def ks(probe: list[float], ref: list[float]) -> float:
+    stat, cp, cq = 0.0, 0.0, 0.0
+    for p, q in zip(probe, ref):
+        cp += p
+        cq += q
+        stat = max(stat, abs(cp - cq))
+    return stat
+
+
+def drift_check(
+    df: DataFrame, rule: DriftRule, run_id: str
+) -> tuple[DataFrame, DataFrame]:
+    """Evaluate one drift rule → (violations_df, metrics_df). Tiny outputs
+    built on the driver (≤1 violation, 1 metric row)."""
+    spark: SparkSession = df.sparkSession
+    probe_h, ref_h = _histograms(df, rule)
+    stat = psi(probe_h, ref_h) if rule.method == "psi" else ks(probe_h, ref_h)
+
+    metrics = spark.createDataFrame(
+        [(run_id, None, rule.id, f"{rule.method}_stat", float(stat), None)],
+        "run_id string, partition_id int, rule_id string, metric string, "
+        "value double, value_str string",
+    )
+    viol_rows = []
+    if stat > rule.threshold:
+        viol_rows.append(
+            (
+                run_id,
+                None,
+                rule.id,
+                f"{rule.group_column}={rule.group_value}",
+                rule.column,
+                f"{rule.method} <= {rule.threshold}",
+                f"{stat:.6f}",
+                KIND_DRIFT,
+            )
+        )
+    violations = spark.createDataFrame(
+        viol_rows,
+        "run_id string, partition_id int, rule_id string, image_id string, "
+        "column string, expected string, actual string, kind string",
+    )
+    return violations, metrics

@@ -1,0 +1,155 @@
+"""Fused row-level rule pass.
+
+All row rules (not-null / regex / literal / range / domain) for a table are
+evaluated in ONE select over the (column-pruned) scan: each rule becomes a
+nullable violation-struct column, the structs are gathered with
+array_compact, and surviving rows explode into violation rows. This is the
+engine-level analog of the reference evaluating every constraint of a
+container in a single child sweep (reference: containers.rs:212-230,
+tables.rs:296-360 — per-column matcher vector over a row) instead of one walk
+per rule; Catalyst collapses the whole thing into a single WholeStageCodegen
+scan with the regex/compare kernels running JVM-side (no Python anywhere in
+this stage).
+
+Null semantics: only NotNullRule flags NULLs. Content rules (regex / literal /
+range / domain) skip NULL values — the reference's "one error once"
+non-cascade rule (cmd.rs:368-398): a missing node reports missing, not also
+content-mismatched. Prerequisite gating is therefore structural, not
+scheduled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..compile import ConstraintProgram
+from ..errors import (
+    KIND_DOMAIN,
+    KIND_LITERAL,
+    KIND_MATCHER,
+    KIND_NULL,
+    KIND_RANGE,
+)
+from ..spec import (
+    DomainRule,
+    LiteralRule,
+    NotNullRule,
+    RangeRule,
+    RegexRule,
+    Spec,
+)
+
+
+def with_partition_id(df: DataFrame, spec: Spec) -> DataFrame:
+    """Attach the engine's stable logical partition id.
+
+    If the spec names a physical partition column, use it; otherwise derive
+    pmod(xxhash64(key), n_partitions) — stable across runs and cluster sizes,
+    which is what makes the manifest checkpoint (resume) meaningful.
+    """
+    if "partition_id" in df.columns:
+        return df
+    if spec.partition_column:
+        src = F.col(spec.partition_column).cast("int")
+    else:
+        src = F.pmod(F.xxhash64(F.col(spec.key_column)), F.lit(spec.n_partitions)).cast(
+            "int"
+        )
+    return df.withColumn("partition_id", src)
+
+
+def _viol(rule_id: str, column: str, expected: Column, actual: Column, kind: str) -> Column:
+    return F.struct(
+        F.lit(rule_id).alias("rule_id"),
+        F.lit(column).alias("column"),
+        expected.cast("string").alias("expected"),
+        actual.cast("string").alias("actual"),
+        F.lit(kind).alias("kind"),
+    )
+
+
+def _check(rule) -> Column:
+    """One rule → nullable violation struct (NULL ⇒ pass)."""
+    if isinstance(rule, NotNullRule):
+        c = F.col(rule.column)
+        fail = c.isNull()
+        return F.when(
+            fail, _viol(rule.id, rule.column, F.lit("not null"), F.lit(None), KIND_NULL)
+        )
+    if isinstance(rule, RegexRule):
+        c = F.col(rule.column)
+        fail = c.isNotNull() & ~c.rlike(rule.anchored)
+        return F.when(
+            fail, _viol(rule.id, rule.column, F.lit(rule.anchored), c, KIND_MATCHER)
+        )
+    if isinstance(rule, LiteralRule):
+        c = F.col(rule.column)
+        expected = (
+            F.lit(rule.value) if rule.value is not None else F.col(rule.other_column)
+        )
+        fail = c.isNotNull() & expected.isNotNull() & (c != expected)
+        return F.when(fail, _viol(rule.id, rule.column, expected, c, KIND_LITERAL))
+    if isinstance(rule, RangeRule):
+        c = F.col(rule.column)
+        conds = []
+        if rule.min is not None:
+            conds.append(c < F.lit(rule.min))
+        if rule.max is not None:
+            conds.append(c > F.lit(rule.max))
+        fail = c.isNotNull() & (conds[0] if len(conds) == 1 else (conds[0] | conds[1]))
+        expected = F.lit(f"[{rule.min}, {rule.max}]")
+        return F.when(fail, _viol(rule.id, rule.column, expected, c, KIND_RANGE))
+    if isinstance(rule, DomainRule):
+        c = F.col(rule.column)
+        fail = c.isNotNull() & ~c.isin(*rule.values)
+        expected = F.lit("in {" + ", ".join(rule.values) + "}")
+        return F.when(fail, _viol(rule.id, rule.column, expected, c, KIND_DOMAIN))
+    raise TypeError(f"not a row rule: {rule!r}")
+
+
+def row_violations(df: DataFrame, program: ConstraintProgram, run_id: str) -> DataFrame:
+    """Evaluate all row rules in one pass → violations DataFrame.
+
+    ``df`` must already carry ``partition_id`` (see with_partition_id).
+    Returns an empty-but-typed frame when the program has no row rules.
+    """
+    spec = program.spec
+    key = F.col(spec.key_column).cast("string")
+
+    if not program.row_rules:
+        return df.sparkSession.createDataFrame([], _violations_ddl())
+
+    checks = [_check(r) for r in program.row_rules]
+    rows = (
+        df.select(
+            F.col("partition_id"),
+            key.alias("_key"),
+            F.array_compact(F.array(*checks)).alias("_v"),
+        )
+        .where(F.size("_v") > 0)
+        .select(
+            F.lit(run_id).alias("run_id"),
+            F.col("partition_id"),
+            F.explode("_v").alias("v"),
+            F.col("_key"),
+        )
+        .select(
+            "run_id",
+            "partition_id",
+            F.col("v.rule_id").alias("rule_id"),
+            F.col("_key").alias("image_id"),
+            F.col("v.column").alias("column"),
+            F.col("v.expected").alias("expected"),
+            F.col("v.actual").alias("actual"),
+            F.col("v.kind").alias("kind"),
+        )
+    )
+    return rows
+
+
+def _violations_ddl() -> str:
+    return (
+        "run_id string, partition_id int, rule_id string, image_id string, "
+        "column string, expected string, actual string, kind string"
+    )

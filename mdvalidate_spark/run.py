@@ -1,0 +1,335 @@
+"""ValidationRun — the engine's lifecycle object.
+
+Reference lifecycle mapping (SURVEY.md §3):
+  Validator::new_*        → ValidationRun(spark, spec, df, dims)   (compile +
+                            attach partition ids; validator.rs:59-84)
+  read_input + validate   → validate_pending(batch_size)           (manifest
+                            diff → evaluate per-partition stages on only the
+                            new partitions; validator.rs:101-185)
+  EOF revalidation        → finalize()                             (global
+                            rules — uniqueness, grouped counts, stats, drift —
+                            over the full table; validator.rs:162-168)
+  --fast-fail             → spec.fast_fail: stop scheduling batches after the
+                            first red one (cmd.rs:119-121)
+  report()                → Report(violations, metrics, manifest)  (errors +
+                            matches JSON; validator.rs:86-93)
+
+Per-partition stages (row, referential, per-partition count, pixel) run on
+pending partitions only; their outputs are written idempotently per partition
+under the checkpoint dir (re-validating a partition overwrites its lineage,
+so crash-and-resume never duplicates violations). Global stages run once in
+finalize. This is exactly the reference's streaming model re-expressed for a
+table: partitions are the chunks, the manifest is farthest_reached_pos, and
+finalize is the canonical EOF pass.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from dataclasses import dataclass
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from .compile import ConstraintProgram, compile_spec
+from .operators import agg_rules, drift as drift_ops, pixel as pixel_ops
+from .operators.ref_rules import ref_violations
+from .operators.row_rules import row_violations, with_partition_id
+from .plans.manifest import FAILED, FINALIZED, Manifest, VALIDATED
+from .spec import Spec
+
+_VIOLATIONS_DDL = (
+    "run_id string, partition_id int, rule_id string, image_id string, "
+    "column string, expected string, actual string, kind string"
+)
+_METRICS_DDL = (
+    "run_id string, partition_id int, rule_id string, metric string, "
+    "value double, value_str string"
+)
+
+
+@dataclass
+class Report:
+    violations: DataFrame
+    metrics: DataFrame
+    manifest: DataFrame
+    errored: bool
+
+    @property
+    def exit_code(self) -> int:
+        """Reference main.rs:86-90 — 0 pass, 1 fail."""
+        return 1 if self.errored else 0
+
+
+def _empty(spark: SparkSession, ddl: str) -> DataFrame:
+    return spark.createDataFrame([], ddl)
+
+
+def _union(dfs: list[DataFrame], spark: SparkSession, ddl: str) -> DataFrame:
+    dfs = [d for d in dfs if d is not None]
+    if not dfs:
+        return _empty(spark, ddl)
+    return reduce(lambda a, b: a.unionByName(b), dfs)
+
+
+class ValidationRun:
+    def __init__(
+        self,
+        spark: SparkSession,
+        spec: Spec,
+        df: DataFrame,
+        dims: dict[str, DataFrame] | None = None,
+        run_id: str | None = None,
+        checkpoint_dir: str | None = None,
+    ):
+        self.spark = spark
+        self.spec = spec
+        self.dims = dims or {}
+        self.run_id = run_id or f"run-{uuid.uuid4().hex[:12]}"
+        self.checkpoint_dir = checkpoint_dir
+        self.program: ConstraintProgram = compile_spec(spec, df.columns)
+        for r in self.program.ref_rules:
+            if r.dim_name not in self.dims:
+                from .errors import SchemaError
+
+                raise SchemaError(
+                    f"rule {r.id!r}: dimension table {r.dim_name!r} not provided"
+                )
+        self.df = with_partition_id(df, spec)
+        self.manifest = (
+            Manifest.load(checkpoint_dir, self.run_id)
+            if checkpoint_dir
+            else Manifest(run_id=self.run_id)
+        )
+        # in-memory accumulation (checkpointed runs also persist to parquet)
+        self._violation_dfs: list[DataFrame] = []
+        self._metric_dfs: list[DataFrame] = []
+        self._finalized = False
+        if checkpoint_dir:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            self._reload_persisted()
+
+    # ------------------------------------------------------------ discovery
+
+    def all_partitions(self) -> list[int]:
+        return list(range(self.spec.n_partitions))
+
+    def pending_partitions(self) -> list[int]:
+        return self.manifest.pending(self.all_partitions())
+
+    # ------------------------------------------------------------ execution
+
+    def validate_pending(self, batch_size: int | None = None) -> "ValidationRun":
+        """Validate all pending partitions in batches; fast-fail stops
+        scheduling after the first batch with violations."""
+        pending = self.pending_partitions()
+        batch_size = batch_size or len(pending) or 1
+        for start in range(0, len(pending), batch_size):
+            batch = pending[start : start + batch_size]
+            n_viol = self._validate_batch(batch)
+            if self.spec.fast_fail and n_viol > 0:
+                break
+        return self
+
+    def _validate_batch(self, partitions: list[int]) -> int:
+        prog, spec = self.program, self.spec
+        batch_df = self.df.where(F.col("partition_id").isin(partitions))
+
+        viols: list[DataFrame] = []
+        mets: list[DataFrame] = []
+
+        if prog.row_rules:
+            viols.append(row_violations(batch_df, prog, self.run_id))
+        for rr in prog.ref_rules:
+            viols.append(
+                ref_violations(
+                    batch_df, rr, self.dims[rr.dim_name], self.run_id, spec.key_column
+                )
+            )
+        for cr in prog.count_rules:  # per-partition count bounds
+            viols.append(agg_rules.count_violations(batch_df, cr, self.run_id))
+
+        pixel_checks = None
+        for pr in prog.pixel_rules:
+            pixel_checks = pixel_ops.pixel_check_results(
+                batch_df, pr, spec.key_column
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            pv, pm = pixel_ops.pixel_outputs(pixel_checks, pr, self.run_id)
+            viols.append(pv)
+            mets.append(pm)
+
+        batch_viol = _union(viols, self.spark, _VIOLATIONS_DDL).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        batch_met = _union(mets, self.spark, _METRICS_DDL)
+
+        # per-partition bookkeeping in ONE aggregation each
+        row_counts = {
+            r["partition_id"]: r["n"]
+            for r in batch_df.groupBy("partition_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        viol_counts = {
+            r["partition_id"]: r["n"]
+            for r in batch_viol.groupBy("partition_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n_viol = sum(viol_counts.values())
+
+        self._persist_batch(batch_viol, batch_met)
+        self._violation_dfs.append(batch_viol)
+        self._metric_dfs.append(batch_met)
+
+        for pid in partitions:
+            nv = viol_counts.get(pid, 0)
+            self.manifest.mark(
+                pid,
+                FAILED if nv > 0 else VALIDATED,
+                rows=row_counts.get(pid, 0),
+                violations=nv,
+            )
+        # a failed partition is still *validated* for resume purposes — it
+        # won't be re-run; FAILED only affects the report flag. Promote:
+        for pid in partitions:
+            if self.manifest.entries[pid]["status"] == FAILED:
+                self.manifest.entries[pid]["status"] = VALIDATED
+                self.manifest.entries[pid]["failed"] = True
+        self._save_manifest()
+
+        if pixel_checks is not None:
+            pixel_checks.unpersist()
+        return n_viol
+
+    def finalize(self) -> Report:
+        """Global rules over the full table — the canonical EOF pass."""
+        prog = self.program
+        viols: list[DataFrame] = []
+        mets: list[DataFrame] = []
+
+        for gr in prog.group_rules:
+            from .spec import CountRule, UniqueRule
+
+            if isinstance(gr, UniqueRule):
+                viols.append(
+                    agg_rules.unique_violations(self.df, gr, self.run_id)
+                )
+            elif isinstance(gr, CountRule):
+                viols.append(agg_rules.count_violations(self.df, gr, self.run_id))
+
+        if prog.stats_rules:
+            mets.append(
+                agg_rules.column_stats_metrics(self.df, prog.stats_rules, self.run_id)
+            )
+
+        for dr in prog.drift_rules:
+            dv, dm = drift_ops.drift_check(self.df, dr, self.run_id)
+            viols.append(dv)
+            mets.append(dm)
+
+        g_viol = _union(viols, self.spark, _VIOLATIONS_DDL).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        g_met = _union(mets, self.spark, _METRICS_DDL)
+        n_global = g_viol.count()
+
+        self._persist_global(g_viol, g_met)
+        self._violation_dfs.append(g_viol)
+        self._metric_dfs.append(g_met)
+
+        for pid in self.all_partitions():
+            if pid in self.manifest.entries:
+                self.manifest.mark(pid, FINALIZED)
+        self.manifest.complete = True
+        self._save_manifest()
+        self._finalized = True
+        self._global_violations = n_global
+        return self.report()
+
+    def validate(self, batch_size: int | None = None) -> Report:
+        """One-shot: validate everything then finalize (the library one-shot
+        entry, reference examples/simple.rs)."""
+        self.validate_pending(batch_size)
+        if self.spec.fast_fail and self.manifest.total_violations > 0:
+            return self.report()
+        return self.finalize()
+
+    # -------------------------------------------------------------- report
+
+    def report(self) -> Report:
+        violations = _union(self._violation_dfs, self.spark, _VIOLATIONS_DDL)
+        metrics = _union(self._metric_dfs, self.spark, _METRICS_DDL)
+        manifest_df = self.spark.createDataFrame(
+            self.manifest.rows(),
+            "run_id string, partition_id int, status string, rows long, "
+            "violations long, started_at string, finished_at string",
+        )
+        errored = self.manifest.total_violations > 0 or bool(
+            getattr(self, "_global_violations", 0)
+        )
+        return Report(violations, metrics, manifest_df, errored)
+
+    # ---------------------------------------------------------- persistence
+
+    def _sink(self, name: str) -> str | None:
+        return os.path.join(self.checkpoint_dir, name) if self.checkpoint_dir else None
+
+    def _persist_batch(self, viol: DataFrame, met: DataFrame) -> None:
+        if not self.checkpoint_dir:
+            return
+        # dynamic partition overwrite → re-running a partition replaces its
+        # lineage instead of appending duplicates (idempotent resume)
+        viol.write.mode("overwrite").partitionBy("partition_id").parquet(
+            self._sink("violations")
+        )
+        met.write.mode("overwrite").partitionBy("partition_id").parquet(
+            self._sink("metrics")
+        )
+
+    def _persist_global(self, viol: DataFrame, met: DataFrame) -> None:
+        if not self.checkpoint_dir:
+            return
+        viol.write.mode("overwrite").parquet(self._sink("violations_global"))
+        met.write.mode("overwrite").parquet(self._sink("metrics_global"))
+
+    def _reload_persisted(self) -> None:
+        """On resume, load already-persisted per-partition outputs so report()
+        includes prior batches."""
+        for name, ddl, target in (
+            ("violations", _VIOLATIONS_DDL, self._violation_dfs),
+            ("metrics", _METRICS_DDL, self._metric_dfs),
+        ):
+            path = self._sink(name)
+            if path and os.path.exists(path):
+                done = {
+                    p
+                    for p, e in self.manifest.entries.items()
+                    if e["status"] in (VALIDATED, FINALIZED)
+                }
+                if done:
+                    df = self.spark.read.schema(ddl).parquet(path)
+                    target.append(
+                        df.where(F.col("partition_id").isin(list(done)))
+                    )
+
+    def _save_manifest(self) -> None:
+        if self.checkpoint_dir:
+            self.manifest.save(self.checkpoint_dir)
+
+
+def validate_table(
+    spark: SparkSession,
+    df: DataFrame,
+    spec: Spec,
+    dims: dict[str, DataFrame] | None = None,
+    run_id: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> Report:
+    """One-call API (reference examples/simple.rs:1-43)."""
+    return ValidationRun(
+        spark, spec, df, dims=dims, run_id=run_id, checkpoint_dir=checkpoint_dir
+    ).validate()

@@ -1,0 +1,159 @@
+"""Deterministic synthetic `images` table (FIXTURES.md §1).
+
+Generated *distributed* — ``spark.range(n)`` plus column expressions, with the
+binary payload produced by a vectorized pandas UDF — so the same generator
+scales from 1k-row golden fixtures to the multi-million-row bench variant
+(bytes omitted) without ever materializing data on the driver. Shape is the
+exact `input_hint` schema: (image_id string, bytes binary, w int, h int,
+fmt string, caption string, phash long) plus `source_id` for the
+referential-integrity fixture and `pattern_id` metadata.
+
+Violation-injection contract (golden expectations derive from these, see
+``expected_violation_counts``):
+  - i % 500 == 499  → image_id duplicates row i-1          (uniqueness)
+  - i % 400 == 399  → fmt = 'bmp'                          (domain)
+  - i % 250 == 249  → w ∈ {0, 20000}                       (range)
+  - i % 200 == 199  → caption breaks ^A photo number ...$  (regex)
+  - i % 1000 == 997 → caption NULL                         (not-null)
+  - i % 120 >= 100  → source_id orphaned vs dim_source     (referential)
+  - partition P-1   → w doubled                            (drift)
+phash is hot-keyed by design (90% of rows share n_patterns base patterns,
+10% unique tail) to exercise skew salting.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import codec
+
+NOUNS = (
+    "cat", "dog", "tree", "river", "mountain", "car", "house", "bird",
+    "flower", "bridge", "boat", "cloud", "road", "field", "lamp", "door",
+)
+
+SEED = 42
+W_CYCLE = (32, 64, 128, 256)
+
+
+def synthetic_images(
+    spark: SparkSession,
+    rows: int,
+    with_bytes: bool = True,
+    n_patterns: int = 8,
+    n_partitions: int = 8,
+    num_tasks: int | None = None,
+) -> DataFrame:
+    """Build the deterministic images table as a lazy DataFrame."""
+    num_tasks = num_tasks or max(spark.sparkContext.defaultParallelism, n_partitions)
+    df = spark.range(0, rows, 1, num_tasks).withColumnRenamed("id", "i")
+    i = F.col("i")
+
+    # hot-keyed base pattern: 90% share n_patterns values, 10% unique tail
+    pattern_id = F.when(i % 10 == 9, F.lit(n_patterns) + i).otherwise(
+        i % n_patterns
+    )
+    base_id = F.format_string("img%010d", i)
+    dup_id = F.format_string("img%010d", i - 1)
+    image_id = F.when(i % 500 == 499, dup_id).otherwise(base_id)
+
+    df = df.withColumn("pattern_id", pattern_id).withColumn("image_id", image_id)
+    # stable engine partition — same formula the validator uses
+    df = df.withColumn(
+        "partition_id",
+        F.pmod(F.xxhash64(F.col("image_id")), F.lit(n_partitions)).cast("int"),
+    )
+
+    w_cycle = F.element_at(F.array(*[F.lit(v) for v in W_CYCLE]), (i % 4 + 1).cast("int"))
+    h_cycle = F.element_at(
+        F.array(*[F.lit(v) for v in W_CYCLE]), ((i + 1) % 4 + 1).cast("int")
+    )
+    # drift: probe partition gets doubled widths; range injection applied last
+    # so injected values are exact regardless of drift
+    w_drift = F.when(F.col("partition_id") == n_partitions - 1, w_cycle * 2).otherwise(
+        w_cycle
+    )
+    w_final = F.when(
+        i % 250 == 249, F.when((i / 250).cast("long") % 2 == 0, 0).otherwise(20000)
+    ).otherwise(w_drift)
+    df = df.withColumn("w", w_final.cast("int")).withColumn("h", h_cycle.cast("int"))
+
+    fmt_cycle = F.element_at(
+        F.array(F.lit("jpeg"), F.lit("png"), F.lit("webp")), (i % 3 + 1).cast("int")
+    )
+    df = df.withColumn("fmt", F.when(i % 400 == 399, "bmp").otherwise(fmt_cycle))
+
+    noun = F.element_at(
+        F.array(*[F.lit(n) for n in NOUNS]),
+        (F.pmod(F.xxhash64(i + SEED), F.lit(len(NOUNS))) + 1).cast("int"),
+    )
+    caption_ok = F.concat(F.lit("A photo number "), i.cast("string"), F.lit(" of "), noun)
+    caption = (
+        F.when(i % 1000 == 997, F.lit(None).cast("string"))
+        .when(i % 200 == 199, F.concat(F.lit("broken caption "), i.cast("string")))
+        .otherwise(caption_ok)
+    )
+    df = df.withColumn("caption", caption)
+
+    df = df.withColumn("source_id", F.format_string("src%04d", (i % 120).cast("int")))
+
+    @F.pandas_udf(T.LongType())
+    def phash_udf(pids: pd.Series) -> pd.Series:
+        return pids.map(lambda p: codec.phash_of_pattern(int(p)))
+
+    df = df.withColumn("phash", phash_udf(F.col("pattern_id")))
+
+    if with_bytes:
+        @F.pandas_udf(T.BinaryType())
+        def encode_udf(
+            pid: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series
+        ) -> pd.Series:
+            out = []
+            for p, wv, hv, fv in zip(pid, w, h, fmt):
+                # out-of-range dims encode tiny (the dim-check flags the row);
+                # unknown fmt encodes as png (the fmt-check flags the row)
+                ew = int(wv) if 1 <= wv <= 10000 else 32
+                eh = int(hv) if 1 <= hv <= 10000 else 32
+                ew, eh = min(ew, 1024), min(eh, 1024)
+                efmt = fv if fv in codec.FORMATS else "png"
+                arr = codec.base_image(int(p), ew, eh)
+                out.append(codec.encode(arr, efmt))
+            return pd.Series(out)
+
+        df = df.withColumn(
+            "bytes", encode_udf(F.col("pattern_id"), F.col("w"), F.col("h"), F.col("fmt"))
+        )
+    else:
+        df = df.withColumn("bytes", F.lit(None).cast("binary"))
+
+    return df.select(
+        "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+        "source_id", "pattern_id", "partition_id", "i",
+    )
+
+
+def dim_fmt(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([("jpeg",), ("png",), ("webp",)], "fmt string")
+
+
+def dim_source(spark: SparkSession, n: int = 100) -> DataFrame:
+    return spark.range(n).select(
+        F.format_string("src%04d", F.col("id").cast("int")).alias("source_id"),
+        F.format_string("source-%04d", F.col("id").cast("int")).alias("source_name"),
+    )
+
+
+def expected_violation_counts(rows: int) -> dict[str, int]:
+    """Golden expectations implied by the injection contract."""
+    orphans = 20 * (rows // 120) + max(0, rows % 120 - 100)
+    return {
+        "duplicate_keys": rows // 500,
+        "fmt_domain": rows // 400,
+        "w_range": rows // 250,
+        "caption_regex": rows // 200,
+        "caption_null": rows // 1000 + (1 if rows % 1000 > 997 else 0),
+        "orphan_rows": orphans,
+    }

@@ -1,0 +1,273 @@
+"""Declarative constraint spec — the engine's "mdschema".
+
+The reference declares constraints as a Markdown-shaped schema whose leaves are
+matchers ``` `id:/regex/`{min,max} ``` (reference: src/mdschema/validation/
+matchers/matcher.rs:92-109, matcher_extras.rs:112-122). Here the same roles are
+played by plain dataclasses: each rule has a deterministic id, a target, and
+params. A ``Spec`` is the analog of a parsed schema tree; ``compile_spec``
+(compile.py) is the analog of matcher compilation + schema lint.
+
+Rule families and their reference ancestors:
+
+- RegexRule        ← matcher eval (matcher.rs:244-252), MatcherVsText
+                     (walkers/validators/matchers.rs:38-431)
+- LiteralRule      ← literal-escape matcher `` `x`! `` (matchers.rs:433-601)
+- NotNullRule      ← required node present (ChildrenLengthMismatch)
+- RangeRule        ← kind/domain class checks generalized to numeric bounds
+- DomainRule       ← compare_node_kinds class membership
+                     (walkers/helpers/compare_node_kinds.rs:20-99)
+- UniqueRule       ← the degenerate `{1,1}`-per-key repetition
+                     (walkers/validators/lists.rs:168-264)
+- CountRule        ← `{min,max}` repetition bounds (matcher_extras.rs:228-252,
+                     containers.rs:316-349)
+- RefIntegrityRule ← link-destination checks (walkers/validators/links.rs:216-310)
+- ColumnStatsRule  ← matches-JSON capture (metrics, no pass/fail)
+- DriftRule        ← (new; mandated by north rule) distribution drift KS/PSI
+- PixelRule        ← fenced-code body capture/validation (code.rs:189-205),
+                     decoding binary payloads in vectorized batches
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+
+@dataclass(frozen=True)
+class Rule:
+    """Base rule. ``id`` must be unique within a Spec (deterministic; used to
+    key violations/metrics, the analog of the matcher id)."""
+
+    id: str
+
+    # subclasses override
+    kind: str = field(default="base", init=False)
+
+    def targets(self) -> tuple[str, ...]:
+        """Columns this rule reads (for lint + column pruning)."""
+        return ()
+
+
+# ---------------------------------------------------------------- row rules
+
+
+@dataclass(frozen=True)
+class NotNullRule(Rule):
+    column: str = ""
+    kind: str = field(default="not_null", init=False)
+
+    def targets(self):
+        return (self.column,)
+
+
+@dataclass(frozen=True)
+class RegexRule(Rule):
+    """Anchored-regex match on a string column.
+
+    Like the reference, the pattern is auto-anchored at the start
+    (matcher.rs:332 prepends '^'); pass ``full=True`` to also anchor the end
+    (the common whole-value validation case).
+    """
+
+    column: str = ""
+    pattern: str = ""
+    full: bool = True
+    kind: str = field(default="regex", init=False)
+
+    def targets(self):
+        return (self.column,)
+
+    @property
+    def anchored(self) -> str:
+        p = self.pattern
+        if not p.startswith("^"):
+            p = "^" + p
+        if self.full and not p.endswith("$"):
+            p = p + "$"
+        return p
+
+
+@dataclass(frozen=True)
+class LiteralRule(Rule):
+    """Exact equality — against a constant or another column.
+
+    Analog of the ``!`` literal escape (matcher.rs:23): compare contents
+    literally instead of as a pattern.
+    """
+
+    column: str = ""
+    value: Optional[str] = None        # constant to equal, or
+    other_column: Optional[str] = None  # column to equal (e.g. caption round-trip)
+    kind: str = field(default="literal", init=False)
+
+    def targets(self):
+        t = [self.column]
+        if self.other_column:
+            t.append(self.other_column)
+        return tuple(t)
+
+
+@dataclass(frozen=True)
+class RangeRule(Rule):
+    column: str = ""
+    min: Optional[float] = None
+    max: Optional[float] = None
+    kind: str = field(default="range", init=False)
+
+    def targets(self):
+        return (self.column,)
+
+
+@dataclass(frozen=True)
+class DomainRule(Rule):
+    """Value must be in a small inline set (for table-backed domains use
+    RefIntegrityRule)."""
+
+    column: str = ""
+    values: tuple[str, ...] = ()
+    kind: str = field(default="domain", init=False)
+
+    def targets(self):
+        return (self.column,)
+
+
+# -------------------------------------------------------------- group rules
+
+
+@dataclass(frozen=True)
+class UniqueRule(Rule):
+    """Column(s) must be globally unique. Skew-aware: evaluated with a salted
+    two-phase aggregation (see operators/agg_rules.py)."""
+
+    columns: tuple[str, ...] = ()
+    kind: str = field(default="unique", init=False)
+
+    def targets(self):
+        return self.columns
+
+
+@dataclass(frozen=True)
+class CountRule(Rule):
+    """Row count per group (or per partition when group_by=()) must lie in
+    [min, max]; open ends allowed (None), like ``{n,}`` / ``{,n}``
+    (matcher_extras.rs:129-157)."""
+
+    group_by: tuple[str, ...] = ()  # () = per engine partition
+    min: Optional[int] = None
+    max: Optional[int] = None
+    kind: str = field(default="count", init=False)
+
+    def targets(self):
+        return self.group_by
+
+
+# --------------------------------------------------------- referential rules
+
+
+@dataclass(frozen=True)
+class RefIntegrityRule(Rule):
+    """Every value of ``column`` must exist in dimension table ``dim_name``
+    column ``dim_column``. Evaluated as a broadcast left-anti join."""
+
+    column: str = ""
+    dim_name: str = ""
+    dim_column: str = ""
+    kind: str = field(default="ref", init=False)
+
+    def targets(self):
+        return (self.column,)
+
+
+# ------------------------------------------------------------ metric rules
+
+
+@dataclass(frozen=True)
+class ColumnStatsRule(Rule):
+    """Metrics only (no pass/fail): count, null-rate, min, max, distinct
+    cardinality. Cardinality via HLL sketch (approx_count_distinct) by
+    default; exact=True for small-scale oracle parity."""
+
+    column: str = ""
+    exact_distinct: bool = False
+    kind: str = field(default="stats", init=False)
+
+    def targets(self):
+        return (self.column,)
+
+
+# ------------------------------------------------------------- global rules
+
+
+@dataclass(frozen=True)
+class DriftRule(Rule):
+    """Distribution drift of ``column`` between a probe group and the rest.
+
+    ``group_column``/``group_value`` select the probe slice. method: 'ks'
+    (two-sample Kolmogorov-Smirnov over a binned ECDF) or 'psi' (population
+    stability index over the same bins). Violation when statistic > threshold.
+    """
+
+    column: str = ""
+    group_column: str = ""
+    group_value: str = ""
+    method: str = "psi"  # 'psi' | 'ks'
+    threshold: float = 0.2
+    n_bins: int = 32
+    kind: str = field(default="drift", init=False)
+
+    def targets(self):
+        return (self.column, self.group_column)
+
+
+@dataclass(frozen=True)
+class PixelRule(Rule):
+    """Decode the binary payload in vectorized batches and verify:
+    (a) decoded dims == (w, h), (b) decoded format == fmt,
+    (c) PSNR vs the deterministic reference image ≥ psnr_min for lossy
+        formats, exact for lossless,
+    (d) recomputed phash == phash column.
+    Runs as an Arrow-batched mapInPandas stage — never per-row Python
+    (input_hint mandate)."""
+
+    bytes_column: str = "bytes"
+    w_column: str = "w"
+    h_column: str = "h"
+    fmt_column: str = "fmt"
+    phash_column: str = "phash"
+    psnr_min: float = 40.0
+    kind: str = field(default="pixel", init=False)
+
+    def targets(self):
+        return (
+            self.bytes_column,
+            self.w_column,
+            self.h_column,
+            self.fmt_column,
+            self.phash_column,
+        )
+
+
+# ------------------------------------------------------------------- spec
+
+
+@dataclass(frozen=True)
+class Spec:
+    """The full constraint schema for one table.
+
+    ``key_column`` identifies rows in violation output (the analog of source
+    spans in reference errors). ``partition_column`` optionally names a
+    pre-existing partition id column; otherwise the engine derives one as
+    pmod(xxhash64(key), n_partitions).
+    """
+
+    rules: tuple[Rule, ...] = ()
+    key_column: str = "image_id"
+    partition_column: Optional[str] = None
+    n_partitions: int = 8
+    fast_fail: bool = False
+
+    def rule(self, rule_id: str) -> Rule:
+        for r in self.rules:
+            if r.id == rule_id:
+                return r
+        raise KeyError(rule_id)

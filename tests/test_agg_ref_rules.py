@@ -1,0 +1,116 @@
+"""Group/aggregate + referential rule tests: salted uniqueness, count bounds,
+stats metrics, broadcast anti-join orphans."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mdvalidate_spark.operators import agg_rules
+from mdvalidate_spark.operators.ref_rules import ref_violations
+from mdvalidate_spark.sources.synthetic import (
+    dim_source,
+    expected_violation_counts,
+    synthetic_images,
+)
+from mdvalidate_spark.spec import (
+    ColumnStatsRule,
+    CountRule,
+    RefIntegrityRule,
+    UniqueRule,
+)
+
+ROWS = 1000
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    df = synthetic_images(spark, ROWS, with_bytes=False).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_unique_rule_finds_injected_duplicates(spark, images):
+    exp = expected_violation_counts(ROWS)
+    v = agg_rules.unique_violations(images, UniqueRule("uq", columns=("image_id",)), "t")
+    rows = v.collect()
+    assert len(rows) == exp["duplicate_keys"]
+    for r in rows:
+        assert r["kind"] == "duplicate"
+        assert r["actual"] == "count=2"
+
+
+def test_unique_rule_on_hot_phash_counts_exactly(spark, images):
+    """phash is hot-keyed by design — salted two-phase count must still be
+    exact: sum over salted partials equals the true per-key count."""
+    v = agg_rules.unique_violations(images, UniqueRule("uq", columns=("phash",)), "t", salt=16)
+    got = {r["image_id"]: int(r["actual"].removeprefix("count=")) for r in v.collect()}
+    truth = {
+        str(r["phash"]): r["n"]
+        for r in images.groupBy("phash").agg(F.count("*").alias("n")).where("n > 1").collect()
+    }
+    assert got == truth
+    assert len(truth) == 8  # the 8 hot base patterns
+
+
+def test_count_rule_per_group(spark, images):
+    # every fmt group has >0 rows; bound that must fail for the rare 'bmp'
+    v = agg_rules.count_violations(
+        images, CountRule("ct", group_by=("fmt",), min=10), "t"
+    )
+    rows = {r["image_id"]: r["actual"] for r in v.collect()}
+    assert set(rows) == {"bmp"}  # only 2 bmp rows < 10
+    assert rows["bmp"] == "2"
+
+
+def test_count_rule_open_bounds(spark, images):
+    assert (
+        agg_rules.count_violations(images, CountRule("c", group_by=("fmt",), max=1), "t").count()
+        == 4
+    )  # all four fmt groups exceed 1
+    assert (
+        agg_rules.count_violations(images, CountRule("c", group_by=("fmt",), min=1), "t").count()
+        == 0
+    )
+
+
+def test_column_stats_single_pass_and_values(spark, images):
+    mets = agg_rules.column_stats_metrics(
+        images,
+        (
+            ColumnStatsRule("st_w", column="w", exact_distinct=True),
+            ColumnStatsRule("st_cap", column="caption", exact_distinct=True),
+        ),
+        "t",
+    )
+    m = {(r["rule_id"], r["metric"]): r for r in mets.collect()}
+    assert m[("st_w", "count")]["value"] == ROWS
+    assert m[("st_w", "min")]["value_str"] == "0"
+    assert m[("st_w", "max")]["value_str"] == "20000"
+    exp = expected_violation_counts(ROWS)
+    assert m[("st_cap", "null_rate")]["value"] == pytest.approx(
+        exp["caption_null"] / ROWS
+    )
+    # distinct captions: non-null are all distinct strings
+    assert m[("st_cap", "distinct")]["value"] == ROWS - exp["caption_null"]
+
+
+def test_ref_rule_orphans_and_broadcast(spark, images):
+    exp = expected_violation_counts(ROWS)
+    rule = RefIntegrityRule("rf", column="source_id", dim_name="dim_source", dim_column="source_id")
+    v = ref_violations(images, rule, dim_source(spark), "t", "image_id")
+    assert v.count() == exp["orphan_rows"]
+    sample = v.first()
+    assert sample["kind"] == "orphan"
+    assert sample["actual"] >= "src0100"
+    plan = v._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # dim side must broadcast, never shuffle
+
+
+def test_ref_rule_skips_null_fk(spark, images):
+    df = images.withColumn(
+        "source_id", F.when(F.col("i") % 2 == 0, None).otherwise(F.col("source_id"))
+    )
+    rule = RefIntegrityRule("rf", column="source_id", dim_name="d", dim_column="source_id")
+    v = ref_violations(df, rule, dim_source(spark), "t", "image_id")
+    # only odd-i orphans remain; no NULL-fk rows reported
+    assert v.where(F.col("actual").isNull()).count() == 0

@@ -1,0 +1,108 @@
+"""Pixel-stage and drift-stage tests (golden counts from the injection
+contract; PSNR band checks; KS/PSI behavior on shifted vs unshifted data)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mdvalidate_spark.operators import drift as drift_ops
+from mdvalidate_spark.operators import pixel as pixel_ops
+from mdvalidate_spark.sources.synthetic import expected_violation_counts, synthetic_images
+from mdvalidate_spark.spec import DriftRule, PixelRule
+
+ROWS = 1000
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    df = synthetic_images(spark, ROWS, with_bytes=True).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_pixel_checks_golden_counts(spark, images):
+    exp = expected_violation_counts(ROWS)
+    rule = PixelRule("px")
+    checks = pixel_ops.pixel_check_results(images, rule, "image_id").cache()
+    v, m = pixel_ops.pixel_outputs(checks, rule, "t")
+    fails = v.collect()
+    # early-exit per image: fmt-injected rows fail fmt, dim-injected fail dims
+    assert len(fails) == exp["fmt_domain"] + exp["w_range"]
+    kinds = {r["image_id"]: r["expected"] for r in fails}
+    assert sum("fmt" in e for e in kinds.values()) == exp["fmt_domain"]
+    assert sum("dims" in e for e in kinds.values()) == exp["w_range"]
+    # all surviving lossy images sit in the PSNR band
+    psnrs = [
+        r["psnr"] for r in checks.where("ok AND psnr IS NOT NULL").collect()
+    ]
+    assert psnrs and all(40.0 <= p <= 60.0 for p in psnrs)
+    mets = {(r["partition_id"], r["metric"]): r["value"] for r in m.collect()}
+    assert sum(v for (p, k), v in mets.items() if k == "pixel_checked") == ROWS
+    checks.unpersist()
+
+
+def test_pixel_detects_corrupt_bytes(spark, images):
+    corrupted = images.withColumn(
+        "bytes",
+        F.when(F.col("i") == 0, F.lit(b"garbage")).otherwise(F.col("bytes")),
+    )
+    rule = PixelRule("px")
+    checks = pixel_ops.pixel_check_results(corrupted, rule, "image_id")
+    bad = checks.where("NOT ok AND expected = 'decodable'").collect()
+    assert len(bad) == 1
+    assert bad[0]["image_id"] == "img0000000000"
+
+
+def test_pixel_detects_phash_mismatch(spark, images):
+    tampered = images.withColumn(
+        "phash", F.when(F.col("i") == 1, F.col("phash") + 1).otherwise(F.col("phash"))
+    )
+    checks = pixel_ops.pixel_check_results(tampered, PixelRule("px"), "image_id")
+    bad = checks.where("NOT ok AND expected LIKE 'phash%'").collect()
+    assert [b["image_id"] for b in bad] == ["img0000000001"]
+
+
+def test_pixel_skips_null_bytes(spark):
+    df = synthetic_images(spark, 100, with_bytes=False)
+    checks = pixel_ops.pixel_check_results(df, PixelRule("px"), "image_id")
+    assert checks.where("NOT ok").count() == 0
+
+
+def test_drift_fires_on_shifted_partition(spark, images):
+    # partition 7 has doubled w (the injected drift group)
+    rule = DriftRule(
+        "dr", column="w", group_column="partition_id", group_value="7",
+        method="psi", threshold=0.2,
+    )
+    v, m = drift_ops.drift_check(images, rule, "t")
+    assert v.count() == 1
+    stat = m.where("metric = 'psi_stat'").first()["value"]
+    assert stat > 0.2
+
+
+def test_drift_quiet_on_undrifted_partition(spark, images):
+    clean = images.where(F.col("w").isin(32, 64, 128, 256))  # drop injected + drift
+    rule = DriftRule(
+        "dr", column="h", group_column="partition_id", group_value="3",
+        method="psi", threshold=0.2,
+    )
+    v, m = drift_ops.drift_check(clean, rule, "t")
+    assert v.count() == 0
+
+
+def test_ks_statistic_on_shifted_partition(spark, images):
+    rule = DriftRule(
+        "dr", column="w", group_column="partition_id", group_value="7",
+        method="ks", threshold=0.1,
+    )
+    v, m = drift_ops.drift_check(images, rule, "t")
+    stat = m.first()["value"]
+    assert 0.1 < stat <= 1.0
+    assert v.count() == 1
+
+
+def test_psi_ks_math():
+    # pure-python kernel sanity
+    assert drift_ops.psi([0.5, 0.5], [0.5, 0.5]) == pytest.approx(0.0)
+    assert drift_ops.ks([1.0, 0.0], [0.0, 1.0]) == pytest.approx(1.0)
+    assert drift_ops.psi([0.9, 0.1], [0.1, 0.9]) > 1.0

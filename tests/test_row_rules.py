@@ -1,0 +1,124 @@
+"""Golden tests for the fused row pass over the deterministic fixture —
+the analog of the reference's exact-expected-errors test_case! macro
+(tests/helpers/mod.rs:15-30)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mdvalidate_spark.compile import compile_spec
+from mdvalidate_spark.operators.row_rules import row_violations, with_partition_id
+from mdvalidate_spark.sources.synthetic import (
+    expected_violation_counts,
+    synthetic_images,
+)
+from mdvalidate_spark.spec import (
+    DomainRule,
+    LiteralRule,
+    NotNullRule,
+    RangeRule,
+    RegexRule,
+    Spec,
+)
+
+ROWS = 1000
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    df = synthetic_images(spark, ROWS, with_bytes=False).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def base_spec(rules):
+    return Spec(rules=tuple(rules), key_column="image_id", n_partitions=8)
+
+
+def run_rows(spark, df, rules):
+    spec = base_spec(rules)
+    prog = compile_spec(spec, df.columns)
+    return row_violations(df, prog, "t")
+
+
+def test_golden_counts_all_row_rules(spark, images):
+    exp = expected_violation_counts(ROWS)
+    v = run_rows(
+        spark,
+        images,
+        [
+            NotNullRule("nn", column="caption"),
+            RegexRule("rx", column="caption", pattern=r"A photo number \d+ of \w+"),
+            RangeRule("rg", column="w", min=1, max=10000),
+            DomainRule("dm", column="fmt", values=("jpeg", "png", "webp")),
+        ],
+    )
+    counts = {r["rule_id"]: r["n"] for r in v.groupBy("rule_id").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("nn", 0) == exp["caption_null"]
+    assert counts.get("rx", 0) == exp["caption_regex"]
+    assert counts.get("rg", 0) == exp["w_range"]
+    assert counts.get("dm", 0) == exp["fmt_domain"]
+
+
+def test_violation_payload_shape(spark, images):
+    # expected/actual/kind mirror NodeContentMismatch (errors.rs:332-341)
+    v = run_rows(spark, images, [DomainRule("dm", column="fmt", values=("jpeg", "png", "webp"))])
+    row = v.orderBy("image_id").first()
+    assert row["kind"] == "domain"
+    assert row["actual"] == "bmp"
+    assert "jpeg" in row["expected"]
+    assert row["column"] == "fmt"
+    assert row["image_id"].startswith("img")
+    assert row["partition_id"] is not None
+
+
+def test_null_values_skip_content_rules(spark, images):
+    # "one error once" non-cascade (cmd.rs:368-398): NULL caption is flagged
+    # by not-null only, never also by the regex rule
+    v = run_rows(
+        spark,
+        images,
+        [RegexRule("rx", column="caption", pattern=r"A photo number \d+ of \w+")],
+    )
+    nulls = images.where(F.col("caption").isNull()).count()
+    assert nulls > 0
+    joined = v.join(
+        images.where(F.col("caption").isNull()).select("image_id"), "image_id"
+    )
+    assert joined.count() == 0
+
+
+def test_literal_rule_against_other_column(spark, images):
+    # caption round-trip equality (the input_hint "exact caption equality")
+    df = images.withColumn("caption2", F.col("caption"))
+    v = run_rows(spark, df, [LiteralRule("eq", column="caption", other_column="caption2")])
+    assert v.count() == 0
+    df_bad = images.withColumn("caption2", F.concat(F.col("caption"), F.lit("x")))
+    v2 = run_rows(spark, df_bad, [LiteralRule("eq", column="caption", other_column="caption2")])
+    assert v2.count() == images.where(F.col("caption").isNotNull()).count()
+
+
+def test_row_pass_is_single_stage_jvm_only(spark, images):
+    """The fused pass must stay inside whole-stage codegen: no Python eval,
+    no shuffle (explode + filter are narrow)."""
+    v = run_rows(
+        spark,
+        images,
+        [
+            RegexRule("rx", column="caption", pattern=r"A photo number \d+ of \w+"),
+            RangeRule("rg", column="w", min=1, max=10000),
+        ],
+    )
+    plan = v._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # no shuffle in the row stage
+    assert "PythonUDF" not in plan  # all-JVM kernels
+
+
+def test_stable_partition_ids(spark, images):
+    spec = base_spec([])
+    a = with_partition_id(images.select("image_id", "caption"), spec)
+    ids = dict(a.select("image_id", "partition_id").limit(100).collect())
+    b = with_partition_id(images.select("image_id", "caption"), spec)
+    ids2 = dict(b.select("image_id", "partition_id").limit(100).collect())
+    assert ids == ids2
+    assert all(0 <= p < 8 for p in ids.values())

@@ -1,0 +1,173 @@
+"""Run-lifecycle tests: the partition-batch sweep (analog of the reference's
+chunk-size sweep, cmd.rs:385-398 — identical results at any increment),
+checkpointed resume (NodePosPair semantics), and fast-fail."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from mdvalidate_spark.run import ValidationRun, validate_table
+from mdvalidate_spark.sources.synthetic import (
+    dim_source,
+    expected_violation_counts,
+    synthetic_images,
+)
+from mdvalidate_spark.spec import (
+    ColumnStatsRule,
+    DomainRule,
+    DriftRule,
+    NotNullRule,
+    RangeRule,
+    RefIntegrityRule,
+    RegexRule,
+    Spec,
+    UniqueRule,
+)
+
+ROWS = 1000
+
+
+def full_spec(fast_fail=False):
+    return Spec(
+        rules=(
+            NotNullRule("caption_not_null", column="caption"),
+            RegexRule("caption_regex", column="caption", pattern=r"A photo number \d+ of \w+"),
+            RangeRule("w_range", column="w", min=1, max=10000),
+            DomainRule("fmt_domain", column="fmt", values=("jpeg", "png", "webp")),
+            UniqueRule("unique_image_id", columns=("image_id",)),
+            RefIntegrityRule("src_ref", column="source_id", dim_name="dim_source", dim_column="source_id"),
+            ColumnStatsRule("stats_w", column="w"),
+            DriftRule("w_drift", column="w", group_column="partition_id",
+                      group_value="7", method="psi", threshold=0.2),
+        ),
+        key_column="image_id",
+        n_partitions=8,
+        fast_fail=fast_fail,
+    )
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    df = synthetic_images(spark, ROWS, with_bytes=False).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def violation_set(report):
+    return {
+        (r["rule_id"], r["image_id"], r["column"], r["kind"])
+        for r in report.violations.collect()
+    }
+
+
+def test_full_run_golden_totals(spark, images):
+    exp = expected_violation_counts(ROWS)
+    report = validate_table(spark, images, full_spec(), dims={"dim_source": dim_source(spark)}, run_id="r-full")
+    counts = {
+        r["rule_id"]: r["n"]
+        for r in report.violations.groupBy("rule_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["caption_not_null"] == exp["caption_null"]
+    assert counts["caption_regex"] == exp["caption_regex"]
+    assert counts["w_range"] == exp["w_range"]
+    assert counts["fmt_domain"] == exp["fmt_domain"]
+    assert counts["unique_image_id"] == exp["duplicate_keys"]
+    assert counts["src_ref"] == exp["orphan_rows"]
+    assert counts["w_drift"] == 1
+    assert report.errored and report.exit_code == 1
+    # manifest covers all partitions with finalized status and true row counts
+    man = report.manifest.collect()
+    assert len(man) == 8
+    assert all(r["status"] == "finalized" for r in man)
+    assert sum(r["rows"] for r in man) == ROWS
+
+
+@pytest.mark.parametrize("batch_size", [1, 2, 4, 8])
+def test_batch_size_sweep_identical_results(spark, images, batch_size):
+    """Any partition-batch increment must produce identical final violations —
+    the chunk-sweep invariant (cmd.rs:385-398)."""
+    run = ValidationRun(
+        spark, full_spec(), images, dims={"dim_source": dim_source(spark)},
+        run_id=f"r-sweep-{batch_size}",
+    )
+    run.validate_pending(batch_size=batch_size)
+    report = run.finalize()
+    baseline = validate_table(
+        spark, images, full_spec(), dims={"dim_source": dim_source(spark)}, run_id="r-base"
+    )
+    assert violation_set(report) == violation_set(baseline)
+
+
+def test_checkpoint_resume_skips_done_partitions(spark, images, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    dims = {"dim_source": dim_source(spark)}
+    run1 = ValidationRun(spark, full_spec(), images, dims=dims, run_id="r-ck", checkpoint_dir=ckpt)
+    assert run1.pending_partitions() == list(range(8))
+    run1.validate_pending(batch_size=3)  # processes 3, then 3, then 2 — all done
+    assert run1.pending_partitions() == []
+
+    # a new process resumes: nothing pending, prior violations reloaded
+    run2 = ValidationRun(spark, full_spec(), images, dims=dims, run_id="r-ck", checkpoint_dir=ckpt)
+    assert run2.pending_partitions() == []
+    report = run2.finalize()
+    exp = expected_violation_counts(ROWS)
+    per_part_viols = report.violations.where(F.col("partition_id").isNotNull()).count()
+    assert per_part_viols == (
+        exp["caption_null"] + exp["caption_regex"] + exp["w_range"]
+        + exp["fmt_domain"] + exp["orphan_rows"]
+    )
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_partial_resume_validates_only_new_partitions(spark, images, tmp_path):
+    ckpt = str(tmp_path / "ckpt2")
+    dims = {"dim_source": dim_source(spark)}
+    run1 = ValidationRun(spark, full_spec(), images, dims=dims, run_id="r-pr", checkpoint_dir=ckpt)
+    # validate only first batch of 2, then "crash"
+    pending = run1.pending_partitions()
+    run1._validate_batch(pending[:2])
+    del run1
+
+    run2 = ValidationRun(spark, full_spec(), images, dims=dims, run_id="r-pr", checkpoint_dir=ckpt)
+    assert run2.pending_partitions() == pending[2:]
+    run2.validate_pending(batch_size=8)
+    report = run2.finalize()
+    baseline = validate_table(spark, images, full_spec(), dims=dims, run_id="r-pr-base")
+    assert violation_set(report) == violation_set(baseline)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_fast_fail_stops_after_first_red_batch(spark, images):
+    run = ValidationRun(
+        spark, full_spec(fast_fail=True), images,
+        dims={"dim_source": dim_source(spark)}, run_id="r-ff",
+    )
+    run.validate_pending(batch_size=1)
+    # every partition has injected violations, so exactly one batch ran
+    validated = [p for p, e in run.manifest.entries.items()]
+    assert len(validated) == 1
+    report = run.report()
+    assert report.errored
+
+
+def test_clean_table_passes(spark):
+    clean = (
+        synthetic_images(spark, 200, with_bytes=False)
+        .where(F.col("caption").rlike(r"^A photo number \d+ of \w+$"))
+        .where(F.col("w").between(1, 10000) & F.col("fmt").isin("jpeg", "png", "webp"))
+        .where(F.col("i") % 500 != 499)
+        .where(F.col("i") % 120 < 100)
+    )
+    spec = full_spec()
+    # drop the drift rule: the doubled-w partition is a real distribution shift
+    spec_no_drift = Spec(
+        rules=tuple(r for r in spec.rules if r.id != "w_drift"),
+        key_column="image_id", n_partitions=8,
+    )
+    report = validate_table(
+        spark, clean, spec_no_drift, dims={"dim_source": dim_source(spark)}, run_id="r-clean"
+    )
+    assert report.violations.count() == 0
+    assert not report.errored and report.exit_code == 0

@@ -1,0 +1,144 @@
+"""Spec lint / compile tests — the analog of the reference's matcher-parse
+and schema-sanity cases (matcher.rs:418-729, matcher_extras.rs:254-413,
+count_non_literal_matchers_in_children.rs). Pure Python, no Spark."""
+
+import pytest
+
+from mdvalidate_spark.compile import compile_spec
+from mdvalidate_spark.errors import (
+    ConflictingRulesError,
+    DuplicateRuleIdError,
+    InvalidBoundsError,
+    MalformedRegexError,
+    SchemaError,
+    UnknownColumnError,
+)
+from mdvalidate_spark.spec import (
+    ColumnStatsRule,
+    CountRule,
+    DomainRule,
+    DriftRule,
+    LiteralRule,
+    NotNullRule,
+    PixelRule,
+    RangeRule,
+    RefIntegrityRule,
+    RegexRule,
+    Spec,
+    UniqueRule,
+)
+
+COLS = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash", "source_id"]
+
+
+def test_compile_stages_rules_by_family():
+    spec = Spec(
+        rules=(
+            NotNullRule("nn", column="caption"),
+            RegexRule("rx", column="caption", pattern=r"\w+"),
+            RangeRule("rg", column="w", min=1, max=10),
+            DomainRule("dm", column="fmt", values=("png",)),
+            UniqueRule("uq", columns=("image_id",)),
+            CountRule("ct_part", min=1),
+            CountRule("ct_grp", group_by=("fmt",), min=1),
+            RefIntegrityRule("rf", column="source_id", dim_name="d", dim_column="k"),
+            ColumnStatsRule("st", column="w"),
+            DriftRule("dr", column="w", group_column="fmt", group_value="png"),
+            PixelRule("px"),
+        )
+    )
+    prog = compile_spec(spec, COLS)
+    assert {r.id for r in prog.row_rules} == {"nn", "rx", "rg", "dm"}
+    assert {r.id for r in prog.group_rules} == {"uq", "ct_grp"}
+    assert {r.id for r in prog.count_rules} == {"ct_part"}
+    assert {r.id for r in prog.ref_rules} == {"rf"}
+    assert {r.id for r in prog.stats_rules} == {"st"}
+    assert {r.id for r in prog.drift_rules} == {"dr"}
+    assert {r.id for r in prog.pixel_rules} == {"px"}
+    # bytes only needed by the pixel stage — pruned from the shared scan set
+    assert "bytes" not in prog.scan_columns
+
+
+def test_duplicate_rule_id_rejected():
+    spec = Spec(rules=(NotNullRule("a", column="w"), RangeRule("a", column="w", min=0)))
+    with pytest.raises(DuplicateRuleIdError):
+        compile_spec(spec, COLS)
+
+
+def test_malformed_regex_rejected():
+    spec = Spec(rules=(RegexRule("rx", column="caption", pattern="("),))
+    with pytest.raises(MalformedRegexError):
+        compile_spec(spec, COLS)
+
+
+def test_conflicting_regex_rules_rejected():
+    # >1 pattern rule on one column ≙ MultipleMatchersInNodeChildren
+    spec = Spec(
+        rules=(
+            RegexRule("a", column="caption", pattern="x"),
+            RegexRule("b", column="caption", pattern="y"),
+        )
+    )
+    with pytest.raises(ConflictingRulesError):
+        compile_spec(spec, COLS)
+
+
+def test_literal_plus_regex_is_allowed():
+    # literal matchers don't count toward the conflict limit (reference:
+    # count_non_literal_matchers_in_children.rs — literals excluded)
+    spec = Spec(
+        rules=(
+            RegexRule("a", column="caption", pattern="x"),
+            LiteralRule("b", column="caption", value="x"),
+        )
+    )
+    compile_spec(spec, COLS)
+
+
+def test_invalid_bounds_rejected():
+    with pytest.raises(InvalidBoundsError):
+        compile_spec(Spec(rules=(RangeRule("r", column="w", min=10, max=1),)), COLS)
+    with pytest.raises(InvalidBoundsError):
+        compile_spec(Spec(rules=(CountRule("c", min=5, max=2),)), COLS)
+    with pytest.raises(InvalidBoundsError):
+        compile_spec(Spec(rules=(CountRule("c", min=-1),)), COLS)
+
+
+def test_open_bounds_allowed():
+    # {n,} / {,n} open ends (matcher_extras.rs:129-157)
+    compile_spec(Spec(rules=(CountRule("c1", min=5),)), COLS)
+    compile_spec(Spec(rules=(CountRule("c2", max=5),)), COLS)
+
+
+def test_literal_rule_needs_exactly_one_source():
+    with pytest.raises(SchemaError):
+        compile_spec(Spec(rules=(LiteralRule("l", column="caption"),)), COLS)
+    with pytest.raises(SchemaError):
+        compile_spec(
+            Spec(rules=(LiteralRule("l", column="caption", value="x", other_column="fmt"),)),
+            COLS,
+        )
+
+
+def test_unknown_column_rejected():
+    with pytest.raises(UnknownColumnError):
+        compile_spec(Spec(rules=(NotNullRule("n", column="nope"),)), COLS)
+
+
+def test_empty_domain_and_bad_drift_method_rejected():
+    with pytest.raises(SchemaError):
+        compile_spec(Spec(rules=(DomainRule("d", column="fmt", values=()),)), COLS)
+    with pytest.raises(SchemaError):
+        compile_spec(
+            Spec(rules=(DriftRule("d", column="w", group_column="fmt",
+                                  group_value="png", method="nope"),)),
+            COLS,
+        )
+
+
+def test_regex_anchoring_matches_reference():
+    # auto-anchored with ^ like matcher.rs:332
+    r = RegexRule("r", column="c", pattern=r"\d+")
+    assert r.anchored == r"^\d+$"
+    r2 = RegexRule("r", column="c", pattern=r"\d+", full=False)
+    assert r2.anchored == r"^\d+"
