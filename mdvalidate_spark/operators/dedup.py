@@ -1,0 +1,360 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design notes (these are the operators whose naive forms die first at
+100 TB):
+
+- Nothing here compares all pairs. Every near-dup operator is
+  *bucket-then-verify*: a hash/banding stage assigns each document to a small
+  number of candidate buckets (one shuffle on the bucket key), pairs are
+  generated only within buckets (self-join on the bucket key — AQE skew-split
+  handles hot buckets), and an exact verify pass filters false positives.
+- All signature math is built-in column algebra (xxhash64 / transform /
+  aggregate) — JVM codegen, no Python, no UDF. The per-document signature
+  stage is embarrassingly parallel (no shuffle).
+- Pair output is canonicalized (id_a < id_b) and deduped across buckets.
+
+Reference lineage: uniqueness is the `{1,1}`-per-key repetition degenerate
+case (reference: walkers/validators/lists.rs:168-264); everything else here is
+new capability mandated by the training-data-pipeline brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import normalize_text, shingles, tokens
+
+# ----------------------------------------------------------------- exact
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact near-identity dedup: group by md5(normalized text); emit one row
+    per duplicate group with the member ids (sorted for determinism) and the
+    group size. One shuffle on a uniform hash key — no skew by construction."""
+    from .text import fingerprint_md5
+
+    return (
+        df.select(F.col(id_col).alias("doc_id"), fingerprint_md5(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .where(F.col("group_size") > 1)
+    )
+
+
+# ------------------------------------------------------------ minhash + LSH
+
+# deterministic seeds for the minhash permutations
+_MINHASH_SEED = 0x5EED
+
+
+def minhash_signature(shingle_arr: Column, num_hashes: int) -> Column:
+    """num_hashes-long minhash signature: for permutation j, min over
+    shingles of xxhash64(shingle, j). Pure column algebra — the whole
+    signature for a document is computed in one codegen'd expression."""
+    def perm_min(j: int) -> Column:
+        # single-arg lambda: a second param would be bound to the array index
+        return F.array_min(
+            F.transform(shingle_arr, lambda s: F.xxhash64(s, F.lit(_MINHASH_SEED + j)))
+        )
+
+    return F.array(*[perm_min(j) for j in range(num_hashes)])
+
+
+def _canonical_pairs(cand: DataFrame) -> DataFrame:
+    """bucketed self-join → distinct candidate (id_a < id_b) pairs."""
+    left = cand.select(F.col("bucket"), F.col("doc_id").alias("id_a"))
+    right = cand.select(F.col("bucket"), F.col("doc_id").alias("id_b"))
+    return (
+        left.join(right, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard of two distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+
+
+def minhash_lsh_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs with exact-Jaccard verification.
+
+    shingle → minhash(num_hashes) → split into `bands` bands of
+    num_hashes/bands rows → bucket = hash(band index, band slice) → candidate
+    pairs within buckets → verify true Jaccard ≥ threshold on the distinct
+    shingle sets. With 32 hashes / 8 bands (r=4) the S-curve crosses ~0.59,
+    catching ≥0.7-similar pairs with high probability.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+
+    docs = df.select(
+        F.col(id_col).alias("doc_id"),
+        shingles(F.col(text_col), k_shingle).alias("sh"),
+    ).where(F.size("sh") > 0)
+    sigs = docs.select("doc_id", "sh", minhash_signature(F.col("sh"), num_hashes).alias("sig"))
+
+    # explode into one row per band: bucket key = hash of the band's slice
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.lit(b), F.concat_ws(",", *[F.element_at("sig", b * r + j + 1).cast("string") for j in range(r)])
+                ).alias("h"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sigs.select(
+        "doc_id",
+        F.explode(band_structs).alias("bb"),
+    ).select(
+        "doc_id", F.concat_ws(":", F.col("bb.band"), F.col("bb.h")).alias("bucket")
+    )
+
+    pairs = _canonical_pairs(buckets)
+
+    # verify: join shingle sets back (shuffle on doc_id) and compute exact J
+    sh_a = docs.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = docs.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select("id_a", "id_b", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", "jaccard")
+
+
+# ------------------------------------------------------------ n-gram jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup via inverted-index blocking (no minhash
+    approximation): documents sharing at least one shingle become candidates
+    (explode → self-join on shingle), then exact Jaccard filters.
+
+    Correct for any threshold > 0 (a pair with J ≥ t > 0 shares ≥1 shingle so
+    it IS generated). Costs more than LSH on huge corpora — it's the exact
+    reference implementation to validate the approximate ones against; the
+    hot-shingle skew is the classic long-tail (stop-shingles), mitigated by
+    dropping shingles occurring in > max_df documents.
+    """
+    docs = df.select(
+        F.col(id_col).alias("doc_id"), shingles(F.col(text_col), k_shingle).alias("sh")
+    ).where(F.size("sh") > 0)
+
+    inv = docs.select("doc_id", F.explode("sh").alias("shingle"))
+    # drop stop-shingles: appearing in >1% of docs (min 50) — they generate
+    # quadratic candidates and never decide a high-J pair on their own
+    df_counts = inv.groupBy("shingle").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    max_df = max(50, int(n_docs * 0.01))
+    keep = df_counts.where(F.col("df") <= max_df).select("shingle")
+    inv = inv.join(F.broadcast(keep) if max_df < 100000 else keep, "shingle")
+
+    pairs = (
+        inv.alias("a")
+        .join(inv.alias("b"), "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sh_a = docs.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = docs.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select(
+            "id_a", "id_b", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard")
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ----------------------------------------------------------------- simhash
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash of the whitespace tokens, entirely in column algebra.
+
+    Each token hashes to 64 bits; bit b contributes +1/−1 to counter b; the
+    sign vector packs back into a long. Implemented as aggregate() over the
+    token array with a 64-slot int array accumulator — one pass, no explode,
+    no shuffle, no UDF.
+    """
+    toks = tokens(normalize_text(text))
+    zeros = F.array_repeat(F.lit(0), 64)
+
+    def add_token(acc, tok):
+        h = F.xxhash64(tok)
+        # getbit accepts a column bit position (shiftright does not)
+        return F.transform(
+            acc, lambda c, i: c + (F.getbit(h, i) * 2 - 1)
+        )
+
+    counters = F.aggregate(toks, zeros, add_token)
+    # pack sign bits: sum of 2^i where counter_i > 0 (use double→long safe via
+    # bit ops on aggregate to avoid 2^63 overflow: bit 63 handled by negative)
+    bits = F.transform(counters, lambda c, i: F.when(c > 0, F.lit(1)).otherwise(F.lit(0)))
+    packed = F.aggregate(
+        F.zip_with(bits, F.sequence(F.lit(0), F.lit(63)), lambda b, i: F.struct(b.alias("b"), i.alias("i"))),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc.bitwiseOR(
+            # call_function form takes the shift amount as a column
+            F.when(
+                s["b"] == 1,
+                F.call_function("shiftleft", F.lit(1).cast("long"), s["i"]),
+            ).otherwise(F.lit(0).cast("long"))
+        ),
+    )
+    return packed
+
+
+def simhash_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup: pigeonhole banding (any pair within Hamming distance
+    < bands must agree exactly on ≥1 of the `bands` 16-bit chunks) → bucket
+    join → verify popcount(xor) ≤ max_hamming."""
+    width = 64 // bands
+    sims = df.select(
+        F.col(id_col).alias("doc_id"), simhash64(F.col(text_col)).alias("sim")
+    )
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("sim"), b * width)
+                .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
+                .alias("chunk"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sims.select(
+        "doc_id", F.explode(chunk_structs).alias("bb")
+    ).select("doc_id", F.concat_ws(":", F.col("bb.band"), F.col("bb.chunk")).alias("bucket"))
+
+    pairs = _canonical_pairs(buckets)
+    a = sims.select(F.col("doc_id").alias("id_a"), F.col("sim").alias("sim_a"))
+    b = sims.select(F.col("doc_id").alias("id_b"), F.col("sim").alias("sim_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# ------------------------------------------------------- embedding near-dup
+
+
+def _norm(v: Column) -> Column:
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    denom = _norm(a) * _norm(b)
+    return F.when(denom == 0, F.lit(0.0)).otherwise(dot / denom)
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-dup via random-hyperplane (SRP) LSH.
+
+    Sign of dot(v, plane_j) gives an n_planes-bit sketch whose per-bit
+    collision probability is 1 − θ/π; banding the sketch buckets
+    high-cosine pairs together. Planes are deterministic (xxhash-seeded
+    pseudo-random ±1 components — built in column algebra, no numpy driver
+    state to broadcast). Verify = exact cosine ≥ threshold.
+    """
+    assert n_planes % bands == 0
+    width = n_planes // bands
+
+    vecs = df.select(
+        F.col(id_col).alias("doc_id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).where(F.size(vec_col) > 0)
+
+    # deterministic ±1 hyperplanes: component i of plane j = sign bit of
+    # xxhash64(i, j) — computed per row but constant-folded per (i, j)
+    def srp_bit(j: int) -> Column:
+        signed = F.zip_with(
+            F.col("v"),
+            F.sequence(F.lit(0), F.size("v") - 1),
+            lambda x, i: F.when(
+                F.pmod(F.xxhash64(i, F.lit(j + 7919)), F.lit(2)) == 1, x
+            ).otherwise(-x),
+        )
+        dot = F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x)
+        return F.when(dot > 0, F.lit(1)).otherwise(F.lit(0))
+
+    sketch_bits = [srp_bit(j) for j in range(n_planes)]
+    sk = vecs.select(
+        "doc_id",
+        "v",
+        *[b.alias(f"b{j}") for j, b in enumerate(sketch_bits)],
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(g).alias("band"),
+                F.concat_ws("", *[F.col(f"b{g * width + j}") for j in range(width)]).alias("chunk"),
+            )
+            for g in range(bands)
+        ]
+    )
+    buckets = sk.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.concat_ws(":", F.col("bb.band"), F.col("bb.chunk")).alias("bucket")
+    )
+    pairs = _canonical_pairs(buckets)
+    a = vecs.select(F.col("doc_id").alias("id_a"), F.col("v").alias("v_a"))
+    b = vecs.select(F.col("doc_id").alias("id_b"), F.col("v").alias("v_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a", "id_b", F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cosine")
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,171 @@
+"""Multimodal column operators: decode / feature-extract / resize /
+frame-sample over opaque binary payloads with typed metadata.
+
+Architecture: image/audio/video payloads are opaque `binary` columns; all
+pixel/sample-touching work runs as Arrow-batched `mapInPandas` stages with
+explicit output StructTypes — the Spark-side plumbing (schema, partitioning,
+UDF signature, batch shape) is real and tested. The image path decodes with
+the repo's deterministic codec (functions/codec.py); audio/video decoding
+needs libs absent from this container, so those kernels are STUBBED behind
+NotImplementedError with the full plumbing in place — swap the marked inner
+function for a real decoder and nothing else changes.
+
+Reference lineage: the fenced-code-block body capture (reference:
+walkers/validators/code.rs:189-205) — opaque payload, typed metadata
+(info-string ≙ fmt column), dedicated kernel.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import codec
+
+IMAGE_FEATURES_SCHEMA = (
+    "image_id string, ok boolean, w int, h int, fmt string, "
+    "mean_r double, mean_g double, mean_b double, brightness double, contrast double"
+)
+
+
+def image_features(
+    df: DataFrame, bytes_col: str = "bytes", id_col: str = "image_id"
+) -> DataFrame:
+    """Decode images and emit per-channel statistics — the feature-extraction
+    stage of a multimodal pipeline. Vectorized batch decode; undecodable
+    payloads yield ok=false rows rather than failing the task."""
+    cols = df.select(F.col(id_col).cast("string").alias("image_id"), F.col(bytes_col).alias("b"))
+
+    def extract(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for iid, data in zip(pdf["image_id"], pdf["b"]):
+                try:
+                    arr, fmt, w, h = codec.decode(bytes(data))
+                except Exception:
+                    rows.append((iid, False, None, None, None, None, None, None, None, None))
+                    continue
+                f = arr.astype(np.float64)
+                means = f.mean(axis=(0, 1))
+                rows.append(
+                    (
+                        iid, True, w, h, fmt,
+                        float(means[0]), float(means[1]), float(means[2]),
+                        float(f.mean()), float(f.std()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "ok", "w", "h", "fmt",
+                    "mean_r", "mean_g", "mean_b", "brightness", "contrast",
+                ],
+            )
+
+    return cols.mapInPandas(extract, schema=IMAGE_FEATURES_SCHEMA)
+
+
+RESIZE_SCHEMA = "image_id string, ok boolean, bytes binary, w int, h int"
+
+
+def image_resize(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    bytes_col: str = "bytes",
+    id_col: str = "image_id",
+    fmt: str = "png",
+) -> DataFrame:
+    """Deterministic nearest-neighbor resize, re-encoded with the codec —
+    the thumbnail/normalize stage. Pure numpy index math per batch."""
+    cols = df.select(F.col(id_col).cast("string").alias("image_id"), F.col(bytes_col).alias("b"))
+
+    def resize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for iid, data in zip(pdf["image_id"], pdf["b"]):
+                try:
+                    arr, _, w, h = codec.decode(bytes(data))
+                    yi = (np.arange(target_h) * h // target_h).clip(0, h - 1)
+                    xi = (np.arange(target_w) * w // target_w).clip(0, w - 1)
+                    out = arr[yi][:, xi]
+                    rows.append((iid, True, codec.encode(out, fmt), target_w, target_h))
+                except Exception:
+                    rows.append((iid, False, None, None, None))
+            yield pd.DataFrame(rows, columns=["image_id", "ok", "bytes", "w", "h"])
+
+    return cols.mapInPandas(resize, schema=RESIZE_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "clip_id string, ok boolean, n_samples long, sample_rate int, rms double"
+)
+
+
+def audio_features(
+    df: DataFrame, bytes_col: str = "audio", id_col: str = "clip_id"
+) -> DataFrame:
+    """Audio feature extraction — STUB: the container has no audio codec
+    libraries. The mapInPandas plumbing (schema, batching, null handling) is
+    real; the inner decode raises NotImplementedError. Replace `_decode_audio`
+    with e.g. soundfile/librosa and the stage works unchanged."""
+    cols = df.select(F.col(id_col).cast("string").alias("clip_id"), F.col(bytes_col).alias("b"))
+
+    def _decode_audio(data: bytes):
+        raise NotImplementedError(
+            "audio decode requires an audio library not present in this environment"
+        )
+
+    def extract(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for cid, data in zip(pdf["clip_id"], pdf["b"]):
+                try:
+                    samples, rate = _decode_audio(bytes(data))
+                    rms = float(np.sqrt(np.mean(np.square(samples))))
+                    rows.append((cid, True, len(samples), rate, rms))
+                except NotImplementedError:
+                    rows.append((cid, False, None, None, None))
+            yield pd.DataFrame(
+                rows, columns=["clip_id", "ok", "n_samples", "sample_rate", "rms"]
+            )
+
+    return cols.mapInPandas(extract, schema=AUDIO_FEATURES_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = "video_id string, frame_idx int, ok boolean, frame binary"
+
+
+def video_frame_sample(
+    df: DataFrame,
+    every_n: int = 30,
+    bytes_col: str = "video",
+    id_col: str = "video_id",
+) -> DataFrame:
+    """Frame sampling — STUB for the same reason (no video codecs here); one
+    output row per sampled frame (a flat-map shape: mapInPandas yielding more
+    rows than input). Replace `_iter_frames` with e.g. PyAV."""
+    cols = df.select(F.col(id_col).cast("string").alias("video_id"), F.col(bytes_col).alias("b"))
+
+    def _iter_frames(data: bytes):
+        raise NotImplementedError(
+            "video decode requires a video library not present in this environment"
+        )
+
+    def sample(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for vid, data in zip(pdf["video_id"], pdf["b"]):
+                try:
+                    for idx, frame in enumerate(_iter_frames(bytes(data))):
+                        if idx % every_n == 0:
+                            rows.append((vid, idx, True, frame))
+                except NotImplementedError:
+                    rows.append((vid, -1, False, None))
+            yield pd.DataFrame(rows, columns=["video_id", "frame_idx", "ok", "frame"])
+
+    return cols.mapInPandas(sample, schema=FRAME_SAMPLE_SCHEMA)

@@ -1,0 +1,167 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language identification, document fingerprinting.
+
+These extend the engine beyond the reference's operator set (they're the
+caption/document analogs of its matcher kernels — every one is built from the
+same `regexp`/`split`/`filter` primitives as MatcherVsText, reference:
+walkers/validators/matchers.rs:38-431) and are designed twice over:
+
+1. *Spark-first*: every formula is built-in `pyspark.sql.functions` column
+   algebra — JVM codegen, zero Python, one narrow pass over `text`. At 100 TB
+   these run at scan speed with no shuffle.
+2. *Oracle-parity*: formulas avoid dialect-divergent constructs (`\\w` unicode
+   classes, locale-dependent casing) so the DuckDB oracle in
+   __spark_entry__.py can reproduce values bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# explicit ASCII classes — identical semantics in Spark (Java regex) and
+# DuckDB (RE2); \w/\s unicode behavior differs between dialects
+WORD_RE = "[A-Za-z0-9]+"
+BPE_RE = "[A-Za-z0-9]+|[^A-Za-z0-9 \\t\\n]"
+PUNCT_RE = "[^A-Za-z0-9 \\t\\n]"
+
+# small deterministic marker lists for the n-gram language heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "a"),
+    "es": ("el", "la", "de", "que", "y", "los", "es"),
+    "de": ("der", "die", "und", "das", "ist", "ein", "nicht"),
+    "fr": ("le", "les", "et", "des", "une", "est", "que"),
+}
+LANG_PRIORITY = ("en", "es", "de", "fr")  # deterministic tie-break order
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens; empty/null/whitespace-only-safe (0 tokens).
+
+    Filters empty fragments rather than trimming: Spark's trim() strips only
+    spaces, so tab/newline-padded text would otherwise yield phantom tokens.
+    """
+    parts = F.split(F.coalesce(text, F.lit("")), "[ \\t\\n]+")
+    return F.filter(parts, lambda x: F.length(x) > 0)
+
+
+def token_count_ws(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish token count: alphanumeric runs + individual punctuation marks
+    (the classic pre-tokenizer upper bound on BPE length)."""
+    return F.size(F.regexp_extract_all(F.coalesce(text, F.lit("")), F.lit(BPE_RE), F.lit(0)))
+
+
+def punct_ratio(text: Column) -> Column:
+    t = F.coalesce(text, F.lit(""))
+    total = F.length(t)
+    punct = F.length(t) - F.length(F.regexp_replace(t, PUNCT_RE, ""))
+    return F.when(total == 0, F.lit(0.0)).otherwise(punct / total)
+
+
+def alpha_ratio(text: Column) -> Column:
+    t = F.coalesce(text, F.lit(""))
+    total = F.length(t)
+    alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
+    return F.when(total == 0, F.lit(0.0)).otherwise(alpha / total)
+
+
+def stopword_ratio(text: Column, stopwords: tuple[str, ...]) -> Column:
+    toks = tokens(F.lower(text))
+    hits = F.size(F.filter(toks, lambda x: x.isin(*stopwords)))
+    n = F.size(toks)
+    return F.when(n == 0, F.lit(0.0)).otherwise(hits / n)
+
+
+def quality_score(text: Column, stopwords: tuple[str, ...] = LANG_MARKERS["en"]) -> Column:
+    """Deterministic composite in [0,1]: alphabetic density × (1 − punct
+    noise) × saturating length credit. Rounded to 6 dp so engines agree."""
+    n = token_count_ws(text).cast("double")
+    score = (
+        alpha_ratio(text)
+        * (F.lit(1.0) - punct_ratio(text))
+        * F.least(F.lit(1.0), n / F.lit(20.0))
+    )
+    return F.round(score, 6)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    toks = tokens(F.lower(text))
+
+    def hit_counter(markers: tuple[str, ...]):
+        # single-arg lambda: a second parameter would be bound to the array
+        # index by Spark's higher-order-function protocol
+        return F.size(F.filter(toks, lambda x: x.isin(*markers)))
+
+    return {lang: hit_counter(markers) for lang, markers in LANG_MARKERS.items()}
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-token language heuristic with deterministic priority tie-break
+    (en > es > de > fr); 'und' when no marker hits at all."""
+    s = lang_scores(text)
+    best = F.greatest(*[s[lang] for lang in LANG_PRIORITY])
+    expr = F.lit("und")
+    # build reversed so earlier-priority langs win ties
+    for lang in reversed(LANG_PRIORITY):
+        expr = F.when((best > 0) & (s[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for fingerprinting/dedup: lowercase, collapse runs of
+    whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(F.coalesce(text, F.lit(""))), "[ \\t\\n]+", " "))
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Exact-dup fingerprint: md5 of normalized text (md5 exists in both
+    Spark and DuckDB with identical output)."""
+    return F.md5(normalize_text(text))
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Word k-gram shingle strings of the normalized text (distinct).
+
+    Built entirely from array primitives (sequence + transform + slice) —
+    no UDF, no explode; stays inside codegen."""
+    toks = F.split(normalize_text(text), " ")
+    n = F.size(toks)
+    # sequence(1, 0) would DESCEND ([1, 0]); short docs need an explicit empty
+    idx = F.when(n < k, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(1), n - (k - 1))
+    )
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    )
+
+
+def fingerprint_winnow(text: Column, k: int = 3) -> Column:
+    """Rolling-hash-style document fingerprint: lexicographic min of md5 over
+    word k-gram shingles (the winnowing idea with window = whole doc);
+    documents sharing any minimal shingle hash collide — a cheap near-dup
+    prefilter that is exactly reproducible in SQL."""
+    sh = shingles(text, k)
+    hashed = F.transform(sh, F.md5)
+    return F.when(F.size(sh) == 0, F.md5(normalize_text(text))).otherwise(
+        F.array_min(hashed)
+    )
+
+
+def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-pass profile of a documents table: all metrics in a single select
+    (one scan, no shuffle)."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count_ws(t).alias("n_tokens_ws"),
+        token_count_bpe(t).alias("n_tokens_bpe"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(alpha_ratio(t), 6).alias("alpha_ratio"),
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("lang_pred"),
+        fingerprint_md5(t).alias("fp_md5"),
+    )

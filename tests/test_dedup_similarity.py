@@ -1,0 +1,152 @@
+"""Dedup + similarity operator tests: planted duplicates must be found,
+approximate methods validated against exact ones, plan-shape checks."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mdvalidate_spark.operators import dedup as D
+from mdvalidate_spark.operators import similarity as S
+
+BASE = (
+    "spark shuffles data between stages when wide dependencies appear in the plan "
+    "and the optimizer tries to minimize exchanges by reusing partitioning"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """60 genuinely distinct docs + planted near/exact duplicates. Docs use
+    per-doc vocabularies so cross-doc shingle overlap is zero — only the
+    planted pairs are similar."""
+    import random
+
+    rnd = random.Random(13)
+    rows = []
+    for i in range(60):
+        words = [f"w{i}x{rnd.randint(0, 9)}t{j}" for j in range(25)]
+        rows.append((i, " ".join(words)))
+    rows.append((100, rows[0][1]))                       # exact dup of 0
+    near = rows[1][1].split()
+    near[10] = "CHANGED"                                 # one-word edit of 1
+    rows.append((101, " ".join(near)))
+    rows.append((102, "UNIQUE totally different tiny"))  # unrelated
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_duplicates(spark, corpus):
+    groups = D.exact_duplicates(corpus).collect()
+    assert len(groups) == 1
+    assert groups[0]["doc_ids"] == [0, 100]
+    assert groups[0]["group_size"] == 2
+
+
+def test_ngram_jaccard_finds_planted_pairs(spark, corpus):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in D.ngram_jaccard_pairs(corpus, threshold=0.5).collect()}
+    assert pairs.get((0, 100)) == 1.0
+    # one-word edit in 25 tokens flips 3 of 23 shingles → J = 20/26 ≈ 0.77
+    assert (1, 101) in pairs and pairs[(1, 101)] == pytest.approx(20 / 26, abs=1e-4)
+
+
+def test_minhash_lsh_recall_vs_exact(spark, corpus):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in D.ngram_jaccard_pairs(corpus, threshold=0.7).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_duplicates(corpus, threshold=0.7, num_hashes=32, bands=8).collect()
+    }
+    assert exact, "fixture must contain >=1 high-jaccard pair"
+    # verification step guarantees precision; banding should give high recall
+    assert approx.issubset(exact) or approx == exact
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, (recall, exact - approx)
+
+
+def test_minhash_no_false_positives_below_threshold(spark, corpus):
+    pairs = D.minhash_lsh_duplicates(corpus, threshold=0.7).collect()
+    for r in pairs:
+        assert r["jaccard"] >= 0.7
+
+
+def test_simhash_identical_and_near(spark, corpus):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in D.simhash_duplicates(corpus, max_hamming=6).collect()}
+    assert pairs.get((0, 100)) == 0  # identical text → identical simhash
+    assert (1, 101) in pairs  # one-word edit → few bits
+
+
+def test_embedding_near_duplicates_planted(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = []
+    for i in range(40):
+        rows.append((i, [rnd.uniform(-1, 1) for _ in range(16)]))
+    # plant: 900 ≈ scaled copy of 0 (cosine 1.0), 901 = slightly noised 1
+    rows.append((900, [2.0 * x for x in rows[0][1]]))
+    rows.append((901, [x + 0.01 for x in rows[1][1]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in D.embedding_near_duplicates(df, threshold=0.95, n_planes=16, bands=8).collect()
+    }
+    assert pairs.get((0, 900)) == pytest.approx(1.0)
+    assert (1, 901) in pairs and pairs[(1, 901)] > 0.99
+
+
+def test_topk_bruteforce_matches_numpy(spark):
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    data = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb.collect()}
+    queries = emb.where(F.col("vec_id") < 3)
+    got = S.topk_bruteforce(emb, queries, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["cosine"]))
+    for qid, lst in by_q.items():
+        qv = data[qid]
+        sims = sorted(
+            (
+                (float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v))), -nid)
+                for nid, v in data.items()
+                if nid != qid
+            ),
+            reverse=True,
+        )[:5]
+        expect_ids = [-n for _, n in sims]
+        got_ids = [nid for _, nid, _ in sorted(lst)]
+        assert got_ids == expect_ids, qid
+        for (rank, nid, cos), (s, n) in zip(sorted(lst), sims):
+            assert cos == pytest.approx(s, abs=1e-5)
+
+
+def test_topk_query_side_broadcast(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = (
+        S.topk_bruteforce(emb, emb.limit(2), k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.topk_bruteforce(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.topk_ivf(emb, queries, k=5, n_cells=8, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall  # random embeddings are a worst case for IVF
+
+
+def test_count_above_threshold_nonneg(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = S.count_above_threshold(emb, emb.limit(5), 0.2).collect()
+    assert len(out) == 5
+    assert all(r["n_similar"] >= 0 for r in out)

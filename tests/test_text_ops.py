@@ -1,0 +1,103 @@
+"""Text-analysis operator tests: deterministic values on crafted inputs plus
+profile behavior on the driver testdata documents table."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mdvalidate_spark.operators import text as T
+
+DOCS = [
+    (1, "The cat and the dog sat. The end!"),
+    (2, "el perro y la casa de la playa es bonita"),
+    (3, "der Hund und die Katze ist ein Tier nicht wahr"),
+    (4, "le chat et les oiseaux est une belle chose des bois"),
+    (5, ""),
+    (6, None),
+    (7, "xyzzy plugh qwerty"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id int, text string")
+
+
+def profile_map(docs):
+    return {r["doc_id"]: r for r in T.text_profile(docs, "text", "doc_id").collect()}
+
+
+def test_token_counts(spark, docs):
+    p = profile_map(docs)
+    assert p[1]["n_tokens_ws"] == 8
+    # BPE-ish: words + punctuation marks separately: 8 words + '.' + '!'
+    assert p[1]["n_tokens_bpe"] == 10
+    assert p[5]["n_tokens_ws"] == 0 and p[6]["n_tokens_ws"] == 0
+    assert p[5]["n_tokens_bpe"] == 0 and p[6]["n_tokens_bpe"] == 0
+
+
+def test_punct_and_alpha_ratio(spark, docs):
+    p = profile_map(docs)
+    text = DOCS[0][1]
+    punct = sum(1 for c in text if not (c.isalnum() or c in " \t\n"))
+    alpha = sum(1 for c in text if c.isalpha() and c.isascii())
+    assert p[1]["punct_ratio"] == pytest.approx(punct / len(text), abs=1e-6)
+    assert p[1]["alpha_ratio"] == pytest.approx(alpha / len(text), abs=1e-6)
+    assert p[5]["punct_ratio"] == 0.0
+
+
+def test_lang_id_markers(spark, docs):
+    p = profile_map(docs)
+    assert p[1]["lang_pred"] == "en"
+    assert p[2]["lang_pred"] == "es"
+    assert p[3]["lang_pred"] == "de"
+    assert p[4]["lang_pred"] == "fr"
+    assert p[7]["lang_pred"] == "und"  # no marker hits
+    assert p[5]["lang_pred"] == "und" and p[6]["lang_pred"] == "und"
+
+
+def test_quality_monotone_in_length(spark):
+    df = spark.createDataFrame(
+        [(1, "good clean words " * 1), (2, "good clean words " * 10)],
+        "doc_id int, text string",
+    )
+    p = {r["doc_id"]: r["quality"] for r in T.text_profile(df).collect()}
+    assert 0 < p[1] < p[2] <= 1.0
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "  hello world "), (3, "hello world!")],
+        "doc_id int, text string",
+    )
+    fps = {r["doc_id"]: r["fp"] for r in df.select("doc_id", T.fingerprint_md5(F.col("text")).alias("fp")).collect()}
+    assert fps[1] == fps[2]  # case + whitespace insensitive
+    assert fps[1] != fps[3]
+
+
+def test_shingles_and_winnow(spark):
+    df = spark.createDataFrame([(1, "a b c d"), (2, "a b")], "doc_id int, text string")
+    rows = df.select(
+        "doc_id",
+        T.shingles(F.col("text"), 3).alias("sh"),
+        T.fingerprint_winnow(F.col("text"), 3).alias("fw"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert sorted(by_id[1]["sh"]) == ["a b c", "b c d"]
+    assert by_id[2]["sh"] == []  # shorter than k
+    assert by_id[2]["fw"] is not None  # falls back to whole-text hash
+
+
+def test_profile_on_testdata_documents(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    prof = T.text_profile(docs)
+    agg = prof.agg(
+        F.count("*").alias("n"),
+        F.min("n_tokens_ws").alias("mn"),
+        F.avg("quality").alias("q"),
+    ).first()
+    assert agg["n"] == docs.count()
+    assert agg["mn"] > 0
+    assert 0.5 < agg["q"] <= 1.0
+    # profile is a single narrow pass: no shuffle, no Python
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "PythonUDF" not in plan
