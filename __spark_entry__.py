@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry in ``queries()`` is an operator family from SURVEY.md §2 (or a
+training-data-pipeline extension) exercised through the real engine code in
+``mdvalidate_spark``; ``oracle_sql()`` provides the DuckDB-equivalent ANSI SQL
+for side-by-side value comparison. Non-SQL-expressible entries (xxhash64-based
+signatures, pixel decode) intentionally omit oracles → rows-only checks.
 """
 
 from __future__ import annotations
@@ -12,27 +12,577 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mdvalidate_spark.compile import compile_spec
+from mdvalidate_spark.operators import dedup as D
+from mdvalidate_spark.operators import similarity as S
+from mdvalidate_spark.operators import text as T
+from mdvalidate_spark.operators.agg_rules import count_violations, unique_violations
+from mdvalidate_spark.operators.ref_rules import ref_violations
+from mdvalidate_spark.operators.row_rules import row_violations, with_partition_id
+from mdvalidate_spark.spec import (
+    CountRule,
+    DomainRule,
+    NotNullRule,
+    RangeRule,
+    RefIntegrityRule,
+    RegexRule,
+    Spec,
+    UniqueRule,
+)
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _viol_out(v: DataFrame) -> DataFrame:
+    """Project engine violations to the oracle-comparable shape (drop run/
+    partition bookkeeping, which DuckDB cannot reproduce)."""
+    return v.select(
+        F.col("rule_id"),
+        F.col("image_id").alias("row_key"),
+        F.col("column").alias("col_name"),
+        F.col("expected"),
+        F.col("actual"),
+        F.col("kind"),
+    )
+
+
+def _row_query(table: str, key: str, rules: tuple) -> Callable:
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = _load(spark, sf_dir, table)
+        spec = Spec(rules=rules, key_column=key, n_partitions=8)
+        prog = compile_spec(spec, df.columns)
+        return _viol_out(row_violations(with_partition_id(df, spec), prog, "q"))
+
+    return q
+
+
+# ---------------------------------------------------------------- queries
+
+
+def q_row_orders(spark, sf_dir):
+    return _row_query(
+        "orders",
+        "o_orderkey",
+        (
+            DomainRule("status_domain", column="o_orderstatus", values=("O", "F")),
+            RangeRule("price_range", column="o_totalprice", min=1000.0, max=400000.0),
+            RegexRule("prio_regex", column="o_orderpriority", pattern="[1-3]-[A-Z ]+"),
+        ),
+    )(spark, sf_dir)
+
+
+def q_row_part(spark, sf_dir):
+    return _row_query(
+        "part",
+        "p_partkey",
+        (
+            RangeRule("size_range", column="p_size", min=1.0, max=25.0),
+            RegexRule("brand_regex", column="p_brand", pattern="Brand#[0-9]"),
+            NotNullRule("type_not_null", column="p_type"),
+        ),
+    )(spark, sf_dir)
+
+
+def q_row_customer(spark, sf_dir):
+    return _row_query(
+        "customer",
+        "c_custkey",
+        (
+            RegexRule("name_regex", column="c_name", pattern="Customer#[0-9]{9}"),
+            RangeRule("bal_range", column="c_acctbal", min=0.0, max=10000.0),
+            DomainRule(
+                "seg_domain",
+                column="c_mktsegment",
+                values=("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"),
+            ),
+        ),
+    )(spark, sf_dir)
+
+
+def q_unique_lineitem_orderkey(spark, sf_dir):
+    """Duplicate-key detection on a key that IS duplicated (multi-line
+    orders) — exercises the salted two-phase aggregation."""
+    li = _load(spark, sf_dir, "lineitem")
+    v = unique_violations(li, UniqueRule("uq_lokey", columns=("l_orderkey",)), "q")
+    return v.select(
+        F.col("rule_id"),
+        F.col("image_id").alias("row_key"),
+        F.col("actual"),
+        F.col("kind"),
+    )
+
+
+def q_unique_orderkey(spark, sf_dir):
+    """Uniqueness on a genuinely unique key — must return zero rows."""
+    o = _load(spark, sf_dir, "orders")
+    v = unique_violations(o, UniqueRule("uq_okey", columns=("o_orderkey",)), "q")
+    return v.select(F.col("rule_id"), F.col("image_id").alias("row_key"), F.col("actual"))
+
+
+def q_count_orders_per_cust(spark, sf_dir):
+    o = _load(spark, sf_dir, "orders")
+    v = count_violations(o, CountRule("cnt_cust", group_by=("o_custkey",), min=1, max=20), "q")
+    return v.select(F.col("rule_id"), F.col("image_id").alias("row_key"), F.col("actual"))
+
+
+def q_ref_lineitem_orders(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    orders = _load(spark, sf_dir, "orders")
+    rule = RefIntegrityRule("ref_lo", column="l_orderkey", dim_name="orders", dim_column="o_orderkey")
+    v = ref_violations(with_partition_id(li, Spec(key_column="l_orderkey")), rule, orders, "q", "l_orderkey")
+    return v.select(F.col("rule_id"), F.col("image_id").alias("row_key"), F.col("actual"))
+
+
+def q_ref_orders_customer(spark, sf_dir):
+    o = _load(spark, sf_dir, "orders")
+    c = _load(spark, sf_dir, "customer")
+    rule = RefIntegrityRule("ref_oc", column="o_custkey", dim_name="customer", dim_column="c_custkey")
+    v = ref_violations(with_partition_id(o, Spec(key_column="o_orderkey")), rule, c, "q", "o_orderkey")
+    return v.select(F.col("rule_id"), F.col("image_id").alias("row_key"), F.col("actual"))
+
+
+def q_stats_lineitem(spark, sf_dir):
+    """Column stats in one aggregation pass — typed wide output for exact
+    cross-engine comparison (no string formatting of floats)."""
+    li = _load(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.count(F.col(c)).alias(f"{c}__nonnull"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.round(F.min(F.col(c)), 4).alias(f"{c}__min"),
+            F.round(F.max(F.col(c)), 4).alias(f"{c}__max"),
+        ]
+    wide = li.agg(*aggs)
+    parts = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(f"{c}__rows").cast("long").alias("n_rows"),
+            F.col(f"{c}__nonnull").cast("long").alias("n_nonnull"),
+            F.col(f"{c}__distinct").cast("long").alias("n_distinct"),
+            F.col(f"{c}__min").cast("double").alias("min_val"),
+            F.col(f"{c}__max").cast("double").alias("max_val"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*parts)).alias("s")).select("s.*")
+
+
+def q_group_profile_lineitem(spark, sf_dir):
+    """TPC-H Q1-shaped metrics capture (the matches-JSON analog)."""
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_events_profile(spark, sf_dir):
+    ev = _load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+def q_text_profile_documents(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return T.text_profile(docs, "text", "doc_id")
+
+
+def q_lang_confusion_documents(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.col("lang"), T.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_dedup_exact_documents(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    d = D.exact_duplicates(docs)
+    return d.select("fp", "group_size", F.col("doc_ids").cast("array<string>").alias("doc_ids"))
+
+
+def q_fingerprint_documents(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.fingerprint_md5(F.col("text")).alias("fp_md5"),
+        T.fingerprint_winnow(F.col("text"), 3).alias("fp_winnow"),
+    )
+
+
+def q_ngram_jaccard_documents(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, threshold=0.5)
+
+
+def q_minhash_pairs_documents(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return D.minhash_lsh_duplicates(docs, threshold=0.5, num_hashes=32, bands=8)
+
+
+def q_simhash_documents(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return D.simhash_duplicates(docs, max_hamming=6)
+
+
+def q_similar_count_embeddings(spark, sf_dir):
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 20)
+    return S.count_above_threshold(emb, q, 0.3)
+
+
+def q_topk_embeddings(spark, sf_dir):
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    return S.topk_bruteforce(emb, q, k=3)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    emb = _load(spark, sf_dir, "embeddings")
+    return D.embedding_near_duplicates(emb, threshold=0.9)
+
+
+def q_pixel_validation_synthetic(spark, sf_dir):
+    """Pixel stage over the deterministic synthetic images table (bytes are
+    engine-generated; no external data). Not SQL-expressible → rows-only."""
+    from mdvalidate_spark.operators import pixel as pixel_ops
+    from mdvalidate_spark.sources.synthetic import synthetic_images
+    from mdvalidate_spark.spec import PixelRule
+
+    img = synthetic_images(spark, 500, with_bytes=True)
+    checks = pixel_ops.pixel_check_results(img, PixelRule("px"), "image_id")
+    return (
+        checks.groupBy("ok", "expected")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("ok", "expected")
+    )
+
+
+def q_image_features_synthetic(spark, sf_dir):
+    from mdvalidate_spark.operators import multimodal as M
+    from mdvalidate_spark.sources.synthetic import synthetic_images
+
+    img = synthetic_images(spark, 200, with_bytes=True)
+    feats = M.image_features(img)
+    return feats.groupBy("fmt").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("brightness"), 1).alias("avg_brightness"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full constraint engine validating the sf0.001 star
+    schema — row + unique + referential + count families in one run,
+    returning the violation summary."""
+    sf_dir = "/root/testdata/sf0.001"
+    parts = [
+        q_row_orders(spark, sf_dir),
+        q_row_part(spark, sf_dir),
+        q_row_customer(spark, sf_dir),
+    ]
+    from functools import reduce
+
+    all_viol = reduce(lambda a, b: a.unionByName(b), parts)
+    return (
+        all_viol.groupBy("rule_id", "kind")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .orderBy("rule_id")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "row_orders": q_row_orders,
+        "row_part": q_row_part,
+        "row_customer": q_row_customer,
+        "unique_lineitem_orderkey": q_unique_lineitem_orderkey,
+        "unique_orderkey": q_unique_orderkey,
+        "count_orders_per_cust": q_count_orders_per_cust,
+        "ref_lineitem_orders": q_ref_lineitem_orders,
+        "ref_orders_customer": q_ref_orders_customer,
+        "stats_lineitem": q_stats_lineitem,
+        "group_profile_lineitem": q_group_profile_lineitem,
+        "events_profile": q_events_profile,
+        "text_profile_documents": q_text_profile_documents,
+        "lang_confusion_documents": q_lang_confusion_documents,
+        "dedup_exact_documents": q_dedup_exact_documents,
+        "fingerprint_documents": q_fingerprint_documents,
+        "ngram_jaccard_documents": q_ngram_jaccard_documents,
+        "minhash_pairs_documents": q_minhash_pairs_documents,
+        "simhash_documents": q_simhash_documents,
+        "similar_count_embeddings": q_similar_count_embeddings,
+        "topk_embeddings": q_topk_embeddings,
+        "embedding_neardup": q_embedding_neardup,
+        "pixel_validation_synthetic": q_pixel_validation_synthetic,
+        "image_features_synthetic": q_image_features_synthetic,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------------- oracle SQL
+
+_ROW_ORDERS_SQL = """
+SELECT 'status_domain' AS rule_id, CAST(o_orderkey AS VARCHAR) AS row_key,
+       'o_orderstatus' AS col_name, 'in {O, F}' AS expected,
+       o_orderstatus AS actual, 'domain' AS kind
+FROM orders WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F')
+UNION ALL
+SELECT 'price_range', CAST(o_orderkey AS VARCHAR), 'o_totalprice',
+       '[1000.0, 400000.0]', CAST(o_totalprice AS VARCHAR), 'range'
+FROM orders WHERE o_totalprice IS NOT NULL
+  AND (o_totalprice < 1000.0 OR o_totalprice > 400000.0)
+UNION ALL
+SELECT 'prio_regex', CAST(o_orderkey AS VARCHAR), 'o_orderpriority',
+       '^[1-3]-[A-Z ]+$', o_orderpriority, 'matcher'
+FROM orders WHERE o_orderpriority IS NOT NULL
+  AND NOT regexp_matches(o_orderpriority, '^[1-3]-[A-Z ]+$')
+"""
+
+_ROW_PART_SQL = """
+SELECT 'size_range' AS rule_id, CAST(p_partkey AS VARCHAR) AS row_key,
+       'p_size' AS col_name, '[1.0, 25.0]' AS expected,
+       CAST(p_size AS VARCHAR) AS actual, 'range' AS kind
+FROM part WHERE p_size IS NOT NULL AND (p_size < 1.0 OR p_size > 25.0)
+UNION ALL
+SELECT 'brand_regex', CAST(p_partkey AS VARCHAR), 'p_brand',
+       '^Brand#[0-9]$', p_brand, 'matcher'
+FROM part WHERE p_brand IS NOT NULL AND NOT regexp_matches(p_brand, '^Brand#[0-9]$')
+UNION ALL
+SELECT 'type_not_null', CAST(p_partkey AS VARCHAR), 'p_type',
+       'not null', NULL, 'null'
+FROM part WHERE p_type IS NULL
+"""
+
+_ROW_CUSTOMER_SQL = """
+SELECT 'name_regex' AS rule_id, CAST(c_custkey AS VARCHAR) AS row_key,
+       'c_name' AS col_name, '^Customer#[0-9]{9}$' AS expected,
+       c_name AS actual, 'matcher' AS kind
+FROM customer WHERE c_name IS NOT NULL AND NOT regexp_matches(c_name, '^Customer#[0-9]{9}$')
+UNION ALL
+SELECT 'bal_range', CAST(c_custkey AS VARCHAR), 'c_acctbal',
+       '[0.0, 10000.0]', CAST(c_acctbal AS VARCHAR), 'range'
+FROM customer WHERE c_acctbal IS NOT NULL AND (c_acctbal < 0.0 OR c_acctbal > 10000.0)
+UNION ALL
+SELECT 'seg_domain', CAST(c_custkey AS VARCHAR), 'c_mktsegment',
+       'in {AUTOMOBILE, BUILDING, FURNITURE, HOUSEHOLD, MACHINERY}',
+       c_mktsegment, 'domain'
+FROM customer WHERE c_mktsegment IS NOT NULL
+  AND c_mktsegment NOT IN ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY')
+"""
+
+# DuckDB replicas of the text kernels (same ASCII regex classes)
+_TOKENS = "list_filter(string_split_regex(coalesce({t}, ''), '[ \\t\\n]+'), x -> len(x) > 0)"
+_NORM = "trim(regexp_replace(lower(coalesce({t}, '')), '[ \\t\\n]+', ' ', 'g'))"
+
+
+def _lang_sql(t: str) -> str:
+    from mdvalidate_spark.operators.text import LANG_MARKERS, LANG_PRIORITY
+
+    toks = _TOKENS.format(t=f"lower({t})")
+    scores = {
+        lang: f"len(list_filter({toks}, x -> x IN ({', '.join(repr(m) for m in markers)})))"
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = f"greatest({', '.join(scores[lang] for lang in LANG_PRIORITY)})"
+    expr = "'und'"
+    for lang in reversed(LANG_PRIORITY):
+        expr = f"CASE WHEN {best} > 0 AND {scores[lang]} = {best} THEN '{lang}' ELSE {expr} END"
+    return expr
+
+
+def _text_profile_sql() -> str:
+    t = "text"
+    toks = _TOKENS.format(t=t)
+    bpe = f"len(regexp_extract_all(coalesce({t}, ''), '[A-Za-z0-9]+|[^A-Za-z0-9 \\t\\n]'))"
+    total = f"len(coalesce({t}, ''))"
+    punct = f"({total} - len(regexp_replace(coalesce({t}, ''), '[^A-Za-z0-9 \\t\\n]', '', 'g')))"
+    alpha = f"len(regexp_replace(coalesce({t}, ''), '[^A-Za-z]', '', 'g'))"
+    punct_ratio = f"CASE WHEN {total} = 0 THEN 0.0 ELSE {punct} * 1.0 / {total} END"
+    alpha_ratio = f"CASE WHEN {total} = 0 THEN 0.0 ELSE {alpha} * 1.0 / {total} END"
+    quality = (
+        f"round({alpha_ratio} * (1.0 - {punct_ratio}) * least(1.0, len({toks}) / 20.0), 6)"
+    )
+    norm = _NORM.format(t=t)
+    return f"""
+SELECT doc_id,
+       len({toks}) AS n_tokens_ws,
+       {bpe} AS n_tokens_bpe,
+       round({punct_ratio}, 6) AS punct_ratio,
+       round({alpha_ratio}, 6) AS alpha_ratio,
+       {quality} AS quality,
+       {_lang_sql(t)} AS lang_pred,
+       md5({norm}) AS fp_md5
+FROM documents
+"""
+
+
+def _shingles_sql(t: str, k: int = 3) -> str:
+    norm = _NORM.format(t=t)
+    return (
+        f"list_distinct(CASE WHEN len(string_split({norm}, ' ')) < {k} THEN []::VARCHAR[] "
+        f"ELSE list_transform(range(1, len(string_split({norm}, ' ')) - {k} + 2), "
+        f"i -> array_to_string(string_split({norm}, ' ')[i:i+{k}-1], ' ')) END)"
+    )
+
+
+def _fingerprint_sql() -> str:
+    norm = _NORM.format(t="text")
+    sh = _shingles_sql("text", 3)
+    return f"""
+SELECT doc_id,
+       md5({norm}) AS fp_md5,
+       CASE WHEN len({sh}) = 0 THEN md5({norm})
+            ELSE list_aggregate(list_transform({sh}, s -> md5(s)), 'min') END AS fp_winnow
+FROM documents
+"""
+
+
+def _ngram_jaccard_sql(threshold: float = 0.5, k: int = 3) -> str:
+    sh = _shingles_sql("text", k)
+    return f"""
+WITH sh AS (SELECT doc_id, {sh} AS s FROM documents WHERE len({sh}) > 0),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(len(list_intersect(a.s, b.s)) * 1.0 /
+               len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= {threshold}
+"""
+
+
+def _cos_sql() -> str:
+    # explicit double dot product in list order (matches Spark's aggregate
+    # over zip_with, which also folds left-to-right)
+    return (
+        "list_aggregate(list_transform(range(1, len(a.v) + 1), "
+        "i -> a.v[i] * b.v[i]), 'sum')"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "row_orders": _ROW_ORDERS_SQL,
+        "row_part": _ROW_PART_SQL,
+        "row_customer": _ROW_CUSTOMER_SQL,
+        "unique_lineitem_orderkey": """
+SELECT 'uq_lokey' AS rule_id, CAST(l_orderkey AS VARCHAR) AS row_key,
+       'count=' || CAST(count(*) AS VARCHAR) AS actual, 'duplicate' AS kind
+FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
+""",
+        "unique_orderkey": """
+SELECT 'uq_okey' AS rule_id, CAST(o_orderkey AS VARCHAR) AS row_key,
+       'count=' || CAST(count(*) AS VARCHAR) AS actual
+FROM orders GROUP BY o_orderkey HAVING count(*) > 1
+""",
+        "count_orders_per_cust": """
+SELECT 'cnt_cust' AS rule_id, CAST(o_custkey AS VARCHAR) AS row_key,
+       CAST(count(*) AS VARCHAR) AS actual
+FROM orders GROUP BY o_custkey HAVING count(*) < 1 OR count(*) > 20
+""",
+        "ref_lineitem_orders": """
+SELECT 'ref_lo' AS rule_id, CAST(l.l_orderkey AS VARCHAR) AS row_key,
+       CAST(l.l_orderkey AS VARCHAR) AS actual
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL
+""",
+        "ref_orders_customer": """
+SELECT 'ref_oc' AS rule_id, CAST(o.o_orderkey AS VARCHAR) AS row_key,
+       CAST(o.o_custkey AS VARCHAR) AS actual
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+""",
+        "stats_lineitem": """
+SELECT col_name, n_rows, n_nonnull, n_distinct, min_val, max_val FROM (
+  SELECT 'l_quantity' AS col_name, count(*) AS n_rows, count(l_quantity) AS n_nonnull,
+         count(DISTINCT l_quantity) AS n_distinct,
+         round(min(l_quantity), 4) AS min_val, round(max(l_quantity), 4) AS max_val
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', count(*), count(l_extendedprice),
+         count(DISTINCT l_extendedprice),
+         round(min(l_extendedprice), 4), round(max(l_extendedprice), 4)
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', count(*), count(l_discount), count(DISTINCT l_discount),
+         round(min(l_discount), 4), round(max(l_discount), 4)
+  FROM lineitem
+)
+""",
+        "group_profile_lineitem": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+        "events_profile": """
+SELECT event_type, count(*) AS n,
+       round(min(value), 2) AS min_value, round(max(value), 2) AS max_value,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+""",
+        "text_profile_documents": _text_profile_sql(),
+        "lang_confusion_documents": f"""
+SELECT lang, {_lang_sql('text')} AS lang_pred, count(*) AS n
+FROM documents GROUP BY 1, 2
+""",
+        "dedup_exact_documents": f"""
+SELECT md5({_NORM.format(t='text')}) AS fp, count(*) AS group_size,
+       list_sort(list(CAST(doc_id AS VARCHAR))) AS doc_ids
+FROM documents GROUP BY 1 HAVING count(*) > 1
+""",
+        "fingerprint_documents": _fingerprint_sql(),
+        "ngram_jaccard_documents": _ngram_jaccard_sql(0.5, 3),
+        "similar_count_embeddings": """
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+q AS (SELECT * FROM v WHERE vec_id < 20)
+SELECT a.vec_id AS query_id,
+       CAST(sum(CASE WHEN
+         list_aggregate(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]), 'sum')
+         / (sqrt(list_aggregate(list_transform(a.v, x -> x * x), 'sum'))
+            * sqrt(list_aggregate(list_transform(b.v, x -> x * x), 'sum'))) >= 0.3
+         THEN 1 ELSE 0 END) AS BIGINT) AS n_similar
+FROM q a, v b WHERE b.vec_id != a.vec_id
+GROUP BY a.vec_id
+""",
+        "topk_embeddings": """
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+q AS (SELECT * FROM v WHERE vec_id < 10),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_aggregate(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]), 'sum')
+         / (sqrt(list_aggregate(list_transform(a.v, x -> x * x), 'sum'))
+            * sqrt(list_aggregate(list_transform(b.v, x -> x * x), 'sum'))) AS cos_full
+  FROM q a, v b WHERE b.vec_id != a.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_full,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_full DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos_full, 6) AS cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+""",
+    }
