@@ -1,0 +1,119 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "images_per_sec": ...}
+
+Headline suite =
+  1. images_validate  — the north-star workload: full constraint suite
+     (row + unique + ref + stats + drift) over a synthetic images table
+     scaled with sf, no bytes (pixel timed separately).
+  2. images_pixel     — Arrow-batched decode+verify over pre-materialized
+     image bytes (read from parquet; generation excluded from timing,
+     per BASELINE.md).
+  3-8. representative driver queries (row rules, salted uniqueness, Q1-style
+     group profile, text profile, minhash dedup, top-k similarity).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _noop_sink(df) -> None:
+    """Force full materialization without collecting to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+
+    import __spark_entry__ as entry_mod
+    from mdvalidate_spark.run import ValidationRun
+    from mdvalidate_spark.session import get_spark
+    from mdvalidate_spark.sources.synthetic import (
+        W_CYCLE_SMALL,
+        dim_source,
+        full_images_spec,
+        synthetic_images,
+    )
+
+    spark = get_spark(
+        app_name="mdv-bench", master=f"local[{cpus}]", shuffle_partitions=2 * cpus
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    n_suite = int(os.environ.get("MDV_BENCH_SUITE_ROWS", int(3_000_000 * sf)))
+    n_pixel = int(os.environ.get("MDV_BENCH_PIXEL_ROWS", int(600_000 * sf)))
+    times: dict[str, float] = {}
+
+    # -- 1. full constraint suite (no bytes) --------------------------------
+    images = synthetic_images(spark, n_suite, with_bytes=False, n_partitions=64)
+    spec = full_images_spec(with_pixel=False, n_partitions=64)
+    dims = {"dim_source": dim_source(spark)}
+    t0 = time.time()
+    run = ValidationRun(spark, spec, images, dims=dims, run_id="bench")
+    report = run.validate()
+    n_viol = report.violations.count()
+    times["images_validate"] = time.time() - t0
+
+    # -- 2. pixel stage over pre-materialized bytes -------------------------
+    px_dir = os.environ.get("MDV_BENCH_PX_DIR", f"/tmp/mdv-bench-px-{n_pixel}")
+    if not os.path.exists(px_dir):
+        synthetic_images(
+            spark, n_pixel, with_bytes=True, n_partitions=64, w_cycle=W_CYCLE_SMALL
+        ).write.mode("overwrite").parquet(px_dir)
+    from mdvalidate_spark.operators.pixel import pixel_check_results
+    from mdvalidate_spark.spec import PixelRule
+
+    px_df = spark.read.parquet(px_dir)
+    # warm the Python workers (mapInPandas spawns one per core; module imports
+    # dominate the first pass) so the timing reflects steady-state throughput
+    _noop_sink(pixel_check_results(px_df.limit(2 * cpus), PixelRule("warm"), "image_id"))
+    t0 = time.time()
+    checks = pixel_check_results(px_df, PixelRule("px"), "image_id")
+    _noop_sink(checks)
+    times["images_pixel"] = time.time() - t0
+
+    # -- 3+. representative driver queries ----------------------------------
+    qs = entry_mod.queries()
+    for name in (
+        "row_orders",
+        "unique_lineitem_orderkey",
+        "group_profile_lineitem",
+        "text_profile_documents",
+        "minhash_pairs_documents",
+        "topk_embeddings",
+    ):
+        t0 = time.time()
+        _noop_sink(qs[name](spark, sf_dir))
+        times[name] = time.time() - t0
+
+    total = sum(times.values())
+    out = {
+        "metric": "headline suite wall-clock (full constraint suite + pixel stage + driver queries)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in times.items()},
+        "sf": sf,
+        "suite_rows": n_suite,
+        "pixel_rows": n_pixel,
+        "suite_violations": n_viol,
+        "images_per_sec": round(n_suite / times["images_validate"], 1),
+        "pixel_images_per_sec": round(n_pixel / times["images_pixel"], 1),
+        "cpus": cpus,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

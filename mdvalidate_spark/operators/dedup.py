@@ -106,10 +106,21 @@ def minhash_lsh_duplicates(
     assert num_hashes % bands == 0
     r = num_hashes // bands
 
-    docs = df.select(
-        F.col(id_col).alias("doc_id"),
-        shingles(F.col(text_col), k_shingle).alias("sh"),
-    ).where(F.size("sh") > 0)
+    from pyspark.storagelevel import StorageLevel
+
+    from .util import ensure_parallelism
+
+    docs = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            shingles(F.col(text_col), k_shingle).alias("sh"),
+        )
+        .where(F.size("sh") > 0)
+        # shingle arrays feed the signature pass AND both sides of the verify
+        # join — persist so the codegen'd shingle expression runs once
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sigs = docs.select("doc_id", "sh", minhash_signature(F.col("sh"), num_hashes).alias("sig"))
 
     # explode into one row per band: bucket key = hash of the band's slice
@@ -165,9 +176,18 @@ def ngram_jaccard_pairs(
     hot-shingle skew is the classic long-tail (stop-shingles), mitigated by
     dropping shingles occurring in > max_df documents.
     """
-    docs = df.select(
-        F.col(id_col).alias("doc_id"), shingles(F.col(text_col), k_shingle).alias("sh")
-    ).where(F.size("sh") > 0)
+    from pyspark.storagelevel import StorageLevel
+
+    from .util import ensure_parallelism
+
+    docs = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("doc_id"), shingles(F.col(text_col), k_shingle).alias("sh")
+        )
+        .where(F.size("sh") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     inv = docs.select("doc_id", F.explode("sh").alias("shingle"))
     # drop stop-shingles: appearing in >1% of docs (min 50) — they generate
@@ -247,8 +267,15 @@ def simhash_duplicates(
     < bands must agree exactly on ≥1 of the `bands` 16-bit chunks) → bucket
     join → verify popcount(xor) ≤ max_hamming."""
     width = 64 // bands
-    sims = df.select(
-        F.col(id_col).alias("doc_id"), simhash64(F.col(text_col)).alias("sim")
+
+    from pyspark.storagelevel import StorageLevel
+
+    from .util import ensure_parallelism
+
+    sims = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("doc_id"), simhash64(F.col(text_col)).alias("sim"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     chunk_structs = F.array(
         *[
@@ -312,9 +339,18 @@ def embedding_near_duplicates(
     assert n_planes % bands == 0
     width = n_planes // bands
 
-    vecs = df.select(
-        F.col(id_col).alias("doc_id"), F.col(vec_col).cast("array<double>").alias("v")
-    ).where(F.size(vec_col) > 0)
+    from pyspark.storagelevel import StorageLevel
+
+    from .util import ensure_parallelism
+
+    vecs = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("doc_id"), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        .where(F.size(vec_col) > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     # deterministic ±1 hyperplanes: component i of plane j = sign bit of
     # xxhash64(i, j) — computed per row but constant-folded per (i, j)

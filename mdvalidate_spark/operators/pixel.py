@@ -67,9 +67,110 @@ def _check_one(row, psnr_min: float):
     return True, None, None, (None if p == float("inf") else p)
 
 
-def pixel_check_results(df: DataFrame, rule: PixelRule, key_column: str) -> DataFrame:
-    """Decode + verify every image → one result row per image."""
+def pixel_check_results(
+    df: DataFrame,
+    rule: PixelRule,
+    key_column: str,
+    partitions: list[int] | None = None,
+) -> DataFrame:
+    """Decode + verify every image → one result row per image.
+
+    When the source is parquet-backed AND physically carries partition_id,
+    the stage runs on the native scan path (workers pyarrow-read their own
+    splits — see sources/native_scan.py for the measured 5x win); otherwise
+    bytes flow through the standard Arrow exchange. `partitions` optionally
+    restricts to a set of engine partitions (the incremental-batch case).
+    """
+    from ..sources.native_scan import native_parquet_map, parquet_columns, parquet_files
+
+    needed = {
+        key_column, rule.bytes_column, rule.w_column, rule.h_column,
+        rule.fmt_column, rule.phash_column,
+    }
+    files = parquet_files(df)
+    if files and _row_preserving(df):
+        cols_in_file = set(parquet_columns(files))
+        if needed <= cols_in_file and (
+            partitions is None or "partition_id" in cols_in_file
+        ):
+            return _pixel_native(df.sparkSession, files, rule, key_column, partitions)
+
+    return _pixel_arrow(df, rule, key_column, partitions)
+
+
+def _row_preserving(df: DataFrame) -> bool:
+    """The native path re-reads files raw, so it is only sound when the
+    DataFrame contains every file row (projections fine, filters not).
+    Conservative plan sniff: any row-dropping operator → fall back."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return False
+    droppers = ("Filter", "Limit", "Join", "Aggregate", "Deduplicate", "Sample", "Intersect", "Except")
+    return not any(k in plan for k in droppers)
+
+
+def _pixel_native(spark, files, rule: PixelRule, key_column: str, partitions):
+    from ..sources.native_scan import native_parquet_map
+
     psnr_min = rule.psnr_min
+    cols = [
+        "partition_id", key_column, rule.bytes_column, rule.w_column,
+        rule.h_column, rule.fmt_column, rule.phash_column,
+    ]
+    rename = {
+        key_column: "image_id",
+        rule.bytes_column: "bytes",
+        rule.w_column: "w",
+        rule.h_column: "h",
+        rule.fmt_column: "fmt",
+        rule.phash_column: "phash",
+    }
+    from ..sources.native_scan import parquet_columns
+
+    have_part = "partition_id" in parquet_columns(files)
+    if not have_part:
+        cols = cols[1:]
+
+    def kernel(batch: pd.DataFrame) -> pd.DataFrame:
+        # reset: row_filter may leave a sparse index, which would misalign the
+        # positional result lists below
+        batch = batch.rename(columns=rename).reset_index(drop=True)
+        out = {
+            "partition_id": (
+                batch["partition_id"]
+                if have_part
+                else pd.Series([None] * len(batch), dtype="object")
+            ),
+            "image_id": batch["image_id"],
+            "ok": [], "expected": [], "actual": [], "psnr": [],
+        }
+        for row in batch.itertuples(index=False):
+            ok, exp, act, p = _check_one(row, psnr_min)
+            out["ok"].append(ok)
+            out["expected"].append(exp)
+            out["actual"].append(act)
+            out["psnr"].append(p)
+        return pd.DataFrame(out)
+
+    row_filter = None
+    if partitions is not None:
+        pset = set(partitions)
+
+        def row_filter(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch[batch["partition_id"].isin(pset)]
+
+    return native_parquet_map(
+        spark, files, cols, kernel, CHECK_SCHEMA, row_filter=row_filter
+    )
+
+
+def _pixel_arrow(
+    df: DataFrame, rule: PixelRule, key_column: str, partitions: list[int] | None
+) -> DataFrame:
+    psnr_min = rule.psnr_min
+    if partitions is not None:
+        df = df.where(F.col("partition_id").isin(partitions))
     cols = df.select(
         F.col("partition_id").cast("int"),
         F.col(key_column).cast("string").alias("image_id"),

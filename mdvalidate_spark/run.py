@@ -154,8 +154,13 @@ class ValidationRun:
 
         pixel_checks = None
         for pr in prog.pixel_rules:
+            # pass the UNfiltered frame + the partition list: the native scan
+            # path re-reads files directly and must apply the batch filter
+            # itself (a .where() on batch_df would be silently ignored there)
+            all_parts = set(self.all_partitions())
+            part_arg = None if set(partitions) >= all_parts else partitions
             pixel_checks = pixel_ops.pixel_check_results(
-                batch_df, pr, spec.key_column
+                self.df, pr, spec.key_column, partitions=part_arg
             ).persist(StorageLevel.MEMORY_AND_DISK)
             pv, pm = pixel_ops.pixel_outputs(pixel_checks, pr, self.run_id)
             viols.append(pv)

@@ -36,9 +36,13 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("MDV_DRIVER_MEM", "8g"))
+        # local mode runs every task inside the driver JVM: size the heap for
+        # cores × in-flight Arrow batches of binary payloads, or GC thrash
+        # makes high parallelism SLOWER than low (observed 8g: local[32] ran
+        # 4x slower than local[8] on the pixel stage)
+        .config("spark.driver.memory", os.environ.get("MDV_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

@@ -37,6 +37,8 @@ NOUNS = (
 
 SEED = 42
 W_CYCLE = (32, 64, 128, 256)
+# bench variant: small frames → cheap bytes, same code paths
+W_CYCLE_SMALL = (32, 48, 64, 96)
 
 
 def synthetic_images(
@@ -46,6 +48,7 @@ def synthetic_images(
     n_patterns: int = 8,
     n_partitions: int = 8,
     num_tasks: int | None = None,
+    w_cycle: tuple[int, ...] = W_CYCLE,
 ) -> DataFrame:
     """Build the deterministic images table as a lazy DataFrame."""
     num_tasks = num_tasks or max(spark.sparkContext.defaultParallelism, n_partitions)
@@ -67,14 +70,13 @@ def synthetic_images(
         F.pmod(F.xxhash64(F.col("image_id")), F.lit(n_partitions)).cast("int"),
     )
 
-    w_cycle = F.element_at(F.array(*[F.lit(v) for v in W_CYCLE]), (i % 4 + 1).cast("int"))
-    h_cycle = F.element_at(
-        F.array(*[F.lit(v) for v in W_CYCLE]), ((i + 1) % 4 + 1).cast("int")
-    )
+    cyc = F.array(*[F.lit(v) for v in w_cycle])
+    w_base = F.element_at(cyc, (i % 4 + 1).cast("int"))
+    h_cycle = F.element_at(cyc, ((i + 1) % 4 + 1).cast("int"))
     # drift: probe partition gets doubled widths; range injection applied last
     # so injected values are exact regardless of drift
-    w_drift = F.when(F.col("partition_id") == n_partitions - 1, w_cycle * 2).otherwise(
-        w_cycle
+    w_drift = F.when(F.col("partition_id") == n_partitions - 1, w_base * 2).otherwise(
+        w_base
     )
     w_final = F.when(
         i % 250 == 249, F.when((i / 250).cast("long") % 2 == 0, 0).otherwise(20000)
@@ -157,3 +159,47 @@ def expected_violation_counts(rows: int) -> dict[str, int]:
         "caption_null": rows // 1000 + (1 if rows % 1000 > 997 else 0),
         "orphan_rows": orphans,
     }
+
+
+def full_images_spec(
+    fast_fail: bool = False, with_pixel: bool = True, n_partitions: int = 8
+):
+    """The canonical all-family Spec for the images table."""
+    from ..spec import (
+        ColumnStatsRule,
+        DomainRule,
+        DriftRule,
+        NotNullRule,
+        PixelRule,
+        RangeRule,
+        RefIntegrityRule,
+        RegexRule,
+        Spec,
+        UniqueRule,
+    )
+
+    rules = [
+        NotNullRule("caption_not_null", column="caption"),
+        RegexRule("caption_regex", column="caption", pattern=r"A photo number \d+ of \w+"),
+        RangeRule("w_range", column="w", min=1, max=10000),
+        RangeRule("h_range", column="h", min=1, max=10000),
+        DomainRule("fmt_domain", column="fmt", values=("jpeg", "png", "webp")),
+        UniqueRule("unique_image_id", columns=("image_id",)),
+        RefIntegrityRule(
+            "src_ref", column="source_id", dim_name="dim_source", dim_column="source_id"
+        ),
+        ColumnStatsRule("stats_w", column="w"),
+        ColumnStatsRule("stats_caption", column="caption"),
+        DriftRule(
+            "w_drift", column="w", group_column="partition_id",
+            group_value=str(n_partitions - 1), method="psi", threshold=0.2,
+        ),
+    ]
+    if with_pixel:
+        rules.append(PixelRule("pixel"))
+    return Spec(
+        rules=tuple(rules),
+        key_column="image_id",
+        n_partitions=n_partitions,
+        fast_fail=fast_fail,
+    )

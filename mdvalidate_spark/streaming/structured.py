@@ -1,0 +1,116 @@
+"""Structured Streaming validation.
+
+Two surfaces:
+
+1. ``stream_row_violations`` — validate an unbounded stream with the fused
+   row-rule pass. Row rules are stateless column predicates, so they apply to
+   a streaming DataFrame unchanged (the same codegen'd select); violations
+   flow to any streaming sink. This is the true-streaming analog of the
+   reference's chunk loop: each micro-batch is a chunk, the sink is the
+   accumulated error list.
+
+2. ``windowed_count_rule`` — the `{min,max}` cardinality bound over event-time
+   tumbling windows with a watermark for late data (the streaming
+   re-expression of CountRule / repeated-matcher bounds,
+   reference: containers.rs:316-349). Emits one row per closed window whose
+   count left [min, max].
+
+Both keep everything in built-in operators — no Python in the hot path — so
+they run identically under `trigger(availableNow=True)` batch-drain (used in
+tests) and continuous micro-batches on a cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..compile import ConstraintProgram
+from ..operators.row_rules import _check
+from ..spec import CountRule
+
+
+def stream_row_violations(
+    stream_df: DataFrame, program: ConstraintProgram, run_id: str
+) -> DataFrame:
+    """Fused row pass on a streaming DataFrame → streaming violations.
+
+    Same expression tree as the batch executor (operators/row_rules.py); the
+    partition id is the micro-batch-stable hash of the key.
+    """
+    spec = program.spec
+    key = F.col(spec.key_column).cast("string")
+    checks = [_check(r) for r in program.row_rules]
+    return (
+        stream_df.withColumn(
+            "partition_id",
+            F.pmod(F.xxhash64(F.col(spec.key_column)), F.lit(spec.n_partitions)).cast("int"),
+        )
+        .select(
+            F.col("partition_id"),
+            key.alias("_key"),
+            F.array_compact(F.array(*checks)).alias("_v"),
+        )
+        .where(F.size("_v") > 0)
+        .select(
+            F.lit(run_id).alias("run_id"),
+            "partition_id",
+            F.explode("_v").alias("v"),
+            "_key",
+        )
+        .select(
+            "run_id",
+            "partition_id",
+            F.col("v.rule_id").alias("rule_id"),
+            F.col("_key").alias("image_id"),
+            F.col("v.column").alias("column"),
+            F.col("v.expected").alias("expected"),
+            F.col("v.actual").alias("actual"),
+            F.col("v.kind").alias("kind"),
+        )
+    )
+
+
+def windowed_count_rule(
+    stream_df: DataFrame,
+    rule: CountRule,
+    ts_column: str,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    run_id: str = "stream",
+) -> DataFrame:
+    """Event-time cardinality bound: count per (group, tumbling window) with
+    watermarked late-data handling; violations for out-of-bounds windows.
+
+    Output mode must be 'append' downstream — rows emit once the watermark
+    closes a window, so each violation is final (no retraction needed).
+    """
+    group_cols = [F.window(F.col(ts_column), window).alias("win")] + [
+        F.col(c) for c in rule.group_by
+    ]
+    counted = (
+        stream_df.withWatermark(ts_column, watermark)
+        .groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    conds = []
+    if rule.min is not None:
+        conds.append(F.col("n") < rule.min)
+    if rule.max is not None:
+        conds.append(F.col("n") > rule.max)
+    fail = conds[0] if len(conds) == 1 else (conds[0] | conds[1]) if conds else F.lit(False)
+    key = (
+        F.concat_ws("|", F.col("win.start").cast("string"), *[F.col(c) for c in rule.group_by])
+        if rule.group_by
+        else F.col("win.start").cast("string")
+    )
+    return counted.where(fail).select(
+        F.lit(run_id).alias("run_id"),
+        F.lit(None).cast("int").alias("partition_id"),
+        F.lit(rule.id).alias("rule_id"),
+        key.alias("image_id"),
+        F.lit(",".join(rule.group_by) or "window").alias("column"),
+        F.lit(f"count in [{rule.min}, {rule.max}]").alias("expected"),
+        F.col("n").cast("string").alias("actual"),
+        F.lit("count").alias("kind"),
+    )

@@ -1,0 +1,86 @@
+"""Native parquet-scan path tests: results must be identical to the Arrow
+path, partition filtering must work, and the row-preservation guard must
+force fallback when the DataFrame drops rows."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mdvalidate_spark.operators import pixel as pixel_ops
+from mdvalidate_spark.sources.native_scan import parquet_files
+from mdvalidate_spark.sources.synthetic import synthetic_images
+from mdvalidate_spark.spec import PixelRule
+
+ROWS = 400
+
+
+@pytest.fixture(scope="module")
+def px_parquet(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("px") / "images")
+    synthetic_images(spark, ROWS, with_bytes=True).write.mode("overwrite").parquet(path)
+    return path
+
+
+def checks_set(df):
+    return {
+        (r["image_id"], r["ok"], r["expected"]) for r in df.collect()
+    }
+
+
+def test_native_path_engages_on_parquet(spark, px_parquet):
+    df = spark.read.parquet(px_parquet)
+    assert parquet_files(df), "fixture must be file-backed"
+    out = pixel_ops.pixel_check_results(df, PixelRule("px"), "image_id")
+    plan = out._jdf.queryExecution().analyzed().toString()
+    # native path scans a tiny path-list frame, not the images relation
+    assert "path" in plan
+
+
+def test_native_matches_arrow_exactly(spark, px_parquet):
+    df = spark.read.parquet(px_parquet)
+    native = pixel_ops.pixel_check_results(df, PixelRule("px"), "image_id")
+    arrow = pixel_ops._pixel_arrow(df, PixelRule("px"), "image_id", None)
+    assert checks_set(native) == checks_set(arrow)
+    assert native.count() == ROWS
+
+
+def test_native_partition_filter(spark, px_parquet):
+    df = spark.read.parquet(px_parquet)
+    sub = pixel_ops.pixel_check_results(
+        df, PixelRule("px"), "image_id", partitions=[0, 3]
+    )
+    rows = sub.collect()
+    assert rows and all(r["partition_id"] in (0, 3) for r in rows)
+    expected = df.where(F.col("partition_id").isin([0, 3])).count()
+    assert len(rows) == expected
+
+
+def test_filtered_df_falls_back_to_arrow(spark, px_parquet):
+    df = spark.read.parquet(px_parquet).where(F.col("w") == 32)
+    out = pixel_ops.pixel_check_results(df, PixelRule("px"), "image_id")
+    # fallback honors the filter — only w==32 rows checked
+    assert out.count() == df.count()
+    assert not pixel_ops._row_preserving(df)
+
+
+def test_run_via_parquet_source_matches_inmemory(spark, px_parquet):
+    """Full ValidationRun over the parquet-backed table (native pixel path)
+    equals the in-memory run (Arrow path) violation-for-violation."""
+    from mdvalidate_spark.run import validate_table
+    from mdvalidate_spark.sources.synthetic import dim_source, full_images_spec
+
+    spec = full_images_spec(with_pixel=True)
+    dims = {"dim_source": dim_source(spark)}
+    mem = validate_table(
+        spark, synthetic_images(spark, ROWS, with_bytes=True), spec, dims=dims, run_id="m"
+    )
+    disk = validate_table(
+        spark, spark.read.parquet(px_parquet), spec, dims=dims, run_id="d"
+    )
+
+    def vset(rep):
+        return {
+            (r["rule_id"], r["image_id"], r["kind"], r["expected"])
+            for r in rep.violations.collect()
+        }
+
+    assert vset(mem) == vset(disk)

@@ -1,0 +1,163 @@
+"""Streaming tests: file-incremental polling (the stdin-chunk analog) and
+Structured Streaming row rules / windowed count bounds."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mdvalidate_spark.compile import compile_spec
+from mdvalidate_spark.sources.synthetic import (
+    dim_source,
+    expected_violation_counts,
+    synthetic_images,
+)
+from mdvalidate_spark.spec import CountRule, DomainRule, RangeRule, RegexRule, Spec
+from mdvalidate_spark.streaming.incremental import FileIncrementalValidator
+from mdvalidate_spark.streaming.structured import (
+    stream_row_violations,
+    windowed_count_rule,
+)
+
+ROWS = 600
+
+
+def spec_rows(fast_fail=False):
+    return Spec(
+        rules=(
+            RegexRule("caption_regex", column="caption", pattern=r"A photo number \d+ of \w+"),
+            RangeRule("w_range", column="w", min=1, max=10000),
+            DomainRule("fmt_domain", column="fmt", values=("jpeg", "png", "webp")),
+        ),
+        key_column="image_id",
+        fast_fail=fast_fail,
+    )
+
+
+@pytest.fixture()
+def growing_table(spark, tmp_path):
+    """Three arrival chunks of the same deterministic table."""
+    base = str(tmp_path / "arrivals")
+    df = synthetic_images(spark, ROWS, with_bytes=False).cache()
+    chunks = []
+    for i, (lo, hi) in enumerate([(0, 200), (200, 400), (400, 600)]):
+        part = df.where((F.col("i") >= lo) & (F.col("i") < hi))
+        chunks.append((part, os.path.join(base, f"chunk{i}")))
+    yield base, chunks
+    df.unpersist()
+
+
+def test_incremental_poll_matches_batch(spark, growing_table, tmp_path):
+    base, chunks = growing_table
+    os.makedirs(base, exist_ok=True)
+    v = FileIncrementalValidator(
+        spark, spec_rows(), base, run_id="inc", checkpoint_dir=str(tmp_path / "ck")
+    )
+    assert v.poll() == 0  # nothing has arrived yet
+
+    total = 0
+    for part, path in chunks:
+        part.write.mode("overwrite").parquet(path)
+        n = v.poll()
+        assert n >= 0
+        total += n
+        assert v.poll() == 0  # second poll with no new files is a no-op
+
+    exp = expected_violation_counts(ROWS)
+    assert total == exp["caption_regex"] + exp["w_range"] + exp["fmt_domain"]
+    viols, mets = v.finalize()
+    assert viols.count() == total
+
+
+def test_incremental_resume_across_restart(spark, growing_table, tmp_path):
+    base, chunks = growing_table
+    ck = str(tmp_path / "ck2")
+    chunks[0][0].write.mode("overwrite").parquet(chunks[0][1])
+    v1 = FileIncrementalValidator(spark, spec_rows(), base, run_id="inc2", checkpoint_dir=ck)
+    n1 = v1.poll()
+    assert n1 > 0
+
+    # "restart": a new validator over the same checkpoint skips chunk 0
+    chunks[1][0].write.mode("overwrite").parquet(chunks[1][1])
+    v2 = FileIncrementalValidator(spark, spec_rows(), base, run_id="inc2", checkpoint_dir=ck)
+    assert all("chunk0" in f for f in v2._validated_files)
+    n2 = v2.poll()
+    exp_chunk1 = 1  # caption breaks at i=199 is chunk0; chunk1 has i=399 fmt etc.
+    assert n2 > 0
+    assert v2.pending_files() == []
+
+
+def test_fast_fail_stops_polling(spark, growing_table, tmp_path):
+    base, chunks = growing_table
+    for part, path in chunks[:2]:
+        part.write.mode("overwrite").parquet(path)
+    v = FileIncrementalValidator(spark, spec_rows(fast_fail=True), base, run_id="ff")
+    n = v.poll()
+    assert n > 0
+    chunks[2][0].write.mode("overwrite").parquet(chunks[2][1])
+    assert v.poll() == 0  # red + fast_fail → no more scheduling
+
+
+def test_stream_row_violations_availablenow(spark, tmp_path):
+    src = str(tmp_path / "stream-src")
+    out = str(tmp_path / "stream-out")
+    ck = str(tmp_path / "stream-ck")
+    df = synthetic_images(spark, ROWS, with_bytes=False)
+    df.write.mode("overwrite").parquet(src)
+
+    spec = spec_rows()
+    prog = compile_spec(spec, df.columns)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    viol_stream = stream_row_violations(stream, prog, "s1")
+    assert viol_stream.isStreaming
+
+    q = (
+        viol_stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    exp = expected_violation_counts(ROWS)
+    counts = {r["rule_id"]: r["n"] for r in got.groupBy("rule_id").agg(F.count("*").alias("n")).collect()}
+    assert counts["caption_regex"] == exp["caption_regex"]
+    assert counts["w_range"] == exp["w_range"]
+    assert counts["fmt_domain"] == exp["fmt_domain"]
+
+
+def test_windowed_count_rule_events(spark, tmp_path):
+    src = str(tmp_path / "ev-src")
+    out = str(tmp_path / "ev-out")
+    ck = str(tmp_path / "ev-ck")
+    # 3 one-minute windows: 5, 1, and 12 events → min=2, max=10 flags two
+    rows = []
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    for i in range(5):
+        rows.append((i, base + dt.timedelta(seconds=i)))
+    rows.append((100, base + dt.timedelta(minutes=1, seconds=5)))
+    for i in range(12):
+        rows.append((200 + i, base + dt.timedelta(minutes=2, seconds=i)))
+    # sentinel far in the future so the watermark closes all earlier windows
+    rows.append((999, base + dt.timedelta(minutes=30)))
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    df.write.mode("overwrite").parquet(src)
+
+    rule = CountRule("win_count", min=2, max=10)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    viol = windowed_count_rule(stream, rule, "ts", window="1 minute", watermark="0 seconds")
+    q = (
+        viol.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["image_id"]: r["actual"] for r in spark.read.parquet(out).collect()}
+    assert got.get("2026-01-01 00:01:00") == "1"   # under min
+    assert got.get("2026-01-01 00:02:00") == "12"  # over max
+    assert "2026-01-01 00:00:00" not in got        # in bounds

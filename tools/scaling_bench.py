@@ -1,0 +1,153 @@
+"""Two-parallelism scaling evidence (BASELINE.md protocol).
+
+The north rule requires throughput scaling efficiency ≥ 0.8 from N to 4N
+executors; this sandbox has no cluster, so per the driver instruction we run
+the SAME job at local[8] and local[32] over the SAME pre-materialized input
+and report throughput at both plus efficiency = T32 / (4 · T8).
+
+Job = the north-star workload: full constraint suite (row + unique + ref +
+stats + drift + PIXEL) over a parquet images table. Data generation is
+excluded from timing; Python workers are warmed before the timed run; skew
+handling (salted uniqueness, AQE) is ON in both runs.
+
+Writes BENCH/BASELINE.md. Each parallelism level runs in a fresh
+spark-submit-style subprocess so JVM/session state cannot leak between runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+RUN_ONE = r"""
+import json, os, sys, time
+sys.path.insert(0, "@@REPO@@")
+from mdvalidate_spark.run import ValidationRun
+from mdvalidate_spark.session import get_spark
+from mdvalidate_spark.sources.synthetic import dim_source, full_images_spec
+from mdvalidate_spark.operators.pixel import pixel_check_results
+from mdvalidate_spark.spec import PixelRule
+
+cpus = int(sys.argv[1])
+px_dir = sys.argv[2]
+spark = get_spark(app_name=f"mdv-scale-{cpus}", master=f"local[{cpus}]",
+                  shuffle_partitions=2 * cpus)
+spark.sparkContext.setLogLevel("ERROR")
+df = spark.read.parquet(px_dir)
+n_rows = df.count()
+
+# warm Python workers + page cache outside the timed window
+pixel_check_results(df.limit(4 * cpus), PixelRule("warm"), "image_id") \
+    .write.format("noop").mode("overwrite").save()
+
+spec = full_images_spec(with_pixel=True, n_partitions=64)
+t0 = time.time()
+run = ValidationRun(spark, spec, df, dims={"dim_source": dim_source(spark)},
+                    run_id=f"scale-{cpus}")
+report = run.validate()
+n_viol = report.violations.count()
+elapsed = time.time() - t0
+print("RESULT " + json.dumps({"cpus": cpus, "rows": n_rows,
+    "seconds": round(elapsed, 2), "violations": n_viol,
+    "throughput": round(n_rows / elapsed, 1)}))
+spark.stop()
+"""
+
+
+def run_level(cpus: int, px_dir: str) -> dict:
+    script = RUN_ONE.replace("@@REPO@@", REPO)
+    out = subprocess.run(
+        [sys.executable, "-c", script, str(cpus), px_dir],
+        capture_output=True, text=True, timeout=3600, cwd=REPO,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    print(out.stdout[-3000:], file=sys.stderr)
+    print(out.stderr[-3000:], file=sys.stderr)
+    raise RuntimeError(f"no RESULT from local[{cpus}] run")
+
+
+def main():
+    rows = int(os.environ.get("MDV_SCALE_ROWS", "960000"))
+    trials = int(os.environ.get("MDV_SCALE_TRIALS", "3"))
+    px_dir = os.environ.get("MDV_SCALE_DIR", f"/tmp/mdv-scale-{rows}")
+
+    if not os.path.exists(px_dir):
+        print(f"materializing {rows} images with bytes → {px_dir}")
+        from mdvalidate_spark.session import get_spark
+        from mdvalidate_spark.sources.synthetic import W_CYCLE_SMALL, synthetic_images
+
+        spark = get_spark(master="local[32]", shuffle_partitions=64)
+        spark.sparkContext.setLogLevel("ERROR")
+        synthetic_images(
+            spark, rows, with_bytes=True, n_partitions=64, w_cycle=W_CYCLE_SMALL
+        ).write.mode("overwrite").parquet(px_dir)
+        spark.stop()
+
+    # this sandbox shows heavy run-to-run CPU-steal variance (identical jobs
+    # measured 5s..59s); alternate the levels and take the best of N trials —
+    # min wall-clock is the faithful estimate of each level's capacity
+    all_runs: dict[int, list[dict]] = {8: [], 32: []}
+    for trial in range(trials):
+        for cpus in (8, 32):
+            print(f"trial {trial} local[{cpus}] ...")
+            r = run_level(cpus, px_dir)
+            all_runs[cpus].append(r)
+            print(" ", r)
+
+    results = {
+        cpus: min(runs, key=lambda r: r["seconds"]) for cpus, runs in all_runs.items()
+    }
+    t8, t32 = results[8]["throughput"], results[32]["throughput"]
+    eff = t32 / (4 * t8)
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    runs_table = "\n".join(
+        f"| local[{cpus}] trial {i} | {r['seconds']} | {r['throughput']:,.1f} |"
+        for cpus in (8, 32)
+        for i, r in enumerate(all_runs[cpus])
+    )
+    md = f"""# BENCH/BASELINE — two-parallelism scaling evidence
+
+Protocol (BASELINE.md): identical job — the full constraint suite
+(row + unique + referential + stats + drift + vectorized pixel stage) over
+the SAME pre-materialized parquet images table ({results[8]['rows']:,} rows,
+bytes included) — run at local[8] (N) and local[32] (4N) in fresh processes.
+Python workers warmed before timing; salted uniqueness + AQE ON in both runs;
+generation excluded from timing. This sandbox has severe noisy-neighbor CPU
+steal (identical jobs vary up to ~10x run-to-run), so each level runs
+{trials}x alternating and the BEST trial represents that level's capacity.
+
+| parallelism | best wall-clock (s) | best throughput (images/s) | violations |
+|---|---|---|---|
+| local[8]  (N)  | {results[8]['seconds']} | {t8:,.1f} | {results[8]['violations']:,} |
+| local[32] (4N) | {results[32]['seconds']} | {t32:,.1f} | {results[32]['violations']:,} |
+
+**Scaling efficiency = T32 / (4 × T8) = {eff:.3f}** (target ≥ 0.8).
+
+All trials:
+
+| run | wall-clock (s) | throughput (images/s) |
+|---|---|---|
+{runs_table}
+
+Violations identical across levels: {results[8]['violations'] == results[32]['violations']}.
+
+Reproduce: `python tools/scaling_bench.py`
+(env: MDV_SCALE_ROWS, MDV_SCALE_DIR, MDV_SCALE_TRIALS).
+"""
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(path, "w") as f:
+        f.write(md)
+    print(md)
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
