@@ -199,6 +199,46 @@ def q_events_profile(spark, sf_dir):
     )
 
 
+def q_windowed_count_events(spark, sf_dir):
+    """Tumbling-window cardinality bound on the events stream table (batch
+    form of streaming/structured.windowed_count_rule): hours with > 25
+    events. Oracle-able: Spark window() and DuckDB time_bucket agree on
+    epoch-aligned tumbling windows."""
+    ev = _load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window(F.col("ts"), "1 hour").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 25)
+        .select(F.col("win.start").cast("string").alias("win_start"), F.col("n"))
+    )
+
+
+def q_drift_events_value(spark, sf_dir):
+    """Drift statistics (PSI + KS) of event value for the 'error' type vs the
+    rest. approxQuantile bin edges are engine-specific → rows-only."""
+    from mdvalidate_spark.operators.drift import drift_check
+    from mdvalidate_spark.spec import DriftRule
+
+    ev = _load(spark, sf_dir, "events")
+    out = []
+    for method in ("psi", "ks"):
+        rule = DriftRule(
+            f"drift_{method}", column="value", group_column="event_type",
+            group_value="error", method=method, threshold=10.0,
+        )
+        _, m = drift_check(ev, rule, "q")
+        out.append(m.select("rule_id", "metric", F.round("value", 3).alias("value")))
+    return out[0].unionByName(out[1])
+
+
+def q_topk_ivf_embeddings(spark, sf_dir):
+    """Approximate IVF top-k (cell-pruned) — rows-only (centroid seeds are
+    engine-hash-dependent)."""
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    return S.topk_ivf(emb, q, k=3, n_cells=8, nprobe=3)
+
+
 def q_text_profile_documents(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents")
     return T.text_profile(docs, "text", "doc_id")
@@ -321,6 +361,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_lineitem": q_stats_lineitem,
         "group_profile_lineitem": q_group_profile_lineitem,
         "events_profile": q_events_profile,
+        "windowed_count_events": q_windowed_count_events,
+        "drift_events_value": q_drift_events_value,
+        "topk_ivf_embeddings": q_topk_ivf_embeddings,
         "text_profile_documents": q_text_profile_documents,
         "lang_confusion_documents": q_lang_confusion_documents,
         "dedup_exact_documents": q_dedup_exact_documents,
@@ -540,6 +583,11 @@ SELECT event_type, count(*) AS n,
        round(min(value), 2) AS min_value, round(max(value), 2) AS max_value,
        count(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type
+""",
+        "windowed_count_events": """
+SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS VARCHAR) AS win_start,
+       count(*) AS n
+FROM events GROUP BY 1 HAVING count(*) > 25
 """,
         "text_profile_documents": _text_profile_sql(),
         "lang_confusion_documents": f"""

@@ -1,0 +1,108 @@
+"""spark-submit entry point (the `mdv schema.md input.md [--fast-fail]` CLI
+reborn, reference: src/main.rs:16-48 / cmd.rs:136-179).
+
+Launch on a cluster:
+
+    spark-submit --py-files mdvalidate_spark.zip -m mdvalidate_spark.cli \\
+        --spec spec.json --table s3://bucket/images \\
+        --dim dim_source=s3://bucket/dims/source \\
+        --checkpoint s3://bucket/ckpt/run42 --run-id run42 \\
+        --output s3://bucket/results/run42 [--fast-fail] [--batch-size 16]
+
+Local sanity run:
+
+    python -m mdvalidate_spark.cli --spec spec.json --table /data/images
+
+Exit code 0 = all rules pass, 1 = violations (main.rs:86-90); compile errors
+print a typed SchemaError and exit 2.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .errors import SchemaError
+from .run import ValidationRun
+from .session import get_spark
+from .spec_io import load_spec
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(prog="mdvalidate-spark", description=__doc__)
+    p.add_argument("--spec", required=True, help="JSON constraint spec file")
+    p.add_argument("--table", required=True, help="input table path (parquet dir)")
+    p.add_argument(
+        "--dim",
+        action="append",
+        default=[],
+        metavar="NAME=PATH",
+        help="dimension table for ref rules (repeatable)",
+    )
+    p.add_argument("--checkpoint", help="manifest/lineage checkpoint dir (resume)")
+    p.add_argument("--output", help="write violations/metrics/manifest parquet here")
+    p.add_argument("--run-id", default=None)
+    p.add_argument("--batch-size", type=int, default=None, help="partitions per batch")
+    p.add_argument("--fast-fail", action="store_true")
+    p.add_argument("--master", default=None, help="override master (default: env/local)")
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    try:
+        spec = load_spec(args.spec)
+        # lint now, before any Spark work (column check re-runs with the real
+        # schema inside ValidationRun)
+        from .compile import compile_spec
+
+        compile_spec(spec)
+    except SchemaError as e:
+        print(f"schema error: {e}", file=sys.stderr)
+        return 2
+    if args.fast_fail:
+        from dataclasses import replace
+
+        spec = replace(spec, fast_fail=True)
+
+    from pyspark.sql import SparkSession
+
+    pre_existing = SparkSession.getActiveSession() is not None
+    spark = get_spark(app_name="mdvalidate-spark", master=args.master)
+    try:
+        df = spark.read.parquet(args.table)
+        dims = {}
+        for d in args.dim:
+            name, _, path = d.partition("=")
+            dims[name] = spark.read.parquet(path)
+        try:
+            run = ValidationRun(
+                spark, spec, df, dims=dims, run_id=args.run_id,
+                checkpoint_dir=args.checkpoint,
+            )
+        except SchemaError as e:
+            print(f"schema error: {e}", file=sys.stderr)
+            return 2
+
+        report = run.validate(batch_size=args.batch_size)
+
+        if args.output:
+            report.violations.write.mode("overwrite").parquet(f"{args.output}/violations")
+            report.metrics.write.mode("overwrite").parquet(f"{args.output}/metrics")
+            report.manifest.write.mode("overwrite").parquet(f"{args.output}/manifest")
+
+        n = report.violations.count()
+        by_rule = report.violations.groupBy("rule_id").count().orderBy("rule_id").collect()
+        print(f"run {run.run_id}: {n} violation(s)")
+        for r in by_rule:
+            print(f"  {r['rule_id']}: {r['count']}")
+        return report.exit_code
+    finally:
+        # only tear down a session this invocation created (embedders — tests,
+        # notebooks — keep theirs)
+        if not pre_existing:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

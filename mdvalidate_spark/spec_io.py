@@ -1,0 +1,106 @@
+"""Spec (de)serialization — the textual mdschema analog.
+
+A spec file is JSON: {"key_column": ..., "n_partitions": ..., "fast_fail":
+..., "rules": [{"kind": ..., "id": ..., ...}, ...]}. Unknown kinds or params
+raise SchemaError at load (reference: matcher parse errors, matcher.rs:175-208
+— reject before touching data).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+
+from .errors import SchemaError
+from .spec import (
+    ColumnStatsRule,
+    CountRule,
+    DomainRule,
+    DriftRule,
+    LiteralRule,
+    NotNullRule,
+    PixelRule,
+    RangeRule,
+    RefIntegrityRule,
+    RegexRule,
+    Rule,
+    Spec,
+    UniqueRule,
+)
+
+RULE_KINDS: dict[str, type] = {
+    "not_null": NotNullRule,
+    "regex": RegexRule,
+    "literal": LiteralRule,
+    "range": RangeRule,
+    "domain": DomainRule,
+    "unique": UniqueRule,
+    "count": CountRule,
+    "ref": RefIntegrityRule,
+    "stats": ColumnStatsRule,
+    "drift": DriftRule,
+    "pixel": PixelRule,
+}
+
+_LIST_FIELDS = {"values", "columns", "group_by"}
+
+
+def rule_from_dict(d: dict) -> Rule:
+    d = dict(d)
+    kind = d.pop("kind", None)
+    cls = RULE_KINDS.get(kind)
+    if cls is None:
+        raise SchemaError(f"unknown rule kind {kind!r}")
+    valid = {f.name for f in dataclasses.fields(cls) if f.init}
+    unknown = set(d) - valid
+    if unknown:
+        raise SchemaError(f"rule kind {kind!r}: unknown params {sorted(unknown)}")
+    for k in _LIST_FIELDS & set(d):
+        d[k] = tuple(d[k])
+    try:
+        return cls(**d)
+    except TypeError as e:
+        raise SchemaError(f"rule kind {kind!r}: {e}") from e
+
+
+def rule_to_dict(r: Rule) -> dict:
+    out = {"kind": r.kind}
+    for f in dataclasses.fields(r):
+        if not f.init:
+            continue
+        v = getattr(r, f.name)
+        if isinstance(v, tuple):
+            v = list(v)
+        out[f.name] = v
+    return out
+
+
+def spec_from_dict(d: dict) -> Spec:
+    rules = tuple(rule_from_dict(r) for r in d.get("rules", []))
+    return Spec(
+        rules=rules,
+        key_column=d.get("key_column", "image_id"),
+        partition_column=d.get("partition_column"),
+        n_partitions=int(d.get("n_partitions", 8)),
+        fast_fail=bool(d.get("fast_fail", False)),
+    )
+
+
+def spec_to_dict(spec: Spec) -> dict:
+    return {
+        "key_column": spec.key_column,
+        "partition_column": spec.partition_column,
+        "n_partitions": spec.n_partitions,
+        "fast_fail": spec.fast_fail,
+        "rules": [rule_to_dict(r) for r in spec.rules],
+    }
+
+
+def load_spec(path: str) -> Spec:
+    with open(path) as f:
+        return spec_from_dict(json.load(f))
+
+
+def save_spec(spec: Spec, path: str) -> None:
+    with open(path, "w") as f:
+        json.dump(spec_to_dict(spec), f, indent=2)

@@ -1,0 +1,63 @@
+"""Spec JSON round-trip + CLI end-to-end (the mdv binary analog)."""
+
+import json
+
+import pytest
+
+from mdvalidate_spark.errors import SchemaError
+from mdvalidate_spark.spec_io import load_spec, rule_from_dict, save_spec, spec_from_dict, spec_to_dict
+from mdvalidate_spark.sources.synthetic import dim_source, full_images_spec, synthetic_images
+
+
+def test_spec_roundtrip(tmp_path):
+    spec = full_images_spec(with_pixel=True)
+    p = str(tmp_path / "spec.json")
+    save_spec(spec, p)
+    loaded = load_spec(p)
+    assert loaded == spec
+
+
+def test_unknown_kind_and_params_rejected():
+    with pytest.raises(SchemaError):
+        rule_from_dict({"kind": "nope", "id": "x"})
+    with pytest.raises(SchemaError):
+        rule_from_dict({"kind": "range", "id": "x", "column": "w", "bogus": 1})
+    with pytest.raises(SchemaError):
+        spec_from_dict({"rules": [{"kind": "regex"}]})  # missing id/column
+
+
+def test_cli_end_to_end(spark, tmp_path):
+    from mdvalidate_spark import cli
+
+    table = str(tmp_path / "imgs")
+    synthetic_images(spark, 300, with_bytes=False).write.parquet(table)
+    dimp = str(tmp_path / "dim_source")
+    dim_source(spark).write.parquet(dimp)
+
+    spec = full_images_spec(with_pixel=False)
+    specp = str(tmp_path / "spec.json")
+    save_spec(spec, specp)
+
+    out = str(tmp_path / "out")
+    code = cli.main(
+        [
+            "--spec", specp, "--table", table,
+            "--dim", f"dim_source={dimp}",
+            "--output", out, "--run-id", "cli-test",
+            "--master", "local[4]",
+        ]
+    )
+    assert code == 1  # injected violations → red
+    viol = spark.read.parquet(f"{out}/violations")
+    assert viol.count() > 0
+    man = spark.read.parquet(f"{out}/manifest")
+    assert man.count() == 8
+
+
+def test_cli_bad_spec_exit_2(tmp_path):
+    from mdvalidate_spark import cli
+
+    specp = str(tmp_path / "bad.json")
+    with open(specp, "w") as f:
+        json.dump({"rules": [{"kind": "regex", "id": "r", "column": "c", "pattern": "("}]}, f)
+    assert cli.main(["--spec", specp, "--table", "/nonexistent"]) == 2
