@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import struct
 import zlib
+from functools import lru_cache
 
 import numpy as np
 
@@ -63,15 +64,29 @@ def phash_of_pattern(pattern_id: int) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
-def base_image(pattern_id: int, w: int, h: int) -> np.ndarray:
-    """Deterministic HxWx3 uint8 image for a pattern, with the pattern_id
-    bit-stamped into row 0 (quantization-proof 0/255 levels)."""
+def _base_image_uncached(pattern_id: int, w: int, h: int) -> np.ndarray:
     rng = np.random.default_rng(int(pattern_id) & 0xFFFFFFFF)
     arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
     n = min(_STAMP_BITS, w)
     bits = (int(pattern_id) >> np.arange(n)) & 1
     arr[0, :n, 0] = (bits * 255).astype(np.uint8)
     return arr
+
+
+@lru_cache(maxsize=256)
+def _base_image_cached(pattern_id: int, w: int, h: int) -> np.ndarray:
+    return _base_image_uncached(pattern_id, w, h)
+
+
+def base_image(pattern_id: int, w: int, h: int) -> np.ndarray:
+    """Deterministic HxWx3 uint8 image for a pattern, with the pattern_id
+    bit-stamped into row 0 (quantization-proof 0/255 levels).
+
+    LRU-cached per worker process: production image tables are hot-keyed
+    (few base patterns dominate — the phash skew the north rule calls out),
+    so the validator regenerates each (pattern, dims) reference once instead
+    of per row. Callers must treat the result as read-only."""
+    return _base_image_cached(int(pattern_id), int(w), int(h))
 
 
 def read_pattern_id(arr: np.ndarray) -> int:

@@ -26,6 +26,7 @@ finalize is the canonical EOF pass.
 from __future__ import annotations
 
 import os
+import time
 import uuid
 from dataclasses import dataclass
 from functools import reduce
@@ -62,6 +63,12 @@ class Report:
     def exit_code(self) -> int:
         """Reference main.rs:86-90 — 0 pass, 1 fail."""
         return 1 if self.errored else 0
+
+
+def _prof(label: str, t0: float) -> None:
+    """Opt-in stage timing (MDV_PROFILE=1) for scaling diagnostics."""
+    if os.environ.get("MDV_PROFILE"):
+        print(f"    [mdv-profile] {label}: {time.time() - t0:.2f}s", flush=True)
 
 
 def _empty(spark: SparkSession, ddl: str) -> DataFrame:
@@ -172,18 +179,22 @@ class ValidationRun:
         batch_met = _union(mets, self.spark, _METRICS_DDL)
 
         # per-partition bookkeeping in ONE aggregation each
-        row_counts = {
-            r["partition_id"]: r["n"]
-            for r in batch_df.groupBy("partition_id")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
+        t0 = time.time()
         viol_counts = {
             r["partition_id"]: r["n"]
             for r in batch_viol.groupBy("partition_id")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
+        _prof("batch violations (row+ref+count+pixel)", t0)
+        t0 = time.time()
+        row_counts = {
+            r["partition_id"]: r["n"]
+            for r in batch_df.groupBy("partition_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        _prof("row-count bookkeeping", t0)
         n_viol = sum(viol_counts.values())
 
         self._persist_batch(batch_viol, batch_met)
@@ -205,9 +216,9 @@ class ValidationRun:
                 self.manifest.entries[pid]["status"] = VALIDATED
                 self.manifest.entries[pid]["failed"] = True
         self._save_manifest()
-
-        if pixel_checks is not None:
-            pixel_checks.unpersist()
+        # NOTE: pixel_checks stays persisted — unpersisting here cascades into
+        # the dependent batch_viol cache (Spark re-derives it from scratch on
+        # the next report access). The checks frame is narrow; LRU handles it.
         return n_viol
 
     def finalize(self) -> Report:
@@ -231,16 +242,20 @@ class ValidationRun:
                 agg_rules.column_stats_metrics(self.df, prog.stats_rules, self.run_id)
             )
 
+        t0 = time.time()
         for dr in prog.drift_rules:
             dv, dm = drift_ops.drift_check(self.df, dr, self.run_id)
             viols.append(dv)
             mets.append(dm)
+        _prof("drift (quantiles + histogram)", t0)
 
         g_viol = _union(viols, self.spark, _VIOLATIONS_DDL).persist(
             StorageLevel.MEMORY_AND_DISK
         )
         g_met = _union(mets, self.spark, _METRICS_DDL)
+        t0 = time.time()
         n_global = g_viol.count()
+        _prof("global violations (unique+count+stats)", t0)
 
         self._persist_global(g_viol, g_met)
         self._violation_dfs.append(g_viol)
@@ -266,8 +281,16 @@ class ValidationRun:
     # -------------------------------------------------------------- report
 
     def report(self) -> Report:
+        if getattr(self, "_cached_report", None) is not None:
+            return self._cached_report
         violations = _union(self._violation_dfs, self.spark, _VIOLATIONS_DDL)
         metrics = _union(self._metric_dfs, self.spark, _METRICS_DDL)
+        if self._finalized:
+            # freeze the final result: one materialization, then every
+            # consumer (counts, sinks, groupBys) reads the cache instead of
+            # re-running the rule stages
+            violations = violations.persist(StorageLevel.MEMORY_AND_DISK)
+            metrics = metrics.persist(StorageLevel.MEMORY_AND_DISK)
         manifest_df = self.spark.createDataFrame(
             self.manifest.rows(),
             "run_id string, partition_id int, status string, rows long, "
@@ -276,7 +299,10 @@ class ValidationRun:
         errored = self.manifest.total_violations > 0 or bool(
             getattr(self, "_global_violations", 0)
         )
-        return Report(violations, metrics, manifest_df, errored)
+        rep = Report(violations, metrics, manifest_df, errored)
+        if self._finalized:
+            self._cached_report = rep
+        return rep
 
     # ---------------------------------------------------------- persistence
 
