@@ -41,30 +41,56 @@ CHECK_SCHEMA = (
 )
 
 
-def _check_one(row, psnr_min: float):
-    """Returns (ok, expected, actual, psnr)."""
-    data = row.bytes
+def _check_one(data, fmt, w, h, phash, psnr_min: float):
+    """Returns (ok, expected, actual, psnr). `data` is any buffer (bytes or a
+    zero-copy arrow memoryview)."""
     if data is None:
         return True, None, None, None  # missing payload is NotNullRule's job
     try:
-        arr, dfmt, dw, dh = codec.decode(bytes(data))
+        arr, dfmt, dw, dh = codec.decode(data)
     except Exception as e:  # noqa: BLE001 - any decode failure is a violation
         return False, "decodable", f"decode error: {type(e).__name__}", None
-    if dfmt != row.fmt:
-        return False, f"payload fmt {row.fmt}", dfmt, None
-    if (dw, dh) != (row.w, row.h):
-        return False, f"dims ({row.w}, {row.h})", f"({dw}, {dh})", None
+    if dfmt != fmt:
+        return False, f"payload fmt {fmt}", dfmt, None
+    if (dw, dh) != (w, h):
+        return False, f"dims ({w}, {h})", f"({dw}, {dh})", None
     pid = codec.read_pattern_id(arr)
-    if codec.phash_of_pattern(pid) != row.phash:
-        return False, f"phash {row.phash}", str(codec.phash_of_pattern(pid)), None
+    if codec.phash_of_pattern(pid) != phash:
+        return False, f"phash {phash}", str(codec.phash_of_pattern(pid)), None
     orig = codec.base_image(pid, dw, dh)
-    p = codec.psnr(arr, orig)
     if codec.is_lossless(dfmt):
-        if not np.array_equal(arr, orig):
-            return False, "exact pixels (lossless)", f"psnr={p:.2f}", p
-    elif p < psnr_min:
+        # equality fast path (memcmp): a passing lossless image never pays
+        # for a PSNR computation
+        if np.array_equal(arr, orig):
+            return True, None, None, None
+        p = codec.psnr(arr, orig)
+        return False, "exact pixels (lossless)", f"psnr={p:.2f}", p
+    p = codec.psnr(arr, orig)
+    if p < psnr_min:
         return False, f"psnr >= {psnr_min}", f"psnr={p:.2f}", p
     return True, None, None, (None if p == float("inf") else p)
+
+
+def _check_columns(ids, datas, fmts, ws, hs, phashes, parts, psnr_min: float):
+    """Columnar check loop shared by both input paths."""
+    n = len(ids)
+    ok_l, exp_l, act_l, psnr_l = [], [], [], []
+    for data, fmt, w, h, ph in zip(datas, fmts, ws, hs, phashes):
+        ok, exp, act, p = _check_one(data, fmt, w, h, ph, psnr_min)
+        ok_l.append(ok)
+        exp_l.append(exp)
+        act_l.append(act)
+        psnr_l.append(p)
+    return pd.DataFrame(
+        {
+            "partition_id": parts if parts is not None else [None] * n,
+            "image_id": ids,
+            "ok": ok_l,
+            "expected": exp_l,
+            "actual": act_l,
+            "psnr": psnr_l,
+        }
+    )
 
 
 def pixel_check_results(
@@ -111,57 +137,55 @@ def _row_preserving(df: DataFrame) -> bool:
 
 
 def _pixel_native(spark, files, rule: PixelRule, key_column: str, partitions):
-    from ..sources.native_scan import native_parquet_map
+    """Native-scan pixel stage: workers pyarrow-read their own splits and the
+    `bytes` column never becomes a Python bytes object — each payload is a
+    zero-copy memoryview into the arrow data buffer (sources/native_scan.py
+    binary_views). On a 14 GB/s-DRAM host this halves the stage's memory
+    traffic vs to_pandas; at cluster scale it's one fewer full-table copy."""
+    from ..sources.native_scan import binary_views, native_parquet_map, parquet_columns
 
     psnr_min = rule.psnr_min
     cols = [
         "partition_id", key_column, rule.bytes_column, rule.w_column,
         rule.h_column, rule.fmt_column, rule.phash_column,
     ]
-    rename = {
-        key_column: "image_id",
-        rule.bytes_column: "bytes",
-        rule.w_column: "w",
-        rule.h_column: "h",
-        rule.fmt_column: "fmt",
-        rule.phash_column: "phash",
-    }
-    from ..sources.native_scan import parquet_columns
-
     have_part = "partition_id" in parquet_columns(files)
     if not have_part:
         cols = cols[1:]
+    key_c, bytes_c = key_column, rule.bytes_column
+    w_c, h_c, fmt_c, ph_c = (
+        rule.w_column, rule.h_column, rule.fmt_column, rule.phash_column,
+    )
 
-    def kernel(batch: pd.DataFrame) -> pd.DataFrame:
-        # reset: row_filter may leave a sparse index, which would misalign the
-        # positional result lists below
-        batch = batch.rename(columns=rename).reset_index(drop=True)
-        out = {
-            "partition_id": (
-                batch["partition_id"]
-                if have_part
-                else pd.Series([None] * len(batch), dtype="object")
-            ),
-            "image_id": batch["image_id"],
-            "ok": [], "expected": [], "actual": [], "psnr": [],
-        }
-        for row in batch.itertuples(index=False):
-            ok, exp, act, p = _check_one(row, psnr_min)
-            out["ok"].append(ok)
-            out["expected"].append(exp)
-            out["actual"].append(act)
-            out["psnr"].append(p)
-        return pd.DataFrame(out)
+    def arrow_kernel(rb) -> pd.DataFrame:
+        return _check_columns(
+            rb.column(key_c).to_pylist(),
+            binary_views(rb.column(bytes_c)),
+            rb.column(fmt_c).to_pylist(),
+            rb.column(w_c).to_numpy(zero_copy_only=False),
+            rb.column(h_c).to_numpy(zero_copy_only=False),
+            rb.column(ph_c).to_numpy(zero_copy_only=False),
+            rb.column("partition_id").to_numpy(zero_copy_only=False)
+            if have_part
+            else None,
+            psnr_min,
+        )
 
-    row_filter = None
+    arrow_filter = None
     if partitions is not None:
-        pset = set(partitions)
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-        def row_filter(batch: pd.DataFrame) -> pd.DataFrame:
-            return batch[batch["partition_id"].isin(pset)]
+        pset = list(partitions)
+
+        def arrow_filter(rb):
+            col = rb.column("partition_id")
+            mask = pc.is_in(col, value_set=pa.array(pset).cast(col.type))
+            return rb.filter(mask)
 
     return native_parquet_map(
-        spark, files, cols, kernel, CHECK_SCHEMA, row_filter=row_filter
+        spark, files, cols, None, CHECK_SCHEMA,
+        arrow_kernel=arrow_kernel, arrow_filter=arrow_filter,
     )
 
 
@@ -183,21 +207,16 @@ def _pixel_arrow(
 
     def run_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = {
-                "partition_id": pdf["partition_id"],
-                "image_id": pdf["image_id"],
-                "ok": [],
-                "expected": [],
-                "actual": [],
-                "psnr": [],
-            }
-            for row in pdf.itertuples(index=False):
-                ok, exp, act, p = _check_one(row, psnr_min)
-                out["ok"].append(ok)
-                out["expected"].append(exp)
-                out["actual"].append(act)
-                out["psnr"].append(p)
-            yield pd.DataFrame(out)
+            yield _check_columns(
+                pdf["image_id"].tolist(),
+                pdf["bytes"].tolist(),
+                pdf["fmt"].tolist(),
+                pdf["w"].to_numpy(),
+                pdf["h"].to_numpy(),
+                pdf["phash"].to_numpy(),
+                pdf["partition_id"].to_numpy(),
+                psnr_min,
+            )
 
     return cols.mapInPandas(run_batches, schema=CHECK_SCHEMA)
 

@@ -178,23 +178,27 @@ class ValidationRun:
         )
         batch_met = _union(mets, self.spark, _METRICS_DDL)
 
-        # per-partition bookkeeping in ONE aggregation each
+        # per-partition bookkeeping in ONE aggregation each; the two collects
+        # are independent → submitted concurrently (row-count scan overlaps
+        # the tail of the violation job instead of following it)
+        from concurrent.futures import ThreadPoolExecutor
+
         t0 = time.time()
-        viol_counts = {
-            r["partition_id"]: r["n"]
-            for r in batch_viol.groupBy("partition_id")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-        _prof("batch violations (row+ref+count+pixel)", t0)
-        t0 = time.time()
-        row_counts = {
-            r["partition_id"]: r["n"]
-            for r in batch_df.groupBy("partition_id")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-        _prof("row-count bookkeeping", t0)
+
+        def _collect_counts(frame: DataFrame) -> dict:
+            return {
+                r["partition_id"]: r["n"]
+                for r in frame.groupBy("partition_id")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            viol_fut = pool.submit(_collect_counts, batch_viol)
+            rows_fut = pool.submit(_collect_counts, batch_df)
+            viol_counts = viol_fut.result()
+            row_counts = rows_fut.result()
+        _prof("batch violations + row counts (row+ref+count+pixel)", t0)
         n_viol = sum(viol_counts.values())
 
         self._persist_batch(batch_viol, batch_met)
@@ -222,7 +226,15 @@ class ValidationRun:
         return n_viol
 
     def finalize(self) -> Report:
-        """Global rules over the full table — the canonical EOF pass."""
+        """Global rules over the full table — the canonical EOF pass.
+
+        Drift rules need driver-interactive jobs (approxQuantile, histogram
+        collect), so they run on a thread pool CONCURRENTLY with the
+        unique/count evaluation: the fixed latency of the global pass is the
+        max of the two, not the sum. (Spark job submission from multiple
+        driver threads is a supported, standard pattern.)"""
+        from concurrent.futures import ThreadPoolExecutor
+
         prog = self.program
         viols: list[DataFrame] = []
         mets: list[DataFrame] = []
@@ -243,19 +255,34 @@ class ValidationRun:
             )
 
         t0 = time.time()
-        for dr in prog.drift_rules:
-            dv, dm = drift_ops.drift_check(self.df, dr, self.run_id)
+        drift_futs = []
+        uc_viol = None
+        n_uc = 0
+        with ThreadPoolExecutor(max_workers=1 + len(prog.drift_rules)) as pool:
+            drift_futs = [
+                pool.submit(drift_ops.drift_check, self.df, dr, self.run_id)
+                for dr in prog.drift_rules
+            ]
+            if viols:
+                uc_viol = _union(viols, self.spark, _VIOLATIONS_DDL).persist(
+                    StorageLevel.MEMORY_AND_DISK
+                )
+                n_uc = pool.submit(uc_viol.count).result()
+            drift_results = [f.result() for f in drift_futs]
+        _prof("global pass (unique+count ∥ drift)", t0)
+
+        viols = [uc_viol] if uc_viol is not None else []
+        n_drift = 0
+        for dv, dm in drift_results:
             viols.append(dv)
+            n_drift += dv.count()  # driver-local rows (≤1 per rule) — no job
             mets.append(dm)
-        _prof("drift (quantiles + histogram)", t0)
 
         g_viol = _union(viols, self.spark, _VIOLATIONS_DDL).persist(
             StorageLevel.MEMORY_AND_DISK
         )
         g_met = _union(mets, self.spark, _METRICS_DDL)
-        t0 = time.time()
-        n_global = g_viol.count()
-        _prof("global violations (unique+count+stats)", t0)
+        n_global = n_uc + n_drift
 
         self._persist_global(g_viol, g_met)
         self._violation_dfs.append(g_viol)

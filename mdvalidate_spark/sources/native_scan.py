@@ -50,28 +50,77 @@ def parquet_columns(files: list[str]) -> list[str]:
     return list(pq.read_schema(files[0]).names)
 
 
+def binary_views(arr) -> list:
+    """Zero-copy per-row memoryviews into an arrow Binary/LargeBinary array's
+    data buffer (None for null rows).
+
+    Copy discipline matters here: `to_pandas()` on a binary column
+    materializes every payload as a fresh Python bytes object — at 100 TB
+    that's the whole table copied once more through DRAM. A memoryview slice
+    is ~200 bytes regardless of payload size, and zlib/struct/numpy consume
+    buffers directly."""
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    odt = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=odt)[arr.offset : arr.offset + len(arr) + 1]
+    data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+    if arr.null_count:
+        valid = arr.is_valid().to_numpy(zero_copy_only=False)
+        return [
+            data[offs[i] : offs[i + 1]] if valid[i] else None
+            for i in range(len(arr))
+        ]
+    return [data[offs[i] : offs[i + 1]] for i in range(len(arr))]
+
+
 def native_parquet_map(
     spark: SparkSession,
     files: list[str],
     columns: list[str],
-    kernel: Callable[[pd.DataFrame], pd.DataFrame],
+    kernel: Callable[[pd.DataFrame], pd.DataFrame] | None,
     schema: str,
     row_filter: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
     batch_rows: int = 4096,
+    arrow_kernel: Callable | None = None,
+    arrow_filter: Callable | None = None,
 ) -> DataFrame:
     """Distribute file paths; each task pyarrow-streams its file's row groups
-    (bounded memory via iter_batches) and applies `kernel` per batch."""
+    (bounded memory via iter_batches) and applies `kernel` per batch.
+
+    Two kernel flavors: `kernel` receives a pandas DataFrame (convenient);
+    `arrow_kernel` receives the raw pyarrow RecordBatch (zero-copy — binary
+    columns never become Python bytes; see binary_views). `arrow_filter`
+    (RecordBatch -> RecordBatch) is the residual filter for that flavor."""
     fdf = spark.createDataFrame([(f,) for f in sorted(files)], "path string")
     fdf = fdf.repartition(max(len(files), 1))
 
     def scan(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
+        # Each task slot runs its own worker process: pyarrow's default
+        # thread pool (os.cpu_count() per process!) would put C×C threads on
+        # C cores and destroy N→4N scaling. One core per worker — the
+        # parallelism axis is the task, not intra-file threads.
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
         for pdf in it:
             for path in pdf["path"]:
                 pf = pq.ParquetFile(path)
-                for rb in pf.iter_batches(batch_size=batch_rows, columns=columns):
-                    batch = rb.to_pandas()
+                for rb in pf.iter_batches(
+                    batch_size=batch_rows, columns=columns, use_threads=False
+                ):
+                    if arrow_kernel is not None:
+                        if arrow_filter is not None:
+                            rb = arrow_filter(rb)
+                        if rb.num_rows:
+                            yield arrow_kernel(rb)
+                        continue
+                    batch = rb.to_pandas(use_threads=False)
                     if row_filter is not None:
                         batch = row_filter(batch)
                     if len(batch):
