@@ -55,13 +55,18 @@ _MINHASH_SEED = 0x5EED
 
 
 def minhash_signature(shingle_arr: Column, num_hashes: int) -> Column:
-    """num_hashes-long minhash signature: for permutation j, min over
-    shingles of xxhash64(shingle, j). Pure column algebra — the whole
-    signature for a document is computed in one codegen'd expression."""
+    """num_hashes-long minhash signature: hash every shingle STRING once,
+    then derive permutation j by re-hashing the resulting 64-bit value with
+    seed j — num_hashes× fewer variable-length string hashes (the string
+    hash dominates; mixing a fixed 8-byte long is nearly free). Pure column
+    algebra — the whole signature is one codegen'd expression, no UDF, no
+    shuffle."""
+    base = F.transform(shingle_arr, lambda s: F.xxhash64(s, F.lit(_MINHASH_SEED)))
+
     def perm_min(j: int) -> Column:
         # single-arg lambda: a second param would be bound to the array index
         return F.array_min(
-            F.transform(shingle_arr, lambda s: F.xxhash64(s, F.lit(_MINHASH_SEED + j)))
+            F.transform(base, lambda h: F.xxhash64(h, F.lit(_MINHASH_SEED + j)))
         )
 
     return F.array(*[perm_min(j) for j in range(num_hashes)])
@@ -190,21 +195,79 @@ def ngram_jaccard_pairs(
     )
 
     inv = docs.select("doc_id", F.explode("sh").alias("shingle"))
-    # drop stop-shingles: appearing in >1% of docs (min 50) — they generate
+    # ONE shuffle builds the posting list per shingle; stop-shingles
+    # (appearing in >1% of docs, min 50) are dropped inline — they generate
     # quadratic candidates and never decide a high-J pair on their own
-    df_counts = inv.groupBy("shingle").agg(F.count_distinct("doc_id").alias("df"))
     n_docs = docs.count()
     max_df = max(50, int(n_docs * 0.01))
-    keep = df_counts.where(F.col("df") <= max_df).select("shingle")
-    inv = inv.join(F.broadcast(keep) if max_df < 100000 else keep, "shingle")
-
-    pairs = (
-        inv.alias("a")
-        .join(inv.alias("b"), "shingle")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
+    postings = (
+        inv.groupBy("shingle")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    kept = postings.where(F.size("ids") <= max_df)
+
+    # expand candidate pairs ARRAY-SIDE (i<j combinations of each posting
+    # list, ≤ max_df²/2 per shingle) instead of a shingle self-join — one
+    # fewer shuffle and no join-row blowup; the groupBy that would have been
+    # `distinct` also COUNTS shared kept shingles per pair for free
+    combos = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    pairs_c = (
+        kept.select(F.explode(combos).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared_kept"))
+    )
+
+    # SAFE candidate pruning before the expensive exact verify:
+    #   true |A∩B| ≤ shared_kept + min(stop_a, stop_b)   (dropped stop-
+    #   shingles can add at most min of the two docs' stop counts)
+    #   true |A∪B| ≥ max(|A|, |B|)
+    # so J ≤ (shared_kept + min(stop)) / max(size) — prune when that upper
+    # bound is already below the threshold; no true pair can be lost.
+    doc_stats = docs.select(
+        "doc_id",
+        F.size("sh").alias("n_sh"),
+    )
+    stop_counts = (
+        postings.where(F.size("ids") > max_df)
+        .select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_stop"))
+    )
+    meta = doc_stats.join(stop_counts, "doc_id", "left").select(
+        "doc_id", "n_sh", F.coalesce("n_stop", F.lit(0)).alias("n_stop")
+    )
+    m_a = meta.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("n_sh").alias("n_a"),
+        F.col("n_stop").alias("stop_a"),
+    )
+    m_b = meta.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("n_sh").alias("n_b"),
+        F.col("n_stop").alias("stop_b"),
+    )
+    j_upper = (
+        F.col("shared_kept") + F.least("stop_a", "stop_b")
+    ).cast("double") / F.greatest("n_a", "n_b")
+    # meta is one row per doc: small enough for AQE to broadcast at test
+    # scale, sort-merge at corpus scale — don't force the strategy
+    pairs = (
+        pairs_c.join(m_a, "id_a")
+        .join(m_b, "id_b")
+        .where(j_upper >= threshold)
+        .select("id_a", "id_b")
+    )
+
     sh_a = docs.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     sh_b = docs.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
