@@ -31,7 +31,12 @@ from .spec_io import load_spec
 def parse_args(argv=None):
     p = argparse.ArgumentParser(prog="mdvalidate-spark", description=__doc__)
     p.add_argument("--spec", required=True, help="JSON constraint spec file")
-    p.add_argument("--table", required=True, help="input table path (parquet dir)")
+    p.add_argument(
+        "--table",
+        required=True,
+        help="input table: parquet dir/URI, catalog identifier, or "
+        "iceberg:<catalog.db.table> (see sources/table_io.py)",
+    )
     p.add_argument(
         "--dim",
         action="append",
@@ -70,11 +75,13 @@ def main(argv=None) -> int:
     pre_existing = SparkSession.getActiveSession() is not None
     spark = get_spark(app_name="mdvalidate-spark", master=args.master)
     try:
-        df = spark.read.parquet(args.table)
+        from .sources.table_io import read_table
+
+        df = read_table(spark, args.table)
         dims = {}
         for d in args.dim:
             name, _, path = d.partition("=")
-            dims[name] = spark.read.parquet(path)
+            dims[name] = read_table(spark, path)
         try:
             run = ValidationRun(
                 spark, spec, df, dims=dims, run_id=args.run_id,
