@@ -79,6 +79,8 @@ def main() -> None:
         run = ValidationRun(spark, spec, images, dims=dims, run_id=f"bench{trial}")
         report = run.validate()
         n_viol = report.violations.count()
+        report.metrics.count()  # materialize stats/drift metrics too — the
+        # suite claim is "full constraint suite", not violations-only
         _best(times, "images_validate", time.time() - t0)
 
     # -- 2. pixel stage over pre-materialized bytes -------------------------

@@ -83,6 +83,7 @@ for trial in range(trials):
                             run_id=f"scale-{cpus}-{jobname}-{trial}")
         report = run.validate()
         n_viol = report.violations.count()
+        report.metrics.count()  # materialize stats/drift metrics too
         elapsed = time.time() - t0
         results[jobname].append({"seconds": round(elapsed, 2),
             "violations": n_viol,
