@@ -1,0 +1,83 @@
+"""Custom stateful streaming operator: cross-micro-batch uniqueness.
+
+The batch engine finds duplicates with a salted two-phase groupBy at
+finalize (operators/agg_rules.py). On an unbounded stream there is no
+finalize — "have I seen this key before?" needs per-key STATE that outlives
+the micro-batch. Spark's built-in `dropDuplicates` silently drops the
+repeats; a validator must instead EMIT a violation row for every occurrence
+after the first, so this is the one place the engine needs
+``applyInPandasWithState`` (per-key GroupState, Arrow-batched — still no
+per-row Python crossing).
+
+Reference lineage: the `{1,1}`-per-key repetition bound
+(reference: walkers/validators/lists.rs:168-264) evaluated under the
+streaming read loop (cmd.rs:88-133) — the reference re-walks from a
+checkpoint instead of keeping key state because its input is one document;
+a keyed table stream makes per-key state the natural checkpoint.
+
+State size note (10^12-key scale): state is one long per key, partitioned
+by the groupBy hash across executors; bound retention with the stream's
+watermark/TTL policy upstream when keys are time-scoped.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..errors import KIND_DUPLICATE
+
+_OUT_SCHEMA = "key string, occurrence long"
+_STATE_SCHEMA = "seen long"
+
+
+def _dup_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (seen,) = state.get if state.exists else (0,)
+    new = sum(len(p) for p in pdfs)
+    total = seen + new
+    state.update((total,))
+    # occurrences seen+2 .. total are duplicates (the first is legitimate)
+    first_dup = max(seen + 1, 2)
+    if total >= first_dup:
+        yield pd.DataFrame(
+            {
+                "key": [key[0]] * (total - first_dup + 1),
+                "occurrence": list(range(first_dup, total + 1)),
+            }
+        )
+
+
+def stream_duplicate_violations(
+    stream_df: DataFrame,
+    key_column: str,
+    rule_id: str,
+    run_id: str,
+) -> DataFrame:
+    """Streaming uniqueness: one violation row per duplicate occurrence of
+    ``key_column`` across the lifetime of the stream (state-backed)."""
+    keyed = stream_df.select(F.col(key_column).cast("string").alias("key"))
+    dups = keyed.groupBy("key").applyInPandasWithState(
+        _dup_fn,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return dups.select(
+        F.lit(run_id).alias("run_id"),
+        F.lit(None).cast("int").alias("partition_id"),
+        F.lit(rule_id).alias("rule_id"),
+        F.col("key").alias("image_id"),
+        F.lit(key_column).alias("column"),
+        F.lit("unique").alias("expected"),
+        F.concat(F.lit("occurrence="), F.col("occurrence").cast("string")).alias(
+            "actual"
+        ),
+        F.lit(KIND_DUPLICATE).alias("kind"),
+    )

@@ -161,3 +161,45 @@ def test_windowed_count_rule_events(spark, tmp_path):
     assert got.get("2026-01-01 00:01:00") == "1"   # under min
     assert got.get("2026-01-01 00:02:00") == "12"  # over max
     assert "2026-01-01 00:00:00" not in got        # in bounds
+
+
+def test_stateful_duplicate_violations_across_batches(spark, tmp_path):
+    """Cross-micro-batch uniqueness (applyInPandasWithState): a key seen in
+    an earlier micro-batch must flag again in a later one — state survives
+    the batch boundary. Two availableNow drains over a growing directory
+    give two separate micro-batch sets sharing one state store."""
+    from mdvalidate_spark.streaming.stateful import stream_duplicate_violations
+
+    src = str(tmp_path / "dup-src")
+    out = str(tmp_path / "dup-out")
+    ck = str(tmp_path / "dup-ck")
+
+    def drain():
+        stream = spark.readStream.schema("image_id string").parquet(src)
+        v = stream_duplicate_violations(stream, "image_id", "uq_stream", "s1")
+        assert v.isStreaming
+        q = (
+            v.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: a,b,c + duplicate a  → one violation (a occurrence 2)
+    spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("a",)], "image_id string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    got1 = spark.read.parquet(out).collect()
+    assert len(got1) == 1
+    assert got1[0]["image_id"] == "a" and got1[0]["actual"] == "occurrence=2"
+
+    # batch 2: b again (dup vs batch 1 via state), d fresh → one new violation
+    spark.createDataFrame([("b",), ("d",)], "image_id string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+    got2 = {(r["image_id"], r["actual"]) for r in spark.read.parquet(out).collect()}
+    assert got2 == {("a", "occurrence=2"), ("b", "occurrence=2")}
