@@ -31,7 +31,10 @@ N_SALT = 16  # map-side fanout per key for the salted partial aggregation
 def _key_expr(columns: tuple[str, ...]):
     if len(columns) == 1:
         return F.col(columns[0]).cast("string")
-    return F.concat_ws("", *[F.col(c).cast("string") for c in columns])
+    # NULL-safe: concat_ws silently drops NULLs, which would collide
+    # ("a", NULL) with ("a", "") — encode NULL explicitly
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL")) for c in columns]
+    return F.concat_ws("", *parts)
 
 
 def unique_violations(

@@ -114,3 +114,22 @@ def test_ref_rule_skips_null_fk(spark, images):
     v = ref_violations(df, rule, dim_source(spark), "t", "image_id")
     # only odd-i orphans remain; no NULL-fk rows reported
     assert v.where(F.col("actual").isNull()).count() == 0
+
+
+def test_unique_rule_composite_null_safe(spark):
+    """concat_ws drops NULLs, so a naive composite key would collide
+    ("a", NULL) with ("a", "") — these must NOT count as duplicates, while
+    two genuinely identical (incl. NULL) tuples must."""
+    from mdvalidate_spark.operators.agg_rules import unique_violations
+    from mdvalidate_spark.spec import UniqueRule
+
+    df = spark.createDataFrame(
+        [("a", None), ("a", ""), ("b", "x"), ("b", "x"), ("c", None), ("c", None)],
+        "k1 string, k2 string",
+    )
+    v = unique_violations(df, UniqueRule("uq2", columns=("k1", "k2")), "r")
+    got = {r["image_id"]: r["actual"] for r in v.collect()}
+    assert len(got) == 2
+    assert any(k.startswith("b") for k in got)
+    assert any(k.startswith("c") for k in got)
+    assert all(a == "count=2" for a in got.values())

@@ -1,0 +1,86 @@
+"""Physical-plan regression tests — the perf posture as assertions.
+
+These lock in the properties that make the engine viable at 100 TB
+(SURVEY.md §4): fused row rules stay in one shuffle-free JVM pass with the
+scan pruned to exactly the referenced columns; referential checks broadcast
+the dimension side; nothing but the pixel stage ever reads `bytes`. A
+regression here is a performance bug even while every value-level test
+stays green.
+"""
+
+import re
+
+from pyspark.sql import functions as F
+
+from mdvalidate_spark.compile import compile_spec
+from mdvalidate_spark.operators.ref_rules import ref_violations
+from mdvalidate_spark.operators.row_rules import row_violations, with_partition_id
+from mdvalidate_spark.sources.synthetic import full_images_spec, synthetic_images
+from mdvalidate_spark.spec import (
+    DomainRule,
+    RangeRule,
+    RefIntegrityRule,
+    RegexRule,
+    Spec,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _read_schema(plan: str) -> str:
+    m = re.search(r"ReadSchema: ([^\n]+)", plan)
+    return m.group(1) if m else ""
+
+
+def test_row_pass_single_stage_no_shuffle_no_python(spark, tmp_path):
+    src = str(tmp_path / "orders")
+    spark.range(0, 1000, 1, 4).select(
+        F.col("id").alias("o_orderkey"),
+        F.lit("O").alias("o_orderstatus"),
+        (F.col("id") % 100000).cast("double").alias("o_totalprice"),
+        F.lit("1-URGENT").alias("o_orderpriority"),
+        F.lit("pad").alias("unused_wide_column"),
+    ).write.parquet(src)
+    df = spark.read.parquet(src)
+    spec = Spec(
+        rules=(
+            DomainRule("d", column="o_orderstatus", values=("O", "F")),
+            RangeRule("r", column="o_totalprice", min=1.0, max=50000.0),
+            RegexRule("x", column="o_orderpriority", pattern="[1-5]-[A-Z]+"),
+        ),
+        key_column="o_orderkey",
+    )
+    plan = _plan(row_violations(with_partition_id(df, spec), compile_spec(spec, df.columns), "q"))
+    assert "Exchange" not in plan, "row pass must not shuffle"
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan, "row pass must stay JVM-side"
+    rs = _read_schema(plan)
+    assert "unused_wide_column" not in rs, f"column pruning failed: {rs}"
+    for col in ("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"):
+        assert col in rs
+
+
+def test_ref_join_broadcasts_dimension(spark, tmp_path):
+    src = str(tmp_path / "fact")
+    spark.range(0, 1000, 1, 4).select(
+        F.col("id").alias("k"), (F.col("id") % 50).cast("string").alias("fk")
+    ).write.parquet(src)
+    fact = spark.read.parquet(src)
+    dim = spark.range(40).select(F.col("id").cast("string").alias("fk"))
+    rule = RefIntegrityRule("ref", column="fk", dim_name="dim", dim_column="fk")
+    plan = _plan(
+        ref_violations(with_partition_id(fact, Spec(key_column="k")), rule, dim, "q", "k")
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_only_pixel_reads_bytes(spark, tmp_path):
+    src = str(tmp_path / "img")
+    synthetic_images(spark, 200, with_bytes=True).write.parquet(src)
+    df = spark.read.parquet(src)
+    spec = full_images_spec(with_pixel=False, n_partitions=8)
+    plan = _plan(row_violations(with_partition_id(df, spec), compile_spec(spec, df.columns), "q"))
+    assert "bytes" not in _read_schema(plan), "row pass must never scan the payload column"
