@@ -1,0 +1,123 @@
+"""Property-based tests (hypothesis) for the engine's pure-Python kernels.
+
+The reference ships no property/fuzz layer (SURVEY.md §5 "NOT present");
+these add it where it pays most: the image codec's round-trip/PSNR
+invariants (the correctness gate of the pixel stage) and spec compilation
+totality (any malformed spec must raise a typed SchemaError, never crash or
+silently compile).
+"""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mdvalidate_spark.compile import compile_spec
+from mdvalidate_spark.errors import SchemaError
+from mdvalidate_spark.functions import codec
+from mdvalidate_spark.spec import CountRule, RangeRule, RegexRule, Spec, UniqueRule
+
+COLUMNS = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    pattern_id=st.integers(min_value=0, max_value=2**31 - 1),
+    w=st.integers(min_value=1, max_value=128),
+    h=st.integers(min_value=1, max_value=128),
+    fmt=st.sampled_from(["png", "jpeg", "webp"]),
+)
+def test_codec_roundtrip_invariants(pattern_id, w, h, fmt):
+    arr = codec.base_image(pattern_id, w, h)
+    data = codec.encode(arr, fmt)
+    dec, dfmt, dw, dh = codec.decode(data)
+    assert (dfmt, dw, dh) == (fmt, w, h)
+    if codec.is_lossless(fmt):
+        assert np.array_equal(dec, arr)
+    else:
+        # lossy error bounded by the quantizer step; PSNR above the 40dB gate
+        step = codec.FORMATS[fmt][1]
+        assert int(np.abs(dec.astype(np.int16) - arr.astype(np.int16)).max()) <= step
+        assert codec.psnr(dec, arr) >= 40.0
+    # the pattern stamp survives lossy quantization whenever it fits
+    if w >= 1:
+        recovered = codec.read_pattern_id(dec)
+        n_bits = min(32, w)
+        assert recovered == (pattern_id & ((1 << n_bits) - 1))
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    a=st.binary(min_size=0, max_size=64),
+)
+def test_codec_decode_never_crashes_on_garbage(a):
+    try:
+        codec.decode(a)
+    except ValueError:
+        pass  # the only acceptable failure mode
+    except Exception as e:  # pragma: no cover
+        pytest.fail(f"decode raised {type(e).__name__}, not ValueError")
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    x=st.integers(min_value=0, max_value=2**63 - 1),
+)
+def test_phash_is_int64_and_deterministic(x):
+    v = codec.phash_of_pattern(x)
+    assert -(2**63) <= v < 2**63
+    assert v == codec.phash_of_pattern(x)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    mn=st.one_of(st.none(), st.integers(-5, 100)),
+    mx=st.one_of(st.none(), st.integers(-5, 100)),
+)
+def test_count_rule_bounds_lint_total(mn, mx):
+    """Any (min, max) combination either compiles or raises SchemaError —
+    never a bare exception (matcher_extras.rs bounds parsing, reference
+    §2.2 #9-10)."""
+    spec = Spec(
+        rules=(CountRule("c", group_by=("fmt",), min=mn, max=mx),),
+        key_column="image_id",
+    )
+    try:
+        compile_spec(spec, COLUMNS)
+        # compiled: bounds must be coherent
+        assert mn is None or mx is None or mn <= mx
+        assert (mn is None or mn >= 0) and (mx is None or mx >= 0)
+    except SchemaError:
+        pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(pattern=st.text(max_size=24))
+def test_regex_rule_compile_total(pattern):
+    """Arbitrary pattern text either compiles (and is a valid Python regex)
+    or raises the typed SchemaError (matcher.rs compile rejection)."""
+    import re
+
+    spec = Spec(rules=(RegexRule("r", column="caption", pattern=pattern),), key_column="image_id")
+    try:
+        compile_spec(spec, COLUMNS)
+        re.compile(pattern)  # must not throw if compile_spec accepted it
+    except SchemaError:
+        with pytest.raises(re.error):
+            re.compile(pattern)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    cols=st.lists(st.sampled_from(COLUMNS + ["nope", "missing"]), min_size=1, max_size=3),
+)
+def test_unknown_columns_always_typed_error(cols):
+    rules = tuple(
+        RangeRule(f"r{i}", column=c, min=0.0, max=1.0) for i, c in enumerate(cols)
+    ) + (UniqueRule("u", columns=tuple(cols)),)
+    spec = Spec(rules=rules, key_column="image_id")
+    try:
+        compile_spec(spec, COLUMNS)
+        assert all(c in COLUMNS for c in cols)
+    except SchemaError:
+        assert any(c not in COLUMNS for c in cols)
