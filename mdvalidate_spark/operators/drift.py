@@ -25,8 +25,11 @@ from ..spec import DriftRule
 _EPS = 1e-6
 
 
-def _histograms(df: DataFrame, rule: DriftRule) -> tuple[list[float], list[float]]:
-    """Return (probe_hist, ref_hist) as aligned density lists."""
+def _histograms(
+    df: DataFrame, rule: DriftRule
+) -> tuple[list[float], list[float], bool]:
+    """Return (probe_hist, ref_hist, empty_probe) — aligned density lists
+    plus whether the probe group contained no rows at all."""
     col = rule.column
     probe_cond = F.col(rule.group_column).cast("string") == str(rule.group_value)
     base = df.select(
@@ -60,8 +63,9 @@ def _histograms(df: DataFrame, rule: DriftRule) -> tuple[list[float], list[float
     ref = [0.0] * nb
     for r in counts:
         (probe if r["_probe"] else ref)[r["_bin"]] += r["n"]
+    empty_probe = sum(probe) == 0
     p_tot, r_tot = sum(probe) or 1.0, sum(ref) or 1.0
-    return [v / p_tot for v in probe], [v / r_tot for v in ref]
+    return [v / p_tot for v in probe], [v / r_tot for v in ref], empty_probe
 
 
 def psi(probe: list[float], ref: list[float]) -> float:
@@ -85,7 +89,7 @@ def drift_check(
     """Evaluate one drift rule → (violations_df, metrics_df). Tiny outputs
     built on the driver (≤1 violation, 1 metric row)."""
     spark: SparkSession = df.sparkSession
-    probe_h, ref_h = _histograms(df, rule)
+    probe_h, ref_h, empty_probe = _histograms(df, rule)
     stat = psi(probe_h, ref_h) if rule.method == "psi" else ks(probe_h, ref_h)
 
     metrics = spark.createDataFrame(
@@ -94,7 +98,23 @@ def drift_check(
         "value double, value_str string",
     )
     viol_rows = []
-    if stat > rule.threshold:
+    if empty_probe:
+        # distinguishable outcome: a probe group with NO rows is a missing-
+        # data condition, not a distribution statement — surface it as its
+        # own violation instead of a meaningless drift statistic
+        viol_rows.append(
+            (
+                run_id,
+                None,
+                rule.id,
+                f"{rule.group_column}={rule.group_value}",
+                rule.column,
+                "non-empty probe group",
+                "0 rows",
+                KIND_DRIFT,
+            )
+        )
+    elif stat > rule.threshold:
         viol_rows.append(
             (
                 run_id,

@@ -106,3 +106,22 @@ def test_psi_ks_math():
     assert drift_ops.psi([0.5, 0.5], [0.5, 0.5]) == pytest.approx(0.0)
     assert drift_ops.ks([1.0, 0.0], [0.0, 1.0]) == pytest.approx(1.0)
     assert drift_ops.psi([0.9, 0.1], [0.1, 0.9]) > 1.0
+
+
+def test_drift_empty_probe_is_missing_data_violation(spark):
+    """A probe group with zero rows must surface as 'non-empty probe group'
+    (missing data), not a meaningless drift statistic."""
+    from mdvalidate_spark.operators.drift import drift_check
+    from mdvalidate_spark.spec import DriftRule
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(
+        F.col("id").cast("double").alias("v"), F.lit("present").alias("g")
+    )
+    rule = DriftRule("d", column="v", group_column="g", group_value="absent",
+                     method="psi", threshold=0.2)
+    viol, _ = drift_check(df, rule, "r")
+    rows = viol.collect()
+    assert len(rows) == 1
+    assert rows[0]["expected"] == "non-empty probe group"
+    assert rows[0]["actual"] == "0 rows"
