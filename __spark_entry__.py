@@ -145,6 +145,31 @@ def q_ref_orders_customer(spark, sf_dir):
     return v.select(F.col("rule_id"), F.col("image_id").alias("row_key"), F.col("actual"))
 
 
+def q_capture_orders_priority(spark, sf_dir):
+    """Ordered capture arrays (the matches-JSON analog): extract the
+    priority digit per order, accumulate per customer in o_orderkey order —
+    exercises CaptureRule's sort_array(collect_list(struct)) ordering."""
+    from mdvalidate_spark.operators.agg_rules import capture_metrics
+    from mdvalidate_spark.spec import CaptureRule, Spec
+
+    o = _load(spark, sf_dir, "orders").where(F.col("o_custkey") < 50)
+    df = with_partition_id(
+        o, Spec(key_column="o_orderkey", partition_column="o_custkey")
+    )
+    m = capture_metrics(
+        df,
+        (CaptureRule("prio", column="o_orderpriority", pattern="^([0-9])-",
+                     order_column="o_orderkey"),),
+        "q",
+        "o_orderkey",
+    )
+    return m.select(
+        F.col("partition_id").cast("long").alias("o_custkey"),
+        F.col("value").cast("long").alias("n_captures"),
+        F.col("value_str").alias("captures_json"),
+    )
+
+
 def q_stats_lineitem(spark, sf_dir):
     """Column stats in one aggregation pass — typed wide output for exact
     cross-engine comparison (no string formatting of floats)."""
@@ -358,6 +383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_orders_per_cust": q_count_orders_per_cust,
         "ref_lineitem_orders": q_ref_lineitem_orders,
         "ref_orders_customer": q_ref_orders_customer,
+        "capture_orders_priority": q_capture_orders_priority,
         "stats_lineitem": q_stats_lineitem,
         "group_profile_lineitem": q_group_profile_lineitem,
         "events_profile": q_events_profile,
@@ -551,6 +577,15 @@ SELECT 'ref_oc' AS rule_id, CAST(o.o_orderkey AS VARCHAR) AS row_key,
        CAST(o.o_custkey AS VARCHAR) AS actual
 FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
 WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+""",
+        "capture_orders_priority": """
+SELECT o_custkey,
+       CAST(count(*) AS BIGINT) AS n_captures,
+       to_json(list(regexp_extract(o_orderpriority, '^([0-9])-', 1)
+                    ORDER BY o_orderkey)) AS captures_json
+FROM orders
+WHERE o_custkey < 50 AND regexp_matches(o_orderpriority, '^[0-9]-')
+GROUP BY o_custkey
 """,
         "stats_lineitem": """
 SELECT col_name, n_rows, n_nonnull, n_distinct, min_val, max_val FROM (

@@ -40,6 +40,7 @@ from .errors import (
     SchemaError,
 )
 from .spec import (
+    CaptureRule,
     ColumnStatsRule,
     CountRule,
     DomainRule,
@@ -70,6 +71,7 @@ class ConstraintProgram:
     stats_rules: tuple[ColumnStatsRule, ...] = ()
     pixel_rules: tuple[PixelRule, ...] = ()
     drift_rules: tuple[DriftRule, ...] = ()
+    capture_rules: tuple[CaptureRule, ...] = ()
     # columns any per-partition stage needs (for pruned scans)
     scan_columns: tuple[str, ...] = field(default=())
 
@@ -96,6 +98,17 @@ def compile_spec(spec: Spec, available_columns: list[str] | None = None) -> Cons
             except re.error as e:  # reject before touching data (matcher.rs:175-208)
                 raise MalformedRegexError(r.id, r.pattern, str(e)) from e
             pattern_rules_by_col.setdefault(r.column, []).append(r.id)
+
+        if isinstance(r, CaptureRule):
+            try:
+                compiled = re.compile(r.pattern)
+            except re.error as e:
+                raise MalformedRegexError(r.id, r.pattern, str(e)) from e
+            if r.group < 0 or r.group > compiled.groups:
+                raise SchemaError(
+                    f"rule {r.id!r}: capture group {r.group} not in pattern "
+                    f"({compiled.groups} group(s))"
+                )
 
         if isinstance(r, LiteralRule):
             if (r.value is None) == (r.other_column is None):
@@ -153,11 +166,12 @@ def compile_spec(spec: Spec, available_columns: list[str] | None = None) -> Cons
     stats = tuple(r for r in spec.rules if isinstance(r, ColumnStatsRule))
     pixel = tuple(r for r in spec.rules if isinstance(r, PixelRule))
     drift = tuple(r for r in spec.rules if isinstance(r, DriftRule))
+    captures = tuple(r for r in spec.rules if isinstance(r, CaptureRule))
 
     scan_cols: list[str] = [spec.key_column]
     if spec.partition_column:
         scan_cols.append(spec.partition_column)
-    for r in (*row, *counts, *refs, *stats):
+    for r in (*row, *counts, *refs, *stats, *captures):
         for c in r.targets():
             if c and c not in scan_cols:
                 scan_cols.append(c)
@@ -171,5 +185,6 @@ def compile_spec(spec: Spec, available_columns: list[str] | None = None) -> Cons
         stats_rules=stats,
         pixel_rules=pixel,
         drift_rules=drift,
+        capture_rules=captures,
         scan_columns=tuple(scan_cols),
     )

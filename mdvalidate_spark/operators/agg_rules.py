@@ -171,3 +171,55 @@ def column_stats_metrics(
         F.col("m.value_str").alias("value_str"),
     )
     return long
+
+
+def capture_metrics(
+    df: DataFrame, rules, run_id: str, key_column: str
+) -> DataFrame:
+    """CaptureRule executor: regexp-extract per row, ordered collect per
+    partition → metrics rows (value = capture count, value_str = JSON array
+    of captures in order_column order).
+
+    The reference analog is repeated-matcher capture accumulation in
+    document order (reference: tables.rs:294-366, utils.rs join_values) —
+    the SURVEY §7 "capture-array ordering" hazard is handled with
+    sort_array(collect_list(struct(order_key, val))): collect_list alone is
+    unordered after shuffle. All rules share ONE groupBy pass."""
+    from pyspark.sql import functions as F  # noqa: PLC0415 (local for clarity)
+
+    if not rules:
+        return df.sparkSession.createDataFrame(
+            [],
+            "run_id string, partition_id int, rule_id string, metric string, "
+            "value double, value_str string",
+        )
+
+    aggs = []
+    for r in rules:
+        order_col = r.order_column or key_column
+        cap = F.regexp_extract(F.col(r.column), r.pattern, r.group)
+        matched = F.col(r.column).isNotNull() & (cap != "")
+        pair = F.when(matched, F.struct(F.col(order_col).alias("k"), cap.alias("v")))
+        aggs.append(
+            F.sort_array(F.collect_list(pair)).getField("v").alias(f"{r.id}__vals")
+        )
+    wide = df.groupBy("partition_id").agg(*aggs)
+
+    parts = [
+        F.struct(
+            F.lit(r.id).alias("rule_id"),
+            F.size(F.col(f"{r.id}__vals")).cast("double").alias("value"),
+            F.to_json(F.col(f"{r.id}__vals")).alias("value_str"),
+        )
+        for r in rules
+    ]
+    return wide.select(
+        F.col("partition_id"), F.explode(F.array(*parts)).alias("m")
+    ).select(
+        F.lit(run_id).alias("run_id"),
+        F.col("partition_id").cast("int"),
+        F.col("m.rule_id").alias("rule_id"),
+        F.lit("captures").alias("metric"),
+        F.col("m.value").alias("value"),
+        F.col("m.value_str").alias("value_str"),
+    )

@@ -105,6 +105,12 @@ class ValidationRun:
                 raise SchemaError(
                     f"rule {r.id!r}: dimension table {r.dim_name!r} not provided"
                 )
+        # partition ids are data-supplied iff the frame already carried them
+        # or the spec names a physical partition column (see all_partitions)
+        self._data_partitioned = (
+            "partition_id" in df.columns or bool(spec.partition_column)
+        )
+        self._discovered_partitions: list[int] | None = None
         self.df = with_partition_id(df, spec)
         self.manifest = (
             Manifest.load(checkpoint_dir, self.run_id)
@@ -122,7 +128,24 @@ class ValidationRun:
     # ------------------------------------------------------------ discovery
 
     def all_partitions(self) -> list[int]:
-        return list(range(self.spec.n_partitions))
+        """Partition ids this run must validate.
+
+        When the ENGINE derives partition_id (pmod(xxhash64(key), n)), the id
+        set is range(n) by construction. When partition ids come from the
+        DATA (a pre-existing partition_id column or spec.partition_column),
+        trusting range(spec.n_partitions) would silently skip any id outside
+        it — discovered the hard way: a table written with 8 partitions run
+        under a spec saying 4 validated only half its rows. Data-supplied ids
+        are discovered with one distinct scan, cached for the run."""
+        if not self._data_partitioned:
+            return list(range(self.spec.n_partitions))
+        if self._discovered_partitions is None:
+            self._discovered_partitions = sorted(
+                r["partition_id"]
+                for r in self.df.select("partition_id").distinct().collect()
+                if r["partition_id"] is not None
+            )
+        return self._discovered_partitions
 
     def pending_partitions(self) -> list[int]:
         return self.manifest.pending(self.all_partitions())
@@ -158,6 +181,12 @@ class ValidationRun:
             )
         for cr in prog.count_rules:  # per-partition count bounds
             viols.append(agg_rules.count_violations(batch_df, cr, self.run_id))
+        if prog.capture_rules:  # ordered per-partition capture arrays
+            mets.append(
+                agg_rules.capture_metrics(
+                    batch_df, prog.capture_rules, self.run_id, spec.key_column
+                )
+            )
 
         pixel_checks = None
         for pr in prog.pixel_rules:

@@ -195,6 +195,30 @@ class ColumnStatsRule(Rule):
         return (self.column,)
 
 
+@dataclass(frozen=True)
+class CaptureRule(Rule):
+    """Capture-only rule: extract a regex group from ``column`` per row and
+    accumulate the matched values as an ORDERED array per partition — the
+    matches-JSON analog (reference: validator.rs:33-36, README.md:216-244 —
+    repeated matchers accumulate arrays in document order; join_values
+    merges them, utils.rs:8-20). No pass/fail; output rows land in the
+    metrics table with value_str = JSON array of captures ordered by
+    ``order_column`` (default: the spec key), value = capture count.
+
+    Scale note: one groupBy(partition_id) with sort_array(collect_list) —
+    array size bounded by partition row count; for unbounded captures use
+    ColumnStatsRule (sketches) instead."""
+
+    column: str = ""
+    pattern: str = ""
+    group: int = 1
+    order_column: str | None = None  # None → spec.key_column
+    kind: str = field(default="capture", init=False)
+
+    def targets(self):
+        return (self.column,) + ((self.order_column,) if self.order_column else ())
+
+
 # ------------------------------------------------------------- global rules
 
 

@@ -13,6 +13,7 @@ import json
 
 from .errors import SchemaError
 from .spec import (
+    CaptureRule,
     ColumnStatsRule,
     CountRule,
     DomainRule,
@@ -37,6 +38,7 @@ RULE_KINDS: dict[str, type] = {
     "unique": UniqueRule,
     "count": CountRule,
     "ref": RefIntegrityRule,
+    "capture": CaptureRule,
     "stats": ColumnStatsRule,
     "drift": DriftRule,
     "pixel": PixelRule,

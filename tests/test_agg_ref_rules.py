@@ -133,3 +133,82 @@ def test_unique_rule_composite_null_safe(spark):
     assert any(k.startswith("b") for k in got)
     assert any(k.startswith("c") for k in got)
     assert all(a == "count=2" for a in got.values())
+
+
+def test_capture_rule_ordered_arrays(spark):
+    """CaptureRule accumulates regex captures as ORDERED arrays per
+    partition (the matches-JSON analog; reference README.md:216-244 —
+    repeated matchers accumulate in document order). Rows are fed out of
+    order to prove sort_array(collect_list(struct)) restores key order."""
+    import json
+
+    from mdvalidate_spark.operators.agg_rules import capture_metrics
+    from mdvalidate_spark.spec import CaptureRule
+
+    df = spark.createDataFrame(
+        [
+            ("k3", 0, "v=30"),
+            ("k1", 0, "v=10"),
+            ("k2", 0, "no match here"),
+            ("k4", 1, "v=40"),
+            ("k5", 1, None),
+        ],
+        "k string, partition_id int, txt string",
+    ).repartition(4)
+    m = capture_metrics(
+        df, (CaptureRule("cap", column="txt", pattern=r"v=(\d+)"),), "r", "k"
+    )
+    rows = {r["partition_id"]: r for r in m.collect()}
+    assert json.loads(rows[0]["value_str"]) == ["10", "30"]  # k1 before k3
+    assert rows[0]["value"] == 2.0
+    assert json.loads(rows[1]["value_str"]) == ["40"]  # null + nonmatch skipped
+    assert rows[1]["value"] == 1.0
+
+
+def test_capture_rule_compile_lint(spark):
+    """Group index beyond the pattern's groups is a typed SchemaError at
+    compile (before any Spark job)."""
+    import pytest
+
+    from mdvalidate_spark.compile import compile_spec
+    from mdvalidate_spark.errors import SchemaError
+    from mdvalidate_spark.spec import CaptureRule, Spec
+
+    spec = Spec(
+        rules=(CaptureRule("c", column="caption", pattern=r"(\d+)", group=2),),
+        key_column="image_id",
+    )
+    with pytest.raises(SchemaError):
+        compile_spec(spec, ["image_id", "caption"])
+
+
+def test_capture_rule_through_validation_run(spark):
+    """End-to-end: CaptureRule rides the per-partition batch stage and its
+    arrays land in report.metrics."""
+    import json
+
+    from mdvalidate_spark.run import ValidationRun
+    from mdvalidate_spark.sources.synthetic import synthetic_images
+    from mdvalidate_spark.spec import CaptureRule, Spec
+
+    images = synthetic_images(spark, 400, with_bytes=False, n_partitions=4)
+    spec = Spec(
+        rules=(
+            CaptureRule(
+                "photo_no", column="caption", pattern=r"A photo number (\d+) of",
+                order_column="i",
+            ),
+        ),
+        key_column="image_id",
+        n_partitions=4,
+    )
+    report = ValidationRun(spark, spec, images, run_id="cap").validate()
+    mets = report.metrics.where("rule_id = 'photo_no'").collect()
+    assert len(mets) == 4  # one ordered array per partition
+    total = sum(int(r["value"]) for r in mets)
+    # matching captions = all except regex-broken (i%200==199 → i=199,399);
+    # the null injection (i%1000==997) doesn't occur below 998 rows
+    assert total == 400 - 2
+    for r in mets:
+        vals = [int(v) for v in json.loads(r["value_str"])]
+        assert vals == sorted(vals)  # ordered by the document-order column

@@ -171,3 +171,29 @@ def test_clean_table_passes(spark):
     )
     assert report.violations.count() == 0
     assert not report.errored and report.exit_code == 0
+
+
+def test_data_supplied_partition_ids_fully_discovered(spark, tmp_path):
+    """A table carrying its OWN partition_id values must be validated in
+    full even when spec.n_partitions disagrees — ids are discovered from the
+    data, never assumed to be range(n_partitions). (Regression: a table
+    written with 8 partitions under a spec saying 4 silently validated only
+    half its rows.)"""
+    from mdvalidate_spark.run import ValidationRun
+    from mdvalidate_spark.sources.synthetic import synthetic_images
+    from mdvalidate_spark.spec import NotNullRule, Spec
+
+    src = str(tmp_path / "imgs8")
+    synthetic_images(spark, 1000, with_bytes=False, n_partitions=8).write.parquet(src)
+    df = spark.read.parquet(src)  # carries partition_id in 0..7
+
+    spec = Spec(rules=(NotNullRule("nn", column="caption"),),
+                key_column="image_id", n_partitions=4)  # wrong on purpose
+    run = ValidationRun(spark, spec, df, run_id="dp")
+    assert sorted(run.all_partitions()) == sorted(
+        r["partition_id"] for r in df.select("partition_id").distinct().collect()
+    )
+    report = run.validate()
+    rows_validated = sum(e["rows"] for e in run.manifest.entries.values())
+    assert rows_validated == 1000  # every row, not half
+    assert report.violations.count() == 1  # the i=997 null caption
