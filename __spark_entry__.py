@@ -170,6 +170,50 @@ def q_capture_orders_priority(spark, sf_dir):
     )
 
 
+def q_sequence_lineitem_shipmode(spark, sf_dir):
+    """Ordered disjoint consumption (the ListVsList analog): per order,
+    lineitems ordered by l_linenumber — line 1 may carry any return flag,
+    lines 2..6 must be A or R ('N' violates), and orders with 7+ lines leave
+    the tail bound → count violation."""
+    from mdvalidate_spark.operators.sequence import sequence_violations
+    from mdvalidate_spark.spec import SequenceRule, SequenceStep
+
+    # l_linenumber alone is NOT unique per order in this data — ties make
+    # row_number() engine-dependent. (l_linenumber, l_partkey, l_suppkey) is
+    # verified unique per order: fold into one deterministic order key.
+    li = (
+        _load(spark, sf_dir, "lineitem")
+        .withColumn(
+            "lord",
+            F.col("l_linenumber").cast("long") * 1_000_000
+            + F.col("l_partkey") * 100
+            + F.col("l_suppkey"),
+        )
+        .withColumn(
+            "lkey",
+            F.concat_ws("-", F.col("l_orderkey").cast("string"), F.col("lord").cast("string")),
+        )
+    )
+    rule = SequenceRule(
+        "seq_flag",
+        column="l_returnflag",
+        group_by=("l_orderkey",),
+        order_column="lord",
+        steps=(
+            SequenceStep(pattern="[ANR]", min=1, max=1),
+            SequenceStep(pattern="[AR]", min=0, max=5),
+        ),
+    )
+    v = sequence_violations(li, rule, "q", "lkey")
+    return v.select(
+        "rule_id",
+        F.col("image_id").alias("row_key"),
+        "expected",
+        "actual",
+        "kind",
+    )
+
+
 def q_stats_lineitem(spark, sf_dir):
     """Column stats in one aggregation pass — typed wide output for exact
     cross-engine comparison (no string formatting of floats)."""
@@ -384,6 +428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ref_lineitem_orders": q_ref_lineitem_orders,
         "ref_orders_customer": q_ref_orders_customer,
         "capture_orders_priority": q_capture_orders_priority,
+        "sequence_lineitem_shipmode": q_sequence_lineitem_shipmode,
         "stats_lineitem": q_stats_lineitem,
         "group_profile_lineitem": q_group_profile_lineitem,
         "events_profile": q_events_profile,
@@ -577,6 +622,26 @@ SELECT 'ref_oc' AS rule_id, CAST(o.o_orderkey AS VARCHAR) AS row_key,
        CAST(o.o_custkey AS VARCHAR) AS actual
 FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
 WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+""",
+        "sequence_lineitem_shipmode": """
+WITH ranked AS (
+  SELECT l_orderkey, l_returnflag,
+         l_linenumber * 1000000 + l_partkey * 100 + l_suppkey AS lord,
+         row_number() OVER (
+           PARTITION BY l_orderkey
+           ORDER BY l_linenumber * 1000000 + l_partkey * 100 + l_suppkey
+         ) AS rnk,
+         count(*) OVER (PARTITION BY l_orderkey) AS n
+  FROM lineitem
+)
+SELECT 'seq_flag' AS rule_id,
+       CAST(l_orderkey AS VARCHAR) || '-' || CAST(lord AS VARCHAR) AS row_key,
+       '^[AR]$' AS expected, l_returnflag AS actual, 'matcher' AS kind
+FROM ranked WHERE rnk >= 2 AND NOT regexp_matches(l_returnflag, '^[AR]$')
+UNION ALL
+SELECT 'seq_flag', CAST(l_orderkey AS VARCHAR),
+       'sequence length in [1, 6]', CAST(n AS VARCHAR), 'count'
+FROM ranked WHERE rnk = 1 AND (n < 1 OR n > 6)
 """,
         "capture_orders_priority": """
 SELECT o_custkey,

@@ -43,6 +43,7 @@ from .spec import (
     CaptureRule,
     ColumnStatsRule,
     CountRule,
+    SequenceRule,
     DomainRule,
     DriftRule,
     LiteralRule,
@@ -72,6 +73,7 @@ class ConstraintProgram:
     pixel_rules: tuple[PixelRule, ...] = ()
     drift_rules: tuple[DriftRule, ...] = ()
     capture_rules: tuple[CaptureRule, ...] = ()
+    sequence_rules: tuple[SequenceRule, ...] = ()
     # columns any per-partition stage needs (for pruned scans)
     scan_columns: tuple[str, ...] = field(default=())
 
@@ -98,6 +100,28 @@ def compile_spec(spec: Spec, available_columns: list[str] | None = None) -> Cons
             except re.error as e:  # reject before touching data (matcher.rs:175-208)
                 raise MalformedRegexError(r.id, r.pattern, str(e)) from e
             pattern_rules_by_col.setdefault(r.column, []).append(r.id)
+
+        if isinstance(r, SequenceRule):
+            if not r.steps:
+                raise SchemaError(f"rule {r.id!r}: sequence needs >=1 step")
+            if not r.group_by or not r.order_column:
+                raise SchemaError(
+                    f"rule {r.id!r}: sequence needs group_by and order_column"
+                )
+            for i, s in enumerate(r.steps):
+                try:
+                    re.compile(s.pattern)
+                except re.error as e:
+                    raise MalformedRegexError(r.id, s.pattern, str(e)) from e
+                if s.min < 0 or (s.max is not None and s.max < s.min):
+                    raise InvalidBoundsError(r.id, s.min, s.max)
+                # a variable-length step anywhere but last is unresolvable —
+                # RepeatingMatcherUnbounded (lists.rs:151-162)
+                if i < len(r.steps) - 1 and (s.max is None or s.max != s.min):
+                    raise SchemaError(
+                        f"rule {r.id!r}: step {i} is variable-length "
+                        f"({s.min},{s.max}) — only the LAST step may be"
+                    )
 
         if isinstance(r, CaptureRule):
             try:
@@ -167,6 +191,7 @@ def compile_spec(spec: Spec, available_columns: list[str] | None = None) -> Cons
     pixel = tuple(r for r in spec.rules if isinstance(r, PixelRule))
     drift = tuple(r for r in spec.rules if isinstance(r, DriftRule))
     captures = tuple(r for r in spec.rules if isinstance(r, CaptureRule))
+    sequences = tuple(r for r in spec.rules if isinstance(r, SequenceRule))
 
     scan_cols: list[str] = [spec.key_column]
     if spec.partition_column:
@@ -186,5 +211,6 @@ def compile_spec(spec: Spec, available_columns: list[str] | None = None) -> Cons
         pixel_rules=pixel,
         drift_rules=drift,
         capture_rules=captures,
+        sequence_rules=sequences,
         scan_columns=tuple(scan_cols),
     )

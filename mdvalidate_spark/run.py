@@ -283,6 +283,13 @@ class ValidationRun:
                 agg_rules.column_stats_metrics(self.df, prog.stats_rules, self.run_id)
             )
 
+        for sq in prog.sequence_rules:  # groups may span engine partitions
+            from .operators.sequence import sequence_violations
+
+            viols.append(
+                sequence_violations(self.df, sq, self.run_id, self.spec.key_column)
+            )
+
         t0 = time.time()
         drift_futs = []
         uc_viol = None

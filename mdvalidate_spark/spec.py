@@ -219,6 +219,46 @@ class CaptureRule(Rule):
         return (self.column,) + ((self.order_column,) if self.order_column else ())
 
 
+@dataclass(frozen=True)
+class SequenceStep:
+    """One chained matcher in a SequenceRule: ``pattern`` with repetition
+    bounds (reference: a `` `id:/re/`{m,n} `` list item, lists.rs:63-88)."""
+
+    pattern: str = ""
+    min: int = 1
+    max: int | None = 1
+
+
+@dataclass(frozen=True)
+class SequenceRule(Rule):
+    """Ordered disjoint consumption — the reference's largest operator
+    (ListVsList, lists.rs:92-511): within each ``group_by`` group, rows
+    ordered by ``order_column`` are consumed by the chained ``steps`` in
+    order, each step claiming a consecutive run whose values must match its
+    pattern.
+
+    Exactly like the reference, every step before the last must be
+    fixed-length (min == max); a variable-length step anywhere else is a
+    compile-time SchemaError (RepeatingMatcherUnbounded, lists.rs:151-162).
+    Violations: content mismatches per row (kind=matcher) and per-group
+    count violations when the group is too short for the fixed prefix or
+    the tail run leaves the last step's [min, max] (ChildrenLengthMismatch /
+    WrongListCount, lists.rs:168-264).
+
+    Spark shape: ONE window (row_number + count over the group) then a fused
+    per-row segment check — the single place a window function is
+    load-bearing (SURVEY.md §7)."""
+
+    column: str = ""
+    group_by: tuple[str, ...] = ()
+    order_column: str = ""
+    steps: tuple[SequenceStep, ...] = ()
+    kind: str = field(default="sequence", init=False)
+
+    def targets(self):
+        return (self.column, self.order_column, *self.group_by)
+
+
 # ------------------------------------------------------------- global rules
 
 

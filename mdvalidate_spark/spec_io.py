@@ -25,6 +25,7 @@ from .spec import (
     RefIntegrityRule,
     RegexRule,
     Rule,
+    SequenceRule,
     Spec,
     UniqueRule,
 )
@@ -39,6 +40,7 @@ RULE_KINDS: dict[str, type] = {
     "count": CountRule,
     "ref": RefIntegrityRule,
     "capture": CaptureRule,
+    "sequence": SequenceRule,
     "stats": ColumnStatsRule,
     "drift": DriftRule,
     "pixel": PixelRule,
@@ -59,6 +61,15 @@ def rule_from_dict(d: dict) -> Rule:
         raise SchemaError(f"rule kind {kind!r}: unknown params {sorted(unknown)}")
     for k in _LIST_FIELDS & set(d):
         d[k] = tuple(d[k])
+    if kind == "sequence" and "steps" in d:
+        from .spec import SequenceStep
+
+        try:
+            d["steps"] = tuple(
+                SequenceStep(**s) if isinstance(s, dict) else s for s in d["steps"]
+            )
+        except TypeError as e:
+            raise SchemaError(f"rule kind {kind!r}: bad step: {e}") from e
     try:
         return cls(**d)
     except TypeError as e:
@@ -72,7 +83,7 @@ def rule_to_dict(r: Rule) -> dict:
             continue
         v = getattr(r, f.name)
         if isinstance(v, tuple):
-            v = list(v)
+            v = [dataclasses.asdict(x) if dataclasses.is_dataclass(x) else x for x in v]
         out[f.name] = v
     return out
 
