@@ -194,32 +194,87 @@ def capture_metrics(
             "value double, value_str string",
         )
 
-    aggs = []
-    for r in rules:
+    flat_rules = [r for r in rules if not r.group_by]
+    nested_rules = [r for r in rules if r.group_by]
+
+    wide = None
+    if flat_rules:
+        aggs = []
+        for r in flat_rules:
+            order_col = r.order_column or key_column
+            cap = F.regexp_extract(F.col(r.column), r.pattern, r.group)
+            matched = F.col(r.column).isNotNull() & (cap != "")
+            pair = F.when(matched, F.struct(F.col(order_col).alias("k"), cap.alias("v")))
+            aggs.append(
+                F.sort_array(F.collect_list(pair)).getField("v").alias(f"{r.id}__vals")
+            )
+        wide = df.groupBy("partition_id").agg(*aggs)
+
+    def _metric_rows(frame: DataFrame, rule_ids: list[str]) -> DataFrame:
+        parts = [
+            F.struct(
+                F.lit(rid).alias("rule_id"),
+                F.col(f"{rid}__n").cast("double").alias("value"),
+                F.col(f"{rid}__json").alias("value_str"),
+            )
+            for rid in rule_ids
+        ]
+        return frame.select(
+            F.col("partition_id"), F.explode(F.array(*parts)).alias("m")
+        ).select(
+            F.lit(run_id).alias("run_id"),
+            F.col("partition_id").cast("int"),
+            F.col("m.rule_id").alias("rule_id"),
+            F.lit("captures").alias("metric"),
+            F.col("m.value").alias("value"),
+            F.col("m.value_str").alias("value_str"),
+        )
+
+    outs: list[DataFrame] = []
+    if wide is not None:
+        flat = wide.select(
+            "partition_id",
+            *[F.size(F.col(f"{r.id}__vals")).alias(f"{r.id}__n") for r in flat_rules],
+            *[F.to_json(F.col(f"{r.id}__vals")).alias(f"{r.id}__json") for r in flat_rules],
+        )
+        outs.append(_metric_rows(flat, [r.id for r in flat_rules]))
+
+    # nested captures (lists.rs:318-390): level 1 = ordered values per
+    # (partition, group); level 2 = ordered array of {group, values} objects
+    # per partition — two groupBys, JSON shape [{"group": g, "values": [...]}]
+    for r in nested_rules:
         order_col = r.order_column or key_column
         cap = F.regexp_extract(F.col(r.column), r.pattern, r.group)
         matched = F.col(r.column).isNotNull() & (cap != "")
         pair = F.when(matched, F.struct(F.col(order_col).alias("k"), cap.alias("v")))
-        aggs.append(
-            F.sort_array(F.collect_list(pair)).getField("v").alias(f"{r.id}__vals")
+        gkey = F.concat_ws(
+            "\x01",
+            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL")) for c in r.group_by],
         )
-    wide = df.groupBy("partition_id").agg(*aggs)
+        level1 = (
+            df.select(F.col("partition_id"), gkey.alias("_g"), pair.alias("_p"))
+            .groupBy("partition_id", "_g")
+            .agg(F.sort_array(F.collect_list("_p")).getField("v").alias("_vals"))
+        )
+        level2 = (
+            level1.groupBy("partition_id")
+            .agg(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(F.col("_g").alias("group"), F.col("_vals").alias("values"))
+                    )
+                ).alias("_groups")
+            )
+            .select(
+                "partition_id",
+                F.aggregate(
+                    F.col("_groups"), F.lit(0), lambda acc, g: acc + F.size(g["values"])
+                ).alias(f"{r.id}__n"),
+                F.to_json(F.col("_groups")).alias(f"{r.id}__json"),
+            )
+        )
+        outs.append(_metric_rows(level2, [r.id]))
 
-    parts = [
-        F.struct(
-            F.lit(r.id).alias("rule_id"),
-            F.size(F.col(f"{r.id}__vals")).cast("double").alias("value"),
-            F.to_json(F.col(f"{r.id}__vals")).alias("value_str"),
-        )
-        for r in rules
-    ]
-    return wide.select(
-        F.col("partition_id"), F.explode(F.array(*parts)).alias("m")
-    ).select(
-        F.lit(run_id).alias("run_id"),
-        F.col("partition_id").cast("int"),
-        F.col("m.rule_id").alias("rule_id"),
-        F.lit("captures").alias("metric"),
-        F.col("m.value").alias("value"),
-        F.col("m.value_str").alias("value_str"),
-    )
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), outs)

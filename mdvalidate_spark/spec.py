@@ -213,10 +213,19 @@ class CaptureRule(Rule):
     pattern: str = ""
     group: int = 1
     order_column: str | None = None  # None → spec.key_column
+    # optional NESTED capture (the arrays-of-objects shape of nested list
+    # captures, reference lists.rs:318-390): values first accumulate per
+    # (partition, group_by) in order, then the groups themselves accumulate
+    # per partition as an ordered array of {group, values} objects
+    group_by: tuple[str, ...] = ()
     kind: str = field(default="capture", init=False)
 
     def targets(self):
-        return (self.column,) + ((self.order_column,) if self.order_column else ())
+        return (
+            (self.column,)
+            + ((self.order_column,) if self.order_column else ())
+            + self.group_by
+        )
 
 
 @dataclass(frozen=True)

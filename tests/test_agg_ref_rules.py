@@ -212,3 +212,37 @@ def test_capture_rule_through_validation_run(spark):
     for r in mets:
         vals = [int(v) for v in json.loads(r["value_str"])]
         assert vals == sorted(vals)  # ordered by the document-order column
+
+
+def test_capture_rule_nested_arrays_of_objects(spark):
+    """Nested captures (reference lists.rs:318-390): values accumulate per
+    (partition, group) in order, groups accumulate per partition as ordered
+    arrays of {group, values} objects."""
+    import json
+
+    from mdvalidate_spark.operators.agg_rules import capture_metrics
+    from mdvalidate_spark.spec import CaptureRule
+
+    df = spark.createDataFrame(
+        [
+            ("k2", 0, "g1", "v=12"),
+            ("k1", 0, "g1", "v=11"),
+            ("k3", 0, "g2", "v=21"),
+            ("k4", 1, "g9", "v=91"),
+        ],
+        "k string, partition_id int, grp string, txt string",
+    ).repartition(3)
+    m = capture_metrics(
+        df,
+        (CaptureRule("nest", column="txt", pattern=r"v=(\d+)", group_by=("grp",)),),
+        "r",
+        "k",
+    )
+    rows = {r["partition_id"]: r for r in m.collect()}
+    p0 = json.loads(rows[0]["value_str"])
+    assert p0 == [
+        {"group": "g1", "values": ["11", "12"]},
+        {"group": "g2", "values": ["21"]},
+    ]
+    assert rows[0]["value"] == 3.0
+    assert json.loads(rows[1]["value_str"]) == [{"group": "g9", "values": ["91"]}]
