@@ -342,6 +342,21 @@ def q_ngram_jaccard_documents(spark, sf_dir):
     return D.ngram_jaccard_pairs(docs, threshold=0.5)
 
 
+def q_dup_clusters_documents(spark, sf_dir):
+    """Transitive duplicate clusters: near-dup pairs (exact n-gram Jaccard)
+    → connected components (iterative min-label propagation) → one
+    representative + sorted members per cluster. Oracle = DuckDB recursive
+    CTE transitive closure over the identical pair set."""
+    docs = _load(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.5)
+    c = D.duplicate_clusters(pairs)
+    return c.select(
+        F.col("representative").cast("string"),
+        F.col("size").cast("long"),
+        F.col("members").cast("array<string>").alias("members"),
+    )
+
+
 def q_minhash_pairs_documents(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents")
     return D.minhash_lsh_duplicates(docs, threshold=0.5, num_hashes=32, bands=8)
@@ -440,6 +455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_documents": q_dedup_exact_documents,
         "fingerprint_documents": q_fingerprint_documents,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
+        "dup_clusters_documents": q_dup_clusters_documents,
         "minhash_pairs_documents": q_minhash_pairs_documents,
         "simhash_documents": q_simhash_documents,
         "similar_count_embeddings": q_similar_count_embeddings,
@@ -701,6 +717,25 @@ FROM documents GROUP BY 1 HAVING count(*) > 1
 """,
         "fingerprint_documents": _fingerprint_sql(),
         "ngram_jaccard_documents": _ngram_jaccard_sql(0.5, 3),
+        "dup_clusters_documents": f"""
+WITH RECURSIVE
+p AS ({_ngram_jaccard_sql(0.5, 3)}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION SELECT id_b, id_a FROM p
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT re.node, e.dst FROM reach re JOIN edges e ON e.src = re.r
+),
+cc AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+SELECT CAST(component AS VARCHAR) AS representative,
+       CAST(count(*) AS BIGINT) AS size,
+       list_transform(list_sort(list(node)), x -> CAST(x AS VARCHAR)) AS members
+FROM cc GROUP BY component
+""",
         "similar_count_embeddings": """
 WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),

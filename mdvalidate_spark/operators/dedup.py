@@ -457,3 +457,91 @@ def embedding_near_duplicates(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+# ----------------------------------------------------- duplicate clusters
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Duplicate CLUSTERS from near-dup pairs: connected components by
+    iterative min-label propagation (each node adopts the smallest label in
+    its neighborhood until fixpoint).
+
+    Pair finders (minhash/simhash/ngram/embedding) emit edges; an actual
+    dedup pipeline must group transitive duplicates and keep one
+    representative — A~B and B~C must land in ONE cluster even though (A,C)
+    was never emitted. Convergence takes at most the graph diameter
+    iterations (duplicate clusters are short-diameter in practice); each
+    round is one shuffle join + aggregate, checked for fixpoint with a
+    driver-side count, and persists/unpersists its frontier to keep lineage
+    bounded. Returns (node, component) where component = min node id in the
+    cluster; singleton nodes never enter `pairs` so only clustered nodes
+    appear.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iter):
+        # ONE shuffle per round: each node's own label (flagged) unioned with
+        # every neighbor's label, aggregated to (new = min of all, old = own)
+        # — change detection rides the same frame instead of a second join.
+        # localCheckpoint truncates lineage so round N's plan doesn't carry
+        # N-1 joins (analysis time would grow superlinearly otherwise).
+        msgs = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .select(F.col("dst").alias("node"), "component", F.lit(False).alias("_own"))
+        )
+        own = labels.select("node", "component", F.lit(True).alias("_own"))
+        agg = (
+            own.unionByName(msgs)
+            .groupBy("node")
+            .agg(
+                F.min("component").alias("component"),
+                F.max(F.when(F.col("_own"), F.col("component"))).alias("_old"),
+            )
+            .localCheckpoint()
+        )
+        changed = agg.where(F.col("component") != F.col("_old")).count()
+        labels = agg.select("node", "component")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def duplicate_clusters(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """(component, size, members sorted, representative = min id) per
+    transitive duplicate cluster — the keep-one / drop-rest decision table
+    of a dedup pipeline."""
+    cc = connected_components(pairs, id_a, id_b)
+    return (
+        cc.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("size"),
+            F.sort_array(F.collect_list("node")).alias("members"),
+        )
+        .select(
+            F.col("component").alias("representative"),
+            "size",
+            "members",
+        )
+    )

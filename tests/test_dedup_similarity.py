@@ -150,3 +150,40 @@ def test_count_above_threshold_nonneg(spark):
     out = S.count_above_threshold(emb, emb.limit(5), 0.2).collect()
     assert len(out) == 5
     assert all(r["n_similar"] >= 0 for r in out)
+
+
+def test_connected_components_transitive(spark):
+    """A~B, B~C, D~E → clusters {A,B,C} and {D,E}; A never paired with C
+    directly. Labels converge to the min id of each component."""
+    from mdvalidate_spark.operators.dedup import connected_components, duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("d", "e"), ("x", "y"), ("y", "z"), ("x", "z")],
+        "id_a string, id_b string",
+    )
+    cc = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert cc == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d",
+                  "x": "x", "y": "x", "z": "x"}
+
+    clusters = {r["representative"]: (r["size"], r["members"])
+                for r in duplicate_clusters(pairs).collect()}
+    assert clusters == {
+        "a": (3, ["a", "b", "c"]),
+        "d": (2, ["d", "e"]),
+        "x": (3, ["x", "y", "z"]),
+    }
+
+
+def test_connected_components_long_chain(spark):
+    """A path graph needs multiple propagation rounds — exercises the
+    fixpoint loop beyond one iteration."""
+    from mdvalidate_spark.operators.dedup import connected_components
+
+    n = 12
+    pairs = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i+1:02d}") for i in range(n)], "id_a string, id_b string"
+    )
+    cc = connected_components(pairs)
+    comps = {r["component"] for r in cc.collect()}
+    assert comps == {"n00"}
+    assert cc.count() == n + 1
