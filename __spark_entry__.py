@@ -180,18 +180,22 @@ def q_sequence_lineitem_shipmode(spark, sf_dir):
 
     # l_linenumber alone is NOT unique per order in this data — ties make
     # row_number() engine-dependent. (l_linenumber, l_partkey, l_suppkey) is
-    # verified unique per order: fold into one deterministic order key.
+    # verified unique per order: fold into one collision-free, genuinely
+    # linenumber-major order key (zero-padded fixed-width concat — a numeric
+    # fold can collide / reorder once partkey outgrows its slot at larger SF).
     li = (
         _load(spark, sf_dir, "lineitem")
         .withColumn(
             "lord",
-            F.col("l_linenumber").cast("long") * 1_000_000
-            + F.col("l_partkey") * 100
-            + F.col("l_suppkey"),
+            F.concat(
+                F.lpad(F.col("l_linenumber").cast("string"), 2, "0"),
+                F.lpad(F.col("l_partkey").cast("string"), 12, "0"),
+                F.lpad(F.col("l_suppkey").cast("string"), 12, "0"),
+            ),
         )
         .withColumn(
             "lkey",
-            F.concat_ws("-", F.col("l_orderkey").cast("string"), F.col("lord").cast("string")),
+            F.concat_ws("-", F.col("l_orderkey").cast("string"), F.col("lord")),
         )
     )
     rule = SequenceRule(
@@ -350,10 +354,12 @@ def q_dup_clusters_documents(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(docs, threshold=0.5)
     c = D.duplicate_clusters(pairs)
+    # members as a JSON string: the driver's canonicalizer sorts rows via
+    # pandas, which cannot hash list-typed cells — serialize on BOTH sides
     return c.select(
         F.col("representative").cast("string"),
         F.col("size").cast("long"),
-        F.col("members").cast("array<string>").alias("members"),
+        F.to_json(F.col("members").cast("array<string>")).alias("members"),
     )
 
 
@@ -640,18 +646,21 @@ FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
 WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
 """,
         "sequence_lineitem_shipmode": """
-WITH ranked AS (
+WITH base AS (
   SELECT l_orderkey, l_returnflag,
-         l_linenumber * 1000000 + l_partkey * 100 + l_suppkey AS lord,
-         row_number() OVER (
-           PARTITION BY l_orderkey
-           ORDER BY l_linenumber * 1000000 + l_partkey * 100 + l_suppkey
-         ) AS rnk,
-         count(*) OVER (PARTITION BY l_orderkey) AS n
+         lpad(CAST(l_linenumber AS VARCHAR), 2, '0')
+           || lpad(CAST(l_partkey AS VARCHAR), 12, '0')
+           || lpad(CAST(l_suppkey AS VARCHAR), 12, '0') AS lord
   FROM lineitem
+),
+ranked AS (
+  SELECT l_orderkey, l_returnflag, lord,
+         row_number() OVER (PARTITION BY l_orderkey ORDER BY lord) AS rnk,
+         count(*) OVER (PARTITION BY l_orderkey) AS n
+  FROM base
 )
 SELECT 'seq_flag' AS rule_id,
-       CAST(l_orderkey AS VARCHAR) || '-' || CAST(lord AS VARCHAR) AS row_key,
+       CAST(l_orderkey AS VARCHAR) || '-' || lord AS row_key,
        '^[AR]$' AS expected, l_returnflag AS actual, 'matcher' AS kind
 FROM ranked WHERE rnk >= 2 AND NOT regexp_matches(l_returnflag, '^[AR]$')
 UNION ALL
@@ -733,7 +742,8 @@ reach(node, r) AS (
 cc AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
 SELECT CAST(component AS VARCHAR) AS representative,
        CAST(count(*) AS BIGINT) AS size,
-       list_transform(list_sort(list(node)), x -> CAST(x AS VARCHAR)) AS members
+       CAST(to_json(list_transform(list_sort(list(node)), x -> CAST(x AS VARCHAR)))
+            AS VARCHAR) AS members
 FROM cc GROUP BY component
 """,
         "similar_count_embeddings": """

@@ -32,9 +32,11 @@ def _key_expr(columns: tuple[str, ...]):
     if len(columns) == 1:
         return F.col(columns[0]).cast("string")
     # NULL-safe: concat_ws silently drops NULLs, which would collide
-    # ("a", NULL) with ("a", "") — encode NULL explicitly
+    # ("a", NULL) with ("a", "") — encode NULL explicitly; join parts on
+    # \x01 so distinct tuples ("ab","c") vs ("a","bc") cannot collapse
+    # (same separator convention as sequence.py / nested captures)
     parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL")) for c in columns]
-    return F.concat_ws("", *parts)
+    return F.concat_ws("\x01", *parts)
 
 
 def unique_violations(
@@ -251,18 +253,38 @@ def capture_metrics(
             "\x01",
             *[F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL")) for c in r.group_by],
         )
+        order_key = F.col(order_col)
         level1 = (
-            df.select(F.col("partition_id"), gkey.alias("_g"), pair.alias("_p"))
+            df.select(
+                F.col("partition_id"), gkey.alias("_g"), pair.alias("_p"),
+                order_key.alias("_ok"),
+            )
             .groupBy("partition_id", "_g")
-            .agg(F.sort_array(F.collect_list("_p")).getField("v").alias("_vals"))
+            .agg(
+                F.sort_array(F.collect_list("_p")).getField("v").alias("_vals"),
+                # first appearance of the group in document order — typed, so
+                # numeric group ids sort numerically, matching the reference's
+                # document-order accumulation (lists.rs:318-390), not the
+                # lexicographic order of the stringified group key
+                F.min("_ok").alias("_ord"),
+            )
         )
         level2 = (
             level1.groupBy("partition_id")
             .agg(
-                F.sort_array(
-                    F.collect_list(
-                        F.struct(F.col("_g").alias("group"), F.col("_vals").alias("values"))
-                    )
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.col("_ord").alias("o"),
+                                F.col("_g").alias("group"),
+                                F.col("_vals").alias("values"),
+                            )
+                        )
+                    ),
+                    lambda s: F.struct(
+                        s["group"].alias("group"), s["values"].alias("values")
+                    ),
                 ).alias("_groups")
             )
             .select(

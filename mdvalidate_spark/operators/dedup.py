@@ -498,6 +498,7 @@ def connected_components(
         .localCheckpoint()
     )
 
+    changed = 0
     for _ in range(max_iter):
         # ONE shuffle per round: each node's own label (flagged) unioned with
         # every neighbor's label, aggregated to (new = min of all, old = own)
@@ -523,6 +524,15 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
+    if changed > 0:
+        # exiting the loop before fixpoint would silently return SPLIT
+        # components (one transitive cluster reported as several) — refuse
+        # rather than emit wrong clusters. Convergence needs ≤ diameter
+        # rounds; gradual-drift near-dup chains can exceed a small cap.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            f"({changed} labels still changing) — raise max_iter"
+        )
     return labels
 
 

@@ -24,12 +24,6 @@ from pyspark.sql import functions as F
 from ..errors import KIND_COUNT, KIND_MATCHER
 from ..spec import SequenceRule
 
-_VIOLATIONS_DDL = (
-    "run_id string, partition_id int, rule_id string, image_id string, "
-    "column string, expected string, actual string, kind string"
-)
-
-
 def _anchored(p: str) -> str:
     out = p if p.startswith("^") else "^" + p
     return out if out.endswith("$") else out + "$"
@@ -98,7 +92,11 @@ def sequence_violations(
             F.lit(rule.id).alias("rule_id"),
             group_key.alias("image_id"),
             F.lit(",".join(rule.group_by)).alias("column"),
-            F.lit(f"sequence length in [{total_min}, {total_max}]").alias("expected"),
+            F.lit(
+                f"sequence length in [{total_min}, {total_max}]"
+                if total_max is not None
+                else f"sequence length >= {total_min}"
+            ).alias("expected"),
             F.col("_n").cast("string").alias("actual"),
             F.lit(KIND_COUNT).alias("kind"),
         )
