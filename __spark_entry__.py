@@ -22,6 +22,7 @@ from mdvalidate_spark.operators.agg_rules import count_violations, unique_violat
 from mdvalidate_spark.operators.ref_rules import ref_violations
 from mdvalidate_spark.operators.row_rules import row_violations, with_partition_id
 from mdvalidate_spark.spec import (
+    CompositeRegexRule,
     CountRule,
     DomainRule,
     NotNullRule,
@@ -99,6 +100,22 @@ def q_row_customer(spark, sf_dir):
                 column="c_mktsegment",
                 values=("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"),
             ),
+        ),
+    )(spark, sf_dir)
+
+
+def q_composite_documents(spark, sf_dir):
+    """Composite prefix/matcher/suffix rules (the MatcherVsText pipeline,
+    reference matchers.rs:38-431) with the segment taxonomy preserved —
+    exercises all three kinds on real columns: lang yields prefix (de/fr/zh)
+    and matcher (es) violations; source yields matcher (src2..src9) and
+    suffix (src10..src19) violations."""
+    return _row_query(
+        "documents",
+        "doc_id",
+        (
+            CompositeRegexRule("lang_comp", column="lang", prefix="e", pattern="n", suffix=""),
+            CompositeRegexRule("src_comp", column="source", prefix="src", pattern="[0-1]", suffix=""),
         ),
     )(spark, sf_dir)
 
@@ -443,6 +460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "row_orders": q_row_orders,
         "row_part": q_row_part,
         "row_customer": q_row_customer,
+        "composite_documents": q_composite_documents,
         "unique_lineitem_orderkey": q_unique_lineitem_orderkey,
         "unique_orderkey": q_unique_orderkey,
         "count_orders_per_cust": q_count_orders_per_cust,
@@ -522,6 +540,40 @@ SELECT 'seg_domain', CAST(c_custkey AS VARCHAR), 'c_mktsegment',
 FROM customer WHERE c_mktsegment IS NOT NULL
   AND c_mktsegment NOT IN ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY')
 """
+
+def _composite_case_sql(rule_id: str, col: str, prefix: str, pattern: str, suffix: str) -> str:
+    """DuckDB replica of one CompositeRegexRule: prefix → matcher → suffix
+    chained CASE, first failing segment only."""
+    anchored = f"^({pattern})"
+    gp = f"substr({col}, 1, {len(prefix)})"
+    rest = f"substr({col}, {len(prefix) + 1})"
+    tail = f"substr({rest}, len(regexp_extract({rest}, '{anchored}', 1)) + 1)"
+    p_fail = f"{gp} != '{prefix}'"
+    m_fail = f"NOT regexp_matches({rest}, '{anchored}')"
+    s_fail = f"{tail} != '{suffix}'"
+    return f"""
+SELECT '{rule_id}' AS rule_id, CAST(doc_id AS VARCHAR) AS row_key,
+       '{col}' AS col_name,
+       CASE WHEN {p_fail} THEN '{prefix}'
+            WHEN {m_fail} THEN '{anchored}'
+            ELSE '{suffix}' END AS expected,
+       CASE WHEN {p_fail} THEN {gp}
+            WHEN {m_fail} THEN {rest}
+            ELSE {tail} END AS actual,
+       CASE WHEN {p_fail} THEN 'prefix'
+            WHEN {m_fail} THEN 'matcher'
+            ELSE 'suffix' END AS kind
+FROM documents
+WHERE {col} IS NOT NULL AND ({p_fail} OR {m_fail} OR {s_fail})
+"""
+
+
+_COMPOSITE_DOCS_SQL = (
+    _composite_case_sql("lang_comp", "lang", "e", "n", "")
+    + " UNION ALL "
+    + _composite_case_sql("src_comp", "source", "src", "[0-1]", "")
+)
+
 
 # DuckDB replicas of the text kernels (same ASCII regex classes)
 _TOKENS = "list_filter(string_split_regex(coalesce({t}, ''), '[ \\t\\n]+'), x -> len(x) > 0)"
@@ -618,6 +670,7 @@ def oracle_sql() -> dict[str, str]:
         "row_orders": _ROW_ORDERS_SQL,
         "row_part": _ROW_PART_SQL,
         "row_customer": _ROW_CUSTOMER_SQL,
+        "composite_documents": _COMPOSITE_DOCS_SQL,
         "unique_lineitem_orderkey": """
 SELECT 'uq_lokey' AS rule_id, CAST(l_orderkey AS VARCHAR) AS row_key,
        'count=' || CAST(count(*) AS VARCHAR) AS actual, 'duplicate' AS kind

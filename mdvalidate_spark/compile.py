@@ -42,6 +42,7 @@ from .errors import (
 from .spec import (
     CaptureRule,
     ColumnStatsRule,
+    CompositeRegexRule,
     CountRule,
     SequenceRule,
     DomainRule,
@@ -57,7 +58,7 @@ from .spec import (
     UniqueRule,
 )
 
-ROW_KINDS = (NotNullRule, RegexRule, LiteralRule, RangeRule, DomainRule)
+ROW_KINDS = (NotNullRule, RegexRule, CompositeRegexRule, LiteralRule, RangeRule, DomainRule)
 
 
 @dataclass(frozen=True)
@@ -99,6 +100,16 @@ def compile_spec(spec: Spec, available_columns: list[str] | None = None) -> Cons
                 re.compile(r.pattern)
             except re.error as e:  # reject before touching data (matcher.rs:175-208)
                 raise MalformedRegexError(r.id, r.pattern, str(e)) from e
+            pattern_rules_by_col.setdefault(r.column, []).append(r.id)
+
+        if isinstance(r, CompositeRegexRule):
+            if not r.pattern:
+                raise SchemaError(f"rule {r.id!r}: composite rule needs a pattern")
+            try:
+                re.compile(r.pattern)
+            except re.error as e:
+                raise MalformedRegexError(r.id, r.pattern, str(e)) from e
+            # counts as the column's one non-literal matcher, like RegexRule
             pattern_rules_by_col.setdefault(r.column, []).append(r.id)
 
         if isinstance(r, SequenceRule):

@@ -29,9 +29,12 @@ from ..errors import (
     KIND_LITERAL,
     KIND_MATCHER,
     KIND_NULL,
+    KIND_PREFIX,
     KIND_RANGE,
+    KIND_SUFFIX,
 )
 from ..spec import (
+    CompositeRegexRule,
     DomainRule,
     LiteralRule,
     NotNullRule,
@@ -82,6 +85,31 @@ def _check(rule) -> Column:
         fail = c.isNotNull() & ~c.rlike(rule.anchored)
         return F.when(
             fail, _viol(rule.id, rule.column, F.lit(rule.anchored), c, KIND_MATCHER)
+        )
+    if isinstance(rule, CompositeRegexRule):
+        # prefix → matcher → suffix pipeline (matchers.rs:38-431): a chained
+        # WHEN reports only the FIRST failing segment ("one error once",
+        # cmd.rs:368-398). NULL values propagate null conditions → no branch
+        # fires → struct is NULL → pass (NotNullRule owns missing values).
+        c = F.col(rule.column).cast("string")
+        plen = len(rule.prefix)
+        got_prefix = F.substring(c, 1, plen)
+        rest = c.substr(F.lit(plen + 1), F.length(c))
+        matched = F.regexp_extract(rest, rule.anchored, 1)
+        tail = rest.substr(F.length(matched) + F.lit(1), F.length(rest))
+        return (
+            F.when(
+                got_prefix != F.lit(rule.prefix),
+                _viol(rule.id, rule.column, F.lit(rule.prefix), got_prefix, KIND_PREFIX),
+            )
+            .when(
+                ~rest.rlike(rule.anchored),
+                _viol(rule.id, rule.column, F.lit(rule.anchored), rest, KIND_MATCHER),
+            )
+            .when(
+                tail != F.lit(rule.suffix),
+                _viol(rule.id, rule.column, F.lit(rule.suffix), tail, KIND_SUFFIX),
+            )
         )
     if isinstance(rule, LiteralRule):
         c = F.col(rule.column)

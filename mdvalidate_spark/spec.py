@@ -88,6 +88,41 @@ class RegexRule(Rule):
 
 
 @dataclass(frozen=True)
+class CompositeRegexRule(Rule):
+    """Structured-string rule: literal ``prefix`` + regex ``pattern`` +
+    literal ``suffix``, validated segment-by-segment with the violation
+    taxonomy preserved (kind = prefix | matcher | suffix).
+
+    The reference analog is the full MatcherVsText pipeline
+    (walkers/validators/matchers.rs:38-431): compare the literal prefix
+    first, then regex-match the middle, then compare the literal suffix —
+    and report the FIRST failing segment only ("one error once",
+    cmd.rs:368-398; kinds at errors.rs:294-303). A failed prefix suppresses
+    the matcher and suffix checks, exactly like the reference bailing out of
+    the pipeline at the first mismatch.
+
+    The whole check is one codegen'd column expression: substring compare →
+    anchored regexp_extract → remainder compare. No Python, no second scan.
+    """
+
+    column: str = ""
+    prefix: str = ""
+    pattern: str = ""
+    suffix: str = ""
+    kind: str = field(default="composite", init=False)
+
+    def targets(self):
+        return (self.column,)
+
+    @property
+    def anchored(self) -> str:
+        """Pattern anchored at the start with a capture over the whole
+        match (matcher.rs:332 prepends '^'), applied AFTER the prefix is
+        stripped."""
+        return "^(" + self.pattern + ")"
+
+
+@dataclass(frozen=True)
 class LiteralRule(Rule):
     """Exact equality — against a constant or another column.
 

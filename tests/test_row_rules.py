@@ -122,3 +122,83 @@ def test_stable_partition_ids(spark, images):
     ids2 = dict(b.select("image_id", "partition_id").limit(100).collect())
     assert ids == ids2
     assert all(0 <= p < 8 for p in ids.values())
+
+
+def test_composite_rule_segment_taxonomy(spark):
+    """CompositeRegexRule preserves the reference's Prefix/Matcher/Suffix
+    violation kinds (matchers.rs:38-431, errors.rs:294-303) and reports only
+    the FIRST failing segment per row ("one error once")."""
+    from mdvalidate_spark.spec import CompositeRegexRule
+
+    df = with_partition_id(
+        spark.createDataFrame(
+            [
+                ("r1", "img://0042.png"),   # pass
+                ("r2", "IMG://0042.png"),   # prefix fails
+                ("r3", "img://x42.png"),    # matcher fails
+                ("r4", "img://0042.jpg"),   # suffix fails
+                ("r5", None),               # NULL → skipped entirely
+            ],
+            "image_id string, uri string",
+        ),
+        base_spec([]),
+    )
+    v = run_rows(
+        spark,
+        df,
+        [CompositeRegexRule("uri_c", column="uri", prefix="img://",
+                            pattern=r"[0-9]{4}", suffix=".png")],
+    ).collect()
+    got = {r["image_id"]: r for r in v}
+    assert set(got) == {"r2", "r3", "r4"}  # exactly one violation per bad row
+    assert got["r2"]["kind"] == "prefix"
+    assert got["r2"]["expected"] == "img://" and got["r2"]["actual"] == "IMG://"
+    assert got["r3"]["kind"] == "matcher"
+    assert got["r3"]["actual"] == "x42.png"
+    assert got["r4"]["kind"] == "suffix"
+    assert got["r4"]["expected"] == ".png" and got["r4"]["actual"] == ".jpg"
+
+
+def test_composite_rule_compile_lint(spark):
+    """Composite pattern is linted at compile; it also counts as the
+    column's single non-literal matcher (conflict with a RegexRule)."""
+    from mdvalidate_spark.compile import compile_spec
+    from mdvalidate_spark.errors import ConflictingRulesError, MalformedRegexError
+    from mdvalidate_spark.spec import CompositeRegexRule, RegexRule, Spec
+
+    with pytest.raises(MalformedRegexError):
+        compile_spec(
+            Spec(rules=(CompositeRegexRule("c", column="u", pattern="("),),
+                 key_column="u"),
+            ["u"],
+        )
+    with pytest.raises(ConflictingRulesError):
+        compile_spec(
+            Spec(
+                rules=(
+                    CompositeRegexRule("c", column="u", pattern="a"),
+                    RegexRule("r", column="u", pattern="b"),
+                ),
+                key_column="u",
+            ),
+            ["u"],
+        )
+
+
+def test_composite_rule_stays_jvm_side(spark):
+    """The composite pipeline is one codegen'd expression: no Exchange, no
+    PythonUDF in the row stage (same plan-shape bar as the other row rules)."""
+    from mdvalidate_spark.spec import CompositeRegexRule
+
+    df = with_partition_id(
+        spark.createDataFrame([("a", "img://1.png")], "image_id string, uri string"),
+        base_spec([]),
+    )
+    v = run_rows(
+        spark, df,
+        [CompositeRegexRule("c", column="uri", prefix="img://", pattern=r"[0-9]+",
+                            suffix=".png")],
+    )
+    plan = v._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "PythonUDF" not in plan.replace("PythonUDFRunner", "")
