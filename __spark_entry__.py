@@ -120,6 +120,30 @@ def q_composite_documents(spark, sf_dir):
     )(spark, sf_dir)
 
 
+def q_struct_meta_orders(spark, sf_dir):
+    """Nested-struct column targeting (QuoteVsQuote step-into analog,
+    reference quotes.rs:21-66): rules name dotted paths into a struct-typed
+    metadata column; compile resolves them against df.schema recursively and
+    the fused row pass reads the nested fields directly."""
+    o = _load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_totalprice").alias("price"),
+            F.col("o_orderpriority").alias("prio"),
+        ).alias("meta"),
+    )
+    spec = Spec(
+        rules=(
+            RangeRule("m_price", column="meta.price", min=1000.0, max=400000.0),
+            RegexRule("m_prio", column="meta.prio", pattern="[1-3]-[A-Z ]+"),
+        ),
+        key_column="o_orderkey",
+        n_partitions=8,
+    )
+    prog = compile_spec(spec, o.schema)
+    return _viol_out(row_violations(with_partition_id(o, spec), prog, "q"))
+
+
 def q_unique_lineitem_orderkey(spark, sf_dir):
     """Duplicate-key detection on a key that IS duplicated (multi-line
     orders) — exercises the salted two-phase aggregation."""
@@ -461,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "row_part": q_row_part,
         "row_customer": q_row_customer,
         "composite_documents": q_composite_documents,
+        "struct_meta_orders": q_struct_meta_orders,
         "unique_lineitem_orderkey": q_unique_lineitem_orderkey,
         "unique_orderkey": q_unique_orderkey,
         "count_orders_per_cust": q_count_orders_per_cust,
@@ -671,6 +696,18 @@ def oracle_sql() -> dict[str, str]:
         "row_part": _ROW_PART_SQL,
         "row_customer": _ROW_CUSTOMER_SQL,
         "composite_documents": _COMPOSITE_DOCS_SQL,
+        "struct_meta_orders": """
+SELECT 'm_price' AS rule_id, CAST(o_orderkey AS VARCHAR) AS row_key,
+       'meta.price' AS col_name, '[1000.0, 400000.0]' AS expected,
+       CAST(o_totalprice AS VARCHAR) AS actual, 'range' AS kind
+FROM orders WHERE o_totalprice IS NOT NULL
+  AND (o_totalprice < 1000.0 OR o_totalprice > 400000.0)
+UNION ALL
+SELECT 'm_prio', CAST(o_orderkey AS VARCHAR), 'meta.prio',
+       '^[1-3]-[A-Z ]+$', o_orderpriority, 'matcher'
+FROM orders WHERE o_orderpriority IS NOT NULL
+  AND NOT regexp_matches(o_orderpriority, '^[1-3]-[A-Z ]+$')
+""",
         "unique_lineitem_orderkey": """
 SELECT 'uq_lokey' AS rule_id, CAST(l_orderkey AS VARCHAR) AS row_key,
        'count=' || CAST(count(*) AS VARCHAR) AS actual, 'duplicate' AS kind

@@ -83,9 +83,36 @@ class ConstraintProgram:
         return self.spec.rules
 
 
-def compile_spec(spec: Spec, available_columns: list[str] | None = None) -> ConstraintProgram:
+def _has_column(available, path: str) -> bool:
+    """Column-existence check that understands dotted struct paths when given
+    a StructType (the reference steps INTO nested structure and validates
+    inside — QuoteVsQuote, walkers/validators/quotes.rs:21-66). A plain
+    column-name list only matches top-level names."""
+    try:
+        from pyspark.sql.types import StructType
+    except ImportError:  # pure-python compile callers without pyspark
+        return path in available
+    if not isinstance(available, StructType):
+        return path in available
+    cur = available
+    for part in path.split("."):
+        if not isinstance(cur, StructType):
+            return False
+        match = next((f for f in cur.fields if f.name == part), None)
+        if match is None:
+            return False
+        cur = match.dataType
+    return True
+
+
+def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
     """Validate + stage a Spec. Raises SchemaError subclasses on invalid specs;
-    never raises for data problems (those become violation rows)."""
+    never raises for data problems (those become violation rows).
+
+    ``available_columns`` may be a list of top-level column names or a full
+    ``StructType`` (pass ``df.schema``); with a StructType, rule targets may
+    be dotted struct paths like ``meta.width`` — resolved recursively, so
+    image+caption tables with struct metadata validate without flattening."""
 
     seen_ids: set[str] = set()
     pattern_rules_by_col: dict[str, list[str]] = {}
@@ -176,7 +203,7 @@ def compile_spec(spec: Spec, available_columns: list[str] | None = None) -> Cons
 
         if available_columns is not None:
             for c in r.targets():
-                if c and c not in available_columns:
+                if c and not _has_column(available_columns, c):
                     from .errors import UnknownColumnError
 
                     raise UnknownColumnError(r.id, c)

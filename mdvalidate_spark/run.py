@@ -97,7 +97,9 @@ class ValidationRun:
         self.dims = dims or {}
         self.run_id = run_id or f"run-{uuid.uuid4().hex[:12]}"
         self.checkpoint_dir = checkpoint_dir
-        self.program: ConstraintProgram = compile_spec(spec, df.columns)
+        # full schema (not just names) so rules may target nested struct
+        # paths like meta.width (quotes.rs:21-66 step-into analog)
+        self.program: ConstraintProgram = compile_spec(spec, df.schema)
         for r in self.program.ref_rules:
             if r.dim_name not in self.dims:
                 from .errors import SchemaError

@@ -202,3 +202,62 @@ def test_composite_rule_stays_jvm_side(spark):
     plan = v._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "PythonUDF" not in plan.replace("PythonUDFRunner", "")
+
+
+def test_nested_struct_column_targeting(spark):
+    """Dotted struct paths resolve against df.schema at compile (QuoteVsQuote
+    step-into, quotes.rs:21-66) and evaluate in the fused row pass."""
+    from mdvalidate_spark.compile import compile_spec
+    from mdvalidate_spark.errors import UnknownColumnError
+    from mdvalidate_spark.spec import RangeRule, RegexRule, Spec
+
+    df = spark.createDataFrame(
+        [("a", (10, "png")), ("b", (9000, "png")), ("c", (20, "bmp"))],
+        "image_id string, meta struct<width:int, fmt:string>",
+    )
+    spec = Spec(
+        rules=(
+            RangeRule("w", column="meta.width", min=1, max=1000),
+            RegexRule("f", column="meta.fmt", pattern="png|jpeg"),
+        ),
+        key_column="image_id",
+        n_partitions=2,
+    )
+    prog = compile_spec(spec, df.schema)
+    v = row_violations(with_partition_id(df, spec), prog, "t").collect()
+    got = {(r["image_id"], r["rule_id"]) for r in v}
+    assert got == {("b", "w"), ("c", "f")}
+    assert all(r["column"].startswith("meta.") for r in v)
+
+    # bad nested path rejected at compile; dotted path against a plain
+    # name list (no schema) also rejected — no silent acceptance
+    with pytest.raises(UnknownColumnError):
+        compile_spec(
+            Spec(rules=(RangeRule("x", column="meta.nope", min=0),),
+                 key_column="image_id"),
+            df.schema,
+        )
+    with pytest.raises(UnknownColumnError):
+        compile_spec(
+            Spec(rules=(RangeRule("x", column="meta.width", min=0),),
+                 key_column="image_id"),
+            ["image_id", "meta"],
+        )
+
+
+def test_nested_struct_through_validation_run(spark):
+    """ValidationRun compiles against df.schema, so nested targets work
+    through the full lifecycle."""
+    from mdvalidate_spark.run import validate_table
+    from mdvalidate_spark.spec import RangeRule, Spec
+
+    df = spark.createDataFrame(
+        [("a", (10,)), ("b", (9000,))], "image_id string, meta struct<w:int>"
+    )
+    rep = validate_table(
+        spark, df,
+        Spec(rules=(RangeRule("w", column="meta.w", min=1, max=100),),
+             key_column="image_id", n_partitions=2),
+    )
+    rows = rep.violations.collect()
+    assert [r["image_id"] for r in rows] == ["b"]
