@@ -405,6 +405,10 @@ def q_dup_clusters_documents(spark, sf_dir):
 
 
 def q_minhash_pairs_documents(spark, sf_dir):
+    """MinHash+LSH near-dup pairs. Emitted pairs carry EXACT Jaccard (verify
+    stage), and the deterministic banded candidate stage has full recall on
+    the fixture (locked by test_minhash_full_recall_on_fixture), so the
+    exact all-pairs SQL acts as a value oracle."""
     docs = _load(spark, sf_dir, "documents")
     return D.minhash_lsh_duplicates(docs, threshold=0.5, num_hashes=32, bands=8)
 
@@ -427,8 +431,31 @@ def q_topk_embeddings(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
-    emb = _load(spark, sf_dir, "embeddings")
-    return D.embedding_near_duplicates(emb, threshold=0.9)
+    """SRP-LSH embedding near-dup over the fixture augmented with planted
+    near-duplicates: for vec_id < 10 a copy at vec_id + 1_000_000 with a tiny
+    deterministic index-dependent perturbation (pure integer arithmetic —
+    DuckDB replicates it bit-for-bit, so the exact-cosine oracle verifies the
+    emitted pair set, not just row counts)."""
+    emb = _load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = (
+        emb.where(F.col("vec_id") < 10)
+        # distinct name for the perturbation key: re-aliasing vec_id in the
+        # same select makes the analyzer resolve the lambda's vec_id to the
+        # NEW value, silently diverging from the oracle
+        .select(F.col("vec_id").alias("base_id"), "embedding")
+        .select(
+            (F.col("base_id") + 1_000_000).alias("vec_id"),
+            F.transform(
+                "embedding",
+                # +1 on the index aligns with DuckDB's 1-based range()
+                lambda x, i: x
+                + F.lit(0.001) * ((F.col("base_id") * 31 + i + 1) % 7 - 3).cast("double"),
+            ).alias("embedding"),
+        )
+    )
+    return D.embedding_near_duplicates(emb.unionByName(planted), threshold=0.9)
 
 
 def q_pixel_validation_synthetic(spark, sf_dir):
@@ -816,6 +843,12 @@ FROM documents GROUP BY 1 HAVING count(*) > 1
 """,
         "fingerprint_documents": _fingerprint_sql(),
         "ngram_jaccard_documents": _ngram_jaccard_sql(0.5, 3),
+        # minhash emits exact-Jaccard-verified pairs over the same k=3 word
+        # shingles as the exact operator; the banded candidate stage is
+        # deterministic (fixed xxhash seeds) and has full recall on the
+        # fixture pair set (asserted in tests), so the exact all-pairs SQL is
+        # a true value oracle, not just a row count
+        "minhash_pairs_documents": _ngram_jaccard_sql(0.5, 3),
         "dup_clusters_documents": f"""
 WITH RECURSIVE
 p AS ({_ngram_jaccard_sql(0.5, 3)}),
@@ -848,6 +881,30 @@ SELECT a.vec_id AS query_id,
          THEN 1 ELSE 0 END) AS BIGINT) AS n_similar
 FROM q a, v b WHERE b.vec_id != a.vec_id
 GROUP BY a.vec_id
+""",
+        "embedding_neardup": """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+planted AS (
+  -- keep the perturbation keyed on the ORIGINAL vec_id: DuckDB's lateral
+  -- alias resolution would shadow vec_id inside the lambda otherwise
+  SELECT list_transform(range(1, len(v) + 1),
+                        i -> v[i] + 0.001 * CAST((vec_id * 31 + i) % 7 - 3 AS DOUBLE)) AS v,
+         vec_id + 1000000 AS new_id
+  FROM base WHERE vec_id < 10
+),
+allv AS (SELECT vec_id, v FROM base UNION ALL SELECT new_id AS vec_id, v FROM planted),
+scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(
+           list_aggregate(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]), 'sum')
+           / (sqrt(list_aggregate(list_transform(a.v, x -> x * x), 'sum'))
+              * sqrt(list_aggregate(list_transform(b.v, x -> x * x), 'sum'))), 6) AS cosine
+  FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.9
 """,
         "topk_embeddings": """
 WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -187,3 +187,36 @@ def test_connected_components_long_chain(spark):
     comps = {r["component"] for r in cc.collect()}
     assert comps == {"n00"}
     assert cc.count() == n + 1
+
+
+def test_minhash_full_recall_on_fixture(spark):
+    """The minhash_pairs_documents driver oracle asserts set equality with the
+    exact n-gram operator — valid only while the deterministic banded LSH has
+    FULL recall on the fixture pair set. Lock that invariant here so a future
+    parameter change that silently drops recall fails a test instead of the
+    driver's correctness gate."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    mh = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.minhash_lsh_duplicates(
+            docs, threshold=0.5, num_hashes=32, bands=8
+        ).collect()
+    }
+    assert mh == exact
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    """A chain longer than max_iter rounds must refuse (split components are
+    silently WRONG) rather than return."""
+    import pytest
+
+    n = 8
+    pairs = spark.createDataFrame(
+        [(f"d{i:02d}", f"d{i+1:02d}") for i in range(n)], "id_a string, id_b string"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(pairs, max_iter=2).collect()
