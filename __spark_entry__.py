@@ -272,6 +272,15 @@ def q_stats_lineitem(spark, sf_dir):
             F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
             F.round(F.min(F.col(c)), 4).alias(f"{c}__min"),
             F.round(F.max(F.col(c)), 4).alias(f"{c}__max"),
+            # exact percentiles for oracle parity (linear interpolation —
+            # DuckDB quantile_cont uses the same definition); the engine's
+            # scale path is the approx_percentile sketch (ColumnStatsRule)
+            *[
+                F.round(F.percentile(F.col(c), F.lit(q)), 4).alias(
+                    f"{c}__p{int(q * 100)}"
+                )
+                for q in (0.5, 0.95, 0.99)
+            ],
         ]
     wide = li.agg(*aggs)
     parts = [
@@ -282,6 +291,9 @@ def q_stats_lineitem(spark, sf_dir):
             F.col(f"{c}__distinct").cast("long").alias("n_distinct"),
             F.col(f"{c}__min").cast("double").alias("min_val"),
             F.col(f"{c}__max").cast("double").alias("max_val"),
+            F.col(f"{c}__p50").cast("double").alias("p50"),
+            F.col(f"{c}__p95").cast("double").alias("p95"),
+            F.col(f"{c}__p99").cast("double").alias("p99"),
         )
         for c in cols
     ]
@@ -795,19 +807,28 @@ WHERE o_custkey < 50 AND regexp_matches(o_orderpriority, '^[0-9]-')
 GROUP BY o_custkey
 """,
         "stats_lineitem": """
-SELECT col_name, n_rows, n_nonnull, n_distinct, min_val, max_val FROM (
+SELECT col_name, n_rows, n_nonnull, n_distinct, min_val, max_val, p50, p95, p99 FROM (
   SELECT 'l_quantity' AS col_name, count(*) AS n_rows, count(l_quantity) AS n_nonnull,
          count(DISTINCT l_quantity) AS n_distinct,
-         round(min(l_quantity), 4) AS min_val, round(max(l_quantity), 4) AS max_val
+         round(min(l_quantity), 4) AS min_val, round(max(l_quantity), 4) AS max_val,
+         round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+         round(quantile_cont(l_quantity, 0.95), 4) AS p95,
+         round(quantile_cont(l_quantity, 0.99), 4) AS p99
   FROM lineitem
   UNION ALL
   SELECT 'l_extendedprice', count(*), count(l_extendedprice),
          count(DISTINCT l_extendedprice),
-         round(min(l_extendedprice), 4), round(max(l_extendedprice), 4)
+         round(min(l_extendedprice), 4), round(max(l_extendedprice), 4),
+         round(quantile_cont(l_extendedprice, 0.5), 4),
+         round(quantile_cont(l_extendedprice, 0.95), 4),
+         round(quantile_cont(l_extendedprice, 0.99), 4)
   FROM lineitem
   UNION ALL
   SELECT 'l_discount', count(*), count(l_discount), count(DISTINCT l_discount),
-         round(min(l_discount), 4), round(max(l_discount), 4)
+         round(min(l_discount), 4), round(max(l_discount), 4),
+         round(quantile_cont(l_discount, 0.5), 4),
+         round(quantile_cont(l_discount, 0.95), 4),
+         round(quantile_cont(l_discount, 0.99), 4)
   FROM lineitem
 )
 """,

@@ -141,6 +141,17 @@ def column_stats_metrics(
                 F.count_distinct(c) if r.exact_distinct else F.approx_count_distinct(c)
             ).alias(f"{r.id}__distinct"),
         ]
+        if r.quantiles:
+            qarr = F.array(*[F.lit(float(q)) for q in r.quantiles])
+            # approx_percentile is a mergeable quantile sketch (the t-digest
+            # role: constant memory per column, partial-aggregable) — the
+            # scale default; exact percentile only for oracle parity
+            qagg = (
+                F.percentile(c, qarr)
+                if r.exact_quantiles
+                else F.approx_percentile(c, qarr, F.lit(10000))
+            )
+            aggs.append(qagg.alias(f"{r.id}__q"))
     wide = df.agg(*aggs)
 
     # melt wide → long metrics rows
@@ -149,13 +160,22 @@ def column_stats_metrics(
         rows = F.col(f"{r.id}__rows").cast("double")
         nonnull = F.col(f"{r.id}__nonnull").cast("double")
         null_rate = F.when(rows > 0, (rows - nonnull) / rows).otherwise(F.lit(0.0))
-        for metric, val, val_str in [
+        melt = [
             ("count", rows, F.lit(None).cast("string")),
             ("null_rate", null_rate, F.lit(None).cast("string")),
             ("distinct", F.col(f"{r.id}__distinct").cast("double"), F.lit(None).cast("string")),
             ("min", F.lit(None).cast("double"), F.col(f"{r.id}__min")),
             ("max", F.lit(None).cast("double"), F.col(f"{r.id}__max")),
-        ]:
+        ]
+        for j, q in enumerate(r.quantiles):
+            melt.append(
+                (
+                    f"p{q * 100:g}",
+                    F.element_at(F.col(f"{r.id}__q"), j + 1).cast("double"),
+                    F.lit(None).cast("string"),
+                )
+            )
+        for metric, val, val_str in melt:
             parts.append(
                 F.struct(
                     F.lit(r.id).alias("rule_id"),

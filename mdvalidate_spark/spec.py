@@ -219,11 +219,20 @@ class RefIntegrityRule(Rule):
 @dataclass(frozen=True)
 class ColumnStatsRule(Rule):
     """Metrics only (no pass/fail): count, null-rate, min, max, distinct
-    cardinality. Cardinality via HLL sketch (approx_count_distinct) by
-    default; exact=True for small-scale oracle parity."""
+    cardinality, and optional quantiles (the w/h/caption-length profile the
+    north rule asks for). Cardinality via HLL sketch (approx_count_distinct)
+    by default; exact_distinct=True for small-scale oracle parity.
+
+    ``quantiles`` (e.g. ``(0.5, 0.95, 0.99)``) adds one metric per requested
+    quantile, named ``p50``/``p95``/``p99``. Default evaluation is
+    approx_percentile — a mergeable quantile sketch (constant memory per
+    column at any scale, the t-digest role); ``exact_quantiles=True`` uses
+    the exact percentile aggregate for oracle parity at fixture scale."""
 
     column: str = ""
     exact_distinct: bool = False
+    quantiles: tuple[float, ...] = ()
+    exact_quantiles: bool = False
     kind: str = field(default="stats", init=False)
 
     def targets(self):

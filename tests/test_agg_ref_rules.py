@@ -246,3 +246,30 @@ def test_capture_rule_nested_arrays_of_objects(spark):
     ]
     assert rows[0]["value"] == 3.0
     assert json.loads(rows[1]["value_str"]) == [{"group": "g9", "values": ["91"]}]
+
+
+def test_column_stats_quantiles(spark):
+    """Quantile metrics on ColumnStatsRule: exact mode matches the textbook
+    linear-interpolated percentile; approx mode (the mergeable-sketch scale
+    path) lands within the sketch tolerance."""
+    from mdvalidate_spark.operators.agg_rules import column_stats_metrics
+    from mdvalidate_spark.spec import ColumnStatsRule
+
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], "x double")
+    exact = column_stats_metrics(
+        df,
+        (ColumnStatsRule("st", column="x", quantiles=(0.5, 0.95, 0.99),
+                         exact_quantiles=True),),
+        "t",
+    )
+    got = {r["metric"]: r["value"] for r in exact.collect()}
+    assert got["p50"] == 50.5       # (50 + 51) / 2
+    assert abs(got["p95"] - 95.05) < 1e-9
+    assert abs(got["p99"] - 99.01) < 1e-9
+    assert got["count"] == 100.0
+
+    approx = column_stats_metrics(
+        df, (ColumnStatsRule("st", column="x", quantiles=(0.5,)),), "t"
+    )
+    a50 = {r["metric"]: r["value"] for r in approx.collect()}["p50"]
+    assert abs(a50 - 50.5) <= 1.0  # sketch accuracy at n=100
