@@ -144,6 +144,38 @@ def q_struct_meta_orders(spark, sf_dir):
     return _viol_out(row_violations(with_partition_id(o, spec), prog, "q"))
 
 
+def q_schema_drift_orders(spark, sf_dir):
+    """Runtime schema-drift violations (MalformedNodeStructure analog,
+    reference errors.rs:320-397): the real orders table checked against a
+    deliberately drifted expected schema — one missing column, one dtype
+    mismatch, two extra columns. Oracle derives the actual schema from
+    DuckDB's own catalog (DESCRIBE), so both engines introspect, not
+    enumerate."""
+    from mdvalidate_spark.operators.schema_rules import schema_violations
+    from mdvalidate_spark.spec import SchemaRule
+
+    o = _load(spark, sf_dir, "orders")
+    rule = SchemaRule(
+        "sch_orders",
+        expected=(
+            ("o_orderkey", "bigint"),
+            ("o_custkey", "bigint"),
+            ("o_orderstatus", "string"),
+            ("o_totalprice", "decimal(15,2)"),  # actual: double → dtype_mismatch
+            ("o_comment", "string"),            # absent → missing_column
+        ),
+    )
+    v = schema_violations(o, rule, "q")
+    return v.select(
+        F.col("rule_id"),
+        F.col("image_id").alias("row_key"),
+        F.col("column").alias("col_name"),
+        F.col("expected"),
+        F.col("actual"),
+        F.col("kind"),
+    )
+
+
 def q_unique_lineitem_orderkey(spark, sf_dir):
     """Duplicate-key detection on a key that IS duplicated (multi-line
     orders) — exercises the salted two-phase aggregation."""
@@ -525,6 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "row_customer": q_row_customer,
         "composite_documents": q_composite_documents,
         "struct_meta_orders": q_struct_meta_orders,
+        "schema_drift_orders": q_schema_drift_orders,
         "unique_lineitem_orderkey": q_unique_lineitem_orderkey,
         "unique_orderkey": q_unique_orderkey,
         "count_orders_per_cust": q_count_orders_per_cust,
@@ -735,6 +768,35 @@ def oracle_sql() -> dict[str, str]:
         "row_part": _ROW_PART_SQL,
         "row_customer": _ROW_CUSTOMER_SQL,
         "composite_documents": _COMPOSITE_DOCS_SQL,
+        "schema_drift_orders": """
+WITH actual AS (
+  SELECT column_name AS col,
+         CASE column_type
+           WHEN 'BIGINT' THEN 'bigint' WHEN 'DOUBLE' THEN 'double'
+           WHEN 'VARCHAR' THEN 'string' WHEN 'INTEGER' THEN 'int'
+           WHEN 'TIMESTAMP' THEN 'timestamp_ntz' WHEN 'FLOAT' THEN 'float'
+           WHEN 'BOOLEAN' THEN 'boolean' WHEN 'BLOB' THEN 'binary'
+           ELSE lower(column_type) END AS dt
+  FROM (DESCRIBE orders)
+),
+expected(col, dt) AS (VALUES
+  ('o_orderkey', 'bigint'), ('o_custkey', 'bigint'), ('o_orderstatus', 'string'),
+  ('o_totalprice', 'decimal(15,2)'), ('o_comment', 'string')
+),
+j AS (
+  SELECT e.col AS ecol, e.dt AS edt, a.col AS acol, a.dt AS adt
+  FROM expected e FULL OUTER JOIN actual a ON e.col = a.col
+)
+SELECT 'sch_orders' AS rule_id,
+       coalesce(ecol, acol) AS row_key,
+       coalesce(ecol, acol) AS col_name,
+       CASE WHEN ecol IS NULL THEN NULL ELSE edt END AS expected,
+       CASE WHEN acol IS NULL THEN NULL ELSE adt END AS actual,
+       CASE WHEN acol IS NULL THEN 'missing_column'
+            WHEN ecol IS NULL THEN 'extra_column'
+            ELSE 'dtype_mismatch' END AS kind
+FROM j WHERE acol IS NULL OR ecol IS NULL OR edt != adt
+""",
         "struct_meta_orders": """
 SELECT 'm_price' AS rule_id, CAST(o_orderkey AS VARCHAR) AS row_key,
        'meta.price' AS col_name, '[1000.0, 400000.0]' AS expected,

@@ -54,6 +54,7 @@ from .spec import (
     RefIntegrityRule,
     RegexRule,
     Rule,
+    SchemaRule as SchemaDriftRule,
     Spec,
     UniqueRule,
 )
@@ -75,6 +76,7 @@ class ConstraintProgram:
     drift_rules: tuple[DriftRule, ...] = ()
     capture_rules: tuple[CaptureRule, ...] = ()
     sequence_rules: tuple[SequenceRule, ...] = ()
+    schema_rules: tuple[SchemaDriftRule, ...] = ()
     # columns any per-partition stage needs (for pruned scans)
     scan_columns: tuple[str, ...] = field(default=())
 
@@ -198,6 +200,13 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
         if isinstance(r, UniqueRule) and not r.columns:
             raise SchemaError(f"rule {r.id!r}: unique rule needs >=1 column")
 
+        if isinstance(r, SchemaDriftRule):
+            if not r.expected:
+                raise SchemaError(f"rule {r.id!r}: schema rule needs >=1 expected column")
+            names = [n for n, _ in r.expected]
+            if len(names) != len(set(names)):
+                raise SchemaError(f"rule {r.id!r}: duplicate column in expected schema")
+
         if isinstance(r, DriftRule) and r.method not in ("ks", "psi"):
             raise SchemaError(f"rule {r.id!r}: unknown drift method {r.method!r}")
 
@@ -230,6 +239,7 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
     drift = tuple(r for r in spec.rules if isinstance(r, DriftRule))
     captures = tuple(r for r in spec.rules if isinstance(r, CaptureRule))
     sequences = tuple(r for r in spec.rules if isinstance(r, SequenceRule))
+    schema_checks = tuple(r for r in spec.rules if isinstance(r, SchemaDriftRule))
 
     scan_cols: list[str] = [spec.key_column]
     if spec.partition_column:
@@ -250,5 +260,6 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
         drift_rules=drift,
         capture_rules=captures,
         sequence_rules=sequences,
+        schema_rules=schema_checks,
         scan_columns=tuple(scan_cols),
     )

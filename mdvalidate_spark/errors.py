@@ -107,6 +107,10 @@ KIND_ORPHAN = "orphan"
 KIND_COUNT = "count"
 KIND_DRIFT = "drift"
 KIND_PIXEL = "pixel"
+# runtime schema drift — MalformedNodeStructure analog (errors.rs:320-397)
+KIND_MISSING_COLUMN = "missing_column"
+KIND_EXTRA_COLUMN = "extra_column"
+KIND_DTYPE = "dtype_mismatch"
 
 ALL_KINDS = (
     KIND_LITERAL,
@@ -121,4 +125,7 @@ ALL_KINDS = (
     KIND_COUNT,
     KIND_DRIFT,
     KIND_PIXEL,
+    KIND_MISSING_COLUMN,
+    KIND_EXTRA_COLUMN,
+    KIND_DTYPE,
 )

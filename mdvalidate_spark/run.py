@@ -123,6 +123,8 @@ class ValidationRun:
         self._violation_dfs: list[DataFrame] = []
         self._metric_dfs: list[DataFrame] = []
         self._finalized = False
+        self._schema_checked = False
+        self._schema_violations = 0
         if checkpoint_dir:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
             self._reload_persisted()
@@ -154,9 +156,35 @@ class ValidationRun:
 
     # ------------------------------------------------------------ execution
 
+    def _check_schema(self) -> int:
+        """Schema-drift rules run ONCE per run, BEFORE any data stage — the
+        reference surfaces structure errors while walking, before content
+        (nodes.rs:174-221). Driver-side metadata compare: no scan, no job;
+        recomputed (idempotently, cheaply) on resume rather than reloaded."""
+        if self._schema_checked:
+            return self._schema_violations
+        self._schema_checked = True
+        if not self.program.schema_rules:
+            return 0
+        from .operators.schema_rules import schema_violations
+
+        sv = _union(
+            [schema_violations(self.df, r, self.run_id) for r in self.program.schema_rules],
+            self.spark,
+            _VIOLATIONS_DDL,
+        )
+        self._schema_violations = sv.count()  # local rows ≤ #columns — no job cost
+        self._violation_dfs.append(sv)
+        if self.checkpoint_dir:
+            sv.write.mode("overwrite").parquet(self._sink("violations_schema"))
+        return self._schema_violations
+
     def validate_pending(self, batch_size: int | None = None) -> "ValidationRun":
         """Validate all pending partitions in batches; fast-fail stops
-        scheduling after the first batch with violations."""
+        scheduling after the first batch with violations — and schema drift,
+        checked first, fast-fails before any partition is scanned."""
+        if self._check_schema() > 0 and self.spec.fast_fail:
+            return self
         pending = self.pending_partitions()
         batch_size = batch_size or len(pending) or 1
         for start in range(0, len(pending), batch_size):
@@ -339,7 +367,9 @@ class ValidationRun:
         """One-shot: validate everything then finalize (the library one-shot
         entry, reference examples/simple.rs)."""
         self.validate_pending(batch_size)
-        if self.spec.fast_fail and self.manifest.total_violations > 0:
+        if self.spec.fast_fail and (
+            self.manifest.total_violations > 0 or self._schema_violations > 0
+        ):
             return self.report()
         return self.finalize()
 
@@ -361,8 +391,10 @@ class ValidationRun:
             "run_id string, partition_id int, status string, rows long, "
             "violations long, started_at string, finished_at string",
         )
-        errored = self.manifest.total_violations > 0 or bool(
-            getattr(self, "_global_violations", 0)
+        errored = (
+            self.manifest.total_violations > 0
+            or bool(getattr(self, "_global_violations", 0))
+            or self._schema_violations > 0
         )
         rep = Report(violations, metrics, manifest_df, errored)
         if self._finalized:

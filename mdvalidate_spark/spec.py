@@ -312,6 +312,35 @@ class SequenceRule(Rule):
         return (self.column, self.order_column, *self.group_by)
 
 
+@dataclass(frozen=True)
+class SchemaRule(Rule):
+    """Runtime schema-drift check: the DataFrame's ACTUAL schema vs the
+    declared expected (column → dtype) mapping, reported as violation rows —
+    one per drifted column — with kinds missing_column / extra_column /
+    dtype_mismatch.
+
+    The reference analog is MalformedNodeStructure (errors.rs:320-397 —
+    missing/extra child discovered while walking) and the arity mismatch in
+    the NodeVsNode dispatcher (nodes.rs:174-221): structure drift is DATA
+    failing a valid rule, not a compile error, so it lands in the violations
+    table instead of raising. (Compile-time UnknownColumnError still rejects
+    specs whose VALUE rules target absent columns.)
+
+    ``expected`` maps column name → Spark dtype simpleString (e.g. "bigint",
+    "double", "string", "struct<w:int>"); nested drift is covered because the
+    simpleString of a struct spells out its full shape. ``allow_extra=True``
+    skips the extra-column family (open-content tables)."""
+
+    expected: tuple[tuple[str, str], ...] = ()
+    allow_extra: bool = False
+    kind: str = field(default="schema", init=False)
+
+    def targets(self):
+        # validated against df.schema metadata, never against row values —
+        # naming absent columns here is the POINT, so no compile target check
+        return ()
+
+
 # ------------------------------------------------------------- global rules
 
 

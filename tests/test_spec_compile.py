@@ -142,3 +142,78 @@ def test_regex_anchoring_matches_reference():
     assert r.anchored == r"^\d+$"
     r2 = RegexRule("r", column="c", pattern=r"\d+", full=False)
     assert r2.anchored == r"^\d+"
+
+
+def test_schema_rule_violations(spark):
+    """Runtime schema drift → violation rows (MalformedNodeStructure analog,
+    errors.rs:320-397): missing / extra / dtype-mismatched columns, and dtype
+    is finally CHECKED, not just name presence."""
+    from mdvalidate_spark.operators.schema_rules import schema_violations
+    from mdvalidate_spark.spec import SchemaRule
+
+    df = spark.createDataFrame([(1, "x", 2.0)], "a bigint, b string, c double")
+    rule = SchemaRule(
+        "sch",
+        expected=(("a", "bigint"), ("b", "int"), ("d", "string")),
+    )
+    got = {r["image_id"]: r for r in schema_violations(df, rule, "t").collect()}
+    assert set(got) == {"b", "c", "d"}
+    assert got["b"]["kind"] == "dtype_mismatch"
+    assert got["b"]["expected"] == "int" and got["b"]["actual"] == "string"
+    assert got["c"]["kind"] == "extra_column" and got["c"]["actual"] == "double"
+    assert got["d"]["kind"] == "missing_column" and got["d"]["expected"] == "string"
+
+    # allow_extra drops only the extra-column family
+    rule2 = SchemaRule("sch2", expected=(("a", "bigint"), ("b", "int"), ("d", "string")),
+                       allow_extra=True)
+    kinds = {r["kind"] for r in schema_violations(df, rule2, "t").collect()}
+    assert kinds == {"dtype_mismatch", "missing_column"}
+
+
+def test_schema_rule_through_validation_run(spark):
+    """SchemaRule rides the lifecycle: checked once BEFORE any data stage,
+    counted in errored/exit_code, and fast-fail stops before scanning."""
+    from mdvalidate_spark.run import ValidationRun
+    from mdvalidate_spark.spec import RangeRule, SchemaRule, Spec
+
+    df = spark.createDataFrame([("k1", 5)], "image_id string, w int")
+    spec = Spec(
+        rules=(
+            SchemaRule("sch", expected=(("image_id", "string"), ("w", "bigint"))),
+            RangeRule("rg", column="w", min=0, max=10),
+        ),
+        key_column="image_id", n_partitions=2, fast_fail=True,
+    )
+    run = ValidationRun(spark, spec, df, run_id="schff")
+    rep = run.validate()
+    assert rep.exit_code == 1
+    rows = rep.violations.collect()
+    assert [r["kind"] for r in rows] == ["dtype_mismatch"]
+    # fast-fail before any partition scan: nothing marked validated
+    assert run.manifest.entries == {} or all(
+        e.get("rows", 0) == 0 for e in run.manifest.entries.values()
+    )
+
+    # clean schema → exit 0 and the range stage runs normally
+    ok = Spec(
+        rules=(SchemaRule("sch", expected=(("image_id", "string"), ("w", "int"))),
+               RangeRule("rg", column="w", min=0, max=10)),
+        key_column="image_id", n_partitions=2,
+    )
+    rep2 = ValidationRun(spark, ok, df, run_id="schok").validate()
+    assert rep2.exit_code == 0
+
+
+def test_schema_rule_compile_lint(spark):
+    from mdvalidate_spark.compile import compile_spec
+    from mdvalidate_spark.errors import SchemaError
+    from mdvalidate_spark.spec import SchemaRule, Spec
+
+    with pytest.raises(SchemaError):
+        compile_spec(Spec(rules=(SchemaRule("s"),), key_column="k"), ["k"])
+    with pytest.raises(SchemaError):
+        compile_spec(
+            Spec(rules=(SchemaRule("s", expected=(("a", "int"), ("a", "string"))),),
+                 key_column="k"),
+            ["k"],
+        )
