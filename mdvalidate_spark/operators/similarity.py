@@ -20,6 +20,46 @@ from pyspark.sql import functions as F
 from .dedup import cosine
 
 
+def local_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Phase 1 of scale-safe top-k: bound candidates to k per (query, INPUT
+    partition). The window key (query_id, spark_partition_id) is fine-grained
+    and uniform, so no window partition ever holds a corpus-sized score set —
+    the single-window plan shuffles every scored row into #queries partitions,
+    which at 10^12 corpus rows makes each query key a straggler/OOM. After
+    this phase at most k·P rows per query survive for the global rank."""
+    w_local = Window.partitionBy("query_id", "_p").orderBy(
+        F.col("cos_full").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("_p", F.spark_partition_id())
+        .withColumn("_lr", F.row_number().over(w_local))
+        .where(F.col("_lr") <= k)
+        .drop("_p", "_lr")
+    )
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Two-phase exact top-k over (query_id, neighbor_id, cos_full) scores:
+    local per-partition top-k (superset of the global answer by a standard
+    exchange argument), then the global window over the ≤ k·P survivors.
+    Deterministic tie-break by neighbor_id in BOTH phases keeps the result
+    identical to the single-window plan."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_full").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        local_topk(scored, k)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("cos_full"), 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
 def topk_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -47,19 +87,7 @@ def topk_bruteforce(
             cosine(F.col("qv"), F.col("cv")).alias("cos_full"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_full").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(F.col("cos_full"), 6).alias("cosine"),
-            "rank",
-        )
-    )
+    return _rank_topk(scored, k)
 
 
 def count_above_threshold(
@@ -201,13 +229,8 @@ def topk_ivf(
     scored = (
         c.join(F.broadcast(q), "cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
+        # each corpus row lives in exactly ONE cell, so a (query, neighbor)
+        # pair joins at most once even with nprobe probes — no dedup needed
         .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos_full"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_full").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cos_full", 6).alias("cosine"), "rank")
-    )
+    return _rank_topk(scored, k)

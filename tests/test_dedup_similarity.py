@@ -220,3 +220,45 @@ def test_connected_components_raises_when_unconverged(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         D.connected_components(pairs, max_iter=2).collect()
+
+
+def test_topk_two_phase_bounds_and_exactness(spark):
+    """Scale-safe top-k (VERDICT: corpus-sized window partitions): phase 1
+    bounds candidates to k per (query, input partition) — ≤ k·P rows per
+    query reach the global window — and the two-phase result is IDENTICAL to
+    the naive single-window ranking."""
+    from pyspark.sql import Window
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.repartition(8)
+    queries = emb.where(F.col("vec_id") < 5)
+    k = 3
+
+    c = corpus.select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("embedding").cast("array<double>").alias("cv"))
+    q = queries.select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").cast("array<double>").alias("qv"))
+    scored = (
+        c.join(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                D.cosine(F.col("qv"), F.col("cv")).alias("cos_full"))
+    )
+
+    # phase-1 bound: ≤ k · num input partitions rows per query
+    local = S.local_topk(scored, k)
+    n_parts = scored.rdd.getNumPartitions()
+    per_query = {r["query_id"]: r["n"] for r in
+                 local.groupBy("query_id").agg(F.count("*").alias("n")).collect()}
+    assert all(n <= k * n_parts for n in per_query.values())
+
+    # exactness: two-phase == naive single window
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_full").desc(), F.col("neighbor_id").asc())
+    naive = (scored.withColumn("rank", F.row_number().over(w))
+             .where(F.col("rank") <= k)
+             .select("query_id", "neighbor_id",
+                     F.round("cos_full", 6).alias("cosine"), "rank"))
+    got = sorted(tuple(r) for r in S.topk_bruteforce(corpus, queries, k=k).collect())
+    want = sorted(tuple(r) for r in naive.collect())
+    assert got == want
