@@ -15,6 +15,7 @@ from .errors import SchemaError
 from .spec import (
     CaptureRule,
     ColumnStatsRule,
+    CompositeRegexRule,
     CountRule,
     DomainRule,
     DriftRule,
@@ -25,6 +26,7 @@ from .spec import (
     RefIntegrityRule,
     RegexRule,
     Rule,
+    SchemaRule,
     SequenceRule,
     Spec,
     UniqueRule,
@@ -33,6 +35,7 @@ from .spec import (
 RULE_KINDS: dict[str, type] = {
     "not_null": NotNullRule,
     "regex": RegexRule,
+    "composite": CompositeRegexRule,
     "literal": LiteralRule,
     "range": RangeRule,
     "domain": DomainRule,
@@ -44,9 +47,8 @@ RULE_KINDS: dict[str, type] = {
     "stats": ColumnStatsRule,
     "drift": DriftRule,
     "pixel": PixelRule,
+    "schema": SchemaRule,
 }
-
-_LIST_FIELDS = {"values", "columns", "group_by"}
 
 
 def rule_from_dict(d: dict) -> Rule:
@@ -59,8 +61,6 @@ def rule_from_dict(d: dict) -> Rule:
     unknown = set(d) - valid
     if unknown:
         raise SchemaError(f"rule kind {kind!r}: unknown params {sorted(unknown)}")
-    for k in _LIST_FIELDS & set(d):
-        d[k] = tuple(d[k])
     if kind == "sequence" and "steps" in d:
         from .spec import SequenceStep
 
@@ -70,6 +70,12 @@ def rule_from_dict(d: dict) -> Rule:
             )
         except TypeError as e:
             raise SchemaError(f"rule kind {kind!r}: bad step: {e}") from e
+    # JSON has no tuples: coerce every remaining list param (and its inner
+    # lists, e.g. SchemaRule.expected pairs) back to tuples so the loaded
+    # rule compares equal to the saved one
+    for k, v in d.items():
+        if isinstance(v, list):
+            d[k] = tuple(tuple(x) if isinstance(x, list) else x for x in v)
     try:
         return cls(**d)
     except TypeError as e:

@@ -61,3 +61,25 @@ def test_cli_bad_spec_exit_2(tmp_path):
     with open(specp, "w") as f:
         json.dump({"rules": [{"kind": "regex", "id": "r", "column": "c", "pattern": "("}]}, f)
     assert cli.main(["--spec", specp, "--table", "/nonexistent"]) == 2
+
+
+def test_spec_roundtrip_new_rule_kinds(tmp_path):
+    """Composite / schema / quantile-stats rules survive the JSON roundtrip
+    (tuples and nested pairs restored)."""
+    from mdvalidate_spark.spec import ColumnStatsRule, CompositeRegexRule, SchemaRule, Spec
+    from mdvalidate_spark.spec_io import load_spec, save_spec
+
+    spec = Spec(
+        rules=(
+            CompositeRegexRule("c", column="u", prefix="img://",
+                               pattern=r"[0-9]{4}", suffix=".png"),
+            SchemaRule("s", expected=(("a", "bigint"), ("b", "string")),
+                       allow_extra=True),
+            ColumnStatsRule("q", column="w", quantiles=(0.5, 0.99),
+                            exact_quantiles=True),
+        ),
+        key_column="u",
+    )
+    p = str(tmp_path / "spec.json")
+    save_spec(spec, p)
+    assert load_spec(p) == spec
