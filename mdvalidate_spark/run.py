@@ -323,21 +323,35 @@ class ValidationRun:
         t0 = time.time()
         drift_futs = []
         uc_viol = None
+        pre_met = None
         n_uc = 0
-        with ThreadPoolExecutor(max_workers=1 + len(prog.drift_rules)) as pool:
+        with ThreadPoolExecutor(max_workers=2 + len(prog.drift_rules)) as pool:
             drift_futs = [
                 pool.submit(drift_ops.drift_check, self.df, dr, self.run_id)
                 for dr in prog.drift_rules
             ]
+            # the stats aggregation (the one real job among the metric
+            # frames) materializes HERE, overlapped with the unique/count and
+            # drift jobs — report-time metrics reads become cache hits
+            # instead of a trailing serial job
+            met_fut = None
+            if mets:
+                pre_met = _union(mets, self.spark, _METRICS_DDL).persist(
+                    StorageLevel.MEMORY_AND_DISK
+                )
+                met_fut = pool.submit(pre_met.count)
             if viols:
                 uc_viol = _union(viols, self.spark, _VIOLATIONS_DDL).persist(
                     StorageLevel.MEMORY_AND_DISK
                 )
                 n_uc = pool.submit(uc_viol.count).result()
             drift_results = [f.result() for f in drift_futs]
-        _prof("global pass (unique+count ∥ drift)", t0)
+            if met_fut is not None:
+                met_fut.result()
+        _prof("global pass (unique+count ∥ stats ∥ drift)", t0)
 
         viols = [uc_viol] if uc_viol is not None else []
+        mets = [pre_met] if pre_met is not None else []
         n_drift = 0
         for dv, dm in drift_results:
             viols.append(dv)
@@ -383,9 +397,14 @@ class ValidationRun:
         if self._finalized:
             # freeze the final result: one materialization, then every
             # consumer (counts, sinks, groupBys) reads the cache instead of
-            # re-running the rule stages
-            violations = violations.persist(StorageLevel.MEMORY_AND_DISK)
-            metrics = metrics.persist(StorageLevel.MEMORY_AND_DISK)
+            # re-running the rule stages. The pieces are already cached, so
+            # coalesce first — the raw union carries one partition per piece
+            # per stage (hundreds of near-empty tasks otherwise)
+            width = 2 * self.spark.sparkContext.defaultParallelism
+            violations = violations.coalesce(width).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            metrics = metrics.coalesce(width).persist(StorageLevel.MEMORY_AND_DISK)
         manifest_df = self.spark.createDataFrame(
             self.manifest.rows(),
             "run_id string, partition_id int, status string, rows long, "
