@@ -373,7 +373,9 @@ def q_windowed_count_events(spark, sf_dir):
 
 def q_drift_events_value(spark, sf_dir):
     """Drift statistics (PSI + KS) of event value for the 'error' type vs the
-    rest. approxQuantile bin edges are engine-specific → rows-only."""
+    rest, with exact percentile bin edges (exact_edges=True) — the whole
+    binned-ECDF pipeline replays in DuckDB, so the statistics are
+    value-checked. (approxQuantile remains the default scale path.)"""
     from mdvalidate_spark.operators.drift import drift_check
     from mdvalidate_spark.spec import DriftRule
 
@@ -383,18 +385,31 @@ def q_drift_events_value(spark, sf_dir):
         rule = DriftRule(
             f"drift_{method}", column="value", group_column="event_type",
             group_value="error", method=method, threshold=10.0,
+            exact_edges=True,
         )
         _, m = drift_check(ev, rule, "q")
         out.append(m.select("rule_id", "metric", F.round("value", 3).alias("value")))
     return out[0].unionByName(out[1])
 
 
+# pinned IVF centroids (8 cells × 64 dims): a fixed closed-form literal grid
+# shared verbatim by the Spark query AND the DuckDB oracle, which makes the
+# whole IVF approximation — cell assignment, nprobe pruning, in-cell ranking —
+# deterministic and value-checkable. (The kmeans path ivf_build_centroids
+# stays the production default; it is engine-hash-seeded → not SQL-oracleable.)
+_IVF_DIM = 64
+_IVF_CENTS = [
+    [((j * 31 + i * 7) % 13 - 6) / 10.0 for i in range(_IVF_DIM)] for j in range(8)
+]
+
+
 def q_topk_ivf_embeddings(spark, sf_dir):
-    """Approximate IVF top-k (cell-pruned) — rows-only (centroid seeds are
-    engine-hash-dependent)."""
+    """Approximate IVF top-k with pinned literal centroids — the identical
+    cell assignment + nprobe probe + in-cell cosine ranking replays in DuckDB
+    (oracle), so the APPROXIMATE result is value-checked, not rows-only."""
     emb = _load(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 5)
-    return S.topk_ivf(emb, q, k=3, n_cells=8, nprobe=3)
+    return S.topk_ivf(emb, q, k=3, n_cells=8, nprobe=3, centroids=_IVF_CENTS)
 
 
 def q_text_profile_documents(spark, sf_dir):
@@ -762,6 +777,105 @@ def _cos_sql() -> str:
     )
 
 
+def _drift_sql(n_bins: int = 32) -> str:
+    """DuckDB replica of the drift operator with exact_edges=True: exact
+    percentile edges of the REFERENCE slice rounded to 6 decimals, strictly-
+    increasing dedupe, bin = #(interior edges < x), per-group densities, then
+    PSI and KS on the aligned histograms (eps 1e-6, like drift.py)."""
+    qs = ", ".join(repr(i / n_bins) for i in range(n_bins + 1))
+    return f"""
+WITH base AS (
+  SELECT CAST(value AS DOUBLE) AS x,
+         (CAST(event_type AS VARCHAR) = 'error') AS probe
+  FROM events WHERE value IS NOT NULL
+),
+e AS (
+  SELECT list_sort(list_distinct(
+           list_transform(quantile_cont(x, [{qs}]), v -> round(v, 6))
+         )) AS u
+  FROM base WHERE NOT probe
+),
+inner_e AS (SELECT u[2:len(u) - 1] AS ie FROM e),
+binned AS (
+  SELECT probe, len(list_filter(ie, edge -> x > edge)) AS bin
+  FROM base, inner_e
+),
+counts AS (SELECT probe, bin, count(*) AS n FROM binned GROUP BY 1, 2),
+grid AS (SELECT unnest(range(0, len(ie) + 1)) AS bin FROM inner_e),
+d AS (
+  SELECT g.bin,
+         coalesce(p.n, 0) * 1.0
+           / (SELECT sum(n) FROM counts WHERE probe) AS dp,
+         coalesce(r.n, 0) * 1.0
+           / (SELECT sum(n) FROM counts WHERE NOT probe) AS dr
+  FROM grid g
+  LEFT JOIN (SELECT bin, n FROM counts WHERE probe) p USING (bin)
+  LEFT JOIN (SELECT bin, n FROM counts WHERE NOT probe) r USING (bin)
+)
+SELECT 'drift_psi' AS rule_id, 'psi_stat' AS metric,
+       round(sum((dp - dr) * ln((dp + 1e-6) / (dr + 1e-6))), 3) AS value
+FROM d
+UNION ALL
+SELECT 'drift_ks', 'ks_stat', round(max(abs(cp - cr)), 3)
+FROM (SELECT sum(dp) OVER (ORDER BY bin) AS cp,
+             sum(dr) OVER (ORDER BY bin) AS cr
+      FROM d)
+"""
+
+
+def _topk_ivf_sql(k: int = 3, nprobe: int = 3, n_queries: int = 5) -> str:
+    """DuckDB replica of topk_ivf with the pinned literal centroids: same
+    argmin cell assignment (tie-break: lower cell id), same nprobe nearest
+    cells per query, same cosine + (cos desc, neighbor asc) ranking."""
+    cent_rows = ",\n  ".join(
+        f"({j}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for j, c in enumerate(_IVF_CENTS)
+    )
+    sqd = (
+        "list_aggregate(list_transform(range(1, len(vv) + 1), "
+        "i -> (vv[i] - c[i]) * (vv[i] - c[i])), 'sum')"
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cents(cell, c) AS (VALUES
+  {cent_rows}
+),
+cdist AS (
+  SELECT vec_id, vv AS v, cell, {sqd} AS d
+  FROM (SELECT vec_id, v AS vv, cell, c FROM v, cents)
+),
+assign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM cdist
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id AS query_id, v AS qv, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM cdist WHERE vec_id < {n_queries}
+  ) WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_aggregate(list_transform(range(1, len(p.qv) + 1), i -> p.qv[i] * a.v[i]), 'sum')
+         / (sqrt(list_aggregate(list_transform(p.qv, x -> x * x), 'sum'))
+            * sqrt(list_aggregate(list_transform(a.v, x -> x * x), 'sum'))) AS cos_full
+  FROM qprobe p JOIN assign a ON a.cell = p.cell AND a.vec_id != p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_full,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_full DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos_full, 6) AS cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "row_orders": _ROW_ORDERS_SQL,
@@ -965,6 +1079,8 @@ SELECT a.vec_id AS query_id,
 FROM q a, v b WHERE b.vec_id != a.vec_id
 GROUP BY a.vec_id
 """,
+        "topk_ivf_embeddings": _topk_ivf_sql(3, 3, 5),
+        "drift_events_value": _drift_sql(32),
         "embedding_neardup": """
 WITH base AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

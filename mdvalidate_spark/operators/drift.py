@@ -25,19 +25,38 @@ from ..spec import DriftRule
 _EPS = 1e-6
 
 
+def _base(df: DataFrame, rule: DriftRule) -> DataFrame:
+    probe_cond = F.col(rule.group_column).cast("string") == str(rule.group_value)
+    return df.select(
+        F.col(rule.column).cast("double").alias("_x"), probe_cond.alias("_probe")
+    ).where(F.col("_x").isNotNull())
+
+
+def compute_edges(df: DataFrame, rule: DriftRule) -> list[float]:
+    """Bin edges from the REFERENCE slice — the first of the rule's two
+    driver-blocking jobs. Exposed separately so the run lifecycle can
+    PREFETCH it on a driver thread overlapped with the per-partition batch
+    stage instead of paying it serially inside finalize."""
+    qs = [i / rule.n_bins for i in range(rule.n_bins + 1)]
+    ref = _base(df, rule).where(~F.col("_probe"))
+    if rule.exact_edges:
+        # exact linear-interpolated percentiles, rounded to 6 decimals so a
+        # sub-ulp interpolation difference between engines can't flip the
+        # strict > bin comparison for a data point sitting ON an edge
+        qarr = F.array(*[F.lit(float(q)) for q in qs])
+        row = ref.agg(F.percentile(F.col("_x"), qarr).alias("e")).collect()[0]["e"]
+        return [round(float(e), 6) for e in (row or [])]
+    return ref.approxQuantile("_x", qs, 0.001)
+
+
 def _histograms(
-    df: DataFrame, rule: DriftRule
+    df: DataFrame, rule: DriftRule, edges: list[float] | None = None
 ) -> tuple[list[float], list[float], bool]:
     """Return (probe_hist, ref_hist, empty_probe) — aligned density lists
     plus whether the probe group contained no rows at all."""
-    col = rule.column
-    probe_cond = F.col(rule.group_column).cast("string") == str(rule.group_value)
-    base = df.select(
-        F.col(col).cast("double").alias("_x"), probe_cond.alias("_probe")
-    ).where(F.col("_x").isNotNull())
-
-    qs = [i / rule.n_bins for i in range(rule.n_bins + 1)]
-    edges = base.where(~F.col("_probe")).approxQuantile("_x", qs, 0.001)
+    base = _base(df, rule)
+    if edges is None:
+        edges = compute_edges(df, rule)
     # dedupe degenerate edges (constant stretches) while keeping order
     uniq: list[float] = []
     for e in edges:
@@ -84,12 +103,13 @@ def ks(probe: list[float], ref: list[float]) -> float:
 
 
 def drift_check(
-    df: DataFrame, rule: DriftRule, run_id: str
+    df: DataFrame, rule: DriftRule, run_id: str, edges: list[float] | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """Evaluate one drift rule → (violations_df, metrics_df). Tiny outputs
-    built on the driver (≤1 violation, 1 metric row)."""
+    built on the driver (≤1 violation, 1 metric row). Pass precomputed
+    ``edges`` (see compute_edges) to skip the first of the two jobs."""
     spark: SparkSession = df.sparkSession
-    probe_h, ref_h, empty_probe = _histograms(df, rule)
+    probe_h, ref_h, empty_probe = _histograms(df, rule, edges)
     stat = psi(probe_h, ref_h) if rule.method == "psi" else ks(probe_h, ref_h)
 
     metrics = spark.createDataFrame(

@@ -125,6 +125,8 @@ class ValidationRun:
         self._finalized = False
         self._schema_checked = False
         self._schema_violations = 0
+        self._drift_edge_futs: dict[str, object] = {}
+        self._drift_pool = None
         if checkpoint_dir:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
             self._reload_persisted()
@@ -185,6 +187,7 @@ class ValidationRun:
         checked first, fast-fails before any partition is scanned."""
         if self._check_schema() > 0 and self.spec.fast_fail:
             return self
+        self._prefetch_drift_edges()
         pending = self.pending_partitions()
         batch_size = batch_size or len(pending) or 1
         for start in range(0, len(pending), batch_size):
@@ -235,7 +238,11 @@ class ValidationRun:
         batch_viol = _union(viols, self.spark, _VIOLATIONS_DDL).persist(
             StorageLevel.MEMORY_AND_DISK
         )
-        batch_met = _union(mets, self.spark, _METRICS_DDL)
+        # metric frames are small aggregates — persist so report-time reads
+        # never re-run the capture groupBys / pixel derivations
+        batch_met = _union(mets, self.spark, _METRICS_DDL).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
 
         # per-partition bookkeeping in ONE aggregation each; the two collects
         # are independent → submitted concurrently (row-count scan overlaps
@@ -284,6 +291,30 @@ class ValidationRun:
         # the next report access). The checks frame is narrow; LRU handles it.
         return n_viol
 
+    def _prefetch_drift_edges(self) -> None:
+        """Launch the drift rules' bin-edge jobs on driver threads so they
+        overlap the per-partition batch stage — finalize then pays only the
+        histogram job per rule instead of two serial jobs. Spark job
+        submission from multiple driver threads is the standard pattern; the
+        edges read the full (final) table, which in the incremental model is
+        identical at prefetch time and finalize time for batch inputs."""
+        if self._drift_edge_futs or not self.program.drift_rules:
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._drift_pool = ThreadPoolExecutor(
+            max_workers=len(self.program.drift_rules),
+            thread_name_prefix="mdv-drift-edges",
+        )
+        for dr in self.program.drift_rules:
+            self._drift_edge_futs[dr.id] = self._drift_pool.submit(
+                drift_ops.compute_edges, self.df, dr
+            )
+
+    def _drift_edges(self, rule) -> list[float] | None:
+        fut = self._drift_edge_futs.get(rule.id)
+        return fut.result() if fut is not None else None
+
     def finalize(self) -> Report:
         """Global rules over the full table — the canonical EOF pass.
 
@@ -326,10 +357,14 @@ class ValidationRun:
         pre_met = None
         n_uc = 0
         with ThreadPoolExecutor(max_workers=2 + len(prog.drift_rules)) as pool:
-            drift_futs = [
-                pool.submit(drift_ops.drift_check, self.df, dr, self.run_id)
-                for dr in prog.drift_rules
-            ]
+            def _run_drift(dr):
+                # resolve the prefetched edges INSIDE the pooled task so a
+                # still-running edge job never blocks submission of the rest
+                return drift_ops.drift_check(
+                    self.df, dr, self.run_id, self._drift_edges(dr)
+                )
+
+            drift_futs = [pool.submit(_run_drift, dr) for dr in prog.drift_rules]
             # the stats aggregation (the one real job among the metric
             # frames) materializes HERE, overlapped with the unique/count and
             # drift jobs — report-time metrics reads become cache hits
@@ -349,6 +384,9 @@ class ValidationRun:
             if met_fut is not None:
                 met_fut.result()
         _prof("global pass (unique+count ∥ stats ∥ drift)", t0)
+        if self._drift_pool is not None:
+            self._drift_pool.shutdown(wait=False)
+            self._drift_pool = None
 
         viols = [uc_viol] if uc_viol is not None else []
         mets = [pre_met] if pre_met is not None else []
@@ -395,16 +433,15 @@ class ValidationRun:
         violations = _union(self._violation_dfs, self.spark, _VIOLATIONS_DDL)
         metrics = _union(self._metric_dfs, self.spark, _METRICS_DDL)
         if self._finalized:
-            # freeze the final result: one materialization, then every
-            # consumer (counts, sinks, groupBys) reads the cache instead of
-            # re-running the rule stages. The pieces are already cached, so
-            # coalesce first — the raw union carries one partition per piece
-            # per stage (hundreds of near-empty tasks otherwise)
+            # every piece (batch_viol, uc_viol, pre_met, drift rows) is
+            # already individually persisted and materialized during the run,
+            # so the union is a pure cache read — do NOT persist it again
+            # (that would write a redundant second cache). Coalesce only: the
+            # raw union carries one partition per piece per stage, costing
+            # hundreds of near-empty tasks on every downstream count
             width = 2 * self.spark.sparkContext.defaultParallelism
-            violations = violations.coalesce(width).persist(
-                StorageLevel.MEMORY_AND_DISK
-            )
-            metrics = metrics.coalesce(width).persist(StorageLevel.MEMORY_AND_DISK)
+            violations = violations.coalesce(width)
+            metrics = metrics.coalesce(width)
         manifest_df = self.spark.createDataFrame(
             self.manifest.rows(),
             "run_id string, partition_id int, status string, rows long, "

@@ -359,6 +359,10 @@ class DriftRule(Rule):
     method: str = "psi"  # 'psi' | 'ks'
     threshold: float = 0.2
     n_bins: int = 32
+    # exact_edges=True derives bin edges from the exact percentile aggregate
+    # (deterministic, cross-engine reproducible — used for oracle parity);
+    # default False uses the approxQuantile sketch (the scale path)
+    exact_edges: bool = False
     kind: str = field(default="drift", init=False)
 
     def targets(self):

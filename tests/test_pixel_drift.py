@@ -125,3 +125,42 @@ def test_drift_empty_probe_is_missing_data_violation(spark):
     assert len(rows) == 1
     assert rows[0]["expected"] == "non-empty probe group"
     assert rows[0]["actual"] == "0 rows"
+
+
+def test_drift_exact_edges_matches_numpy(spark):
+    """exact_edges=True derives bin edges from the exact percentile aggregate;
+    PSI/KS then reproduce a numpy reimplementation of the same binned-ECDF
+    pipeline bit-for-bit (this is what makes the DuckDB drift oracle a value
+    check rather than rows-only)."""
+    import math
+
+    import numpy as np
+
+    from mdvalidate_spark.operators.drift import drift_check
+    from mdvalidate_spark.spec import DriftRule
+
+    rows = [(float(i % 97) / 7.0 + (3.0 if i % 5 == 0 else 0.0),
+             "probe" if i % 4 == 0 else "rest") for i in range(2000)]
+    df = spark.createDataFrame(rows, "value double, grp string")
+    rule = DriftRule("d", column="value", group_column="grp", group_value="probe",
+                     method="psi", threshold=100.0, n_bins=8, exact_edges=True)
+    _, m = drift_check(df, rule, "t")
+    got = m.collect()[0]["value"]
+
+    x = np.array([v for v, g in rows])
+    probe = np.array([g == "probe" for v, g in rows])
+    ref = x[~probe]
+    qs = np.linspace(0, 1, 9)
+    edges = [round(float(e), 6) for e in np.quantile(ref, qs)]
+    uniq = []
+    for e in edges:
+        if not uniq or e > uniq[-1]:
+            uniq.append(e)
+    inner = uniq[1:-1]
+    def hist(vals):
+        bins = np.sum(vals[:, None] > np.array(inner)[None, :], axis=1)
+        c = np.bincount(bins, minlength=len(inner) + 1).astype(float)
+        return c / c.sum()
+    p, r = hist(x[probe]), hist(ref)
+    want = sum((pi - ri) * math.log((pi + 1e-6) / (ri + 1e-6)) for pi, ri in zip(p, r))
+    assert abs(got - want) < 1e-9
