@@ -92,7 +92,12 @@ print("RESULT " + json.dumps(results))
 spark.stop()
 """
 
-WIDTHS = (2, 8, 32)
+# every (N, 4N) pair present in WIDTHS is reported: 1→4, 2→8, 8→32.
+# The low pair matters because the host's DRAM bus saturates near 8
+# concurrent streams (see controls) — 1→4 and 2→8 are the widths where the
+# host actually grants ~4x resources, i.e. where engine scaling is observable.
+WIDTHS = (1, 2, 4, 8, 32)
+PAIRS = tuple((n, 4 * n) for n in WIDTHS if 4 * n in WIDTHS)
 
 
 def hardware_controls(reps: int = 3) -> dict:
@@ -127,10 +132,8 @@ def hardware_controls(reps: int = 3) -> dict:
     return {
         "cpu_rates": cpu,
         "mem_rates": mem,
-        "cpu_eff_2_8": cpu[8] / (4 * cpu[2]),
-        "cpu_eff_8_32": cpu[32] / (4 * cpu[8]),
-        "mem_eff_2_8": mem[8] / (4 * mem[2]),
-        "mem_eff_8_32": mem[32] / (4 * mem[8]),
+        "cpu_eff": {f"{lo}_{hi}": cpu[hi] / (4 * cpu[lo]) for lo, hi in PAIRS},
+        "mem_eff": {f"{lo}_{hi}": mem[hi] / (4 * mem[lo]) for lo, hi in PAIRS},
     }
 
 
@@ -233,17 +236,37 @@ def main():
         for i, r in enumerate(level_results[c][job])
     )
     cr, mr = ctrl["cpu_rates"], ctrl["mem_rates"]
+    pair_hdr = " | ".join(f"N={lo} → 4N={hi}" for lo, hi in PAIRS)
+    pair_sep = "|".join(["---"] * (len(PAIRS) + 1))
+    eff_rows = "\n".join(
+        f"| {label} | "
+        + " | ".join(f"**{eff(job, lo, hi):.3f}**" for lo, hi in PAIRS)
+        + " |"
+        for job, label in (("suite", "suite (with pixel)"), ("nopix", "nopix (relational)"))
+    )
+    ctl_widths_hdr = " | ".join(f"{c} procs" for c in WIDTHS)
+    ctl_pairs_hdr = " | ".join(f"eff {lo}→{hi}" for lo, hi in PAIRS)
+    cpu_row = (
+        " | ".join(f"{cr[c]:.2e}" for c in WIDTHS)
+        + " | "
+        + " | ".join(f"{ctrl['cpu_eff'][f'{lo}_{hi}']:.3f}" for lo, hi in PAIRS)
+    )
+    mem_row = (
+        " | ".join(f"{mr[c]:.2e}" for c in WIDTHS)
+        + " | "
+        + " | ".join(f"{ctrl['mem_eff'][f'{lo}_{hi}']:.3f}" for lo, hi in PAIRS)
+    )
     md = f"""# BENCH/BASELINE — two-cluster-size scaling evidence
 
 Protocol (BASELINE.md): identical jobs over SAME pre-materialized parquet
-inputs at three parallelism widths in fresh processes, giving two N→4N
-pairs. `suite` = full constraint suite (row + unique + referential + stats +
-drift + vectorized pixel stage) over {n_rows:,} rows with bytes; `nopix` =
-same minus the pixel stage (the purely relational/aggregate engine) over its
-own {n_rows_nopix:,}-row byte-free table (larger so the parallel portion
-dominates fixed job latency). Python workers warmed at FULL width; salted
-uniqueness + AQE ON; generation excluded. Best of {trials} alternating
-trials per level (shared noisy host).
+inputs at {len(WIDTHS)} parallelism widths in fresh processes, giving
+{len(PAIRS)} N→4N pairs. `suite` = full constraint suite (row + unique +
+referential + stats + drift + vectorized pixel stage) over {n_rows:,} rows
+with bytes; `nopix` = same minus the pixel stage (the purely
+relational/aggregate engine) over its own {n_rows_nopix:,}-row byte-free
+table (larger so the parallel portion dominates fixed job latency). Python
+workers warmed at FULL width; salted uniqueness + AQE ON; generation
+excluded. Best of {trials} alternating trials per level (shared noisy host).
 
 | job | parallelism | best wall (s) | best throughput (images/s) | violations |
 |---|---|---|---|---|
@@ -251,17 +274,16 @@ trials per level (shared noisy host).
 
 **Scaling efficiency (T_4N/(4·T_N)):**
 
-| job | N=2 → 4N=8 | N=8 → 4N=32 |
-|---|---|---|
-| suite (with pixel) | **{eff('suite', 2, 8):.3f}** | {eff('suite', 8, 32):.3f} |
-| nopix (relational) | **{eff('nopix', 2, 8):.3f}** | {eff('nopix', 8, 32):.3f} |
+| job | {pair_hdr} |
+|{pair_sep}|
+{eff_rows}
 
 Hardware ceilings of this shared VM (no Spark involved):
 
-| control | 2 procs | 8 procs | 32 procs | eff 2→8 | eff 8→32 |
-|---|---|---|---|---|---|
-| CPU (pure-python burn, ops/s) | {cr[2]:.2e} | {cr[8]:.2e} | {cr[32]:.2e} | {ctrl['cpu_eff_2_8']:.3f} | {ctrl['cpu_eff_8_32']:.3f} |
-| DRAM (numpy memcpy, B/s) | {mr[2]:.2e} | {mr[8]:.2e} | {mr[32]:.2e} | {ctrl['mem_eff_2_8']:.3f} | {ctrl['mem_eff_8_32']:.3f} |
+| control | {ctl_widths_hdr} | {ctl_pairs_hdr} |
+|{"|".join(["---"] * (len(WIDTHS) + len(PAIRS) + 1))}|
+| CPU (pure-python burn, ops/s) | {cpu_row} |
+| DRAM (numpy memcpy, B/s) | {mem_row} |
 
 Reading: the DRAM control shows this host's memory bus saturates near 8
 concurrent streams — a hard cap on any byte-streaming stage (the pixel
