@@ -473,8 +473,15 @@ def q_minhash_pairs_documents(spark, sf_dir):
 
 
 def q_simhash_documents(spark, sf_dir):
+    """SimHash near-dup pairs, value-checked: the portable token hash
+    (md5-derived 64-bit, identical in Spark and DuckDB) plus banding with
+    guaranteed recall (bands auto-raised to 8 > max_hamming=6) make the
+    banded-and-verified Spark pair set EQUAL to the exact all-pairs
+    Hamming-distance set the DuckDB oracle computes."""
     docs = _load(spark, sf_dir, "documents")
-    return D.simhash_duplicates(docs, max_hamming=6)
+    return D.simhash_duplicates(docs, max_hamming=6, portable=True).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
 
 
 def q_similar_count_embeddings(spark, sf_dir):
@@ -768,6 +775,48 @@ SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= {threshold}
 """
 
 
+def _simhash_sql(max_hamming: int = 6) -> str:
+    """DuckDB replica of the portable-hash SimHash operator: per-token
+    md5-derived 64-bit hash (two 32-bit hex halves — bit i is lo>>i for
+    i<32, hi>>(i-32) above), ±1 per-bit counters summed per doc, sign vector
+    as a 64-char bitstring, exact all-pairs Hamming via bit_count(xor).
+    Matches dedup.simhash64(portable=True) bit-for-bit; banding in the Spark
+    operator has guaranteed recall (bands > max_hamming), so the sets are
+    equal, not merely overlapping."""
+    norm = _NORM.format(t="text")
+    toks = _TOKENS.format(t=norm)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({toks}) AS tok
+  FROM documents WHERE len({norm}) > 0
+),
+th AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT) AS hi,
+         CAST(concat('0x', substring(md5(tok), 9, 8)) AS BIGINT) AS lo
+  FROM toks
+),
+bits AS (
+  SELECT doc_id, i.i AS i,
+         sum(CASE WHEN ((CASE WHEN i.i < 32 THEN lo >> i.i
+                              ELSE hi >> (i.i - 32) END) & 1) = 1
+                  THEN 1 ELSE -1 END) AS c
+  FROM th, (SELECT unnest(generate_series(0, 63)) AS i) i
+  GROUP BY doc_id, i.i
+),
+sig AS (
+  SELECT doc_id, string_agg(CASE WHEN c > 0 THEN '1' ELSE '0' END, ''
+                            ORDER BY i) AS s
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(CAST(a.s AS BIT), CAST(b.s AS BIT))) AS INTEGER)
+         AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(CAST(a.s AS BIT), CAST(b.s AS BIT))) <= {max_hamming}
+"""
+
+
 def _cos_sql() -> str:
     # explicit double dot product in list order (matches Spark's aggregate
     # over zip_with, which also folds left-to-right)
@@ -1046,6 +1095,7 @@ FROM documents GROUP BY 1 HAVING count(*) > 1
         # fixture pair set (asserted in tests), so the exact all-pairs SQL is
         # a true value oracle, not just a row count
         "minhash_pairs_documents": _ngram_jaccard_sql(0.5, 3),
+        "simhash_documents": _simhash_sql(6),
         "dup_clusters_documents": f"""
 WITH RECURSIVE
 p AS ({_ngram_jaccard_sql(0.5, 3)}),

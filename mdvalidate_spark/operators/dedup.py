@@ -283,19 +283,34 @@ def ngram_jaccard_pairs(
 # ----------------------------------------------------------------- simhash
 
 
-def simhash64(text: Column) -> Column:
+def simhash64(text: Column, portable: bool = False) -> Column:
     """64-bit SimHash of the whitespace tokens, entirely in column algebra.
 
     Each token hashes to 64 bits; bit b contributes +1/−1 to counter b; the
     sign vector packs back into a long. Implemented as aggregate() over the
     token array with a 64-slot int array accumulator — one pass, no explode,
     no shuffle, no UDF.
+
+    portable=True swaps the token hash from xxhash64 (JVM-only) to a 64-bit
+    value assembled from the first 16 hex chars of md5 — md5 produces
+    identical bytes in Spark and DuckDB, so the whole signature (and any
+    Hamming distance computed from it) is reproducible in an external SQL
+    oracle. Two 32-bit conv() halves avoid the signed-long overflow a single
+    16-hex-char conv would hit.
     """
     toks = tokens(normalize_text(text))
     zeros = F.array_repeat(F.lit(0), 64)
 
+    def tok_hash(tok):
+        if not portable:
+            return F.xxhash64(tok)
+        md = F.md5(tok)
+        hi = F.conv(F.substring(md, 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(md, 9, 8), 16, 10).cast("long")
+        return F.shiftleft(hi, 32).bitwiseOR(lo)
+
     def add_token(acc, tok):
-        h = F.xxhash64(tok)
+        h = tok_hash(tok)
         # getbit accepts a column bit position (shiftright does not)
         return F.transform(
             acc, lambda c, i: c + (F.getbit(h, i) * 2 - 1)
@@ -325,10 +340,25 @@ def simhash_duplicates(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     bands: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """SimHash near-dup: pigeonhole banding (any pair within Hamming distance
-    < bands must agree exactly on ≥1 of the `bands` 16-bit chunks) → bucket
-    join → verify popcount(xor) ≤ max_hamming."""
+    < bands must agree exactly on ≥1 of the `bands` equal-width chunks) →
+    bucket join → verify popcount(xor) ≤ max_hamming.
+
+    The pigeonhole guarantee requires bands > max_hamming (max_hamming bit
+    flips can touch at most max_hamming chunks, leaving ≥1 chunk identical);
+    a caller-supplied bands that is too small for its max_hamming would
+    silently miss pairs, so it is raised to the next divisor of 64 that
+    restores full recall.
+
+    Zero-token documents are excluded: their signature is the all-zeros
+    vector, which would declare every pair of empty documents a near-dup of
+    each other (and of any doc whose counters happen to tie to 0) — noise,
+    not signal.
+    """
+    if bands <= max_hamming:
+        bands = next(b for b in (2, 4, 8, 16, 32, 64) if b > max_hamming)
     width = 64 // bands
 
     from pyspark.storagelevel import StorageLevel
@@ -337,7 +367,11 @@ def simhash_duplicates(
 
     sims = (
         ensure_parallelism(df)
-        .select(F.col(id_col).alias("doc_id"), simhash64(F.col(text_col)).alias("sim"))
+        .where(F.length(normalize_text(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            simhash64(F.col(text_col), portable=portable).alias("sim"),
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     chunk_structs = F.array(

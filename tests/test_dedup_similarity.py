@@ -75,6 +75,60 @@ def test_simhash_identical_and_near(spark, corpus):
     assert (1, 101) in pairs  # one-word edit → few bits
 
 
+def test_simhash_banding_full_recall(spark, corpus):
+    """The pigeonhole bound needs bands > max_hamming; simhash_duplicates
+    must auto-raise an undersized bands so the banded set EQUALS the exact
+    all-pairs Hamming set (here computed by brute-force cross join)."""
+    for portable in (False, True):
+        sigs = corpus.where(F.length(F.col("text")) > 0).select(
+            "doc_id", D.simhash64(F.col("text"), portable=portable).alias("sim")
+        )
+        a = sigs.select(F.col("doc_id").alias("id_a"), F.col("sim").alias("sa"))
+        b = sigs.select(F.col("doc_id").alias("id_b"), F.col("sim").alias("sb"))
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in a.crossJoin(b)
+            .where(F.col("id_a") < F.col("id_b"))
+            .where(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= 6)
+            .collect()
+        }
+        # bands=4 is undersized for max_hamming=6 → must be auto-raised to 8
+        banded = {
+            (r["id_a"], r["id_b"])
+            for r in D.simhash_duplicates(
+                corpus, max_hamming=6, bands=4, portable=portable
+            ).collect()
+        }
+        assert banded == exact
+
+
+def test_simhash_portable_matches_duckdb(spark):
+    """portable=True must be bit-for-bit reproducible outside Spark: the
+    md5-derived token hash and sign-vector packing are recomputed in DuckDB
+    (the driver's oracle engine) and the pair sets compared."""
+    duckdb = pytest.importorskip("duckdb")
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    if not Path(sf, "documents.parquet").exists():
+        pytest.skip("testdata not present")
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    oracle = {
+        (r[0], r[1]): r[2]
+        for r in con.sql(entry.oracle_sql()["simhash_documents"]).fetchall()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in entry.queries()["simhash_documents"](spark, sf).collect()
+    }
+    assert got == oracle
+
+
 def test_embedding_near_duplicates_planted(spark):
     import random
 
