@@ -387,7 +387,7 @@ def q_drift_events_value(spark, sf_dir):
             group_value="error", method=method, threshold=10.0,
             exact_edges=True,
         )
-        _, m = drift_check(ev, rule, "q")
+        _, m, _n = drift_check(ev, rule, "q")
         out.append(m.select("rule_id", "metric", F.round("value", 3).alias("value")))
     return out[0].unionByName(out[1])
 

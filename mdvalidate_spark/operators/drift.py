@@ -104,10 +104,13 @@ def ks(probe: list[float], ref: list[float]) -> float:
 
 def drift_check(
     df: DataFrame, rule: DriftRule, run_id: str, edges: list[float] | None = None
-) -> tuple[DataFrame, DataFrame]:
-    """Evaluate one drift rule → (violations_df, metrics_df). Tiny outputs
-    built on the driver (≤1 violation, 1 metric row). Pass precomputed
-    ``edges`` (see compute_edges) to skip the first of the two jobs."""
+) -> tuple[DataFrame, DataFrame, int]:
+    """Evaluate one drift rule → (violations_df, metrics_df, n_violations).
+    Tiny outputs built on the driver (≤1 violation, 1 metric row), so the
+    violation count is returned as a plain int — callers must not pay a
+    Spark job to count a frame whose rows were assembled driver-side. Pass
+    precomputed ``edges`` (see compute_edges) to skip the first of the two
+    jobs."""
     spark: SparkSession = df.sparkSession
     probe_h, ref_h, empty_probe = _histograms(df, rule, edges)
     stat = psi(probe_h, ref_h) if rule.method == "psi" else ks(probe_h, ref_h)
@@ -152,4 +155,4 @@ def drift_check(
         "run_id string, partition_id int, rule_id string, image_id string, "
         "column string, expected string, actual string, kind string",
     )
-    return violations, metrics
+    return violations, metrics, len(viol_rows)

@@ -356,7 +356,27 @@ class ValidationRun:
         uc_viol = None
         pre_met = None
         n_uc = 0
-        with ThreadPoolExecutor(max_workers=2 + len(prog.drift_rules)) as pool:
+        # consolidate the accumulated per-batch pieces into ONE compact
+        # cached frame each, materialized CONCURRENTLY with the global jobs:
+        # the union of dozens of 64-partition batch caches is expensive to
+        # re-analyze and re-scan on every report access (hundreds of
+        # near-empty tasks + a large plan), and that cost is width-
+        # independent — pure Amdahl serial time at 4N. Paying it once here,
+        # hidden behind the unique/stats/drift jobs, makes report-time
+        # counts a ~width·2-task cached scan.
+        width = 2 * self.spark.sparkContext.defaultParallelism
+        old_viols, old_mets = list(self._violation_dfs), list(self._metric_dfs)
+        batch_viol_c = (
+            _union(old_viols, self.spark, _VIOLATIONS_DDL)
+            .coalesce(width)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        batch_met_c = (
+            _union(old_mets, self.spark, _METRICS_DDL)
+            .coalesce(width)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        with ThreadPoolExecutor(max_workers=4 + len(prog.drift_rules)) as pool:
             def _run_drift(dr):
                 # resolve the prefetched edges INSIDE the pooled task so a
                 # still-running edge job never blocks submission of the rest
@@ -365,6 +385,8 @@ class ValidationRun:
                 )
 
             drift_futs = [pool.submit(_run_drift, dr) for dr in prog.drift_rules]
+            bv_fut = pool.submit(batch_viol_c.count)
+            bm_fut = pool.submit(batch_met_c.count)
             # the stats aggregation (the one real job among the metric
             # frames) materializes HERE, overlapped with the unique/count and
             # drift jobs — report-time metrics reads become cache hits
@@ -383,17 +405,23 @@ class ValidationRun:
             drift_results = [f.result() for f in drift_futs]
             if met_fut is not None:
                 met_fut.result()
-        _prof("global pass (unique+count ∥ stats ∥ drift)", t0)
+            bv_fut.result()
+            bm_fut.result()
+        _prof("global pass (unique+count ∥ stats ∥ drift ∥ consolidate)", t0)
         if self._drift_pool is not None:
             self._drift_pool.shutdown(wait=False)
             self._drift_pool = None
+        # the consolidated frames now hold the data — release the per-batch
+        # piece caches (their checkpoint parquet, if any, is already written)
+        for piece in old_viols + old_mets:
+            piece.unpersist()  # no-op on never-persisted pieces (schema sv)
 
         viols = [uc_viol] if uc_viol is not None else []
         mets = [pre_met] if pre_met is not None else []
         n_drift = 0
-        for dv, dm in drift_results:
+        for dv, dm, n_dv in drift_results:
             viols.append(dv)
-            n_drift += dv.count()  # driver-local rows (≤1 per rule) — no job
+            n_drift += n_dv  # counted driver-side when the rows were built
             mets.append(dm)
 
         g_viol = _union(viols, self.spark, _VIOLATIONS_DDL).persist(
@@ -403,8 +431,8 @@ class ValidationRun:
         n_global = n_uc + n_drift
 
         self._persist_global(g_viol, g_met)
-        self._violation_dfs.append(g_viol)
-        self._metric_dfs.append(g_met)
+        self._violation_dfs = [batch_viol_c, g_viol]
+        self._metric_dfs = [batch_met_c, g_met]
 
         for pid in self.all_partitions():
             if pid in self.manifest.entries:
@@ -430,18 +458,12 @@ class ValidationRun:
     def report(self) -> Report:
         if getattr(self, "_cached_report", None) is not None:
             return self._cached_report
+        # post-finalize this is a 2-frame union (consolidated batch cache +
+        # small global cache) — already compact and fully materialized, so
+        # report reads are cache hits with a trivial plan. Pre-finalize
+        # (incremental inspection mid-run) it is the raw piece list.
         violations = _union(self._violation_dfs, self.spark, _VIOLATIONS_DDL)
         metrics = _union(self._metric_dfs, self.spark, _METRICS_DDL)
-        if self._finalized:
-            # every piece (batch_viol, uc_viol, pre_met, drift rows) is
-            # already individually persisted and materialized during the run,
-            # so the union is a pure cache read — do NOT persist it again
-            # (that would write a redundant second cache). Coalesce only: the
-            # raw union carries one partition per piece per stage, costing
-            # hundreds of near-empty tasks on every downstream count
-            width = 2 * self.spark.sparkContext.defaultParallelism
-            violations = violations.coalesce(width)
-            metrics = metrics.coalesce(width)
         manifest_df = self.spark.createDataFrame(
             self.manifest.rows(),
             "run_id string, partition_id int, status string, rows long, "

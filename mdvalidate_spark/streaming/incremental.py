@@ -159,7 +159,7 @@ class FileIncrementalValidator:
                     agg_rules.column_stats_metrics(df, prog.stats_rules, self.run_id)
                 )
             for dr in prog.drift_rules:
-                dv, dm = drift_ops.drift_check(df, dr, self.run_id)
+                dv, dm, _n = drift_ops.drift_check(df, dr, self.run_id)
                 viols.append(dv)
                 mets.append(dm)
         return (

@@ -74,7 +74,7 @@ def test_drift_fires_on_shifted_partition(spark, images):
         "dr", column="w", group_column="partition_id", group_value="7",
         method="psi", threshold=0.2,
     )
-    v, m = drift_ops.drift_check(images, rule, "t")
+    v, m, _ = drift_ops.drift_check(images, rule, "t")
     assert v.count() == 1
     stat = m.where("metric = 'psi_stat'").first()["value"]
     assert stat > 0.2
@@ -86,7 +86,7 @@ def test_drift_quiet_on_undrifted_partition(spark, images):
         "dr", column="h", group_column="partition_id", group_value="3",
         method="psi", threshold=0.2,
     )
-    v, m = drift_ops.drift_check(clean, rule, "t")
+    v, m, _ = drift_ops.drift_check(clean, rule, "t")
     assert v.count() == 0
 
 
@@ -95,7 +95,7 @@ def test_ks_statistic_on_shifted_partition(spark, images):
         "dr", column="w", group_column="partition_id", group_value="7",
         method="ks", threshold=0.1,
     )
-    v, m = drift_ops.drift_check(images, rule, "t")
+    v, m, _ = drift_ops.drift_check(images, rule, "t")
     stat = m.first()["value"]
     assert 0.1 < stat <= 1.0
     assert v.count() == 1
@@ -120,7 +120,7 @@ def test_drift_empty_probe_is_missing_data_violation(spark):
     )
     rule = DriftRule("d", column="v", group_column="g", group_value="absent",
                      method="psi", threshold=0.2)
-    viol, _ = drift_check(df, rule, "r")
+    viol, _, _n = drift_check(df, rule, "r")
     rows = viol.collect()
     assert len(rows) == 1
     assert rows[0]["expected"] == "non-empty probe group"
@@ -144,7 +144,7 @@ def test_drift_exact_edges_matches_numpy(spark):
     df = spark.createDataFrame(rows, "value double, grp string")
     rule = DriftRule("d", column="value", group_column="grp", group_value="probe",
                      method="psi", threshold=100.0, n_bins=8, exact_edges=True)
-    _, m = drift_check(df, rule, "t")
+    _, m, _n = drift_check(df, rule, "t")
     got = m.collect()[0]["value"]
 
     x = np.array([v for v, g in rows])
