@@ -1,9 +1,10 @@
 """spark-submit entry point (the `mdv schema.md input.md [--fast-fail]` CLI
 reborn, reference: src/main.rs:16-48 / cmd.rs:136-179).
 
-Launch on a cluster:
+Launch on a cluster (build the artifacts with `python tools/package_pyfiles.py`
+— spark-submit takes a driver script, not a module):
 
-    spark-submit --py-files mdvalidate_spark.zip -m mdvalidate_spark.cli \\
+    spark-submit --py-files dist/mdvalidate_spark.zip dist/submit_main.py \\
         --spec spec.json --table s3://bucket/images \\
         --dim dim_source=s3://bucket/dims/source \\
         --checkpoint s3://bucket/ckpt/run42 --run-id run42 \\
