@@ -243,6 +243,33 @@ def q_capture_orders_priority(spark, sf_dir):
     )
 
 
+def q_capture_rows_orders(spark, sf_dir):
+    """Scale-path captures: same extraction as capture_orders_priority but
+    emitted as ordered ROWS with an explicit per-partition rank (sort-based
+    window, spills) instead of one collect_list array per partition — the
+    variant that stays safe when a hot partition's captures exceed a task's
+    heap. Oracle = DuckDB row_number over the identically filtered set."""
+    from mdvalidate_spark.operators.agg_rules import capture_rows
+    from mdvalidate_spark.spec import CaptureRule, Spec
+
+    o = _load(spark, sf_dir, "orders").where(F.col("o_custkey") < 50)
+    df = with_partition_id(
+        o, Spec(key_column="o_orderkey", partition_column="o_custkey")
+    )
+    m = capture_rows(
+        df,
+        (CaptureRule("prio", column="o_orderpriority", pattern="^([0-9])-",
+                     order_column="o_orderkey"),),
+        "q",
+        "o_orderkey",
+    )
+    return m.select(
+        F.col("partition_id").cast("long").alias("o_custkey"),
+        F.col("rank"),
+        F.col("value").alias("prio"),
+    )
+
+
 def q_sequence_lineitem_shipmode(spark, sf_dir):
     """Ordered disjoint consumption (the ListVsList analog): per order,
     lineitems ordered by l_linenumber — line 1 may carry any return flag,
@@ -586,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ref_lineitem_orders": q_ref_lineitem_orders,
         "ref_orders_customer": q_ref_orders_customer,
         "capture_orders_priority": q_capture_orders_priority,
+        "capture_rows_orders": q_capture_rows_orders,
         "sequence_lineitem_shipmode": q_sequence_lineitem_shipmode,
         "stats_lineitem": q_stats_lineitem,
         "group_profile_lineitem": q_group_profile_lineitem,
@@ -1021,6 +1049,14 @@ UNION ALL
 SELECT 'seq_flag', CAST(l_orderkey AS VARCHAR),
        'sequence length in [1, 6]', CAST(n AS VARCHAR), 'count'
 FROM ranked WHERE rnk = 1 AND (n < 1 OR n > 6)
+""",
+        "capture_rows_orders": """
+SELECT o_custkey,
+       CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey)
+            AS BIGINT) AS rank,
+       regexp_extract(o_orderpriority, '^([0-9])-', 1) AS prio
+FROM orders
+WHERE o_custkey < 50 AND regexp_matches(o_orderpriority, '^([0-9])-')
 """,
         "capture_orders_priority": """
 SELECT o_custkey,

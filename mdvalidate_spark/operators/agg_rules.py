@@ -320,3 +320,67 @@ def capture_metrics(
     from functools import reduce
 
     return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+def capture_rows(df: DataFrame, rules, run_id: str, key_column: str) -> DataFrame:
+    """Scale-path capture executor: one ROW per capture with an explicit
+    per-partition rank, instead of one array per partition.
+
+    ``capture_metrics`` materializes each partition's full capture array
+    inside a hash-aggregation buffer — the reference-shaped matches-JSON
+    semantics (tables.rs:294-366) — but that array must fit a single task's
+    heap, so at 10^12-row scale a hot partition is an OOM risk. This variant
+    preserves the same document-order guarantee through a sort-based window
+    (row_number over partition_id, ordered by the rule's order column),
+    which SPILLS to disk instead of buffering, and emits ordered rows a
+    downstream consumer can page through or re-assemble lazily. Rules with
+    ``group_by`` rank within (partition, group). Pick ``capture_metrics``
+    for the compact JSON report, ``capture_rows`` when captures per
+    partition are unbounded.
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    ddl = (
+        "run_id string, partition_id int, rule_id string, group_key string, "
+        "rank long, value string"
+    )
+    if not rules:
+        return df.sparkSession.createDataFrame([], ddl)
+
+    outs: list[DataFrame] = []
+    for r in rules:
+        order_col = r.order_column or key_column
+        cap = F.regexp_extract(F.col(r.column), r.pattern, r.group)
+        matched = F.col(r.column).isNotNull() & (cap != "")
+        if r.group_by:
+            gkey = F.concat_ws(
+                "\x01",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+                    for c in r.group_by
+                ],
+            )
+            w = Window.partitionBy("partition_id", "_g").orderBy(F.col(order_col))
+        else:
+            gkey = F.lit(None).cast("string")
+            w = Window.partitionBy("partition_id").orderBy(F.col(order_col))
+        outs.append(
+            df.where(matched)
+            .select(
+                F.col("partition_id"),
+                gkey.alias("_g"),
+                F.col(order_col).alias(order_col),
+                cap.alias("_v"),
+            )
+            .select(
+                F.lit(run_id).alias("run_id"),
+                F.col("partition_id").cast("int"),
+                F.lit(r.id).alias("rule_id"),
+                F.col("_g").alias("group_key"),
+                F.row_number().over(w).cast("long").alias("rank"),
+                F.col("_v").alias("value"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs)

@@ -250,8 +250,11 @@ class CaptureRule(Rule):
     ``order_column`` (default: the spec key), value = capture count.
 
     Scale note: one groupBy(partition_id) with sort_array(collect_list) —
-    array size bounded by partition row count; for unbounded captures use
-    ColumnStatsRule (sketches) instead."""
+    the per-partition capture array lives in ONE aggregation buffer, so it
+    must fit a single task's heap (budget ≈ partition row count × match
+    rate × capture width). When captures per partition are unbounded, use
+    ``agg_rules.capture_rows`` (same ordering via a sort-based window that
+    spills, one row per capture) or ColumnStatsRule (sketches) instead."""
 
     column: str = ""
     pattern: str = ""

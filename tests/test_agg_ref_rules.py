@@ -273,3 +273,71 @@ def test_column_stats_quantiles(spark):
     )
     a50 = {r["metric"]: r["value"] for r in approx.collect()}["p50"]
     assert abs(a50 - 50.5) <= 1.0  # sketch accuracy at n=100
+
+
+def test_capture_rows_matches_capture_metrics(spark):
+    """capture_rows (scale path: sort-based window, spills) must agree with
+    capture_metrics (collect_list arrays) on ordering and content — same
+    fixture, re-assembled rows == the JSON arrays."""
+    import json
+
+    from mdvalidate_spark.operators.agg_rules import capture_metrics, capture_rows
+    from mdvalidate_spark.spec import CaptureRule
+
+    df = spark.createDataFrame(
+        [
+            ("k3", 0, "v=30"),
+            ("k1", 0, "v=10"),
+            ("k2", 0, "no match here"),
+            ("k4", 1, "v=40"),
+            ("k5", 1, None),
+            ("k6", 1, "v=60"),
+        ],
+        "k string, partition_id int, txt string",
+    ).repartition(4)
+    rules = (CaptureRule("cap", column="txt", pattern=r"v=(\d+)"),)
+    arrays = {
+        r["partition_id"]: json.loads(r["value_str"])
+        for r in capture_metrics(df, rules, "r", "k").collect()
+    }
+    rows = capture_rows(df, rules, "r", "k").collect()
+    reassembled: dict[int, list[tuple[int, str]]] = {}
+    for r in rows:
+        assert r["rule_id"] == "cap" and r["group_key"] is None
+        reassembled.setdefault(r["partition_id"], []).append((r["rank"], r["value"]))
+    got = {
+        pid: [v for _, v in sorted(pairs)] for pid, pairs in reassembled.items()
+    }
+    assert got == arrays
+    # ranks are 1..n dense per partition
+    for pid, pairs in reassembled.items():
+        assert sorted(rk for rk, _ in pairs) == list(range(1, len(pairs) + 1))
+
+
+def test_capture_rows_grouped(spark):
+    """group_by ranks within (partition, group) independently."""
+    from mdvalidate_spark.operators.agg_rules import capture_rows
+    from mdvalidate_spark.spec import CaptureRule
+
+    df = spark.createDataFrame(
+        [
+            ("k1", 0, "g1", "v=1"),
+            ("k2", 0, "g1", "v=2"),
+            ("k3", 0, "g2", "v=3"),
+            ("k4", 0, "g2", "v=4"),
+        ],
+        "k string, partition_id int, g string, txt string",
+    )
+    rows = capture_rows(
+        df,
+        (CaptureRule("cap", column="txt", pattern=r"v=(\d+)", group_by=("g",)),),
+        "r",
+        "k",
+    ).collect()
+    by_group: dict[str, list[tuple[int, str]]] = {}
+    for r in rows:
+        by_group.setdefault(r["group_key"], []).append((r["rank"], r["value"]))
+    assert {g: sorted(p) for g, p in by_group.items()} == {
+        "g1": [(1, "1"), (2, "2")],
+        "g2": [(1, "3"), (2, "4")],
+    }

@@ -296,6 +296,13 @@ DRAM, so the N→4N criterion applies without this confound — every stage
 is embarrassingly parallel (per-file native pixel scan, map-side row
 rules, salted two-phase aggregation, sketch-merge stats).
 
+An efficiency slightly above 1.0 is measurement noise, not engine magic:
+this is a shared VM with CPU-steal bursts, and when every trial of a
+NARROW level lands in a throttled window its best wall-clock is inflated,
+which inflates the ratio. The per-trial table below is the raw evidence;
+the CPU control (engine-free) bounds true parallel speedup at ~0.96-1.0
+per pair, so read any engine number above that as narrow-side throttling.
+
 All trials:
 
 | run | wall-clock (s) | throughput (images/s) |
