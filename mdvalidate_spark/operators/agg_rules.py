@@ -195,6 +195,28 @@ def column_stats_metrics(
     return long
 
 
+def _capture_exprs(r, key_column: str):
+    """Shared capture expressions for capture_metrics and capture_rows —
+    one definition of the match predicate, NULL sentinel, and group-key
+    separator, so the array-report path and the ordered-rows path can never
+    silently desynchronize (their output parity is asserted by tests)."""
+    order_col = r.order_column or key_column
+    cap = F.regexp_extract(F.col(r.column), r.pattern, r.group)
+    matched = F.col(r.column).isNotNull() & (cap != "")
+    gkey = (
+        F.concat_ws(
+            "\x01",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+                for c in r.group_by
+            ],
+        )
+        if r.group_by
+        else F.lit(None).cast("string")
+    )
+    return order_col, cap, matched, gkey
+
+
 def capture_metrics(
     df: DataFrame, rules, run_id: str, key_column: str
 ) -> DataFrame:
@@ -223,9 +245,7 @@ def capture_metrics(
     if flat_rules:
         aggs = []
         for r in flat_rules:
-            order_col = r.order_column or key_column
-            cap = F.regexp_extract(F.col(r.column), r.pattern, r.group)
-            matched = F.col(r.column).isNotNull() & (cap != "")
+            order_col, cap, matched, _ = _capture_exprs(r, key_column)
             pair = F.when(matched, F.struct(F.col(order_col).alias("k"), cap.alias("v")))
             aggs.append(
                 F.sort_array(F.collect_list(pair)).getField("v").alias(f"{r.id}__vals")
@@ -265,14 +285,8 @@ def capture_metrics(
     # (partition, group); level 2 = ordered array of {group, values} objects
     # per partition — two groupBys, JSON shape [{"group": g, "values": [...]}]
     for r in nested_rules:
-        order_col = r.order_column or key_column
-        cap = F.regexp_extract(F.col(r.column), r.pattern, r.group)
-        matched = F.col(r.column).isNotNull() & (cap != "")
+        order_col, cap, matched, gkey = _capture_exprs(r, key_column)
         pair = F.when(matched, F.struct(F.col(order_col).alias("k"), cap.alias("v")))
-        gkey = F.concat_ws(
-            "\x01",
-            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL")) for c in r.group_by],
-        )
         order_key = F.col(order_col)
         level1 = (
             df.select(
@@ -351,21 +365,13 @@ def capture_rows(df: DataFrame, rules, run_id: str, key_column: str) -> DataFram
 
     outs: list[DataFrame] = []
     for r in rules:
-        order_col = r.order_column or key_column
-        cap = F.regexp_extract(F.col(r.column), r.pattern, r.group)
-        matched = F.col(r.column).isNotNull() & (cap != "")
-        if r.group_by:
-            gkey = F.concat_ws(
-                "\x01",
-                *[
-                    F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
-                    for c in r.group_by
-                ],
-            )
-            w = Window.partitionBy("partition_id", "_g").orderBy(F.col(order_col))
-        else:
-            gkey = F.lit(None).cast("string")
-            w = Window.partitionBy("partition_id").orderBy(F.col(order_col))
+        order_col, cap, matched, gkey = _capture_exprs(r, key_column)
+        # tie-break on the capture value itself: capture_metrics sorts
+        # struct(order, value), so equal order keys fall back to value order
+        # there — without the same fallback here, row_number() on ties is
+        # shuffle-layout-dependent and the two paths diverge
+        part_cols = ["partition_id", "_g"] if r.group_by else ["partition_id"]
+        w = Window.partitionBy(*part_cols).orderBy(F.col(order_col), F.col("_v"))
         outs.append(
             df.where(matched)
             .select(

@@ -357,6 +357,11 @@ def simhash_duplicates(
     each other (and of any doc whose counters happen to tie to 0) — noise,
     not signal.
     """
+    if max_hamming >= 64:
+        raise ValueError(
+            f"max_hamming={max_hamming}: a 64-bit signature cannot give a "
+            "recall guarantee for Hamming distances >= 64"
+        )
     if bands <= max_hamming:
         bands = next(b for b in (2, 4, 8, 16, 32, 64) if b > max_hamming)
     width = 64 // bands
@@ -532,18 +537,17 @@ def connected_components(
         .localCheckpoint()
     )
 
-    changed = 0
-    for _ in range(max_iter):
+    def _round(cur):
         # ONE shuffle per round: each node's own label (flagged) unioned with
         # every neighbor's label, aggregated to (new = min of all, old = own)
         # — change detection rides the same frame instead of a second join.
         # localCheckpoint truncates lineage so round N's plan doesn't carry
         # N-1 joins (analysis time would grow superlinearly otherwise).
         msgs = (
-            edges.join(labels, edges["src"] == labels["node"])
+            edges.join(cur, edges["src"] == cur["node"])
             .select(F.col("dst").alias("node"), "component", F.lit(False).alias("_own"))
         )
-        own = labels.select("node", "component", F.lit(True).alias("_own"))
+        own = cur.select("node", "component", F.lit(True).alias("_own"))
         agg = (
             own.unionByName(msgs)
             .groupBy("node")
@@ -553,10 +557,20 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = agg.where(F.col("component") != F.col("_old")).count()
-        labels = agg.select("node", "component")
+        n = agg.where(F.col("component") != F.col("_old")).count()
+        return agg.select("node", "component"), n
+
+    changed = 0
+    for _ in range(max_iter):
+        labels, changed = _round(labels)
         if changed == 0:
             break
+    if changed > 0:
+        # changed > 0 on the LAST allowed round only proves the round before
+        # it wasn't fixpoint — the labels may have converged exactly on that
+        # round. One confirming round distinguishes "converged at the wire"
+        # (accept) from "genuinely still propagating" (refuse).
+        labels, changed = _round(labels)
     edges.unpersist()
     if changed > 0:
         # exiting the loop before fixpoint would silently return SPLIT

@@ -306,14 +306,36 @@ class ValidationRun:
             max_workers=len(self.program.drift_rules),
             thread_name_prefix="mdv-drift-edges",
         )
-        for dr in self.program.drift_rules:
-            self._drift_edge_futs[dr.id] = self._drift_pool.submit(
-                drift_ops.compute_edges, self.df, dr
+
+        def _edge_job(dr):
+            # job group is thread-local: tag the prefetch scans so a
+            # fast-fail can cancel them instead of letting full-table
+            # quantile jobs run to completion after the run already died
+            self.spark.sparkContext.setJobGroup(
+                f"mdv-drift-edges-{self.run_id}",
+                "drift bin-edge prefetch",
+                interruptOnCancel=True,
             )
+            return drift_ops.compute_edges(self.df, dr)
+
+        for dr in self.program.drift_rules:
+            self._drift_edge_futs[dr.id] = self._drift_pool.submit(_edge_job, dr)
+
+    def _cancel_drift_prefetch(self) -> None:
+        """Fast-fail cleanup: cancel queued edge jobs, interrupt running
+        ones, and release the pool's non-daemon threads (otherwise they keep
+        scanning the full table and delay interpreter exit)."""
+        if self._drift_pool is None:
+            return
+        self._drift_pool.shutdown(wait=False, cancel_futures=True)
+        self._drift_pool = None
+        self.spark.sparkContext.cancelJobGroup(f"mdv-drift-edges-{self.run_id}")
 
     def _drift_edges(self, rule) -> list[float] | None:
         fut = self._drift_edge_futs.get(rule.id)
-        return fut.result() if fut is not None else None
+        if fut is None or fut.cancelled():
+            return None  # drift_check recomputes edges itself
+        return fut.result()
 
     def finalize(self) -> Report:
         """Global rules over the full table — the canonical EOF pass.
@@ -324,6 +346,12 @@ class ValidationRun:
         max of the two, not the sum. (Spark job submission from multiple
         driver threads is a supported, standard pattern.)"""
         from concurrent.futures import ThreadPoolExecutor
+
+        # idempotent: a caller may reach finalize() without validate_pending
+        # (resume with nothing pending) — schema drift must still be checked
+        if self._check_schema() > 0 and self.spec.fast_fail:
+            self._cancel_drift_prefetch()
+            return self.report()
 
         prog = self.program
         viols: list[DataFrame] = []
@@ -450,6 +478,7 @@ class ValidationRun:
         if self.spec.fast_fail and (
             self.manifest.total_violations > 0 or self._schema_violations > 0
         ):
+            self._cancel_drift_prefetch()
             return self.report()
         return self.finalize()
 

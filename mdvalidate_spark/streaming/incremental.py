@@ -111,6 +111,16 @@ class FileIncrementalValidator:
 
         viols = []
         mets = []
+        # schema drift is checked per poll, against the NEW files' frame: a
+        # late-arriving file with a drifted schema is exactly the condition
+        # this rule family exists for, and each poll may read a different
+        # file set (driver-side metadata compare — no scan, no job)
+        if prog.schema_rules:
+            from ..operators.schema_rules import schema_violations
+
+            viols.extend(
+                schema_violations(df, sr, self.run_id) for sr in prog.schema_rules
+            )
         if prog.row_rules:
             viols.append(row_violations(df, prog, self.run_id))
         for rr in prog.ref_rules:

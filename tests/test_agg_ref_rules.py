@@ -341,3 +341,32 @@ def test_capture_rows_grouped(spark):
         "g1": [(1, "1"), (2, "2")],
         "g2": [(1, "3"), (2, "4")],
     }
+
+
+def test_capture_rows_tie_break_matches_metrics(spark):
+    """Duplicate order-column values: capture_metrics sorts struct(order,
+    value) so ties fall back to value order; capture_rows must rank with the
+    same (order, value) key or the two paths diverge per shuffle layout."""
+    import json
+
+    from mdvalidate_spark.operators.agg_rules import capture_metrics, capture_rows
+    from mdvalidate_spark.spec import CaptureRule
+
+    df = spark.createDataFrame(
+        [
+            ("dup", 0, "v=9"),
+            ("dup", 0, "v=1"),
+            ("dup", 0, "v=5"),
+            ("z", 0, "v=0"),
+        ],
+        "k string, partition_id int, txt string",
+    ).repartition(4)
+    rules = (CaptureRule("cap", column="txt", pattern=r"v=(\d+)"),)
+    arrays = json.loads(
+        capture_metrics(df, rules, "r", "k").collect()[0]["value_str"]
+    )
+    rows = sorted(
+        (r["rank"], r["value"])
+        for r in capture_rows(df, rules, "r", "k").collect()
+    )
+    assert [v for _, v in rows] == arrays == ["1", "5", "9", "0"]

@@ -316,3 +316,20 @@ def test_topk_two_phase_bounds_and_exactness(spark):
     got = sorted(tuple(r) for r in S.topk_bruteforce(corpus, queries, k=k).collect())
     want = sorted(tuple(r) for r in naive.collect())
     assert got == want
+
+
+def test_connected_components_converges_at_the_wire(spark):
+    """A path graph needing exactly max_iter label-changing rounds must be
+    ACCEPTED (the confirming round observes fixpoint), not refused — the
+    failure was raising 'did not converge' on correct labels."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "id_a long, id_b long"
+    )
+    cc = {r["node"]: r["component"]
+          for r in D.connected_components(pairs, max_iter=3).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_simhash_max_hamming_bound(spark, corpus):
+    with pytest.raises(ValueError, match="64-bit signature"):
+        D.simhash_duplicates(corpus, max_hamming=64)

@@ -217,3 +217,21 @@ def test_schema_rule_compile_lint(spark):
                  key_column="k"),
             ["k"],
         )
+
+
+def test_schema_rule_checked_on_direct_finalize(spark):
+    """A caller that goes straight to finalize() (resume with nothing
+    pending) must still get schema-drift violations — the check is run-level,
+    not a side effect of validate_pending()."""
+    from mdvalidate_spark.run import ValidationRun
+    from mdvalidate_spark.spec import SchemaRule, Spec
+
+    df = spark.createDataFrame([("k1", 5)], "image_id string, w int")
+    spec = Spec(
+        rules=(SchemaRule("sch", expected=(("image_id", "string"), ("w", "bigint"))),),
+        key_column="image_id",
+        n_partitions=2,
+    )
+    rep = ValidationRun(spark, spec, df, run_id="schfin").finalize()
+    assert rep.exit_code == 1
+    assert [r["kind"] for r in rep.violations.collect()] == ["dtype_mismatch"]

@@ -203,3 +203,36 @@ def test_stateful_duplicate_violations_across_batches(spark, tmp_path):
     drain()
     got2 = {(r["image_id"], r["actual"]) for r in spark.read.parquet(out).collect()}
     assert got2 == {("a", "occurrence=2"), ("b", "occurrence=2")}
+
+
+def test_incremental_schema_rules_run_per_poll(spark, tmp_path):
+    """SchemaRule must fire on the streaming path too: a drifted table
+    validated through FileIncrementalValidator has to emit schema
+    violations from poll(), not silently pass."""
+    from mdvalidate_spark.spec import RangeRule, SchemaRule, Spec
+    from mdvalidate_spark.streaming.incremental import FileIncrementalValidator
+
+    table = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, 10), (2, 20)], "image_id long, w int"
+    ).write.mode("overwrite").parquet(table)
+    spec = Spec(
+        rules=(
+            RangeRule("w_range", column="w", min=0.0, max=100.0),
+            SchemaRule(
+                "sch",
+                expected=(("image_id", "bigint"), ("w", "bigint"),  # actual: int
+                          ("caption", "string")),                   # missing
+            ),
+        ),
+        key_column="image_id",
+        n_partitions=2,
+    )
+    v = FileIncrementalValidator(spark, spec, table, run_id="sdrift")
+    n = v.poll()
+    assert n >= 2  # dtype_mismatch(w) + missing_column(caption)
+    from mdvalidate_spark.errors import KIND_DTYPE, KIND_MISSING_COLUMN
+
+    viol, _ = v.finalize()
+    kinds = {r["kind"] for r in viol.collect()}
+    assert KIND_DTYPE in kinds and KIND_MISSING_COLUMN in kinds
