@@ -46,7 +46,7 @@ def parse_args(argv=None):
         help="dimension table for ref rules (repeatable)",
     )
     p.add_argument("--checkpoint", help="manifest/lineage checkpoint dir (resume)")
-    p.add_argument("--output", help="write violations/metrics/manifest parquet here")
+    p.add_argument("--output", help="results sink: parquet dir/URI, catalog identifier, or iceberg:<catalog.db.prefix> (tables <prefix>.violations/.metrics/.manifest)")
     p.add_argument("--run-id", default=None)
     p.add_argument("--batch-size", type=int, default=None, help="partitions per batch")
     p.add_argument("--fast-fail", action="store_true")
@@ -95,9 +95,15 @@ def main(argv=None) -> int:
         report = run.validate(batch_size=args.batch_size)
 
         if args.output:
-            report.violations.write.mode("overwrite").parquet(f"{args.output}/violations")
-            report.metrics.write.mode("overwrite").parquet(f"{args.output}/metrics")
-            report.manifest.write.mode("overwrite").parquet(f"{args.output}/manifest")
+            from .sources.table_io import write_table
+
+            sep = "." if not ("/" in args.output or "://" in args.output) else "/"
+            for name, frame in (
+                ("violations", report.violations),
+                ("metrics", report.metrics),
+                ("manifest", report.manifest),
+            ):
+                write_table(frame, f"{args.output}{sep}{name}")
 
         n = report.violations.count()
         by_rule = report.violations.groupBy("rule_id").count().orderBy("rule_id").collect()

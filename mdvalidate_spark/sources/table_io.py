@@ -82,3 +82,42 @@ def current_snapshot_id(spark: SparkSession, ref: str) -> str | None:
     snaps = spark.read.format("iceberg").load(f"{ident}.snapshots")
     row = snaps.orderBy("committed_at", ascending=False).select("snapshot_id").first()
     return str(row["snapshot_id"]) if row else None
+
+
+def write_table(
+    df: DataFrame,
+    ref: str,
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    """Results-sink counterpart of read_table: the same reference forms
+    route to Iceberg (``iceberg:<catalog.db.table>`` or a bare catalog
+    identifier) or a parquet directory. On a real cluster the violations/
+    metrics/manifest results land in an Iceberg results table (ACID append,
+    snapshot history per run); in this sandbox the identical call writes
+    parquet — no engine code changes between the two."""
+    spark = df.sparkSession
+    if ref.startswith(ICEBERG_PREFIX):
+        ident = ref[len(ICEBERG_PREFIX):]
+        if not iceberg_available(spark):
+            raise RuntimeError(
+                f"results table {ident!r} requested as Iceberg but no Iceberg "
+                "runtime is on the classpath — launch with --packages "
+                "org.apache.iceberg:iceberg-spark-runtime and a catalog conf"
+            )
+        w = df.writeTo(ident)
+        if mode == "append":
+            w.append()
+        else:
+            w.createOrReplace()
+        return
+    if not _looks_like_path(ref):
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.saveAsTable(ref)
+        return
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(ref)

@@ -83,3 +83,26 @@ def test_spec_roundtrip_new_rule_kinds(tmp_path):
     p = str(tmp_path / "spec.json")
     save_spec(spec, p)
     assert load_spec(p) == spec
+
+
+def test_write_table_routes_by_reference_form(spark, tmp_path):
+    """write_table: parquet for paths, session catalog for identifiers, and
+    a clear error for iceberg: refs without an Iceberg runtime."""
+    import pytest
+
+    from mdvalidate_spark.sources.table_io import read_table, write_table
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+
+    pq = str(tmp_path / "out_pq")
+    write_table(df, pq)
+    assert read_table(spark, pq).count() == 2
+
+    write_table(df, "mdv_test_results")
+    try:
+        assert spark.table("mdv_test_results").count() == 2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mdv_test_results")
+
+    with pytest.raises(RuntimeError, match="Iceberg"):
+        write_table(df, "iceberg:cat.db.results")
