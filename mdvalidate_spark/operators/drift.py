@@ -156,3 +156,43 @@ def drift_check(
         "column string, expected string, actual string, kind string",
     )
     return violations, metrics, len(viol_rows)
+
+
+def reference_histogram(
+    df: DataFrame, column: str, n_bins: int = 32, exact: bool = False
+) -> tuple[list[float], list[float]]:
+    """Frozen reference profile for STREAMING drift: (interior bin edges,
+    per-bin densities) of a static reference frame's ``column``.
+
+    A stream cannot be quantile-sketched retroactively, so the streaming
+    check compares each closed window against a profile computed ONCE from
+    reference data (yesterday's table, a golden sample) and shipped as plain
+    literals — no broadcast state, no stateful operator."""
+    base = df.select(F.col(column).cast("double").alias("_x")).where(
+        F.col("_x").isNotNull()
+    )
+    qs = [i / n_bins for i in range(n_bins + 1)]
+    if exact:
+        qarr = F.array(*[F.lit(float(q)) for q in qs])
+        row = base.agg(F.percentile(F.col("_x"), qarr).alias("e")).collect()[0]["e"]
+        edges = [round(float(e), 6) for e in (row or [])]
+    else:
+        edges = base.approxQuantile("_x", qs, 0.001)
+    uniq: list[float] = []
+    for e in edges:
+        if not uniq or e > uniq[-1]:
+            uniq.append(e)
+    if len(uniq) < 2:
+        uniq = [uniq[0] - 0.5, uniq[0] + 0.5] if uniq else [0.0, 1.0]
+    inner = uniq[1:-1]
+
+    bin_expr = sum(
+        [F.when(F.col("_x") > F.lit(e), 1).otherwise(0) for e in inner], F.lit(0)
+    )
+    counts = base.groupBy(bin_expr.alias("_bin")).agg(F.count(F.lit(1)).alias("n")).collect()
+    nb = len(inner) + 1
+    hist = [0.0] * nb
+    for r in counts:
+        hist[r["_bin"]] += r["n"]
+    tot = sum(hist) or 1.0
+    return inner, [v / tot for v in hist]

@@ -114,3 +114,73 @@ def windowed_count_rule(
         F.col("n").cast("string").alias("actual"),
         F.lit("count").alias("kind"),
     )
+
+
+def windowed_drift_rule(
+    stream_df: DataFrame,
+    rule,
+    inner_edges: list[float],
+    ref_hist: list[float],
+    ts_column: str,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    run_id: str = "stream",
+) -> DataFrame:
+    """Per-window distribution drift vs a FROZEN reference profile (the
+    streaming re-expression of DriftRule; profile from
+    drift.reference_histogram on reference data).
+
+    Streaming DataFrames allow ONE aggregation, so the histogram is built as
+    nb pivoted sum(when(bin==i)) columns in a single watermarked
+    groupBy(window) — then PSI (closed form over literals) or KS (cumulative
+    sums over literals) is pure column algebra on that row. Append mode: one
+    final violation row per closed drifted window, no retraction, no Python.
+    """
+    from ..operators.drift import _EPS
+    import math as _math
+
+    nb = len(inner_edges) + 1
+    x = F.col(rule.column).cast("double")
+    bin_expr = sum(
+        [F.when(x > F.lit(e), 1).otherwise(0) for e in inner_edges], F.lit(0)
+    )
+    counted = (
+        stream_df.where(x.isNotNull())
+        .withWatermark(ts_column, watermark)
+        .groupBy(F.window(F.col(ts_column), window).alias("win"))
+        .agg(
+            *[
+                F.sum(F.when(bin_expr == i, 1).otherwise(0)).alias(f"_b{i}")
+                for i in range(nb)
+            ]
+        )
+    )
+    total = sum([F.col(f"_b{i}") for i in range(nb)], F.lit(0)).cast("double")
+    dens = [F.col(f"_b{i}") / total for i in range(nb)]
+    if rule.method == "psi":
+        stat = sum(
+            [
+                (p - F.lit(q)) * (F.log(p + F.lit(_EPS)) - F.lit(_math.log(q + _EPS)))
+                for p, q in zip(dens, ref_hist)
+            ],
+            F.lit(0.0),
+        )
+    else:  # ks: max abs difference of cumulative densities
+        cum_q = 0.0
+        terms = []
+        cum_p = F.lit(0.0)
+        for p, q in zip(dens, ref_hist):
+            cum_p = cum_p + p
+            cum_q += q
+            terms.append(F.abs(cum_p - F.lit(cum_q)))
+        stat = F.greatest(*terms) if len(terms) > 1 else terms[0]
+    return counted.select(
+        F.lit(run_id).alias("run_id"),
+        F.lit(None).cast("int").alias("partition_id"),
+        F.lit(rule.id).alias("rule_id"),
+        F.col("win.start").cast("string").alias("image_id"),
+        F.lit(rule.column).alias("column"),
+        F.lit(f"{rule.method} <= {rule.threshold}").alias("expected"),
+        F.round(stat, 6).cast("string").alias("actual"),
+        F.lit("drift").alias("kind"),
+    ).where(stat > rule.threshold)

@@ -236,3 +236,61 @@ def test_incremental_schema_rules_run_per_poll(spark, tmp_path):
     viol, _ = v.finalize()
     kinds = {r["kind"] for r in viol.collect()}
     assert KIND_DTYPE in kinds and KIND_MISSING_COLUMN in kinds
+
+
+def test_windowed_drift_rule_stream(spark, tmp_path):
+    """Streaming drift vs a frozen reference profile: a window drawn from
+    the reference distribution passes; a shifted window is flagged with a
+    PSI computed entirely in column algebra (single streaming aggregation)."""
+    import datetime as dt
+
+    from mdvalidate_spark.operators.drift import reference_histogram
+    from mdvalidate_spark.spec import DriftRule
+    from mdvalidate_spark.streaming.structured import windowed_drift_rule
+
+    src = str(tmp_path / "dr-src")
+    out = str(tmp_path / "dr-out")
+    ck = str(tmp_path / "dr-ck")
+
+    # reference: uniform 0..99 (deterministic)
+    ref = spark.createDataFrame(
+        [(float(i % 100),) for i in range(2000)], "value double"
+    )
+    inner, ref_hist = reference_histogram(ref, "value", n_bins=8)
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = []
+    # window 0: same uniform distribution → no drift
+    for i in range(200):
+        rows.append((float(i % 100), base + dt.timedelta(seconds=i % 50)))
+    # window 2: hard shift (all mass in the top decile) → drift
+    for i in range(200):
+        rows.append((95.0, base + dt.timedelta(minutes=2, seconds=i % 50)))
+    rows.append((50.0, base + dt.timedelta(minutes=30)))  # watermark sentinel
+    df = spark.createDataFrame(rows, "value double, ts timestamp")
+    df.write.mode("overwrite").parquet(src)
+
+    rule = DriftRule("vdrift", column="value", group_column="x", group_value="y",
+                     method="psi", threshold=0.2)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    drift_stream = windowed_drift_rule(
+        stream, rule, inner, ref_hist, ts_column="ts", window="1 minute",
+        watermark="2 minutes", run_id="sd",
+    )
+    assert drift_stream.isStreaming
+    q = (
+        drift_stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.schema(
+        "run_id string, partition_id int, rule_id string, image_id string, "
+        "column string, expected string, actual string, kind string"
+    ).parquet(out).collect()
+    flagged = {r["image_id"]: float(r["actual"]) for r in got}
+    assert "2026-01-01 00:02:00" in flagged       # shifted window caught
+    assert "2026-01-01 00:00:00" not in flagged   # in-distribution window clean
+    assert flagged["2026-01-01 00:02:00"] > 0.2
