@@ -551,6 +551,21 @@ def q_embedding_neardup(spark, sf_dir):
     return D.embedding_near_duplicates(emb.unionByName(planted), threshold=0.9)
 
 
+def q_embedding_clusters(spark, sf_dir):
+    """Embedding near-dup pairs (SRP-LSH banded, exact-cosine verified, same
+    planted fixture as embedding_neardup) composed into TRANSITIVE clusters
+    via connected components — the keep-one decision table for embedding
+    dedup. Oracle = recursive-CTE transitive closure over the identical
+    exact-cosine pair set."""
+    pairs = q_embedding_neardup(spark, sf_dir)
+    c = D.duplicate_clusters(pairs)
+    return c.select(
+        F.col("representative").cast("string"),
+        F.col("size").cast("long"),
+        F.to_json(F.col("members").cast("array<string>")).alias("members"),
+    )
+
+
 def q_pixel_validation_synthetic(spark, sf_dir):
     """Pixel stage over the deterministic synthetic images table (bytes are
     engine-generated; no external data). Not SQL-expressible → rows-only."""
@@ -632,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similar_count_embeddings": q_similar_count_embeddings,
         "topk_embeddings": q_topk_embeddings,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_clusters": q_embedding_clusters,
         "pixel_validation_synthetic": q_pixel_validation_synthetic,
         "image_features_synthetic": q_image_features_synthetic,
     }
@@ -953,6 +969,33 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def _embedding_neardup_sql() -> str:
+    return """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+planted AS (
+  -- keep the perturbation keyed on the ORIGINAL vec_id: DuckDB's lateral
+  -- alias resolution would shadow vec_id inside the lambda otherwise
+  SELECT list_transform(range(1, len(v) + 1),
+                        i -> v[i] + 0.001 * CAST((vec_id * 31 + i) % 7 - 3 AS DOUBLE)) AS v,
+         vec_id + 1000000 AS new_id
+  FROM base WHERE vec_id < 10
+),
+allv AS (SELECT vec_id, v FROM base UNION ALL SELECT new_id AS vec_id, v FROM planted),
+scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(
+           list_aggregate(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]), 'sum')
+           / (sqrt(list_aggregate(list_transform(a.v, x -> x * x), 'sum'))
+              * sqrt(list_aggregate(list_transform(b.v, x -> x * x), 'sum'))), 6) AS cosine
+  FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.9
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "row_orders": _ROW_ORDERS_SQL,
@@ -1167,29 +1210,26 @@ GROUP BY a.vec_id
 """,
         "topk_ivf_embeddings": _topk_ivf_sql(3, 3, 5),
         "drift_events_value": _drift_sql(32),
-        "embedding_neardup": """
-WITH base AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings
+        "embedding_neardup": _embedding_neardup_sql(),
+        "embedding_clusters": f"""
+WITH RECURSIVE
+p AS ({_embedding_neardup_sql()}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION SELECT id_b, id_a FROM p
 ),
-planted AS (
-  -- keep the perturbation keyed on the ORIGINAL vec_id: DuckDB's lateral
-  -- alias resolution would shadow vec_id inside the lambda otherwise
-  SELECT list_transform(range(1, len(v) + 1),
-                        i -> v[i] + 0.001 * CAST((vec_id * 31 + i) % 7 - 3 AS DOUBLE)) AS v,
-         vec_id + 1000000 AS new_id
-  FROM base WHERE vec_id < 10
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT re.node, e.dst FROM reach re JOIN edges e ON e.src = re.r
 ),
-allv AS (SELECT vec_id, v FROM base UNION ALL SELECT new_id AS vec_id, v FROM planted),
-scored AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         round(
-           list_aggregate(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]), 'sum')
-           / (sqrt(list_aggregate(list_transform(a.v, x -> x * x), 'sum'))
-              * sqrt(list_aggregate(list_transform(b.v, x -> x * x), 'sum'))), 6) AS cosine
-  FROM allv a JOIN allv b ON a.vec_id < b.vec_id
-)
-SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.9
+cc AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+SELECT CAST(component AS VARCHAR) AS representative,
+       CAST(count(*) AS BIGINT) AS size,
+       CAST(to_json(list_transform(list_sort(list(node)), x -> CAST(x AS VARCHAR)))
+            AS VARCHAR) AS members
+FROM cc GROUP BY component
 """,
         "topk_embeddings": """
 WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
