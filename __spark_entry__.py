@@ -419,6 +419,44 @@ def q_drift_events_value(spark, sf_dir):
     return out[0].unionByName(out[1])
 
 
+def q_drift_categorical_orders(spark, sf_dir):
+    """Categorical drift (the north rule's fmt-frequency profile): PSI of the
+    o_orderpriority CATEGORY distribution, probe = 'F'-status orders vs the
+    rest. Bins = the reference slice's top-frequency categories (+ __other__),
+    so cardinality cannot blow up the driver; KS is rejected at compile for
+    categorical rules (category order is arbitrary)."""
+    from mdvalidate_spark.operators.drift import drift_check
+    from mdvalidate_spark.spec import DriftRule
+
+    o = _load(spark, sf_dir, "orders")
+    rule = DriftRule(
+        "drift_prio_cat", column="o_orderpriority", group_column="o_orderstatus",
+        group_value="F", method="psi", threshold=10.0, categorical=True,
+    )
+    _, m, _n = drift_check(o, rule, "q")
+    return m.select("rule_id", "metric", F.round("value", 3).alias("value"))
+
+
+def q_drift_expr_documents(spark, sf_dir):
+    """Derived-expression drift (the north rule's caption-length profile):
+    PSI + KS of length(text) for lang='en' documents vs the rest — the
+    drifting quantity is a SQL expression (DriftRule.expr), no derived
+    column materialized. Exact percentile edges for oracle parity."""
+    from mdvalidate_spark.operators.drift import drift_check
+    from mdvalidate_spark.spec import DriftRule
+
+    d = _load(spark, sf_dir, "documents")
+    out = []
+    for method in ("psi", "ks"):
+        rule = DriftRule(
+            f"dlen_{method}", expr="length(text)", group_column="lang",
+            group_value="en", method=method, threshold=10.0, exact_edges=True,
+        )
+        _, m, _n = drift_check(d, rule, "q")
+        out.append(m.select("rule_id", "metric", F.round("value", 3).alias("value")))
+    return out[0].unionByName(out[1])
+
+
 # pinned IVF centroids (8 cells × 64 dims): a fixed closed-form literal grid
 # shared verbatim by the Spark query AND the DuckDB oracle, which makes the
 # whole IVF approximation — cell assignment, nprobe pruning, in-cell ranking —
@@ -635,6 +673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_profile": q_events_profile,
         "windowed_count_events": q_windowed_count_events,
         "drift_events_value": q_drift_events_value,
+        "drift_categorical_orders": q_drift_categorical_orders,
+        "drift_expr_documents": q_drift_expr_documents,
         "topk_ivf_embeddings": q_topk_ivf_embeddings,
         "text_profile_documents": q_text_profile_documents,
         "lang_confusion_documents": q_lang_confusion_documents,
@@ -870,17 +910,24 @@ def _cos_sql() -> str:
     )
 
 
-def _drift_sql(n_bins: int = 32) -> str:
+def _drift_sql(
+    n_bins: int = 32,
+    table: str = "events",
+    x_expr: str = "value",
+    probe_cond: str = "CAST(event_type AS VARCHAR) = 'error'",
+    rule_prefix: str = "drift",
+) -> str:
     """DuckDB replica of the drift operator with exact_edges=True: exact
     percentile edges of the REFERENCE slice rounded to 6 decimals, strictly-
     increasing dedupe, bin = #(interior edges < x), per-group densities, then
-    PSI and KS on the aligned histograms (eps 1e-6, like drift.py)."""
+    PSI and KS on the aligned histograms (eps 1e-6, like drift.py).
+    ``x_expr`` may be any SQL expression (DriftRule.expr analog)."""
     qs = ", ".join(repr(i / n_bins) for i in range(n_bins + 1))
     return f"""
 WITH base AS (
-  SELECT CAST(value AS DOUBLE) AS x,
-         (CAST(event_type AS VARCHAR) = 'error') AS probe
-  FROM events WHERE value IS NOT NULL
+  SELECT CAST({x_expr} AS DOUBLE) AS x,
+         ({probe_cond}) AS probe
+  FROM {table} WHERE {x_expr} IS NOT NULL
 ),
 e AS (
   SELECT list_sort(list_distinct(
@@ -905,11 +952,11 @@ d AS (
   LEFT JOIN (SELECT bin, n FROM counts WHERE probe) p USING (bin)
   LEFT JOIN (SELECT bin, n FROM counts WHERE NOT probe) r USING (bin)
 )
-SELECT 'drift_psi' AS rule_id, 'psi_stat' AS metric,
+SELECT '{rule_prefix}_psi' AS rule_id, 'psi_stat' AS metric,
        round(sum((dp - dr) * ln((dp + 1e-6) / (dr + 1e-6))), 3) AS value
 FROM d
 UNION ALL
-SELECT 'drift_ks', 'ks_stat', round(max(abs(cp - cr)), 3)
+SELECT '{rule_prefix}_ks', 'ks_stat', round(max(abs(cp - cr)), 3)
 FROM (SELECT sum(dp) OVER (ORDER BY bin) AS cp,
              sum(dr) OVER (ORDER BY bin) AS cr
       FROM d)
@@ -1210,6 +1257,41 @@ GROUP BY a.vec_id
 """,
         "topk_ivf_embeddings": _topk_ivf_sql(3, 3, 5),
         "drift_events_value": _drift_sql(32),
+        "drift_categorical_orders": """
+WITH base AS (
+  SELECT CAST(o_orderpriority AS VARCHAR) AS x,
+         (CAST(o_orderstatus AS VARCHAR) = 'F') AS probe
+  FROM orders WHERE o_orderpriority IS NOT NULL
+),
+cats AS (
+  SELECT x FROM base WHERE NOT probe
+  GROUP BY x ORDER BY count(*) DESC, x LIMIT 32
+),
+binned AS (
+  SELECT CASE WHEN x IN (SELECT x FROM cats) THEN x ELSE '__other__' END AS b,
+         probe
+  FROM base
+),
+grid AS (SELECT x AS b FROM cats UNION ALL SELECT '__other__'),
+counts AS (SELECT b, probe, count(*) AS n FROM binned GROUP BY 1, 2),
+d AS (
+  SELECT g.b,
+         coalesce(p.n, 0) * 1.0
+           / greatest((SELECT sum(n) FROM counts WHERE probe), 1) AS dp,
+         coalesce(r.n, 0) * 1.0
+           / greatest((SELECT sum(n) FROM counts WHERE NOT probe), 1) AS dr
+  FROM grid g
+  LEFT JOIN (SELECT b, n FROM counts WHERE probe) p USING (b)
+  LEFT JOIN (SELECT b, n FROM counts WHERE NOT probe) r USING (b)
+)
+SELECT 'drift_prio_cat' AS rule_id, 'psi_stat' AS metric,
+       round(sum((dp - dr) * ln((dp + 1e-6) / (dr + 1e-6))), 3) AS value
+FROM d
+""",
+        "drift_expr_documents": _drift_sql(
+            32, table="documents", x_expr="length(text)",
+            probe_cond="CAST(lang AS VARCHAR) = 'en'", rule_prefix="dlen",
+        ),
         "embedding_neardup": _embedding_neardup_sql(),
         "embedding_clusters": f"""
 WITH RECURSIVE

@@ -209,6 +209,17 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
 
         if isinstance(r, DriftRule) and r.method not in ("ks", "psi"):
             raise SchemaError(f"rule {r.id!r}: unknown drift method {r.method!r}")
+        if isinstance(r, DriftRule) and r.categorical and r.method != "psi":
+            # KS is a statement about an ORDERED ECDF; category order is
+            # arbitrary, so a categorical KS statistic would silently depend
+            # on the reference frequency ranking — reject at compile
+            raise SchemaError(
+                f"rule {r.id!r}: categorical drift requires method='psi'"
+            )
+        if isinstance(r, DriftRule) and r.expr and r.column:
+            raise SchemaError(
+                f"rule {r.id!r}: give either column or expr, not both"
+            )
 
         if available_columns is not None:
             for c in r.targets():

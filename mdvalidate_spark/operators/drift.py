@@ -27,18 +27,33 @@ _EPS = 1e-6
 
 def _base(df: DataFrame, rule: DriftRule) -> DataFrame:
     probe_cond = F.col(rule.group_column).cast("string") == str(rule.group_value)
-    return df.select(
-        F.col(rule.column).cast("double").alias("_x"), probe_cond.alias("_probe")
-    ).where(F.col("_x").isNotNull())
+    val = F.expr(rule.expr) if rule.expr else F.col(rule.column)
+    x = val.cast("string") if rule.categorical else val.cast("double")
+    return df.select(x.alias("_x"), probe_cond.alias("_probe")).where(
+        F.col("_x").isNotNull()
+    )
 
 
-def compute_edges(df: DataFrame, rule: DriftRule) -> list[float]:
-    """Bin edges from the REFERENCE slice — the first of the rule's two
-    driver-blocking jobs. Exposed separately so the run lifecycle can
-    PREFETCH it on a driver thread overlapped with the per-partition batch
-    stage instead of paying it serially inside finalize."""
-    qs = [i / rule.n_bins for i in range(rule.n_bins + 1)]
+def compute_edges(df: DataFrame, rule: DriftRule) -> list:
+    """Bin definition from the REFERENCE slice — the first of the rule's two
+    driver-blocking jobs. Numeric rules: quantile bin edges (floats).
+    Categorical rules: the top ``n_bins`` categories by reference frequency
+    (strings; everything else lands in __other__, so a high-cardinality
+    column cannot blow up the driver). Exposed separately so the run
+    lifecycle can PREFETCH it on a driver thread overlapped with the
+    per-partition batch stage instead of paying it serially inside
+    finalize."""
     ref = _base(df, rule).where(~F.col("_probe"))
+    if rule.categorical:
+        rows = (
+            ref.groupBy("_x")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("_x"))  # deterministic ties
+            .limit(rule.n_bins)
+            .collect()
+        )
+        return [r["_x"] for r in rows]
+    qs = [i / rule.n_bins for i in range(rule.n_bins + 1)]
     if rule.exact_edges:
         # exact linear-interpolated percentiles, rounded to 6 decimals so a
         # sub-ulp interpolation difference between engines can't flip the
@@ -50,13 +65,34 @@ def compute_edges(df: DataFrame, rule: DriftRule) -> list[float]:
 
 
 def _histograms(
-    df: DataFrame, rule: DriftRule, edges: list[float] | None = None
+    df: DataFrame, rule: DriftRule, edges: list | None = None
 ) -> tuple[list[float], list[float], bool]:
     """Return (probe_hist, ref_hist, empty_probe) — aligned density lists
     plus whether the probe group contained no rows at all."""
     base = _base(df, rule)
     if edges is None:
         edges = compute_edges(df, rule)
+    if rule.categorical:
+        # one bucket per reference top-category + __other__; one groupBy pass
+        cats = list(edges)
+        if cats:
+            pos = F.array_position(F.array(*[F.lit(c) for c in cats]), F.col("_x"))
+            bin_expr = F.when(pos > 0, pos - 1).otherwise(F.lit(len(cats)))
+        else:
+            bin_expr = F.lit(0)
+        counts = (
+            base.groupBy(F.col("_probe"), bin_expr.cast("int").alias("_bin"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        nb = len(cats) + 1
+        probe = [0.0] * nb
+        ref = [0.0] * nb
+        for r in counts:
+            (probe if r["_probe"] else ref)[r["_bin"]] += r["n"]
+        empty_probe = sum(probe) == 0
+        p_tot, r_tot = sum(probe) or 1.0, sum(ref) or 1.0
+        return [v / p_tot for v in probe], [v / r_tot for v in ref], empty_probe
     # dedupe degenerate edges (constant stretches) while keeping order
     uniq: list[float] = []
     for e in edges:
@@ -131,7 +167,7 @@ def drift_check(
                 None,
                 rule.id,
                 f"{rule.group_column}={rule.group_value}",
-                rule.column,
+                rule.expr or rule.column,
                 "non-empty probe group",
                 "0 rows",
                 KIND_DRIFT,
@@ -144,7 +180,7 @@ def drift_check(
                 None,
                 rule.id,
                 f"{rule.group_column}={rule.group_value}",
-                rule.column,
+                rule.expr or rule.column,
                 f"{rule.method} <= {rule.threshold}",
                 f"{stat:.6f}",
                 KIND_DRIFT,

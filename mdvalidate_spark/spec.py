@@ -354,6 +354,15 @@ class DriftRule(Rule):
     ``group_column``/``group_value`` select the probe slice. method: 'ks'
     (two-sample Kolmogorov-Smirnov over a binned ECDF) or 'psi' (population
     stability index over the same bins). Violation when statistic > threshold.
+
+    ``expr`` (optional SQL expression, e.g. ``length(caption)``) replaces the
+    raw column as the drifting quantity — the caption-length profile of the
+    north rule without materializing a derived column. ``categorical=True``
+    switches from quantile bins to CATEGORY FREQUENCIES (the fmt profile):
+    "bins" are the reference slice's top ``n_bins`` categories by frequency
+    plus an __other__ bucket, so cardinality explosions cannot blow up the
+    driver; KS is order-dependent and meaningless over nominal categories,
+    so categorical rules must use psi.
     """
 
     column: str = ""
@@ -366,9 +375,15 @@ class DriftRule(Rule):
     # (deterministic, cross-engine reproducible — used for oracle parity);
     # default False uses the approxQuantile sketch (the scale path)
     exact_edges: bool = False
+    expr: str | None = None
+    categorical: bool = False
     kind: str = field(default="drift", init=False)
 
     def targets(self):
+        # with expr the drifting quantity is a SQL expression — its inputs
+        # are resolved by the analyzer at run time, not the compile lint
+        if self.expr:
+            return (self.group_column,)
         return (self.column, self.group_column)
 
 

@@ -164,3 +164,92 @@ def test_drift_exact_edges_matches_numpy(spark):
     p, r = hist(x[probe]), hist(ref)
     want = sum((pi - ri) * math.log((pi + 1e-6) / (ri + 1e-6)) for pi, ri in zip(p, r))
     assert abs(got - want) < 1e-9
+
+
+def test_categorical_drift_planted_shift(spark):
+    """Categorical (frequency) drift: a probe group whose category mix is
+    shifted is flagged; an identically distributed probe passes; KS over
+    categories is rejected at compile (category order is arbitrary)."""
+    import pytest
+
+    from mdvalidate_spark.compile import compile_spec
+    from mdvalidate_spark.errors import SchemaError
+    from mdvalidate_spark.operators.drift import drift_check
+    from mdvalidate_spark.spec import DriftRule, Spec
+
+    rows = []
+    for i in range(900):  # reference: uniform over a/b/c
+        rows.append((("a", "b", "c")[i % 3], "ref"))
+    for i in range(300):  # probe: all 'c' → shifted
+        rows.append(("c", "probe"))
+    df = spark.createDataFrame(rows, "cat string, grp string")
+    rule = DriftRule("cd", column="cat", group_column="grp", group_value="probe",
+                     method="psi", threshold=0.2, categorical=True)
+    v, m, n = drift_check(df, rule, "t")
+    assert n == 1 and m.collect()[0]["value"] > 0.2
+
+    same = spark.createDataFrame(
+        [(("a", "b", "c")[i % 3], g) for g in ("ref", "probe") for i in range(300)],
+        "cat string, grp string",
+    )
+    _, m2, n2 = drift_check(same, rule, "t")
+    assert n2 == 0 and abs(m2.collect()[0]["value"]) < 0.01
+
+    with pytest.raises(SchemaError, match="categorical drift requires"):
+        compile_spec(
+            Spec(rules=(DriftRule("bad", column="cat", group_column="grp",
+                                  group_value="probe", method="ks",
+                                  categorical=True),), key_column="cat"),
+            ["cat", "grp"],
+        )
+
+
+def test_expr_drift_caption_length(spark):
+    """DriftRule.expr: the drifting quantity is a SQL expression — probe
+    rows with systematically longer captions are flagged on length(caption)
+    with no derived column materialized."""
+    from mdvalidate_spark.operators.drift import drift_check
+    from mdvalidate_spark.spec import DriftRule
+
+    rows = [(f"cap {'x' * (i % 20)}", "ref") for i in range(800)]
+    rows += [(f"cap {'y' * (200 + i % 20)}", "probe") for i in range(200)]
+    df = spark.createDataFrame(rows, "caption string, grp string")
+    rule = DriftRule("ld", expr="length(caption)", group_column="grp",
+                     group_value="probe", method="psi", threshold=0.2)
+    v, m, n = drift_check(df, rule, "t")
+    assert n == 1
+    row = v.collect()[0]
+    assert row["column"] == "length(caption)"
+
+
+def test_north_star_drift_profile_w_h_fmt_caption_length(spark):
+    """The north rule's full drift profile — w, h, fmt (categorical
+    frequencies), caption-length (derived expression) — through one
+    ValidationRun over the synthetic images fixture."""
+    from mdvalidate_spark.run import ValidationRun
+    from mdvalidate_spark.sources.synthetic import synthetic_images
+    from mdvalidate_spark.spec import DriftRule, Spec
+
+    images = synthetic_images(spark, 3000, with_bytes=False, n_partitions=8)
+    spec = Spec(
+        rules=(
+            DriftRule("w_drift", column="w", group_column="partition_id",
+                      group_value="7", method="psi", threshold=10.0),
+            DriftRule("h_drift", column="h", group_column="partition_id",
+                      group_value="7", method="ks", threshold=10.0),
+            DriftRule("fmt_drift", column="fmt", group_column="partition_id",
+                      group_value="7", method="psi", threshold=10.0,
+                      categorical=True),
+            DriftRule("caplen_drift", expr="length(caption)",
+                      group_column="partition_id", group_value="7",
+                      method="psi", threshold=10.0),
+        ),
+        key_column="image_id",
+        n_partitions=8,
+    )
+    rep = ValidationRun(spark, spec, images, run_id="profile").validate()
+    stats = {r["rule_id"]: r["value"] for r in rep.metrics.collect()
+             if r["metric"].endswith("_stat")}
+    assert set(stats) == {"w_drift", "h_drift", "fmt_drift", "caplen_drift"}
+    # thresholds were set unreachable: the profile reports, doesn't fail
+    assert rep.exit_code == 0
