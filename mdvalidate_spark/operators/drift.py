@@ -195,15 +195,32 @@ def drift_check(
 
 
 def reference_histogram(
-    df: DataFrame, column: str, n_bins: int = 32, exact: bool = False
-) -> tuple[list[float], list[float]]:
-    """Frozen reference profile for STREAMING drift: (interior bin edges,
-    per-bin densities) of a static reference frame's ``column``.
+    df: DataFrame, column: str, n_bins: int = 32, exact: bool = False,
+    categorical: bool = False,
+) -> tuple[list, list[float]]:
+    """Frozen reference profile for STREAMING drift: (bin definition,
+    per-bin densities) of a static reference frame's ``column``. Numeric:
+    bins are interior quantile edges. Categorical: bins are the top
+    ``n_bins`` categories by frequency, densities carry a trailing
+    __other__ bucket.
 
     A stream cannot be quantile-sketched retroactively, so the streaming
     check compares each closed window against a profile computed ONCE from
     reference data (yesterday's table, a golden sample) and shipped as plain
     literals — no broadcast state, no stateful operator."""
+    if categorical:
+        base = df.select(F.col(column).cast("string").alias("_x")).where(
+            F.col("_x").isNotNull()
+        )
+        rows = (
+            base.groupBy("_x").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("_x")).collect()
+        )
+        cats = [r["_x"] for r in rows[:n_bins]]
+        in_top = {r["_x"]: r["n"] for r in rows[:n_bins]}
+        other = sum(r["n"] for r in rows[n_bins:])
+        tot = (sum(in_top.values()) + other) or 1.0
+        return cats, [in_top[c] / tot for c in cats] + [other / tot]
     base = df.select(F.col(column).cast("double").alias("_x")).where(
         F.col("_x").isNotNull()
     )

@@ -140,10 +140,26 @@ def windowed_drift_rule(
     import math as _math
 
     nb = len(inner_edges) + 1
-    x = F.col(rule.column).cast("double")
-    bin_expr = sum(
-        [F.when(x > F.lit(e), 1).otherwise(0) for e in inner_edges], F.lit(0)
-    )
+    if getattr(rule, "categorical", False):
+        # inner_edges carries the reference category list (drift.compute_edges
+        # semantics); bucket = category index, everything else __other__
+        x = (
+            F.expr(rule.expr) if getattr(rule, "expr", None) else F.col(rule.column)
+        ).cast("string")
+        if inner_edges:
+            pos = F.array_position(
+                F.array(*[F.lit(c) for c in inner_edges]), x
+            )
+            bin_expr = F.when(pos > 0, pos - 1).otherwise(F.lit(len(inner_edges)))
+        else:
+            bin_expr = F.lit(0)
+    else:
+        x = (
+            F.expr(rule.expr) if getattr(rule, "expr", None) else F.col(rule.column)
+        ).cast("double")
+        bin_expr = sum(
+            [F.when(x > F.lit(e), 1).otherwise(0) for e in inner_edges], F.lit(0)
+        )
     counted = (
         stream_df.where(x.isNotNull())
         .withWatermark(ts_column, watermark)

@@ -294,3 +294,49 @@ def test_windowed_drift_rule_stream(spark, tmp_path):
     assert "2026-01-01 00:02:00" in flagged       # shifted window caught
     assert "2026-01-01 00:00:00" not in flagged   # in-distribution window clean
     assert flagged["2026-01-01 00:02:00"] > 0.2
+
+
+def test_windowed_drift_categorical_stream(spark, tmp_path):
+    """Streaming CATEGORICAL drift: a window whose category mix collapses to
+    one value is flagged against the frozen reference frequency profile."""
+    import datetime as dt
+
+    from mdvalidate_spark.operators.drift import reference_histogram
+    from mdvalidate_spark.spec import DriftRule
+    from mdvalidate_spark.streaming.structured import windowed_drift_rule
+
+    src = str(tmp_path / "cd-src")
+    out = str(tmp_path / "cd-out")
+    ck = str(tmp_path / "cd-ck")
+
+    ref = spark.createDataFrame(
+        [(("jpeg", "png", "webp")[i % 3],) for i in range(900)], "fmt string"
+    )
+    cats, ref_hist = reference_histogram(ref, "fmt", n_bins=8, categorical=True)
+
+    base = dt.datetime(2026, 1, 1)
+    rows = [(("jpeg", "png", "webp")[i % 3], base + dt.timedelta(seconds=i % 50))
+            for i in range(300)]                                   # window 0: same mix
+    rows += [("webp", base + dt.timedelta(minutes=2, seconds=i % 50))
+             for i in range(300)]                                  # window 2: collapsed
+    rows.append(("png", base + dt.timedelta(minutes=30)))          # watermark sentinel
+    df = spark.createDataFrame(rows, "fmt string, ts timestamp")
+    df.write.mode("overwrite").parquet(src)
+
+    rule = DriftRule("fmt_drift", column="fmt", group_column="x", group_value="y",
+                     method="psi", threshold=0.2, categorical=True)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        windowed_drift_rule(stream, rule, cats, ref_hist, "ts", "1 minute",
+                            "2 minutes", "cd")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck).trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.schema(
+        "run_id string, partition_id int, rule_id string, image_id string, "
+        "column string, expected string, actual string, kind string"
+    ).parquet(out).collect()
+    flagged = {r["image_id"] for r in got}
+    assert "2026-01-01 00:02:00" in flagged
+    assert "2026-01-01 00:00:00" not in flagged
