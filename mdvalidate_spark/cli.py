@@ -46,7 +46,7 @@ def parse_args(argv=None):
         help="dimension table for ref rules (repeatable)",
     )
     p.add_argument("--checkpoint", help="manifest/lineage checkpoint dir (resume)")
-    p.add_argument("--output", help="results sink: parquet dir/URI, catalog identifier, or iceberg:<catalog.db.prefix> (tables <prefix>.violations/.metrics/.manifest)")
+    p.add_argument("--output", help="results sink: parquet dir/URI, or iceberg:<catalog.db.prefix> (writes tables <prefix>_violations/_metrics/_manifest)")
     p.add_argument("--run-id", default=None)
     p.add_argument("--batch-size", type=int, default=None, help="partitions per batch")
     p.add_argument("--fast-fail", action="store_true")
@@ -95,15 +95,23 @@ def main(argv=None) -> int:
         report = run.validate(batch_size=args.batch_size)
 
         if args.output:
-            from .sources.table_io import write_table
+            from .sources.table_io import ICEBERG_PREFIX, write_table
 
-            sep = "." if not ("/" in args.output or "://" in args.output) else "/"
+            # catalog routing ONLY for explicit iceberg: references — a bare
+            # relative dir name ("results") must keep writing parquet as it
+            # always did, not be reinterpreted as a database name. Iceberg
+            # targets get a _name table suffix (a /-join would create an
+            # illegal 4-part identifier).
+            if args.output.startswith(ICEBERG_PREFIX):
+                target = lambda name: f"{args.output}_{name}"  # noqa: E731
+            else:
+                target = lambda name: f"{args.output}/{name}"  # noqa: E731
             for name, frame in (
                 ("violations", report.violations),
                 ("metrics", report.metrics),
                 ("manifest", report.manifest),
             ):
-                write_table(frame, f"{args.output}{sep}{name}")
+                write_table(frame, target(name))
 
         n = report.violations.count()
         by_rule = report.violations.groupBy("rule_id").count().orderBy("rule_id").collect()

@@ -220,6 +220,10 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
             raise SchemaError(
                 f"rule {r.id!r}: give either column or expr, not both"
             )
+        if isinstance(r, DriftRule) and not r.expr and not r.column:
+            raise SchemaError(
+                f"rule {r.id!r}: drift rule needs a column or an expr"
+            )
 
         if available_columns is not None:
             for c in r.targets():

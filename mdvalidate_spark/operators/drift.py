@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..errors import KIND_DRIFT
@@ -29,9 +29,40 @@ def _base(df: DataFrame, rule: DriftRule) -> DataFrame:
     probe_cond = F.col(rule.group_column).cast("string") == str(rule.group_value)
     val = F.expr(rule.expr) if rule.expr else F.col(rule.column)
     x = val.cast("string") if rule.categorical else val.cast("double")
+    # rows whose group membership is UNKNOWN (NULL group column → NULL probe
+    # condition) belong to neither distribution: without this filter the
+    # histogram groupBy's None group falls through `if r["_probe"]` into the
+    # reference counts while compute_edges' where(~probe) drops it — the two
+    # passes (and the SQL oracle) would disagree
     return df.select(x.alias("_x"), probe_cond.alias("_probe")).where(
-        F.col("_x").isNotNull()
+        F.col("_x").isNotNull() & F.col("_probe").isNotNull()
     )
+
+
+def _dedupe_edges(edges: list[float]) -> list[float]:
+    """Strictly-increasing interior edges from raw quantiles (constant
+    stretches collapse; degenerate inputs widen to one bin pair). ONE
+    definition shared by the batch histogram, the streaming profile, and
+    any future consumer — edge semantics must never fork."""
+    uniq: list[float] = []
+    for e in edges:
+        if not uniq or e > uniq[-1]:
+            uniq.append(e)
+    if len(uniq) < 2:
+        uniq = [uniq[0] - 0.5, uniq[0] + 0.5] if uniq else [0.0, 1.0]
+    return uniq[1:-1]
+
+
+def _bin_expr(x: Column, bins: list, categorical: bool) -> Column:
+    """Bucket index of ``x``: category position (+ trailing __other__) for
+    categorical bins, #(interior edges exceeded) for numeric. Shared by the
+    batch histogram pass and the streaming per-window aggregation."""
+    if categorical:
+        if not bins:
+            return F.lit(0)
+        pos = F.array_position(F.array(*[F.lit(c) for c in bins]), x)
+        return F.when(pos > 0, pos - 1).otherwise(F.lit(len(bins)))
+    return sum([F.when(x > F.lit(e), 1).otherwise(0) for e in bins], F.lit(0))
 
 
 def compute_edges(df: DataFrame, rule: DriftRule) -> list:
@@ -75,11 +106,7 @@ def _histograms(
     if rule.categorical:
         # one bucket per reference top-category + __other__; one groupBy pass
         cats = list(edges)
-        if cats:
-            pos = F.array_position(F.array(*[F.lit(c) for c in cats]), F.col("_x"))
-            bin_expr = F.when(pos > 0, pos - 1).otherwise(F.lit(len(cats)))
-        else:
-            bin_expr = F.lit(0)
+        bin_expr = _bin_expr(F.col("_x"), cats, categorical=True)
         counts = (
             base.groupBy(F.col("_probe"), bin_expr.cast("int").alias("_bin"))
             .agg(F.count(F.lit(1)).alias("n"))
@@ -93,20 +120,8 @@ def _histograms(
         empty_probe = sum(probe) == 0
         p_tot, r_tot = sum(probe) or 1.0, sum(ref) or 1.0
         return [v / p_tot for v in probe], [v / r_tot for v in ref], empty_probe
-    # dedupe degenerate edges (constant stretches) while keeping order
-    uniq: list[float] = []
-    for e in edges:
-        if not uniq or e > uniq[-1]:
-            uniq.append(e)
-    if len(uniq) < 2:
-        uniq = [uniq[0] - 0.5, uniq[0] + 0.5] if uniq else [0.0, 1.0]
-    inner = uniq[1:-1]  # interior edges; outer bins are open-ended
-
-    # bin index = number of interior edges the value exceeds (sum of indicators)
-    bin_expr = sum(
-        [F.when(F.col("_x") > F.lit(e), 1).otherwise(0) for e in inner],
-        F.lit(0),
-    )
+    inner = _dedupe_edges(edges)  # interior edges; outer bins open-ended
+    bin_expr = _bin_expr(F.col("_x"), inner, categorical=False)
 
     counts = (
         base.groupBy(F.col("_probe"), bin_expr.alias("_bin"))
@@ -212,15 +227,20 @@ def reference_histogram(
         base = df.select(F.col(column).cast("string").alias("_x")).where(
             F.col("_x").isNotNull()
         )
+        # bounded driver traffic: LIMIT the top-K collect (a 10^8-cardinality
+        # column must not ship every distinct value to the driver); the
+        # __other__ mass is total − top-K, one extra count
         rows = (
             base.groupBy("_x").agg(F.count(F.lit(1)).alias("n"))
-            .orderBy(F.col("n").desc(), F.col("_x")).collect()
+            .orderBy(F.col("n").desc(), F.col("_x"))
+            .limit(n_bins)
+            .collect()
         )
-        cats = [r["_x"] for r in rows[:n_bins]]
-        in_top = {r["_x"]: r["n"] for r in rows[:n_bins]}
-        other = sum(r["n"] for r in rows[n_bins:])
-        tot = (sum(in_top.values()) + other) or 1.0
-        return cats, [in_top[c] / tot for c in cats] + [other / tot]
+        cats = [r["_x"] for r in rows]
+        top_total = sum(r["n"] for r in rows)
+        total = base.count()
+        tot = total or 1.0
+        return cats, [r["n"] / tot for r in rows] + [(total - top_total) / tot]
     base = df.select(F.col(column).cast("double").alias("_x")).where(
         F.col("_x").isNotNull()
     )
@@ -231,18 +251,12 @@ def reference_histogram(
         edges = [round(float(e), 6) for e in (row or [])]
     else:
         edges = base.approxQuantile("_x", qs, 0.001)
-    uniq: list[float] = []
-    for e in edges:
-        if not uniq or e > uniq[-1]:
-            uniq.append(e)
-    if len(uniq) < 2:
-        uniq = [uniq[0] - 0.5, uniq[0] + 0.5] if uniq else [0.0, 1.0]
-    inner = uniq[1:-1]
-
-    bin_expr = sum(
-        [F.when(F.col("_x") > F.lit(e), 1).otherwise(0) for e in inner], F.lit(0)
+    inner = _dedupe_edges(edges)
+    counts = (
+        base.groupBy(_bin_expr(F.col("_x"), inner, categorical=False).alias("_bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
     )
-    counts = base.groupBy(bin_expr.alias("_bin")).agg(F.count(F.lit(1)).alias("n")).collect()
     nb = len(inner) + 1
     hist = [0.0] * nb
     for r in counts:

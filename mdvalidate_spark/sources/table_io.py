@@ -24,6 +24,7 @@ analog is the append-only chunk discovery of the streaming reader
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 ICEBERG_PREFIX = "iceberg:"
 
@@ -106,10 +107,19 @@ def write_table(
                 "org.apache.iceberg:iceberg-spark-runtime and a catalog conf"
             )
         w = df.writeTo(ident)
+        if partition_by:
+            w = w.partitionedBy(*[F.col(c) for c in partition_by])
         if mode == "append":
-            w.append()
-        else:
+            w.append()  # partitioning comes from the existing table
+        elif mode == "overwrite":
             w.createOrReplace()
+        elif mode in ("error", "errorifexists"):
+            w.create()  # raises TableAlreadyExists if present
+        elif mode == "ignore":
+            if not spark.catalog.tableExists(ident):
+                w.create()
+        else:
+            raise ValueError(f"unknown write mode {mode!r}")
         return
     if not _looks_like_path(ref):
         w = df.write.mode(mode)

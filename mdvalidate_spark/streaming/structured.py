@@ -136,30 +136,20 @@ def windowed_drift_rule(
     sums over literals) is pure column algebra on that row. Append mode: one
     final violation row per closed drifted window, no retraction, no Python.
     """
-    from ..operators.drift import _EPS
     import math as _math
 
+    from ..operators.drift import _EPS, _bin_expr
+
+    categorical = getattr(rule, "categorical", False)
+    if categorical and rule.method != "psi":
+        # same invariant compile_spec enforces for batch rules — this entry
+        # point takes rules directly, so it must enforce it itself (KS over
+        # nominal categories depends on the arbitrary frequency ranking)
+        raise ValueError(f"rule {rule.id!r}: categorical drift requires method='psi'")
     nb = len(inner_edges) + 1
-    if getattr(rule, "categorical", False):
-        # inner_edges carries the reference category list (drift.compute_edges
-        # semantics); bucket = category index, everything else __other__
-        x = (
-            F.expr(rule.expr) if getattr(rule, "expr", None) else F.col(rule.column)
-        ).cast("string")
-        if inner_edges:
-            pos = F.array_position(
-                F.array(*[F.lit(c) for c in inner_edges]), x
-            )
-            bin_expr = F.when(pos > 0, pos - 1).otherwise(F.lit(len(inner_edges)))
-        else:
-            bin_expr = F.lit(0)
-    else:
-        x = (
-            F.expr(rule.expr) if getattr(rule, "expr", None) else F.col(rule.column)
-        ).cast("double")
-        bin_expr = sum(
-            [F.when(x > F.lit(e), 1).otherwise(0) for e in inner_edges], F.lit(0)
-        )
+    val = F.expr(rule.expr) if getattr(rule, "expr", None) else F.col(rule.column)
+    x = val.cast("string") if categorical else val.cast("double")
+    bin_expr = _bin_expr(x, list(inner_edges), categorical)
     counted = (
         stream_df.where(x.isNotNull())
         .withWatermark(ts_column, watermark)
@@ -195,7 +185,7 @@ def windowed_drift_rule(
         F.lit(None).cast("int").alias("partition_id"),
         F.lit(rule.id).alias("rule_id"),
         F.col("win.start").cast("string").alias("image_id"),
-        F.lit(rule.column).alias("column"),
+        F.lit(rule.expr or rule.column).alias("column"),
         F.lit(f"{rule.method} <= {rule.threshold}").alias("expected"),
         F.round(stat, 6).cast("string").alias("actual"),
         F.lit("drift").alias("kind"),

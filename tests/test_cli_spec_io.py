@@ -106,3 +106,39 @@ def test_write_table_routes_by_reference_form(spark, tmp_path):
 
     with pytest.raises(RuntimeError, match="Iceberg"):
         write_table(df, "iceberg:cat.db.results")
+
+
+def test_cli_output_bare_relative_dir_writes_parquet(spark, tmp_path, monkeypatch):
+    """--output with a bare relative directory name must keep writing parquet
+    (the pre-write_table behavior), never be reinterpreted as a catalog
+    database name."""
+    import os
+
+    from mdvalidate_spark.cli import main
+    from mdvalidate_spark.sources.synthetic import synthetic_images, full_images_spec
+    from mdvalidate_spark.spec_io import save_spec
+
+    table = str(tmp_path / "images")
+    synthetic_images(spark, 100, with_bytes=False, n_partitions=2).write.mode(
+        "overwrite"
+    ).parquet(table)
+    spec_path = str(tmp_path / "spec.json")
+    save_spec(full_images_spec(with_pixel=False, n_partitions=2), spec_path)
+
+    # a RELATIVE parquet path resolves against the JVM's launch dir (not the
+    # python cwd), so assert there — the point is routing: a bare name must
+    # produce parquet directories, never a saveAsTable catalog write
+    import shutil
+
+    rel = "results-cli-test"
+    rc = main(["--spec", spec_path, "--table", table, "--output", rel,
+               "--dim", f"dim_source={table}"])
+    try:
+        assert rc in (0, 1)
+        base = os.path.join(os.getcwd(), rel)
+        assert os.path.isdir(os.path.join(base, "violations"))
+        got = spark.read.parquet(os.path.join(base, "violations"))
+        assert "rule_id" in got.columns
+        assert not spark.catalog.tableExists(f"{rel}.violations".replace("-", "_"))
+    finally:
+        shutil.rmtree(os.path.join(os.getcwd(), rel), ignore_errors=True)

@@ -253,3 +253,37 @@ def test_north_star_drift_profile_w_h_fmt_caption_length(spark):
     assert set(stats) == {"w_drift", "h_drift", "fmt_drift", "caplen_drift"}
     # thresholds were set unreachable: the profile reports, doesn't fail
     assert rep.exit_code == 0
+
+
+def test_drift_rule_needs_column_or_expr(spark):
+    import pytest
+
+    from mdvalidate_spark.compile import compile_spec
+    from mdvalidate_spark.errors import SchemaError
+    from mdvalidate_spark.spec import DriftRule, Spec
+
+    with pytest.raises(SchemaError, match="column or an expr"):
+        compile_spec(
+            Spec(rules=(DriftRule("d", group_column="g", group_value="x"),),
+                 key_column="g"),
+            ["g"],
+        )
+
+
+def test_drift_null_group_rows_belong_to_neither_side(spark):
+    """Rows with a NULL group column have unknown membership: they must not
+    be silently folded into the reference histogram (which would diverge
+    from compute_edges' reference slice and from the SQL oracle)."""
+    from mdvalidate_spark.operators.drift import drift_check
+    from mdvalidate_spark.spec import DriftRule
+
+    rows = [(("a", "b", "c")[i % 3], "ref") for i in range(300)]
+    rows += [(("a", "b", "c")[i % 3], "probe") for i in range(300)]
+    rows += [("zzz", None)] * 300  # unknown membership, alien category
+    df = spark.createDataFrame(rows, "cat string, grp string")
+    rule = DriftRule("cd", column="cat", group_column="grp", group_value="probe",
+                     method="psi", threshold=0.2, categorical=True)
+    _, m, n = drift_check(df, rule, "t")
+    # ref and probe mixes are identical → PSI ~ 0 iff NULL-group rows were
+    # excluded; folding them into ref would shift its densities and inflate PSI
+    assert n == 0 and abs(m.collect()[0]["value"]) < 0.01

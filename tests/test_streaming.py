@@ -340,3 +340,16 @@ def test_windowed_drift_categorical_stream(spark, tmp_path):
     flagged = {r["image_id"] for r in got}
     assert "2026-01-01 00:02:00" in flagged
     assert "2026-01-01 00:00:00" not in flagged
+
+
+def test_windowed_drift_categorical_rejects_ks(spark):
+    import pytest
+
+    from mdvalidate_spark.spec import DriftRule
+    from mdvalidate_spark.streaming.structured import windowed_drift_rule
+
+    rule = DriftRule("bad", column="fmt", group_column="x", group_value="y",
+                     method="ks", categorical=True)
+    df = spark.createDataFrame([("jpeg", None)], "fmt string, ts timestamp")
+    with pytest.raises(ValueError, match="categorical drift requires"):
+        windowed_drift_rule(df, rule, ["jpeg"], [0.9, 0.1], "ts")
