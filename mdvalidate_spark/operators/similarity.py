@@ -234,3 +234,74 @@ def topk_ivf(
         .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos_full"))
     )
     return _rank_topk(scored, k)
+
+
+# ------------------------------------------------------ persisted IVF index
+
+
+def ivf_index_write(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list | None = None,
+) -> list:
+    """Materialize the IVF index: every corpus vector tagged with its nearest
+    cell and written PARTITIONED BY cell, centroids alongside as a tiny
+    parquet. Build once, query many times — and because `cell` is a physical
+    partition column, query-time nprobe pruning becomes Spark PARTITION
+    PRUNING: a probe of 4 of 1024 cells reads 4/1024ths of the files, no
+    full-corpus scan (the in-memory topk_ivf recomputes assignments and scans
+    everything every call). Returns the centroid list."""
+    cents = centroids or ivf_build_centroids(corpus, n_cells, vec_col, id_col)
+    assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("cell", _nearest_cell(F.col("cv"), cents))
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(i, list(map(float, c))) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    return cents
+
+
+def ivf_index_centroids(spark, path: str) -> list:
+    rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    return [list(r["centroid"]) for r in rows]
+
+
+def topk_ivf_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k against a persisted IVF index (ivf_index_write). The probed cell
+    set of the whole query batch is collected (≤ n_queries·nprobe ints — the
+    query side is small by contract, it is broadcast anyway) and pushed as a
+    STATIC partition filter, so the scan plans only the probed cells'
+    files; scoring joins on cell like topk_ivf and ranks with the two-phase
+    scale-safe path."""
+    cents = ivf_index_centroids(spark, path)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("cell", F.explode(_cells_by_distance(F.col("qv"), cents, nprobe)))
+    probed = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
+    cells = spark.read.parquet(f"{path}/cells").where(F.col("cell").isin(probed))
+    scored = (
+        cells.join(F.broadcast(q), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos_full"),
+        )
+    )
+    return _rank_topk(scored, k)

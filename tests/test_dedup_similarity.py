@@ -333,3 +333,23 @@ def test_connected_components_converges_at_the_wire(spark):
 def test_simhash_max_hamming_bound(spark, corpus):
     with pytest.raises(ValueError, match="64-bit signature"):
         D.simhash_duplicates(corpus, max_hamming=64)
+
+
+def test_ivf_index_persisted_matches_in_memory(spark, tmp_path):
+    """The persisted IVF index must return exactly what the in-memory IVF
+    returns for the same centroids, and the scan of the probed cells must
+    show a PARTITION filter on cell (pruning, not full-corpus read)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    queries = emb.where(F.col("vec_id") < 5)
+    path = str(tmp_path / "ivf")
+
+    cents = S.ivf_index_write(emb, path, n_cells=8)
+    got = S.topk_ivf_indexed(spark, path, queries, k=3, nprobe=3)
+    want = S.topk_ivf(emb, queries, k=3, nprobe=3, n_cells=8, centroids=cents)
+    as_set = lambda df: {  # noqa: E731
+        (r["query_id"], r["neighbor_id"], r["rank"]) for r in df.collect()
+    }
+    assert as_set(got) == as_set(want)
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:200]
