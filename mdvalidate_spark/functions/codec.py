@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import struct
 import zlib
-from functools import lru_cache
+from collections import OrderedDict
 
 import numpy as np
 
@@ -73,20 +73,39 @@ def _base_image_uncached(pattern_id: int, w: int, h: int) -> np.ndarray:
     return arr
 
 
-@lru_cache(maxsize=256)
-def _base_image_cached(pattern_id: int, w: int, h: int) -> np.ndarray:
-    return _base_image_uncached(pattern_id, w, h)
+_CACHE_BUDGET_BYTES = 256 * 1024 * 1024  # per worker process
+_cache: "OrderedDict[tuple, np.ndarray]" = OrderedDict()
+_cache_bytes = 0
 
 
 def base_image(pattern_id: int, w: int, h: int) -> np.ndarray:
     """Deterministic HxWx3 uint8 image for a pattern, with the pattern_id
     bit-stamped into row 0 (quantization-proof 0/255 levels).
 
-    LRU-cached per worker process: production image tables are hot-keyed
-    (few base patterns dominate — the phash skew the north rule calls out),
-    so the validator regenerates each (pattern, dims) reference once instead
-    of per row. Callers must treat the result as read-only."""
-    return _base_image_cached(int(pattern_id), int(w), int(h))
+    Stamp capacity: row 0 carries min(32, w) id bits, so the id is only
+    fully recoverable when pattern_id < 2**min(32, w) — the synthetic
+    fixtures honor this (small ids, w ≥ 32); phash verification against a
+    wider id is ambiguous by construction.
+
+    LRU-cached per worker process under a BYTE budget (not an entry count —
+    256 cached 2048² references would pin gigabytes): production image
+    tables are hot-keyed (few base patterns dominate — the phash skew the
+    north rule calls out), so the validator regenerates each (pattern, dims)
+    reference once instead of per row. Callers must treat the result as
+    read-only."""
+    global _cache_bytes
+    key = (int(pattern_id), int(w), int(h))
+    hit = _cache.get(key)
+    if hit is not None:
+        _cache.move_to_end(key)
+        return hit
+    arr = _base_image_uncached(*key)
+    _cache[key] = arr
+    _cache_bytes += arr.nbytes
+    while _cache_bytes > _CACHE_BUDGET_BYTES and len(_cache) > 1:
+        _, old = _cache.popitem(last=False)
+        _cache_bytes -= old.nbytes
+    return arr
 
 
 _POW2 = 1 << np.arange(_STAMP_BITS, dtype=np.int64)

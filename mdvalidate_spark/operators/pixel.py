@@ -107,51 +107,120 @@ def pixel_check_results(
     bytes flow through the standard Arrow exchange. `partitions` optionally
     restricts to a set of engine partitions (the incremental-batch case).
     """
-    from ..sources.native_scan import native_parquet_map, parquet_columns, parquet_files
+    from ..sources.native_scan import parquet_columns, parquet_files
 
     needed = {
         key_column, rule.bytes_column, rule.w_column, rule.h_column,
         rule.fmt_column, rule.phash_column,
     }
-    files = parquet_files(df)
-    if files and _row_preserving(df):
-        cols_in_file = set(parquet_columns(files))
-        if needed <= cols_in_file and (
-            partitions is None or "partition_id" in cols_in_file
-        ):
-            return _pixel_native(df.sparkSession, files, rule, key_column, partitions)
-
+    # the native gate is best-effort: ANY probing failure (remote filesystem
+    # scheme pyarrow can't open, malformed footer, plan introspection error)
+    # must degrade to the always-correct Arrow path, never crash the run
+    try:
+        files = parquet_files(df)
+        if files and _native_safe(df, needed):
+            cols_in_file = set(parquet_columns(files))
+            if needed <= cols_in_file and (
+                # if the frame carries partition_id, the files must too —
+                # an ENGINE-DERIVED id (pmod(xxhash64)) cannot be recomputed
+                # by the native reader, and emitting NULL ids would
+                # desynchronize the manifest bookkeeping from the verdict
+                "partition_id" not in df.columns
+                or "partition_id" in cols_in_file
+            ):
+                return _pixel_native(
+                    df.sparkSession, files, rule, key_column, partitions,
+                    cols_in_file,
+                )
+    except Exception:
+        pass
     return _pixel_arrow(df, rule, key_column, partitions)
 
 
-def _row_preserving(df: DataFrame) -> bool:
+def _native_safe(df: DataFrame, needed: set) -> bool:
     """The native path re-reads files raw, so it is only sound when the
-    DataFrame contains every file row (projections fine, filters not).
-    Conservative plan sniff: any row-dropping operator → fall back."""
+    DataFrame (a) contains every file row exactly once and (b) has not
+    RECOMPUTED any column the kernel reads. (a) is an ALLOWLIST of plan
+    nodes — an unknown operator (Offset, Generate/explode, a new Spark node)
+    falls back rather than silently validating rows the frame dropped or
+    duplicated; (b) is a computed-column sniff: `<expr> AS col#` in the
+    analyzed plan means col no longer matches the file bytes."""
     try:
         plan = df._jdf.queryExecution().analyzed().toString()
     except Exception:
         return False
-    droppers = ("Filter", "Limit", "Join", "Aggregate", "Deduplicate", "Sample", "Intersect", "Except")
-    return not any(k in plan for k in droppers)
+    allowed = (
+        "Project", "Relation", "LogicalRelation", "Repartition",
+        "RepartitionByExpression", "Sort", "SubqueryAlias", "View",
+        "ResolvedHint",
+    )
+    for line in plan.splitlines():
+        node = line.lstrip(" +-:").split(" ", 1)[0].split("[", 1)[0]
+        if node and not any(node.startswith(a) for a in allowed):
+            return False
+    for c in set(needed) | {"partition_id"}:
+        if f" AS {c}#" in plan:
+            return False
+    return True
 
 
-def _pixel_native(spark, files, rule: PixelRule, key_column: str, partitions):
+def _files_overlapping(files: list[str], pset: set) -> list[str]:
+    """Files whose partition_id statistics can overlap the partition set.
+    Missing/disabled statistics keep the file (pruning is an optimization,
+    never a correctness decision — the per-batch arrow_filter still runs)."""
+    import pyarrow.parquet as pq
+
+    lo, hi = min(pset), max(pset)
+    keep = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        try:
+            idx = names.index("partition_id")
+        except ValueError:
+            keep.append(f)  # schema-evolved file without the column
+            continue
+        overlap = False
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                overlap = True
+                break
+            if st.min <= hi and st.max >= lo and any(
+                st.min <= p <= st.max for p in pset
+            ):
+                overlap = True
+                break
+        if overlap:
+            keep.append(f)
+    return keep
+
+
+def _pixel_native(spark, files, rule: PixelRule, key_column: str, partitions,
+                  cols_in_file: set):
     """Native-scan pixel stage: workers pyarrow-read their own splits and the
     `bytes` column never becomes a Python bytes object — each payload is a
     zero-copy memoryview into the arrow data buffer (sources/native_scan.py
     binary_views). On a 14 GB/s-DRAM host this halves the stage's memory
     traffic vs to_pandas; at cluster scale it's one fewer full-table copy."""
-    from ..sources.native_scan import binary_views, native_parquet_map, parquet_columns
+    from ..sources.native_scan import binary_views, native_parquet_map
 
     psnr_min = rule.psnr_min
     cols = [
         "partition_id", key_column, rule.bytes_column, rule.w_column,
         rule.h_column, rule.fmt_column, rule.phash_column,
     ]
-    have_part = "partition_id" in parquet_columns(files)
+    have_part = "partition_id" in cols_in_file
     if not have_part:
         cols = cols[1:]
+    if partitions is not None and have_part:
+        # file-level pruning for incremental batches: drop files whose
+        # partition_id row-group min/max cannot overlap the batch — footers
+        # are tiny driver-side reads, and without this every batch of a
+        # batched run streams the WHOLE table's bytes through the workers
+        files = _files_overlapping(files, set(partitions))
+        if not files:
+            return spark.createDataFrame([], CHECK_SCHEMA)
     key_c, bytes_c = key_column, rule.bytes_column
     w_c, h_c, fmt_c, ph_c = (
         rule.w_column, rule.h_column, rule.fmt_column, rule.phash_column,

@@ -54,17 +54,23 @@ class Manifest:
         prev = self.entries.get(partition_id)
         if prev is not None and _RANK[prev["status"]] > _RANK[status]:
             return
-        self.entries[partition_id] = {
-            "status": status,
-            "rows": int(rows if rows is not None else (prev or {}).get("rows", 0)),
-            "violations": int(
+        # build on the previous entry rather than a fixed key set: callers
+        # annotate entries (run.py's 'failed' marker) and a later mark — e.g.
+        # finalize()'s FINALIZED sweep — must not silently strip those keys
+        # from the persisted manifest
+        entry = dict(prev or {})
+        entry.update(
+            status=status,
+            rows=int(rows if rows is not None else (prev or {}).get("rows", 0)),
+            violations=int(
                 violations
                 if violations is not None
                 else (prev or {}).get("violations", 0)
             ),
-            "started_at": started_at or (prev or {}).get("started_at") or _now(),
-            "finished_at": _now(),
-        }
+            started_at=started_at or (prev or {}).get("started_at") or _now(),
+            finished_at=_now(),
+        )
+        self.entries[partition_id] = entry
 
     def pending(self, all_partitions: list[int]) -> list[int]:
         """Partitions not yet validated — the manifest *diff* that makes runs

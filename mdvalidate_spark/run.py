@@ -97,16 +97,6 @@ class ValidationRun:
         self.dims = dims or {}
         self.run_id = run_id or f"run-{uuid.uuid4().hex[:12]}"
         self.checkpoint_dir = checkpoint_dir
-        # full schema (not just names) so rules may target nested struct
-        # paths like meta.width (quotes.rs:21-66 step-into analog)
-        self.program: ConstraintProgram = compile_spec(spec, df.schema)
-        for r in self.program.ref_rules:
-            if r.dim_name not in self.dims:
-                from .errors import SchemaError
-
-                raise SchemaError(
-                    f"rule {r.id!r}: dimension table {r.dim_name!r} not provided"
-                )
         # partition ids are data-supplied iff the frame already carried them
         # or the spec names a physical partition column (see all_partitions)
         self._data_partitioned = (
@@ -114,6 +104,19 @@ class ValidationRun:
         )
         self._discovered_partitions: list[int] | None = None
         self.df = with_partition_id(df, spec)
+        # compile against the frame the rules actually run over — AFTER the
+        # engine attaches partition_id, so a rule targeting it (e.g. drift
+        # grouped by partition) compiles whether the id is physical or
+        # derived. Full schema (not just names) so rules may target nested
+        # struct paths like meta.width (quotes.rs:21-66 step-into analog).
+        self.program: ConstraintProgram = compile_spec(spec, self.df.schema)
+        for r in self.program.ref_rules:
+            if r.dim_name not in self.dims:
+                from .errors import SchemaError
+
+                raise SchemaError(
+                    f"rule {r.id!r}: dimension table {r.dim_name!r} not provided"
+                )
         self.manifest = (
             Manifest.load(checkpoint_dir, self.run_id)
             if checkpoint_dir

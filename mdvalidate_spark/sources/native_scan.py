@@ -34,11 +34,24 @@ def parquet_files(df: DataFrame) -> list[str]:
         files = df.inputFiles()
     except Exception:
         return []
+    from urllib.parse import unquote
+
     out = []
     for f in files:
         if not f.endswith(".parquet"):
             return []
-        out.append(f.removeprefix("file://"))
+        if f.startswith("file:"):
+            # Hadoop URIs are percent-encoded (a space is %20) — pyarrow
+            # wants a plain local path
+            out.append(unquote(f.removeprefix("file://").removeprefix("file:")))
+        elif f.startswith("s3a://"):
+            # Hadoop's s3a scheme is pyarrow's s3
+            out.append("s3://" + f.removeprefix("s3a://"))
+        elif "://" in f:
+            out.append(f)  # pyarrow-supported scheme or the gate's
+            # try/except falls back to the Arrow path on open failure
+        else:
+            out.append(unquote(f))
     return out
 
 

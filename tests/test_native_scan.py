@@ -59,7 +59,8 @@ def test_filtered_df_falls_back_to_arrow(spark, px_parquet):
     out = pixel_ops.pixel_check_results(df, PixelRule("px"), "image_id")
     # fallback honors the filter — only w==32 rows checked
     assert out.count() == df.count()
-    assert not pixel_ops._row_preserving(df)
+    needed = {"image_id", "bytes", "w", "h", "fmt", "phash"}
+    assert not pixel_ops._native_safe(df, needed)
 
 
 def test_run_via_parquet_source_matches_inmemory(spark, px_parquet):
@@ -84,3 +85,57 @@ def test_run_via_parquet_source_matches_inmemory(spark, px_parquet):
         }
 
     assert vset(mem) == vset(disk)
+
+
+def test_engine_derived_partition_id_uses_arrow_path(spark, px_parquet, tmp_path):
+    """A table WITHOUT a physical partition_id column (ids engine-derived via
+    pmod(xxhash64)) must NOT take the native path: the raw-file reader cannot
+    recompute the ids and would emit NULLs, desynchronizing manifest
+    bookkeeping from the verdict. The run must still count pixel violations
+    per partition."""
+    from mdvalidate_spark.run import ValidationRun
+    from mdvalidate_spark.sources.synthetic import dim_source, full_images_spec
+
+    nopid = str(tmp_path / "nopid")
+    spark.read.parquet(px_parquet).drop("partition_id").write.mode(
+        "overwrite"
+    ).parquet(nopid)
+    df = spark.read.parquet(nopid)
+    spec = full_images_spec(with_pixel=True, n_partitions=4)
+    run = ValidationRun(spark, spec, df, dims={"dim_source": dim_source(spark)},
+                        run_id="nopid")
+    rep = run.validate()
+    pixel_rows = rep.violations.where(F.col("rule_id") == "pixel")
+    n_pixel = pixel_rows.count()
+    assert n_pixel > 0  # fixture plants pixel violations
+    # every pixel violation carries a REAL partition id (no NULL bucket)
+    assert pixel_rows.where(F.col("partition_id").isNull()).count() == 0
+    # and the manifest accounted for them
+    assert run.manifest.total_violations >= n_pixel
+
+
+def test_recomputed_column_uses_arrow_path(spark, px_parquet):
+    """A frame that RECOMPUTED one of the kernel's columns (withColumn) must
+    not take the native path — the raw files no longer match the frame."""
+    df = spark.read.parquet(px_parquet).withColumn("fmt", F.lit("png"))
+    needed = {"image_id", "bytes", "w", "h", "fmt", "phash"}
+    assert not pixel_ops._native_safe(df, needed)
+    # plain re-read stays eligible
+    assert pixel_ops._native_safe(spark.read.parquet(px_parquet), needed)
+
+
+def test_native_batch_prunes_files(spark, tmp_path):
+    """Incremental batches must not re-stream the whole table: files whose
+    partition_id stats cannot overlap the batch are pruned driver-side."""
+    from mdvalidate_spark.sources.synthetic import synthetic_images
+
+    p = str(tmp_path / "pxp")
+    # one file per partition id → perfectly prunable stats
+    synthetic_images(spark, 400, with_bytes=True, n_partitions=4).repartition(
+        4, F.col("partition_id")
+    ).sortWithinPartitions("partition_id").write.mode("overwrite").parquet(p)
+    from mdvalidate_spark.sources.native_scan import parquet_files
+
+    files = parquet_files(spark.read.parquet(p))
+    kept = pixel_ops._files_overlapping(files, {0})
+    assert 0 < len(kept) < len(files)
