@@ -707,9 +707,9 @@ FROM orders WHERE o_totalprice IS NOT NULL
   AND (o_totalprice < 1000.0 OR o_totalprice > 400000.0)
 UNION ALL
 SELECT 'prio_regex', CAST(o_orderkey AS VARCHAR), 'o_orderpriority',
-       '^[1-3]-[A-Z ]+$', o_orderpriority, 'matcher'
+       '^(?:[1-3]-[A-Z ]+)$', o_orderpriority, 'matcher'
 FROM orders WHERE o_orderpriority IS NOT NULL
-  AND NOT regexp_matches(o_orderpriority, '^[1-3]-[A-Z ]+$')
+  AND NOT regexp_matches(o_orderpriority, '^(?:[1-3]-[A-Z ]+)$')
 """
 
 _ROW_PART_SQL = """
@@ -719,8 +719,8 @@ SELECT 'size_range' AS rule_id, CAST(p_partkey AS VARCHAR) AS row_key,
 FROM part WHERE p_size IS NOT NULL AND (p_size < 1.0 OR p_size > 25.0)
 UNION ALL
 SELECT 'brand_regex', CAST(p_partkey AS VARCHAR), 'p_brand',
-       '^Brand#[0-9]$', p_brand, 'matcher'
-FROM part WHERE p_brand IS NOT NULL AND NOT regexp_matches(p_brand, '^Brand#[0-9]$')
+       '^(?:Brand#[0-9])$', p_brand, 'matcher'
+FROM part WHERE p_brand IS NOT NULL AND NOT regexp_matches(p_brand, '^(?:Brand#[0-9])$')
 UNION ALL
 SELECT 'type_not_null', CAST(p_partkey AS VARCHAR), 'p_type',
        'not null', NULL, 'null'
@@ -729,9 +729,9 @@ FROM part WHERE p_type IS NULL
 
 _ROW_CUSTOMER_SQL = """
 SELECT 'name_regex' AS rule_id, CAST(c_custkey AS VARCHAR) AS row_key,
-       'c_name' AS col_name, '^Customer#[0-9]{9}$' AS expected,
+       'c_name' AS col_name, '^(?:Customer#[0-9]{9})$' AS expected,
        c_name AS actual, 'matcher' AS kind
-FROM customer WHERE c_name IS NOT NULL AND NOT regexp_matches(c_name, '^Customer#[0-9]{9}$')
+FROM customer WHERE c_name IS NOT NULL AND NOT regexp_matches(c_name, '^(?:Customer#[0-9]{9})$')
 UNION ALL
 SELECT 'bal_range', CAST(c_custkey AS VARCHAR), 'c_acctbal',
        '[0.0, 10000.0]', CAST(c_acctbal AS VARCHAR), 'range'
@@ -779,8 +779,8 @@ _COMPOSITE_DOCS_SQL = (
 
 
 # DuckDB replicas of the text kernels (same ASCII regex classes)
-_TOKENS = "list_filter(string_split_regex(coalesce({t}, ''), '[ \\t\\n]+'), x -> len(x) > 0)"
-_NORM = "trim(regexp_replace(lower(coalesce({t}, '')), '[ \\t\\n]+', ' ', 'g'))"
+_TOKENS = "list_filter(string_split_regex(coalesce({t}, ''), '[ \\t\\r\\n]+'), x -> len(x) > 0)"
+_NORM = "trim(regexp_replace(lower(coalesce({t}, '')), '[ \\t\\r\\n]+', ' ', 'g'))"
 
 
 def _lang_sql(t: str) -> str:
@@ -801,9 +801,9 @@ def _lang_sql(t: str) -> str:
 def _text_profile_sql() -> str:
     t = "text"
     toks = _TOKENS.format(t=t)
-    bpe = f"len(regexp_extract_all(coalesce({t}, ''), '[A-Za-z0-9]+|[^A-Za-z0-9 \\t\\n]'))"
+    bpe = f"len(regexp_extract_all(coalesce({t}, ''), '[A-Za-z0-9]+|[^A-Za-z0-9 \\t\\r\\n]'))"
     total = f"len(coalesce({t}, ''))"
-    punct = f"({total} - len(regexp_replace(coalesce({t}, ''), '[^A-Za-z0-9 \\t\\n]', '', 'g')))"
+    punct = f"({total} - len(regexp_replace(coalesce({t}, ''), '[^A-Za-z0-9 \\t\\r\\n]', '', 'g')))"
     alpha = f"len(regexp_replace(coalesce({t}, ''), '[^A-Za-z]', '', 'g'))"
     punct_ratio = f"CASE WHEN {total} = 0 THEN 0.0 ELSE {punct} * 1.0 / {total} END"
     alpha_ratio = f"CASE WHEN {total} = 0 THEN 0.0 ELSE {alpha} * 1.0 / {total} END"
@@ -1086,9 +1086,9 @@ FROM orders WHERE o_totalprice IS NOT NULL
   AND (o_totalprice < 1000.0 OR o_totalprice > 400000.0)
 UNION ALL
 SELECT 'm_prio', CAST(o_orderkey AS VARCHAR), 'meta.prio',
-       '^[1-3]-[A-Z ]+$', o_orderpriority, 'matcher'
+       '^(?:[1-3]-[A-Z ]+)$', o_orderpriority, 'matcher'
 FROM orders WHERE o_orderpriority IS NOT NULL
-  AND NOT regexp_matches(o_orderpriority, '^[1-3]-[A-Z ]+$')
+  AND NOT regexp_matches(o_orderpriority, '^(?:[1-3]-[A-Z ]+)$')
 """,
         "unique_lineitem_orderkey": """
 SELECT 'uq_lokey' AS rule_id, CAST(l_orderkey AS VARCHAR) AS row_key,
@@ -1133,8 +1133,8 @@ ranked AS (
 )
 SELECT 'seq_flag' AS rule_id,
        CAST(l_orderkey AS VARCHAR) || '-' || lord AS row_key,
-       '^[AR]$' AS expected, l_returnflag AS actual, 'matcher' AS kind
-FROM ranked WHERE rnk >= 2 AND NOT regexp_matches(l_returnflag, '^[AR]$')
+       '^(?:[AR])$' AS expected, l_returnflag AS actual, 'matcher' AS kind
+FROM ranked WHERE rnk >= 2 AND NOT regexp_matches(l_returnflag, '^(?:[AR])$')
 UNION ALL
 SELECT 'seq_flag', CAST(l_orderkey AS VARCHAR),
        'sequence length in [1, 6]', CAST(n AS VARCHAR), 'count'

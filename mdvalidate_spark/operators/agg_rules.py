@@ -74,15 +74,33 @@ def unique_violations(
 
 
 def count_violations(
-    df: DataFrame, rule: CountRule, run_id: str, partition_scope: bool = False
+    df: DataFrame,
+    rule: CountRule,
+    run_id: str,
+    expected_partitions: list[int] | None = None,
 ) -> DataFrame:
     """`{min,max}` cardinality per group (or per engine partition).
 
     Emits one violation per out-of-bounds group. Open bounds (None) check one
     side only, like `{n,}` / `{,n}` (matcher_extras.rs:129-157).
+
+    A group with ZERO rows never appears in a groupBy, so an undercount can
+    only be detected against a known universe: for per-partition rules the
+    caller passes ``expected_partitions`` (the run knows its id set) and
+    empty partitions are reported as count 0. For ``group_by`` rules the
+    group domain is data-defined — an entirely absent group is not
+    enumerable and therefore not reported.
     """
     group_cols = list(rule.group_by) if rule.group_by else ["partition_id"]
     counted = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n"))
+    if not rule.group_by and rule.min is not None and expected_partitions:
+        universe = df.sparkSession.createDataFrame(
+            [(int(p),) for p in expected_partitions], "partition_id int"
+        )
+        missing = universe.join(counted, "partition_id", "left_anti").select(
+            "partition_id", F.lit(0).cast("long").alias("n")
+        )
+        counted = counted.unionByName(missing)
 
     conds = []
     if rule.min is not None:
@@ -202,7 +220,10 @@ def _capture_exprs(r, key_column: str):
     silently desynchronize (their output parity is asserted by tests)."""
     order_col = r.order_column or key_column
     cap = F.regexp_extract(F.col(r.column), r.pattern, r.group)
-    matched = F.col(r.column).isNotNull() & (cap != "")
+    # match detection via rlike, NOT cap != "": regexp_extract returns ""
+    # for both no-match and a legitimately empty capture group (pattern
+    # "id=(\\w*)" on "id="), and the latter must still count
+    matched = F.col(r.column).isNotNull() & F.col(r.column).rlike(r.pattern)
     gkey = (
         F.concat_ws(
             "\x01",
@@ -351,6 +372,10 @@ def capture_rows(df: DataFrame, rules, run_id: str, key_column: str) -> DataFram
     ``group_by`` rank within (partition, group). Pick ``capture_metrics``
     for the compact JSON report, ``capture_rows`` when captures per
     partition are unbounded.
+    Known shape difference for ``group_by`` rules: capture_metrics' JSON
+    includes groups with ZERO matches (as {"group": g, "values": []});
+    capture_rows filters to matched rows first, so match-less groups emit
+    no rows at all.
     """
     from functools import reduce
 

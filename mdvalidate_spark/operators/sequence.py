@@ -25,8 +25,12 @@ from ..errors import KIND_COUNT, KIND_MATCHER
 from ..spec import SequenceRule
 
 def _anchored(p: str) -> str:
-    out = p if p.startswith("^") else "^" + p
-    return out if out.endswith("$") else out + "$"
+    # non-capturing group before anchoring: "a|b" must mean ^(?:a|b)$, not
+    # ^a|b$ (prefix-a OR suffix-b); explicitly pre-anchored patterns pass
+    # through verbatim
+    if p.startswith("^") or p.endswith("$"):
+        return p
+    return "^(?:" + p + ")$"
 
 
 def sequence_violations(
@@ -39,7 +43,12 @@ def sequence_violations(
     total_min = sum_fixed + last.min
     total_max = None if last.max is None else sum_fixed + last.max
 
-    w_order = Window.partitionBy(*rule.group_by).orderBy(rule.order_column)
+    # key_column as tie-break: equal order values would otherwise make
+    # row_number() (and therefore segment assignment at boundaries)
+    # shuffle-layout-dependent — violations flapping run to run
+    w_order = Window.partitionBy(*rule.group_by).orderBy(
+        rule.order_column, key_column
+    )
     w_group = Window.partitionBy(*rule.group_by)
     ranked = df.select(
         F.col(key_column).cast("string").alias("_key"),

@@ -22,8 +22,8 @@ from pyspark.sql import functions as F
 # explicit ASCII classes — identical semantics in Spark (Java regex) and
 # DuckDB (RE2); \w/\s unicode behavior differs between dialects
 WORD_RE = "[A-Za-z0-9]+"
-BPE_RE = "[A-Za-z0-9]+|[^A-Za-z0-9 \\t\\n]"
-PUNCT_RE = "[^A-Za-z0-9 \\t\\n]"
+BPE_RE = "[A-Za-z0-9]+|[^A-Za-z0-9 \\t\\r\\n]"
+PUNCT_RE = "[^A-Za-z0-9 \\t\\r\\n]"
 
 # small deterministic marker lists for the n-gram language heuristic
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -40,8 +40,10 @@ def tokens(text: Column) -> Column:
 
     Filters empty fragments rather than trimming: Spark's trim() strips only
     spaces, so tab/newline-padded text would otherwise yield phantom tokens.
+    \\r is whitespace too — CRLF corpora must tokenize (and fingerprint)
+    identically to their LF twins.
     """
-    parts = F.split(F.coalesce(text, F.lit("")), "[ \\t\\n]+")
+    parts = F.split(F.coalesce(text, F.lit("")), "[ \\t\\r\\n]+")
     return F.filter(parts, lambda x: F.length(x) > 0)
 
 
@@ -76,7 +78,7 @@ def stopword_ratio(text: Column, stopwords: tuple[str, ...]) -> Column:
     return F.when(n == 0, F.lit(0.0)).otherwise(hits / n)
 
 
-def quality_score(text: Column, stopwords: tuple[str, ...] = LANG_MARKERS["en"]) -> Column:
+def quality_score(text: Column) -> Column:
     """Deterministic composite in [0,1]: alphabetic density × (1 − punct
     noise) × saturating length credit. Rounded to 6 dp so engines agree."""
     n = token_count_ws(text).cast("double")
@@ -114,7 +116,7 @@ def lang_id(text: Column) -> Column:
 def normalize_text(text: Column) -> Column:
     """Canonical form for fingerprinting/dedup: lowercase, collapse runs of
     whitespace, trim."""
-    return F.trim(F.regexp_replace(F.lower(F.coalesce(text, F.lit(""))), "[ \\t\\n]+", " "))
+    return F.trim(F.regexp_replace(F.lower(F.coalesce(text, F.lit(""))), "[ \\t\\r\\n]+", " "))
 
 
 def fingerprint_md5(text: Column) -> Column:

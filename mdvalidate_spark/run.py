@@ -216,7 +216,11 @@ class ValidationRun:
                 )
             )
         for cr in prog.count_rules:  # per-partition count bounds
-            viols.append(agg_rules.count_violations(batch_df, cr, self.run_id))
+            viols.append(
+                agg_rules.count_violations(
+                    batch_df, cr, self.run_id, expected_partitions=partitions
+                )
+            )
         if prog.capture_rules:  # ordered per-partition capture arrays
             mets.append(
                 agg_rules.capture_metrics(

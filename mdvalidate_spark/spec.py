@@ -79,12 +79,14 @@ class RegexRule(Rule):
 
     @property
     def anchored(self) -> str:
+        # wrap in a non-capturing group BEFORE anchoring: "a|b" must mean
+        # ^(?:a|b)$ (full match of either), not ^a|b$ (prefix-a OR suffix-b).
+        # A pattern the user already anchored is left verbatim — explicit
+        # anchors are a deliberate choice.
         p = self.pattern
-        if not p.startswith("^"):
-            p = "^" + p
-        if self.full and not p.endswith("$"):
-            p = p + "$"
-        return p
+        if p.startswith("^") or p.endswith("$"):
+            return p
+        return "^(?:" + p + ")" + ("$" if self.full else "")
 
 
 @dataclass(frozen=True)

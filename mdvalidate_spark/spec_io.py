@@ -94,7 +94,15 @@ def rule_to_dict(r: Rule) -> dict:
     return out
 
 
+_SPEC_KEYS = {"rules", "key_column", "partition_column", "n_partitions", "fast_fail"}
+
+
 def spec_from_dict(d: dict) -> Spec:
+    # same strictness as rule params: a typo ("fastfail", "key_col") must
+    # raise, not silently run with defaults the user didn't choose
+    unknown = set(d) - _SPEC_KEYS
+    if unknown:
+        raise SchemaError(f"spec: unknown top-level keys {sorted(unknown)}")
     rules = tuple(rule_from_dict(r) for r in d.get("rules", []))
     return Spec(
         rules=rules,

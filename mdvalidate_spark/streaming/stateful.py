@@ -42,7 +42,9 @@ def _dup_fn(
     new = sum(len(p) for p in pdfs)
     total = seen + new
     state.update((total,))
-    # occurrences seen+2 .. total are duplicates (the first is legitimate)
+    # duplicates start right after the LAST occurrence already emitted:
+    # at occurrence max(seen+1, 2) — occurrence 1 is always legitimate,
+    # and everything up to `seen` was handled by earlier batches
     first_dup = max(seen + 1, 2)
     if total >= first_dup:
         yield pd.DataFrame(

@@ -370,3 +370,38 @@ def test_capture_rows_tie_break_matches_metrics(spark):
         for r in capture_rows(df, rules, "r", "k").collect()
     )
     assert [v for _, v in rows] == arrays == ["1", "5", "9", "0"]
+
+
+def test_count_min_flags_empty_partitions(spark):
+    """A partition with ZERO rows must be reported against a min bound when
+    the caller supplies the expected id universe (groupBy alone can never
+    see an empty group)."""
+    from mdvalidate_spark.operators.agg_rules import count_violations
+    from mdvalidate_spark.spec import CountRule
+
+    df = spark.createDataFrame([(0, "a"), (0, "b"), (1, "c")],
+                               "partition_id int, v string")
+    v = count_violations(
+        df, CountRule("cmin", min=1), "t", expected_partitions=[0, 1, 2, 3]
+    ).collect()
+    empty = {r["image_id"]: r["actual"] for r in v}
+    assert empty == {"2": "0", "3": "0"}
+
+
+def test_capture_empty_group_match_counts(spark):
+    """A pattern whose capture group legitimately matches the empty string
+    still counts as a match (rlike detection, not cap != '')."""
+    import json
+
+    from mdvalidate_spark.operators.agg_rules import capture_metrics
+    from mdvalidate_spark.spec import CaptureRule
+
+    df = spark.createDataFrame(
+        [("k1", 0, "id="), ("k2", 0, "id=abc"), ("k3", 0, "nope")],
+        "k string, partition_id int, txt string",
+    )
+    m = capture_metrics(
+        df, (CaptureRule("cap", column="txt", pattern=r"id=(\w*)"),), "r", "k"
+    ).collect()[0]
+    assert m["value"] == 2.0
+    assert json.loads(m["value_str"]) == ["", "abc"]

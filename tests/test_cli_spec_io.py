@@ -142,3 +142,13 @@ def test_cli_output_bare_relative_dir_writes_parquet(spark, tmp_path, monkeypatc
         assert not spark.catalog.tableExists(f"{rel}.violations".replace("-", "_"))
     finally:
         shutil.rmtree(os.path.join(os.getcwd(), rel), ignore_errors=True)
+
+
+def test_spec_unknown_top_level_key_rejected():
+    import pytest
+
+    from mdvalidate_spark.errors import SchemaError
+    from mdvalidate_spark.spec_io import spec_from_dict
+
+    with pytest.raises(SchemaError, match="unknown top-level"):
+        spec_from_dict({"fastfail": True, "rules": []})

@@ -39,8 +39,8 @@ def test_chained_steps_consume_disjoint_ordered_ranges(spark):
     got = {(r["image_id"], r["kind"]) for r in v}
     assert got == {("b2", "matcher"), ("b4", "matcher")}
     exp = {r["image_id"]: r["expected"] for r in v}
-    assert exp["b2"] == "^T$"       # rank-2 row judged by step 2's pattern
-    assert exp["b4"] == "^b\\d$"    # tail row judged by the last pattern
+    assert exp["b2"] == "^(?:T)$"   # rank-2 row judged by step 2's pattern
+    assert exp["b4"] == "^(?:b\\d)$"  # tail row judged by the last pattern
 
 
 def test_group_length_bounds(spark):

@@ -139,9 +139,9 @@ def test_empty_domain_and_bad_drift_method_rejected():
 def test_regex_anchoring_matches_reference():
     # auto-anchored with ^ like matcher.rs:332
     r = RegexRule("r", column="c", pattern=r"\d+")
-    assert r.anchored == r"^\d+$"
+    assert r.anchored == r"^(?:\d+)$"
     r2 = RegexRule("r", column="c", pattern=r"\d+", full=False)
-    assert r2.anchored == r"^\d+"
+    assert r2.anchored == r"^(?:\d+)"
 
 
 def test_schema_rule_violations(spark):
@@ -235,3 +235,23 @@ def test_schema_rule_checked_on_direct_finalize(spark):
     rep = ValidationRun(spark, spec, df, run_id="schfin").finalize()
     assert rep.exit_code == 1
     assert [r["kind"] for r in rep.violations.collect()] == ["dtype_mismatch"]
+
+
+def test_regex_alternation_full_match(spark):
+    """"a|b" must validate as a FULL match of either branch — the naive
+    ^a|b$ anchoring accepted "food" (prefix) and "xbar" (suffix)."""
+    from mdvalidate_spark.operators.row_rules import row_violations, with_partition_id
+    from mdvalidate_spark.spec import RegexRule, Spec
+
+    df = spark.createDataFrame(
+        [("k1", "foo"), ("k2", "bar"), ("k3", "food"), ("k4", "xbar")],
+        "k string, v string",
+    )
+    spec = Spec(rules=(RegexRule("alt", column="v", pattern="foo|bar"),),
+                key_column="k", n_partitions=2)
+    from mdvalidate_spark.compile import compile_spec
+
+    prog = compile_spec(spec, df.columns)
+    bad = {r["image_id"] for r in
+           row_violations(with_partition_id(df, spec), prog, "t").collect()}
+    assert bad == {"k3", "k4"}
