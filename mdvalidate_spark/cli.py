@@ -102,16 +102,28 @@ def main(argv=None) -> int:
             # always did, not be reinterpreted as a database name. Iceberg
             # targets get a _name table suffix (a /-join would create an
             # illegal 4-part identifier).
+            # Iceberg results tables APPEND (run_id disambiguates runs —
+            # overwrite maps to createOrReplace, which would erase the
+            # snapshot history the Iceberg sink exists to keep); parquet
+            # dirs keep the overwrite-per-invocation behavior.
             if args.output.startswith(ICEBERG_PREFIX):
                 target = lambda name: f"{args.output}_{name}"  # noqa: E731
+                mode = "append"
             else:
                 target = lambda name: f"{args.output}/{name}"  # noqa: E731
+                mode = "overwrite"
             for name, frame in (
                 ("violations", report.violations),
                 ("metrics", report.metrics),
                 ("manifest", report.manifest),
             ):
-                write_table(frame, target(name))
+                try:
+                    write_table(frame, target(name), mode=mode)
+                except Exception:
+                    if mode != "append":
+                        raise
+                    # first run against a not-yet-created Iceberg table
+                    write_table(frame, target(name), mode="error")
 
         n = report.violations.count()
         by_rule = report.violations.groupBy("rule_id").count().orderBy("rule_id").collect()

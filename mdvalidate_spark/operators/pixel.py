@@ -24,6 +24,9 @@ derives violation rows and per-partition metrics from it in one pass.
 
 from __future__ import annotations
 
+import logging
+import os
+import time
 from collections.abc import Iterator
 
 import numpy as np
@@ -34,6 +37,8 @@ from pyspark.sql import functions as F
 from ..errors import KIND_PIXEL
 from ..functions import codec
 from ..spec import PixelRule
+
+log = logging.getLogger(__name__)
 
 CHECK_SCHEMA = (
     "partition_id int, image_id string, ok boolean, expected string, "
@@ -98,6 +103,7 @@ def pixel_check_results(
     rule: PixelRule,
     key_column: str,
     partitions: list[int] | None = None,
+    cache: dict | None = None,
 ) -> DataFrame:
     """Decode + verify every image → one result row per image.
 
@@ -106,7 +112,41 @@ def pixel_check_results(
     splits — see sources/native_scan.py for the measured 5x win); otherwise
     bytes flow through the standard Arrow exchange. `partitions` optionally
     restricts to a set of engine partitions (the incremental-batch case).
+
+    ``cache`` (any mutable dict, owned by the caller — ValidationRun passes
+    one per run) memoizes the driver-side gate probing (file listing, footer
+    schema, analyzed-plan allowlist) AND per-file row-group statistics, so a
+    batched run pays the probe cost once instead of once per batch/call. The
+    frame and rule are fixed for a run by construction, so the decision
+    cannot go stale within one cache's lifetime.
     """
+    t0 = time.time()
+    gate = cache.get("gate") if cache is not None else None
+    if gate is None:
+        gate = _gate_decision(df, rule, key_column)
+        if cache is not None:
+            cache["gate"] = gate
+        if os.environ.get("MDV_PROFILE"):
+            print(
+                f"    [mdv-profile] pixel native-gate probe "
+                f"({'native' if gate[0] else 'arrow'}): "
+                f"{time.time() - t0:.3f}s",
+                flush=True,
+            )
+    ok, files, cols_in_file = gate
+    if ok:
+        return _pixel_native(
+            df.sparkSession, files, rule, key_column, partitions, cols_in_file,
+            footer_cache=None if cache is None else cache.setdefault("footers", {}),
+        )
+    return _pixel_arrow(df, rule, key_column, partitions)
+
+
+def _gate_decision(
+    df: DataFrame, rule: PixelRule, key_column: str
+) -> tuple[bool, list[str], set]:
+    """(use_native, files, cols_in_file) — the driver-side probe, separated
+    so callers can cache it per run."""
     from ..sources.native_scan import parquet_columns, parquet_files
 
     needed = {
@@ -115,7 +155,9 @@ def pixel_check_results(
     }
     # the native gate is best-effort: ANY probing failure (remote filesystem
     # scheme pyarrow can't open, malformed footer, plan introspection error)
-    # must degrade to the always-correct Arrow path, never crash the run
+    # must degrade to the always-correct Arrow path, never crash the run —
+    # but LOUDLY (log.warning): a permanently-broken native path silently
+    # costing ~5x would otherwise be invisible in production
     try:
         files = parquet_files(df)
         if files and _native_safe(df, needed):
@@ -128,13 +170,15 @@ def pixel_check_results(
                 "partition_id" not in df.columns
                 or "partition_id" in cols_in_file
             ):
-                return _pixel_native(
-                    df.sparkSession, files, rule, key_column, partitions,
-                    cols_in_file,
-                )
-    except Exception:
-        pass
-    return _pixel_arrow(df, rule, key_column, partitions)
+                return True, files, cols_in_file
+    except Exception as e:  # noqa: BLE001 - fall back, but observably
+        log.warning(
+            "pixel native-scan gate failed (%s: %s) — falling back to the "
+            "Arrow-exchange path for this run",
+            type(e).__name__,
+            e,
+        )
+    return False, [], set()
 
 
 def _native_safe(df: DataFrame, needed: set) -> bool:
@@ -164,31 +208,53 @@ def _native_safe(df: DataFrame, needed: set) -> bool:
     return True
 
 
-def _files_overlapping(files: list[str], pset: set) -> list[str]:
-    """Files whose partition_id statistics can overlap the partition set.
-    Missing/disabled statistics keep the file (pruning is an optimization,
-    never a correctness decision — the per-batch arrow_filter still runs)."""
+def _partition_stats(f: str, footer_cache: dict | None) -> list | None:
+    """Per-row-group (min, max) of partition_id for one file, or None when
+    the file lacks the column. A row group without usable statistics yields
+    a (None, None) entry. Footer reads are tiny but driver-side and per-file
+    — memoized in ``footer_cache`` so a batched run reads each footer once,
+    not once per batch."""
+    if footer_cache is not None and f in footer_cache:
+        return footer_cache[f]
     import pyarrow.parquet as pq
 
-    lo, hi = min(pset), max(pset)
-    keep = []
-    for f in files:
-        md = pq.ParquetFile(f).metadata
-        names = [md.schema.column(i).name for i in range(md.num_columns)]
-        try:
-            idx = names.index("partition_id")
-        except ValueError:
-            keep.append(f)  # schema-evolved file without the column
-            continue
-        overlap = False
+    md = pq.ParquetFile(f).metadata
+    names = [md.schema.column(i).name for i in range(md.num_columns)]
+    try:
+        idx = names.index("partition_id")
+        stats = []
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx).statistics
             if st is None or not st.has_min_max:
+                stats.append((None, None))
+            else:
+                stats.append((st.min, st.max))
+    except ValueError:
+        stats = None  # schema-evolved file without the column
+    if footer_cache is not None:
+        footer_cache[f] = stats
+    return stats
+
+
+def _files_overlapping(
+    files: list[str], pset: set, footer_cache: dict | None = None
+) -> list[str]:
+    """Files whose partition_id statistics can overlap the partition set.
+    Missing/disabled statistics keep the file (pruning is an optimization,
+    never a correctness decision — the per-batch arrow_filter still runs)."""
+    lo, hi = min(pset), max(pset)
+    keep = []
+    for f in files:
+        stats = _partition_stats(f, footer_cache)
+        if stats is None:
+            keep.append(f)  # schema-evolved file without the column
+            continue
+        overlap = False
+        for mn, mx in stats:
+            if mn is None:
                 overlap = True
                 break
-            if st.min <= hi and st.max >= lo and any(
-                st.min <= p <= st.max for p in pset
-            ):
+            if mn <= hi and mx >= lo and any(mn <= p <= mx for p in pset):
                 overlap = True
                 break
         if overlap:
@@ -197,7 +263,7 @@ def _files_overlapping(files: list[str], pset: set) -> list[str]:
 
 
 def _pixel_native(spark, files, rule: PixelRule, key_column: str, partitions,
-                  cols_in_file: set):
+                  cols_in_file: set, footer_cache: dict | None = None):
     """Native-scan pixel stage: workers pyarrow-read their own splits and the
     `bytes` column never becomes a Python bytes object — each payload is a
     zero-copy memoryview into the arrow data buffer (sources/native_scan.py
@@ -218,7 +284,7 @@ def _pixel_native(spark, files, rule: PixelRule, key_column: str, partitions,
         # partition_id row-group min/max cannot overlap the batch — footers
         # are tiny driver-side reads, and without this every batch of a
         # batched run streams the WHOLE table's bytes through the workers
-        files = _files_overlapping(files, set(partitions))
+        files = _files_overlapping(files, set(partitions), footer_cache)
         if not files:
             return spark.createDataFrame([], CHECK_SCHEMA)
     key_c, bytes_c = key_column, rule.bytes_column

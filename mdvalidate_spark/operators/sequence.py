@@ -26,11 +26,15 @@ from ..spec import SequenceRule
 
 def _anchored(p: str) -> str:
     # non-capturing group before anchoring: "a|b" must mean ^(?:a|b)$, not
-    # ^a|b$ (prefix-a OR suffix-b); explicitly pre-anchored patterns pass
-    # through verbatim
-    if p.startswith("^") or p.endswith("$"):
+    # ^a|b$ (prefix-a OR suffix-b). Missing anchors are added independently —
+    # a ONE-sided user anchor ("^foo" / "foo$") must not suppress the other
+    # side (sequence steps are always full-value matches); only a pattern
+    # already carrying both passes through verbatim.
+    needs_start = not p.startswith("^")
+    needs_end = not p.endswith("$")
+    if not needs_start and not needs_end:
         return p
-    return "^(?:" + p + ")$"
+    return ("^" if needs_start else "") + "(?:" + p + ")" + ("$" if needs_end else "")
 
 
 def sequence_violations(

@@ -110,6 +110,21 @@ class ValidationRun:
         # derived. Full schema (not just names) so rules may target nested
         # struct paths like meta.width (quotes.rs:21-66 step-into analog).
         self.program: ConstraintProgram = compile_spec(spec, self.df.schema)
+        # drift `expr` inputs are opaque to the column lint (DriftRule.targets
+        # can't enumerate them) — analyze each expression against the real
+        # schema NOW, driver-side, so a typo'd expr ("lenght(text)") is a
+        # SchemaError before any job instead of an AnalysisException mid-run
+        for dr in self.program.drift_rules:
+            if dr.expr:
+                try:
+                    self.df.select(F.expr(dr.expr))  # analysis only, no job
+                except Exception as e:
+                    from .errors import SchemaError
+
+                    raise SchemaError(
+                        f"rule {dr.id!r}: drift expr {dr.expr!r} does not "
+                        f"resolve against the input schema: {e}"
+                    ) from e
         for r in self.program.ref_rules:
             if r.dim_name not in self.dims:
                 from .errors import SchemaError
@@ -130,6 +145,11 @@ class ValidationRun:
         self._schema_violations = 0
         self._drift_edge_futs: dict[str, object] = {}
         self._drift_pool = None
+        # per-run memo of the pixel stage's driver-side gate probing (native
+        # vs arrow decision + parquet footer stats): the frame is fixed for
+        # the run, so re-probing per batch is pure repeated driver latency —
+        # the r2 bench regression's prime suspect (VERDICT r2 #1)
+        self._pixel_cache: dict = {}
         if checkpoint_dir:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
             self._reload_persisted()
@@ -236,7 +256,8 @@ class ValidationRun:
             all_parts = set(self.all_partitions())
             part_arg = None if set(partitions) >= all_parts else partitions
             pixel_checks = pixel_ops.pixel_check_results(
-                self.df, pr, spec.key_column, partitions=part_arg
+                self.df, pr, spec.key_column, partitions=part_arg,
+                cache=self._pixel_cache,
             ).persist(StorageLevel.MEMORY_AND_DISK)
             pv, pm = pixel_ops.pixel_outputs(pixel_checks, pr, self.run_id)
             viols.append(pv)

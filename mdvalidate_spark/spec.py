@@ -81,12 +81,21 @@ class RegexRule(Rule):
     def anchored(self) -> str:
         # wrap in a non-capturing group BEFORE anchoring: "a|b" must mean
         # ^(?:a|b)$ (full match of either), not ^a|b$ (prefix-a OR suffix-b).
-        # A pattern the user already anchored is left verbatim — explicit
-        # anchors are a deliberate choice.
+        # Each missing anchor is added INDEPENDENTLY: a one-sided anchor in
+        # the user pattern ("^foo" with full=True, or "foo$") must not
+        # suppress the other side — the reference ALWAYS start-anchors
+        # (matcher.rs:332) and full=True promises a whole-value match. Only a
+        # pattern carrying every required anchor passes through verbatim.
         p = self.pattern
-        if p.startswith("^") or p.endswith("$"):
+        needs_start = not p.startswith("^")
+        needs_end = self.full and not p.endswith("$")
+        if not needs_start and not needs_end:
             return p
-        return "^(?:" + p + ")" + ("$" if self.full else "")
+        return (
+            ("^" if needs_start else "")
+            + "(?:" + p + ")"
+            + ("$" if needs_end else "")
+        )
 
 
 @dataclass(frozen=True)

@@ -139,3 +139,55 @@ def test_native_batch_prunes_files(spark, tmp_path):
     files = parquet_files(spark.read.parquet(p))
     kept = pixel_ops._files_overlapping(files, {0})
     assert 0 < len(kept) < len(files)
+
+
+def test_gate_decision_cached_per_run(spark, px_parquet, monkeypatch):
+    """The driver-side native-gate probe (file listing + footer schema +
+    analyzed-plan allowlist) must run ONCE per cache, not once per call —
+    the r2 bench regression was per-batch re-probing (VERDICT r2 #1)."""
+    df = spark.read.parquet(px_parquet)
+    calls = {"n": 0}
+    real = pixel_ops._gate_decision
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(pixel_ops, "_gate_decision", counting)
+    cache: dict = {}
+    r1 = pixel_ops.pixel_check_results(df, PixelRule("px"), "image_id", cache=cache)
+    r2 = pixel_ops.pixel_check_results(df, PixelRule("px"), "image_id", cache=cache)
+    assert calls["n"] == 1
+    assert cache["gate"][0] is True  # native path engaged and memoized
+    assert checks_set(r1) == checks_set(r2)
+
+
+def test_footer_stats_cached_across_batches(spark, px_parquet, monkeypatch):
+    """Row-group statistics for incremental-batch file pruning are read from
+    each footer once per run, then served from the footer cache."""
+    import pyarrow.parquet as pq
+
+    df = spark.read.parquet(px_parquet)
+    opened = {"n": 0}
+    real_pf = pq.ParquetFile
+
+    def counting_pf(*a, **k):
+        opened["n"] += 1
+        return real_pf(*a, **k)
+
+    cache: dict = {}
+    # prime the gate without counting its schema read
+    pixel_ops.pixel_check_results(df, PixelRule("px"), "image_id", cache=cache)
+    monkeypatch.setattr(pq, "ParquetFile", counting_pf)
+    a = pixel_ops.pixel_check_results(
+        df, PixelRule("px"), "image_id", partitions=[0, 1], cache=cache
+    )
+    a.count()
+    n_files = len(parquet_files(df))
+    first = opened["n"]
+    assert first <= n_files  # at most one driver-side footer read per file
+    b = pixel_ops.pixel_check_results(
+        df, PixelRule("px"), "image_id", partitions=[2], cache=cache
+    )
+    b.count()
+    assert opened["n"] == first  # second batch: zero new driver footer reads

@@ -287,3 +287,31 @@ def test_drift_null_group_rows_belong_to_neither_side(spark):
     # ref and probe mixes are identical → PSI ~ 0 iff NULL-group rows were
     # excluded; folding them into ref would shift its densities and inflate PSI
     assert n == 0 and abs(m.collect()[0]["value"]) < 0.01
+
+
+def test_drift_expr_typo_rejected_before_any_job(spark):
+    """A typo'd DriftRule.expr must surface as a SchemaError at run
+    construction (driver-side analysis), not an AnalysisException deep in
+    finalize (ADVICE r2: DriftRule.targets can't enumerate expr inputs, so
+    the compile lint alone would let it through)."""
+    import pytest
+
+    from mdvalidate_spark.errors import SchemaError
+    from mdvalidate_spark.run import ValidationRun
+    from mdvalidate_spark.spec import DriftRule, Spec
+
+    df = spark.createDataFrame([("a", "x", 1)], "image_id string, g string, v int")
+    spec = Spec(
+        rules=(DriftRule("d", expr="lenght(image_id)", group_column="g",
+                         group_value="x"),),
+        key_column="image_id",
+    )
+    with pytest.raises(SchemaError, match="lenght"):
+        ValidationRun(spark, spec, df)
+    # the corrected expr constructs fine
+    ok = Spec(
+        rules=(DriftRule("d", expr="length(image_id)", group_column="g",
+                         group_value="x"),),
+        key_column="image_id",
+    )
+    ValidationRun(spark, ok, df)

@@ -144,6 +144,40 @@ def test_regex_anchoring_matches_reference():
     assert r2.anchored == r"^(?:\d+)"
 
 
+def test_regex_one_sided_anchor_completed():
+    """A ONE-sided user anchor must not suppress the other side: full=True
+    means whole-value match, and the reference always start-anchors
+    (matcher.rs:332) — '^foo' still gets the end anchor, 'foo$' still gets
+    the start anchor. Both present → verbatim pass-through."""
+    import re
+
+    assert RegexRule("r", column="c", pattern="^foo").anchored == "(?:^foo)$"
+    assert RegexRule("r", column="c", pattern="foo$").anchored == "^(?:foo$)"
+    assert RegexRule("r", column="c", pattern="^foo$").anchored == "^foo$"
+    # full=False: only the start anchor is owed
+    assert RegexRule("r", column="c", pattern="^foo", full=False).anchored == "^foo"
+    assert (
+        RegexRule("r", column="c", pattern="foo$", full=False).anchored
+        == "^(?:foo$)"
+    )
+    # semantic check: '^foo' with full=True must NOT accept a prefix match
+    a = RegexRule("r", column="c", pattern="^foo").anchored
+    assert re.search(a, "foobar") is None
+    assert re.search(a, "foo") is not None
+    b = RegexRule("r", column="c", pattern="foo$").anchored
+    assert re.search(b, "xfoo") is None
+    assert re.search(b, "foo") is not None
+
+
+def test_sequence_one_sided_anchor_completed():
+    from mdvalidate_spark.operators.sequence import _anchored
+
+    assert _anchored("a|b") == "^(?:a|b)$"
+    assert _anchored("^foo") == "(?:^foo)$"
+    assert _anchored("foo$") == "^(?:foo$)"
+    assert _anchored("^foo$") == "^foo$"
+
+
 def test_schema_rule_violations(spark):
     """Runtime schema drift → violation rows (MalformedNodeStructure analog,
     errors.rs:320-397): missing / extra / dtype-mismatched columns, and dtype
