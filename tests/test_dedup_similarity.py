@@ -353,3 +353,60 @@ def test_ivf_index_persisted_matches_in_memory(spark, tmp_path):
 
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_ivf_assignment_arrow_matches_literal(spark):
+    """The Arrow-batched cell assignment (the scale path for large
+    n_cells × dim) must agree with the unrolled literal expression on both
+    the corpus argmin and the query-side nprobe probe set (VERDICT r2 #2)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    v = emb.select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("cv")
+    )
+    cents = S.ivf_build_centroids(emb, n_cells=8)
+
+    lit = {r["vec_id"]: r["cell"]
+           for r in S._assign_cells(v, cents, "cv", force="literal").collect()}
+    arw = {r["vec_id"]: r["cell"]
+           for r in S._assign_cells(v, cents, "cv", force="arrow").collect()}
+    assert lit == arw
+
+    q = v.where(F.col("vec_id") < 20)
+    plit = {(r["vec_id"], r["cell"])
+            for r in S._probe_cells(q, cents, 3, "cv", force="literal").collect()}
+    parw = {(r["vec_id"], r["cell"])
+            for r in S._probe_cells(q, cents, 3, "cv", force="arrow").collect()}
+    assert plit == parw
+
+
+def test_ivf_large_cell_count_bounded_plan(spark, tmp_path):
+    """n_cells=256 × dim=64 (≈16k would-be literals — past the documented
+    Catalyst/Janino blowup point) must build an index and answer queries in
+    bounded time via the Arrow assignment path, with NO unrolled centroid
+    literals in the plan."""
+    import time
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n, dim, n_cells = 2048, 64, 256
+    rows = [(int(i), rng.standard_normal(dim).tolist()) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [rng.standard_normal(dim).tolist() for _ in range(n_cells)]
+
+    t0 = time.time()
+    assigned = S._assign_cells(
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("cv")),
+        cents, "cv",
+    )
+    # plan must be the kernel, not an unrolled expression forest
+    plan = assigned._jdf.queryExecution().analyzed().toString()
+    assert len(plan) < 100_000
+    n_cells_seen = assigned.select("cell").distinct().count()
+    assert n_cells_seen > 1
+
+    q = emb.where(F.col("vec_id") < 3)
+    got = S.topk_ivf(emb, q, k=3, n_cells=n_cells, nprobe=8, centroids=cents)
+    assert got.count() == 9
+    # generous wall cap: analysis blowup at this size was minutes, not seconds
+    assert time.time() - t0 < 120, "IVF at 256 cells should not blow up analysis"
