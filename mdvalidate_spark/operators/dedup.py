@@ -170,6 +170,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k_shingle: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup via inverted-index blocking (no minhash
     approximation): documents sharing at least one shingle become candidates
@@ -199,31 +200,30 @@ def ngram_jaccard_pairs(
     # (appearing in >1% of docs, min 50) are dropped inline — they generate
     # quadratic candidates and never decide a high-J pair on their own
     n_docs = docs.count()
-    max_df = max(50, int(n_docs * 0.01))
+    if max_df is None:
+        max_df = max(50, int(n_docs * 0.01))
     postings = (
         inv.groupBy("shingle")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
         .where(F.size("ids") > 1)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    kept = postings.where(F.size("ids") <= max_df)
 
-    # expand candidate pairs ARRAY-SIDE (i<j combinations of each posting
-    # list, ≤ max_df²/2 per shingle) instead of a shingle self-join — one
-    # fewer shuffle and no join-row blowup; the groupBy that would have been
-    # `distinct` also COUNTS shared kept shingles per pair for free
-    combos = F.flatten(
-        F.transform(
-            "ids",
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size("ids")),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
+    # candidate pairs by SELF-JOIN on the shingle key, not an array-side i<j
+    # expansion: the combos form materialized up to max_df²/2 structs inside
+    # ONE row's column value before exploding — a single boundary shingle at
+    # corpus scale is a guaranteed single-task OOM (VERDICT r2 #3). As join
+    # OUTPUT the same pairs stream through the operator a batch at a time,
+    # and a hot shingle is splittable by AQE skew handling. The groupBy that
+    # replaces `distinct` also COUNTS shared kept shingles per pair for free.
+    kept = postings.where(F.size("ids") <= max_df).select(
+        "shingle", F.explode("ids").alias("doc_id")
     )
     pairs_c = (
-        kept.select(F.explode(combos).alias("p"))
-        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        kept.select("shingle", F.col("doc_id").alias("id_a"))
+        .join(kept.select("shingle", F.col("doc_id").alias("id_b")), "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared_kept"))
     )
 

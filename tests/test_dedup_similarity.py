@@ -410,3 +410,37 @@ def test_ivf_large_cell_count_bounded_plan(spark, tmp_path):
     assert got.count() == 9
     # generous wall cap: analysis blowup at this size was minutes, not seconds
     assert time.time() - t0 < 120, "IVF at 256 cells should not blow up analysis"
+
+
+def test_ngram_hot_shingle_10k_docs_completes(spark):
+    """One shingle shared by 10k documents must not blow up a single task:
+    it exceeds max_df (stop-shingle) and is dropped from candidate
+    generation; every other shingle is unique. Completes fast, zero pairs
+    (the array-side combos form built a ~df²/2-struct value in ONE row)."""
+    docs = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("alpha beta gamma u"), F.col("id").cast("string"),
+            F.lit(" v"), F.col("id").cast("string"),
+            F.lit(" w"), F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    assert D.ngram_jaccard_pairs(docs, threshold=0.2).count() == 0
+
+
+def test_ngram_boundary_shingle_pairs_via_join(spark):
+    """A shingle shared by MANY docs but under max_df must still produce the
+    full exact candidate set through the posting self-join (correctness of
+    the de-fused pair generation): 120 docs sharing 'alpha beta gamma',
+    each with 3 shingles (1 shared, 2 unique) → J = 1/5 for every pair."""
+    n = 120
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("alpha beta gamma d"), F.col("id").cast("string"),
+            F.lit(" e"), F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    got = D.ngram_jaccard_pairs(docs, threshold=0.2, max_df=200).collect()
+    assert len(got) == n * (n - 1) // 2
+    assert all(abs(r["jaccard"] - 0.2) < 1e-9 for r in got)
