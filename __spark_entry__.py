@@ -202,6 +202,23 @@ def q_count_orders_per_cust(spark, sf_dir):
     return v.select(F.col("rule_id"), F.col("image_id").alias("row_key"), F.col("actual"))
 
 
+def q_count_universe_customers(spark, sf_dir):
+    """Group-universe cardinality (the WrongListCount UNDERCOUNT,
+    lists.rs:168-264): every customer in the customer dimension must have
+    1..8 finished ('F') orders. Dozens of customers have ZERO F-orders —
+    reported as count 0 via the universe anti-join, which a plain groupBy
+    can never see — and several exceed the upper bound, so both violation
+    directions are exercised (non-vacuous by construction)."""
+    o = _load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    c = _load(spark, sf_dir, "customer")
+    rule = CountRule(
+        "cnt_univ", group_by=("o_custkey",), min=1, max=8,
+        universe="customer", universe_columns=("c_custkey",),
+    )
+    v = count_violations(o, rule, "q", universe=c)
+    return v.select(F.col("rule_id"), F.col("image_id").alias("row_key"), F.col("actual"))
+
+
 def q_ref_lineitem_orders(spark, sf_dir):
     li = _load(spark, sf_dir, "lineitem")
     orders = _load(spark, sf_dir, "orders")
@@ -663,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_lineitem_orderkey": q_unique_lineitem_orderkey,
         "unique_orderkey": q_unique_orderkey,
         "count_orders_per_cust": q_count_orders_per_cust,
+        "count_universe_customers": q_count_universe_customers,
         "ref_lineitem_orders": q_ref_lineitem_orders,
         "ref_orders_customer": q_ref_orders_customer,
         "capture_orders_priority": q_capture_orders_priority,
@@ -1104,6 +1122,15 @@ FROM orders GROUP BY o_orderkey HAVING count(*) > 1
 SELECT 'cnt_cust' AS rule_id, CAST(o_custkey AS VARCHAR) AS row_key,
        CAST(count(*) AS VARCHAR) AS actual
 FROM orders GROUP BY o_custkey HAVING count(*) < 1 OR count(*) > 20
+""",
+        "count_universe_customers": """
+SELECT 'cnt_univ' AS rule_id, CAST(c.c_custkey AS VARCHAR) AS row_key,
+       CAST(coalesce(o.n, 0) AS VARCHAR) AS actual
+FROM customer c
+LEFT JOIN (SELECT o_custkey, count(*) AS n FROM orders
+           WHERE o_orderstatus = 'F' GROUP BY 1) o
+  ON c.c_custkey = o.o_custkey
+WHERE coalesce(o.n, 0) < 1 OR coalesce(o.n, 0) > 8
 """,
         "ref_lineitem_orders": """
 SELECT 'ref_lo' AS rule_id, CAST(l.l_orderkey AS VARCHAR) AS row_key,

@@ -193,6 +193,23 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
                 (lo is not None and lo < 0) or (hi is not None and hi < 0)
             ):
                 raise InvalidBoundsError(r.id, lo, hi)
+            if isinstance(r, CountRule) and r.universe:
+                if not r.group_by:
+                    raise SchemaError(
+                        f"rule {r.id!r}: universe needs group_by (per-"
+                        "partition rules use the run's own partition set)"
+                    )
+                if r.min is None:
+                    raise SchemaError(
+                        f"rule {r.id!r}: universe without min is vacuous — "
+                        "a zero-row group can only violate a lower bound"
+                    )
+                if r.universe_columns and len(r.universe_columns) != len(r.group_by):
+                    raise SchemaError(
+                        f"rule {r.id!r}: universe_columns arity "
+                        f"({len(r.universe_columns)}) != group_by arity "
+                        f"({len(r.group_by)})"
+                    )
 
         if isinstance(r, DomainRule) and not r.values:
             raise SchemaError(f"rule {r.id!r}: empty domain")

@@ -78,6 +78,7 @@ def count_violations(
     rule: CountRule,
     run_id: str,
     expected_partitions: list[int] | None = None,
+    universe: DataFrame | None = None,
 ) -> DataFrame:
     """`{min,max}` cardinality per group (or per engine partition).
 
@@ -87,18 +88,33 @@ def count_violations(
     A group with ZERO rows never appears in a groupBy, so an undercount can
     only be detected against a known universe: for per-partition rules the
     caller passes ``expected_partitions`` (the run knows its id set) and
-    empty partitions are reported as count 0. For ``group_by`` rules the
-    group domain is data-defined — an entirely absent group is not
-    enumerable and therefore not reported.
+    empty partitions are reported as count 0. For ``group_by`` rules, pass
+    ``universe`` — the dimension frame named by ``rule.universe`` — and
+    expected groups with no rows are reported as count 0 (the reference's
+    WrongListCount underflow, lists.rs:168-264). Without it an entirely
+    absent group is not enumerable and therefore not reported.
+
+    Scale: the universe check is one distinct on the dim's key column plus a
+    left-anti join against the observed-group aggregate — both keyed on the
+    group columns, sort-merge/AQE-broadcast as sizes dictate; no collect.
     """
     group_cols = list(rule.group_by) if rule.group_by else ["partition_id"]
     counted = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n"))
     if not rule.group_by and rule.min is not None and expected_partitions:
-        universe = df.sparkSession.createDataFrame(
+        universe_df = df.sparkSession.createDataFrame(
             [(int(p),) for p in expected_partitions], "partition_id int"
         )
-        missing = universe.join(counted, "partition_id", "left_anti").select(
+        missing = universe_df.join(counted, "partition_id", "left_anti").select(
             "partition_id", F.lit(0).cast("long").alias("n")
+        )
+        counted = counted.unionByName(missing)
+    if rule.group_by and rule.min is not None and universe is not None:
+        ucols = rule.universe_columns or rule.group_by
+        expected = universe.select(
+            *[F.col(u).alias(g) for u, g in zip(ucols, rule.group_by)]
+        ).distinct()
+        missing = expected.join(counted, list(rule.group_by), "left_anti").select(
+            *group_cols, F.lit(0).cast("long").alias("n")
         )
         counted = counted.unionByName(missing)
 

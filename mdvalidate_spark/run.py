@@ -132,6 +132,13 @@ class ValidationRun:
                 raise SchemaError(
                     f"rule {r.id!r}: dimension table {r.dim_name!r} not provided"
                 )
+        for r in self.program.group_rules:
+            if getattr(r, "universe", "") and r.universe not in self.dims:
+                from .errors import SchemaError
+
+                raise SchemaError(
+                    f"rule {r.id!r}: universe table {r.universe!r} not provided"
+                )
         self.manifest = (
             Manifest.load(checkpoint_dir, self.run_id)
             if checkpoint_dir
@@ -393,7 +400,12 @@ class ValidationRun:
                     agg_rules.unique_violations(self.df, gr, self.run_id)
                 )
             elif isinstance(gr, CountRule):
-                viols.append(agg_rules.count_violations(self.df, gr, self.run_id))
+                viols.append(
+                    agg_rules.count_violations(
+                        self.df, gr, self.run_id,
+                        universe=self.dims.get(gr.universe) if gr.universe else None,
+                    )
+                )
 
         if prog.stats_rules:
             mets.append(

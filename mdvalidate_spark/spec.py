@@ -196,11 +196,22 @@ class UniqueRule(Rule):
 class CountRule(Rule):
     """Row count per group (or per partition when group_by=()) must lie in
     [min, max]; open ends allowed (None), like ``{n,}`` / ``{,n}``
-    (matcher_extras.rs:129-157)."""
+    (matcher_extras.rs:129-157).
+
+    A group with ZERO rows never appears in a groupBy, so "every group must
+    have >= min rows" is silently vacuous for absent groups — unless the
+    group domain is enumerable. ``universe`` names a dimension table (the
+    run's ``dims`` dict) whose ``universe_columns`` (default: the group_by
+    names) enumerate the EXPECTED groups; expected groups with no rows are
+    then reported as count 0 (the reference's WrongListCount underflow,
+    lists.rs:168-264 — fewer items than the schema demands IS an error).
+    Evaluated as one anti-join of the universe against observed groups."""
 
     group_by: tuple[str, ...] = ()  # () = per engine partition
     min: Optional[int] = None
     max: Optional[int] = None
+    universe: str = ""  # dim table enumerating expected groups ("" = none)
+    universe_columns: tuple[str, ...] = ()  # dim cols; default = group_by
     kind: str = field(default="count", init=False)
 
     def targets(self):

@@ -405,3 +405,70 @@ def test_capture_empty_group_match_counts(spark):
     ).collect()[0]
     assert m["value"] == 2.0
     assert json.loads(m["value_str"]) == ["", "abc"]
+
+
+def test_count_universe_reports_zero_row_groups(spark):
+    """'Every group in U has count >= min' must fire for groups with NO rows
+    (reference WrongListCount underflow, lists.rs:168-264): the universe
+    dimension is anti-joined against observed groups — a plain groupBy can
+    never see an absent group."""
+    from mdvalidate_spark.operators.agg_rules import count_violations
+    from mdvalidate_spark.spec import CountRule
+
+    facts = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 1), ("b", 2), ("b", 3)], "cust string, x int"
+    )
+    universe = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",)], "c_id string"
+    )
+    rule = CountRule(
+        "cu", group_by=("cust",), min=1, max=2,
+        universe="dim_cust", universe_columns=("c_id",),
+    )
+    got = {r["image_id"]: r["actual"]
+           for r in count_violations(facts, rule, "t", universe=universe).collect()}
+    # c, d: zero rows (undercount); b: 3 rows (overcount); a: in bounds
+    assert got == {"c": "0", "d": "0", "b": "3"}
+
+
+def test_count_universe_through_validation_run(spark):
+    """Universe rules run in finalize with the dim resolved from dims; a
+    missing universe table is a SchemaError at construction."""
+    import pytest
+
+    from mdvalidate_spark.errors import SchemaError
+    from mdvalidate_spark.run import ValidationRun
+    from mdvalidate_spark.spec import CountRule, Spec
+
+    facts = spark.createDataFrame(
+        [("k1", "a"), ("k2", "a")], "image_id string, cust string"
+    )
+    universe = spark.createDataFrame([("a",), ("z",)], "cust string")
+    spec = Spec(
+        rules=(CountRule("cu", group_by=("cust",), min=1, universe="dim_cust"),),
+        key_column="image_id",
+    )
+    with pytest.raises(SchemaError, match="dim_cust"):
+        ValidationRun(spark, spec, facts)
+    rep = ValidationRun(spark, spec, facts, dims={"dim_cust": universe}).validate()
+    rows = {r["image_id"]: r["actual"]
+            for r in rep.violations.where("rule_id = 'cu'").collect()}
+    assert rows == {"z": "0"} and rep.exit_code == 1
+
+
+def test_count_universe_compile_lints():
+    import pytest
+
+    from mdvalidate_spark.compile import compile_spec
+    from mdvalidate_spark.errors import SchemaError
+    from mdvalidate_spark.spec import CountRule, Spec
+
+    with pytest.raises(SchemaError, match="group_by"):
+        compile_spec(Spec(rules=(CountRule("c", min=1, universe="u"),)))
+    with pytest.raises(SchemaError, match="vacuous"):
+        compile_spec(Spec(rules=(CountRule("c", group_by=("g",), max=5,
+                                           universe="u"),)))
+    with pytest.raises(SchemaError, match="arity"):
+        compile_spec(Spec(rules=(CountRule("c", group_by=("g",), min=1,
+                                           universe="u",
+                                           universe_columns=("a", "b")),)))
