@@ -373,6 +373,35 @@ def capture_metrics(
     return reduce(lambda a, b: a.unionByName(b), outs)
 
 
+def capture_rows_metrics(
+    df: DataFrame, rules, run_id: str, key_column: str
+) -> DataFrame:
+    """CaptureRule(as_rows=True) executor for the run lifecycle: the
+    spill-safe capture_rows output projected into the metrics-table shape —
+    one row per capture, metric='capture_row', value = per-partition rank,
+    value_str = the captured value (grouped rules: JSON {"group","value"} so
+    the group key survives the narrow schema)."""
+    rows = capture_rows(df, rules, run_id, key_column)
+    return rows.select(
+        "run_id",
+        "partition_id",
+        "rule_id",
+        F.lit("capture_row").alias("metric"),
+        F.col("rank").cast("double").alias("value"),
+        F.when(
+            F.col("group_key").isNotNull(),
+            F.to_json(
+                F.struct(
+                    F.col("group_key").alias("group"),
+                    F.col("value").alias("value"),
+                )
+            ),
+        )
+        .otherwise(F.col("value"))
+        .alias("value_str"),
+    )
+
+
 def capture_rows(df: DataFrame, rules, run_id: str, key_column: str) -> DataFrame:
     """Scale-path capture executor: one ROW per capture with an explicit
     per-partition rank, instead of one array per partition.

@@ -248,12 +248,24 @@ class ValidationRun:
                     batch_df, cr, self.run_id, expected_partitions=partitions
                 )
             )
-        if prog.capture_rules:  # ordered per-partition capture arrays
-            mets.append(
-                agg_rules.capture_metrics(
-                    batch_df, prog.capture_rules, self.run_id, spec.key_column
+        if prog.capture_rules:
+            # array-report rules: ordered per-partition capture arrays;
+            # as_rows rules: the spill-safe one-row-per-capture path (the
+            # documented 100x-safe variant, reachable from a spec)
+            arr = [r for r in prog.capture_rules if not r.as_rows]
+            as_rows = [r for r in prog.capture_rules if r.as_rows]
+            if arr:
+                mets.append(
+                    agg_rules.capture_metrics(
+                        batch_df, arr, self.run_id, spec.key_column
+                    )
                 )
-            )
+            if as_rows:
+                mets.append(
+                    agg_rules.capture_rows_metrics(
+                        batch_df, as_rows, self.run_id, spec.key_column
+                    )
+                )
 
         pixel_checks = None
         for pr in prog.pixel_rules:

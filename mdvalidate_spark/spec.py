@@ -287,6 +287,14 @@ class CaptureRule(Rule):
     # (partition, group_by) in order, then the groups themselves accumulate
     # per partition as an ordered array of {group, values} objects
     group_by: tuple[str, ...] = ()
+    # as_rows=True routes the rule through the SPILL-SAFE executor
+    # (agg_rules.capture_rows): one metrics row per capture with an explicit
+    # per-partition rank (metric='capture_row', value=rank, value_str=the
+    # capture — grouped rules JSON-wrap {group, value}), instead of one
+    # collect_list array per partition. Same document-order guarantee via a
+    # sort-based window that spills; choose it when captures per partition
+    # are unbounded (the 100x-safe variant, reachable from a spec).
+    as_rows: bool = False
     kind: str = field(default="capture", init=False)
 
     def targets(self):

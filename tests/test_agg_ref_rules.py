@@ -472,3 +472,42 @@ def test_count_universe_compile_lints():
         compile_spec(Spec(rules=(CountRule("c", group_by=("g",), min=1,
                                            universe="u",
                                            universe_columns=("a", "b")),)))
+
+
+def test_capture_as_rows_through_run_parity(spark):
+    """CaptureRule(as_rows=True) must be reachable from a spec through
+    ValidationRun (VERDICT r2 #5) and reassemble to EXACTLY the array path's
+    report: same captures, same per-partition document order."""
+    import json
+
+    from mdvalidate_spark.run import ValidationRun
+    from mdvalidate_spark.spec import CaptureRule, Spec
+
+    rows = [(f"k{i:03d}", i % 4, f"v{i % 7}-tail") for i in range(80)]
+    df = spark.createDataFrame(rows, "image_id string, grp int, s string")
+    common = dict(column="s", pattern="^(v[0-9])-", order_column="image_id")
+    spec = Spec(
+        rules=(
+            CaptureRule("cap_arr", **common),
+            CaptureRule("cap_rows", as_rows=True, **common),
+        ),
+        key_column="image_id",
+        partition_column="grp",
+    )
+    rep = ValidationRun(spark, spec, df).validate()
+    met = rep.metrics
+
+    arr = {
+        r["partition_id"]: json.loads(r["value_str"])
+        for r in met.where("rule_id = 'cap_arr'").collect()
+    }
+    from collections import defaultdict
+
+    rebuilt = defaultdict(list)
+    for r in sorted(
+        met.where("rule_id = 'cap_rows'").collect(),
+        key=lambda r: (r["partition_id"], r["value"]),
+    ):
+        assert r["metric"] == "capture_row"
+        rebuilt[r["partition_id"]].append(r["value_str"])
+    assert dict(rebuilt) == {p: v for p, v in arr.items() if v}
