@@ -120,6 +120,31 @@ def q_composite_documents(spark, sf_dir):
     )(spark, sf_dir)
 
 
+def q_composite_capture_documents(spark, sf_dir):
+    """Validate-AND-capture as ONE composite rule (the reference's
+    MatcherVsText records the matcher segment while validating,
+    matchers.rs:38-431 + validator.rs:33-36): the numeric id of every
+    passing `source` value ('srcNN' → 'NN') accumulates as an ordered
+    per-partition capture array — no second CaptureRule with a duplicated
+    pattern that could drift."""
+    from mdvalidate_spark.operators.agg_rules import capture_metrics
+
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "pid", F.pmod(F.col("doc_id"), F.lit(10)).cast("int")
+    )
+    df = with_partition_id(docs, Spec(key_column="doc_id", partition_column="pid"))
+    rule = CompositeRegexRule(
+        "src_cap", column="source", prefix="src", pattern="[0-9]+", suffix="",
+        capture=True,
+    )
+    m = capture_metrics(df, (rule,), "q", "doc_id")
+    return m.select(
+        F.col("partition_id").cast("long").alias("pid"),
+        F.col("value").cast("long").alias("n_captures"),
+        F.col("value_str").alias("captures_json"),
+    )
+
+
 def q_struct_meta_orders(spark, sf_dir):
     """Nested-struct column targeting (QuoteVsQuote step-into analog,
     reference quotes.rs:21-66): rules name dotted paths into a struct-typed
@@ -675,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "row_part": q_row_part,
         "row_customer": q_row_customer,
         "composite_documents": q_composite_documents,
+        "composite_capture_documents": q_composite_capture_documents,
         "struct_meta_orders": q_struct_meta_orders,
         "schema_drift_orders": q_schema_drift_orders,
         "unique_lineitem_orderkey": q_unique_lineitem_orderkey,
@@ -1067,6 +1093,22 @@ def oracle_sql() -> dict[str, str]:
         "row_part": _ROW_PART_SQL,
         "row_customer": _ROW_CUSTOMER_SQL,
         "composite_documents": _COMPOSITE_DOCS_SQL,
+        "composite_capture_documents": """
+WITH d AS (
+  SELECT doc_id, doc_id % 10 AS pid,
+         substr(source, 1, 3) AS pre, substr(source, 4) AS rest
+  FROM documents WHERE source IS NOT NULL
+),
+p AS (
+  SELECT pid, doc_id, regexp_extract(rest, '^([0-9]+)', 1) AS cap
+  FROM d
+  WHERE pre = 'src' AND regexp_matches(rest, '^([0-9]+)')
+    AND substr(rest, len(regexp_extract(rest, '^([0-9]+)', 1)) + 1) = ''
+)
+SELECT pid, CAST(count(*) AS BIGINT) AS n_captures,
+       to_json(list(cap ORDER BY doc_id)) AS captures_json
+FROM p GROUP BY pid
+""",
         "schema_drift_orders": """
 WITH actual AS (
   SELECT column_name AS col,

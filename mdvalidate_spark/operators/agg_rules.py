@@ -233,22 +233,43 @@ def _capture_exprs(r, key_column: str):
     """Shared capture expressions for capture_metrics and capture_rows —
     one definition of the match predicate, NULL sentinel, and group-key
     separator, so the array-report path and the ordered-rows path can never
-    silently desynchronize (their output parity is asserted by tests)."""
-    order_col = r.order_column or key_column
-    cap = F.regexp_extract(F.col(r.column), r.pattern, r.group)
-    # match detection via rlike, NOT cap != "": regexp_extract returns ""
-    # for both no-match and a legitimately empty capture group (pattern
-    # "id=(\\w*)" on "id="), and the latter must still count
-    matched = F.col(r.column).isNotNull() & F.col(r.column).rlike(r.pattern)
+    silently desynchronize (their output parity is asserted by tests).
+
+    Accepts CaptureRule AND CompositeRegexRule(capture=True): a composite
+    captures its MATCHER segment for rows where the WHOLE prefix → matcher
+    → suffix pipeline passes (validate-and-capture as one rule — the
+    reference's MatcherVsText, matchers.rs:38-431; expressions mirror
+    row_rules._check exactly so the violating/captured row sets partition
+    each other)."""
+    group_by = getattr(r, "group_by", ())
+    order_col = getattr(r, "order_column", None) or key_column
+    if getattr(r, "kind", "") == "composite":
+        c = F.col(r.column).cast("string")
+        plen = len(r.prefix)
+        rest = c.substr(F.lit(plen + 1), F.length(c))
+        cap = F.regexp_extract(rest, r.anchored, 1)
+        tail = rest.substr(F.length(cap) + F.lit(1), F.length(rest))
+        matched = (
+            c.isNotNull()
+            & (F.substring(c, 1, plen) == F.lit(r.prefix))
+            & rest.rlike(r.anchored)
+            & (tail == F.lit(r.suffix))
+        )
+    else:
+        cap = F.regexp_extract(F.col(r.column), r.pattern, r.group)
+        # match detection via rlike, NOT cap != "": regexp_extract returns ""
+        # for both no-match and a legitimately empty capture group (pattern
+        # "id=(\\w*)" on "id="), and the latter must still count
+        matched = F.col(r.column).isNotNull() & F.col(r.column).rlike(r.pattern)
     gkey = (
         F.concat_ws(
             "\x01",
             *[
                 F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
-                for c in r.group_by
+                for c in group_by
             ],
         )
-        if r.group_by
+        if group_by
         else F.lit(None).cast("string")
     )
     return order_col, cap, matched, gkey
@@ -275,8 +296,8 @@ def capture_metrics(
             "value double, value_str string",
         )
 
-    flat_rules = [r for r in rules if not r.group_by]
-    nested_rules = [r for r in rules if r.group_by]
+    flat_rules = [r for r in rules if not getattr(r, "group_by", ())]
+    nested_rules = [r for r in rules if getattr(r, "group_by", ())]
 
     wide = None
     if flat_rules:

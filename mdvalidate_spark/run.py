@@ -248,11 +248,19 @@ class ValidationRun:
                     batch_df, cr, self.run_id, expected_partitions=partitions
                 )
             )
-        if prog.capture_rules:
+        from .spec import CompositeRegexRule
+
+        comp_caps = [
+            r for r in prog.row_rules
+            if isinstance(r, CompositeRegexRule) and r.capture
+        ]
+        if prog.capture_rules or comp_caps:
             # array-report rules: ordered per-partition capture arrays;
             # as_rows rules: the spill-safe one-row-per-capture path (the
-            # documented 100x-safe variant, reachable from a spec)
-            arr = [r for r in prog.capture_rules if not r.as_rows]
+            # documented 100x-safe variant, reachable from a spec).
+            # Composite rules with capture=True ride the same pass: one rule
+            # validates (row stage) AND captures its matcher segment.
+            arr = [r for r in prog.capture_rules if not r.as_rows] + comp_caps
             as_rows = [r for r in prog.capture_rules if r.as_rows]
             if arr:
                 mets.append(

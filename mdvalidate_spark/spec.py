@@ -120,6 +120,13 @@ class CompositeRegexRule(Rule):
     prefix: str = ""
     pattern: str = ""
     suffix: str = ""
+    # capture=True additionally emits the MATCHER segment of every passing
+    # row as an ordered per-partition capture metric — ONE rule both
+    # validates and captures, the reference's MatcherVsText semantics
+    # (matchers.rs:38-431 validates the pipeline AND records the match,
+    # validator.rs:33-36), with no second rule whose duplicated pattern
+    # could silently drift.
+    capture: bool = False
     kind: str = field(default="composite", init=False)
 
     def targets(self):

@@ -511,3 +511,44 @@ def test_capture_as_rows_through_run_parity(spark):
         assert r["metric"] == "capture_row"
         rebuilt[r["partition_id"]].append(r["value_str"])
     assert dict(rebuilt) == {p: v for p, v in arr.items() if v}
+
+
+def test_composite_capture_validate_and_capture_one_rule(spark):
+    """CompositeRegexRule(capture=True): one rule validates the prefix →
+    matcher → suffix pipeline AND captures the matcher segment of passing
+    rows (reference MatcherVsText, matchers.rs:38-431). Violating rows are
+    NOT captured; the two row sets partition the non-null input."""
+    import json
+
+    from mdvalidate_spark.run import ValidationRun
+    from mdvalidate_spark.spec import CompositeRegexRule, Spec
+
+    rows = [
+        ("k1", 0, "id-7x"),    # pass → capture '7'
+        ("k2", 0, "id-12x"),   # pass → capture '12'
+        ("k3", 0, "xx-7x"),    # prefix violation, no capture
+        ("k4", 0, "id-ax"),    # matcher violation, no capture
+        ("k5", 0, "id-7y"),    # suffix violation, no capture
+        ("k6", 0, None),       # NULL: neither
+    ]
+    df = spark.createDataFrame(rows, "image_id string, pid int, s string")
+    spec = Spec(
+        rules=(
+            CompositeRegexRule(
+                "comp", column="s", prefix="id-", pattern="[0-9]+",
+                suffix="x", capture=True,
+            ),
+        ),
+        key_column="image_id",
+        partition_column="pid",
+    )
+    rep = ValidationRun(spark, spec, df).validate()
+    viol_keys = {r["image_id"] for r in
+                 rep.violations.where("rule_id = 'comp'").collect()}
+    assert viol_keys == {"k3", "k4", "k5"}
+    caps = rep.metrics.where(
+        "rule_id = 'comp' AND metric = 'captures'"
+    ).collect()
+    assert len(caps) == 1
+    assert json.loads(caps[0]["value_str"]) == ["7", "12"]  # image_id order
+    assert caps[0]["value"] == 2.0
