@@ -534,9 +534,21 @@ def q_lang_confusion_documents(spark, sf_dir):
 
 
 def q_dedup_exact_documents(spark, sf_dir):
-    docs = _load(spark, sf_dir, "documents")
-    d = D.exact_duplicates(docs)
-    return d.select("fp", "group_size", F.col("doc_ids").cast("array<string>").alias("doc_ids"))
+    """De-vacuated (the fixture has no natural exact dups): doc_id < 20 is
+    planted again at doc_id + 1_000_000 with identical text, so the operator
+    must find exactly those 20 groups — representative, full count, and the
+    bounded member sample are all value-checked."""
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    d = D.exact_duplicates(docs.unionByName(planted))
+    return d.select(
+        "fp",
+        "group_size",
+        F.col("representative").cast("string").alias("representative"),
+        F.to_json(F.col("member_sample").cast("array<string>")).alias("member_sample"),
+    )
 
 
 def q_fingerprint_documents(spark, sf_dir):
@@ -1278,9 +1290,16 @@ SELECT lang, {_lang_sql('text')} AS lang_pred, count(*) AS n
 FROM documents GROUP BY 1, 2
 """,
         "dedup_exact_documents": f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 20
+)
 SELECT md5({_NORM.format(t='text')}) AS fp, count(*) AS group_size,
-       list_sort(list(CAST(doc_id AS VARCHAR))) AS doc_ids
-FROM documents GROUP BY 1 HAVING count(*) > 1
+       CAST(min(doc_id) AS VARCHAR) AS representative,
+       to_json(list_transform(list_sort(list(doc_id))[1:16],
+                              x -> CAST(x AS VARCHAR))) AS member_sample
+FROM docs GROUP BY 1 HAVING count(*) > 1
 """,
         "fingerprint_documents": _fingerprint_sql(),
         "ngram_jaccard_documents": _ngram_jaccard_sql(0.5, 3),

@@ -30,19 +30,44 @@ from .text import normalize_text, shingles, tokens
 
 
 def exact_duplicates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sample_size: int = 16,
 ) -> DataFrame:
     """Exact near-identity dedup: group by md5(normalized text); emit one row
-    per duplicate group with the member ids (sorted for determinism) and the
-    group size. One shuffle on a uniform hash key — no skew by construction."""
+    per duplicate group with (representative = min id, group_size, and the
+    first ``sample_size`` member ids in sorted order). One shuffle on a
+    uniform hash key — no skew by construction.
+
+    Output is BOUNDED per group: a collect_list of ALL member ids would put
+    a mega-group's entire id set into one aggregation buffer/output row —
+    at corpus scale a boilerplate document can have 10^8 copies. The sample
+    is taken with a row_number window over (fp, id) — sort-based, spills —
+    and the groupBy reuses the window's fp partitioning, so no extra
+    shuffle. The keep-one / drop-rest decision needs only the
+    representative; the sample is for human triage."""
     from .text import fingerprint_md5
 
+    from pyspark.sql import Window
+
+    fp_docs = df.select(
+        F.col(id_col).alias("doc_id"), fingerprint_md5(F.col(text_col)).alias("fp")
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
     return (
-        df.select(F.col(id_col).alias("doc_id"), fingerprint_md5(F.col(text_col)).alias("fp"))
+        fp_docs.withColumn("_rn", F.row_number().over(w))
         .groupBy("fp")
         .agg(
             F.count(F.lit(1)).alias("group_size"),
-            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            F.min("doc_id").alias("representative"),
+            # collect_list drops NULLs → only the first sample_size ids
+            # (in sorted order) ever enter the aggregation buffer
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("_rn") <= sample_size, F.col("doc_id"))
+                )
+            ).alias("member_sample"),
         )
         .where(F.col("group_size") > 1)
     )
