@@ -208,58 +208,40 @@ def _native_safe(df: DataFrame, needed: set) -> bool:
     return True
 
 
-def _partition_stats(f: str, footer_cache: dict | None) -> list | None:
-    """Per-row-group (min, max) of partition_id for one file, or None when
-    the file lacks the column. A row group without usable statistics yields
-    a (None, None) entry. Footer reads are tiny but driver-side and per-file
-    — memoized in ``footer_cache`` so a batched run reads each footer once,
-    not once per batch."""
-    if footer_cache is not None and f in footer_cache:
-        return footer_cache[f]
-    import pyarrow.parquet as pq
-
-    md = pq.ParquetFile(f).metadata
-    names = [md.schema.column(i).name for i in range(md.num_columns)]
-    try:
-        idx = names.index("partition_id")
-        stats = []
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(idx).statistics
-            if st is None or not st.has_min_max:
-                stats.append((None, None))
-            else:
-                stats.append((st.min, st.max))
-    except ValueError:
-        stats = None  # schema-evolved file without the column
-    if footer_cache is not None:
-        footer_cache[f] = stats
-    return stats
-
-
-def _files_overlapping(
+def _overlapping_splits(
     files: list[str], pset: set, footer_cache: dict | None = None
-) -> list[str]:
-    """Files whose partition_id statistics can overlap the partition set.
-    Missing/disabled statistics keep the file (pruning is an optimization,
-    never a correctness decision — the per-batch arrow_filter still runs)."""
+) -> list[tuple[str, int, int]]:
+    """Row-group-level pruning for incremental batches: contiguous runs of
+    row groups whose partition_id statistics can overlap the partition set,
+    as (path, rg_lo, rg_hi) splits for native_parquet_map. Strictly finer
+    than the old file-level prune — a sorted-by-partition file contributes
+    only the row groups the batch touches, not its whole byte payload.
+    Missing/disabled statistics keep the row group (pruning is an
+    optimization, never a correctness decision — the per-batch arrow_filter
+    still runs); a schema-evolved file without the column is kept whole."""
+    from ..sources.native_scan import footer_meta
+
     lo, hi = min(pset), max(pset)
-    keep = []
-    for f in files:
-        stats = _partition_stats(f, footer_cache)
+    splits: list[tuple[str, int, int]] = []
+    for f in sorted(files):
+        stats = footer_meta(f, footer_cache)["pid_stats"]
         if stats is None:
-            keep.append(f)  # schema-evolved file without the column
+            splits.append((f, 0, -1))  # schema-evolved file without the column
             continue
-        overlap = False
-        for mn, mx in stats:
-            if mn is None:
-                overlap = True
-                break
-            if mn <= hi and mx >= lo and any(mn <= p <= mx for p in pset):
-                overlap = True
-                break
-        if overlap:
-            keep.append(f)
-    return keep
+        run_start = None
+        for rg, (mn, mx) in enumerate(stats):
+            keep = (
+                mn is None
+                or (mn <= hi and mx >= lo and any(mn <= p <= mx for p in pset))
+            )
+            if keep and run_start is None:
+                run_start = rg
+            elif not keep and run_start is not None:
+                splits.append((f, run_start, rg))
+                run_start = None
+        if run_start is not None:
+            splits.append((f, run_start, len(stats)))
+    return splits
 
 
 def _pixel_native(spark, files, rule: PixelRule, key_column: str, partitions,
@@ -279,13 +261,14 @@ def _pixel_native(spark, files, rule: PixelRule, key_column: str, partitions,
     have_part = "partition_id" in cols_in_file
     if not have_part:
         cols = cols[1:]
+    splits = None
     if partitions is not None and have_part:
-        # file-level pruning for incremental batches: drop files whose
-        # partition_id row-group min/max cannot overlap the batch — footers
-        # are tiny driver-side reads, and without this every batch of a
-        # batched run streams the WHOLE table's bytes through the workers
-        files = _files_overlapping(files, set(partitions), footer_cache)
-        if not files:
+        # row-group-level pruning for incremental batches: emit splits only
+        # for row groups whose partition_id min/max can overlap the batch —
+        # footers are tiny driver-side reads, and without this every batch
+        # of a batched run streams the WHOLE table's bytes through workers
+        splits = _overlapping_splits(files, set(partitions), footer_cache)
+        if not splits:
             return spark.createDataFrame([], CHECK_SCHEMA)
     key_c, bytes_c = key_column, rule.bytes_column
     w_c, h_c, fmt_c, ph_c = (
@@ -321,6 +304,7 @@ def _pixel_native(spark, files, rule: PixelRule, key_column: str, partitions,
     return native_parquet_map(
         spark, files, cols, None, CHECK_SCHEMA,
         arrow_kernel=arrow_kernel, arrow_filter=arrow_filter,
+        splits=splits, footer_cache=footer_cache,
     )
 
 

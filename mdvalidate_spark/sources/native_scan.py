@@ -63,6 +63,61 @@ def parquet_columns(files: list[str]) -> list[str]:
     return list(pq.read_schema(files[0]).names)
 
 
+def footer_meta(path: str, cache: dict | None = None) -> dict:
+    """One footer read per file: row-group count, per-row-group row counts,
+    and per-row-group (min, max) statistics of partition_id (None when the
+    file lacks the column; (None, None) entries when stats are absent).
+    Driver-side and tiny, memoized in ``cache`` so batched runs pay once."""
+    key = ("footer", path)
+    if cache is not None and key in cache:
+        return cache[key]
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    names = [md.schema.column(i).name for i in range(md.num_columns)]
+    rows = [md.row_group(rg).num_rows for rg in range(md.num_row_groups)]
+    pid_stats = None
+    if "partition_id" in names:
+        idx = names.index("partition_id")
+        pid_stats = []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                pid_stats.append((None, None))
+            else:
+                pid_stats.append((st.min, st.max))
+    meta = {"rows": rows, "pid_stats": pid_stats}
+    if cache is not None:
+        cache[key] = meta
+    return meta
+
+
+def row_group_splits(
+    files: list[str],
+    cache: dict | None = None,
+    target_rows: int = 1 << 17,
+) -> list[tuple[str, int, int]]:
+    """Split files into contiguous row-group ranges [(path, rg_lo, rg_hi)] of
+    ≈target_rows each — the same split model Spark's own parquet source uses
+    (maxPartitionBytes), so one giant file no longer serializes a stage
+    behind a single task. Small row groups coalesce into one split; a file
+    always yields at least one split."""
+    splits: list[tuple[str, int, int]] = []
+    for f in sorted(files):
+        rows = footer_meta(f, cache)["rows"]
+        if not rows:
+            continue
+        lo, acc = 0, 0
+        for rg, n in enumerate(rows):
+            acc += n
+            if acc >= target_rows:
+                splits.append((f, lo, rg + 1))
+                lo, acc = rg + 1, 0
+        if lo < len(rows):
+            splits.append((f, lo, len(rows)))
+    return splits
+
+
 def binary_views(arr) -> list:
     """Zero-copy per-row memoryviews into an arrow Binary/LargeBinary array's
     data buffer (None for null rows).
@@ -100,16 +155,37 @@ def native_parquet_map(
     batch_rows: int = 4096,
     arrow_kernel: Callable | None = None,
     arrow_filter: Callable | None = None,
+    splits: list[tuple[str, int, int]] | None = None,
+    footer_cache: dict | None = None,
 ) -> DataFrame:
-    """Distribute file paths; each task pyarrow-streams its file's row groups
-    (bounded memory via iter_batches) and applies `kernel` per batch.
+    """Distribute file splits; each task pyarrow-streams its split's row
+    groups (bounded memory via iter_batches) and applies `kernel` per batch.
+
+    The work unit is a contiguous ROW-GROUP range, not a whole file: with
+    fewer files than cores (or one skewed giant file) file-level units
+    serialize the stage behind the largest file. When the caller does not
+    pass explicit ``splits``, files are footer-split via row_group_splits
+    IF the file count is low enough to under-fill the cluster; with plenty
+    of files per core the per-file unit is already balanced and the driver
+    skips the footer reads entirely (at 100 TB the file listing is millions
+    of entries — O(files) driver footer reads must stay opt-in).
+    rg_hi == -1 means "through the end of the file" (no footer read needed).
 
     Two kernel flavors: `kernel` receives a pandas DataFrame (convenient);
     `arrow_kernel` receives the raw pyarrow RecordBatch (zero-copy — binary
     columns never become Python bytes; see binary_views). `arrow_filter`
     (RecordBatch -> RecordBatch) is the residual filter for that flavor."""
-    fdf = spark.createDataFrame([(f,) for f in sorted(files)], "path string")
-    fdf = fdf.repartition(max(len(files), 1))
+    if splits is None:
+        par = spark.sparkContext.defaultParallelism
+        if 0 < len(files) < 2 * par:
+            splits = row_group_splits(files, footer_cache)
+        else:
+            splits = [(f, 0, -1) for f in sorted(files)]
+    fdf = spark.createDataFrame(
+        [(f, lo, hi) for f, lo, hi in splits],
+        "path string, rg_lo int, rg_hi int",
+    )
+    fdf = fdf.repartition(max(len(splits), 1))
 
     def scan(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pyarrow as pa
@@ -122,10 +198,16 @@ def native_parquet_map(
         pa.set_cpu_count(1)
         pa.set_io_thread_count(2)
         for pdf in it:
-            for path in pdf["path"]:
+            for path, rg_lo, rg_hi in zip(pdf["path"], pdf["rg_lo"], pdf["rg_hi"]):
                 pf = pq.ParquetFile(path)
+                n_rg = pf.metadata.num_row_groups
+                hi = n_rg if rg_hi < 0 else min(int(rg_hi), n_rg)
+                rgs = list(range(int(rg_lo), hi))
+                if not rgs:
+                    continue
                 for rb in pf.iter_batches(
-                    batch_size=batch_rows, columns=columns, use_threads=False
+                    batch_size=batch_rows, columns=columns, use_threads=False,
+                    row_groups=rgs,
                 ):
                     if arrow_kernel is not None:
                         if arrow_filter is not None:

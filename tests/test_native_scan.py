@@ -124,9 +124,12 @@ def test_recomputed_column_uses_arrow_path(spark, px_parquet):
     assert pixel_ops._native_safe(spark.read.parquet(px_parquet), needed)
 
 
-def test_native_batch_prunes_files(spark, tmp_path):
-    """Incremental batches must not re-stream the whole table: files whose
-    partition_id stats cannot overlap the batch are pruned driver-side."""
+def test_native_batch_prunes_row_groups(spark, tmp_path):
+    """Incremental batches must not re-stream the whole table: row groups
+    whose partition_id stats cannot overlap the batch are pruned driver-side
+    (finer than file-level — a sorted multi-row-group file contributes only
+    the row groups the batch touches)."""
+    from mdvalidate_spark.sources.native_scan import footer_meta
     from mdvalidate_spark.sources.synthetic import synthetic_images
 
     p = str(tmp_path / "pxp")
@@ -134,11 +137,58 @@ def test_native_batch_prunes_files(spark, tmp_path):
     synthetic_images(spark, 400, with_bytes=True, n_partitions=4).repartition(
         4, F.col("partition_id")
     ).sortWithinPartitions("partition_id").write.mode("overwrite").parquet(p)
-    from mdvalidate_spark.sources.native_scan import parquet_files
 
     files = parquet_files(spark.read.parquet(p))
-    kept = pixel_ops._files_overlapping(files, {0})
-    assert 0 < len(kept) < len(files)
+    kept = _overlapping_splits_helper(files, {0})
+    total_rgs = sum(len(footer_meta(f)["rows"]) for f in files)
+    kept_rgs = sum(
+        (len(footer_meta(f)["rows"]) if hi < 0 else hi - lo)
+        for f, lo, hi in kept
+    )
+    assert 0 < kept_rgs < total_rgs
+    # and the end-to-end filtered run over the pruned splits stays exact
+    df = spark.read.parquet(p)
+    sub = pixel_ops.pixel_check_results(
+        df, PixelRule("px"), "image_id", partitions=[0]
+    )
+    assert sub.count() == df.where(F.col("partition_id") == 0).count()
+
+
+def _overlapping_splits_helper(files, pset):
+    return pixel_ops._overlapping_splits(files, pset)
+
+
+def test_row_group_splits_break_up_one_big_file(spark, tmp_path):
+    """A single giant file must not serialize the stage behind one task:
+    with fewer files than cores the native scan splits on row-group ranges,
+    and the result is still exact vs the Arrow path."""
+    import pyarrow.parquet as pq
+
+    from mdvalidate_spark.sources.native_scan import row_group_splits
+    from mdvalidate_spark.sources.synthetic import synthetic_images
+
+    p = str(tmp_path / "one")
+    synthetic_images(spark, 600, with_bytes=True).coalesce(1).write.option(
+        "parquet.block.size", 64 * 1024  # tiny row groups → many per file
+    ).mode("overwrite").parquet(p)
+    df = spark.read.parquet(p)
+    files = parquet_files(df)
+    assert len(files) == 1
+    assert pq.ParquetFile(files[0]).metadata.num_row_groups > 1
+
+    splits = row_group_splits(files, target_rows=100)
+    assert len(splits) > 1  # the skew case actually splits
+    covered = set()
+    for f, lo, hi in splits:  # disjoint, complete coverage
+        assert f == files[0]
+        rng = set(range(lo, hi))
+        assert rng and not (rng & covered)
+        covered |= rng
+    assert covered == set(range(pq.ParquetFile(files[0]).metadata.num_row_groups))
+
+    native = pixel_ops.pixel_check_results(df, PixelRule("px"), "image_id")
+    arrow = pixel_ops._pixel_arrow(df, PixelRule("px"), "image_id", None)
+    assert checks_set(native) == checks_set(arrow)
 
 
 def test_gate_decision_cached_per_run(spark, px_parquet, monkeypatch):
