@@ -499,6 +499,27 @@ def q_drift_expr_documents(spark, sf_dir):
     return out[0].unionByName(out[1])
 
 
+def q_drift_sweep_events(spark, sf_dir):
+    """Per-group drift SWEEP (the north rule's "KS/PSI tests between
+    partitions"): every event_type's value distribution vs the rest of the
+    table (leave-one-out), all from ONE histogram pass over shared
+    global-percentile bins. One metric row per group; 'error' events carry a
+    planted high-value mode, so its statistic dominates."""
+    from mdvalidate_spark.operators.drift import drift_check
+    from mdvalidate_spark.spec import DriftRule
+
+    ev = _load(spark, sf_dir, "events")
+    rule = DriftRule(
+        "sweep_val", column="value", sweep_by="event_type", method="psi",
+        threshold=10.0, exact_edges=True,
+    )
+    _, m, _n = drift_check(ev, rule, "q")
+    return m.select(
+        "rule_id", "metric", F.col("value_str").alias("grp"),
+        F.round("value", 3).alias("value"),
+    )
+
+
 # pinned IVF centroids (8 cells × 64 dims): a fixed closed-form literal grid
 # shared verbatim by the Spark query AND the DuckDB oracle, which makes the
 # whole IVF approximation — cell assignment, nprobe pruning, in-cell ranking —
@@ -731,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_events_value": q_drift_events_value,
         "drift_categorical_orders": q_drift_categorical_orders,
         "drift_expr_documents": q_drift_expr_documents,
+        "drift_sweep_events": q_drift_sweep_events,
         "topk_ivf_embeddings": q_topk_ivf_embeddings,
         "text_profile_documents": q_text_profile_documents,
         "lang_confusion_documents": q_lang_confusion_documents,
@@ -1016,6 +1038,64 @@ SELECT '{rule_prefix}_ks', 'ks_stat', round(max(abs(cp - cr)), 3)
 FROM (SELECT sum(dp) OVER (ORDER BY bin) AS cp,
              sum(dr) OVER (ORDER BY bin) AS cr
       FROM d)
+"""
+
+
+def _drift_sweep_sql(
+    n_bins: int = 32,
+    table: str = "events",
+    x_expr: str = "value",
+    group_expr: str = "event_type",
+    rule_id: str = "sweep_val",
+) -> str:
+    """DuckDB replica of the per-group drift SWEEP with exact_edges=True:
+    bins from exact GLOBAL percentiles (rounded to 6 decimals, strictly-
+    increasing dedupe, interior edges, bin = #(edges < x)), per-group counts,
+    each group's reference = total − group (leave-one-out), PSI per group
+    (eps 1e-6, like drift.py). Groups are compared on the SAME shared bins —
+    the one-histogram-pass plan replayed in SQL."""
+    qs = ", ".join(repr(i / n_bins) for i in range(n_bins + 1))
+    return f"""
+WITH base AS (
+  SELECT CAST({x_expr} AS DOUBLE) AS x, CAST({group_expr} AS VARCHAR) AS g
+  FROM {table}
+  WHERE {x_expr} IS NOT NULL AND {group_expr} IS NOT NULL
+),
+e AS (
+  SELECT list_sort(list_distinct(
+           list_transform(quantile_cont(x, [{qs}]), v -> round(v, 6))
+         )) AS u
+  FROM base
+),
+inner_e AS (SELECT u[2:len(u) - 1] AS ie FROM e),
+binned AS (
+  SELECT g, len(list_filter(ie, edge -> x > edge)) AS bin
+  FROM base, inner_e
+),
+counts AS (SELECT g, bin, count(*) AS n FROM binned GROUP BY 1, 2),
+grid AS (
+  SELECT gg.g, bb.bin
+  FROM (SELECT DISTINCT g FROM counts) gg,
+       (SELECT unnest(range(0, len(ie) + 1)) AS bin FROM inner_e) bb
+),
+tot AS (SELECT bin, sum(n) AS tn FROM counts GROUP BY bin),
+gtot AS (SELECT g, sum(n) AS gn FROM counts GROUP BY g),
+alltot AS (SELECT sum(n) AS an FROM counts),
+d AS (
+  SELECT grid.g,
+         coalesce(c.n, 0) * 1.0 / gtot.gn AS dp,
+         (coalesce(t.tn, 0) - coalesce(c.n, 0)) * 1.0
+           / (alltot.an - gtot.gn) AS dr
+  FROM grid
+  LEFT JOIN counts c ON c.g = grid.g AND c.bin = grid.bin
+  JOIN gtot ON gtot.g = grid.g
+  LEFT JOIN tot t ON t.bin = grid.bin
+  CROSS JOIN alltot
+  WHERE alltot.an - gtot.gn > 0
+)
+SELECT '{rule_id}' AS rule_id, 'psi_stat' AS metric, g AS grp,
+       round(sum((dp - dr) * ln((dp + 1e-6) / (dr + 1e-6))), 3) AS value
+FROM d GROUP BY g
 """
 
 
@@ -1380,6 +1460,7 @@ FROM d
             32, table="documents", x_expr="length(text)",
             probe_cond="CAST(lang AS VARCHAR) = 'en'", rule_prefix="dlen",
         ),
+        "drift_sweep_events": _drift_sweep_sql(32),
         "embedding_neardup": _embedding_neardup_sql(),
         "embedding_clusters": f"""
 WITH RECURSIVE

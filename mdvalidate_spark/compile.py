@@ -241,6 +241,20 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
             raise SchemaError(
                 f"rule {r.id!r}: drift rule needs a column or an expr"
             )
+        if isinstance(r, DriftRule) and r.sweep_by and (
+            r.group_column or r.group_value
+        ):
+            # a sweep compares EVERY group against the rest — a probe slice
+            # selection contradicts it and would be silently ignored
+            raise SchemaError(
+                f"rule {r.id!r}: sweep_by is mutually exclusive with "
+                "group_column/group_value"
+            )
+        if isinstance(r, DriftRule) and not r.sweep_by and not r.group_column:
+            raise SchemaError(
+                f"rule {r.id!r}: drift rule needs group_column (probe vs "
+                "rest) or sweep_by (per-group sweep)"
+            )
 
         if available_columns is not None:
             for c in r.targets():

@@ -39,6 +39,17 @@ def _base(df: DataFrame, rule: DriftRule) -> DataFrame:
     )
 
 
+def _sweep_base(df: DataFrame, rule: DriftRule) -> DataFrame:
+    """(value, group) projection for a per-group sweep — no probe slice; the
+    reference for each group is everyone else (leave-one-out)."""
+    val = F.expr(rule.expr) if rule.expr else F.col(rule.column)
+    x = val.cast("string") if rule.categorical else val.cast("double")
+    g = F.col(rule.sweep_by).cast("string")
+    return df.select(x.alias("_x"), g.alias("_g")).where(
+        F.col("_x").isNotNull() & F.col("_g").isNotNull()
+    )
+
+
 def _dedupe_edges(edges: list[float]) -> list[float]:
     """Strictly-increasing interior edges from raw quantiles (constant
     stretches collapse; degenerate inputs widen to one bin pair). ONE
@@ -73,8 +84,14 @@ def compute_edges(df: DataFrame, rule: DriftRule) -> list:
     column cannot blow up the driver). Exposed separately so the run
     lifecycle can PREFETCH it on a driver thread overlapped with the
     per-partition batch stage instead of paying it serially inside
-    finalize."""
-    ref = _base(df, rule).where(~F.col("_probe"))
+    finalize.
+
+    For a sweep rule the bin definition comes from the GLOBAL distribution
+    (every group is later compared against the rest on those shared bins)."""
+    if rule.sweep_by:
+        ref = _sweep_base(df, rule)
+    else:
+        ref = _base(df, rule).where(~F.col("_probe"))
     if rule.categorical:
         rows = (
             ref.groupBy("_x")
@@ -161,7 +178,9 @@ def drift_check(
     violation count is returned as a plain int — callers must not pay a
     Spark job to count a frame whose rows were assembled driver-side. Pass
     precomputed ``edges`` (see compute_edges) to skip the first of the two
-    jobs."""
+    jobs. A rule with ``sweep_by`` dispatches to the per-group sweep."""
+    if rule.sweep_by:
+        return drift_sweep(df, rule, run_id, edges)
     spark: SparkSession = df.sparkSession
     probe_h, ref_h, empty_probe = _histograms(df, rule, edges)
     stat = psi(probe_h, ref_h) if rule.method == "psi" else ks(probe_h, ref_h)
@@ -201,6 +220,85 @@ def drift_check(
                 KIND_DRIFT,
             )
         )
+    violations = spark.createDataFrame(
+        viol_rows,
+        "run_id string, partition_id int, rule_id string, image_id string, "
+        "column string, expected string, actual string, kind string",
+    )
+    return violations, metrics, len(viol_rows)
+
+
+def drift_sweep(
+    df: DataFrame, rule: DriftRule, run_id: str, edges: list | None = None
+) -> tuple[DataFrame, DataFrame, int]:
+    """Per-group drift sweep (the north rule's "KS/PSI tests BETWEEN
+    partitions"): every distinct value of ``rule.sweep_by`` is compared
+    against the rest of the table (leave-one-out), flagging the groups whose
+    distribution diverges.
+
+    Plan shape (scale-first): bins are defined once from the GLOBAL
+    distribution, then ONE groupBy(group, bin).count() pass produces every
+    group's histogram simultaneously — the whole sweep costs one scan + one
+    tiny shuffle regardless of group count. The driver receives
+    ≤ n_groups × (n_bins+1) count rows (e.g. 10k partitions × 33 bins =
+    330k tiny rows at 10^12-row scale — bounded by the PARTITIONING, not the
+    data), and each group's reference histogram is global − group, computed
+    by subtraction with zero extra jobs."""
+    spark: SparkSession = df.sparkSession
+    base = _sweep_base(df, rule)
+    if edges is None:
+        edges = compute_edges(df, rule)
+    if rule.categorical:
+        bins = list(edges)
+        nb = len(bins) + 1
+        bin_expr = _bin_expr(F.col("_x"), bins, categorical=True).cast("int")
+    else:
+        inner = _dedupe_edges(edges)
+        nb = len(inner) + 1
+        bin_expr = _bin_expr(F.col("_x"), inner, categorical=False)
+    counts = (
+        base.groupBy(F.col("_g"), bin_expr.alias("_bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    hists: dict[str, list[float]] = {}
+    total = [0.0] * nb
+    for r in counts:
+        h = hists.setdefault(r["_g"], [0.0] * nb)
+        h[r["_bin"]] += r["n"]
+        total[r["_bin"]] += r["n"]
+    metric_rows, viol_rows = [], []
+    for g in sorted(hists):
+        h = hists[g]
+        rest = [t - v for t, v in zip(total, h)]
+        r_tot = sum(rest)
+        if r_tot == 0:
+            continue  # single-group table: no "rest" to drift against
+        p_tot = sum(h)
+        hp = [v / p_tot for v in h]
+        hr = [v / r_tot for v in rest]
+        stat = psi(hp, hr) if rule.method == "psi" else ks(hp, hr)
+        metric_rows.append(
+            (run_id, None, rule.id, f"{rule.method}_stat", float(stat), g)
+        )
+        if stat > rule.threshold:
+            viol_rows.append(
+                (
+                    run_id,
+                    None,
+                    rule.id,
+                    f"{rule.sweep_by}={g}",
+                    rule.expr or rule.column,
+                    f"{rule.method} <= {rule.threshold}",
+                    f"{stat:.6f}",
+                    KIND_DRIFT,
+                )
+            )
+    metrics = spark.createDataFrame(
+        metric_rows,
+        "run_id string, partition_id int, rule_id string, metric string, "
+        "value double, value_str string",
+    )
     violations = spark.createDataFrame(
         viol_rows,
         "run_id string, partition_id int, rule_id string, image_id string, "

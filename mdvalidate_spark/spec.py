@@ -414,14 +414,21 @@ class DriftRule(Rule):
     exact_edges: bool = False
     expr: str | None = None
     categorical: bool = False
+    # sweep_by replaces the single probe-vs-rest comparison with a PER-GROUP
+    # SWEEP (the north rule's "KS/PSI tests between partitions"): every
+    # distinct value of ``sweep_by`` (e.g. partition_id) is compared against
+    # the rest of the table (leave-one-out), all from ONE histogram pass.
+    # Mutually exclusive with group_column/group_value.
+    sweep_by: str | None = None
     kind: str = field(default="drift", init=False)
 
     def targets(self):
         # with expr the drifting quantity is a SQL expression — its inputs
         # are resolved by the analyzer at run time, not the compile lint
+        grp = (self.sweep_by,) if self.sweep_by else (self.group_column,)
         if self.expr:
-            return (self.group_column,)
-        return (self.column, self.group_column)
+            return grp
+        return (self.column, *grp)
 
 
 @dataclass(frozen=True)

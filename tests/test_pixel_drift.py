@@ -315,3 +315,121 @@ def test_drift_expr_typo_rejected_before_any_job(spark):
         key_column="image_id",
     )
     ValidationRun(spark, ok, df)
+
+
+# ------------------------------------------------------------- sweep rules
+
+
+def _sweep_frame(spark, shift_group="c", n=3000):
+    """3 equal groups over the same 0..9.9 sawtooth; ``shift_group`` gets +5."""
+    groups = F.array(F.lit("a"), F.lit("b"), F.lit("c"))
+    return spark.range(n).select(
+        F.element_at(groups, (F.col("id") % 3 + 1).cast("int")).alias("g"),
+        F.when(
+            F.element_at(groups, (F.col("id") % 3 + 1).cast("int"))
+            == shift_group,
+            (F.col("id") % 100) / 10.0 + 5.0,
+        )
+        .otherwise((F.col("id") % 100) / 10.0)
+        .alias("v"),
+    )
+
+
+def test_drift_sweep_flags_the_shifted_group(spark):
+    """Per-group sweep (north rule: KS/PSI between partitions): the shifted
+    group's leave-one-out statistic must dominate the unshifted groups'."""
+    df = _sweep_frame(spark)
+    rule = DriftRule("sw", column="v", sweep_by="g", method="psi",
+                     threshold=5.0, exact_edges=True)
+    viol, metrics, n = drift_ops.drift_check(df, rule, "t")
+    stats = {r["value_str"]: r["value"] for r in metrics.collect()}
+    assert set(stats) == {"a", "b", "c"}
+    assert stats["c"] > 2 * stats["a"]
+    assert stats["a"] == pytest.approx(stats["b"], rel=1e-9)  # symmetric
+    rows = viol.collect()
+    assert n == len(rows) == 1 and rows[0]["image_id"] == "g=c"
+
+
+def test_drift_sweep_ks_and_leave_one_out_math(spark):
+    """KS sweep on two groups: each group's leave-one-out reference is
+    exactly the OTHER group, so the two statistics must be equal and match
+    the direct two-sample computation."""
+    df = _sweep_frame(spark).where(F.col("g") != "b")
+    rule = DriftRule("swk", column="v", sweep_by="g", method="ks",
+                     threshold=10.0, exact_edges=True)
+    _, metrics, _ = drift_ops.drift_check(df, rule, "t")
+    stats = {r["value_str"]: r["value"] for r in metrics.collect()}
+    assert stats["a"] == pytest.approx(stats["c"], rel=1e-9)
+    probe = DriftRule("two", column="v", group_column="g", group_value="c",
+                      method="ks", threshold=10.0, exact_edges=True)
+    # same bins: probe-vs-rest edges come from the reference slice (group a),
+    # sweep edges from the global pool — so compare against the sweep's own
+    # edges to isolate the leave-one-out arithmetic
+    edges = drift_ops.compute_edges(df, rule)
+    _, m2, _ = drift_ops.drift_check(df, probe, "t", edges=edges)
+    direct = m2.collect()[0]["value"]
+    assert stats["c"] == pytest.approx(direct, rel=1e-9)
+
+
+def test_drift_sweep_single_group_emits_nothing(spark):
+    """One group = no 'rest' to drift against: no metric, no violation,
+    rather than a division-by-zero or a vacuous statistic."""
+    df = spark.range(100).select(
+        F.lit("only").alias("g"), (F.col("id") % 10).cast("double").alias("v")
+    )
+    rule = DriftRule("sw1", column="v", sweep_by="g", method="psi",
+                     threshold=0.2)
+    viol, metrics, n = drift_ops.drift_check(df, rule, "t")
+    assert n == 0 and metrics.count() == 0 and viol.count() == 0
+
+
+def test_drift_sweep_categorical(spark):
+    """Categorical sweep: the group whose category mix diverges is flagged."""
+    cats = F.array(F.lit("png"), F.lit("jpeg"), F.lit("webp"))
+    df = spark.range(3000).select(
+        F.when(F.col("id") % 3 == 0, "skewed").otherwise("normal").alias("g"),
+        F.when(F.col("id") % 3 == 0, "png")  # skewed group: 100% png
+        .otherwise(F.element_at(cats, (F.col("id") % 3 + 1).cast("int")))
+        .alias("fmt"),
+    )
+    rule = DriftRule("swc", column="fmt", sweep_by="g", method="psi",
+                     threshold=0.5, categorical=True)
+    viol, metrics, n = drift_ops.drift_check(df, rule, "t")
+    stats = {r["value_str"]: r["value"] for r in metrics.collect()}
+    assert stats["skewed"] > rule.threshold
+    assert n >= 1
+
+
+def test_drift_sweep_compile_lints(spark):
+    from mdvalidate_spark.compile import compile_spec
+    from mdvalidate_spark.errors import SchemaError
+    from mdvalidate_spark.spec import Spec
+
+    with pytest.raises(SchemaError, match="mutually exclusive"):
+        compile_spec(Spec(
+            key_column="k",
+            rules=(DriftRule("d", column="v", sweep_by="g",
+                             group_column="h", group_value="x"),),
+        ))
+    with pytest.raises(SchemaError, match="group_column .*or sweep_by"):
+        compile_spec(Spec(
+            key_column="k", rules=(DriftRule("d", column="v"),),
+        ))
+
+
+def test_drift_sweep_through_validation_run(spark):
+    """Sweep rules ride the normal run lifecycle (edge prefetch included)."""
+    from mdvalidate_spark.run import validate_table
+    from mdvalidate_spark.spec import Spec
+
+    df = _sweep_frame(spark).withColumn("image_id", F.expr("uuid()"))
+    spec = Spec(
+        key_column="image_id",
+        rules=(DriftRule("sw", column="v", sweep_by="g", method="psi",
+                         threshold=5.0, exact_edges=True),),
+    )
+    rep = validate_table(spark, df, spec, run_id="sweep-run")
+    v = rep.violations.where(F.col("rule_id") == "sw").collect()
+    assert len(v) == 1 and v[0]["image_id"] == "g=c"
+    m = rep.metrics.where(F.col("rule_id") == "sw")
+    assert m.count() == 3
