@@ -25,16 +25,12 @@ from ..errors import KIND_COUNT, KIND_MATCHER
 from ..spec import SequenceRule
 
 def _anchored(p: str) -> str:
-    # non-capturing group before anchoring: "a|b" must mean ^(?:a|b)$, not
-    # ^a|b$ (prefix-a OR suffix-b). Missing anchors are added independently —
-    # a ONE-sided user anchor ("^foo" / "foo$") must not suppress the other
-    # side (sequence steps are always full-value matches); only a pattern
-    # already carrying both passes through verbatim.
-    needs_start = not p.startswith("^")
-    needs_end = not p.endswith("$")
-    if not needs_start and not needs_end:
-        return p
-    return ("^" if needs_start else "") + "(?:" + p + ")" + ("$" if needs_end else "")
+    # sequence steps are always full-value matches: wrap the step pattern in
+    # a non-capturing group and anchor BOTH sides unconditionally (same
+    # rationale as RegexRule.anchored — sniffing user anchors mishandles
+    # alternations and escaped trailing dollars; redundant inner anchors are
+    # harmless)
+    return "^(?:" + p + ")$"
 
 
 def sequence_violations(

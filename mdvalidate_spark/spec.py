@@ -79,23 +79,16 @@ class RegexRule(Rule):
 
     @property
     def anchored(self) -> str:
-        # wrap in a non-capturing group BEFORE anchoring: "a|b" must mean
-        # ^(?:a|b)$ (full match of either), not ^a|b$ (prefix-a OR suffix-b).
-        # Each missing anchor is added INDEPENDENTLY: a one-sided anchor in
-        # the user pattern ("^foo" with full=True, or "foo$") must not
-        # suppress the other side — the reference ALWAYS start-anchors
-        # (matcher.rs:332) and full=True promises a whole-value match. Only a
-        # pattern carrying every required anchor passes through verbatim.
-        p = self.pattern
-        needs_start = not p.startswith("^")
-        needs_end = self.full and not p.endswith("$")
-        if not needs_start and not needs_end:
-            return p
-        return (
-            ("^" if needs_start else "")
-            + "(?:" + p + ")"
-            + ("$" if needs_end else "")
-        )
+        # The user pattern is ONE UNIT: wrap it in a non-capturing group,
+        # start-anchor unconditionally (the reference always start-anchors,
+        # matcher.rs:332), end-anchor when full=True. Unconditional wrapping
+        # is the only variant that survives the property tests: sniffing the
+        # user's own anchors is wrong for alternations ("^a|b" leaks a
+        # half-anchored branch) AND for escapes (a trailing literal "\$"
+        # masquerades as an end anchor and the real one gets dropped).
+        # Redundant user anchors inside the group are harmless — "^" matches
+        # at position 0 and "$" at the end, exactly where the group sits.
+        return "^(?:" + self.pattern + ")" + ("$" if self.full else "")
 
 
 @dataclass(frozen=True)

@@ -147,15 +147,17 @@ def test_regex_anchoring_matches_reference():
 def test_regex_one_sided_anchor_completed():
     """A ONE-sided user anchor must not suppress the other side: full=True
     means whole-value match, and the reference always start-anchors
-    (matcher.rs:332) — '^foo' still gets the end anchor, 'foo$' still gets
-    the start anchor. Both present → verbatim pass-through."""
+    (matcher.rs:332). The pattern is wrapped and anchored UNCONDITIONALLY —
+    redundant inner anchors are harmless, and anchor-sniffing mishandles
+    alternations ('^a|b') and escaped dollars ('\\$'); see the anchoring
+    property tests for the full language checks."""
     import re
 
-    assert RegexRule("r", column="c", pattern="^foo").anchored == "(?:^foo)$"
-    assert RegexRule("r", column="c", pattern="foo$").anchored == "^(?:foo$)"
-    assert RegexRule("r", column="c", pattern="^foo$").anchored == "^foo$"
+    assert RegexRule("r", column="c", pattern="^foo").anchored == "^(?:^foo)$"
+    assert RegexRule("r", column="c", pattern="foo$").anchored == "^(?:foo$)$"
+    assert RegexRule("r", column="c", pattern="^foo$").anchored == "^(?:^foo$)$"
     # full=False: only the start anchor is owed
-    assert RegexRule("r", column="c", pattern="^foo", full=False).anchored == "^foo"
+    assert RegexRule("r", column="c", pattern="^foo", full=False).anchored == "^(?:^foo)"
     assert (
         RegexRule("r", column="c", pattern="foo$", full=False).anchored
         == "^(?:foo$)"
@@ -167,15 +169,19 @@ def test_regex_one_sided_anchor_completed():
     b = RegexRule("r", column="c", pattern="foo$").anchored
     assert re.search(b, "xfoo") is None
     assert re.search(b, "foo") is not None
+    # escaped trailing dollar is a LITERAL, not an anchor
+    c = RegexRule("r", column="c", pattern=r"usd\$").anchored
+    assert re.search(c, "usd$") is not None
+    assert re.search(c, "usd$x") is None
 
 
 def test_sequence_one_sided_anchor_completed():
     from mdvalidate_spark.operators.sequence import _anchored
 
     assert _anchored("a|b") == "^(?:a|b)$"
-    assert _anchored("^foo") == "(?:^foo)$"
-    assert _anchored("foo$") == "^(?:foo$)"
-    assert _anchored("^foo$") == "^foo$"
+    assert _anchored("^foo") == "^(?:^foo)$"
+    assert _anchored("foo$") == "^(?:foo$)$"
+    assert _anchored("^foo$") == "^(?:^foo$)$"
 
 
 def test_schema_rule_violations(spark):
