@@ -228,6 +228,13 @@ def drift_check(
     return violations, metrics, len(viol_rows)
 
 
+# driver-traffic ceiling for a sweep's (group, bin) histogram collect: at 33
+# bins this admits ~60k groups — far above any sane partitioning, far below
+# driver OOM. A sweep over a key-like column (millions of groups) is a spec
+# mistake and must fail LOUDLY instead of flooding the driver.
+SWEEP_MAX_HIST_ROWS = 2_000_000
+
+
 def drift_sweep(
     df: DataFrame, rule: DriftRule, run_id: str, edges: list | None = None
 ) -> tuple[DataFrame, DataFrame, int]:
@@ -259,8 +266,16 @@ def drift_sweep(
     counts = (
         base.groupBy(F.col("_g"), bin_expr.alias("_bin"))
         .agg(F.count(F.lit(1)).alias("n"))
+        .limit(SWEEP_MAX_HIST_ROWS + 1)
         .collect()
     )
+    if len(counts) > SWEEP_MAX_HIST_ROWS:
+        raise ValueError(
+            f"rule {rule.id!r}: sweep_by={rule.sweep_by!r} produced more than "
+            f"{SWEEP_MAX_HIST_ROWS} (group, bin) histogram rows — the sweep "
+            "column looks key-like (millions of groups), which would flood "
+            "the driver; sweep a partitioning column instead"
+        )
     hists: dict[str, list[float]] = {}
     total = [0.0] * nb
     for r in counts:

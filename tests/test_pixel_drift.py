@@ -433,3 +433,17 @@ def test_drift_sweep_through_validation_run(spark):
     assert len(v) == 1 and v[0]["image_id"] == "g=c"
     m = rep.metrics.where(F.col("rule_id") == "sw")
     assert m.count() == 3
+
+
+def test_drift_sweep_key_like_column_refused(spark, monkeypatch):
+    """Sweeping by a key-like column would ship one histogram per ROW to the
+    driver — the guard must refuse loudly instead of flooding it."""
+    monkeypatch.setattr(drift_ops, "SWEEP_MAX_HIST_ROWS", 50)
+    df = spark.range(200).select(
+        F.col("id").cast("string").alias("k"),
+        (F.col("id") % 10).cast("double").alias("v"),
+    )
+    rule = DriftRule("swkey", column="v", sweep_by="k", method="psi",
+                     threshold=0.2)
+    with pytest.raises(ValueError, match="key-like"):
+        drift_ops.drift_check(df, rule, "t")
