@@ -65,11 +65,13 @@ pixel_rows={runs[0]['pixel_rows']:,}.
 |---|---|---|---|
 {os.linesep.join(rows)}
 
-| run | total (s) | suite img/s | pixel img/s |
-|---|---|---|---|
+| run | total (s) | suite img/s | pixel img/s | host cal 1p (ops/s) | host cal 32p sum |
+|---|---|---|---|---|---|
 """ + "\n".join(
         f"| {i} | {r['value']} | {r['images_per_sec']:,.0f} | "
-        f"{r['pixel_images_per_sec']:,.0f} |"
+        f"{r['pixel_images_per_sec']:,.0f} | "
+        f"{r.get('host_cpu_ops_per_sec_1p', 0):,} | "
+        f"{r.get('host_cpu_ops_per_sec_sum', 0):,} |"
         for i, r in enumerate(runs)
     ) + f"""
 
