@@ -145,6 +145,41 @@ def q_composite_capture_documents(spark, sf_dir):
     )
 
 
+def q_violations_capped_orders(spark, sf_dir):
+    """Bounded violation output (operators/sampling.py): the reference
+    collects EVERY violation (validator.rs:86-93) — fatal at 10^12 rows
+    where one hot rule makes the violations sink web-scale. The engine caps
+    the materialized rows to a deterministic two-phase sample per
+    (rule_id, partition_id) while exact totals survive as violations_total
+    metric rows (checked by tests/test_sampling.py through ValidationRun;
+    here the cap operator itself is value-checked against a window oracle)."""
+    from mdvalidate_spark.operators.sampling import cap_violations
+
+    o = _load(spark, sf_dir, "orders").withColumn(
+        "pid", F.pmod(F.col("o_orderkey"), F.lit(8)).cast("int")
+    )
+    spec = Spec(
+        rules=(
+            DomainRule("status_domain", column="o_orderstatus", values=("O", "F")),
+            RangeRule("price_range", column="o_totalprice", min=1000.0, max=400000.0),
+            RegexRule("prio_regex", column="o_orderpriority", pattern="[1-3]-[A-Z ]+"),
+        ),
+        key_column="o_orderkey",
+        partition_column="pid",
+    )
+    prog = compile_spec(spec, o.columns)
+    v = row_violations(with_partition_id(o, spec), prog, "q")
+    return cap_violations(v, 3).select(
+        F.col("rule_id"),
+        F.col("partition_id").cast("int").alias("pid"),
+        F.col("image_id").alias("row_key"),
+        F.col("column").alias("col_name"),
+        F.col("expected"),
+        F.col("actual"),
+        F.col("kind"),
+    )
+
+
 def q_struct_meta_orders(spark, sf_dir):
     """Nested-struct column targeting (QuoteVsQuote step-into analog,
     reference quotes.rs:21-66): rules name dotted paths into a struct-typed
@@ -735,6 +770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "composite_documents": q_composite_documents,
         "composite_capture_documents": q_composite_capture_documents,
         "struct_meta_orders": q_struct_meta_orders,
+        "violations_capped_orders": q_violations_capped_orders,
         "schema_drift_orders": q_schema_drift_orders,
         "unique_lineitem_orderkey": q_unique_lineitem_orderkey,
         "unique_orderkey": q_unique_orderkey,
@@ -1229,6 +1265,33 @@ SELECT 'sch_orders' AS rule_id,
             WHEN ecol IS NULL THEN 'extra_column'
             ELSE 'dtype_mismatch' END AS kind
 FROM j WHERE acol IS NULL OR ecol IS NULL OR edt != adt
+""",
+        "violations_capped_orders": """
+WITH v AS (
+  SELECT 'status_domain' AS rule_id,
+         CAST(o_orderkey % 8 AS INTEGER) AS pid,
+         CAST(o_orderkey AS VARCHAR) AS row_key,
+         'o_orderstatus' AS col_name, 'in {O, F}' AS expected,
+         o_orderstatus AS actual, 'domain' AS kind
+  FROM orders WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F')
+  UNION ALL
+  SELECT 'price_range', CAST(o_orderkey % 8 AS INTEGER),
+         CAST(o_orderkey AS VARCHAR), 'o_totalprice',
+         '[1000.0, 400000.0]', CAST(o_totalprice AS VARCHAR), 'range'
+  FROM orders WHERE o_totalprice IS NOT NULL
+    AND (o_totalprice < 1000.0 OR o_totalprice > 400000.0)
+  UNION ALL
+  SELECT 'prio_regex', CAST(o_orderkey % 8 AS INTEGER),
+         CAST(o_orderkey AS VARCHAR), 'o_orderpriority',
+         '^(?:[1-3]-[A-Z ]+)$', o_orderpriority, 'matcher'
+  FROM orders WHERE o_orderpriority IS NOT NULL
+    AND NOT regexp_matches(o_orderpriority, '^(?:[1-3]-[A-Z ]+)$')
+)
+SELECT rule_id, pid, row_key, col_name, expected, actual, kind
+FROM v
+QUALIFY row_number() OVER (
+  PARTITION BY rule_id, pid ORDER BY row_key, col_name, kind
+) <= 3
 """,
         "struct_meta_orders": """
 SELECT 'm_price' AS rule_id, CAST(o_orderkey AS VARCHAR) AS row_key,

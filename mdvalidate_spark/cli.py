@@ -50,6 +50,15 @@ def parse_args(argv=None):
     p.add_argument("--run-id", default=None)
     p.add_argument("--batch-size", type=int, default=None, help="partitions per batch")
     p.add_argument("--fast-fail", action="store_true")
+    p.add_argument(
+        "--max-violations-per-rule",
+        type=int,
+        default=None,
+        metavar="N",
+        help="bound materialized violation rows to a deterministic sample of "
+        "N per (rule, partition); exact totals land in metrics as "
+        "violations_total (overrides the spec)",
+    )
     p.add_argument("--master", default=None, help="override master (default: env/local)")
     return p.parse_args(argv)
 
@@ -66,10 +75,15 @@ def main(argv=None) -> int:
     except SchemaError as e:
         print(f"schema error: {e}", file=sys.stderr)
         return 2
-    if args.fast_fail:
+    if args.fast_fail or args.max_violations_per_rule is not None:
         from dataclasses import replace
 
-        spec = replace(spec, fast_fail=True)
+        overrides = {}
+        if args.fast_fail:
+            overrides["fast_fail"] = True
+        if args.max_violations_per_rule is not None:
+            overrides["max_violations_per_rule"] = args.max_violations_per_rule
+        spec = replace(spec, **overrides)
 
     from pyspark.sql import SparkSession
 

@@ -290,9 +290,27 @@ class ValidationRun:
             viols.append(pv)
             mets.append(pm)
 
-        batch_viol = _union(viols, self.spark, _VIOLATIONS_DDL).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        cap = spec.max_violations_per_rule
+        full_viol = _union(viols, self.spark, _VIOLATIONS_DDL)
+        if cap is not None:
+            # bounded sink: exact totals survive as metric rows computed by
+            # an aggregation-only pass (map-side count partials — no
+            # violation row materialized anywhere); the persisted/reported
+            # frame is the deterministic two-phase sample. Costs a second
+            # evaluation of the rule expressions (one per pass) — at scale
+            # that trade replaces materializing up to one violation row per
+            # input row.
+            from .operators import sampling
+
+            viol_totals = sampling.violation_count_metrics(
+                full_viol, self.run_id
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            mets.append(viol_totals)
+            batch_viol = sampling.cap_violations(full_viol, cap).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+        else:
+            batch_viol = full_viol.persist(StorageLevel.MEMORY_AND_DISK)
         # metric frames are small aggregates — persist so report-time reads
         # never re-run the capture groupBys / pixel derivations
         batch_met = _union(mets, self.spark, _METRICS_DDL).persist(
@@ -314,8 +332,21 @@ class ValidationRun:
                 .collect()
             }
 
+        def _collect_totals() -> dict:
+            # manifest counts must stay EXACT under a row cap — sum the
+            # violations_total metric rows instead of counting sampled rows
+            return {
+                r["partition_id"]: r["n"]
+                for r in viol_totals.groupBy("partition_id")
+                .agg(F.sum("value").cast("long").alias("n"))
+                .collect()
+            }
+
         with ThreadPoolExecutor(max_workers=2) as pool:
-            viol_fut = pool.submit(_collect_counts, batch_viol)
+            viol_fut = pool.submit(
+                _collect_totals if cap is not None else
+                lambda: _collect_counts(batch_viol)
+            )
             rows_fut = pool.submit(_collect_counts, batch_df)
             viol_counts = viol_fut.result()
             row_counts = rows_fut.result()
@@ -444,6 +475,19 @@ class ValidationRun:
         uc_viol = None
         pre_met = None
         n_uc = 0
+        cap = self.spec.max_violations_per_rule
+        full_uc = _union(viols, self.spark, _VIOLATIONS_DDL) if viols else None
+        uc_totals = None
+        if viols and cap is not None:
+            # global rules (uniqueness on a duplicate-heavy key, grouped
+            # counts) can emit violation rows proportional to the input —
+            # same bounded-sink treatment as the batch stage
+            from .operators import sampling
+
+            uc_totals = sampling.violation_count_metrics(
+                full_uc, self.run_id
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            mets.append(uc_totals)
         # consolidate the accumulated per-batch pieces into ONE compact
         # cached frame each, materialized CONCURRENTLY with the global jobs:
         # the union of dozens of 64-partition batch caches is expensive to
@@ -486,10 +530,24 @@ class ValidationRun:
                 )
                 met_fut = pool.submit(pre_met.count)
             if viols:
-                uc_viol = _union(viols, self.spark, _VIOLATIONS_DDL).persist(
-                    StorageLevel.MEMORY_AND_DISK
-                )
-                n_uc = pool.submit(uc_viol.count).result()
+                if cap is not None:
+                    from .operators import sampling
+
+                    uc_viol = sampling.cap_violations(full_uc, cap).persist(
+                        StorageLevel.MEMORY_AND_DISK
+                    )
+                    pool.submit(uc_viol.count)  # materialize the sample
+                    n_uc = int(
+                        sum(
+                            r["n"] or 0
+                            for r in uc_totals.groupBy()
+                            .agg(F.sum("value").cast("long").alias("n"))
+                            .collect()
+                        )
+                    )
+                else:
+                    uc_viol = full_uc.persist(StorageLevel.MEMORY_AND_DISK)
+                    n_uc = pool.submit(uc_viol.count).result()
             drift_results = [f.result() for f in drift_futs]
             if met_fut is not None:
                 met_fut.result()

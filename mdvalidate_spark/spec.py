@@ -470,6 +470,13 @@ class Spec:
     partition_column: Optional[str] = None
     n_partitions: int = 8
     fast_fail: bool = False
+    # Bound the MATERIALIZED violation rows to a deterministic sample of at
+    # most this many per (rule_id, partition_id); exact per-rule/partition
+    # totals are preserved as metric rows (metric='violations_total').
+    # None (default) keeps the reference's full-row semantics
+    # (validator.rs:86-93 collects every error) — at 10^12 rows a hot rule
+    # makes the violations sink itself web-scale, so set a cap there.
+    max_violations_per_rule: Optional[int] = None
 
     def rule(self, rule_id: str) -> Rule:
         for r in self.rules:

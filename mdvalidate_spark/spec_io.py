@@ -94,7 +94,14 @@ def rule_to_dict(r: Rule) -> dict:
     return out
 
 
-_SPEC_KEYS = {"rules", "key_column", "partition_column", "n_partitions", "fast_fail"}
+_SPEC_KEYS = {
+    "rules",
+    "key_column",
+    "partition_column",
+    "n_partitions",
+    "fast_fail",
+    "max_violations_per_rule",
+}
 
 
 def spec_from_dict(d: dict) -> Spec:
@@ -110,6 +117,11 @@ def spec_from_dict(d: dict) -> Spec:
         partition_column=d.get("partition_column"),
         n_partitions=int(d.get("n_partitions", 8)),
         fast_fail=bool(d.get("fast_fail", False)),
+        max_violations_per_rule=(
+            int(d["max_violations_per_rule"])
+            if d.get("max_violations_per_rule") is not None
+            else None
+        ),
     )
 
 
@@ -119,6 +131,7 @@ def spec_to_dict(spec: Spec) -> dict:
         "partition_column": spec.partition_column,
         "n_partitions": spec.n_partitions,
         "fast_fail": spec.fast_fail,
+        "max_violations_per_rule": spec.max_violations_per_rule,
         "rules": [rule_to_dict(r) for r in spec.rules],
     }
 
