@@ -145,6 +145,30 @@ def q_composite_capture_documents(spark, sf_dir):
     )
 
 
+def q_hll_stats_lineitem(spark, sf_dir):
+    """Incremental mergeable column stats (ColumnStatsRule.incremental):
+    per-partition partials carrying Datasketches HLL sketch binaries
+    (hll_sketch_agg), merged with hll_union_agg → hll_sketch_estimate —
+    the resumable-run path where finalize costs O(#partitions), never a
+    table rescan (north rule: "cardinality via HyperLogLog sketches
+    merged"). Low-cardinality columns keep the sketch in sparse mode, so
+    the merged estimate is EXACT and DuckDB's COUNT(DISTINCT) is a value
+    oracle for the whole partial→merge pipeline."""
+    from mdvalidate_spark.operators import agg_rules
+    from mdvalidate_spark.spec import ColumnStatsRule
+
+    li = _load(spark, sf_dir, "lineitem").withColumn(
+        "partition_id", F.pmod(F.col("l_orderkey"), F.lit(8)).cast("int")
+    )
+    cols = ("l_returnflag", "l_linestatus", "l_linenumber")
+    rules = tuple(
+        ColumnStatsRule(f"s_{c}", column=c, incremental=True) for c in cols
+    )
+    partials = agg_rules.column_stats_partials(li, rules, "q")
+    m = agg_rules.column_stats_from_partials(partials, rules, "q")
+    return m.select("rule_id", "metric", "value", "value_str")
+
+
 def q_violations_capped_orders(spark, sf_dir):
     """Bounded violation output (operators/sampling.py): the reference
     collects EVERY violation (validator.rs:86-93) — fatal at 10^12 rows
@@ -771,6 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "composite_capture_documents": q_composite_capture_documents,
         "struct_meta_orders": q_struct_meta_orders,
         "violations_capped_orders": q_violations_capped_orders,
+        "hll_stats_lineitem": q_hll_stats_lineitem,
         "schema_drift_orders": q_schema_drift_orders,
         "unique_lineitem_orderkey": q_unique_lineitem_orderkey,
         "unique_orderkey": q_unique_orderkey,
@@ -1265,6 +1290,43 @@ SELECT 'sch_orders' AS rule_id,
             WHEN ecol IS NULL THEN 'extra_column'
             ELSE 'dtype_mismatch' END AS kind
 FROM j WHERE acol IS NULL OR ecol IS NULL OR edt != adt
+""",
+        "hll_stats_lineitem": """
+SELECT rule_id, metric, value, value_str FROM (
+  SELECT 's_l_returnflag' AS rule_id, m.* FROM (
+    SELECT 'count' AS metric, CAST(count(*) AS DOUBLE) AS value,
+           CAST(NULL AS VARCHAR) AS value_str FROM lineitem
+    UNION ALL SELECT 'null_rate',
+           CAST(count(*) - count(l_returnflag) AS DOUBLE) / count(*), NULL
+           FROM lineitem
+    UNION ALL SELECT 'distinct',
+           CAST(count(DISTINCT l_returnflag) AS DOUBLE), NULL FROM lineitem
+    UNION ALL SELECT 'min', NULL, min(l_returnflag) FROM lineitem
+    UNION ALL SELECT 'max', NULL, max(l_returnflag) FROM lineitem
+  ) m
+  UNION ALL
+  SELECT 's_l_linestatus', m.* FROM (
+    SELECT 'count', CAST(count(*) AS DOUBLE), CAST(NULL AS VARCHAR) FROM lineitem
+    UNION ALL SELECT 'null_rate',
+           CAST(count(*) - count(l_linestatus) AS DOUBLE) / count(*), NULL
+           FROM lineitem
+    UNION ALL SELECT 'distinct',
+           CAST(count(DISTINCT l_linestatus) AS DOUBLE), NULL FROM lineitem
+    UNION ALL SELECT 'min', NULL, min(l_linestatus) FROM lineitem
+    UNION ALL SELECT 'max', NULL, max(l_linestatus) FROM lineitem
+  ) m
+  UNION ALL
+  SELECT 's_l_linenumber', m.* FROM (
+    SELECT 'count', CAST(count(*) AS DOUBLE), CAST(NULL AS VARCHAR) FROM lineitem
+    UNION ALL SELECT 'null_rate',
+           CAST(count(*) - count(l_linenumber) AS DOUBLE) / count(*), NULL
+           FROM lineitem
+    UNION ALL SELECT 'distinct',
+           CAST(count(DISTINCT l_linenumber) AS DOUBLE), NULL FROM lineitem
+    UNION ALL SELECT 'min', NULL, CAST(min(l_linenumber) AS VARCHAR) FROM lineitem
+    UNION ALL SELECT 'max', NULL, CAST(max(l_linenumber) AS VARCHAR) FROM lineitem
+  ) m
+)
 """,
         "violations_capped_orders": """
 WITH v AS (

@@ -256,6 +256,19 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
                 "rest) or sweep_by (per-group sweep)"
             )
 
+        if isinstance(r, ColumnStatsRule) and r.incremental and (
+            r.quantiles or r.exact_distinct or r.exact_quantiles
+        ):
+            # incremental stats merge persisted per-partition partials —
+            # exact distinct is not mergeable, and approx_percentile's
+            # internal sketch is not persistable; keep those on the
+            # full-scan path via a separate non-incremental rule
+            raise SchemaError(
+                f"rule {r.id!r}: incremental stats support count/null_rate/"
+                "min/max/distinct (HLL sketch) only — quantiles, "
+                "exact_distinct and exact_quantiles need the full-scan path"
+            )
+
         if available_columns is not None:
             for c in r.targets():
                 if c and not _has_column(available_columns, c):

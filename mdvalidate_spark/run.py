@@ -147,6 +147,10 @@ class ValidationRun:
         # in-memory accumulation (checkpointed runs also persist to parquet)
         self._violation_dfs: list[DataFrame] = []
         self._metric_dfs: list[DataFrame] = []
+        # mergeable per-partition stats partials (incremental=True stats
+        # rules): one tiny frame per batch; finalize merges them instead of
+        # rescanning the table
+        self._stats_partials: list[DataFrame] = []
         self._finalized = False
         self._schema_checked = False
         self._schema_violations = 0
@@ -289,6 +293,19 @@ class ValidationRun:
             pv, pm = pixel_ops.pixel_outputs(pixel_checks, pr, self.run_id)
             viols.append(pv)
             mets.append(pm)
+
+        inc_stats = tuple(r for r in prog.stats_rules if r.incremental)
+        if inc_stats:
+            partials = agg_rules.column_stats_partials(
+                batch_df, inc_stats, self.run_id
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            self._stats_partials.append(partials)
+            if self.checkpoint_dir:
+                # dynamic partition overwrite → re-validating a partition
+                # replaces its partial (idempotent resume, same as lineage)
+                partials.write.mode("overwrite").partitionBy(
+                    "partition_id"
+                ).parquet(self._sink("stats_partials"))
 
         cap = spec.max_violations_per_rule
         full_viol = _union(viols, self.spark, _VIOLATIONS_DDL)
@@ -458,9 +475,20 @@ class ValidationRun:
                     )
                 )
 
-        if prog.stats_rules:
+        full_stats = tuple(r for r in prog.stats_rules if not r.incremental)
+        inc_stats = tuple(r for r in prog.stats_rules if r.incremental)
+        if full_stats:
             mets.append(
-                agg_rules.column_stats_metrics(self.df, prog.stats_rules, self.run_id)
+                agg_rules.column_stats_metrics(self.df, full_stats, self.run_id)
+            )
+        if inc_stats and self._stats_partials:
+            # merge the persisted per-partition partials — O(#partitions),
+            # never a table rescan (the incremental EOF pass)
+            merged = reduce(
+                lambda a, b: a.unionByName(b), self._stats_partials
+            )
+            mets.append(
+                agg_rules.column_stats_from_partials(merged, inc_stats, self.run_id)
             )
 
         for sq in prog.sequence_rules:  # groups may span engine partitions
@@ -652,22 +680,32 @@ class ValidationRun:
     def _reload_persisted(self) -> None:
         """On resume, load already-persisted per-partition outputs so report()
         includes prior batches."""
+        done = {
+            p
+            for p, e in self.manifest.entries.items()
+            if e["status"] in (VALIDATED, FINALIZED)
+        }
         for name, ddl, target in (
             ("violations", _VIOLATIONS_DDL, self._violation_dfs),
             ("metrics", _METRICS_DDL, self._metric_dfs),
         ):
             path = self._sink(name)
             if path and os.path.exists(path):
-                done = {
-                    p
-                    for p, e in self.manifest.entries.items()
-                    if e["status"] in (VALIDATED, FINALIZED)
-                }
                 if done:
                     df = self.spark.read.schema(ddl).parquet(path)
                     target.append(
                         df.where(F.col("partition_id").isin(list(done)))
                     )
+        # incremental stats partials: schema is spec-dependent (one column
+        # set per ruleset), so read with inference; only validated
+        # partitions' partials count toward the merged stats
+        sp_path = self._sink("stats_partials")
+        if sp_path and os.path.exists(sp_path) and done:
+            self._stats_partials.append(
+                self.spark.read.parquet(sp_path).where(
+                    F.col("partition_id").isin(list(done))
+                )
+            )
 
     def _save_manifest(self) -> None:
         if self.checkpoint_dir:

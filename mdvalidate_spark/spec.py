@@ -255,6 +255,21 @@ class ColumnStatsRule(Rule):
     exact_distinct: bool = False
     quantiles: tuple[float, ...] = ()
     exact_quantiles: bool = False
+    # incremental=True switches this rule to MERGEABLE PER-PARTITION
+    # PARTIALS: each validated batch emits one row per partition with
+    # count / non-null / native-typed min / max and a Datasketches HLL
+    # sketch binary (hll_sketch_agg), persisted under the checkpoint; the
+    # global pass merges partials (sum / min / max / hll_union_agg →
+    # hll_sketch_estimate) WITHOUT rescanning the table. On a resumed
+    # 10^12-row run where one partition arrived, the stats cost is one
+    # partition's scan plus an O(#partitions) merge — the north rule's
+    # "HLL sketches merged" demand made concrete. Incompatible with
+    # quantiles/exact_* (compile-checked): exact distinct is not
+    # mergeable and approx_percentile's sketch is not persistable.
+    incremental: bool = False
+    # HLL precision (Datasketches lgConfigK): 12 → ~4 KB/sketch, ~1.6%
+    # stderr; sparse mode is EXACT for low-cardinality columns
+    lg_config_k: int = 12
     kind: str = field(default="stats", init=False)
 
     def targets(self):
