@@ -145,6 +145,21 @@ def q_composite_capture_documents(spark, sf_dir):
     )
 
 
+def q_overlap_documents(spark, sf_dir):
+    """Cross-partition distinct-overlap audit (operators/overlap.py): theta
+    sketches per group (ONE scan), pairwise intersection/union estimates in
+    column algebra — leaky-shard / duplicated-ingestion detection. Group
+    distinct counts here are far below the sketch's exact-mode retention
+    (~2^12), so DuckDB's exact distinct-intersection is a value oracle for
+    the whole sketch pipeline."""
+    from mdvalidate_spark.operators.overlap import partition_overlap
+
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "pid", F.pmod(F.col("doc_id"), F.lit(6)).cast("int")
+    )
+    return partition_overlap(docs, "source", group_col="pid")
+
+
 def q_hll_stats_lineitem(spark, sf_dir):
     """Incremental mergeable column stats (ColumnStatsRule.incremental):
     per-partition partials carrying Datasketches HLL sketch binaries
@@ -796,6 +811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "struct_meta_orders": q_struct_meta_orders,
         "violations_capped_orders": q_violations_capped_orders,
         "hll_stats_lineitem": q_hll_stats_lineitem,
+        "overlap_documents": q_overlap_documents,
         "schema_drift_orders": q_schema_drift_orders,
         "unique_lineitem_orderkey": q_unique_lineitem_orderkey,
         "unique_orderkey": q_unique_orderkey,
@@ -1290,6 +1306,28 @@ SELECT 'sch_orders' AS rule_id,
             WHEN ecol IS NULL THEN 'extra_column'
             ELSE 'dtype_mismatch' END AS kind
 FROM j WHERE acol IS NULL OR ecol IS NULL OR edt != adt
+""",
+        "overlap_documents": """
+WITH s AS (
+  SELECT DISTINCT CAST(doc_id % 6 AS INTEGER) AS g, source
+  FROM documents WHERE source IS NOT NULL
+),
+c AS (SELECT g, CAST(count(*) AS DOUBLE) AS n FROM s GROUP BY g),
+p AS (
+  SELECT a.g AS g_a, b.g AS g_b, CAST(count(*) AS DOUBLE) AS n_common
+  FROM s a JOIN s b ON a.source = b.source AND a.g < b.g
+  GROUP BY a.g, b.g
+),
+pairs AS (SELECT a.g AS g_a, b.g AS g_b FROM c a JOIN c b ON a.g < b.g)
+SELECT pr.g_a, pr.g_b, ca.n AS n_a, cb.n AS n_b,
+       coalesce(p.n_common, 0) AS n_common,
+       CASE WHEN ca.n + cb.n - coalesce(p.n_common, 0) > 0
+            THEN coalesce(p.n_common, 0) / (ca.n + cb.n - coalesce(p.n_common, 0))
+            ELSE 0 END AS jaccard
+FROM pairs pr
+JOIN c ca ON ca.g = pr.g_a
+JOIN c cb ON cb.g = pr.g_b
+LEFT JOIN p ON p.g_a = pr.g_a AND p.g_b = pr.g_b
 """,
         "hll_stats_lineitem": """
 SELECT rule_id, metric, value, value_str FROM (

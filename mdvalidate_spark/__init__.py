@@ -30,6 +30,7 @@ from .spec import (
     DriftRule,
     LiteralRule,
     NotNullRule,
+    OverlapRule,
     PixelRule,
     RangeRule,
     RefIntegrityRule,
@@ -48,6 +49,7 @@ __all__ = [
     "LiteralRule",
     "MdvSparkError",
     "NotNullRule",
+    "OverlapRule",
     "PixelRule",
     "RangeRule",
     "RefIntegrityRule",

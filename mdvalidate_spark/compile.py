@@ -49,6 +49,7 @@ from .spec import (
     DriftRule,
     LiteralRule,
     NotNullRule,
+    OverlapRule,
     PixelRule,
     RangeRule,
     RefIntegrityRule,
@@ -74,6 +75,7 @@ class ConstraintProgram:
     stats_rules: tuple[ColumnStatsRule, ...] = ()
     pixel_rules: tuple[PixelRule, ...] = ()
     drift_rules: tuple[DriftRule, ...] = ()
+    overlap_rules: tuple[OverlapRule, ...] = ()
     capture_rules: tuple[CaptureRule, ...] = ()
     sequence_rules: tuple[SequenceRule, ...] = ()
     schema_rules: tuple[SchemaDriftRule, ...] = ()
@@ -257,17 +259,33 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
             )
 
         if isinstance(r, ColumnStatsRule) and r.incremental and (
-            r.quantiles or r.exact_distinct or r.exact_quantiles
+            r.exact_distinct or r.exact_quantiles
         ):
             # incremental stats merge persisted per-partition partials —
-            # exact distinct is not mergeable, and approx_percentile's
-            # internal sketch is not persistable; keep those on the
-            # full-scan path via a separate non-incremental rule
+            # exact aggregates are not mergeable; keep exact modes on the
+            # full-scan path via a separate non-incremental rule.
+            # (quantiles ARE supported incrementally: KLL sketch partials.)
             raise SchemaError(
-                f"rule {r.id!r}: incremental stats support count/null_rate/"
-                "min/max/distinct (HLL sketch) only — quantiles, "
-                "exact_distinct and exact_quantiles need the full-scan path"
+                f"rule {r.id!r}: incremental stats are sketch-based "
+                "(HLL cardinality, KLL quantiles) — exact_distinct and "
+                "exact_quantiles need the full-scan path"
             )
+
+        if isinstance(r, OverlapRule):
+            if r.max_jaccard is None and r.max_common is None:
+                raise SchemaError(
+                    f"rule {r.id!r}: overlap rule needs max_jaccard and/or "
+                    "max_common"
+                )
+            if r.max_jaccard is not None and not (0.0 <= r.max_jaccard <= 1.0):
+                raise SchemaError(
+                    f"rule {r.id!r}: max_jaccard must be in [0, 1], "
+                    f"got {r.max_jaccard}"
+                )
+            if r.max_common is not None and r.max_common < 0:
+                raise SchemaError(
+                    f"rule {r.id!r}: max_common must be >= 0, got {r.max_common}"
+                )
 
         if available_columns is not None:
             for c in r.targets():
@@ -296,6 +314,7 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
     stats = tuple(r for r in spec.rules if isinstance(r, ColumnStatsRule))
     pixel = tuple(r for r in spec.rules if isinstance(r, PixelRule))
     drift = tuple(r for r in spec.rules if isinstance(r, DriftRule))
+    overlaps = tuple(r for r in spec.rules if isinstance(r, OverlapRule))
     captures = tuple(r for r in spec.rules if isinstance(r, CaptureRule))
     sequences = tuple(r for r in spec.rules if isinstance(r, SequenceRule))
     schema_checks = tuple(r for r in spec.rules if isinstance(r, SchemaDriftRule))
@@ -317,6 +336,7 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
         stats_rules=stats,
         pixel_rules=pixel,
         drift_rules=drift,
+        overlap_rules=overlaps,
         capture_rules=captures,
         sequence_rules=sequences,
         schema_rules=schema_checks,

@@ -158,15 +158,51 @@ def _sketch_input(df: DataFrame, column: str):
     return c if dtype in _SKETCHABLE else c.cast("string")
 
 
+#: typed KLL quantile-sketch function families by input SQL type: the
+#: mergeable, PERSISTABLE quantile sketch (the t-digest role with an
+#: on-disk representation — approx_percentile's internal sketch cannot
+#: leave the aggregation). Integers ride the bigint family; decimals and
+#: other numerics are cast to double (documented approximation).
+_KLL = {
+    "bigint": (F.kll_sketch_agg_bigint, F.kll_sketch_merge_bigint,
+               F.kll_sketch_get_quantile_bigint, "bigint"),
+    "double": (F.kll_sketch_agg_double, F.kll_sketch_merge_double,
+               F.kll_sketch_get_quantile_double, "double"),
+    "float": (F.kll_sketch_agg_float, F.kll_sketch_merge_float,
+              F.kll_sketch_get_quantile_float, "float"),
+}
+
+
+def _kll_family(df: DataFrame, rule: ColumnStatsRule):
+    """(agg, merge, get_quantile, cast-to) for the rule's column, or raise
+    for non-numeric columns — quantiles of strings are meaningless and the
+    full-scan path would reject them at run time anyway."""
+    dtype = dict(df.dtypes).get(rule.column, "")
+    if dtype in ("tinyint", "smallint", "int", "bigint"):
+        return _KLL["bigint"]
+    if dtype == "float":
+        return _KLL["float"]
+    if dtype == "double" or dtype.startswith("decimal"):
+        return _KLL["double"]
+    from ..errors import SchemaError
+
+    raise SchemaError(
+        f"rule {rule.id!r}: incremental quantiles need a numeric column, "
+        f"got {rule.column!r}: {dtype or 'missing'}"
+    )
+
+
 def column_stats_partials(
     df: DataFrame, rules: tuple[ColumnStatsRule, ...], run_id: str
 ) -> DataFrame:
     """MERGEABLE per-partition stats partials — one row per partition_id,
-    per rule: row count, non-null count, native-typed min/max, and a
-    Datasketches HLL sketch binary (hll_sketch_agg). One shuffle-free
-    partial + final agg per batch; the output is tiny (≈4 KB per sketch)
-    and persists to parquet, so a resumed run never recomputes a validated
-    partition's contribution. Merge with column_stats_from_partials."""
+    per rule: row count, non-null count, native-typed min/max, a
+    Datasketches HLL sketch binary (hll_sketch_agg), and (when the rule
+    requests quantiles) a KLL quantile sketch binary. One shuffle-free
+    partial + final agg per batch; the output is tiny (≈4 KB per HLL
+    sketch, O(k·log n) per KLL) and persists to parquet, so a resumed run
+    never recomputes a validated partition's contribution. Merge with
+    column_stats_from_partials."""
     aggs = []
     for r in rules:
         c = F.col(r.column)
@@ -179,8 +215,45 @@ def column_stats_partials(
                 f"{r.id}__sketch"
             ),
         ]
+        if r.quantiles:
+            kll_agg, _, _, cast_to = _kll_family(df, r)
+            aggs.append(
+                kll_agg(c.cast(cast_to), F.lit(r.kll_k)).alias(f"{r.id}__kll")
+            )
     return df.groupBy(F.col("partition_id").cast("int").alias("partition_id")).agg(
         *aggs
+    )
+
+
+def _fold_kll(arr, merge_fn):
+    """Fold an array of KLL sketch binaries with the BINARY merge function
+    (kll_sketch_merge_* is scalar, not an aggregate) via F.aggregate."""
+    return F.when(
+        F.size(arr) > 0,
+        F.aggregate(
+            F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+            F.element_at(arr, 1),
+            lambda acc, x: merge_fn(acc, x),
+        ),
+    )
+
+
+def _kll_tree_merge(
+    partials: DataFrame, colname: str, merge_fn, fanout: int = 1024
+) -> DataFrame:
+    """Two-level sketch fold: bucket partials by pmod(partition_id, fanout),
+    fold within buckets, then fold the ≤fanout bucket sketches — no single
+    row ever holds more than max(P/fanout, fanout) sketches (a few MB at
+    10^6 partitions), where a flat collect_list would stack them all into
+    one multi-GB row. Returns a 1-row frame with the merged sketch."""
+    lvl1 = (
+        partials.where(F.col(colname).isNotNull())
+        .groupBy(F.pmod(F.col("partition_id"), F.lit(fanout)).alias("_b"))
+        .agg(F.collect_list(colname).alias("_arr"))
+        .select(_fold_kll(F.col("_arr"), merge_fn).alias("_sk"))
+    )
+    return lvl1.agg(F.collect_list("_sk").alias("_arr")).select(
+        _fold_kll(F.col("_arr"), merge_fn).alias(colname)
     )
 
 
@@ -193,6 +266,17 @@ def column_stats_from_partials(
     Cost is O(#partitions), independent of table size: the incremental
     analog of the reference's EOF revalidation (validator.rs:162-168) that
     never rescans already-validated data."""
+    # KLL family dispatch by the NATIVE dtype the partials carry in the
+    # rule's min column (survives the parquet round-trip, so a resumed run
+    # merges with the right typed variant without re-reading the table)
+    ptypes = dict(partials.dtypes)
+
+    def _family(r):
+        dtype = ptypes.get(f"{r.id}__min", "")
+        if dtype in ("tinyint", "smallint", "int", "bigint"):
+            return _KLL["bigint"]
+        return _KLL["float"] if dtype == "float" else _KLL["double"]
+
     aggs = []
     for r in rules:
         aggs += [
@@ -205,19 +289,39 @@ def column_stats_from_partials(
             ).alias(f"{r.id}__distinct"),
         ]
     wide = partials.agg(*aggs)
+    for r in rules:
+        if r.quantiles:
+            # KLL merge is a tree fold over the tiny partials frame (the
+            # merge function is binary-scalar, not an aggregate); the 1-row
+            # result joins back into the wide stats row
+            _, kll_merge, _, _ = _family(r)
+            wide = wide.crossJoin(
+                _kll_tree_merge(partials, f"{r.id}__kll", kll_merge)
+            )
 
     parts = []
     for r in rules:
         rows = F.col(f"{r.id}__rows").cast("double")
         nonnull = F.col(f"{r.id}__nonnull").cast("double")
         null_rate = F.when(rows > 0, (rows - nonnull) / rows).otherwise(F.lit(0.0))
-        for metric, val, val_str in (
+        melt = [
             ("count", rows, F.lit(None).cast("string")),
             ("null_rate", null_rate, F.lit(None).cast("string")),
             ("distinct", F.col(f"{r.id}__distinct").cast("double"), F.lit(None).cast("string")),
             ("min", F.lit(None).cast("double"), F.col(f"{r.id}__min")),
             ("max", F.lit(None).cast("double"), F.col(f"{r.id}__max")),
-        ):
+        ]
+        if r.quantiles:
+            _, _, kll_get, _ = _family(r)
+            for q in r.quantiles:
+                melt.append(
+                    (
+                        f"p{q * 100:g}",
+                        kll_get(F.col(f"{r.id}__kll"), F.lit(float(q))).cast("double"),
+                        F.lit(None).cast("string"),
+                    )
+                )
+        for metric, val, val_str in melt:
             parts.append(
                 F.struct(
                     F.lit(r.id).alias("rule_id"),

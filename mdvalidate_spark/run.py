@@ -498,6 +498,11 @@ class ValidationRun:
                 sequence_violations(self.df, sq, self.run_id, self.spec.key_column)
             )
 
+        for ov in prog.overlap_rules:  # shard-pair distinct-set overlap
+            from .operators.overlap import overlap_violations
+
+            viols.append(overlap_violations(self.df, ov, self.run_id))
+
         t0 = time.time()
         drift_futs = []
         uc_viol = None

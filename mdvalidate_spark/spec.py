@@ -263,13 +263,19 @@ class ColumnStatsRule(Rule):
     # hll_sketch_estimate) WITHOUT rescanning the table. On a resumed
     # 10^12-row run where one partition arrived, the stats cost is one
     # partition's scan plus an O(#partitions) merge — the north rule's
-    # "HLL sketches merged" demand made concrete. Incompatible with
-    # quantiles/exact_* (compile-checked): exact distinct is not
-    # mergeable and approx_percentile's sketch is not persistable.
+    # "HLL sketches merged" demand made concrete. ``quantiles`` rides the
+    # partials too, as a persistable mergeable KLL quantile sketch
+    # (kll_sketch_agg_* / kll_sketch_merge_* — the t-digest role with an
+    # on-disk representation); numeric columns only. Incompatible with
+    # exact_distinct/exact_quantiles (compile-checked): exact aggregates
+    # are not mergeable from partials.
     incremental: bool = False
     # HLL precision (Datasketches lgConfigK): 12 → ~4 KB/sketch, ~1.6%
     # stderr; sparse mode is EXACT for low-cardinality columns
     lg_config_k: int = 12
+    # KLL quantile-sketch size parameter k: 200 → ~1.65% rank error,
+    # O(k·log n) bytes per partition sketch
+    kll_k: int = 200
     kind: str = field(default="stats", init=False)
 
     def targets(self):
@@ -390,6 +396,37 @@ class SchemaRule(Rule):
 
 
 # ------------------------------------------------------------- global rules
+
+
+@dataclass(frozen=True)
+class OverlapRule(Rule):
+    """Distinct-set overlap bound between shard pairs: violation when two
+    groups share more than ``max_jaccard`` of their distinct ``column``
+    values (or more than ``max_common`` absolute common values). The
+    leaky-split / duplicated-ingestion constraint a training pipeline runs
+    before a shard ships — no reference analog (single-document engine);
+    extends the north rule's between-partition drift checks from value
+    distributions to distinct-set identity.
+
+    Scale shape (operators/overlap.py): one theta sketch per group from a
+    single scan, i<j pair stage over P sketch rows in column algebra —
+    exact below sketch retention (~2^lg_k distinct per group), published
+    theta error above. Runs in finalize (global stage). ``max_groups``
+    bounds the P² pair stage with a loud refusal."""
+
+    column: str = ""
+    group_column: str = "partition_id"
+    max_jaccard: float | None = None
+    max_common: float | None = None
+    lg_k: int = 12
+    max_groups: int = 256
+    kind: str = field(default="overlap", init=False)
+
+    def targets(self):
+        cols = (self.column,)
+        if self.group_column and self.group_column != "partition_id":
+            cols += (self.group_column,)
+        return cols
 
 
 @dataclass(frozen=True)

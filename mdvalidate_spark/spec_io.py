@@ -21,6 +21,7 @@ from .spec import (
     DriftRule,
     LiteralRule,
     NotNullRule,
+    OverlapRule,
     PixelRule,
     RangeRule,
     RefIntegrityRule,
@@ -46,6 +47,7 @@ RULE_KINDS: dict[str, type] = {
     "sequence": SequenceRule,
     "stats": ColumnStatsRule,
     "drift": DriftRule,
+    "overlap": OverlapRule,
     "pixel": PixelRule,
     "schema": SchemaRule,
 }

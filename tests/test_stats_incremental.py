@@ -150,18 +150,67 @@ def test_incremental_through_run_and_resume(spark, images):
 
 def test_compile_lint_incremental_exclusions(spark):
     for bad in (
-        ColumnStatsRule("b1", column="w", incremental=True, quantiles=(0.5,)),
+        ColumnStatsRule("b1", column="w", incremental=True, exact_quantiles=True),
         ColumnStatsRule("b2", column="w", incremental=True, exact_distinct=True),
     ):
         with pytest.raises(SchemaError):
             compile_spec(Spec(rules=(bad,), key_column="image_id"))
-    # mixing incremental and full-scan rules in one spec is fine
+    # mixing incremental (incl. KLL quantiles) and full-scan rules is fine
     compile_spec(
         Spec(
             rules=(
-                ColumnStatsRule("ok1", column="w", incremental=True),
+                ColumnStatsRule("ok1", column="w", incremental=True, quantiles=(0.5,)),
                 ColumnStatsRule("ok2", column="w", quantiles=(0.5,)),
             ),
             key_column="image_id",
         )
     )
+
+
+def test_kll_quantiles_merge_accuracy(spark):
+    # uniform 0..99999 over 16 splits, 8 partitions: merged KLL p50/p95
+    # must land within ~2% RANK error of the exact quantile (k=200 → 1.65%)
+    df = spark.range(0, 100000, 1, 16).select(
+        (F.col("id") % 8).cast("int").alias("partition_id"),
+        F.col("id").cast("double").alias("v"),
+        F.col("id").alias("vi"),
+    )
+    rules = (
+        ColumnStatsRule("k_dbl", column="v", incremental=True, quantiles=(0.5, 0.95)),
+        ColumnStatsRule("k_int", column="vi", incremental=True, quantiles=(0.5,)),
+    )
+    merged = agg_rules.column_stats_from_partials(
+        agg_rules.column_stats_partials(df, rules, "r"), rules, "r"
+    )
+    m = {(r["rule_id"], r["metric"]): r["value"] for r in merged.collect()}
+    assert abs(m[("k_dbl", "p50")] - 50000) < 2500
+    assert abs(m[("k_dbl", "p95")] - 95000) < 2500
+    assert abs(m[("k_int", "p50")] - 50000) < 2500
+    # non-numeric column + incremental quantiles → SchemaError at build
+    sdf = df.withColumn("s", F.col("v").cast("string"))
+    with pytest.raises(SchemaError):
+        agg_rules.column_stats_partials(
+            sdf,
+            (ColumnStatsRule("bad", column="s", incremental=True, quantiles=(0.5,)),),
+            "r",
+        )
+
+
+def test_kll_quantiles_survive_checkpoint_roundtrip(spark, images, tmp_path):
+    # partials written per batch, reloaded by a resumed run: the KLL binary
+    # must merge identically after the parquet round-trip
+    rule = ColumnStatsRule("k_w", column="w", incremental=True, quantiles=(0.5,))
+    spec = Spec(rules=(rule,), key_column="image_id", n_partitions=8)
+    ckpt = str(tmp_path / "ck")
+    run1 = ValidationRun(spark, spec, images, run_id="r-kll", checkpoint_dir=ckpt)
+    run1._validate_batch(run1.pending_partitions()[:4])
+    run2 = ValidationRun(spark, spec, images, run_id="r-kll", checkpoint_dir=ckpt)
+    rep = run2.validate()
+    got = {r["metric"]: r["value"] for r in rep.metrics.collect() if r["rule_id"] == "k_w"}
+    # KLL returns an observed value at ~the requested rank: assert the
+    # estimate lands inside a generous exact-rank bracket [p30, p70]
+    lo, hi = images.agg(
+        F.expr("percentile(w, 0.3)"), F.expr("percentile(w, 0.7)")
+    ).collect()[0]
+    assert lo <= got["p50"] <= hi
+    assert got["count"] == float(ROWS)
