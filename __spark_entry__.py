@@ -145,6 +145,30 @@ def q_composite_capture_documents(spark, sf_dir):
     )
 
 
+def q_heavy_hitters_lineitem(spark, sf_dir):
+    """Exact heavy hitters (operators/skew.py top_keys): the DETECTION half
+    of the north rule's phash-hotspot-skew posture — groupBy with map-side
+    combine, then TakeOrdered (per-partition heap, never a full sort
+    shuffle; plan-asserted in tests). Deterministic under ties (count desc,
+    key asc)."""
+    from mdvalidate_spark.operators.skew import top_keys
+
+    li = _load(spark, sf_dir, "lineitem")
+    return top_keys(li, "l_orderkey", 10)
+
+
+def q_skew_stats_orders(spark, sf_dir):
+    """One-row key-skew profile (operators/skew.py skew_stats): per-key
+    frequency distribution scalars (max / p50 / p99 frequency, top-1
+    share) — flags a shard whose key distribution would melt a downstream
+    join before that join runs. exact=True for oracle parity; the scale
+    default uses the approx_percentile sketch over the per-key counts."""
+    from mdvalidate_spark.operators.skew import skew_stats
+
+    o = _load(spark, sf_dir, "orders")
+    return skew_stats(o, "o_custkey", exact=True)
+
+
 def q_overlap_documents(spark, sf_dir):
     """Cross-partition distinct-overlap audit (operators/overlap.py): theta
     sketches per group (ONE scan), pairwise intersection/union estimates in
@@ -812,6 +836,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "violations_capped_orders": q_violations_capped_orders,
         "hll_stats_lineitem": q_hll_stats_lineitem,
         "overlap_documents": q_overlap_documents,
+        "heavy_hitters_lineitem": q_heavy_hitters_lineitem,
+        "skew_stats_orders": q_skew_stats_orders,
         "schema_drift_orders": q_schema_drift_orders,
         "unique_lineitem_orderkey": q_unique_lineitem_orderkey,
         "unique_orderkey": q_unique_orderkey,
@@ -1306,6 +1332,31 @@ SELECT 'sch_orders' AS rule_id,
             WHEN ecol IS NULL THEN 'extra_column'
             ELSE 'dtype_mismatch' END AS kind
 FROM j WHERE acol IS NULL OR ecol IS NULL OR edt != adt
+""",
+        "heavy_hitters_lineitem": """
+SELECT l_orderkey AS key, count(*) AS n
+FROM lineitem WHERE l_orderkey IS NOT NULL
+GROUP BY l_orderkey
+ORDER BY n DESC, key ASC
+LIMIT 10
+""",
+        "skew_stats_orders": """
+WITH c AS (
+  SELECT o_custkey, count(*) AS n
+  FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_custkey
+),
+s AS (
+  SELECT CAST(sum(n) AS DOUBLE) AS rows,
+         CAST(count(*) AS DOUBLE) AS distinct_keys,
+         CAST(max(n) AS DOUBLE) AS max_freq,
+         quantile_cont(n, 0.5) AS p50_freq,
+         quantile_cont(n, 0.99) AS p99_freq
+  FROM c
+)
+SELECT rows, distinct_keys, max_freq, p50_freq, p99_freq,
+       max_freq / rows AS top1_share,
+       p99_freq / p50_freq AS p99_to_median
+FROM s
 """,
         "overlap_documents": """
 WITH s AS (

@@ -1,9 +1,11 @@
 """Spec (de)serialization — the textual mdschema analog.
 
 A spec file is JSON: {"key_column": ..., "n_partitions": ..., "fast_fail":
-..., "rules": [{"kind": ..., "id": ..., ...}, ...]}. Unknown kinds or params
-raise SchemaError at load (reference: matcher parse errors, matcher.rs:175-208
-— reject before touching data).
+..., "max_violations_per_rule": ..., "rules": [{"kind": ..., "id": ...,
+...}, ...]}. Rule kinds: not_null, regex, composite, literal, range, domain,
+unique, count, ref, capture, sequence, stats, drift, overlap, pixel, schema.
+Unknown kinds or params raise SchemaError at load (reference: matcher parse
+errors, matcher.rs:175-208 — reject before touching data).
 """
 
 from __future__ import annotations

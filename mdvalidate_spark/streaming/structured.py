@@ -116,6 +116,57 @@ def windowed_count_rule(
     )
 
 
+def stream_stats_partials(
+    stream_df: DataFrame,
+    rules,
+    partials_dir: str,
+    checkpoint_dir: str,
+    run_id: str = "stream",
+    trigger: dict | None = None,
+):
+    """Continuous incremental stats: each micro-batch appends ONE mergeable
+    partials row (count / non-null / native min-max / HLL sketch / optional
+    KLL quantile sketch — same layout as the batch engine's
+    column_stats_partials) keyed by the micro-batch id. The accumulated
+    directory merges on demand with ``merged_stream_stats`` in O(#batches),
+    so "profile the stream so far" never replays the stream.
+
+    Exactly-once: the write is a dynamic partition overwrite on
+    partition_id = batch_id, so a replayed micro-batch (foreachBatch
+    replays after failure) overwrites its own partial instead of
+    double-counting. Returns the started StreamingQuery."""
+    from ..operators.agg_rules import column_stats_partials
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        p = column_stats_partials(
+            batch_df.withColumn("partition_id", F.lit(int(batch_id)).cast("int")),
+            tuple(rules),
+            run_id,
+        )
+        (
+            p.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("partition_id")
+            .parquet(partials_dir)
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(**(trigger or {"availableNow": True}))
+    )
+    return writer.start()
+
+
+def merged_stream_stats(spark, rules, partials_dir: str, run_id: str = "stream"):
+    """Merge everything ``stream_stats_partials`` accumulated so far into
+    the standard long metrics rows — O(#micro-batches), no stream replay."""
+    from ..operators.agg_rules import column_stats_from_partials
+
+    partials = spark.read.parquet(partials_dir)
+    return column_stats_from_partials(partials, tuple(rules), run_id)
+
+
 def windowed_drift_rule(
     stream_df: DataFrame,
     rule,

@@ -77,6 +77,52 @@ def test_ref_join_broadcasts_dimension(spark, tmp_path):
     assert "SortMergeJoin" not in plan
 
 
+def test_cap_violations_two_phase_windows_partitioned(spark):
+    """The violation cap must stay a TWO-PHASE rank: phase 1 shuffles on
+    (rule, partition, input split) so a hot rule spreads over splits, and
+    NO window may degenerate to a single unpartitioned group (the
+    'No Partition Defined' WindowExec path moves every violation row to
+    one task — the exact failure the cap exists to prevent)."""
+    from mdvalidate_spark.operators.sampling import cap_violations
+
+    viol = spark.range(0, 1000, 1, 8).select(
+        F.lit("r").alias("run_id"),
+        (F.col("id") % 4).cast("int").alias("partition_id"),
+        F.concat(F.lit("rule"), (F.col("id") % 2).cast("string")).alias("rule_id"),
+        F.col("id").cast("string").alias("image_id"),
+        F.lit("c").alias("column"),
+        F.lit("e").alias("expected"),
+        F.lit("a").alias("actual"),
+        F.lit("k").alias("kind"),
+    )
+    plan = _plan(cap_violations(viol, 5))
+    assert plan.count("Window") >= 2, "two-phase rank collapsed"
+    assert "SinglePartition" not in plan, "cap window degenerated to one task"
+    assert "hashpartitioning(rule_id" in plan
+    assert "PythonUDF" not in plan
+
+
+def test_stats_partials_single_aggregation_pruned(spark, tmp_path):
+    """Incremental stats partials: ONE partial+final aggregate pair per
+    batch (no extra shuffles beyond the groupBy(partition_id)), scan pruned
+    to the stat columns, zero Python."""
+    from mdvalidate_spark.operators.agg_rules import column_stats_partials
+    from mdvalidate_spark.spec import ColumnStatsRule
+
+    src = str(tmp_path / "stats-src")
+    spark.range(0, 1000, 1, 4).select(
+        (F.col("id") % 8).cast("int").alias("partition_id"),
+        F.col("id").cast("double").alias("v"),
+        F.lit("pad").alias("unused_wide_column"),
+    ).write.parquet(src)
+    df = spark.read.parquet(src)
+    rules = (ColumnStatsRule("s", column="v", incremental=True, quantiles=(0.5,)),)
+    plan = _plan(column_stats_partials(df, rules, "q"))
+    assert plan.count("Exchange") == 1, "partials must shuffle exactly once"
+    assert "PythonUDF" not in plan
+    assert "unused_wide_column" not in _read_schema(plan)
+
+
 def test_only_pixel_reads_bytes(spark, tmp_path):
     src = str(tmp_path / "img")
     synthetic_images(spark, 200, with_bytes=True).write.parquet(src)

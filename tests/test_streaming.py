@@ -205,6 +205,53 @@ def test_stateful_duplicate_violations_across_batches(spark, tmp_path):
     assert got2 == {("a", "occurrence=2"), ("b", "occurrence=2")}
 
 
+def test_stream_stats_partials_accumulate_and_merge(spark, tmp_path):
+    """Continuous incremental stats: two availableNow drains over a growing
+    directory leave one mergeable partials row per micro-batch; the merge
+    equals a batch profile of the full data — without replaying the stream."""
+    from mdvalidate_spark.spec import ColumnStatsRule
+    from mdvalidate_spark.streaming.structured import (
+        merged_stream_stats,
+        stream_stats_partials,
+    )
+
+    src = str(tmp_path / "st-src")
+    pdir = str(tmp_path / "st-partials")
+    ck = str(tmp_path / "st-ck")
+    rules = (
+        ColumnStatsRule("st_w", column="w", incremental=True, quantiles=(0.5,)),
+        ColumnStatsRule("st_fmt", column="fmt", incremental=True),
+    )
+
+    def drain():
+        stream = spark.readStream.schema("w int, fmt string").parquet(src)
+        q = stream_stats_partials(stream, rules, pdir, ck, run_id="s1")
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [(100, "png"), (200, "jpeg"), (300, "png"), (None, "webp")],
+        "w int, fmt string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    spark.createDataFrame(
+        [(400, "bmp"), (50, "png")], "w int, fmt string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    drain()
+
+    partials = spark.read.parquet(pdir)
+    assert partials.count() == 2  # one partial row per micro-batch
+    m = {
+        (r["rule_id"], r["metric"]): (r["value"], r["value_str"])
+        for r in merged_stream_stats(spark, rules, pdir, "s1").collect()
+    }
+    assert m[("st_w", "count")][0] == 6.0
+    assert m[("st_w", "null_rate")][0] == pytest.approx(1 / 6)
+    assert m[("st_w", "distinct")][0] == 5.0
+    assert m[("st_w", "min")][1] == "50" and m[("st_w", "max")][1] == "400"
+    assert 100.0 <= m[("st_w", "p50")][0] <= 300.0
+    assert m[("st_fmt", "distinct")][0] == 4.0
+
+
 def test_incremental_schema_rules_run_per_poll(spark, tmp_path):
     """SchemaRule must fire on the streaming path too: a drifted table
     validated through FileIncrementalValidator has to emit schema
