@@ -618,6 +618,36 @@ def q_drift_sweep_events(spark, sf_dir):
     )
 
 
+def q_drift_sweep_incremental_events(spark, sf_dir):
+    """The INCREMENTAL sweep path (DriftRule.incremental): per-partition
+    histogram partials on frozen edges, merged by summation, then the same
+    leave-one-out math — value-checked against the identical oracle as the
+    one-pass sweep, proving the partial→merge pipeline computes the same
+    statistics it would from a full-table pass (and at 10^12 rows it does
+    so without the full-table pass: a resumed run merges counts)."""
+    from mdvalidate_spark.operators.drift import (
+        compute_edges,
+        drift_sweep_from_partials,
+        sweep_histogram_partials,
+    )
+    from mdvalidate_spark.spec import DriftRule
+
+    ev = _load(spark, sf_dir, "events").withColumn(
+        "partition_id", F.pmod(F.col("event_id"), F.lit(16)).cast("int")
+    )
+    rule = DriftRule(
+        "sweep_val", column="value", sweep_by="event_type", method="psi",
+        threshold=10.0, exact_edges=True, incremental=True,
+    )
+    edges = compute_edges(ev, rule)
+    partials = sweep_histogram_partials(ev, rule, edges)
+    _, m, _n = drift_sweep_from_partials(spark, partials, rule, "q", edges)
+    return m.select(
+        "rule_id", "metric", F.col("value_str").alias("grp"),
+        F.round("value", 3).alias("value"),
+    )
+
+
 # pinned IVF centroids (8 cells × 64 dims): a fixed closed-form literal grid
 # shared verbatim by the Spark query AND the DuckDB oracle, which makes the
 # whole IVF approximation — cell assignment, nprobe pruning, in-cell ranking —
@@ -856,6 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_categorical_orders": q_drift_categorical_orders,
         "drift_expr_documents": q_drift_expr_documents,
         "drift_sweep_events": q_drift_sweep_events,
+        "drift_sweep_incremental_events": q_drift_sweep_incremental_events,
         "topk_ivf_embeddings": q_topk_ivf_embeddings,
         "text_profile_documents": q_text_profile_documents,
         "lang_confusion_documents": q_lang_confusion_documents,
@@ -1675,6 +1706,7 @@ FROM d
             probe_cond="CAST(lang AS VARCHAR) = 'en'", rule_prefix="dlen",
         ),
         "drift_sweep_events": _drift_sweep_sql(32),
+        "drift_sweep_incremental_events": _drift_sweep_sql(32),
         "embedding_neardup": _embedding_neardup_sql(),
         "embedding_clusters": f"""
 WITH RECURSIVE

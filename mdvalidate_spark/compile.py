@@ -257,6 +257,11 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
                 f"rule {r.id!r}: drift rule needs group_column (probe vs "
                 "rest) or sweep_by (per-group sweep)"
             )
+        if isinstance(r, DriftRule) and r.incremental and not r.sweep_by:
+            raise SchemaError(
+                f"rule {r.id!r}: incremental drift is the per-group sweep "
+                "over mergeable histogram partials — set sweep_by"
+            )
 
         if isinstance(r, ColumnStatsRule) and r.incremental and (
             r.exact_distinct or r.exact_quantiles

@@ -269,6 +269,15 @@ def drift_sweep(
         .limit(SWEEP_MAX_HIST_ROWS + 1)
         .collect()
     )
+    return _sweep_from_counts(spark, counts, nb, rule, run_id)
+
+
+def _sweep_from_counts(
+    spark: SparkSession, counts, nb: int, rule: DriftRule, run_id: str
+) -> tuple[DataFrame, DataFrame, int]:
+    """Driver-side leave-one-out sweep math over (group, bin, n) count rows
+    — shared by the one-pass batch sweep and the merged-partials
+    (incremental) path, so the two can never diverge."""
     if len(counts) > SWEEP_MAX_HIST_ROWS:
         raise ValueError(
             f"rule {rule.id!r}: sweep_by={rule.sweep_by!r} produced more than "
@@ -320,6 +329,61 @@ def drift_sweep(
         "column string, expected string, actual string, kind string",
     )
     return violations, metrics, len(viol_rows)
+
+
+def _sweep_nb(rule: DriftRule, edges: list) -> tuple[int, "Column"]:
+    """(bin count, bin expression over _x) for a sweep rule on FROZEN
+    edges — one definition for the batch pass and the partials path."""
+    if rule.categorical:
+        bins = list(edges)
+        return len(bins) + 1, _bin_expr(F.col("_x"), bins, categorical=True).cast("int")
+    inner = _dedupe_edges(edges)
+    return len(inner) + 1, _bin_expr(F.col("_x"), inner, categorical=False)
+
+
+def sweep_histogram_partials(
+    df: DataFrame, rule: DriftRule, edges: list
+) -> DataFrame:
+    """MERGEABLE per-engine-partition sweep-histogram partials on FROZEN
+    edges: one row per (partition_id, group, bin) with its count. Tiny
+    (≤ partitions × groups-per-partition × bins rows), persists to parquet
+    keyed by partition_id (idempotent dynamic-overwrite on resume), and
+    merges by plain summation — the drift analog of column_stats_partials.
+    Edges are frozen by the caller (first validated batch) because bins
+    only set the comparison's resolution: every group is compared against
+    the rest on the SAME bins, whichever data defined them."""
+    val = F.expr(rule.expr) if rule.expr else F.col(rule.column)
+    x = val.cast("string") if rule.categorical else val.cast("double")
+    g = F.col(rule.sweep_by).cast("string")
+    projected = df.select(
+        F.col("partition_id").cast("int").alias("partition_id"),
+        x.alias("_x"),
+        g.alias("_g"),
+    ).where(F.col("_x").isNotNull() & F.col("_g").isNotNull())
+    _, bin_expr = _sweep_nb(rule, edges)
+    return projected.groupBy(
+        "partition_id", F.col("_g"), bin_expr.alias("_bin")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def drift_sweep_from_partials(
+    spark: SparkSession,
+    partials: DataFrame,
+    rule: DriftRule,
+    run_id: str,
+    edges: list,
+) -> tuple[DataFrame, DataFrame, int]:
+    """Merge accumulated sweep-histogram partials (sum counts per
+    (group, bin)) and run the identical leave-one-out math — O(groups ×
+    bins), never a table rescan: the incremental EOF pass for drift."""
+    nb, _ = _sweep_nb(rule, edges)
+    counts = (
+        partials.groupBy("_g", "_bin")
+        .agg(F.sum("n").alias("n"))
+        .limit(SWEEP_MAX_HIST_ROWS + 1)
+        .collect()
+    )
+    return _sweep_from_counts(spark, counts, nb, rule, run_id)
 
 
 def reference_histogram(

@@ -151,6 +151,11 @@ class ValidationRun:
         # rules): one tiny frame per batch; finalize merges them instead of
         # rescanning the table
         self._stats_partials: list[DataFrame] = []
+        # incremental sweep-drift: frozen bin edges per rule (first batch
+        # defines them; persisted so a resumed run bins identically) and
+        # accumulated per-batch histogram partial frames per rule
+        self._drift_frozen_edges: dict[str, list] = {}
+        self._drift_partials: dict[str, list[DataFrame]] = {}
         self._finalized = False
         self._schema_checked = False
         self._schema_violations = 0
@@ -294,6 +299,17 @@ class ValidationRun:
             viols.append(pv)
             mets.append(pm)
 
+        for dr in (r for r in prog.drift_rules if r.incremental):
+            edges = self._frozen_edges(dr, batch_df)
+            partial = drift_ops.sweep_histogram_partials(
+                batch_df, dr, edges
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            self._drift_partials.setdefault(dr.id, []).append(partial)
+            if self.checkpoint_dir:
+                partial.write.mode("overwrite").partitionBy(
+                    "partition_id"
+                ).parquet(self._sink(f"drift_partials/{dr.id}"))
+
         inc_stats = tuple(r for r in prog.stats_rules if r.incremental)
         if inc_stats:
             partials = agg_rules.column_stats_partials(
@@ -394,14 +410,51 @@ class ValidationRun:
         # the next report access). The checks frame is narrow; LRU handles it.
         return n_viol
 
+    def _frozen_edges(self, rule, batch_df: DataFrame) -> list:
+        """Frozen bin edges for an incremental sweep rule: loaded from the
+        checkpoint if a prior run froze them, else computed from the FIRST
+        validated batch and persisted. Bins only set the comparison's
+        resolution — every group is compared against the rest on the same
+        bins — so first-batch quantiles are a sound bin definition."""
+        if rule.id in self._drift_frozen_edges:
+            return self._drift_frozen_edges[rule.id]
+        import json as _json
+
+        path = (
+            os.path.join(self.checkpoint_dir, f"drift_edges_{rule.id}.json")
+            if self.checkpoint_dir
+            else None
+        )
+        if path and os.path.exists(path):
+            with open(path) as f:
+                edges = _json.load(f)
+        elif batch_df is not None:
+            edges = drift_ops.compute_edges(batch_df, rule)
+            if path:
+                os.makedirs(self.checkpoint_dir, exist_ok=True)
+                with open(path, "w") as f:
+                    _json.dump(edges, f)
+        else:
+            raise RuntimeError(
+                f"rule {rule.id!r}: drift partials exist but the frozen-edge "
+                "record is missing (checkpoint incomplete?) — cannot bin-merge"
+            )
+        self._drift_frozen_edges[rule.id] = edges
+        return edges
+
     def _prefetch_drift_edges(self) -> None:
         """Launch the drift rules' bin-edge jobs on driver threads so they
         overlap the per-partition batch stage — finalize then pays only the
         histogram job per rule instead of two serial jobs. Spark job
         submission from multiple driver threads is the standard pattern; the
         edges read the full (final) table, which in the incremental model is
-        identical at prefetch time and finalize time for batch inputs."""
-        if self._drift_edge_futs or not self.program.drift_rules:
+        identical at prefetch time and finalize time for batch inputs.
+        Incremental sweep rules are excluded: their edges freeze on the
+        first batch and their histograms come from partials — a full-table
+        prefetch would defeat the point."""
+        if self._drift_edge_futs or not any(
+            not r.incremental for r in self.program.drift_rules
+        ):
             return
         from concurrent.futures import ThreadPoolExecutor
 
@@ -422,7 +475,8 @@ class ValidationRun:
             return drift_ops.compute_edges(self.df, dr)
 
         for dr in self.program.drift_rules:
-            self._drift_edge_futs[dr.id] = self._drift_pool.submit(_edge_job, dr)
+            if not dr.incremental:
+                self._drift_edge_futs[dr.id] = self._drift_pool.submit(_edge_job, dr)
 
     def _cancel_drift_prefetch(self) -> None:
         """Fast-fail cleanup: cancel queued edge jobs, interrupt running
@@ -549,7 +603,26 @@ class ValidationRun:
                     self.df, dr, self.run_id, self._drift_edges(dr)
                 )
 
-            drift_futs = [pool.submit(_run_drift, dr) for dr in prog.drift_rules]
+            def _run_drift_inc(dr):
+                # incremental sweep: merge the accumulated histogram
+                # partials — O(groups × bins), no table rescan
+                pieces = self._drift_partials.get(dr.id, [])
+                if not pieces:
+                    return (
+                        _empty(self.spark, _VIOLATIONS_DDL),
+                        _empty(self.spark, _METRICS_DDL),
+                        0,
+                    )
+                merged = reduce(lambda a, b: a.unionByName(b), pieces)
+                return drift_ops.drift_sweep_from_partials(
+                    self.spark, merged, dr, self.run_id,
+                    self._frozen_edges(dr, None),
+                )
+
+            drift_futs = [
+                pool.submit(_run_drift_inc if dr.incremental else _run_drift, dr)
+                for dr in prog.drift_rules
+            ]
             bv_fut = pool.submit(batch_viol_c.count)
             bm_fut = pool.submit(batch_met_c.count)
             # the stats aggregation (the one real job among the metric
@@ -711,6 +784,17 @@ class ValidationRun:
                     F.col("partition_id").isin(list(done))
                 )
             )
+        # incremental sweep-drift partials: one dir per rule
+        for dr in self.program.drift_rules:
+            if not dr.incremental:
+                continue
+            dp = self._sink(f"drift_partials/{dr.id}")
+            if dp and os.path.exists(dp) and done:
+                self._drift_partials.setdefault(dr.id, []).append(
+                    self.spark.read.parquet(dp).where(
+                        F.col("partition_id").isin(list(done))
+                    )
+                )
 
     def _save_manifest(self) -> None:
         if self.checkpoint_dir:

@@ -465,6 +465,15 @@ class DriftRule(Rule):
     # the rest of the table (leave-one-out), all from ONE histogram pass.
     # Mutually exclusive with group_column/group_value.
     sweep_by: str | None = None
+    # incremental=True (sweep rules only, compile-checked) switches the
+    # sweep to MERGEABLE HISTOGRAM PARTIALS: bin edges FREEZE on the first
+    # validated batch (persisted under the checkpoint — bins only set the
+    # comparison's resolution; every group is compared on the same bins),
+    # each batch emits per-(partition, group, bin) counts, and finalize
+    # merges counts instead of rescanning the table — the drift analog of
+    # ColumnStatsRule.incremental. A resumed 10^12-row run pays one new
+    # partition's histogram, never the full-table pass.
+    incremental: bool = False
     kind: str = field(default="drift", init=False)
 
     def targets(self):
