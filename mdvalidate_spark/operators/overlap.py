@@ -58,15 +58,22 @@ def partition_overlap(
     group_col: str = "partition_id",
     lg_k: int = 12,
     max_groups: int = 256,
+    n_groups: int | None = None,
 ) -> DataFrame:
     """Estimated distinct-set overlap for every group pair (i < j):
     (g_a, g_b, n_a, n_b, n_common, jaccard). Estimates are EXACT while each
     group's distinct count stays below the sketch's retention (~2^lg_k) —
     the regime the audit targets (source ids, languages, fingerprint
     buckets); beyond it the error is the published theta bound (~1.6% at
-    lg_k=12)."""
+    lg_k=12).
+
+    ``n_groups``: pass the group count when the caller already knows it
+    (the run lifecycle knows its partition list) — the guard then costs no
+    job and the whole audit stays LAZY, so finalize can overlap its scan
+    with the other global stages instead of paying an eager guard count
+    serially."""
     sks = group_sketches(df, column, group_col, lg_k).persist()
-    n = sks.count()
+    n = n_groups if n_groups is not None else sks.count()
     if n > max_groups:
         sks.unpersist()
         raise SchemaError(
@@ -93,17 +100,22 @@ def partition_overlap(
 KIND_OVERLAP = "overlap"
 
 
-def overlap_violations(df: DataFrame, rule, run_id: str) -> DataFrame:
+def overlap_violations(
+    df: DataFrame, rule, run_id: str, n_groups: int | None = None
+) -> DataFrame:
     """OverlapRule executor (finalize stage): one violation row per group
     pair breaching max_jaccard / max_common. image_id carries the pair key
     "g_a|g_b"; actual reports both measures so the report is actionable
-    without re-running the audit."""
+    without re-running the audit. Pass ``n_groups`` (the run knows its
+    partition list) to keep construction lazy — the sketch scan then runs
+    inside finalize's concurrent block, not serially before it."""
     pairs = partition_overlap(
         df,
         rule.column,
         group_col=rule.group_column,
         lg_k=rule.lg_k,
         max_groups=rule.max_groups,
+        n_groups=n_groups,
     )
     fail = F.lit(False)
     expected = []

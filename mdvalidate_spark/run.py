@@ -555,7 +555,18 @@ class ValidationRun:
         for ov in prog.overlap_rules:  # shard-pair distinct-set overlap
             from .operators.overlap import overlap_violations
 
-            viols.append(overlap_violations(self.df, ov, self.run_id))
+            # the engine knows its own group count when the audit groups by
+            # partition_id — passing it keeps construction LAZY (no eager
+            # guard job), so the sketch scan overlaps the other global
+            # stages inside the concurrent block below
+            hint = (
+                len(self.all_partitions())
+                if ov.group_column == "partition_id"
+                else None
+            )
+            viols.append(
+                overlap_violations(self.df, ov, self.run_id, n_groups=hint)
+            )
 
         t0 = time.time()
         drift_futs = []

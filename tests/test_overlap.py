@@ -41,6 +41,15 @@ def test_guard_refuses_group_explosion(spark):
     )
     with pytest.raises(SchemaError, match="max_groups"):
         partition_overlap(df, "v", max_groups=16)
+    # lazy-guard path: a caller-supplied group count is trusted (no job) and
+    # still refuses when over the cap
+    with pytest.raises(SchemaError, match="max_groups"):
+        partition_overlap(df, "v", max_groups=16, n_groups=1000)
+    # with an in-bounds hint the audit builds LAZILY and still computes
+    # correctly (3 real groups)
+    small = _planted(spark)
+    out = partition_overlap(small, "v", n_groups=3)
+    assert out.count() == 3
 
 
 def test_non_sketchable_type_and_custom_group(spark):
