@@ -106,6 +106,7 @@ KIND_DUPLICATE = "duplicate"
 KIND_ORPHAN = "orphan"
 KIND_COUNT = "count"
 KIND_DRIFT = "drift"
+KIND_OVERLAP = "overlap"  # shard-pair distinct-set overlap bound
 KIND_PIXEL = "pixel"
 # runtime schema drift — MalformedNodeStructure analog (errors.rs:320-397)
 KIND_MISSING_COLUMN = "missing_column"
@@ -124,6 +125,7 @@ ALL_KINDS = (
     KIND_ORPHAN,
     KIND_COUNT,
     KIND_DRIFT,
+    KIND_OVERLAP,
     KIND_PIXEL,
     KIND_MISSING_COLUMN,
     KIND_EXTRA_COLUMN,

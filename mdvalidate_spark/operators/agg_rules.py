@@ -655,7 +655,13 @@ def capture_rows(df: DataFrame, rules, run_id: str, key_column: str) -> DataFram
         # struct(order, value), so equal order keys fall back to value order
         # there — without the same fallback here, row_number() on ties is
         # shuffle-layout-dependent and the two paths diverge
-        part_cols = ["partition_id", "_g"] if r.group_by else ["partition_id"]
+        # getattr: CompositeRegexRule(capture_as_rows=True) rides this path
+        # too and has no group_by field
+        part_cols = (
+            ["partition_id", "_g"]
+            if getattr(r, "group_by", ())
+            else ["partition_id"]
+        )
         w = Window.partitionBy(*part_cols).orderBy(F.col(order_col), F.col("_v"))
         outs.append(
             df.where(matched)

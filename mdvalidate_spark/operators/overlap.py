@@ -97,7 +97,7 @@ def partition_overlap(
     )
 
 
-KIND_OVERLAP = "overlap"
+from ..errors import KIND_OVERLAP  # noqa: E402  (taxonomy lives in errors.py)
 
 
 def overlap_violations(

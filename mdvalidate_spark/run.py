@@ -268,9 +268,14 @@ class ValidationRun:
             # as_rows rules: the spill-safe one-row-per-capture path (the
             # documented 100x-safe variant, reachable from a spec).
             # Composite rules with capture=True ride the same pass: one rule
-            # validates (row stage) AND captures its matcher segment.
-            arr = [r for r in prog.capture_rules if not r.as_rows] + comp_caps
-            as_rows = [r for r in prog.capture_rules if r.as_rows]
+            # validates (row stage) AND captures its matcher segment —
+            # routed to either path by capture_as_rows, same as CaptureRule.
+            arr = [r for r in prog.capture_rules if not r.as_rows] + [
+                r for r in comp_caps if not r.capture_as_rows
+            ]
+            as_rows = [r for r in prog.capture_rules if r.as_rows] + [
+                r for r in comp_caps if r.capture_as_rows
+            ]
             if arr:
                 mets.append(
                     agg_rules.capture_metrics(

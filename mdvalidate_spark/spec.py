@@ -120,6 +120,12 @@ class CompositeRegexRule(Rule):
     # validator.rs:33-36), with no second rule whose duplicated pattern
     # could silently drift.
     capture: bool = False
+    # with capture=True, capture_as_rows=True routes the capture through
+    # the SPILL-SAFE ordered-rows path (one metrics row per capture via a
+    # sort-based window — the same 100x-safe variant as
+    # CaptureRule.as_rows) instead of per-partition arrays; choose it when
+    # passing captures per partition are unbounded.
+    capture_as_rows: bool = False
     kind: str = field(default="composite", init=False)
 
     def targets(self):

@@ -513,6 +513,51 @@ def test_capture_as_rows_through_run_parity(spark):
     assert dict(rebuilt) == {p: v for p, v in arr.items() if v}
 
 
+def test_composite_capture_as_rows_through_run_parity(spark):
+    """CompositeRegexRule(capture=True, capture_as_rows=True): the
+    composite's validate-and-capture rides the SPILL-SAFE ordered-rows path
+    and reassembles to exactly the array path's report — the same
+    100x-safe routing CaptureRule.as_rows has."""
+    import json
+    from collections import defaultdict
+
+    from mdvalidate_spark.run import ValidationRun
+    from mdvalidate_spark.spec import CompositeRegexRule, Spec
+
+    rows = [(f"k{i:03d}", i % 4, f"id-{i % 9}x") for i in range(80)]
+    df = spark.createDataFrame(rows, "image_id string, grp int, s string")
+    common = dict(column="s", prefix="id-", pattern="[0-9]+", suffix="x",
+                  capture=True)
+
+    # two rules on one column conflict by design (ConflictingRulesError) —
+    # run each routing in its own spec and compare the reports
+    def run(rule):
+        spec = Spec(rules=(rule,), key_column="image_id", partition_column="grp")
+        return ValidationRun(spark, spec, df).validate().metrics
+
+    arr = {
+        r["partition_id"]: json.loads(r["value_str"])
+        for r in run(CompositeRegexRule("comp_arr", **common)).collect()
+        if r["rule_id"] == "comp_arr"
+    }
+    rebuilt = defaultdict(list)
+    for r in sorted(
+        (
+            r
+            for r in run(
+                CompositeRegexRule("comp_rows", capture_as_rows=True, **common)
+            ).collect()
+            if r["rule_id"] == "comp_rows"
+        ),
+        key=lambda r: (r["partition_id"], r["value"]),
+    ):
+        assert r["metric"] == "capture_row"
+        rebuilt[r["partition_id"]].append(r["value_str"])
+    assert dict(rebuilt) == {p: v for p, v in arr.items() if v}
+    # every input row passes the pipeline → 20 captures per partition
+    assert all(len(v) == 20 for v in rebuilt.values())
+
+
 def test_composite_capture_validate_and_capture_one_rule(spark):
     """CompositeRegexRule(capture=True): one rule validates the prefix →
     matcher → suffix pipeline AND captures the matcher segment of passing
