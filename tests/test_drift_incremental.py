@@ -89,6 +89,25 @@ def test_resume_reloads_edges_and_partials(spark, images, tmp_path):
     assert _stats(m2) == got
 
 
+def test_categorical_incremental_sweep_parity(spark, images):
+    # categorical bins (top-N categories) freeze exactly like numeric
+    # edges; merged partials must equal the one-pass categorical sweep
+    rule = DriftRule(
+        "sw_fmt", column="fmt", sweep_by="partition_id", method="psi",
+        threshold=5.0, categorical=True, incremental=True,
+    )
+    spec = Spec(rules=(rule,), key_column="image_id", n_partitions=8)
+    rep = validate_table(spark, images, spec, run_id="d-cat")
+    got = _stats(rep.metrics, "sw_fmt")
+
+    one = DriftRule(
+        "sw_fmt", column="fmt", sweep_by="partition_id", method="psi",
+        threshold=5.0, categorical=True,
+    )
+    _, m, _ = drift_ops.drift_check(images, one, "d-cat1")
+    assert got == _stats(m, "sw_fmt") and len(got) == 8
+
+
 def test_compile_lint_incremental_needs_sweep(spark):
     bad = DriftRule(
         "d", column="w", group_column="partition_id", group_value="7",

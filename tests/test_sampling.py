@@ -162,6 +162,52 @@ def test_run_capped_hot_rule_every_row_violates(spark, images):
     assert sum(r["violations"] for r in rep.manifest.collect()) == nonnull_captions
 
 
+def test_cap_property_random_frames(spark):
+    """Property over random violation frames: the cap is (a) idempotent
+    across evaluations, (b) a subset of the full set, (c) exactly
+    min(group size, cap) rows per (rule, partition), (d) the LOWEST rows
+    by the total order. Random shapes via seeded stdlib random (hypothesis
+    strategies don't mix with a shared SparkSession fixture's lifetime)."""
+    import random
+
+    rnd = random.Random(1234)
+    for trial in range(3):
+        n_rules = rnd.randint(1, 3)
+        n_parts = rnd.randint(1, 4)
+        rows = []
+        for i in range(rnd.randint(1, 400)):
+            rows.append((
+                "r", rnd.randrange(n_parts), f"rule{rnd.randrange(n_rules)}",
+                f"id{i:05d}", "c", "e", "a", "k",
+            ))
+        df = spark.createDataFrame(
+            rows,
+            "run_id string, partition_id int, rule_id string, image_id string, "
+            "column string, expected string, actual string, kind string",
+        ).repartition(rnd.randint(1, 6))
+        cap = rnd.randint(1, 7)
+        key = lambda r: (r["rule_id"], r["partition_id"], r["image_id"])  # noqa: E731
+        got = sorted(map(key, sampling.cap_violations(df, cap).collect()))
+        again = sorted(map(key, sampling.cap_violations(df, cap).collect()))
+        assert got == again, f"trial {trial}: cap not deterministic"
+        full = sorted(map(key, df.collect()))
+        assert set(got) <= set(full)
+        from collections import Counter
+
+        sizes = Counter((r, p) for r, p, _ in full)
+        got_sizes = Counter((r, p) for r, p, _ in got)
+        for g, n in sizes.items():
+            assert got_sizes[g] == min(n, cap), f"trial {trial}: {g}"
+        # lowest-by-order: per group, the capped ids are the first ids
+        by_group = {}
+        for r, p, i in full:
+            by_group.setdefault((r, p), []).append(i)
+        for g, ids in by_group.items():
+            expect = sorted(ids)[:cap]
+            have = sorted(i for r, p, i in got if (r, p) == g)
+            assert have == expect, f"trial {trial}: {g}"
+
+
 def test_spec_io_and_cli_plumbing(tmp_path):
     import json
 
