@@ -351,7 +351,15 @@ def sweep_histogram_partials(
     merges by plain summation — the drift analog of column_stats_partials.
     Edges are frozen by the caller (first validated batch) because bins
     only set the comparison's resolution: every group is compared against
-    the rest on the SAME bins, whichever data defined them."""
+    the rest on the SAME bins, whichever data defined them.
+
+    Size bound: O(batch partitions × sweep groups × bins) rows of three
+    ints per batch. With sweep_by = partition_id (the north-rule form),
+    group == partition, so the whole table's partials are P × bins rows.
+    For an independent sweep column the merge-time SWEEP_MAX_HIST_ROWS
+    guard (~60k groups at 33 bins) bounds G, and the merge's
+    groupBy(g, bin) reduces distributedly before anything reaches the
+    driver."""
     val = F.expr(rule.expr) if rule.expr else F.col(rule.column)
     x = val.cast("string") if rule.categorical else val.cast("double")
     g = F.col(rule.sweep_by).cast("string")
