@@ -31,6 +31,7 @@ from mdvalidate_spark.spec import (
     RegexRule,
     Spec,
     UniqueRule,
+    VectorRule,
 )
 
 
@@ -143,6 +144,70 @@ def q_composite_capture_documents(spark, sf_dir):
         F.col("value").cast("long").alias("n_captures"),
         F.col("value_str").alias("captures_json"),
     )
+
+
+def q_conditional_orders(spark, sf_dir):
+    """Predicate-scoped (`when`) rules: each rule applies only to rows where
+    its SQL predicate holds — the tabular analog of the reference applying a
+    matcher only to the nodes its schema position selects
+    (containers.rs:212-230). The gate rides inside the same fused codegen'd
+    row pass (plan-asserted in tests); FALSE/NULL predicate rows pass."""
+    return _row_query(
+        "orders",
+        "o_orderkey",
+        (
+            RangeRule(
+                "fprice", column="o_totalprice", min=1000.0, max=250000.0,
+                when="o_orderstatus = 'F'",
+            ),
+            DomainRule(
+                "big_order_prio", column="o_orderpriority",
+                values=("1-URGENT", "2-HIGH"),
+                when="o_totalprice > 300000",
+            ),
+        ),
+    )(spark, sf_dir)
+
+
+def q_vector_embeddings(spark, sf_dir):
+    """VectorRule over an array<float> embedding column: dimension, finite
+    elements, L2-norm bounds — one codegen'd higher-order-function
+    expression (size/exists/aggregate), no Python, no shuffle. The corpus is
+    unit-norm by construction, so violations are PLANTED deterministically
+    (same precedent as embedding_neardup): vec_id%11==5 → truncated to 32
+    dims, vec_id%13==7 → one NaN element, vec_id%7==3 → doubled (norm 2,
+    out of [0.9, 1.1]); first matching mutation wins, mirrored in the
+    oracle's CASE."""
+    emb = _load(spark, sf_dir, "embeddings")
+    c = F.col("embedding")
+    mutated = (
+        F.when(F.col("vec_id") % 11 == 5, F.slice(c, 1, 32))
+        .when(
+            F.col("vec_id") % 13 == 7,
+            F.concat(
+                F.slice(c, 2, 63),
+                F.array(F.lit(float("nan")).cast("float")),
+            ),
+        )
+        .when(
+            F.col("vec_id") % 7 == 3,
+            F.transform(c, lambda x: (x * 2).cast("float")),
+        )
+        .otherwise(c)
+    )
+    df = emb.select(F.col("vec_id"), mutated.alias("embedding"))
+    spec = Spec(
+        rules=(
+            VectorRule(
+                "emb_vec", column="embedding", dim=64,
+                min_norm=0.9, max_norm=1.1,
+            ),
+        ),
+        key_column="vec_id",
+        n_partitions=8,
+    )
+    prog = compile_spec(spec, df.columns)
+    return _viol_out(row_violations(with_partition_id(df, spec), prog, "q"))
 
 
 def q_heavy_hitters_lineitem(spark, sf_dir):
@@ -858,6 +923,8 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_orders": q_row_orders,
+        "conditional_orders": q_conditional_orders,
+        "vector_embeddings": q_vector_embeddings,
         "row_part": q_row_part,
         "row_customer": q_row_customer,
         "composite_documents": q_composite_documents,
@@ -922,6 +989,54 @@ SELECT 'prio_regex', CAST(o_orderkey AS VARCHAR), 'o_orderpriority',
        '^(?:[1-3]-[A-Z ]+)$', o_orderpriority, 'matcher'
 FROM orders WHERE o_orderpriority IS NOT NULL
   AND NOT regexp_matches(o_orderpriority, '^(?:[1-3]-[A-Z ]+)$')
+"""
+
+_CONDITIONAL_ORDERS_SQL = """
+SELECT 'fprice' AS rule_id, CAST(o_orderkey AS VARCHAR) AS row_key,
+       'o_totalprice' AS col_name, '[1000.0, 250000.0]' AS expected,
+       CAST(o_totalprice AS VARCHAR) AS actual, 'range' AS kind
+FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice IS NOT NULL
+  AND (o_totalprice < 1000.0 OR o_totalprice > 250000.0)
+UNION ALL
+SELECT 'big_order_prio', CAST(o_orderkey AS VARCHAR), 'o_orderpriority',
+       'in {1-URGENT, 2-HIGH}', o_orderpriority, 'domain'
+FROM orders
+WHERE o_totalprice > 300000 AND o_orderpriority IS NOT NULL
+  AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+"""
+
+_VECTOR_EMBEDDINGS_SQL = """
+WITH m AS (
+  SELECT vec_id,
+    CASE WHEN vec_id % 11 = 5 THEN embedding[1:32]
+         WHEN vec_id % 13 = 7
+           THEN list_concat(embedding[2:64], [CAST('NaN' AS FLOAT)])
+         WHEN vec_id % 7 = 3
+           THEN list_transform(embedding, x -> CAST(x * 2 AS FLOAT))
+         ELSE embedding END AS emb
+  FROM embeddings
+),
+c AS (
+  SELECT vec_id, len(emb) AS d,
+    len(list_filter(emb, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 AS bad,
+    sqrt(list_sum(list_transform(
+      emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+  FROM m
+)
+SELECT 'emb_vec' AS rule_id, CAST(vec_id AS VARCHAR) AS row_key,
+  'embedding' AS col_name,
+  CASE WHEN d <> 64 THEN '64'
+       WHEN bad THEN 'finite elements'
+       ELSE 'norm in [0.9, 1.1]' END AS expected,
+  CASE WHEN d <> 64 THEN CAST(d AS VARCHAR)
+       WHEN bad THEN 'NULL/NaN/Inf element'
+       ELSE printf('%.6f', norm) END AS actual,
+  CASE WHEN d <> 64 THEN 'dim_mismatch'
+       WHEN bad THEN 'nan'
+       ELSE 'range' END AS kind
+FROM c
+WHERE d <> 64 OR bad OR norm < 0.9 OR norm > 1.1
 """
 
 _ROW_PART_SQL = """
@@ -1316,6 +1431,8 @@ SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.9
 def oracle_sql() -> dict[str, str]:
     return {
         "row_orders": _ROW_ORDERS_SQL,
+        "conditional_orders": _CONDITIONAL_ORDERS_SQL,
+        "vector_embeddings": _VECTOR_EMBEDDINGS_SQL,
         "row_part": _ROW_PART_SQL,
         "row_customer": _ROW_CUSTOMER_SQL,
         "composite_documents": _COMPOSITE_DOCS_SQL,

@@ -58,9 +58,18 @@ from .spec import (
     SchemaRule as SchemaDriftRule,
     Spec,
     UniqueRule,
+    VectorRule,
 )
 
-ROW_KINDS = (NotNullRule, RegexRule, CompositeRegexRule, LiteralRule, RangeRule, DomainRule)
+ROW_KINDS = (
+    NotNullRule,
+    RegexRule,
+    CompositeRegexRule,
+    LiteralRule,
+    RangeRule,
+    DomainRule,
+    VectorRule,
+)
 
 
 @dataclass(frozen=True)
@@ -215,6 +224,23 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
 
         if isinstance(r, DomainRule) and not r.values:
             raise SchemaError(f"rule {r.id!r}: empty domain")
+
+        if isinstance(r, VectorRule):
+            if r.dim is None and not r.forbid_nan and (
+                r.min_norm is None and r.max_norm is None
+            ):
+                raise SchemaError(
+                    f"rule {r.id!r}: vector rule checks nothing — set dim, "
+                    "forbid_nan, and/or norm bounds"
+                )
+            if r.dim is not None and r.dim <= 0:
+                raise SchemaError(f"rule {r.id!r}: dim must be > 0, got {r.dim}")
+            if (
+                r.min_norm is not None
+                and r.max_norm is not None
+                and r.min_norm > r.max_norm
+            ):
+                raise InvalidBoundsError(r.id, r.min_norm, r.max_norm)
 
         if isinstance(r, UniqueRule) and not r.columns:
             raise SchemaError(f"rule {r.id!r}: unique rule needs >=1 column")

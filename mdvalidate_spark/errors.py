@@ -112,6 +112,9 @@ KIND_PIXEL = "pixel"
 KIND_MISSING_COLUMN = "missing_column"
 KIND_EXTRA_COLUMN = "extra_column"
 KIND_DTYPE = "dtype_mismatch"
+# vector-payload rules (VectorRule over array<float> embedding columns)
+KIND_DIM = "dim_mismatch"
+KIND_NAN = "nan"
 
 ALL_KINDS = (
     KIND_LITERAL,
@@ -130,4 +133,6 @@ ALL_KINDS = (
     KIND_MISSING_COLUMN,
     KIND_EXTRA_COLUMN,
     KIND_DTYPE,
+    KIND_DIM,
+    KIND_NAN,
 )

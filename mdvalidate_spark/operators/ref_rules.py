@@ -31,10 +31,15 @@ def ref_violations(
     """
     fk = F.col(rule.column)
     dim_keys = dim.select(F.col(rule.dim_column).alias("__dim_key")).dropDuplicates()
+    # broadcast_dim=False (huge dims — a 10^9-key registry cannot be
+    # broadcast) leaves the join unhinted: AQE picks sort-merge/shuffled-hash
+    # from the runtime sizes, with skew-join splitting on hot keys, or still
+    # broadcasts if the deduped key set turns out small
+    dim_side = F.broadcast(dim_keys) if rule.broadcast_dim else dim_keys
     orphans = (
         df.where(fk.isNotNull())
         .join(
-            F.broadcast(dim_keys),
+            dim_side,
             on=fk == F.col("__dim_key"),
             how="left_anti",
         )

@@ -25,9 +25,11 @@ from pyspark.sql import functions as F
 
 from ..compile import ConstraintProgram
 from ..errors import (
+    KIND_DIM,
     KIND_DOMAIN,
     KIND_LITERAL,
     KIND_MATCHER,
+    KIND_NAN,
     KIND_NULL,
     KIND_PREFIX,
     KIND_RANGE,
@@ -41,6 +43,7 @@ from ..spec import (
     RangeRule,
     RegexRule,
     Spec,
+    VectorRule,
 )
 
 
@@ -73,7 +76,22 @@ def _viol(rule_id: str, column: str, expected: Column, actual: Column, kind: str
 
 
 def _check(rule) -> Column:
-    """One rule → nullable violation struct (NULL ⇒ pass)."""
+    """One rule → nullable violation struct (NULL ⇒ pass).
+
+    A rule with ``when`` is scoped: the whole check is gated on the predicate
+    so rows where it is FALSE or NULL are out of scope (struct stays NULL ⇒
+    pass) — the tabular analog of the reference applying a matcher only to
+    the nodes its schema position selects (containers.rs:212-230). The gate
+    is part of the same codegen'd expression; no extra scan or filter stage.
+    """
+    inner = _check_applies(rule)
+    when = getattr(rule, "when", "")
+    if when:
+        return F.when(F.expr(when), inner)
+    return inner
+
+
+def _check_applies(rule) -> Column:
     if isinstance(rule, NotNullRule):
         c = F.col(rule.column)
         fail = c.isNull()
@@ -133,6 +151,66 @@ def _check(rule) -> Column:
         fail = c.isNotNull() & ~c.isin(*rule.values)
         expected = F.lit("in {" + ", ".join(rule.values) + "}")
         return F.when(fail, _viol(rule.id, rule.column, expected, c, KIND_DOMAIN))
+    if isinstance(rule, VectorRule):
+        # dim → bad element → norm, first failure only (cmd.rs:368-398);
+        # NULL vectors propagate NULL conditions → pass (NotNullRule's job).
+        # All higher-order functions (size/exists/aggregate) — one codegen'd
+        # expression, JVM-side.
+        c = F.col(rule.column)
+        bad_elem = F.exists(
+            c,
+            lambda x: x.isNull()
+            | F.isnan(x)
+            | (F.abs(x.cast("double")) == F.lit(float("inf"))),
+        )
+        norm = F.sqrt(
+            F.aggregate(
+                c,
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        )
+        branches = []
+        if rule.dim is not None:
+            branches.append(
+                (
+                    F.size(c) != F.lit(rule.dim),
+                    _viol(rule.id, rule.column, F.lit(str(rule.dim)),
+                          F.size(c), KIND_DIM),
+                )
+            )
+        if rule.forbid_nan:
+            branches.append(
+                (
+                    bad_elem,
+                    _viol(rule.id, rule.column, F.lit("finite elements"),
+                          F.lit("NULL/NaN/Inf element"), KIND_NAN),
+                )
+            )
+        if rule.min_norm is not None or rule.max_norm is not None:
+            conds = []
+            if rule.min_norm is not None:
+                conds.append(norm < F.lit(rule.min_norm))
+            if rule.max_norm is not None:
+                conds.append(norm > F.lit(rule.max_norm))
+            fail = conds[0] if len(conds) == 1 else (conds[0] | conds[1])
+            branches.append(
+                (
+                    fail,
+                    _viol(
+                        rule.id,
+                        rule.column,
+                        F.lit(f"norm in [{rule.min_norm}, {rule.max_norm}]"),
+                        # %.6f: deterministic cross-engine float formatting
+                        F.format_string("%.6f", norm),
+                        KIND_RANGE,
+                    ),
+                )
+            )
+        out = F.when(branches[0][0], branches[0][1])
+        for cond, viol in branches[1:]:
+            out = out.when(cond, viol)
+        return out
     raise TypeError(f"not a row rule: {rule!r}")
 
 

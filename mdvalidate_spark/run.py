@@ -125,6 +125,30 @@ class ValidationRun:
                         f"rule {dr.id!r}: drift expr {dr.expr!r} does not "
                         f"resolve against the input schema: {e}"
                     ) from e
+        # row-rule `when` predicates are SQL exprs with the same opacity —
+        # analyze each against the real schema now (driver-side, no job) and
+        # require a BOOLEAN result, so a typo'd or non-predicate `when` is a
+        # SchemaError before any job
+        for rr in self.program.row_rules:
+            w = getattr(rr, "when", "")
+            if not w:
+                continue
+            from .errors import SchemaError
+
+            try:
+                analyzed = self.df.select(F.expr(w).alias("_w"))
+            except Exception as e:
+                raise SchemaError(
+                    f"rule {rr.id!r}: when predicate {w!r} does not resolve "
+                    f"against the input schema: {e}"
+                ) from e
+            from pyspark.sql.types import BooleanType
+
+            if not isinstance(analyzed.schema["_w"].dataType, BooleanType):
+                raise SchemaError(
+                    f"rule {rr.id!r}: when predicate {w!r} is not boolean "
+                    f"(got {analyzed.schema['_w'].dataType.simpleString()})"
+                )
         for r in self.program.ref_rules:
             if r.dim_name not in self.dims:
                 from .errors import SchemaError

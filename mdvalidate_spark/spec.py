@@ -54,6 +54,13 @@ class Rule:
 @dataclass(frozen=True)
 class NotNullRule(Rule):
     column: str = ""
+    #: optional SQL predicate scoping the rule to matching rows (see Rule
+    #: docs below): "" = unconditional. The reference applies a matcher only
+    #: to the nodes its schema position selects (walkers step into the
+    #: matching subtree, containers.rs:212-230); ``when`` is the tabular
+    #: analog — a rule scoped by row context instead of tree context. Rows
+    #: where the predicate is FALSE or NULL are out of scope (pass).
+    when: str = ""
     kind: str = field(default="not_null", init=False)
 
     def targets(self):
@@ -72,6 +79,7 @@ class RegexRule(Rule):
     column: str = ""
     pattern: str = ""
     full: bool = True
+    when: str = ""  # optional row-scope predicate (see NotNullRule.when)
     kind: str = field(default="regex", init=False)
 
     def targets(self):
@@ -126,6 +134,7 @@ class CompositeRegexRule(Rule):
     # CaptureRule.as_rows) instead of per-partition arrays; choose it when
     # passing captures per partition are unbounded.
     capture_as_rows: bool = False
+    when: str = ""  # optional row-scope predicate (see NotNullRule.when)
     kind: str = field(default="composite", init=False)
 
     def targets(self):
@@ -150,6 +159,7 @@ class LiteralRule(Rule):
     column: str = ""
     value: Optional[str] = None        # constant to equal, or
     other_column: Optional[str] = None  # column to equal (e.g. caption round-trip)
+    when: str = ""  # optional row-scope predicate (see NotNullRule.when)
     kind: str = field(default="literal", init=False)
 
     def targets(self):
@@ -164,6 +174,7 @@ class RangeRule(Rule):
     column: str = ""
     min: Optional[float] = None
     max: Optional[float] = None
+    when: str = ""  # optional row-scope predicate (see NotNullRule.when)
     kind: str = field(default="range", init=False)
 
     def targets(self):
@@ -177,7 +188,36 @@ class DomainRule(Rule):
 
     column: str = ""
     values: tuple[str, ...] = ()
+    when: str = ""  # optional row-scope predicate (see NotNullRule.when)
     kind: str = field(default="domain", init=False)
+
+    def targets(self):
+        return (self.column,)
+
+
+@dataclass(frozen=True)
+class VectorRule(Rule):
+    """Embedding-vector sanity over an ``array<float>`` column: dimension,
+    finite values, and L2-norm bounds — the vector-payload analog of the
+    row-content rules (the reference validates every child of a container in
+    one sweep, containers.rs:212-230; an embedding is a fixed-shape container
+    of floats).
+
+    Checks run in pipeline order and report the FIRST failure only ("one
+    error once", cmd.rs:368-398): wrong length (kind=dim_mismatch), then a
+    NULL/NaN/±Inf element (kind=nan, when forbid_nan), then L2 norm outside
+    [min_norm, max_norm] (kind=range, actual formatted %.6f for cross-engine
+    determinism). NULL vectors are NotNullRule's job. The whole check is one
+    codegen'd column expression (size / exists / aggregate higher-order
+    functions) — JVM-side, no Python, no shuffle."""
+
+    column: str = ""
+    dim: Optional[int] = None
+    min_norm: Optional[float] = None
+    max_norm: Optional[float] = None
+    forbid_nan: bool = True
+    when: str = ""  # optional row-scope predicate (see NotNullRule.when)
+    kind: str = field(default="vector", init=False)
 
     def targets(self):
         return (self.column,)
@@ -230,11 +270,21 @@ class CountRule(Rule):
 @dataclass(frozen=True)
 class RefIntegrityRule(Rule):
     """Every value of ``column`` must exist in dimension table ``dim_name``
-    column ``dim_column``. Evaluated as a broadcast left-anti join."""
+    column ``dim_column``. Evaluated as a left-anti join.
+
+    ``broadcast_dim=True`` (default) forces a broadcast of the deduplicated
+    dimension keys — zero shuffle of the fact table, correct for the usual
+    small dims (format domains, source registries). Set ``broadcast_dim=
+    False`` for a HUGE dimension (a 10^9-key registry cannot be broadcast:
+    driver memory + the 8 GB broadcast-table limit) — the join is left
+    unhinted so AQE picks the strategy from the runtime sizes (sort-merge /
+    shuffled-hash with skew splitting, or broadcast anyway if the deduped
+    keys turn out small)."""
 
     column: str = ""
     dim_name: str = ""
     dim_column: str = ""
+    broadcast_dim: bool = True
     kind: str = field(default="ref", init=False)
 
     def targets(self):

@@ -3,7 +3,8 @@
 A spec file is JSON: {"key_column": ..., "n_partitions": ..., "fast_fail":
 ..., "max_violations_per_rule": ..., "rules": [{"kind": ..., "id": ...,
 ...}, ...]}. Rule kinds: not_null, regex, composite, literal, range, domain,
-unique, count, ref, capture, sequence, stats, drift, overlap, pixel, schema.
+unique, count, ref, capture, sequence, stats, drift, overlap, pixel, schema,
+vector.
 Unknown kinds or params raise SchemaError at load (reference: matcher parse
 errors, matcher.rs:175-208 — reject before touching data).
 """
@@ -33,6 +34,7 @@ from .spec import (
     SequenceRule,
     Spec,
     UniqueRule,
+    VectorRule,
 )
 
 RULE_KINDS: dict[str, type] = {
@@ -52,6 +54,7 @@ RULE_KINDS: dict[str, type] = {
     "overlap": OverlapRule,
     "pixel": PixelRule,
     "schema": SchemaRule,
+    "vector": VectorRule,
 }
 
 

@@ -597,3 +597,35 @@ def test_composite_capture_validate_and_capture_one_rule(spark):
     assert len(caps) == 1
     assert json.loads(caps[0]["value_str"]) == ["7", "12"]  # image_id order
     assert caps[0]["value"] == 2.0
+
+
+def test_ref_rule_big_dim_unhinted(spark, images):
+    """broadcast_dim=False leaves the join unhinted for huge dimensions (a
+    10^9-key registry cannot be broadcast): with auto-broadcast disabled the
+    plan is a shuffle join, and the orphan set is identical to the broadcast
+    path."""
+    exp = expected_violation_counts(ROWS)
+    rule = RefIntegrityRule(
+        "rf", column="source_id", dim_name="dim_source",
+        dim_column="source_id", broadcast_dim=False,
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", None
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        v = ref_violations(images, rule, dim_source(spark), "t", "image_id")
+        plan = v._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+        assert v.count() == exp["orphan_rows"]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        if old_aqe is None:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe
+            )

@@ -261,3 +261,139 @@ def test_nested_struct_through_validation_run(spark):
     )
     rows = rep.violations.collect()
     assert [r["image_id"] for r in rows] == ["b"]
+
+
+# ------------------------------------------------- when (row-scope predicate)
+
+
+def test_when_scopes_rule_to_matching_rows(spark, images):
+    """A `when`-scoped rule fires only where the predicate is TRUE — parity
+    with the unconditional rule evaluated over a pre-filtered frame."""
+    rule = RangeRule("w_png", column="w", min=1.0, max=10000.0, when="fmt = 'png'")
+    v = run_rows(spark, images, [rule]).collect()
+    expected = run_rows(
+        spark, images.where(F.col("fmt") == "png"),
+        [RangeRule("w_png", column="w", min=1.0, max=10000.0)],
+    ).collect()
+    assert sorted(r["image_id"] for r in v) == sorted(
+        r["image_id"] for r in expected
+    )
+    assert len(v) > 0  # non-vacuous on the fixture
+
+
+def test_when_null_predicate_is_out_of_scope(spark):
+    """FALSE and NULL predicate rows are both out of scope (pass)."""
+    df = with_partition_id(
+        spark.createDataFrame(
+            [("a", "x", None), ("b", "x", "jpeg"), ("c", "x", "png")],
+            "image_id string, v string, fmt string",
+        ),
+        base_spec([]),
+    )
+    rule = RegexRule("rx", column="v", pattern="[0-9]+", when="fmt = 'png'")
+    v = run_rows(spark, df, [rule]).collect()
+    assert [r["image_id"] for r in v] == ["c"]  # NULL fmt (a) passes
+
+
+def test_when_predicate_validated_at_run_init(spark):
+    """A typo'd or non-boolean `when` is a SchemaError before any job."""
+    from mdvalidate_spark.errors import SchemaError
+    from mdvalidate_spark.run import ValidationRun
+
+    df = spark.createDataFrame([("a", 1)], "image_id string, w int")
+    for bad in ("lenght(image_id) > 1", "w + 1"):
+        with pytest.raises(SchemaError):
+            ValidationRun(
+                spark,
+                base_spec([RangeRule("r", column="w", min=0.0, when=bad)]),
+                df,
+            )
+    # a valid predicate constructs fine
+    ValidationRun(
+        spark, base_spec([RangeRule("r", column="w", min=0.0, when="w > 0")]), df
+    )
+
+
+def test_when_stays_in_fused_single_stage(spark, images):
+    """The predicate gate is part of the fused row pass — no extra exchange,
+    no Python."""
+    rule = DomainRule("d", column="fmt", values=("png", "jpeg", "webp"),
+                      when="w > 0")
+    v = run_rows(spark, images, [rule])
+    plan = v._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "PythonUDF" not in plan
+
+
+# ----------------------------------------------------- vector (embeddings)
+
+
+def _vec_df(spark):
+    rows = [
+        ("ok", [0.6, 0.8]),
+        ("short", [1.0]),
+        ("nan", [float("nan"), 1.0]),
+        ("inf", [float("inf"), 1.0]),
+        ("nullelem", [None, 1.0]),
+        ("big", [30.0, 40.0]),
+        ("nullvec", None),
+    ]
+    return with_partition_id(
+        spark.createDataFrame(rows, "image_id string, emb array<float>"),
+        base_spec([]),
+    )
+
+
+def test_vector_rule_taxonomy_and_precedence(spark):
+    """dim → bad element → norm, first failure only; NULL vectors pass
+    (NotNullRule's job)."""
+    from mdvalidate_spark.spec import VectorRule
+
+    rule = VectorRule("vec", column="emb", dim=2, min_norm=0.9, max_norm=1.1)
+    v = {r["image_id"]: r for r in run_rows(spark, _vec_df(spark), [rule]).collect()}
+    assert set(v) == {"short", "nan", "inf", "nullelem", "big"}
+    assert v["short"]["kind"] == "dim_mismatch" and v["short"]["actual"] == "1"
+    assert v["nan"]["kind"] == "nan"
+    assert v["inf"]["kind"] == "nan"
+    assert v["nullelem"]["kind"] == "nan"
+    assert v["big"]["kind"] == "range" and v["big"]["actual"] == "50.000000"
+
+
+def test_vector_rule_partial_checks(spark):
+    """Each check is independently optional; a no-op rule is a SchemaError."""
+    from mdvalidate_spark.errors import SchemaError
+    from mdvalidate_spark.spec import VectorRule
+
+    df = _vec_df(spark)
+    only_dim = VectorRule("vd", column="emb", dim=2, forbid_nan=False)
+    v = {r["image_id"] for r in run_rows(spark, df, [only_dim]).collect()}
+    assert v == {"short"}
+    only_norm = VectorRule(
+        "vn", column="emb", min_norm=0.9, max_norm=1.1, forbid_nan=False
+    )
+    v = {r["image_id"] for r in run_rows(spark, df, [only_norm]).collect()}
+    # NaN/Inf norms compare as > max in Spark's ordering; null element → null
+    # norm → pass (documented: use forbid_nan to own those rows)
+    assert "big" in v and "ok" not in v and "nullelem" not in v
+    with pytest.raises(SchemaError):
+        compile_spec(
+            base_spec([VectorRule("v0", column="emb", forbid_nan=False)]),
+            ["image_id", "emb"],
+        )
+    with pytest.raises(SchemaError):
+        compile_spec(
+            base_spec(
+                [VectorRule("v1", column="emb", min_norm=2.0, max_norm=1.0)]
+            ),
+            ["image_id", "emb"],
+        )
+
+
+def test_vector_rule_single_stage_no_python(spark):
+    from mdvalidate_spark.spec import VectorRule
+
+    rule = VectorRule("vec", column="emb", dim=2, min_norm=0.9, max_norm=1.1)
+    v = run_rows(spark, _vec_df(spark), [rule])
+    plan = v._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "PythonUDF" not in plan
