@@ -384,6 +384,24 @@ def q_unique_orderkey(spark, sf_dir):
     return v.select(F.col("rule_id"), F.col("image_id").alias("row_key"), F.col("actual"))
 
 
+def q_unique_when_orders(spark, sf_dir):
+    """Predicate-SCOPED uniqueness (`when`): o_custkey must be unique among
+    PENDING ('P') orders only — repeats across other statuses are not
+    collisions. The scope gate is a pre-aggregation filter, so Catalyst
+    pushes it into the parquet scan before the salted two-phase count."""
+    o = _load(spark, sf_dir, "orders")
+    rule = UniqueRule(
+        "uq_cust_p", columns=("o_custkey",), when="o_orderstatus = 'P'"
+    )
+    v = unique_violations(o, rule, "q")
+    return v.select(
+        F.col("rule_id"),
+        F.col("image_id").alias("row_key"),
+        F.col("actual"),
+        F.col("kind"),
+    )
+
+
 def q_count_orders_per_cust(spark, sf_dir):
     o = _load(spark, sf_dir, "orders")
     v = count_violations(o, CountRule("cnt_cust", group_by=("o_custkey",), min=1, max=20), "q")
@@ -397,11 +415,12 @@ def q_count_universe_customers(spark, sf_dir):
     reported as count 0 via the universe anti-join, which a plain groupBy
     can never see — and several exceed the upper bound, so both violation
     directions are exercised (non-vacuous by construction)."""
-    o = _load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    o = _load(spark, sf_dir, "orders")
     c = _load(spark, sf_dir, "customer")
     rule = CountRule(
         "cnt_univ", group_by=("o_custkey",), min=1, max=8,
         universe="customer", universe_columns=("c_custkey",),
+        when="o_orderstatus = 'F'",  # scope gate replaces a manual pre-filter
     )
     v = count_violations(o, rule, "q", universe=c)
     return v.select(F.col("rule_id"), F.col("image_id").alias("row_key"), F.col("actual"))
@@ -938,6 +957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_drift_orders": q_schema_drift_orders,
         "unique_lineitem_orderkey": q_unique_lineitem_orderkey,
         "unique_orderkey": q_unique_orderkey,
+        "unique_when_orders": q_unique_when_orders,
         "count_orders_per_cust": q_count_orders_per_cust,
         "count_universe_customers": q_count_universe_customers,
         "ref_lineitem_orders": q_ref_lineitem_orders,
@@ -1613,6 +1633,12 @@ FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
 SELECT 'uq_okey' AS rule_id, CAST(o_orderkey AS VARCHAR) AS row_key,
        'count=' || CAST(count(*) AS VARCHAR) AS actual
 FROM orders GROUP BY o_orderkey HAVING count(*) > 1
+""",
+        "unique_when_orders": """
+SELECT 'uq_cust_p' AS rule_id, CAST(o_custkey AS VARCHAR) AS row_key,
+       'count=' || CAST(count(*) AS VARCHAR) AS actual, 'duplicate' AS kind
+FROM orders WHERE o_orderstatus = 'P'
+GROUP BY o_custkey HAVING count(*) > 1
 """,
         "count_orders_per_cust": """
 SELECT 'cnt_cust' AS rule_id, CAST(o_custkey AS VARCHAR) AS row_key,

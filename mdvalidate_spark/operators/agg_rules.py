@@ -48,6 +48,8 @@ def unique_violations(
     phase 2 shuffles only the per-(key,salt) partials — at most `salt` rows per
     distinct key — so no reducer ever sees a hot key's full row set.
     """
+    if rule.when:
+        df = df.where(F.expr(rule.when))  # scope-gated uniqueness
     key = _key_expr(rule.columns).alias("_k")
     salt_col = F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(salt))
 
@@ -99,6 +101,11 @@ def count_violations(
     group columns, sort-merge/AQE-broadcast as sizes dictate; no collect.
     """
     group_cols = list(rule.group_by) if rule.group_by else ["partition_id"]
+    if rule.when:
+        # scope-gated counting: a group/partition with zero IN-SCOPE rows is
+        # a real 0 (the universe/expected_partitions paths below still
+        # enumerate it — they pre-date the filter)
+        df = df.where(F.expr(rule.when))
     counted = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n"))
     if not rule.group_by and rule.min is not None and expected_partitions:
         universe_df = df.sparkSession.createDataFrame(

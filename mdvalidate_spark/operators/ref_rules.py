@@ -30,6 +30,8 @@ def ref_violations(
     NULL semantics explicitly rather than by accident.
     """
     fk = F.col(rule.column)
+    if rule.when:
+        df = df.where(F.expr(rule.when))  # scope-gated integrity
     dim_keys = dim.select(F.col(rule.dim_column).alias("__dim_key")).dropDuplicates()
     # broadcast_dim=False (huge dims — a 10^9-key registry cannot be
     # broadcast) leaves the join unhinted: AQE picks sort-merge/shuffled-hash

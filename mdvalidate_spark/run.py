@@ -125,11 +125,17 @@ class ValidationRun:
                         f"rule {dr.id!r}: drift expr {dr.expr!r} does not "
                         f"resolve against the input schema: {e}"
                     ) from e
-        # row-rule `when` predicates are SQL exprs with the same opacity —
+        # `when` predicates are SQL exprs with the same opacity —
         # analyze each against the real schema now (driver-side, no job) and
         # require a BOOLEAN result, so a typo'd or non-predicate `when` is a
-        # SchemaError before any job
-        for rr in self.program.row_rules:
+        # SchemaError before any job. Covers every scoped family: row rules
+        # plus the scoped aggregate/ref rules (unique, count, ref).
+        for rr in (
+            *self.program.row_rules,
+            *self.program.group_rules,
+            *self.program.count_rules,
+            *self.program.ref_rules,
+        ):
             w = getattr(rr, "when", "")
             if not w:
                 continue

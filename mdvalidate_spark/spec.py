@@ -229,9 +229,13 @@ class VectorRule(Rule):
 @dataclass(frozen=True)
 class UniqueRule(Rule):
     """Column(s) must be globally unique. Skew-aware: evaluated with a salted
-    two-phase aggregation (see operators/agg_rules.py)."""
+    two-phase aggregation (see operators/agg_rules.py). ``when`` scopes the
+    uniqueness to the sub-population where the predicate is TRUE (e.g. phash
+    unique among fmt='png' rows); out-of-scope rows neither collide nor are
+    reported."""
 
     columns: tuple[str, ...] = ()
+    when: str = ""  # optional row-scope predicate (see NotNullRule.when)
     kind: str = field(default="unique", init=False)
 
     def targets(self):
@@ -258,6 +262,10 @@ class CountRule(Rule):
     max: Optional[int] = None
     universe: str = ""  # dim table enumerating expected groups ("" = none)
     universe_columns: tuple[str, ...] = ()  # dim cols; default = group_by
+    # optional row-scope predicate (see NotNullRule.when): counts only rows
+    # where the predicate is TRUE — "every group must have >= n png rows";
+    # a group/partition with zero IN-SCOPE rows counts as 0
+    when: str = ""
     kind: str = field(default="count", init=False)
 
     def targets(self):
@@ -285,6 +293,7 @@ class RefIntegrityRule(Rule):
     dim_name: str = ""
     dim_column: str = ""
     broadcast_dim: bool = True
+    when: str = ""  # optional row-scope predicate (see NotNullRule.when)
     kind: str = field(default="ref", init=False)
 
     def targets(self):

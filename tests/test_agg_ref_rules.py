@@ -629,3 +629,71 @@ def test_ref_rule_big_dim_unhinted(spark, images):
             spark.conf.set(
                 "spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe
             )
+
+
+# ------------------------------------------------- when (scoped agg/ref rules)
+
+
+def test_unique_when_scopes_to_subpopulation(spark):
+    """`when` scopes uniqueness to the predicate-TRUE sub-population: a key
+    duplicated across scopes is NOT a collision; duplicates inside the scope
+    are."""
+    rows = [
+        ("a", "png"), ("a", "jpeg"),   # same key, different scopes → ok
+        ("b", "png"), ("b", "png"),    # in-scope duplicate → violation
+        ("c", "jpeg"), ("c", "jpeg"),  # out-of-scope duplicate → ignored
+    ]
+    df = spark.createDataFrame(rows, "k string, fmt string")
+    rule = UniqueRule("uq_png", columns=("k",), when="fmt = 'png'")
+    v = agg_rules.unique_violations(df, rule, "t")
+    got = {(r["image_id"], r["actual"]) for r in v.collect()}
+    assert got == {("b", "count=2")}
+
+
+def test_count_when_zero_in_scope_group_is_zero(spark):
+    """A `when`-scoped grouped count reports a group whose rows are ALL
+    out-of-scope as count 0 when a universe enumerates it."""
+    df = spark.createDataFrame(
+        [("g1", "png"), ("g1", "png"), ("g2", "jpeg")], "g string, fmt string"
+    )
+    uni = spark.createDataFrame([("g1",), ("g2",)], "g string")
+    rule = CountRule(
+        "ct", group_by=("g",), min=1, universe="u", when="fmt = 'png'"
+    )
+    v = agg_rules.count_violations(df, rule, "t", universe=uni)
+    got = {r["image_id"]: r["actual"] for r in v.collect()}
+    assert got == {"g2": "0"}  # g2 has rows, but none in scope
+
+
+def test_ref_when_scopes_integrity(spark):
+    """`when`-scoped referential integrity ignores orphans outside the
+    predicate's sub-population."""
+    facts = spark.createDataFrame(
+        [("r1", "x", "png", 0), ("r2", "zz", "png", 0), ("r3", "zz", "jpeg", 0)],
+        "image_id string, fk string, fmt string, partition_id int",
+    )
+    dim = spark.createDataFrame([("x",)], "fk string")
+    rule = RefIntegrityRule(
+        "rf", column="fk", dim_name="d", dim_column="fk", when="fmt = 'png'"
+    )
+    v = ref_violations(facts, rule, dim, "t", "image_id")
+    assert {r["image_id"] for r in v.collect()} == {"r2"}
+
+
+def test_scoped_agg_when_validated_at_run_init(spark):
+    """A typo'd `when` on a scoped aggregate rule is a SchemaError at run
+    init, before any job — same gate as row rules."""
+    from mdvalidate_spark.errors import SchemaError
+    from mdvalidate_spark.run import ValidationRun
+    from mdvalidate_spark.spec import Spec
+
+    df = spark.createDataFrame([("a", 0, "png")], "image_id string, pid int, fmt string")
+    for rule in (
+        UniqueRule("u", columns=("image_id",), when="fmtt = 'png'"),
+        CountRule("c", group_by=("fmt",), min=1, when="lenght(fmt) > 0"),
+        RefIntegrityRule("r", column="fmt", dim_name="d", dim_column="fmt", when="fmt"),
+    ):
+        spec = Spec(rules=(rule,), key_column="image_id", partition_column="pid")
+        dims = {"d": df.select("fmt")}
+        with pytest.raises(SchemaError):
+            ValidationRun(spark, spec, df, dims=dims)
