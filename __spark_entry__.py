@@ -583,6 +583,31 @@ def q_stats_lineitem(spark, sf_dir):
     return wide.select(F.explode(F.array(*parts)).alias("s")).select("s.*")
 
 
+def q_stats_when_lineitem(spark, sf_dir):
+    """Predicate-SCOPED column stats (`when` on ColumnStatsRule): profile
+    l_partkey among RETURNED ('R') lineitems only. Exercises the RULE path
+    (column_stats_metrics), where the scope is a conditional-aggregation
+    gate — out-of-scope rows become NULL inputs every aggregate skips — so
+    scoped and unscoped rules still fuse into one aggregation pass. Exact
+    modes for oracle parity; the scale path is the HLL/approx sketches."""
+    from mdvalidate_spark.operators.agg_rules import column_stats_metrics
+    from mdvalidate_spark.spec import ColumnStatsRule
+
+    li = _load(spark, sf_dir, "lineitem")
+    rule = ColumnStatsRule(
+        "st_rp", column="l_partkey", exact_distinct=True,
+        quantiles=(0.5, 0.95), exact_quantiles=True,
+        when="l_returnflag = 'R'",
+    )
+    m = column_stats_metrics(li, (rule,), "q")
+    return m.select(
+        F.col("rule_id"),
+        F.col("metric"),
+        F.round(F.col("value"), 4).alias("value"),
+        F.col("value_str"),
+    )
+
+
 def q_group_profile_lineitem(spark, sf_dir):
     """TPC-H Q1-shaped metrics capture (the matches-JSON analog)."""
     li = _load(spark, sf_dir, "lineitem")
@@ -966,6 +991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "capture_rows_orders": q_capture_rows_orders,
         "sequence_lineitem_shipmode": q_sequence_lineitem_shipmode,
         "stats_lineitem": q_stats_lineitem,
+        "stats_when_lineitem": q_stats_when_lineitem,
         "group_profile_lineitem": q_group_profile_lineitem,
         "events_profile": q_events_profile,
         "windowed_count_events": q_windowed_count_events,
@@ -1731,6 +1757,24 @@ SELECT col_name, n_rows, n_nonnull, n_distinct, min_val, max_val, p50, p95, p99 
          round(quantile_cont(l_discount, 0.99), 4)
   FROM lineitem
 )
+""",
+        "stats_when_lineitem": """
+WITH s AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')
+SELECT 'st_rp' AS rule_id, 'count' AS metric,
+       CAST(count(*) AS DOUBLE) AS value, CAST(NULL AS VARCHAR) AS value_str FROM s
+UNION ALL
+SELECT 'st_rp', 'null_rate',
+       CAST(count(*) - count(l_partkey) AS DOUBLE) / count(*), NULL FROM s
+UNION ALL
+SELECT 'st_rp', 'distinct', CAST(count(DISTINCT l_partkey) AS DOUBLE), NULL FROM s
+UNION ALL
+SELECT 'st_rp', 'min', NULL, CAST(min(l_partkey) AS VARCHAR) FROM s
+UNION ALL
+SELECT 'st_rp', 'max', NULL, CAST(max(l_partkey) AS VARCHAR) FROM s
+UNION ALL
+SELECT 'st_rp', 'p50', round(quantile_cont(l_partkey, 0.5), 4), NULL FROM s
+UNION ALL
+SELECT 'st_rp', 'p95', round(quantile_cont(l_partkey, 0.95), 4), NULL FROM s
 """,
         "group_profile_lineitem": """
 SELECT l_returnflag, l_linestatus,

@@ -153,6 +153,22 @@ def count_violations(
     )
 
 
+def _scope_gate(c, rule):
+    """Conditional-aggregation gate for `when`-scoped stats rules:
+    out-of-scope rows become NULL inputs, which every aggregate used here
+    (count / min / max / distinct / HLL / KLL / percentile) already skips —
+    so scoped and unscoped rules still fuse into ONE aggregation pass."""
+    return F.when(F.expr(rule.when), c) if getattr(rule, "when", "") else c
+
+
+def _scoped_rows(rule):
+    """Row-count aggregate respecting the rule's scope (in-scope rows only);
+    count(*) when unscoped."""
+    if getattr(rule, "when", ""):
+        return F.count(F.when(F.expr(rule.when), F.lit(1)))
+    return F.count(F.lit(1))
+
+
 _SKETCHABLE = {"tinyint", "smallint", "int", "bigint", "string", "binary"}
 
 
@@ -212,15 +228,15 @@ def column_stats_partials(
     column_stats_from_partials."""
     aggs = []
     for r in rules:
-        c = F.col(r.column)
+        c = _scope_gate(F.col(r.column), r)
         aggs += [
-            F.count(F.lit(1)).alias(f"{r.id}__rows"),
+            _scoped_rows(r).alias(f"{r.id}__rows"),
             F.count(c).alias(f"{r.id}__nonnull"),
             F.min(c).alias(f"{r.id}__min"),
             F.max(c).alias(f"{r.id}__max"),
-            F.hll_sketch_agg(_sketch_input(df, r.column), r.lg_config_k).alias(
-                f"{r.id}__sketch"
-            ),
+            F.hll_sketch_agg(
+                _scope_gate(_sketch_input(df, r.column), r), r.lg_config_k
+            ).alias(f"{r.id}__sketch"),
         ]
         if r.quantiles:
             kll_agg, _, _, cast_to = _kll_family(df, r)
@@ -366,9 +382,9 @@ def column_stats_metrics(
 
     aggs = []
     for r in rules:
-        c = F.col(r.column)
+        c = _scope_gate(F.col(r.column), r)
         aggs += [
-            F.count(F.lit(1)).alias(f"{r.id}__rows"),
+            _scoped_rows(r).alias(f"{r.id}__rows"),
             F.count(c).alias(f"{r.id}__nonnull"),
             F.min(c).cast("string").alias(f"{r.id}__min"),
             F.max(c).cast("string").alias(f"{r.id}__max"),

@@ -135,6 +135,7 @@ class ValidationRun:
             *self.program.group_rules,
             *self.program.count_rules,
             *self.program.ref_rules,
+            *self.program.stats_rules,
         ):
             w = getattr(rr, "when", "")
             if not w:

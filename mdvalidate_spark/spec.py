@@ -341,6 +341,12 @@ class ColumnStatsRule(Rule):
     # KLL quantile-sketch size parameter k: 200 → ~1.65% rank error,
     # O(k·log n) bytes per partition sketch
     kll_k: int = 200
+    # optional row-scope predicate (see NotNullRule.when): profile only the
+    # in-scope sub-population ("width stats among fmt='png'"). Implemented
+    # as conditional aggregation — out-of-scope rows become NULL inputs the
+    # aggregates already skip — so scoped and unscoped rules still fuse
+    # into ONE aggregation pass (full-scan AND incremental-partials paths).
+    when: str = ""
     kind: str = field(default="stats", init=False)
 
     def targets(self):

@@ -692,8 +692,40 @@ def test_scoped_agg_when_validated_at_run_init(spark):
         UniqueRule("u", columns=("image_id",), when="fmtt = 'png'"),
         CountRule("c", group_by=("fmt",), min=1, when="lenght(fmt) > 0"),
         RefIntegrityRule("r", column="fmt", dim_name="d", dim_column="fmt", when="fmt"),
+        ColumnStatsRule("s", column="fmt", when="fmtt = 'png'"),
     ):
         spec = Spec(rules=(rule,), key_column="image_id", partition_column="pid")
         dims = {"d": df.select("fmt")}
         with pytest.raises(SchemaError):
             ValidationRun(spark, spec, df, dims=dims)
+
+
+def test_stats_when_scopes_profile(spark, images):
+    """`when`-scoped stats equal a manual pre-filter on every metric,
+    including exact quantiles — the conditional-aggregation gate feeds the
+    same NULL-skipping aggregates; scoped + unscoped rules fuse into one
+    pass (single agg, no extra scan)."""
+    when = "fmt = 'png'"
+    scoped = ColumnStatsRule(
+        "st_s", column="w", exact_distinct=True,
+        quantiles=(0.5, 0.95), exact_quantiles=True, when=when,
+    )
+    unscoped = ColumnStatsRule("st_u", column="w", exact_distinct=True)
+    fused = agg_rules.column_stats_metrics(images, (scoped, unscoped), "t")
+    manual = agg_rules.column_stats_metrics(
+        images.where(when),
+        (ColumnStatsRule("st_s", column="w", exact_distinct=True,
+                         quantiles=(0.5, 0.95), exact_quantiles=True),),
+        "t",
+    )
+    got = {
+        (r["rule_id"], r["metric"]): (r["value"], r["value_str"])
+        for r in fused.collect()
+    }
+    want = {
+        (r["rule_id"], r["metric"]): (r["value"], r["value_str"])
+        for r in manual.collect()
+    }
+    assert {k: v for k, v in got.items() if k[0] == "st_s"} == want
+    # scoped count is a strict subset; unscoped sees the whole table
+    assert got[("st_s", "count")][0] < got[("st_u", "count")][0] == ROWS

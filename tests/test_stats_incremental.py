@@ -214,3 +214,31 @@ def test_kll_quantiles_survive_checkpoint_roundtrip(spark, images, tmp_path):
     ).collect()[0]
     assert lo <= got["p50"] <= hi
     assert got["count"] == float(ROWS)
+
+
+def test_scoped_stats_partials_merge_parity(spark, images):
+    """`when`-scoped stats through the partials path merge to the same
+    numbers as the scoped full-scan path AND as a manual pre-filter — the
+    conditional-aggregation gate is exact end-to-end."""
+    when = "fmt = 'png'"
+    rules = (
+        ColumnStatsRule("s_w", column="w", incremental=True, when=when),
+    )
+    partials = agg_rules.column_stats_partials(images, rules, "r")
+    merged = agg_rules.column_stats_from_partials(partials, rules, "r")
+    full = agg_rules.column_stats_metrics(
+        images,
+        (ColumnStatsRule("s_w", column="w", exact_distinct=True, when=when),),
+        "r",
+    )
+    manual = agg_rules.column_stats_metrics(
+        images.where(when),
+        (ColumnStatsRule("s_w", column="w", exact_distinct=True),),
+        "r",
+    )
+    m = _metrics_map(merged, {"s_w"})
+    f = _metrics_map(full, {"s_w"})
+    x = _metrics_map(manual, {"s_w"})
+    assert m == f == x
+    # non-vacuous: the scope is a strict subset of the table
+    assert 0 < f[("s_w", "count")][0] < ROWS
