@@ -608,6 +608,35 @@ def q_stats_when_lineitem(spark, sf_dir):
     )
 
 
+def q_smoke_orders(spark, sf_dir):
+    """Smoke validation (run.smoke_validate): validate a deterministic
+    md5-keyed 20% sample of orders through the REAL engine and emit the
+    estimation layer — per-rule violations-in-sample, point rate, Wilson
+    95% bounds, and the k/fraction population extrapolation. The sample
+    predicate (substr(md5(key),1,8) < threshold) is byte-identical in
+    DuckDB, so the whole estimate chain is value-checked end-to-end."""
+    from mdvalidate_spark.run import smoke_validate
+
+    df = _load(spark, sf_dir, "orders")
+    spec = Spec(
+        rules=(
+            DomainRule("status_domain", column="o_orderstatus", values=("O", "F")),
+            RangeRule("price_range", column="o_totalprice", min=1000.0, max=400000.0),
+            RegexRule("prio_regex", column="o_orderpriority", pattern="[1-3]-[A-Z ]+"),
+        ),
+        key_column="o_orderkey",
+        n_partitions=8,
+    )
+    rep = smoke_validate(spark, df, spec, fraction=0.2, run_id="q")
+    return rep.metrics.where(
+        (F.col("rule_id") == "__smoke__") | F.col("metric").startswith("smoke_")
+    ).select(
+        F.col("rule_id"),
+        F.col("metric"),
+        F.round(F.col("value"), 4).alias("value"),
+    )
+
+
 def q_group_profile_lineitem(spark, sf_dir):
     """TPC-H Q1-shaped metrics capture (the matches-JSON analog)."""
     li = _load(spark, sf_dir, "lineitem")
@@ -992,6 +1021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_lineitem_shipmode": q_sequence_lineitem_shipmode,
         "stats_lineitem": q_stats_lineitem,
         "stats_when_lineitem": q_stats_when_lineitem,
+        "smoke_orders": q_smoke_orders,
         "group_profile_lineitem": q_group_profile_lineitem,
         "events_profile": q_events_profile,
         "windowed_count_events": q_windowed_count_events,
@@ -1775,6 +1805,56 @@ UNION ALL
 SELECT 'st_rp', 'p50', round(quantile_cont(l_partkey, 0.5), 4), NULL FROM s
 UNION ALL
 SELECT 'st_rp', 'p95', round(quantile_cont(l_partkey, 0.95), 4), NULL FROM s
+""",
+        "smoke_orders": """
+WITH s AS (
+  SELECT * FROM orders
+  WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) < '33333333'
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM s),
+k AS (
+  SELECT 'status_domain' AS rule_id,
+         CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+                        AND o_orderstatus NOT IN ('O','F')
+                   THEN 1 ELSE 0 END) AS DOUBLE) AS k FROM s
+  UNION ALL
+  SELECT 'price_range',
+         CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+                        AND (o_totalprice < 1000.0 OR o_totalprice > 400000.0)
+                   THEN 1 ELSE 0 END) AS DOUBLE) FROM s
+  UNION ALL
+  SELECT 'prio_regex',
+         CAST(sum(CASE WHEN o_orderpriority IS NOT NULL
+                        AND NOT regexp_matches(o_orderpriority,
+                                               '^(?:[1-3]-[A-Z ]+)$')
+                   THEN 1 ELSE 0 END) AS DOUBLE) FROM s
+),
+w AS (
+  SELECT rule_id, k, n.n AS n, k / n.n AS p,
+         1.0 + 3.8416 / n.n AS denom
+  FROM k, n
+),
+wil AS (
+  SELECT rule_id, k, n, p,
+         (p + 3.8416 / (2 * n)) / denom AS center,
+         (1.96 / denom) * sqrt(p * (1 - p) / n + 3.8416 / (4 * n * n)) AS half
+  FROM w
+)
+SELECT rule_id, metric, round(value, 4) AS value FROM (
+  SELECT '__smoke__' AS rule_id, 'sample_fraction' AS metric, 0.2 AS value
+  UNION ALL
+  SELECT '__smoke__', 'sample_rows', n.n FROM n
+  UNION ALL
+  SELECT rule_id, 'smoke_violations', k FROM wil
+  UNION ALL
+  SELECT rule_id, 'smoke_rate', p FROM wil
+  UNION ALL
+  SELECT rule_id, 'smoke_rate_lo', greatest(0.0, center - half) FROM wil
+  UNION ALL
+  SELECT rule_id, 'smoke_rate_hi', least(1.0, center + half) FROM wil
+  UNION ALL
+  SELECT rule_id, 'smoke_est_total', k / 0.2 FROM wil
+)
 """,
         "group_profile_lineitem": """
 SELECT l_returnflag, l_linestatus,

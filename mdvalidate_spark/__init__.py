@@ -21,7 +21,7 @@ Quick start::
 
 from .compile import ConstraintProgram, compile_spec
 from .errors import MdvSparkError, SchemaError
-from .run import Report, ValidationRun, validate_table
+from .run import Report, ValidationRun, smoke_validate, validate_table
 from .session import get_spark
 from .spec import (
     ColumnStatsRule,
@@ -62,6 +62,7 @@ __all__ = [
     "ValidationRun",
     "compile_spec",
     "get_spark",
+    "smoke_validate",
     "validate_table",
 ]
 

@@ -59,6 +59,15 @@ def parse_args(argv=None):
         "N per (rule, partition); exact totals land in metrics as "
         "violations_total (overrides the spec)",
     )
+    p.add_argument(
+        "--smoke-fraction",
+        type=float,
+        default=None,
+        metavar="F",
+        help="smoke mode: validate a deterministic md5-keyed sample of "
+        "fraction F in (0, 1] and append per-rule rate estimates with "
+        "Wilson 95%% bounds to metrics (run.smoke_validate)",
+    )
     p.add_argument("--master", default=None, help="override master (default: env/local)")
     return p.parse_args(argv)
 
@@ -98,15 +107,30 @@ def main(argv=None) -> int:
             name, _, path = d.partition("=")
             dims[name] = read_table(spark, path)
         try:
-            run = ValidationRun(
-                spark, spec, df, dims=dims, run_id=args.run_id,
-                checkpoint_dir=args.checkpoint,
-            )
+            if args.smoke_fraction is not None:
+                from .run import smoke_validate
+
+                try:
+                    report = smoke_validate(
+                        spark, df, spec, args.smoke_fraction, dims=dims,
+                        run_id=args.run_id, checkpoint_dir=args.checkpoint,
+                        batch_size=args.batch_size,
+                    )
+                except ValueError as e:  # fraction out of (0, 1]
+                    print(f"schema error: {e}", file=sys.stderr)
+                    return 2
+                first = report.manifest.limit(1).collect()
+                run_id = first[0]["run_id"] if first else (args.run_id or "?")
+            else:
+                run = ValidationRun(
+                    spark, spec, df, dims=dims, run_id=args.run_id,
+                    checkpoint_dir=args.checkpoint,
+                )
+                report = run.validate(batch_size=args.batch_size)
+                run_id = run.run_id
         except SchemaError as e:
             print(f"schema error: {e}", file=sys.stderr)
             return 2
-
-        report = run.validate(batch_size=args.batch_size)
 
         if args.output:
             from .sources.table_io import ICEBERG_PREFIX, write_table
@@ -141,7 +165,7 @@ def main(argv=None) -> int:
 
         n = report.violations.count()
         by_rule = report.violations.groupBy("rule_id").count().orderBy("rule_id").collect()
-        print(f"run {run.run_id}: {n} violation(s)")
+        print(f"run {run_id}: {n} violation(s)")
         for r in by_rule:
             print(f"  {r['rule_id']}: {r['count']}")
         return report.exit_code

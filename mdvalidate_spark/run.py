@@ -860,3 +860,69 @@ def validate_table(
     return ValidationRun(
         spark, spec, df, dims=dims, run_id=run_id, checkpoint_dir=checkpoint_dir
     ).validate()
+
+
+def smoke_validate(
+    spark: SparkSession,
+    df: DataFrame,
+    spec: Spec,
+    fraction: float,
+    dims: dict[str, DataFrame] | None = None,
+    run_id: str | None = None,
+    checkpoint_dir: str | None = None,
+    batch_size: int | None = None,
+) -> Report:
+    """Validate a deterministic keyed SAMPLE of the table and extrapolate
+    per-rule violation rates with Wilson confidence bounds — the cheap,
+    statistically honest preview before committing a cluster to the full
+    pass (operators/smoke.py has the full design note).
+
+    The sample is the real engine's input: everything downstream —
+    compile, batching, manifest/resume, every rule family, sinks — is the
+    unmodified ``ValidationRun``; smoke mode adds only a scan-stage filter
+    (md5-threshold on ``spec.key_column``, shuffle-free, stable across
+    runs/resumes/cluster sizes, portable to the DuckDB oracle) and an
+    estimation layer appended as ordinary metric rows (``smoke_rate``,
+    ``smoke_rate_lo``/``_hi``, ``smoke_est_total`` per rule;
+    ``sample_fraction``/``sample_rows`` under rule_id ``__smoke__``)."""
+    from .operators import sampling, smoke
+
+    run = ValidationRun(
+        spark, spec, df.where(smoke.sample_predicate(spec.key_column, fraction)),
+        dims=dims, run_id=run_id, checkpoint_dir=checkpoint_dir,
+    )
+    rep = run.validate(batch_size=batch_size)
+    # sampled row count: already tallied per partition in the manifest as
+    # batches validated — a driver-side sum, no extra job
+    sample_rows = sum(
+        e.get("rows") or 0 for e in run.manifest.entries.values()
+    )
+    # per-rule violation totals. With a violation cap the materialized rows
+    # are a sample, but the exact totals survive as violations_total metric
+    # rows (operators/sampling.py) — prefer those; otherwise one
+    # aggregation-only job over the consolidated (cached) violation frames.
+    # Either way the collect is #rules-sized, never data-sized.
+    if spec.max_violations_per_rule is not None:
+        counts = {
+            r["rule_id"]: int(r["k"])
+            for r in rep.metrics.where(
+                F.col("metric") == sampling.VIOLATIONS_TOTAL
+            )
+            .groupBy("rule_id")
+            .agg(F.sum("value").cast("long").alias("k"))
+            .collect()
+        }
+    else:
+        counts = {
+            r["rule_id"]: int(r["k"])
+            for r in rep.violations.groupBy("rule_id")
+            .agg(F.count(F.lit(1)).alias("k"))
+            .collect()
+        }
+    est = smoke.smoke_metrics(
+        spark, counts, sample_rows, fraction, run.run_id,
+        rule_ids=tuple(r.id for r in spec.rules),
+    )
+    return Report(
+        rep.violations, rep.metrics.unionByName(est), rep.manifest, rep.errored
+    )

@@ -54,6 +54,61 @@ def test_cli_end_to_end(spark, tmp_path):
     assert man.count() == 8
 
 
+def test_cli_smoke_mode(spark, tmp_path):
+    """--smoke-fraction runs the sampled preview end-to-end: smoke metric
+    rows land in the output sink and the manifest covers only partitions
+    the sample touched."""
+    from pyspark.sql import functions as F
+
+    from mdvalidate_spark import cli
+
+    table = str(tmp_path / "imgs")
+    synthetic_images(spark, 2000, with_bytes=False).write.parquet(table)
+    dimp = str(tmp_path / "dim_source")
+    dim_source(spark).write.parquet(dimp)
+    spec = full_images_spec(with_pixel=False)
+    specp = str(tmp_path / "spec.json")
+    save_spec(spec, specp)
+
+    out = str(tmp_path / "out")
+    code = cli.main(
+        [
+            "--spec", specp, "--table", table,
+            "--dim", f"dim_source={dimp}",
+            "--output", out, "--run-id", "cli-smoke",
+            "--smoke-fraction", "0.3",
+            "--master", "local[4]",
+        ]
+    )
+    assert code == 1  # injected violations appear in a 30% sample too
+    met = spark.read.parquet(f"{out}/metrics")
+    smoke_rows = met.where(F.col("metric").startswith("smoke_"))
+    assert smoke_rows.count() > 0
+    n = met.where(F.col("metric") == "sample_rows").collect()[0]["value"]
+    assert 0 < n < 2000
+
+
+def test_cli_smoke_bad_fraction_exit_2(spark, tmp_path):
+    from mdvalidate_spark import cli
+
+    table = str(tmp_path / "imgs")
+    synthetic_images(spark, 50, with_bytes=False).write.parquet(table)
+    spec = full_images_spec(with_pixel=False)
+    specp = str(tmp_path / "spec.json")
+    save_spec(spec, specp)
+    dimp = str(tmp_path / "dim_source")
+    dim_source(spark).write.parquet(dimp)
+    code = cli.main(
+        [
+            "--spec", specp, "--table", table,
+            "--dim", f"dim_source={dimp}",
+            "--smoke-fraction", "1.5",
+            "--master", "local[4]",
+        ]
+    )
+    assert code == 2
+
+
 def test_cli_bad_spec_exit_2(tmp_path):
     from mdvalidate_spark import cli
 
