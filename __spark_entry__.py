@@ -597,6 +597,7 @@ def q_stats_when_lineitem(spark, sf_dir):
     rule = ColumnStatsRule(
         "st_rp", column="l_partkey", exact_distinct=True,
         quantiles=(0.5, 0.95), exact_quantiles=True,
+        moments=True,
         when="l_returnflag = 'R'",
     )
     m = column_stats_metrics(li, (rule,), "q")
@@ -1801,6 +1802,10 @@ UNION ALL
 SELECT 'st_rp', 'min', NULL, CAST(min(l_partkey) AS VARCHAR) FROM s
 UNION ALL
 SELECT 'st_rp', 'max', NULL, CAST(max(l_partkey) AS VARCHAR) FROM s
+UNION ALL
+SELECT 'st_rp', 'mean', round(avg(l_partkey), 4), NULL FROM s
+UNION ALL
+SELECT 'st_rp', 'stddev', round(stddev_samp(l_partkey), 4), NULL FROM s
 UNION ALL
 SELECT 'st_rp', 'p50', round(quantile_cont(l_partkey, 0.5), 4), NULL FROM s
 UNION ALL

@@ -171,6 +171,23 @@ def _scoped_rows(rule):
 
 _SKETCHABLE = {"tinyint", "smallint", "int", "bigint", "string", "binary"}
 
+_NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+
+
+def _require_numeric(df: DataFrame, rule, what: str) -> None:
+    """Moments (mean/stddev) of a non-numeric column are meaningless — a
+    silent cast("double") would yield all-NULL metrics; raise instead (same
+    posture as _kll_family for quantiles)."""
+    dtype = dict(df.dtypes).get(rule.column, "")
+    if dtype in _NUMERIC or dtype.startswith("decimal"):
+        return
+    from ..errors import SchemaError
+
+    raise SchemaError(
+        f"rule {rule.id!r}: {what} need a numeric column, "
+        f"got {rule.column!r}: {dtype or 'missing'}"
+    )
+
 
 def _sketch_input(df: DataFrame, column: str):
     """hll_sketch_agg accepts int/long/string/binary; other types are cast
@@ -238,6 +255,17 @@ def column_stats_partials(
                 _scope_gate(_sketch_input(df, r.column), r), r.lg_config_k
             ).alias(f"{r.id}__sketch"),
         ]
+        if r.moments:
+            # exact mergeable moment partials: (sum, sum-of-squares); the
+            # finalize merge derives mean and sample stddev. Naive Σx²
+            # cancellation is the documented tradeoff for persistability —
+            # fine for profile-grade stats at double precision.
+            _require_numeric(df, r, "moments")
+            d = _scope_gate(F.col(r.column).cast("double"), r)
+            aggs += [
+                F.sum(d).alias(f"{r.id}__sum"),
+                F.sum(d * d).alias(f"{r.id}__sumsq"),
+            ]
         if r.quantiles:
             kll_agg, _, _, cast_to = _kll_family(df, r)
             aggs.append(
@@ -311,6 +339,11 @@ def column_stats_from_partials(
                 F.hll_union_agg(f"{r.id}__sketch", True)
             ).alias(f"{r.id}__distinct"),
         ]
+        if r.moments:
+            aggs += [
+                F.sum(f"{r.id}__sum").alias(f"{r.id}__sum"),
+                F.sum(f"{r.id}__sumsq").alias(f"{r.id}__sumsq"),
+            ]
     wide = partials.agg(*aggs)
     for r in rules:
         if r.quantiles:
@@ -334,6 +367,15 @@ def column_stats_from_partials(
             ("min", F.lit(None).cast("double"), F.col(f"{r.id}__min")),
             ("max", F.lit(None).cast("double"), F.col(f"{r.id}__max")),
         ]
+        if r.moments:
+            s = F.col(f"{r.id}__sum")
+            ss = F.col(f"{r.id}__sumsq")
+            mean = F.when(nonnull > 0, s / nonnull)
+            var = F.when(nonnull > 1, (ss - s * s / nonnull) / (nonnull - 1))
+            melt += [
+                ("mean", mean, F.lit(None).cast("string")),
+                ("stddev", F.sqrt(var), F.lit(None).cast("string")),
+            ]
         if r.quantiles:
             _, _, kll_get, _ = _family(r)
             for q in r.quantiles:
@@ -392,6 +434,16 @@ def column_stats_metrics(
                 F.count_distinct(c) if r.exact_distinct else F.approx_count_distinct(c)
             ).alias(f"{r.id}__distinct"),
         ]
+        if r.moments:
+            # full-scan path uses the numerically stable built-ins (Welford
+            # merge inside codegen); the partials path uses exact (Σx, Σx²)
+            # for persistability — both fuse into the same single agg
+            _require_numeric(df, r, "moments")
+            d = c.cast("double")
+            aggs += [
+                F.avg(d).alias(f"{r.id}__mean"),
+                F.stddev_samp(d).alias(f"{r.id}__stddev"),
+            ]
         if r.quantiles:
             qarr = F.array(*[F.lit(float(q)) for q in r.quantiles])
             # approx_percentile is a mergeable quantile sketch (the t-digest
@@ -418,6 +470,11 @@ def column_stats_metrics(
             ("min", F.lit(None).cast("double"), F.col(f"{r.id}__min")),
             ("max", F.lit(None).cast("double"), F.col(f"{r.id}__max")),
         ]
+        if r.moments:
+            melt += [
+                ("mean", F.col(f"{r.id}__mean"), F.lit(None).cast("string")),
+                ("stddev", F.col(f"{r.id}__stddev"), F.lit(None).cast("string")),
+            ]
         for j, q in enumerate(r.quantiles):
             melt.append(
                 (

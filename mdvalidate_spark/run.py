@@ -156,6 +156,11 @@ class ValidationRun:
                     f"rule {rr.id!r}: when predicate {w!r} is not boolean "
                     f"(got {analyzed.schema['_w'].dataType.simpleString()})"
                 )
+        # moments of a non-numeric column would be silent all-NULL metrics
+        # after the cast — SchemaError now, before any job
+        for sr in self.program.stats_rules:
+            if sr.moments:
+                agg_rules._require_numeric(self.df, sr, "moments")
         for r in self.program.ref_rules:
             if r.dim_name not in self.dims:
                 from .errors import SchemaError

@@ -341,6 +341,12 @@ class ColumnStatsRule(Rule):
     # KLL quantile-sketch size parameter k: 200 → ~1.65% rank error,
     # O(k·log n) bytes per partition sketch
     kll_k: int = 200
+    # moments=True adds mean and (sample) stddev metrics; numeric columns
+    # only (checked at run init). Mergeable on the incremental-partials
+    # path as exact (count, sum, sum-of-squares) partials — merging
+    # partials reproduces the full-scan numbers bit-for-bit modulo
+    # float summation order.
+    moments: bool = False
     # optional row-scope predicate (see NotNullRule.when): profile only the
     # in-scope sub-population ("width stats among fmt='png'"). Implemented
     # as conditional aggregation — out-of-scope rows become NULL inputs the

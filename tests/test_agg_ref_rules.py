@@ -729,3 +729,53 @@ def test_stats_when_scopes_profile(spark, images):
     assert {k: v for k, v in got.items() if k[0] == "st_s"} == want
     # scoped count is a strict subset; unscoped sees the whole table
     assert got[("st_s", "count")][0] < got[("st_u", "count")][0] == ROWS
+
+
+def test_stats_moments_full_scan(spark, images):
+    """moments=True adds mean/stddev (sample) matching the SQL aggregates,
+    and composes with the `when` scope gate."""
+    import math
+
+    got = {
+        r["metric"]: r["value"]
+        for r in agg_rules.column_stats_metrics(
+            images, (ColumnStatsRule("m", column="w", moments=True),), "t"
+        ).collect()
+    }
+    want = images.agg(
+        F.avg("w").alias("mean"), F.stddev_samp("w").alias("sd")
+    ).collect()[0]
+    assert got["mean"] == pytest.approx(want["mean"])
+    assert got["stddev"] == pytest.approx(want["sd"])
+
+    scoped = {
+        r["metric"]: r["value"]
+        for r in agg_rules.column_stats_metrics(
+            images,
+            (ColumnStatsRule("m", column="w", moments=True, when="fmt = 'png'"),),
+            "t",
+        ).collect()
+    }
+    manual = images.where("fmt = 'png'").agg(
+        F.avg("w").alias("mean"), F.stddev_samp("w").alias("sd")
+    ).collect()[0]
+    assert scoped["mean"] == pytest.approx(manual["mean"])
+    assert scoped["stddev"] == pytest.approx(manual["sd"])
+    assert not math.isclose(scoped["mean"], got["mean"])  # scope is real
+
+
+def test_stats_moments_non_numeric_rejected_at_init(spark):
+    from mdvalidate_spark.errors import SchemaError
+    from mdvalidate_spark.run import ValidationRun
+    from mdvalidate_spark.spec import Spec
+
+    df = spark.createDataFrame(
+        [("a", 0, "png")], "image_id string, pid int, fmt string"
+    )
+    spec = Spec(
+        rules=(ColumnStatsRule("m", column="fmt", moments=True),),
+        key_column="image_id",
+        partition_column="pid",
+    )
+    with pytest.raises(SchemaError):
+        ValidationRun(spark, spec, df)

@@ -242,3 +242,49 @@ def test_scoped_stats_partials_merge_parity(spark, images):
     assert m == f == x
     # non-vacuous: the scope is a strict subset of the table
     assert 0 < f[("s_w", "count")][0] < ROWS
+
+
+def test_moments_partials_merge_parity(spark, images):
+    """(Σx, Σx²) partials merge to the full-scan mean/stddev (approx: the
+    partials path is the naive algebraic form, the full scan the stable
+    built-in — equal to float tolerance), and the scope gate composes."""
+    for when in ("", "fmt = 'png'"):
+        rules = (
+            ColumnStatsRule(
+                "m_w", column="w", incremental=True, moments=True, when=when
+            ),
+        )
+        partials = agg_rules.column_stats_partials(images, rules, "r")
+        merged = agg_rules.column_stats_from_partials(partials, rules, "r")
+        got = {
+            r["metric"]: r["value"]
+            for r in merged.where("metric IN ('mean','stddev')").collect()
+        }
+        base = images.where(when) if when else images
+        want = base.agg(
+            F.avg("w").alias("mean"), F.stddev_samp("w").alias("sd")
+        ).collect()[0]
+        assert got["mean"] == pytest.approx(want["mean"], rel=1e-9), when
+        assert got["stddev"] == pytest.approx(want["sd"], rel=1e-9), when
+
+
+def test_moments_partials_checkpoint_roundtrip(spark, images, tmp_path):
+    """Moment partials survive a parquet round-trip (they are plain doubles
+    next to the sketch binaries) and still merge to the same numbers."""
+    rules = (
+        ColumnStatsRule("m_w", column="w", incremental=True, moments=True),
+    )
+    p = str(tmp_path / "partials")
+    agg_rules.column_stats_partials(images, rules, "r").write.parquet(p)
+    merged = agg_rules.column_stats_from_partials(
+        spark.read.parquet(p), rules, "r"
+    )
+    got = {
+        r["metric"]: r["value"]
+        for r in merged.where("metric IN ('mean','stddev')").collect()
+    }
+    want = images.agg(
+        F.avg("w").alias("mean"), F.stddev_samp("w").alias("sd")
+    ).collect()[0]
+    assert got["mean"] == pytest.approx(want["mean"], rel=1e-9)
+    assert got["stddev"] == pytest.approx(want["sd"], rel=1e-9)
