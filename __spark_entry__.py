@@ -891,6 +891,45 @@ def q_simhash_documents(spark, sf_dir):
     )
 
 
+def q_phash_neardup(spark, sf_dir):
+    """Image-axis near-dup: Hamming-banded pairing over a 64-bit signature
+    column — the phash primitive (north star: "uniqueness checks on image_id
+    and phash"; near-equal phash = crop/re-encode of the same image). The
+    operator collapses to DISTINCT signatures first (hot viral-image keys
+    become one row, carrying multiplicity), bands with guaranteed recall
+    (bands=8 > max_hamming=4), verifies with exact bit_count(xor).
+
+    Fixture is PORTABLE so the oracle value-checks the pair set: doc_id<200
+    in groups of 8; each group's base signature is a 60-bit md5-derived
+    value of the group id, member m xors in bits {m, m+17} (popcount of any
+    member-pair xor <= 4, cross-group ~30)."""
+    docs = _load(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    base = F.conv(
+        F.substring(F.md5(F.floor(F.col("doc_id") / 8).cast("string")), 2, 15),
+        16,
+        10,
+    ).cast("long")
+    perturb = F.expr(
+        "CASE WHEN doc_id % 8 = 0 THEN CAST(0 AS BIGINT) "
+        "ELSE shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 8 AS INT)) | "
+        "shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 8 AS INT) + 17) END"
+    )
+    sig = docs.select(
+        F.col("doc_id").alias("image_id"),
+        base.bitwiseXOR(perturb).alias("phash"),
+    )
+    out = D.hamming_near_duplicates(sig, max_hamming=4, bands=8)
+    return out.select(
+        "sig_a",
+        "sig_b",
+        "rep_a",
+        "rep_b",
+        "count_a",
+        "count_b",
+        F.col("hamming").cast("int").alias("hamming"),
+    )
+
+
 def q_similar_count_embeddings(spark, sf_dir):
     emb = _load(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 20)
@@ -1040,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters_documents": q_dup_clusters_documents,
         "minhash_pairs_documents": q_minhash_pairs_documents,
         "simhash_documents": q_simhash_documents,
+        "phash_neardup": q_phash_neardup,
         "similar_count_embeddings": q_similar_count_embeddings,
         "topk_embeddings": q_topk_embeddings,
         "embedding_neardup": q_embedding_neardup,
@@ -1907,6 +1947,28 @@ FROM docs GROUP BY 1 HAVING count(*) > 1
         # a true value oracle, not just a row count
         "minhash_pairs_documents": _ngram_jaccard_sql(0.5, 3),
         "simhash_documents": _simhash_sql(6),
+        # portable planted phash fixture: 60-bit md5-derived base per group
+        # of 8, member m flips bits {m, m+17}; signature-level collapse
+        # (min-id representative + multiplicity), exact Hamming verify
+        "phash_neardup": """
+WITH sig AS (
+  SELECT doc_id AS image_id,
+         xor(CAST(concat('0x', substring(md5(CAST(doc_id // 8 AS VARCHAR)), 2, 15)) AS BIGINT),
+             CASE WHEN doc_id % 8 = 0 THEN CAST(0 AS BIGINT)
+                  ELSE (CAST(1 AS BIGINT) << CAST(doc_id % 8 AS INT))
+                     | (CAST(1 AS BIGINT) << (CAST(doc_id % 8 AS INT) + 17)) END
+            ) AS phash
+  FROM documents WHERE doc_id < 200
+),
+g AS (
+  SELECT phash, min(image_id) AS rep, count(*) AS cnt FROM sig GROUP BY phash
+)
+SELECT a.phash AS sig_a, b.phash AS sig_b, a.rep AS rep_a, b.rep AS rep_b,
+       a.cnt AS count_a, b.cnt AS count_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+FROM g a JOIN g b ON a.phash < b.phash
+WHERE bit_count(xor(a.phash, b.phash)) BETWEEN 1 AND 4
+""",
         "dup_clusters_documents": f"""
 WITH RECURSIVE
 p AS ({_ngram_jaccard_sql(0.5, 3)}),

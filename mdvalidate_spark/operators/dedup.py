@@ -387,9 +387,7 @@ def simhash_duplicates(
             f"max_hamming={max_hamming}: a 64-bit signature cannot give a "
             "recall guarantee for Hamming distances >= 64"
         )
-    if bands <= max_hamming:
-        bands = next(b for b in (2, 4, 8, 16, 32, 64) if b > max_hamming)
-    width = 64 // bands
+    bands = _full_recall_bands(max_hamming, bands)
 
     from pyspark.storagelevel import StorageLevel
 
@@ -404,6 +402,36 @@ def simhash_duplicates(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    pairs = _canonical_pairs(_band_buckets(sims, bands))
+    a = sims.select(F.col("doc_id").alias("id_a"), F.col("sim").alias("sim_a"))
+    b = sims.select(F.col("doc_id").alias("id_b"), F.col("sim").alias("sim_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def _full_recall_bands(max_hamming: int, bands: int) -> int:
+    """Raise ``bands`` to the next divisor of 64 that restores the pigeonhole
+    full-recall guarantee (bands > max_hamming): ``max_hamming`` bit flips
+    can touch at most ``max_hamming`` equal-width chunks, leaving at least
+    one chunk identical between any pair within the distance bound."""
+    if bands <= max_hamming:
+        bands = next(b for b in (2, 4, 8, 16, 32, 64) if b > max_hamming)
+    return bands
+
+
+def _band_buckets(sims: DataFrame, bands: int) -> DataFrame:
+    """(doc_id, sim:int64) → (doc_id, bucket) with one bucket per equal-width
+    signature chunk, tagged by band index so chunks from different positions
+    never collide."""
+    width = 64 // bands
     chunk_structs = F.array(
         *[
             F.struct(
@@ -415,20 +443,88 @@ def simhash_duplicates(
             for b in range(bands)
         ]
     )
-    buckets = sims.select(
-        "doc_id", F.explode(chunk_structs).alias("bb")
-    ).select("doc_id", F.concat_ws(":", F.col("bb.band"), F.col("bb.chunk")).alias("bucket"))
+    return sims.select("doc_id", F.explode(chunk_structs).alias("bb")).select(
+        "doc_id",
+        F.concat_ws(":", F.col("bb.band"), F.col("bb.chunk")).alias("bucket"),
+    )
 
-    pairs = _canonical_pairs(buckets)
-    a = sims.select(F.col("doc_id").alias("id_a"), F.col("sim").alias("sim_a"))
-    b = sims.select(F.col("doc_id").alias("id_b"), F.col("sim").alias("sim_b"))
+
+def hamming_near_duplicates(
+    df: DataFrame,
+    sig_col: str = "phash",
+    id_col: str = "image_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate detection over a PRECOMPUTED 64-bit integer signature
+    column — the image-axis dedup primitive: perceptual-hash (phash)
+    near-dup on the images table (north star: "uniqueness checks on
+    image_id and phash"; two images whose phash differ by a few bits are
+    crops/re-encodes of the same picture).
+
+    Scale design — collapse-then-pair: signatures are first collapsed to
+    DISTINCT values (representative = min id, count = multiplicity). phash
+    is hot-keyed by construction (the synthetic table plants 90% of rows on
+    a few base patterns; real corpora behave the same — one viral image,
+    10^6 copies), and pairing at the id level would emit O(count²) rows per
+    hot signature. Exact-equal groups are exact_duplicates' job; THIS
+    operator reports each near-pair once at the signature level, carrying
+    the counts so the caller knows the blast radius. The banded bucket join
+    then runs over |distinct signatures| rows, not |rows|.
+
+    Banding is the same pigeonhole scheme as simhash_duplicates (bands
+    auto-raised for guaranteed recall); verify is exact
+    ``bit_count(sig_a XOR sig_b) <= max_hamming``. Pure column algebra —
+    no UDF, one shuffle for the collapse, one for the bucket join.
+
+    Output: (sig_a, sig_b, rep_a, rep_b, count_a, count_b, hamming) with
+    sig_a < sig_b canonical ordering; hamming >= 1 by construction (equal
+    signatures collapsed).
+    """
+    if max_hamming >= 64:
+        raise ValueError(
+            f"max_hamming={max_hamming}: a 64-bit signature cannot give a "
+            "recall guarantee for Hamming distances >= 64"
+        )
+    bands = _full_recall_bands(max_hamming, bands)
+
+    from pyspark.storagelevel import StorageLevel
+
+    from .util import ensure_parallelism
+
+    sigs = (
+        ensure_parallelism(df)
+        .where(F.col(sig_col).isNotNull())
+        .groupBy(F.col(sig_col).cast("long").alias("sim"))
+        .agg(
+            F.min(F.col(id_col)).alias("rep"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    buckets = _band_buckets(sigs.select(F.col("sim").alias("doc_id"), "sim"), bands)
+    pairs = _canonical_pairs(buckets)  # id_a/id_b are the signatures here
+    a = sigs.select(
+        F.col("sim").alias("id_a"),
+        F.col("rep").alias("rep_a"),
+        F.col("cnt").alias("count_a"),
+    )
+    b = sigs.select(
+        F.col("sim").alias("id_b"),
+        F.col("rep").alias("rep_b"),
+        F.col("cnt").alias("count_b"),
+    )
     return (
         pairs.join(a, "id_a")
         .join(b, "id_b")
         .select(
-            "id_a",
-            "id_b",
-            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
+            F.col("id_a").alias("sig_a"),
+            F.col("id_b").alias("sig_b"),
+            "rep_a",
+            "rep_b",
+            "count_a",
+            "count_b",
+            F.bit_count(F.col("id_a").bitwiseXOR(F.col("id_b"))).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
     )

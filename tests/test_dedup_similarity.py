@@ -465,3 +465,79 @@ def test_exact_duplicates_bounded_mega_group(spark):
     assert r["group_size"] == 5_000
     assert r["representative"] == 0
     assert r["member_sample"] == list(range(16))
+
+
+# ------------------------------------------------- phash hamming near-dup
+
+
+def test_hamming_near_duplicates_planted(spark):
+    """Planted signature fixture: groups of near signatures (<=2 bit flips
+    apart), hot signatures with multiplicity, far-apart groups. Banded
+    result must EQUAL brute-force popcount(xor) over distinct signatures."""
+    import itertools
+
+    base_a = 0x0F0F0F0F0F0F0F0F
+    base_b = 0x123456789ABCDEF0
+    rows = []
+    # group A: base + 1-bit and 2-bit flips, ids 0..3; id 4 repeats base
+    rows.append((0, base_a))
+    rows.append((1, base_a ^ (1 << 5)))
+    rows.append((2, base_a ^ (1 << 40) ^ (1 << 41)))
+    rows.append((3, base_a ^ (1 << 63)))  # sign-bit flip: negative long
+    rows.append((4, base_a))              # exact dup -> count 2, no pair
+    # group B: far from A (differs ~32 bits)
+    rows.append((10, base_b))
+    rows.append((11, base_b ^ (1 << 7)))
+    rows.append((20, None))               # NULL sig must be ignored
+    import numpy as np
+
+    df = spark.createDataFrame(
+        [(i, np.int64(np.uint64(s)).item() if s is not None else None) for i, s in rows],
+        "image_id long, phash long",
+    )
+    got = {
+        (r["sig_a"], r["sig_b"]): (r["rep_a"], r["rep_b"], r["count_a"], r["count_b"], r["hamming"])
+        for r in D.hamming_near_duplicates(df, max_hamming=3, bands=2).collect()
+    }
+    # brute force over distinct sigs
+    sigs = {}
+    for i, s in rows:
+        if s is None:
+            continue
+        v = int(np.int64(np.uint64(s)))
+        sigs.setdefault(v, []).append(i)
+    want = {}
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        h = bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+        if 1 <= h <= 3:
+            want[(a, b)] = (min(sigs[a]), min(sigs[b]), len(sigs[a]), len(sigs[b]), h)
+    assert got == want
+    assert len(got) >= 4  # group A yields C(4,2)=6 minus any >3... sanity
+    # counts carried: the hot signature (base_a, ids 0+4) has count 2
+    hot = [v for v in got.values() if v[2] == 2 or v[3] == 2]
+    assert hot, "hot signature multiplicity must be carried"
+
+
+def test_hamming_near_duplicates_hot_key_collapse(spark):
+    """10k rows sharing ONE signature plus one near neighbor: output is ONE
+    signature-level pair with count 10000 — not 10^8 id pairs."""
+    rows = [(i, 42) for i in range(10_000)] + [(99_999, 42 ^ 3)]
+    df = spark.createDataFrame(rows, "image_id long, phash long")
+    out = D.hamming_near_duplicates(df, max_hamming=2, bands=4).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["count_a"], r["count_b"]) in {(10_000, 1), (1, 10_000)}
+    assert r["hamming"] == 2
+
+
+def test_hamming_near_duplicates_on_synthetic_images(spark, tmp_path):
+    """End-to-end over the synthetic images table (hot-keyed phash by
+    design): completes, exact-equal signatures never pair, all pairs within
+    bound."""
+    from mdvalidate_spark.sources.synthetic import synthetic_images
+
+    df = synthetic_images(spark, rows=2_000, with_bytes=False, n_partitions=4)
+    out = D.hamming_near_duplicates(df, sig_col="phash", id_col="image_id", max_hamming=8).collect()
+    for r in out:
+        assert 1 <= r["hamming"] <= 8
+        assert r["sig_a"] < r["sig_b"]
