@@ -18,7 +18,11 @@ from mdvalidate_spark.compile import compile_spec
 from mdvalidate_spark.operators import dedup as D
 from mdvalidate_spark.operators import similarity as S
 from mdvalidate_spark.operators import text as T
-from mdvalidate_spark.operators.agg_rules import count_violations, unique_violations
+from mdvalidate_spark.operators.agg_rules import (
+    count_violations,
+    unique_violations,
+    value_profile_metrics,
+)
 from mdvalidate_spark.operators.ref_rules import ref_violations
 from mdvalidate_spark.operators.row_rules import row_violations, with_partition_id
 from mdvalidate_spark.spec import (
@@ -583,6 +587,28 @@ def q_stats_lineitem(spark, sf_dir):
     return wide.select(F.explode(F.array(*parts)).alias("s")).select("s.*")
 
 
+def q_value_profile_orders(spark, sf_dir):
+    """Exact value-distribution metrics (ColumnStatsRule.top_values /
+    entropy): frequent values and Shannon entropy of o_orderpriority — the
+    degenerate-label / collapsed-codec detector. One shared
+    groupBy((rule, value)) pass; top-k fuses to TakeOrderedAndProject.
+    Entropy rounded to 6 decimals on both sides (float summation order
+    differs between engines)."""
+    from mdvalidate_spark.spec import ColumnStatsRule
+
+    orders = _load(spark, sf_dir, "orders")
+    r = ColumnStatsRule(
+        "prio_profile", column="o_orderpriority", top_values=3, entropy=True
+    )
+    out = value_profile_metrics(orders, (r,), "q")
+    return out.select(
+        "rule_id",
+        "metric",
+        F.round(F.col("value"), 6).alias("value"),
+        "value_str",
+    )
+
+
 def q_stats_when_lineitem(spark, sf_dir):
     """Predicate-SCOPED column stats (`when` on ColumnStatsRule): profile
     l_partkey among RETURNED ('R') lineitems only. Exercises the RULE path
@@ -1061,6 +1087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_lineitem_shipmode": q_sequence_lineitem_shipmode,
         "stats_lineitem": q_stats_lineitem,
         "stats_when_lineitem": q_stats_when_lineitem,
+        "value_profile_orders": q_value_profile_orders,
         "smoke_orders": q_smoke_orders,
         "group_profile_lineitem": q_group_profile_lineitem,
         "events_profile": q_events_profile,
@@ -1828,6 +1855,27 @@ SELECT col_name, n_rows, n_nonnull, n_distinct, min_val, max_val, p50, p95, p99 
          round(quantile_cont(l_discount, 0.99), 4)
   FROM lineitem
 )
+""",
+        # exact value-distribution profile: entropy = ln(n) - sum(c ln c)/n
+        # over non-NULL values; top-3 by count desc, value asc
+        "value_profile_orders": """
+WITH counts AS (
+  SELECT CAST(o_orderpriority AS VARCHAR) AS v, count(*) AS c
+  FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1
+),
+ent AS (
+  SELECT 'prio_profile' AS rule_id, 'entropy' AS metric,
+         round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS value,
+         CAST(NULL AS VARCHAR) AS value_str
+  FROM counts
+),
+topk AS (
+  SELECT 'prio_profile' AS rule_id,
+         concat('top_', CAST(row_number() OVER (ORDER BY c DESC, v ASC) AS VARCHAR)) AS metric,
+         round(CAST(c AS DOUBLE), 6) AS value, v AS value_str
+  FROM counts ORDER BY c DESC, v ASC LIMIT 3
+)
+SELECT * FROM ent UNION ALL SELECT * FROM topk
 """,
         "stats_when_lineitem": """
 WITH s AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')

@@ -302,6 +302,22 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
                 "exact_quantiles need the full-scan path"
             )
 
+        if isinstance(r, ColumnStatsRule) and r.incremental and (
+            r.top_values or r.entropy
+        ):
+            # exact top-k / entropy partials are O(distinct values) per
+            # partition — persisting them at key-like cardinality is the
+            # table again, so they stay on the full-scan path; the
+            # mergeable approximations are CMS heavy hitters (skew.py)
+            raise SchemaError(
+                f"rule {r.id!r}: top_values/entropy are exact value-"
+                "distribution metrics — full-scan path only (the mergeable "
+                "analog is the CMS heavy-hitter sketch in skew_stats)"
+            )
+
+        if isinstance(r, ColumnStatsRule) and r.top_values < 0:
+            raise SchemaError(f"rule {r.id!r}: top_values must be >= 0")
+
         if isinstance(r, OverlapRule):
             if r.max_jaccard is None and r.max_common is None:
                 raise SchemaError(

@@ -503,6 +503,110 @@ def column_stats_metrics(
     return long
 
 
+def value_profile_metrics(
+    df: DataFrame, rules: tuple[ColumnStatsRule, ...], run_id: str
+) -> DataFrame:
+    """Exact value-distribution metrics (``top_values`` frequent values and
+    ``entropy``) for every stats rule requesting them, in ONE shared
+    groupBy((rule_id, value)) pass.
+
+    - ``entropy``: Shannon entropy (natural log) of the non-NULL value
+      distribution, computed as ln(n) − Σ c·ln(c) / n from the grouped
+      counts — one extra aggregation over the count frame, same cost class
+      as an exact count_distinct.
+    - ``top_values=k``: metric rows ``top_1`` … ``top_k`` with
+      value_str = the value and value = its exact count; ties broken by
+      value ascending so the output is deterministic.
+
+    Scale: the pair explode emits one (rule_id, value) per in-scope row but
+    map-side partial aggregation collapses hot values BEFORE the shuffle,
+    so the exchange carries ~|distinct| rows per rule; each per-rule top-k
+    is orderBy+limit — Spark fuses it to TakeOrderedAndProject (a bounded
+    per-partition heap), never a full sort. The count frame is persisted
+    once and shared by the entropy aggregate and every top-k probe.
+    NULL / out-of-scope (``when``) values are excluded — this profiles the
+    distribution of present values, matching the conditional-aggregation
+    convention of the fused stats pass."""
+    if not rules:
+        return df.sparkSession.createDataFrame(
+            [],
+            "run_id string, partition_id int, rule_id string, metric string, "
+            "value double, value_str string",
+        )
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    pair_structs = F.array(
+        *[
+            F.struct(
+                F.lit(r.id).alias("rule_id"),
+                _scope_gate(F.col(r.column), r).cast("string").alias("v"),
+            )
+            for r in rules
+        ]
+    )
+    counts = (
+        df.select(F.explode(pair_structs).alias("p"))
+        .select("p.rule_id", "p.v")
+        .where(F.col("v").isNotNull())
+        .groupBy("rule_id", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    def _long(frame):
+        return frame.select(
+            F.lit(run_id).alias("run_id"),
+            F.lit(None).cast("int").alias("partition_id"),
+            "rule_id",
+            "metric",
+            F.col("value").cast("double").alias("value"),
+            F.col("value_str").cast("string").alias("value_str"),
+        )
+
+    parts = []
+    ent_ids = [r.id for r in rules if r.entropy]
+    if ent_ids:
+        c = F.col("c").cast("double")
+        ent = (
+            counts.where(F.col("rule_id").isin(ent_ids))
+            .groupBy("rule_id")
+            .agg(
+                F.sum(c).alias("n"),
+                F.sum(c * F.log(c)).alias("slnc"),
+            )
+            .select(
+                "rule_id",
+                F.lit("entropy").alias("metric"),
+                (F.log(F.col("n")) - F.col("slnc") / F.col("n")).alias("value"),
+                F.lit(None).alias("value_str"),
+            )
+        )
+        parts.append(_long(ent))
+    for r in rules:
+        if not r.top_values:
+            continue
+        topk = (
+            counts.where(F.col("rule_id") == r.id)
+            .orderBy(F.col("c").desc(), F.col("v").asc())
+            .limit(r.top_values)
+        )
+        w = Window.partitionBy("rule_id").orderBy(F.col("c").desc(), F.col("v").asc())
+        parts.append(
+            _long(
+                topk.withColumn("_rank", F.row_number().over(w)).select(
+                    "rule_id",
+                    F.concat(F.lit("top_"), F.col("_rank")).alias("metric"),
+                    F.col("c").alias("value"),
+                    F.col("v").alias("value_str"),
+                )
+            )
+        )
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
 def _capture_exprs(r, key_column: str):
     """Shared capture expressions for capture_metrics and capture_rows —
     one definition of the match predicate, NULL sentinel, and group-key

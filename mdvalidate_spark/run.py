@@ -576,6 +576,9 @@ class ValidationRun:
             mets.append(
                 agg_rules.column_stats_metrics(self.df, full_stats, self.run_id)
             )
+        vp = tuple(r for r in full_stats if r.top_values or r.entropy)
+        if vp:  # exact value-distribution metrics: one shared grouped pass
+            mets.append(agg_rules.value_profile_metrics(self.df, vp, self.run_id))
         if inc_stats and self._stats_partials:
             # merge the persisted per-partition partials — O(#partitions),
             # never a table rescan (the incremental EOF pass)

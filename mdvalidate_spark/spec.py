@@ -347,6 +347,20 @@ class ColumnStatsRule(Rule):
     # partials reproduces the full-scan numbers bit-for-bit modulo
     # float summation order.
     moments: bool = False
+    # top_values=k adds exact frequent-value metrics top_1..top_k
+    # (value_str = the value, value = its count; ties broken by value
+    # ascending). entropy=True adds the exact Shannon entropy (natural log)
+    # of the column's value distribution, NULLs excluded — a
+    # concentration/imbalance signal (fmt collapsed to one codec, a label
+    # column gone degenerate) that min/max/distinct can't see. Both ride
+    # ONE shared groupBy((rule, value)) pass across all requesting rules:
+    # map-side partial aggregation collapses hot values before the shuffle,
+    # the per-rule top-k is a TakeOrdered heap, never a full sort. Not
+    # available with incremental=True (compile-checked): exact top-k /
+    # entropy are not boundedly mergeable — approximate mergeable analogs
+    # live in operators/skew.py (CMS heavy hitters).
+    top_values: int = 0
+    entropy: bool = False
     # optional row-scope predicate (see NotNullRule.when): profile only the
     # in-scope sub-population ("width stats among fmt='png'"). Implemented
     # as conditional aggregation — out-of-scope rows become NULL inputs the

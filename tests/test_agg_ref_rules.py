@@ -779,3 +779,84 @@ def test_stats_moments_non_numeric_rejected_at_init(spark):
     )
     with pytest.raises(SchemaError):
         ValidationRun(spark, spec, df)
+
+
+# ------------------------------------------------ value profile (top-k/entropy)
+
+
+def test_value_profile_entropy_and_topk(spark):
+    """Exact entropy and top-k against hand-computed values; deterministic
+    tie-break by value ascending."""
+    import math
+
+    rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 3 + [("d",)] * 1 + [(None,)]
+    df = spark.createDataFrame(rows, "fmt string")
+    r = ColumnStatsRule("vp", column="fmt", top_values=3, entropy=True)
+    out = agg_rules.value_profile_metrics(df, (r,), "t").collect()
+    m = {x["metric"]: x for x in out}
+    n = 12.0
+    want_h = math.log(n) - (5 * math.log(5) + 3 * math.log(3) * 2 + 1 * math.log(1)) / n
+    assert m["entropy"]["value"] == pytest.approx(want_h, abs=1e-12)
+    assert (m["top_1"]["value_str"], m["top_1"]["value"]) == ("a", 5.0)
+    # b and c tie at 3 -> value-ascending order
+    assert (m["top_2"]["value_str"], m["top_2"]["value"]) == ("b", 3.0)
+    assert (m["top_3"]["value_str"], m["top_3"]["value"]) == ("c", 3.0)
+    assert set(m) == {"entropy", "top_1", "top_2", "top_3"}
+
+
+def test_value_profile_when_scoped_and_multi_rule(spark):
+    """Scoped rule profiles only in-scope rows; two rules share one pass."""
+    rows = [(1, "x"), (2, "x"), (3, "y"), (4, "y"), (5, "y"), (6, None)]
+    df = spark.createDataFrame(rows, "k int, fmt string")
+    r1 = ColumnStatsRule("all", column="fmt", top_values=1)
+    r2 = ColumnStatsRule("low", column="fmt", top_values=1, when="k <= 2")
+    out = agg_rules.value_profile_metrics(df, (r1, r2), "t").collect()
+    by_rule = {(x["rule_id"], x["metric"]): x for x in out}
+    assert by_rule[("all", "top_1")]["value_str"] == "y"
+    assert by_rule[("all", "top_1")]["value"] == 3.0
+    assert by_rule[("low", "top_1")]["value_str"] == "x"
+    assert by_rule[("low", "top_1")]["value"] == 2.0
+
+
+def test_value_profile_through_validate_table(spark, tmp_path):
+    """Spec-level integration: metrics rows appear in the report."""
+    from mdvalidate_spark import validate_table
+    from mdvalidate_spark.spec import Spec
+
+    df = synthetic_images(spark, 200, with_bytes=False)
+    spec = Spec(
+        rules=(ColumnStatsRule("fmt_profile", column="fmt", top_values=2, entropy=True),),
+        key_column="image_id",
+        n_partitions=4,
+    )
+    rep = validate_table(spark, df, spec, checkpoint_dir=str(tmp_path / "cp"))
+    mets = {r["metric"]: r for r in rep.metrics.where(F.col("rule_id") == "fmt_profile").collect()}
+    assert "entropy" in mets and "top_1" in mets and "top_2" in mets
+    assert mets["top_1"]["value"] >= mets["top_2"]["value"]
+    assert rep.exit_code == 0
+
+
+def test_value_profile_incremental_rejected_at_compile(spark):
+    from mdvalidate_spark.compile import compile_spec
+    from mdvalidate_spark.errors import SchemaError
+    from mdvalidate_spark.spec import Spec
+
+    df = spark.createDataFrame([("a",)], "fmt string")
+    for kw in ({"top_values": 3}, {"entropy": True}):
+        spec = Spec(
+            rules=(ColumnStatsRule("vp", column="fmt", incremental=True, **kw),),
+            key_column="fmt",
+        )
+        with pytest.raises(SchemaError, match="full-scan path"):
+            compile_spec(spec, df)
+
+
+def test_value_profile_topk_plan_is_take_ordered(spark):
+    """The per-rule top-k must fuse to TakeOrderedAndProject — a bounded
+    per-partition heap — not a global sort."""
+    df = spark.createDataFrame([(f"v{i % 7}",) for i in range(100)], "fmt string")
+    r = ColumnStatsRule("vp", column="fmt", top_values=2)
+    out = agg_rules.value_profile_metrics(df, (r,), "t")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" in plan
+    assert "Python" not in plan
