@@ -609,6 +609,40 @@ def q_value_profile_orders(spark, sf_dir):
     )
 
 
+def q_metric_regression_orders(spark, sf_dir):
+    """Cross-run metric regression (operators/regression.py): the metrics of
+    a simulated PREVIOUS snapshot (o_orderkey < 3000) vs the full table,
+    both produced by the real exact stats operator, compared with
+    rel_tol=0.05. count/distinct move beyond tolerance -> kind=regressed;
+    min/max string metrics flip -> kind=changed; null_rate and unchanged
+    min/max stay silent. The deequ-style validation-over-time surface: a
+    run's metrics are judged against the last run's, not just against
+    static bounds."""
+    from mdvalidate_spark.operators.agg_rules import column_stats_metrics
+    from mdvalidate_spark.operators.regression import compare_metric_runs
+    from mdvalidate_spark.spec import ColumnStatsRule
+
+    orders = _load(spark, sf_dir, "orders")
+    rules = (
+        ColumnStatsRule("cust_stats", column="o_custkey", exact_distinct=True),
+        ColumnStatsRule("key_stats", column="o_orderkey", exact_distinct=True),
+    )
+    cur = column_stats_metrics(orders, rules, "cur")
+    base = column_stats_metrics(orders.where(F.col("o_orderkey") < 3000), rules, "base")
+    out = compare_metric_runs(cur, base, rel_tol=0.05)
+    return out.select(
+        "rule_id",
+        "metric",
+        F.round(F.col("baseline_value"), 6).alias("baseline_value"),
+        F.round(F.col("current_value"), 6).alias("current_value"),
+        F.round(F.col("delta"), 6).alias("delta"),
+        F.round(F.col("rel_delta"), 6).alias("rel_delta"),
+        "baseline_str",
+        "current_str",
+        "kind",
+    )
+
+
 def q_stats_when_lineitem(spark, sf_dir):
     """Predicate-SCOPED column stats (`when` on ColumnStatsRule): profile
     l_partkey among RETURNED ('R') lineitems only. Exercises the RULE path
@@ -1088,6 +1122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_lineitem": q_stats_lineitem,
         "stats_when_lineitem": q_stats_when_lineitem,
         "value_profile_orders": q_value_profile_orders,
+        "metric_regression_orders": q_metric_regression_orders,
         "smoke_orders": q_smoke_orders,
         "group_profile_lineitem": q_group_profile_lineitem,
         "events_profile": q_events_profile,
@@ -1855,6 +1890,49 @@ SELECT col_name, n_rows, n_nonnull, n_distinct, min_val, max_val, p50, p95, p99 
          round(quantile_cont(l_discount, 0.99), 4)
   FROM lineitem
 )
+""",
+        # cross-run regression: exact stats of full table vs o_orderkey<10000
+        # snapshot; numeric kind=regressed when |delta| > 0.05*|base|,
+        # string min/max kind=changed on inequality; null_rate (0 both) and
+        # within-tolerance metrics emit nothing
+        "metric_regression_orders": """
+WITH stats AS (
+  SELECT rule_id, full_side,
+         CAST(count(*) AS DOUBLE) AS cnt, CAST(count(v) AS DOUBLE) AS nn,
+         CAST(count(DISTINCT v) AS DOUBLE) AS dist,
+         CAST(min(v) AS VARCHAR) AS mn, CAST(max(v) AS VARCHAR) AS mx
+  FROM (
+    SELECT 'cust_stats' AS rule_id, o_custkey AS v, TRUE AS full_side FROM orders
+    UNION ALL SELECT 'key_stats', o_orderkey, TRUE FROM orders
+    UNION ALL SELECT 'cust_stats', o_custkey, FALSE FROM orders WHERE o_orderkey < 3000
+    UNION ALL SELECT 'key_stats', o_orderkey, FALSE FROM orders WHERE o_orderkey < 3000
+  ) GROUP BY rule_id, full_side
+),
+melted AS (
+  SELECT rule_id, full_side, 'count' AS metric, cnt AS value, CAST(NULL AS VARCHAR) AS value_str FROM stats
+  UNION ALL SELECT rule_id, full_side, 'null_rate', CASE WHEN cnt > 0 THEN (cnt - nn) / cnt ELSE 0 END, NULL FROM stats
+  UNION ALL SELECT rule_id, full_side, 'distinct', dist, NULL FROM stats
+  UNION ALL SELECT rule_id, full_side, 'min', NULL, mn FROM stats
+  UNION ALL SELECT rule_id, full_side, 'max', NULL, mx FROM stats
+),
+curm AS (SELECT rule_id, metric, value, value_str FROM melted WHERE full_side),
+basem AS (SELECT rule_id, metric, value, value_str FROM melted WHERE NOT full_side),
+j AS (
+  SELECT b.rule_id, b.metric, b.value AS bv, c.value AS cv,
+         b.value_str AS bs, c.value_str AS cs
+  FROM basem b JOIN curm c USING (rule_id, metric)
+)
+SELECT rule_id, metric,
+       round(bv, 6) AS baseline_value, round(cv, 6) AS current_value,
+       round(cv - bv, 6) AS delta,
+       CASE WHEN abs(bv) > 0 THEN round((cv - bv) / abs(bv), 6) END AS rel_delta,
+       bs AS baseline_str, cs AS current_str,
+       CASE WHEN bv IS NOT NULL AND cv IS NOT NULL AND abs(cv - bv) > 0.05 * abs(bv)
+            THEN 'regressed'
+            WHEN bv IS NULL AND cv IS NULL AND bs <> cs THEN 'changed' END AS kind
+FROM j
+WHERE (bv IS NOT NULL AND cv IS NOT NULL AND abs(cv - bv) > 0.05 * abs(bv))
+   OR (bv IS NULL AND cv IS NULL AND bs <> cs)
 """,
         # exact value-distribution profile: entropy = ln(n) - sum(c ln c)/n
         # over non-NULL values; top-3 by count desc, value asc

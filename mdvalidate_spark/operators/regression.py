@@ -1,0 +1,122 @@
+"""Cross-run metric regression: compare THIS run's metrics against a
+baseline run's metrics table and emit violation rows where a metric moved
+beyond tolerance — validation over TIME, not just over data.
+
+A single run's stats (count, null_rate, distinct, quantiles, entropy, …)
+say whether the table satisfies its contract today; production data breaks
+more often by DRIFTING — yesterday's ingest had 10^9 rows and today's has
+10^7, a null_rate crept from 0.001 to 0.2, the distinct cardinality of a
+join key collapsed. The reference engine re-validates files as they change
+(watch mode, cmd.rs); the analog for a metrics-producing validator is
+comparing successive runs' metric tables. Every ``ValidationRun`` already
+persists its metrics to the results sink, so the baseline is one read away:
+
+    prev = read_table(spark, "iceberg:warehouse.validation_metrics")
+    prev = prev.where(F.col("run_id") == last_good_run)
+    regressions = compare_metric_runs(report.metrics, prev, rel_tol=0.1)
+
+Scale: metric tables are O(rules × metrics) rows — KBs at any data scale —
+so the full-outer join here is trivial by construction; the expensive part
+(producing the metrics) already happened inside the runs being compared.
+
+Output shape: (rule_id, metric, baseline_value, current_value, delta,
+rel_delta, baseline_str, current_str, kind) with kind ∈
+{regressed, appeared, disappeared, changed}.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_OUT_DDL = (
+    "rule_id string, metric string, baseline_value double, "
+    "current_value double, delta double, rel_delta double, "
+    "baseline_str string, current_str string, kind string"
+)
+
+
+def compare_metric_runs(
+    current: DataFrame,
+    baseline: DataFrame,
+    rel_tol: float = 0.1,
+    abs_tol: float = 0.0,
+    tolerances: dict[str, float] | None = None,
+    metrics: tuple[str, ...] = (),
+    check_strings: bool = True,
+    check_presence: bool = True,
+) -> DataFrame:
+    """Compare two metric frames (the long shape every stats/profile
+    operator emits: rule_id, metric, value, value_str; a ``partition_id``
+    column, if present, is filtered to the global NULL rows).
+
+    - numeric metrics: violation (kind ``regressed``) when
+      |cur − base| > max(abs_tol, tol·|base|), where tol is
+      ``tolerances[metric]`` if given else ``rel_tol``. A baseline of 0
+      makes the relative term vacuous — ``abs_tol`` governs.
+    - string metrics (value NULL, value_str set — min/max of string
+      columns): kind ``changed`` on inequality, if ``check_strings``.
+    - presence: a (rule_id, metric) present on one side only becomes
+      ``appeared`` / ``disappeared``, if ``check_presence`` — a rule
+      silently dropped from the spec is itself a regression.
+    - ``metrics`` restricts the comparison to the named metrics.
+
+    rel_delta is (cur − base)/|base| (NULL when base = 0); delta is
+    cur − base. Both sides' raw values ride along for triage.
+    """
+    tolerances = tolerances or {}
+
+    def _side(df: DataFrame, tag: str) -> DataFrame:
+        if "partition_id" in df.columns:
+            df = df.where(F.col("partition_id").isNull())
+        if metrics:
+            df = df.where(F.col("metric").isin(list(metrics)))
+        return df.select(
+            "rule_id",
+            "metric",
+            F.col("value").alias(f"{tag}_value"),
+            F.col("value_str").alias(f"{tag}_str"),
+            F.lit(True).alias(f"{tag}_present"),
+        )
+
+    cur = _side(current, "current")
+    base = _side(baseline, "baseline")
+    j = base.join(cur, ["rule_id", "metric"], "full_outer")
+
+    bv, cv = F.col("baseline_value"), F.col("current_value")
+    tol_expr = F.lit(float(rel_tol))
+    for m, t in tolerances.items():
+        tol_expr = F.when(F.col("metric") == m, F.lit(float(t))).otherwise(tol_expr)
+    bound = F.greatest(F.lit(float(abs_tol)), tol_expr * F.abs(bv))
+    delta = cv - bv
+    numeric = bv.isNotNull() & cv.isNotNull()
+    strings = (
+        F.col("baseline_str").isNotNull()
+        & F.col("current_str").isNotNull()
+        & bv.isNull()
+        & cv.isNull()
+    )
+    kind = (
+        F.when(F.col("baseline_present").isNull(), F.lit("appeared"))
+        .when(F.col("current_present").isNull(), F.lit("disappeared"))
+        .when(numeric & (F.abs(delta) > bound), F.lit("regressed"))
+        .when(
+            strings & (F.col("baseline_str") != F.col("current_str")),
+            F.lit("changed") if check_strings else F.lit(None),
+        )
+        .otherwise(F.lit(None))
+    )
+    out = j.withColumn("kind", kind).where(F.col("kind").isNotNull())
+    if not check_presence:
+        out = out.where(~F.col("kind").isin(["appeared", "disappeared"]))
+    return out.select(
+        "rule_id",
+        "metric",
+        bv.alias("baseline_value"),
+        cv.alias("current_value"),
+        delta.alias("delta"),
+        F.when(F.abs(bv) > 0, delta / F.abs(bv)).alias("rel_delta"),
+        "baseline_str",
+        "current_str",
+        "kind",
+    )

@@ -1,0 +1,89 @@
+"""Cross-run metric regression tests (operators/regression.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mdvalidate_spark.operators.regression import compare_metric_runs
+
+DDL = "rule_id string, metric string, value double, value_str string"
+
+
+def _mf(spark, rows):
+    return spark.createDataFrame(rows, DDL)
+
+
+def test_numeric_regression_and_tolerance(spark):
+    base = _mf(spark, [("s", "count", 1000.0, None), ("s", "null_rate", 0.01, None)])
+    cur = _mf(spark, [("s", "count", 1050.0, None), ("s", "null_rate", 0.2, None)])
+    # 5% count move under rel_tol=0.1 -> only null_rate regresses
+    out = {r["metric"]: r for r in compare_metric_runs(cur, base, rel_tol=0.1).collect()}
+    assert set(out) == {"null_rate"}
+    r = out["null_rate"]
+    assert r["kind"] == "regressed"
+    assert r["delta"] == pytest.approx(0.19)
+    assert r["rel_delta"] == pytest.approx(19.0)
+    # per-metric override loosens it
+    assert (
+        compare_metric_runs(cur, base, rel_tol=0.1, tolerances={"null_rate": 25.0}).count()
+        == 0
+    )
+
+
+def test_zero_baseline_governed_by_abs_tol(spark):
+    base = _mf(spark, [("s", "violations_total", 0.0, None)])
+    cur = _mf(spark, [("s", "violations_total", 3.0, None)])
+    assert compare_metric_runs(cur, base, rel_tol=0.5).count() == 1  # abs_tol=0
+    assert compare_metric_runs(cur, base, rel_tol=0.5, abs_tol=5.0).count() == 0
+    got = compare_metric_runs(cur, base).collect()[0]
+    assert got["rel_delta"] is None  # undefined on a zero baseline
+
+
+def test_string_change_and_presence(spark):
+    base = _mf(
+        spark,
+        [("s", "min", None, "alpha"), ("s", "max", None, "zeta"), ("gone", "count", 5.0, None)],
+    )
+    cur = _mf(
+        spark,
+        [("s", "min", None, "beta"), ("s", "max", None, "zeta"), ("new", "count", 7.0, None)],
+    )
+    out = {(r["rule_id"], r["metric"]): r["kind"] for r in compare_metric_runs(cur, base).collect()}
+    assert out == {
+        ("s", "min"): "changed",
+        ("gone", "count"): "disappeared",
+        ("new", "count"): "appeared",
+    }
+    off = compare_metric_runs(cur, base, check_presence=False).collect()
+    assert {r["kind"] for r in off} == {"changed"}
+    sel = compare_metric_runs(cur, base, metrics=("max",)).collect()
+    assert sel == []
+
+
+def test_end_to_end_two_snapshots(spark, tmp_path):
+    """Real lifecycle: validate a small snapshot, validate a larger one,
+    compare the persisted metrics — count/distinct regress, min stays."""
+    from mdvalidate_spark import validate_table
+    from mdvalidate_spark.sources.synthetic import synthetic_images
+    from mdvalidate_spark.spec import ColumnStatsRule, Spec
+
+    spec = Spec(
+        rules=(ColumnStatsRule("w_stats", column="w", exact_distinct=True),),
+        key_column="image_id",
+        n_partitions=4,
+    )
+    small = synthetic_images(spark, 200, with_bytes=False)
+    big = synthetic_images(spark, 400, with_bytes=False)
+    rep_a = validate_table(spark, small, spec, checkpoint_dir=str(tmp_path / "a"))
+    rep_b = validate_table(spark, big, spec, checkpoint_dir=str(tmp_path / "b"))
+    out = {
+        r["metric"]: r
+        for r in compare_metric_runs(rep_b.metrics, rep_a.metrics, rel_tol=0.1).collect()
+    }
+    assert out["count"]["kind"] == "regressed"
+    assert out["count"]["baseline_value"] == 200.0
+    assert out["count"]["current_value"] == 400.0
+    # the larger snapshot crosses the w-injection cadence (rows//250): a
+    # w=0 row appears, so the min metric string flips 32 -> 0 — exactly the
+    # "new bad value entered the table" signal this operator exists for
+    assert out["min"]["kind"] == "changed"
+    assert (out["min"]["baseline_str"], out["min"]["current_str"]) == ("32", "0")
