@@ -609,6 +609,31 @@ def q_value_profile_orders(spark, sf_dir):
     )
 
 
+def q_quarantine_orders(spark, sf_dir):
+    """Validation as a FILTER (row_rules.split_rows): the quarantine side of
+    the valid/quarantine split over orders under the row_orders rule set,
+    each row carrying the per-row violated-rule list. Value-checks the split
+    semantics row by row: a row lands in quarantine iff >=1 rule fires, and
+    the attached structs name exactly the firing rules."""
+    from mdvalidate_spark.operators.row_rules import split_rows
+
+    orders = _load(spark, sf_dir, "orders")
+    rules = (
+        DomainRule("status_domain", column="o_orderstatus", values=("O", "F")),
+        RangeRule("price_range", column="o_totalprice", min=1000.0, max=400000.0),
+        RegexRule("prio_regex", column="o_orderpriority", pattern="[1-3]-[A-Z ]+"),
+    )
+    spec = Spec(rules=rules, key_column="o_orderkey", n_partitions=8)
+    prog = compile_spec(spec, orders.columns)
+    _valid, quar = split_rows(orders, prog)
+    return quar.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.to_json(
+            F.sort_array(F.transform(F.col("_violations"), lambda v: v["rule_id"]))
+        ).alias("violated"),
+    )
+
+
 def q_metric_regression_orders(spark, sf_dir):
     """Cross-run metric regression (operators/regression.py): the metrics of
     a simulated PREVIOUS snapshot (o_orderkey < 3000) vs the full table,
@@ -1123,6 +1148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_when_lineitem": q_stats_when_lineitem,
         "value_profile_orders": q_value_profile_orders,
         "metric_regression_orders": q_metric_regression_orders,
+        "quarantine_orders": q_quarantine_orders,
         "smoke_orders": q_smoke_orders,
         "group_profile_lineitem": q_group_profile_lineitem,
         "events_profile": q_events_profile,
@@ -1890,6 +1916,24 @@ SELECT col_name, n_rows, n_nonnull, n_distinct, min_val, max_val, p50, p95, p99 
          round(quantile_cont(l_discount, 0.99), 4)
   FROM lineitem
 )
+""",
+        # quarantine side of the valid/quarantine split: one row per
+        # violating order with its sorted violated-rule list
+        "quarantine_orders": """
+WITH q AS (
+  SELECT o_orderkey, list_sort(list_filter([
+    CASE WHEN o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F')
+         THEN 'status_domain' END,
+    CASE WHEN o_totalprice IS NOT NULL
+              AND (o_totalprice < 1000.0 OR o_totalprice > 400000.0)
+         THEN 'price_range' END,
+    CASE WHEN o_orderpriority IS NOT NULL
+              AND NOT regexp_matches(o_orderpriority, '^(?:[1-3]-[A-Z ]+)$')
+         THEN 'prio_regex' END
+  ], x -> x IS NOT NULL)) AS v
+  FROM orders
+)
+SELECT o_orderkey, to_json(v) AS violated FROM q WHERE len(v) > 0
 """,
         # cross-run regression: exact stats of full table vs o_orderkey<10000
         # snapshot; numeric kind=regressed when |delta| > 0.05*|base|,

@@ -259,3 +259,73 @@ def _violations_ddl() -> str:
         "run_id string, partition_id int, rule_id string, image_id string, "
         "column string, expected string, actual string, kind string"
     )
+
+
+_VIOL_STRUCT_DDL = (
+    "array<struct<rule_id:string,column:string,expected:string,"
+    "actual:string,kind:string>>"
+)
+
+
+def with_row_violations(
+    df: DataFrame, program: ConstraintProgram, col_name: str = "_violations"
+) -> DataFrame:
+    """Annotate every row with its row-rule violation structs, keeping ALL
+    original columns — validation as a FILTER, not just a report. An empty
+    array means the row passes every row rule; the array contents are the
+    same structs ``row_violations`` explodes into report rows, so the two
+    surfaces can never disagree.
+
+    Same plan shape as the fused report pass: one select, all checks in one
+    codegen'd expression, no shuffle, no Python. This is the primitive a
+    training pipeline wants — "give me the clean rows" — without paying a
+    second validation scan."""
+    checks = [_check(r) for r in program.row_rules]
+    ann = (
+        F.array_compact(F.array(*checks))
+        if checks
+        else F.expr("array()").cast(_VIOL_STRUCT_DDL)
+    )
+    return df.withColumn(col_name, ann)
+
+
+def split_rows(
+    df: DataFrame, program: ConstraintProgram, col_name: str = "_violations"
+) -> tuple[DataFrame, DataFrame]:
+    """(valid, quarantine): rows passing every row rule (violation column
+    dropped) and failing rows (violation structs attached for triage).
+
+    Each side is a lazy frame over the SAME annotated plan; consuming both
+    independently scans twice. For the single-scan form at scale, use
+    ``write_split`` — one pass, partitioned output, downstream reads prune
+    to the side they want."""
+    ann = with_row_violations(df, program, col_name)
+    valid = ann.where(F.size(F.col(col_name)) == 0).drop(col_name)
+    quarantine = ann.where(F.size(F.col(col_name)) > 0)
+    return valid, quarantine
+
+
+def write_split(
+    df: DataFrame,
+    program: ConstraintProgram,
+    path: str,
+    col_name: str = "_violations",
+) -> tuple[str, str]:
+    """ONE scan → parquet partitioned by ``is_valid``: the quarantine-sink
+    pattern (clean rows to training, dirty rows to triage) without
+    validating twice. Violation structs are serialized to a JSON string
+    column so the quarantine side stays self-describing in any reader.
+    Returns the two partition directories (valid, quarantine); downstream
+    reads of either side prune to its partition at the scan
+    (PartitionFilters), never touching the other. Note partition-dir values
+    round-trip as STRINGS ("true"/"false") when reading the root path —
+    Spark's partition inference recovers numerics/dates only."""
+    ann = with_row_violations(df, program, col_name)
+    (
+        ann.withColumn("is_valid", F.size(F.col(col_name)) == 0)
+        .withColumn(col_name, F.to_json(F.col(col_name)))
+        .write.mode("overwrite")
+        .partitionBy("is_valid")
+        .parquet(path)
+    )
+    return f"{path}/is_valid=true", f"{path}/is_valid=false"

@@ -397,3 +397,74 @@ def test_vector_rule_single_stage_no_python(spark):
     plan = v._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "PythonUDF" not in plan
+
+
+# ---------------------------------------------------- valid/quarantine split
+
+
+def test_split_rows_partitions_the_table(spark, images):
+    """valid ∪ quarantine = input; quarantine key set == violating key set
+    from the report pass; valid rows carry no violation column."""
+    from mdvalidate_spark.operators.row_rules import split_rows
+
+    rules = [
+        RegexRule("rx", column="caption", pattern=r"A photo number \d+ of \w+"),
+        RangeRule("rg", column="w", min=1, max=10000),
+        NotNullRule("nn", column="caption"),
+    ]
+    prog = compile_spec(base_spec(rules), images.columns)
+    valid, quar = split_rows(images, prog)
+    n_valid, n_quar = valid.count(), quar.count()
+    assert n_valid + n_quar == ROWS
+    report_keys = {
+        r["image_id"]
+        for r in run_rows(spark, with_partition_id(images, base_spec(rules)), rules).collect()
+    }
+    quar_keys = {str(r["image_id"]) for r in quar.select("image_id").collect()}
+    assert quar_keys == report_keys
+    assert "_violations" not in valid.columns
+    # quarantine rows keep full payload + structured violations
+    row = quar.limit(1).collect()[0]
+    assert row["_violations"] and row["_violations"][0]["rule_id"] in {"rx", "rg", "nn"}
+
+
+def test_split_rows_empty_program_all_valid(spark, images):
+    from mdvalidate_spark.operators.row_rules import split_rows
+
+    prog = compile_spec(base_spec([]), images.columns)
+    valid, quar = split_rows(images, prog)
+    assert quar.count() == 0
+    assert valid.count() == ROWS
+
+
+def test_with_row_violations_plan_jvm_single_stage(spark, images):
+    from mdvalidate_spark.operators.row_rules import with_row_violations
+
+    rules = [RangeRule("rg", column="w", min=1, max=10000)]
+    prog = compile_spec(base_spec(rules), images.columns)
+    ann = with_row_violations(images, prog)
+    plan = ann._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "PythonUDF" not in plan
+
+
+def test_write_split_one_scan_partition_pruned(spark, images, tmp_path):
+    """One write partitioned by validity; reading the valid side prunes to
+    its partition in-plan and round-trips the row count."""
+    from mdvalidate_spark.operators.row_rules import split_rows, write_split
+
+    rules = [RangeRule("rg", column="w", min=1, max=10000)]
+    prog = compile_spec(base_spec(rules), images.columns)
+    path = str(tmp_path / "split")
+    p_valid, p_quar = write_split(images, prog, path)
+    valid_df, quar_df = split_rows(images, prog)
+    back = spark.read.parquet(path)
+    # partition dirs round-trip as strings (Spark infers numerics/dates only)
+    pruned = back.where(F.col("is_valid") == "true")
+    assert pruned.count() == valid_df.count()
+    assert back.where(F.col("is_valid") == "false").count() == quar_df.count()
+    phys = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(is_valid" in phys or "is_valid" in phys.split("PartitionFilters")[1][:120]
+    # quarantine side is self-describing json
+    j = spark.read.parquet(p_quar).select("_violations").limit(1).collect()[0][0]
+    assert '"rule_id"' in j
