@@ -29,6 +29,7 @@ from mdvalidate_spark.spec import (
     CompositeRegexRule,
     CountRule,
     DomainRule,
+    ExprRule,
     NotNullRule,
     RangeRule,
     RefIntegrityRule,
@@ -168,6 +169,38 @@ def q_conditional_orders(spark, sf_dir):
                 "big_order_prio", column="o_orderpriority",
                 values=("1-URGENT", "2-HIGH"),
                 when="o_totalprice > 300000",
+            ),
+        ),
+    )(spark, sf_dir)
+
+
+def q_expr_lineitem(spark, sf_dir):
+    """Cross-column row invariants (ExprRule): arbitrary SQL boolean
+    expressions over multiple columns of the row — the relationship checks
+    the reference's walker enforces BETWEEN schema positions (heading level
+    vs marker kind, compare_node_kinds.rs:20-99; alt text vs destination,
+    links.rs:245-296) — evaluated inside the same fused codegen'd row pass
+    as every single-column rule. Fails only on exactly-FALSE (NULL = out of
+    scope). Actuals rendered by integer-valued actual_expr for cross-engine
+    determinism."""
+    return _row_query(
+        "lineitem",
+        "l_orderkey",
+        (
+            ExprRule(
+                "tax_disc_bound",
+                expr="l_discount + l_tax <= 0.12",
+                columns=("l_discount", "l_tax"),
+                actual_expr="cast(round((l_discount + l_tax) * 100) as bigint)",
+            ),
+            ExprRule(
+                "line_vs_qty",
+                expr="l_linenumber <= l_quantity",
+                columns=("l_linenumber", "l_quantity"),
+                actual_expr=(
+                    "concat(cast(l_linenumber as string), '>', "
+                    "cast(cast(l_quantity as bigint) as string))"
+                ),
             ),
         ),
     )(spark, sf_dir)
@@ -1122,6 +1155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_orders": q_row_orders,
         "conditional_orders": q_conditional_orders,
+        "expr_lineitem": q_expr_lineitem,
         "vector_embeddings": q_vector_embeddings,
         "row_part": q_row_part,
         "row_customer": q_row_customer,
@@ -1209,6 +1243,22 @@ SELECT 'big_order_prio', CAST(o_orderkey AS VARCHAR), 'o_orderpriority',
 FROM orders
 WHERE o_totalprice > 300000 AND o_orderpriority IS NOT NULL
   AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+"""
+
+_EXPR_LINEITEM_SQL = """
+SELECT 'tax_disc_bound' AS rule_id, CAST(l_orderkey AS VARCHAR) AS row_key,
+       'l_discount,l_tax' AS col_name,
+       'l_discount + l_tax <= 0.12' AS expected,
+       CAST(CAST(round((l_discount + l_tax) * 100) AS BIGINT) AS VARCHAR) AS actual,
+       'expr' AS kind
+FROM lineitem WHERE NOT (l_discount + l_tax <= 0.12)
+UNION ALL
+SELECT 'line_vs_qty', CAST(l_orderkey AS VARCHAR),
+       'l_linenumber,l_quantity', 'l_linenumber <= l_quantity',
+       CAST(l_linenumber AS VARCHAR) || '>' ||
+         CAST(CAST(l_quantity AS BIGINT) AS VARCHAR),
+       'expr'
+FROM lineitem WHERE NOT (l_linenumber <= l_quantity)
 """
 
 _VECTOR_EMBEDDINGS_SQL = """
@@ -1637,6 +1687,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "row_orders": _ROW_ORDERS_SQL,
         "conditional_orders": _CONDITIONAL_ORDERS_SQL,
+        "expr_lineitem": _EXPR_LINEITEM_SQL,
         "vector_embeddings": _VECTOR_EMBEDDINGS_SQL,
         "row_part": _ROW_PART_SQL,
         "row_customer": _ROW_CUSTOMER_SQL,

@@ -47,6 +47,7 @@ from .spec import (
     SequenceRule,
     DomainRule,
     DriftRule,
+    ExprRule,
     LiteralRule,
     NotNullRule,
     OverlapRule,
@@ -69,6 +70,7 @@ ROW_KINDS = (
     RangeRule,
     DomainRule,
     VectorRule,
+    ExprRule,
 )
 
 
@@ -244,6 +246,18 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
 
         if isinstance(r, UniqueRule) and not r.columns:
             raise SchemaError(f"rule {r.id!r}: unique rule needs >=1 column")
+
+        if isinstance(r, ExprRule):
+            if not r.expr:
+                raise SchemaError(f"rule {r.id!r}: expr rule needs an expression")
+            if not r.columns:
+                # the declared columns ARE the pruned-scan contract — an
+                # undeclared read would only surface as an AnalysisException
+                # against the pruned frame mid-run; demand the declaration
+                raise SchemaError(
+                    f"rule {r.id!r}: expr rule must declare the columns its "
+                    "expression reads (scan pruning + schema lint)"
+                )
 
         if isinstance(r, SchemaDriftRule):
             if not r.expected:

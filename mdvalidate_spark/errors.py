@@ -115,6 +115,7 @@ KIND_DTYPE = "dtype_mismatch"
 # vector-payload rules (VectorRule over array<float> embedding columns)
 KIND_DIM = "dim_mismatch"
 KIND_NAN = "nan"
+KIND_EXPR = "expr"  # cross-column row invariant (ExprRule) evaluated FALSE
 
 ALL_KINDS = (
     KIND_LITERAL,
@@ -135,4 +136,5 @@ ALL_KINDS = (
     KIND_DTYPE,
     KIND_DIM,
     KIND_NAN,
+    KIND_EXPR,
 )

@@ -27,6 +27,7 @@ from ..compile import ConstraintProgram
 from ..errors import (
     KIND_DIM,
     KIND_DOMAIN,
+    KIND_EXPR,
     KIND_LITERAL,
     KIND_MATCHER,
     KIND_NAN,
@@ -38,6 +39,7 @@ from ..errors import (
 from ..spec import (
     CompositeRegexRule,
     DomainRule,
+    ExprRule,
     LiteralRule,
     NotNullRule,
     RangeRule,
@@ -211,6 +213,24 @@ def _check_applies(rule) -> Column:
         for cond, viol in branches[1:]:
             out = out.when(cond, viol)
         return out
+    if isinstance(rule, ExprRule):
+        # cross-column invariant: fail ONLY on exactly-FALSE — a NULL result
+        # (SQL three-valued logic on NULL inputs) is out of scope, keeping
+        # the "one error once" non-cascade rule (missing values belong to
+        # NotNullRule). The predicate and the optional actual rendering are
+        # both part of the same codegen'd expression.
+        pred = F.expr(rule.expr)
+        actual = F.expr(rule.actual_expr) if rule.actual_expr else F.lit(None)
+        return F.when(
+            ~pred,
+            _viol(
+                rule.id,
+                ",".join(rule.columns),
+                F.lit(rule.expr),
+                actual,
+                KIND_EXPR,
+            ),
+        )
     raise TypeError(f"not a row rule: {rule!r}")
 
 

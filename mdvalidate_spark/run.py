@@ -125,6 +125,40 @@ class ValidationRun:
                         f"rule {dr.id!r}: drift expr {dr.expr!r} does not "
                         f"resolve against the input schema: {e}"
                     ) from e
+        # ExprRule expressions are SQL with a declared-column contract:
+        # analyze each against the frame PRUNED to its declared columns so
+        # an undeclared read (or a typo) is a SchemaError at init, and
+        # require a boolean result; actual_expr only needs to resolve
+        from .spec import ExprRule as _ExprRule
+
+        for er in self.program.row_rules:
+            if not isinstance(er, _ExprRule):
+                continue
+            from .errors import SchemaError
+            from pyspark.sql.types import BooleanType
+
+            pruned = self.df.select(*[F.col(c) for c in er.columns])
+            try:
+                analyzed = pruned.select(F.expr(er.expr).alias("_e"))
+            except Exception as e:
+                raise SchemaError(
+                    f"rule {er.id!r}: expr {er.expr!r} does not resolve "
+                    f"against the declared columns {er.columns}: {e}"
+                ) from e
+            if not isinstance(analyzed.schema["_e"].dataType, BooleanType):
+                raise SchemaError(
+                    f"rule {er.id!r}: expr {er.expr!r} is not boolean "
+                    f"(got {analyzed.schema['_e'].dataType.simpleString()})"
+                )
+            if er.actual_expr:
+                try:
+                    pruned.select(F.expr(er.actual_expr))
+                except Exception as e:
+                    raise SchemaError(
+                        f"rule {er.id!r}: actual_expr {er.actual_expr!r} does "
+                        f"not resolve against the declared columns "
+                        f"{er.columns}: {e}"
+                    ) from e
         # `when` predicates are SQL exprs with the same opacity —
         # analyze each against the real schema now (driver-side, no job) and
         # require a BOOLEAN result, so a typo'd or non-predicate `when` is a

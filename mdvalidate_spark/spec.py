@@ -223,6 +223,44 @@ class VectorRule(Rule):
         return (self.column,)
 
 
+@dataclass(frozen=True)
+class ExprRule(Rule):
+    """Cross-column row invariant: an arbitrary SQL boolean expression that
+    must hold on every row (e.g. ``"w * h <= 268435456"``,
+    ``"l_shipdate <= l_receiptdate"``, ``"n_chars = length(text)"``).
+
+    The reference's matchers each bind ONE schema position, but the walker
+    itself enforces relationships BETWEEN positions (heading level vs marker
+    kind, compare_node_kinds.rs:20-99; alt text vs destination,
+    links.rs:245-296) — a cross-field invariant the single-column rule
+    families can't say. ``ExprRule`` is that capability for rows: one SQL
+    predicate over any columns of the row, evaluated inside the same fused
+    codegen'd pass as every other row rule (no Python, no extra scan).
+
+    Null semantics follow the engine's "one error once" rule
+    (cmd.rs:368-398): a row fails only when the predicate evaluates to
+    exactly FALSE; a NULL result (any NULL input under SQL three-valued
+    logic) is out of scope — missing values are NotNullRule's job.
+
+    ``columns`` must declare every column the expression reads: the compile
+    lint checks them against the schema and the scan stays pruned to exactly
+    the declared set; an expression referencing an undeclared column is a
+    SchemaError at run init (the analyzer sees the pruned frame), never a
+    mid-job AnalysisException. ``actual_expr`` (optional SQL, e.g.
+    ``"format_string('%.3f', l_discount + l_tax)"``) renders the violation's
+    ``actual`` value; default is NULL (the expression text in ``expected``
+    already names the failed invariant)."""
+
+    expr: str = ""
+    columns: tuple[str, ...] = ()
+    actual_expr: str = ""
+    when: str = ""  # optional row-scope predicate (see NotNullRule.when)
+    kind: str = field(default="expr", init=False)
+
+    def targets(self):
+        return self.columns
+
+
 # -------------------------------------------------------------- group rules
 
 

@@ -468,3 +468,144 @@ def test_write_split_one_scan_partition_pruned(spark, images, tmp_path):
     # quarantine side is self-describing json
     j = spark.read.parquet(p_quar).select("_violations").limit(1).collect()[0][0]
     assert '"rule_id"' in j
+
+
+# ---------------------------------------------------------------- ExprRule
+
+
+def _expr_fixture(spark):
+    raw = spark.createDataFrame(
+        [
+            ("a", 10, 20, "xxxxxxxxxx"),   # 10*20=200 ok; len(text)=10 == n ok
+            ("b", 100, 100, "xx"),          # 100*100=10000 > 5000 -> fail area
+            ("c", 5, 5, "yyy"),             # area ok; n_chars=5 != len 3 -> fail len
+            ("d", None, 4, "zz"),           # NULL input -> expr NULL -> out of scope
+        ],
+        "image_id string, w int, h int, caption string",
+    ).withColumn("n_chars", F.when(F.col("image_id") == "c", 5).otherwise(F.length("caption")))
+    return with_partition_id(raw, base_spec([]))
+
+
+def test_expr_rule_cross_column_invariant(spark):
+    from mdvalidate_spark.spec import ExprRule
+
+    df = _expr_fixture(spark)
+    v = run_rows(
+        spark,
+        df,
+        [
+            ExprRule("area", expr="w * h <= 5000", columns=("w", "h")),
+            ExprRule(
+                "len",
+                expr="n_chars = length(caption)",
+                columns=("n_chars", "caption"),
+                actual_expr="concat(cast(n_chars as string), '!=', cast(length(caption) as string))",
+            ),
+        ],
+    )
+    rows = {(r["rule_id"], r["image_id"]): r for r in v.collect()}
+    # exactly-FALSE fails; NULL result (row d) is out of scope
+    assert set(rows) == {("area", "b"), ("len", "c")}
+    area = rows[("area", "b")]
+    assert area["kind"] == "expr"
+    assert area["expected"] == "w * h <= 5000"
+    assert area["actual"] is None  # no actual_expr
+    assert area["column"] == "w,h"
+    assert rows[("len", "c")]["actual"] == "5!=3"
+
+
+def test_expr_rule_when_scopes(spark):
+    from mdvalidate_spark.spec import ExprRule
+
+    df = _expr_fixture(spark)
+    v = run_rows(
+        spark,
+        df,
+        [
+            ExprRule(
+                "area",
+                expr="w * h <= 5000",
+                columns=("w", "h", "image_id"),
+                when="image_id <> 'b'",
+            )
+        ],
+    )
+    assert v.count() == 0  # the only violator is scoped out
+
+
+def test_expr_rule_compile_and_init_validation(spark):
+    from mdvalidate_spark.errors import SchemaError
+    from mdvalidate_spark.run import ValidationRun
+    from mdvalidate_spark.spec import ExprRule
+
+    df = _expr_fixture(spark)
+    # compile: empty expr / undeclared columns
+    with pytest.raises(SchemaError):
+        compile_spec(base_spec([ExprRule("e", expr="", columns=("w",))]))
+    with pytest.raises(SchemaError):
+        compile_spec(base_spec([ExprRule("e", expr="w > 0", columns=())]))
+    # compile lint: declared column must exist
+    with pytest.raises(SchemaError):
+        compile_spec(
+            base_spec([ExprRule("e", expr="nope > 0", columns=("nope",))]),
+            df.columns,
+        )
+    # run init: expression reading an UNDECLARED column fails against the
+    # pruned frame (loud, driver-side, before any job)
+    with pytest.raises(SchemaError):
+        ValidationRun(
+            spark,
+            base_spec([ExprRule("e", expr="w * h > 0", columns=("w",))]),
+            df,
+        )
+    # run init: non-boolean expression rejected
+    with pytest.raises(SchemaError):
+        ValidationRun(
+            spark,
+            base_spec([ExprRule("e", expr="w + h", columns=("w", "h"))]),
+            df,
+        )
+    # run init: bad actual_expr rejected
+    with pytest.raises(SchemaError):
+        ValidationRun(
+            spark,
+            base_spec(
+                [
+                    ExprRule(
+                        "e",
+                        expr="w > 0",
+                        columns=("w",),
+                        actual_expr="cast(h as string)",
+                    )
+                ]
+            ),
+            df,
+        )
+
+
+def test_expr_rule_stays_fused_jvm_only(spark, images):
+    from mdvalidate_spark.spec import ExprRule
+
+    v = run_rows(
+        spark,
+        images,
+        [
+            ExprRule("wh", expr="w <= h * 100", columns=("w", "h")),
+            RangeRule("rg", column="w", min=1, max=10000),
+        ],
+    )
+    plan = v._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "PythonUDF" not in plan
+
+
+def test_expr_rule_spec_io_roundtrip(tmp_path):
+    from mdvalidate_spark.spec import ExprRule
+    from mdvalidate_spark.spec_io import load_spec, save_spec
+
+    spec = base_spec(
+        [ExprRule("e", expr="w > 0", columns=("w",), actual_expr="cast(w as string)")]
+    )
+    p = str(tmp_path / "spec.json")
+    save_spec(spec, p)
+    assert load_spec(p) == spec
