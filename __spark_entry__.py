@@ -206,6 +206,34 @@ def q_expr_lineitem(spark, sf_dir):
     )(spark, sf_dir)
 
 
+def q_fd_lineitem(spark, sf_dir):
+    """Functional dependency l_partkey → l_suppkey (each part supplied by
+    one supplier — deliberately violated by TPC-H's 4-suppliers-per-part
+    design, so the rule fires on real structure, not planted noise).
+    Two-phase distinct-pair aggregation, never a countDistinct expand."""
+    from mdvalidate_spark.operators.agg_rules import fd_violations
+    from mdvalidate_spark.spec import FunctionalDependencyRule
+
+    li = _load(spark, sf_dir, "lineitem")
+    v = fd_violations(
+        li,
+        FunctionalDependencyRule(
+            "part_supp_fd",
+            determinants=("l_partkey",),
+            dependents=("l_suppkey",),
+        ),
+        "q",
+    )
+    return v.select(
+        F.col("rule_id"),
+        F.col("image_id").alias("det_value"),
+        F.col("column").alias("col_name"),
+        F.col("expected"),
+        F.col("actual"),
+        F.col("kind"),
+    )
+
+
 def q_vector_embeddings(spark, sf_dir):
     """VectorRule over an array<float> embedding column: dimension, finite
     elements, L2-norm bounds — one codegen'd higher-order-function
@@ -1156,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "row_orders": q_row_orders,
         "conditional_orders": q_conditional_orders,
         "expr_lineitem": q_expr_lineitem,
+        "fd_lineitem": q_fd_lineitem,
         "vector_embeddings": q_vector_embeddings,
         "row_part": q_row_part,
         "row_customer": q_row_customer,
@@ -1259,6 +1288,21 @@ SELECT 'line_vs_qty', CAST(l_orderkey AS VARCHAR),
          CAST(CAST(l_quantity AS BIGINT) AS VARCHAR),
        'expr'
 FROM lineitem WHERE NOT (l_linenumber <= l_quantity)
+"""
+
+_FD_LINEITEM_SQL = """
+SELECT 'part_supp_fd' AS rule_id, CAST(l_partkey AS VARCHAR) AS det_value,
+       'l_partkey' AS col_name,
+       'l_suppkey functionally determined' AS expected,
+       'distinct=' || CAST(n AS VARCHAR) || ' in [' || lo || ' .. ' || hi
+         || ']' AS actual,
+       'fd' AS kind
+FROM (
+  SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS n,
+         MIN(CAST(l_suppkey AS VARCHAR)) AS lo,
+         MAX(CAST(l_suppkey AS VARCHAR)) AS hi
+  FROM lineitem GROUP BY l_partkey
+) WHERE n > 1
 """
 
 _VECTOR_EMBEDDINGS_SQL = """
@@ -1688,6 +1732,7 @@ def oracle_sql() -> dict[str, str]:
         "row_orders": _ROW_ORDERS_SQL,
         "conditional_orders": _CONDITIONAL_ORDERS_SQL,
         "expr_lineitem": _EXPR_LINEITEM_SQL,
+        "fd_lineitem": _FD_LINEITEM_SQL,
         "vector_embeddings": _VECTOR_EMBEDDINGS_SQL,
         "row_part": _ROW_PART_SQL,
         "row_customer": _ROW_CUSTOMER_SQL,

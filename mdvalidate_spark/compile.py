@@ -48,6 +48,7 @@ from .spec import (
     DomainRule,
     DriftRule,
     ExprRule,
+    FunctionalDependencyRule,
     LiteralRule,
     NotNullRule,
     OverlapRule,
@@ -247,6 +248,21 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
         if isinstance(r, UniqueRule) and not r.columns:
             raise SchemaError(f"rule {r.id!r}: unique rule needs >=1 column")
 
+        if isinstance(r, FunctionalDependencyRule):
+            if not r.determinants or not r.dependents:
+                raise SchemaError(
+                    f"rule {r.id!r}: fd rule needs >=1 determinant and "
+                    ">=1 dependent column"
+                )
+            overlap = set(r.determinants) & set(r.dependents)
+            if overlap:
+                # a dependent that is also a determinant is trivially
+                # functional — the rule can never fire; reject the vacuity
+                raise SchemaError(
+                    f"rule {r.id!r}: column(s) {sorted(overlap)} appear as "
+                    "both determinant and dependent (vacuously satisfied)"
+                )
+
         if isinstance(r, ExprRule):
             if not r.expr:
                 raise SchemaError(f"rule {r.id!r}: expr rule needs an expression")
@@ -365,7 +381,7 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
     group = tuple(
         r
         for r in spec.rules
-        if isinstance(r, UniqueRule)
+        if isinstance(r, (UniqueRule, FunctionalDependencyRule))
         or (isinstance(r, CountRule) and r.group_by)
     )
     counts = tuple(

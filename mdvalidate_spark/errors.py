@@ -116,6 +116,7 @@ KIND_DTYPE = "dtype_mismatch"
 KIND_DIM = "dim_mismatch"
 KIND_NAN = "nan"
 KIND_EXPR = "expr"  # cross-column row invariant (ExprRule) evaluated FALSE
+KIND_FD = "fd"  # functional dependency violated (determinant maps to >1 dependent)
 
 ALL_KINDS = (
     KIND_LITERAL,
@@ -137,4 +138,5 @@ ALL_KINDS = (
     KIND_DIM,
     KIND_NAN,
     KIND_EXPR,
+    KIND_FD,
 )

@@ -75,6 +75,52 @@ def unique_violations(
     )
 
 
+def fd_violations(df: DataFrame, rule, run_id: str) -> DataFrame:
+    """Functional dependency det → dep, two cheap phases (see
+    FunctionalDependencyRule docstring): distinct (det, dep) pairs first
+    (map-side combine, hot determinants spread across their dependent
+    values — no salting needed), then a per-determinant count over the
+    bounded pair rows. Never a countDistinct expand, never a collect."""
+    from ..errors import KIND_FD
+
+    if rule.when:
+        df = df.where(F.expr(rule.when))  # scope-gated dependency
+    det = _key_expr(rule.determinants).alias("_det")
+    dep = _key_expr(rule.dependents).alias("_dep")
+    pairs = df.select(det, dep).groupBy("_det", "_dep").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    bad = (
+        pairs.groupBy("_det")
+        .agg(
+            F.count(F.lit(1)).alias("n_dep"),
+            F.min("_dep").alias("_lo"),
+            F.max("_dep").alias("_hi"),
+        )
+        .where(F.col("n_dep") > 1)
+    )
+    return bad.select(
+        F.lit(run_id).alias("run_id"),
+        F.lit(None).cast("int").alias("partition_id"),
+        F.lit(rule.id).alias("rule_id"),
+        F.col("_det").alias("image_id"),
+        F.lit(",".join(rule.determinants)).alias("column"),
+        F.lit(f"{','.join(rule.dependents)} functionally determined").alias(
+            "expected"
+        ),
+        F.concat(
+            F.lit("distinct="),
+            F.col("n_dep").cast("string"),
+            F.lit(" in ["),
+            F.col("_lo"),
+            F.lit(" .. "),
+            F.col("_hi"),
+            F.lit("]"),
+        ).alias("actual"),
+        F.lit(KIND_FD).alias("kind"),
+    )
+
+
 def count_violations(
     df: DataFrame,
     rule: CountRule,

@@ -590,12 +590,14 @@ class ValidationRun:
         mets: list[DataFrame] = []
 
         for gr in prog.group_rules:
-            from .spec import CountRule, UniqueRule
+            from .spec import CountRule, FunctionalDependencyRule, UniqueRule
 
             if isinstance(gr, UniqueRule):
                 viols.append(
                     agg_rules.unique_violations(self.df, gr, self.run_id)
                 )
+            elif isinstance(gr, FunctionalDependencyRule):
+                viols.append(agg_rules.fd_violations(self.df, gr, self.run_id))
             elif isinstance(gr, CountRule):
                 viols.append(
                     agg_rules.count_violations(

@@ -310,6 +310,38 @@ class CountRule(Rule):
         return self.group_by
 
 
+@dataclass(frozen=True)
+class FunctionalDependencyRule(Rule):
+    """Functional dependency ``determinants → dependents``: every distinct
+    determinant tuple must map to exactly ONE distinct dependent tuple
+    (zip+city → state; image_id → phash; part → brand). A determinant whose
+    rows disagree on the dependents is reported once, with the distinct
+    count and the lexicographic [min .. max] dependent values for triage.
+
+    The reference's schema ties each position to one matcher — the same
+    value-consistency contract per schema slot (a literal node must equal
+    ONE string everywhere it appears, matchers.rs:433-601); FD generalizes
+    it to "same key ⇒ same value" across rows.
+
+    Scale shape (operators/agg_rules.py fd_violations): TWO cheap phases,
+    never a countDistinct expand — groupBy(det, dep).count() first (map-side
+    combine collapses duplicate pairs before the shuffle; a hot determinant
+    is spread across its dependent values, so no salting needed), then
+    groupBy(det) over the distinct-pair rows (bounded by distinct pairs, at
+    most a few per determinant in healthy data). NULL dependents count as
+    one distinct value (SQL groupBy semantics); NULL determinants form their
+    own group. ``when`` scopes the dependency to the matching
+    sub-population."""
+
+    determinants: tuple[str, ...] = ()
+    dependents: tuple[str, ...] = ()
+    when: str = ""  # optional row-scope predicate (see NotNullRule.when)
+    kind: str = field(default="fd", init=False)
+
+    def targets(self):
+        return self.determinants + self.dependents
+
+
 # --------------------------------------------------------- referential rules
 
 

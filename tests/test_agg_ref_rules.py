@@ -860,3 +860,124 @@ def test_value_profile_topk_plan_is_take_ordered(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrdered" in plan
     assert "Python" not in plan
+
+
+# ------------------------------------------------- FunctionalDependencyRule
+
+
+def _fd_frame(spark):
+    return spark.createDataFrame(
+        [
+            # det "a" -> consistent dep ("x", 1)
+            ("r1", "a", "x", 1),
+            ("r2", "a", "x", 1),
+            # det "b" -> disagrees on dep1 ("x" vs "y")
+            ("r3", "b", "x", 2),
+            ("r4", "b", "y", 2),
+            # det "c" -> disagrees only via NULL vs value
+            ("r5", "c", "z", 3),
+            ("r6", "c", None, 3),
+            # NULL determinant group, consistent
+            ("r7", None, "w", 4),
+            ("r8", None, "w", 4),
+        ],
+        "k string, det string, dep1 string, dep2 int",
+    )
+
+
+def test_fd_rule_flags_disagreeing_determinants(spark):
+    from mdvalidate_spark.spec import FunctionalDependencyRule
+
+    df = _fd_frame(spark)
+    v = agg_rules.fd_violations(
+        df,
+        FunctionalDependencyRule("fd", determinants=("det",), dependents=("dep1", "dep2")),
+        "t",
+    )
+    rows = {r["image_id"]: r for r in v.collect()}
+    # "b" disagrees on dep1; "c" disagrees NULL-vs-value (NULL is one
+    # distinct dependent under groupBy semantics); "a" and the NULL
+    # determinant group are consistent
+    assert set(rows) == {"b", "c"}
+    b = rows["b"]
+    assert b["kind"] == "fd"
+    assert b["column"] == "det"
+    assert b["expected"] == "dep1,dep2 functionally determined"
+    assert b["actual"].startswith("distinct=2 in [")
+
+
+def test_fd_rule_when_scopes(spark):
+    from mdvalidate_spark.spec import FunctionalDependencyRule
+
+    df = _fd_frame(spark)
+    v = agg_rules.fd_violations(
+        df,
+        FunctionalDependencyRule(
+            "fd", determinants=("det",), dependents=("dep1",), when="dep2 <> 2"
+        ),
+        "t",
+    )
+    # scoping out dep2=2 removes determinant "b"'s conflict; "c" remains
+    assert {r["image_id"] for r in v.collect()} == {"c"}
+
+
+def test_fd_rule_compile_lint():
+    from mdvalidate_spark.compile import compile_spec
+    from mdvalidate_spark.errors import SchemaError
+    from mdvalidate_spark.spec import FunctionalDependencyRule, Spec
+
+    def spec(rule):
+        return Spec(rules=(rule,), key_column="k")
+
+    with pytest.raises(SchemaError):
+        compile_spec(spec(FunctionalDependencyRule("f", determinants=(), dependents=("a",))))
+    with pytest.raises(SchemaError):
+        compile_spec(spec(FunctionalDependencyRule("f", determinants=("a",), dependents=())))
+    # overlapping det/dep is vacuously satisfied -> rejected
+    with pytest.raises(SchemaError):
+        compile_spec(
+            spec(FunctionalDependencyRule("f", determinants=("a", "b"), dependents=("b",)))
+        )
+    # staged as a GLOBAL group rule (finalize pass)
+    prog = compile_spec(
+        spec(FunctionalDependencyRule("f", determinants=("a",), dependents=("b",)))
+    )
+    assert prog.group_rules and prog.group_rules[0].id == "f"
+
+
+def test_fd_rule_through_run_lifecycle(spark, tmp_path):
+    from mdvalidate_spark.run import ValidationRun
+    from mdvalidate_spark.spec import FunctionalDependencyRule, Spec
+
+    df = _fd_frame(spark)
+    spec = Spec(
+        rules=(
+            FunctionalDependencyRule(
+                "fd", determinants=("det",), dependents=("dep1",)
+            ),
+        ),
+        key_column="k",
+        n_partitions=4,
+    )
+    run = ValidationRun(spark, spec, df, checkpoint_dir=str(tmp_path / "cp"))
+    run.validate_pending()
+    rep = run.finalize()
+    got = {r["image_id"] for r in rep.violations.where("rule_id = 'fd'").collect()}
+    assert got == {"b", "c"}
+    assert rep.exit_code == 1
+
+
+def test_fd_rule_two_phase_plan_no_expand(spark):
+    """The FD pass must be two plain hash aggregations over distinct pairs —
+    no Expand node (countDistinct expansion), no Python."""
+    from mdvalidate_spark.spec import FunctionalDependencyRule
+
+    df = _fd_frame(spark)
+    v = agg_rules.fd_violations(
+        df,
+        FunctionalDependencyRule("fd", determinants=("det",), dependents=("dep1",)),
+        "t",
+    )
+    plan = v._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    assert "PythonUDF" not in plan
