@@ -234,6 +234,36 @@ def q_fd_lineitem(spark, sf_dir):
     )
 
 
+def q_freshness_events(spark, sf_dir):
+    """Per-feed staleness (FreshnessRule): every event_type must have
+    produced rows within 20 minutes of the batch watermark (explicit as_of
+    — the engine never reads the wall clock, so the run replays
+    identically). One mergeable-max aggregation; lag in whole epoch
+    seconds for cross-engine determinism."""
+    from mdvalidate_spark.operators.agg_rules import freshness_violations
+    from mdvalidate_spark.spec import FreshnessRule
+
+    ev = _load(spark, sf_dir, "events")
+    v = freshness_violations(
+        ev,
+        FreshnessRule(
+            "feed_fresh",
+            column="ts",
+            max_age_seconds=1200,
+            as_of="2024-01-31 00:00:00",
+            group_by=("event_type",),
+        ),
+        "q",
+    )
+    return v.select(
+        F.col("rule_id"),
+        F.col("image_id").alias("group_key"),
+        F.col("expected"),
+        F.col("actual"),
+        F.col("kind"),
+    )
+
+
 def q_vector_embeddings(spark, sf_dir):
     """VectorRule over an array<float> embedding column: dimension, finite
     elements, L2-norm bounds — one codegen'd higher-order-function
@@ -1185,6 +1215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conditional_orders": q_conditional_orders,
         "expr_lineitem": q_expr_lineitem,
         "fd_lineitem": q_fd_lineitem,
+        "freshness_events": q_freshness_events,
         "vector_embeddings": q_vector_embeddings,
         "row_part": q_row_part,
         "row_customer": q_row_customer,
@@ -1303,6 +1334,20 @@ FROM (
          MAX(CAST(l_suppkey AS VARCHAR)) AS hi
   FROM lineitem GROUP BY l_partkey
 ) WHERE n > 1
+"""
+
+_FRESHNESS_EVENTS_SQL = """
+WITH g AS (
+  SELECT event_type,
+         CAST(floor(epoch(TIMESTAMP '2024-01-31 00:00:00')) AS BIGINT)
+           - CAST(floor(epoch(max(ts))) AS BIGINT) AS lag_s
+  FROM events GROUP BY event_type
+)
+SELECT 'feed_fresh' AS rule_id, event_type AS group_key,
+       'max(ts) within 1200s of 2024-01-31 00:00:00' AS expected,
+       'lag_s=' || CAST(lag_s AS VARCHAR) AS actual,
+       'stale' AS kind
+FROM g WHERE lag_s > 1200
 """
 
 _VECTOR_EMBEDDINGS_SQL = """
@@ -1733,6 +1778,7 @@ def oracle_sql() -> dict[str, str]:
         "conditional_orders": _CONDITIONAL_ORDERS_SQL,
         "expr_lineitem": _EXPR_LINEITEM_SQL,
         "fd_lineitem": _FD_LINEITEM_SQL,
+        "freshness_events": _FRESHNESS_EVENTS_SQL,
         "vector_embeddings": _VECTOR_EMBEDDINGS_SQL,
         "row_part": _ROW_PART_SQL,
         "row_customer": _ROW_CUSTOMER_SQL,

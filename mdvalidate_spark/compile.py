@@ -48,6 +48,7 @@ from .spec import (
     DomainRule,
     DriftRule,
     ExprRule,
+    FreshnessRule,
     FunctionalDependencyRule,
     LiteralRule,
     NotNullRule,
@@ -248,6 +249,30 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
         if isinstance(r, UniqueRule) and not r.columns:
             raise SchemaError(f"rule {r.id!r}: unique rule needs >=1 column")
 
+        if isinstance(r, FreshnessRule):
+            if not r.column:
+                raise SchemaError(f"rule {r.id!r}: freshness rule needs a column")
+            if r.max_age_seconds < 0:
+                raise SchemaError(
+                    f"rule {r.id!r}: max_age_seconds must be >= 0, "
+                    f"got {r.max_age_seconds}"
+                )
+            if not r.as_of:
+                raise SchemaError(
+                    f"rule {r.id!r}: freshness needs an explicit as_of "
+                    "timestamp — the engine never reads the wall clock "
+                    "(determinism/replay); pass the batch watermark"
+                )
+            from datetime import datetime
+
+            try:
+                datetime.fromisoformat(r.as_of)
+            except ValueError as e:
+                raise SchemaError(
+                    f"rule {r.id!r}: as_of {r.as_of!r} is not an ISO "
+                    f"timestamp: {e}"
+                ) from e
+
         if isinstance(r, FunctionalDependencyRule):
             if not r.determinants or not r.dependents:
                 raise SchemaError(
@@ -381,7 +406,7 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
     group = tuple(
         r
         for r in spec.rules
-        if isinstance(r, (UniqueRule, FunctionalDependencyRule))
+        if isinstance(r, (UniqueRule, FunctionalDependencyRule, FreshnessRule))
         or (isinstance(r, CountRule) and r.group_by)
     )
     counts = tuple(

@@ -117,6 +117,7 @@ KIND_DIM = "dim_mismatch"
 KIND_NAN = "nan"
 KIND_EXPR = "expr"  # cross-column row invariant (ExprRule) evaluated FALSE
 KIND_FD = "fd"  # functional dependency violated (determinant maps to >1 dependent)
+KIND_STALE = "stale"  # freshness bound violated (max timestamp older than allowed)
 
 ALL_KINDS = (
     KIND_LITERAL,
@@ -139,4 +140,5 @@ ALL_KINDS = (
     KIND_NAN,
     KIND_EXPR,
     KIND_FD,
+    KIND_STALE,
 )

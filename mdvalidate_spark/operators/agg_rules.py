@@ -121,6 +121,49 @@ def fd_violations(df: DataFrame, rule, run_id: str) -> DataFrame:
     )
 
 
+def freshness_violations(df: DataFrame, rule, run_id: str) -> DataFrame:
+    """max(column) per group must lie within max_age_seconds of the rule's
+    explicit as_of instant. One mergeable-max aggregation; lag rendered in
+    whole seconds (epoch arithmetic — cross-engine deterministic, no float
+    formatting). All-NULL groups report 'no non-null timestamps'."""
+    from ..errors import KIND_STALE
+
+    if rule.when:
+        df = df.where(F.expr(rule.when))
+    as_of_s = F.unix_timestamp(F.to_timestamp(F.lit(rule.as_of)))
+    gb = list(rule.group_by)
+    agged = (
+        df.groupBy(*[F.col(c) for c in gb]).agg(F.max(rule.column).alias("_mx"))
+        if gb
+        else df.agg(F.max(rule.column).alias("_mx"))
+    )
+    lag = (as_of_s - F.unix_timestamp(F.col("_mx"))).cast("bigint")
+    key = _key_expr(tuple(gb)) if gb else F.lit("*")
+    return (
+        agged.select(
+            key.alias("_k"),
+            lag.alias("_lag"),
+        )
+        .where(F.col("_lag").isNull() | (F.col("_lag") > F.lit(rule.max_age_seconds)))
+        .select(
+            F.lit(run_id).alias("run_id"),
+            F.lit(None).cast("int").alias("partition_id"),
+            F.lit(rule.id).alias("rule_id"),
+            F.col("_k").alias("image_id"),
+            F.lit(rule.column).alias("column"),
+            F.lit(
+                f"max({rule.column}) within {rule.max_age_seconds}s "
+                f"of {rule.as_of}"
+            ).alias("expected"),
+            F.coalesce(
+                F.concat(F.lit("lag_s="), F.col("_lag").cast("string")),
+                F.lit("no non-null timestamps"),
+            ).alias("actual"),
+            F.lit(KIND_STALE).alias("kind"),
+        )
+    )
+
+
 def count_violations(
     df: DataFrame,
     rule: CountRule,

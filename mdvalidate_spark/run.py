@@ -591,6 +591,7 @@ class ValidationRun:
 
         for gr in prog.group_rules:
             from .spec import CountRule, FunctionalDependencyRule, UniqueRule
+            from .spec import FreshnessRule as _FreshnessRule
 
             if isinstance(gr, UniqueRule):
                 viols.append(
@@ -598,6 +599,10 @@ class ValidationRun:
                 )
             elif isinstance(gr, FunctionalDependencyRule):
                 viols.append(agg_rules.fd_violations(self.df, gr, self.run_id))
+            elif isinstance(gr, _FreshnessRule):
+                viols.append(
+                    agg_rules.freshness_violations(self.df, gr, self.run_id)
+                )
             elif isinstance(gr, CountRule):
                 viols.append(
                     agg_rules.count_violations(

@@ -342,6 +342,37 @@ class FunctionalDependencyRule(Rule):
         return self.determinants + self.dependents
 
 
+@dataclass(frozen=True)
+class FreshnessRule(Rule):
+    """Staleness bound on a timestamp column: ``max(column)`` must lie
+    within ``max_age_seconds`` of ``as_of`` — the data-recency contract an
+    ingestion pipeline checks before trusting a table ("every feed must
+    have produced rows in the last hour").
+
+    ``as_of`` is an EXPLICIT ISO timestamp, required: the engine never
+    reads the wall clock, so a resumed or replayed run re-evaluates the
+    identical rule (the same determinism discipline as the manifest
+    checkpoint — reference runs are replayable byte-for-byte,
+    validator.rs:161-168). Callers pass their batch watermark / job
+    trigger time.
+
+    ``group_by`` reports staleness PER GROUP (each source/feed checked
+    independently); a group whose ``column`` is all NULL reports "no
+    non-null timestamps". A group with NO rows never appears — enumerate
+    expected groups with CountRule(universe=...) for absence detection.
+    One aggregation, mergeable max per group — scale-trivial."""
+
+    column: str = ""
+    max_age_seconds: int = 0
+    as_of: str = ""  # ISO timestamp (e.g. "2024-01-31 00:00:00")
+    group_by: tuple[str, ...] = ()
+    when: str = ""  # optional row-scope predicate (see NotNullRule.when)
+    kind: str = field(default="freshness", init=False)
+
+    def targets(self):
+        return (self.column, *self.group_by)
+
+
 # --------------------------------------------------------- referential rules
 
 

@@ -981,3 +981,103 @@ def test_fd_rule_two_phase_plan_no_expand(spark):
     plan = v._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan
     assert "PythonUDF" not in plan
+
+
+# ------------------------------------------------------------ FreshnessRule
+
+
+def _fresh_frame(spark):
+    from datetime import datetime
+
+    rows = [
+        ("a", datetime(2024, 1, 30, 23, 50, 0)),   # lag 600s at as_of
+        ("a", datetime(2024, 1, 30, 20, 0, 0)),
+        ("b", datetime(2024, 1, 30, 22, 0, 0)),    # lag 7200s -> stale
+        ("c", None),                                # all-NULL group
+    ]
+    return spark.createDataFrame(rows, "src string, ts timestamp")
+
+
+AS_OF = "2024-01-31 00:00:00"
+
+
+def test_freshness_per_group(spark):
+    from mdvalidate_spark.spec import FreshnessRule
+
+    v = agg_rules.freshness_violations(
+        _fresh_frame(spark),
+        FreshnessRule(
+            "fr", column="ts", max_age_seconds=1200, as_of=AS_OF,
+            group_by=("src",),
+        ),
+        "t",
+    )
+    rows = {r["image_id"]: r for r in v.collect()}
+    assert set(rows) == {"b", "c"}
+    assert rows["b"]["actual"] == "lag_s=7200"
+    assert rows["b"]["kind"] == "stale"
+    assert rows["c"]["actual"] == "no non-null timestamps"
+
+
+def test_freshness_global_and_pass(spark):
+    from mdvalidate_spark.spec import FreshnessRule
+
+    df = _fresh_frame(spark)
+    # global max is 23:50 -> lag 600 <= 1200 -> no violation
+    ok = agg_rules.freshness_violations(
+        df,
+        FreshnessRule("fr", column="ts", max_age_seconds=1200, as_of=AS_OF),
+        "t",
+    )
+    assert ok.count() == 0
+    # tighten the bound -> one global row keyed '*'
+    bad = agg_rules.freshness_violations(
+        df,
+        FreshnessRule("fr", column="ts", max_age_seconds=599, as_of=AS_OF),
+        "t",
+    ).collect()
+    assert len(bad) == 1 and bad[0]["image_id"] == "*"
+    assert bad[0]["actual"] == "lag_s=600"
+
+
+def test_freshness_when_scopes(spark):
+    from mdvalidate_spark.spec import FreshnessRule
+
+    # scope to src='a' only: fresh -> no violations even though b is stale
+    v = agg_rules.freshness_violations(
+        _fresh_frame(spark),
+        FreshnessRule(
+            "fr", column="ts", max_age_seconds=1200, as_of=AS_OF,
+            group_by=("src",), when="src = 'a'",
+        ),
+        "t",
+    )
+    assert v.count() == 0
+
+
+def test_freshness_compile_lint_and_lifecycle(spark):
+    from mdvalidate_spark.compile import compile_spec
+    from mdvalidate_spark.errors import SchemaError
+    from mdvalidate_spark.run import ValidationRun
+    from mdvalidate_spark.spec import FreshnessRule, Spec
+
+    def spec(rule):
+        return Spec(rules=(rule,), key_column="src")
+
+    with pytest.raises(SchemaError):  # no as_of: engine never reads the clock
+        compile_spec(spec(FreshnessRule("f", column="ts", max_age_seconds=10)))
+    with pytest.raises(SchemaError):  # bad iso
+        compile_spec(spec(FreshnessRule("f", column="ts", max_age_seconds=10, as_of="soon")))
+    with pytest.raises(SchemaError):  # negative age
+        compile_spec(spec(FreshnessRule("f", column="ts", max_age_seconds=-1, as_of=AS_OF)))
+
+    run = ValidationRun(
+        spark,
+        spec(FreshnessRule("fr", column="ts", max_age_seconds=1200,
+                           as_of=AS_OF, group_by=("src",))),
+        _fresh_frame(spark),
+    )
+    run.validate_pending()
+    rep = run.finalize()
+    assert {r["image_id"] for r in rep.violations.collect()} == {"b", "c"}
+    assert rep.exit_code == 1
