@@ -264,6 +264,20 @@ def q_freshness_events(spark, sf_dir):
     )
 
 
+def q_suggest_orders(spark, sf_dir):
+    """Constraint suggestion (the inverse of validation): profile orders in
+    ONE aggregation pass + one bounded domain pass and draft the Spec that
+    would have enforced its observed invariants — NotNull where no NULLs,
+    Domain for small string cardinalities, Range envelopes, Unique where
+    distinct == rows. The draft validates CLEAN on the profiled table by
+    construction (test-locked) — a ratchet against future regressions."""
+    from mdvalidate_spark.operators.suggest import suggest_spec, suggestion_rows
+
+    orders = _load(spark, sf_dir, "orders")
+    spec = suggest_spec(orders, "o_orderkey", exact=True)
+    return suggestion_rows(spark, spec)
+
+
 def q_vector_embeddings(spark, sf_dir):
     """VectorRule over an array<float> embedding column: dimension, finite
     elements, L2-norm bounds — one codegen'd higher-order-function
@@ -1216,6 +1230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expr_lineitem": q_expr_lineitem,
         "fd_lineitem": q_fd_lineitem,
         "freshness_events": q_freshness_events,
+        "suggest_orders": q_suggest_orders,
         "vector_embeddings": q_vector_embeddings,
         "row_part": q_row_part,
         "row_customer": q_row_customer,
@@ -1348,6 +1363,62 @@ SELECT 'feed_fresh' AS rule_id, event_type AS group_key,
        'lag_s=' || CAST(lag_s AS VARCHAR) AS actual,
        'stale' AS kind
 FROM g WHERE lag_s > 1200
+"""
+
+# mirrors suggest_spec(exact=True) on orders: not_null when no NULLs seen,
+# domain for string cardinality <= 16 (sorted values), numeric [min, max]
+# envelopes rendered via a DOUBLE cast, unique when distinct == rows
+_SUGGEST_ORDERS_SQL = """
+WITH n AS (SELECT count(*) AS n FROM orders)
+SELECT c AS column_name, k AS kind, d AS detail FROM (
+  SELECT 'o_custkey' AS c, 'not_null' AS k, '' AS d
+  WHERE (SELECT count(o_custkey) FROM orders) = (SELECT n FROM n)
+  UNION ALL
+  SELECT 'o_custkey', 'range',
+    '[' || CAST(CAST(min(o_custkey) AS DOUBLE) AS VARCHAR) || ', '
+        || CAST(CAST(max(o_custkey) AS DOUBLE) AS VARCHAR) || ']'
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderdate', 'not_null', ''
+  WHERE (SELECT count(o_orderdate) FROM orders) = (SELECT n FROM n)
+  UNION ALL
+  SELECT 'o_orderkey', 'not_null', ''
+  WHERE (SELECT count(o_orderkey) FROM orders) = (SELECT n FROM n)
+  UNION ALL
+  SELECT 'o_orderkey', 'range',
+    '[' || CAST(CAST(min(o_orderkey) AS DOUBLE) AS VARCHAR) || ', '
+        || CAST(CAST(max(o_orderkey) AS DOUBLE) AS VARCHAR) || ']'
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderkey', 'unique', ''
+  WHERE (SELECT count(DISTINCT o_orderkey) FROM orders) = (SELECT n FROM n)
+  UNION ALL
+  SELECT 'o_orderpriority', 'domain',
+    'in {' || (SELECT string_agg(v, ', ' ORDER BY v)
+               FROM (SELECT DISTINCT o_orderpriority AS v FROM orders
+                     WHERE o_orderpriority IS NOT NULL)) || '}'
+  WHERE (SELECT count(DISTINCT o_orderpriority) FROM orders) BETWEEN 1 AND 16
+  UNION ALL
+  SELECT 'o_orderpriority', 'not_null', ''
+  WHERE (SELECT count(o_orderpriority) FROM orders) = (SELECT n FROM n)
+  UNION ALL
+  SELECT 'o_orderstatus', 'domain',
+    'in {' || (SELECT string_agg(v, ', ' ORDER BY v)
+               FROM (SELECT DISTINCT o_orderstatus AS v FROM orders
+                     WHERE o_orderstatus IS NOT NULL)) || '}'
+  WHERE (SELECT count(DISTINCT o_orderstatus) FROM orders) BETWEEN 1 AND 16
+  UNION ALL
+  SELECT 'o_orderstatus', 'not_null', ''
+  WHERE (SELECT count(o_orderstatus) FROM orders) = (SELECT n FROM n)
+  UNION ALL
+  SELECT 'o_totalprice', 'not_null', ''
+  WHERE (SELECT count(o_totalprice) FROM orders) = (SELECT n FROM n)
+  UNION ALL
+  SELECT 'o_totalprice', 'range',
+    '[' || CAST(min(o_totalprice) AS VARCHAR) || ', '
+        || CAST(max(o_totalprice) AS VARCHAR) || ']'
+  FROM orders
+)
 """
 
 _VECTOR_EMBEDDINGS_SQL = """
@@ -1779,6 +1850,7 @@ def oracle_sql() -> dict[str, str]:
         "expr_lineitem": _EXPR_LINEITEM_SQL,
         "fd_lineitem": _FD_LINEITEM_SQL,
         "freshness_events": _FRESHNESS_EVENTS_SQL,
+        "suggest_orders": _SUGGEST_ORDERS_SQL,
         "vector_embeddings": _VECTOR_EMBEDDINGS_SQL,
         "row_part": _ROW_PART_SQL,
         "row_customer": _ROW_CUSTOMER_SQL,

@@ -1,0 +1,158 @@
+"""Constraint suggestion: profile a table once and draft a Spec.
+
+The reference starts from a hand-written mdschema; at 10^12 rows nobody
+hand-writes the first draft — the engine proposes one from the data and the
+user edits it down. This is the inverse of validation: observe the table's
+actual invariants (no NULLs seen, small value set, numeric envelope, all
+values distinct) and emit the rule that would have enforced them
+(NotNullRule / DomainRule / RangeRule / UniqueRule + a SchemaRule pinning
+the observed dtypes). The suggested spec VALIDATES CLEAN on the profiled
+table by construction — it is a ratchet against future regressions, not a
+judgment of the current data.
+
+Scale shape: ONE aggregation pass over the table computes every per-column
+statistic (row count, non-null count, distinct cardinality, numeric
+min/max) — a single row collected to the driver. Domain candidates (string
+columns whose cardinality is at or below ``domain_max_distinct``) get one
+SECOND bounded pass collecting their sorted value sets — each set is
+already known to be small, so the collect is O(candidates x k), never
+O(rows). ``exact=False`` (the 100 TB default) uses approx_count_distinct
+(HLL, ~1.6% rsd) for cardinality; ``exact=True`` uses exact distinct counts
+for small-scale oracle parity. Uniqueness is suggested only when the
+distinct count equals the row count under the chosen mode — with the
+sketch, ``unique_margin`` loosens the match to tolerate HLL error (0.0
+means exact equality, the right setting only when exact=True).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ByteType,
+    DateType,
+    DecimalType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+    TimestampType,
+)
+
+from ..spec import (
+    DomainRule,
+    NotNullRule,
+    RangeRule,
+    Rule,
+    SchemaRule,
+    Spec,
+    UniqueRule,
+)
+
+_NUMERIC = (ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType,
+            DecimalType)
+_ORDERED = _NUMERIC + (DateType, TimestampType)
+
+
+def suggest_spec(
+    df: DataFrame,
+    key_column: str,
+    *,
+    domain_max_distinct: int = 16,
+    exact: bool = False,
+    unique_margin: float = 0.0,
+    n_partitions: int = 8,
+) -> Spec:
+    """Profile ``df`` and return a draft Spec (see module docstring).
+
+    Deterministic: rules are ordered by (column, kind); domain values are
+    sorted; rule ids are ``suggest_<kind>_<column>``.
+    """
+    fields = [f for f in df.schema.fields if f.name != "partition_id"]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for f in fields:
+        c = f.name
+        col = F.col(c)
+        aggs.append(F.count(col).alias(f"nn__{c}"))
+        nd = F.count_distinct(col) if exact else F.approx_count_distinct(col)
+        aggs.append(nd.alias(f"nd__{c}"))
+        if isinstance(f.dataType, _NUMERIC):
+            aggs.append(F.min(col).alias(f"mn__{c}"))
+            aggs.append(F.max(col).alias(f"mx__{c}"))
+    prof = df.agg(*aggs).collect()[0]  # ONE row — bounded driver transfer
+    n_rows = prof["__n"]
+
+    # bounded second pass: sorted value sets of the small-cardinality
+    # string columns only (each set known <= domain_max_distinct + slack)
+    domain_cols = [
+        f.name
+        for f in fields
+        if isinstance(f.dataType, StringType)
+        and 0 < prof[f"nd__{f.name}"] <= domain_max_distinct
+    ]
+    domains: dict[str, tuple[str, ...]] = {}
+    if domain_cols:
+        drow = df.agg(
+            *[
+                F.sort_array(F.collect_set(F.col(c))).alias(c)
+                for c in domain_cols
+            ]
+        ).collect()[0]
+        for c in domain_cols:
+            vals = tuple(drow[c])
+            # the sketch may have undercounted — keep the suggestion honest
+            if len(vals) <= domain_max_distinct:
+                domains[c] = vals
+
+    rules: list[Rule] = []
+    for f in sorted(fields, key=lambda x: x.name):
+        c = f.name
+        nn, nd = prof[f"nn__{c}"], prof[f"nd__{c}"]
+        if c in domains:
+            rules.append(
+                DomainRule(f"suggest_domain_{c}", column=c, values=domains[c])
+            )
+        if n_rows > 0 and nn == n_rows:
+            rules.append(NotNullRule(f"suggest_not_null_{c}", column=c))
+        if isinstance(f.dataType, _NUMERIC) and nn > 0:
+            rules.append(
+                RangeRule(
+                    f"suggest_range_{c}",
+                    column=c,
+                    min=float(prof[f"mn__{c}"]),
+                    max=float(prof[f"mx__{c}"]),
+                )
+            )
+        if n_rows > 0 and nn == n_rows and nd >= n_rows * (1.0 - unique_margin):
+            rules.append(UniqueRule(f"suggest_unique_{c}", columns=(c,)))
+    rules.append(
+        SchemaRule(
+            "suggest_schema",
+            expected=tuple(
+                (f.name, f.dataType.simpleString())
+                for f in sorted(fields, key=lambda x: x.name)
+            ),
+        )
+    )
+    return Spec(rules=tuple(rules), key_column=key_column, n_partitions=n_partitions)
+
+
+def suggestion_rows(spark, spec: Spec) -> DataFrame:
+    """Render a suggested Spec as a deterministic DataFrame
+    (column, kind, detail) for reports and oracle comparison. Schema-pin
+    rows are omitted (engine dtype names are not portable across engines)."""
+    rows = []
+    for r in spec.rules:
+        if isinstance(r, DomainRule):
+            rows.append((r.column, "domain", "in {" + ", ".join(r.values) + "}"))
+        elif isinstance(r, NotNullRule):
+            rows.append((r.column, "not_null", ""))
+        elif isinstance(r, RangeRule):
+            rows.append((r.column, "range", f"[{r.min}, {r.max}]"))
+        elif isinstance(r, UniqueRule):
+            rows.append((r.columns[0], "unique", ""))
+    return spark.createDataFrame(
+        rows, "column_name string, kind string, detail string"
+    )
