@@ -977,6 +977,33 @@ def q_drift_sweep_incremental_events(spark, sf_dir):
     )
 
 
+def q_drift_ref_orders(spark, sf_dir):
+    """TWO-TABLE drift (dataset shift vs a reference snapshot): pre-1998
+    orders are the REFERENCE table, 1998+ orders the CANDIDATE — PSI + KS of
+    o_totalprice on exact reference-percentile bins plus categorical PSI of
+    the o_orderpriority mix, all three rules FUSED into one stacked-histogram
+    scan per table (drift_vs_reference: the bin exprs stack into an array of
+    (rule, bin) structs, explode, one groupBy). Value-checked: the identical
+    edge/bin/density/statistic pipeline replays in DuckDB."""
+    from mdvalidate_spark.operators.drift import drift_vs_reference
+    from mdvalidate_spark.spec import DriftRule
+
+    o = _load(spark, sf_dir, "orders")
+    split = F.lit("1998-01-01").cast("timestamp")
+    ref = o.where(F.col("o_orderdate") < split)
+    cand = o.where(F.col("o_orderdate") >= split)
+    rules = [
+        DriftRule("rtp_psi", column="o_totalprice", reference="ref",
+                  method="psi", threshold=10.0, exact_edges=True),
+        DriftRule("rtp_ks", column="o_totalprice", reference="ref",
+                  method="ks", threshold=10.0, exact_edges=True),
+        DriftRule("rprio_psi", column="o_orderpriority", reference="ref",
+                  method="psi", threshold=10.0, categorical=True),
+    ]
+    _, m, _n = drift_vs_reference(ref, cand, rules, "q")
+    return m.select("rule_id", "metric", F.round("value", 3).alias("value"))
+
+
 # pinned IVF centroids (8 cells × 64 dims): a fixed closed-form literal grid
 # shared verbatim by the Spark query AND the DuckDB oracle, which makes the
 # whole IVF approximation — cell assignment, nprobe pruning, in-cell ranking —
@@ -1265,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_events_value": q_drift_events_value,
         "drift_categorical_orders": q_drift_categorical_orders,
         "drift_expr_documents": q_drift_expr_documents,
+        "drift_ref_orders": q_drift_ref_orders,
         "drift_sweep_events": q_drift_sweep_events,
         "drift_sweep_incremental_events": q_drift_sweep_incremental_events,
         "topk_ivf_embeddings": q_topk_ivf_embeddings,
@@ -2425,6 +2453,73 @@ FROM d
         ),
         "drift_sweep_events": _drift_sweep_sql(32),
         "drift_sweep_incremental_events": _drift_sweep_sql(32),
+        # two-table drift: exact ref-percentile edges (rounded to 6 dp,
+        # strictly-increasing dedupe, interior edges, bin = #(edges < x)),
+        # per-side densities, PSI/KS with eps 1e-6 — plus the categorical
+        # branch: ref top-K categories (count desc, value asc) + __other__
+        "drift_ref_orders": f"""
+WITH refs AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+  WHERE o_orderdate < TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL
+),
+cand AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL
+),
+e AS (
+  SELECT list_sort(list_distinct(
+           list_transform(quantile_cont(x, [{", ".join(repr(i / 32) for i in range(33))}]), v -> round(v, 6))
+         )) AS u
+  FROM refs
+),
+inner_e AS (SELECT u[2:len(u) - 1] AS ie FROM e),
+rc AS (SELECT len(list_filter(ie, edge -> x > edge)) AS bin, count(*) AS n
+       FROM refs, inner_e GROUP BY 1),
+cc AS (SELECT len(list_filter(ie, edge -> x > edge)) AS bin, count(*) AS n
+       FROM cand, inner_e GROUP BY 1),
+grid AS (SELECT unnest(range(0, len(ie) + 1)) AS bin FROM inner_e),
+d AS (
+  SELECT g.bin,
+         coalesce(c.n, 0) * 1.0 / (SELECT sum(n) FROM cc) AS dp,
+         coalesce(r.n, 0) * 1.0 / (SELECT sum(n) FROM rc) AS dr
+  FROM grid g LEFT JOIN cc c USING (bin) LEFT JOIN rc r USING (bin)
+),
+cat_ref AS (
+  SELECT CAST(o_orderpriority AS VARCHAR) AS x FROM orders
+  WHERE o_orderdate < TIMESTAMP '1998-01-01' AND o_orderpriority IS NOT NULL
+),
+cat_cand AS (
+  SELECT CAST(o_orderpriority AS VARCHAR) AS x FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderpriority IS NOT NULL
+),
+cl AS (SELECT list(x ORDER BY n DESC, x) AS cats FROM
+        (SELECT x, count(*) AS n FROM cat_ref GROUP BY 1
+         ORDER BY n DESC, x LIMIT 32)),
+crc AS (SELECT coalesce(list_position(cats, x) - 1, len(cats)) AS bin,
+               count(*) AS n
+        FROM cat_ref, cl GROUP BY 1),
+ccc AS (SELECT coalesce(list_position(cats, x) - 1, len(cats)) AS bin,
+               count(*) AS n
+        FROM cat_cand, cl GROUP BY 1),
+cgrid AS (SELECT unnest(range(0, len(cats) + 1)) AS bin FROM cl),
+cd AS (
+  SELECT g.bin,
+         coalesce(c.n, 0) * 1.0 / (SELECT sum(n) FROM ccc) AS dp,
+         coalesce(r.n, 0) * 1.0 / (SELECT sum(n) FROM crc) AS dr
+  FROM cgrid g LEFT JOIN ccc c USING (bin) LEFT JOIN crc r USING (bin)
+)
+SELECT 'rtp_psi' AS rule_id, 'psi_stat' AS metric,
+       round(sum((dp - dr) * ln((dp + 1e-6) / (dr + 1e-6))), 3) AS value
+FROM d
+UNION ALL
+SELECT 'rtp_ks', 'ks_stat', round(max(abs(cp - cr)), 3)
+FROM (SELECT sum(dp) OVER (ORDER BY bin) AS cp,
+             sum(dr) OVER (ORDER BY bin) AS cr FROM d)
+UNION ALL
+SELECT 'rprio_psi', 'psi_stat',
+       round(sum((dp - dr) * ln((dp + 1e-6) / (dr + 1e-6))), 3)
+FROM cd
+""",
         "embedding_neardup": _embedding_neardup_sql(),
         "embedding_clusters": f"""
 WITH RECURSIVE

@@ -333,10 +333,22 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
                 f"rule {r.id!r}: sweep_by is mutually exclusive with "
                 "group_column/group_value"
             )
-        if isinstance(r, DriftRule) and not r.sweep_by and not r.group_column:
+        if isinstance(r, DriftRule) and r.reference and (
+            r.group_column or r.group_value or r.sweep_by
+        ):
+            # two-table drift is whole-table vs whole-table: a probe slice
+            # or a sweep would be silently ignored — reject at compile
+            raise SchemaError(
+                f"rule {r.id!r}: reference (two-table drift) is mutually "
+                "exclusive with group_column/group_value and sweep_by"
+            )
+        if isinstance(r, DriftRule) and (
+            not r.sweep_by and not r.group_column and not r.reference
+        ):
             raise SchemaError(
                 f"rule {r.id!r}: drift rule needs group_column (probe vs "
-                "rest) or sweep_by (per-group sweep)"
+                "rest), sweep_by (per-group sweep), or reference "
+                "(two-table drift)"
             )
         if isinstance(r, DriftRule) and r.incremental and not r.sweep_by:
             raise SchemaError(

@@ -76,22 +76,16 @@ def _bin_expr(x: Column, bins: list, categorical: bool) -> Column:
     return sum([F.when(x > F.lit(e), 1).otherwise(0) for e in bins], F.lit(0))
 
 
-def compute_edges(df: DataFrame, rule: DriftRule) -> list:
-    """Bin definition from the REFERENCE slice — the first of the rule's two
-    driver-blocking jobs. Numeric rules: quantile bin edges (floats).
-    Categorical rules: the top ``n_bins`` categories by reference frequency
-    (strings; everything else lands in __other__, so a high-cardinality
-    column cannot blow up the driver). Exposed separately so the run
-    lifecycle can PREFETCH it on a driver thread overlapped with the
-    per-partition batch stage instead of paying it serially inside
-    finalize.
-
-    For a sweep rule the bin definition comes from the GLOBAL distribution
-    (every group is later compared against the rest on those shared bins)."""
-    if rule.sweep_by:
-        ref = _sweep_base(df, rule)
-    else:
-        ref = _base(df, rule).where(~F.col("_probe"))
+def _edges_from_base(ref: DataFrame, rule: DriftRule) -> list:
+    """Bin definition from a projected ``_x`` frame — ONE implementation
+    shared by the in-table probe/sweep path and the two-table reference
+    path, so edge semantics can never fork. Numeric: quantile edges
+    (exact percentiles rounded to 6 decimals for cross-engine parity, or
+    the approxQuantile sketch as the scale default). Categorical: the top
+    ``n_bins`` categories by frequency via orderBy+limit — Spark plans
+    this as TakeOrdered (a per-partition heap), never a full sort, and
+    everything else lands in __other__, so a high-cardinality column
+    cannot blow up the driver."""
     if rule.categorical:
         rows = (
             ref.groupBy("_x")
@@ -110,6 +104,36 @@ def compute_edges(df: DataFrame, rule: DriftRule) -> list:
         row = ref.agg(F.percentile(F.col("_x"), qarr).alias("e")).collect()[0]["e"]
         return [round(float(e), 6) for e in (row or [])]
     return ref.approxQuantile("_x", qs, 0.001)
+
+
+def compute_edges(df: DataFrame, rule: DriftRule) -> list:
+    """Bin definition from the REFERENCE slice — the first of the rule's two
+    driver-blocking jobs. Exposed separately so the run lifecycle can
+    PREFETCH it on a driver thread overlapped with the per-partition batch
+    stage instead of paying it serially inside finalize.
+
+    For a sweep rule the bin definition comes from the GLOBAL distribution
+    (every group is later compared against the rest on those shared bins)."""
+    if rule.sweep_by:
+        ref = _sweep_base(df, rule)
+    else:
+        ref = _base(df, rule).where(~F.col("_probe"))
+    return _edges_from_base(ref, rule)
+
+
+def _ref_base(df: DataFrame, rule: DriftRule) -> DataFrame:
+    """Whole-frame (no probe split) projection of a rule's drifting
+    quantity — the two-table path's analog of ``_base``."""
+    val = F.expr(rule.expr) if rule.expr else F.col(rule.column)
+    x = val.cast("string") if rule.categorical else val.cast("double")
+    return df.select(x.alias("_x")).where(F.col("_x").isNotNull())
+
+
+def reference_edges(ref: DataFrame, rule: DriftRule) -> list:
+    """Bin definition for a two-table drift rule — computed from the
+    REFERENCE TABLE (yesterday's snapshot / a golden sample), identical
+    math to the in-table path."""
+    return _edges_from_base(_ref_base(ref, rule), rule)
 
 
 def _histograms(
@@ -392,6 +416,168 @@ def drift_sweep_from_partials(
         .collect()
     )
     return _sweep_from_counts(spark, counts, nb, rule, run_id)
+
+
+def drift_vs_reference(
+    ref: DataFrame,
+    cand: DataFrame,
+    rules: list[DriftRule],
+    run_id: str,
+    edges_map: dict[str, list] | None = None,
+) -> tuple[DataFrame, DataFrame, int]:
+    """TWO-TABLE drift: each rule's column/expr distribution in the
+    CANDIDATE table vs its distribution in a separate REFERENCE table
+    (dataset shift vs yesterday's snapshot / a golden sample — the
+    between-RUNS counterpart of the in-table probe-vs-rest and per-group
+    sweep checks; reference lineage: the EOF full-revalidation global pass,
+    validator.rs:162-168, generalized across two inputs).
+
+    Plan shape (scale-first):
+      1. bin definitions come from REF — all exact-percentile numeric rules
+         share ONE fused aggregate (one job regardless of rule count);
+         approx-sketch and categorical rules each pay one bounded job
+         (approxQuantile sketch / TakeOrdered top-K per-partition heap);
+      2. each table is then scanned ONCE for ALL rules: the per-rule bin
+         expressions are stacked into an array of (rule, bin) structs,
+         exploded, and counted in a single groupBy — map-side partial
+         aggregation collapses the explode before the shuffle, and the
+         driver receives ≤ Σ(n_bins+1) tiny count rows per table;
+      3. PSI / KS on the driver in O(bins) per rule.
+    No per-row data ever reaches the driver, so the whole multi-rule check
+    costs one scan of each table (+ the REF edge pass) at any table size.
+
+    ``edges_map`` (rule id → precomputed edges, see ``reference_edges``)
+    lets the run lifecycle prefetch edge jobs on driver threads.
+    """
+    for r in rules:
+        if r.group_column or r.sweep_by:
+            raise ValueError(
+                f"rule {r.id!r}: two-table drift is whole-table vs "
+                "whole-table — group_column/sweep_by do not apply"
+            )
+        if r.categorical and r.method != "psi":
+            raise ValueError(
+                f"rule {r.id!r}: categorical drift requires method='psi'"
+            )
+    spark: SparkSession = cand.sparkSession
+    edges_map = dict(edges_map or {})
+
+    # 1. bin definitions from REF; fuse every exact-percentile numeric rule
+    # into one aggregate (their qarr literals differ per n_bins — fine)
+    fused = [
+        r
+        for r in rules
+        if r.id not in edges_map and not r.categorical and r.exact_edges
+    ]
+    if fused:
+        aggs = []
+        for r in fused:
+            qs = [i / r.n_bins for i in range(r.n_bins + 1)]
+            qarr = F.array(*[F.lit(float(q)) for q in qs])
+            x = (F.expr(r.expr) if r.expr else F.col(r.column)).cast("double")
+            aggs.append(F.percentile(x, qarr).alias(r.id))
+        row = ref.agg(*aggs).collect()[0]
+        for r in fused:
+            edges_map[r.id] = [round(float(e), 6) for e in (row[r.id] or [])]
+    for r in rules:
+        if r.id not in edges_map:
+            edges_map[r.id] = reference_edges(ref, r)
+
+    # per-rule bin vocabulary (shared by both sides and the driver math)
+    bins: dict[str, list] = {}
+    nb: dict[str, int] = {}
+    for r in rules:
+        b = (
+            list(edges_map[r.id])
+            if r.categorical
+            else _dedupe_edges(edges_map[r.id])
+        )
+        bins[r.id] = b
+        nb[r.id] = len(b) + 1
+
+    def _side_hist(df: DataFrame) -> dict[str, list[float]]:
+        entries = []
+        for i, r in enumerate(rules):
+            val = F.expr(r.expr) if r.expr else F.col(r.column)
+            x = val.cast("string") if r.categorical else val.cast("double")
+            b = _bin_expr(x, bins[r.id], categorical=r.categorical)
+            # a NULL value belongs to no bin for THAT rule only — other
+            # rules in the same stacked row still count theirs
+            entries.append(
+                F.struct(
+                    F.lit(i).alias("c"),
+                    F.when(x.isNull(), F.lit(None))
+                    .otherwise(b)
+                    .cast("int")
+                    .alias("b"),
+                )
+            )
+        rows = (
+            df.select(F.explode(F.array(*entries)).alias("p"))
+            .where(F.col("p.b").isNotNull())
+            .groupBy(F.col("p.c").alias("c"), F.col("p.b").alias("b"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        out = {i: [0.0] * nb[r.id] for i, r in enumerate(rules)}
+        for rw in rows:
+            out[rw["c"]][rw["b"]] += rw["n"]
+        return out
+
+    ref_h = _side_hist(ref)
+    cand_h = _side_hist(cand)
+
+    metric_rows, viol_rows = [], []
+    for i, r in enumerate(rules):
+        hr, hp = ref_h[i], cand_h[i]
+        r_tot, p_tot = sum(hr), sum(hp)
+        if r_tot == 0 or p_tot == 0:
+            # a side with NO rows is a missing-data condition, not a
+            # distribution statement (same posture as the empty probe group)
+            side = "reference" if r_tot == 0 else "candidate"
+            viol_rows.append(
+                (
+                    run_id,
+                    None,
+                    r.id,
+                    side,
+                    r.expr or r.column,
+                    f"non-empty {side} distribution",
+                    "0 rows",
+                    KIND_DRIFT,
+                )
+            )
+            continue
+        dp = [v / p_tot for v in hp]
+        dr_ = [v / r_tot for v in hr]
+        stat = psi(dp, dr_) if r.method == "psi" else ks(dp, dr_)
+        metric_rows.append(
+            (run_id, None, r.id, f"{r.method}_stat", float(stat), None)
+        )
+        if stat > r.threshold:
+            viol_rows.append(
+                (
+                    run_id,
+                    None,
+                    r.id,
+                    "candidate_vs_reference",
+                    r.expr or r.column,
+                    f"{r.method} <= {r.threshold}",
+                    f"{stat:.6f}",
+                    KIND_DRIFT,
+                )
+            )
+    metrics = spark.createDataFrame(
+        metric_rows,
+        "run_id string, partition_id int, rule_id string, metric string, "
+        "value double, value_str string",
+    )
+    violations = spark.createDataFrame(
+        viol_rows,
+        "run_id string, partition_id int, rule_id string, image_id string, "
+        "column string, expected string, actual string, kind string",
+    )
+    return violations, metrics, len(viol_rows)
 
 
 def reference_histogram(

@@ -209,6 +209,14 @@ class ValidationRun:
                 raise SchemaError(
                     f"rule {r.id!r}: universe table {r.universe!r} not provided"
                 )
+        for r in self.program.drift_rules:
+            if r.reference and r.reference not in self.dims:
+                from .errors import SchemaError
+
+                raise SchemaError(
+                    f"rule {r.id!r}: reference table {r.reference!r} not "
+                    "provided (pass it in the dims dict)"
+                )
         self.manifest = (
             Manifest.load(checkpoint_dir, self.run_id)
             if checkpoint_dir
@@ -547,6 +555,9 @@ class ValidationRun:
                 "drift bin-edge prefetch",
                 interruptOnCancel=True,
             )
+            if dr.reference:
+                # two-table rule: bins are defined by the REFERENCE table
+                return drift_ops.reference_edges(self.dims[dr.reference], dr)
             return drift_ops.compute_edges(self.df, dr)
 
         for dr in self.program.drift_rules:
@@ -715,9 +726,32 @@ class ValidationRun:
                     self._frozen_edges(dr, None),
                 )
 
+            def _run_drift_ref(ref_name, drs):
+                # two-table rules sharing one reference frame FUSE into a
+                # single drift_vs_reference call: one stacked histogram scan
+                # of each table covers all of them
+                em = {}
+                for dr in drs:
+                    e = self._drift_edges(dr)
+                    if e is not None:
+                        em[dr.id] = e
+                return drift_ops.drift_vs_reference(
+                    self.dims[ref_name], self.df, list(drs), self.run_id, em
+                )
+
+            ref_groups: dict[str, list] = {}
+            plain_drift = []
+            for dr in prog.drift_rules:
+                if dr.reference:
+                    ref_groups.setdefault(dr.reference, []).append(dr)
+                else:
+                    plain_drift.append(dr)
             drift_futs = [
                 pool.submit(_run_drift_inc if dr.incremental else _run_drift, dr)
-                for dr in prog.drift_rules
+                for dr in plain_drift
+            ] + [
+                pool.submit(_run_drift_ref, name, drs)
+                for name, drs in ref_groups.items()
             ]
             bv_fut = pool.submit(batch_viol_c.count)
             bm_fut = pool.submit(batch_met_c.count)

@@ -657,6 +657,14 @@ class DriftRule(Rule):
     # the rest of the table (leave-one-out), all from ONE histogram pass.
     # Mutually exclusive with group_column/group_value.
     sweep_by: str | None = None
+    # reference names a dimension frame (the ``dims`` dict handed to
+    # ValidationRun — same plumbing as RefRule.dim_name / CountRule.universe)
+    # holding a separate REFERENCE TABLE (yesterday's snapshot, a golden
+    # sample): the rule then compares the CANDIDATE input's whole-table
+    # distribution against the reference table's (two-table dataset-shift
+    # detection) instead of a probe slice against the rest. Mutually
+    # exclusive with group_column/group_value and sweep_by.
+    reference: str | None = None
     # incremental=True (sweep rules only, compile-checked) switches the
     # sweep to MERGEABLE HISTOGRAM PARTIALS: bin edges FREEZE on the first
     # validated batch (persisted under the checkpoint — bins only set the

@@ -411,7 +411,7 @@ def test_drift_sweep_compile_lints(spark):
             rules=(DriftRule("d", column="v", sweep_by="g",
                              group_column="h", group_value="x"),),
         ))
-    with pytest.raises(SchemaError, match="group_column .*or sweep_by"):
+    with pytest.raises(SchemaError, match="group_column .*sweep_by .*reference"):
         compile_spec(Spec(
             key_column="k", rules=(DriftRule("d", column="v"),),
         ))
@@ -447,3 +447,161 @@ def test_drift_sweep_key_like_column_refused(spark, monkeypatch):
                      threshold=0.2)
     with pytest.raises(ValueError, match="key-like"):
         drift_ops.drift_check(df, rule, "t")
+
+
+# ----------------------------------------------------- two-table (reference)
+
+
+def _ref_cand(spark, shift=0.0, n=2000):
+    """Reference sawtooth 0..9.9 and a candidate shifted by ``shift``, with a
+    matching categorical fmt column whose mix also shifts when ``shift``>0."""
+    ref = spark.range(n).select(
+        "id",
+        ((F.col("id") % 100) / 10.0).alias("v"),
+        F.when(F.col("id") % 4 == 0, "png").otherwise("jpeg").alias("fmt"),
+    )
+    cand = spark.range(n).select(
+        "id",
+        ((F.col("id") % 100) / 10.0 + F.lit(float(shift))).alias("v"),
+        F.when(F.col("id") % 4 == 0, "webp" if shift else "png")
+        .otherwise("jpeg")
+        .alias("fmt"),
+    )
+    return ref, cand
+
+
+def test_ref_drift_identical_tables_quiet(spark):
+    """cand == ref ⇒ PSI ≈ 0, a metric row, zero violations."""
+    ref, cand = _ref_cand(spark, shift=0.0)
+    rule = DriftRule("rd", column="v", reference="yday", method="psi",
+                     threshold=0.1, exact_edges=True)
+    viol, metrics, n = drift_ops.drift_vs_reference(ref, cand, [rule], "t")
+    assert n == 0 and viol.count() == 0
+    m = metrics.collect()
+    assert len(m) == 1 and m[0]["metric"] == "psi_stat"
+    assert abs(m[0]["value"]) < 1e-9
+
+
+def test_ref_drift_fires_on_shift(spark):
+    """A +5 location shift of the candidate must breach the threshold."""
+    ref, cand = _ref_cand(spark, shift=5.0)
+    rule = DriftRule("rd", column="v", reference="yday", method="ks",
+                     threshold=0.2, exact_edges=True)
+    viol, metrics, n = drift_ops.drift_vs_reference(ref, cand, [rule], "t")
+    rows = viol.collect()
+    assert n == len(rows) == 1
+    assert rows[0]["image_id"] == "candidate_vs_reference"
+    assert metrics.collect()[0]["value"] > 0.2
+
+
+def test_ref_drift_categorical_mix_shift(spark):
+    """Categorical mode: the candidate's fmt mix (png→webp) drifts; webp is
+    unseen in the reference so its mass lands in __other__."""
+    ref, cand = _ref_cand(spark, shift=5.0)
+    rule = DriftRule("rdc", column="fmt", reference="yday", method="psi",
+                     threshold=0.5, categorical=True)
+    viol, metrics, n = drift_ops.drift_vs_reference(ref, cand, [rule], "t")
+    assert n == 1
+    assert metrics.collect()[0]["value"] > 0.5
+
+
+def test_ref_drift_fused_multi_rule_matches_single(spark):
+    """One fused call over numeric+expr+categorical rules must yield the
+    identical statistics as three separate calls (the stacked histogram
+    pass changes the plan, never the math)."""
+    ref, cand = _ref_cand(spark, shift=5.0)
+    rules = [
+        DriftRule("a", column="v", reference="y", method="psi",
+                  threshold=99.0, exact_edges=True),
+        DriftRule("b", expr="v * 2", reference="y", method="ks",
+                  threshold=99.0, exact_edges=True),
+        DriftRule("c", column="fmt", reference="y", method="psi",
+                  threshold=99.0, categorical=True),
+    ]
+    _, fused, _ = drift_ops.drift_vs_reference(ref, cand, rules, "t")
+    got = {r["rule_id"]: r["value"] for r in fused.collect()}
+    for r in rules:
+        _, single, _ = drift_ops.drift_vs_reference(ref, cand, [r], "t")
+        want = single.collect()[0]["value"]
+        assert got[r.id] == pytest.approx(want, rel=1e-12), r.id
+
+
+def test_ref_drift_empty_candidate_is_missing_data(spark):
+    ref, cand = _ref_cand(spark)
+    rule = DriftRule("rd", column="v", reference="y", method="psi",
+                     threshold=0.2, exact_edges=True)
+    viol, metrics, n = drift_ops.drift_vs_reference(
+        ref, cand.where(F.lit(False)), [rule], "t"
+    )
+    rows = viol.collect()
+    assert n == 1 and rows[0]["expected"] == "non-empty candidate distribution"
+    assert metrics.count() == 0
+
+
+def test_ref_drift_null_values_skip_only_their_rule(spark):
+    """NULL in one rule's column must not drop the row from OTHER rules'
+    histograms (the stacked structs are per-rule nullable)."""
+    ref, cand = _ref_cand(spark)
+    cand2 = cand.withColumn(
+        "v", F.when(F.col("id") % 2 == 0, None).otherwise(F.col("v"))
+    )
+    rules = [
+        DriftRule("num", column="v", reference="y", method="psi",
+                  threshold=99.0, exact_edges=True),
+        DriftRule("cat", column="fmt", reference="y", method="psi",
+                  threshold=99.0, categorical=True),
+    ]
+    _, metrics, _ = drift_ops.drift_vs_reference(ref, cand2, rules, "t")
+    got = {r["rule_id"]: r["value"] for r in metrics.collect()}
+    # fmt distribution untouched by v's nulls ⇒ PSI ≈ 0
+    assert abs(got["cat"]) < 1e-9
+    # v's surviving odd-id rows still form a valid (quiet) distribution
+    assert "num" in got
+
+
+def test_ref_drift_compile_lints(spark):
+    from mdvalidate_spark.compile import compile_spec
+    from mdvalidate_spark.errors import SchemaError
+    from mdvalidate_spark.spec import Spec
+
+    with pytest.raises(SchemaError, match="mutually exclusive"):
+        compile_spec(Spec(
+            key_column="k",
+            rules=(DriftRule("d", column="v", reference="y",
+                             group_column="g", group_value="x"),),
+        ))
+    with pytest.raises(SchemaError, match="mutually exclusive"):
+        compile_spec(Spec(
+            key_column="k",
+            rules=(DriftRule("d", column="v", reference="y", sweep_by="g"),),
+        ))
+
+
+def test_ref_drift_through_validation_run(spark):
+    """Spec-level two-table drift: reference names a dims entry; the rule
+    rides the normal lifecycle (edge prefetch against the REFERENCE frame
+    included) and a missing dims entry is a SchemaError before any job."""
+    from mdvalidate_spark.errors import SchemaError
+    from mdvalidate_spark.run import validate_table
+    from mdvalidate_spark.spec import Spec
+
+    ref, cand = _ref_cand(spark, shift=5.0)
+    cand = cand.withColumn("image_id", F.expr("uuid()"))
+    spec = Spec(
+        key_column="image_id",
+        rules=(
+            DriftRule("rd", column="v", reference="yday", method="psi",
+                      threshold=0.5, exact_edges=True),
+            DriftRule("rdc", column="fmt", reference="yday", method="psi",
+                      threshold=0.5, categorical=True),
+        ),
+    )
+    rep = validate_table(
+        spark, cand, spec, dims={"yday": ref}, run_id="refdrift-run"
+    )
+    v = {r["rule_id"] for r in rep.violations.collect()}
+    assert {"rd", "rdc"} <= v
+    assert rep.metrics.where(F.col("rule_id") == "rd").count() == 1
+
+    with pytest.raises(SchemaError, match="reference table"):
+        validate_table(spark, cand, spec, run_id="refdrift-missing")
