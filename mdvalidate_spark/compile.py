@@ -139,6 +139,27 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
             raise DuplicateRuleIdError(r.id)
         seen_ids.add(r.id)
 
+        if r.max_violation_rate is not None:
+            if not (0.0 <= r.max_violation_rate < 1.0):
+                raise SchemaError(
+                    f"rule {r.id!r}: max_violation_rate must be in [0, 1), "
+                    f"got {r.max_violation_rate}"
+                )
+            if isinstance(r, (ColumnStatsRule, CaptureRule)):
+                # metric-only rules never emit violations — a tolerance on
+                # them is vacuous and almost certainly a spec mistake
+                raise SchemaError(
+                    f"rule {r.id!r}: max_violation_rate is meaningless on a "
+                    "metric-only rule (it emits no violations)"
+                )
+            if isinstance(r, SchemaDriftRule):
+                # schema drift is metadata-level (≤ one violation per
+                # column, denominator-free) and fast-fails before any scan
+                raise SchemaError(
+                    f"rule {r.id!r}: max_violation_rate does not apply to "
+                    "schema rules (metadata-level, not per-row)"
+                )
+
         if isinstance(r, RegexRule):
             try:
                 re.compile(r.pattern)

@@ -87,6 +87,12 @@ class Manifest:
     def total_violations(self) -> int:
         return sum(e["violations"] for e in self.entries.values())
 
+    @property
+    def total_rows(self) -> int:
+        """Validated row count across all partitions — the soft-rule
+        (max_violation_rate) denominator."""
+        return sum(e.get("rows") or 0 for e in self.entries.values())
+
     # --------------------------------------------------------- persistence
 
     @staticmethod

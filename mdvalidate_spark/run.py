@@ -852,15 +852,64 @@ class ValidationRun:
             "run_id string, partition_id int, status string, rows long, "
             "violations long, started_at string, finished_at string",
         )
-        errored = (
-            self.manifest.total_violations > 0
-            or bool(getattr(self, "_global_violations", 0))
-            or self._schema_violations > 0
-        )
+        soft = {
+            r.id: r.max_violation_rate
+            for r in self.spec.rules
+            if getattr(r, "max_violation_rate", None) is not None
+        }
+        if not soft:
+            # hard semantics: the cheap int-counter path, zero extra jobs
+            errored = (
+                self.manifest.total_violations > 0
+                or bool(getattr(self, "_global_violations", 0))
+                or self._schema_violations > 0
+            )
+        else:
+            errored = self._verdict_with_tolerances(soft, violations, metrics)
         rep = Report(violations, metrics, manifest_df, errored)
         if self._finalized:
             self._cached_report = rep
         return rep
+
+    def _verdict_with_tolerances(
+        self, soft: dict[str, float], violations: DataFrame, metrics: DataFrame
+    ) -> bool:
+        """Run verdict with per-rule tolerances (Rule.max_violation_rate):
+        a hard rule (no rate) fails the run on ANY violation; a soft rule
+        fails it only when exact_violations / rows_validated exceeds its
+        rate. Per-rule totals start from a count of the violations frame and
+        are OVERRIDDEN by the aggregation-only ``violations_total`` metric
+        sums wherever those exist — under max_violations_per_rule the frame
+        is a bounded sample, but the metrics carry the exact counts, so the
+        verdict never degrades to sampled arithmetic. Denominator: the
+        manifest's validated row sum (one shared, unambiguous meaning across
+        rule families). Cost: two tiny aggregations over already-cached
+        frames, paid only when a tolerance is declared."""
+        if self._schema_violations > 0:
+            return True  # schema rules are metadata-level, always hard
+        totals = {
+            r["rule_id"]: int(r["n"])
+            for r in violations.groupBy("rule_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        for r in (
+            metrics.where(F.col("metric") == "violations_total")
+            .groupBy("rule_id")
+            .agg(F.sum("value").cast("long").alias("n"))
+            .collect()
+        ):
+            totals[r["rule_id"]] = int(r["n"])
+        rows_total = self.manifest.total_rows
+        for rid, n in totals.items():
+            if n <= 0:
+                continue
+            rate = soft.get(rid)
+            if rate is None:
+                return True  # hard rule with violations
+            if rows_total <= 0 or n / rows_total > rate:
+                return True  # soft rule over budget
+        return False
 
     # ---------------------------------------------------------- persistence
 

@@ -43,6 +43,20 @@ class Rule:
     # subclasses override
     kind: str = field(default="base", init=False)
 
+    # SOFT-RULE tolerance: None (default) keeps the reference's hard
+    # pass/fail semantics — any violation fails the run (main.rs:86-90).
+    # A rate r ∈ [0, 1) makes the rule SOFT: its violations are still
+    # detected, reported, and counted exactly, but the run's verdict treats
+    # the rule as passing while violations / rows_validated ≤ r. At 10^12
+    # rows zero-tolerance is rarely the operational contract — some
+    # corruption always exists; the pipeline question is "is it under
+    # budget". The denominator is the run's total validated row count (the
+    # manifest row sum), one shared, unambiguous meaning across rule
+    # families; totals stay EXACT under max_violations_per_rule because the
+    # verdict reads the aggregation-only violations_total metrics, never
+    # the sampled row frame.
+    max_violation_rate: Optional[float] = None
+
     def targets(self) -> tuple[str, ...]:
         """Columns this rule reads (for lint + column pruning)."""
         return ()
