@@ -551,6 +551,35 @@ def q_ref_orders_customer(spark, sf_dir):
     return v.select(F.col("rule_id"), F.col("image_id").alias("row_key"), F.col("actual"))
 
 
+def q_ref_composite_lineitem(spark, sf_dir):
+    """COMPOSITE-key referential integrity: the (l_partkey, l_suppkey) PAIR
+    must exist in a pair registry (here: the pairs observed shipping before
+    1997 — a snapshot dimension). Each column alone is valid; only the tuple
+    check catches a part shipped by a supplier that never carried it. Same
+    broadcast left-anti plan as the single-key rule, multi-column equi-join."""
+    li = _load(spark, sf_dir, "lineitem").withColumn(
+        "line_key",
+        F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber")),
+    )
+    dim = (
+        li.where(F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    rule = RefIntegrityRule(
+        "pair_fk", dim_name="pair_registry",
+        columns=("l_partkey", "l_suppkey"),
+        dim_columns=("l_partkey", "l_suppkey"),
+    )
+    v = ref_violations(
+        with_partition_id(li, Spec(key_column="line_key")), rule, dim, "q",
+        "line_key",
+    )
+    return v.select(
+        F.col("rule_id"), F.col("image_id").alias("row_key"), F.col("actual")
+    )
+
+
 def q_capture_orders_priority(spark, sf_dir):
     """Ordered capture arrays (the matches-JSON analog): extract the
     priority digit per order, accumulate per customer in o_orderkey order —
@@ -1277,6 +1306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_universe_customers": q_count_universe_customers,
         "ref_lineitem_orders": q_ref_lineitem_orders,
         "ref_orders_customer": q_ref_orders_customer,
+        "ref_composite_lineitem": q_ref_composite_lineitem,
         "capture_orders_priority": q_capture_orders_priority,
         "capture_rows_orders": q_capture_rows_orders,
         "sequence_lineitem_shipmode": q_sequence_lineitem_shipmode,
@@ -2092,6 +2122,22 @@ SELECT 'ref_oc' AS rule_id, CAST(o.o_orderkey AS VARCHAR) AS row_key,
        CAST(o.o_custkey AS VARCHAR) AS actual
 FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
 WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+""",
+        "ref_composite_lineitem": """
+WITH dim AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+  WHERE l_shipdate < TIMESTAMP '1997-01-01'
+)
+SELECT 'pair_fk' AS rule_id,
+       CAST(l.l_orderkey AS VARCHAR) || '-' || CAST(l.l_linenumber AS VARCHAR)
+         AS row_key,
+       CAST(l.l_partkey AS VARCHAR) || '|' || CAST(l.l_suppkey AS VARCHAR)
+         AS actual
+FROM lineitem l
+LEFT JOIN dim d
+  ON l.l_partkey = d.l_partkey AND l.l_suppkey = d.l_suppkey
+WHERE l.l_partkey IS NOT NULL AND l.l_suppkey IS NOT NULL
+  AND d.l_partkey IS NULL
 """,
         "sequence_lineitem_shipmode": """
 WITH base AS (

@@ -321,6 +321,22 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
                     "expression reads (scan pruning + schema lint)"
                 )
 
+        if isinstance(r, RefIntegrityRule):
+            if r.columns and (r.column or r.dim_column):
+                raise SchemaError(
+                    f"rule {r.id!r}: give either column/dim_column or "
+                    "columns/dim_columns, not both"
+                )
+            if r.columns and len(r.columns) != len(r.dim_columns):
+                raise SchemaError(
+                    f"rule {r.id!r}: columns ({len(r.columns)}) and "
+                    f"dim_columns ({len(r.dim_columns)}) must pair up"
+                )
+            if not r.columns and not r.column:
+                raise SchemaError(
+                    f"rule {r.id!r}: ref rule needs column or columns"
+                )
+
         if isinstance(r, SchemaDriftRule):
             if not r.expected:
                 raise SchemaError(f"rule {r.id!r}: schema rule needs >=1 expected column")

@@ -409,10 +409,24 @@ class RefIntegrityRule(Rule):
     dim_column: str = ""
     broadcast_dim: bool = True
     when: str = ""  # optional row-scope predicate (see NotNullRule.when)
+    # COMPOSITE foreign key: ``columns``/``dim_columns`` (same length, ≥2)
+    # check the TUPLE against the dimension's key tuple — (nation, region)
+    # must exist as a pair, not each column independently. Mutually
+    # exclusive with the singular column/dim_column form (compile-checked).
+    # SQL FK NULL semantics: a composite key with ANY NULL component is
+    # skipped (constraint not enforced — NotNullRule's job).
+    columns: tuple[str, ...] = ()
+    dim_columns: tuple[str, ...] = ()
     kind: str = field(default="ref", init=False)
 
+    def fact_keys(self) -> tuple[str, ...]:
+        return self.columns or (self.column,)
+
+    def dim_keys(self) -> tuple[str, ...]:
+        return self.dim_columns or (self.dim_column,)
+
     def targets(self):
-        return (self.column,)
+        return self.fact_keys()
 
 
 # ------------------------------------------------------------ metric rules

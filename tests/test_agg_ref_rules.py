@@ -116,6 +116,60 @@ def test_ref_rule_skips_null_fk(spark, images):
     assert v.where(F.col("actual").isNull()).count() == 0
 
 
+def test_ref_rule_composite_pair(spark):
+    """Composite FK: the (part, supplier) PAIR must exist in the dim — rows
+    whose components are each individually present but never paired are
+    orphans; any NULL component skips the row (SQL FK semantics); the plan
+    stays a broadcast anti-join."""
+    fact = spark.createDataFrame(
+        [
+            ("r1", "p1", "s1"),   # pair in dim
+            ("r2", "p2", "s2"),   # pair in dim
+            ("r3", "p1", "s2"),   # both components exist, pair does NOT
+            ("r4", "p9", "s1"),   # p9 unknown entirely
+            ("r5", None, "s1"),   # NULL component → skipped
+            ("r6", "p1", None),   # NULL component → skipped
+        ],
+        "k string, part string, supp string",
+    ).withColumn("partition_id", F.lit(0))
+    dim = spark.createDataFrame(
+        [("p1", "s1"), ("p2", "s2")], "dpart string, dsupp string"
+    )
+    rule = RefIntegrityRule(
+        "pair", dim_name="pairs",
+        columns=("part", "supp"), dim_columns=("dpart", "dsupp"),
+    )
+    v = ref_violations(fact, rule, dim, "t", "k")
+    rows = {r["image_id"]: r for r in v.collect()}
+    assert set(rows) == {"r3", "r4"}
+    assert rows["r3"]["actual"] == "p1|s2"
+    assert rows["r3"]["column"] == "part,supp"
+    assert "pairs.(dpart,dsupp)" in rows["r3"]["expected"]
+    plan = v._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ref_rule_composite_compile_lints(spark):
+    from mdvalidate_spark.compile import compile_spec
+    from mdvalidate_spark.errors import SchemaError
+    from mdvalidate_spark.spec import Spec
+
+    with pytest.raises(SchemaError, match="not both"):
+        compile_spec(Spec(key_column="k", rules=(
+            RefIntegrityRule("r", column="a", dim_name="d", dim_column="b",
+                             columns=("a", "c"), dim_columns=("b", "d")),
+        )))
+    with pytest.raises(SchemaError, match="pair up"):
+        compile_spec(Spec(key_column="k", rules=(
+            RefIntegrityRule("r", dim_name="d",
+                             columns=("a", "c"), dim_columns=("b",)),
+        )))
+    with pytest.raises(SchemaError, match="needs column"):
+        compile_spec(Spec(key_column="k", rules=(
+            RefIntegrityRule("r", dim_name="d"),
+        )))
+
+
 def test_unique_rule_composite_null_safe(spark):
     """concat_ws drops NULLs, so a naive composite key would collide
     ("a", NULL) with ("a", "") — these must NOT count as duplicates, while
