@@ -24,10 +24,15 @@ from .errors import MdvSparkError, SchemaError
 from .run import Report, ValidationRun, smoke_validate, validate_table
 from .session import get_spark
 from .spec import (
+    CaptureRule,
     ColumnStatsRule,
+    CompositeRegexRule,
     CountRule,
     DomainRule,
     DriftRule,
+    ExprRule,
+    FreshnessRule,
+    FunctionalDependencyRule,
     LiteralRule,
     NotNullRule,
     OverlapRule,
@@ -36,16 +41,24 @@ from .spec import (
     RefIntegrityRule,
     RegexRule,
     Rule,
+    SchemaRule,
+    SequenceRule,
     Spec,
     UniqueRule,
+    VectorRule,
 )
 
 __all__ = [
+    "CaptureRule",
     "ColumnStatsRule",
+    "CompositeRegexRule",
     "ConstraintProgram",
     "CountRule",
     "DomainRule",
     "DriftRule",
+    "ExprRule",
+    "FreshnessRule",
+    "FunctionalDependencyRule",
     "LiteralRule",
     "MdvSparkError",
     "NotNullRule",
@@ -57,9 +70,12 @@ __all__ = [
     "Report",
     "Rule",
     "SchemaError",
+    "SchemaRule",
+    "SequenceRule",
     "Spec",
     "UniqueRule",
     "ValidationRun",
+    "VectorRule",
     "compile_spec",
     "get_spark",
     "smoke_validate",

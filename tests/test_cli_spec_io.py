@@ -207,3 +207,27 @@ def test_spec_unknown_top_level_key_rejected():
 
     with pytest.raises(SchemaError, match="unknown top-level"):
         spec_from_dict({"fastfail": True, "rules": []})
+
+
+def test_round3_fields_round_trip():
+    """Round-3 spec additions round-trip through JSON: soft-rule tolerance
+    (base-Rule max_violation_rate), two-table drift (DriftRule.reference),
+    composite FK (RefIntegrityRule.columns/dim_columns)."""
+    from mdvalidate_spark.spec import DriftRule, RefIntegrityRule, RegexRule, Spec
+    from mdvalidate_spark.spec_io import spec_from_dict, spec_to_dict
+
+    spec = Spec(
+        key_column="image_id",
+        rules=(
+            RegexRule("r", column="c", pattern="^ok$", max_violation_rate=0.05),
+            DriftRule("d", column="v", reference="yday", method="psi",
+                      threshold=0.3, exact_edges=True),
+            RefIntegrityRule("fk", dim_name="pairs",
+                             columns=("a", "b"), dim_columns=("x", "y")),
+        ),
+    )
+    loaded = spec_from_dict(spec_to_dict(spec))
+    assert loaded == spec
+    assert loaded.rules[0].max_violation_rate == 0.05
+    assert loaded.rules[1].reference == "yday"
+    assert loaded.rules[2].fact_keys() == ("a", "b")
