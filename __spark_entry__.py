@@ -1033,6 +1033,32 @@ def q_drift_ref_orders(spark, sf_dir):
     return m.select("rule_id", "metric", F.round("value", 3).alias("value"))
 
 
+def q_drift_ref_embeddings(spark, sf_dir):
+    """Two-table drift over an EMBEDDING column: the drifting quantity is a
+    coordinate projection (element_at(embedding, 1)) computed by
+    DriftRule.expr — no derived column materialized, the array stays in
+    place. Reference = label 0-4 vectors, candidate = label 5-9: does the
+    second half of the label space occupy the same region of embedding
+    space? PSI + KS on exact reference-percentile bins, value-checked in
+    DuckDB (identical float→double element math)."""
+    from mdvalidate_spark.operators.drift import drift_vs_reference
+    from mdvalidate_spark.spec import DriftRule
+
+    emb = _load(spark, sf_dir, "embeddings")
+    ref = emb.where(F.col("label") < 5)
+    cand = emb.where(F.col("label") >= 5)
+    rules = [
+        DriftRule("e0_psi", expr="CAST(element_at(embedding, 1) AS DOUBLE)",
+                  reference="ref", method="psi", threshold=10.0,
+                  n_bins=16, exact_edges=True),
+        DriftRule("e0_ks", expr="CAST(element_at(embedding, 1) AS DOUBLE)",
+                  reference="ref", method="ks", threshold=10.0,
+                  n_bins=16, exact_edges=True),
+    ]
+    _, m, _n = drift_vs_reference(ref, cand, rules, "q")
+    return m.select("rule_id", "metric", F.round("value", 3).alias("value"))
+
+
 # pinned IVF centroids (8 cells × 64 dims): a fixed closed-form literal grid
 # shared verbatim by the Spark query AND the DuckDB oracle, which makes the
 # whole IVF approximation — cell assignment, nprobe pruning, in-cell ranking —
@@ -1323,6 +1349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_categorical_orders": q_drift_categorical_orders,
         "drift_expr_documents": q_drift_expr_documents,
         "drift_ref_orders": q_drift_ref_orders,
+        "drift_ref_embeddings": q_drift_ref_embeddings,
         "drift_sweep_events": q_drift_sweep_events,
         "drift_sweep_incremental_events": q_drift_sweep_incremental_events,
         "topk_ivf_embeddings": q_topk_ivf_embeddings,
@@ -2565,6 +2592,41 @@ UNION ALL
 SELECT 'rprio_psi', 'psi_stat',
        round(sum((dp - dr) * ln((dp + 1e-6) / (dr + 1e-6))), 3)
 FROM cd
+""",
+        "drift_ref_embeddings": f"""
+WITH refs AS (
+  SELECT CAST(embedding[1] AS DOUBLE) AS x FROM embeddings
+  WHERE label < 5 AND embedding[1] IS NOT NULL
+),
+cand AS (
+  SELECT CAST(embedding[1] AS DOUBLE) AS x FROM embeddings
+  WHERE label >= 5 AND embedding[1] IS NOT NULL
+),
+e AS (
+  SELECT list_sort(list_distinct(
+           list_transform(quantile_cont(x, [{", ".join(repr(i / 16) for i in range(17))}]), v -> round(v, 6))
+         )) AS u
+  FROM refs
+),
+inner_e AS (SELECT u[2:len(u) - 1] AS ie FROM e),
+rc AS (SELECT len(list_filter(ie, edge -> x > edge)) AS bin, count(*) AS n
+       FROM refs, inner_e GROUP BY 1),
+cc AS (SELECT len(list_filter(ie, edge -> x > edge)) AS bin, count(*) AS n
+       FROM cand, inner_e GROUP BY 1),
+grid AS (SELECT unnest(range(0, len(ie) + 1)) AS bin FROM inner_e),
+d AS (
+  SELECT g.bin,
+         coalesce(c.n, 0) * 1.0 / (SELECT sum(n) FROM cc) AS dp,
+         coalesce(r.n, 0) * 1.0 / (SELECT sum(n) FROM rc) AS dr
+  FROM grid g LEFT JOIN cc c USING (bin) LEFT JOIN rc r USING (bin)
+)
+SELECT 'e0_psi' AS rule_id, 'psi_stat' AS metric,
+       round(sum((dp - dr) * ln((dp + 1e-6) / (dr + 1e-6))), 3) AS value
+FROM d
+UNION ALL
+SELECT 'e0_ks', 'ks_stat', round(max(abs(cp - cr)), 3)
+FROM (SELECT sum(dp) OVER (ORDER BY bin) AS cp,
+             sum(dr) OVER (ORDER BY bin) AS cr FROM d)
 """,
         "embedding_neardup": _embedding_neardup_sql(),
         "embedding_clusters": f"""

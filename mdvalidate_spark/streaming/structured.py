@@ -71,6 +71,33 @@ def stream_row_violations(
     )
 
 
+def stream_ref_violations(
+    stream_df: DataFrame,
+    rule,
+    dim: DataFrame,
+    run_id: str,
+    key_column: str,
+    n_partitions: int = 8,
+) -> DataFrame:
+    """Referential integrity on an unbounded stream: a STREAM-STATIC
+    broadcast left-anti join — a stateless join shape (no watermark, no
+    state store: every micro-batch joins independently against the static
+    dimension, which Spark re-reads per batch so a refreshed dim table is
+    picked up). Single-column and composite-tuple keys ride the SAME batch
+    implementation (operators/ref_rules.py) — the expression tree is
+    stateless, so it applies to a streaming frame unchanged; only the
+    partition id (micro-batch-stable key hash) is attached here."""
+    from ..operators.ref_rules import ref_violations
+
+    with_pid = stream_df.withColumn(
+        "partition_id",
+        F.pmod(F.xxhash64(F.col(key_column)), F.lit(n_partitions)).cast(
+            "int"
+        ),
+    )
+    return ref_violations(with_pid, rule, dim, run_id, key_column)
+
+
 def windowed_count_rule(
     stream_df: DataFrame,
     rule: CountRule,

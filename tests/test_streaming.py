@@ -400,3 +400,46 @@ def test_windowed_drift_categorical_rejects_ks(spark):
     df = spark.createDataFrame([("jpeg", None)], "fmt string, ts timestamp")
     with pytest.raises(ValueError, match="categorical drift requires"):
         windowed_drift_rule(df, rule, ["jpeg"], [0.9, 0.1], "ts")
+
+
+def test_stream_ref_violations_availablenow(spark, tmp_path):
+    """Stream-static referential integrity: orphan foreign keys in a stream
+    are flagged by the broadcast anti-join per micro-batch; composite tuple
+    keys use the same path."""
+    from mdvalidate_spark.spec import RefIntegrityRule
+    from mdvalidate_spark.streaming.structured import stream_ref_violations
+
+    src = str(tmp_path / "ref-src")
+    out = str(tmp_path / "ref-out")
+    ck = str(tmp_path / "ref-ck")
+    df = spark.range(200).select(
+        F.format_string("k%04d", F.col("id")).alias("key"),
+        # ids 150+ point at sources outside the dim (s00..s09)
+        F.format_string("s%02d", (F.col("id") % 15)).alias("src_id"),
+    )
+    df.write.mode("overwrite").parquet(src)
+    dim = spark.createDataFrame(
+        [(f"s{i:02d}",) for i in range(10)], "src_id string"
+    )
+    rule = RefIntegrityRule(
+        "src_fk", column="src_id", dim_name="sources", dim_column="src_id"
+    )
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    viol = stream_ref_violations(stream, rule, dim, "s", "key")
+    assert viol.isStreaming
+    q = (
+        viol.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    # ids with id%15 in 10..14 → 5 of every 15: ⌈⌉ arithmetic on 200 rows
+    bad = sum(1 for i in range(200) if i % 15 >= 10)
+    assert got.count() == bad
+    assert got.where("kind = 'orphan'").count() == bad
+    assert set(
+        r["actual"] for r in got.select("actual").distinct().collect()
+    ) == {f"s{i}" for i in range(10, 15)}
