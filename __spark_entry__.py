@@ -580,6 +580,44 @@ def q_ref_composite_lineitem(spark, sf_dir):
     )
 
 
+def q_violation_diff_orders(spark, sf_dir):
+    """Violation-SET diff (diff_violations — the ack-list ratchet):
+    baseline = a 3-rule run over the acked pre-1998 snapshot; current = a
+    2-rule run (prio_regex retired) over the full table. NEW = late orders'
+    domain/range violations (identities never acked); RESOLVED = every
+    acked prio_regex violation (the rule was retired). Early-order
+    domain/range violations appear in BOTH runs → in neither bucket.
+    Identity is (rule_id, image_id, column) — 'actual' drift alone never
+    re-alerts."""
+    from mdvalidate_spark.operators.regression import diff_violations
+
+    o = _load(spark, sf_dir, "orders")
+    split = F.lit("1998-01-01").cast("timestamp")
+    rules3 = (
+        DomainRule("status_domain", column="o_orderstatus", values=("O", "F")),
+        RangeRule("price_range", column="o_totalprice", min=1000.0, max=400000.0),
+        RegexRule("prio_regex", column="o_orderpriority", pattern="[1-3]-[A-Z ]+"),
+    )
+    rules2 = rules3[:2]
+    spec3 = Spec(rules=rules3, key_column="o_orderkey", n_partitions=8)
+    spec2 = Spec(rules=rules2, key_column="o_orderkey", n_partitions=8)
+    early = o.where(F.col("o_orderdate") < split)
+    base_v = row_violations(
+        with_partition_id(early, spec3), compile_spec(spec3, o.columns), "b"
+    )
+    cur_v = row_violations(
+        with_partition_id(o, spec2), compile_spec(spec2, o.columns), "c"
+    )
+    d = diff_violations(cur_v, base_v)
+    return d.select(
+        F.col("rule_id"),
+        F.col("image_id").alias("row_key"),
+        F.col("column").alias("col_name"),
+        F.col("actual"),
+        F.col("status"),
+    )
+
+
 def q_capture_orders_priority(spark, sf_dir):
     """Ordered capture arrays (the matches-JSON analog): extract the
     priority digit per order, accumulate per customer in o_orderkey order —
@@ -1333,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ref_lineitem_orders": q_ref_lineitem_orders,
         "ref_orders_customer": q_ref_orders_customer,
         "ref_composite_lineitem": q_ref_composite_lineitem,
+        "violation_diff_orders": q_violation_diff_orders,
         "capture_orders_priority": q_capture_orders_priority,
         "capture_rows_orders": q_capture_rows_orders,
         "sequence_lineitem_shipmode": q_sequence_lineitem_shipmode,
@@ -1931,6 +1970,32 @@ SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.9
 def oracle_sql() -> dict[str, str]:
     return {
         "row_orders": _ROW_ORDERS_SQL,
+        # violation-set diff: new = late-order domain/range violations
+        # (identities absent from the acked early baseline); resolved =
+        # every acked prio_regex violation (rule retired in current);
+        # early domain/range violations are in both runs → neither bucket
+        "violation_diff_orders": """
+SELECT 'status_domain' AS rule_id, CAST(o_orderkey AS VARCHAR) AS row_key,
+       'o_orderstatus' AS col_name, o_orderstatus AS actual,
+       'new' AS status
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+  AND o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O', 'F')
+UNION ALL
+SELECT 'price_range', CAST(o_orderkey AS VARCHAR), 'o_totalprice',
+       CAST(o_totalprice AS VARCHAR), 'new'
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+  AND o_totalprice IS NOT NULL
+  AND (o_totalprice < 1000.0 OR o_totalprice > 400000.0)
+UNION ALL
+SELECT 'prio_regex', CAST(o_orderkey AS VARCHAR), 'o_orderpriority',
+       o_orderpriority, 'resolved'
+FROM orders
+WHERE o_orderdate < TIMESTAMP '1998-01-01'
+  AND o_orderpriority IS NOT NULL
+  AND NOT regexp_matches(o_orderpriority, '^(?:[1-3]-[A-Z ]+)$')
+""",
         "conditional_orders": _CONDITIONAL_ORDERS_SQL,
         "expr_lineitem": _EXPR_LINEITEM_SQL,
         "fd_lineitem": _FD_LINEITEM_SQL,

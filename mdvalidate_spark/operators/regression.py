@@ -120,3 +120,40 @@ def compare_metric_runs(
         "current_str",
         "kind",
     )
+
+
+def diff_violations(
+    current: DataFrame,
+    baseline: DataFrame,
+    identity: tuple[str, ...] = ("rule_id", "image_id", "column"),
+) -> DataFrame:
+    """Violation-SET diff between two runs: which violations are NEW since
+    the baseline (acknowledged) run, and which RESOLVED — the ratchet that
+    turns a validator into an operational gate. A 10^12-row table almost
+    never goes from red to green in one sweep; the deployable contract is
+    "no NEW violations since the acked baseline, and here is what got
+    fixed".
+
+    ``identity`` defaults to (rule_id, image_id, column): ``actual`` is
+    deliberately NOT part of the identity, so the same broken key drifting
+    from count=3 to count=4 stays ONE acknowledged violation instead of
+    re-alerting every run.
+
+    Output: the full violation rows, plus ``status`` ∈ {new, resolved}
+    (resolved rows carry the BASELINE run's values — that is what got
+    fixed).
+
+    Plan/scale: two left-anti joins shuffled on the identity key — the
+    exact-set-difference minimum. Violation tables are bounded by
+    ``max_violations_per_rule`` in the recommended configuration; when
+    diffing capped (sampled) sinks the diff is exact ON THE SAMPLES, so ack
+    workflows at full exactness should diff uncapped sinks or per-rule
+    totals (compare_metric_runs on ``violations_total``)."""
+    idc = list(identity)
+    new = current.join(
+        baseline.select(*idc).dropDuplicates(), on=idc, how="left_anti"
+    ).withColumn("status", F.lit("new"))
+    resolved = baseline.join(
+        current.select(*idc).dropDuplicates(), on=idc, how="left_anti"
+    ).withColumn("status", F.lit("resolved"))
+    return new.unionByName(resolved)

@@ -87,3 +87,51 @@ def test_end_to_end_two_snapshots(spark, tmp_path):
     # "new bad value entered the table" signal this operator exists for
     assert out["min"]["kind"] == "changed"
     assert (out["min"]["baseline_str"], out["min"]["current_str"]) == ("32", "0")
+
+
+def test_diff_violations_new_resolved_and_stable(spark):
+    """Set diff on the (rule_id, image_id, column) identity: rows only in
+    current → new, only in baseline → resolved, in both → absent — and an
+    'actual' drift alone (count=3 → count=4) does NOT re-alert."""
+    from mdvalidate_spark.operators.regression import diff_violations
+
+    ddl = (
+        "run_id string, partition_id int, rule_id string, image_id string, "
+        "column string, expected string, actual string, kind string"
+    )
+    base = spark.createDataFrame(
+        [
+            ("b", 0, "r1", "k1", "c", "e", "count=3", "dup"),   # stays (actual drifts)
+            ("b", 0, "r1", "k2", "c", "e", "x", "dup"),         # resolved
+            ("b", 0, "r2", "k1", "c", "e", "x", "range"),       # resolved
+        ],
+        ddl,
+    )
+    cur = spark.createDataFrame(
+        [
+            ("c", 0, "r1", "k1", "c", "e", "count=4", "dup"),   # same identity
+            ("c", 0, "r1", "k9", "c", "e", "y", "dup"),         # new
+        ],
+        ddl,
+    )
+    d = diff_violations(cur, base)
+    got = {(r["rule_id"], r["image_id"], r["status"]) for r in d.collect()}
+    assert got == {
+        ("r1", "k9", "new"),
+        ("r1", "k2", "resolved"),
+        ("r2", "k1", "resolved"),
+    }
+    # resolved rows carry the BASELINE values (what got fixed)
+    res = {r["image_id"]: r["actual"] for r in d.where("status='resolved'").collect()}
+    assert res == {"k2": "x", "k1": "x"}
+
+
+def test_diff_violations_identical_runs_empty(spark):
+    from mdvalidate_spark.operators.regression import diff_violations
+
+    ddl = (
+        "run_id string, partition_id int, rule_id string, image_id string, "
+        "column string, expected string, actual string, kind string"
+    )
+    v = spark.createDataFrame([("a", 0, "r", "k", "c", "e", "x", "kind")], ddl)
+    assert diff_violations(v, v).count() == 0
