@@ -840,6 +840,54 @@ def q_metric_regression_orders(spark, sf_dir):
     )
 
 
+def q_metric_bounds_orders(spark, sf_dir):
+    """MetricBoundRule (operators/agg_rules.metric_bound_results): deequ-style
+    assertions on AGGREGATE metrics — the constraint layer over the
+    profiling layer (ColumnStatsRule reports, this judges): distinct
+    cardinality windows, mean/quantile ranges, scoped counts. All eight
+    rules fuse into ONE aggregation pass; the bound comparison is column
+    algebra over the 1-row result. Output = every rule's observed value
+    (rounded where float summation order differs between engines) plus the
+    engine's violated verdict, value-checked against the identical
+    aggregates + bound logic in SQL. status_card (3 statuses > max 2),
+    price_mean (250.6k > max 240k), and urgent_count (scoped count below
+    min) must fire; the rest must pass."""
+    from mdvalidate_spark.operators.agg_rules import metric_bound_results
+    from mdvalidate_spark.spec import MetricBoundRule
+
+    orders = _load(spark, sf_dir, "orders")
+    rules = (
+        MetricBoundRule("status_card", column="o_orderstatus",
+                        metric="distinct", min=1, max=2, exact=True),
+        MetricBoundRule("prio_card", column="o_orderpriority",
+                        metric="distinct", max=10, exact=True),
+        MetricBoundRule("price_mean", column="o_totalprice",
+                        metric="mean", min=200000.0, max=240000.0),
+        MetricBoundRule("price_p95", column="o_totalprice",
+                        metric="p95", max=1000000.0, exact=True),
+        MetricBoundRule("price_min", column="o_totalprice",
+                        metric="min", min=0.0),
+        MetricBoundRule("key_count", column="o_orderkey",
+                        metric="count", min=1000),
+        MetricBoundRule("status_nulls", column="o_orderstatus",
+                        metric="null_rate", max=0.0),
+        MetricBoundRule("urgent_count", column="o_orderkey",
+                        metric="count", min=100000,
+                        when="o_orderpriority = '1-URGENT'"),
+    )
+    v, m = metric_bound_results(orders, rules, "q")
+    fired = v.select("rule_id", F.lit(True).alias("violated"))
+    return (
+        m.join(fired, "rule_id", "left")
+        .select(
+            "rule_id",
+            "metric",
+            F.round("value", 2).alias("value"),
+            F.coalesce("violated", F.lit(False)).alias("violated"),
+        )
+    )
+
+
 def q_stats_when_lineitem(spark, sf_dir):
     """Predicate-SCOPED column stats (`when` on ColumnStatsRule): profile
     l_partkey among RETURNED ('R') lineitems only. Exercises the RULE path
@@ -1042,6 +1090,50 @@ def q_drift_sweep_incremental_events(spark, sf_dir):
         "rule_id", "metric", F.col("value_str").alias("grp"),
         F.round("value", 3).alias("value"),
     )
+
+
+def q_ks_runs_events(spark, sf_dir):
+    """CROSS-RUN distribution drift WITHOUT rescanning either run
+    (agg_rules.quantile_drift_from_partials): two runs' persisted KLL
+    quantile-sketch partials merged (same tree fold as the incremental
+    stats finalize) and compared as a two-sample KS statistic computed
+    entirely through the sketches' rank/quantile API — run N vs run N-1
+    costs O(sketch bytes), not O(table). The 'runs' here are the even/odd
+    event_id halves of events, profiled on pmod(floor(value), 8): every
+    bucket's mass (~12%) far exceeds 1/n_points (1/32), so the quantile
+    grid provably covers every distinct value, and the sketches are exact
+    below capacity (kll_k=16384 > 5,000 rows/side) — the grid KS therefore
+    EQUALS the classic exact two-sample KS the oracle computes from raw
+    inclusive ecdfs (Datasketches rank(v) = P(X <= v), verified)."""
+    from mdvalidate_spark.operators.agg_rules import (
+        column_stats_partials,
+        quantile_drift_from_partials,
+    )
+    from mdvalidate_spark.spec import ColumnStatsRule
+
+    ev = (
+        _load(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            F.col("event_id"),
+            F.pmod(F.col("event_id"), F.lit(16)).cast("int").alias("partition_id"),
+            F.pmod(F.floor(F.col("value")).cast("bigint"), F.lit(8)).alias("vbucket"),
+        )
+    )
+    rule = ColumnStatsRule(
+        "ks_value", column="vbucket", incremental=True,
+        quantiles=(0.5,), kll_k=16384,
+    )
+    pa = column_stats_partials(
+        ev.where(F.pmod("event_id", F.lit(2)) == 0), (rule,), "a"
+    )
+    pb = column_stats_partials(
+        ev.where(F.pmod("event_id", F.lit(2)) == 1), (rule,), "b"
+    )
+    _, m, _n = quantile_drift_from_partials(
+        pa, pb, rule, "q", n_points=32, threshold=0.05
+    )
+    return m.select("rule_id", "metric", F.round("value", 9).alias("value"))
 
 
 def q_drift_ref_orders(spark, sf_dir):
@@ -1377,6 +1469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_lineitem_shipmode": q_sequence_lineitem_shipmode,
         "stats_lineitem": q_stats_lineitem,
         "stats_when_lineitem": q_stats_when_lineitem,
+        "metric_bounds_orders": q_metric_bounds_orders,
         "value_profile_orders": q_value_profile_orders,
         "metric_regression_orders": q_metric_regression_orders,
         "quarantine_orders": q_quarantine_orders,
@@ -1391,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_ref_embeddings": q_drift_ref_embeddings,
         "drift_sweep_events": q_drift_sweep_events,
         "drift_sweep_incremental_events": q_drift_sweep_incremental_events,
+        "ks_runs_events": q_ks_runs_events,
         "topk_ivf_embeddings": q_topk_ivf_embeddings,
         "text_profile_documents": q_text_profile_documents,
         "lang_confusion_documents": q_lang_confusion_documents,
@@ -2401,6 +2495,44 @@ SELECT 'st_rp', 'p50', round(quantile_cont(l_partkey, 0.5), 4), NULL FROM s
 UNION ALL
 SELECT 'st_rp', 'p95', round(quantile_cont(l_partkey, 0.95), 4), NULL FROM s
 """,
+        # metric bounds: identical aggregates + bound logic replayed in SQL;
+        # the violated flag is computed on the UNROUNDED value, like the
+        # engine; rounding only normalizes float-summation-order noise
+        "metric_bounds_orders": """
+WITH agg AS (
+  SELECT CAST(count(DISTINCT o_orderstatus) AS DOUBLE) AS status_card,
+         CAST(count(DISTINCT o_orderpriority) AS DOUBLE) AS prio_card,
+         avg(o_totalprice) AS price_mean,
+         quantile_cont(o_totalprice, 0.95) AS price_p95,
+         CAST(min(o_totalprice) AS DOUBLE) AS price_min,
+         CAST(count(*) AS DOUBLE) AS key_count,
+         CAST(count(*) - count(o_orderstatus) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS status_nulls,
+         CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+              AS DOUBLE) AS urgent_count
+  FROM orders
+)
+SELECT 'status_card' AS rule_id, 'distinct' AS metric,
+       round(status_card, 2) AS value,
+       (status_card < 1 OR status_card > 2) AS violated FROM agg
+UNION ALL
+SELECT 'prio_card', 'distinct', round(prio_card, 2), prio_card > 10 FROM agg
+UNION ALL
+SELECT 'price_mean', 'mean', round(price_mean, 2),
+       (price_mean < 200000.0 OR price_mean > 240000.0) FROM agg
+UNION ALL
+SELECT 'price_p95', 'p95', round(price_p95, 2), price_p95 > 1000000.0 FROM agg
+UNION ALL
+SELECT 'price_min', 'min', round(price_min, 2), price_min < 0.0 FROM agg
+UNION ALL
+SELECT 'key_count', 'count', round(key_count, 2), key_count < 1000 FROM agg
+UNION ALL
+SELECT 'status_nulls', 'null_rate', round(status_nulls, 2),
+       status_nulls > 0.0 FROM agg
+UNION ALL
+SELECT 'urgent_count', 'count', round(urgent_count, 2),
+       urgent_count < 100000 FROM agg
+""",
         "smoke_orders": """
 WITH s AS (
   SELECT * FROM orders
@@ -2591,6 +2723,35 @@ FROM d
         ),
         "drift_sweep_events": _drift_sweep_sql(32),
         "drift_sweep_incremental_events": _drift_sweep_sql(32),
+        # cross-run KS from sketches: sketches are EXACT below capacity and
+        # Datasketches rank is inclusive (rank(v) = P(X <= v)), and every
+        # bucket's mass >= 1/n_points guarantees the sketch-quantile grid
+        # covers every distinct value — so the engine's grid KS equals the
+        # classic two-sample KS over raw ecdfs computed here
+        "ks_runs_events": """
+WITH ev AS (
+  SELECT event_id,
+         ((CAST(FLOOR(value) AS BIGINT) % 8) + 8) % 8 AS v
+  FROM events WHERE value IS NOT NULL
+),
+a AS (SELECT v FROM ev WHERE event_id % 2 = 0),
+b AS (SELECT v FROM ev WHERE event_id % 2 = 1),
+grid AS (SELECT DISTINCT v FROM ev),
+ranks AS (
+  SELECT g.v,
+         CAST((SELECT count(*) FROM a WHERE a.v <= g.v) AS DOUBLE)
+           / CAST((SELECT count(*) FROM a) AS DOUBLE) AS ra,
+         CAST((SELECT count(*) FROM b WHERE b.v <= g.v) AS DOUBLE)
+           / CAST((SELECT count(*) FROM b) AS DOUBLE) AS rb
+  FROM grid g
+)
+SELECT 'ks_value' AS rule_id, 'ks_stat' AS metric,
+       round(max(abs(ra - rb)), 9) AS value FROM ranks
+UNION ALL
+SELECT 'ks_value', 'n_baseline', CAST((SELECT count(*) FROM a) AS DOUBLE)
+UNION ALL
+SELECT 'ks_value', 'n_current', CAST((SELECT count(*) FROM b) AS DOUBLE)
+""",
         # two-table drift: exact ref-percentile edges (rounded to 6 dp,
         # strictly-increasing dedupe, interior edges, bin = #(edges < x)),
         # per-side densities, PSI/KS with eps 1e-6 — plus the categorical

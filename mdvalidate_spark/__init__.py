@@ -32,6 +32,7 @@ from .spec import (
     DriftRule,
     ExprRule,
     FreshnessRule,
+    MetricBoundRule,
     FunctionalDependencyRule,
     LiteralRule,
     NotNullRule,
@@ -58,6 +59,7 @@ __all__ = [
     "DriftRule",
     "ExprRule",
     "FreshnessRule",
+    "MetricBoundRule",
     "FunctionalDependencyRule",
     "LiteralRule",
     "MdvSparkError",

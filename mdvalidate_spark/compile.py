@@ -51,6 +51,7 @@ from .spec import (
     FreshnessRule,
     FunctionalDependencyRule,
     LiteralRule,
+    MetricBoundRule,
     NotNullRule,
     OverlapRule,
     PixelRule,
@@ -86,6 +87,7 @@ class ConstraintProgram:
     count_rules: tuple[CountRule, ...] = () # per-partition Count
     ref_rules: tuple[RefIntegrityRule, ...] = ()
     stats_rules: tuple[ColumnStatsRule, ...] = ()
+    metric_bound_rules: tuple[MetricBoundRule, ...] = ()
     pixel_rules: tuple[PixelRule, ...] = ()
     drift_rules: tuple[DriftRule, ...] = ()
     overlap_rules: tuple[OverlapRule, ...] = ()
@@ -158,6 +160,13 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
                 raise SchemaError(
                     f"rule {r.id!r}: max_violation_rate does not apply to "
                     "schema rules (metadata-level, not per-row)"
+                )
+            if isinstance(r, MetricBoundRule):
+                # ≤ one violation per rule regardless of table size — a
+                # per-row rate tolerance has no denominator here
+                raise SchemaError(
+                    f"rule {r.id!r}: max_violation_rate does not apply to "
+                    "metric bounds (aggregate-level, not per-row)"
                 )
 
         if isinstance(r, RegexRule):
@@ -249,6 +258,23 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
 
         if isinstance(r, DomainRule) and not r.values:
             raise SchemaError(f"rule {r.id!r}: empty domain")
+
+        if isinstance(r, MetricBoundRule):
+            from .spec import parse_bound_metric
+
+            try:
+                parse_bound_metric(r.metric)
+            except ValueError as e:
+                raise SchemaError(f"rule {r.id!r}: {e}") from e
+            if r.min is None and r.max is None:
+                # a bound rule with no bound checks nothing — reject the
+                # vacuity (ColumnStatsRule is the report-only form)
+                raise SchemaError(
+                    f"rule {r.id!r}: metric bound needs min and/or max "
+                    "(metrics without bounds belong on ColumnStatsRule)"
+                )
+            if r.min is not None and r.max is not None and r.min > r.max:
+                raise InvalidBoundsError(r.id, r.min, r.max)
 
         if isinstance(r, VectorRule):
             if r.dim is None and not r.forbid_nan and (
@@ -463,6 +489,9 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
     )
     refs = tuple(r for r in spec.rules if isinstance(r, RefIntegrityRule))
     stats = tuple(r for r in spec.rules if isinstance(r, ColumnStatsRule))
+    metric_bounds = tuple(
+        r for r in spec.rules if isinstance(r, MetricBoundRule)
+    )
     pixel = tuple(r for r in spec.rules if isinstance(r, PixelRule))
     drift = tuple(r for r in spec.rules if isinstance(r, DriftRule))
     overlaps = tuple(r for r in spec.rules if isinstance(r, OverlapRule))
@@ -473,7 +502,7 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
     scan_cols: list[str] = [spec.key_column]
     if spec.partition_column:
         scan_cols.append(spec.partition_column)
-    for r in (*row, *counts, *refs, *stats, *captures):
+    for r in (*row, *counts, *refs, *stats, *metric_bounds, *captures):
         for c in r.targets():
             if c and c not in scan_cols:
                 scan_cols.append(c)
@@ -485,6 +514,7 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
         count_rules=counts,
         ref_rules=refs,
         stats_rules=stats,
+        metric_bound_rules=metric_bounds,
         pixel_rules=pixel,
         drift_rules=drift,
         overlap_rules=overlaps,

@@ -118,6 +118,7 @@ KIND_NAN = "nan"
 KIND_EXPR = "expr"  # cross-column row invariant (ExprRule) evaluated FALSE
 KIND_FD = "fd"  # functional dependency violated (determinant maps to >1 dependent)
 KIND_STALE = "stale"  # freshness bound violated (max timestamp older than allowed)
+KIND_METRIC_BOUND = "metric_bound"  # aggregate metric outside its declared bounds
 
 ALL_KINDS = (
     KIND_LITERAL,
@@ -141,4 +142,5 @@ ALL_KINDS = (
     KIND_EXPR,
     KIND_FD,
     KIND_STALE,
+    KIND_METRIC_BOUND,
 )

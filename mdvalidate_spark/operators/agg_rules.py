@@ -954,3 +954,260 @@ def capture_rows(df: DataFrame, rules, run_id: str, key_column: str) -> DataFram
             )
         )
     return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+_KLL_RANK = {
+    "bigint": F.kll_sketch_get_rank_bigint,
+    "double": F.kll_sketch_get_rank_double,
+    "float": F.kll_sketch_get_rank_float,
+}
+_KLL_N = {
+    "bigint": F.kll_sketch_get_n_bigint,
+    "double": F.kll_sketch_get_n_double,
+    "float": F.kll_sketch_get_n_float,
+}
+
+
+def quantile_drift_from_partials(
+    partials_a: DataFrame,
+    partials_b: DataFrame,
+    rule: ColumnStatsRule,
+    run_id: str,
+    n_points: int = 32,
+    threshold: float = 0.1,
+) -> tuple[DataFrame, DataFrame, int]:
+    """CROSS-RUN distribution drift from two runs' PERSISTED KLL quantile
+    sketches — a two-sample KS statistic computed without rescanning either
+    run's data: the cross-run analog of the in-table drift family, closing
+    the loop on the incremental architecture (run N vs run N-1 costs
+    O(sketch), not O(table)).
+
+    Method: merge each side's per-partition sketch partials (tree fold,
+    same path as the incremental stats finalize), build a shared value grid
+    from BOTH sketches' quantiles at ranks i/n_points, and take
+    KS = max over the grid of |rank_A(v) − rank_B(v)| (ranks are the
+    sketches' normalized CDFs). With a grid covering both supports this is
+    the classic two-sample KS restricted to grid points — a lower bound
+    that converges as n_points grows; sketch rank error (≈1.65/√k) bounds
+    the additional uncertainty. Below sketch capacity (n ≤ kll_k) sketches
+    store every value exactly, so the statistic is exact on the grid.
+
+    Everything happens in column algebra over a 1-row × 1-row cross join —
+    the driver receives ONE row (ks, n_a, n_b)."""
+    def _family_of(partials):
+        dtype = dict(partials.dtypes).get(f"{rule.id}__min", "")
+        if dtype in ("tinyint", "smallint", "int", "bigint"):
+            return "bigint"
+        return "float" if dtype == "float" else "double"
+
+    fam = _family_of(partials_a)
+    _, kll_merge, kll_get, cast_to = _KLL[fam]
+    rank_fn = _KLL_RANK[fam]
+    n_fn = _KLL_N[fam]
+    kcol = f"{rule.id}__kll"
+    a = _kll_tree_merge(partials_a, kcol, kll_merge).select(
+        F.col(kcol).alias("_ska")
+    )
+    b = _kll_tree_merge(partials_b, kcol, kll_merge).select(
+        F.col(kcol).alias("_skb")
+    )
+    both = a.crossJoin(b).persist()
+    # pass 1: the value GRID — both sketches' quantiles at ranks i/n_points
+    # (kll_sketch_get_rank_* demands a FOLDABLE value, so the grid must
+    # round-trip through the driver: two 1-row collects total)
+    grid_exprs = [
+        kll_get(F.col(src), F.lit(float(i) / n_points)).alias(f"{src}_{i}")
+        for i in range(n_points + 1)
+        for src in ("_ska", "_skb")
+    ]
+    g = both.select(
+        *grid_exprs,
+        n_fn(F.col("_ska")).alias("na"),
+        n_fn(F.col("_skb")).alias("nb"),
+    ).collect()[0]
+    grid = sorted(
+        {g[f"{src}_{i}"] for i in range(n_points + 1) for src in ("_ska", "_skb")}
+        - {None}
+    )
+    spark = partials_a.sparkSession
+    metric_rows, viol_rows = [], []
+    if not grid or g["na"] is None or g["nb"] is None:
+        side = "baseline" if g["na"] is None else "current"
+        both.unpersist()
+        viol_rows.append(
+            (
+                run_id, None, rule.id, side, rule.column,
+                f"non-empty {side} sketch", "no sketch", "drift",
+            )
+        )
+    else:
+        # pass 2: KS = max |rank_A(v) − rank_B(v)| over the literal grid
+        diffs = [
+            F.abs(
+                rank_fn(F.col("_ska"), F.lit(v).cast(cast_to))
+                - rank_fn(F.col("_skb"), F.lit(v).cast(cast_to))
+            )
+            for v in grid
+        ]
+        row = both.select(F.greatest(*diffs).alias("ks")).collect()[0]
+        both.unpersist()
+        ks = float(row["ks"])
+        metric_rows = [
+            (run_id, None, rule.id, "ks_stat", ks, None),
+            (run_id, None, rule.id, "n_baseline", float(g["na"]), None),
+            (run_id, None, rule.id, "n_current", float(g["nb"]), None),
+        ]
+        if ks > threshold:
+            viol_rows.append(
+                (
+                    run_id, None, rule.id, "run_vs_run", rule.column,
+                    f"ks <= {threshold}", f"{ks:.6f}", "drift",
+                )
+            )
+    metrics = spark.createDataFrame(
+        metric_rows,
+        "run_id string, partition_id int, rule_id string, metric string, "
+        "value double, value_str string",
+    )
+    violations = spark.createDataFrame(
+        viol_rows,
+        "run_id string, partition_id int, rule_id string, image_id string, "
+        "column string, expected string, actual string, kind string",
+    )
+    return violations, metrics, len(viol_rows)
+
+
+def metric_bound_results(
+    df: DataFrame, rules, run_id: str
+) -> tuple[DataFrame, DataFrame]:
+    """Evaluate every MetricBoundRule in ONE fused aggregation pass and
+    return (violations, metrics): the metric rows report each observed
+    value (the same long shape as column_stats_metrics), the violation
+    rows fire where the value leaves [min, max] — the reference's
+    {min,max} extras semantics (matcher_extras.rs:129-157,
+    lists.rs:168-264) lifted from list counts to column aggregates.
+
+    Plan shape: one shuffle-free partial + final agg over the pruned scan
+    (all rules' aggregates fuse, scoped rules gate via conditional
+    aggregation), yielding a 1-row wide frame that is persisted (one row —
+    negligible) so the metrics and violations selects share the single
+    scan. The bound comparison itself is column algebra over that row —
+    nothing is collected.
+
+    NULL metric values (mean/stddev/quantile over zero in-scope rows, or
+    stddev of a single row) VIOLATE: a bound on a value that does not
+    exist is missing data, reported with actual 'no value' — never a
+    silent pass (drift's empty-side contract)."""
+    from ..errors import KIND_METRIC_BOUND
+    from ..spec import parse_bound_metric
+
+    spark = df.sparkSession
+    if not rules:
+        empty_v = spark.createDataFrame(
+            [],
+            "run_id string, partition_id int, rule_id string, image_id "
+            "string, column string, expected string, actual string, "
+            "kind string",
+        )
+        empty_m = spark.createDataFrame(
+            [],
+            "run_id string, partition_id int, rule_id string, metric "
+            "string, value double, value_str string",
+        )
+        return empty_v, empty_m
+
+    aggs = []
+    for r in rules:
+        c = _scope_gate(F.col(r.column), r)
+        family, q = parse_bound_metric(r.metric)
+        kindq = r.metric if family == "simple" else "quantile"
+        if kindq == "count":
+            agg = _scoped_rows(r).cast("double")
+        elif kindq == "null_rate":
+            rows = _scoped_rows(r).cast("double")
+            nonnull = F.count(c).cast("double")
+            agg = F.when(rows > 0, (rows - nonnull) / rows).otherwise(
+                F.lit(0.0)
+            )
+        elif kindq == "distinct":
+            agg = (
+                F.count_distinct(c) if r.exact else F.approx_count_distinct(c)
+            ).cast("double")
+        elif kindq == "mean":
+            agg = F.avg(c.cast("double"))
+        elif kindq == "stddev":
+            agg = F.stddev_samp(c.cast("double"))
+        elif kindq in ("min", "max"):
+            fn = F.min if kindq == "min" else F.max
+            agg = fn(c.cast("double"))
+        else:  # quantile
+            agg = (
+                F.percentile(c, F.lit(q))
+                if r.exact
+                else F.approx_percentile(c, F.lit(q), F.lit(10000))
+            ).cast("double")
+        aggs.append(agg.alias(f"{r.id}__val"))
+
+    # 1-row wide frame; persisted so metrics + violations share ONE scan
+    wide = df.agg(*aggs).persist()
+
+    def _fmt(x):
+        return "None" if x is None else f"{float(x):g}"
+
+    met_parts, vio_parts = [], []
+    for r in rules:
+        val = F.col(f"{r.id}__val")
+        met_parts.append(
+            F.struct(
+                F.lit(r.id).alias("rule_id"),
+                F.lit(r.metric).alias("metric"),
+                val.alias("value"),
+                F.lit(None).cast("string").alias("value_str"),
+            )
+        )
+        conds = []
+        if r.min is not None:
+            conds.append(val < F.lit(float(r.min)))
+        if r.max is not None:
+            conds.append(val > F.lit(float(r.max)))
+        out_of_bounds = conds[0] if len(conds) == 1 else (conds[0] | conds[1])
+        # NULL comparison -> NULL; coalesce makes the missing value LOUD
+        fail = F.coalesce(out_of_bounds, F.lit(True))
+        vio_parts.append(
+            F.struct(
+                F.lit(r.id).alias("rule_id"),
+                F.lit(r.metric).alias("image_id"),
+                F.lit(r.column).alias("column"),
+                F.lit(f"{r.metric} in [{_fmt(r.min)}, {_fmt(r.max)}]").alias(
+                    "expected"
+                ),
+                F.coalesce(val.cast("string"), F.lit("no value")).alias(
+                    "actual"
+                ),
+                fail.alias("fail"),
+            )
+        )
+
+    metrics = wide.select(F.explode(F.array(*met_parts)).alias("m")).select(
+        F.lit(run_id).alias("run_id"),
+        F.lit(None).cast("int").alias("partition_id"),
+        F.col("m.rule_id"),
+        F.col("m.metric"),
+        F.col("m.value"),
+        F.col("m.value_str"),
+    )
+    violations = (
+        wide.select(F.explode(F.array(*vio_parts)).alias("v"))
+        .where(F.col("v.fail"))
+        .select(
+            F.lit(run_id).alias("run_id"),
+            F.lit(None).cast("int").alias("partition_id"),
+            F.col("v.rule_id"),
+            F.col("v.image_id"),
+            F.col("v.column"),
+            F.col("v.expected"),
+            F.col("v.actual"),
+            F.lit(KIND_METRIC_BOUND).alias("kind"),
+        )
+    )
+    return violations, metrics

@@ -170,6 +170,7 @@ class ValidationRun:
             *self.program.count_rules,
             *self.program.ref_rules,
             *self.program.stats_rules,
+            *self.program.metric_bound_rules,
         ):
             w = getattr(rr, "when", "")
             if not w:
@@ -195,6 +196,14 @@ class ValidationRun:
         for sr in self.program.stats_rules:
             if sr.moments:
                 agg_rules._require_numeric(self.df, sr, "moments")
+        # numeric metrics of a non-numeric column would be silent all-NULL
+        # (→ spurious 'no value' violations) after the cast — reject now
+        from .spec import NUMERIC_BOUND_METRICS, parse_bound_metric
+
+        for mb in self.program.metric_bound_rules:
+            family, _q = parse_bound_metric(mb.metric)
+            if family == "quantile" or mb.metric in NUMERIC_BOUND_METRICS:
+                agg_rules._require_numeric(self.df, mb, mb.metric)
         for r in self.program.ref_rules:
             if r.dim_name not in self.dims:
                 from .errors import SchemaError
@@ -621,6 +630,15 @@ class ValidationRun:
                         universe=self.dims.get(gr.universe) if gr.universe else None,
                     )
                 )
+
+        if prog.metric_bound_rules:
+            # all bounds fuse into one aggregation pass; the 1-row result
+            # feeds both the violation and the metric frames
+            mb_viol, mb_met = agg_rules.metric_bound_results(
+                self.df, prog.metric_bound_rules, self.run_id
+            )
+            viols.append(mb_viol)
+            mets.append(mb_met)
 
         full_stats = tuple(r for r in prog.stats_rules if not r.incremental)
         inc_stats = tuple(r for r in prog.stats_rules if r.incremental)

@@ -502,6 +502,75 @@ class ColumnStatsRule(Rule):
         return (self.column,)
 
 
+#: metric names MetricBoundRule can bound (besides p<q> quantiles)
+BOUNDABLE_METRICS = (
+    "count", "null_rate", "distinct", "mean", "stddev", "min", "max",
+)
+#: metrics that only make sense on a numeric column (checked at run init
+#: against the real schema; count/null_rate/distinct work on any type)
+NUMERIC_BOUND_METRICS = ("mean", "stddev", "min", "max")
+
+
+def parse_bound_metric(metric: str):
+    """('simple', name) for a named aggregate, ('quantile', q) for a
+    ``p<q>`` percentile (q as a fraction in (0, 1)); raises ValueError on
+    anything else — compile_spec turns that into a SchemaError before any
+    job runs."""
+    if metric in BOUNDABLE_METRICS:
+        return ("simple", metric)
+    import re as _re
+
+    m = _re.fullmatch(r"p(\d+(?:\.\d+)?)", metric)
+    if m:
+        q = float(m.group(1))
+        if 0.0 < q < 100.0:
+            return ("quantile", q / 100.0)
+    raise ValueError(
+        f"unknown metric {metric!r}: expected one of {BOUNDABLE_METRICS} "
+        "or p<q> with 0 < q < 100 (e.g. p95, p99.9)"
+    )
+
+
+@dataclass(frozen=True)
+class MetricBoundRule(Rule):
+    """Assert BOUNDS on an aggregate metric of a column — the constraint
+    layer over the profiling layer: ``ColumnStatsRule`` reports metrics,
+    this rule JUDGES one ("null_rate(caption) <= 0.01", "p95(w) <= 2048",
+    "distinct(fmt) in [1, 3]"). Reference lineage: the ``{min,max}``
+    extras the reference enforces on repeated-list lengths
+    (matcher_extras.rs:129-157, lists.rs:168-264), generalized from counts
+    to any column-level aggregate — the step that turns the north rule's
+    per-column stats from passive numbers into gates a run can fail on.
+
+    ``metric``: count | null_rate | distinct | mean | stddev | min | max |
+    p<q> (e.g. ``p95``, ``p99.9``). At least one bound required; open ends
+    allowed. ``when`` scopes the aggregate to a sub-population via the
+    same conditional-aggregation gate as scoped stats.
+
+    A metric that evaluates to NULL against a lower/upper demand (e.g.
+    mean over zero in-scope rows) is reported as a violation with actual
+    'no value' — missing data is loud, never a silent pass (same contract
+    as drift's empty-side handling).
+
+    Scale: ALL metric-bound rules in a spec fuse into ONE aggregation pass
+    (shuffle-free partial + final agg, 1-row result); the bound comparison
+    is column algebra over that single row. ``exact=False`` (default)
+    evaluates distinct / quantiles with mergeable sketches
+    (approx_count_distinct / approx_percentile) — constant memory at any
+    scale; ``exact=True`` for small-scale oracle parity."""
+
+    column: str = ""
+    metric: str = "null_rate"
+    min: Optional[float] = None
+    max: Optional[float] = None
+    exact: bool = False
+    when: str = ""  # optional row-scope predicate (see NotNullRule.when)
+    kind: str = field(default="metric_bound", init=False)
+
+    def targets(self):
+        return (self.column,)
+
+
 @dataclass(frozen=True)
 class CaptureRule(Rule):
     """Capture-only rule: extract a regex group from ``column`` per row and

@@ -24,6 +24,7 @@ from .spec import (
     DriftRule,
     ExprRule,
     FreshnessRule,
+    MetricBoundRule,
     FunctionalDependencyRule,
     LiteralRule,
     NotNullRule,
@@ -61,6 +62,7 @@ RULE_KINDS: dict[str, type] = {
     "expr": ExprRule,
     "fd": FunctionalDependencyRule,
     "freshness": FreshnessRule,
+    "metric_bound": MetricBoundRule,
 }
 
 
