@@ -319,6 +319,71 @@ def q_vector_embeddings(spark, sf_dir):
     return _viol_out(row_violations(with_partition_id(df, spec), prog, "q"))
 
 
+def q_header_documents(spark, sf_dir):
+    """HeaderRule: binary payload container integrity WITHOUT decode —
+    magic prefix, format-code byte vs the fmt column, u16-LE header dims vs
+    the w/h columns — all substring-on-binary + conv(hex) column algebra in
+    the fused row pass (no Python, no shuffle; the scale tier below the
+    sampled PixelRule decode: every row of a 10^12-image table can afford
+    an 8-byte header check). Payloads are CONSTRUCTED deterministically from
+    doc_id in both engines (unhex of an identical hex string — same
+    precedent as vector_embeddings' planted mutations): doc_id%13 plants one
+    corruption class per residue — 1 truncated, 2 wrong magic, 3 mislabeled
+    fmt code, 4 header/column width clash, 5 height clash; the oracle
+    re-extracts every field byte-by-byte from its own blob independently."""
+    from mdvalidate_spark.spec import HeaderRule
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+    code = F.col("doc_id") % 3
+    fmt = F.element_at(
+        F.array(F.lit("png"), F.lit("jpeg"), F.lit("webp")), (code + 1).cast("int")
+    )
+    w = (F.col("doc_id") % 97 + 32).cast("int")
+    h = (F.col("doc_id") % 53 + 16).cast("int")
+    m = F.col("doc_id") % 13
+    hdr_code = F.when(m == 3, (code + 1) % 3).otherwise(code)
+    hw = F.when(m == 4, w + 1).otherwise(w)
+    hh = F.when(m == 5, h + 2).otherwise(h)
+
+    def le16(c):
+        return F.concat(
+            F.format_string("%02X", c % 256), F.format_string("%02X", (c / 256).cast("int"))
+        )
+
+    full_hex = F.concat(
+        F.when(m == 2, F.lit("585858")).otherwise(F.lit("4D4456")),
+        F.format_string("%02X", hdr_code),
+        le16(hw),
+        le16(hh),
+        F.lit("AB"),
+    )
+    hex_str = F.when(m == 1, F.substring(full_hex, 1, 10)).otherwise(full_hex)
+    df = docs.select(
+        F.col("doc_id"),
+        F.unhex(hex_str).alias("bytes"),
+        w.alias("w"),
+        h.alias("h"),
+        fmt.alias("fmt"),
+    )
+    spec = Spec(
+        rules=(
+            HeaderRule(
+                "hdr_doc",
+                column="bytes",
+                magic="4D4456",
+                fmt_column="fmt",
+                fmt_codes={"png": 0, "jpeg": 1, "webp": 2},
+                w_column="w",
+                h_column="h",
+            ),
+        ),
+        key_column="doc_id",
+        n_partitions=8,
+    )
+    prog = compile_spec(spec, df.columns)
+    return _viol_out(row_violations(with_partition_id(df, spec), prog, "q"))
+
+
 def q_heavy_hitters_lineitem(spark, sf_dir):
     """Exact heavy hitters (operators/skew.py top_keys): the DETECTION half
     of the north rule's phash-hotspot-skew posture — groupBy with map-side
@@ -1444,6 +1509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freshness_events": q_freshness_events,
         "suggest_orders": q_suggest_orders,
         "vector_embeddings": q_vector_embeddings,
+        "header_documents": q_header_documents,
         "row_part": q_row_part,
         "row_customer": q_row_customer,
         "composite_documents": q_composite_documents,
@@ -1637,6 +1703,71 @@ SELECT c AS column_name, k AS kind, d AS detail FROM (
         || CAST(max(o_totalprice) AS VARCHAR) || ']'
   FROM orders
 )
+"""
+
+_HEADER_DOCUMENTS_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         doc_id % 3 AS code,
+         CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS fmt,
+         CAST(doc_id % 97 + 32 AS INT) AS w,
+         CAST(doc_id % 53 + 16 AS INT) AS h,
+         doc_id % 13 AS m
+  FROM documents
+), hexed AS (
+  SELECT *,
+    (CASE WHEN m = 2 THEN '585858' ELSE '4D4456' END
+      || printf('%02X', CASE WHEN m = 3 THEN (code + 1) % 3 ELSE code END)
+      || printf('%02X', (CASE WHEN m = 4 THEN w + 1 ELSE w END) % 256)
+      || printf('%02X', (CASE WHEN m = 4 THEN w + 1 ELSE w END) // 256)
+      || printf('%02X', (CASE WHEN m = 5 THEN h + 2 ELSE h END) % 256)
+      || printf('%02X', (CASE WHEN m = 5 THEN h + 2 ELSE h END) // 256)
+      || 'AB') AS full_hex
+  FROM base
+), payload AS (
+  -- independent byte path: build the blob, then RE-EXTRACT every field from
+  -- the blob's own hex dump (never from the arithmetic that built it)
+  SELECT doc_id, fmt, w, h,
+         hex(unhex(CASE WHEN m = 1 THEN substring(full_hex, 1, 10)
+                        ELSE full_hex END)) AS hx,
+         octet_length(unhex(CASE WHEN m = 1 THEN substring(full_hex, 1, 10)
+                                 ELSE full_hex END)) AS blen
+  FROM hexed
+), decoded AS (
+  SELECT *,
+         substring(hx, 1, 6) AS magic,
+         TRY_CAST('0x' || substring(hx, 7, 2) AS INT) AS hcode,
+         TRY_CAST('0x' || substring(hx, 9, 2) AS INT)
+           + 256 * TRY_CAST('0x' || substring(hx, 11, 2) AS INT) AS hwidth,
+         TRY_CAST('0x' || substring(hx, 13, 2) AS INT)
+           + 256 * TRY_CAST('0x' || substring(hx, 15, 2) AS INT) AS hheight,
+         CASE fmt WHEN 'png' THEN 0 WHEN 'jpeg' THEN 1 ELSE 2 END AS want_code
+  FROM payload
+)
+SELECT 'hdr_doc' AS rule_id,
+       CAST(doc_id AS VARCHAR) AS row_key,
+       CASE WHEN blen < 8 THEN 'bytes'
+            WHEN magic <> '4D4456' THEN 'bytes'
+            WHEN hcode <> want_code THEN 'fmt'
+            WHEN hwidth <> w THEN 'w'
+            ELSE 'h' END AS col_name,
+       CASE WHEN blen < 8 THEN '>= 8 bytes'
+            WHEN magic <> '4D4456' THEN '4D4456'
+            WHEN hcode <> want_code THEN CAST(want_code AS VARCHAR)
+            WHEN hwidth <> w THEN CAST(w AS VARCHAR)
+            ELSE CAST(h AS VARCHAR) END AS expected,
+       CASE WHEN blen < 8 THEN CAST(blen AS VARCHAR)
+            WHEN magic <> '4D4456' THEN magic
+            WHEN hcode <> want_code THEN CAST(hcode AS VARCHAR)
+            WHEN hwidth <> w THEN CAST(hwidth AS VARCHAR)
+            ELSE CAST(hheight AS VARCHAR) END AS actual,
+       CASE WHEN blen < 8 THEN 'truncated'
+            WHEN magic <> '4D4456' THEN 'prefix'
+            WHEN hcode <> want_code THEN 'fmt_code'
+            ELSE 'dim_mismatch' END AS kind
+FROM decoded
+WHERE blen < 8 OR magic <> '4D4456' OR hcode <> want_code
+   OR hwidth <> w OR hheight <> h
 """
 
 _VECTOR_EMBEDDINGS_SQL = """
@@ -2096,6 +2227,7 @@ WHERE o_orderdate < TIMESTAMP '1998-01-01'
         "freshness_events": _FRESHNESS_EVENTS_SQL,
         "suggest_orders": _SUGGEST_ORDERS_SQL,
         "vector_embeddings": _VECTOR_EMBEDDINGS_SQL,
+        "header_documents": _HEADER_DOCUMENTS_SQL,
         "row_part": _ROW_PART_SQL,
         "row_customer": _ROW_CUSTOMER_SQL,
         "composite_documents": _COMPOSITE_DOCS_SQL,

@@ -46,6 +46,7 @@ from .spec import (
     SequenceRule,
     Spec,
     UniqueRule,
+    HeaderRule,
     VectorRule,
 )
 
@@ -77,6 +78,7 @@ __all__ = [
     "Spec",
     "UniqueRule",
     "ValidationRun",
+    "HeaderRule",
     "VectorRule",
     "compile_spec",
     "get_spark",

@@ -50,6 +50,7 @@ from .spec import (
     ExprRule,
     FreshnessRule,
     FunctionalDependencyRule,
+    HeaderRule,
     LiteralRule,
     MetricBoundRule,
     NotNullRule,
@@ -74,6 +75,7 @@ ROW_KINDS = (
     DomainRule,
     VectorRule,
     ExprRule,
+    HeaderRule,
 )
 
 
@@ -345,6 +347,51 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
                 raise SchemaError(
                     f"rule {r.id!r}: expr rule must declare the columns its "
                     "expression reads (scan pruning + schema lint)"
+                )
+
+        if isinstance(r, HeaderRule):
+            if not r.column:
+                raise SchemaError(f"rule {r.id!r}: header rule needs a column")
+            if not (
+                r.magic or r.magic_by_fmt or r.fmt_codes or r.w_column or r.h_column
+            ):
+                raise SchemaError(
+                    f"rule {r.id!r}: header rule checks nothing — set magic, "
+                    "magic_by_fmt, fmt_codes, and/or w/h columns"
+                )
+            if r.magic and r.magic_by_fmt:
+                raise SchemaError(
+                    f"rule {r.id!r}: magic and magic_by_fmt are exclusive "
+                    "(one shared prefix OR per-format prefixes)"
+                )
+            if (r.magic_by_fmt or r.fmt_codes) and not r.fmt_column:
+                raise SchemaError(
+                    f"rule {r.id!r}: per-format checks need fmt_column"
+                )
+            for hx in (r.magic, *(h for _, h in r.magic_by_fmt)):
+                if hx and (
+                    len(hx) % 2 != 0
+                    or any(ch not in "0123456789ABCDEF" for ch in hx)
+                ):
+                    raise SchemaError(
+                        f"rule {r.id!r}: magic {hx!r} is not an even-length "
+                        "hex string"
+                    )
+            for k, code in r.fmt_codes:
+                if not (0 <= int(code) <= 255):
+                    raise SchemaError(
+                        f"rule {r.id!r}: fmt code for {k!r} must be one "
+                        f"byte (0-255), got {code}"
+                    )
+            for off in (r.code_offset, r.w_offset, r.h_offset):
+                if off < 0:
+                    raise SchemaError(
+                        f"rule {r.id!r}: header offsets must be >= 0"
+                    )
+            if r.w_column and r.h_column and abs(r.w_offset - r.h_offset) < 2:
+                raise SchemaError(
+                    f"rule {r.id!r}: w/h u16 offsets overlap "
+                    f"({r.w_offset}, {r.h_offset})"
                 )
 
         if isinstance(r, RefIntegrityRule):

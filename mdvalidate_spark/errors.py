@@ -119,6 +119,9 @@ KIND_EXPR = "expr"  # cross-column row invariant (ExprRule) evaluated FALSE
 KIND_FD = "fd"  # functional dependency violated (determinant maps to >1 dependent)
 KIND_STALE = "stale"  # freshness bound violated (max timestamp older than allowed)
 KIND_METRIC_BOUND = "metric_bound"  # aggregate metric outside its declared bounds
+# binary payload header rules (HeaderRule — container integrity sans decode)
+KIND_TRUNCATED = "truncated"  # payload shorter than the declared header
+KIND_FMT_CODE = "fmt_code"  # header format-code byte contradicts the fmt column
 
 ALL_KINDS = (
     KIND_LITERAL,
@@ -143,4 +146,6 @@ ALL_KINDS = (
     KIND_FD,
     KIND_STALE,
     KIND_METRIC_BOUND,
+    KIND_TRUNCATED,
+    KIND_FMT_CODE,
 )

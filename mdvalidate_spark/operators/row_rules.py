@@ -28,6 +28,7 @@ from ..errors import (
     KIND_DIM,
     KIND_DOMAIN,
     KIND_EXPR,
+    KIND_FMT_CODE,
     KIND_LITERAL,
     KIND_MATCHER,
     KIND_NAN,
@@ -35,11 +36,13 @@ from ..errors import (
     KIND_PREFIX,
     KIND_RANGE,
     KIND_SUFFIX,
+    KIND_TRUNCATED,
 )
 from ..spec import (
     CompositeRegexRule,
     DomainRule,
     ExprRule,
+    HeaderRule,
     LiteralRule,
     NotNullRule,
     RangeRule,
@@ -207,6 +210,92 @@ def _check_applies(rule) -> Column:
                         F.format_string("%.6f", norm),
                         KIND_RANGE,
                     ),
+                )
+            )
+        out = F.when(branches[0][0], branches[0][1])
+        for cond, viol in branches[1:]:
+            out = out.when(cond, viol)
+        return out
+    if isinstance(rule, HeaderRule):
+        # container integrity without decoding (fence-header-before-body,
+        # code.rs:152-205): truncated → bad magic → fmt-code byte → header
+        # u16-LE dims vs declared columns, first failure only. Everything
+        # reads an ~8-byte prefix via substring-on-binary + conv(hex) — one
+        # codegen'd expression, no Python, no decode. NULL payloads pass
+        # (NotNullRule's job); a fmt value outside the declared mappings is
+        # out of scope (DomainRule owns the fmt vocabulary), which the
+        # chained CASE gives for free: the expected side goes NULL, the
+        # comparison goes NULL, the branch never fires.
+        c = F.col(rule.column)
+
+        def _byte(off: int) -> Column:  # 0-based header byte → int
+            return F.conv(F.hex(F.substring(c, off + 1, 1)), 16, 10).cast("int")
+
+        def _u16le(off: int) -> Column:
+            return _byte(off) + _byte(off + 1) * F.lit(256)
+
+        def _fmt_case(pairs, value) -> Column:
+            out = None
+            for k, v in pairs:
+                cond = F.col(rule.fmt_column) == F.lit(k)
+                out = F.when(cond, value(v)) if out is None else out.when(
+                    cond, value(v)
+                )
+            return out
+
+        need = rule.required_length
+        branches = [
+            (
+                F.octet_length(c) < F.lit(need),
+                _viol(
+                    rule.id,
+                    rule.column,
+                    F.lit(f">= {need} bytes"),
+                    F.octet_length(c),
+                    KIND_TRUNCATED,
+                ),
+            )
+        ]
+        if rule.magic:
+            got = F.hex(F.substring(c, 1, len(rule.magic) // 2))
+            branches.append(
+                (
+                    got != F.lit(rule.magic),
+                    _viol(rule.id, rule.column, F.lit(rule.magic), got, KIND_PREFIX),
+                )
+            )
+        elif rule.magic_by_fmt:
+            expected = _fmt_case(rule.magic_by_fmt, lambda v: F.lit(v))
+            got = _fmt_case(
+                rule.magic_by_fmt,
+                lambda v: F.hex(F.substring(c, 1, len(v) // 2)),
+            )
+            branches.append(
+                (got != expected, _viol(rule.id, rule.column, expected, got, KIND_PREFIX))
+            )
+        if rule.fmt_codes:
+            expected = _fmt_case(rule.fmt_codes, lambda v: F.lit(int(v)))
+            got = _byte(rule.code_offset)
+            branches.append(
+                (
+                    got != expected,
+                    _viol(rule.id, rule.fmt_column, expected, got, KIND_FMT_CODE),
+                )
+            )
+        if rule.w_column:
+            got = _u16le(rule.w_offset)
+            branches.append(
+                (
+                    got != F.col(rule.w_column),
+                    _viol(rule.id, rule.w_column, F.col(rule.w_column), got, KIND_DIM),
+                )
+            )
+        if rule.h_column:
+            got = _u16le(rule.h_offset)
+            branches.append(
+                (
+                    got != F.col(rule.h_column),
+                    _viol(rule.id, rule.h_column, F.col(rule.h_column), got, KIND_DIM),
                 )
             )
         out = F.when(branches[0][0], branches[0][1])

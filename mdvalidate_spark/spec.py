@@ -238,6 +238,98 @@ class VectorRule(Rule):
 
 
 @dataclass(frozen=True)
+class HeaderRule(Rule):
+    """Structural integrity of a binary payload column WITHOUT decoding it:
+    container magic bytes, format-code byte vs the declared ``fmt`` column,
+    and fixed-offset u16-LE header dimensions vs the declared ``w``/``h``
+    columns — all in plain column algebra over an 8-byte prefix of the blob.
+
+    The scale rationale: at 10^12 images, full pixel decode (PixelRule) is a
+    sampled/staged commitment, but EVERY row can afford a header check — the
+    expression touches only ``substring(bytes, 1, ~8)``, stays inside the
+    fused codegen'd row pass (no Python, no shuffle, no decode), and catches
+    the bulk corruption classes outright: truncation, wrong container,
+    mislabeled format, metadata that contradicts the payload. The reference
+    analog is the fenced-code-block *info string* check that runs before the
+    body kernel (walkers/validators/code.rs:152-205 validates the fence
+    header, then hands the opaque body to the dedicated kernel) — header
+    first, expensive payload later.
+
+    Checks run in pipeline order, FIRST failure only (cmd.rs:368-398):
+
+    1. ``octet_length < min_length``          → kind=truncated
+    2. magic prefix mismatch                  → kind=prefix
+       (``magic`` for all rows, or per-format via ``magic_by_fmt`` — real
+       containers have per-format magics: PNG ``89504E47``, JPEG ``FFD8FF``)
+    3. format-code byte ≠ ``fmt_codes[fmt]``  → kind=fmt_code
+    4. header u16-LE width  ≠ ``w_column``    → kind=dim_mismatch
+    5. header u16-LE height ≠ ``h_column``    → kind=dim_mismatch
+
+    NULL payloads are NotNullRule's job; a ``fmt`` value absent from the
+    mappings is out of scope here (DomainRule owns the fmt vocabulary).
+    ``magic``/``magic_by_fmt`` values are hex strings (case-insensitive).
+    Offsets are 0-based byte positions; dims are little-endian u16 (the MDV
+    container layout, functions/codec.py)."""
+
+    column: str = ""
+    magic: str = ""  # hex prefix required on every row (exclusive w/ by-fmt)
+    magic_by_fmt: tuple = ()  # ((fmt value, hex prefix), ...) or dict
+    fmt_column: str = ""
+    fmt_codes: tuple = ()  # ((fmt value, code byte int), ...) or dict
+    code_offset: int = 3
+    w_column: str = ""
+    h_column: str = ""
+    w_offset: int = 4
+    h_offset: int = 6
+    min_length: int = 0  # 0 = derived from the deepest offset any check reads
+    when: str = ""  # optional row-scope predicate (see NotNullRule.when)
+    kind: str = field(default="header", init=False)
+
+    def __post_init__(self):
+        # accept dicts (ergonomic) and normalize to sorted tuple pairs so the
+        # frozen rule stays hashable and JSON round-trips compare equal
+        for f in ("magic_by_fmt", "fmt_codes"):
+            v = getattr(self, f)
+            if isinstance(v, dict):
+                v = tuple(sorted(v.items()))
+            else:
+                v = tuple((k, x) for k, x in v)
+            object.__setattr__(self, f, v)
+        object.__setattr__(self, "magic", self.magic.upper())
+        object.__setattr__(
+            self,
+            "magic_by_fmt",
+            tuple((k, x.upper()) for k, x in self.magic_by_fmt),
+        )
+
+    def targets(self):
+        cols = [self.column]
+        if self.fmt_column and (self.magic_by_fmt or self.fmt_codes):
+            cols.append(self.fmt_column)
+        if self.w_column:
+            cols.append(self.w_column)
+        if self.h_column:
+            cols.append(self.h_column)
+        return tuple(cols)
+
+    @property
+    def required_length(self) -> int:
+        """Bytes the declared checks actually read (the derived min_length)."""
+        need = 0
+        if self.magic:
+            need = max(need, len(self.magic) // 2)
+        for _, hx in self.magic_by_fmt:
+            need = max(need, len(hx) // 2)
+        if self.fmt_codes:
+            need = max(need, self.code_offset + 1)
+        if self.w_column:
+            need = max(need, self.w_offset + 2)
+        if self.h_column:
+            need = max(need, self.h_offset + 2)
+        return max(need, self.min_length)
+
+
+@dataclass(frozen=True)
 class ExprRule(Rule):
     """Cross-column row invariant: an arbitrary SQL boolean expression that
     must hold on every row (e.g. ``"w * h <= 268435456"``,

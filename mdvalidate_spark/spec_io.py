@@ -4,7 +4,7 @@ A spec file is JSON: {"key_column": ..., "n_partitions": ..., "fast_fail":
 ..., "max_violations_per_rule": ..., "rules": [{"kind": ..., "id": ...,
 ...}, ...]}. Rule kinds: not_null, regex, composite, literal, range, domain,
 unique, count, ref, capture, sequence, stats, drift, overlap, pixel, schema,
-vector, expr, fd, freshness.
+vector, expr, header, fd, freshness.
 Unknown kinds or params raise SchemaError at load (reference: matcher parse
 errors, matcher.rs:175-208 — reject before touching data).
 """
@@ -26,6 +26,7 @@ from .spec import (
     FreshnessRule,
     MetricBoundRule,
     FunctionalDependencyRule,
+    HeaderRule,
     LiteralRule,
     NotNullRule,
     OverlapRule,
@@ -60,6 +61,7 @@ RULE_KINDS: dict[str, type] = {
     "schema": SchemaRule,
     "vector": VectorRule,
     "expr": ExprRule,
+    "header": HeaderRule,
     "fd": FunctionalDependencyRule,
     "freshness": FreshnessRule,
     "metric_bound": MetricBoundRule,

@@ -609,3 +609,137 @@ def test_expr_rule_spec_io_roundtrip(tmp_path):
     p = str(tmp_path / "spec.json")
     save_spec(spec, p)
     assert load_spec(p) == spec
+
+
+# --------------------------------------------------------------- header rules
+
+
+def _hdr_df(spark):
+    """Six real MDV payloads (functions/codec.py encode), five mutated to hit
+    each header-taxonomy branch exactly once."""
+    from mdvalidate_spark.functions.codec import base_image, encode
+
+    fmts = ["png", "jpeg", "webp"]
+    rows = []
+    for i in range(6):
+        fmt = fmts[i % 3]
+        rows.append([f"img{i}", bytearray(encode(base_image(i, 36, 24), fmt)), 36, 24, fmt])
+    rows[1][1] = rows[1][1][:6]  # truncated mid-header
+    rows[2][1] = bytearray(b"XXX") + rows[2][1][3:]  # wrong container magic
+    rows[3][4] = "webp"  # fmt column lies (payload code byte says png)
+    rows[4][2] = 99  # w column contradicts the header u16
+    rows[5][3] = 7  # h column contradicts the header u16
+    return with_partition_id(
+        spark.createDataFrame(
+            [tuple(r) for r in rows],
+            "image_id string, bytes binary, w int, h int, fmt string",
+        ),
+        base_spec([]),
+    )
+
+
+def _mdv_header_rule(**kw):
+    from mdvalidate_spark.functions.codec import FORMATS
+    from mdvalidate_spark.spec import HeaderRule
+
+    return HeaderRule(
+        "hdr",
+        column="bytes",
+        magic="4D4456",
+        fmt_column="fmt",
+        fmt_codes={k: v[0] for k, v in FORMATS.items()},
+        w_column="w",
+        h_column="h",
+        **kw,
+    )
+
+
+def test_header_rule_taxonomy_and_precedence(spark):
+    """truncated → prefix → fmt_code → dim_mismatch, first failure only;
+    clean real-codec payloads pass."""
+    v = {r["image_id"]: r for r in run_rows(spark, _hdr_df(spark), [_mdv_header_rule()]).collect()}
+    assert set(v) == {"img1", "img2", "img3", "img4", "img5"}
+    assert v["img1"]["kind"] == "truncated" and v["img1"]["actual"] == "6"
+    assert v["img2"]["kind"] == "prefix" and v["img2"]["actual"] == "585858"
+    assert v["img3"]["kind"] == "fmt_code"
+    assert v["img3"]["expected"] == "2" and v["img3"]["actual"] == "0"
+    assert v["img4"]["kind"] == "dim_mismatch" and v["img4"]["column"] == "w"
+    assert v["img4"]["expected"] == "99" and v["img4"]["actual"] == "36"
+    assert v["img5"]["kind"] == "dim_mismatch" and v["img5"]["column"] == "h"
+
+
+def test_header_rule_magic_by_fmt_and_unknown_fmt(spark):
+    """Per-format magics of DIFFERENT lengths (real-world PNG/JPEG prefixes);
+    a fmt value outside the mapping is out of scope (DomainRule's job)."""
+    from mdvalidate_spark.spec import HeaderRule
+
+    rows = [
+        ("a", bytearray.fromhex("89504E470D0A1A0A" + "00" * 8), "png"),
+        ("b", bytearray.fromhex("FFD8FF" + "00" * 13), "jpeg"),
+        ("c", bytearray.fromhex("FFD8FF" + "00" * 13), "png"),  # jpeg bytes, png label
+        ("d", bytearray.fromhex("00" * 16), "gif"),  # fmt not in mapping → pass
+    ]
+    df = with_partition_id(
+        spark.createDataFrame(rows, "image_id string, bytes binary, fmt string"),
+        base_spec([]),
+    )
+    rule = HeaderRule(
+        "m",
+        column="bytes",
+        magic_by_fmt={"png": "89504E470D0A1A0A", "jpeg": "FFD8FF"},
+        fmt_column="fmt",
+    )
+    v = {r["image_id"]: r for r in run_rows(spark, df, [rule]).collect()}
+    assert set(v) == {"c"}
+    assert v["c"]["kind"] == "prefix" and v["c"]["expected"] == "89504E470D0A1A0A"
+
+
+def test_header_rule_when_scope_and_null_pass(spark):
+    """NULL payloads pass (NotNullRule owns them); `when` scopes the rule."""
+    df = _hdr_df(spark).withColumn(
+        "bytes", F.when(F.col("image_id") == "img2", F.lit(None)).otherwise(F.col("bytes"))
+    )
+    v = {r["image_id"] for r in run_rows(spark, df, [_mdv_header_rule()]).collect()}
+    assert v == {"img1", "img3", "img4", "img5"}
+    scoped = {
+        r["image_id"]
+        for r in run_rows(spark, df, [_mdv_header_rule(when="fmt = 'jpeg'")]).collect()
+    }
+    assert scoped == {"img1", "img4"}  # the two fmt='jpeg' violators
+
+
+def test_header_rule_lints(spark):
+    from mdvalidate_spark.errors import SchemaError
+    from mdvalidate_spark.spec import HeaderRule
+
+    cols = ["image_id", "bytes", "w", "h", "fmt"]
+    for bad in [
+        HeaderRule("h0", column="bytes"),  # checks nothing
+        HeaderRule("h1", column="bytes", magic="4D4456", magic_by_fmt={"png": "89"},
+                   fmt_column="fmt"),  # exclusive
+        HeaderRule("h2", column="bytes", magic="4D445"),  # odd-length hex
+        HeaderRule("h3", column="bytes", magic="4D44ZZ"),  # non-hex
+        HeaderRule("h4", column="bytes", fmt_codes={"png": 0}),  # no fmt_column
+        HeaderRule("h5", column="bytes", fmt_codes={"png": 300}, fmt_column="fmt"),
+        HeaderRule("h6", column="bytes", magic="4D4456", code_offset=-1,
+                   fmt_codes={"png": 0}, fmt_column="fmt"),
+        HeaderRule("h7", column="bytes", w_column="w", h_column="h", h_offset=5),
+    ]:
+        with pytest.raises(SchemaError):
+            compile_spec(base_spec([bad]), cols)
+
+
+def test_header_rule_stays_fused_jvm_only(spark):
+    v = run_rows(spark, _hdr_df(spark), [_mdv_header_rule()])
+    plan = v._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "PythonUDF" not in plan
+
+
+def test_header_rule_spec_io_roundtrip(tmp_path):
+    from mdvalidate_spark.spec_io import load_spec, save_spec
+
+    spec = base_spec([_mdv_header_rule()])
+    p = str(tmp_path / "spec.json")
+    save_spec(spec, p)
+    assert load_spec(p) == spec
