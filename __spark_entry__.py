@@ -319,6 +319,45 @@ def q_vector_embeddings(spark, sf_dir):
     return _viol_out(row_violations(with_partition_id(df, spec), prog, "q"))
 
 
+def q_metric_anomaly_orders(spark, sf_dir):
+    """anomaly_metric_history (operators/regression.py): judge the latest
+    run's metrics against a HISTORY of runs with a robust median/MAD
+    envelope (center = median over runs, flag when |cur − center| >
+    k·1.4826·MAD) — the rolling generalization of the pairwise
+    metric_regression_orders query. History is synthesized from orders as
+    yearly pseudo-runs (run_id = order year; per-priority order_count +
+    avg_totalprice metrics); TPC-H 1998 is a PARTIAL year, so the volume
+    drop flags exactly the way a broken daily ingest would, while
+    avg_totalprice stays quiet. Two exact-median aggregations over a
+    KB-scale metrics frame; replayed verbatim in SQL."""
+    from mdvalidate_spark.operators.regression import anomaly_metric_history
+
+    o = _load(spark, sf_dir, "orders")
+    yearly = o.groupBy(
+        F.year("o_orderdate").alias("yr"),
+        F.col("o_orderpriority").alias("rule_id"),
+    ).agg(
+        F.count("*").cast("double").alias("order_count"),
+        F.avg("o_totalprice").alias("avg_totalprice"),
+    )
+    long = yearly.select(
+        "yr",
+        "rule_id",
+        F.explode(
+            F.create_map(
+                F.lit("order_count"), F.col("order_count"),
+                F.lit("avg_totalprice"), F.col("avg_totalprice"),
+            )
+        ).alias("metric", "value"),
+    )
+    maxy = long.agg(F.max("yr")).collect()[0][0]
+    hist = long.where(F.col("yr") < maxy).withColumn(
+        "run_id", F.col("yr").cast("string")
+    )
+    cur = long.where(F.col("yr") == maxy)
+    return anomaly_metric_history(hist, cur, k=3.0)
+
+
 def q_header_documents(spark, sf_dir):
     """HeaderRule: binary payload container integrity WITHOUT decode —
     magic prefix, format-code byte vs the fmt column, u16-LE header dims vs
@@ -1510,6 +1549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_orders": q_suggest_orders,
         "vector_embeddings": q_vector_embeddings,
         "header_documents": q_header_documents,
+        "metric_anomaly_orders": q_metric_anomaly_orders,
         "row_part": q_row_part,
         "row_customer": q_row_customer,
         "composite_documents": q_composite_documents,
@@ -1703,6 +1743,40 @@ SELECT c AS column_name, k AS kind, d AS detail FROM (
         || CAST(max(o_totalprice) AS VARCHAR) || ']'
   FROM orders
 )
+"""
+
+_METRIC_ANOMALY_ORDERS_SQL = """
+WITH yearly AS (
+  SELECT year(o_orderdate) AS yr, o_orderpriority AS rule_id,
+         CAST(count(*) AS DOUBLE) AS order_count,
+         avg(o_totalprice) AS avg_totalprice
+  FROM orders GROUP BY 1, 2
+), long AS (
+  SELECT yr, rule_id, 'order_count' AS metric, order_count AS value FROM yearly
+  UNION ALL
+  SELECT yr, rule_id, 'avg_totalprice' AS metric, avg_totalprice FROM yearly
+), mx AS (SELECT max(yr) AS maxy FROM long),
+hist AS (SELECT l.* FROM long l, mx WHERE l.yr < mx.maxy),
+cur  AS (SELECT l.* FROM long l, mx WHERE l.yr = mx.maxy),
+centers AS (
+  SELECT rule_id, metric, median(value) AS center,
+         count(DISTINCT yr) AS n_runs
+  FROM hist GROUP BY 1, 2
+), spreads AS (
+  SELECT h.rule_id, h.metric, median(abs(h.value - c.center)) AS spread
+  FROM hist h JOIN centers c USING (rule_id, metric) GROUP BY 1, 2
+)
+SELECT cur.rule_id, cur.metric, c.n_runs, c.center, s.spread,
+       cur.value AS current_value,
+       greatest(0.0, 3.0 * 1.4826 * s.spread) AS bound,
+       CASE WHEN 1.4826 * s.spread > 0
+            THEN abs(cur.value - c.center) / (1.4826 * s.spread) END AS score,
+       'anomalous' AS kind
+FROM cur
+JOIN centers c USING (rule_id, metric)
+JOIN spreads s USING (rule_id, metric)
+WHERE c.n_runs >= 3
+  AND abs(cur.value - c.center) > greatest(0.0, 3.0 * 1.4826 * s.spread)
 """
 
 _HEADER_DOCUMENTS_SQL = """
@@ -2228,6 +2302,7 @@ WHERE o_orderdate < TIMESTAMP '1998-01-01'
         "suggest_orders": _SUGGEST_ORDERS_SQL,
         "vector_embeddings": _VECTOR_EMBEDDINGS_SQL,
         "header_documents": _HEADER_DOCUMENTS_SQL,
+        "metric_anomaly_orders": _METRIC_ANOMALY_ORDERS_SQL,
         "row_part": _ROW_PART_SQL,
         "row_customer": _ROW_CUSTOMER_SQL,
         "composite_documents": _COMPOSITE_DOCS_SQL,

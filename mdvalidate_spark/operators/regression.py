@@ -157,3 +157,102 @@ def diff_violations(
         current.select(*idc).dropDuplicates(), on=idc, how="left_anti"
     ).withColumn("status", F.lit("resolved"))
     return new.unionByName(resolved)
+
+
+def anomaly_metric_history(
+    history: DataFrame,
+    current: DataFrame,
+    k: float = 3.0,
+    abs_tol: float = 0.0,
+    min_runs: int = 3,
+    metrics: tuple[str, ...] = (),
+    flag_missing_history: bool = False,
+) -> DataFrame:
+    """Metric anomaly detection against a HISTORY of runs — the rolling
+    generalization of :func:`compare_metric_runs` (one acked baseline).
+
+    ``compare_metric_runs`` answers "did this metric move vs the last good
+    run"; a pipeline that reruns daily needs "is today's value abnormal for
+    this metric's OWN history" — a fixed rel_tol is simultaneously too tight
+    for noisy metrics and too loose for stable ones. This gate learns the
+    per-(rule_id, metric) scale from the history itself, with robust
+    statistics so past incidents don't poison the envelope (one bad run
+    shifts a mean/stddev envelope; it barely moves a median/MAD one):
+
+        center = median(value over history runs)
+        spread = MAD = median(|value − center|)
+        flag when |current − center| > max(abs_tol, k · 1.4826 · MAD)
+
+    1.4826·MAD estimates σ under normality, so ``k`` reads like a z-score.
+    A perfectly constant history has MAD = 0 — then ANY deviation beyond
+    ``abs_tol`` flags (the tightest honest envelope, not a division blowup;
+    ``score`` is NULL there).
+
+    ``history`` is the union of prior runs' metric frames and MUST carry
+    ``run_id`` (the results sink already persists it); ``current`` is one
+    run's frame. Both use the long metrics shape (rule_id, metric, value,
+    value_str); ``partition_id``, if present, is filtered to the global NULL
+    rows on both sides. String metrics (value NULL) have no ordering and are
+    ``compare_metric_runs``'s job (kind=changed).
+
+    (rule_id, metric) groups with fewer than ``min_runs`` history runs are
+    not judged; with ``flag_missing_history=True`` they emit a loud
+    ``no_history`` row instead of a silent pass (a brand-new metric
+    slipping in unjudged is itself a finding).
+
+    Scale: metric frames are O(rules × metrics × runs) rows — KBs at any
+    data scale (the 10^12-row work already happened inside the runs), so
+    the two exact-median aggregations and the final join are trivial by
+    construction; everything is column algebra, no Python, and the output
+    is replayable in ANSI SQL (the driver oracle does exactly that).
+    """
+
+    def _side(df: DataFrame, keep_run: bool) -> DataFrame:
+        if "partition_id" in df.columns:
+            df = df.where(F.col("partition_id").isNull())
+        if metrics:
+            df = df.where(F.col("metric").isin(list(metrics)))
+        cols = ["rule_id", "metric", "value"]
+        if keep_run:
+            cols.append("run_id")
+        return df.select(*cols).where(F.col("value").isNotNull())
+
+    hist = _side(history, keep_run=True)
+    cur = _side(current, keep_run=False)
+
+    centers = hist.groupBy("rule_id", "metric").agg(
+        F.expr("percentile(value, 0.5)").alias("center"),
+        F.count_distinct("run_id").alias("n_runs"),
+    )
+    spreads = (
+        hist.join(centers, ["rule_id", "metric"])
+        .groupBy("rule_id", "metric")
+        .agg(F.expr("percentile(abs(value - center), 0.5)").alias("spread"))
+    )
+    stats = centers.join(spreads, ["rule_id", "metric"])
+
+    j = cur.join(stats, ["rule_id", "metric"], "left")
+    dev = F.abs(F.col("value") - F.col("center"))
+    sigma = F.lit(1.4826) * F.col("spread")
+    bound = F.greatest(F.lit(float(abs_tol)), F.lit(float(k)) * sigma)
+    judged = F.col("n_runs").isNotNull() & (F.col("n_runs") >= F.lit(int(min_runs)))
+    kind = (
+        F.when(~judged, F.lit("no_history" if flag_missing_history else None))
+        .when(dev > bound, F.lit("anomalous"))
+        .otherwise(F.lit(None))
+    )
+    return (
+        j.withColumn("kind", kind)
+        .where(F.col("kind").isNotNull())
+        .select(
+            "rule_id",
+            "metric",
+            F.coalesce(F.col("n_runs"), F.lit(0)).alias("n_runs"),
+            "center",
+            "spread",
+            F.col("value").alias("current_value"),
+            F.when(judged, bound).alias("bound"),
+            F.when(judged & (sigma > 0), dev / sigma).alias("score"),
+            "kind",
+        )
+    )

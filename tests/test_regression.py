@@ -135,3 +135,72 @@ def test_diff_violations_identical_runs_empty(spark):
     )
     v = spark.createDataFrame([("a", 0, "r", "k", "c", "e", "x", "kind")], ddl)
     assert diff_violations(v, v).count() == 0
+
+
+# ------------------------------------------------- metric-history anomalies
+
+HDDL = "rule_id string, metric string, value double, value_str string, run_id string"
+
+
+def _hist(spark, metric, values, rule="s"):
+    return spark.createDataFrame(
+        [(rule, metric, float(v), None, f"r{i}") for i, v in enumerate(values)], HDDL
+    )
+
+
+def test_anomaly_learns_per_metric_scale(spark):
+    """A fixed rel_tol can't serve both a noisy and a stable metric; the
+    MAD envelope judges each against its own history."""
+    from mdvalidate_spark.operators.regression import anomaly_metric_history
+
+    hist = _hist(spark, "count", [1000, 1200, 900, 1100, 1000]).unionByName(
+        _hist(spark, "null_rate", [0.010, 0.011, 0.009, 0.010, 0.012])
+    )
+    # count noise band ~100s: 1350 is fine at k=3; null_rate 0.02 is wild
+    cur = _mf(spark, [("s", "count", 1350.0, None), ("s", "null_rate", 0.02, None)])
+    out = {r["metric"]: r for r in anomaly_metric_history(hist, cur, k=3.0).collect()}
+    assert set(out) == {"null_rate"}
+    r = out["null_rate"]
+    assert r["kind"] == "anomalous" and r["n_runs"] == 5
+    assert r["center"] == pytest.approx(0.010)
+    assert r["score"] > 3.0
+
+
+def test_anomaly_robust_to_one_bad_history_run(spark):
+    """One past incident in the history must not widen the envelope the way
+    it would for mean/stddev (median/MAD shrugs it off)."""
+    from mdvalidate_spark.operators.regression import anomaly_metric_history
+
+    hist = _hist(spark, "count", [1000, 1010, 990, 1005, 50000])  # one incident
+    cur = _mf(spark, [("s", "count", 1500.0, None)])
+    out = anomaly_metric_history(hist, cur, k=3.0).collect()
+    assert len(out) == 1 and out[0]["kind"] == "anomalous"
+    # center stays at the healthy level, not dragged toward the incident
+    assert out[0]["center"] == pytest.approx(1005.0)
+
+
+def test_anomaly_constant_history_and_abs_tol(spark):
+    """MAD = 0 (constant history): any deviation beyond abs_tol flags, with
+    a NULL score (no division blowup); within abs_tol passes."""
+    from mdvalidate_spark.operators.regression import anomaly_metric_history
+
+    hist = _hist(spark, "distinct", [42, 42, 42, 42])
+    cur = _mf(spark, [("s", "distinct", 43.0, None)])
+    out = anomaly_metric_history(hist, cur, k=3.0).collect()
+    assert len(out) == 1 and out[0]["score"] is None and out[0]["spread"] == 0.0
+    assert anomaly_metric_history(hist, cur, k=3.0, abs_tol=2.0).count() == 0
+
+
+def test_anomaly_min_runs_gate_and_no_history_flag(spark):
+    from mdvalidate_spark.operators.regression import anomaly_metric_history
+
+    hist = _hist(spark, "count", [1000, 1001])  # 2 runs < min_runs=3
+    cur = _mf(spark, [("s", "count", 9999.0, None), ("s", "fresh", 1.0, None)])
+    assert anomaly_metric_history(hist, cur).count() == 0  # silent skip default
+    loud = {
+        r["metric"]: r
+        for r in anomaly_metric_history(hist, cur, flag_missing_history=True).collect()
+    }
+    assert {m for m in loud} == {"count", "fresh"}
+    assert all(r["kind"] == "no_history" for r in loud.values())
+    assert loud["fresh"]["n_runs"] == 0 and loud["count"]["n_runs"] == 2
