@@ -319,6 +319,23 @@ def q_vector_embeddings(spark, sf_dir):
     return _viol_out(row_violations(with_partition_id(df, spec), prog, "q"))
 
 
+def q_volume_anomaly_orders(spark, sf_dir):
+    """volume_anomaly (operators/skew.py): per-partition row-count anomaly
+    via the same robust median/MAD envelope as the metric-history gate,
+    across PARTITIONS instead of runs — the ingestion-gap / double-ingest
+    detector that runs before any content rule. Partitions here are order
+    months; TPC-H generation stops 1998-08-02, so the final partial month
+    flags as under_volume exactly like a dead upstream shard would. One
+    groupBy with map-side combine to O(#partitions) rows, two scalar
+    reductions, one broadcast join back."""
+    from mdvalidate_spark.operators.skew import volume_anomaly
+
+    o = _load(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    )
+    return volume_anomaly(o, "month", k=3.0)
+
+
 def q_metric_anomaly_orders(spark, sf_dir):
     """anomaly_metric_history (operators/regression.py): judge the latest
     run's metrics against a HISTORY of runs with a robust median/MAD
@@ -1550,6 +1567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_embeddings": q_vector_embeddings,
         "header_documents": q_header_documents,
         "metric_anomaly_orders": q_metric_anomaly_orders,
+        "volume_anomaly_orders": q_volume_anomaly_orders,
         "row_part": q_row_part,
         "row_customer": q_row_customer,
         "composite_documents": q_composite_documents,
@@ -1743,6 +1761,27 @@ SELECT c AS column_name, k AS kind, d AS detail FROM (
         || CAST(max(o_totalprice) AS VARCHAR) || ']'
   FROM orders
 )
+"""
+
+_VOLUME_ANOMALY_ORDERS_SQL = """
+WITH counts AS (
+  SELECT COALESCE(strftime(o_orderdate, '%Y-%m'), '__null__') AS "partition",
+         CAST(count(*) AS DOUBLE) AS n_rows
+  FROM orders GROUP BY 1
+), st AS (
+  SELECT median(n_rows) AS center, count(*) AS n_partitions FROM counts
+), sp AS (
+  SELECT median(abs(c.n_rows - st.center)) AS spread FROM counts c, st
+)
+SELECT c."partition", c.n_rows, st.center, sp.spread,
+       greatest(0.0, 3.0 * 1.4826 * sp.spread) AS bound,
+       CASE WHEN 1.4826 * sp.spread > 0
+            THEN abs(c.n_rows - st.center) / (1.4826 * sp.spread) END AS score,
+       CASE WHEN c.n_rows > st.center THEN 'over_volume'
+            ELSE 'under_volume' END AS kind
+FROM counts c, st, sp
+WHERE st.n_partitions >= 4
+  AND abs(c.n_rows - st.center) > greatest(0.0, 3.0 * 1.4826 * sp.spread)
 """
 
 _METRIC_ANOMALY_ORDERS_SQL = """
@@ -2303,6 +2342,7 @@ WHERE o_orderdate < TIMESTAMP '1998-01-01'
         "vector_embeddings": _VECTOR_EMBEDDINGS_SQL,
         "header_documents": _HEADER_DOCUMENTS_SQL,
         "metric_anomaly_orders": _METRIC_ANOMALY_ORDERS_SQL,
+        "volume_anomaly_orders": _VOLUME_ANOMALY_ORDERS_SQL,
         "row_part": _ROW_PART_SQL,
         "row_customer": _ROW_CUSTOMER_SQL,
         "composite_documents": _COMPOSITE_DOCS_SQL,

@@ -70,3 +70,81 @@ def skew_stats(df: DataFrame, column: str, exact: bool = False) -> DataFrame:
         (F.col("max_freq") / F.col("rows")).alias("top1_share"),
         (F.col("p99_freq") / F.col("p50_freq")).alias("p99_to_median"),
     )
+
+
+def volume_anomaly(
+    df: DataFrame,
+    partition_col: str,
+    k: float = 3.0,
+    abs_tol: float = 0.0,
+    min_partitions: int = 4,
+) -> DataFrame:
+    """Per-partition VOLUME anomaly: flag partitions whose row count is
+    abnormal for this table's own partition-size distribution — the
+    ingestion-gap / double-ingest detector (a date partition with half the
+    rows of its neighbors usually means a dead upstream shard; one with 2×
+    usually means a replayed ingest), judged BEFORE any content rule runs.
+
+    Same robust envelope as anomaly_metric_history (operators/regression.py),
+    applied across partitions instead of across runs:
+
+        center = median(partition row count)
+        MAD    = median(|count − center|)
+        flag when |count − center| > max(abs_tol, k · 1.4826 · MAD)
+
+    MAD = 0 (perfectly uniform partitions) means any deviation beyond
+    ``abs_tol`` flags; with fewer than ``min_partitions`` partitions the
+    distribution has no meaningful center and the result is EMPTY by
+    contract (callers wanting loudness at tiny partition counts should
+    assert on the frame they already have).
+
+    Scale shape: one groupBy(partition) count — a single shuffle with
+    map-side combine whose output is O(#partitions) rows (~10^5-10^6 at
+    10^12 rows: driver-trivial); the median/MAD scalars reduce that tiny
+    frame twice more, and the verdict is a broadcast of ONE stats row
+    joined back (cross join of a 1-row frame — Catalyst broadcasts it).
+    NULL partition values count as a real partition key ("__null__"): an
+    unpartitioned backfill landing as NULL is exactly the kind of volume
+    event this exists to catch.
+
+    Output: (partition, n_rows, center, spread, bound, score, kind) with
+    kind ∈ {over_volume, under_volume}; score = |n − center|/(1.4826·MAD),
+    NULL when MAD = 0.
+    """
+    counts = df.groupBy(
+        F.coalesce(F.col(partition_col).cast("string"), F.lit("__null__")).alias(
+            "partition"
+        )
+    ).agg(F.count(F.lit(1)).cast("double").alias("n_rows"))
+
+    stats = counts.agg(
+        F.expr("percentile(n_rows, 0.5)").alias("center"),
+        F.count(F.lit(1)).alias("n_partitions"),
+    )
+    spread = (
+        counts.join(stats)
+        .agg(F.expr("percentile(abs(n_rows - center), 0.5)").alias("spread"))
+    )
+    full = counts.join(stats).join(spread)
+
+    sigma = F.lit(1.4826) * F.col("spread")
+    bound = F.greatest(F.lit(float(abs_tol)), F.lit(float(k)) * sigma)
+    dev = F.abs(F.col("n_rows") - F.col("center"))
+    kind = F.when(
+        F.col("n_partitions") < F.lit(int(min_partitions)), F.lit(None)
+    ).when(dev > bound, F.when(
+        F.col("n_rows") > F.col("center"), F.lit("over_volume")
+    ).otherwise(F.lit("under_volume")))
+    return (
+        full.withColumn("kind", kind)
+        .where(F.col("kind").isNotNull())
+        .select(
+            "partition",
+            "n_rows",
+            "center",
+            "spread",
+            bound.alias("bound"),
+            F.when(sigma > 0, dev / sigma).alias("score"),
+            "kind",
+        )
+    )

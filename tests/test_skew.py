@@ -53,3 +53,45 @@ def test_cms_upper_bounds_exact(spark):
         est = cms.estimateCount(k)
         assert est >= n  # CMS never underestimates
         assert est <= n + 0.01 * 1500  # eps * total bound
+
+
+# ----------------------------------------------------- volume anomaly
+
+
+def _parted(spark, sizes: dict):
+    rows = [(p, i) for p, n in sizes.items() for i in range(n)]
+    return spark.createDataFrame(rows, "day string, x int")
+
+
+def test_volume_anomaly_gap_and_flood(spark):
+    from mdvalidate_spark.operators.skew import volume_anomaly
+
+    sizes = {f"d{i}": 100 + (i % 3) for i in range(10)}  # ~uniform band
+    sizes["gap"] = 8        # dead upstream shard
+    sizes["flood"] = 240    # double ingest
+    out = {r["partition"]: r for r in volume_anomaly(_parted(spark, sizes), "day").collect()}
+    assert set(out) == {"gap", "flood"}
+    assert out["gap"]["kind"] == "under_volume"
+    assert out["flood"]["kind"] == "over_volume"
+    assert out["gap"]["n_rows"] == 8.0 and out["gap"]["score"] > 3.0
+
+
+def test_volume_anomaly_uniform_quiet_and_null_partition(spark):
+    from mdvalidate_spark.operators.skew import volume_anomaly
+
+    sizes = {f"d{i}": 100 + (i % 5) for i in range(8)}
+    df = _parted(spark, sizes)
+    assert volume_anomaly(df, "day", k=3.0, abs_tol=10.0).count() == 0
+    # NULL partition is a real key: a big unpartitioned backfill flags
+    nulls = spark.createDataFrame([(None, i) for i in range(300)], "day string, x int")
+    out = volume_anomaly(df.unionByName(nulls), "day").collect()
+    assert len(out) == 1 and out[0]["partition"] == "__null__"
+    assert out[0]["kind"] == "over_volume"
+
+
+def test_volume_anomaly_min_partitions_empty(spark):
+    from mdvalidate_spark.operators.skew import volume_anomaly
+
+    df = _parted(spark, {"a": 100, "b": 5, "c": 100})
+    assert volume_anomaly(df, "day", min_partitions=4).count() == 0
+    assert volume_anomaly(df, "day", min_partitions=3).count() == 1
