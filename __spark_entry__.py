@@ -379,9 +379,9 @@ def q_header_documents(spark, sf_dir):
     """HeaderRule: binary payload container integrity WITHOUT decode —
     magic prefix, format-code byte vs the fmt column, u16-LE header dims vs
     the w/h columns — all substring-on-binary + conv(hex) column algebra in
-    the fused row pass (no Python, no shuffle; the scale tier below the
-    sampled PixelRule decode: every row of a 10^12-image table can afford
-    an 8-byte header check). Payloads are CONSTRUCTED deterministically from
+    the fused row pass (no Python, no shuffle; the decode-free
+    tier below the sampled PixelRule: drops the decode CPU while the bytes
+    are already being scanned). Payloads are CONSTRUCTED deterministically from
     doc_id in both engines (unhex of an identical hex string — same
     precedent as vector_embeddings' planted mutations): doc_id%13 plants one
     corruption class per residue — 1 truncated, 2 wrong magic, 3 mislabeled

@@ -245,11 +245,20 @@ class HeaderRule(Rule):
     columns — all in plain column algebra over an 8-byte prefix of the blob.
 
     The scale rationale: at 10^12 images, full pixel decode (PixelRule) is a
-    sampled/staged commitment, but EVERY row can afford a header check — the
-    expression touches only ``substring(bytes, 1, ~8)``, stays inside the
-    fused codegen'd row pass (no Python, no shuffle, no decode), and catches
-    the bulk corruption classes outright: truncation, wrong container,
-    mislabeled format, metadata that contradicts the payload. The reference
+    sampled/staged commitment; the header check removes the decode CPU but
+    NOT the payload IO — Parquet cannot read an 8-byte prefix of a binary
+    value, so any spec containing this rule scans the full ``bytes`` column
+    (the rule's ``targets()`` declares it, and the pruned-scan plan shows
+    it). Use it where the bytes are already moving: fused with the pixel
+    stage's own scan, at ingest while payloads are in memory, or as a
+    dedicated IO-bound audit pass (~memcpy speed, vs decode's CPU-bound
+    pass). Do NOT add it to a relational-only suite whose plan otherwise
+    never touches bytes — that guarantee (test_plan_shapes) is worth more
+    than a magic check. Within the pass it is as cheap as checks get: a
+    ``substring(bytes, 1, ~8)`` expression in the fused codegen'd row pass
+    (no Python, no shuffle, no decode) catching the bulk corruption classes
+    outright — truncation, wrong container, mislabeled format, metadata
+    that contradicts the payload. The reference
     analog is the fenced-code-block *info string* check that runs before the
     body kernel (walkers/validators/code.rs:152-205 validates the fence
     header, then hands the opaque body to the dedicated kernel) — header
