@@ -116,7 +116,22 @@ def volume_anomaly(
             "partition"
         )
     ).agg(F.count(F.lit(1)).cast("double").alias("n_rows"))
+    return volume_anomaly_from_counts(
+        counts, k=k, abs_tol=abs_tol, min_partitions=min_partitions
+    )
 
+
+def volume_anomaly_from_counts(
+    counts: DataFrame,
+    k: float = 3.0,
+    abs_tol: float = 0.0,
+    min_partitions: int = 4,
+) -> DataFrame:
+    """The MAD-envelope core of :func:`volume_anomaly`, over an already-
+    aggregated ``(partition string, n_rows double)`` frame — so callers that
+    ALREADY have per-unit counts (persisted streaming micro-batch partials,
+    a manifest's per-partition row counts) get the same verdict without
+    re-scanning any data."""
     stats = counts.agg(
         F.expr("percentile(n_rows, 0.5)").alias("center"),
         F.count(F.lit(1)).alias("n_partitions"),

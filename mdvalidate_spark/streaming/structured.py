@@ -268,3 +268,36 @@ def windowed_drift_rule(
         F.round(stat, 6).cast("string").alias("actual"),
         F.lit("drift").alias("kind"),
     ).where(stat > rule.threshold)
+
+
+def stream_volume_anomaly(
+    spark,
+    rule_id: str,
+    partials_dir: str,
+    k: float = 3.0,
+    abs_tol: float = 0.0,
+    min_batches: int = 4,
+) -> DataFrame:
+    """Per-MICRO-BATCH volume anomaly from the partials
+    ``stream_stats_partials`` already persisted — the streaming face of
+    ``operators.skew.volume_anomaly``: flag micro-batches whose row count
+    is abnormal for this stream's own batch-size history (a dead upstream
+    shard shows up as a starved batch, a replayed producer as a doubled
+    one), in O(#batches) without touching the stream or its source again.
+
+    ``rule_id`` names which ColumnStatsRule's ``__rows`` partial to read —
+    any rule registered in the partials works; an unscoped rule counts the
+    whole batch. Output shape and envelope semantics are exactly
+    ``volume_anomaly``'s (partition = the micro-batch id, MAD envelope,
+    kind ∈ {over_volume, under_volume}); ``min_batches`` plays
+    ``min_partitions``' role.
+    """
+    from ..operators.skew import volume_anomaly_from_counts
+
+    counts = spark.read.parquet(partials_dir).select(
+        F.col("partition_id").cast("string").alias("partition"),
+        F.col(f"{rule_id}__rows").cast("double").alias("n_rows"),
+    )
+    return volume_anomaly_from_counts(
+        counts, k=k, abs_tol=abs_tol, min_partitions=min_batches
+    )

@@ -443,3 +443,37 @@ def test_stream_ref_violations_availablenow(spark, tmp_path):
     assert set(
         r["actual"] for r in got.select("actual").distinct().collect()
     ) == {f"s{i}" for i in range(10, 15)}
+
+
+def test_stream_volume_anomaly_from_partials(spark, tmp_path):
+    """Batch-size anomaly judged purely from the persisted partials — no
+    stream replay: four ~uniform micro-batches plus one starved batch; the
+    starved one flags under_volume, the healthy ones stay quiet."""
+    from mdvalidate_spark.spec import ColumnStatsRule
+    from mdvalidate_spark.streaming.structured import (
+        stream_stats_partials,
+        stream_volume_anomaly,
+    )
+
+    src = str(tmp_path / "sv-src")
+    pdir = str(tmp_path / "sv-partials")
+    ck = str(tmp_path / "sv-ck")
+    rules = (ColumnStatsRule("st_w", column="w", incremental=True),)
+
+    def drain():
+        stream = spark.readStream.schema("w int").parquet(src)
+        q = stream_stats_partials(stream, rules, pdir, ck, run_id="s2")
+        q.awaitTermination(120)
+
+    sizes = [40, 42, 41, 40, 3]  # last batch starved
+    for n in sizes:
+        spark.createDataFrame([(i,) for i in range(n)], "w int").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        drain()
+
+    out = stream_volume_anomaly(spark, "st_w", pdir, k=3.0).collect()
+    assert len(out) == 1
+    assert out[0]["kind"] == "under_volume" and out[0]["n_rows"] == 3.0
+    # insufficient history → empty by contract
+    assert stream_volume_anomaly(spark, "st_w", pdir, min_batches=9).count() == 0
