@@ -48,6 +48,7 @@ from .spec import (
     UniqueRule,
     HeaderRule,
     VectorRule,
+    VolumeRule,
 )
 
 __all__ = [
@@ -80,6 +81,7 @@ __all__ = [
     "ValidationRun",
     "HeaderRule",
     "VectorRule",
+    "VolumeRule",
     "compile_spec",
     "get_spark",
     "smoke_validate",

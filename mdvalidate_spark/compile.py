@@ -64,6 +64,7 @@ from .spec import (
     Spec,
     UniqueRule,
     VectorRule,
+    VolumeRule,
 )
 
 ROW_KINDS = (
@@ -95,6 +96,7 @@ class ConstraintProgram:
     overlap_rules: tuple[OverlapRule, ...] = ()
     capture_rules: tuple[CaptureRule, ...] = ()
     sequence_rules: tuple[SequenceRule, ...] = ()
+    volume_rules: tuple[VolumeRule, ...] = ()
     schema_rules: tuple[SchemaDriftRule, ...] = ()
     # columns any per-partition stage needs (for pruned scans)
     scan_columns: tuple[str, ...] = field(default=())
@@ -394,6 +396,19 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
                     f"({r.w_offset}, {r.h_offset})"
                 )
 
+        if isinstance(r, VolumeRule):
+            if r.k <= 0:
+                raise SchemaError(f"rule {r.id!r}: k must be > 0, got {r.k}")
+            if r.abs_tol < 0:
+                raise SchemaError(
+                    f"rule {r.id!r}: abs_tol must be >= 0, got {r.abs_tol}"
+                )
+            if r.min_partitions < 2:
+                raise SchemaError(
+                    f"rule {r.id!r}: min_partitions must be >= 2 "
+                    "(one partition has no distribution)"
+                )
+
         if isinstance(r, RefIntegrityRule):
             if r.columns and (r.column or r.dim_column):
                 raise SchemaError(
@@ -545,6 +560,7 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
     captures = tuple(r for r in spec.rules if isinstance(r, CaptureRule))
     sequences = tuple(r for r in spec.rules if isinstance(r, SequenceRule))
     schema_checks = tuple(r for r in spec.rules if isinstance(r, SchemaDriftRule))
+    volumes = tuple(r for r in spec.rules if isinstance(r, VolumeRule))
 
     scan_cols: list[str] = [spec.key_column]
     if spec.partition_column:
@@ -568,5 +584,6 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
         capture_rules=captures,
         sequence_rules=sequences,
         schema_rules=schema_checks,
+        volume_rules=volumes,
         scan_columns=tuple(scan_cols),
     )

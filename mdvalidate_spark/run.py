@@ -682,6 +682,48 @@ class ValidationRun:
                 overlap_violations(self.df, ov, self.run_id, n_groups=hint)
             )
 
+        if prog.volume_rules:
+            # zero-scan stage: the MAD envelope over the manifest's own
+            # per-partition validated row counts (spec.VolumeRule docs) —
+            # O(#partitions) driver math over metadata the run already paid
+            # for, including zero-row partitions. statistics.median matches
+            # the operator/oracle interpolation (mean of middle two).
+            import statistics
+
+            counted = sorted(
+                (pid, float(e["rows"]))
+                for pid, e in self.manifest.entries.items()
+                if e.get("rows") is not None
+            )
+            for vr in prog.volume_rules:
+                rows_out = []
+                if len(counted) >= vr.min_partitions:
+                    ns = [n for _, n in counted]
+                    center = statistics.median(ns)
+                    mad = statistics.median([abs(n - center) for n in ns])
+                    bound = max(vr.abs_tol, vr.k * 1.4826 * mad)
+                    col = self.spec.partition_column or "partition_id"
+                    for pid, n in counted:
+                        if abs(n - center) > bound:
+                            rows_out.append(
+                                (
+                                    self.run_id,
+                                    int(pid),
+                                    vr.id,
+                                    str(pid),
+                                    col,
+                                    f"rows in [{center - bound:.1f}, "
+                                    f"{center + bound:.1f}]",
+                                    str(int(n)),
+                                    "over_volume" if n > center
+                                    else "under_volume",
+                                )
+                            )
+                if rows_out:
+                    viols.append(
+                        self.spark.createDataFrame(rows_out, _VIOLATIONS_DDL)
+                    )
+
         t0 = time.time()
         drift_futs = []
         uc_viol = None

@@ -488,6 +488,36 @@ class FreshnessRule(Rule):
         return (self.column, *self.group_by)
 
 
+@dataclass(frozen=True)
+class VolumeRule(Rule):
+    """Per-partition VOLUME anomaly as a spec rule, priced at ZERO extra
+    scans: at finalize the engine judges the manifest's per-partition
+    validated row counts (already recorded for resume lineage) against the
+    table's own partition-size distribution with the robust MAD envelope of
+    ``operators.skew.volume_anomaly``:
+
+        center = median(partition row count)
+        flag when |count − center| > max(abs_tol, k · 1.4826 · MAD)
+
+    This is the ingestion contract the reference's per-file watch loop
+    enforces implicitly (a file that stops growing or doubles is visible in
+    its revalidation cadence, cmd.rs watch mode): a starved partition means
+    a dead upstream shard, a doubled one a replayed ingest — caught from
+    metadata the run already paid for, including ZERO-row partitions (an
+    empty partition is exactly an under_volume of the worst kind).
+
+    With fewer than ``min_partitions`` counted partitions the distribution
+    has no meaningful center and the rule emits nothing (same contract as
+    the operator). The math runs on the driver over O(#partitions) manifest
+    entries — thousands of dict entries at 10^12 rows, never a Spark job.
+    """
+
+    k: float = 3.0
+    abs_tol: float = 0.0
+    min_partitions: int = 4
+    kind: str = field(default="volume", init=False)
+
+
 # --------------------------------------------------------- referential rules
 
 

@@ -40,6 +40,7 @@ from .spec import (
     Spec,
     UniqueRule,
     VectorRule,
+    VolumeRule,
 )
 
 RULE_KINDS: dict[str, type] = {
@@ -62,6 +63,7 @@ RULE_KINDS: dict[str, type] = {
     "vector": VectorRule,
     "expr": ExprRule,
     "header": HeaderRule,
+    "volume": VolumeRule,
     "fd": FunctionalDependencyRule,
     "freshness": FreshnessRule,
     "metric_bound": MetricBoundRule,

@@ -197,3 +197,51 @@ def test_data_supplied_partition_ids_fully_discovered(spark, tmp_path):
     rows_validated = sum(e["rows"] for e in run.manifest.entries.values())
     assert rows_validated == 1000  # every row, not half
     assert report.violations.count() == 1  # the i=997 null caption
+
+
+def test_volume_rule_zero_scan_lifecycle(spark):
+    """VolumeRule flags starved/flooded partitions from the MANIFEST's own
+    per-partition row counts at finalize — no extra scan; matches the
+    standalone volume_anomaly operator's verdict on the same table; soft
+    empty-distribution contract below min_partitions."""
+    from mdvalidate_spark.operators.skew import volume_anomaly
+    from mdvalidate_spark.spec import VolumeRule
+
+    # explicit partition column: ten healthy partitions (~100 rows), one
+    # starved (3), one flooded (260)
+    sizes = {p: 100 + (p % 3) for p in range(10)}
+    sizes[10] = 3
+    sizes[11] = 260
+    rows = [(f"k{p}-{i}", p) for p, n in sizes.items() for i in range(n)]
+    df = spark.createDataFrame(rows, "image_id string, part int")
+    spec = Spec(
+        rules=(VolumeRule("vol", k=3.0),),
+        key_column="image_id",
+        partition_column="part",
+        n_partitions=12,
+    )
+    report = validate_table(spark, df, spec, run_id="r-vol")
+    got = {
+        (r["image_id"], r["kind"], r["column"]) for r in report.violations.collect()
+    }
+    assert got == {
+        ("10", "under_volume", "part"),
+        ("11", "over_volume", "part"),
+    }
+    assert report.exit_code == 1
+    # parity with the standalone operator on the same frame
+    op = {
+        (r["partition"], r["kind"])
+        for r in volume_anomaly(df, "part", k=3.0).collect()
+    }
+    assert op == {("10", "under_volume"), ("11", "over_volume")}
+    # below min_partitions: empty by contract
+    small = df.where(F.col("part") < 3)
+    spec2 = Spec(
+        rules=(VolumeRule("vol", min_partitions=4),),
+        key_column="image_id",
+        partition_column="part",
+        n_partitions=3,
+    )
+    rep2 = validate_table(spark, small, spec2, run_id="r-vol2")
+    assert rep2.violations.count() == 0 and rep2.exit_code == 0
