@@ -319,6 +319,24 @@ def q_vector_embeddings(spark, sf_dir):
     return _viol_out(row_violations(with_partition_id(df, spec), prog, "q"))
 
 
+def q_table_ratio_lineitem(spark, sf_dir):
+    """table_ratio_check (operators/ref_rules.py): cross-table cardinality
+    consistency — rows(lineitem)/rows(orders) must stay in its structural
+    band (~4 in TPC-H). The companion gate to referential integrity: ref
+    proves keys RESOLVE, this proves the table SIZES still make sense, the
+    failure mode being a partially-loaded fact table whose joins are
+    silently plausible. Two single-scalar counts cross-joined as 1-row
+    frames; one rule in-band and one deliberately violated, so both verdict
+    polarities are value-checked."""
+    from mdvalidate_spark.operators.ref_rules import table_ratio_check
+
+    li = _load(spark, sf_dir, "lineitem")
+    o = _load(spark, sf_dir, "orders")
+    ok = table_ratio_check(li, o, "li_per_order", min_ratio=3.0, max_ratio=5.0)
+    bad = table_ratio_check(li, o, "li_per_order_tight", min_ratio=4.5, max_ratio=5.0)
+    return ok.unionByName(bad)
+
+
 def q_volume_anomaly_orders(spark, sf_dir):
     """volume_anomaly (operators/skew.py): per-partition row-count anomaly
     via the same robust median/MAD envelope as the metric-history gate,
@@ -1568,6 +1586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "header_documents": q_header_documents,
         "metric_anomaly_orders": q_metric_anomaly_orders,
         "volume_anomaly_orders": q_volume_anomaly_orders,
+        "table_ratio_lineitem": q_table_ratio_lineitem,
         "row_part": q_row_part,
         "row_customer": q_row_customer,
         "composite_documents": q_composite_documents,
@@ -1761,6 +1780,24 @@ SELECT c AS column_name, k AS kind, d AS detail FROM (
         || CAST(max(o_totalprice) AS VARCHAR) || ']'
   FROM orders
 )
+"""
+
+_TABLE_RATIO_LINEITEM_SQL = """
+WITH fc AS (SELECT CAST(count(*) AS DOUBLE) AS fact_rows FROM lineitem),
+     oc AS (SELECT CAST(count(*) AS DOUBLE) AS other_rows FROM orders),
+     j AS (SELECT fc.fact_rows, oc.other_rows,
+                  CASE WHEN oc.other_rows > 0
+                       THEN fc.fact_rows / oc.other_rows END AS ratio
+           FROM fc, oc)
+SELECT 'li_per_order' AS rule_id, fact_rows, other_rows, ratio,
+       'ratio in [3.0, 5.0]' AS expected,
+       (ratio IS NULL OR ratio < 3.0 OR ratio > 5.0) AS violated
+FROM j
+UNION ALL
+SELECT 'li_per_order_tight', fact_rows, other_rows, ratio,
+       'ratio in [4.5, 5.0]',
+       (ratio IS NULL OR ratio < 4.5 OR ratio > 5.0)
+FROM j
 """
 
 _VOLUME_ANOMALY_ORDERS_SQL = """
@@ -2343,6 +2380,7 @@ WHERE o_orderdate < TIMESTAMP '1998-01-01'
         "header_documents": _HEADER_DOCUMENTS_SQL,
         "metric_anomaly_orders": _METRIC_ANOMALY_ORDERS_SQL,
         "volume_anomaly_orders": _VOLUME_ANOMALY_ORDERS_SQL,
+        "table_ratio_lineitem": _TABLE_RATIO_LINEITEM_SQL,
         "row_part": _ROW_PART_SQL,
         "row_customer": _ROW_CUSTOMER_SQL,
         "composite_documents": _COMPOSITE_DOCS_SQL,

@@ -72,3 +72,58 @@ def ref_violations(
         actual.alias("actual"),
         F.lit(KIND_ORPHAN).alias("kind"),
     )
+
+
+def table_ratio_check(
+    fact: DataFrame,
+    other: DataFrame,
+    rule_id: str,
+    min_ratio: float | None = None,
+    max_ratio: float | None = None,
+    fact_when: str = "",
+    other_when: str = "",
+) -> DataFrame:
+    """Cross-TABLE cardinality consistency: rows(fact)/rows(other) must lie
+    in [min_ratio, max_ratio] — the companion gate to referential integrity
+    (ref checks that keys RESOLVE; this checks that the tables' SIZES still
+    make sense relative to each other). A lineitem/orders ratio collapsing
+    from ~4 to ~0.4 means a partially-loaded fact table; every downstream
+    join then produces silently-plausible wrong answers that no per-row
+    rule can see. None bounds are open (same convention as CountRule).
+
+    Optional ``fact_when`` / ``other_when`` SQL predicates scope each side
+    (e.g. compare only the same ingest date) — pushed as pre-aggregation
+    filters so they reach the scans.
+
+    Scale shape: two single-scalar counts (map-side combined, column-pruned
+    to nothing by Catalyst's count(1)) cross-joined as 1-row frames — the
+    whole check is one lazy plan, no driver collect, trivially parallel at
+    any table size. Output is ONE row (rule_id, fact_rows, other_rows,
+    ratio, expected, violated) — metric-style, so it composes with
+    compare_metric_runs / anomaly_metric_history for ratio drift over time;
+    ``ratio`` is NULL when other is empty (violated unless both empty and
+    bounds allow nothing — an empty denominator is loud, never a pass).
+    """
+    f = fact.where(F.expr(fact_when)) if fact_when else fact
+    o = other.where(F.expr(other_when)) if other_when else other
+    fc = f.agg(F.count(F.lit(1)).cast("double").alias("fact_rows"))
+    oc = o.agg(F.count(F.lit(1)).cast("double").alias("other_rows"))
+    j = fc.crossJoin(oc)
+    ratio = F.when(
+        F.col("other_rows") > 0, F.col("fact_rows") / F.col("other_rows")
+    )
+    conds = []
+    if min_ratio is not None:
+        conds.append(ratio < F.lit(float(min_ratio)))
+    if max_ratio is not None:
+        conds.append(ratio > F.lit(float(max_ratio)))
+    out_of_bounds = conds[0] if len(conds) == 1 else (conds[0] | conds[1]) if conds else F.lit(False)
+    violated = F.when(ratio.isNull(), F.lit(True)).otherwise(out_of_bounds)
+    return j.select(
+        F.lit(rule_id).alias("rule_id"),
+        "fact_rows",
+        "other_rows",
+        ratio.alias("ratio"),
+        F.lit(f"ratio in [{min_ratio}, {max_ratio}]").alias("expected"),
+        violated.alias("violated"),
+    )

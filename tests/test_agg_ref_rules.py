@@ -1135,3 +1135,37 @@ def test_freshness_compile_lint_and_lifecycle(spark):
     rep = run.finalize()
     assert {r["image_id"] for r in rep.violations.collect()} == {"b", "c"}
     assert rep.exit_code == 1
+
+
+# ------------------------------------------------------- table ratio check
+
+
+def test_table_ratio_in_and_out_of_bounds(spark):
+    from mdvalidate_spark.operators.ref_rules import table_ratio_check
+
+    fact = spark.range(400).withColumnRenamed("id", "k")
+    dim = spark.range(100).withColumnRenamed("id", "k")
+    ok = table_ratio_check(fact, dim, "r1", min_ratio=3.0, max_ratio=5.0).collect()[0]
+    assert ok["ratio"] == 4.0 and not ok["violated"]
+    bad = table_ratio_check(fact, dim, "r2", min_ratio=5.0).collect()[0]
+    assert bad["violated"]
+    # open upper bound
+    assert not table_ratio_check(fact, dim, "r3", min_ratio=1.0).collect()[0]["violated"]
+
+
+def test_table_ratio_when_scopes_and_empty_denominator_loud(spark):
+    from pyspark.sql import functions as F
+    from mdvalidate_spark.operators.ref_rules import table_ratio_check
+
+    fact = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 2 == 0).alias("even")
+    )
+    dim = spark.range(10).withColumnRenamed("id", "k")
+    scoped = table_ratio_check(
+        fact, dim, "r", min_ratio=4.9, max_ratio=5.1, fact_when="even"
+    ).collect()[0]
+    assert scoped["fact_rows"] == 50.0 and scoped["ratio"] == 5.0
+    # empty denominator is a violation with NULL ratio, never a silent pass
+    empty = dim.where(F.lit(False))
+    r = table_ratio_check(fact, empty, "r0", min_ratio=0.0).collect()[0]
+    assert r["ratio"] is None and r["violated"]
