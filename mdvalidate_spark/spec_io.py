@@ -4,7 +4,7 @@ A spec file is JSON: {"key_column": ..., "n_partitions": ..., "fast_fail":
 ..., "max_violations_per_rule": ..., "rules": [{"kind": ..., "id": ...,
 ...}, ...]}. Rule kinds: not_null, regex, composite, literal, range, domain,
 unique, count, ref, capture, sequence, stats, drift, overlap, pixel, schema,
-vector, expr, header, fd, freshness.
+vector, expr, header, volume, fd, freshness, metric_bound.
 Unknown kinds or params raise SchemaError at load (reference: matcher parse
 errors, matcher.rs:175-208 — reject before touching data).
 """

@@ -743,3 +743,67 @@ def test_header_rule_spec_io_roundtrip(tmp_path):
     p = str(tmp_path / "spec.json")
     save_spec(spec, p)
     assert load_spec(p) == spec
+
+
+def test_header_rule_randomized_differential(spark):
+    """Seeded randomized differential check: 200 payloads with random
+    corruption classes; the fused column-algebra extraction (substring on
+    binary + conv(hex)) must agree with a pure-Python struct reference on
+    WHICH check fires first — or that none does — for every row."""
+    import struct
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    codes = {"png": 0, "jpeg": 1, "webp": 2}
+    rows = []
+    for i in range(200):
+        w = int(rng.integers(0, 65536))
+        h = int(rng.integers(0, 65536))
+        fmt = ["png", "jpeg", "webp"][i % 3]
+        tail = bytes(rng.integers(0, 256, size=int(rng.integers(0, 5))).tolist())
+        payload = bytearray(b"MDV" + struct.pack("<BHH", codes[fmt], w, h) + tail)
+        col_w, col_h = w, h
+        corrupt = int(rng.integers(0, 6))
+        if corrupt == 1:
+            payload = payload[: int(rng.integers(0, 8))]
+        elif corrupt == 2:
+            payload[int(rng.integers(0, 3))] ^= 0xFF
+        elif corrupt == 3:
+            payload[3] = (payload[3] + 1 + int(rng.integers(0, 200))) % 256
+        elif corrupt == 4:
+            col_w = (w + 1 + int(rng.integers(0, 1000))) % 65536
+        elif corrupt == 5:
+            col_h = (h + 1 + int(rng.integers(0, 1000))) % 65536
+        rows.append((f"p{i}", bytes(payload), col_w, col_h, fmt))
+
+    def reference_kind(b, cw, ch, fmt):
+        if len(b) < 8:
+            return "truncated"
+        if b[:3] != b"MDV":
+            return "prefix"
+        code, hw, hh = struct.unpack("<BHH", b[3:8])
+        if code != codes[fmt]:
+            return "fmt_code"
+        if hw != cw:
+            return "dim_mismatch"  # w
+        if hh != ch:
+            return "dim_mismatch"  # h
+        return None
+
+    want = {
+        rid: k
+        for rid, b, cw, ch, fmt in rows
+        if (k := reference_kind(b, cw, ch, fmt)) is not None
+    }
+    df = with_partition_id(
+        spark.createDataFrame(
+            rows, "image_id string, bytes binary, w int, h int, fmt string"
+        ),
+        base_spec([]),
+    )
+    got = {
+        r["image_id"]: r["kind"]
+        for r in run_rows(spark, df, [_mdv_header_rule()]).collect()
+    }
+    assert got == want
