@@ -204,3 +204,50 @@ def test_anomaly_min_runs_gate_and_no_history_flag(spark):
     assert {m for m in loud} == {"count", "fresh"}
     assert all(r["kind"] == "no_history" for r in loud.values())
     assert loud["fresh"]["n_runs"] == 0 and loud["count"]["n_runs"] == 2
+
+
+def test_anomaly_end_to_end_persisted_run_history(spark, tmp_path):
+    """Real lifecycle: four runs over steady snapshots persist their metric
+    frames (run_id riding along, as the results sink stores them); a fifth
+    run over a half-sized snapshot is judged against that history — count
+    flags anomalous, the stable min/max metrics stay quiet."""
+    from pyspark.sql import functions as F
+
+    from mdvalidate_spark import validate_table
+    from mdvalidate_spark.operators.regression import anomaly_metric_history
+    from mdvalidate_spark.sources.synthetic import synthetic_images
+    from mdvalidate_spark.spec import ColumnStatsRule, Spec
+
+    spec = Spec(
+        rules=(ColumnStatsRule("w_stats", column="w", exact_distinct=True),),
+        key_column="image_id",
+        n_partitions=4,
+    )
+    hist_frames = []
+    for i, n in enumerate([400, 404, 398, 402]):  # steady daily volumes
+        rep = validate_table(
+            spark,
+            synthetic_images(spark, n, with_bytes=False),
+            spec,
+            checkpoint_dir=str(tmp_path / f"h{i}"),
+            run_id=f"day{i}",
+        )
+        hist_frames.append(rep.metrics.withColumn("run_id", F.lit(f"day{i}")))
+    history = hist_frames[0]
+    for f2 in hist_frames[1:]:
+        history = history.unionByName(f2)
+    cur = validate_table(
+        spark,
+        synthetic_images(spark, 200, with_bytes=False),  # broken ingest
+        spec,
+        checkpoint_dir=str(tmp_path / "cur"),
+        run_id="today",
+    )
+    out = {
+        r["metric"]: r
+        for r in anomaly_metric_history(history, cur.metrics, k=3.0).collect()
+    }
+    assert "count" in out and out["count"]["kind"] == "anomalous"
+    assert out["count"]["current_value"] == 200.0
+    assert out["count"]["n_runs"] == 4
+    assert "min" not in out and "max" not in out
