@@ -104,6 +104,21 @@ def table_ratio_check(
     ``ratio`` is NULL when other is empty (violated unless both empty and
     bounds allow nothing — an empty denominator is loud, never a pass).
     """
+    if min_ratio is None and max_ratio is None:
+        # same vacuity contract as the engine's bound lints: a ratio check
+        # with no bounds checks nothing
+        from ..errors import SchemaError
+
+        raise SchemaError(
+            f"ratio check {rule_id!r} needs min_ratio and/or max_ratio"
+        )
+    if min_ratio is not None and max_ratio is not None and min_ratio > max_ratio:
+        from ..errors import SchemaError
+
+        raise SchemaError(
+            f"ratio check {rule_id!r}: min_ratio {min_ratio} > max_ratio "
+            f"{max_ratio}"
+        )
     f = fact.where(F.expr(fact_when)) if fact_when else fact
     o = other.where(F.expr(other_when)) if other_when else other
     fc = f.agg(F.count(F.lit(1)).cast("double").alias("fact_rows"))

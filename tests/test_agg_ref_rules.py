@@ -1169,3 +1169,14 @@ def test_table_ratio_when_scopes_and_empty_denominator_loud(spark):
     empty = dim.where(F.lit(False))
     r = table_ratio_check(fact, empty, "r0", min_ratio=0.0).collect()[0]
     assert r["ratio"] is None and r["violated"]
+
+
+def test_table_ratio_vacuous_and_inverted_bounds_rejected(spark):
+    from mdvalidate_spark.errors import SchemaError
+    from mdvalidate_spark.operators.ref_rules import table_ratio_check
+
+    a = spark.range(2)
+    with pytest.raises(SchemaError):
+        table_ratio_check(a, a, "r")
+    with pytest.raises(SchemaError):
+        table_ratio_check(a, a, "r", min_ratio=2.0, max_ratio=1.0)
