@@ -243,14 +243,34 @@ def _check_applies(rule) -> Column:
                 )
             return out
 
-        need = rule.required_length
+        # the truncation gate is PER-ROW: static needs (code byte, dims,
+        # shared magic, min_length) plus the row's OWN format's magic length
+        # — per-format magics differ in length (PNG 8B, JPEG 3B), and using
+        # the global max would falsely flag short-magic formats' legitimate
+        # short payloads as truncated
+        static_need = rule.static_required_length
+        if rule.magic_by_fmt:
+            per_fmt_len = None
+            for k, v in rule.magic_by_fmt:
+                cond = F.col(rule.fmt_column) == F.lit(k)
+                lit = F.lit(len(v) // 2)
+                per_fmt_len = (
+                    F.when(cond, lit)
+                    if per_fmt_len is None
+                    else per_fmt_len.when(cond, lit)
+                )
+            need = F.greatest(
+                F.lit(static_need), F.coalesce(per_fmt_len, F.lit(0))
+            )
+        else:
+            need = F.lit(static_need)
         branches = [
             (
-                F.octet_length(c) < F.lit(need),
+                F.octet_length(c) < need,
                 _viol(
                     rule.id,
                     rule.column,
-                    F.lit(f">= {need} bytes"),
+                    F.concat(F.lit(">= "), need.cast("string"), F.lit(" bytes")),
                     F.octet_length(c),
                     KIND_TRUNCATED,
                 ),

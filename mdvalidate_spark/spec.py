@@ -322,13 +322,16 @@ class HeaderRule(Rule):
         return tuple(cols)
 
     @property
-    def required_length(self) -> int:
-        """Bytes the declared checks actually read (the derived min_length)."""
+    def static_required_length(self) -> int:
+        """Bytes every row's checks read regardless of its format. Per-format
+        magics are deliberately EXCLUDED: their lengths differ by format
+        (PNG 8 bytes, JPEG 3), so their length demand is a per-row CASE on
+        the fmt column (row_rules builds it) — folding the max in here would
+        falsely flag short-magic formats' legitimately short payloads as
+        truncated."""
         need = 0
         if self.magic:
             need = max(need, len(self.magic) // 2)
-        for _, hx in self.magic_by_fmt:
-            need = max(need, len(hx) // 2)
         if self.fmt_codes:
             need = max(need, self.code_offset + 1)
         if self.w_column:
@@ -336,6 +339,16 @@ class HeaderRule(Rule):
         if self.h_column:
             need = max(need, self.h_offset + 2)
         return max(need, self.min_length)
+
+    @property
+    def required_length(self) -> int:
+        """Worst-case bytes any row's checks read (static + longest
+        per-format magic) — documentation/lint value; the runtime truncation
+        gate is per-row (see static_required_length)."""
+        need = self.static_required_length
+        for _, hx in self.magic_by_fmt:
+            need = max(need, len(hx) // 2)
+        return need
 
 
 @dataclass(frozen=True)

@@ -694,6 +694,35 @@ def test_header_rule_magic_by_fmt_and_unknown_fmt(spark):
     assert v["c"]["kind"] == "prefix" and v["c"]["expected"] == "89504E470D0A1A0A"
 
 
+def test_header_rule_truncation_gate_is_per_format(spark):
+    """With per-format magics of different lengths, the truncation bound is
+    the ROW'S OWN format's need, not the global max: a 4-byte payload is
+    fine for jpeg (3-byte magic) but truncated for png (8-byte magic)."""
+    from mdvalidate_spark.spec import HeaderRule
+
+    rows = [
+        ("jpeg_short_ok", bytearray.fromhex("FFD8FF00"), "jpeg"),   # 4B: passes
+        ("png_short", bytearray.fromhex("89504E47"), "png"),        # 4B: truncated
+        ("jpeg_tiny", bytearray.fromhex("FFD8"), "jpeg"),           # 2B: truncated
+    ]
+    df = with_partition_id(
+        spark.createDataFrame(rows, "image_id string, bytes binary, fmt string"),
+        base_spec([]),
+    )
+    rule = HeaderRule(
+        "m",
+        column="bytes",
+        magic_by_fmt={"png": "89504E470D0A1A0A", "jpeg": "FFD8FF"},
+        fmt_column="fmt",
+    )
+    v = {r["image_id"]: r for r in run_rows(spark, df, [rule]).collect()}
+    assert set(v) == {"png_short", "jpeg_tiny"}
+    assert v["png_short"]["kind"] == "truncated"
+    assert v["png_short"]["expected"] == ">= 8 bytes"
+    assert v["jpeg_tiny"]["kind"] == "truncated"
+    assert v["jpeg_tiny"]["expected"] == ">= 3 bytes" and v["jpeg_tiny"]["actual"] == "2"
+
+
 def test_header_rule_when_scope_and_null_pass(spark):
     """NULL payloads pass (NotNullRule owns them); `when` scopes the rule."""
     df = _hdr_df(spark).withColumn(
