@@ -101,9 +101,13 @@ def main() -> None:
     # throughput, not first-run JIT/compile/page-cache warmup (measured 2-4x)
     trials = int(os.environ.get("MDV_BENCH_TRIALS", "2"))
     times: dict[str, float] = {}
+    raw: dict[str, list] = {}  # every trial, so the recorded JSON carries
+    # its own noise evidence (shared-host variance is decidable from one
+    # artifact instead of needing a separate variance protocol run)
 
     def _best(d: dict, key: str, v: float) -> None:
         d[key] = min(d.get(key, float("inf")), v)
+        raw.setdefault(key, []).append(round(v, 3))
 
     # -- 1. full constraint suite (no bytes) --------------------------------
     # pre-materialize to parquet (generation excluded from timing, per
@@ -190,6 +194,7 @@ def main() -> None:
         "images_per_sec": round(n_suite / times["images_validate"], 1),
         "pixel_images_per_sec": round(n_pixel / times["images_pixel"], 1),
         "cpus": cpus,
+        "trials_raw": raw,
         **_host_calibration(cpus),
     }
     spark.stop()
