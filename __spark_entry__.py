@@ -1027,6 +1027,39 @@ def q_metric_bounds_orders(spark, sf_dir):
     )
 
 
+def q_metric_bounds_group_orders(spark, sf_dir):
+    """MetricBoundRule.group_by (operators/agg_rules._metric_bounds_grouped):
+    the same aggregate assertion made of EVERY group — the north rule's
+    per-partition pass/fail posture on arbitrary keys ("count >= 1000 for
+    every order status"). One groupBy pass fuses all three rules; each
+    offending group is ONE violation row and the metrics stay bounded
+    (groups_total / groups_violated per rule, never O(groups) rows). The
+    count floor (5000) splits the near-uniform statuses deterministically
+    (P=5088 passes; O and F sit just under); null-rate and distinct hold
+    for every group.
+    Output = the bounded summary metrics + one row per flagged group."""
+    from mdvalidate_spark.operators.agg_rules import metric_bound_results
+    from mdvalidate_spark.spec import MetricBoundRule
+
+    orders = _load(spark, sf_dir, "orders")
+    rules = (
+        MetricBoundRule("g_cnt", column="o_orderkey", metric="count",
+                        min=5000, group_by="o_orderstatus"),
+        MetricBoundRule("g_nulls", column="o_custkey", metric="null_rate",
+                        max=0.0, group_by="o_orderstatus"),
+        MetricBoundRule("g_prio", column="o_orderpriority", metric="distinct",
+                        min=5, exact=True, group_by="o_orderstatus"),
+    )
+    v, m = metric_bound_results(orders, rules, "q")
+    flagged = v.select(
+        "rule_id",
+        F.concat(F.lit("violated:"), F.col("image_id")).alias("item"),
+        F.lit(1.0).alias("value"),
+    )
+    summary = m.select("rule_id", F.col("metric").alias("item"), "value")
+    return summary.unionByName(flagged)
+
+
 def q_stats_when_lineitem(spark, sf_dir):
     """Predicate-SCOPED column stats (`when` on ColumnStatsRule): profile
     l_partkey among RETURNED ('R') lineitems only. Exercises the RULE path
@@ -1613,6 +1646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_lineitem": q_stats_lineitem,
         "stats_when_lineitem": q_stats_when_lineitem,
         "metric_bounds_orders": q_metric_bounds_orders,
+        "metric_bounds_group_orders": q_metric_bounds_group_orders,
         "value_profile_orders": q_value_profile_orders,
         "metric_regression_orders": q_metric_regression_orders,
         "quarantine_orders": q_quarantine_orders,
@@ -2783,6 +2817,36 @@ SELECT 'st_rp', 'p95', round(quantile_cont(l_partkey, 0.95), 4), NULL FROM s
         # metric bounds: identical aggregates + bound logic replayed in SQL;
         # the violated flag is computed on the UNROUNDED value, like the
         # engine; rounding only normalizes float-summation-order noise
+        "metric_bounds_group_orders": """
+WITH g AS (
+  SELECT o_orderstatus AS grp,
+         CAST(count(*) AS DOUBLE) AS cnt,
+         CAST(count(*) - count(o_custkey) AS DOUBLE) / count(*) AS null_rate,
+         CAST(count(DISTINCT o_orderpriority) AS DOUBLE) AS prio_card
+  FROM orders GROUP BY 1
+)
+SELECT 'g_cnt' AS rule_id, 'groups_total' AS item,
+       CAST(count(*) AS DOUBLE) AS value FROM g
+UNION ALL
+SELECT 'g_cnt', 'groups_violated',
+       CAST(sum(CASE WHEN cnt < 5000 THEN 1 ELSE 0 END) AS DOUBLE) FROM g
+UNION ALL
+SELECT 'g_nulls', 'groups_total', CAST(count(*) AS DOUBLE) FROM g
+UNION ALL
+SELECT 'g_nulls', 'groups_violated',
+       CAST(sum(CASE WHEN null_rate > 0.0 THEN 1 ELSE 0 END) AS DOUBLE) FROM g
+UNION ALL
+SELECT 'g_prio', 'groups_total', CAST(count(*) AS DOUBLE) FROM g
+UNION ALL
+SELECT 'g_prio', 'groups_violated',
+       CAST(sum(CASE WHEN prio_card < 5 THEN 1 ELSE 0 END) AS DOUBLE) FROM g
+UNION ALL
+SELECT 'g_cnt', 'violated:' || grp, 1.0 FROM g WHERE cnt < 5000
+UNION ALL
+SELECT 'g_nulls', 'violated:' || grp, 1.0 FROM g WHERE null_rate > 0.0
+UNION ALL
+SELECT 'g_prio', 'violated:' || grp, 1.0 FROM g WHERE prio_card < 5
+""",
         "metric_bounds_orders": """
 WITH agg AS (
   SELECT CAST(count(DISTINCT o_orderstatus) AS DOUBLE) AS status_card,

@@ -1097,24 +1097,56 @@ def metric_bound_results(
     NULL metric values (mean/stddev/quantile over zero in-scope rows, or
     stddev of a single row) VIOLATE: a bound on a value that does not
     exist is missing data, reported with actual 'no value' — never a
-    silent pass (drift's empty-side contract)."""
+    silent pass (drift's empty-side contract).
+
+    GROUPED bounds (``MetricBoundRule.group_by``): the same assertion made
+    of EVERY group ("p95(w) ≤ 2048 for every source") — the north rule's
+    per-partition pass/fail posture lifted to arbitrary group keys. Rules
+    sharing a ``group_by`` fuse into one groupBy aggregation (single
+    shuffle, map-side combined); each offending group becomes ONE violation
+    row (image_id = the group key), and instead of per-group metric rows
+    (O(groups) — unbounded at 10^6 sources) each rule reports two bounded
+    summary metrics: ``groups_total`` and ``groups_violated``. Violating
+    groups still ride the ``max_violations_per_rule`` sink cap downstream,
+    and a NULL group key is a real group (same contract as
+    volume_anomaly's ``__null__``)."""
     from ..errors import KIND_METRIC_BOUND
     from ..spec import parse_bound_metric
 
     spark = df.sparkSession
+    empty_v = spark.createDataFrame(
+        [],
+        "run_id string, partition_id int, rule_id string, image_id "
+        "string, column string, expected string, actual string, "
+        "kind string",
+    )
+    empty_m = spark.createDataFrame(
+        [],
+        "run_id string, partition_id int, rule_id string, metric "
+        "string, value double, value_str string",
+    )
     if not rules:
-        empty_v = spark.createDataFrame(
-            [],
-            "run_id string, partition_id int, rule_id string, image_id "
-            "string, column string, expected string, actual string, "
-            "kind string",
-        )
-        empty_m = spark.createDataFrame(
-            [],
-            "run_id string, partition_id int, rule_id string, metric "
-            "string, value double, value_str string",
-        )
         return empty_v, empty_m
+
+    grouped: dict[str, list] = {}
+    for r in rules:
+        if getattr(r, "group_by", ""):
+            grouped.setdefault(r.group_by, []).append(r)
+    rules = tuple(r for r in rules if not getattr(r, "group_by", ""))
+
+    g_viols, g_mets = [], []
+    for gcol, grules in grouped.items():
+        gv, gm = _metric_bounds_grouped(df, gcol, tuple(grules), run_id)
+        g_viols.append(gv)
+        g_mets.append(gm)
+
+    if not rules:
+        from functools import reduce as _reduce
+
+        return (
+            _reduce(lambda a, b: a.unionByName(b), g_viols, empty_v),
+            _reduce(lambda a, b: a.unionByName(b), g_mets, empty_m),
+        )
 
     aggs = []
     for r in rules:
@@ -1209,5 +1241,139 @@ def metric_bound_results(
             F.col("v.actual"),
             F.lit(KIND_METRIC_BOUND).alias("kind"),
         )
+    )
+    for gv in g_viols:
+        violations = violations.unionByName(gv)
+    for gm in g_mets:
+        metrics = metrics.unionByName(gm)
+    return violations, metrics
+
+
+def _metric_bound_agg(df: DataFrame, r) -> "F.Column":
+    """The aggregate expression for one MetricBoundRule (shared by the
+    global 1-row pass and the grouped pass)."""
+    from ..spec import parse_bound_metric
+
+    c = _scope_gate(F.col(r.column), r)
+    family, q = parse_bound_metric(r.metric)
+    kindq = r.metric if family == "simple" else "quantile"
+    if kindq == "count":
+        return _scoped_rows(r).cast("double")
+    if kindq == "null_rate":
+        rows = _scoped_rows(r).cast("double")
+        nonnull = F.count(c).cast("double")
+        return F.when(rows > 0, (rows - nonnull) / rows).otherwise(F.lit(0.0))
+    if kindq == "distinct":
+        return (
+            F.count_distinct(c) if r.exact else F.approx_count_distinct(c)
+        ).cast("double")
+    if kindq == "mean":
+        return F.avg(c.cast("double"))
+    if kindq == "stddev":
+        return F.stddev_samp(c.cast("double"))
+    if kindq in ("min", "max"):
+        return (F.min if kindq == "min" else F.max)(c.cast("double"))
+    return (
+        F.percentile(c, F.lit(q))
+        if r.exact
+        else F.approx_percentile(c, F.lit(q), F.lit(10000))
+    ).cast("double")
+
+
+def _metric_bounds_grouped(
+    df: DataFrame, group_col: str, rules, run_id: str
+) -> tuple[DataFrame, DataFrame]:
+    """Per-group metric bounds: one groupBy aggregation for all rules
+    sharing ``group_by`` (see metric_bound_results docs). Returns
+    (violations, summary metrics)."""
+    from ..errors import KIND_METRIC_BOUND
+
+    def _fmt(x):
+        return "None" if x is None else f"{float(x):g}"
+
+    key = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+    wide = (
+        df.groupBy(key.alias("__group"))
+        .agg(*[_metric_bound_agg(df, r).alias(f"{r.id}__val") for r in rules])
+        .persist()
+    )
+    vio_parts = []
+    for r in rules:
+        val = F.col(f"{r.id}__val")
+        conds = []
+        if r.min is not None:
+            conds.append(val < F.lit(float(r.min)))
+        if r.max is not None:
+            conds.append(val > F.lit(float(r.max)))
+        out_of_bounds = conds[0] if len(conds) == 1 else (conds[0] | conds[1])
+        fail = F.coalesce(out_of_bounds, F.lit(True))  # NULL metric is LOUD
+        vio_parts.append(
+            F.struct(
+                F.lit(r.id).alias("rule_id"),
+                F.lit(r.column).alias("column"),
+                F.lit(
+                    f"{r.metric} in [{_fmt(r.min)}, {_fmt(r.max)}] "
+                    f"per {group_col}"
+                ).alias("expected"),
+                F.coalesce(val.cast("string"), F.lit("no value")).alias(
+                    "actual"
+                ),
+                fail.alias("fail"),
+            )
+        )
+    violations = (
+        wide.select(F.col("__group"), F.explode(F.array(*vio_parts)).alias("v"))
+        .where(F.col("v.fail"))
+        .select(
+            F.lit(run_id).alias("run_id"),
+            F.lit(None).cast("int").alias("partition_id"),
+            F.col("v.rule_id"),
+            F.col("__group").alias("image_id"),
+            F.col("v.column"),
+            F.col("v.expected"),
+            F.col("v.actual"),
+            F.lit(KIND_METRIC_BOUND).alias("kind"),
+        )
+    )
+    # bounded summary metrics: groups_total / groups_violated per rule —
+    # never O(groups) metric rows
+    sums = []
+    for r in rules:
+        val = F.col(f"{r.id}__val")
+        conds = []
+        if r.min is not None:
+            conds.append(val < F.lit(float(r.min)))
+        if r.max is not None:
+            conds.append(val > F.lit(float(r.max)))
+        out_of_bounds = conds[0] if len(conds) == 1 else (conds[0] | conds[1])
+        fail = F.coalesce(out_of_bounds, F.lit(True))
+        sums += [
+            F.count(F.lit(1)).cast("double").alias(f"{r.id}__total"),
+            F.sum(fail.cast("int")).cast("double").alias(f"{r.id}__bad"),
+        ]
+    summary = wide.agg(*sums)
+    met_parts = []
+    for r in rules:
+        met_parts += [
+            F.struct(
+                F.lit(r.id).alias("rule_id"),
+                F.lit("groups_total").alias("metric"),
+                F.col(f"{r.id}__total").alias("value"),
+                F.lit(None).cast("string").alias("value_str"),
+            ),
+            F.struct(
+                F.lit(r.id).alias("rule_id"),
+                F.lit("groups_violated").alias("metric"),
+                F.col(f"{r.id}__bad").alias("value"),
+                F.lit(None).cast("string").alias("value_str"),
+            ),
+        ]
+    metrics = summary.select(F.explode(F.array(*met_parts)).alias("m")).select(
+        F.lit(run_id).alias("run_id"),
+        F.lit(None).cast("int").alias("partition_id"),
+        F.col("m.rule_id"),
+        F.col("m.metric"),
+        F.col("m.value"),
+        F.col("m.value_str"),
     )
     return violations, metrics

@@ -709,10 +709,17 @@ class MetricBoundRule(Rule):
     max: Optional[float] = None
     exact: bool = False
     when: str = ""  # optional row-scope predicate (see NotNullRule.when)
+    #: assert the bound of EVERY group of this column ("p95(w) <= 2048 for
+    #: every source") — the per-partition pass/fail posture on arbitrary
+    #: keys. Each offending group is one violation row (image_id = group
+    #: key; NULL keys group as "__null__"); metrics stay bounded as
+    #: groups_total / groups_violated per rule instead of O(groups) rows.
+    #: Rules sharing a group_by fuse into one groupBy pass.
+    group_by: str = ""
     kind: str = field(default="metric_bound", init=False)
 
     def targets(self):
-        return (self.column,)
+        return (self.column, self.group_by) if self.group_by else (self.column,)
 
 
 @dataclass(frozen=True)

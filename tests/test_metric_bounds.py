@@ -240,3 +240,74 @@ def test_json_round_trip():
     r = MetricBoundRule("rt", column="v", metric="p99.9", min=1.5, max=2.5,
                         exact=True, when="cat = 'a'")
     assert rule_from_dict(rule_to_dict(r)) == r
+
+
+# ------------------------------------------------------ per-group bounds
+
+
+def test_grouped_bounds_flag_offending_groups_only(spark, df):
+    """group_by: the same assertion made of EVERY group; image_id carries
+    the offending group's key. cat 'd' holds v=3,7,...,99 → max 99; bound
+    max(v) <= 98 per cat flags exactly 'd'."""
+    v, m = _run(df, (MetricBoundRule("gmax", column="v", metric="max",
+                                    max=98.0, group_by="cat"),))
+    rows = v.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["image_id"] == "d" and r["kind"] == "metric_bound"
+    assert "per cat" in r["expected"] and r["actual"] == "99.0"
+    mets = {(x["rule_id"], x["metric"]): x["value"] for x in m.collect()}
+    assert mets[("gmax", "groups_total")] == 4.0
+    assert mets[("gmax", "groups_violated")] == 1.0
+
+
+def test_grouped_bounds_null_group_is_real_and_metric_null_is_loud(spark):
+    d = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), (None, 50.0), ("b", None)],
+        "cat string, v double",
+    )
+    # mean per cat <= 10: __null__ group mean=50 violates; group b has no
+    # non-null v → NULL mean → loud 'no value'
+    v, m = _run(d, (MetricBoundRule("gmean", column="v", metric="mean",
+                                    max=10.0, group_by="cat"),))
+    got = {r["image_id"]: r["actual"] for r in v.collect()}
+    assert got == {"__null__": "50.0", "b": "no value"}
+    mets = {x["metric"]: x["value"] for x in m.collect()}
+    assert mets["groups_total"] == 3.0 and mets["groups_violated"] == 2.0
+
+
+def test_grouped_and_global_bounds_mix_in_one_spec(spark, df):
+    """Grouped rules ride alongside global ones through the lifecycle; the
+    grouped pass is a single groupBy aggregation (one Exchange)."""
+    spec = Spec(
+        rules=(
+            MetricBoundRule("g_p95", column="v", metric="p95", max=50.0,
+                            group_by="cat", exact=True),
+            MetricBoundRule("g_cnt", column="v", metric="count", min=10.0,
+                            group_by="cat"),
+            MetricBoundRule("all_mean", column="v", metric="mean", max=200.0),
+        ),
+        key_column="key",
+        n_partitions=4,
+    )
+    rep = validate_table(spark, df, spec, run_id="g1")
+    viol = {(r["rule_id"], r["image_id"]) for r in rep.violations.collect()}
+    # every cat's p95 > 50 (values run to 96-99); counts are 25 ≥ 10; the
+    # global mean (49.5) passes
+    assert viol == {("g_p95", c) for c in ("a", "b", "c", "d")}
+    assert rep.exit_code == 1
+    mets = {
+        (r["rule_id"], r["metric"]): r["value"] for r in rep.metrics.collect()
+    }
+    assert mets[("g_cnt", "groups_violated")] == 0.0
+    assert mets[("all_mean", "mean")] == pytest.approx(49.5)
+
+
+def test_grouped_bounds_single_exchange_plan(spark, df):
+    v, _ = _run(df, (
+        MetricBoundRule("g1", column="v", metric="mean", max=10.0, group_by="cat"),
+        MetricBoundRule("g2", column="v", metric="count", min=1.0, group_by="cat"),
+    ))
+    plan = v._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2  # partial+final agg pair, fused rules
+    assert "PythonUDF" not in plan
