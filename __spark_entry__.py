@@ -1234,6 +1234,47 @@ def q_drift_sweep_events(spark, sf_dir):
     )
 
 
+def q_drift_sweep_ref_events(spark, sf_dir):
+    """Per-GROUP two-table drift (drift_sweep_vs_reference): every
+    event_type's candidate distribution vs the REFERENCE snapshot's same
+    group — the per-source dataset-shift audit a whole-table comparison
+    dilutes. Candidate is derived deterministically: 'error' values shifted
+    +1000 (that group alone must flag), 'signup' relabeled 'signup_v2'
+    (missing-group violations in BOTH directions). Edges once from REF's
+    global exact percentiles; one groupBy(group, bin) pass per table; PSI
+    per group in O(bins). Output = per-group PSI (groups present on both
+    sides) + one row per violation."""
+    from mdvalidate_spark.operators.drift import drift_sweep_vs_reference
+    from mdvalidate_spark.spec import DriftRule
+
+    ev = _load(spark, sf_dir, "events")
+    ref = ev.select("event_type", "value")
+    cand = ev.select(
+        F.when(F.col("event_type") == "signup", F.lit("signup_v2"))
+        .otherwise(F.col("event_type"))
+        .alias("event_type"),
+        F.when(F.col("event_type") == "error", F.col("value") + 1000.0)
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    rule = DriftRule(
+        "sweep_ref", column="value", sweep_by="event_type", method="psi",
+        threshold=0.2, n_bins=8, exact_edges=True,
+    )
+    v, m, _n = drift_sweep_vs_reference(ref, cand, rule, "q")
+    stats = m.select(
+        "rule_id",
+        F.concat(F.lit("psi:"), F.col("value_str")).alias("item"),
+        F.round("value", 3).alias("value"),
+    )
+    viols = v.select(
+        "rule_id",
+        F.concat(F.lit("viol:"), F.col("image_id")).alias("item"),
+        F.lit(1.0).alias("value"),
+    )
+    return stats.unionByName(viols)
+
+
 def q_drift_sweep_incremental_events(spark, sf_dir):
     """The INCREMENTAL sweep path (DriftRule.incremental): per-partition
     histogram partials on frozen edges, merged by summation, then the same
@@ -1660,6 +1701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_ref_orders": q_drift_ref_orders,
         "drift_ref_embeddings": q_drift_ref_embeddings,
         "drift_sweep_events": q_drift_sweep_events,
+        "drift_sweep_ref_events": q_drift_sweep_ref_events,
         "drift_sweep_incremental_events": q_drift_sweep_incremental_events,
         "ks_runs_events": q_ks_runs_events,
         "topk_ivf_embeddings": q_topk_ivf_embeddings,
@@ -3071,6 +3113,72 @@ FROM d
             probe_cond="CAST(lang AS VARCHAR) = 'en'", rule_prefix="dlen",
         ),
         "drift_sweep_events": _drift_sweep_sql(32),
+        "drift_sweep_ref_events": """
+WITH refb AS (
+  SELECT CAST(value AS DOUBLE) AS x,
+         COALESCE(CAST(event_type AS VARCHAR), '__null__') AS g
+  FROM events WHERE value IS NOT NULL
+),
+cand0 AS (
+  SELECT CASE WHEN event_type = 'signup' THEN 'signup_v2'
+              ELSE event_type END AS event_type,
+         CASE WHEN event_type = 'error' THEN value + 1000.0
+              ELSE value END AS value
+  FROM events
+),
+candb AS (
+  SELECT CAST(value AS DOUBLE) AS x,
+         COALESCE(CAST(event_type AS VARCHAR), '__null__') AS g
+  FROM cand0 WHERE value IS NOT NULL
+),
+e AS (
+  SELECT list_sort(list_distinct(
+           list_transform(quantile_cont(x, [0.0, 0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875, 1.0]), v -> round(v, 6))
+         )) AS u
+  FROM refb
+),
+inner_e AS (SELECT u[2:len(u) - 1] AS ie FROM e),
+rc AS (
+  SELECT g, len(list_filter(ie, edge -> x > edge)) AS bin, count(*) AS n
+  FROM refb, inner_e GROUP BY 1, 2
+),
+cc AS (
+  SELECT g, len(list_filter(ie, edge -> x > edge)) AS bin, count(*) AS n
+  FROM candb, inner_e GROUP BY 1, 2
+),
+rg AS (SELECT DISTINCT g FROM rc), cg AS (SELECT DISTINCT g FROM cc),
+both_g AS (SELECT g FROM rg INTERSECT SELECT g FROM cg),
+grid AS (
+  SELECT both_g.g, bb.bin
+  FROM both_g, (SELECT unnest(range(0, len(ie) + 1)) AS bin FROM inner_e) bb
+),
+rt AS (SELECT g, sum(n) AS tn FROM rc GROUP BY g),
+ct AS (SELECT g, sum(n) AS tn FROM cc GROUP BY g),
+d AS (
+  SELECT grid.g,
+         coalesce(cc.n, 0) * 1.0 / ct.tn AS dp,
+         coalesce(rc.n, 0) * 1.0 / rt.tn AS dr
+  FROM grid
+  LEFT JOIN cc ON cc.g = grid.g AND cc.bin = grid.bin
+  LEFT JOIN rc ON rc.g = grid.g AND rc.bin = grid.bin
+  JOIN ct ON ct.g = grid.g
+  JOIN rt ON rt.g = grid.g
+),
+stats AS (
+  SELECT g, sum((dp - dr) * ln((dp + 1e-6) / (dr + 1e-6))) AS stat
+  FROM d GROUP BY g
+)
+SELECT 'sweep_ref' AS rule_id, 'psi:' || g AS item, round(stat, 3) AS value
+FROM stats
+UNION ALL
+SELECT 'sweep_ref', 'viol:event_type=' || g, 1.0 FROM stats WHERE stat > 0.2
+UNION ALL
+SELECT 'sweep_ref', 'viol:event_type=' || g, 1.0
+FROM (SELECT g FROM rg EXCEPT SELECT g FROM cg)
+UNION ALL
+SELECT 'sweep_ref', 'viol:event_type=' || g, 1.0
+FROM (SELECT g FROM cg EXCEPT SELECT g FROM rg)
+""",
         "drift_sweep_incremental_events": _drift_sweep_sql(32),
         # cross-run KS from sketches: sketches are EXACT below capacity and
         # Datasketches rank is inclusive (rank(v) = P(X <= v)), and every

@@ -634,3 +634,121 @@ def reference_histogram(
         hist[r["_bin"]] += r["n"]
     tot = sum(hist) or 1.0
     return inner, [v / tot for v in hist]
+
+
+def drift_sweep_vs_reference(
+    ref: DataFrame,
+    cand: DataFrame,
+    rule: DriftRule,
+    run_id: str,
+    edges: list | None = None,
+) -> tuple[DataFrame, DataFrame, int]:
+    """Per-GROUP two-table drift: for every value of ``rule.sweep_by``,
+    the candidate's group-g distribution vs the REFERENCE table's group-g
+    distribution — the composition of the in-table sweep (every partition
+    vs the rest) and whole-table two-table drift (candidate vs snapshot):
+    "did any SOURCE's distribution shift since yesterday", asked of all
+    sources at once. A whole-table comparison dilutes a single source's
+    shift by every healthy source; this sweep pins it to the group.
+
+    Plan shape (same bounds as drift_sweep): bin edges once from REF's
+    GLOBAL distribution (shared vocabulary — a per-group edge set would
+    make groups incomparable and cost G jobs), then ONE
+    groupBy(group, bin).count() pass per table; the driver receives
+    ≤ n_groups × (n_bins+1) tiny rows per side (limit-guarded with the
+    same key-like refusal as the in-table sweep) and runs PSI/KS in
+    O(bins) per group. Groups present on ONE side only are loud
+    missing-data violations — a disappeared or brand-new source is
+    exactly the event this audit exists for ('' group keys are real:
+    NULL group values bin as "__null__").
+    """
+    spark: SparkSession = cand.sparkSession
+    if not rule.sweep_by:
+        raise ValueError(f"rule {rule.id!r}: sweep_by is required")
+    if rule.categorical and rule.method != "psi":
+        raise ValueError(f"rule {rule.id!r}: categorical drift requires psi")
+    if edges is None:
+        edges = compute_edges(ref, rule)
+    nb, bin_expr = _sweep_nb(rule, edges)
+
+    def _side_counts(df: DataFrame) -> dict[str, list[float]]:
+        # own projection rather than _sweep_base: the in-table sweep drops
+        # NULL groups (no leave-one-out identity for them), but here a NULL
+        # source key is a real auditable group ("__null__") — an
+        # unattributed backfill shifting its distribution must be visible
+        val = F.expr(rule.expr) if rule.expr else F.col(rule.column)
+        x = val.cast("string") if rule.categorical else val.cast("double")
+        gk = F.coalesce(F.col(rule.sweep_by).cast("string"), F.lit("__null__"))
+        base = df.select(x.alias("_x"), gk.alias("_g")).where(
+            F.col("_x").isNotNull()
+        )
+        rows = (
+            base.groupBy(F.col("_g"), bin_expr.alias("_bin"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .limit(SWEEP_MAX_HIST_ROWS + 1)
+            .collect()
+        )
+        if len(rows) > SWEEP_MAX_HIST_ROWS:
+            raise ValueError(
+                f"rule {rule.id!r}: sweep_by={rule.sweep_by!r} produced more "
+                f"than {SWEEP_MAX_HIST_ROWS} (group, bin) histogram rows — "
+                "the sweep column looks key-like (millions of groups); "
+                "sweep a partitioning column instead"
+            )
+        out: dict[str, list[float]] = {}
+        for r in rows:
+            out.setdefault(r["_g"], [0.0] * nb)[r["_bin"]] += r["n"]
+        return out
+
+    ref_h = _side_counts(ref)
+    cand_h = _side_counts(cand)
+
+    metric_rows, viol_rows = [], []
+    for g in sorted(set(ref_h) | set(cand_h)):
+        hr, hp = ref_h.get(g), cand_h.get(g)
+        if hr is None or hp is None:
+            side = "reference" if hr is None else "candidate"
+            viol_rows.append(
+                (
+                    run_id,
+                    None,
+                    rule.id,
+                    f"{rule.sweep_by}={g}",
+                    rule.expr or rule.column,
+                    f"group present in both tables",
+                    f"missing from {side}",
+                    KIND_DRIFT,
+                )
+            )
+            continue
+        p_tot, r_tot = sum(hp), sum(hr)
+        dp = [v / p_tot for v in hp]
+        dr_ = [v / r_tot for v in hr]
+        stat = psi(dp, dr_) if rule.method == "psi" else ks(dp, dr_)
+        metric_rows.append(
+            (run_id, None, rule.id, f"{rule.method}_stat", float(stat), g)
+        )
+        if stat > rule.threshold:
+            viol_rows.append(
+                (
+                    run_id,
+                    None,
+                    rule.id,
+                    f"{rule.sweep_by}={g}",
+                    rule.expr or rule.column,
+                    f"{rule.method} <= {rule.threshold}",
+                    f"{stat:.6f}",
+                    KIND_DRIFT,
+                )
+            )
+    metrics = spark.createDataFrame(
+        metric_rows,
+        "run_id string, partition_id int, rule_id string, metric string, "
+        "value double, value_str string",
+    )
+    violations = spark.createDataFrame(
+        viol_rows,
+        "run_id string, partition_id int, rule_id string, image_id string, "
+        "column string, expected string, actual string, kind string",
+    )
+    return violations, metrics, len(viol_rows)

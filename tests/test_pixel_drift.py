@@ -605,3 +605,63 @@ def test_ref_drift_through_validation_run(spark):
 
     with pytest.raises(SchemaError, match="reference table"):
         validate_table(spark, cand, spec, run_id="refdrift-missing")
+
+
+# --------------------------------------------- per-group two-table drift
+
+
+def test_sweep_vs_reference_pins_shift_to_the_group(spark):
+    """Candidate group 'b' is shifted vs the reference snapshot; every
+    other group is identical — only b flags, and the whole-table dilution
+    problem this exists to solve is demonstrated by construction."""
+    from mdvalidate_spark.operators.drift import drift_sweep_vs_reference
+    from mdvalidate_spark.spec import DriftRule
+
+    ref = spark.range(0, 3000, 1, 4).select(
+        F.element_at(
+            F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("src"),
+        (F.col("id") % 100).cast("double").alias("v"),
+    )
+    cand = ref.select(
+        "src",
+        F.when(F.col("src") == "b", F.col("v") + 500.0).otherwise(F.col("v")).alias("v"),
+    )
+    rule = DriftRule("g", column="v", sweep_by="src", method="psi",
+                     threshold=0.2, n_bins=8, exact_edges=True)
+    v, m, n = drift_sweep_vs_reference(ref, cand, rule, "t")
+    flagged = {r["image_id"] for r in v.collect()}
+    assert flagged == {"src=b"}
+    stats = {r["value_str"]: r["value"] for r in m.collect()}
+    assert stats["a"] == pytest.approx(0.0, abs=1e-9)
+    assert stats["c"] == pytest.approx(0.0, abs=1e-9)
+    assert stats["b"] > 0.2 and n == 1
+
+
+def test_sweep_vs_reference_missing_groups_and_null_key(spark):
+    """A group on one side only is a loud missing-data violation in either
+    direction; NULL group keys audit as a real '__null__' group."""
+    from mdvalidate_spark.operators.drift import drift_sweep_vs_reference
+    from mdvalidate_spark.spec import DriftRule
+
+    ref = spark.createDataFrame(
+        [("a", float(i % 10)) for i in range(50)]
+        + [("gone", float(i % 10)) for i in range(50)]
+        + [(None, float(i % 10)) for i in range(50)],
+        "src string, v double",
+    )
+    cand = spark.createDataFrame(
+        [("a", float(i % 10)) for i in range(50)]
+        + [("new", float(i % 10)) for i in range(50)]
+        + [(None, float((i % 10) + 50)) for i in range(50)],  # null group shifted
+        "src string, v double",
+    )
+    rule = DriftRule("g", column="v", sweep_by="src", method="psi",
+                     threshold=0.2, n_bins=4, exact_edges=True)
+    v, m, n = drift_sweep_vs_reference(ref, cand, rule, "t")
+    got = {(r["image_id"], r["actual"]) for r in v.collect()}
+    assert ("src=gone", "missing from candidate") in got
+    assert ("src=new", "missing from reference") in got
+    shifted = [r for r in v.collect() if r["image_id"] == "src=__null__"]
+    assert len(shifted) == 1 and float(shifted[0]["actual"]) > 0.2
