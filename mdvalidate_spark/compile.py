@@ -459,13 +459,24 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
                 "group_column/group_value"
             )
         if isinstance(r, DriftRule) and r.reference and (
-            r.group_column or r.group_value or r.sweep_by
+            r.group_column or r.group_value
         ):
-            # two-table drift is whole-table vs whole-table: a probe slice
-            # or a sweep would be silently ignored — reject at compile
+            # two-table drift compares against the reference table: a probe
+            # slice selection would be silently ignored — reject at compile.
+            # (reference + sweep_by IS meaningful: every group's candidate
+            # distribution vs the reference's SAME group — routed to
+            # drift_sweep_vs_reference in finalize.)
             raise SchemaError(
                 f"rule {r.id!r}: reference (two-table drift) is mutually "
-                "exclusive with group_column/group_value and sweep_by"
+                "exclusive with group_column/group_value"
+            )
+        if isinstance(r, DriftRule) and r.reference and r.incremental:
+            # incremental partials accumulate the CANDIDATE's histograms
+            # across batches; the reference side is a separate table read
+            # fresh each finalize — the combination has no partials story
+            raise SchemaError(
+                f"rule {r.id!r}: incremental drift does not combine with "
+                "reference (two-table) comparison"
             )
         if isinstance(r, DriftRule) and (
             not r.sweep_by and not r.group_column and not r.reference

@@ -668,7 +668,11 @@ def drift_sweep_vs_reference(
     if rule.categorical and rule.method != "psi":
         raise ValueError(f"rule {rule.id!r}: categorical drift requires psi")
     if edges is None:
-        edges = compute_edges(ref, rule)
+        # reference_edges (whole-frame, no group filter), NOT the in-table
+        # sweep's compute_edges: this audit includes NULL-key rows as the
+        # "__null__" group, so the shared bin vocabulary must see them too
+        # (also keeps the run lifecycle's prefetched edges identical)
+        edges = reference_edges(ref, rule)
     nb, bin_expr = _sweep_nb(rule, edges)
 
     def _side_counts(df: DataFrame) -> dict[str, list[float]]:

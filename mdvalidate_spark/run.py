@@ -789,14 +789,39 @@ class ValidationRun:
             def _run_drift_ref(ref_name, drs):
                 # two-table rules sharing one reference frame FUSE into a
                 # single drift_vs_reference call: one stacked histogram scan
-                # of each table covers all of them
-                em = {}
-                for dr in drs:
-                    e = self._drift_edges(dr)
-                    if e is not None:
-                        em[dr.id] = e
-                return drift_ops.drift_vs_reference(
-                    self.dims[ref_name], self.df, list(drs), self.run_id, em
+                # of each table covers all of them. sweep_by rules are the
+                # per-group variant (candidate group g vs reference group g)
+                # and each pay their own two groupBy(group, bin) passes.
+                whole = [dr for dr in drs if not dr.sweep_by]
+                sweeps = [dr for dr in drs if dr.sweep_by]
+                viols, mets, n = [], [], 0
+                if whole:
+                    em = {}
+                    for dr in whole:
+                        e = self._drift_edges(dr)
+                        if e is not None:
+                            em[dr.id] = e
+                    v, m, k = drift_ops.drift_vs_reference(
+                        self.dims[ref_name], self.df, list(whole),
+                        self.run_id, em,
+                    )
+                    viols.append(v)
+                    mets.append(m)
+                    n += k
+                for dr in sweeps:
+                    v, m, k = drift_ops.drift_sweep_vs_reference(
+                        self.dims[ref_name], self.df, dr, self.run_id,
+                        edges=self._drift_edges(dr),
+                    )
+                    viols.append(v)
+                    mets.append(m)
+                    n += k
+                from functools import reduce as _reduce
+
+                return (
+                    _reduce(lambda a, b: a.unionByName(b), viols),
+                    _reduce(lambda a, b: a.unionByName(b), mets),
+                    n,
                 )
 
             ref_groups: dict[str, list] = {}

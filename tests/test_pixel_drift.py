@@ -570,11 +570,9 @@ def test_ref_drift_compile_lints(spark):
             rules=(DriftRule("d", column="v", reference="y",
                              group_column="g", group_value="x"),),
         ))
-    with pytest.raises(SchemaError, match="mutually exclusive"):
-        compile_spec(Spec(
-            key_column="k",
-            rules=(DriftRule("d", column="v", reference="y", sweep_by="g"),),
-        ))
+    # reference + sweep_by is NOT rejected: it is the per-group two-table
+    # sweep (drift_sweep_vs_reference) — see
+    # test_sweep_vs_reference_through_spec_lifecycle
 
 
 def test_ref_drift_through_validation_run(spark):
@@ -665,3 +663,75 @@ def test_sweep_vs_reference_missing_groups_and_null_key(spark):
     assert ("src=new", "missing from reference") in got
     shifted = [r for r in v.collect() if r["image_id"] == "src=__null__"]
     assert len(shifted) == 1 and float(shifted[0]["actual"]) > 0.2
+
+
+def test_sweep_vs_reference_through_spec_lifecycle(spark, tmp_path):
+    """DriftRule(reference=..., sweep_by=...) routes to
+    drift_sweep_vs_reference at finalize: the shifted group flags as a
+    violation, per-group stats land in the metrics frame, exit code 1."""
+    from mdvalidate_spark import validate_table
+    from mdvalidate_spark.spec import DriftRule, Spec
+
+    ref = spark.range(0, 3000, 1, 4).select(
+        F.format_string("k%d", F.col("id")).alias("key"),
+        F.element_at(
+            F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("src"),
+        (F.col("id") % 100).cast("double").alias("v"),
+    )
+    cand = ref.select(
+        "key",
+        "src",
+        F.when(F.col("src") == "b", F.col("v") + 500.0)
+        .otherwise(F.col("v"))
+        .alias("v"),
+    )
+    spec = Spec(
+        rules=(
+            DriftRule("ref_sweep", column="v", sweep_by="src", method="psi",
+                      threshold=0.2, n_bins=8, exact_edges=True,
+                      reference="snap"),
+        ),
+        key_column="key",
+        n_partitions=4,
+    )
+    rep = validate_table(spark, cand, spec, dims={"snap": ref}, run_id="rs")
+    viols = rep.violations.collect()
+    assert {r["image_id"] for r in viols} == {"src=b"}
+    stats = {
+        r["value_str"]: r["value"]
+        for r in rep.metrics.where("metric = 'psi_stat'").collect()
+    }
+    assert set(stats) == {"a", "b", "c"} and stats["b"] > 0.2
+    assert rep.exit_code == 1
+
+
+def test_reference_sweep_compile_lints(spark):
+    from mdvalidate_spark.compile import compile_spec
+    from mdvalidate_spark.errors import SchemaError
+    from mdvalidate_spark.spec import DriftRule, Spec
+
+    cols = ["key", "src", "v"]
+    # reference + sweep_by now compiles
+    compile_spec(
+        Spec(rules=(DriftRule("ok", column="v", sweep_by="src",
+                              reference="snap"),), key_column="key"),
+        cols,
+    )
+    # reference + probe slice still rejected
+    with pytest.raises(SchemaError):
+        compile_spec(
+            Spec(rules=(DriftRule("bad", column="v", group_column="src",
+                                  group_value="a", reference="snap"),),
+                 key_column="key"),
+            cols,
+        )
+    # reference + incremental rejected (no partials story for the ref side)
+    with pytest.raises(SchemaError):
+        compile_spec(
+            Spec(rules=(DriftRule("bad2", column="v", sweep_by="src",
+                                  reference="snap", incremental=True),),
+                 key_column="key"),
+            cols,
+        )
