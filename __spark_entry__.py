@@ -1918,7 +1918,8 @@ centers AS (
   SELECT h.rule_id, h.metric, median(abs(h.value - c.center)) AS spread
   FROM hist h JOIN centers c USING (rule_id, metric) GROUP BY 1, 2
 )
-SELECT cur.rule_id, cur.metric, c.n_runs, c.center, s.spread,
+SELECT cur.rule_id, cur.metric, CAST(NULL AS VARCHAR) AS value_str,
+       c.n_runs, c.center, s.spread,
        cur.value AS current_value,
        greatest(0.0, 3.0 * 1.4826 * s.spread) AS bound,
        CASE WHEN 1.4826 * s.spread > 0

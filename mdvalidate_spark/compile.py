@@ -380,10 +380,14 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
                         "hex string"
                     )
             for k, code in r.fmt_codes:
-                if not (0 <= int(code) <= 255):
+                try:
+                    ok = 0 <= int(code) <= 255
+                except (TypeError, ValueError):
+                    ok = False
+                if not ok:
                     raise SchemaError(
                         f"rule {r.id!r}: fmt code for {k!r} must be one "
-                        f"byte (0-255), got {code}"
+                        f"byte (0-255), got {code!r}"
                     )
             for off in (r.code_offset, r.w_offset, r.h_offset):
                 if off < 0:

@@ -122,6 +122,9 @@ KIND_METRIC_BOUND = "metric_bound"  # aggregate metric outside its declared boun
 # binary payload header rules (HeaderRule — container integrity sans decode)
 KIND_TRUNCATED = "truncated"  # payload shorter than the declared header
 KIND_FMT_CODE = "fmt_code"  # header format-code byte contradicts the fmt column
+# volume anomaly (VolumeRule / volume_anomaly / stream_volume_anomaly)
+KIND_OVER_VOLUME = "over_volume"  # partition/batch row count above the envelope
+KIND_UNDER_VOLUME = "under_volume"  # partition/batch row count below the envelope
 
 ALL_KINDS = (
     KIND_LITERAL,
@@ -148,4 +151,6 @@ ALL_KINDS = (
     KIND_METRIC_BOUND,
     KIND_TRUNCATED,
     KIND_FMT_CODE,
+    KIND_OVER_VOLUME,
+    KIND_UNDER_VOLUME,
 )

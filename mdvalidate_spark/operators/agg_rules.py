@@ -1111,7 +1111,6 @@ def metric_bound_results(
     and a NULL group key is a real group (same contract as
     volume_anomaly's ``__null__``)."""
     from ..errors import KIND_METRIC_BOUND
-    from ..spec import parse_bound_metric
 
     spark = df.sparkSession
     empty_v = spark.createDataFrame(
@@ -1148,40 +1147,10 @@ def metric_bound_results(
             _reduce(lambda a, b: a.unionByName(b), g_mets, empty_m),
         )
 
-    aggs = []
-    for r in rules:
-        c = _scope_gate(F.col(r.column), r)
-        family, q = parse_bound_metric(r.metric)
-        kindq = r.metric if family == "simple" else "quantile"
-        if kindq == "count":
-            agg = _scoped_rows(r).cast("double")
-        elif kindq == "null_rate":
-            rows = _scoped_rows(r).cast("double")
-            nonnull = F.count(c).cast("double")
-            agg = F.when(rows > 0, (rows - nonnull) / rows).otherwise(
-                F.lit(0.0)
-            )
-        elif kindq == "distinct":
-            agg = (
-                F.count_distinct(c) if r.exact else F.approx_count_distinct(c)
-            ).cast("double")
-        elif kindq == "mean":
-            agg = F.avg(c.cast("double"))
-        elif kindq == "stddev":
-            agg = F.stddev_samp(c.cast("double"))
-        elif kindq in ("min", "max"):
-            fn = F.min if kindq == "min" else F.max
-            agg = fn(c.cast("double"))
-        else:  # quantile
-            agg = (
-                F.percentile(c, F.lit(q))
-                if r.exact
-                else F.approx_percentile(c, F.lit(q), F.lit(10000))
-            ).cast("double")
-        aggs.append(agg.alias(f"{r.id}__val"))
-
     # 1-row wide frame; persisted so metrics + violations share ONE scan
-    wide = df.agg(*aggs).persist()
+    wide = df.agg(
+        *[_metric_bound_agg(df, r).alias(f"{r.id}__val") for r in rules]
+    ).persist()
 
     def _fmt(x):
         return "None" if x is None else f"{float(x):g}"
@@ -1250,8 +1219,10 @@ def metric_bound_results(
 
 
 def _metric_bound_agg(df: DataFrame, r) -> "F.Column":
-    """The aggregate expression for one MetricBoundRule (shared by the
-    global 1-row pass and the grouped pass)."""
+    """The aggregate expression for one MetricBoundRule — the single
+    dispatch shared by the global 1-row pass (metric_bound_results) and
+    the grouped pass (_metric_bounds_grouped), so a metric-family change
+    can never drift between them."""
     from ..spec import parse_bound_metric
 
     c = _scope_gate(F.col(r.column), r)
@@ -1292,10 +1263,12 @@ def _metric_bounds_grouped(
         return "None" if x is None else f"{float(x):g}"
 
     key = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
-    wide = (
-        df.groupBy(key.alias("__group"))
-        .agg(*[_metric_bound_agg(df, r).alias(f"{r.id}__val") for r in rules])
-        .persist()
+    # deliberately NOT persisted: the violations and summary consumers each
+    # pay one map-side-combined aggregation scan instead of pinning an
+    # O(groups) frame (unbounded at 10^6 sources) in a cache nothing ever
+    # unpersists — two scans is the honest price, a slow cache leak is not
+    wide = df.groupBy(key.alias("__group")).agg(
+        *[_metric_bound_agg(df, r).alias(f"{r.id}__val") for r in rules]
     )
     vio_parts = []
     for r in rules:
@@ -1349,9 +1322,47 @@ def _metric_bounds_grouped(
         fail = F.coalesce(out_of_bounds, F.lit(True))
         sums += [
             F.count(F.lit(1)).cast("double").alias(f"{r.id}__total"),
-            F.sum(fail.cast("int")).cast("double").alias(f"{r.id}__bad"),
+            # coalesce: sum over ZERO groups is NULL — the summary metric
+            # must read 0, and the emptiness itself violates loudly below
+            F.coalesce(F.sum(fail.cast("int")).cast("double"), F.lit(0.0)).alias(
+                f"{r.id}__bad"
+            ),
         ]
-    summary = wide.agg(*sums)
+    # 1-row frame, persisted like the global path's wide row (negligible)
+    # so the summary metrics and the emptiness check share one scan
+    summary = wide.agg(*sums).persist()
+    # empty-table contract: zero groups means the assertion was made of
+    # nothing — same loudness as the ungrouped path's NULL-metric 'no
+    # value' violation, never a silent green run on total data loss
+    empty_viols = summary.where(
+        F.col(f"{rules[0].id}__total") == 0
+    ).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r.id).alias("rule_id"),
+                        F.lit(r.column).alias("column"),
+                        F.lit(
+                            f"{r.metric} in [{_fmt(r.min)}, {_fmt(r.max)}] "
+                            f"per {group_col}"
+                        ).alias("expected"),
+                    )
+                    for r in rules
+                ]
+            )
+        ).alias("v")
+    ).select(
+        F.lit(run_id).alias("run_id"),
+        F.lit(None).cast("int").alias("partition_id"),
+        F.col("v.rule_id"),
+        F.lit("__no_groups__").alias("image_id"),
+        F.col("v.column"),
+        F.col("v.expected"),
+        F.lit("0 groups").alias("actual"),
+        F.lit(KIND_METRIC_BOUND).alias("kind"),
+    )
+    violations = violations.unionByName(empty_viols)
     met_parts = []
     for r in rules:
         met_parts += [

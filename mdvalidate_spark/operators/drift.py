@@ -708,6 +708,23 @@ def drift_sweep_vs_reference(
     cand_h = _side_counts(cand)
 
     metric_rows, viol_rows = [], []
+    if not ref_h and not cand_h:
+        # BOTH sides empty (zero rows, or a type change NULLing the drifting
+        # quantity everywhere): the group loop would never run — emit the
+        # module's loud missing-data violation instead of a silent pass
+        # (same contract as drift_vs_reference's empty-side rows)
+        viol_rows.append(
+            (
+                run_id,
+                None,
+                rule.id,
+                "both_sides",
+                rule.expr or rule.column,
+                "non-empty distributions",
+                "0 rows on both sides",
+                KIND_DRIFT,
+            )
+        )
     for g in sorted(set(ref_h) | set(cand_h)):
         hr, hp = ref_h.get(g), cand_h.get(g)
         if hr is None or hp is None:

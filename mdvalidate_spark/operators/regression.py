@@ -195,6 +195,13 @@ def anomaly_metric_history(
     rows on both sides. String metrics (value NULL) have no ordering and are
     ``compare_metric_runs``'s job (kind=changed).
 
+    The series identity is (rule_id, metric, value_str): per-GROUP metric
+    rows (a sweep rule's psi_stat per source, grouped bounds' summaries)
+    carry their group key in ``value_str``, and each group's series gets
+    its OWN envelope — pooling them would judge a quiet source against
+    every source's spread at once and lose the group attribution. Frames
+    without a ``value_str`` column behave as single-series (NULL key).
+
     (rule_id, metric) groups with fewer than ``min_runs`` history runs are
     not judged; with ``flag_missing_history=True`` they emit a loud
     ``no_history`` row instead of a silent pass (a brand-new metric
@@ -212,26 +219,34 @@ def anomaly_metric_history(
             df = df.where(F.col("partition_id").isNull())
         if metrics:
             df = df.where(F.col("metric").isin(list(metrics)))
-        cols = ["rule_id", "metric", "value"]
+        # NULL-safe series key ("" sentinel) so the group-keyed metric rows
+        # join correctly; restored to a real NULL on output
+        series = (
+            F.coalesce(F.col("value_str").cast("string"), F.lit(""))
+            if "value_str" in df.columns
+            else F.lit("")
+        )
+        cols = ["rule_id", "metric", series.alias("series"), "value"]
         if keep_run:
-            cols.append("run_id")
+            cols.append(F.col("run_id"))
         return df.select(*cols).where(F.col("value").isNotNull())
 
     hist = _side(history, keep_run=True)
     cur = _side(current, keep_run=False)
+    key = ["rule_id", "metric", "series"]
 
-    centers = hist.groupBy("rule_id", "metric").agg(
+    centers = hist.groupBy(*key).agg(
         F.expr("percentile(value, 0.5)").alias("center"),
         F.count_distinct("run_id").alias("n_runs"),
     )
     spreads = (
-        hist.join(centers, ["rule_id", "metric"])
-        .groupBy("rule_id", "metric")
+        hist.join(centers, key)
+        .groupBy(*key)
         .agg(F.expr("percentile(abs(value - center), 0.5)").alias("spread"))
     )
-    stats = centers.join(spreads, ["rule_id", "metric"])
+    stats = centers.join(spreads, key)
 
-    j = cur.join(stats, ["rule_id", "metric"], "left")
+    j = cur.join(stats, key, "left")
     dev = F.abs(F.col("value") - F.col("center"))
     sigma = F.lit(1.4826) * F.col("spread")
     bound = F.greatest(F.lit(float(abs_tol)), F.lit(float(k)) * sigma)
@@ -247,6 +262,7 @@ def anomaly_metric_history(
         .select(
             "rule_id",
             "metric",
+            F.nullif(F.col("series"), F.lit("")).alias("value_str"),
             F.coalesce(F.col("n_runs"), F.lit(0)).alias("n_runs"),
             "center",
             "spread",

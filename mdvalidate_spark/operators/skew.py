@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..errors import KIND_OVER_VOLUME, KIND_UNDER_VOLUME
+
 
 def top_keys(df: DataFrame, column: str, k: int = 10) -> DataFrame:
     """Exact k most frequent values of ``column`` (count desc, value asc —
@@ -148,8 +150,8 @@ def volume_anomaly_from_counts(
     kind = F.when(
         F.col("n_partitions") < F.lit(int(min_partitions)), F.lit(None)
     ).when(dev > bound, F.when(
-        F.col("n_rows") > F.col("center"), F.lit("over_volume")
-    ).otherwise(F.lit("under_volume")))
+        F.col("n_rows") > F.col("center"), F.lit(KIND_OVER_VOLUME)
+    ).otherwise(F.lit(KIND_UNDER_VOLUME)))
     return (
         full.withColumn("kind", kind)
         .where(F.col("kind").isNotNull())

@@ -39,6 +39,7 @@ from .compile import ConstraintProgram, compile_spec
 from .operators import agg_rules, drift as drift_ops, pixel as pixel_ops
 from .operators.ref_rules import ref_violations
 from .operators.row_rules import row_violations, with_partition_id
+from .errors import KIND_OVER_VOLUME, KIND_UNDER_VOLUME
 from .plans.manifest import FAILED, FINALIZED, Manifest, VALIDATED
 from .spec import Spec
 
@@ -715,8 +716,8 @@ class ValidationRun:
                                     f"rows in [{center - bound:.1f}, "
                                     f"{center + bound:.1f}]",
                                     str(int(n)),
-                                    "over_volume" if n > center
-                                    else "under_volume",
+                                    KIND_OVER_VOLUME if n > center
+                                    else KIND_UNDER_VOLUME,
                                 )
                             )
                 if rows_out:

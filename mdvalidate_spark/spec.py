@@ -911,7 +911,10 @@ class DriftRule(Rule):
     # sample): the rule then compares the CANDIDATE input's whole-table
     # distribution against the reference table's (two-table dataset-shift
     # detection) instead of a probe slice against the rest. Mutually
-    # exclusive with group_column/group_value and sweep_by.
+    # exclusive with group_column/group_value; COMBINES with sweep_by —
+    # reference + sweep_by compares every group's candidate distribution
+    # against the reference's SAME group (drift_sweep_vs_reference: the
+    # per-source shift audit), with missing groups loud on both sides.
     reference: str | None = None
     # incremental=True (sweep rules only, compile-checked) switches the
     # sweep to MERGEABLE HISTOGRAM PARTIALS: bin edges FREEZE on the first

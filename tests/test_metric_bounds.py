@@ -309,5 +309,27 @@ def test_grouped_bounds_single_exchange_plan(spark, df):
         MetricBoundRule("g2", column="v", metric="count", min=1.0, group_by="cat"),
     ))
     plan = v._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange") <= 2  # partial+final agg pair, fused rules
+    # the violations frame is a union of two branches: the per-group agg
+    # (one partial+final Exchange pair, all rules fused) plus the 1-row
+    # emptiness-check summary (its own agg + single-partition Exchange)
+    assert plan.count("Exchange") <= 4
     assert "PythonUDF" not in plan
+
+
+def test_grouped_bounds_empty_table_is_loud(spark):
+    """Zero groups (truncated/empty table) must violate per rule — the
+    grouped analog of the ungrouped NULL-metric 'no value' contract — and
+    groups_violated must read 0.0, not NULL."""
+    d = spark.createDataFrame([], "cat string, v double")
+    v, m = _run(d, (
+        MetricBoundRule("g1", column="v", metric="mean", max=10.0, group_by="cat"),
+        MetricBoundRule("g2", column="v", metric="count", min=1.0, group_by="cat"),
+    ))
+    rows = {(r["rule_id"], r["image_id"], r["actual"]) for r in v.collect()}
+    assert rows == {
+        ("g1", "__no_groups__", "0 groups"),
+        ("g2", "__no_groups__", "0 groups"),
+    }
+    mets = {(r["rule_id"], r["metric"]): r["value"] for r in m.collect()}
+    assert mets[("g1", "groups_total")] == 0.0
+    assert mets[("g1", "groups_violated")] == 0.0

@@ -251,3 +251,30 @@ def test_anomaly_end_to_end_persisted_run_history(spark, tmp_path):
     assert out["count"]["current_value"] == 200.0
     assert out["count"]["n_runs"] == 4
     assert "min" not in out and "max" not in out
+
+
+def test_anomaly_per_series_envelopes_not_pooled(spark):
+    """Group-keyed metric rows (value_str = group) are separate SERIES: a
+    per-source psi_stat history must give each source its own envelope —
+    pooling across sources would flag a quiet-but-offset source and miss a
+    genuinely shifted one hiding inside the pooled spread."""
+    from mdvalidate_spark.operators.regression import anomaly_metric_history
+
+    rows = []
+    for run in range(4):
+        # source A lives around 10 (tight), source B around 0.1 (tight)
+        rows.append(("sweep", "psi_stat", 10.0 + 0.01 * run, "A", f"r{run}"))
+        rows.append(("sweep", "psi_stat", 0.10 + 0.001 * run, "B", f"r{run}"))
+    hist = spark.createDataFrame(rows, HDDL)
+    cur = spark.createDataFrame(
+        [
+            ("sweep", "psi_stat", 10.02, "A", None),  # normal for A
+            ("sweep", "psi_stat", 0.50, "B", None),   # wild for B, but well
+                                                       # inside A's pooled band
+        ],
+        HDDL,
+    )
+    out = anomaly_metric_history(hist, cur, k=3.0).collect()
+    assert len(out) == 1
+    assert out[0]["value_str"] == "B" and out[0]["kind"] == "anomalous"
+    assert out[0]["n_runs"] == 4
