@@ -278,6 +278,28 @@ def q_suggest_orders(spark, sf_dir):
     return suggestion_rows(spark, spec)
 
 
+def q_suggest_gates_documents(spark, sf_dir):
+    """Metric-bound gate suggestion: profile a projection of documents with
+    synthesized NULLs (lang='de' nulled — the raw tables carry none) and
+    return only the drafted GATES: a null-rate ratchet where nulls were
+    seen, distinct-cardinality envelopes for string columns too wide for a
+    domain (doc_id, source), and the table volume floor. One aggregation
+    pass; bounds rounded the permissive way so the draft validates clean."""
+    from mdvalidate_spark.operators.suggest import suggest_spec, suggestion_rows
+
+    docs = _load(spark, sf_dir, "documents")
+    src = docs.select(
+        "doc_id",
+        F.when(F.col("lang") == "de", F.lit(None))
+        .otherwise(F.col("lang"))
+        .alias("lang_opt"),
+        "source",
+        "n_chars",
+    )
+    spec = suggest_spec(src, "doc_id", exact=True)
+    return suggestion_rows(spark, spec).where(F.col("kind").startswith("bound_"))
+
+
 def q_vector_embeddings(spark, sf_dir):
     """VectorRule over an array<float> embedding column: dimension, finite
     elements, L2-norm bounds — one codegen'd higher-order-function
@@ -1656,6 +1678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_lineitem": q_fd_lineitem,
         "freshness_events": q_freshness_events,
         "suggest_orders": q_suggest_orders,
+        "suggest_gates_documents": q_suggest_gates_documents,
         "vector_embeddings": q_vector_embeddings,
         "header_documents": q_header_documents,
         "metric_anomaly_orders": q_metric_anomaly_orders,
@@ -1855,6 +1878,54 @@ SELECT c AS column_name, k AS kind, d AS detail FROM (
     '[' || CAST(min(o_totalprice) AS VARCHAR) || ', '
         || CAST(max(o_totalprice) AS VARCHAR) || ']'
   FROM orders
+  UNION ALL
+  SELECT 'o_orderkey', 'bound_count',
+    'count >= ' || CAST(CAST(floor((SELECT n FROM n) * 0.9) AS BIGINT)
+                        AS VARCHAR)
+)
+"""
+
+# mirrors suggest_spec(exact=True, gates) on the nulled-lang documents
+# projection, keeping only the gate rows (kind LIKE 'bound_%'): null-rate
+# ratchet = ceil(rate*1.25*1e6)/1e6 capped at 1.0; distinct envelope =
+# [floor(nd*0.9), ceil(nd*1.1)] for string cardinality > 16; volume floor
+# = floor(rows*0.9). Same IEEE double arithmetic order as suggest.py.
+_SUGGEST_GATES_DOCS_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'de' THEN NULL ELSE lang END AS lang_opt,
+         source, n_chars
+  FROM documents
+), prof AS (
+  SELECT count(*) AS rows_,
+         count(lang_opt) AS nn_lang,
+         count(DISTINCT lang_opt) AS nd_lang,
+         count(DISTINCT source) AS nd_src
+  FROM s
+)
+SELECT c AS column_name, k AS kind, d AS detail FROM (
+  SELECT 'doc_id' AS c, 'bound_count' AS k,
+    'count >= ' || CAST(CAST(floor(rows_ * 0.9) AS BIGINT) AS VARCHAR) AS d
+  FROM prof WHERE rows_ > 0
+  UNION ALL
+  SELECT 'source', 'bound_distinct',
+    'distinct in ['
+      || CAST(CAST(floor(nd_src * 0.9) AS BIGINT) AS VARCHAR) || ', '
+      || CAST(CAST(ceil(nd_src * 1.1) AS BIGINT) AS VARCHAR) || ']'
+  FROM prof WHERE nd_src > 16
+  UNION ALL
+  SELECT 'lang_opt', 'bound_distinct',
+    'distinct in ['
+      || CAST(CAST(floor(nd_lang * 0.9) AS BIGINT) AS VARCHAR) || ', '
+      || CAST(CAST(ceil(nd_lang * 1.1) AS BIGINT) AS VARCHAR) || ']'
+  FROM prof WHERE nd_lang > 16
+  UNION ALL
+  SELECT 'lang_opt', 'bound_null_rate',
+    'null_rate <= ' || printf('%.6f',
+      least(1.0,
+            ceil((CAST(rows_ - nn_lang AS DOUBLE) / rows_)
+                 * 1.25 * 1000000.0) / 1000000.0))
+  FROM prof WHERE nn_lang < rows_ AND rows_ > 0
 )
 """
 
@@ -2453,6 +2524,7 @@ WHERE o_orderdate < TIMESTAMP '1998-01-01'
         "fd_lineitem": _FD_LINEITEM_SQL,
         "freshness_events": _FRESHNESS_EVENTS_SQL,
         "suggest_orders": _SUGGEST_ORDERS_SQL,
+        "suggest_gates_documents": _SUGGEST_GATES_DOCS_SQL,
         "vector_embeddings": _VECTOR_EMBEDDINGS_SQL,
         "header_documents": _HEADER_DOCUMENTS_SQL,
         "metric_anomaly_orders": _METRIC_ANOMALY_ORDERS_SQL,

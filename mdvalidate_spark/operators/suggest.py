@@ -22,9 +22,29 @@ for small-scale oracle parity. Uniqueness is suggested only when the
 distinct count equals the row count under the chosen mode — with the
 sketch, ``unique_margin`` loosens the match to tolerate HLL error (0.0
 means exact equality, the right setting only when exact=True).
+
+Beyond the exact invariants, the draft also proposes METRIC-BOUND GATES
+(``gates=True``) — envelopes with headroom rather than equalities, the
+aggregate-level ratchet a 10^12-row table actually needs because exact
+invariants churn on every append:
+
+* ``null_rate(c) <= observed*(1+null_rate_headroom)`` for every column
+  where nulls WERE seen (columns with none get NotNullRule instead);
+* ``distinct(c) in [floor(nd*(1-m)), ceil(nd*(1+m))]`` for string columns
+  too wide for a DomainRule — catches both cardinality explosion (an id
+  leaking into a category column) and collapse (an ETL bug constant-
+  folding a column). With ``exact=False`` the margin must absorb HLL
+  error too (~1.6% rsd), so keep ``distinct_margin`` well above 0.05;
+* ``count >= floor(rows*(1-volume_margin))`` on the table — a volume
+  floor (growth is fine; silent truncation is the failure mode).
+
+All bounds are computed so the draft still VALIDATES CLEAN on the
+profiled table (ceil/floor always rounds the permissive way).
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -43,6 +63,7 @@ from pyspark.sql.types import (
 
 from ..spec import (
     DomainRule,
+    MetricBoundRule,
     NotNullRule,
     RangeRule,
     Rule,
@@ -64,6 +85,10 @@ def suggest_spec(
     exact: bool = False,
     unique_margin: float = 0.0,
     n_partitions: int = 8,
+    gates: bool = True,
+    null_rate_headroom: float = 0.25,
+    distinct_margin: float = 0.10,
+    volume_margin: float = 0.10,
 ) -> Spec:
     """Profile ``df`` and return a draft Spec (see module docstring).
 
@@ -116,6 +141,39 @@ def suggest_spec(
             )
         if n_rows > 0 and nn == n_rows:
             rules.append(NotNullRule(f"suggest_not_null_{c}", column=c))
+        elif gates and n_rows > 0 and nn < n_rows:
+            # nulls were SEEN: not_null would fail, so ratchet the rate
+            # instead — permissive rounding keeps the draft validating clean
+            rate = (n_rows - nn) / n_rows
+            bound = min(
+                1.0, math.ceil(rate * (1.0 + null_rate_headroom) * 1e6) / 1e6
+            )
+            rules.append(
+                MetricBoundRule(
+                    f"suggest_null_rate_{c}",
+                    column=c,
+                    metric="null_rate",
+                    max=bound,
+                    exact=exact,
+                )
+            )
+        if (
+            gates
+            and isinstance(f.dataType, StringType)
+            and c not in domains
+            and nd > domain_max_distinct
+        ):
+            # too wide for a domain: envelope the cardinality instead
+            rules.append(
+                MetricBoundRule(
+                    f"suggest_distinct_{c}",
+                    column=c,
+                    metric="distinct",
+                    min=float(math.floor(nd * (1.0 - distinct_margin))),
+                    max=float(math.ceil(nd * (1.0 + distinct_margin))),
+                    exact=exact,
+                )
+            )
         if isinstance(f.dataType, _NUMERIC) and nn > 0:
             rules.append(
                 RangeRule(
@@ -127,6 +185,17 @@ def suggest_spec(
             )
         if n_rows > 0 and nn == n_rows and nd >= n_rows * (1.0 - unique_margin):
             rules.append(UniqueRule(f"suggest_unique_{c}", columns=(c,)))
+    if gates and n_rows > 0:
+        # volume floor: growth is fine, silent truncation is the failure mode
+        rules.append(
+            MetricBoundRule(
+                "suggest_volume",
+                column=key_column,
+                metric="count",
+                min=float(math.floor(n_rows * (1.0 - volume_margin))),
+                exact=exact,
+            )
+        )
     rules.append(
         SchemaRule(
             "suggest_schema",
@@ -153,6 +222,23 @@ def suggestion_rows(spark, spec: Spec) -> DataFrame:
             rows.append((r.column, "range", f"[{r.min}, {r.max}]"))
         elif isinstance(r, UniqueRule):
             rows.append((r.columns[0], "unique", ""))
+        elif isinstance(r, MetricBoundRule):
+            # fixed-width numeric rendering so an external engine (the
+            # DuckDB oracle) can reproduce the string byte-for-byte
+            if r.metric == "null_rate":
+                rows.append(
+                    (r.column, "bound_null_rate", f"null_rate <= {r.max:.6f}")
+                )
+            elif r.metric == "distinct":
+                rows.append(
+                    (
+                        r.column,
+                        "bound_distinct",
+                        f"distinct in [{int(r.min)}, {int(r.max)}]",
+                    )
+                )
+            elif r.metric == "count":
+                rows.append((r.column, "bound_count", f"count >= {int(r.min)}"))
     return spark.createDataFrame(
         rows, "column_name string, kind string, detail string"
     )

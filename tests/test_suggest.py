@@ -8,6 +8,7 @@ from mdvalidate_spark.operators.suggest import suggest_spec, suggestion_rows
 from mdvalidate_spark.run import ValidationRun
 from mdvalidate_spark.spec import (
     DomainRule,
+    MetricBoundRule,
     NotNullRule,
     RangeRule,
     SchemaRule,
@@ -84,4 +85,48 @@ def test_suggestion_rows_shape(spark, frame):
     rows = suggestion_rows(spark, spec)
     assert rows.columns == ["column_name", "kind", "detail"]
     kinds = {r["kind"] for r in rows.collect()}
-    assert kinds == {"domain", "not_null", "range", "unique"}
+    assert kinds == {
+        "domain",
+        "not_null",
+        "range",
+        "unique",
+        "bound_count",
+        "bound_null_rate",
+    }
+
+
+def test_gate_suggestions(spark, frame):
+    spec = suggest_spec(frame, "id", exact=True)
+    by_id = {r.id: r for r in spec.rules}
+    # opt has 1 NULL of 3: no not_null, but a null-rate ratchet with
+    # permissive headroom — ceil((1/3)*1.25*1e6)/1e6
+    gate = by_id["suggest_null_rate_opt"]
+    assert isinstance(gate, MetricBoundRule) and gate.metric == "null_rate"
+    assert gate.max == pytest.approx(0.416667, abs=1e-9)
+    # volume floor on the table
+    vol = by_id["suggest_volume"]
+    assert vol.metric == "count" and vol.min == 2.0 and vol.column == "id"
+    # no string column wider than the domain cap -> no distinct envelope
+    assert not any(r.id.startswith("suggest_distinct_") for r in spec.rules)
+
+
+def test_gate_suggestions_can_be_disabled(spark, frame):
+    spec = suggest_spec(frame, "id", exact=True, gates=False)
+    assert not any(isinstance(r, MetricBoundRule) for r in spec.rules)
+
+
+def test_distinct_envelope_for_wide_string_columns(spark):
+    df = spark.createDataFrame(
+        [(f"k{i}", f"tok{i % 40}") for i in range(200)],
+        "id string, token string",
+    )
+    spec = suggest_spec(df, "id", exact=True, domain_max_distinct=16)
+    by_id = {r.id: r for r in spec.rules}
+    env = by_id["suggest_distinct_token"]
+    assert isinstance(env, MetricBoundRule) and env.metric == "distinct"
+    assert env.min == 36.0 and env.max == 44.0  # floor(40*.9), ceil(40*1.1)
+    assert "suggest_domain_token" not in by_id
+    # and the drafted spec still validates clean on the profiled frame
+    run = ValidationRun(spark, spec, df)
+    run.validate_pending()
+    assert run.finalize().exit_code == 0
