@@ -1882,6 +1882,24 @@ SELECT c AS column_name, k AS kind, d AS detail FROM (
   SELECT 'o_orderkey', 'bound_count',
     'count >= ' || CAST(CAST(floor((SELECT n FROM n) * 0.9) AS BIGINT)
                         AS VARCHAR)
+  UNION ALL
+  SELECT 'o_custkey', 'bound_p99',
+    'p99 <= ' || printf('%.6f', ceil((q + abs(q) * 0.1) * 1000000.0)
+                                / 1000000.0)
+  FROM (SELECT CAST(quantile_cont(o_custkey, 0.99) AS DOUBLE) AS q
+        FROM orders)
+  UNION ALL
+  SELECT 'o_orderkey', 'bound_p99',
+    'p99 <= ' || printf('%.6f', ceil((q + abs(q) * 0.1) * 1000000.0)
+                                / 1000000.0)
+  FROM (SELECT CAST(quantile_cont(o_orderkey, 0.99) AS DOUBLE) AS q
+        FROM orders)
+  UNION ALL
+  SELECT 'o_totalprice', 'bound_p99',
+    'p99 <= ' || printf('%.6f', ceil((q + abs(q) * 0.1) * 1000000.0)
+                                / 1000000.0)
+  FROM (SELECT CAST(quantile_cont(o_totalprice, 0.99) AS DOUBLE) AS q
+        FROM orders)
 )
 """
 
@@ -1926,6 +1944,16 @@ SELECT c AS column_name, k AS kind, d AS detail FROM (
             ceil((CAST(rows_ - nn_lang AS DOUBLE) / rows_)
                  * 1.25 * 1000000.0) / 1000000.0))
   FROM prof WHERE nn_lang < rows_ AND rows_ > 0
+  UNION ALL
+  SELECT 'n_chars', 'bound_p99',
+    'p99 <= ' || printf('%.6f', ceil((q + abs(q) * 0.1) * 1000000.0)
+                                / 1000000.0)
+  FROM (SELECT CAST(quantile_cont(n_chars, 0.99) AS DOUBLE) AS q FROM s)
+  UNION ALL
+  SELECT 'doc_id', 'bound_p99',
+    'p99 <= ' || printf('%.6f', ceil((q + abs(q) * 0.1) * 1000000.0)
+                                / 1000000.0)
+  FROM (SELECT CAST(quantile_cont(doc_id, 0.99) AS DOUBLE) AS q FROM s)
 )
 """
 

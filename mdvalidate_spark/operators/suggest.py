@@ -36,7 +36,12 @@ invariants churn on every append:
   folding a column). With ``exact=False`` the margin must absorb HLL
   error too (~1.6% rsd), so keep ``distinct_margin`` well above 0.05;
 * ``count >= floor(rows*(1-volume_margin))`` on the table — a volume
-  floor (growth is fine; silent truncation is the failure mode).
+  floor (growth is fine; silent truncation is the failure mode);
+* ``p99(c) <= p99 + |p99|*quantile_headroom`` for numeric columns — the
+  distribution-tail gate ("p99(w) <= 2048"): a Range envelope moves on a
+  single outlier, the p99 gate only on a tail shift. Computed in the SAME
+  single profiling pass (exact percentile, or the mergeable
+  approx_percentile sketch when ``exact=False``).
 
 All bounds are computed so the draft still VALIDATES CLEAN on the
 profiled table (ceil/floor always rounds the permissive way).
@@ -89,6 +94,7 @@ def suggest_spec(
     null_rate_headroom: float = 0.25,
     distinct_margin: float = 0.10,
     volume_margin: float = 0.10,
+    quantile_headroom: float = 0.10,
 ) -> Spec:
     """Profile ``df`` and return a draft Spec (see module docstring).
 
@@ -106,6 +112,13 @@ def suggest_spec(
         if isinstance(f.dataType, _NUMERIC):
             aggs.append(F.min(col).alias(f"mn__{c}"))
             aggs.append(F.max(col).alias(f"mx__{c}"))
+            if gates:
+                q = (
+                    F.percentile(col, F.lit(0.99))
+                    if exact
+                    else F.approx_percentile(col, F.lit(0.99), F.lit(10000))
+                )
+                aggs.append(q.cast("double").alias(f"q99__{c}"))
     prof = df.agg(*aggs).collect()[0]  # ONE row — bounded driver transfer
     n_rows = prof["__n"]
 
@@ -183,6 +196,20 @@ def suggest_spec(
                     max=float(prof[f"mx__{c}"]),
                 )
             )
+            if gates:
+                p99 = float(prof[f"q99__{c}"])
+                bound = (
+                    math.ceil((p99 + abs(p99) * quantile_headroom) * 1e6) / 1e6
+                )
+                rules.append(
+                    MetricBoundRule(
+                        f"suggest_p99_{c}",
+                        column=c,
+                        metric="p99",
+                        max=bound,
+                        exact=exact,
+                    )
+                )
         if n_rows > 0 and nn == n_rows and nd >= n_rows * (1.0 - unique_margin):
             rules.append(UniqueRule(f"suggest_unique_{c}", columns=(c,)))
     if gates and n_rows > 0:
@@ -239,6 +266,8 @@ def suggestion_rows(spark, spec: Spec) -> DataFrame:
                 )
             elif r.metric == "count":
                 rows.append((r.column, "bound_count", f"count >= {int(r.min)}"))
+            elif r.metric == "p99":
+                rows.append((r.column, "bound_p99", f"p99 <= {r.max:.6f}"))
     return spark.createDataFrame(
         rows, "column_name string, kind string, detail string"
     )

@@ -92,6 +92,7 @@ def test_suggestion_rows_shape(spark, frame):
         "unique",
         "bound_count",
         "bound_null_rate",
+        "bound_p99",
     }
 
 
@@ -108,6 +109,10 @@ def test_gate_suggestions(spark, frame):
     assert vol.metric == "count" and vol.min == 2.0 and vol.column == "id"
     # no string column wider than the domain cap -> no distinct envelope
     assert not any(r.id.startswith("suggest_distinct_") for r in spec.rules)
+    # numeric columns get a p99 tail gate with relative headroom:
+    # p99(n) over {10,20,30} = 29.8 -> 29.8 + 2.98 = 32.78
+    tail = by_id["suggest_p99_n"]
+    assert tail.metric == "p99" and tail.max == pytest.approx(32.78, abs=1e-6)
 
 
 def test_gate_suggestions_can_be_disabled(spark, frame):
