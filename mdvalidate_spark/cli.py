@@ -14,6 +14,12 @@ Local sanity run:
 
     python -m mdvalidate_spark.cli --spec spec.json --table /data/images
 
+Suggestion mode (inverse direction — draft the first spec FROM the data,
+then edit it down; operators/suggest.py):
+
+    python -m mdvalidate_spark.cli --suggest-key image_id \\
+        --spec drafted.json --table /data/images
+
 Exit code 0 = all rules pass, 1 = violations (main.rs:86-90); compile errors
 print a typed SchemaError and exit 2.
 """
@@ -69,11 +75,28 @@ def parse_args(argv=None):
         "Wilson 95%% bounds to metrics (run.smoke_validate)",
     )
     p.add_argument("--master", default=None, help="override master (default: env/local)")
+    p.add_argument(
+        "--suggest-key",
+        default=None,
+        metavar="COLUMN",
+        help="suggestion mode: profile --table instead of validating it and "
+        "write the drafted spec (NotNull/Domain/Range/Unique + metric-bound "
+        "gates; operators/suggest.py) to the --spec path, keyed on COLUMN. "
+        "The draft validates clean on the profiled table by construction.",
+    )
+    p.add_argument(
+        "--suggest-exact",
+        action="store_true",
+        help="with --suggest-key: exact distinct/quantile profiling instead "
+        "of sketches (small tables / oracle parity only)",
+    )
     return p.parse_args(argv)
 
 
 def main(argv=None) -> int:
     args = parse_args(argv)
+    if args.suggest_key is not None:
+        return _suggest_main(args)
     try:
         spec = load_spec(args.spec)
         # lint now, before any Spark work (column check re-runs with the real
@@ -172,6 +195,39 @@ def main(argv=None) -> int:
     finally:
         # only tear down a session this invocation created (embedders — tests,
         # notebooks — keep theirs)
+        if not pre_existing:
+            spark.stop()
+
+
+def _suggest_main(args) -> int:
+    """--suggest-key mode: profile the table, draft a Spec, write it to the
+    --spec path (the file a later validation invocation reads). Prints one
+    line per drafted rule; exit 0 on success, 2 on a profiling/schema error
+    (e.g. the key column does not exist)."""
+    from pyspark.sql import SparkSession
+
+    pre_existing = SparkSession.getActiveSession() is not None
+    spark = get_spark(app_name="mdvalidate-spark", master=args.master)
+    try:
+        from .operators.suggest import suggest_spec
+        from .sources.table_io import read_table
+        from .spec_io import save_spec
+
+        df = read_table(spark, args.table)
+        if args.suggest_key not in df.columns:
+            print(
+                f"schema error: suggest key column {args.suggest_key!r} not in "
+                f"table columns {df.columns}",
+                file=sys.stderr,
+            )
+            return 2
+        spec = suggest_spec(df, args.suggest_key, exact=args.suggest_exact)
+        save_spec(spec, args.spec)
+        print(f"suggested {len(spec.rules)} rule(s) -> {args.spec}")
+        for r in spec.rules:
+            print(f"  {r.id} ({r.kind})")
+        return 0
+    finally:
         if not pre_existing:
             spark.stop()
 

@@ -54,6 +54,44 @@ def test_cli_end_to_end(spark, tmp_path):
     assert man.count() == 8
 
 
+def test_cli_suggest_mode_roundtrip(spark, tmp_path, capsys):
+    """--suggest-key profiles the table and writes a spec JSON that a
+    subsequent validate invocation runs CLEAN on the same table (the full
+    profile -> draft -> validate loop through the CLI)."""
+    from mdvalidate_spark import cli
+
+    table = str(tmp_path / "imgs")
+    synthetic_images(spark, 300, with_bytes=False).write.parquet(table)
+    specp = str(tmp_path / "suggested.json")
+
+    code = cli.main(
+        ["--spec", specp, "--table", table,
+         "--suggest-key", "image_id", "--suggest-exact",
+         "--master", "local[4]"]
+    )
+    assert code == 0
+    out = capsys.readouterr().out
+    assert "suggested" in out and "suggest_volume (metric_bound)" in out
+    drafted = load_spec(specp)
+    assert any(r.kind == "metric_bound" for r in drafted.rules)
+
+    code = cli.main(["--spec", specp, "--table", table, "--master", "local[4]"])
+    assert code == 0  # ratchet: the draft validates clean where it was drawn
+
+
+def test_cli_suggest_unknown_key_exit_2(spark, tmp_path, capsys):
+    from mdvalidate_spark import cli
+
+    table = str(tmp_path / "imgs2")
+    synthetic_images(spark, 50, with_bytes=False).write.parquet(table)
+    specp = str(tmp_path / "s.json")
+    code = cli.main(
+        ["--spec", specp, "--table", table, "--suggest-key", "nope"]
+    )
+    assert code == 2
+    assert "schema error" in capsys.readouterr().err
+
+
 def test_cli_smoke_mode(spark, tmp_path):
     """--smoke-fraction runs the sampled preview end-to-end: smoke metric
     rows land in the output sink and the manifest covers only partitions
