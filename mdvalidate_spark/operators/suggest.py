@@ -18,10 +18,17 @@ SECOND bounded pass collecting their sorted value sets — each set is
 already known to be small, so the collect is O(candidates x k), never
 O(rows). ``exact=False`` (the 100 TB default) uses approx_count_distinct
 (HLL, ~1.6% rsd) for cardinality; ``exact=True`` uses exact distinct counts
-for small-scale oracle parity. Uniqueness is suggested only when the
-distinct count equals the row count under the chosen mode — with the
-sketch, ``unique_margin`` loosens the match to tolerate HLL error (0.0
-means exact equality, the right setting only when exact=True).
+for small-scale oracle parity. Uniqueness candidates come from the first
+pass (``unique_margin`` loosens the sketch match to tolerate HLL
+UNDERcount) and are then CONFIRMED exactly before a UniqueRule is emitted
+— the sketch can also OVERcount (~1.6% rsd), and an unconfirmed
+UniqueRule on a merely near-unique column would FAIL on the profiled
+table, breaking the ratchet. Confirmation is one exact ``count_distinct``
+aggregation over just the candidate columns; that is a real shuffle on a
+10^12-row table, but it costs about what a single validation run of the
+suggested UniqueRule costs — strictly cheaper than shipping a draft that
+fails its first run. Set ``confirm_unique=False`` to skip it and accept
+the sketch's word (then a loose margin risks false UniqueRules).
 
 Beyond the exact invariants, the draft also proposes METRIC-BOUND GATES
 (``gates=True``) — envelopes with headroom rather than equalities, the
@@ -89,6 +96,7 @@ def suggest_spec(
     domain_max_distinct: int = 16,
     exact: bool = False,
     unique_margin: float = 0.0,
+    confirm_unique: bool = True,
     n_partitions: int = 8,
     gates: bool = True,
     null_rate_headroom: float = 0.25,
@@ -143,6 +151,27 @@ def suggest_spec(
             # the sketch may have undercounted — keep the suggestion honest
             if len(vals) <= domain_max_distinct:
                 domains[c] = vals
+
+    # uniqueness: candidates from the (possibly sketched) first pass, then
+    # exact confirmation — HLL overcount must not mint a UniqueRule that
+    # fails on the profiled table (module docstring). In exact mode the
+    # profile numbers ARE exact, so confirmation is a driver-side equality.
+    unique_candidates = [
+        f.name
+        for f in fields
+        if n_rows > 0
+        and prof[f"nn__{f.name}"] == n_rows
+        and prof[f"nd__{f.name}"] >= n_rows * (1.0 - unique_margin)
+    ]
+    if exact:
+        unique_cols = {c for c in unique_candidates if prof[f"nd__{c}"] == n_rows}
+    elif unique_candidates and confirm_unique:
+        crow = df.agg(
+            *[F.count_distinct(F.col(c)).alias(c) for c in unique_candidates]
+        ).collect()[0]
+        unique_cols = {c for c in unique_candidates if crow[c] == n_rows}
+    else:
+        unique_cols = set(unique_candidates)
 
     rules: list[Rule] = []
     for f in sorted(fields, key=lambda x: x.name):
@@ -210,7 +239,7 @@ def suggest_spec(
                         exact=exact,
                     )
                 )
-        if n_rows > 0 and nn == n_rows and nd >= n_rows * (1.0 - unique_margin):
+        if c in unique_cols:
             rules.append(UniqueRule(f"suggest_unique_{c}", columns=(c,)))
     if gates and n_rows > 0:
         # volume floor: growth is fine, silent truncation is the failure mode

@@ -120,6 +120,28 @@ def test_gate_suggestions_can_be_disabled(spark, frame):
     assert not any(isinstance(r, MetricBoundRule) for r in spec.rules)
 
 
+def test_unique_candidates_exactly_confirmed_in_sketch_mode(spark):
+    # `almost` has one duplicate (199/200 distinct): a loose margin makes it
+    # a sketch-pass candidate, but the exact confirmation must reject it —
+    # an unconfirmed UniqueRule would fail on the profiled table. The true
+    # key `id` must survive confirmation even if its HLL estimate dips.
+    rows = [(f"k{i}", f"a{i if i else 1}") for i in range(200)]
+    df = spark.createDataFrame(rows, "id string, almost string")
+    spec = suggest_spec(df, "id", exact=False, unique_margin=0.05)
+    ids = {r.id for r in spec.rules}
+    assert "suggest_unique_id" in ids
+    assert "suggest_unique_almost" not in ids
+    run = ValidationRun(spark, spec, df)
+    run.validate_pending()
+    assert run.finalize().exit_code == 0
+    # opting out of confirmation takes the sketch's word: the loose margin
+    # now (wrongly, by design) admits the near-unique column
+    unconfirmed = suggest_spec(
+        df, "id", exact=False, unique_margin=0.05, confirm_unique=False
+    )
+    assert "suggest_unique_almost" in {r.id for r in unconfirmed.rules}
+
+
 def test_distinct_envelope_for_wide_string_columns(spark):
     df = spark.createDataFrame(
         [(f"k{i}", f"tok{i % 40}") for i in range(200)],
