@@ -429,6 +429,29 @@ def test_ngram_hot_shingle_10k_docs_completes(spark):
     assert D.ngram_jaccard_pairs(docs, threshold=0.2).count() == 0
 
 
+def test_ngram_no_posting_arrays_50k_hot_shingle(spark):
+    """VERDICT r3 #1: the stop-shingle filter must run COUNT-FIRST. A
+    shingle present in 50k docs (at corpus scale: 10^8-10^9) must never
+    materialize its doc-id set as one aggregation-buffer array — the plan
+    must contain NO collect_set/collect_list anywhere, and the job must
+    complete with zero pairs (the hot shingle is a dropped stop-shingle,
+    every other shingle is unique)."""
+    docs = spark.range(50_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("alpha beta gamma u"), F.col("id").cast("string"),
+            F.lit(" v"), F.col("id").cast("string"),
+            F.lit(" w"), F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    out = D.ngram_jaccard_pairs(docs, threshold=0.2)
+    plan = out._jdf.queryExecution().toString()
+    assert "collect_set" not in plan and "collect_list" not in plan, (
+        "posting arrays are back on the ngram candidate path"
+    )
+    assert out.count() == 0
+
+
 def test_ngram_boundary_shingle_pairs_via_join(spark):
     """A shingle shared by MANY docs but under max_df must still produce the
     full exact candidate set through the posting self-join (correctness of
