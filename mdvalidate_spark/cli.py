@@ -90,6 +90,12 @@ def parse_args(argv=None):
         help="with --suggest-key: exact distinct/quantile profiling instead "
         "of sketches (small tables / oracle parity only)",
     )
+    p.add_argument(
+        "--force",
+        action="store_true",
+        help="with --suggest-key: allow overwriting an existing --spec file "
+        "(without it, suggestion mode refuses to clobber a curated spec)",
+    )
     return p.parse_args(argv)
 
 
@@ -203,8 +209,21 @@ def _suggest_main(args) -> int:
     """--suggest-key mode: profile the table, draft a Spec, write it to the
     --spec path (the file a later validation invocation reads). Prints one
     line per drafted rule; exit 0 on success, 2 on a profiling/schema error
-    (e.g. the key column does not exist)."""
+    (e.g. the key column does not exist). Refuses to overwrite an existing
+    --spec file unless --force is passed — a user who adds --suggest-key to
+    a normal validation command line must not silently lose a curated spec
+    (ADVICE r3)."""
+    import os
+
     from pyspark.sql import SparkSession
+
+    if os.path.exists(args.spec) and not args.force:
+        print(
+            f"refusing to overwrite existing spec file {args.spec!r} — pass "
+            "--force to replace it, or point --spec at a new path",
+            file=sys.stderr,
+        )
+        return 2
 
     pre_existing = SparkSession.getActiveSession() is not None
     spark = get_spark(app_name="mdvalidate-spark", master=args.master)

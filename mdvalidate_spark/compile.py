@@ -128,6 +128,27 @@ def _has_column(available, path: str) -> bool:
     return True
 
 
+def _column_type(available, path: str):
+    """Resolved DataType of a (possibly dotted) column path, or None when
+    ``available`` is a plain name list / the path does not resolve (existence
+    is _has_column's job — this is only for type-aware lints)."""
+    try:
+        from pyspark.sql.types import StructType
+    except ImportError:
+        return None
+    if not isinstance(available, StructType):
+        return None
+    cur = available
+    for part in path.split("."):
+        if not isinstance(cur, StructType):
+            return None
+        match = next((f for f in cur.fields if f.name == part), None)
+        if match is None:
+            return None
+        cur = match.dataType
+    return cur
+
+
 def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
     """Validate + stage a Spec. Raises SchemaError subclasses on invalid specs;
     never raises for data problems (those become violation rows).
@@ -399,6 +420,42 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
                     f"rule {r.id!r}: w/h u16 offsets overlap "
                     f"({r.w_offset}, {r.h_offset})"
                 )
+            # the code byte must not sit inside either u16 dim field — an
+            # overlapping layout reads the same bytes as two different
+            # things and one of the checks is then always wrong (ADVICE r3)
+            if r.fmt_codes:
+                for name, col, off in (
+                    ("w", r.w_column, r.w_offset),
+                    ("h", r.h_column, r.h_offset),
+                ):
+                    if col and off <= r.code_offset < off + 2:
+                        raise SchemaError(
+                            f"rule {r.id!r}: code_offset {r.code_offset} "
+                            f"overlaps the {name} u16 field "
+                            f"[{off}, {off + 2})"
+                        )
+            if r.magic and r.fmt_codes and r.code_offset < len(r.magic) // 2:
+                raise SchemaError(
+                    f"rule {r.id!r}: code_offset {r.code_offset} sits inside "
+                    f"the {len(r.magic) // 2}-byte magic prefix — the code "
+                    "byte would be constrained to a magic byte"
+                )
+            if available_columns is not None:
+                # header extraction is byte arithmetic: on a STRING column
+                # substring/hex operate per CHARACTER, so multibyte text
+                # silently mis-extracts instead of failing loudly — demand
+                # BinaryType when a typed schema is available (ADVICE r3)
+                t = _column_type(available_columns, r.column)
+                if t is not None:
+                    from pyspark.sql.types import BinaryType
+
+                    if not isinstance(t, BinaryType):
+                        raise SchemaError(
+                            f"rule {r.id!r}: header rule column "
+                            f"{r.column!r} must be BINARY, got "
+                            f"{t.simpleString()} (byte offsets are not "
+                            "character offsets)"
+                        )
 
         if isinstance(r, VolumeRule):
             if r.k <= 0:
@@ -411,6 +468,12 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
                 raise SchemaError(
                     f"rule {r.id!r}: min_partitions must be >= 2 "
                     "(one partition has no distribution)"
+                )
+            if r.universe_column and not r.universe:
+                raise SchemaError(
+                    f"rule {r.id!r}: universe_column without universe is "
+                    "vacuous — name the dims table enumerating expected "
+                    "partition ids"
                 )
 
         if isinstance(r, RefIntegrityRule):

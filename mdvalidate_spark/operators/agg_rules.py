@@ -1127,6 +1127,18 @@ def metric_bound_results(
     if not rules:
         return empty_v, empty_m
 
+    # public operator API (callable without compile_spec, e.g. the bench
+    # entry): a boundless rule is a vacuous assertion — typed error, not a
+    # bare IndexError from conds[0] downstream (ADVICE r3)
+    from ..errors import SchemaError
+
+    for r in rules:
+        if r.min is None and r.max is None:
+            raise SchemaError(
+                f"rule '{r.id}': MetricBoundRule needs at least one of "
+                "min/max — a boundless bound asserts nothing"
+            )
+
     grouped: dict[str, list] = {}
     for r in rules:
         if getattr(r, "group_by", ""):

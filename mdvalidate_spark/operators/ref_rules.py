@@ -101,8 +101,9 @@ def table_ratio_check(
     any table size. Output is ONE row (rule_id, fact_rows, other_rows,
     ratio, expected, violated) — metric-style, so it composes with
     compare_metric_runs / anomaly_metric_history for ratio drift over time;
-    ``ratio`` is NULL when other is empty (violated unless both empty and
-    bounds allow nothing — an empty denominator is loud, never a pass).
+    ``ratio`` is NULL when other is empty, and an empty denominator is
+    UNCONDITIONALLY a violation regardless of fact_rows — there is no
+    bounds configuration under which "divide by an empty table" passes.
     """
     if min_ratio is None and max_ratio is None:
         # same vacuity contract as the engine's bound lints: a ratio check
@@ -134,11 +135,18 @@ def table_ratio_check(
         conds.append(ratio > F.lit(float(max_ratio)))
     out_of_bounds = conds[0] if len(conds) == 1 else (conds[0] | conds[1]) if conds else F.lit(False)
     violated = F.when(ratio.isNull(), F.lit(True)).otherwise(out_of_bounds)
+    # open bounds render as one-sided comparisons, never a literal 'None'
+    if min_ratio is not None and max_ratio is not None:
+        expected = f"ratio in [{min_ratio}, {max_ratio}]"
+    elif min_ratio is not None:
+        expected = f"ratio >= {min_ratio}"
+    else:
+        expected = f"ratio <= {max_ratio}"
     return j.select(
         F.lit(rule_id).alias("rule_id"),
         "fact_rows",
         "other_rows",
         ratio.alias("ratio"),
-        F.lit(f"ratio in [{min_ratio}, {max_ratio}]").alias("expected"),
+        F.lit(expected).alias("expected"),
         violated.alias("violated"),
     )

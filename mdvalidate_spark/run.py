@@ -212,7 +212,7 @@ class ValidationRun:
                 raise SchemaError(
                     f"rule {r.id!r}: dimension table {r.dim_name!r} not provided"
                 )
-        for r in self.program.group_rules:
+        for r in (*self.program.group_rules, *self.program.volume_rules):
             if getattr(r, "universe", "") and r.universe not in self.dims:
                 from .errors import SchemaError
 
@@ -698,6 +698,41 @@ class ValidationRun:
             )
             for vr in prog.volume_rules:
                 rows_out = []
+                if vr.universe:
+                    # wholly-missing partitions (data-derived ids never get
+                    # a manifest entry — spec.VolumeRule docs): enumerate
+                    # expected ids from the dims table, diff against the
+                    # manifest. Absence is a fact, not an outlier —
+                    # unconditional under_volume, independent of the MAD
+                    # envelope and min_partitions. O(#partitions) rows.
+                    ucol = (
+                        vr.universe_column
+                        or self.spec.partition_column
+                        or "partition_id"
+                    )
+                    expected_ids = {
+                        int(r[0])
+                        for r in self.dims[vr.universe]
+                        .select(F.col(ucol).cast("long"))
+                        .where(F.col(ucol).isNotNull())
+                        .distinct()
+                        .collect()
+                    }
+                    have = {int(pid) for pid, _ in counted}
+                    col = self.spec.partition_column or "partition_id"
+                    for pid in sorted(expected_ids - have):
+                        rows_out.append(
+                            (
+                                self.run_id,
+                                int(pid),
+                                vr.id,
+                                str(pid),
+                                col,
+                                "partition present (>= 1 row)",
+                                "missing",
+                                KIND_UNDER_VOLUME,
+                            )
+                        )
                 if len(counted) >= vr.min_partitions:
                     ns = [n for _, n in counted]
                     center = statistics.median(ns)

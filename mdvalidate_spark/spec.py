@@ -516,18 +516,36 @@ class VolumeRule(Rule):
     enforces implicitly (a file that stops growing or doubles is visible in
     its revalidation cadence, cmd.rs watch mode): a starved partition means
     a dead upstream shard, a doubled one a replayed ingest — caught from
-    metadata the run already paid for, including ZERO-row partitions (an
-    empty partition is exactly an under_volume of the worst kind).
+    metadata the run already paid for.
+
+    ZERO-row partitions: with ENGINE-derived hash partitioning
+    (pmod(xxhash64(key), n)) every id in range(n) gets a manifest entry, so
+    an empty partition IS visible as an under_volume of the worst kind.
+    With DATA-derived ids (``spec.partition_column`` or a pre-existing
+    ``partition_id`` column — the date-partition/dead-shard case) the ids
+    are discovered by a distinct scan of the data, so a WHOLLY-missing
+    partition never appears and is invisible to the envelope. For that case
+    set ``universe``: the name of a dims table (the run's ``dims`` dict)
+    whose ``universe_column`` (default: the partition column) enumerates
+    every expected partition id; ids in the universe but absent from the
+    manifest are emitted unconditionally as under_volume violations
+    (actual = "missing") — absence is a fact, not an outlier, so it does
+    not depend on the MAD envelope or ``min_partitions``. (CountRule's
+    ``universe`` is the same idea at group granularity.)
 
     With fewer than ``min_partitions`` counted partitions the distribution
-    has no meaningful center and the rule emits nothing (same contract as
-    the operator). The math runs on the driver over O(#partitions) manifest
-    entries — thousands of dict entries at 10^12 rows, never a Spark job.
+    has no meaningful center and the ENVELOPE emits nothing (same contract
+    as the operator); the universe absence check still runs. The math runs
+    on the driver over O(#partitions) manifest entries — thousands of dict
+    entries at 10^12 rows, never a Spark job (the universe enumeration is
+    one distinct on a dim keyed by partition id — O(#partitions) rows).
     """
 
     k: float = 3.0
     abs_tol: float = 0.0
     min_partitions: int = 4
+    universe: str = ""  # dims table enumerating expected partition ids
+    universe_column: str = ""  # its id column; default = the partition col
     kind: str = field(default="volume", init=False)
 
 

@@ -1151,6 +1151,11 @@ def test_table_ratio_in_and_out_of_bounds(spark):
     assert bad["violated"]
     # open upper bound
     assert not table_ratio_check(fact, dim, "r3", min_ratio=1.0).collect()[0]["violated"]
+    # open bounds render one-sided, never a literal 'None' (ADVICE r3)
+    assert bad["expected"] == "ratio >= 5.0"
+    only_max = table_ratio_check(fact, dim, "r4", max_ratio=5.0).collect()[0]
+    assert only_max["expected"] == "ratio <= 5.0"
+    assert ok["expected"] == "ratio in [3.0, 5.0]"
 
 
 def test_table_ratio_when_scopes_and_empty_denominator_loud(spark):

@@ -79,6 +79,31 @@ def test_cli_suggest_mode_roundtrip(spark, tmp_path, capsys):
     assert code == 0  # ratchet: the draft validates clean where it was drawn
 
 
+def test_cli_suggest_refuses_to_overwrite_without_force(spark, tmp_path, capsys):
+    """ADVICE r3: --suggest-key must not silently clobber an existing curated
+    spec file; --force opts in explicitly."""
+    from mdvalidate_spark import cli
+
+    table = str(tmp_path / "imgs3")
+    synthetic_images(spark, 100, with_bytes=False).write.parquet(table)
+    specp = str(tmp_path / "curated.json")
+    with open(specp, "w") as f:
+        f.write('{"rules": []}')
+    code = cli.main(
+        ["--spec", specp, "--table", table, "--suggest-key", "image_id"]
+    )
+    assert code == 2
+    assert "refusing to overwrite" in capsys.readouterr().err
+    with open(specp) as f:
+        assert f.read() == '{"rules": []}'  # untouched
+    code = cli.main(
+        ["--spec", specp, "--table", table, "--suggest-key", "image_id",
+         "--force", "--master", "local[4]"]
+    )
+    assert code == 0
+    assert load_spec(specp).rules  # now replaced by the draft
+
+
 def test_cli_suggest_unknown_key_exit_2(spark, tmp_path, capsys):
     from mdvalidate_spark import cli
 

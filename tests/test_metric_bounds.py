@@ -333,3 +333,16 @@ def test_grouped_bounds_empty_table_is_loud(spark):
     mets = {(r["rule_id"], r["metric"]): r["value"] for r in m.collect()}
     assert mets[("g1", "groups_total")] == 0.0
     assert mets[("g1", "groups_violated")] == 0.0
+
+
+def test_boundless_rule_rejected_on_direct_api_call(spark, df):
+    """ADVICE r3: metric_bound_results is a public operator API callable
+    without compile_spec (the bench entry calls it directly) — a boundless
+    rule must raise a typed SchemaError, not a bare IndexError downstream,
+    for both the global and the grouped path."""
+    for rule in (
+        MetricBoundRule("b0", column="v", metric="mean"),
+        MetricBoundRule("b1", column="v", metric="mean", group_by="cat"),
+    ):
+        with pytest.raises(SchemaError, match="at least one of min/max"):
+            agg_rules.metric_bound_results(df, (rule,), "t")

@@ -753,9 +753,40 @@ def test_header_rule_lints(spark):
         HeaderRule("h6", column="bytes", magic="4D4456", code_offset=-1,
                    fmt_codes={"png": 0}, fmt_column="fmt"),
         HeaderRule("h7", column="bytes", w_column="w", h_column="h", h_offset=5),
+        # code byte inside the w u16 field (ADVICE r3)
+        HeaderRule("h8", column="bytes", fmt_codes={"png": 0}, fmt_column="fmt",
+                   code_offset=4, w_column="w", w_offset=4),
+        # code byte inside the h u16 field
+        HeaderRule("h9", column="bytes", fmt_codes={"png": 0}, fmt_column="fmt",
+                   code_offset=7, h_column="h", h_offset=6),
+        # code byte inside the asserted magic prefix
+        HeaderRule("h10", column="bytes", magic="4D445600",
+                   fmt_codes={"png": 0}, fmt_column="fmt", code_offset=3),
     ]:
         with pytest.raises(SchemaError):
             compile_spec(base_spec([bad]), cols)
+
+
+def test_header_rule_requires_binary_column_with_typed_schema(spark):
+    """ADVICE r3: byte offsets are not character offsets — on a STRING
+    column substring/hex mis-extract silently, so a typed schema must
+    reject the rule at compile; a bare name list (no types) still passes."""
+    from mdvalidate_spark.errors import SchemaError
+    from mdvalidate_spark.spec import HeaderRule
+
+    rule = HeaderRule("h", column="caption", magic="4D4456")
+    df = spark.createDataFrame(
+        [("k", "text", bytearray(b"MDV"))],
+        "image_id string, caption string, bytes binary",
+    )
+    with pytest.raises(SchemaError, match="must be BINARY"):
+        compile_spec(base_spec([rule]), df.schema)
+    # name-list callers (no type info) keep compiling
+    compile_spec(base_spec([rule]), ["image_id", "caption", "bytes"])
+    # and a genuinely binary column passes the typed check
+    compile_spec(
+        base_spec([HeaderRule("h2", column="bytes", magic="4D4456")]), df.schema
+    )
 
 
 def test_header_rule_stays_fused_jvm_only(spark):

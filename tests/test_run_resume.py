@@ -245,3 +245,54 @@ def test_volume_rule_zero_scan_lifecycle(spark):
     )
     rep2 = validate_table(spark, small, spec2, run_id="r-vol2")
     assert rep2.violations.count() == 0 and rep2.exit_code == 0
+
+
+def test_volume_rule_universe_detects_missing_partitions(spark):
+    """ADVICE r3: with DATA-derived partition ids a wholly-empty partition
+    never gets a manifest entry — VolumeRule.universe enumerates expected
+    ids from a dims table and flags absent ones unconditionally as
+    under_volume (actual='missing'), independent of the MAD envelope."""
+    from mdvalidate_spark.errors import SchemaError
+    from mdvalidate_spark.spec import VolumeRule
+
+    # parts 0..7 present and healthy; the universe expects 0..9 → 8, 9 missing
+    rows = [(f"k{p}-{i}", p) for p in range(8) for i in range(100)]
+    df = spark.createDataFrame(rows, "image_id string, part int")
+    universe = spark.createDataFrame([(p,) for p in range(10)], "part int")
+    spec = Spec(
+        rules=(VolumeRule("vol", universe="expected_parts"),),
+        key_column="image_id",
+        partition_column="part",
+        n_partitions=10,
+    )
+    report = validate_table(
+        spark, df, spec, dims={"expected_parts": universe}, run_id="r-vol-u"
+    )
+    got = {
+        (r["image_id"], r["kind"], r["actual"])
+        for r in report.violations.collect()
+    }
+    assert got == {
+        ("8", "under_volume", "missing"),
+        ("9", "under_volume", "missing"),
+    }
+    assert report.exit_code == 1
+    # absence detection works even below min_partitions (it is not an
+    # envelope judgment): 2 present partitions, min_partitions=4
+    small = df.where(F.col("part") < 2)
+    rep2 = validate_table(
+        spark,
+        small,
+        Spec(
+            rules=(VolumeRule("vol", universe="expected_parts", min_partitions=4),),
+            key_column="image_id",
+            partition_column="part",
+            n_partitions=10,
+        ),
+        dims={"expected_parts": universe},
+        run_id="r-vol-u2",
+    )
+    assert rep2.violations.where(F.col("kind") == "under_volume").count() == 8
+    # universe named but not provided in dims → typed error at open
+    with pytest.raises(SchemaError, match="universe table"):
+        validate_table(spark, df, spec, run_id="r-vol-u3")
