@@ -205,6 +205,84 @@ def test_stateful_duplicate_violations_across_batches(spark, tmp_path):
     assert got2 == {("a", "occurrence=2"), ("b", "occurrence=2")}
 
 
+def test_stateful_duplicate_ttl_evicts_idle_keys(spark, tmp_path):
+    """VERDICT r3 #4: ttl_seconds bounds uniqueness state on unbounded key
+    spaces. A key idle past the TTL is evicted (ProcessingTimeTimeout), and
+    its re-arrival after eviction counts as occurrence 1 again — the
+    documented precision trade. Keys re-seen WITHIN the TTL still flag."""
+    import time as _time
+
+    from mdvalidate_spark.errors import SchemaError
+    from mdvalidate_spark.streaming.stateful import stream_duplicate_violations
+
+    src = str(tmp_path / "ttl-src")
+    out = str(tmp_path / "ttl-out")
+    ck = str(tmp_path / "ttl-ck")
+
+    def write(keys):
+        spark.createDataFrame([(k,) for k in keys], "image_id string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def rows():
+        try:
+            return sorted(
+                (r["image_id"], r["actual"])
+                for r in spark.read.parquet(out).collect()
+            )
+        except Exception:  # sink dir not created yet
+            return []
+
+    def wait_for(pred, timeout=60):
+        deadline = _time.time() + timeout
+        while _time.time() < deadline:
+            if pred(rows()):
+                return
+            _time.sleep(0.5)
+        raise AssertionError(f"timed out waiting; last rows: {rows()}")
+
+    # one LONG-LIVED query: processing-time timers need the stream's own
+    # batch cadence to fire (an availableNow drain keeps scheduling batches
+    # until every timer has fired, which both serializes eviction into the
+    # drain and collides with a second drain on the same state store)
+    write(["a", "a"])  # seed so the schema/paths exist at start
+    stream = spark.readStream.schema("image_id string").parquet(src)
+    v = stream_duplicate_violations(
+        stream, "image_id", "uq_ttl", "s1", ttl_seconds=6.0
+    )
+    q = (
+        v.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        # phase A: immediate duplicate flags as occurrence 2
+        wait_for(lambda r: r == [("a", "occurrence=2")])
+
+        # phase B: idle well past the TTL → 'a' evicted by its timer; its
+        # re-arrival is occurrence 1 again (no new violation row)
+        _time.sleep(14.0)
+        write(["a"])
+        _time.sleep(2.5)
+        assert rows() == [("a", "occurrence=2")]
+
+        # phase C: a duplicate arriving WITHIN the TTL of phase B's arrival
+        # still flags — state was re-created, not lost
+        write(["a"])
+        wait_for(
+            lambda r: r == [("a", "occurrence=2"), ("a", "occurrence=2")]
+        )
+    finally:
+        q.stop()
+
+    # vacuous TTL rejected with a typed error
+    stream2 = spark.readStream.schema("image_id string").parquet(src)
+    with pytest.raises(SchemaError, match="ttl_seconds"):
+        stream_duplicate_violations(stream2, "image_id", "r", "s", ttl_seconds=0)
+
+
 def test_stream_stats_partials_accumulate_and_merge(spark, tmp_path):
     """Continuous incremental stats: two availableNow drains over a growing
     directory leave one mergeable partials row per micro-batch; the merge
