@@ -649,13 +649,21 @@ def connected_components(
     Pair finders (minhash/simhash/ngram/embedding) emit edges; an actual
     dedup pipeline must group transitive duplicates and keep one
     representative — A~B and B~C must land in ONE cluster even though (A,C)
-    was never emitted. Convergence takes at most the graph diameter
-    iterations (duplicate clusters are short-diameter in practice); each
-    round is one shuffle join + aggregate, checked for fixpoint with a
-    driver-side count, and persists/unpersists its frontier to keep lineage
-    bounded. Returns (node, component) where component = min node id in the
-    cluster; singleton nodes never enter `pairs` so only clustered nodes
-    appear.
+    was never emitted. Each round is one propagation join + aggregate PLUS
+    a pointer-doubling shortcut (label ← label-of-label, the small-star /
+    path-compression move of the MapReduce CC literature): propagation
+    moves the min label one hop, doubling then halves every label chain, so
+    convergence takes O(log diameter) rounds, not O(diameter) — a
+    gradual-drift near-dup CHAIN (diameter ≫ 20 is a real corpus shape) no
+    longer exhausts the round cap. Fixpoint is checked with a driver-side
+    count and each round localCheckpoints to keep lineage bounded. Returns
+    (node, component) where component = min node id in the cluster;
+    singleton nodes never enter `pairs` so only clustered nodes appear.
+
+    Invariant safety: labels only ever decrease and always hold the id of a
+    node in the same component (a neighbor's label, or that label's own
+    label), lower-bounded by the component min — so the fixpoint is exactly
+    min-id labeling, same as pure propagation.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -683,17 +691,29 @@ def connected_components(
             .select(F.col("dst").alias("node"), "component", F.lit(False).alias("_own"))
         )
         own = cur.select("node", "component", F.lit(True).alias("_own"))
-        agg = (
-            own.unionByName(msgs)
-            .groupBy("node")
-            .agg(
-                F.min("component").alias("component"),
-                F.max(F.when(F.col("_own"), F.col("component"))).alias("_old"),
+        agg = own.unionByName(msgs).groupBy("node").agg(
+            F.min("component").alias("component"),
+            F.max(F.when(F.col("_own"), F.col("component"))).alias("_old"),
+        )
+        # pointer doubling: follow each label to ITS label (labels are node
+        # ids, so the (node → component) frame doubles as the parent map).
+        # min() is belt-and-braces — label(m) ≤ m already by monotonicity.
+        parents = agg.select(
+            F.col("node").alias("_pnode"), F.col("component").alias("_pcomp")
+        )
+        jumped = (
+            agg.join(parents, agg["component"] == parents["_pnode"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("_pcomp", "component")
+                ).alias("component"),
+                "_old",
             )
             .localCheckpoint()
         )
-        n = agg.where(F.col("component") != F.col("_old")).count()
-        return agg.select("node", "component"), n
+        n = jumped.where(F.col("component") != F.col("_old")).count()
+        return jumped.select("node", "component"), n
 
     changed = 0
     for _ in range(max_iter):
