@@ -98,8 +98,14 @@ def main() -> None:
     n_suite = int(os.environ.get("MDV_BENCH_SUITE_ROWS", int(3_000_000 * sf)))
     n_pixel = int(os.environ.get("MDV_BENCH_PIXEL_ROWS", int(600_000 * sf)))
     # best-of-N per section: the judge-facing number is steady-state engine
-    # throughput, not first-run JIT/compile/page-cache warmup (measured 2-4x)
+    # throughput, not first-run JIT/compile/page-cache warmup (measured 2-4x).
+    # One UNTIMED warmup pass precedes the timed trials (VERDICT r3 #6:
+    # trial-0 carried JVM + Python-worker + code-path warmup — 2.2x trial-1
+    # in-process — so "best-of-2" was really "the one warm trial"; with the
+    # warmup, every timed trial is a steady-state sample and trials_raw
+    # spread becomes a real noise measurement).
     trials = int(os.environ.get("MDV_BENCH_TRIALS", "2"))
+    warmup = int(os.environ.get("MDV_BENCH_WARMUP", "1"))
     times: dict[str, float] = {}
     raw: dict[str, list] = {}  # every trial, so the recorded JSON carries
     # its own noise evidence (shared-host variance is decidable from one
@@ -122,14 +128,15 @@ def main() -> None:
     spec = full_images_spec(with_pixel=False, n_partitions=64)
     dims = {"dim_source": dim_source(spark)}
     n_viol = 0
-    for trial in range(trials):
+    for trial in range(-warmup, trials):
         t0 = time.time()
         run = ValidationRun(spark, spec, images, dims=dims, run_id=f"bench{trial}")
         report = run.validate()
         n_viol = report.violations.count()
         report.metrics.count()  # materialize stats/drift metrics too — the
         # suite claim is "full constraint suite", not violations-only
-        _best(times, "images_validate", time.time() - t0)
+        if trial >= 0:
+            _best(times, "images_validate", time.time() - t0)
 
     # -- 2. pixel stage over pre-materialized bytes -------------------------
     px_dir = os.environ.get("MDV_BENCH_PX_DIR", f"/tmp/mdv-bench-px-{n_pixel}")
@@ -157,13 +164,14 @@ def main() -> None:
     # one gate cache across trials — the same per-run memoization
     # ValidationRun uses (the benched number is steady-state throughput)
     px_cache: dict = {}
-    for _ in range(trials):
+    for trial in range(-warmup, trials):
         t0 = time.time()
         checks = pixel_check_results(
             px_df, PixelRule("px"), "image_id", cache=px_cache
         )
         _noop_sink(checks)
-        _best(times, "images_pixel", time.time() - t0)
+        if trial >= 0:
+            _best(times, "images_pixel", time.time() - t0)
 
     # -- 3+. representative driver queries ----------------------------------
     qs = entry_mod.queries()
@@ -175,10 +183,11 @@ def main() -> None:
         "minhash_pairs_documents",
         "topk_embeddings",
     ):
-        for _ in range(trials):
+        for trial in range(-warmup, trials):
             t0 = time.time()
             _noop_sink(qs[name](spark, sf_dir))
-            _best(times, name, time.time() - t0)
+            if trial >= 0:
+                _best(times, name, time.time() - t0)
 
     total = sum(times.values())
     out = {
@@ -188,6 +197,7 @@ def main() -> None:
         "queries": {k: round(v, 3) for k, v in times.items()},
         "sf": sf,
         "trials": trials,
+        "warmup_trials": warmup,
         "suite_rows": n_suite,
         "pixel_rows": n_pixel,
         "suite_violations": n_viol,
