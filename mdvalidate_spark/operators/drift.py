@@ -484,49 +484,71 @@ def drift_vs_reference(
             edges_map[r.id] = reference_edges(ref, r)
 
     # per-rule bin vocabulary (shared by both sides and the driver math)
-    bins: dict[str, list] = {}
-    nb: dict[str, int] = {}
-    for r in rules:
-        b = (
+    bins = _bin_vocab(rules, edges_map)
+    ref_h = _stacked_hist(ref, rules, bins)
+    cand_h = _stacked_hist(cand, rules, bins)
+    return _two_sample_results(spark, rules, ref_h, cand_h, run_id)
+
+
+def _bin_vocab(rules: list[DriftRule], edges_map: dict[str, list]) -> dict[str, list]:
+    """rule id → bin definition actually used for counting (deduped interior
+    edges for numeric rules, category list for categorical)."""
+    return {
+        r.id: (
             list(edges_map[r.id])
             if r.categorical
             else _dedupe_edges(edges_map[r.id])
         )
-        bins[r.id] = b
-        nb[r.id] = len(b) + 1
+        for r in rules
+    }
 
-    def _side_hist(df: DataFrame) -> dict[str, list[float]]:
-        entries = []
-        for i, r in enumerate(rules):
-            val = F.expr(r.expr) if r.expr else F.col(r.column)
-            x = val.cast("string") if r.categorical else val.cast("double")
-            b = _bin_expr(x, bins[r.id], categorical=r.categorical)
-            # a NULL value belongs to no bin for THAT rule only — other
-            # rules in the same stacked row still count theirs
-            entries.append(
-                F.struct(
-                    F.lit(i).alias("c"),
-                    F.when(x.isNull(), F.lit(None))
-                    .otherwise(b)
-                    .cast("int")
-                    .alias("b"),
-                )
+
+def _stacked_hist(
+    df: DataFrame, rules: list[DriftRule], bins: dict[str, list]
+) -> dict[int, list[float]]:
+    """ONE scan of ``df`` counting every rule's histogram at once: the
+    per-rule bin expressions stack into an array of (rule, bin) structs,
+    exploded and counted in a single groupBy (map-side partials collapse
+    the explode before the shuffle); the driver receives ≤ Σ(n_bins+1)
+    tiny count rows."""
+    entries = []
+    for i, r in enumerate(rules):
+        val = F.expr(r.expr) if r.expr else F.col(r.column)
+        x = val.cast("string") if r.categorical else val.cast("double")
+        b = _bin_expr(x, bins[r.id], categorical=r.categorical)
+        # a NULL value belongs to no bin for THAT rule only — other
+        # rules in the same stacked row still count theirs
+        entries.append(
+            F.struct(
+                F.lit(i).alias("c"),
+                F.when(x.isNull(), F.lit(None))
+                .otherwise(b)
+                .cast("int")
+                .alias("b"),
             )
-        rows = (
-            df.select(F.explode(F.array(*entries)).alias("p"))
-            .where(F.col("p.b").isNotNull())
-            .groupBy(F.col("p.c").alias("c"), F.col("p.b").alias("b"))
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
         )
-        out = {i: [0.0] * nb[r.id] for i, r in enumerate(rules)}
-        for rw in rows:
-            out[rw["c"]][rw["b"]] += rw["n"]
-        return out
+    rows = (
+        df.select(F.explode(F.array(*entries)).alias("p"))
+        .where(F.col("p.b").isNotNull())
+        .groupBy(F.col("p.c").alias("c"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    out = {i: [0.0] * (len(bins[r.id]) + 1) for i, r in enumerate(rules)}
+    for rw in rows:
+        out[rw["c"]][rw["b"]] += rw["n"]
+    return out
 
-    ref_h = _side_hist(ref)
-    cand_h = _side_hist(cand)
 
+def _two_sample_results(
+    spark: SparkSession,
+    rules: list[DriftRule],
+    ref_h: dict[int, list[float]],
+    cand_h: dict[int, list[float]],
+    run_id: str,
+) -> tuple[DataFrame, DataFrame, int]:
+    """PSI/KS + violation/metric rows from two per-rule histogram maps —
+    the shared tail of the live-reference and snapshot paths."""
     metric_rows, viol_rows = [], []
     for i, r in enumerate(rules):
         hr, hp = ref_h[i], cand_h[i]
@@ -578,6 +600,106 @@ def drift_vs_reference(
         "column string, expected string, actual string, kind string",
     )
     return violations, metrics, len(viol_rows)
+
+
+# ------------------------------------------------------- profile snapshots
+
+#: persisted drift profile: O(rules × bins) rows, three part kinds —
+#: 'edge' (numeric interior bin edge at idx), 'cat' (category at idx),
+#: 'hist' (reference count of bin idx). This is the "profile once,
+#: ratchet everything" artifact: later runs drift-compare a candidate
+#: table against the snapshot WITHOUT rescanning (or even keeping) the
+#: profiled table — the right shape at 10^12 rows, where "yesterday's
+#: table" as a live reference frame would double every run's IO.
+SNAPSHOT_DDL = "rule_id string, part string, idx int, num double, cat string"
+_SNAPSHOT_COLS = ("rule_id", "part", "idx", "num", "cat")
+
+
+def is_snapshot(df: DataFrame) -> bool:
+    """True when a dims frame carries the canonical snapshot schema — the
+    run lifecycle uses this to route DriftRule.reference to the snapshot
+    path instead of treating the frame as a raw reference table."""
+    return tuple(df.columns) == _SNAPSHOT_COLS
+
+
+def profile_snapshot(
+    ref: DataFrame, rules: list[DriftRule], edges_map: dict[str, list] | None = None
+) -> DataFrame:
+    """Profile ``ref`` ONCE for the given whole-table drift rules and return
+    the compact snapshot frame (SNAPSHOT_DDL): bin definitions + reference
+    histogram counts. One edge pass per rule family + one stacked histogram
+    scan, O(rules × bins) output rows — persist it (parquet/Iceberg) and
+    hand it to later runs as the ``DriftRule.reference`` dims entry."""
+    for r in rules:
+        if r.group_column or r.sweep_by:
+            raise ValueError(
+                f"rule {r.id!r}: snapshots are whole-table profiles — "
+                "group_column/sweep_by do not apply"
+            )
+    edges_map = dict(edges_map or {})
+    for r in rules:
+        if r.id not in edges_map:
+            edges_map[r.id] = reference_edges(ref, r)
+    bins = _bin_vocab(rules, edges_map)
+    hist = _stacked_hist(ref, rules, bins)
+    rows = []
+    for i, r in enumerate(rules):
+        for j, b in enumerate(bins[r.id]):
+            if r.categorical:
+                rows.append((r.id, "cat", j, None, str(b)))
+            else:
+                rows.append((r.id, "edge", j, float(b), None))
+        for j, n in enumerate(hist[i]):
+            rows.append((r.id, "hist", j, float(n), None))
+    return ref.sparkSession.createDataFrame(rows, SNAPSHOT_DDL)
+
+
+def drift_vs_snapshot(
+    snap: DataFrame,
+    cand: DataFrame,
+    rules: list[DriftRule],
+    run_id: str,
+) -> tuple[DataFrame, DataFrame, int]:
+    """Two-table drift where the reference side is a persisted
+    ``profile_snapshot`` frame instead of a live table: the snapshot's
+    O(rules × bins) rows are collected, the candidate pays ONE stacked
+    histogram scan on the snapshot's frozen bins, and the PSI/KS math and
+    violation semantics are identical to ``drift_vs_reference``."""
+    for r in rules:
+        if r.group_column or r.sweep_by:
+            raise ValueError(
+                f"rule {r.id!r}: snapshot drift is whole-table vs snapshot "
+                "— group_column/sweep_by do not apply"
+            )
+        if r.categorical and r.method != "psi":
+            raise ValueError(
+                f"rule {r.id!r}: categorical drift requires method='psi'"
+            )
+    spark: SparkSession = cand.sparkSession
+    by_rule: dict[str, dict[str, list]] = {}
+    for rw in snap.collect():  # O(rules × bins) — bounded by construction
+        d = by_rule.setdefault(rw["rule_id"], {"edge": [], "cat": [], "hist": []})
+        d[rw["part"]].append((rw["idx"], rw["cat"] if rw["part"] == "cat" else rw["num"]))
+    bins: dict[str, list] = {}
+    ref_h: dict[int, list[float]] = {}
+    for i, r in enumerate(rules):
+        if r.id not in by_rule:
+            raise ValueError(
+                f"rule {r.id!r}: not present in the snapshot frame — the "
+                "snapshot was drawn for a different rule set; re-profile"
+            )
+        d = by_rule[r.id]
+        part = "cat" if r.categorical else "edge"
+        bins[r.id] = [v for _, v in sorted(d[part])]
+        ref_h[i] = [v for _, v in sorted(d["hist"])]
+        if len(ref_h[i]) != len(bins[r.id]) + 1:
+            raise ValueError(
+                f"rule {r.id!r}: snapshot histogram has {len(ref_h[i])} "
+                f"bins for {len(bins[r.id])} edges/categories — corrupt or "
+                "truncated snapshot"
+            )
+    cand_h = _stacked_hist(cand, rules, bins)
+    return _two_sample_results(spark, rules, ref_h, cand_h, run_id)
 
 
 def reference_histogram(

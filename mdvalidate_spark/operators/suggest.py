@@ -75,6 +75,7 @@ from pyspark.sql.types import (
 
 from ..spec import (
     DomainRule,
+    DriftRule,
     MetricBoundRule,
     NotNullRule,
     RangeRule,
@@ -103,6 +104,10 @@ def suggest_spec(
     distinct_margin: float = 0.10,
     volume_margin: float = 0.10,
     quantile_headroom: float = 0.10,
+    drift: bool = False,
+    drift_reference: str = "suggest_profile",
+    drift_threshold: float = 0.2,
+    drift_bins: int = 32,
 ) -> Spec:
     """Profile ``df`` and return a draft Spec (see module docstring).
 
@@ -239,6 +244,27 @@ def suggest_spec(
                         exact=exact,
                     )
                 )
+        if drift and nn > 0 and (
+            isinstance(f.dataType, _NUMERIC) or c in domains
+        ):
+            # the distribution ratchet: exact invariants churn on every
+            # append, but the SHAPE of a healthy column is stable — draft a
+            # PSI gate against the persisted profile snapshot (see
+            # suggest_profile_snapshot; the drift analog of the p99 gate).
+            # Numeric columns drift on quantile bins; small-cardinality
+            # string columns (the DomainRule set) on category frequencies.
+            rules.append(
+                DriftRule(
+                    f"suggest_drift_{c}",
+                    column=c,
+                    method="psi",
+                    threshold=drift_threshold,
+                    n_bins=drift_bins,
+                    exact_edges=exact,
+                    categorical=c in domains,
+                    reference=drift_reference,
+                )
+            )
         if c in unique_cols:
             rules.append(UniqueRule(f"suggest_unique_{c}", columns=(c,)))
     if gates and n_rows > 0:
@@ -262,6 +288,33 @@ def suggest_spec(
         )
     )
     return Spec(rules=tuple(rules), key_column=key_column, n_partitions=n_partitions)
+
+
+def suggest_profile_snapshot(
+    df: DataFrame, spec: Spec, reference: str = "suggest_profile"
+) -> DataFrame:
+    """The persisted half of the drift ratchet: profile ``df`` once for the
+    drafted ``DriftRule(reference=...)`` gates in ``spec`` and return the
+    compact snapshot frame (drift.SNAPSHOT_DDL — bin edges/categories +
+    reference histogram counts, O(rules × bins) rows). Persist it and pass
+    it as ``dims={reference: snapshot}`` to every later validation run:
+    "profile once, ratchet everything" — later runs never rescan (or even
+    retain) the profiled table."""
+    from .drift import profile_snapshot
+
+    drs = [
+        r
+        for r in spec.rules
+        if isinstance(r, DriftRule) and r.reference == reference
+    ]
+    if not drs:
+        from ..errors import SchemaError
+
+        raise SchemaError(
+            f"spec has no DriftRule with reference {reference!r} — draft "
+            "with suggest_spec(drift=True) first"
+        )
+    return profile_snapshot(df, drs)
 
 
 def suggestion_rows(spark, spec: Spec) -> DataFrame:
@@ -297,6 +350,11 @@ def suggestion_rows(spark, spec: Spec) -> DataFrame:
                 rows.append((r.column, "bound_count", f"count >= {int(r.min)}"))
             elif r.metric == "p99":
                 rows.append((r.column, "bound_p99", f"p99 <= {r.max:.6f}"))
+        elif isinstance(r, DriftRule):
+            shape = "categories" if r.categorical else f"{r.n_bins} bins"
+            rows.append(
+                (r.column, "drift", f"psi <= {r.threshold:.6f} vs {r.reference} ({shape})")
+            )
     return spark.createDataFrame(
         rows, "column_name string, kind string, detail string"
     )

@@ -227,6 +227,18 @@ class ValidationRun:
                     f"rule {r.id!r}: reference table {r.reference!r} not "
                     "provided (pass it in the dims dict)"
                 )
+            if (
+                r.reference
+                and r.sweep_by
+                and drift_ops.is_snapshot(self.dims[r.reference])
+            ):
+                from .errors import SchemaError
+
+                raise SchemaError(
+                    f"rule {r.id!r}: a profile snapshot is a whole-table "
+                    "profile — sweep_by needs a live reference table with "
+                    "the group column"
+                )
         self.manifest = (
             Manifest.load(checkpoint_dir, self.run_id)
             if checkpoint_dir
@@ -571,6 +583,10 @@ class ValidationRun:
             return drift_ops.compute_edges(self.df, dr)
 
         for dr in self.program.drift_rules:
+            if dr.reference and drift_ops.is_snapshot(self.dims[dr.reference]):
+                # snapshot reference: bins are already IN the snapshot —
+                # nothing to prefetch
+                continue
             if not dr.incremental:
                 self._drift_edge_futs[dr.id] = self._drift_pool.submit(_edge_job, dr)
 
@@ -831,7 +847,17 @@ class ValidationRun:
                 whole = [dr for dr in drs if not dr.sweep_by]
                 sweeps = [dr for dr in drs if dr.sweep_by]
                 viols, mets, n = [], [], 0
-                if whole:
+                if whole and drift_ops.is_snapshot(self.dims[ref_name]):
+                    # persisted profile snapshot: frozen bins + reference
+                    # histogram ride in the frame itself — one candidate
+                    # scan, no reference-table IO (sweeps rejected at open)
+                    v, m, k = drift_ops.drift_vs_snapshot(
+                        self.dims[ref_name], self.df, list(whole), self.run_id
+                    )
+                    viols.append(v)
+                    mets.append(m)
+                    n += k
+                elif whole:
                     em = {}
                     for dr in whole:
                         e = self._drift_edges(dr)

@@ -157,3 +157,122 @@ def test_distinct_envelope_for_wide_string_columns(spark):
     run = ValidationRun(spark, spec, df)
     run.validate_pending()
     assert run.finalize().exit_code == 0
+
+
+def test_drift_ratchet_snapshot_clean_then_fires(spark):
+    """VERDICT r3 #3: profile once, ratchet everything. suggest_spec(
+    drift=True) drafts DriftRule(reference=snapshot) gates; the persisted
+    profile_snapshot validates CLEAN on the profiled table (PSI of a
+    distribution against itself is 0) and FIRES on a planted shift —
+    without ever rescanning the profiled table."""
+    from pyspark.sql import functions as F
+
+    from mdvalidate_spark.operators.suggest import suggest_profile_snapshot
+    from mdvalidate_spark.spec import DriftRule
+
+    base = spark.range(2000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("id"),
+        (F.col("id") % 97).cast("double").alias("v"),
+        F.element_at(
+            F.array(F.lit("red"), F.lit("blue"), F.lit("green")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("color"),
+    ).cache()
+    base.count()
+
+    spec = suggest_spec(base, "id", exact=True, drift=True)
+    drs = {r.id: r for r in spec.rules if isinstance(r, DriftRule)}
+    assert set(drs) == {"suggest_drift_v", "suggest_drift_color"}
+    assert drs["suggest_drift_color"].categorical
+    assert not drs["suggest_drift_v"].categorical
+
+    snap = suggest_profile_snapshot(base, spec)
+    # compact by construction: O(rules x bins) rows, never O(rows)
+    assert snap.count() < 200
+
+    dims = {"suggest_profile": snap}
+    run = ValidationRun(spark, spec, base, dims=dims, run_id="ratchet-clean")
+    run.validate_pending()
+    rep = run.finalize()
+    assert rep.exit_code == 0, rep.violations.collect()
+
+    # planted shift: v doubled (numeric tail shift) + color collapsed to one
+    # category — the p99/range gates would ALSO fire on v, so assert the
+    # DRIFT rules specifically
+    shifted = base.select(
+        "id", (F.col("v") * 2).alias("v"), F.lit("red").alias("color")
+    )
+    run2 = ValidationRun(spark, spec, shifted, dims=dims, run_id="ratchet-shift")
+    run2.validate_pending()
+    rep2 = run2.finalize()
+    fired = {
+        r["rule_id"]
+        for r in rep2.violations.where(F.col("kind") == "drift").collect()
+    }
+    assert fired == {"suggest_drift_v", "suggest_drift_color"}
+    base.unpersist()
+
+
+def test_snapshot_vs_live_reference_parity(spark):
+    """drift_vs_snapshot must produce the SAME statistics and verdicts as
+    drift_vs_reference on the same reference data — the snapshot is a
+    lossless compaction for whole-table drift."""
+    from pyspark.sql import functions as F
+
+    from mdvalidate_spark.operators.drift import (
+        drift_vs_reference,
+        drift_vs_snapshot,
+        is_snapshot,
+        profile_snapshot,
+    )
+    from mdvalidate_spark.spec import DriftRule
+
+    ref = spark.range(1000).select((F.col("id") % 50).cast("double").alias("v"))
+    cand = spark.range(1000).select(((F.col("id") % 50) + 7).cast("double").alias("v"))
+    rules = [
+        DriftRule("d_ks", column="v", method="ks", threshold=0.05, exact_edges=True),
+        DriftRule("d_psi", column="v", method="psi", threshold=0.05, exact_edges=True),
+    ]
+    v1, m1, n1 = drift_vs_reference(ref, cand, rules, "t")
+    snap = profile_snapshot(ref, rules)
+    assert is_snapshot(snap)
+    v2, m2, n2 = drift_vs_snapshot(snap, cand, rules, "t")
+    assert n1 == n2
+    stats1 = {(r["rule_id"], r["metric"]): r["value"] for r in m1.collect()}
+    stats2 = {(r["rule_id"], r["metric"]): r["value"] for r in m2.collect()}
+    assert stats1 == stats2
+    assert sorted(map(tuple, v1.collect())) == sorted(map(tuple, v2.collect()))
+    # a rule missing from the snapshot refuses loudly (stale snapshot)
+    extra = [DriftRule("d_new", column="v", method="psi", threshold=0.1)]
+    with pytest.raises(ValueError, match="not present in the snapshot"):
+        drift_vs_snapshot(snap, cand, extra, "t")
+
+
+def test_snapshot_rejects_sweep_at_open(spark):
+    """A snapshot is a whole-table profile — sweep_by against one must be a
+    typed error at open, not a silent wrong comparison."""
+    from pyspark.sql import functions as F
+
+    from mdvalidate_spark.errors import SchemaError
+    from mdvalidate_spark.operators.drift import profile_snapshot
+    from mdvalidate_spark.spec import DriftRule, Spec
+
+    df = spark.range(100).select(
+        F.concat(F.lit("k"), F.col("id")).alias("id"),
+        (F.col("id") % 7).cast("double").alias("v"),
+        (F.col("id") % 4).cast("int").alias("g"),
+    )
+    snap = profile_snapshot(
+        df, [DriftRule("d", column="v", method="psi", threshold=0.2)]
+    )
+    spec = Spec(
+        rules=(
+            DriftRule(
+                "d", column="v", method="psi", threshold=0.2,
+                sweep_by="g", reference="snap",
+            ),
+        ),
+        key_column="id",
+    )
+    with pytest.raises(SchemaError, match="whole-table profile"):
+        ValidationRun(spark, spec, df, dims={"snap": snap}, run_id="x")
