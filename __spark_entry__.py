@@ -1445,6 +1445,97 @@ def q_drift_ratchet_orders(spark, sf_dir):
     return parts[0].unionByName(parts[1])
 
 
+_MDV_PAT = [
+    ("78010160009FFFFFE42200F3BD0083660052C100965100CD180008F600E724006FAC00AEB000F2A900CD3F002FD400487000DE45005F6C006DEE00335100D3CA00CA410046C1002AFA00A40200B28C0002F300321D0007350097DD003CE600A49C00D69A00C389D22E22F8",
+     -7995527694508729151),
+    ("78010160009FFF00586BFF480300426400FB1B00EA69001EB100691F0071D0006F86009DCD0017D500BA550030A000692C00D0530082BA00FB2B00E44800309F0056E100161E006DE4008E7A00644600C98B00B28700A8B900424E00A4F00082D5004201006A26F73D1F9E",
+     -7541218347953203506),
+    ("78010160009FFFFFC2BEFF931A0015F500EF2D009D9F0036EC002EC70020CD00078600399200950E00160A00D01800072900553B00E16E00C908001A1B007A2100C94300A6E40032B300B189000DBC00405E00089C001D9D00BE7300872700ED7F00E3A800498402851E62",
+     2092789425003139053),
+]
+
+
+def q_pixel_manifest_documents(spark, sf_dir):
+    """Pixel-stage MANIFEST parity (VERDICT r3 #7): the decode kernel's
+    per-image verdicts ARE byte-derivable for a container whose body bytes
+    are pinned literals — run the REAL Arrow decode kernel
+    (operators/pixel.py pixel_check_results) over MDV payloads constructed
+    from doc_id (three pinned lossless 32x1 bodies, generated once by the
+    repo's own codec, embedded verbatim in BOTH engines — the _IVF_CENTS
+    precedent), with doc_id%7 planting one failure class per residue
+    (2 truncated, 3 wrong magic, 4 mislabeled fmt code, 5 dims clash,
+    6 phash clash). The oracle never decodes: it re-extracts magic / code /
+    u16-LE dims byte-by-byte from the blob it constructs, resolves the
+    recomputed phash by BODY-BYTES lookup against the pinned patterns, and
+    replays the kernel's check cascade — plus a dims-vs-header agreement
+    count joining the kernel output to the byte-level extraction. Shrinks
+    the pixel stage's no-oracle surface to the PSNR math alone."""
+    from mdvalidate_spark.operators.pixel import pixel_check_results
+    from mdvalidate_spark.spec import PixelRule
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+    v = (F.col("doc_id") % 3).cast("int")
+    m = F.col("doc_id") % 7
+    body = F.element_at(F.array(*[F.lit(b) for b, _ in _MDV_PAT]), v + 1)
+    ph = F.element_at(
+        F.array(*[F.lit(p).cast("long") for _, p in _MDV_PAT]), v + 1
+    )
+    hex_full = F.concat(
+        F.when(m == 3, F.lit("58585800"))
+        .when(m == 4, F.lit("4D445601"))
+        .otherwise(F.lit("4D445600")),
+        F.lit("20000100"),
+        body,
+    )
+    hex_str = F.when(m == 2, F.substring(hex_full, 1, 10)).otherwise(hex_full)
+    df = docs.select(
+        F.col("doc_id").cast("string").alias("image_id"),
+        F.unhex(hex_str).alias("bytes"),
+        F.when(m == 5, F.lit(33)).otherwise(F.lit(32)).cast("int").alias("w"),
+        F.lit(1).cast("int").alias("h"),
+        F.lit("png").alias("fmt"),
+        F.when(m == 6, ph + 1).otherwise(ph).alias("phash"),
+        m.alias("cls"),
+        (F.col("doc_id") % 8).cast("int").alias("partition_id"),
+    )
+    checks = pixel_check_results(df, PixelRule("px"), "image_id")
+
+    def _u8(off):
+        return F.conv(
+            F.hex(F.substring(F.col("bytes"), off + 1, 1)), 16, 10
+        ).cast("int")
+
+    hdr = df.select(
+        "image_id",
+        "cls",
+        F.when(
+            (F.octet_length("bytes") >= 8)
+            & ((_u8(4) + 256 * _u8(5)) == F.col("w"))
+            & ((_u8(6) + 256 * _u8(7)) == F.col("h")),
+            1,
+        )
+        .otherwise(0)
+        .alias("agree"),
+    )
+    outcome = (
+        F.when(F.col("ok"), F.lit("ok"))
+        .when(F.col("expected") == "decodable", F.lit("decode_error"))
+        .when(F.col("expected").startswith("payload fmt"), F.lit("fmt_mismatch"))
+        .when(F.col("expected").startswith("dims"), F.lit("dims_mismatch"))
+        .when(F.col("expected").startswith("phash"), F.lit("phash_mismatch"))
+        .otherwise(F.lit("pixel_fail"))
+    )
+    return (
+        checks.join(hdr, "image_id")
+        .select(F.col("cls").alias("class"), outcome.alias("outcome"), "agree")
+        .groupBy("class", "outcome")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("agree").alias("n_hdr_dims_agree"),
+        )
+    )
+
+
 def q_drift_ref_embeddings(spark, sf_dir):
     """Two-table drift over an EMBEDDING column: the drifting quantity is a
     coordinate projection (element_at(embedding, 1)) computed by
@@ -1724,6 +1815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- round 4: new/rewritten ------------------------------------
         "drift_ratchet_orders": q_drift_ratchet_orders,
+        "pixel_manifest_documents": q_pixel_manifest_documents,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
         "dup_clusters_documents": q_dup_clusters_documents,
         "embedding_clusters": q_embedding_clusters,
@@ -3370,6 +3462,60 @@ SELECT 'ks_value', 'n_current', CAST((SELECT count(*) FROM b) AS DOUBLE)
         # strictly-increasing dedupe, interior edges, bin = #(edges < x)),
         # per-side densities, PSI/KS with eps 1e-6 — plus the categorical
         # branch: ref top-K categories (count desc, value asc) + __other__
+        "pixel_manifest_documents": """
+WITH pat(v, body, phash) AS (VALUES
+    (0, '78010160009FFFFFE42200F3BD0083660052C100965100CD180008F600E724006FAC00AEB000F2A900CD3F002FD400487000DE45005F6C006DEE00335100D3CA00CA410046C1002AFA00A40200B28C0002F300321D0007350097DD003CE600A49C00D69A00C389D22E22F8', CAST(-7995527694508729151 AS BIGINT)),
+    (1, '78010160009FFF00586BFF480300426400FB1B00EA69001EB100691F0071D0006F86009DCD0017D500BA550030A000692C00D0530082BA00FB2B00E44800309F0056E100161E006DE4008E7A00644600C98B00B28700A8B900424E00A4F00082D5004201006A26F73D1F9E', CAST(-7541218347953203506 AS BIGINT)),
+    (2, '78010160009FFFFFC2BEFF931A0015F500EF2D009D9F0036EC002EC70020CD00078600399200950E00160A00D01800072900553B00E16E00C908001A1B007A2100C94300A6E40032B300B189000DBC00405E00089C001D9D00BE7300872700ED7F00E3A800498402851E62', CAST(2092789425003139053 AS BIGINT))),
+docs AS (SELECT doc_id, doc_id % 3 AS v, doc_id % 7 AS m FROM documents),
+blobs AS (
+  SELECT d.doc_id, d.m, p.body AS valid_body, p.phash AS pat_phash,
+         CASE WHEN d.m = 2
+              THEN substr('4D445600' || '20000100' || p.body, 1, 10)
+              WHEN d.m = 3 THEN '58585800' || '20000100' || p.body
+              WHEN d.m = 4 THEN '4D445601' || '20000100' || p.body
+              ELSE '4D445600' || '20000100' || p.body END AS hx,
+         CASE WHEN d.m = 5 THEN 33 ELSE 32 END AS w_col,
+         1 AS h_col,
+         'png' AS fmt_col,
+         CASE WHEN d.m = 6 THEN p.phash + 1 ELSE p.phash END AS ph_col
+  FROM docs d JOIN pat p ON p.v = d.v
+),
+ext AS (
+  SELECT *,
+         len(hx) / 2 AS nbytes,
+         substr(hx, 1, 6) AS magic,
+         (strpos('0123456789ABCDEF', substr(hx, 7, 1)) - 1) * 16
+           + strpos('0123456789ABCDEF', substr(hx, 8, 1)) - 1 AS code,
+         (strpos('0123456789ABCDEF', substr(hx, 9, 1)) - 1) * 16
+           + strpos('0123456789ABCDEF', substr(hx, 10, 1)) - 1
+           + 256 * ((strpos('0123456789ABCDEF', substr(hx, 11, 1)) - 1) * 16
+                    + strpos('0123456789ABCDEF', substr(hx, 12, 1)) - 1) AS hdr_w,
+         (strpos('0123456789ABCDEF', substr(hx, 13, 1)) - 1) * 16
+           + strpos('0123456789ABCDEF', substr(hx, 14, 1)) - 1
+           + 256 * ((strpos('0123456789ABCDEF', substr(hx, 15, 1)) - 1) * 16
+                    + strpos('0123456789ABCDEF', substr(hx, 16, 1)) - 1) AS hdr_h,
+         substr(hx, 17) AS body_hx
+  FROM blobs
+),
+verdict AS (
+  SELECT m,
+         CASE WHEN nbytes < 8 OR magic <> '4D4456' THEN 'decode_error'
+              WHEN code NOT IN (0, 1, 2) THEN 'decode_error'
+              WHEN body_hx <> valid_body THEN 'decode_error'
+              WHEN (CASE code WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                    ELSE 'webp' END) <> fmt_col THEN 'fmt_mismatch'
+              WHEN hdr_w <> w_col OR hdr_h <> h_col THEN 'dims_mismatch'
+              WHEN pat_phash <> ph_col THEN 'phash_mismatch'
+              ELSE 'ok' END AS outcome,
+         CASE WHEN nbytes >= 8 AND hdr_w = w_col AND hdr_h = h_col
+              THEN 1 ELSE 0 END AS agree
+  FROM ext
+)
+SELECT m AS class, outcome, count(*) AS n,
+       CAST(sum(agree) AS BIGINT) AS n_hdr_dims_agree
+FROM verdict GROUP BY 1, 2
+""",
         "drift_ratchet_orders": f"""
 WITH refs AS (
   SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
