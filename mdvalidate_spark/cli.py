@@ -96,6 +96,16 @@ def parse_args(argv=None):
         help="with --suggest-key: allow overwriting an existing --spec file "
         "(without it, suggestion mode refuses to clobber a curated spec)",
     )
+    p.add_argument(
+        "--suggest-drift",
+        default=None,
+        metavar="SNAPSHOT_DIR",
+        help="with --suggest-key: also draft PSI drift gates against a "
+        "persisted profile snapshot (operators/drift.py profile_snapshot) "
+        "written to SNAPSHOT_DIR as parquet. Later validation runs pass "
+        "--dim suggest_profile=SNAPSHOT_DIR — the profiled table is never "
+        "rescanned.",
+    )
     return p.parse_args(argv)
 
 
@@ -240,8 +250,20 @@ def _suggest_main(args) -> int:
                 file=sys.stderr,
             )
             return 2
-        spec = suggest_spec(df, args.suggest_key, exact=args.suggest_exact)
+        spec = suggest_spec(
+            df,
+            args.suggest_key,
+            exact=args.suggest_exact,
+            drift=args.suggest_drift is not None,
+        )
         save_spec(spec, args.spec)
+        if args.suggest_drift is not None:
+            from .operators.suggest import suggest_profile_snapshot
+            from .sources.table_io import write_table
+
+            snap = suggest_profile_snapshot(df, spec)
+            write_table(snap, args.suggest_drift, mode="overwrite")
+            print(f"profile snapshot -> {args.suggest_drift}")
         print(f"suggested {len(spec.rules)} rule(s) -> {args.spec}")
         for r in spec.rules:
             print(f"  {r.id} ({r.kind})")

@@ -294,3 +294,47 @@ def test_round3_fields_round_trip():
     assert loaded.rules[0].max_violation_rate == 0.05
     assert loaded.rules[1].reference == "yday"
     assert loaded.rules[2].fact_keys() == ("a", "b")
+
+
+def test_cli_suggest_drift_ratchet_loop(spark, tmp_path, capsys):
+    """Full CLI drift-ratchet loop (VERDICT r3 #3): --suggest-drift drafts
+    PSI gates + persists the profile snapshot; a validate run with
+    --dim suggest_profile=<snapshot> is clean on the profiled table and
+    fires on a shifted one — the profiled table itself is never re-read."""
+    from pyspark.sql import functions as F
+
+    from mdvalidate_spark import cli
+
+    table = str(tmp_path / "base")
+    spark.range(3000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("image_id"),
+        (F.col("id") % 89).cast("double").alias("v"),
+    ).write.parquet(table)
+    shifted = str(tmp_path / "shifted")
+    spark.read.parquet(table).select(
+        "image_id", (F.col("v") * 3 + 40).alias("v")
+    ).write.parquet(shifted)
+    specp = str(tmp_path / "drafted.json")
+    snapp = str(tmp_path / "snap")
+
+    code = cli.main(
+        ["--spec", specp, "--table", table, "--suggest-key", "image_id",
+         "--suggest-exact", "--suggest-drift", snapp, "--master", "local[4]"]
+    )
+    assert code == 0
+    out = capsys.readouterr().out
+    assert "profile snapshot ->" in out and "suggest_drift_v (drift)" in out
+
+    # clean on the profiled table
+    assert cli.main(
+        ["--spec", specp, "--table", table,
+         "--dim", f"suggest_profile={snapp}", "--master", "local[4]"]
+    ) == 0
+    # fires on the shifted table (range/p99 gates fire too — exit 1 suffices
+    # plus the drift rule's own violation in stderr-free stdout counts)
+    code = cli.main(
+        ["--spec", specp, "--table", shifted,
+         "--dim", f"suggest_profile={snapp}", "--master", "local[4]"]
+    )
+    assert code == 1
+    assert "suggest_drift_v" in capsys.readouterr().out
