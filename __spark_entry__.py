@@ -1587,6 +1587,39 @@ def q_text_profile_documents(spark, sf_dir):
     return T.text_profile(docs, "text", "doc_id")
 
 
+def _augment_multiline(docs):
+    """De-vacuate line-based repetition metrics: the fixture's documents are
+    single-line, so deterministically split them on a literal (' table ' →
+    newline) and append a REPEATED footer line — the classic boilerplate
+    shape the Gopher dup-line gates exist to catch. Pure literal replace,
+    identical semantics in Spark and DuckDB."""
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.replace(F.col("text"), F.lit(" table "), F.lit("\n")),
+            F.lit("\nfooter line\nfooter line"),
+        ).alias("text"),
+    )
+
+
+def q_repetition_documents(spark, sf_dir):
+    """Gopher-family repetition profile (dup word/line fractions, top n-gram
+    char coverage) — pure column algebra, one scan, value-checked against a
+    DuckDB list-lambda re-derivation."""
+    docs = _load(spark, sf_dir, "documents")
+    return T.repetition_profile(_augment_multiline(docs), "text", "doc_id")
+
+
+def q_repetition_gate_documents(spark, sf_dir):
+    """Gopher repetition QUALITY GATE: violation rows for docs exceeding the
+    published thresholds (with the min-length pre-filter), same one-scan
+    plan as the profile."""
+    docs = _load(spark, sf_dir, "documents")
+    return T.repetition_violations(
+        _augment_multiline(docs), "text", "doc_id", min_words=20
+    )
+
+
 def q_lang_confusion_documents(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents")
     return (
@@ -1814,6 +1847,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries touched this round must come first, stable legacy last.
     return {
         # -- round 4: new/rewritten ------------------------------------
+        "repetition_documents": q_repetition_documents,
+        "repetition_gate_documents": q_repetition_gate_documents,
         "drift_ratchet_orders": q_drift_ratchet_orders,
         "pixel_manifest_documents": q_pixel_manifest_documents,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
@@ -2387,6 +2422,86 @@ SELECT doc_id,
        md5({norm}) AS fp_md5
 FROM documents
 """
+
+
+def _repetition_sql() -> str:
+    """DuckDB replica of repetition_profile over the SAME deterministic
+    multiline augmentation: the Spark side computes run-lengths with a
+    linear sorted-array walk; the oracle re-derives identical values with
+    the O(distinct × n) list-lambda formulation (fine at oracle scale)."""
+    norm = _NORM.format(t="text")
+    toks = f"list_filter(string_split({norm}, ' '), x -> len(x) > 0)"
+    lines = (
+        "list_filter(string_split_regex(coalesce(text, ''), '\\r?\\n'), "
+        "x -> len(x) > 0)"
+    )
+
+    def grams(k: int) -> str:
+        return (
+            f"CASE WHEN len(toks) < {k} THEN []::VARCHAR[] "
+            f"ELSE list_transform(range(1, len(toks) - {k} + 2), "
+            f"i -> array_to_string(toks[i:i+{k}-1], ' ')) END"
+        )
+
+    def frac(num: str, den: str) -> str:
+        return f"round(CASE WHEN {den} > 0 THEN ({num}) * 1.0 / ({den}) ELSE 0.0 END, 6)"
+
+    top_word = (
+        "coalesce(list_max(list_transform(list_distinct(toks), "
+        "w -> len(list_filter(toks, x -> x = w)))), 0)"
+    )
+
+    def top_gram_chars(g: str) -> str:
+        return (
+            f"coalesce(list_max(list_transform(list_distinct({g}), "
+            f"g -> len(list_filter({g}, x -> x = g)) * len(g))), 0)"
+        )
+
+    dup_line_chars = (
+        "coalesce(list_sum(list_transform(list_distinct(lns), "
+        "l -> (len(list_filter(lns, x -> x = l)) - 1) * len(l))), 0)"
+    )
+    line_chars = "coalesce(list_sum(list_transform(lns, x -> len(x))), 0)"
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         replace(text, ' table ', chr(10)) || chr(10) ||
+         'footer line' || chr(10) || 'footer line' AS text
+  FROM documents
+),
+arrs AS (
+  SELECT doc_id, {toks} AS toks, {lines} AS lns, len({norm}) AS norm_len
+  FROM aug
+)
+SELECT doc_id,
+       len(toks) AS n_words,
+       len(lns) AS n_lines,
+       {frac("len(toks) - len(list_distinct(toks))", "len(toks)")} AS dup_word_frac,
+       {frac(top_word, "len(toks)")} AS top_word_frac,
+       {frac(top_gram_chars(grams(2)), "norm_len")} AS top_2gram_char_frac,
+       {frac(top_gram_chars(grams(3)), "norm_len")} AS top_3gram_char_frac,
+       {frac("len(lns) - len(list_distinct(lns))", "len(lns)")} AS dup_line_frac,
+       {frac(dup_line_chars, line_chars)} AS dup_line_char_frac
+FROM arrs
+"""
+
+
+def _repetition_gate_sql() -> str:
+    gates = (
+        ("dup_line_frac", 0.3),
+        ("dup_line_char_frac", 0.2),
+        ("top_2gram_char_frac", 0.2),
+        ("top_3gram_char_frac", 0.18),
+    )
+    arms = [
+        f"""
+SELECT doc_id, 'repetition_{m}' AS rule_id, '{m}' AS "column",
+       '{m} <= {thr}' AS expected, printf('%.6f', {m}) AS actual,
+       'repetition' AS kind
+FROM prof WHERE n_words >= 20 AND {m} > {thr}"""
+        for m, thr in gates
+    ]
+    return f"WITH prof AS ({_repetition_sql()})" + "\nUNION ALL".join(arms)
 
 
 def _shingles_sql(t: str, k: int = 3) -> str:
@@ -3243,6 +3358,8 @@ SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS VARCHAR) AS win_start,
        count(*) AS n
 FROM events GROUP BY 1 HAVING count(*) > 25
 """,
+        "repetition_documents": _repetition_sql(),
+        "repetition_gate_documents": _repetition_gate_sql(),
         "text_profile_documents": _text_profile_sql(),
         "lang_confusion_documents": f"""
 SELECT lang, {_lang_sql('text')} AS lang_pred, count(*) AS n

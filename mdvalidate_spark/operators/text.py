@@ -167,3 +167,199 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         lang_id(t).alias("lang_pred"),
         fingerprint_md5(t).alias("fp_md5"),
     )
+
+
+# --------------------------------------------------- repetition signals
+# The Gopher-family repetition filters (Rae et al. 2021 §A1.1; reused by
+# RefinedWeb/Dolma/FineWeb): machine-generated and boilerplate web text is
+# dominated by repeated lines and repeated word n-grams, and the standard
+# gates are "fraction of duplicate lines", "fraction of characters in
+# duplicate lines", and "fraction of characters in the most frequent word
+# n-gram". Every signal below is pure column algebra over per-document
+# arrays — sort_array + a single linear F.aggregate run-length walk instead
+# of a per-doc explode+groupBy, so the whole profile is ONE narrow scan
+# with no shuffle and no Python: at 100 TB it runs at parquet-scan speed
+# and parallelizes per-row regardless of skew.
+
+
+def doc_lines(text: Column) -> Column:
+    """Non-empty lines, CRLF-safe (split on ``\\r?\\n``, drop empties)."""
+    parts = F.split(F.coalesce(text, F.lit("")), "\\r?\\n")
+    return F.filter(parts, lambda x: F.length(x) > 0)
+
+
+def words(text: Column) -> Column:
+    """Words of the normalized text (lowercased, whitespace-collapsed)."""
+    parts = F.split(normalize_text(text), " ")
+    return F.filter(parts, lambda x: F.length(x) > 0)
+
+
+def word_ngrams(ws: Column, k: int) -> Column:
+    """All word k-grams (NOT distinct — counts matter here), built from
+    array primitives like shingles()."""
+    n = F.size(ws)
+    idx = F.when(n < k, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(1), n - (k - 1))
+    )
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, k)))
+
+
+def _run_state(prev: Column, run: Column, best: Column) -> Column:
+    return F.struct(prev.alias("prev"), run.alias("run"), best.alias("best"))
+
+
+def max_run(arr: Column) -> Column:
+    """Length of the longest equal-adjacent run in the SORTED array — i.e.
+    the count of the most frequent element. Linear single pass, no explode."""
+    init = _run_state(
+        F.lit(None).cast("string"), F.lit(0).cast("long"), F.lit(0).cast("long")
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + F.lit(1).cast("long")).otherwise(
+            F.lit(1).cast("long")
+        )
+        return _run_state(x, run, F.greatest(acc["best"], run))
+
+    return F.aggregate(F.sort_array(arr), init, step, lambda acc: acc["best"])
+
+
+def max_run_chars(arr: Column) -> Column:
+    """Max over elements of (occurrence count × element length) in the
+    SORTED array — the "characters covered by the most repeated n-gram"
+    numerator. Same linear walk as max_run with a weighted best."""
+    init = _run_state(
+        F.lit(None).cast("string"), F.lit(0).cast("long"), F.lit(0).cast("long")
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + F.lit(1).cast("long")).otherwise(
+            F.lit(1).cast("long")
+        )
+        cand = run * F.length(x).cast("long")
+        return _run_state(x, run, F.greatest(acc["best"], cand))
+
+    return F.aggregate(F.sort_array(arr), init, step, lambda acc: acc["best"])
+
+
+def dup_chars(arr: Column) -> Column:
+    """Characters contained in the 2nd..nth occurrences of repeated elements
+    (the "characters in duplicate lines" numerator): linear walk over the
+    sorted array adding len(x) whenever x repeats its predecessor."""
+    init = _run_state(
+        F.lit(None).cast("string"), F.lit(0).cast("long"), F.lit(0).cast("long")
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        dup = F.when(
+            x == acc["prev"], acc["best"] + F.length(x).cast("long")
+        ).otherwise(acc["best"])
+        return _run_state(x, acc["run"], dup)
+
+    return F.aggregate(F.sort_array(arr), init, step, lambda acc: acc["best"])
+
+
+def _frac(num: Column, den: Column) -> Column:
+    return F.round(
+        F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(F.lit(0.0)),
+        6,
+    )
+
+
+def repetition_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition signals (Gopher §A1.1 family), one scan:
+
+    - dup_word_frac:       fraction of word occurrences that are repeats
+    - top_word_frac:       frequency of the most common word
+    - top_2gram_char_frac: chars covered by the most frequent word 2-gram /
+                           chars of normalized text
+    - top_3gram_char_frac: same for 3-grams
+    - dup_line_frac:       fraction of non-empty lines that are repeats
+    - dup_line_char_frac:  chars in repeated line occurrences / line chars
+
+    All fractions are 0.0 on empty/degenerate inputs and rounded to 6 dp so
+    the DuckDB oracle reproduces them bit-for-bit."""
+    t = F.col(text_col)
+    ws = words(t)
+    ls = doc_lines(t)
+    norm_len = F.length(normalize_text(t))
+    line_chars = F.aggregate(
+        ls, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x).cast("long")
+    )
+    n_words = F.size(ws)
+    n_lines = F.size(ls)
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_lines.alias("n_lines"),
+        _frac(n_words - F.size(F.array_distinct(ws)), n_words).alias("dup_word_frac"),
+        _frac(max_run(ws), n_words).alias("top_word_frac"),
+        _frac(max_run_chars(word_ngrams(ws, 2)), norm_len).alias(
+            "top_2gram_char_frac"
+        ),
+        _frac(max_run_chars(word_ngrams(ws, 3)), norm_len).alias(
+            "top_3gram_char_frac"
+        ),
+        _frac(n_lines - F.size(F.array_distinct(ls)), n_lines).alias("dup_line_frac"),
+        _frac(dup_chars(ls), line_chars).alias("dup_line_char_frac"),
+    )
+
+
+#: Gopher-ish default gates (Rae et al. 2021 table A1); None disables a gate
+REPETITION_GATES: dict[str, float] = {
+    "dup_line_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+}
+
+
+def repetition_violations(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gates: dict[str, float] | None = None,
+    min_words: int = 20,
+) -> DataFrame:
+    """Quality-filter verdicts in the engine's violation-row shape: one row
+    per (document, exceeded gate). Same plan as repetition_profile plus a
+    codegen'd threshold array — still one scan, no shuffle; the common case
+    (clean doc) emits nothing.
+
+    ``min_words`` mirrors Gopher's length pre-filter: a 5-word caption's top
+    2-gram trivially covers >20% of its characters, so repetition gates are
+    meaningless below a floor — short docs emit no violations (gate them
+    with word-count rules instead)."""
+    gates = REPETITION_GATES if gates is None else gates
+    prof = repetition_profile(df, text_col, id_col).where(
+        F.col("n_words") >= min_words
+    )
+    checks = [
+        F.when(
+            F.col(m) > F.lit(thr),
+            F.struct(
+                F.lit(f"repetition_{m}").alias("rule_id"),
+                F.lit(m).alias("column"),
+                F.lit(f"{m} <= {thr}").alias("expected"),
+                F.format_number(F.col(m), 6).alias("actual"),
+                F.lit("repetition").alias("kind"),
+            ),
+        )
+        for m, thr in gates.items()
+        if thr is not None
+    ]
+    return (
+        prof.select(
+            F.col(id_col), F.explode(F.array_compact(F.array(*checks))).alias("v")
+        )
+        .select(
+            F.col(id_col),
+            F.col("v.rule_id").alias("rule_id"),
+            F.col("v.column").alias("column"),
+            F.col("v.expected").alias("expected"),
+            F.col("v.actual").alias("actual"),
+            F.col("v.kind").alias("kind"),
+        )
+    )

@@ -101,3 +101,97 @@ def test_profile_on_testdata_documents(spark):
     # profile is a single narrow pass: no shuffle, no Python
     plan = prof._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "PythonUDF" not in plan
+
+
+# ----------------------------------------------- repetition signals
+
+REP_DOCS = [
+    # "the cat" ×3 (2-gram run), "the" ×3 of 7 words
+    (1, "the cat the cat the cat sat"),
+    # 5 lines (x,y,x,z,x): 2 repeated lines, 2/5 of line chars duplicated
+    (2, "x\ny\nx\nz\nx\n"),
+    (3, ""),
+    (4, None),
+    (5, "unique words only here now"),
+    # CRLF twin of doc 2 must produce identical line metrics
+    (6, "x\r\ny\r\nx\r\nz\r\nx\r\n"),
+]
+
+
+@pytest.fixture(scope="module")
+def rep_docs(spark):
+    return spark.createDataFrame(REP_DOCS, "doc_id int, text string")
+
+
+def rep_map(df):
+    return {
+        r["doc_id"]: r for r in T.repetition_profile(df, "text", "doc_id").collect()
+    }
+
+
+def test_repetition_word_signals(spark, rep_docs):
+    p = rep_map(rep_docs)
+    d = p[1]  # 7 words, distinct {the, cat, sat}; norm len 27
+    assert d["n_words"] == 7
+    assert d["dup_word_frac"] == pytest.approx((7 - 3) / 7, abs=1e-6)
+    assert d["top_word_frac"] == pytest.approx(3 / 7, abs=1e-6)
+    # "the cat" occurs 3× (7 chars) of 27 normalized chars
+    assert d["top_2gram_char_frac"] == pytest.approx(21 / 27, abs=1e-6)
+    # "cat the cat" occurs 2× (11 chars)
+    assert d["top_3gram_char_frac"] == pytest.approx(22 / 27, abs=1e-6)
+    assert p[5]["dup_word_frac"] == 0.0
+    assert p[5]["top_word_frac"] == pytest.approx(1 / 5, abs=1e-6)
+
+
+def test_repetition_line_signals(spark, rep_docs):
+    p = rep_map(rep_docs)
+    for i in (2, 6):  # LF and CRLF twins agree exactly
+        d = p[i]
+        assert d["n_lines"] == 5
+        assert d["dup_line_frac"] == pytest.approx(2 / 5, abs=1e-6)
+        assert d["dup_line_char_frac"] == pytest.approx(2 / 5, abs=1e-6)
+    assert p[1]["dup_line_frac"] == 0.0  # single line, no repeats
+
+
+def test_repetition_empty_and_null(spark, rep_docs):
+    p = rep_map(rep_docs)
+    for i in (3, 4):
+        assert p[i]["n_words"] == 0 and p[i]["n_lines"] == 0
+        for m in (
+            "dup_word_frac",
+            "top_word_frac",
+            "top_2gram_char_frac",
+            "top_3gram_char_frac",
+            "dup_line_frac",
+            "dup_line_char_frac",
+        ):
+            assert p[i][m] == 0.0
+
+
+def test_repetition_gate_min_words(spark, rep_docs):
+    # every doc is shorter than the Gopher floor → no violations at all
+    assert T.repetition_violations(rep_docs, "text", "doc_id").count() == 0
+    # drop the floor: the boilerplate docs trip their gates
+    rows = T.repetition_violations(
+        rep_docs, "text", "doc_id", min_words=1
+    ).collect()
+    by_rule = {(r["doc_id"], r["rule_id"]) for r in rows}
+    assert (2, "repetition_dup_line_frac") in by_rule
+    assert (2, "repetition_dup_line_char_frac") in by_rule
+    assert (1, "repetition_top_2gram_char_frac") in by_rule
+    # custom gate dict: only the named gates are evaluated
+    only = T.repetition_violations(
+        rep_docs, "text", "doc_id", gates={"dup_line_frac": 0.3}, min_words=1
+    ).collect()
+    assert {r["rule_id"] for r in only} == {"repetition_dup_line_frac"}
+    assert all(r["kind"] == "repetition" for r in only)
+
+
+def test_repetition_plan_is_one_narrow_pass(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    prof = T.repetition_profile(docs)
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "PythonUDF" not in plan
+    gate = T.repetition_violations(docs)
+    plan = gate._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "PythonUDF" not in plan
