@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from mdvalidate_spark.compile import compile_spec
 from mdvalidate_spark.operators import dedup as D
 from mdvalidate_spark.operators import similarity as S
+from mdvalidate_spark.operators import pii as PII
 from mdvalidate_spark.operators import text as T
 from mdvalidate_spark.operators.agg_rules import (
     count_violations,
@@ -1620,6 +1621,59 @@ def q_repetition_gate_documents(spark, sf_dir):
     )
 
 
+def _augment_pii(docs):
+    """De-vacuate PII detection: the fixture's documents are synthetic prose
+    with no identifiers, so deterministically plant typed PII by doc_id
+    residue (email %5, phone %7, ipv4 %11, ssn+url %13 — residues overlap so
+    some docs carry several kinds). Pure string concat, identical in Spark
+    and DuckDB."""
+    d = F.col("doc_id")
+    s = d.cast("string")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 5 == 0,
+                F.concat(F.lit(" contact user"), s, F.lit("@example.com now")),
+            ).otherwise(F.lit("")),
+            F.when(d % 7 == 0, F.lit(" call (415) 555-0199")).otherwise(F.lit("")),
+            F.when(
+                d % 11 == 0,
+                F.concat(F.lit(" from 10.0."), (d % 256).cast("string"), F.lit(".1")),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 13 == 0,
+                F.concat(F.lit(" ref 123-45-6789 or https://example.org/d/"), s),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def q_pii_documents(spark, sf_dir):
+    """Typed PII counts per document (email/ipv4/phone/ssn/cc/url) — one
+    codegen'd scan of regexp_extract_all counts, value-checked against
+    DuckDB's RE2 on the same planted-PII augmentation."""
+    docs = _load(spark, sf_dir, "documents")
+    return PII.pii_profile(_augment_pii(docs), "text", "doc_id")
+
+
+def q_pii_gate_documents(spark, sf_dir):
+    """PII QUALITY GATE: violation rows (rule_id/expected/actual/kind) for
+    documents carrying any non-URL PII, same single-scan plan."""
+    docs = _load(spark, sf_dir, "documents")
+    return PII.pii_violations(_augment_pii(docs), "text", "doc_id")
+
+
+def q_pii_redact_documents(spark, sf_dir):
+    """Redaction transform verdict: md5 of the scrubbed text per document,
+    byte-compared against DuckDB's global-flag regexp_replace chain."""
+    docs = _load(spark, sf_dir, "documents")
+    return _augment_pii(docs).select(
+        "doc_id", F.md5(PII.redact(F.col("text"))).alias("red_md5")
+    )
+
+
 def q_lang_confusion_documents(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents")
     return (
@@ -1847,6 +1901,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries touched this round must come first, stable legacy last.
     return {
         # -- round 4: new/rewritten ------------------------------------
+        "pii_documents": q_pii_documents,
+        "pii_gate_documents": q_pii_gate_documents,
+        "pii_redact_documents": q_pii_redact_documents,
         "repetition_documents": q_repetition_documents,
         "repetition_gate_documents": q_repetition_gate_documents,
         "drift_ratchet_orders": q_drift_ratchet_orders,
@@ -2502,6 +2559,70 @@ FROM prof WHERE n_words >= 20 AND {m} > {thr}"""
         for m, thr in gates
     ]
     return f"WITH prof AS ({_repetition_sql()})" + "\nUNION ALL".join(arms)
+
+
+_PII_AUG = """
+SELECT doc_id,
+       text
+       || CASE WHEN doc_id % 5 = 0
+               THEN ' contact user' || doc_id || '@example.com now' ELSE '' END
+       || CASE WHEN doc_id % 7 = 0 THEN ' call (415) 555-0199' ELSE '' END
+       || CASE WHEN doc_id % 11 = 0
+               THEN ' from 10.0.' || (doc_id % 256) || '.1' ELSE '' END
+       || CASE WHEN doc_id % 13 = 0
+               THEN ' ref 123-45-6789 or https://example.org/d/' || doc_id
+               ELSE '' END AS text
+FROM documents
+"""
+
+
+def _pii_profile_sql() -> str:
+    """DuckDB replica of pii_profile over the SAME planted-PII augmentation.
+    Patterns come from the operator module itself (PII.PII_PATTERNS) so the
+    oracle and the engine cannot drift."""
+    counts = {
+        name: (
+            "CAST(len(regexp_extract_all(coalesce(text, ''), "
+            f"'{pat.replace(chr(39), chr(39) * 2)}')) AS BIGINT)"
+        )
+        for name, pat, _ in PII.PII_PATTERNS
+    }
+    total = " + ".join(counts[n] for n in PII.PII_KINDS if n != "url")
+    cols = ",\n       ".join(f"{counts[n]} AS n_{n}" for n in PII.PII_KINDS)
+    return f"""
+WITH aug AS ({_PII_AUG})
+SELECT doc_id,
+       {cols},
+       {total} AS pii_total
+FROM aug
+"""
+
+
+def _pii_gate_sql() -> str:
+    detail = ", ".join(
+        f"CASE WHEN n_{n} > 0 THEN '{n}=' || n_{n} END"
+        for n in PII.PII_KINDS
+        if n != "url"
+    )
+    return f"""
+WITH prof AS ({_pii_profile_sql()})
+SELECT doc_id, 'pii_max_total' AS rule_id, 'text' AS "column",
+       'pii_total <= 0' AS expected,
+       pii_total || ' (' || concat_ws(',', {detail}) || ')' AS actual,
+       'pii' AS kind
+FROM prof WHERE pii_total > 0
+"""
+
+
+def _pii_redact_sql() -> str:
+    expr = "coalesce(text, '')"
+    for _, pat, token in PII.PII_PATTERNS:
+        lit = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{lit}', '{token}', 'g')"
+    return f"""
+WITH aug AS ({_PII_AUG})
+SELECT doc_id, md5({expr}) AS red_md5 FROM aug
+"""
 
 
 def _shingles_sql(t: str, k: int = 3) -> str:
@@ -3358,6 +3479,9 @@ SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS VARCHAR) AS win_start,
        count(*) AS n
 FROM events GROUP BY 1 HAVING count(*) > 25
 """,
+        "pii_documents": _pii_profile_sql(),
+        "pii_gate_documents": _pii_gate_sql(),
+        "pii_redact_documents": _pii_redact_sql(),
         "repetition_documents": _repetition_sql(),
         "repetition_gate_documents": _repetition_gate_sql(),
         "text_profile_documents": _text_profile_sql(),

@@ -1,0 +1,108 @@
+"""PII detection/redaction: pinned values on crafted strings, DuckDB regex
+parity probes, plan shape (one narrow scan, no shuffle, no Python)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from mdvalidate_spark.operators import pii as P
+
+DOCS = [
+    (1, "reach me at jane.doe+x@sub.example.org or bob@corp.io today"),
+    (2, "server 10.0.0.1 and 192.168.254.3 are up, version 1.2.3 too"),
+    (3, "call +1 555 123 4567 or (415) 555-0199 after lunch"),
+    (4, "ssn 123-45-6789 card 4111 1111 1111 1111 and 4111-1111-1111-1111"),
+    (5, "see https://example.com/a?b=c#d and http://x.io/y, then stop"),
+    (6, "clean text with no identifiers at all"),
+    (7, ""),
+    (8, None),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id int, text string")
+
+
+@pytest.fixture(scope="module")
+def prof(docs):
+    return {r["doc_id"]: r for r in P.pii_profile(docs).collect()}
+
+
+def test_email_counts(prof):
+    assert prof[1]["n_email"] == 2
+    assert prof[6]["n_email"] == 0
+
+
+def test_ipv4_counts(prof):
+    # version string "1.2.3" must NOT count; the two dotted quads must
+    assert prof[2]["n_ipv4"] == 2
+
+
+def test_phone_counts(prof):
+    assert prof[3]["n_phone"] == 2
+
+
+def test_ssn_cc_counts(prof):
+    d = prof[4]
+    assert d["n_ssn"] == 1
+    assert d["n_cc"] == 2
+
+
+def test_url_counts_and_total(prof):
+    assert prof[5]["n_url"] == 2
+    # URLs excluded from pii_total
+    assert prof[5]["pii_total"] == 0
+    assert prof[1]["pii_total"] == 2
+    for i in (6, 7, 8):
+        assert prof[i]["pii_total"] == 0 and prof[i]["n_url"] == 0
+
+
+def test_redaction(spark, docs):
+    red = {
+        r["doc_id"]: r["red"]
+        for r in docs.select("doc_id", P.redact(F.col("text")).alias("red")).collect()
+    }
+    assert red[1] == "reach me at <EMAIL> or <EMAIL> today"
+    assert red[2] == "server <IP> and <IP> are up, version 1.2.3 too"
+    assert red[3] == "call <PHONE> or <PHONE> after lunch"
+    assert red[4] == "ssn <SSN> card <CC> and <CC>"
+    assert red[5] == "see <URL> and <URL>, then stop"
+    assert red[6] == DOCS[5][1]
+    assert red[8] == ""
+
+
+def test_violations_shape(spark, docs):
+    rows = P.pii_violations(docs).collect()
+    assert {r["doc_id"] for r in rows} == {1, 2, 3, 4}
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[4]["actual"] == "3 (ssn=1,cc=2)"
+    assert by_id[2]["actual"] == "2 (ipv4=2)"
+    assert all(r["rule_id"] == "pii_max_total" and r["kind"] == "pii" for r in rows)
+    # raising the threshold silences the 2-hit docs
+    assert {r["doc_id"] for r in P.pii_violations(docs, max_total=2).collect()} == {4}
+
+
+def test_duckdb_regex_parity(spark, docs):
+    """The oracle contract: DuckDB's RE2 must count the same spans as
+    Spark's Java regex for every pattern on every crafted doc."""
+    spark_counts = {
+        (r["doc_id"], name): r[f"n_{name}"]
+        for r in P.pii_profile(docs).collect()
+        for name in P.PII_KINDS
+    }
+    con = duckdb.connect()
+    for name, pat, _ in P.PII_PATTERNS:
+        for doc_id, text in DOCS:
+            got = con.execute(
+                "SELECT len(regexp_extract_all(coalesce(?, ''), ?))",
+                [text, pat],
+            ).fetchone()[0]
+            assert got == spark_counts[(doc_id, name)], (name, doc_id)
+
+
+def test_plan_is_one_narrow_pass(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for frame in (P.pii_profile(docs), P.pii_violations(docs)):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "PythonUDF" not in plan
