@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mdvalidate_spark.compile import compile_spec
+from mdvalidate_spark.operators import decontam as DC
 from mdvalidate_spark.operators import dedup as D
 from mdvalidate_spark.operators import similarity as S
 from mdvalidate_spark.operators import pii as PII
@@ -1621,6 +1622,25 @@ def q_repetition_gate_documents(spark, sf_dir):
     )
 
 
+def q_contamination_documents(spark, sf_dir):
+    """Benchmark decontamination report: corpus docs sharing word k-grams
+    with a small 'benchmark' subset (doc_id % 17), benchmark shingle set
+    broadcast, corpus side streaming. k=3 here because the fixture docs are
+    short synthetic prose; production decontamination uses k=13 via the same
+    parameter."""
+    docs = _load(spark, sf_dir, "documents")
+    bench = docs.where("doc_id % 17 = 0")
+    return DC.contamination(docs, bench, "text", "doc_id", k=3)
+
+
+def q_contamination_gate_documents(spark, sf_dir):
+    """Decontamination QUALITY GATE: violation rows for docs sharing ≥2
+    distinct 3-grams with the benchmark subset."""
+    docs = _load(spark, sf_dir, "documents")
+    bench = docs.where("doc_id % 17 = 0")
+    return DC.contamination_violations(docs, bench, "text", "doc_id", k=3, min_hits=2)
+
+
 def _augment_pii(docs):
     """De-vacuate PII detection: the fixture's documents are synthetic prose
     with no identifiers, so deterministically plant typed PII by doc_id
@@ -1901,6 +1921,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries touched this round must come first, stable legacy last.
     return {
         # -- round 4: new/rewritten ------------------------------------
+        "contamination_documents": q_contamination_documents,
+        "contamination_gate_documents": q_contamination_gate_documents,
         "pii_documents": q_pii_documents,
         "pii_gate_documents": q_pii_gate_documents,
         "pii_redact_documents": q_pii_redact_documents,
@@ -2559,6 +2581,39 @@ FROM prof WHERE n_words >= 20 AND {m} > {thr}"""
         for m, thr in gates
     ]
     return f"WITH prof AS ({_repetition_sql()})" + "\nUNION ALL".join(arms)
+
+
+def _contamination_sql() -> str:
+    """DuckDB replica of contamination(docs, docs where id%17=0, k=3): the
+    same distinct-shingle posting join, re-derived with list primitives."""
+    sh = _shingles_sql("text", 3)
+    return f"""
+WITH bpost AS (
+  SELECT DISTINCT doc_id AS bench_id, unnest({sh}) AS shingle
+  FROM documents WHERE doc_id % 17 = 0
+),
+post AS (
+  SELECT doc_id, unnest({sh}) AS shingle FROM documents
+)
+SELECT p.doc_id,
+       CAST(count(DISTINCT p.shingle) AS BIGINT) AS n_hit_grams,
+       CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs,
+       min(p.shingle) AS example_gram
+FROM post p JOIN bpost b USING (shingle)
+GROUP BY p.doc_id
+"""
+
+
+def _contamination_gate_sql(min_hits: int = 2) -> str:
+    return f"""
+WITH rep AS ({_contamination_sql()})
+SELECT doc_id, 'contamination_3gram' AS rule_id, 'text' AS "column",
+       'shared 3-grams < {min_hits}' AS expected,
+       n_hit_grams || ' grams across ' || n_bench_docs
+         || ' bench docs, e.g. ''' || example_gram || '''' AS actual,
+       'contamination' AS kind
+FROM rep WHERE n_hit_grams >= {min_hits}
+"""
 
 
 _PII_AUG = """
@@ -3479,6 +3534,8 @@ SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS VARCHAR) AS win_start,
        count(*) AS n
 FROM events GROUP BY 1 HAVING count(*) > 25
 """,
+        "contamination_documents": _contamination_sql(),
+        "contamination_gate_documents": _contamination_gate_sql(2),
         "pii_documents": _pii_profile_sql(),
         "pii_gate_documents": _pii_gate_sql(),
         "pii_redact_documents": _pii_redact_sql(),

@@ -1,0 +1,110 @@
+"""Benchmark decontamination: flag corpus documents that share word n-grams
+with an evaluation/benchmark set.
+
+The standard guard before training on web text (the GPT-3 appendix-C /
+Pile / FineWeb "13-gram decontamination" pattern): any document sharing a
+long-enough word n-gram with a benchmark document leaks eval data and must
+be dropped or stripped. It is the cross-SET cousin of the engine's n-gram
+Jaccard dedup (dedup.py) and reuses the same shingle kernel
+(text.shingles — array primitives, codegen, no UDF; the same regex/split
+primitives as the reference's matchers, walkers/validators/matchers.rs).
+
+Scale design (the asymmetry IS the design):
+
+- The benchmark side is small by nature (eval suites are MBs, not TBs) →
+  its distinct shingle set is computed once and **broadcast**; the 100 TB
+  corpus side then streams through a broadcast-hash semi-join at scan
+  speed — zero shuffle of corpus data, nothing to skew.
+- Corpus shingles are exploded to posting ROWS, never collected into
+  per-shingle arrays (the dedup.py count-first lesson): a boilerplate
+  shingle shared by 10⁹ docs costs rows, not one aggregation buffer.
+- Per-document outputs are fixed-width (counts + one example gram via
+  ``min``), so result size is O(contaminated docs) regardless of how hot
+  any single n-gram is.
+- ``broadcast_benchmark=False`` is the escape hatch for a genuinely huge
+  "benchmark" (e.g. decontaminating split A against split B): the same
+  plan runs as a shuffle hash join on the shingle key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import shingles
+
+
+def benchmark_shingles(
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 13,
+) -> DataFrame:
+    """Distinct (shingle, bench_id) posting rows of the benchmark set.
+    Precompute + persist this when decontaminating many corpus shards
+    against one benchmark."""
+    return benchmark.select(
+        F.col(id_col).alias("bench_id"),
+        F.explode(shingles(F.col(text_col), k)).alias("shingle"),
+    ).dropDuplicates(["shingle", "bench_id"])
+
+
+def contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 13,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Per-document contamination report: documents sharing ≥1 word k-gram
+    with the benchmark set.
+
+    Returns (id_col, n_hit_grams = distinct shared k-grams,
+    n_bench_docs = distinct benchmark docs hit, example_gram = lexicographic
+    min shared k-gram). Clean documents emit nothing.
+    """
+    bench = benchmark_shingles(benchmark, text_col, id_col, k)
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    postings = docs.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("shingle")
+    )
+    return (
+        postings.join(bench, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("shingle").alias("n_hit_grams"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+            F.min("shingle").alias("example_gram"),
+        )
+    )
+
+
+def contamination_violations(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 13,
+    min_hits: int = 1,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Engine-shape violation rows for contaminated documents (those with
+    at least ``min_hits`` distinct shared k-grams)."""
+    rep = contamination(docs, benchmark, text_col, id_col, k, broadcast_benchmark)
+    return rep.where(F.col("n_hit_grams") >= min_hits).select(
+        F.col(id_col),
+        F.lit(f"contamination_{k}gram").alias("rule_id"),
+        F.lit(text_col).alias("column"),
+        F.lit(f"shared {k}-grams < {min_hits}").alias("expected"),
+        F.concat(
+            F.col("n_hit_grams").cast("string"),
+            F.lit(" grams across "),
+            F.col("n_bench_docs").cast("string"),
+            F.lit(" bench docs, e.g. '"),
+            F.col("example_gram"),
+            F.lit("'"),
+        ).alias("actual"),
+        F.lit("contamination").alias("kind"),
+    )

@@ -1,0 +1,89 @@
+"""Decontamination: pinned values on crafted corpora, broadcast plan shape,
+and the non-broadcast escape hatch."""
+
+import pytest
+
+from mdvalidate_spark.operators import decontam as DC
+
+BENCH = [
+    (100, "the quick brown fox jumps over the lazy dog"),
+    (101, "pack my box with five dozen liquor jugs"),
+]
+
+CORPUS = [
+    # exact 3-gram overlap with bench 100 ("quick brown fox", ...)
+    (1, "a very quick brown fox indeed"),
+    # overlaps BOTH bench docs
+    (2, "the lazy dog can pack my box too"),
+    # no shared 3-gram (words shared, but never 3 in a row)
+    (3, "quick dog brown jumps fox lazy"),
+    (4, "completely unrelated text about spark plans"),
+    (5, ""),
+    (6, None),
+]
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    bench = spark.createDataFrame(BENCH, "doc_id int, text string")
+    docs = spark.createDataFrame(CORPUS, "doc_id int, text string")
+    return docs, bench
+
+
+def test_contamination_values(spark, frames):
+    docs, bench = frames
+    rep = {r["doc_id"]: r for r in DC.contamination(docs, bench, k=3).collect()}
+    assert set(rep) == {1, 2}
+    assert rep[1]["n_hit_grams"] == 1  # "quick brown fox"
+    assert rep[1]["n_bench_docs"] == 1
+    assert rep[1]["example_gram"] == "quick brown fox"
+    assert rep[2]["n_hit_grams"] == 2  # "the lazy dog" + "pack my box"
+    assert rep[2]["n_bench_docs"] == 2
+
+
+def test_contamination_k_sensitivity(spark, frames):
+    docs, bench = frames
+    # at k=4 doc 1's only shared run ("quick brown fox") is too short
+    ids = {r["doc_id"] for r in DC.contamination(docs, bench, k=4).collect()}
+    assert 1 not in ids
+
+
+def test_violations_shape_and_min_hits(spark, frames):
+    docs, bench = frames
+    rows = DC.contamination_violations(docs, bench, k=3).collect()
+    assert {r["doc_id"] for r in rows} == {1, 2}
+    assert all(
+        r["rule_id"] == "contamination_3gram" and r["kind"] == "contamination"
+        for r in rows
+    )
+    strict = DC.contamination_violations(docs, bench, k=3, min_hits=2).collect()
+    assert {r["doc_id"] for r in strict} == {2}
+
+
+def test_benchmark_side_is_broadcast(spark, frames):
+    docs, bench = frames
+    plan = (
+        DC.contamination(docs, bench, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    # escape hatch: no broadcast of the benchmark side
+    plan_big = (
+        DC.contamination(docs, bench, k=3, broadcast_benchmark=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" not in plan_big or "SortMergeJoin" in plan_big
+
+
+def test_on_testdata_documents(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.where("doc_id % 17 = 0")
+    rep = DC.contamination(docs, bench, k=3)
+    rows = {r["doc_id"]: r for r in rep.collect()}
+    # every benchmark doc trivially contaminates itself (identical k-grams)
+    for b in bench.select("doc_id").collect():
+        assert b["doc_id"] in rows
