@@ -33,9 +33,11 @@ from mdvalidate_spark.spec import (
     DomainRule,
     ExprRule,
     NotNullRule,
+    PiiRule,
     RangeRule,
     RefIntegrityRule,
     RegexRule,
+    RepetitionRule,
     Spec,
     UniqueRule,
     VectorRule,
@@ -1622,6 +1624,30 @@ def q_repetition_gate_documents(spark, sf_dir):
     )
 
 
+def q_quality_spec_documents(spark, sf_dir):
+    """PiiRule + RepetitionRule as FIRST-CLASS spec rules: both gates compiled
+    into the engine's fused row pass (one scan, no shuffle, no Python) over
+    the multiline+PII augmented documents, emitting standard violation rows —
+    the spec-level integration of the training-data quality gates."""
+    docs = _augment_pii(_augment_multiline(_load(spark, sf_dir, "documents")))
+    spec = Spec(
+        rules=(
+            PiiRule("no_pii", column="text"),
+            RepetitionRule(
+                "dup_lines",
+                column="text",
+                metric="dup_line_frac",
+                max=0.3,
+                min_words=20,
+            ),
+        ),
+        key_column="doc_id",
+        n_partitions=8,
+    )
+    prog = compile_spec(spec, docs.schema)
+    return _viol_out(row_violations(with_partition_id(docs, spec), prog, "q"))
+
+
 def q_contamination_documents(spark, sf_dir):
     """Benchmark decontamination report: corpus docs sharing word k-grams
     with a small 'benchmark' subset (doc_id % 17), benchmark shingle set
@@ -1921,6 +1947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries touched this round must come first, stable legacy last.
     return {
         # -- round 4: new/rewritten ------------------------------------
+        "quality_spec_documents": q_quality_spec_documents,
         "contamination_documents": q_contamination_documents,
         "contamination_gate_documents": q_contamination_gate_documents,
         "pii_documents": q_pii_documents,
@@ -2503,11 +2530,20 @@ FROM documents
 """
 
 
-def _repetition_sql() -> str:
-    """DuckDB replica of repetition_profile over the SAME deterministic
-    multiline augmentation: the Spark side computes run-lengths with a
-    linear sorted-array walk; the oracle re-derives identical values with
-    the O(distinct × n) list-lambda formulation (fine at oracle scale)."""
+#: the multiline de-vacuation as a SQL source (matches _augment_multiline)
+_MULTI_AUG = """
+SELECT doc_id,
+       replace(text, ' table ', chr(10)) || chr(10) ||
+       'footer line' || chr(10) || 'footer line' AS text
+FROM documents
+"""
+
+
+def _repetition_sql(aug: str = _MULTI_AUG) -> str:
+    """DuckDB replica of repetition_profile over the given (doc_id, text)
+    augmentation source: the Spark side computes run-lengths with a linear
+    sorted-array walk; the oracle re-derives identical values with the
+    O(distinct × n) list-lambda formulation (fine at oracle scale)."""
     norm = _NORM.format(t="text")
     toks = f"list_filter(string_split({norm}, ' '), x -> len(x) > 0)"
     lines = (
@@ -2542,12 +2578,7 @@ def _repetition_sql() -> str:
     )
     line_chars = "coalesce(list_sum(list_transform(lns, x -> len(x))), 0)"
     return f"""
-WITH aug AS (
-  SELECT doc_id,
-         replace(text, ' table ', chr(10)) || chr(10) ||
-         'footer line' || chr(10) || 'footer line' AS text
-  FROM documents
-),
+WITH aug AS ({aug}),
 arrs AS (
   SELECT doc_id, {toks} AS toks, {lines} AS lns, len({norm}) AS norm_len
   FROM aug
@@ -2616,7 +2647,10 @@ FROM rep WHERE n_hit_grams >= {min_hits}
 """
 
 
-_PII_AUG = """
+def _pii_aug_sql(src: str = "documents") -> str:
+    """The planted-PII augmentation as SQL over any (doc_id, text) source
+    (matches _augment_pii)."""
+    return f"""
 SELECT doc_id,
        text
        || CASE WHEN doc_id % 5 = 0
@@ -2627,11 +2661,14 @@ SELECT doc_id,
        || CASE WHEN doc_id % 13 = 0
                THEN ' ref 123-45-6789 or https://example.org/d/' || doc_id
                ELSE '' END AS text
-FROM documents
+FROM {src}
 """
 
 
-def _pii_profile_sql() -> str:
+_PII_AUG = _pii_aug_sql()
+
+
+def _pii_profile_sql(aug: str = _PII_AUG) -> str:
     """DuckDB replica of pii_profile over the SAME planted-PII augmentation.
     Patterns come from the operator module itself (PII.PII_PATTERNS) so the
     oracle and the engine cannot drift."""
@@ -2645,7 +2682,7 @@ def _pii_profile_sql() -> str:
     total = " + ".join(counts[n] for n in PII.PII_KINDS if n != "url")
     cols = ",\n       ".join(f"{counts[n]} AS n_{n}" for n in PII.PII_KINDS)
     return f"""
-WITH aug AS ({_PII_AUG})
+WITH aug AS ({aug})
 SELECT doc_id,
        {cols},
        {total} AS pii_total
@@ -2677,6 +2714,31 @@ def _pii_redact_sql() -> str:
     return f"""
 WITH aug AS ({_PII_AUG})
 SELECT doc_id, md5({expr}) AS red_md5 FROM aug
+"""
+
+
+def _quality_spec_sql() -> str:
+    """Oracle for q_quality_spec_documents: the PiiRule + RepetitionRule
+    verdicts re-derived over the SAME composed augmentation (multiline, then
+    planted PII), in the engine's violation-row shape."""
+    aug = _pii_aug_sql(f"({_MULTI_AUG})")
+    detail = ", ".join(
+        f"CASE WHEN n_{n} > 0 THEN '{n}=' || n_{n} END"
+        for n in PII.PII_KINDS
+        if n != "url"
+    )
+    return f"""
+WITH pprof AS ({_pii_profile_sql(aug)}),
+rprof AS ({_repetition_sql(aug)})
+SELECT 'no_pii' AS rule_id, CAST(doc_id AS VARCHAR) AS row_key,
+       'text' AS col_name, 'pii_total <= 0' AS expected,
+       pii_total || ' (' || concat_ws(',', {detail}) || ')' AS actual,
+       'pii' AS kind
+FROM pprof WHERE pii_total > 0
+UNION ALL
+SELECT 'dup_lines', CAST(doc_id AS VARCHAR), 'text', 'dup_line_frac <= 0.3',
+       printf('%.6f', dup_line_frac), 'repetition'
+FROM rprof WHERE n_words >= 20 AND dup_line_frac > 0.3
 """
 
 
@@ -3534,6 +3596,7 @@ SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS VARCHAR) AS win_start,
        count(*) AS n
 FROM events GROUP BY 1 HAVING count(*) > 25
 """,
+        "quality_spec_documents": _quality_spec_sql(),
         "contamination_documents": _contamination_sql(),
         "contamination_gate_documents": _contamination_gate_sql(2),
         "pii_documents": _pii_profile_sql(),

@@ -37,10 +37,12 @@ from .spec import (
     LiteralRule,
     NotNullRule,
     OverlapRule,
+    PiiRule,
     PixelRule,
     RangeRule,
     RefIntegrityRule,
     RegexRule,
+    RepetitionRule,
     Rule,
     SchemaRule,
     SequenceRule,
@@ -67,10 +69,12 @@ __all__ = [
     "MdvSparkError",
     "NotNullRule",
     "OverlapRule",
+    "PiiRule",
     "PixelRule",
     "RangeRule",
     "RefIntegrityRule",
     "RegexRule",
+    "RepetitionRule",
     "Report",
     "Rule",
     "SchemaError",

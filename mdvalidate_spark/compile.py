@@ -55,10 +55,12 @@ from .spec import (
     MetricBoundRule,
     NotNullRule,
     OverlapRule,
+    PiiRule,
     PixelRule,
     RangeRule,
     RefIntegrityRule,
     RegexRule,
+    RepetitionRule,
     Rule,
     SchemaRule as SchemaDriftRule,
     Spec,
@@ -77,6 +79,8 @@ ROW_KINDS = (
     VectorRule,
     ExprRule,
     HeaderRule,
+    PiiRule,
+    RepetitionRule,
 )
 
 
@@ -147,6 +151,24 @@ def _column_type(available, path: str):
             return None
         cur = match.dataType
     return cur
+
+
+def _require_string_column(r: Rule, column: str, available_columns) -> None:
+    """Text-shaped rules (PII, repetition) read characters: on a non-string
+    column the regex/split primitives would silently cast instead of failing
+    loudly — demand StringType when a typed schema is available."""
+    if available_columns is None:
+        return
+    t = _column_type(available_columns, column)
+    if t is None:
+        return
+    from pyspark.sql.types import StringType
+
+    if not isinstance(t, StringType):
+        raise SchemaError(
+            f"rule {r.id!r}: column {column!r} must be STRING for a "
+            f"{r.kind} rule, got {t.simpleString()}"
+        )
 
 
 def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
@@ -243,6 +265,35 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
                     f"rule {r.id!r}: capture group {r.group} not in pattern "
                     f"({compiled.groups} group(s))"
                 )
+
+        if isinstance(r, PiiRule):
+            from .operators.pii import PII_KINDS
+
+            if r.max_total < 0:
+                raise SchemaError(f"rule {r.id!r}: max_total must be >= 0")
+            bad = [k for k in r.kinds if k not in PII_KINDS]
+            if bad:
+                raise SchemaError(
+                    f"rule {r.id!r}: unknown PII kind(s) {bad}; "
+                    f"valid: {', '.join(PII_KINDS)}"
+                )
+            _require_string_column(r, r.column, available_columns)
+
+        if isinstance(r, RepetitionRule):
+            from .operators.text import REPETITION_METRICS
+
+            if r.metric not in REPETITION_METRICS:
+                raise SchemaError(
+                    f"rule {r.id!r}: unknown repetition metric {r.metric!r}; "
+                    f"valid: {', '.join(REPETITION_METRICS)}"
+                )
+            if not (0.0 <= r.max <= 1.0):
+                raise SchemaError(
+                    f"rule {r.id!r}: max must be a fraction in [0, 1], got {r.max}"
+                )
+            if r.min_words < 0:
+                raise SchemaError(f"rule {r.id!r}: min_words must be >= 0")
+            _require_string_column(r, r.column, available_columns)
 
         if isinstance(r, LiteralRule):
             if (r.value is None) == (r.other_column is None):

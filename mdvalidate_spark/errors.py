@@ -116,6 +116,8 @@ KIND_DTYPE = "dtype_mismatch"
 KIND_DIM = "dim_mismatch"
 KIND_NAN = "nan"
 KIND_EXPR = "expr"  # cross-column row invariant (ExprRule) evaluated FALSE
+KIND_PII = "pii"  # typed PII matches above the declared budget (PiiRule)
+KIND_REPETITION = "repetition"  # Gopher repetition metric above its gate
 KIND_FD = "fd"  # functional dependency violated (determinant maps to >1 dependent)
 KIND_STALE = "stale"  # freshness bound violated (max timestamp older than allowed)
 KIND_METRIC_BOUND = "metric_bound"  # aggregate metric outside its declared bounds

@@ -33,8 +33,10 @@ from ..errors import (
     KIND_MATCHER,
     KIND_NAN,
     KIND_NULL,
+    KIND_PII,
     KIND_PREFIX,
     KIND_RANGE,
+    KIND_REPETITION,
     KIND_SUFFIX,
     KIND_TRUNCATED,
 )
@@ -45,11 +47,16 @@ from ..spec import (
     HeaderRule,
     LiteralRule,
     NotNullRule,
+    PiiRule,
     RangeRule,
     RegexRule,
+    RepetitionRule,
     Spec,
     VectorRule,
 )
+from .pii import PII_KINDS, pii_count
+from .pii import PII_PATTERNS as _PII_PATTERNS
+from .text import repetition_metrics
 
 
 def with_partition_id(df: DataFrame, spec: Spec) -> DataFrame:
@@ -338,6 +345,54 @@ def _check_applies(rule) -> Column:
                 F.lit(rule.expr),
                 actual,
                 KIND_EXPR,
+            ),
+        )
+    if isinstance(rule, PiiRule):
+        # typed PII budget: counts ride the same codegen'd pass as every
+        # matcher; actual renders the per-kind breakdown like
+        # operators/pii.pii_violations ("3 (ssn=1,cc=2)")
+        kinds = rule.kinds or tuple(k for k in PII_KINDS if k != "url")
+        pats = {name: pat for name, pat, _ in _PII_PATTERNS}
+        t = F.col(rule.column)
+        counts = {k: pii_count(t, pats[k]) for k in kinds}
+        total = None
+        for k in kinds:
+            total = counts[k] if total is None else total + counts[k]
+        detail = F.concat_ws(
+            ",",
+            *[
+                F.when(
+                    counts[k] > 0,
+                    F.concat(F.lit(f"{k}="), counts[k].cast("string")),
+                )
+                for k in kinds
+            ],
+        )
+        return F.when(
+            total > rule.max_total,
+            _viol(
+                rule.id,
+                rule.column,
+                F.lit(f"pii_total <= {rule.max_total}"),
+                F.concat(total.cast("string"), F.lit(" ("), detail, F.lit(")")),
+                KIND_PII,
+            ),
+        )
+    if isinstance(rule, RepetitionRule):
+        # Gopher repetition gate: the run-length walk is pure column
+        # algebra, so the metric evaluates inside the fused pass; rows
+        # shorter than min_words are out of scope (Gopher's length filter)
+        m = repetition_metrics(F.col(rule.column))
+        metric = m[rule.metric]
+        in_scope = m["n_words"] >= rule.min_words
+        return F.when(
+            in_scope & (metric > rule.max),
+            _viol(
+                rule.id,
+                rule.column,
+                F.lit(f"{rule.metric} <= {rule.max}"),
+                F.format_number(metric, 6),
+                KIND_REPETITION,
             ),
         )
     raise TypeError(f"not a row rule: {rule!r}")

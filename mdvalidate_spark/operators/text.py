@@ -266,10 +266,10 @@ def _frac(num: Column, den: Column) -> Column:
     )
 
 
-def repetition_profile(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """Per-document repetition signals (Gopher §A1.1 family), one scan:
+def repetition_metrics(text: Column) -> dict[str, Column]:
+    """All repetition signal Columns keyed by metric name — the ONE source
+    of the formulas, shared by repetition_profile (the standalone profile)
+    and RepetitionRule (the spec-level gate riding the fused row pass):
 
     - dup_word_frac:       fraction of word occurrences that are repeats
     - top_word_frac:       frequency of the most common word
@@ -279,9 +279,9 @@ def repetition_profile(
     - dup_line_frac:       fraction of non-empty lines that are repeats
     - dup_line_char_frac:  chars in repeated line occurrences / line chars
 
-    All fractions are 0.0 on empty/degenerate inputs and rounded to 6 dp so
-    the DuckDB oracle reproduces them bit-for-bit."""
-    t = F.col(text_col)
+    Plus n_words / n_lines. All fractions are 0.0 on empty/degenerate inputs
+    and rounded to 6 dp so the DuckDB oracle reproduces them bit-for-bit."""
+    t = text
     ws = words(t)
     ls = doc_lines(t)
     norm_len = F.length(normalize_text(t))
@@ -290,20 +290,38 @@ def repetition_profile(
     )
     n_words = F.size(ws)
     n_lines = F.size(ls)
+    return {
+        "n_words": n_words,
+        "n_lines": n_lines,
+        "dup_word_frac": _frac(n_words - F.size(F.array_distinct(ws)), n_words),
+        "top_word_frac": _frac(max_run(ws), n_words),
+        "top_2gram_char_frac": _frac(max_run_chars(word_ngrams(ws, 2)), norm_len),
+        "top_3gram_char_frac": _frac(max_run_chars(word_ngrams(ws, 3)), norm_len),
+        "dup_line_frac": _frac(n_lines - F.size(F.array_distinct(ls)), n_lines),
+        "dup_line_char_frac": _frac(dup_chars(ls), line_chars),
+    }
+
+
+#: gateable metric names (excludes the n_words/n_lines scalars)
+REPETITION_METRICS: tuple[str, ...] = (
+    "dup_word_frac",
+    "top_word_frac",
+    "top_2gram_char_frac",
+    "top_3gram_char_frac",
+    "dup_line_frac",
+    "dup_line_char_frac",
+)
+
+
+def repetition_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition signals (Gopher §A1.1 family), one scan —
+    see repetition_metrics for the signal definitions."""
+    m = repetition_metrics(F.col(text_col))
     return df.select(
         F.col(id_col),
-        n_words.alias("n_words"),
-        n_lines.alias("n_lines"),
-        _frac(n_words - F.size(F.array_distinct(ws)), n_words).alias("dup_word_frac"),
-        _frac(max_run(ws), n_words).alias("top_word_frac"),
-        _frac(max_run_chars(word_ngrams(ws, 2)), norm_len).alias(
-            "top_2gram_char_frac"
-        ),
-        _frac(max_run_chars(word_ngrams(ws, 3)), norm_len).alias(
-            "top_3gram_char_frac"
-        ),
-        _frac(n_lines - F.size(F.array_distinct(ls)), n_lines).alias("dup_line_frac"),
-        _frac(dup_chars(ls), line_chars).alias("dup_line_char_frac"),
+        *[m[k].alias(k) for k in ("n_words", "n_lines", *REPETITION_METRICS)],
     )
 
 

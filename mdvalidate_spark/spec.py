@@ -389,6 +389,55 @@ class ExprRule(Rule):
         return self.columns
 
 
+@dataclass(frozen=True)
+class PiiRule(Rule):
+    """Row must carry at most ``max_total`` typed PII matches in ``column``
+    (default 0: any PII is a violation).
+
+    The training-data gate as a first-class constraint: the same typed
+    detectors as operators/pii.py (email, ipv4, phone, ssn, cc — URL is a
+    signal, not PII, and is excluded unless named), compiled into the SAME
+    fused codegen'd row pass as every regex matcher (the reference's
+    MatcherVsText kernel, walkers/validators/matchers.rs:38-431, pointed at
+    identifier shapes). ``kinds`` restricts which detectors count (e.g.
+    ``("email",)``); empty means all non-URL kinds. The violation's
+    ``actual`` renders the per-kind breakdown (``"3 (ssn=1,cc=2)"``)."""
+
+    column: str = ""
+    max_total: int = 0
+    kinds: tuple[str, ...] = ()
+    when: str = ""  # optional row-scope predicate (see NotNullRule.when)
+    kind: str = field(default="pii", init=False)
+
+    def targets(self):
+        return (self.column,)
+
+
+@dataclass(frozen=True)
+class RepetitionRule(Rule):
+    """Gopher-family repetition gate on a text/caption column: the named
+    ``metric`` (see operators/text.py REPETITION_METRICS) must be ≤ ``max``
+    for every row with at least ``min_words`` words.
+
+    Rides the fused row pass like every other row rule — the run-length
+    walk is pure column algebra (sort_array + one linear F.aggregate), so a
+    repetition gate adds zero scans, zero shuffles, and zero Python to the
+    validation plan. ``min_words`` mirrors Gopher's length pre-filter: a
+    5-word caption's top 2-gram trivially covers >20% of its characters, so
+    short rows are out of scope (gate their length with ExprRule/RangeRule
+    instead)."""
+
+    column: str = ""
+    metric: str = "dup_line_frac"
+    max: float = 0.3
+    min_words: int = 20
+    when: str = ""  # optional row-scope predicate (see NotNullRule.when)
+    kind: str = field(default="repetition", init=False)
+
+    def targets(self):
+        return (self.column,)
+
+
 # -------------------------------------------------------------- group rules
 
 

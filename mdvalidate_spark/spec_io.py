@@ -30,10 +30,12 @@ from .spec import (
     LiteralRule,
     NotNullRule,
     OverlapRule,
+    PiiRule,
     PixelRule,
     RangeRule,
     RefIntegrityRule,
     RegexRule,
+    RepetitionRule,
     Rule,
     SchemaRule,
     SequenceRule,
@@ -62,6 +64,8 @@ RULE_KINDS: dict[str, type] = {
     "schema": SchemaRule,
     "vector": VectorRule,
     "expr": ExprRule,
+    "pii": PiiRule,
+    "repetition": RepetitionRule,
     "header": HeaderRule,
     "volume": VolumeRule,
     "fd": FunctionalDependencyRule,
