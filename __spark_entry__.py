@@ -1624,6 +1624,21 @@ def q_repetition_gate_documents(spark, sf_dir):
     )
 
 
+def q_suggest_text_documents(spark, sf_dir):
+    """Suggestion ratchet extended to free-text columns: profile the
+    composed (multiline + planted-PII) documents once and draft PiiRule /
+    RepetitionRule gates at the observed ceilings + 25% headroom — "this
+    clean today, keep it that clean". Value-checked against a DuckDB
+    re-derivation of the same integer-micro bound arithmetic."""
+    from mdvalidate_spark.operators.suggest import suggest_spec, suggestion_rows
+
+    docs = _augment_pii(_augment_multiline(_load(spark, sf_dir, "documents")))
+    spec = suggest_spec(docs, "doc_id", exact=True, text_gates=True)
+    return suggestion_rows(spark, spec).where(
+        F.col("kind").isin("pii", "repetition")
+    )
+
+
 def q_quality_spec_documents(spark, sf_dir):
     """PiiRule + RepetitionRule as FIRST-CLASS spec rules: both gates compiled
     into the engine's fused row pass (one scan, no shuffle, no Python) over
@@ -1947,6 +1962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries touched this round must come first, stable legacy last.
     return {
         # -- round 4: new/rewritten ------------------------------------
+        "suggest_text_documents": q_suggest_text_documents,
         "quality_spec_documents": q_quality_spec_documents,
         "contamination_documents": q_contamination_documents,
         "contamination_gate_documents": q_contamination_gate_documents,
@@ -2714,6 +2730,39 @@ def _pii_redact_sql() -> str:
     return f"""
 WITH aug AS ({_PII_AUG})
 SELECT doc_id, md5({expr}) AS red_md5 FROM aug
+"""
+
+
+def _suggest_text_sql() -> str:
+    """Oracle for q_suggest_text_documents: observed metric ceilings over
+    the SAME composed augmentation, bounds re-derived with the identical
+    round-to-micro → ceil(×1.25) → /1e6 arithmetic, capped at each metric's
+    mathematical limit."""
+    aug = _pii_aug_sql(f"({_MULTI_AUG})")
+    arms = [
+        f"""
+SELECT 'text' AS column_name, 'pii' AS kind,
+       'pii_total <= ' || max(pii_total) AS detail
+FROM pprof"""
+    ]
+    for m in T.REPETITION_GATES:
+        limit = T.REPETITION_METRIC_LIMITS[m]
+        bound = f"least({limit}, ceil(round(m_{m} * 1e6) * 1.25) / 1e6)"
+        arms.append(
+            f"""
+SELECT 'text', 'repetition',
+       '{m} <= ' || printf('%.6f', {bound}) || ' (min_words=20)'
+FROM rmax WHERE m_{m} IS NOT NULL"""
+        )
+    rmax_cols = ", ".join(
+        f"max(CASE WHEN n_words >= 20 THEN {m} END) AS m_{m}"
+        for m in T.REPETITION_GATES
+    )
+    return f"""
+WITH rprof AS ({_repetition_sql(aug)}),
+pprof AS ({_pii_profile_sql(aug)}),
+rmax AS (SELECT {rmax_cols} FROM rprof)
+{chr(10).join("UNION ALL" + a if i else a for i, a in enumerate(arms))}
 """
 
 
@@ -3596,6 +3645,7 @@ SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS VARCHAR) AS win_start,
        count(*) AS n
 FROM events GROUP BY 1 HAVING count(*) > 25
 """,
+        "suggest_text_documents": _suggest_text_sql(),
         "quality_spec_documents": _quality_spec_sql(),
         "contamination_documents": _contamination_sql(),
         "contamination_gate_documents": _contamination_gate_sql(2),

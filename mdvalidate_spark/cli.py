@@ -106,6 +106,13 @@ def parse_args(argv=None):
         "--dim suggest_profile=SNAPSHOT_DIR — the profiled table is never "
         "rescanned.",
     )
+    p.add_argument(
+        "--suggest-text-gates",
+        action="store_true",
+        help="with --suggest-key: also draft PII and Gopher-repetition "
+        "ratchets for free-text string columns at the observed ceilings "
+        "(operators/suggest.py text_gates)",
+    )
     return p.parse_args(argv)
 
 
@@ -255,6 +262,7 @@ def _suggest_main(args) -> int:
             args.suggest_key,
             exact=args.suggest_exact,
             drift=args.suggest_drift is not None,
+            text_gates=args.suggest_text_gates,
         )
         save_spec(spec, args.spec)
         if args.suggest_drift is not None:

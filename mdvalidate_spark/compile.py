@@ -280,16 +280,18 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
             _require_string_column(r, r.column, available_columns)
 
         if isinstance(r, RepetitionRule):
-            from .operators.text import REPETITION_METRICS
+            from .operators.text import REPETITION_METRIC_LIMITS, REPETITION_METRICS
 
             if r.metric not in REPETITION_METRICS:
                 raise SchemaError(
                     f"rule {r.id!r}: unknown repetition metric {r.metric!r}; "
                     f"valid: {', '.join(REPETITION_METRICS)}"
                 )
-            if not (0.0 <= r.max <= 1.0):
+            limit = REPETITION_METRIC_LIMITS[r.metric]
+            if not (0.0 <= r.max <= limit):
                 raise SchemaError(
-                    f"rule {r.id!r}: max must be a fraction in [0, 1], got {r.max}"
+                    f"rule {r.id!r}: max must be a fraction in [0, {limit}] "
+                    f"for {r.metric}, got {r.max}"
                 )
             if r.min_words < 0:
                 raise SchemaError(f"rule {r.id!r}: min_words must be >= 0")

@@ -50,6 +50,15 @@ invariants churn on every append:
   single profiling pass (exact percentile, or the mergeable
   approx_percentile sketch when ``exact=False``).
 
+``text_gates=True`` extends the ratchet to free-text columns (string, not
+domain-sized, average length >= ``text_min_avg_len``): the observed
+ceilings of the Gopher repetition signals (over rows with >=
+``text_min_words`` words) and of the typed PII total become drafted
+``RepetitionRule`` / ``PiiRule`` gates with ``text_headroom`` slack —
+"the corpus is THIS clean today; keep it that clean". The signal
+aggregates are plain column algebra, so they ride the same single
+profiling pass.
+
 All bounds are computed so the draft still VALIDATES CLEAN on the
 profiled table (ceil/floor always rounds the permissive way).
 """
@@ -78,12 +87,16 @@ from ..spec import (
     DriftRule,
     MetricBoundRule,
     NotNullRule,
+    PiiRule,
     RangeRule,
+    RepetitionRule,
     Rule,
     SchemaRule,
     Spec,
     UniqueRule,
 )
+from . import pii as _pii
+from . import text as _text
 
 _NUMERIC = (ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType,
             DecimalType)
@@ -108,6 +121,10 @@ def suggest_spec(
     drift_reference: str = "suggest_profile",
     drift_threshold: float = 0.2,
     drift_bins: int = 32,
+    text_gates: bool = False,
+    text_min_avg_len: float = 50.0,
+    text_headroom: float = 0.25,
+    text_min_words: int = 20,
 ) -> Spec:
     """Profile ``df`` and return a draft Spec (see module docstring).
 
@@ -122,6 +139,25 @@ def suggest_spec(
         aggs.append(F.count(col).alias(f"nn__{c}"))
         nd = F.count_distinct(col) if exact else F.approx_count_distinct(col)
         aggs.append(nd.alias(f"nd__{c}"))
+        if text_gates and isinstance(f.dataType, StringType):
+            # text-likeness + observed quality-metric ceilings, still in the
+            # SAME single pass (the run-length walk and the PII counters are
+            # plain column algebra, so they fuse into this aggregation)
+            aggs.append(F.avg(F.length(col)).alias(f"len__{c}"))
+            m = _text.repetition_metrics(col)
+            in_scope = m["n_words"] >= text_min_words
+            for name in _text.REPETITION_GATES:
+                aggs.append(
+                    F.max(F.when(in_scope, m[name])).alias(f"rep_{name}__{c}")
+                )
+            pats = {n: p for n, p, _ in _pii.PII_PATTERNS}
+            total = None
+            for k in _pii.PII_KINDS:
+                if k == "url":
+                    continue
+                cnt = _pii.pii_count(col, pats[k])
+                total = cnt if total is None else total + cnt
+            aggs.append(F.max(total).alias(f"pii__{c}"))
         if isinstance(f.dataType, _NUMERIC):
             aggs.append(F.min(col).alias(f"mn__{c}"))
             aggs.append(F.max(col).alias(f"mx__{c}"))
@@ -221,6 +257,38 @@ def suggest_spec(
                     exact=exact,
                 )
             )
+        if (
+            text_gates
+            and isinstance(f.dataType, StringType)
+            and c not in domains
+            and nn > 0
+            and (prof[f"len__{c}"] or 0.0) >= text_min_avg_len
+        ):
+            # free-text column: ratchet the quality signals at the observed
+            # ceilings. Bounds derive from the ROUNDED 6-dp metric in
+            # integer micro-units so the DuckDB oracle reproduces the
+            # arithmetic bit-for-bit; permissive ceil keeps the draft clean.
+            pii_max = prof[f"pii__{c}"]
+            if pii_max is not None:
+                rules.append(
+                    PiiRule(f"suggest_pii_{c}", column=c, max_total=int(pii_max))
+                )
+            for name in _text.REPETITION_GATES:
+                observed = prof[f"rep_{name}__{c}"]
+                if observed is None:  # no row reached text_min_words
+                    continue
+                om = round(observed * 1e6)
+                limit = _text.REPETITION_METRIC_LIMITS[name]
+                bound = min(limit, math.ceil(om * (1.0 + text_headroom)) / 1e6)
+                rules.append(
+                    RepetitionRule(
+                        f"suggest_rep_{name}_{c}",
+                        column=c,
+                        metric=name,
+                        max=bound,
+                        min_words=text_min_words,
+                    )
+                )
         if isinstance(f.dataType, _NUMERIC) and nn > 0:
             rules.append(
                 RangeRule(
@@ -354,6 +422,16 @@ def suggestion_rows(spark, spec: Spec) -> DataFrame:
             shape = "categories" if r.categorical else f"{r.n_bins} bins"
             rows.append(
                 (r.column, "drift", f"psi <= {r.threshold:.6f} vs {r.reference} ({shape})")
+            )
+        elif isinstance(r, PiiRule):
+            rows.append((r.column, "pii", f"pii_total <= {r.max_total}"))
+        elif isinstance(r, RepetitionRule):
+            rows.append(
+                (
+                    r.column,
+                    "repetition",
+                    f"{r.metric} <= {r.max:.6f} (min_words={r.min_words})",
+                )
             )
     return spark.createDataFrame(
         rows, "column_name string, kind string, detail string"

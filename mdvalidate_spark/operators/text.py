@@ -333,6 +333,18 @@ REPETITION_GATES: dict[str, float] = {
     "top_3gram_char_frac": 0.18,
 }
 
+#: mathematical ceiling per metric: the dup/top-word fractions cannot exceed
+#: 1, but "chars covered by the top k-gram / chars" counts each character of
+#: an overlapping run up to k times, so its honest ceiling is k
+REPETITION_METRIC_LIMITS: dict[str, float] = {
+    "dup_word_frac": 1.0,
+    "top_word_frac": 1.0,
+    "top_2gram_char_frac": 2.0,
+    "top_3gram_char_frac": 3.0,
+    "dup_line_frac": 1.0,
+    "dup_line_char_frac": 1.0,
+}
+
 
 def repetition_violations(
     df: DataFrame,

@@ -276,3 +276,56 @@ def test_snapshot_rejects_sweep_at_open(spark):
     )
     with pytest.raises(SchemaError, match="whole-table profile"):
         ValidationRun(spark, spec, df, dims={"snap": snap}, run_id="x")
+
+
+def test_text_gates_drafted_and_clean(spark):
+    """text_gates=True drafts PII + repetition ratchets for free-text
+    columns and the draft validates clean on the profiled table."""
+    from mdvalidate_spark import compile_spec
+    from mdvalidate_spark.operators.row_rules import (
+        row_violations,
+        with_partition_id,
+    )
+    from mdvalidate_spark.spec import PiiRule, RepetitionRule
+
+    base = (
+        "line one about a dog\nline two about a cat\n"
+        "a third line with more words than the others in it\n"
+    )
+    df = spark.createDataFrame(
+        [
+            (1, base * 2 + "contact a@b.co today"),
+            (2, base + "footer\nfooter\n" + base),
+            (3, "short text"),  # below min_words: excluded from ceilings
+        ],
+        "id int, text string",
+    )
+    # domain_max_distinct below the text cardinality: a text column that
+    # fits a DomainRule keeps the (stronger) domain ratchet instead
+    spec = suggest_spec(
+        df, "id", exact=True, text_gates=True, text_min_avg_len=10.0,
+        domain_max_distinct=2,
+    )
+    by_id = {r.id: r for r in spec.rules}
+    pii = by_id["suggest_pii_text"]
+    assert isinstance(pii, PiiRule) and pii.max_total == 1  # the planted email
+    rep = by_id["suggest_rep_dup_line_frac_text"]
+    assert isinstance(rep, RepetitionRule) and rep.min_words == 20
+    assert 0.0 < rep.max <= 1.0
+
+    prog = compile_spec(spec, df.schema)
+    assert row_violations(with_partition_id(df, spec), prog, "t").count() == 0
+
+    # rendering is deterministic and engine-reproducible
+    rows = suggestion_rows(spark, spec).where("kind in ('pii','repetition')")
+    details = {r["detail"] for r in rows.collect()}
+    assert "pii_total <= 1" in details
+    assert any(d.startswith("dup_line_frac <= ") for d in details)
+
+
+def test_text_gates_off_by_default_and_skip_non_text(spark, frame):
+    spec = suggest_spec(frame, "id", exact=True)
+    assert not any(r.id.startswith(("suggest_pii", "suggest_rep")) for r in spec.rules)
+    # short string columns (avg len < threshold) stay ungated even when on
+    spec = suggest_spec(frame, "id", exact=True, text_gates=True)
+    assert not any(r.id.startswith(("suggest_pii", "suggest_rep")) for r in spec.rules)
