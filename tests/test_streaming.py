@@ -555,3 +555,47 @@ def test_stream_volume_anomaly_from_partials(spark, tmp_path):
     assert out[0]["kind"] == "under_volume" and out[0]["n_rows"] == 3.0
     # insufficient history → empty by contract
     assert stream_volume_anomaly(spark, "st_w", pdir, min_batches=9).count() == 0
+
+
+def test_stream_quality_gates(spark, tmp_path):
+    """PiiRule/RepetitionRule are ordinary row rules, so they validate an
+    unbounded caption stream through the same stateless fused micro-batch
+    pass — no new streaming operator needed."""
+    from mdvalidate_spark.spec import PiiRule, RepetitionRule
+
+    src = str(tmp_path / "q-src")
+    out = str(tmp_path / "q-out")
+    ck = str(tmp_path / "q-ck")
+    rows = [
+        (1, "mail a@b.co now"),
+        (2, "spam " * 30),
+        (3, "an ordinary clean caption about a quiet dog near a green tree"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+
+    spec = Spec(
+        rules=(
+            PiiRule("no_pii", column="text"),
+            RepetitionRule(
+                "rep", column="text", metric="top_word_frac", max=0.5, min_words=10
+            ),
+        ),
+        key_column="doc_id",
+        n_partitions=4,
+    )
+    prog = compile_spec(spec, df.columns)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        stream_row_violations(stream, prog, "sq")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["image_id"], r["rule_id"]) for r in spark.read.parquet(out).collect()
+    }
+    assert got == {("1", "no_pii"), ("2", "rep")}
