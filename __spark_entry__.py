@@ -1624,6 +1624,38 @@ def q_repetition_gate_documents(spark, sf_dir):
     )
 
 
+def _augment_quality(docs):
+    """De-vacuate the Gopher line-shape metrics: turn the fixture's
+    single-line prose into bullet lines (' table ' → newline + '- '), add an
+    ellipsis-terminated line, and plant '#' symbol runs on doc_id % 3.
+    Deterministic, identical in Spark and DuckDB."""
+    d = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.replace(F.col("text"), F.lit(" table "), F.lit("\n- ")),
+            F.lit("\nsee more..."),
+            F.when(d % 3 == 0, F.lit("\n# tag # tag")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def q_gopher_quality_documents(spark, sf_dir):
+    """The remaining published Gopher quality signals (length, mean word
+    length, symbol ratio, bullet/ellipsis lines, alpha-word fraction,
+    stop-word floor) — one narrow scan of column algebra, value-checked
+    against a DuckDB list-lambda re-derivation."""
+    docs = _load(spark, sf_dir, "documents")
+    return T.gopher_quality_profile(_augment_quality(docs), "text", "doc_id")
+
+
+def q_gopher_gate_documents(spark, sf_dir):
+    """Gopher QUALITY GATE: violation rows for docs outside the published
+    envelopes, same single-scan plan."""
+    docs = _load(spark, sf_dir, "documents")
+    return T.gopher_quality_violations(_augment_quality(docs), "text", "doc_id")
+
+
 def q_suggest_text_documents(spark, sf_dir):
     """Suggestion ratchet extended to free-text columns: profile the
     composed (multiline + planted-PII) documents once and draft PiiRule /
@@ -1962,6 +1994,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries touched this round must come first, stable legacy last.
     return {
         # -- round 4: new/rewritten ------------------------------------
+        "gopher_quality_documents": q_gopher_quality_documents,
+        "gopher_gate_documents": q_gopher_gate_documents,
         "suggest_text_documents": q_suggest_text_documents,
         "quality_spec_documents": q_quality_spec_documents,
         "contamination_documents": q_contamination_documents,
@@ -2731,6 +2765,80 @@ def _pii_redact_sql() -> str:
 WITH aug AS ({_PII_AUG})
 SELECT doc_id, md5({expr}) AS red_md5 FROM aug
 """
+
+
+_QUALITY_AUG = """
+SELECT doc_id,
+       replace(text, ' table ', chr(10) || '- ') || chr(10) || 'see more...'
+       || CASE WHEN doc_id % 3 = 0 THEN chr(10) || '# tag # tag' ELSE '' END
+       AS text
+FROM documents
+"""
+
+
+def _gopher_quality_sql(aug: str = _QUALITY_AUG) -> str:
+    """DuckDB replica of gopher_quality_profile over the same augmentation."""
+    norm = _NORM.format(t="text")
+    toks = f"list_filter(string_split({norm}, ' '), x -> len(x) > 0)"
+    lines = (
+        "list_filter(string_split_regex(coalesce(text, ''), '\\r?\\n'), "
+        "x -> len(x) > 0)"
+    )
+
+    def frac(num: str, den: str) -> str:
+        return (
+            f"round(CASE WHEN {den} > 0 THEN ({num}) * 1.0 / ({den}) "
+            "ELSE 0.0 END, 6)"
+        )
+
+    word_chars = "coalesce(list_sum(list_transform(toks, x -> len(x))), 0)"
+    n_hash = "len(coalesce(text, '')) - len(replace(coalesce(text, ''), '#', ''))"
+    n_ell = "len(regexp_extract_all(coalesce(text, ''), '\\.\\.\\.|…'))"
+    bullets = (
+        "len(list_filter(lns, x -> left(ltrim(x), 1) IN ('-', '*', '•')))"
+    )
+    ell_lines = (
+        "len(list_filter(lns, x -> rtrim(x) LIKE '%...' OR rtrim(x) LIKE '%…'))"
+    )
+    alpha = "len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))"
+    stops = ", ".join(f"'{w}'" for w in T.GOPHER_STOPWORDS)
+    n_stop = f"len(list_filter(toks, x -> x IN ({stops})))"
+    return f"""
+WITH aug AS ({aug}),
+arrs AS (
+  SELECT doc_id, text, {toks} AS toks, {lines} AS lns FROM aug
+)
+SELECT doc_id,
+       len(toks) AS n_words,
+       len(lns) AS n_lines,
+       {frac(word_chars, "len(toks)")} AS mean_word_len,
+       {frac(f"({n_hash}) + ({n_ell})", "len(toks)")} AS symbol_word_ratio,
+       {frac(bullets, "len(lns)")} AS bullet_line_frac,
+       {frac(ell_lines, "len(lns)")} AS ellipsis_line_frac,
+       {frac(alpha, "len(toks)")} AS alpha_word_frac,
+       {n_stop} AS n_stopwords
+FROM arrs
+"""
+
+
+def _gopher_gate_sql() -> str:
+    arms = []
+    for m, lo, hi in T.GOPHER_GATES:
+        if lo is not None and hi is not None:
+            cond, expected = f"({m} < {lo} OR {m} > {hi})", f"{m} in [{lo}, {hi}]"
+        elif lo is not None:
+            cond, expected = f"{m} < {lo}", f"{m} >= {lo}"
+        else:
+            cond, expected = f"{m} > {hi}", f"{m} <= {hi}"
+        arms.append(
+            f"""
+SELECT doc_id, 'gopher_{m}' AS rule_id, '{m}' AS "column",
+       '{expected}' AS expected,
+       printf('%.6f', CAST({m} AS DOUBLE)) AS actual, 'quality' AS kind
+FROM prof WHERE {cond}"""
+        )
+    body = "\nUNION ALL".join(arms)
+    return f"WITH prof AS ({_gopher_quality_sql()})" + body
 
 
 def _suggest_text_sql() -> str:
@@ -3645,6 +3753,8 @@ SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS VARCHAR) AS win_start,
        count(*) AS n
 FROM events GROUP BY 1 HAVING count(*) > 25
 """,
+        "gopher_quality_documents": _gopher_quality_sql(),
+        "gopher_gate_documents": _gopher_gate_sql(),
         "suggest_text_documents": _suggest_text_sql(),
         "quality_spec_documents": _quality_spec_sql(),
         "contamination_documents": _contamination_sql(),

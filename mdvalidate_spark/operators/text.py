@@ -393,3 +393,152 @@ def repetition_violations(
             F.col("v.kind").alias("kind"),
         )
     )
+
+
+# ------------------------------------------------- Gopher quality signals
+# The remaining published Gopher quality-filter rules (Rae et al. 2021
+# §A1.1) beyond the repetition family: length bounds, mean word length,
+# symbol-to-word ratio, bullet/ellipsis line shares, alphabetic-word
+# fraction, and the stop-word floor. Same design rules as everything above:
+# pure column algebra, one narrow scan, DuckDB-reproducible formulas.
+
+#: Gopher's stop-word presence list (≥2 occurrences expected in real prose)
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+_BULLETS = ("-", "*", "•")  # -, *, •
+
+
+def gopher_quality_metrics(text: Column) -> dict[str, Column]:
+    """All Gopher quality signal Columns keyed by metric name:
+
+    - n_words:             whitespace words of the normalized text
+    - mean_word_len:       mean characters per word
+    - symbol_word_ratio:   (# count + ellipsis count) / words
+    - bullet_line_frac:    lines starting with -, * or • (after ltrim)
+    - ellipsis_line_frac:  lines ending with ... or … (after rtrim)
+    - alpha_word_frac:     fraction of words containing a letter
+    - n_stopwords:         total occurrences of the 8 Gopher stop words
+    """
+    t = F.coalesce(text, F.lit(""))
+    ws = words(text)
+    ls = doc_lines(text)
+    n_words = F.size(ws)
+    n_lines = F.size(ls)
+    word_chars = F.aggregate(
+        ws, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x).cast("long")
+    )
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ellipsis = F.regexp_count(t, F.lit("\\.\\.\\.|…"))
+    bullet = F.size(
+        F.filter(ls, lambda x: F.substring(F.ltrim(x), 1, 1).isin(*_BULLETS))
+    )
+    ellipsis_lines = F.size(
+        F.filter(
+            ls,
+            lambda x: F.endswith(F.rtrim(x), F.lit("..."))
+            | F.endswith(F.rtrim(x), F.lit("…")),
+        )
+    )
+    alpha = F.size(F.filter(ws, lambda x: x.rlike("[a-z]")))
+    stops = F.size(F.filter(ws, lambda x: x.isin(*GOPHER_STOPWORDS)))
+    return {
+        "n_words": n_words,
+        "n_lines": n_lines,
+        "mean_word_len": _frac(word_chars, n_words),
+        "symbol_word_ratio": _frac(n_hash + n_ellipsis, n_words),
+        "bullet_line_frac": _frac(bullet, n_lines),
+        "ellipsis_line_frac": _frac(ellipsis_lines, n_lines),
+        "alpha_word_frac": _frac(alpha, n_words),
+        "n_stopwords": stops,
+    }
+
+
+_QUALITY_COLS = (
+    "n_words",
+    "n_lines",
+    "mean_word_len",
+    "symbol_word_ratio",
+    "bullet_line_frac",
+    "ellipsis_line_frac",
+    "alpha_word_frac",
+    "n_stopwords",
+)
+
+
+def gopher_quality_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Gopher quality signals, one scan."""
+    m = gopher_quality_metrics(F.col(text_col))
+    return df.select(F.col(id_col), *[m[k].alias(k) for k in _QUALITY_COLS])
+
+
+#: published Gopher gates: (metric, min, max); None = open bound
+GOPHER_GATES: tuple[tuple[str, float | None, float | None], ...] = (
+    ("n_words", 50.0, 100000.0),
+    ("mean_word_len", 3.0, 10.0),
+    ("symbol_word_ratio", None, 0.1),
+    ("bullet_line_frac", None, 0.9),
+    ("ellipsis_line_frac", None, 0.3),
+    ("alpha_word_frac", 0.8, None),
+    ("n_stopwords", 2.0, None),
+)
+
+
+def gopher_quality_violations(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gates: tuple[tuple[str, float | None, float | None], ...] = GOPHER_GATES,
+) -> DataFrame:
+    """Engine-shape violation rows for documents outside the published
+    Gopher envelopes. One row per (doc, violated gate); same single-scan
+    plan as the profile."""
+    prof = gopher_quality_profile(df, text_col, id_col)
+    checks = []
+    for m, lo, hi in gates:
+        conds = []
+        if lo is not None:
+            conds.append(F.col(m) < lo)
+        if hi is not None:
+            conds.append(F.col(m) > hi)
+        if not conds:
+            continue
+        fail = conds[0]
+        for c in conds[1:]:
+            fail = fail | c
+        if lo is not None and hi is not None:
+            expected = f"{m} in [{lo}, {hi}]"
+        elif lo is not None:
+            expected = f"{m} >= {lo}"
+        else:
+            expected = f"{m} <= {hi}"
+        checks.append(
+            F.when(
+                fail,
+                F.struct(
+                    F.lit(f"gopher_{m}").alias("rule_id"),
+                    F.lit(m).alias("column"),
+                    F.lit(expected).alias("expected"),
+                    # format_string, not format_number: no digit grouping,
+                    # so a 5-digit n_words renders oracle-identically
+                    F.format_string("%.6f", F.col(m).cast("double")).alias("actual"),
+                    F.lit("quality").alias("kind"),
+                ),
+            )
+        )
+    return (
+        prof.select(
+            F.col(id_col), F.explode(F.array_compact(F.array(*checks))).alias("v")
+        )
+        .select(
+            F.col(id_col),
+            F.col("v.rule_id").alias("rule_id"),
+            F.col("v.column").alias("column"),
+            F.col("v.expected").alias("expected"),
+            F.col("v.actual").alias("actual"),
+            F.col("v.kind").alias("kind"),
+        )
+    )

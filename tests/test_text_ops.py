@@ -195,3 +195,62 @@ def test_repetition_plan_is_one_narrow_pass(spark):
     gate = T.repetition_violations(docs)
     plan = gate._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "PythonUDF" not in plan
+
+
+# ----------------------------------------------- Gopher quality signals
+
+QUAL_DOCS = [
+    (1, "the cat and the dog be to of and that have with them all today"),
+    (2, "- one\n- two\n- three\nplain line ends here...\nanother…"),
+    (3, "### heading # tag # tag # more # symbols # here"),
+    (4, ""),
+    (5, None),
+    (6, "12 34 56 78 90"),  # no alphabetic words
+]
+
+
+@pytest.fixture(scope="module")
+def qual_docs(spark):
+    return spark.createDataFrame(QUAL_DOCS, "doc_id int, text string")
+
+
+def test_gopher_quality_values(spark, qual_docs):
+    p = {r["doc_id"]: r for r in T.gopher_quality_profile(qual_docs).collect()}
+    d = p[1]  # 15 words; stopword hits: the×2,and×2,be,to,of,that,have,with = 10
+    assert d["n_words"] == 15
+    assert d["n_stopwords"] == 10
+    assert d["alpha_word_frac"] == pytest.approx(1.0)
+    d = p[2]  # 5 lines: 3 bullets, 2 ellipsis-terminated
+    assert d["n_lines"] == 5
+    assert d["bullet_line_frac"] == pytest.approx(3 / 5, abs=1e-6)
+    assert d["ellipsis_line_frac"] == pytest.approx(2 / 5, abs=1e-6)
+    d = p[3]  # 6 '#' chars, 9 words
+    assert d["symbol_word_ratio"] == pytest.approx(6 / 9, abs=1e-6)
+    assert p[6]["alpha_word_frac"] == 0.0
+    for i in (4, 5):
+        assert p[i]["n_words"] == 0 and p[i]["mean_word_len"] == 0.0
+
+
+def test_gopher_quality_gates(spark, qual_docs):
+    rows = T.gopher_quality_violations(qual_docs).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["rule_id"])
+    # every crafted doc is under Gopher's 50-word floor
+    for i in (1, 2, 3, 4, 5, 6):
+        assert "gopher_n_words" in by_doc[i]
+    assert "gopher_symbol_word_ratio" in by_doc[3]
+    assert "gopher_alpha_word_frac" in by_doc[6]
+    assert "gopher_n_stopwords" in by_doc[6]
+    assert "gopher_n_stopwords" not in by_doc[1]
+    assert all(r["kind"] == "quality" for r in rows)
+
+
+def test_gopher_plan_is_one_narrow_pass(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for frame in (
+        T.gopher_quality_profile(docs),
+        T.gopher_quality_violations(docs),
+    ):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "PythonUDF" not in plan
