@@ -1640,6 +1640,53 @@ def _augment_quality(docs):
     )
 
 
+def _augment_urls(docs):
+    """Plant URLs with a skewed domain mix by doc_id residue (one domain is
+    deliberately hot — the megadomain shape domain_counts must not buffer)."""
+    d = F.col("doc_id")
+    s = d.cast("string")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 4 == 1,
+                F.concat(F.lit(" see https://ads.example.org/x"), s),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 4 == 2,
+                F.concat(
+                    F.lit(" see http://cdn.example.com/y"),
+                    s,
+                    F.lit(" plus https://ads.example.org/z"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 4 == 3,
+                F.concat(F.lit(" see https://blog.example.net/p"), s),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def q_domain_counts_documents(spark, sf_dir):
+    """Per-domain corpus profile (docs citing + total mentions per host):
+    codegen'd URL/host extraction → posting rows → one partial-aggregated
+    groupBy. No per-domain arrays anywhere, so the deliberately-hot domain
+    costs rows, not an aggregation buffer."""
+    docs = _load(spark, sf_dir, "documents")
+    return PII.domain_counts(_augment_urls(docs), "text", "doc_id")
+
+
+def q_blocklist_gate_documents(spark, sf_dir):
+    """Domain-blocklist CONTENT GATE: violation rows for documents citing a
+    blocklisted host — broadcast inner join against the (small) blocklist,
+    the ref-integrity join shape with the verdict inverted."""
+    docs = _load(spark, sf_dir, "documents")
+    bl = spark.createDataFrame([("ads.example.org",)], "domain string")
+    return PII.blocklist_violations(_augment_urls(docs), bl, "text", "doc_id")
+
+
 def q_gopher_quality_documents(spark, sf_dir):
     """The remaining published Gopher quality signals (length, mean word
     length, symbol ratio, bullet/ellipsis lines, alpha-word fraction,
@@ -1994,6 +2041,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries touched this round must come first, stable legacy last.
     return {
         # -- round 4: new/rewritten ------------------------------------
+        "domain_counts_documents": q_domain_counts_documents,
+        "blocklist_gate_documents": q_blocklist_gate_documents,
         "gopher_quality_documents": q_gopher_quality_documents,
         "gopher_gate_documents": q_gopher_gate_documents,
         "suggest_text_documents": q_suggest_text_documents,
@@ -2764,6 +2813,57 @@ def _pii_redact_sql() -> str:
     return f"""
 WITH aug AS ({_PII_AUG})
 SELECT doc_id, md5({expr}) AS red_md5 FROM aug
+"""
+
+
+_URL_AUG = """
+SELECT doc_id,
+       text
+       || CASE WHEN doc_id % 4 = 1
+               THEN ' see https://ads.example.org/x' || doc_id ELSE '' END
+       || CASE WHEN doc_id % 4 = 2
+               THEN ' see http://cdn.example.com/y' || doc_id
+                    || ' plus https://ads.example.org/z' ELSE '' END
+       || CASE WHEN doc_id % 4 = 3
+               THEN ' see https://blog.example.net/p' || doc_id ELSE '' END
+       AS text
+FROM documents
+"""
+
+
+def _domain_posts_sql() -> str:
+    url_re = PII.URL_RE.replace("'", "''")
+    return f"""
+SELECT doc_id,
+       lower(regexp_extract(u, 'https?://([^/:?#]+)', 1)) AS domain
+FROM (
+  SELECT doc_id,
+         unnest(regexp_extract_all(coalesce(text, ''), '{url_re}')) AS u
+  FROM aug
+)
+"""
+
+
+def _domain_counts_sql() -> str:
+    return f"""
+WITH aug AS ({_URL_AUG}),
+posts AS ({_domain_posts_sql()})
+SELECT domain,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       count(*) AS n_mentions
+FROM posts GROUP BY domain
+"""
+
+
+def _blocklist_gate_sql() -> str:
+    return f"""
+WITH aug AS ({_URL_AUG}),
+posts AS ({_domain_posts_sql()})
+SELECT doc_id, 'domain_blocklist' AS rule_id, 'text' AS "column",
+       'no blocklisted domains' AS expected, domain AS actual,
+       'blocklist' AS kind
+FROM (SELECT DISTINCT doc_id, domain FROM posts)
+WHERE domain = 'ads.example.org'
 """
 
 
@@ -3753,6 +3853,8 @@ SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS VARCHAR) AS win_start,
        count(*) AS n
 FROM events GROUP BY 1 HAVING count(*) > 25
 """,
+        "domain_counts_documents": _domain_counts_sql(),
+        "blocklist_gate_documents": _blocklist_gate_sql(),
         "gopher_quality_documents": _gopher_quality_sql(),
         "gopher_gate_documents": _gopher_gate_sql(),
         "suggest_text_documents": _suggest_text_sql(),

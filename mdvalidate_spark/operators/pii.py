@@ -135,3 +135,70 @@ def pii_violations(
         ).alias("actual"),
         F.lit("pii").alias("kind"),
     )
+
+
+# ------------------------------------------------------ URL / domain hygiene
+# Web-corpus content filtering by source domain: extract URL hosts, profile
+# per-domain volumes, and gate documents that cite blocklisted domains. The
+# extraction is the same codegen'd regexp algebra as the detectors above;
+# the blocklist check is a BROADCAST inner join (blocklists are KBs-MBs, the
+# corpus streams — the exact shape of the engine's referential-integrity
+# stage, operators/ref_rules.py, with the verdict inverted: a HIT is the
+# violation).
+
+
+def url_hosts(text: Column, distinct: bool = True) -> Column:
+    """Lowercased hosts of every URL in the text (port stripped), distinct
+    per document by default. Pure array algebra: regexp_extract_all →
+    per-element host extraction."""
+    urls = F.regexp_extract_all(
+        F.coalesce(text, F.lit("")), F.lit(URL_RE), F.lit(0)
+    )
+    hosts = F.transform(
+        urls, lambda u: F.lower(F.regexp_extract(u, "https?://([^/:?#]+)", 1))
+    )
+    return F.array_distinct(hosts) if distinct else hosts
+
+
+def domain_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-domain corpus profile: how many documents cite each host and how
+    many URL mentions it gets. One scan → explode to (doc, host) posting
+    rows → one partial-aggregated groupBy; no per-domain arrays, so a
+    megadomain (half the web links the same CDN) costs rows, not memory."""
+    posts = df.select(
+        F.col(id_col),
+        F.explode(url_hosts(F.col(text_col), distinct=False)).alias("domain"),
+    )
+    return posts.groupBy("domain").agg(
+        F.countDistinct(id_col).alias("n_docs"),
+        F.count(F.lit(1)).alias("n_mentions"),
+    )
+
+
+def blocklist_violations(
+    df: DataFrame,
+    blocklist: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    domain_col: str = "domain",
+    broadcast_blocklist: bool = True,
+) -> DataFrame:
+    """Engine-shape violation rows for documents citing a blocklisted
+    domain: one row per (document, blocked domain cited). ``blocklist`` is
+    a one-column frame of lowercase hosts, broadcast by default."""
+    posts = df.select(
+        F.col(id_col), F.explode(url_hosts(F.col(text_col))).alias("domain")
+    )
+    bl = blocklist.select(F.lower(F.col(domain_col)).alias("domain")).dropDuplicates()
+    if broadcast_blocklist:
+        bl = F.broadcast(bl)
+    return posts.join(bl, "domain").select(
+        F.col(id_col),
+        F.lit("domain_blocklist").alias("rule_id"),
+        F.lit(text_col).alias("column"),
+        F.lit("no blocklisted domains").alias("expected"),
+        F.col("domain").alias("actual"),
+        F.lit("blocklist").alias("kind"),
+    )

@@ -106,3 +106,47 @@ def test_plan_is_one_narrow_pass(spark):
     for frame in (P.pii_profile(docs), P.pii_violations(docs)):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan and "PythonUDF" not in plan
+
+
+# ------------------------------------------------ URL / domain hygiene
+
+DOM_DOCS = [
+    (1, "see https://Ads.Example.org/x and https://ads.example.org/y ok"),
+    (2, "read http://blog.example.net:8080/post#frag and https://ads.example.org/z"),
+    (3, "no links at all here"),
+    (4, None),
+]
+
+
+@pytest.fixture(scope="module")
+def dom_docs(spark):
+    return spark.createDataFrame(DOM_DOCS, "doc_id int, text string")
+
+
+def test_url_hosts_extraction(spark, dom_docs):
+    rows = {
+        r["doc_id"]: r["h"]
+        for r in dom_docs.select(
+            "doc_id", P.url_hosts(F.col("text")).alias("h")
+        ).collect()
+    }
+    assert rows[1] == ["ads.example.org"]  # case-folded, deduped
+    assert rows[2] == ["blog.example.net", "ads.example.org"]  # port stripped
+    assert rows[3] == [] and rows[4] == []
+
+
+def test_domain_counts(spark, dom_docs):
+    got = {r["domain"]: r for r in P.domain_counts(dom_docs).collect()}
+    assert got["ads.example.org"]["n_docs"] == 2
+    assert got["ads.example.org"]["n_mentions"] == 3  # doc 1 cites it twice
+    assert got["blog.example.net"]["n_docs"] == 1
+
+
+def test_blocklist_violations_broadcast(spark, dom_docs):
+    bl = spark.createDataFrame([("ADS.example.org",)], "domain string")
+    v = P.blocklist_violations(dom_docs, bl)
+    rows = v.collect()
+    assert {r["doc_id"] for r in rows} == {1, 2}
+    assert all(r["actual"] == "ads.example.org" and r["kind"] == "blocklist" for r in rows)
+    plan = v._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
