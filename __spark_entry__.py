@@ -1669,6 +1669,25 @@ def _augment_urls(docs):
     )
 
 
+def q_dedup_probe_documents(spark, sf_dir):
+    """Incremental dedup: persist the corpus fingerprint index once, then
+    probe a 'new batch' (doc_id%7 copies under shifted ids) against it —
+    the daily-ingestion workflow where the kept corpus is never rescanned.
+    The probe is a join on 16-byte fingerprints; oracle re-derives the same
+    join from md5(normalized text)."""
+    import tempfile
+
+    from mdvalidate_spark.operators import dedup_index as DI
+
+    docs = _load(spark, sf_dir, "documents")
+    index_dir = tempfile.mkdtemp(prefix="mdv-dedup-index-")
+    DI.write_dedup_index(docs, index_dir)
+    new = docs.where("doc_id % 7 = 0").select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return DI.probe_exact(new, index_dir)
+
+
 def q_domain_counts_documents(spark, sf_dir):
     """Per-domain corpus profile (docs citing + total mentions per host):
     codegen'd URL/host extraction → posting rows → one partial-aggregated
@@ -2041,6 +2060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries touched this round must come first, stable legacy last.
     return {
         # -- round 4: new/rewritten ------------------------------------
+        "dedup_probe_documents": q_dedup_probe_documents,
         "domain_counts_documents": q_domain_counts_documents,
         "blocklist_gate_documents": q_blocklist_gate_documents,
         "gopher_quality_documents": q_gopher_quality_documents,
@@ -2813,6 +2833,19 @@ def _pii_redact_sql() -> str:
     return f"""
 WITH aug AS ({_PII_AUG})
 SELECT doc_id, md5({expr}) AS red_md5 FROM aug
+"""
+
+
+def _dedup_probe_sql() -> str:
+    norm = _NORM.format(t="text")
+    return f"""
+WITH fp AS (SELECT doc_id, md5({norm}) AS fp FROM documents),
+new AS (
+  SELECT doc_id + 100000 AS doc_id, md5({norm}) AS fp
+  FROM documents WHERE doc_id % 7 = 0
+)
+SELECT n.doc_id, k.doc_id AS known_id, n.fp
+FROM new n JOIN fp k USING (fp)
 """
 
 
@@ -3853,6 +3886,7 @@ SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS VARCHAR) AS win_start,
        count(*) AS n
 FROM events GROUP BY 1 HAVING count(*) > 25
 """,
+        "dedup_probe_documents": _dedup_probe_sql(),
         "domain_counts_documents": _domain_counts_sql(),
         "blocklist_gate_documents": _blocklist_gate_sql(),
         "gopher_quality_documents": _gopher_quality_sql(),

@@ -1,0 +1,156 @@
+"""Incremental dedup: a persisted index of the known corpus, probed by new
+ingestion batches.
+
+The batch dedup operators (operators/dedup.py) answer "which documents in
+THIS table duplicate each other". A growing 100 TB corpus asks a different
+question every day: "which of today's N new documents duplicate anything in
+the trillion we already kept?" — and rescanning the kept corpus per batch
+is not an option. The answer is the standard two-part index, both parts
+tiny relative to the corpus:
+
+- ``exact``:  (doc_id, fp) — md5 of normalized text, 1 row/doc.
+- ``bands``:  (band, bucket, doc_id, sig) — MinHash banded-LSH buckets plus
+  the num_hashes×8-byte signature, ~band rows/doc. The signature rides
+  along so near-dup probes verify with the MinHash ESTIMATE (matching
+  signature fraction) without touching the corpus text at all.
+
+Probing is then: fingerprint/sign the new batch (one scan of the BATCH),
+join against the index — the exact probe is a join on ``fp``, the near
+probe a join on ``(band, bucket)`` with estimate verification. Both joins
+shuffle only batch rows + matched index rows, never the corpus. New-vs-new
+duplicates inside a batch are the batch operators' job; after filtering,
+``write_dedup_index(mode="append")`` grows the index by exactly the kept
+rows — the same manifest-style incrementality as the validation checkpoint
+(run.py), applied to dedup state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import minhash_signature
+from .text import fingerprint_md5, shingles
+
+
+def _exact_rows(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        fingerprint_md5(F.col(text_col)).alias("fp"),
+    )
+
+
+def _band_rows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k_shingle: int,
+    num_hashes: int,
+    bands: int,
+) -> DataFrame:
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sigs = df.select(
+        F.col(id_col).alias("doc_id"),
+        minhash_signature(shingles(F.col(text_col), k_shingle), num_hashes).alias(
+            "sig"
+        ),
+    ).where(F.size("sig") > 0)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.lit(b), *[F.element_at("sig", b * r + j + 1) for j in range(r)]
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigs.select(
+        "doc_id", "sig", F.explode(band_structs).alias("bb")
+    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def write_dedup_index(
+    df: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Persist (or with ``mode="append"`` grow) the dedup index under
+    ``index_dir``: ``exact/`` fingerprints and ``bands/`` LSH buckets."""
+    _exact_rows(df, text_col, id_col).write.mode(mode).parquet(f"{index_dir}/exact")
+    _band_rows(df, text_col, id_col, k_shingle, num_hashes, bands).write.mode(
+        mode
+    ).parquet(f"{index_dir}/bands")
+
+
+def probe_exact(
+    new_df: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """New documents whose normalized text already exists in the corpus:
+    (doc_id, known_id, fp), one row per (new doc, known twin). A join on
+    the 16-byte fingerprint — batch rows + matched index rows shuffle, the
+    corpus text never moves."""
+    spark = new_df.sparkSession
+    idx = spark.read.parquet(f"{index_dir}/exact").select(
+        F.col("doc_id").alias("known_id"), "fp"
+    )
+    return (
+        _exact_rows(new_df, text_col, id_col)
+        .join(idx, "fp")
+        .select("doc_id", "known_id", "fp")
+    )
+
+
+def probe_near(
+    new_df: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """New documents near-duplicating an indexed document:
+    (doc_id, known_id, est_jaccard). Candidates come from (band, bucket)
+    collisions; verification is the MinHash ESTIMATE (fraction of matching
+    signature components — expected error ~1/√num_hashes, so 32 hashes ⇒
+    ±0.18 at 95%; raise num_hashes for tighter verdicts). The corpus text
+    is never read: the index is self-sufficient for probing.
+
+    The banding parameters MUST match the ones the index was written with —
+    signatures are permutation-seeded, so a mismatch yields silent misses;
+    keep them in the caller's config, not per-call guesses."""
+    spark = new_df.sparkSession
+    idx = spark.read.parquet(f"{index_dir}/bands").select(
+        F.col("doc_id").alias("known_id"),
+        F.col("sig").alias("known_sig"),
+        "band",
+        "bucket",
+    )
+    probes = _band_rows(new_df, text_col, id_col, k_shingle, num_hashes, bands)
+    cand = (
+        probes.join(idx, ["band", "bucket"])
+        .select("doc_id", "known_id", "sig", "known_sig")
+        .dropDuplicates(["doc_id", "known_id"])
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig", "known_sig", lambda a, b: (a == b).cast("int")),
+            lambda x: x == 1,
+        )
+    )
+    est = F.round(matches.cast("double") / F.lit(float(num_hashes)), 6)
+    return cand.select(
+        "doc_id", "known_id", est.alias("est_jaccard")
+    ).where(F.col("est_jaccard") >= threshold)

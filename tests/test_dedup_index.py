@@ -1,0 +1,80 @@
+"""Incremental dedup index: exact/near probes against a persisted corpus
+index, append-mode growth, and probe-never-scans-corpus plan shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mdvalidate_spark.operators import dedup_index as DI
+
+KNOWN = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "pack my box with five dozen liquor jugs"),
+    (3, "a completely different known document about spark"),
+]
+
+NEW = [
+    # exact twin of known 1 (normalization: case + whitespace)
+    (101, "The  quick Brown fox\tjumps over the lazy DOG"),
+    # near-dup of known 2 (last word changed: 5 of 7 union 3-shingles shared)
+    (102, "pack my box with five dozen liquor cans"),
+    # genuinely novel
+    (103, "an entirely new piece of text never seen before today"),
+]
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("dedup-index"))
+    known = spark.createDataFrame(KNOWN, "doc_id int, text string")
+    DI.write_dedup_index(known, d, num_hashes=64, bands=32)
+    return d
+
+
+@pytest.fixture(scope="module")
+def new_docs(spark):
+    return spark.createDataFrame(NEW, "doc_id int, text string")
+
+
+def test_probe_exact(spark, index_dir, new_docs):
+    rows = DI.probe_exact(new_docs, index_dir).collect()
+    assert [(r["doc_id"], r["known_id"]) for r in rows] == [(101, 1)]
+
+
+def test_probe_near(spark, index_dir, new_docs):
+    got = {
+        (r["doc_id"], r["known_id"]): r["est_jaccard"]
+        for r in DI.probe_near(
+            new_docs, index_dir, num_hashes=64, bands=32, threshold=0.5
+        ).collect()
+    }
+    assert (101, 1) in got and got[(101, 1)] == 1.0  # exact twin: all rows match
+    assert (102, 2) in got and 0.5 <= got[(102, 2)] < 1.0  # true J = 5/7
+    assert not any(doc == 103 for doc, _ in got)
+
+
+def test_append_grows_index(spark, index_dir, new_docs, tmp_path):
+    d = str(tmp_path / "grow")
+    known = spark.createDataFrame(KNOWN, "doc_id int, text string")
+    DI.write_dedup_index(known, d)
+    # keep only novel docs, then append them to the index
+    dup_ids = [r["doc_id"] for r in DI.probe_exact(new_docs, d).collect()]
+    kept = new_docs.where(~F.col("doc_id").isin(dup_ids))
+    DI.write_dedup_index(kept, d, mode="append")
+    # the batch re-probed against the grown index now self-hits
+    rows = DI.probe_exact(kept, d).collect()
+    assert {(r["doc_id"], r["known_id"]) for r in rows} == {(102, 102), (103, 103)}
+
+
+def test_probe_join_does_not_scan_text(spark, index_dir, new_docs):
+    """The probe plan reads the INDEX parquet, never a corpus text column."""
+    plan = (
+        DI.probe_near(new_docs, index_dir, num_hashes=64, bands=32)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the only parquet scans are the index files (fp/sig/band/bucket)
+    assert "bands" in plan
+    for frag in plan.split("FileScan parquet"):
+        if "ReadSchema" in frag and "text" in frag.split("ReadSchema")[1][:200]:
+            raise AssertionError("probe plan reads a corpus text column")
