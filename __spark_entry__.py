@@ -39,6 +39,7 @@ from mdvalidate_spark.spec import (
     RegexRule,
     RepetitionRule,
     Spec,
+    TextQualityRule,
     UniqueRule,
     VectorRule,
 )
@@ -1753,6 +1754,9 @@ def q_quality_spec_documents(spark, sf_dir):
                 max=0.3,
                 min_words=20,
             ),
+            TextQualityRule(
+                "stopwords", column="text", metric="n_stopwords", min=2.0
+            ),
         ),
         key_column="doc_id",
         n_partitions=8,
@@ -3019,7 +3023,8 @@ def _quality_spec_sql() -> str:
     )
     return f"""
 WITH pprof AS ({_pii_profile_sql(aug)}),
-rprof AS ({_repetition_sql(aug)})
+rprof AS ({_repetition_sql(aug)}),
+qprof AS ({_gopher_quality_sql(aug)})
 SELECT 'no_pii' AS rule_id, CAST(doc_id AS VARCHAR) AS row_key,
        'text' AS col_name, 'pii_total <= 0' AS expected,
        pii_total || ' (' || concat_ws(',', {detail}) || ')' AS actual,
@@ -3029,6 +3034,10 @@ UNION ALL
 SELECT 'dup_lines', CAST(doc_id AS VARCHAR), 'text', 'dup_line_frac <= 0.3',
        printf('%.6f', dup_line_frac), 'repetition'
 FROM rprof WHERE n_words >= 20 AND dup_line_frac > 0.3
+UNION ALL
+SELECT 'stopwords', CAST(doc_id AS VARCHAR), 'text', 'n_stopwords >= 2.0',
+       printf('%.6f', CAST(n_stopwords AS DOUBLE)), 'quality'
+FROM qprof WHERE n_stopwords < 2.0
 """
 
 

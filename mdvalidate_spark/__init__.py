@@ -47,6 +47,7 @@ from .spec import (
     SchemaRule,
     SequenceRule,
     Spec,
+    TextQualityRule,
     UniqueRule,
     HeaderRule,
     VectorRule,
@@ -81,6 +82,7 @@ __all__ = [
     "SchemaRule",
     "SequenceRule",
     "Spec",
+    "TextQualityRule",
     "UniqueRule",
     "ValidationRun",
     "HeaderRule",

@@ -64,6 +64,7 @@ from .spec import (
     Rule,
     SchemaRule as SchemaDriftRule,
     Spec,
+    TextQualityRule,
     UniqueRule,
     VectorRule,
     VolumeRule,
@@ -81,6 +82,7 @@ ROW_KINDS = (
     HeaderRule,
     PiiRule,
     RepetitionRule,
+    TextQualityRule,
 )
 
 
@@ -295,6 +297,25 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
                 )
             if r.min_words < 0:
                 raise SchemaError(f"rule {r.id!r}: min_words must be >= 0")
+            _require_string_column(r, r.column, available_columns)
+
+        if isinstance(r, TextQualityRule):
+            from .operators.text import _QUALITY_COLS
+
+            metrics = tuple(m for m in _QUALITY_COLS if m != "n_lines")
+            if r.metric not in metrics:
+                raise SchemaError(
+                    f"rule {r.id!r}: unknown quality metric {r.metric!r}; "
+                    f"valid: {', '.join(metrics)}"
+                )
+            if r.min is None and r.max is None:
+                raise SchemaError(
+                    f"rule {r.id!r}: a quality gate needs min and/or max"
+                )
+            if r.min is not None and r.max is not None and r.min > r.max:
+                raise SchemaError(
+                    f"rule {r.id!r}: min {r.min} > max {r.max}"
+                )
             _require_string_column(r, r.column, available_columns)
 
         if isinstance(r, LiteralRule):

@@ -118,6 +118,7 @@ KIND_NAN = "nan"
 KIND_EXPR = "expr"  # cross-column row invariant (ExprRule) evaluated FALSE
 KIND_PII = "pii"  # typed PII matches above the declared budget (PiiRule)
 KIND_REPETITION = "repetition"  # Gopher repetition metric above its gate
+KIND_QUALITY = "quality"  # Gopher quality metric outside its envelope
 KIND_FD = "fd"  # functional dependency violated (determinant maps to >1 dependent)
 KIND_STALE = "stale"  # freshness bound violated (max timestamp older than allowed)
 KIND_METRIC_BOUND = "metric_bound"  # aggregate metric outside its declared bounds
@@ -148,6 +149,9 @@ ALL_KINDS = (
     KIND_DIM,
     KIND_NAN,
     KIND_EXPR,
+    KIND_PII,
+    KIND_REPETITION,
+    KIND_QUALITY,
     KIND_FD,
     KIND_STALE,
     KIND_METRIC_BOUND,

@@ -35,6 +35,7 @@ from ..errors import (
     KIND_NULL,
     KIND_PII,
     KIND_PREFIX,
+    KIND_QUALITY,
     KIND_RANGE,
     KIND_REPETITION,
     KIND_SUFFIX,
@@ -52,11 +53,12 @@ from ..spec import (
     RegexRule,
     RepetitionRule,
     Spec,
+    TextQualityRule,
     VectorRule,
 )
 from .pii import PII_KINDS, pii_count
 from .pii import PII_PATTERNS as _PII_PATTERNS
-from .text import repetition_metrics
+from .text import gopher_quality_metrics, repetition_metrics
 
 
 def with_partition_id(df: DataFrame, spec: Spec) -> DataFrame:
@@ -376,6 +378,35 @@ def _check_applies(rule) -> Column:
                 F.lit(f"pii_total <= {rule.max_total}"),
                 F.concat(total.cast("string"), F.lit(" ("), detail, F.lit(")")),
                 KIND_PII,
+            ),
+        )
+    if isinstance(rule, TextQualityRule):
+        # Gopher quality envelope: pure column algebra in the fused pass;
+        # NULL text yields the metrics' degenerate zeros, which the declared
+        # envelope judges like any other row (gate NULLs with NotNullRule)
+        m = gopher_quality_metrics(F.col(rule.column))[rule.metric]
+        conds = []
+        if rule.min is not None:
+            conds.append(m < rule.min)
+        if rule.max is not None:
+            conds.append(m > rule.max)
+        fail = conds[0]
+        for cnd in conds[1:]:
+            fail = fail | cnd
+        if rule.min is not None and rule.max is not None:
+            expected = f"{rule.metric} in [{rule.min}, {rule.max}]"
+        elif rule.min is not None:
+            expected = f"{rule.metric} >= {rule.min}"
+        else:
+            expected = f"{rule.metric} <= {rule.max}"
+        return F.when(
+            fail,
+            _viol(
+                rule.id,
+                rule.column,
+                F.lit(expected),
+                F.format_string("%.6f", m.cast("double")),
+                KIND_QUALITY,
             ),
         )
     if isinstance(rule, RepetitionRule):

@@ -438,6 +438,30 @@ class RepetitionRule(Rule):
         return (self.column,)
 
 
+@dataclass(frozen=True)
+class TextQualityRule(Rule):
+    """Gopher quality gate on a text/caption column: the named ``metric``
+    (see operators/text.py gopher_quality_metrics — n_words, mean_word_len,
+    symbol_word_ratio, bullet_line_frac, ellipsis_line_frac,
+    alpha_word_frac, n_stopwords) must lie in [min, max]; open ends allowed.
+
+    Completes the spec-level Gopher §A1.1 set next to RepetitionRule: same
+    fused row pass, pure column algebra, zero extra scans. Defaults gate
+    nothing — declare the envelope you mean (e.g.
+    ``TextQualityRule("wl", column="caption", metric="mean_word_len",
+    min=3, max=10)``)."""
+
+    column: str = ""
+    metric: str = "n_words"
+    min: Optional[float] = None
+    max: Optional[float] = None
+    when: str = ""  # optional row-scope predicate (see NotNullRule.when)
+    kind: str = field(default="text_quality", init=False)
+
+    def targets(self):
+        return (self.column,)
+
+
 # -------------------------------------------------------------- group rules
 
 

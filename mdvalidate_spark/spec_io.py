@@ -37,6 +37,7 @@ from .spec import (
     RegexRule,
     RepetitionRule,
     Rule,
+    TextQualityRule,
     SchemaRule,
     SequenceRule,
     Spec,
@@ -66,6 +67,7 @@ RULE_KINDS: dict[str, type] = {
     "expr": ExprRule,
     "pii": PiiRule,
     "repetition": RepetitionRule,
+    "text_quality": TextQualityRule,
     "header": HeaderRule,
     "volume": VolumeRule,
     "fd": FunctionalDependencyRule,

@@ -128,3 +128,66 @@ def test_spec_io_round_trip(spark):
         {"kind": "repetition", "id": "r", "column": "caption", "metric": "dup_line_frac", "max": 0.25}
     )
     assert isinstance(r, RepetitionRule) and r.max == 0.25
+
+
+def test_text_quality_rule(spark, docs):
+    from mdvalidate_spark import TextQualityRule
+
+    # doc 2 ("x y x y ...") has mean word length 1 — outside [3, 10]
+    rows = _run(
+        docs,
+        TextQualityRule("wl", column="text", metric="mean_word_len", min=3.0, max=10.0),
+    )
+    fails = {r["image_id"] for r in rows}
+    assert "2" in fails and all(r["kind"] == "quality" for r in rows)
+    # open-ended: stop-word floor
+    rows = _run(
+        docs, TextQualityRule("sw", column="text", metric="n_stopwords", min=1.0)
+    )
+    assert "2" in {r["image_id"] for r in rows}  # no stopwords in x/y doc
+    assert rows[0]["expected"].startswith("n_stopwords >=")
+
+
+def test_text_quality_rule_lints(spark, docs):
+    from mdvalidate_spark import TextQualityRule
+
+    with pytest.raises(SchemaError, match="unknown quality metric"):
+        compile_spec(
+            Spec(rules=(TextQualityRule("q", column="text", metric="vibes", max=1.0),), key_column="doc_id")
+        )
+    with pytest.raises(SchemaError, match="needs min and/or max"):
+        compile_spec(
+            Spec(rules=(TextQualityRule("q", column="text"),), key_column="doc_id")
+        )
+    with pytest.raises(SchemaError, match="min"):
+        compile_spec(
+            Spec(rules=(TextQualityRule("q", column="text", min=5.0, max=1.0),), key_column="doc_id")
+        )
+    with pytest.raises(SchemaError, match="must be STRING"):
+        compile_spec(
+            Spec(rules=(TextQualityRule("q", column="doc_id", max=1.0),), key_column="doc_id"),
+            docs.schema,
+        )
+    # spec_io round trip
+    from mdvalidate_spark.spec_io import rule_from_dict
+    r = rule_from_dict({"kind": "text_quality", "id": "q", "column": "caption", "metric": "alpha_word_frac", "min": 0.8})
+    from mdvalidate_spark import TextQualityRule as TQ
+    assert isinstance(r, TQ) and r.min == 0.8
+
+
+def test_all_text_rules_fuse_in_one_pass(spark, docs):
+    from mdvalidate_spark import PiiRule, RepetitionRule, TextQualityRule
+
+    spec = Spec(
+        rules=(
+            PiiRule("p", column="text"),
+            RepetitionRule("r", column="text", metric="dup_word_frac", max=0.5),
+            TextQualityRule("q", column="text", metric="mean_word_len", min=3.0, max=10.0),
+        ),
+        key_column="doc_id",
+        n_partitions=4,
+    )
+    prog = compile_spec(spec, docs.schema)
+    v = row_violations(with_partition_id(docs, spec), prog, "t")
+    plan = v._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "PythonUDF" not in plan
