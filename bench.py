@@ -190,6 +190,20 @@ def main() -> None:
                 _best(times, name, time.time() - t0)
 
     total = sum(times.values())
+
+    # -- extra (NOT in `value`): round-4 text-gate families ------------------
+    # kept out of the headline total so `value` stays comparable across
+    # rounds; timed the same way and reported under extra_queries.
+    extra: dict[str, float] = {}
+    for name in ("quality_spec_documents", "gopher_gate_documents"):
+        if name not in qs:
+            continue
+        for trial in range(-warmup, trials):
+            t0 = time.time()
+            _noop_sink(qs[name](spark, sf_dir))
+            if trial >= 0:
+                _best(extra, name, time.time() - t0)  # _best also records raw
+
     out = {
         "metric": "headline suite wall-clock (full constraint suite + pixel stage + driver queries)",
         "value": round(total, 3),
@@ -204,6 +218,7 @@ def main() -> None:
         "images_per_sec": round(n_suite / times["images_validate"], 1),
         "pixel_images_per_sec": round(n_pixel / times["images_pixel"], 1),
         "cpus": cpus,
+        "extra_queries": {k: round(v, 3) for k, v in extra.items()},
         "trials_raw": raw,
         **_host_calibration(cpus),
     }
