@@ -2795,13 +2795,15 @@ def _pii_profile_sql(aug: str = _PII_AUG) -> str:
     """DuckDB replica of pii_profile over the SAME planted-PII augmentation.
     Patterns come from the operator module itself (PII.PII_PATTERNS) so the
     oracle and the engine cannot drift."""
-    counts = {
-        name: (
-            "CAST(len(regexp_extract_all(coalesce(text, ''), "
-            f"'{pat.replace(chr(39), chr(39) * 2)}')) AS BIGINT)"
-        )
-        for name, pat, _ in PII.PII_PATTERNS
-    }
+    url_lit = PII.URL_RE.replace("'", "''")
+    # non-URL kinds count on the URL-MASKED text (PII inside a URL is a URL,
+    # consistent with redact()); url counts on the raw text
+    masked = f"regexp_replace(coalesce(text, ''), '{url_lit}', ' ', 'g')"
+    counts = {}
+    for name, pat, _ in PII.PII_PATTERNS:
+        base = "coalesce(text, '')" if name == "url" else masked
+        lit = pat.replace("'", "''")
+        counts[name] = f"CAST(len(regexp_extract_all({base}, '{lit}')) AS BIGINT)"
     total = " + ".join(counts[n] for n in PII.PII_KINDS if n != "url")
     cols = ",\n       ".join(f"{counts[n]} AS n_{n}" for n in PII.PII_KINDS)
     return f"""
@@ -2872,7 +2874,7 @@ def _domain_posts_sql() -> str:
     url_re = PII.URL_RE.replace("'", "''")
     return f"""
 SELECT doc_id,
-       lower(regexp_extract(u, 'https?://([^/:?#]+)', 1)) AS domain
+       lower(regexp_extract(u, 'https?://(?:[^/@?#]*@)?([^/:?#]+)', 1)) AS domain
 FROM (
   SELECT doc_id,
          unnest(regexp_extract_all(coalesce(text, ''), '{url_re}')) AS u

@@ -43,10 +43,12 @@ def benchmark_shingles(
     """Distinct (shingle, bench_id) posting rows of the benchmark set.
     Precompute + persist this when decontaminating many corpus shards
     against one benchmark."""
+    # rows are unique by construction — shingles() is array_distinct per doc,
+    # so exploding yields one row per (bench doc, shingle); no dedup pass
     return benchmark.select(
         F.col(id_col).alias("bench_id"),
         F.explode(shingles(F.col(text_col), k)).alias("shingle"),
-    ).dropDuplicates(["shingle", "bench_id"])
+    )
 
 
 def contamination(

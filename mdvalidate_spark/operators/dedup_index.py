@@ -16,8 +16,11 @@ tiny relative to the corpus:
 
 Probing is then: fingerprint/sign the new batch (one scan of the BATCH),
 join against the index — the exact probe is a join on ``fp``, the near
-probe a join on ``(band, bucket)`` with estimate verification. Both joins
-shuffle only batch rows + matched index rows, never the corpus. New-vs-new
+probe a join on ``(band, bucket)`` with estimate verification. The batch
+side is BROADCAST (it is the small side by construction), so the index
+streams map-side through a broadcast hash join: index files are read, but
+nothing corpus-sized is ever shuffled — and the corpus TEXT is never read
+at all. New-vs-new
 duplicates inside a batch are the batch operators' job; after filtering,
 ``write_dedup_index(mode="append")`` grows the index by exactly the kept
 rows — the same manifest-style incrementality as the validation checkpoint
@@ -50,12 +53,19 @@ def _band_rows(
 ) -> DataFrame:
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sigs = df.select(
-        F.col(id_col).alias("doc_id"),
-        minhash_signature(shingles(F.col(text_col), k_shingle), num_hashes).alias(
-            "sig"
-        ),
-    ).where(F.size("sig") > 0)
+    # filter on the SHINGLE count, not the signature length: a shingle-less
+    # doc (shorter than k words) yields array_min(empty)=null per permutation
+    # — a size-num_hashes all-null signature that would put every short doc
+    # in one identical null-derived bucket per band (a mega-bucket that
+    # explodes the probe join and verifies to nothing)
+    sigs = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            shingles(F.col(text_col), k_shingle).alias("sh"),
+        )
+        .where(F.size("sh") > 0)
+        .select("doc_id", minhash_signature(F.col("sh"), num_hashes).alias("sig"))
+    )
     band_structs = F.array(
         *[
             F.struct(
@@ -104,8 +114,11 @@ def probe_exact(
     idx = spark.read.parquet(f"{index_dir}/exact").select(
         F.col("doc_id").alias("known_id"), "fp"
     )
+    # the BATCH side broadcasts (it's the small side by the module's own
+    # premise) — without the hint Spark would shuffle the corpus-scale index
+    # every probe, the exact rescan this module exists to avoid
     return (
-        _exact_rows(new_df, text_col, id_col)
+        F.broadcast(_exact_rows(new_df, text_col, id_col))
         .join(idx, "fp")
         .select("doc_id", "known_id", "fp")
     )
@@ -138,7 +151,9 @@ def probe_near(
         "band",
         "bucket",
     )
-    probes = _band_rows(new_df, text_col, id_col, k_shingle, num_hashes, bands)
+    probes = F.broadcast(
+        _band_rows(new_df, text_col, id_col, k_shingle, num_hashes, bands)
+    )
     cand = (
         probes.join(idx, ["band", "bucket"])
         .select("doc_id", "known_id", "sig", "known_sig")

@@ -33,8 +33,11 @@ from pyspark.sql import functions as F
 # --- patterns: ASCII classes only, structural boundaries, RE2-safe ---------
 #: e.g. jane.doe+spam@sub.example.org — local part conservative ASCII
 EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)+"
-#: dotted quad not embedded in a longer dotted-digit run (version strings);
-#: octet-range checking is the consumer's job — shape, not validity
+#: dotted-quad SHAPE: a two-dot version string ("1.2.3") has too few dots to
+#: match, but a longer dotted run ("10.1.2.3.4") DOES match its first quad —
+#: RE2 has no lookarounds, so structural run-boundary guards would change
+#: match spans and break count parity; octet-range checking and run-boundary
+#: judgment are the consumer's job. Shape, not validity.
 IPV4_RE = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
 #: +international (8-15 digits, optional separators) or US 3-3-4 with
 #: required separators — bare 10-digit runs are left to CC/SSN shapes
@@ -75,14 +78,33 @@ def pii_count(text: Column, pattern: str) -> Column:
     ).cast("long")
 
 
+def mask_urls(text: Column) -> Column:
+    """Text with every URL span replaced by a single space — the counting
+    base for the non-URL detectors, so an email or IP that exists only
+    INSIDE a URL is judged the way redact() treats it (a URL, not loose
+    PII). A space, not '', so the text on either side never fuses into a
+    new accidental match."""
+    return F.regexp_replace(F.coalesce(text, F.lit("")), URL_RE, " ")
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """All typed counts for one text column: ``url`` on the raw text, the
+    PII kinds on the URL-masked text (consistent with redact(), which masks
+    URLs first). Shared by pii_profile, PiiRule, and the suggest ratchet."""
+    masked = mask_urls(text)
+    return {
+        name: pii_count(text if name == "url" else masked, pat)
+        for name, pat, _ in PII_PATTERNS
+    }
+
+
 def pii_profile(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Per-document PII counts, one scan: n_url, n_email, n_ssn, n_cc,
     n_phone, n_ipv4 plus pii_total (URLs excluded from the total — a URL is
-    a signal, not PII per se)."""
-    t = F.col(text_col)
-    counts = {name: pii_count(t, pat) for name, pat, _ in PII_PATTERNS}
+    a signal, not PII per se, and PII shapes inside URLs count as URL)."""
+    counts = pii_counts(F.col(text_col))
     total = None
     for name in PII_KINDS:
         if name == "url":
@@ -154,8 +176,13 @@ def url_hosts(text: Column, distinct: bool = True) -> Column:
     urls = F.regexp_extract_all(
         F.coalesce(text, F.lit("")), F.lit(URL_RE), F.lit(0)
     )
+    # optional userinfo ([^/@?#]*@) is skipped so http://evil@blocked.com
+    # resolves to blocked.com, not the decoy userinfo
     hosts = F.transform(
-        urls, lambda u: F.lower(F.regexp_extract(u, "https?://([^/:?#]+)", 1))
+        urls,
+        lambda u: F.lower(
+            F.regexp_extract(u, "https?://(?:[^/@?#]*@)?([^/:?#]+)", 1)
+        ),
     )
     return F.array_distinct(hosts) if distinct else hosts
 

@@ -56,8 +56,7 @@ from ..spec import (
     TextQualityRule,
     VectorRule,
 )
-from .pii import PII_KINDS, pii_count
-from .pii import PII_PATTERNS as _PII_PATTERNS
+from .pii import PII_KINDS, pii_counts
 from .text import gopher_quality_metrics, repetition_metrics
 
 
@@ -354,9 +353,8 @@ def _check_applies(rule) -> Column:
         # matcher; actual renders the per-kind breakdown like
         # operators/pii.pii_violations ("3 (ssn=1,cc=2)")
         kinds = rule.kinds or tuple(k for k in PII_KINDS if k != "url")
-        pats = {name: pat for name, pat, _ in _PII_PATTERNS}
-        t = F.col(rule.column)
-        counts = {k: pii_count(t, pats[k]) for k in kinds}
+        all_counts = pii_counts(F.col(rule.column))
+        counts = {k: all_counts[k] for k in kinds}
         total = None
         for k in kinds:
             total = counts[k] if total is None else total + counts[k]

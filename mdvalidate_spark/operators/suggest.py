@@ -150,12 +150,12 @@ def suggest_spec(
                 aggs.append(
                     F.max(F.when(in_scope, m[name])).alias(f"rep_{name}__{c}")
                 )
-            pats = {n: p for n, p, _ in _pii.PII_PATTERNS}
+            counts = _pii.pii_counts(col)
             total = None
             for k in _pii.PII_KINDS:
                 if k == "url":
                     continue
-                cnt = _pii.pii_count(col, pats[k])
+                cnt = counts[k]
                 total = cnt if total is None else total + cnt
             aggs.append(F.max(total).alias(f"pii__{c}"))
         if isinstance(f.dataType, _NUMERIC):

@@ -78,3 +78,18 @@ def test_probe_join_does_not_scan_text(spark, index_dir, new_docs):
     for frag in plan.split("FileScan parquet"):
         if "ReadSchema" in frag and "text" in frag.split("ReadSchema")[1][:200]:
             raise AssertionError("probe plan reads a corpus text column")
+
+
+def test_short_docs_never_enter_band_index(spark, tmp_path):
+    """Docs below the shingle length produce NO band rows (an all-null
+    signature would otherwise put every short doc in one mega-bucket)."""
+    d = str(tmp_path / "short")
+    df = spark.createDataFrame(
+        [(1, "too short"), (2, ""), (3, None), (4, "long enough for shingles here")],
+        "doc_id int, text string",
+    )
+    DI.write_dedup_index(df, d)
+    bands = spark.read.parquet(f"{d}/bands")
+    assert set(r["doc_id"] for r in bands.select("doc_id").distinct().collect()) == {4}
+    # probing a batch of short docs yields no near candidates, not a blowup
+    assert DI.probe_near(df.where("doc_id < 4"), d).count() == 0

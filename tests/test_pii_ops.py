@@ -85,7 +85,8 @@ def test_violations_shape(spark, docs):
 
 def test_duckdb_regex_parity(spark, docs):
     """The oracle contract: DuckDB's RE2 must count the same spans as
-    Spark's Java regex for every pattern on every crafted doc."""
+    Spark's Java regex for every pattern on every crafted doc — non-URL
+    kinds on the URL-masked text, mirroring pii_counts."""
     spark_counts = {
         (r["doc_id"], name): r[f"n_{name}"]
         for r in P.pii_profile(docs).collect()
@@ -94,11 +95,30 @@ def test_duckdb_regex_parity(spark, docs):
     con = duckdb.connect()
     for name, pat, _ in P.PII_PATTERNS:
         for doc_id, text in DOCS:
+            base = "coalesce(?, '')"
+            if name != "url":
+                base = f"regexp_replace({base}, ?, ' ', 'g')"
+                args = [text, P.URL_RE, pat]
+            else:
+                args = [text, pat]
             got = con.execute(
-                "SELECT len(regexp_extract_all(coalesce(?, ''), ?))",
-                [text, pat],
+                f"SELECT len(regexp_extract_all({base}, ?))", args
             ).fetchone()[0]
             assert got == spark_counts[(doc_id, name)], (name, doc_id)
+
+
+def test_pii_inside_urls_counts_as_url(spark):
+    """An email/IP that exists only INSIDE a URL is a URL, not loose PII —
+    counts agree with what redact() leaves behind."""
+    df = spark.createDataFrame(
+        [(1, "visit http://10.1.2.3/unsub?email=bob@x.com now")],
+        "doc_id int, text string",
+    )
+    r = P.pii_profile(df).collect()[0]
+    assert r["n_url"] == 1 and r["n_ipv4"] == 0 and r["n_email"] == 0
+    assert r["pii_total"] == 0
+    red = df.select(P.redact(F.col("text")).alias("t")).collect()[0]["t"]
+    assert red == "visit <URL> now"
 
 
 def test_plan_is_one_narrow_pass(spark):
@@ -133,6 +153,13 @@ def test_url_hosts_extraction(spark, dom_docs):
     assert rows[1] == ["ads.example.org"]  # case-folded, deduped
     assert rows[2] == ["blog.example.net", "ads.example.org"]  # port stripped
     assert rows[3] == [] and rows[4] == []
+    # userinfo decoys resolve to the real host
+    evil = spark.createDataFrame(
+        [(9, "go http://tracker@blocked.com/p and https://u:p@x.io/q")],
+        "doc_id int, text string",
+    )
+    got = evil.select(P.url_hosts(F.col("text")).alias("h")).collect()[0]["h"]
+    assert got == ["blocked.com", "x.io"]
 
 
 def test_domain_counts(spark, dom_docs):
