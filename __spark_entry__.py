@@ -2690,10 +2690,15 @@ def _repetition_sql(aug: str = _MULTI_AUG) -> str:
     )
 
     def top_gram_chars(g: str) -> str:
-        return (
-            f"coalesce(list_max(list_transform(list_distinct({g}), "
-            f"g -> len(list_filter({g}, x -> x = g)) * len(g))), 0)"
+        # most-frequent gram's coverage (count × len), ties → longest gram —
+        # matches text.max_run_chars exactly
+        counts = f"list_transform(list_distinct({g}), d -> len(list_filter({g}, x -> x = d)))"
+        mc = f"coalesce(list_max({counts}), 0)"
+        best_len = (
+            f"coalesce(list_max(list_transform(list_filter(list_distinct({g}), "
+            f"d -> len(list_filter({g}, x -> x = d)) = {mc}), d -> len(d))), 0)"
         )
+        return f"({mc}) * ({best_len})"
 
     dup_line_chars = (
         "coalesce(list_sum(list_transform(list_distinct(lns), "
@@ -3026,7 +3031,9 @@ def _quality_spec_sql() -> str:
     return f"""
 WITH pprof AS ({_pii_profile_sql(aug)}),
 rprof AS ({_repetition_sql(aug)}),
-qprof AS ({_gopher_quality_sql(aug)})
+qprof AS ({_gopher_quality_sql(
+    f"SELECT doc_id, text FROM ({aug}) WHERE text IS NOT NULL"
+)})
 SELECT 'no_pii' AS rule_id, CAST(doc_id AS VARCHAR) AS row_key,
        'text' AS col_name, 'pii_total <= 0' AS expected,
        pii_total || ' (' || concat_ws(',', {detail}) || ')' AS actual,

@@ -379,9 +379,10 @@ def _check_applies(rule) -> Column:
             ),
         )
     if isinstance(rule, TextQualityRule):
-        # Gopher quality envelope: pure column algebra in the fused pass;
-        # NULL text yields the metrics' degenerate zeros, which the declared
-        # envelope judges like any other row (gate NULLs with NotNullRule)
+        # Gopher quality envelope: pure column algebra in the fused pass.
+        # NULL text is OUT OF SCOPE like every other content rule ("one
+        # error once", cmd.rs:368-398) — a missing value is NotNullRule's
+        # report, not a zero-valued quality failure.
         m = gopher_quality_metrics(F.col(rule.column))[rule.metric]
         conds = []
         if rule.min is not None:
@@ -391,6 +392,7 @@ def _check_applies(rule) -> Column:
         fail = conds[0]
         for cnd in conds[1:]:
             fail = fail | cnd
+        fail = F.col(rule.column).isNotNull() & fail
         if rule.min is not None and rule.max is not None:
             expected = f"{rule.metric} in [{rule.min}, {rule.max}]"
         elif rule.min is not None:

@@ -55,9 +55,10 @@ domain-sized, average length >= ``text_min_avg_len``): the observed
 ceilings of the Gopher repetition signals (over rows with >=
 ``text_min_words`` words) and of the typed PII total become drafted
 ``RepetitionRule`` / ``PiiRule`` gates with ``text_headroom`` slack —
-"the corpus is THIS clean today; keep it that clean". The signal
-aggregates are plain column algebra, so they ride the same single
-profiling pass.
+"the corpus is THIS clean today; keep it that clean". Text-likeness (avg length)
+rides the main pass; the heavy repetition/PII ceiling aggregates run in
+ONE extra pass restricted to the qualifying text columns, so wide tables
+of UUID/enum columns never pay the run-length walks.
 
 All bounds are computed so the draft still VALIDATES CLEAN on the
 profiled table (ceil/floor always rounds the permissive way).
@@ -140,24 +141,13 @@ def suggest_spec(
         nd = F.count_distinct(col) if exact else F.approx_count_distinct(col)
         aggs.append(nd.alias(f"nd__{c}"))
         if text_gates and isinstance(f.dataType, StringType):
-            # text-likeness + observed quality-metric ceilings, still in the
-            # SAME single pass (the run-length walk and the PII counters are
-            # plain column algebra, so they fuse into this aggregation)
+            # cheap text-likeness signal only — the heavy repetition/PII
+            # ceiling aggregates run in a SECOND pass restricted to the
+            # columns that actually qualify (see below): on a wide table of
+            # UUID/enum/short-string columns the sort+walk+regex work would
+            # otherwise dominate the profile for columns whose gates are
+            # discarded at draft time
             aggs.append(F.avg(F.length(col)).alias(f"len__{c}"))
-            m = _text.repetition_metrics(col)
-            in_scope = m["n_words"] >= text_min_words
-            for name in _text.REPETITION_GATES:
-                aggs.append(
-                    F.max(F.when(in_scope, m[name])).alias(f"rep_{name}__{c}")
-                )
-            counts = _pii.pii_counts(col)
-            total = None
-            for k in _pii.PII_KINDS:
-                if k == "url":
-                    continue
-                cnt = counts[k]
-                total = cnt if total is None else total + cnt
-            aggs.append(F.max(total).alias(f"pii__{c}"))
         if isinstance(f.dataType, _NUMERIC):
             aggs.append(F.min(col).alias(f"mn__{c}"))
             aggs.append(F.max(col).alias(f"mx__{c}"))
@@ -192,6 +182,40 @@ def suggest_spec(
             # the sketch may have undercounted — keep the suggestion honest
             if len(vals) <= domain_max_distinct:
                 domains[c] = vals
+
+    # text-gate ceilings: ONE extra aggregation pass over ONLY the free-text
+    # columns (string, not domain-sized, avg length over the threshold) —
+    # the run-length walks and PII counters are heavy per value, so they
+    # never run for UUID/enum/short-string columns
+    textprof: dict[str, object] = {}
+    text_cols = [
+        f.name
+        for f in fields
+        if text_gates
+        and isinstance(f.dataType, StringType)
+        and f.name not in domains
+        and prof[f"nn__{f.name}"] > 0
+        and (prof[f"len__{f.name}"] or 0.0) >= text_min_avg_len
+    ]
+    if text_cols:
+        taggs = []
+        for c in text_cols:
+            col = F.col(c)
+            m = _text.repetition_metrics(col)
+            in_scope = m["n_words"] >= text_min_words
+            for name in _text.REPETITION_GATES:
+                taggs.append(
+                    F.max(F.when(in_scope, m[name])).alias(f"rep_{name}__{c}")
+                )
+            counts = _pii.pii_counts(col)
+            total = None
+            for k in _pii.PII_KINDS:
+                if k == "url":
+                    continue
+                cnt = counts[k]
+                total = cnt if total is None else total + cnt
+            taggs.append(F.max(total).alias(f"pii__{c}"))
+        textprof = df.agg(*taggs).collect()[0].asDict()
 
     # uniqueness: candidates from the (possibly sketched) first pass, then
     # exact confirmation — HLL overcount must not mint a UniqueRule that
@@ -257,24 +281,18 @@ def suggest_spec(
                     exact=exact,
                 )
             )
-        if (
-            text_gates
-            and isinstance(f.dataType, StringType)
-            and c not in domains
-            and nn > 0
-            and (prof[f"len__{c}"] or 0.0) >= text_min_avg_len
-        ):
+        if c in text_cols:
             # free-text column: ratchet the quality signals at the observed
             # ceilings. Bounds derive from the ROUNDED 6-dp metric in
             # integer micro-units so the DuckDB oracle reproduces the
             # arithmetic bit-for-bit; permissive ceil keeps the draft clean.
-            pii_max = prof[f"pii__{c}"]
+            pii_max = textprof[f"pii__{c}"]
             if pii_max is not None:
                 rules.append(
                     PiiRule(f"suggest_pii_{c}", column=c, max_total=int(pii_max))
                 )
             for name in _text.REPETITION_GATES:
-                observed = prof[f"rep_{name}__{c}"]
+                observed = textprof[f"rep_{name}__{c}"]
                 if observed is None:  # no row reached text_min_words
                     continue
                 om = round(observed * 1e6)

@@ -224,22 +224,42 @@ def max_run(arr: Column) -> Column:
     return F.aggregate(F.sort_array(arr), init, step, lambda acc: acc["best"])
 
 
-def max_run_chars(arr: Column) -> Column:
-    """Max over elements of (occurrence count × element length) in the
-    SORTED array — the "characters covered by the most repeated n-gram"
-    numerator. Same linear walk as max_run with a weighted best."""
-    init = _run_state(
-        F.lit(None).cast("string"), F.lit(0).cast("long"), F.lit(0).cast("long")
+def _freq_state(prev, run, best_run, best_len):
+    return F.struct(
+        prev.alias("prev"),
+        run.alias("run"),
+        best_run.alias("best_run"),
+        best_len.alias("best_len"),
     )
+
+
+def max_run_chars(arr: Column) -> Column:
+    """Characters covered by the MOST FREQUENT element of the sorted array:
+    (max occurrence count) × (length of the element holding it, ties broken
+    by the LONGEST such element — deterministic, oracle-reproducible). This
+    is Gopher's "chars in the most frequently-occurring n-gram" numerator —
+    a once-occurring long gram does NOT outrank a thrice-occurring short
+    one (it only wins when every gram is unique and counts tie at 1). Same
+    linear walk as max_run, tracking (best_run, best_len) jointly."""
+    zero = F.lit(0).cast("long")
+    init = _freq_state(F.lit(None).cast("string"), zero, zero, zero)
 
     def step(acc: Column, x: Column) -> Column:
         run = F.when(x == acc["prev"], acc["run"] + F.lit(1).cast("long")).otherwise(
             F.lit(1).cast("long")
         )
-        cand = run * F.length(x).cast("long")
-        return _run_state(x, run, F.greatest(acc["best"], cand))
+        xlen = F.length(x).cast("long")
+        best_run = F.greatest(acc["best_run"], run)
+        best_len = (
+            F.when(run > acc["best_run"], xlen)
+            .when((run == acc["best_run"]) & (xlen > acc["best_len"]), xlen)
+            .otherwise(acc["best_len"])
+        )
+        return _freq_state(x, run, best_run, best_len)
 
-    return F.aggregate(F.sort_array(arr), init, step, lambda acc: acc["best"])
+    return F.aggregate(
+        F.sort_array(arr), init, step, lambda acc: acc["best_run"] * acc["best_len"]
+    )
 
 
 def dup_chars(arr: Column) -> Column:
@@ -431,14 +451,21 @@ def gopher_quality_metrics(text: Column) -> dict[str, Column]:
     )
     n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
     n_ellipsis = F.regexp_count(t, F.lit("\\.\\.\\.|…"))
+    # regexp trims, not ltrim/rtrim: Spark trim functions strip only SPACES,
+    # and tab-indented bullets / tab-padded ellipsis lines are routine in
+    # scraped text (same pitfall tokens() documents)
     bullet = F.size(
-        F.filter(ls, lambda x: F.substring(F.ltrim(x), 1, 1).isin(*_BULLETS))
+        F.filter(
+            ls,
+            lambda x: F.substring(
+                F.regexp_replace(x, "^[ \\t]+", ""), 1, 1
+            ).isin(*_BULLETS),
+        )
     )
     ellipsis_lines = F.size(
         F.filter(
             ls,
-            lambda x: F.endswith(F.rtrim(x), F.lit("..."))
-            | F.endswith(F.rtrim(x), F.lit("…")),
+            lambda x: F.regexp_replace(x, "[ \\t]+$", "").rlike("(\\.\\.\\.|…)$"),
         )
     )
     alpha = F.size(F.filter(ws, lambda x: x.rlike("[a-z]")))

@@ -254,3 +254,52 @@ def test_gopher_plan_is_one_narrow_pass(spark):
     ):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan and "PythonUDF" not in plan
+
+
+def test_top_gram_is_most_frequent_not_longest(spark):
+    """Gopher semantics: the top n-gram is the MOST FREQUENT one — a unique
+    long gram must not outrank a repeated short one."""
+    # "a b" x3 (coverage 3*3=9); unique 2-grams like "ccc dddddddddd" (14)
+    doc = "a b a b a b ccc dddddddddd eee"
+    r = T.repetition_profile(
+        spark.createDataFrame([(1, doc)], "doc_id int, text string")
+    ).collect()[0]
+    norm_len = len(doc)
+    assert r["top_2gram_char_frac"] == pytest.approx(9 / norm_len, abs=1e-6)
+    # all-unique doc: counts tie at 1, longest gram wins (deterministic)
+    doc2 = "one two three dddddddddd"
+    r2 = T.repetition_profile(
+        spark.createDataFrame([(1, doc2)], "doc_id int, text string")
+    ).collect()[0]
+    assert r2["top_2gram_char_frac"] == pytest.approx(
+        len("three dddddddddd") / len(doc2), abs=1e-6
+    )
+
+
+def test_tab_indented_bullets_and_padded_ellipsis(spark):
+    df = spark.createDataFrame(
+        [(1, "\t- tabbed bullet\n  * spaced bullet\nplain\ntrailing dots...\t\n")],
+        "doc_id int, text string",
+    )
+    r = T.gopher_quality_profile(df).collect()[0]
+    assert r["bullet_line_frac"] == pytest.approx(2 / 4, abs=1e-6)
+    assert r["ellipsis_line_frac"] == pytest.approx(1 / 4, abs=1e-6)
+
+
+def test_quality_rule_skips_null_text(spark):
+    """TextQualityRule follows the content-rule NULL contract: a missing
+    value is NotNullRule's report, never a zero-valued quality failure."""
+    from mdvalidate_spark import Spec, TextQualityRule, compile_spec
+    from mdvalidate_spark.operators.row_rules import (
+        row_violations,
+        with_partition_id,
+    )
+
+    df = spark.createDataFrame([(1, None)], "doc_id int, text string")
+    spec = Spec(
+        rules=(TextQualityRule("sw", column="text", metric="n_stopwords", min=2.0),),
+        key_column="doc_id",
+        n_partitions=2,
+    )
+    prog = compile_spec(spec, df.schema)
+    assert row_violations(with_partition_id(df, spec), prog, "t").count() == 0

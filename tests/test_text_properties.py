@@ -46,7 +46,11 @@ def _ref_repetition(text):
         return [" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)]
 
     def top_chars(gs):
-        return max((gs.count(g) * len(g) for g in set(gs)), default=0)
+        # most-frequent gram's coverage, ties broken by the longest gram
+        if not gs:
+            return 0
+        mc = max(gs.count(g) for g in set(gs))
+        return mc * max(len(g) for g in set(gs) if gs.count(g) == mc)
 
     dup_line_chars = sum(
         (lines.count(ln) - 1) * len(ln) for ln in set(lines)
