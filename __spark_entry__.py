@@ -1891,7 +1891,9 @@ def q_dup_clusters_documents(spark, sf_dir):
     return c.select(
         F.col("representative").cast("string"),
         F.col("size").cast("long"),
-        F.to_json(F.col("members").cast("array<string>")).alias("members"),
+        F.to_json(F.col("member_sample").cast("array<string>")).alias(
+            "member_sample"
+        ),
     )
 
 
@@ -2006,7 +2008,9 @@ def q_embedding_clusters(spark, sf_dir):
     return c.select(
         F.col("representative").cast("string"),
         F.col("size").cast("long"),
-        F.to_json(F.col("members").cast("array<string>")).alias("members"),
+        F.to_json(F.col("member_sample").cast("array<string>")).alias(
+            "member_sample"
+        ),
     )
 
 
@@ -3982,8 +3986,8 @@ reach(node, r) AS (
 cc AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
 SELECT CAST(component AS VARCHAR) AS representative,
        CAST(count(*) AS BIGINT) AS size,
-       CAST(to_json(list_transform(list_sort(list(node)), x -> CAST(x AS VARCHAR)))
-            AS VARCHAR) AS members
+       CAST(to_json(list_transform(list_sort(list(node))[1:16], x -> CAST(x AS VARCHAR)))
+            AS VARCHAR) AS member_sample
 FROM cc GROUP BY component
 """,
         "similar_count_embeddings": """
@@ -4390,8 +4394,8 @@ reach(node, r) AS (
 cc AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
 SELECT CAST(component AS VARCHAR) AS representative,
        CAST(count(*) AS BIGINT) AS size,
-       CAST(to_json(list_transform(list_sort(list(node)), x -> CAST(x AS VARCHAR)))
-            AS VARCHAR) AS members
+       CAST(to_json(list_transform(list_sort(list(node))[1:16], x -> CAST(x AS VARCHAR)))
+            AS VARCHAR) AS member_sample
 FROM cc GROUP BY component
 """,
         "topk_embeddings": """

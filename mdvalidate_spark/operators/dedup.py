@@ -197,15 +197,20 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_df: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup via inverted-index blocking (no minhash
-    approximation): documents sharing at least one shingle become candidates
-    (explode → self-join on shingle), then exact Jaccard filters.
+    """n-gram Jaccard near-dup via inverted-index blocking (no minhash
+    approximation): documents sharing at least one KEPT shingle become
+    candidates (explode → self-join on shingle), then exact Jaccard filters.
 
-    Correct for any threshold > 0 (a pair with J ≥ t > 0 shares ≥1 shingle so
-    it IS generated). Costs more than LSH on huge corpora — it's the exact
-    reference implementation to validate the approximate ones against; the
-    hot-shingle skew is the classic long-tail (stop-shingles), mitigated by
-    dropping shingles occurring in > max_df documents.
+    Recall boundary — candidate generation sees only shingles with document
+    frequency ≤ ``max_df`` (default max(50, 1% of docs)): a pair whose every
+    shared shingle is a stop-shingle (all-boilerplate twins) is NOT
+    generated. That is the standard stop-shingle trade (a df>max_df key
+    produces ≥ max_df²/2 candidate pairs — quadratic hot-key work that
+    dominates the join at corpus scale); pass ``max_df >= count(docs)`` to
+    disable the filter and make the operator exact end-to-end, at that
+    quadratic cost. The EMITTED pairs always carry exact Jaccard (the verify
+    stage and the safe upper-bound prune account for dropped stop-shingles;
+    no generated candidate is ever wrongly pruned).
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -557,6 +562,27 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom == 0, F.lit(0.0)).otherwise(dot / denom)
 
 
+#: literal-plane codegen budget: dim × n_planes literals beyond this blow up
+#: Catalyst analysis / Janino codegen (same bound as similarity._assign_cells)
+_SRP_LITERAL_BUDGET = 2048
+
+
+def _srp_planes(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes: component i of plane j from a seeded
+    md5 bit — pure driver-side Python, no RNG state, stable across runs."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if hashlib.md5(f"srp:{j}:{i}".encode()).digest()[0] & 1
+            else -1.0
+            for i in range(dim)
+        ]
+        for j in range(n_planes)
+    ]
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -564,15 +590,21 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     n_planes: int = 16,
     bands: int = 4,
+    force: str | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup via random-hyperplane (SRP) LSH.
 
     Sign of dot(v, plane_j) gives an n_planes-bit sketch whose per-bit
     collision probability is 1 − θ/π; banding the sketch buckets
-    high-cosine pairs together. Planes are deterministic (xxhash-seeded
-    pseudo-random ±1 components — built in column algebra, no numpy driver
-    state to broadcast). Verify = exact cosine ≥ threshold.
-    """
+    high-cosine pairs together. Verify = exact cosine ≥ threshold.
+
+    Planes are deterministic driver-side constants (seeded md5 ±1). Two
+    physical strategies with identical results (``force`` pins one for
+    parity tests): below _SRP_LITERAL_BUDGET the planes unroll as literal
+    arrays into one codegen'd expression; above it (768-dim × 16 planes =
+    12k literals would mean per-row hash work or codegen blowup) an Arrow
+    mapInPandas kernel ships the plane matrix to workers once and pays ONE
+    matmul sign-pass per batch — the 100 TB path."""
     assert n_planes % bands == 0
     width = n_planes // bands
 
@@ -589,30 +621,59 @@ def embedding_near_duplicates(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    # deterministic ±1 hyperplanes: component i of plane j = sign bit of
-    # xxhash64(i, j) — computed per row but constant-folded per (i, j)
-    def srp_bit(j: int) -> Column:
-        signed = F.zip_with(
-            F.col("v"),
-            F.sequence(F.lit(0), F.size("v") - 1),
-            lambda x, i: F.when(
-                F.pmod(F.xxhash64(i, F.lit(j + 7919)), F.lit(2)) == 1, x
-            ).otherwise(-x),
-        )
-        dot = F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x)
-        return F.when(dot > 0, F.lit(1)).otherwise(F.lit(0))
-
-    sketch_bits = [srp_bit(j) for j in range(n_planes)]
-    sk = vecs.select(
-        "doc_id",
-        "v",
-        *[b.alias(f"b{j}") for j, b in enumerate(sketch_bits)],
+    first = vecs.select(F.size("v").alias("d")).first()
+    if first is None:  # empty input: no pairs by construction
+        dim = 1
+    else:
+        dim = int(first["d"])
+    planes = _srp_planes(dim, n_planes)
+    strategy = force or (
+        "literal" if dim * n_planes <= _SRP_LITERAL_BUDGET else "arrow"
     )
+
+    if strategy == "literal":
+
+        def srp_bit(j: int) -> Column:
+            lit_plane = F.array(*[F.lit(c) for c in planes[j]])
+            dot = F.aggregate(
+                F.zip_with(F.col("v"), lit_plane, lambda x, p: x * p),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            return F.when(dot > 0, F.lit("1")).otherwise(F.lit("0"))
+
+        sk = vecs.select(
+            "doc_id", F.concat(*[srp_bit(j) for j in range(n_planes)]).alias("bits")
+        )
+    else:
+        import numpy as np
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        P = np.asarray(planes, dtype=np.float64)  # (n_planes, dim)
+        out_schema = StructType(
+            [vecs.schema["doc_id"], StructField("bits", StringType())]
+        )
+
+        def sign_pass(it):
+            for pdf in it:
+                out = pdf[["doc_id"]].copy()
+                if len(pdf):
+                    V = np.array(pdf["v"].tolist(), dtype=np.float64)
+                    B = (V @ P.T) > 0  # (rows, n_planes) — one matmul/batch
+                    out["bits"] = [
+                        "".join("1" if x else "0" for x in row) for row in B
+                    ]
+                else:
+                    out["bits"] = []
+                yield out
+
+        sk = vecs.mapInPandas(sign_pass, schema=out_schema)
+
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(g).alias("band"),
-                F.concat_ws("", *[F.col(f"b{g * width + j}") for j in range(width)]).alias("chunk"),
+                F.substring("bits", g * width + 1, width).alias("chunk"),
             )
             for g in range(bands)
         ]
@@ -740,21 +801,40 @@ def connected_components(
 
 
 def duplicate_clusters(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    sample_size: int = 16,
 ) -> DataFrame:
-    """(component, size, members sorted, representative = min id) per
-    transitive duplicate cluster — the keep-one / drop-rest decision table
-    of a dedup pipeline."""
+    """(representative = min id, size, first ``sample_size`` members sorted)
+    per transitive duplicate cluster — the keep-one / drop-rest decision
+    table of a dedup pipeline.
+
+    Output is BOUNDED per cluster exactly like exact_duplicates: a
+    boilerplate cluster of 10^8 documents must not put its entire id set
+    into one aggregation buffer/output row, so the member list is a
+    row_number-windowed sample (sort-based, spills) and the keep-one
+    decision needs only the representative + size anyway."""
+    from pyspark.sql import Window
+
     cc = connected_components(pairs, id_a, id_b)
+    w = Window.partitionBy("component").orderBy("node")
     return (
-        cc.groupBy("component")
+        cc.withColumn("_rn", F.row_number().over(w))
+        .groupBy("component")
         .agg(
             F.count(F.lit(1)).alias("size"),
-            F.sort_array(F.collect_list("node")).alias("members"),
+            # collect_list drops NULLs → only the first sample_size member
+            # ids (in sorted order) ever enter the aggregation buffer
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("_rn") <= sample_size, F.col("node"))
+                )
+            ).alias("member_sample"),
         )
         .select(
             F.col("component").alias("representative"),
             "size",
-            "members",
+            "member_sample",
         )
     )

@@ -139,8 +139,8 @@ def reference_edges(ref: DataFrame, rule: DriftRule) -> list:
 def _histograms(
     df: DataFrame, rule: DriftRule, edges: list | None = None
 ) -> tuple[list[float], list[float], bool]:
-    """Return (probe_hist, ref_hist, empty_probe) — aligned density lists
-    plus whether the probe group contained no rows at all."""
+    """Return (probe_hist, ref_hist, empty_probe, empty_ref) — aligned
+    density lists plus whether either side contained no rows at all."""
     base = _base(df, rule)
     if edges is None:
         edges = compute_edges(df, rule)
@@ -158,9 +158,14 @@ def _histograms(
         ref = [0.0] * nb
         for r in counts:
             (probe if r["_probe"] else ref)[r["_bin"]] += r["n"]
-        empty_probe = sum(probe) == 0
+        empty_probe, empty_ref = sum(probe) == 0, sum(ref) == 0
         p_tot, r_tot = sum(probe) or 1.0, sum(ref) or 1.0
-        return [v / p_tot for v in probe], [v / r_tot for v in ref], empty_probe
+        return (
+            [v / p_tot for v in probe],
+            [v / r_tot for v in ref],
+            empty_probe,
+            empty_ref,
+        )
     inner = _dedupe_edges(edges)  # interior edges; outer bins open-ended
     bin_expr = _bin_expr(F.col("_x"), inner, categorical=False)
 
@@ -174,9 +179,14 @@ def _histograms(
     ref = [0.0] * nb
     for r in counts:
         (probe if r["_probe"] else ref)[r["_bin"]] += r["n"]
-    empty_probe = sum(probe) == 0
+    empty_probe, empty_ref = sum(probe) == 0, sum(ref) == 0
     p_tot, r_tot = sum(probe) or 1.0, sum(ref) or 1.0
-    return [v / p_tot for v in probe], [v / r_tot for v in ref], empty_probe
+    return (
+        [v / p_tot for v in probe],
+        [v / r_tot for v in ref],
+        empty_probe,
+        empty_ref,
+    )
 
 
 def psi(probe: list[float], ref: list[float]) -> float:
@@ -206,7 +216,7 @@ def drift_check(
     if rule.sweep_by:
         return drift_sweep(df, rule, run_id, edges)
     spark: SparkSession = df.sparkSession
-    probe_h, ref_h, empty_probe = _histograms(df, rule, edges)
+    probe_h, ref_h, empty_probe, empty_ref = _histograms(df, rule, edges)
     stat = psi(probe_h, ref_h) if rule.method == "psi" else ks(probe_h, ref_h)
 
     metrics = spark.createDataFrame(
@@ -215,7 +225,24 @@ def drift_check(
         "value double, value_str string",
     )
     viol_rows = []
-    if empty_probe:
+    if empty_ref and not empty_probe:
+        # symmetric with the two-table path: an empty REFERENCE slice is a
+        # missing-data condition — the epsilon-density psi (~13.8) or ks=1.0
+        # artifact must not be reported as a genuine drift statistic (and
+        # ks=1.0 would silently PASS a threshold >= 1.0)
+        viol_rows.append(
+            (
+                run_id,
+                None,
+                rule.id,
+                f"{rule.group_column}={rule.group_value}",
+                rule.expr or rule.column,
+                "non-empty reference distribution",
+                "0 reference rows",
+                KIND_DRIFT,
+            )
+        )
+    elif empty_probe:
         # distinguishable outcome: a probe group with NO rows is a missing-
         # data condition, not a distribution statement — surface it as its
         # own violation instead of a meaningless drift statistic

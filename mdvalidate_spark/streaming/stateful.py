@@ -78,10 +78,6 @@ def _make_dup_fn(ttl_ms: int | None):
     return _dup_fn
 
 
-# module-level default (no TTL) kept for import stability
-_dup_fn = _make_dup_fn(None)
-
-
 def stream_duplicate_violations(
     stream_df: DataFrame,
     key_column: str,

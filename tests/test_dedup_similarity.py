@@ -220,13 +220,17 @@ def test_connected_components_transitive(spark):
     assert cc == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d",
                   "x": "x", "y": "x", "z": "x"}
 
-    clusters = {r["representative"]: (r["size"], r["members"])
+    clusters = {r["representative"]: (r["size"], r["member_sample"])
                 for r in duplicate_clusters(pairs).collect()}
     assert clusters == {
         "a": (3, ["a", "b", "c"]),
         "d": (2, ["d", "e"]),
         "x": (3, ["x", "y", "z"]),
     }
+    # bounded output: a big cluster reports full size but a capped sample
+    capped = {r["representative"]: r
+              for r in duplicate_clusters(pairs, sample_size=2).collect()}
+    assert capped["x"]["size"] == 3 and capped["x"]["member_sample"] == ["x", "y"]
 
 
 def test_connected_components_long_chain(spark):
@@ -566,3 +570,19 @@ def test_hamming_near_duplicates_on_synthetic_images(spark, tmp_path):
     for r in out:
         assert 1 <= r["hamming"] <= 8
         assert r["sig_a"] < r["sig_b"]
+
+
+def test_srp_literal_arrow_parity(spark):
+    """The two SRP physical strategies must emit identical pair sets."""
+    from mdvalidate_spark.operators.dedup import embedding_near_duplicates
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    lit = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in embedding_near_duplicates(emb, threshold=0.9, force="literal").collect()
+    }
+    arw = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in embedding_near_duplicates(emb, threshold=0.9, force="arrow").collect()
+    }
+    assert lit == arw
