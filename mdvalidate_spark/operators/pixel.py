@@ -121,11 +121,18 @@ def pixel_check_results(
     cannot go stale within one cache's lifetime.
     """
     t0 = time.time()
-    gate = cache.get("gate") if cache is not None else None
+    # the decision depends on the RULE's column bindings too: a second
+    # PixelRule with different columns must not reuse the first rule's gate
+    # (its own column-presence / computed-column checks would be skipped)
+    gate_key = (
+        "gate", key_column, rule.bytes_column, rule.w_column,
+        rule.h_column, rule.fmt_column, rule.phash_column,
+    )
+    gate = cache.get(gate_key) if cache is not None else None
     if gate is None:
         gate = _gate_decision(df, rule, key_column)
         if cache is not None:
-            cache["gate"] = gate
+            cache[gate_key] = gate
         if os.environ.get("MDV_PROFILE"):
             print(
                 f"    [mdv-profile] pixel native-gate probe "

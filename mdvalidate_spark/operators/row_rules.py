@@ -66,11 +66,21 @@ def with_partition_id(df: DataFrame, spec: Spec) -> DataFrame:
     If the spec names a physical partition column, use it; otherwise derive
     pmod(xxhash64(key), n_partitions) — stable across runs and cluster sizes,
     which is what makes the manifest checkpoint (resume) meaningful.
+
+    Data-supplied ids (a pre-existing partition_id column or
+    spec.partition_column) coalesce NULL/uncastable values to the RESERVED
+    partition -1: a NULL-keyed row would otherwise be invisible to every
+    per-partition stage (all_partitions discovers ids from the data, and
+    isin(batch) never matches NULL) — silently unvalidated rows are worse
+    than an odd bucket, so they validate and count like any other partition.
     """
     if "partition_id" in df.columns:
-        return df
+        return df.withColumn(
+            "partition_id",
+            F.coalesce(F.col("partition_id").cast("int"), F.lit(-1)),
+        )
     if spec.partition_column:
-        src = F.col(spec.partition_column).cast("int")
+        src = F.coalesce(F.col(spec.partition_column).cast("int"), F.lit(-1))
     else:
         src = F.pmod(F.xxhash64(F.col(spec.key_column)), F.lit(spec.n_partitions)).cast(
             "int"

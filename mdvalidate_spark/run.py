@@ -261,6 +261,7 @@ class ValidationRun:
         self._schema_violations = 0
         self._drift_edge_futs: dict[str, object] = {}
         self._drift_pool = None
+        self._drift_prefetch_attempted = False
         # per-run memo of the pixel stage's driver-side gate probing (native
         # vs arrow decision + parquet footer stats): the frame is fixed for
         # the run, so re-probing per batch is pure repeated driver latency —
@@ -333,6 +334,11 @@ class ValidationRun:
             batch = pending[start : start + batch_size]
             n_viol = self._validate_batch(batch)
             if self.spec.fast_fail and n_viol > 0:
+                # the run is already red: interrupt the drift bin-edge
+                # prefetch jobs too (full-table quantile scans on non-daemon
+                # threads would otherwise run to completion and delay exit
+                # even when the caller never reaches validate()/finalize())
+                self._cancel_drift_prefetch()
                 break
         return self
 
@@ -557,14 +563,27 @@ class ValidationRun:
         Incremental sweep rules are excluded: their edges freeze on the
         first batch and their histograms come from partials — a full-table
         prefetch would defeat the point."""
-        if self._drift_edge_futs or not any(
-            not r.incremental for r in self.program.drift_rules
-        ):
+        # guard on ATTEMPTED, not on the futures dict: when every eligible
+        # rule is snapshot-referenced the submit loop below adds nothing, and
+        # a futures-dict guard would recreate (and abandon) a fresh pool on
+        # every validate_pending call
+        if self._drift_prefetch_attempted:
+            return
+        self._drift_prefetch_attempted = True
+        to_submit = [
+            dr
+            for dr in self.program.drift_rules
+            if not dr.incremental
+            and not (
+                dr.reference and drift_ops.is_snapshot(self.dims[dr.reference])
+            )
+        ]
+        if not to_submit:
             return
         from concurrent.futures import ThreadPoolExecutor
 
         self._drift_pool = ThreadPoolExecutor(
-            max_workers=len(self.program.drift_rules),
+            max_workers=len(to_submit),
             thread_name_prefix="mdv-drift-edges",
         )
 
@@ -582,13 +601,8 @@ class ValidationRun:
                 return drift_ops.reference_edges(self.dims[dr.reference], dr)
             return drift_ops.compute_edges(self.df, dr)
 
-        for dr in self.program.drift_rules:
-            if dr.reference and drift_ops.is_snapshot(self.dims[dr.reference]):
-                # snapshot reference: bins are already IN the snapshot —
-                # nothing to prefetch
-                continue
-            if not dr.incremental:
-                self._drift_edge_futs[dr.id] = self._drift_pool.submit(_edge_job, dr)
+        for dr in to_submit:
+            self._drift_edge_futs[dr.id] = self._drift_pool.submit(_edge_job, dr)
 
     def _cancel_drift_prefetch(self) -> None:
         """Fast-fail cleanup: cancel queued edge jobs, interrupt running

@@ -56,11 +56,19 @@ def parquet_files(df: DataFrame) -> list[str]:
 
 
 def parquet_columns(files: list[str]) -> list[str]:
+    """Columns present in EVERY file (schema-evolution-safe): a column the
+    first file has but an older file lacks would pass a files[0]-only probe
+    and then KeyError in the worker when pyarrow silently omits it from
+    iter_batches. One footer read per file, driver-side — the same footers
+    the row-group pruner reads anyway."""
     import pyarrow.parquet as pq
 
     if not files:
         return []
-    return list(pq.read_schema(files[0]).names)
+    common = set(pq.read_schema(files[0]).names)
+    for f in files[1:]:
+        common &= set(pq.read_schema(f).names)
+    return list(common)
 
 
 def footer_meta(path: str, cache: dict | None = None) -> dict:

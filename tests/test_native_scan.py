@@ -208,8 +208,15 @@ def test_gate_decision_cached_per_run(spark, px_parquet, monkeypatch):
     r1 = pixel_ops.pixel_check_results(df, PixelRule("px"), "image_id", cache=cache)
     r2 = pixel_ops.pixel_check_results(df, PixelRule("px"), "image_id", cache=cache)
     assert calls["n"] == 1
-    assert cache["gate"][0] is True  # native path engaged and memoized
+    gate_keys = [k for k in cache if isinstance(k, tuple) and k[0] == "gate"]
+    assert len(gate_keys) == 1
+    assert cache[gate_keys[0]][0] is True  # native path engaged and memoized
     assert checks_set(r1) == checks_set(r2)
+    # a rule binding DIFFERENT columns must get its own gate decision
+    pixel_ops.pixel_check_results(
+        df, PixelRule("px2", phash_column="image_id"), "image_id", cache=cache
+    )
+    assert calls["n"] == 2
 
 
 def test_footer_stats_cached_across_batches(spark, px_parquet, monkeypatch):

@@ -296,3 +296,28 @@ def test_volume_rule_universe_detects_missing_partitions(spark):
     # universe named but not provided in dims → typed error at open
     with pytest.raises(SchemaError, match="universe table"):
         validate_table(spark, df, spec, run_id="r-vol-u3")
+
+
+def test_null_partition_values_land_in_reserved_partition(spark, tmp_path):
+    """A NULL value in the data-supplied partition column must not make its
+    row invisible to validation: such rows coalesce to the reserved
+    partition -1, are validated, counted in the manifest, and fail the run
+    like any other violating row."""
+    from mdvalidate_spark.spec import RangeRule, Spec
+    from mdvalidate_spark.run import validate_table
+
+    df = spark.createDataFrame(
+        [("k1", 1, 10.0), ("k2", None, -5.0), ("k3", 2, 20.0)],
+        "id string, part int, score double",
+    )
+    spec = Spec(
+        rules=(RangeRule("score_range", column="score", min=0.0, max=100.0),),
+        key_column="id",
+        partition_column="part",
+    )
+    report = validate_table(spark, df, spec, checkpoint_dir=str(tmp_path / "ck"))
+    rows = report.violations.collect()
+    assert [(r["image_id"], r["partition_id"]) for r in rows] == [("k2", -1)]
+    assert report.exit_code == 1
+    manifest_parts = {r["partition_id"] for r in report.manifest.collect()}
+    assert -1 in manifest_parts
