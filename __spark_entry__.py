@@ -2998,7 +2998,7 @@ def _suggest_text_sql() -> str:
     arms = [
         f"""
 SELECT 'text' AS column_name, 'pii' AS kind,
-       'pii_total <= ' || max(pii_total) AS detail
+       'pii_total <= ' || CAST(ceil(max(pii_total) * 1.25) AS BIGINT) AS detail
 FROM pprof"""
     ]
     for m in T.REPETITION_GATES:

@@ -634,13 +634,17 @@ def value_profile_metrics(
             for r in rules
         ]
     )
+    # deliberately NOT persisted (same posture as metric_bound_results):
+    # counts is O(distinct values) — unbounded on a near-unique column —
+    # and nothing ever unpersists it; each consumer arm (entropy + one per
+    # top_values rule) pays its own map-side-combined scan instead of
+    # pinning a table-scale frame in the session cache for its lifetime
     counts = (
         df.select(F.explode(pair_structs).alias("p"))
         .select("p.rule_id", "p.v")
         .where(F.col("v").isNotNull())
         .groupBy("rule_id", "v")
         .agg(F.count(F.lit(1)).alias("c"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     def _long(frame):

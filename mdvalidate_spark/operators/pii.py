@@ -98,6 +98,18 @@ def pii_counts(text: Column) -> dict[str, Column]:
     }
 
 
+def pii_total_from_counts(counts: dict[str, Column]) -> Column:
+    """The canonical non-URL total — the ONE definition shared by
+    pii_profile, PiiRule's executor, and the suggest ratchet, so the
+    URL-is-a-signal exclusion can never drift between them."""
+    total = None
+    for name in PII_KINDS:
+        if name == "url":
+            continue
+        total = counts[name] if total is None else total + counts[name]
+    return total
+
+
 def pii_profile(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -105,15 +117,10 @@ def pii_profile(
     n_phone, n_ipv4 plus pii_total (URLs excluded from the total — a URL is
     a signal, not PII per se, and PII shapes inside URLs count as URL)."""
     counts = pii_counts(F.col(text_col))
-    total = None
-    for name in PII_KINDS:
-        if name == "url":
-            continue
-        total = counts[name] if total is None else total + counts[name]
     return df.select(
         F.col(id_col),
         *[counts[name].alias(f"n_{name}") for name in PII_KINDS],
-        total.alias("pii_total"),
+        pii_total_from_counts(counts).alias("pii_total"),
     )
 
 

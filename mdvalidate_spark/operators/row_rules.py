@@ -56,7 +56,7 @@ from ..spec import (
     TextQualityRule,
     VectorRule,
 )
-from .pii import PII_KINDS, pii_counts
+from .pii import PII_KINDS, pii_counts, pii_total_from_counts
 from .text import gopher_quality_metrics, repetition_metrics
 
 
@@ -365,9 +365,13 @@ def _check_applies(rule) -> Column:
         kinds = rule.kinds or tuple(k for k in PII_KINDS if k != "url")
         all_counts = pii_counts(F.col(rule.column))
         counts = {k: all_counts[k] for k in kinds}
-        total = None
-        for k in kinds:
-            total = counts[k] if total is None else total + counts[k]
+        if rule.kinds:
+            total = None
+            for k in kinds:
+                total = counts[k] if total is None else total + counts[k]
+        else:
+            # default (all non-URL kinds): the canonical shared definition
+            total = pii_total_from_counts(all_counts)
         detail = F.concat_ws(
             ",",
             *[

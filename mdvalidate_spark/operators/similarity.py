@@ -209,8 +209,18 @@ def _assign_cells(df: DataFrame, centroids: list, vec_field: str,
       dropped). This is the 100 TB path: cost is O(batch × cells × dim)
       flops with no expression-tree or codegen growth in n_cells.
 
-    ``force`` ('literal' | 'arrow') pins a strategy (parity tests)."""
-    n_lit = len(centroids) * len(centroids[0])
+    ``force`` ('literal' | 'arrow') pins a strategy (parity tests).
+
+    Rows whose vector is NULL or not centroid-dimensioned are EXCLUDED
+    before assignment — identically on both strategies (the literal path
+    would otherwise silently file NULLs under cell 0 via three-valued
+    logic while the Arrow path crashed np.array on the ragged batch).
+    Malformed embeddings are VectorRule's report, not an index member."""
+    dim = len(centroids[0])
+    df = df.where(
+        F.col(vec_field).isNotNull() & (F.size(F.col(vec_field)) == dim)
+    )
+    n_lit = len(centroids) * dim
     strategy = force or ("literal" if n_lit <= _LITERAL_BUDGET else "arrow")
     if strategy == "literal":
         return df.withColumn("cell", _nearest_cell(F.col(vec_field), centroids))

@@ -207,14 +207,11 @@ def suggest_spec(
                 taggs.append(
                     F.max(F.when(in_scope, m[name])).alias(f"rep_{name}__{c}")
                 )
-            counts = _pii.pii_counts(col)
-            total = None
-            for k in _pii.PII_KINDS:
-                if k == "url":
-                    continue
-                cnt = counts[k]
-                total = cnt if total is None else total + cnt
-            taggs.append(F.max(total).alias(f"pii__{c}"))
+            taggs.append(
+                F.max(_pii.pii_total_from_counts(_pii.pii_counts(col))).alias(
+                    f"pii__{c}"
+                )
+            )
         textprof = df.agg(*taggs).collect()[0].asDict()
 
     # uniqueness: candidates from the (possibly sketched) first pass, then
@@ -288,8 +285,12 @@ def suggest_spec(
             # arithmetic bit-for-bit; permissive ceil keeps the draft clean.
             pii_max = textprof[f"pii__{c}"]
             if pii_max is not None:
+                # same headroom treatment as every other gate: ceil of the
+                # observed ceiling × (1 + headroom); 0 stays 0 (a PII-free
+                # corpus ratchets at zero — slack on nothing is nothing)
+                bound = int(math.ceil(int(pii_max) * (1.0 + text_headroom)))
                 rules.append(
-                    PiiRule(f"suggest_pii_{c}", column=c, max_total=int(pii_max))
+                    PiiRule(f"suggest_pii_{c}", column=c, max_total=bound)
                 )
             for name in _text.REPETITION_GATES:
                 observed = textprof[f"rep_{name}__{c}"]

@@ -308,7 +308,8 @@ def test_text_gates_drafted_and_clean(spark):
     )
     by_id = {r.id: r for r in spec.rules}
     pii = by_id["suggest_pii_text"]
-    assert isinstance(pii, PiiRule) and pii.max_total == 1  # the planted email
+    # observed ceiling 1 (the planted email) × 1.25 headroom, ceil → 2
+    assert isinstance(pii, PiiRule) and pii.max_total == 2
     rep = by_id["suggest_rep_dup_line_frac_text"]
     assert isinstance(rep, RepetitionRule) and rep.min_words == 20
     assert 0.0 < rep.max <= 1.0
@@ -319,7 +320,7 @@ def test_text_gates_drafted_and_clean(spark):
     # rendering is deterministic and engine-reproducible
     rows = suggestion_rows(spark, spec).where("kind in ('pii','repetition')")
     details = {r["detail"] for r in rows.collect()}
-    assert "pii_total <= 1" in details
+    assert "pii_total <= 2" in details  # ceil(1 × 1.25)
     assert any(d.startswith("dup_line_frac <= ") for d in details)
 
 
