@@ -1765,6 +1765,84 @@ def q_quality_spec_documents(spark, sf_dir):
     return _viol_out(row_violations(with_partition_id(docs, spec), prog, "q"))
 
 
+def _augment_typed(docs):
+    """De-vacuate typed-format validity: the fixture has no stringly-typed
+    columns, so derive one string column per FormatRule format from doc_id
+    (deterministic, identical in Spark and DuckDB) and plant per-format
+    corruption by residue class — including the SHAPE-VALID but
+    calendar-invalid date (2021-02-30) and hour-25 timestamp that a pure
+    regex check cannot catch."""
+    d = F.col("doc_id")
+    s = d.cast("string")
+    m = F.md5(s)
+    uu = F.concat_ws(
+        "-",
+        F.substring(m, 1, 8),
+        F.substring(m, 9, 4),
+        F.substring(m, 13, 4),
+        F.substring(m, 17, 4),
+        F.substring(m, 21, 12),
+    )
+    day = F.format_string(
+        "%04d-%02d-%02d",
+        F.lit(2020) + d % 3,
+        F.when(d % 17 == 2, F.lit(13)).otherwise(d % 12 + 1),
+        d % 28 + 1,
+    )
+    ts = F.format_string(
+        "%04d-%02d-%02d %02d:%02d:%02d",
+        F.lit(2020) + d % 3,
+        d % 12 + 1,
+        d % 28 + 1,
+        F.when(d % 23 == 7, F.lit(25)).otherwise(d % 24),
+        d % 60,
+        d % 60,
+    )
+    return docs.select(
+        "doc_id",
+        F.when(d % 13 == 5, F.concat(F.lit("x"), s)).otherwise(s).alias("int_s"),
+        F.when(d % 11 == 4, F.lit("1.2.3"))
+        .otherwise(F.format_string("%d.%02d", d % 100, d % 97))
+        .alias("dbl_s"),
+        F.when(d % 19 == 3, F.lit("2021-02-30")).otherwise(day).alias("day_s"),
+        ts.alias("ts_s"),
+        F.when(d % 7 == 6, F.substring(uu, 1, 35)).otherwise(uu).alias("uuid_s"),
+        F.when(d % 37 == 9, F.lit("yes"))
+        .otherwise(F.element_at(F.array(F.lit("true"), F.lit("false"), F.lit("0"), F.lit("1")), (d % 4 + 1).cast("int")))
+        .alias("bool_s"),
+        F.when(d % 29 == 8, F.format_string("{k: %d}", d))
+        .otherwise(F.format_string('{"k": %d}', d))
+        .alias("json_s"),
+    )
+
+
+def q_format_documents(spark, sf_dir):
+    """FormatRule: typed-format validity (int/double/date/timestamp/uuid/
+    bool/json) as first-class spec rules in the fused codegen'd row pass —
+    one scan, no shuffle, no Python. The date/timestamp rules catch
+    calendar-invalid values (2021-02-30, hour 25) a regex cannot; oracle
+    re-derives every verdict with regexp_matches + try_strptime + json_valid
+    over the same deterministic augmentation."""
+    from mdvalidate_spark.spec import FormatRule
+
+    docs = _augment_typed(_load(spark, sf_dir, "documents"))
+    spec = Spec(
+        rules=(
+            FormatRule("fmt_int", column="int_s", format="int"),
+            FormatRule("fmt_double", column="dbl_s", format="double"),
+            FormatRule("fmt_date", column="day_s", format="date"),
+            FormatRule("fmt_ts", column="ts_s", format="timestamp"),
+            FormatRule("fmt_uuid", column="uuid_s", format="uuid"),
+            FormatRule("fmt_bool", column="bool_s", format="bool"),
+            FormatRule("fmt_json", column="json_s", format="json"),
+        ),
+        key_column="doc_id",
+        n_partitions=8,
+    )
+    prog = compile_spec(spec, docs.schema)
+    return _viol_out(row_violations(with_partition_id(docs, spec), prog, "q"))
+
+
 def q_contamination_documents(spark, sf_dir):
     """Benchmark decontamination report: corpus docs sharing word k-grams
     with a small 'benchmark' subset (doc_id % 17), benchmark shingle set
@@ -2068,6 +2146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries touched this round must come first, stable legacy last.
     return {
         # -- round 4: new/rewritten ------------------------------------
+        "format_documents": q_format_documents,
         "dedup_probe_documents": q_dedup_probe_documents,
         "domain_counts_documents": q_domain_counts_documents,
         "blocklist_gate_documents": q_blocklist_gate_documents,
@@ -3054,6 +3133,70 @@ FROM qprof WHERE n_stopwords < 2.0
 """
 
 
+def _format_sql() -> str:
+    """Oracle for q_format_documents: the typed augmentation re-derived in
+    DuckDB (identical printf/md5/residue arithmetic), each FormatRule verdict
+    re-checked with the portable predicate (shape regex for int/double/uuid,
+    shape AND try_strptime for date/timestamp, closed set for bool,
+    json_valid for json)."""
+    from mdvalidate_spark.spec import FORMAT_REGEX
+
+    aug = """
+SELECT doc_id,
+  CASE WHEN doc_id % 13 = 5 THEN 'x' || CAST(doc_id AS VARCHAR)
+       ELSE CAST(doc_id AS VARCHAR) END AS int_s,
+  CASE WHEN doc_id % 11 = 4 THEN '1.2.3'
+       ELSE printf('%d.%02d', doc_id % 100, doc_id % 97) END AS dbl_s,
+  CASE WHEN doc_id % 19 = 3 THEN '2021-02-30'
+       ELSE printf('%04d-%02d-%02d', 2020 + doc_id % 3,
+                   CASE WHEN doc_id % 17 = 2 THEN 13 ELSE doc_id % 12 + 1 END,
+                   doc_id % 28 + 1) END AS day_s,
+  printf('%04d-%02d-%02d %02d:%02d:%02d', 2020 + doc_id % 3,
+         doc_id % 12 + 1, doc_id % 28 + 1,
+         CASE WHEN doc_id % 23 = 7 THEN 25 ELSE doc_id % 24 END,
+         doc_id % 60, doc_id % 60) AS ts_s,
+  CASE WHEN doc_id % 7 = 6 THEN substring(u, 1, 35) ELSE u END AS uuid_s,
+  CASE WHEN doc_id % 37 = 9 THEN 'yes'
+       ELSE (['true','false','0','1'])[CAST(doc_id % 4 + 1 AS INT)] END AS bool_s,
+  CASE WHEN doc_id % 29 = 8 THEN printf('{k: %d}', doc_id)
+       ELSE printf('{"k": %d}', doc_id) END AS json_s
+FROM (
+  SELECT doc_id,
+         concat_ws('-', substring(m, 1, 8), substring(m, 9, 4),
+                   substring(m, 13, 4), substring(m, 17, 4),
+                   substring(m, 21, 12)) AS u
+  FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents)
+)
+"""
+    fails = {
+        "fmt_int": ("int_s", "int", f"NOT regexp_matches(int_s, '{FORMAT_REGEX['int']}')"),
+        "fmt_double": ("dbl_s", "double", f"NOT regexp_matches(dbl_s, '{FORMAT_REGEX['double']}')"),
+        "fmt_date": (
+            "day_s",
+            "date",
+            f"NOT (regexp_matches(day_s, '{FORMAT_REGEX['date']}') "
+            "AND try_strptime(day_s, '%Y-%m-%d') IS NOT NULL)",
+        ),
+        "fmt_ts": (
+            "ts_s",
+            "timestamp",
+            f"NOT (regexp_matches(ts_s, '{FORMAT_REGEX['timestamp']}') "
+            "AND try_strptime(ts_s, '%Y-%m-%d %H:%M:%S') IS NOT NULL)",
+        ),
+        "fmt_uuid": ("uuid_s", "uuid", f"NOT regexp_matches(uuid_s, '{FORMAT_REGEX['uuid']}')"),
+        "fmt_bool": ("bool_s", "bool", "lower(bool_s) NOT IN ('true','false','0','1')"),
+        "fmt_json": ("json_s", "json", "NOT json_valid(json_s)"),
+    }
+    parts = [
+        f"""SELECT '{rid}' AS rule_id, CAST(doc_id AS VARCHAR) AS row_key,
+       '{col}' AS col_name, '{fmt}' AS expected, {col} AS actual,
+       'format' AS kind
+FROM aug WHERE {col} IS NOT NULL AND {cond}"""
+        for rid, (col, fmt, cond) in fails.items()
+    ]
+    return "WITH aug AS (" + aug + ")\n" + "\nUNION ALL\n".join(parts)
+
+
 def _shingles_sql(t: str, k: int = 3) -> str:
     norm = _NORM.format(t=t)
     return (
@@ -3333,6 +3476,7 @@ SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.9
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "format_documents": _format_sql(),
         "row_orders": _ROW_ORDERS_SQL,
         # violation-set diff: new = late-order domain/range violations
         # (identities absent from the acked early baseline); resolved =

@@ -31,6 +31,7 @@ from .spec import (
     DomainRule,
     DriftRule,
     ExprRule,
+    FormatRule,
     FreshnessRule,
     MetricBoundRule,
     FunctionalDependencyRule,
@@ -63,6 +64,7 @@ __all__ = [
     "DomainRule",
     "DriftRule",
     "ExprRule",
+    "FormatRule",
     "FreshnessRule",
     "MetricBoundRule",
     "FunctionalDependencyRule",

@@ -48,6 +48,8 @@ from .spec import (
     DomainRule,
     DriftRule,
     ExprRule,
+    FORMATS,
+    FormatRule,
     FreshnessRule,
     FunctionalDependencyRule,
     HeaderRule,
@@ -79,6 +81,7 @@ ROW_KINDS = (
     DomainRule,
     VectorRule,
     ExprRule,
+    FormatRule,
     HeaderRule,
     PiiRule,
     RepetitionRule,
@@ -279,6 +282,18 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
                     f"rule {r.id!r}: unknown PII kind(s) {bad}; "
                     f"valid: {', '.join(PII_KINDS)}"
                 )
+            _require_string_column(r, r.column, available_columns)
+
+        if isinstance(r, FormatRule):
+            if r.format not in FORMATS:
+                raise SchemaError(
+                    f"rule {r.id!r}: unknown format {r.format!r}; "
+                    f"valid: {', '.join(FORMATS)}"
+                )
+            # format checks parse CHARACTERS: on an already-typed column the
+            # implicit cast would re-render the value (e.g. a real DATE column
+            # prints as yyyy-MM-dd and trivially passes) — that's a no-op
+            # check hiding a spec mistake, so demand STRING like PII/repetition
             _require_string_column(r, r.column, available_columns)
 
         if isinstance(r, RepetitionRule):

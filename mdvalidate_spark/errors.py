@@ -116,6 +116,7 @@ KIND_DTYPE = "dtype_mismatch"
 KIND_DIM = "dim_mismatch"
 KIND_NAN = "nan"
 KIND_EXPR = "expr"  # cross-column row invariant (ExprRule) evaluated FALSE
+KIND_FORMAT = "format"  # string value fails its declared typed format (FormatRule)
 KIND_PII = "pii"  # typed PII matches above the declared budget (PiiRule)
 KIND_REPETITION = "repetition"  # Gopher repetition metric above its gate
 KIND_QUALITY = "quality"  # Gopher quality metric outside its envelope
@@ -149,6 +150,7 @@ ALL_KINDS = (
     KIND_DIM,
     KIND_NAN,
     KIND_EXPR,
+    KIND_FORMAT,
     KIND_PII,
     KIND_REPETITION,
     KIND_QUALITY,

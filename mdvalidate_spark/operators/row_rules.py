@@ -29,6 +29,7 @@ from ..errors import (
     KIND_DOMAIN,
     KIND_EXPR,
     KIND_FMT_CODE,
+    KIND_FORMAT,
     KIND_LITERAL,
     KIND_MATCHER,
     KIND_NAN,
@@ -42,9 +43,12 @@ from ..errors import (
     KIND_TRUNCATED,
 )
 from ..spec import (
+    FORMAT_BOOL_VALUES,
+    FORMAT_REGEX,
     CompositeRegexRule,
     DomainRule,
     ExprRule,
+    FormatRule,
     HeaderRule,
     LiteralRule,
     NotNullRule,
@@ -174,6 +178,30 @@ def _check_applies(rule) -> Column:
         fail = c.isNotNull() & ~c.isin(*rule.values)
         expected = F.lit("in {" + ", ".join(rule.values) + "}")
         return F.when(fail, _viol(rule.id, rule.column, expected, c, KIND_DOMAIN))
+    if isinstance(rule, FormatRule):
+        # typed-format validity in the fused pass. All paths are codegen'd
+        # JVM expressions: shape rlike, try_to_timestamp (strict ANSI
+        # parser), try_parse_json. NULL → out of scope (NotNullRule's job).
+        c = F.col(rule.column)
+        fmt = rule.format
+        if fmt in ("date", "timestamp"):
+            pattern = "yyyy-MM-dd" if fmt == "date" else "yyyy-MM-dd HH:mm:ss"
+            # shape regex AND strict parse: the regex pins digit counts and
+            # rejects padding (lenient in some parsers), the parse rejects
+            # calendar-invalid values the shape admits (month 13, Feb 30)
+            ok = c.rlike(FORMAT_REGEX[fmt]) & F.try_to_timestamp(
+                c, F.lit(pattern)
+            ).isNotNull()
+        elif fmt == "bool":
+            ok = F.lower(c).isin(*FORMAT_BOOL_VALUES)
+        elif fmt == "json":
+            ok = F.try_parse_json(c).isNotNull()
+        else:  # int / double / uuid — pure portable shape regexes
+            ok = c.rlike(FORMAT_REGEX[fmt])
+        fail = c.isNotNull() & ~ok
+        return F.when(
+            fail, _viol(rule.id, rule.column, F.lit(fmt), c, KIND_FORMAT)
+        )
     if isinstance(rule, VectorRule):
         # dim → bad element → norm, first failure only (cmd.rs:368-398);
         # NULL vectors propagate NULL conditions → pass (NotNullRule's job).

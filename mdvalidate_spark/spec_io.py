@@ -4,7 +4,7 @@ A spec file is JSON: {"key_column": ..., "n_partitions": ..., "fast_fail":
 ..., "max_violations_per_rule": ..., "rules": [{"kind": ..., "id": ...,
 ...}, ...]}. Rule kinds: not_null, regex, composite, literal, range, domain,
 unique, count, ref, capture, sequence, stats, drift, overlap, pixel, schema,
-vector, expr, header, volume, fd, freshness, metric_bound.
+vector, expr, format, header, volume, fd, freshness, metric_bound.
 Unknown kinds or params raise SchemaError at load (reference: matcher parse
 errors, matcher.rs:175-208 — reject before touching data).
 """
@@ -23,6 +23,7 @@ from .spec import (
     DomainRule,
     DriftRule,
     ExprRule,
+    FormatRule,
     FreshnessRule,
     MetricBoundRule,
     FunctionalDependencyRule,
@@ -65,6 +66,7 @@ RULE_KINDS: dict[str, type] = {
     "schema": SchemaRule,
     "vector": VectorRule,
     "expr": ExprRule,
+    "format": FormatRule,
     "pii": PiiRule,
     "repetition": RepetitionRule,
     "text_quality": TextQualityRule,

@@ -867,3 +867,94 @@ def test_header_rule_randomized_differential(spark):
         for r in run_rows(spark, df, [_mdv_header_rule()]).collect()
     }
     assert got == want
+
+
+# ------------------------------------------------------------- FormatRule
+
+
+def _fmt_rows(spark, values, fmt, when=""):
+    from mdvalidate_spark.spec import FormatRule
+
+    df = spark.createDataFrame(
+        [(str(i), v) for i, v in enumerate(values)], "image_id string, v string"
+    )
+    spec = base_spec([FormatRule("f", column="v", format=fmt, when=when)])
+    prog = compile_spec(spec, df.schema)
+    v = row_violations(with_partition_id(df, spec), prog, "t")
+    return {r["image_id"] for r in v.collect()}, v
+
+
+def test_format_int_double_uuid_shapes(spark):
+    bad, v = _fmt_rows(
+        spark, ["42", "-7", "+0", "4.2", "x9", "", None, "9 "], "int"
+    )
+    assert bad == {"3", "4", "5", "7"}  # NULL out of scope; "" and "9 " fail
+    row = v.where(F.col("image_id") == "3").first()
+    assert (row["kind"], row["expected"], row["actual"]) == ("format", "int", "4.2")
+    bad, _ = _fmt_rows(
+        spark, ["1", "-2.5", ".5", "3.", "1e-3", "2E+10", "1.2.3", "abc", "nan"], "double"
+    )
+    assert bad == {"6", "7", "8"}
+    u = "123e4567-e89b-12d3-a456-426614174000"
+    bad, _ = _fmt_rows(spark, [u, u.upper(), u[:-1], u.replace("-", "")], "uuid")
+    assert bad == {"2", "3"}
+
+
+def test_format_date_timestamp_strict_calendar(spark):
+    # shape-valid but calendar-invalid values MUST fail (the pure-regex
+    # check a FormatRule exists to improve on), lenient digit counts and
+    # padding MUST fail (the pure-parse check some engines get wrong)
+    bad, _ = _fmt_rows(
+        spark,
+        ["2020-01-02", "2020-13-02", "2020-02-30", "2020-1-2", " 2020-01-02", "0000-01-01"],
+        "date",
+    )
+    assert bad == {"1", "2", "3", "4"}
+    bad, _ = _fmt_rows(
+        spark,
+        ["2020-01-02 03:04:05", "2020-01-02 25:04:05", "2020-01-02", "2020-02-30 01:02:03"],
+        "timestamp",
+    )
+    assert bad == {"1", "2", "3"}
+
+
+def test_format_bool_json(spark):
+    bad, _ = _fmt_rows(spark, ["true", "FALSE", "0", "1", "yes", "2"], "bool")
+    assert bad == {"4", "5"}
+    bad, _ = _fmt_rows(
+        spark, ['{"a":1}', "[1,2]", "5", "null", '{a:1}', '{"a":1', "tru"], "json"
+    )
+    assert bad == {"4", "5", "6"}
+
+
+def test_format_when_scope_and_lints(spark):
+    from mdvalidate_spark.errors import SchemaError
+    from mdvalidate_spark.spec import FormatRule
+
+    bad, _ = _fmt_rows(spark, ["x", "7"], "int", when="v <> 'x'")
+    assert bad == set()  # 'x' out of scope, '7' valid
+    with pytest.raises(SchemaError, match="unknown format"):
+        compile_spec(base_spec([FormatRule("f", column="v", format="ipv4")]), ["v"])
+    df = spark.createDataFrame([(1,)], "v int")
+    with pytest.raises(SchemaError, match="STRING"):
+        compile_spec(
+            base_spec([FormatRule("f", column="v", format="int")]), df.schema
+        )
+
+
+def test_format_fused_plan_no_shuffle_no_python(spark):
+    from mdvalidate_spark.spec import FormatRule
+
+    df = spark.createDataFrame([("1", "2020-01-02")], "image_id string, v string")
+    spec = base_spec(
+        [
+            FormatRule("fd", column="v", format="date"),
+            FormatRule("fj", column="v", format="json"),
+            FormatRule("fi", column="v", format="int"),
+        ]
+    )
+    prog = compile_spec(spec, df.schema)
+    v = row_violations(with_partition_id(df, spec), prog, "t")
+    plan = v._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "PythonUDF" not in plan
