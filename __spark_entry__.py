@@ -1843,6 +1843,47 @@ def q_format_documents(spark, sf_dir):
     return _viol_out(row_violations(with_partition_id(docs, spec), prog, "q"))
 
 
+def q_outlier_orders(spark, sf_dir):
+    """OutlierRule: robust data-derived envelopes — a global IQR (Tukey)
+    fence on o_totalprice plus a per-priority MAD (modified-z) fence —
+    flagging the natural tails of the price distribution as violation rows.
+    exact=True (interpolated percentiles) so DuckDB's quantile_cont
+    re-derives the identical envelope; production uses the default KLL
+    sketch path (same operator, exact=False)."""
+    from mdvalidate_spark.operators.outliers import outlier_violations
+    from mdvalidate_spark.spec import OutlierRule
+
+    # de-vacuate: the fixture's price distribution is bounded (no natural
+    # tail outside even the Tukey fence), so plant the corruption this rule
+    # exists to catch — fat-finger ×1000 prices and sign flips by key residue
+    k = F.col("o_orderkey")
+    orders = _load(spark, sf_dir, "orders").withColumn(
+        "o_totalprice",
+        F.when(k % 997 == 3, F.col("o_totalprice") * 1000)
+        .when(k % 991 == 5, -F.col("o_totalprice"))
+        .otherwise(F.col("o_totalprice")),
+    )
+    a = outlier_violations(
+        orders,
+        OutlierRule("price_iqr", column="o_totalprice", method="iqr", exact=True),
+        "q",
+        "o_orderkey",
+    )
+    b = outlier_violations(
+        orders,
+        OutlierRule(
+            "price_mad_by_prio",
+            column="o_totalprice",
+            method="mad",
+            group_by=("o_orderpriority",),
+            exact=True,
+        ),
+        "q",
+        "o_orderkey",
+    )
+    return _viol_out(a.unionByName(b))
+
+
 def q_contamination_documents(spark, sf_dir):
     """Benchmark decontamination report: corpus docs sharing word k-grams
     with a small 'benchmark' subset (doc_id % 17), benchmark shingle set
@@ -2147,6 +2188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- round 4: new/rewritten ------------------------------------
         "format_documents": q_format_documents,
+        "outlier_orders": q_outlier_orders,
         "dedup_probe_documents": q_dedup_probe_documents,
         "domain_counts_documents": q_domain_counts_documents,
         "blocklist_gate_documents": q_blocklist_gate_documents,
@@ -3197,6 +3239,45 @@ FROM aug WHERE {col} IS NOT NULL AND {cond}"""
     return "WITH aug AS (" + aug + ")\n" + "\nUNION ALL\n".join(parts)
 
 
+def _outlier_sql() -> str:
+    """Oracle for q_outlier_orders: both envelopes re-derived with
+    quantile_cont (DuckDB's exact interpolated quantile — same linear
+    interpolation as Spark's percentile), bounds rounded to 6 dp on both
+    sides per the repo parity convention, values rendered with printf."""
+    return """
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority AS g,
+         CAST(CASE WHEN o_orderkey % 997 = 3 THEN o_totalprice * 1000
+                   WHEN o_orderkey % 991 = 5 THEN -o_totalprice
+                   ELSE o_totalprice END AS DOUBLE) AS x
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+giqr AS (
+  SELECT round(quantile_cont(x, 0.25) - 1.5 * (quantile_cont(x, 0.75) - quantile_cont(x, 0.25)), 6) AS lo,
+         round(quantile_cont(x, 0.75) + 1.5 * (quantile_cont(x, 0.75) - quantile_cont(x, 0.25)), 6) AS hi
+  FROM base
+),
+med AS (SELECT g, quantile_cont(x, 0.5) AS m FROM base GROUP BY g),
+madt AS (
+  SELECT b.g, med.m,
+         round(med.m - 3.5 * 1.4826 * quantile_cont(abs(b.x - med.m), 0.5), 6) AS lo,
+         round(med.m + 3.5 * 1.4826 * quantile_cont(abs(b.x - med.m), 0.5), 6) AS hi
+  FROM base b JOIN med ON b.g = med.g
+  GROUP BY b.g, med.m
+)
+SELECT 'price_iqr' AS rule_id, CAST(o_orderkey AS VARCHAR) AS row_key,
+       'o_totalprice' AS col_name,
+       printf('in [%.6f, %.6f] (iqr k=1.5)', giqr.lo, giqr.hi) AS expected,
+       printf('%.6f', x) AS actual, 'outlier' AS kind
+FROM base, giqr WHERE x < giqr.lo OR x > giqr.hi
+UNION ALL
+SELECT 'price_mad_by_prio', CAST(o_orderkey AS VARCHAR), 'o_totalprice',
+       printf('in [%.6f, %.6f] (mad k=3.5) by o_orderpriority', madt.lo, madt.hi),
+       printf('%.6f', x), 'outlier'
+FROM base JOIN madt ON base.g = madt.g WHERE x < madt.lo OR x > madt.hi
+"""
+
+
 def _shingles_sql(t: str, k: int = 3) -> str:
     norm = _NORM.format(t=t)
     return (
@@ -3477,6 +3558,7 @@ SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.9
 def oracle_sql() -> dict[str, str]:
     return {
         "format_documents": _format_sql(),
+        "outlier_orders": _outlier_sql(),
         "row_orders": _ROW_ORDERS_SQL,
         # violation-set diff: new = late-order domain/range violations
         # (identities absent from the acked early baseline); resolved =

@@ -37,6 +37,7 @@ from .spec import (
     FunctionalDependencyRule,
     LiteralRule,
     NotNullRule,
+    OutlierRule,
     OverlapRule,
     PiiRule,
     PixelRule,
@@ -71,6 +72,7 @@ __all__ = [
     "LiteralRule",
     "MdvSparkError",
     "NotNullRule",
+    "OutlierRule",
     "OverlapRule",
     "PiiRule",
     "PixelRule",

@@ -56,6 +56,7 @@ from .spec import (
     LiteralRule,
     MetricBoundRule,
     NotNullRule,
+    OutlierRule,
     OverlapRule,
     PiiRule,
     PixelRule,
@@ -677,6 +678,27 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
         if isinstance(r, ColumnStatsRule) and r.top_values < 0:
             raise SchemaError(f"rule {r.id!r}: top_values must be >= 0")
 
+        if isinstance(r, OutlierRule):
+            if r.method not in ("iqr", "mad"):
+                raise SchemaError(
+                    f"rule {r.id!r}: unknown outlier method {r.method!r}; "
+                    "valid: iqr, mad"
+                )
+            if r.k <= 0:
+                raise SchemaError(f"rule {r.id!r}: k must be > 0, got {r.k}")
+            # quantiles of strings are meaningless; a silent cast("double")
+            # would yield an all-NULL envelope that flags nothing
+            if available_columns is not None:
+                t = _column_type(available_columns, r.column)
+                if t is not None:
+                    from pyspark.sql.types import NumericType
+
+                    if not isinstance(t, NumericType):
+                        raise SchemaError(
+                            f"rule {r.id!r}: column {r.column!r} must be "
+                            f"numeric for an outlier rule, got {t.simpleString()}"
+                        )
+
         if isinstance(r, OverlapRule):
             if r.max_jaccard is None and r.max_common is None:
                 raise SchemaError(
@@ -710,7 +732,9 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
     group = tuple(
         r
         for r in spec.rules
-        if isinstance(r, (UniqueRule, FunctionalDependencyRule, FreshnessRule))
+        if isinstance(
+            r, (UniqueRule, FunctionalDependencyRule, FreshnessRule, OutlierRule)
+        )
         or (isinstance(r, CountRule) and r.group_by)
     )
     counts = tuple(

@@ -120,6 +120,7 @@ KIND_FORMAT = "format"  # string value fails its declared typed format (FormatRu
 KIND_PII = "pii"  # typed PII matches above the declared budget (PiiRule)
 KIND_REPETITION = "repetition"  # Gopher repetition metric above its gate
 KIND_QUALITY = "quality"  # Gopher quality metric outside its envelope
+KIND_OUTLIER = "outlier"  # value outside the robust IQR/MAD envelope (OutlierRule)
 KIND_FD = "fd"  # functional dependency violated (determinant maps to >1 dependent)
 KIND_STALE = "stale"  # freshness bound violated (max timestamp older than allowed)
 KIND_METRIC_BOUND = "metric_bound"  # aggregate metric outside its declared bounds
@@ -154,6 +155,7 @@ ALL_KINDS = (
     KIND_PII,
     KIND_REPETITION,
     KIND_QUALITY,
+    KIND_OUTLIER,
     KIND_FD,
     KIND_STALE,
     KIND_METRIC_BOUND,

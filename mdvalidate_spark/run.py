@@ -643,10 +643,19 @@ class ValidationRun:
         for gr in prog.group_rules:
             from .spec import CountRule, FunctionalDependencyRule, UniqueRule
             from .spec import FreshnessRule as _FreshnessRule
+            from .spec import OutlierRule as _OutlierRule
 
             if isinstance(gr, UniqueRule):
                 viols.append(
                     agg_rules.unique_violations(self.df, gr, self.run_id)
+                )
+            elif isinstance(gr, _OutlierRule):
+                from .operators.outliers import outlier_violations
+
+                viols.append(
+                    outlier_violations(
+                        self.df, gr, self.run_id, self.spec.key_column
+                    )
                 )
             elif isinstance(gr, FunctionalDependencyRule):
                 viols.append(agg_rules.fd_violations(self.df, gr, self.run_id))

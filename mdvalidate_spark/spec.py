@@ -603,6 +603,44 @@ class FunctionalDependencyRule(Rule):
 
 
 @dataclass(frozen=True)
+class OutlierRule(Rule):
+    """Robust distribution-outlier gate on a numeric column: every value must
+    lie inside a data-derived envelope — ``iqr`` ([q1 − k·IQR, q3 + k·IQR],
+    the Tukey fence, default k=1.5) or ``mad`` (median ± k·1.4826·MAD, the
+    modified-z fence, default k=3.5). The data-derived analog of RangeRule:
+    it catches the corrupt tail nobody declared a constant bound for.
+
+    ``group_by`` computes one envelope PER GROUP (e.g. per fmt — a 4 MB webp
+    is normal, a 4 MB thumbnail is not); the envelope frame is #groups rows,
+    broadcast back onto the table, so the big side never shuffles.
+
+    ``exact`` selects the quantile strategy: False (default) uses mergeable
+    KLL sketches — bounded task memory, the 10^12-row path; True uses exact
+    interpolated percentiles (Spark buffers each group's values in one
+    aggregation buffer — small/medium tables and oracle comparison only).
+
+    Violations are per ROW (kind=outlier), scoped by ``when`` like every row
+    rule; NULLs are out of scope (NotNullRule owns missing values). Runs at
+    finalize over the whole table — a batch-local envelope would make
+    verdicts depend on batch boundaries."""
+
+    column: str = ""
+    method: str = "iqr"  # iqr | mad
+    k: float = 0.0  # 0.0 → method default (iqr 1.5, mad 3.5)
+    group_by: tuple[str, ...] = ()
+    exact: bool = False
+    when: str = ""  # optional row-scope predicate (see NotNullRule.when)
+    kind: str = field(default="outlier", init=False)
+
+    def __post_init__(self):
+        if self.k == 0.0:
+            object.__setattr__(self, "k", 1.5 if self.method == "iqr" else 3.5)
+
+    def targets(self):
+        return (self.column, *self.group_by)
+
+
+@dataclass(frozen=True)
 class FreshnessRule(Rule):
     """Staleness bound on a timestamp column: ``max(column)`` must lie
     within ``max_age_seconds`` of ``as_of`` — the data-recency contract an

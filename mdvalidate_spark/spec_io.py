@@ -4,7 +4,7 @@ A spec file is JSON: {"key_column": ..., "n_partitions": ..., "fast_fail":
 ..., "max_violations_per_rule": ..., "rules": [{"kind": ..., "id": ...,
 ...}, ...]}. Rule kinds: not_null, regex, composite, literal, range, domain,
 unique, count, ref, capture, sequence, stats, drift, overlap, pixel, schema,
-vector, expr, format, header, volume, fd, freshness, metric_bound.
+vector, expr, format, outlier, header, volume, fd, freshness, metric_bound.
 Unknown kinds or params raise SchemaError at load (reference: matcher parse
 errors, matcher.rs:175-208 — reject before touching data).
 """
@@ -30,6 +30,7 @@ from .spec import (
     HeaderRule,
     LiteralRule,
     NotNullRule,
+    OutlierRule,
     OverlapRule,
     PiiRule,
     PixelRule,
@@ -67,6 +68,7 @@ RULE_KINDS: dict[str, type] = {
     "vector": VectorRule,
     "expr": ExprRule,
     "format": FormatRule,
+    "outlier": OutlierRule,
     "pii": PiiRule,
     "repetition": RepetitionRule,
     "text_quality": TextQualityRule,
