@@ -1843,6 +1843,36 @@ def q_format_documents(spark, sf_dir):
     return _viol_out(row_violations(with_partition_id(docs, spec), prog, "q"))
 
 
+def q_monotonic_lineitem(spark, sf_dir):
+    """MonotonicRule: per-order ship dates must not rewind as line numbers
+    advance — the event-time/version-counter ordering invariant as one
+    window pass (single shuffle on the bounded group key). The fixture's
+    ship dates regress naturally, so no augmentation is needed; oracle is
+    the identical lag() window in DuckDB."""
+    from mdvalidate_spark.operators.sequence import monotonic_violations
+    from mdvalidate_spark.spec import MonotonicRule
+
+    # the fixture has duplicate (orderkey, linenumber) pairs, so the row key
+    # folds the value in: ties in (order_column, key) then imply identical
+    # values, keeping the lag() predecessor deterministic in both engines
+    li = _load(spark, sf_dir, "lineitem").withColumn(
+        "li_key",
+        F.concat_ws(
+            "-",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+            F.col("l_shipdate").cast("string"),
+        ),
+    )
+    rule = MonotonicRule(
+        "ship_order",
+        column="l_shipdate",
+        group_by=("l_orderkey",),
+        order_column="l_linenumber",
+    )
+    return _viol_out(monotonic_violations(li, rule, "q", "li_key"))
+
+
 def q_outlier_orders(spark, sf_dir):
     """OutlierRule: robust data-derived envelopes — a global IQR (Tukey)
     fence on o_totalprice plus a per-priority MAD (modified-z) fence —
@@ -2189,6 +2219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round 4: new/rewritten ------------------------------------
         "format_documents": q_format_documents,
         "outlier_orders": q_outlier_orders,
+        "monotonic_lineitem": q_monotonic_lineitem,
         "dedup_probe_documents": q_dedup_probe_documents,
         "domain_counts_documents": q_domain_counts_documents,
         "blocklist_gate_documents": q_blocklist_gate_documents,
@@ -3239,6 +3270,29 @@ FROM aug WHERE {col} IS NOT NULL AND {cond}"""
     return "WITH aug AS (" + aug + ")\n" + "\nUNION ALL\n".join(parts)
 
 
+_MONOTONIC_SQL = """
+WITH keyed AS (
+  SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
+           || '-' || CAST(l_shipdate AS VARCHAR) AS k,
+         l_orderkey, l_linenumber, l_shipdate
+  FROM lineitem
+),
+lagd AS (
+  SELECT k, l_shipdate,
+         lag(l_shipdate) OVER (
+           PARTITION BY l_orderkey ORDER BY l_linenumber, k
+         ) AS prev
+  FROM keyed
+)
+SELECT 'ship_order' AS rule_id, k AS row_key, 'l_shipdate' AS col_name,
+       'nondecreasing l_shipdate by l_linenumber within l_orderkey' AS expected,
+       'prev=' || CAST(prev AS VARCHAR) || ', got=' || CAST(l_shipdate AS VARCHAR) AS actual,
+       'order' AS kind
+FROM lagd
+WHERE prev IS NOT NULL AND l_shipdate IS NOT NULL AND l_shipdate < prev
+"""
+
+
 def _outlier_sql() -> str:
     """Oracle for q_outlier_orders: both envelopes re-derived with
     quantile_cont (DuckDB's exact interpolated quantile — same linear
@@ -3559,6 +3613,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "format_documents": _format_sql(),
         "outlier_orders": _outlier_sql(),
+        "monotonic_lineitem": _MONOTONIC_SQL,
         "row_orders": _ROW_ORDERS_SQL,
         # violation-set diff: new = late-order domain/range violations
         # (identities absent from the acked early baseline); resolved =

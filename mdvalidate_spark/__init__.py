@@ -36,6 +36,7 @@ from .spec import (
     MetricBoundRule,
     FunctionalDependencyRule,
     LiteralRule,
+    MonotonicRule,
     NotNullRule,
     OutlierRule,
     OverlapRule,
@@ -71,6 +72,7 @@ __all__ = [
     "FunctionalDependencyRule",
     "LiteralRule",
     "MdvSparkError",
+    "MonotonicRule",
     "NotNullRule",
     "OutlierRule",
     "OverlapRule",

@@ -55,6 +55,7 @@ from .spec import (
     HeaderRule,
     LiteralRule,
     MetricBoundRule,
+    MonotonicRule,
     NotNullRule,
     OutlierRule,
     OverlapRule,
@@ -678,6 +679,21 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
         if isinstance(r, ColumnStatsRule) and r.top_values < 0:
             raise SchemaError(f"rule {r.id!r}: top_values must be >= 0")
 
+        if isinstance(r, MonotonicRule):
+            if r.direction not in ("nondecreasing", "nonincreasing"):
+                raise SchemaError(
+                    f"rule {r.id!r}: unknown direction {r.direction!r}; "
+                    "valid: nondecreasing, nonincreasing"
+                )
+            if not r.group_by or not r.order_column or not r.column:
+                # an ungrouped (corpus-wide) window is one partition — a
+                # single-task bottleneck at any real scale; demand a group
+                raise SchemaError(
+                    f"rule {r.id!r}: monotonic needs column, order_column "
+                    "and a non-empty group_by (check global ordering per "
+                    "partition/day group, never in one window)"
+                )
+
         if isinstance(r, OutlierRule):
             if r.method not in ("iqr", "mad"):
                 raise SchemaError(
@@ -733,7 +749,14 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
         r
         for r in spec.rules
         if isinstance(
-            r, (UniqueRule, FunctionalDependencyRule, FreshnessRule, OutlierRule)
+            r,
+            (
+                UniqueRule,
+                FunctionalDependencyRule,
+                FreshnessRule,
+                OutlierRule,
+                MonotonicRule,
+            ),
         )
         or (isinstance(r, CountRule) and r.group_by)
     )

@@ -121,6 +121,7 @@ KIND_PII = "pii"  # typed PII matches above the declared budget (PiiRule)
 KIND_REPETITION = "repetition"  # Gopher repetition metric above its gate
 KIND_QUALITY = "quality"  # Gopher quality metric outside its envelope
 KIND_OUTLIER = "outlier"  # value outside the robust IQR/MAD envelope (OutlierRule)
+KIND_ORDER = "order"  # value regressed within its ordered group (MonotonicRule)
 KIND_FD = "fd"  # functional dependency violated (determinant maps to >1 dependent)
 KIND_STALE = "stale"  # freshness bound violated (max timestamp older than allowed)
 KIND_METRIC_BOUND = "metric_bound"  # aggregate metric outside its declared bounds
@@ -156,6 +157,7 @@ ALL_KINDS = (
     KIND_REPETITION,
     KIND_QUALITY,
     KIND_OUTLIER,
+    KIND_ORDER,
     KIND_FD,
     KIND_STALE,
     KIND_METRIC_BOUND,

@@ -111,3 +111,64 @@ def sequence_violations(
         )
     )
     return row_viols.unionByName(group_viols)
+
+
+def monotonic_violations(
+    df: DataFrame, rule, run_id: str, key_column: str
+) -> DataFrame:
+    """MonotonicRule executor: within each group ordered by
+    ``order_column`` (key tie-break for determinism), ``column`` must never
+    regress — nondecreasing (default) or nonincreasing, ``strict`` forbids
+    equality too. The ordering analog of SequenceRule's chained consumption
+    (lists.rs:309-313): the reference walks a list asserting each item
+    extends the consumed prefix; here each row must extend its group's
+    running extremum.
+
+    One window pass (single shuffle on the group key, same shape and the
+    same scale contract as sequence_violations: per-group ordering means
+    per-group state, so GROUPS must be bounded — check a 10^12-row table's
+    global ordering per partition/day group, never in one window). Adjacent
+    semantics: lag(1) respecting NULLs — a NULL value breaks the chain (the
+    pair around it is out of scope; NotNullRule owns missing values), which
+    is also exactly DuckDB/ANSI lag's default, keeping the SQL oracle
+    bit-identical."""
+    from ..errors import KIND_ORDER
+
+    if rule.when:
+        df = df.where(F.expr(rule.when))
+    w = Window.partitionBy(*rule.group_by).orderBy(
+        rule.order_column, key_column
+    )
+    c = F.col(rule.column)
+    prev = F.lag(rule.column).over(w)
+    if rule.direction == "nondecreasing":
+        regress = (c <= prev) if rule.strict else (c < prev)
+    else:
+        regress = (c >= prev) if rule.strict else (c > prev)
+    fail = c.isNotNull() & prev.isNotNull() & regress
+    word = "strictly " if rule.strict else ""
+    expected = (
+        f"{word}{rule.direction} {rule.column} by {rule.order_column} "
+        f"within {','.join(rule.group_by)}"
+    )
+    return (
+        df.select(
+            F.col(key_column).cast("string").alias("_key"),
+            c.cast("string").alias("_val"),
+            prev.cast("string").alias("_prev"),
+            fail.alias("_fail"),
+        )
+        .where(F.col("_fail"))
+        .select(
+            F.lit(run_id).alias("run_id"),
+            F.lit(None).cast("int").alias("partition_id"),
+            F.lit(rule.id).alias("rule_id"),
+            F.col("_key").alias("image_id"),
+            F.lit(rule.column).alias("column"),
+            F.lit(expected).alias("expected"),
+            F.concat(
+                F.lit("prev="), F.col("_prev"), F.lit(", got="), F.col("_val")
+            ).alias("actual"),
+            F.lit(KIND_ORDER).alias("kind"),
+        )
+    )

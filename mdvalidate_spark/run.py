@@ -643,6 +643,7 @@ class ValidationRun:
         for gr in prog.group_rules:
             from .spec import CountRule, FunctionalDependencyRule, UniqueRule
             from .spec import FreshnessRule as _FreshnessRule
+            from .spec import MonotonicRule as _MonotonicRule
             from .spec import OutlierRule as _OutlierRule
 
             if isinstance(gr, UniqueRule):
@@ -654,6 +655,14 @@ class ValidationRun:
 
                 viols.append(
                     outlier_violations(
+                        self.df, gr, self.run_id, self.spec.key_column
+                    )
+                )
+            elif isinstance(gr, _MonotonicRule):
+                from .operators.sequence import monotonic_violations
+
+                viols.append(
+                    monotonic_violations(
                         self.df, gr, self.run_id, self.spec.key_column
                     )
                 )

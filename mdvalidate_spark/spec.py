@@ -603,6 +603,34 @@ class FunctionalDependencyRule(Rule):
 
 
 @dataclass(frozen=True)
+class MonotonicRule(Rule):
+    """Per-group ordering invariant: within each ``group_by`` group, ordered
+    by ``order_column`` (key-column tie-break so verdicts are deterministic
+    under order ties), ``column`` must be ``nondecreasing`` (default) or
+    ``nonincreasing``; ``strict`` forbids equality. The event-time /
+    version-counter sanity check: ingest timestamps that never rewind per
+    shard, version numbers that only grow per image_id.
+
+    One window pass — single shuffle on the group key, the SequenceRule
+    scale contract: groups must be bounded (check global ordering per
+    partition/day group, never one corpus-wide window). A NULL value breaks
+    the chain (the adjacent pair is out of scope; NotNullRule owns missing
+    values). ``column`` may equal ``order_column`` to assert the ordering
+    column itself is duplicate-free/monotone per group."""
+
+    column: str = ""
+    group_by: tuple[str, ...] = ()
+    order_column: str = ""
+    direction: str = "nondecreasing"  # nondecreasing | nonincreasing
+    strict: bool = False
+    when: str = ""  # optional row-scope predicate (see NotNullRule.when)
+    kind: str = field(default="monotonic", init=False)
+
+    def targets(self):
+        return (self.column, self.order_column, *self.group_by)
+
+
+@dataclass(frozen=True)
 class OutlierRule(Rule):
     """Robust distribution-outlier gate on a numeric column: every value must
     lie inside a data-derived envelope — ``iqr`` ([q1 − k·IQR, q3 + k·IQR],

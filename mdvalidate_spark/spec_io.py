@@ -4,7 +4,7 @@ A spec file is JSON: {"key_column": ..., "n_partitions": ..., "fast_fail":
 ..., "max_violations_per_rule": ..., "rules": [{"kind": ..., "id": ...,
 ...}, ...]}. Rule kinds: not_null, regex, composite, literal, range, domain,
 unique, count, ref, capture, sequence, stats, drift, overlap, pixel, schema,
-vector, expr, format, outlier, header, volume, fd, freshness, metric_bound.
+vector, expr, format, outlier, monotonic, header, volume, fd, freshness, metric_bound.
 Unknown kinds or params raise SchemaError at load (reference: matcher parse
 errors, matcher.rs:175-208 — reject before touching data).
 """
@@ -29,6 +29,7 @@ from .spec import (
     FunctionalDependencyRule,
     HeaderRule,
     LiteralRule,
+    MonotonicRule,
     NotNullRule,
     OutlierRule,
     OverlapRule,
@@ -69,6 +70,7 @@ RULE_KINDS: dict[str, type] = {
     "expr": ExprRule,
     "format": FormatRule,
     "outlier": OutlierRule,
+    "monotonic": MonotonicRule,
     "pii": PiiRule,
     "repetition": RepetitionRule,
     "text_quality": TextQualityRule,

@@ -110,3 +110,88 @@ def test_sequence_through_validation_run(spark):
     report = ValidationRun(spark, spec, _df(spark, rows), run_id="sq").validate()
     v = report.violations.where("rule_id = 'seq'").collect()
     assert {(r["image_id"], r["kind"]) for r in v} == {("b1", "matcher")}
+
+
+# ---------------------------------------------------------- MonotonicRule
+
+
+def _mono(spark, rows, **kw):
+    from mdvalidate_spark.operators.sequence import monotonic_violations
+    from mdvalidate_spark.spec import MonotonicRule
+
+    df = spark.createDataFrame(rows, "image_id string, g string, t int, v int")
+    rule = MonotonicRule(
+        "m", column=kw.pop("column", "v"), group_by=("g",),
+        order_column="t", **kw
+    )
+    return {
+        r["image_id"]
+        for r in monotonic_violations(df, rule, "t", "image_id").collect()
+    }
+
+
+def test_monotonic_flags_regressions_per_group(spark):
+    rows = [
+        ("a1", "A", 1, 10), ("a2", "A", 2, 12), ("a3", "A", 3, 11),  # a3 regresses
+        ("b1", "B", 1, 5), ("b2", "B", 2, 5), ("b3", "B", 3, 9),    # equal ok (not strict)
+    ]
+    assert _mono(spark, rows) == {"a3"}
+    assert _mono(spark, rows, strict=True) == {"a3", "b2"}  # equality now fails
+    assert _mono(spark, rows, direction="nonincreasing") == {"a2", "b3"}
+
+
+def test_monotonic_null_breaks_chain_and_tiebreak(spark):
+    rows = [
+        ("a1", "A", 1, 10), ("a2", "A", 2, None), ("a3", "A", 3, 4),
+        # order tie at t=5: key tie-break makes z1 the predecessor of z2
+        ("z1", "B", 5, 8), ("z2", "B", 5, 3),
+    ]
+    got = _mono(spark, rows)
+    # the pair around the NULL is out of scope (a3 vs a1 never compared);
+    # z2 regresses vs z1 under the deterministic (t, image_id) order
+    assert got == {"z2"}
+
+
+def test_monotonic_brute_force_random(spark):
+    import random
+
+    rnd = random.Random(42)
+    rows = [
+        (f"k{i:03d}", f"g{i % 7}", rnd.randrange(50), rnd.randrange(20))
+        for i in range(300)
+    ]
+    want = set()
+    from collections import defaultdict
+
+    by_g = defaultdict(list)
+    for key, g, t, v in rows:
+        by_g[g].append((t, key, v))
+    for g, items in by_g.items():
+        items.sort()
+        for (pt, pk, pv), (t, k, v) in zip(items, items[1:]):
+            if v < pv:
+                want.add(k)
+    assert _mono(spark, rows) == want
+
+
+def test_monotonic_lints_and_staging(spark):
+    from mdvalidate_spark.compile import compile_spec
+    from mdvalidate_spark.errors import SchemaError
+    from mdvalidate_spark.spec import MonotonicRule, Spec
+
+    def spec(rule):
+        return Spec(rules=(rule,), key_column="image_id", n_partitions=4)
+
+    cols = ["image_id", "g", "t", "v"]
+    with pytest.raises(SchemaError, match="unknown direction"):
+        compile_spec(
+            spec(MonotonicRule("m", column="v", group_by=("g",),
+                               order_column="t", direction="up")), cols)
+    with pytest.raises(SchemaError, match="non-empty group_by"):
+        compile_spec(
+            spec(MonotonicRule("m", column="v", order_column="t")), cols)
+    prog = compile_spec(
+        spec(MonotonicRule("m", column="v", group_by=("g",), order_column="t")),
+        cols,
+    )
+    assert any(r.kind == "monotonic" for r in prog.group_rules)
