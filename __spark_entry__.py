@@ -1843,6 +1843,28 @@ def q_format_documents(spark, sf_dir):
     return _viol_out(row_violations(with_partition_id(docs, spec), prog, "q"))
 
 
+def q_fuzzy_pairs_documents(spark, sf_dir):
+    """Edit-distance near-dup: q-gram-blocked candidates + exact bounded
+    levenshtein verify, over documents plus planted one-edit copies
+    (doc_id % 9, '~' substituted at char 6, shifted ids). max_df is set
+    above the corpus size (exactness mode), so the oracle is the FULL
+    brute-force all-pairs levenshtein — it checks the blocking's recall
+    guarantee end-to-end, not merely a re-implementation of it."""
+    from mdvalidate_spark.operators.dedup import edit_distance_duplicates
+
+    docs = _load(spark, sf_dir, "documents")
+    copies = docs.where("doc_id % 9 = 0 AND length(text) >= 10").select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 5), F.lit("~"), F.expr("substring(text, 7)")
+        ).alias("text"),
+    )
+    aug = docs.select("doc_id", "text").unionByName(copies)
+    return edit_distance_duplicates(
+        aug, max_dist=2, max_df=10**9
+    ).select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
+
+
 def q_monotonic_lineitem(spark, sf_dir):
     """MonotonicRule: per-order ship dates must not rewind as line numbers
     advance — the event-time/version-counter ordering invariant as one
@@ -2220,6 +2242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "format_documents": q_format_documents,
         "outlier_orders": q_outlier_orders,
         "monotonic_lineitem": q_monotonic_lineitem,
+        "fuzzy_pairs_documents": q_fuzzy_pairs_documents,
         "dedup_probe_documents": q_dedup_probe_documents,
         "domain_counts_documents": q_domain_counts_documents,
         "blocklist_gate_documents": q_blocklist_gate_documents,
@@ -3270,6 +3293,29 @@ FROM aug WHERE {col} IS NOT NULL AND {cond}"""
     return "WITH aug AS (" + aug + ")\n" + "\nUNION ALL\n".join(parts)
 
 
+def _fuzzy_pairs_sql() -> str:
+    """Oracle for q_fuzzy_pairs_documents: brute-force all-pairs bounded
+    levenshtein over the same augmented corpus — deliberately NOT a replica
+    of the engine's q-gram blocking, so a recall hole in the blocking shows
+    up as a duck-only pair."""
+    norm = _NORM.format(t="text")
+    return f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 300000, substring(text, 1, 5) || '~' || substring(text, 7)
+  FROM documents WHERE doc_id % 9 = 0 AND length(text) >= 10
+),
+docs AS (
+  SELECT doc_id, {norm} AS t FROM aug WHERE length({norm}) > 0
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.t, b.t) AS INTEGER) AS dist
+FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+WHERE abs(length(a.t) - length(b.t)) <= 2 AND levenshtein(a.t, b.t) <= 2
+"""
+
+
 _MONOTONIC_SQL = """
 WITH keyed AS (
   SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
@@ -3614,6 +3660,7 @@ def oracle_sql() -> dict[str, str]:
         "format_documents": _format_sql(),
         "outlier_orders": _outlier_sql(),
         "monotonic_lineitem": _MONOTONIC_SQL,
+        "fuzzy_pairs_documents": _fuzzy_pairs_sql(),
         "row_orders": _ROW_ORDERS_SQL,
         # violation-set diff: new = late-order domain/range violations
         # (identities absent from the acked early baseline); resolved =

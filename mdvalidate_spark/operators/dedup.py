@@ -838,3 +838,141 @@ def duplicate_clusters(
             "member_sample",
         )
     )
+
+
+def char_grams(text: Column, k: int = 3) -> Column:
+    """Distinct character k-grams of the normalized text — array primitives
+    only (sequence + transform + substr), stays inside codegen like the word
+    shingles()."""
+    s = normalize_text(text)
+    n = F.length(s)
+    idx = F.when(n < k, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(1), n - (k - 1))
+    )
+    return F.array_distinct(F.transform(idx, lambda i: s.substr(i, F.lit(k))))
+
+
+def edit_distance_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dist: int = 2,
+    k_gram: int = 3,
+    max_df: int | None = None,
+    short_block_cap: int = 100_000,
+) -> DataFrame:
+    """Fuzzy near-dup by EXACT edit distance: pairs of documents whose
+    normalized texts are within ``max_dist`` Levenshtein edits — the
+    typo-twin / re-crawl-variant shape Jaccard blurs (one edit barely moves
+    a shingle set; a threshold loose enough to catch it drowns in noise).
+
+    Candidate generation with a PROVEN recall boundary (q-gram filter):
+    one edit touches at most ``k_gram`` character k-grams, so two strings
+    within ``max_dist`` edits share at least L−k+1−d·k UNCHANGED grams —
+    ≥ 1 whenever the shorter string has L ≥ (d+1)·k. Long docs therefore
+    block on shared distinct k-grams (the count-first posting self-join
+    from ngram_jaccard_pairs: streaming rows, no posting arrays, AQE-
+    splittable hot keys). Strings shorter than (d+1)·k + d — where the
+    guarantee cannot hold for any partner within ``max_dist`` (length
+    differs by ≤ d) — are paired all-against-all inside one broadcast
+    nested-loop block, refused LOUDLY above ``short_block_cap`` (an
+    all-pairs block is quadratic by nature; at corpus scale gate the
+    short-caption tail upstream or raise the cap deliberately).
+
+    The only recall trade is ``max_df`` (default max(50, 1% of docs)):
+    grams above that document frequency are stop-grams (a df>max_df gram
+    yields ≥ df²/2 candidates — the same quadratic hot-key argument as
+    ngram_jaccard_pairs), so a pair whose every shared gram is boilerplate
+    is not generated. Pass ``max_df >= count(docs)`` for end-to-end
+    exactness at that quadratic cost.
+
+    Verify is exact: length pre-filter |len_a − len_b| ≤ d (an edit changes
+    length by ≤ 1), then ``levenshtein(a, b, threshold)`` — Spark's bounded
+    variant early-exits above the threshold, so the verify cost per pair is
+    O(d·min_len), not O(len²). Emits (id_a, id_b, dist), id_a < id_b."""
+    from pyspark.storagelevel import StorageLevel
+
+    from .util import ensure_parallelism
+
+    d = int(max_dist)
+    k = int(k_gram)
+    short_lim = (d + 1) * k + d  # below this, the q-gram guarantee can't hold
+
+    docs = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            normalize_text(F.col(text_col)).alias("t"),
+        )
+        .where(F.length("t") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_docs = docs.count()
+    if max_df is None:
+        max_df = max(50, int(n_docs * 0.01))
+
+    # ---- long path: count-first q-gram posting self-join (no arrays)
+    longs = docs.where(F.length("t") >= k)
+    inv = longs.select(
+        "doc_id", F.explode(char_grams(F.col("t"), k)).alias("g")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    counts = inv.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    kept_grams = counts.where((F.col("df") > 1) & (F.col("df") <= max_df)).select("g")
+    kept = inv.join(kept_grams, "g")
+    gram_pairs = (
+        kept.select("g", F.col("doc_id").alias("id_a"))
+        .join(kept.select("g", F.col("doc_id").alias("id_b")), "g")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+
+    # ---- short path: any pair with min(len) < (d+1)k has max(len) <
+    # (d+1)k + d, so blocking ALL docs below short_lim against each other
+    # (with the |Δlen| ≤ d filter inside the join) completes the recall the
+    # gram path cannot give short strings
+    shorts = docs.where(F.length("t") < short_lim).select(
+        F.col("doc_id"), F.col("t"), F.length("t").alias("n")
+    )
+    n_short = shorts.count()
+    if n_short > short_block_cap:
+        raise ValueError(
+            f"edit_distance_duplicates: {n_short} documents shorter than "
+            f"{short_lim} chars exceed short_block_cap={short_block_cap}; "
+            "an all-pairs block over them is quadratic. Filter the "
+            "short-text tail upstream or raise short_block_cap deliberately."
+        )
+    a = shorts.select(
+        F.col("doc_id").alias("id_a"), F.col("t").alias("_ta"), F.col("n").alias("_na")
+    )
+    b = shorts.select(
+        F.col("doc_id").alias("id_b"), F.col("t").alias("_tb"), F.col("n").alias("_nb")
+    )
+    short_pairs = (
+        F.broadcast(a)
+        .join(
+            b,
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("_na") - F.col("_nb")) <= d),
+        )
+        .select("id_a", "id_b")
+    )
+
+    # ---- union, dedup (a pair can arrive via many grams and/or both
+    # paths), then ONE exact bounded-levenshtein verify per candidate
+    cand = gram_pairs.unionByName(short_pairs).distinct()
+    ta = docs.select(F.col("doc_id").alias("id_a"), F.col("t").alias("_ta2"))
+    tb = docs.select(F.col("doc_id").alias("id_b"), F.col("t").alias("_tb2"))
+    verified = (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .where(
+            F.abs(F.length("_ta2") - F.length("_tb2")) <= d  # cheap prune
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein(F.col("_ta2"), F.col("_tb2"), d).alias("dist"),
+        )
+        .where(F.col("dist") >= 0)  # bounded variant returns -1 above d
+    )
+    return verified.select("id_a", "id_b", "dist")

@@ -586,3 +586,79 @@ def test_srp_literal_arrow_parity(spark):
         for r in embedding_near_duplicates(emb, threshold=0.9, force="arrow").collect()
     }
     assert lit == arw
+
+
+# ------------------------------------------------- edit-distance near-dup
+
+
+def _lev(a, b):
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _edit_docs():
+    base = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "a completely different caption about mountain lakes",
+        "validation engines compare rows against declared rules",
+    ]
+    docs = []
+    for i, t in enumerate(base):
+        docs.append((i * 10, t))
+        docs.append((i * 10 + 1, t.replace("o", "0", 1)))          # 1 edit
+        docs.append((i * 10 + 2, "x" + t[1:-1] + "zz"))            # 3 edits
+    # short strings (below the q-gram guarantee): recall must come from
+    # the all-pairs short block
+    docs += [(900, "cat"), (901, "cot"), (902, "dog"), (903, "dogs")]
+    return docs
+
+
+def test_edit_distance_matches_bruteforce(spark):
+    from mdvalidate_spark.operators.dedup import edit_distance_duplicates
+    from mdvalidate_spark.operators.text import normalize_text
+
+    docs = _edit_docs()
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in edit_distance_duplicates(df, max_dist=2, max_df=10_000).collect()
+    }
+    norm = {i: " ".join(t.lower().split()) for i, t in docs}
+    want = set()
+    for i in sorted(norm):
+        for j in sorted(norm):
+            if i < j:
+                d = _lev(norm[i], norm[j])
+                if d <= 2:
+                    want.add((i, j, d))
+    assert got == want
+    assert (900, 901, 1) in got and (902, 903, 1) in got  # short block
+    assert (0, 1, 1) in got
+    assert not any(a == 0 and b == 2 for a, b, _ in got)  # 3 edits pruned
+
+
+def test_edit_distance_short_cap_refusal(spark):
+    from mdvalidate_spark.operators.dedup import edit_distance_duplicates
+
+    df = spark.createDataFrame(
+        [(i, "ab%d" % (i % 7)) for i in range(50)], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="short_block_cap"):
+        edit_distance_duplicates(df, short_block_cap=10).collect()
+
+
+def test_edit_distance_plan_no_posting_arrays(spark):
+    from mdvalidate_spark.operators.dedup import edit_distance_duplicates
+
+    df = spark.createDataFrame(
+        [(i, "caption number %d with shared words" % i) for i in range(100)],
+        "doc_id long, text string",
+    )
+    out = edit_distance_duplicates(df, max_dist=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "collect_set" not in plan  # count-first postings, never arrays
