@@ -1723,6 +1723,71 @@ def q_gopher_gate_documents(spark, sf_dir):
     return T.gopher_quality_violations(_augment_quality(docs), "text", "doc_id")
 
 
+def _augment_stringly(docs):
+    """De-vacuate the format-suggestion ratchet: a CLEAN stringly-typed
+    projection (one column per typed format, all values valid — this is the
+    CSV-landed-everything-as-VARCHAR table on a good day) plus one mixed
+    column no single format covers. Deterministic from doc_id, identical in
+    Spark and DuckDB. Unlike _augment_typed there is NO planted corruption:
+    the suggestion profiler should find each format holding universally and
+    draft the gate."""
+    d = F.col("doc_id")
+    s = d.cast("string")
+    m = F.md5(s)
+    uu = F.concat_ws(
+        "-",
+        F.substring(m, 1, 8),
+        F.substring(m, 9, 4),
+        F.substring(m, 13, 4),
+        F.substring(m, 17, 4),
+        F.substring(m, 21, 12),
+    )
+    return docs.select(
+        "doc_id",
+        s.alias("int_s"),
+        F.format_string("%d.%02d", d % 100, d % 97).alias("dbl_s"),
+        F.format_string(
+            "%04d-%02d-%02d", F.lit(2020) + d % 3, d % 12 + 1, d % 28 + 1
+        ).alias("day_s"),
+        F.format_string(
+            "%04d-%02d-%02d %02d:%02d:%02d",
+            F.lit(2020) + d % 3,
+            d % 12 + 1,
+            d % 28 + 1,
+            d % 24,
+            d % 60,
+            d % 60,
+        ).alias("ts_s"),
+        uu.alias("uuid_s"),
+        F.element_at(
+            F.array(F.lit("true"), F.lit("false"), F.lit("0"), F.lit("1")),
+            (d % 4 + 1).cast("int"),
+        ).alias("bool_s"),
+        F.when(d % 5 == 0, F.lit("N/A")).otherwise(s).alias("mixed_s"),
+    )
+
+
+def q_suggest_format_documents(spark, sf_dir):
+    """Suggestion ratchet extended to STRINGLY-TYPED columns
+    (suggest_spec(format_gates=True)): profile the clean typed projection
+    once, find which format holds for EVERY non-null value of each string
+    column (most-specific candidate first: int before double), and draft
+    the FormatRule gates. int_s is valid int AND double — precedence must
+    pick int; mixed_s ('N/A' by residue) matches nothing → no rule. The
+    oracle recomputes the universal-validity bits with bool_and over the
+    same portable predicates and replicates the precedence CASE. Exclusions
+    (domain-sized / free-text columns) are vacuous on this projection by
+    construction: every cardinality exceeds domain_max_distinct=2 and every
+    avg length is far below the 50-char text threshold."""
+    from mdvalidate_spark.operators.suggest import suggest_spec, suggestion_rows
+
+    src = _augment_stringly(_load(spark, sf_dir, "documents"))
+    spec = suggest_spec(
+        src, "doc_id", exact=True, format_gates=True, domain_max_distinct=2
+    )
+    return suggestion_rows(spark, spec).where(F.col("kind") == "format")
+
+
 def q_suggest_text_documents(spark, sf_dir):
     """Suggestion ratchet extended to free-text columns: profile the
     composed (multiline + planted-PII) documents once and draft PiiRule /
@@ -2239,6 +2304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries touched this round must come first, stable legacy last.
     return {
         # -- round 4: new/rewritten ------------------------------------
+        "suggest_format_documents": q_suggest_format_documents,
         "format_documents": q_format_documents,
         "outlier_orders": q_outlier_orders,
         "monotonic_lineitem": q_monotonic_lineitem,
@@ -3293,6 +3359,69 @@ FROM aug WHERE {col} IS NOT NULL AND {cond}"""
     return "WITH aug AS (" + aug + ")\n" + "\nUNION ALL\n".join(parts)
 
 
+def _suggest_format_sql() -> str:
+    """Oracle for q_suggest_format_documents: the clean stringly-typed
+    projection re-derived in DuckDB, then the suggestion DECISION recomputed
+    from scratch — one bool_and universal-validity bit per (column, format)
+    with the same portable predicates as _format_sql, and the
+    most-specific-first precedence as a CASE. A column whose CASE yields
+    NULL (mixed_s) drafts nothing, exactly like the profiler."""
+    from mdvalidate_spark.spec import FORMAT_REGEX
+
+    aug = """
+SELECT doc_id,
+  CAST(doc_id AS VARCHAR) AS int_s,
+  printf('%d.%02d', doc_id % 100, doc_id % 97) AS dbl_s,
+  printf('%04d-%02d-%02d', 2020 + doc_id % 3, doc_id % 12 + 1,
+         doc_id % 28 + 1) AS day_s,
+  printf('%04d-%02d-%02d %02d:%02d:%02d', 2020 + doc_id % 3,
+         doc_id % 12 + 1, doc_id % 28 + 1, doc_id % 24,
+         doc_id % 60, doc_id % 60) AS ts_s,
+  concat_ws('-', substring(m, 1, 8), substring(m, 9, 4), substring(m, 13, 4),
+            substring(m, 17, 4), substring(m, 21, 12)) AS uuid_s,
+  (['true','false','0','1'])[CAST(doc_id % 4 + 1 AS INT)] AS bool_s,
+  CASE WHEN doc_id % 5 = 0 THEN 'N/A'
+       ELSE CAST(doc_id AS VARCHAR) END AS mixed_s
+FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents)
+"""
+
+    def pred(col: str, fmt: str) -> str:
+        # NULL value → NULL predicate → ignored by bool_and (out of scope,
+        # same as the profiler's when(isNotNull) guard)
+        if fmt in ("date", "timestamp"):
+            strp = "%Y-%m-%d" if fmt == "date" else "%Y-%m-%d %H:%M:%S"
+            return (
+                f"CASE WHEN {col} IS NULL THEN NULL ELSE "
+                f"regexp_matches({col}, '{FORMAT_REGEX[fmt]}') "
+                f"AND try_strptime({col}, '{strp}') IS NOT NULL END"
+            )
+        if fmt == "bool":
+            return f"lower({col}) IN ('true','false','0','1')"
+        return f"regexp_matches({col}, '{FORMAT_REGEX[fmt]}')"
+
+    cols = ("int_s", "dbl_s", "day_s", "ts_s", "uuid_s", "bool_s", "mixed_s")
+    fmts = ("int", "date", "timestamp", "uuid", "bool", "double")
+    flags = ",\n  ".join(
+        f"bool_and({pred(c, f)}) AS {c}__{f}" for c in cols for f in fmts
+    )
+    branches = "\n".join(
+        f"""SELECT '{c}' AS column_name,
+  CASE {' '.join(f"WHEN {c}__{f} THEN '{f}'" for f in fmts)} END AS fmt
+FROM flags"""
+        + ("" if c == cols[-1] else "\nUNION ALL")
+        for c in cols
+    )
+    return f"""
+WITH aug AS ({aug}),
+flags AS (SELECT\n  {flags}\nFROM aug),
+decided AS (
+{branches}
+)
+SELECT column_name, 'format' AS kind, 'format = ' || fmt AS detail
+FROM decided WHERE fmt IS NOT NULL
+"""
+
+
 def _fuzzy_pairs_sql() -> str:
     """Oracle for q_fuzzy_pairs_documents: brute-force all-pairs bounded
     levenshtein over the same augmented corpus — deliberately NOT a replica
@@ -3657,6 +3786,7 @@ SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.9
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "suggest_format_documents": _suggest_format_sql(),
         "format_documents": _format_sql(),
         "outlier_orders": _outlier_sql(),
         "monotonic_lineitem": _MONOTONIC_SQL,

@@ -64,6 +64,29 @@ from .pii import PII_KINDS, pii_counts, pii_total_from_counts
 from .text import gopher_quality_metrics, repetition_metrics
 
 
+def format_ok(c: Column, fmt: str) -> Column:
+    """Codegen'd "value parses as typed format ``fmt``" predicate — the
+    single definition shared by FormatRule's fused-pass branch and the
+    suggestion profiler (suggest.py format_gates), so a drafted
+    ``FormatRule`` enforces EXACTLY the predicate the profiler observed.
+
+    NULL inputs yield NULL (callers scope with isNotNull; NotNullRule owns
+    missing values). date/timestamp require the strict shape regex AND
+    ``try_to_timestamp`` (calendar validity beyond shape); bool is closed-set
+    membership; json is ``try_parse_json``; int/double/uuid are portable
+    ASCII shape regexes (identical under Java regex, RE2, and DuckDB)."""
+    if fmt in ("date", "timestamp"):
+        pattern = "yyyy-MM-dd" if fmt == "date" else "yyyy-MM-dd HH:mm:ss"
+        return c.rlike(FORMAT_REGEX[fmt]) & F.try_to_timestamp(
+            c, F.lit(pattern)
+        ).isNotNull()
+    if fmt == "bool":
+        return F.lower(c).isin(*FORMAT_BOOL_VALUES)
+    if fmt == "json":
+        return F.try_parse_json(c).isNotNull()
+    return c.rlike(FORMAT_REGEX[fmt])
+
+
 def with_partition_id(df: DataFrame, spec: Spec) -> DataFrame:
     """Attach the engine's stable logical partition id.
 
@@ -184,21 +207,7 @@ def _check_applies(rule) -> Column:
         # parser), try_parse_json. NULL → out of scope (NotNullRule's job).
         c = F.col(rule.column)
         fmt = rule.format
-        if fmt in ("date", "timestamp"):
-            pattern = "yyyy-MM-dd" if fmt == "date" else "yyyy-MM-dd HH:mm:ss"
-            # shape regex AND strict parse: the regex pins digit counts and
-            # rejects padding (lenient in some parsers), the parse rejects
-            # calendar-invalid values the shape admits (month 13, Feb 30)
-            ok = c.rlike(FORMAT_REGEX[fmt]) & F.try_to_timestamp(
-                c, F.lit(pattern)
-            ).isNotNull()
-        elif fmt == "bool":
-            ok = F.lower(c).isin(*FORMAT_BOOL_VALUES)
-        elif fmt == "json":
-            ok = F.try_parse_json(c).isNotNull()
-        else:  # int / double / uuid — pure portable shape regexes
-            ok = c.rlike(FORMAT_REGEX[fmt])
-        fail = c.isNotNull() & ~ok
+        fail = c.isNotNull() & ~format_ok(c, fmt)
         return F.when(
             fail, _viol(rule.id, rule.column, F.lit(fmt), c, KIND_FORMAT)
         )

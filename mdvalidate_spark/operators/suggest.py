@@ -60,6 +60,20 @@ rides the main pass; the heavy repetition/PII ceiling aggregates run in
 ONE extra pass restricted to the qualifying text columns, so wide tables
 of UUID/enum columns never pay the run-length walks.
 
+``format_gates=True`` extends the ratchet to STRINGLY-TYPED columns (the
+CSV/JSON-ingest failure mode: everything landed as VARCHAR): for every
+string column that is neither domain-sized nor free text, profile which
+typed formats (``format_candidates``, most-specific first) hold for EVERY
+non-null value, and draft ``FormatRule`` for the first that does. The
+profile uses the SAME ``format_ok`` predicate the drafted rule enforces
+(row_rules.py), so the draft validates clean by construction. The parse
+checks run in one extra pass restricted to the candidate columns — never
+over domains (DomainRule already pins them exactly) or free text (no
+format holds, the regexes would walk megabytes). ``json`` is excluded from
+the default candidates: try_parse_json accepts any scalar literal, so it
+would blanket-match numeric-ish columns, and DuckDB's json_valid disagrees
+with it on bare ``nan``/``inf`` (FormatRule docstring) — opt in per table.
+
 All bounds are computed so the draft still VALIDATES CLEAN on the
 profiled table (ceil/floor always rounds the permissive way).
 """
@@ -84,8 +98,10 @@ from pyspark.sql.types import (
 )
 
 from ..spec import (
+    FORMAT_REGEX,
     DomainRule,
     DriftRule,
+    FormatRule,
     MetricBoundRule,
     NotNullRule,
     PiiRule,
@@ -126,6 +142,15 @@ def suggest_spec(
     text_min_avg_len: float = 50.0,
     text_headroom: float = 0.25,
     text_min_words: int = 20,
+    format_gates: bool = False,
+    format_candidates: tuple[str, ...] = (
+        "int",
+        "date",
+        "timestamp",
+        "uuid",
+        "bool",
+        "double",
+    ),
 ) -> Spec:
     """Profile ``df`` and return a draft Spec (see module docstring).
 
@@ -140,13 +165,14 @@ def suggest_spec(
         aggs.append(F.count(col).alias(f"nn__{c}"))
         nd = F.count_distinct(col) if exact else F.approx_count_distinct(col)
         aggs.append(nd.alias(f"nd__{c}"))
-        if text_gates and isinstance(f.dataType, StringType):
+        if (text_gates or format_gates) and isinstance(f.dataType, StringType):
             # cheap text-likeness signal only — the heavy repetition/PII
             # ceiling aggregates run in a SECOND pass restricted to the
             # columns that actually qualify (see below): on a wide table of
             # UUID/enum/short-string columns the sort+walk+regex work would
             # otherwise dominate the profile for columns whose gates are
-            # discarded at draft time
+            # discarded at draft time. format_gates uses the same signal in
+            # reverse: free-text columns are excluded from format probing.
             aggs.append(F.avg(F.length(col)).alias(f"len__{c}"))
         if isinstance(f.dataType, _NUMERIC):
             aggs.append(F.min(col).alias(f"mn__{c}"))
@@ -188,14 +214,20 @@ def suggest_spec(
     # the run-length walks and PII counters are heavy per value, so they
     # never run for UUID/enum/short-string columns
     textprof: dict[str, object] = {}
+    longtext = {
+        f.name
+        for f in fields
+        if (text_gates or format_gates)
+        and isinstance(f.dataType, StringType)
+        and (prof.asDict().get(f"len__{f.name}") or 0.0) >= text_min_avg_len
+    }
     text_cols = [
         f.name
         for f in fields
         if text_gates
-        and isinstance(f.dataType, StringType)
+        and f.name in longtext
         and f.name not in domains
         and prof[f"nn__{f.name}"] > 0
-        and (prof[f"len__{f.name}"] or 0.0) >= text_min_avg_len
     ]
     if text_cols:
         taggs = []
@@ -213,6 +245,48 @@ def suggest_spec(
                 )
             )
         textprof = df.agg(*taggs).collect()[0].asDict()
+
+    # format gates: ONE extra pass over only the stringly-typed candidates
+    # (string, some non-null values, not domain-sized, not free text) —
+    # per (column, format) a single "did every non-null value parse" bit via
+    # min(ok). The predicate is row_rules.format_ok, the SAME expression the
+    # drafted FormatRule will enforce, so the draft is clean by construction.
+    formats: dict[str, str] = {}
+    if format_gates:
+        from .row_rules import format_ok
+
+        known = set(FORMAT_REGEX) | {"bool", "json"}
+        bad = [f for f in format_candidates if f not in known]
+        if bad:
+            from ..errors import SchemaError
+
+            raise SchemaError(
+                f"unknown format candidates {bad!r}; known: {sorted(known)}"
+            )
+        fmt_cols = [
+            f.name
+            for f in fields
+            if isinstance(f.dataType, StringType)
+            and f.name not in domains
+            and f.name not in longtext
+            and prof[f"nn__{f.name}"] > 0
+        ]
+        if fmt_cols:
+            faggs = []
+            for c in fmt_cols:
+                col = F.col(c)
+                for fmt in format_candidates:
+                    faggs.append(
+                        F.min(
+                            F.when(col.isNotNull(), format_ok(col, fmt).cast("int"))
+                        ).alias(f"fmt_{fmt}__{c}")
+                    )
+            frow = df.agg(*faggs).collect()[0].asDict()
+            for c in fmt_cols:
+                for fmt in format_candidates:  # most-specific-first precedence
+                    if frow[f"fmt_{fmt}__{c}"] == 1:
+                        formats[c] = fmt
+                        break
 
     # uniqueness: candidates from the (possibly sketched) first pass, then
     # exact confirmation — HLL overcount must not mint a UniqueRule that
@@ -277,6 +351,13 @@ def suggest_spec(
                     max=float(math.ceil(nd * (1.0 + distinct_margin))),
                     exact=exact,
                 )
+            )
+        if c in formats:
+            # stringly-typed column: every non-null value parsed as this
+            # format during profiling (most-specific candidate first), so
+            # the gate holds today and refuses tomorrow's 'N/A' / '1.2.3'
+            rules.append(
+                FormatRule(f"suggest_format_{c}", column=c, format=formats[c])
             )
         if c in text_cols:
             # free-text column: ratchet the quality signals at the observed
@@ -442,6 +523,8 @@ def suggestion_rows(spark, spec: Spec) -> DataFrame:
             rows.append(
                 (r.column, "drift", f"psi <= {r.threshold:.6f} vs {r.reference} ({shape})")
             )
+        elif isinstance(r, FormatRule):
+            rows.append((r.column, "format", f"format = {r.format}"))
         elif isinstance(r, PiiRule):
             rows.append((r.column, "pii", f"pii_total <= {r.max_total}"))
         elif isinstance(r, RepetitionRule):

@@ -330,3 +330,86 @@ def test_text_gates_off_by_default_and_skip_non_text(spark, frame):
     # short string columns (avg len < threshold) stay ungated even when on
     spec = suggest_spec(frame, "id", exact=True, text_gates=True)
     assert not any(r.id.startswith(("suggest_pii", "suggest_rep")) for r in spec.rules)
+
+
+def test_format_gates_drafted_with_precedence(spark):
+    """format_gates=True drafts FormatRule for stringly-typed columns,
+    picking the MOST SPECIFIC candidate ('7' is a valid int AND double →
+    int wins; 'true'/'0' is bool, not int, because '0' alone isn't enough),
+    and the draft validates clean on the profiled table."""
+    from mdvalidate_spark import compile_spec
+    from mdvalidate_spark.operators.row_rules import (
+        row_violations,
+        with_partition_id,
+    )
+    from mdvalidate_spark.spec import FormatRule
+
+    df = spark.createDataFrame(
+        [
+            (1, "7", "1.25", "2021-02-28", "true", "N/A", None),
+            (2, "-12", "3", "2020-12-01", "0", "33", "x"),
+            (3, "+0", "-2e3", "2021-01-31", "false", "2021-01-01", "y"),
+        ],
+        "id int, ints string, dbls string, days string, flags string, "
+        "mixed string, opt string",
+    )
+    # domain budget below the column cardinalities: on a tiny fixture every
+    # 3-distinct column would otherwise get the (stronger) DomainRule
+    spec = suggest_spec(
+        df, "id", exact=True, format_gates=True, domain_max_distinct=1
+    )
+    fmts = {
+        r.column: r.format for r in spec.rules if isinstance(r, FormatRule)
+    }
+    assert fmts == {
+        "ints": "int",       # all parse as int (and double — int wins)
+        "dbls": "double",    # "1.25"/"-2e3" break int, all parse as double
+        "days": "date",
+        "flags": "bool",     # "true" breaks int/double; all in the bool set
+        # mixed: no single format covers {"N/A","33","2021-01-01"} → no rule
+        # opt: non-null values {"x","y"} match nothing → no rule
+    }
+    prog = compile_spec(spec, df.schema)
+    assert row_violations(with_partition_id(df, spec), prog, "t").count() == 0
+
+    rows = suggestion_rows(spark, spec).where("kind = 'format'")
+    details = {(r["column_name"], r["detail"]) for r in rows.collect()}
+    assert ("ints", "format = int") in details
+    assert ("dbls", "format = double") in details
+
+
+def test_format_gates_skip_domains_freetext_and_off_by_default(spark):
+    from mdvalidate_spark.spec import FormatRule
+
+    long_text = (
+        "a long free-text paragraph with many distinct words that clearly "
+        "crosses the average-length threshold for text-likeness"
+    )
+    df = spark.createDataFrame(
+        [(1, "1", long_text + " one"), (2, "2", long_text + " two"),
+         (3, "1", long_text + " three")],
+        "id int, code string, body string",
+    )
+    # off by default
+    spec = suggest_spec(df, "id", exact=True)
+    assert not any(isinstance(r, FormatRule) for r in spec.rules)
+    # on: 'code' fits a DomainRule (cardinality 2 ≤ 16) → domain wins, no
+    # format probe; 'body' is free text (avg len ≥ threshold) → excluded
+    spec = suggest_spec(df, "id", exact=True, format_gates=True)
+    assert not any(isinstance(r, FormatRule) for r in spec.rules)
+    # narrow the domain budget so 'code' stops being domain-sized → int gate
+    spec = suggest_spec(
+        df, "id", exact=True, format_gates=True, domain_max_distinct=1
+    )
+    fmts = {r.column: r.format for r in spec.rules if isinstance(r, FormatRule)}
+    assert fmts == {"code": "int"}
+
+
+def test_format_gates_unknown_candidate_raises(spark, frame):
+    from mdvalidate_spark.errors import SchemaError
+
+    with pytest.raises(SchemaError, match="unknown format candidates"):
+        suggest_spec(
+            frame, "id", exact=True, format_gates=True,
+            format_candidates=("int", "ipv6"),
+        )
