@@ -113,6 +113,14 @@ def parse_args(argv=None):
         "ratchets for free-text string columns at the observed ceilings "
         "(operators/suggest.py text_gates)",
     )
+    p.add_argument(
+        "--suggest-format-gates",
+        action="store_true",
+        help="with --suggest-key: also draft typed FormatRule gates for "
+        "stringly-typed columns where a format (int/date/timestamp/uuid/"
+        "bool/double) holds for every non-null value "
+        "(operators/suggest.py format_gates)",
+    )
     return p.parse_args(argv)
 
 
@@ -263,6 +271,7 @@ def _suggest_main(args) -> int:
             exact=args.suggest_exact,
             drift=args.suggest_drift is not None,
             text_gates=args.suggest_text_gates,
+            format_gates=args.suggest_format_gates,
         )
         save_spec(spec, args.spec)
         if args.suggest_drift is not None:

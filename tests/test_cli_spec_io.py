@@ -338,3 +338,36 @@ def test_cli_suggest_drift_ratchet_loop(spark, tmp_path, capsys):
     )
     assert code == 1
     assert "suggest_drift_v" in capsys.readouterr().out
+
+
+def test_cli_suggest_format_gates(spark, tmp_path, capsys):
+    """--suggest-format-gates drafts FormatRule for stringly-typed columns,
+    the JSON roundtrips through spec_io, and the draft validates clean."""
+    from pyspark.sql import functions as F
+
+    from mdvalidate_spark import cli
+
+    table = str(tmp_path / "stringly")
+    (
+        spark.range(200)
+        .select(
+            F.col("id").alias("k"),
+            F.col("id").cast("string").alias("id_s"),
+            F.format_string("%04d-%02d-%02d", F.lit(2021),
+                            F.col("id") % 12 + 1, F.col("id") % 28 + 1)
+            .alias("day_s"),
+        )
+        .write.parquet(table)
+    )
+    specp = str(tmp_path / "suggested_fmt.json")
+    code = cli.main(
+        ["--spec", specp, "--table", table, "--suggest-key", "k",
+         "--suggest-exact", "--suggest-format-gates", "--master", "local[4]"]
+    )
+    assert code == 0
+    drafted = load_spec(specp)
+    fmts = {r.column: r.format for r in drafted.rules if r.kind == "format"}
+    assert fmts == {"id_s": "int", "day_s": "date"}
+
+    code = cli.main(["--spec", specp, "--table", table, "--master", "local[4]"])
+    assert code == 0  # ratchet holds through the JSON roundtrip
