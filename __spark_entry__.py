@@ -1723,6 +1723,85 @@ def q_gopher_gate_documents(spark, sf_dir):
     return T.gopher_quality_violations(_augment_quality(docs), "text", "doc_id")
 
 
+def q_sample_hash_documents(spark, sf_dir):
+    """Deterministic Bernoulli sample (operators/sampling.py sample_hash):
+    keep the documents whose 15-hex-digit md5 key prefix undercuts the
+    exact fraction threshold — map-only, no shuffle, append-stable
+    membership. The oracle re-derives membership in DuckDB with the SAME
+    literal cutoff (hash_threshold), so any drift in key normalization or
+    boundary handling hash-mismatches."""
+    from mdvalidate_spark.operators.sampling import sample_hash
+
+    docs = _load(spark, sf_dir, "documents")
+    return sample_hash(docs, ["doc_id"], 0.1, method="md5").select("doc_id")
+
+
+def q_holdout_documents(spark, sf_dir):
+    """Train/eval split as a projected flag (holdout_split): one scan, every
+    row keeps a side, new rows can never flip old rows' side. Output is the
+    per-side volume — the contract a frozen eval set depends on."""
+    from mdvalidate_spark.operators.sampling import holdout_split
+
+    docs = _load(spark, sf_dir, "documents")
+    return (
+        holdout_split(docs, ["doc_id"], 0.25, method="md5")
+        .groupBy("is_holdout")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("is_holdout")
+    )
+
+
+def q_sample_stratified_orders(spark, sf_dir):
+    """Per-stratum audit sample (sample_stratified): exactly k=12 orders per
+    o_orderstatus — the k smallest key hashes, a deterministic uniform
+    sample without replacement per group. The engine pre-filters each
+    stratum to ~oversample·k rows before the rank window (a hot status
+    never sorts its full population); the oracle ranks EVERYTHING per
+    stratum in DuckDB, so the pre-filter provably selects the identical
+    rows."""
+    from mdvalidate_spark.operators.sampling import sample_stratified
+
+    orders = _load(spark, sf_dir, "orders")
+    return sample_stratified(
+        orders, "o_orderstatus", 12, key_cols=["o_orderkey"], method="md5"
+    ).select("o_orderstatus", "o_orderkey", "sample_rank")
+
+
+def _sample_hash_sql() -> str:
+    from mdvalidate_spark.operators.sampling import hash_threshold
+
+    return f"""
+SELECT doc_id FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+      < '{hash_threshold(0.1, "md5")}'
+"""
+
+
+def _holdout_sql() -> str:
+    from mdvalidate_spark.operators.sampling import hash_threshold
+
+    return f"""
+SELECT substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+         < '{hash_threshold(0.25, "md5")}' AS is_holdout,
+       count(*) AS n_docs
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+_SAMPLE_STRATIFIED_SQL = """
+SELECT o_orderstatus, o_orderkey, CAST(r AS INT) AS sample_rank
+FROM (
+  SELECT o_orderstatus, o_orderkey,
+         row_number() OVER (
+           PARTITION BY o_orderstatus
+           ORDER BY substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15),
+                    CAST(o_orderkey AS VARCHAR)
+         ) AS r
+  FROM orders
+) WHERE r <= 12
+"""
+
+
 def _augment_stringly(docs):
     """De-vacuate the format-suggestion ratchet: a CLEAN stringly-typed
     projection (one column per typed format, all values valid — this is the
@@ -2304,6 +2383,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries touched this round must come first, stable legacy last.
     return {
         # -- round 4: new/rewritten ------------------------------------
+        "sample_hash_documents": q_sample_hash_documents,
+        "holdout_documents": q_holdout_documents,
+        "sample_stratified_orders": q_sample_stratified_orders,
         "suggest_format_documents": q_suggest_format_documents,
         "format_documents": q_format_documents,
         "outlier_orders": q_outlier_orders,
@@ -3786,6 +3868,9 @@ SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.9
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "sample_hash_documents": _sample_hash_sql(),
+        "holdout_documents": _holdout_sql(),
+        "sample_stratified_orders": _SAMPLE_STRATIFIED_SQL,
         "suggest_format_documents": _suggest_format_sql(),
         "format_documents": _format_sql(),
         "outlier_orders": _outlier_sql(),

@@ -1,4 +1,36 @@
-"""Bounded violation output — deterministic per-(rule, partition) sample cap.
+"""Deterministic sampling: violation caps + training-data extraction.
+
+Two families share this module:
+
+1. Bounded violation output (``cap_violations`` / ``violation_count_
+   metrics``) — the validation engine's own sample cap, below.
+2. Deterministic DATA sampling (``sample_hash`` / ``holdout_split`` /
+   ``sample_stratified``) — the extraction ops a training-data pipeline
+   runs right after validation: carve an eval holdout, thin a domain to a
+   quota, draw a fixed-size per-stratum audit sample. All are HASH-derived,
+   never ``rand()``: membership is a pure function of the row's key (+ an
+   explicit salt), so samples are reproducible run-over-run, identical at
+   any parallelism (the north rule's two-cluster-size criterion), and
+   STABLE UNDER APPEND — yesterday's holdout rows stay held out when the
+   table grows, which ``df.sample`` cannot promise. The k smallest hashes
+   of a stratum are a uniform random sample without replacement, so
+   hash-rank sampling is reservoir sampling with a deterministic reservoir.
+
+Scale shape: ``sample_hash``/``holdout_split`` are MAP-ONLY — a filter /
+projected column, no shuffle, fully codegen'd. ``sample_stratified`` pays
+one tiny counts aggregation, broadcasts the per-stratum thresholds back,
+pre-filters to ~``oversample``·k survivors per stratum BEFORE the rank
+window, and verifies the pre-filter kept enough (falling back, loudly
+bounded, for any deficit stratum) — so the window never sorts a hot
+stratum's full population, the failure mode of the naive
+row_number-over-everything plan at 10^12 rows.
+
+Portability: ``method="md5"`` hashes are byte-identical in DuckDB (the
+oracle re-derives membership with the same 15-hex-digit threshold
+compare); ``method="xxhash64"`` stays on Spark's cheapest JVM hash for
+production corpora. Multi-column keys join with ``concat_ws('|')`` —
+NULL components are skipped by BOTH engines (documented collision:
+('a', NULL) keys like ('a',)).
 
 The reference materializes EVERY violation (validator.rs:86-93 collects all
 errors into the report) — correct for one document, fatal at 10^12 rows
@@ -52,6 +84,187 @@ def cap_violations(viol: DataFrame, cap: int) -> DataFrame:
         local.withColumn("_r", F.row_number().over(w_global))
         .where(F.col("_r") <= cap)
         .drop("_r", "_s")
+    )
+
+
+#: 15 lowercase hex digits = 60 bits: fits a signed long with headroom, and
+#: fixed-width lowercase hex compares identically as a STRING (Spark, DuckDB)
+#: and as the converted integer — the oracle uses the string form.
+_HEX_DIGITS = 15
+_HEX_SPACE = 16**_HEX_DIGITS  # 2^60
+
+
+def _key_str(key_cols) -> F.Column:
+    return F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+
+
+def _hash_cols(key_cols, salt: str, method: str):
+    """(order_col, unit_col): a portable total-order column and the same
+    hash normalized to [0, 1) for threshold compares. md5 → 15-hex-digit
+    prefix (string order == numeric order); xxhash64 → pmod into 2^60."""
+    if method not in ("md5", "xxhash64"):
+        from ..errors import SchemaError
+
+        raise SchemaError(
+            f"unknown sampling hash method {method!r}; use 'md5' (portable "
+            "to the DuckDB oracle) or 'xxhash64' (fastest JVM path)"
+        )
+    k = _key_str(key_cols)
+    salted = F.concat_ws("|", k, F.lit(salt)) if salt else k
+    if method == "md5":
+        order = F.substring(F.md5(salted), 1, _HEX_DIGITS)
+        unit = F.conv(order, 16, 10).cast("long") / F.lit(float(_HEX_SPACE))
+    else:
+        order = F.pmod(F.xxhash64(salted), F.lit(_HEX_SPACE))
+        unit = order / F.lit(float(_HEX_SPACE))
+    return order, unit
+
+
+def hash_threshold(fraction: float, method: str = "md5"):
+    """The exact membership cutoff for ``fraction``: a 15-digit lowercase
+    hex string (md5) or the integer ``round(fraction · 2^60)`` (xxhash64).
+    Exposed so an external engine can reproduce membership EXACTLY — the
+    DuckDB oracle compares against the same literal, with no floating
+    division anywhere near the boundary."""
+    t = int(round(fraction * _HEX_SPACE))
+    return format(t, f"0{_HEX_DIGITS}x") if method == "md5" else t
+
+
+def _member_pred(key_cols, salt: str, method: str, fraction: float):
+    order, _ = _hash_cols(key_cols, salt, method)
+    # string < string for md5 (fixed-width lowercase hex: lexicographic ==
+    # numeric; fraction 1.0 yields a 16-char cutoff every 15-char hash
+    # undercuts), long < long for xxhash64 — exact in both engines
+    return order < F.lit(hash_threshold(fraction, method))
+
+
+def sample_hash(
+    df: DataFrame,
+    key_cols,
+    fraction: float,
+    *,
+    salt: str = "",
+    method: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic Bernoulli(``fraction``) sample keyed on ``key_cols``:
+    keep rows whose normalized key hash falls below ``fraction``. Map-only
+    (no shuffle, codegen'd); membership is append-stable and identical at
+    every parallelism. Change ``salt`` to draw an independent sample."""
+    if not 0.0 <= fraction <= 1.0:
+        from ..errors import SchemaError
+
+        raise SchemaError(f"sample fraction must be in [0, 1], got {fraction}")
+    return df.where(_member_pred(key_cols, salt, method, fraction))
+
+
+def holdout_split(
+    df: DataFrame,
+    key_cols,
+    holdout_fraction: float,
+    *,
+    salt: str = "",
+    method: str = "xxhash64",
+    flag_col: str = "is_holdout",
+) -> DataFrame:
+    """Train/eval split as a projected boolean ``flag_col`` — the same
+    hash-threshold membership as ``sample_hash``, kept as a column so ONE
+    scan feeds both sinks. Append-stable: new rows never flip old rows'
+    split, the property that keeps a frozen eval set uncontaminated as the
+    corpus grows (pair with operators/decontam.py for n-gram overlap)."""
+    if not 0.0 <= holdout_fraction <= 1.0:
+        from ..errors import SchemaError
+
+        raise SchemaError(
+            f"holdout fraction must be in [0, 1], got {holdout_fraction}"
+        )
+    return df.withColumn(
+        flag_col, _member_pred(key_cols, salt, method, holdout_fraction)
+    )
+
+
+def sample_stratified(
+    df: DataFrame,
+    strata_cols,
+    k: int,
+    *,
+    key_cols,
+    salt: str = "",
+    method: str = "xxhash64",
+    oversample: float = 8.0,
+    max_strata: int = 100_000,
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Exactly ``min(k, |stratum|)`` rows per stratum — the k smallest key
+    hashes, i.e. a deterministic uniform sample without replacement per
+    group (audit samples, per-domain quotas, balanced eval slices).
+
+    Plan: one counts aggregation over ``strata_cols`` (tiny result,
+    broadcast back) → per-stratum pre-filter at ``oversample``·k/n →
+    row_number window over the ~oversample·k survivors per stratum. The
+    window never sees a hot stratum's full population; strata smaller than
+    oversample·k skip the filter entirely (threshold 1). The pre-filter
+    cannot change the result — the k smallest hashes all sit below any
+    threshold that keeps ≥ k rows — and a deficit stratum (possible only
+    for adversarial oversample settings) is detected by a survivors count
+    and recomputed unfiltered, so the output is EXACT, not probabilistic.
+
+    Refuses > ``max_strata`` strata: the counts frame stops being a
+    broadcastable dimension and per-stratum quotas stop making sense —
+    use ``sample_hash`` at a per-stratum rate instead."""
+    if isinstance(strata_cols, str):
+        strata_cols = (strata_cols,)
+    strata_cols = list(strata_cols)
+    if k <= 0:
+        from ..errors import SchemaError
+
+        raise SchemaError(f"per-stratum k must be positive, got {k}")
+    if oversample < 1.0:
+        from ..errors import SchemaError
+
+        raise SchemaError(f"oversample must be >= 1, got {oversample}")
+    order, unit = _hash_cols(key_cols, salt, method)
+    hashed = df.withColumn("__h", order).withColumn("__u", unit)
+
+    counts = df.groupBy(*strata_cols).agg(F.count(F.lit(1)).alias("__n"))
+    n_strata = counts.limit(max_strata + 1).count()
+    if n_strata > max_strata:
+        from ..errors import SchemaError
+
+        raise SchemaError(
+            f"sample_stratified: more than {max_strata} strata — quotas on "
+            "an unbounded key space degenerate; use sample_hash with a rate"
+        )
+    thresholds = counts.withColumn(
+        "__t",
+        F.least(F.lit(1.0), F.lit(float(oversample) * k) / F.col("__n")),
+    )
+    joined = hashed.join(F.broadcast(thresholds), strata_cols)
+    pre = joined.where(F.col("__u") < F.col("__t"))
+
+    # exactness guard: any stratum whose pre-filter kept fewer than
+    # min(k, n) rows is recomputed without the filter (bounded: deficits
+    # are a strata-cardinality-sized dimension, broadcast back)
+    surv = pre.groupBy(*strata_cols).agg(F.count(F.lit(1)).alias("__m"))
+    deficits = (
+        thresholds.join(surv, strata_cols, "left")
+        .where(
+            (F.col("__t") < 1.0)
+            & (F.coalesce(F.col("__m"), F.lit(0)) < F.least(F.lit(k), F.col("__n")))
+        )
+        .select(*strata_cols)
+    )
+    if deficits.limit(1).count() > 0:
+        pre = pre.join(F.broadcast(deficits), strata_cols, "left_anti").unionByName(
+            joined.join(F.broadcast(deficits), strata_cols, "left_semi")
+        )
+
+    w = Window.partitionBy(*strata_cols).orderBy(
+        F.col("__h").asc(), _key_str(key_cols).asc()
+    )
+    return (
+        pre.withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= k)
+        .drop("__h", "__u", "__t", "__n")
     )
 
 
