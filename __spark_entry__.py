@@ -1802,6 +1802,91 @@ FROM (
 """
 
 
+_MIX_RATES = {"O": 0.2, "F": 0.05, "P": 1.0}
+
+
+def q_sample_weighted_orders(spark, sf_dir):
+    """Domain-mixing extraction (sample_weighted): per-status rates from a
+    curated weights dict, exact per-group hash cutoffs broadcast back, one
+    map-only scan. Unlisted groups fall to default_fraction=0. The oracle
+    re-derives every group's membership with the same literal cutoffs in a
+    CASE expression."""
+    from mdvalidate_spark.operators.sampling import sample_weighted
+
+    orders = _load(spark, sf_dir, "orders")
+    return sample_weighted(
+        orders, "o_orderstatus", _MIX_RATES, key_cols=["o_orderkey"], method="md5"
+    ).select("o_orderkey", "o_orderstatus")
+
+
+def _sample_weighted_sql() -> str:
+    from mdvalidate_spark.operators.sampling import hash_threshold
+
+    cases = " ".join(
+        f"WHEN '{g}' THEN '{hash_threshold(f, 'md5')}'"
+        for g, f in _MIX_RATES.items()
+    )
+    return f"""
+SELECT o_orderkey, o_orderstatus FROM orders
+WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)
+      < CASE o_orderstatus {cases}
+             ELSE '{hash_threshold(0.0, 'md5')}' END
+"""
+
+
+def q_dedup_survivors_documents(spark, sf_dir):
+    """Corpus materialization after dedup (dedup_survivors): de-vacuated by
+    planting whitespace-variant copies (doc_id<25 → +2M with two trailing
+    spaces; doc_id<10 → +3M with two leading tabs — same NORMALIZED text,
+    longer raw form). Clusters = every row keyed by its md5 fingerprint
+    (singletons are free); prefer = raw length, so the padded plants beat
+    the originals and the equal-length +2M/+3M plants exercise the
+    largest-id tie-break. The oracle ranks every cluster in DuckDB with the
+    identical (length DESC, doc_id DESC) policy."""
+    from mdvalidate_spark.operators.dedup import dedup_survivors
+    from mdvalidate_spark.operators.text import fingerprint_md5
+
+    docs = _load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    p1 = docs.where(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit("  ")).alias("text"),
+    )
+    p2 = docs.where(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.concat(F.lit("\t\t"), F.col("text")).alias("text"),
+    )
+    aug = docs.unionByName(p1).unionByName(p2).withColumn(
+        "raw_len", F.length("text")
+    )
+    clusters = aug.select(
+        "doc_id", fingerprint_md5(F.col("text")).alias("cluster_id")
+    )
+    return dedup_survivors(aug, clusters, prefer_col="raw_len").select("doc_id")
+
+
+def _dedup_survivors_sql() -> str:
+    norm = _NORM.format(t="text")
+    return f"""
+WITH aug AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT) + 2000000, text || '  '
+  FROM documents WHERE doc_id < 25
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT) + 3000000, chr(9) || chr(9) || text
+  FROM documents WHERE doc_id < 10
+),
+fp AS (SELECT doc_id, md5({norm}) AS c, length(text) AS L FROM aug)
+SELECT doc_id FROM (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY c ORDER BY L DESC, doc_id DESC) AS rn
+  FROM fp
+) WHERE rn = 1
+"""
+
+
 def _augment_stringly(docs):
     """De-vacuate the format-suggestion ratchet: a CLEAN stringly-typed
     projection (one column per typed format, all values valid — this is the
@@ -2383,6 +2468,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries touched this round must come first, stable legacy last.
     return {
         # -- round 4: new/rewritten ------------------------------------
+        "sample_weighted_orders": q_sample_weighted_orders,
+        "dedup_survivors_documents": q_dedup_survivors_documents,
         "sample_hash_documents": q_sample_hash_documents,
         "holdout_documents": q_holdout_documents,
         "sample_stratified_orders": q_sample_stratified_orders,
@@ -3868,6 +3955,8 @@ SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.9
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "sample_weighted_orders": _sample_weighted_sql(),
+        "dedup_survivors_documents": _dedup_survivors_sql(),
         "sample_hash_documents": _sample_hash_sql(),
         "holdout_documents": _holdout_sql(),
         "sample_stratified_orders": _SAMPLE_STRATIFIED_SQL,

@@ -73,6 +73,54 @@ def exact_duplicates(
     )
 
 
+def dedup_survivors(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    prefer_col: str | None = None,
+) -> DataFrame:
+    """Materialize the deduplicated corpus: keep exactly one row per cluster
+    (plus every row absent from ``clusters``), drop the rest. This is the
+    step after any dedup family (exact fingerprints, LSH clusters,
+    connected components): turn the cluster assignment into the surviving
+    training set.
+
+    Representative policy: default is the smallest ``id_col`` per cluster
+    (stable, reproducible); with ``prefer_col`` (a quality/score column on
+    ``df``) the row with the HIGHEST prefer value wins, ties broken by the
+    largest id, NULL prefer loses to any non-NULL — one ``max_by`` over a
+    (prefer, id) struct, deterministic in every engine.
+
+    Scale shape: representative selection is a plain aggregation with
+    map-side partial combine — a viral cluster with 10^8 members costs a
+    partial per task, never one buffer holding the member set, and never a
+    corpus-wide window. The drop list is duplicates-sized (|members| −
+    |clusters|), joined back anti; singleton clusters cost nothing, so
+    callers can pass an UNFILTERED assignment (e.g. every row keyed by its
+    fingerprint) without a pre-count."""
+    membership = clusters.select(F.col(id_col), F.col(cluster_col))
+    if prefer_col is not None:
+        scored = df.select(F.col(id_col), F.col(prefer_col)).join(
+            membership, id_col
+        )
+        reps = scored.groupBy(cluster_col).agg(
+            F.max_by(
+                F.col(id_col), F.struct(F.col(prefer_col), F.col(id_col))
+            ).alias("__rep")
+        )
+    else:
+        reps = membership.groupBy(cluster_col).agg(
+            F.min(id_col).alias("__rep")
+        )
+    drops = (
+        membership.join(reps, cluster_col)
+        .where(F.col(id_col) != F.col("__rep"))
+        .select(id_col)
+    )
+    return df.join(drops, id_col, "left_anti")
+
+
 # ------------------------------------------------------------ minhash + LSH
 
 # deterministic seeds for the minhash permutations

@@ -125,15 +125,23 @@ def hash_threshold(fraction: float, method: str = "md5"):
     hex string (md5) or the integer ``round(fraction · 2^60)`` (xxhash64).
     Exposed so an external engine can reproduce membership EXACTLY — the
     DuckDB oracle compares against the same literal, with no floating
-    division anywhere near the boundary."""
+    division anywhere near the boundary.
+
+    fraction≈1.0 rounds to 16^15, which as hex would be 16 chars and
+    lexicographically SMALLER than most 15-char hashes ('1abc…' > '10…0'),
+    silently excluding ~15/16 of rows — so the md5 form caps at 'g', a
+    single char every hex string undercuts, in every engine that compares
+    strings lexicographically."""
     t = int(round(fraction * _HEX_SPACE))
-    return format(t, f"0{_HEX_DIGITS}x") if method == "md5" else t
+    if method != "md5":
+        return t
+    return "g" if t >= _HEX_SPACE else format(t, f"0{_HEX_DIGITS}x")
 
 
 def _member_pred(key_cols, salt: str, method: str, fraction: float):
     order, _ = _hash_cols(key_cols, salt, method)
     # string < string for md5 (fixed-width lowercase hex: lexicographic ==
-    # numeric; fraction 1.0 yields a 16-char cutoff every 15-char hash
+    # numeric; fraction 1.0 yields the 'g' cutoff every hex hash
     # undercuts), long < long for xxhash64 — exact in both engines
     return order < F.lit(hash_threshold(fraction, method))
 
@@ -266,6 +274,91 @@ def sample_stratified(
         .where(F.col(rank_col) <= k)
         .drop("__h", "__u", "__t", "__n")
     )
+
+
+def sample_weighted(
+    df: DataFrame,
+    group_cols,
+    rates,
+    *,
+    key_cols,
+    salt: str = "",
+    method: str = "xxhash64",
+    default_fraction: float = 0.0,
+    max_groups: int = 100_000,
+) -> DataFrame:
+    """Per-group hash sampling at group-specific rates — the domain-mixing
+    step of a training pipeline (keep 100% of books, 20% of web, 5% of a
+    boilerplate-heavy crawl). Membership per row is the SAME hash-threshold
+    predicate as ``sample_hash``, so it inherits append-stability and
+    parallelism-invariance; only the cutoff varies by group.
+
+    ``rates``: a dict {group_value(or tuple): fraction} or a small DataFrame
+    with ``group_cols`` + a ``fraction`` column (a mixing-weights dimension).
+    Either way the rates are collected driver-side (refused above
+    ``max_groups`` — mixing weights are a curated dimension, not data), the
+    EXACT integer/hex cutoff per group is computed in Python
+    (``hash_threshold``), and the tiny threshold table is broadcast back —
+    the scan stays map-only, one broadcast hash join, no shuffle. Groups
+    without a rate (including NULL group values) fall to
+    ``default_fraction`` (default 0: unlisted domains are excluded, loudly
+    visible in per-domain output counts)."""
+    from ..errors import SchemaError
+
+    if isinstance(group_cols, str):
+        group_cols = (group_cols,)
+    group_cols = list(group_cols)
+    if isinstance(rates, DataFrame):
+        rows = rates.limit(max_groups + 1).collect()
+        if len(rows) > max_groups:
+            raise SchemaError(
+                f"sample_weighted: more than {max_groups} rate groups — "
+                "mixing weights must be a bounded curated dimension"
+            )
+        pairs = [
+            (tuple(r[c] for c in group_cols), float(r["fraction"])) for r in rows
+        ]
+    else:
+        pairs = [
+            ((k if isinstance(k, tuple) else (k,)), float(v))
+            for k, v in rates.items()
+        ]
+        if len(pairs) > max_groups:
+            raise SchemaError(
+                f"sample_weighted: more than {max_groups} rate groups — "
+                "mixing weights must be a bounded curated dimension"
+            )
+    for k, f in pairs:
+        if not 0.0 <= f <= 1.0:
+            raise SchemaError(
+                f"sample rate for group {k!r} must be in [0, 1], got {f}"
+            )
+    if not 0.0 <= default_fraction <= 1.0:
+        raise SchemaError(
+            f"default_fraction must be in [0, 1], got {default_fraction}"
+        )
+
+    gnames = [f"__g{i}" for i in range(len(group_cols))]
+    ttype = "string" if method == "md5" else "long"
+    thr_schema = ", ".join(f"{g} string" for g in gnames) + f", __thr {ttype}"
+    thr_rows = [
+        tuple(None if v is None else str(v) for v in k)
+        + (hash_threshold(f, method),)
+        for k, f in pairs
+    ]
+    thr = df.sparkSession.createDataFrame(thr_rows, schema=thr_schema)
+    # group keys join as strings so int32/int64/decimal width never splits a
+    # group from its rate; NULL group values never match (→ default)
+    cond = None
+    for c, g in zip(group_cols, gnames):
+        eq = F.col(c).cast("string") == thr[g]
+        cond = eq if cond is None else (cond & eq)
+    order, _ = _hash_cols(key_cols, salt, method)
+    joined = df.join(F.broadcast(thr), cond, "left")
+    pred = order < F.coalesce(
+        F.col("__thr"), F.lit(hash_threshold(default_fraction, method))
+    )
+    return joined.where(pred).drop("__thr", *gnames)
 
 
 def violation_count_metrics(viol: DataFrame, run_id: str) -> DataFrame:

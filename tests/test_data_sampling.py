@@ -155,3 +155,98 @@ def test_multi_column_key_and_rank_column(corpus):
     )
     assert out.where("rk < 1 or rk > 3").count() == 0
     assert out.count() == 21
+
+# ------------------------------------------------------- weighted (mixing)
+
+
+def test_sample_weighted_rates_honored(corpus):
+    from mdvalidate_spark.operators.sampling import sample_weighted
+
+    out = sample_weighted(
+        corpus, "grp", {"0": 1.0, "1": 0.2, "2": 0.0}, key_cols=["k"]
+    )
+    sizes = {r.grp: r.n for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    n0 = corpus.where("grp = '0'").count()
+    assert sizes.get("0") == n0  # rate 1.0 keeps everything
+    assert "2" not in sizes  # rate 0.0 drops everything
+    assert 0.1 * n0 < sizes.get("1", 0) < 0.3 * n0  # ~20%
+    # default_fraction=0: unlisted groups (3..6) are excluded
+    assert set(sizes) == {"0", "1"}
+
+
+def test_sample_weighted_membership_matches_sample_hash(corpus):
+    from mdvalidate_spark.operators.sampling import sample_weighted
+
+    # a group sampled at rate f contains EXACTLY the sample_hash(f) members
+    # of that group — same predicate, group-specific cutoff
+    w = sample_weighted(corpus, "grp", {"3": 0.3}, key_cols=["k"], method="md5")
+    flat = sample_hash(corpus.where("grp = '3'"), ["k"], 0.3, method="md5")
+    assert set(r.k for r in w.collect()) == set(r.k for r in flat.collect())
+
+
+def test_sample_weighted_rates_dataframe_and_default(spark, corpus):
+    from mdvalidate_spark.operators.sampling import sample_weighted
+
+    rates = spark.createDataFrame(
+        [("5", 1.0)], "grp string, fraction double"
+    )
+    out = sample_weighted(
+        corpus, "grp", rates, key_cols=["k"], default_fraction=1.0
+    )
+    assert out.count() == 5000  # listed at 1.0, everyone else defaults to 1.0
+
+
+def test_sample_weighted_null_group_falls_to_default(spark):
+    from mdvalidate_spark.operators.sampling import sample_weighted
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a"), (3, "a")], "k long, grp string"
+    )
+    kept = sample_weighted(
+        df, "grp", {"a": 1.0}, key_cols=["k"], default_fraction=0.0
+    )
+    assert set(r.k for r in kept.collect()) == {2, 3}  # NULL group excluded
+    kept_all = sample_weighted(
+        df, "grp", {"a": 1.0}, key_cols=["k"], default_fraction=1.0
+    )
+    assert kept_all.count() == 3
+
+
+def test_sample_weighted_refusals(spark, corpus):
+    from mdvalidate_spark.operators.sampling import sample_weighted
+
+    with pytest.raises(SchemaError, match="rate for group"):
+        sample_weighted(corpus, "grp", {"0": 1.5}, key_cols=["k"])
+    with pytest.raises(SchemaError, match="default_fraction"):
+        sample_weighted(corpus, "grp", {"0": 0.5}, key_cols=["k"], default_fraction=-1)
+    wide = spark.range(300).select(
+        F.col("id").alias("k"), F.col("id").cast("string").alias("grp")
+    )
+    rates = wide.select("grp", F.lit(0.5).alias("fraction"))
+    with pytest.raises(SchemaError, match="rate groups"):
+        sample_weighted(wide, "grp", rates, key_cols=["k"], max_groups=100)
+
+
+def test_sample_weighted_int_group_joins_rate(spark):
+    from mdvalidate_spark.operators.sampling import sample_weighted
+
+    # int group columns match dict keys through the string-normalized join
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("grp")
+    )
+    out = sample_weighted(df, "grp", {0: 1.0}, key_cols=["k"])
+    assert out.count() == 50 and out.where("grp != 0").count() == 0
+
+
+def test_sample_hash_md5_full_fraction_keeps_everything(corpus):
+    # regression: fraction≈1.0 rounds to a 16-hex-char cutoff that would
+    # lexicographically undercut most 15-char hashes; the 'g' cap keeps all
+    assert sample_hash(corpus, ["k"], 1.0, method="md5").count() == 5000
+    assert sample_hash(corpus, ["k"], 0.9999999, method="md5").count() > 4990
+
+
+def test_sample_weighted_md5_full_rate_keeps_group(corpus):
+    from mdvalidate_spark.operators.sampling import sample_weighted
+
+    out = sample_weighted(corpus, "grp", {"4": 1.0}, key_cols=["k"], method="md5")
+    assert out.count() == corpus.where("grp = '4'").count()

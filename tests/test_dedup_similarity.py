@@ -662,3 +662,61 @@ def test_edit_distance_plan_no_posting_arrays(spark):
     out = edit_distance_duplicates(df, max_dist=1)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "collect_set" not in plan  # count-first postings, never arrays
+
+
+# ----------------------------------------------------------- survivors
+
+
+def test_dedup_survivors_default_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "c"), (5, "c"), (6, "c")],
+        "doc_id long, text string",
+    )
+    clusters = df.select("doc_id", F.md5("text").alias("cluster_id"))
+    surv = D.dedup_survivors(df, clusters)
+    assert sorted(r.doc_id for r in surv.collect()) == [1, 3, 4]
+    assert surv.columns == df.columns  # full rows survive, not just ids
+
+
+def test_dedup_survivors_prefer_and_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, "g1", 5), (2, "g1", 9), (3, "g1", 9), (4, "g2", 1)],
+        "doc_id long, grp string, score int",
+    )
+    clusters = df.select("doc_id", F.col("grp").alias("cluster_id"))
+    surv = D.dedup_survivors(df, clusters, prefer_col="score")
+    # highest score wins; the 9-vs-9 tie goes to the LARGEST id (3, not 2)
+    assert sorted(r.doc_id for r in surv.collect()) == [3, 4]
+
+
+def test_dedup_survivors_null_prefer_loses(spark):
+    df = spark.createDataFrame(
+        [(1, "g", None), (2, "g", 3)], "doc_id long, grp string, score int"
+    )
+    clusters = df.select("doc_id", F.col("grp").alias("cluster_id"))
+    surv = D.dedup_survivors(df, clusters, prefer_col="score")
+    assert [r.doc_id for r in surv.collect()] == [2]
+
+
+def test_dedup_survivors_unclustered_rows_pass_through(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (7, "z")], "doc_id long, text string"
+    )
+    # membership only covers the duplicate pair; 7 is absent → survives
+    clusters = spark.createDataFrame(
+        [(1, "c1"), (2, "c1")], "doc_id long, cluster_id string"
+    )
+    assert sorted(r.doc_id for r in D.dedup_survivors(df, clusters).collect()) == [1, 7]
+
+
+def test_dedup_survivors_composes_with_exact_fingerprints(corpus):
+    from mdvalidate_spark.operators.text import fingerprint_md5
+
+    clusters = corpus.select(
+        "doc_id", fingerprint_md5(F.col("text")).alias("cluster_id")
+    )
+    surv = D.dedup_survivors(corpus, clusters)
+    # the only exact dup group is {0, 100} → 100 dropped, everyone else kept
+    assert surv.count() == corpus.count() - 1
+    assert surv.where("doc_id = 100").count() == 0
+    assert surv.where("doc_id = 0").count() == 1
