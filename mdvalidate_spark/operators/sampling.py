@@ -218,7 +218,12 @@ def sample_stratified(
 
     Refuses > ``max_strata`` strata: the counts frame stops being a
     broadcastable dimension and per-stratum quotas stop making sense —
-    use ``sample_hash`` at a per-stratum rate instead."""
+    use ``sample_hash`` at a per-stratum rate instead.
+
+    A NULL stratum value is a stratum like any other (the rows a validator
+    most wants an audit sample of): all internal joins run on an injective
+    length-prefixed encoding of the strata tuple, never on null-unsafe
+    column equality that would silently drop NULL-stratum rows."""
     if isinstance(strata_cols, str):
         strata_cols = (strata_cols,)
     strata_cols = list(strata_cols)
@@ -231,9 +236,27 @@ def sample_stratified(
 
         raise SchemaError(f"oversample must be >= 1, got {oversample}")
     order, unit = _hash_cols(key_cols, salt, method)
-    hashed = df.withColumn("__h", order).withColumn("__u", unit)
+    # injective non-null stratum key: NULL → a bare marker, value →
+    # length-prefixed string, so ('a\x1f', 'b') never collides with
+    # ('a', '\x1fb') and NULL strata survive every equality join below
+    sk = F.concat_ws(
+        "\x1f",
+        *[
+            F.when(F.col(c).isNull(), F.lit("\x00")).otherwise(
+                F.concat(
+                    F.length(F.col(c).cast("string")).cast("string"),
+                    F.lit(":"),
+                    F.col(c).cast("string"),
+                )
+            )
+            for c in strata_cols
+        ],
+    )
+    hashed = df.withColumn("__h", order).withColumn("__u", unit).withColumn(
+        "__sk", sk
+    )
 
-    counts = df.groupBy(*strata_cols).agg(F.count(F.lit(1)).alias("__n"))
+    counts = hashed.groupBy("__sk").agg(F.count(F.lit(1)).alias("__n"))
     n_strata = counts.limit(max_strata + 1).count()
     if n_strata > max_strata:
         from ..errors import SchemaError
@@ -246,33 +269,33 @@ def sample_stratified(
         "__t",
         F.least(F.lit(1.0), F.lit(float(oversample) * k) / F.col("__n")),
     )
-    joined = hashed.join(F.broadcast(thresholds), strata_cols)
+    joined = hashed.join(F.broadcast(thresholds), "__sk")
     pre = joined.where(F.col("__u") < F.col("__t"))
 
     # exactness guard: any stratum whose pre-filter kept fewer than
     # min(k, n) rows is recomputed without the filter (bounded: deficits
     # are a strata-cardinality-sized dimension, broadcast back)
-    surv = pre.groupBy(*strata_cols).agg(F.count(F.lit(1)).alias("__m"))
+    surv = pre.groupBy("__sk").agg(F.count(F.lit(1)).alias("__m"))
     deficits = (
-        thresholds.join(surv, strata_cols, "left")
+        thresholds.join(surv, "__sk", "left")
         .where(
             (F.col("__t") < 1.0)
             & (F.coalesce(F.col("__m"), F.lit(0)) < F.least(F.lit(k), F.col("__n")))
         )
-        .select(*strata_cols)
+        .select("__sk")
     )
     if deficits.limit(1).count() > 0:
-        pre = pre.join(F.broadcast(deficits), strata_cols, "left_anti").unionByName(
-            joined.join(F.broadcast(deficits), strata_cols, "left_semi")
+        pre = pre.join(F.broadcast(deficits), "__sk", "left_anti").unionByName(
+            joined.join(F.broadcast(deficits), "__sk", "left_semi")
         )
 
-    w = Window.partitionBy(*strata_cols).orderBy(
+    w = Window.partitionBy("__sk").orderBy(
         F.col("__h").asc(), _key_str(key_cols).asc()
     )
     return (
         pre.withColumn(rank_col, F.row_number().over(w))
         .where(F.col(rank_col) <= k)
-        .drop("__h", "__u", "__t", "__n")
+        .drop("__h", "__u", "__t", "__n", "__sk")
     )
 
 

@@ -250,3 +250,24 @@ def test_sample_weighted_md5_full_rate_keeps_group(corpus):
 
     out = sample_weighted(corpus, "grp", {"4": 1.0}, key_cols=["k"], method="md5")
     assert out.count() == corpus.where("grp = '4'").count()
+
+
+def test_stratified_null_stratum_is_sampled(spark):
+    # NULL stratum rows must not be silently dropped by an internal
+    # null-unsafe join — they are the rows most worth auditing
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else None) for i in range(200)], "k long, grp string"
+    )
+    out = sample_stratified(df, "grp", 7, key_cols=["k"])
+    sizes = {r.grp: r.n for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {"a": 7, None: 7}
+
+
+def test_stratified_key_encoding_is_injective(spark):
+    # ('a\x1f', 'b') and ('a', '\x1fb') are DIFFERENT strata
+    df = spark.createDataFrame(
+        [(1, "a\x1f", "b"), (2, "a", "\x1fb"), (3, "a\x1f", "b")],
+        "k long, s1 string, s2 string",
+    )
+    out = sample_stratified(df, ["s1", "s2"], 5, key_cols=["k"])
+    assert out.count() == 3  # both strata fully kept, none merged
