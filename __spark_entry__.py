@@ -1802,6 +1802,58 @@ FROM (
 """
 
 
+def q_pack_documents(spark, sf_dir):
+    """Sequence packing (operators/packing.py): greedy fill of documents
+    into 192-token packs, hash-sharded (md5, 8 shards) so pack identity is
+    deterministic and parallelism-invariant. The oracle replays the exact
+    greedy recursion per shard with a DuckDB recursive CTE — running fill,
+    new pack on overflow — so every (doc → shard, pack) assignment is
+    value-checked, not just pack counts."""
+    from mdvalidate_spark.operators.packing import pack_sequences
+    from mdvalidate_spark.operators.text import token_count_bpe
+
+    docs = _load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        token_count_bpe(F.col("text")).alias("n_tok"),
+    )
+    return pack_sequences(
+        docs, "n_tok", 192, id_col="doc_id", n_shards=8, shard_method="md5"
+    )
+
+
+def _pack_sql() -> str:
+    bpe = (
+        "len(regexp_extract_all(coalesce(text, ''), "
+        "'[A-Za-z0-9]+|[^A-Za-z0-9 \\t\\r\\n]'))"
+    )
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         greatest(CAST({bpe} AS BIGINT), 0) AS n_tokens,
+         CAST(CAST(concat('0x', substring(md5(CAST(CAST(doc_id AS BIGINT) AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS INT) AS shard
+  FROM documents
+),
+ordered AS (
+  SELECT base.*, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+  FROM base
+),
+fill AS (
+  SELECT shard, rn, doc_id, n_tokens, n_tokens AS fill,
+         CAST(1 AS BIGINT) AS pack_id
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+         CASE WHEN f.fill > 0 AND f.fill + o.n_tokens > 192
+              THEN o.n_tokens ELSE f.fill + o.n_tokens END,
+         CASE WHEN f.fill > 0 AND f.fill + o.n_tokens > 192
+              THEN f.pack_id + 1 ELSE f.pack_id END
+  FROM ordered o JOIN fill f ON o.shard = f.shard AND o.rn = f.rn + 1
+)
+SELECT doc_id, n_tokens, shard, pack_id, n_tokens > 192 AS oversize
+FROM fill
+"""
+
+
 _MIX_RATES = {"O": 0.2, "F": 0.05, "P": 1.0}
 
 
@@ -2468,6 +2520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries touched this round must come first, stable legacy last.
     return {
         # -- round 4: new/rewritten ------------------------------------
+        "pack_documents": q_pack_documents,
         "sample_weighted_orders": q_sample_weighted_orders,
         "dedup_survivors_documents": q_dedup_survivors_documents,
         "sample_hash_documents": q_sample_hash_documents,
@@ -3955,6 +4008,7 @@ SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.9
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "pack_documents": _pack_sql(),
         "sample_weighted_orders": _sample_weighted_sql(),
         "dedup_survivors_documents": _dedup_survivors_sql(),
         "sample_hash_documents": _sample_hash_sql(),
