@@ -98,8 +98,15 @@ def dedup_survivors(
     corpus-wide window. The drop list is duplicates-sized (|members| −
     |clusters|), joined back anti; singleton clusters cost nothing, so
     callers can pass an UNFILTERED assignment (e.g. every row keyed by its
-    fingerprint) without a pre-count."""
-    membership = clusters.select(F.col(id_col), F.col(cluster_col))
+    fingerprint) without a pre-count.
+
+    ``clusters`` may be STALE relative to ``df`` (assignments computed
+    before an upstream language/quality filter): membership is first
+    semi-joined to the ids actually present, so an absent row can never be
+    elected representative and take the surviving copies down with it."""
+    membership = clusters.select(F.col(id_col), F.col(cluster_col)).join(
+        df.select(F.col(id_col)), id_col, "left_semi"
+    )
     if prefer_col is not None:
         scored = df.select(F.col(id_col), F.col(prefer_col)).join(
             membership, id_col
@@ -1023,4 +1030,11 @@ def edit_distance_duplicates(
         )
         .where(F.col("dist") >= 0)  # bounded variant returns -1 above d
     )
-    return verified.select("id_a", "id_b", "dist")
+    # the pair set is near-dup-density-sized (bounded), the caches feeding
+    # it are corpus-sized (inv is one row per doc×gram): materialize the
+    # small result eagerly, then RELEASE both caches — a parameter sweep
+    # must not accumulate application-lifetime cache entries
+    result = verified.select("id_a", "id_b", "dist").localCheckpoint(eager=True)
+    inv.unpersist()
+    docs.unpersist()
+    return result

@@ -77,14 +77,19 @@ def format_ok(c: Column, fmt: str) -> Column:
     ASCII shape regexes (identical under Java regex, RE2, and DuckDB)."""
     if fmt in ("date", "timestamp"):
         pattern = "yyyy-MM-dd" if fmt == "date" else "yyyy-MM-dd HH:mm:ss"
-        return c.rlike(FORMAT_REGEX[fmt]) & F.try_to_timestamp(
+        ok = c.rlike(FORMAT_REGEX[fmt]) & F.try_to_timestamp(
             c, F.lit(pattern)
         ).isNotNull()
-    if fmt == "bool":
-        return F.lower(c).isin(*FORMAT_BOOL_VALUES)
-    if fmt == "json":
-        return F.try_parse_json(c).isNotNull()
-    return c.rlike(FORMAT_REGEX[fmt])
+    elif fmt == "bool":
+        ok = F.lower(c).isin(*FORMAT_BOOL_VALUES)
+    elif fmt == "json":
+        ok = F.try_parse_json(c).isNotNull()
+    else:
+        return c.rlike(FORMAT_REGEX[fmt])
+    # try_to_timestamp/try_parse_json turn NULL input into FALSE, breaking
+    # the NULL-propagation contract above for exactly these branches — the
+    # when() (no otherwise) restores NULL-in → NULL-out uniformly
+    return F.when(c.isNotNull(), ok)
 
 
 def with_partition_id(df: DataFrame, spec: Spec) -> DataFrame:

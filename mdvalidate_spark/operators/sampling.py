@@ -276,11 +276,13 @@ def sample_stratified(
     # min(k, n) rows is recomputed without the filter (bounded: deficits
     # are a strata-cardinality-sized dimension, broadcast back)
     surv = pre.groupBy("__sk").agg(F.count(F.lit(1)).alias("__m"))
+    # no `__t < 1.0` conjunct: even a nominal no-op threshold can drop a
+    # row whose 60-bit unit hash rounds to exactly 1.0 in double, so any
+    # stratum short of min(k, n) survivors is recomputed unfiltered
     deficits = (
         thresholds.join(surv, "__sk", "left")
         .where(
-            (F.col("__t") < 1.0)
-            & (F.coalesce(F.col("__m"), F.lit(0)) < F.least(F.lit(k), F.col("__n")))
+            F.coalesce(F.col("__m"), F.lit(0)) < F.least(F.lit(k), F.col("__n"))
         )
         .select("__sk")
     )
@@ -361,13 +363,29 @@ def sample_weighted(
             f"default_fraction must be in [0, 1], got {default_fraction}"
         )
 
+    def _spark_str(v):
+        # match Spark's cast-to-string rendering, not Python's — str(True)
+        # is 'True' but Spark renders 'true', which would silently detach
+        # every boolean group from its rate
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return None if v is None else str(v)
+
+    keys = [tuple(_spark_str(v) for v in k) for k, _ in pairs]
+    if len(set(keys)) != len(keys):
+        dupes = sorted({k for k in keys if keys.count(k) > 1})
+        raise SchemaError(
+            f"sample_weighted: duplicate rate rows for group(s) {dupes} — "
+            "each row would match both thresholds and emit sampled rows "
+            "twice; dedupe the rates dimension"
+        )
+
     gnames = [f"__g{i}" for i in range(len(group_cols))]
     ttype = "string" if method == "md5" else "long"
     thr_schema = ", ".join(f"{g} string" for g in gnames) + f", __thr {ttype}"
     thr_rows = [
-        tuple(None if v is None else str(v) for v in k)
-        + (hash_threshold(f, method),)
-        for k, f in pairs
+        k + (hash_threshold(f, method),)
+        for k, (_, f) in zip(keys, pairs)
     ]
     thr = df.sparkSession.createDataFrame(thr_rows, schema=thr_schema)
     # group keys join as strings so int32/int64/decimal width never splits a

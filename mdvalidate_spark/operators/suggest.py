@@ -98,7 +98,7 @@ from pyspark.sql.types import (
 )
 
 from ..spec import (
-    FORMAT_REGEX,
+    FORMATS,
     DomainRule,
     DriftRule,
     FormatRule,
@@ -214,12 +214,13 @@ def suggest_spec(
     # the run-length walks and PII counters are heavy per value, so they
     # never run for UUID/enum/short-string columns
     textprof: dict[str, object] = {}
+    pdict = prof.asDict()
     longtext = {
         f.name
         for f in fields
         if (text_gates or format_gates)
         and isinstance(f.dataType, StringType)
-        and (prof.asDict().get(f"len__{f.name}") or 0.0) >= text_min_avg_len
+        and (pdict.get(f"len__{f.name}") or 0.0) >= text_min_avg_len
     }
     text_cols = [
         f.name
@@ -255,7 +256,7 @@ def suggest_spec(
     if format_gates:
         from .row_rules import format_ok
 
-        known = set(FORMAT_REGEX) | {"bool", "json"}
+        known = set(FORMATS)
         bad = [f for f in format_candidates if f not in known]
         if bad:
             from ..errors import SchemaError

@@ -271,3 +271,25 @@ def test_stratified_key_encoding_is_injective(spark):
     )
     out = sample_stratified(df, ["s1", "s2"], 5, key_cols=["k"])
     assert out.count() == 3  # both strata fully kept, none merged
+
+
+def test_sample_weighted_boolean_group_matches_rate(spark):
+    from mdvalidate_spark.operators.sampling import sample_weighted
+
+    # regression: str(True)='True' vs Spark's 'true' rendering silently
+    # detached boolean groups from their rates
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 2 == 0).alias("prem")
+    )
+    out = sample_weighted(df, "prem", {True: 1.0, False: 0.0}, key_cols=["k"])
+    assert out.count() == 50 and out.where("NOT prem").count() == 0
+
+
+def test_sample_weighted_duplicate_rate_rows_refused(spark, corpus):
+    from mdvalidate_spark.operators.sampling import sample_weighted
+
+    rates = spark.createDataFrame(
+        [("1", 0.05), ("1", 0.2)], "grp string, fraction double"
+    )
+    with pytest.raises(SchemaError, match="duplicate rate"):
+        sample_weighted(corpus, "grp", rates, key_cols=["k"])

@@ -720,3 +720,14 @@ def test_dedup_survivors_composes_with_exact_fingerprints(corpus):
     assert surv.count() == corpus.count() - 1
     assert surv.where("doc_id = 100").count() == 0
     assert surv.where("doc_id = 0").count() == 1
+
+
+def test_dedup_survivors_stale_clusters_never_orphan(spark):
+    # regression: an id present in clusters but filtered out of df must not
+    # be elected representative (that dropped the whole surviving cluster)
+    df = spark.createDataFrame([(2, "a"), (3, "a")], "doc_id long, text string")
+    clusters = spark.createDataFrame(
+        [(1, "c"), (2, "c"), (3, "c")], "doc_id long, cluster_id string"
+    )
+    surv = D.dedup_survivors(df, clusters)
+    assert [r.doc_id for r in surv.collect()] == [2]
