@@ -1802,6 +1802,97 @@ FROM (
 """
 
 
+def q_quality_bins_documents(spark, sf_dir):
+    """Curriculum binning (operators/outliers.py quality_bins): quartile
+    buckets of the composite quality score — one exact-percentile edge
+    aggregation (oracle parity; the corpus path uses the KLL sketch),
+    edges broadcast as literals, bin = codegen'd comparison chain. The
+    oracle re-derives the same edges with quantile_cont (identical linear
+    interpolation) and the same 6-dp rounding."""
+    from mdvalidate_spark.operators.outliers import quality_bins
+    from mdvalidate_spark.operators.text import quality_score
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", quality_score(F.col("text")).alias("score")
+    )
+    return quality_bins(docs, "score", 4, exact=True)
+
+
+def _quality_bins_sql() -> str:
+    t = "text"
+    toks = _TOKENS.format(t=t)
+    total = f"len(coalesce({t}, ''))"
+    punct = (
+        f"({total} - len(regexp_replace(coalesce({t}, ''), "
+        f"'[^A-Za-z0-9 \\t\\r\\n]', '', 'g')))"
+    )
+    alpha = f"len(regexp_replace(coalesce({t}, ''), '[^A-Za-z]', '', 'g'))"
+    punct_ratio = f"CASE WHEN {total} = 0 THEN 0.0 ELSE {punct} * 1.0 / {total} END"
+    alpha_ratio = f"CASE WHEN {total} = 0 THEN 0.0 ELSE {alpha} * 1.0 / {total} END"
+    quality = (
+        f"round({alpha_ratio} * (1.0 - {punct_ratio}) "
+        f"* least(1.0, len({toks}) / 20.0), 6)"
+    )
+    return f"""
+WITH q AS (SELECT doc_id, {quality} AS score FROM documents),
+e AS (SELECT round(quantile_cont(score, 0.25), 6) AS e1,
+             round(quantile_cont(score, 0.50), 6) AS e2,
+             round(quantile_cont(score, 0.75), 6) AS e3
+      FROM q)
+SELECT doc_id, score,
+       1 + CAST(score > e1 AS INT) + CAST(score > e2 AS INT)
+         + CAST(score > e3 AS INT) AS quality_bin
+FROM q, e
+"""
+
+
+def q_leakage_documents(spark, sf_dir):
+    """Split-integrity guard (operators/decontam.py split_leakage):
+    de-vacuated by planting doc_id<25 again at +1M with identical text —
+    the plants land on hash-independent sides of a 50% md5 split, so some
+    holdout docs gain train-side twins. Every flagged (holdout doc, twin
+    count, train example) is value-checked by a DuckDB replica of the
+    fingerprint + split-membership joins."""
+    from mdvalidate_spark.operators.decontam import split_leakage
+
+    docs = _load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    plants = docs.where(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return split_leakage(
+        docs.unionByName(plants), ["doc_id"], 0.5, method="md5"
+    )
+
+
+def _leakage_sql() -> str:
+    from mdvalidate_spark.operators.sampling import hash_threshold
+
+    norm = _NORM.format(t="text")
+    return f"""
+WITH aug AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT) + 1000000, text
+  FROM documents WHERE doc_id < 25
+),
+fp AS (
+  SELECT doc_id, md5({norm}) AS fp,
+         substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+           < '{hash_threshold(0.5, "md5")}' AS held
+  FROM aug
+),
+tr AS (
+  SELECT fp, count(*) AS n_train_twins, min(doc_id) AS train_example
+  FROM fp WHERE NOT held GROUP BY fp
+)
+SELECT f.doc_id, f.fp, tr.n_train_twins, tr.train_example
+FROM fp f JOIN tr USING (fp)
+WHERE f.held
+"""
+
+
 def q_pack_documents(spark, sf_dir):
     """Sequence packing (operators/packing.py): greedy fill of documents
     into 192-token packs, hash-sharded (md5, 8 shards) so pack identity is
@@ -2520,6 +2611,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries touched this round must come first, stable legacy last.
     return {
         # -- round 4: new/rewritten ------------------------------------
+        "quality_bins_documents": q_quality_bins_documents,
+        "leakage_documents": q_leakage_documents,
         "pack_documents": q_pack_documents,
         "sample_weighted_orders": q_sample_weighted_orders,
         "dedup_survivors_documents": q_dedup_survivors_documents,
@@ -4008,6 +4101,8 @@ SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.9
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "quality_bins_documents": _quality_bins_sql(),
+        "leakage_documents": _leakage_sql(),
         "pack_documents": _pack_sql(),
         "sample_weighted_orders": _sample_weighted_sql(),
         "dedup_survivors_documents": _dedup_survivors_sql(),

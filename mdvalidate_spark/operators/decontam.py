@@ -110,3 +110,53 @@ def contamination_violations(
         ).alias("actual"),
         F.lit("contamination").alias("kind"),
     )
+
+
+def split_leakage(
+    df: DataFrame,
+    key_cols,
+    holdout_fraction: float,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "",
+    method: str = "xxhash64",
+) -> DataFrame:
+    """Split-integrity guard: holdout documents whose EXACT (normalized)
+    content also appears on the train side of the same hash split. The
+    hash split freezes membership per key, but duplicated CONTENT under
+    different keys still straddles the boundary — the leak that quietly
+    inflates eval scores. Run after dedup as a zero-tolerance assertion,
+    or before it to measure what dedup must remove.
+
+    One row per contaminated holdout doc: (id, fp, n_train_twins,
+    train_example). Plan: project fingerprints (codegen), split flag is
+    the sample_hash predicate (map-only), aggregate the TRAIN side per
+    fingerprint (uniform hash key, bounded two-column output), then one
+    join on fp — no arrays, no skew (a viral doc costs one train-side
+    count row). Near-dup leakage is the same query with dedup.py cluster
+    ids in place of fp."""
+    from .text import fingerprint_md5
+    from .sampling import holdout_split
+
+    flagged = holdout_split(
+        df, key_cols, holdout_fraction, salt=salt, method=method
+    )
+    fp = flagged.select(
+        F.col(id_col),
+        fingerprint_md5(F.col(text_col)).alias("fp"),
+        F.col("is_holdout"),
+    )
+    train = (
+        fp.where(~F.col("is_holdout"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_twins"),
+            F.min(id_col).alias("train_example"),
+        )
+    )
+    return (
+        fp.where(F.col("is_holdout"))
+        .join(train, "fp")
+        .select(id_col, "fp", "n_train_twins", "train_example")
+    )

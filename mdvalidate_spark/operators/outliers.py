@@ -138,3 +138,49 @@ def outlier_violations(
             F.lit(KIND_OUTLIER).alias("kind"),
         )
     )
+
+
+def quality_bins(
+    df: DataFrame,
+    score_col: str,
+    n_bins: int,
+    *,
+    exact: bool = False,
+    bin_col: str = "quality_bin",
+) -> DataFrame:
+    """Curriculum binning — the extraction sibling of OutlierRule's
+    envelopes: assign every row its quantile bucket of ``score_col``
+    (bin 1 = lowest scores … n_bins = highest), so a training pipeline can
+    mix by quality tier or schedule low→high curriculum phases.
+
+    Plan: ONE aggregation computes the n_bins−1 inner quantile edges (KLL
+    sketch by default — mergeable partials, the 10^12-row path;
+    ``exact=True`` uses F.percentile for small tables and oracle parity),
+    edges are rounded to 6 dp (repo parity convention) and inlined as
+    literals, and the bin is a codegen'd comparison chain — bin = 1 +
+    #edges the score exceeds. No global sort, no window, no shuffle beyond
+    the edge aggregation. Ties/duplicate edges (score mass on one value)
+    leave some bins empty rather than splitting a tied value arbitrarily —
+    deterministic beats equal-sized. NULL scores get a NULL bin (NotNull /
+    MetricBound rules own missing scores)."""
+    from ..errors import SchemaError
+
+    if n_bins < 2:
+        raise SchemaError(f"quality_bins needs n_bins >= 2, got {n_bins}")
+    c = F.col(score_col).cast("double")
+    fracs = [i / n_bins for i in range(1, n_bins)]
+    edge_row = (
+        _quantiles(df.where(c.isNotNull()), c, None, fracs, exact)
+        .select(*[_round6(F.col(f"q_{i}")).alias(f"q_{i}") for i in range(len(fracs))])
+        .first()
+    )
+    edges = [edge_row[f"q_{i}"] for i in range(len(fracs))]
+    if any(e is None for e in edges):
+        raise SchemaError(
+            f"quality_bins: no non-NULL values in {score_col!r} to derive "
+            "edges from"
+        )
+    b = F.lit(1)
+    for e in edges:
+        b = b + F.when(c > F.lit(float(e)), 1).otherwise(0)
+    return df.withColumn(bin_col, F.when(c.isNotNull(), b))

@@ -87,3 +87,41 @@ def test_on_testdata_documents(spark):
     # every benchmark doc trivially contaminates itself (identical k-grams)
     for b in bench.select("doc_id").collect():
         assert b["doc_id"] in rows
+
+
+def test_split_leakage_finds_cross_side_twins(spark):
+    from mdvalidate_spark.operators.decontam import split_leakage
+
+    # 40 unique docs; plant copies of docs 0..9 under new keys — some copies
+    # land on the opposite side of the 50% split and must be flagged
+    base = [(i, f"unique document body number {i} with words") for i in range(40)]
+    plants = [(1000 + i, base[i][1]) for i in range(10)]
+    df = spark.createDataFrame(base + plants, "doc_id long, text string")
+    leaks = split_leakage(df, ["doc_id"], 0.5, method="md5").collect()
+    # every flagged row is a genuine cross-side twin
+    from mdvalidate_spark.operators.sampling import sample_hash
+
+    held = {r.doc_id for r in sample_hash(df, ["doc_id"], 0.5, method="md5").collect()}
+    fps = {}
+    for k, t in base + plants:
+        fps.setdefault(t, []).append(k)
+    expected = set()
+    for t, ks in fps.items():
+        holdout_ks = [k for k in ks if k in held]
+        train_ks = [k for k in ks if k not in held]
+        if train_ks:
+            expected.update(holdout_ks)
+    assert {r.doc_id for r in leaks} == expected
+    assert len(leaks) > 0  # the plant actually straddled the boundary
+    for r in leaks:
+        assert r.n_train_twins >= 1 and r.train_example not in held
+
+
+def test_split_leakage_clean_when_no_duplicates(spark):
+    from mdvalidate_spark.operators.decontam import split_leakage
+
+    df = spark.createDataFrame(
+        [(i, f"totally distinct content {i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    assert split_leakage(df, ["doc_id"], 0.3).count() == 0

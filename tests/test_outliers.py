@@ -110,3 +110,57 @@ def test_lints_and_staging(spark):
         compile_spec(_spec(OutlierRule("o", column="s")), df.schema)
     prog = compile_spec(_spec(OutlierRule("o", column="x")), df.schema)
     assert any(r.kind == "outlier" for r in prog.group_rules)  # finalize stage
+
+
+# ---------------------------------------------------------- quality bins
+
+
+def test_quality_bins_exact_quartiles(spark):
+    from mdvalidate_spark.operators.outliers import quality_bins
+
+    df = spark.range(1, 101).select(F.col("id").alias("k"), F.col("id").cast("double").alias("s"))
+    out = quality_bins(df, "s", 4, exact=True)
+    sizes = {r.quality_bin: r.n for r in out.groupBy("quality_bin").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {1: 25, 2: 25, 3: 25, 4: 25}
+    # monotone: every bin-2 score exceeds every bin-1 score
+    m1 = out.where("quality_bin = 1").agg(F.max("s")).first()[0]
+    m2 = out.where("quality_bin = 2").agg(F.min("s")).first()[0]
+    assert m2 > m1
+
+
+def test_quality_bins_null_scores_and_ties(spark):
+    from mdvalidate_spark.operators.outliers import quality_bins
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 5.0), (3, 5.0), (4, 5.0), (5, None)], "k long, s double"
+    )
+    out = quality_bins(df, "s", 2, exact=True)
+    rows = {r.k: r.quality_bin for r in out.collect()}
+    assert rows[5] is None
+    # all-tied scores land in ONE bin (deterministic), not split arbitrarily
+    assert len({b for k, b in rows.items() if k != 5}) == 1
+
+
+def test_quality_bins_sketch_close_to_exact(spark):
+    from mdvalidate_spark.operators.outliers import quality_bins
+
+    df = spark.range(2000).select((F.col("id") % 997).cast("double").alias("s"))
+    a = quality_bins(df, "s", 4, exact=True).groupBy("quality_bin").count()
+    for r in a.collect():
+        assert 400 < r["count"] < 600  # roughly balanced
+    b = quality_bins(df, "s", 4, exact=False).groupBy("quality_bin").count()
+    for r in b.collect():
+        assert 350 < r["count"] < 650  # sketch: close, not exact
+
+
+def test_quality_bins_refusals(spark):
+    from mdvalidate_spark.errors import SchemaError
+    from mdvalidate_spark.operators.outliers import quality_bins
+
+    df = spark.createDataFrame([(1, None)], "k long, s double")
+    import pytest as _pt
+
+    with _pt.raises(SchemaError, match="n_bins"):
+        quality_bins(df, "s", 1)
+    with _pt.raises(SchemaError, match="non-NULL"):
+        quality_bins(df, "s", 2, exact=True)
