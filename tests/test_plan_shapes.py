@@ -130,3 +130,73 @@ def test_only_pixel_reads_bytes(spark, tmp_path):
     spec = full_images_spec(with_pixel=False, n_partitions=8)
     plan = _plan(row_violations(with_partition_id(df, spec), compile_spec(spec, df.columns), "q"))
     assert "bytes" not in _read_schema(plan), "row pass must never scan the payload column"
+
+
+# ---------------------------------------------- extraction-family plans
+
+
+def test_sampling_plans_stay_map_side(spark, tmp_path):
+    from mdvalidate_spark.operators.sampling import sample_hash, sample_weighted
+
+    src = str(tmp_path / "docs_sampling")
+    spark.range(0, 2000, 1, 4).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 5).cast("string").alias("domain"),
+        F.lit("body").alias("text"),
+    ).write.parquet(src)
+    df = spark.read.parquet(src)
+
+    p = _plan(sample_hash(df, ["doc_id"], 0.25))
+    assert "Exchange" not in p and "Python" not in p
+
+    # weighted: ONE broadcast join, never a data-side shuffle or Python
+    p = _plan(
+        sample_weighted(
+            df, "domain", {"0": 0.5, "1": 1.0}, key_cols=["doc_id"]
+        )
+    )
+    assert "BroadcastHashJoin" in p
+    assert "Exchange hashpartitioning" not in p, "corpus side must not shuffle"
+    assert "Python" not in p
+
+
+def test_dedup_survivors_plan_has_no_window(spark):
+    from mdvalidate_spark.operators.dedup import dedup_survivors
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 50).cast("string").alias("c"),
+        F.col("id").cast("double").alias("score"),
+    )
+    clusters = df.select("doc_id", F.col("c").alias("cluster_id"))
+    for prefer in (None, "score"):
+        p = _plan(dedup_survivors(df, clusters, prefer_col=prefer))
+        # representative selection must be an aggregation (map-side combine
+        # on hot clusters), never a per-cluster sort window
+        assert "Window" not in p
+        assert "Python" not in p
+
+
+def test_pack_sequences_single_shuffle(spark):
+    from mdvalidate_spark.operators.packing import pack_sequences
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97).alias("n_tok")
+    )
+    p = _plan(pack_sequences(df, "n_tok", 256, n_shards=8))
+    assert "FlatMapGroupsInPandas" in p  # the one declared Arrow kernel
+    assert p.count("Exchange hashpartitioning") == 1, (
+        "packing pays exactly one shuffle (group by shard)"
+    )
+
+
+def test_quality_bins_plan_map_only_after_edges(spark):
+    from mdvalidate_spark.operators.outliers import quality_bins
+
+    df = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") % 91).cast("double").alias("s")
+    )
+    out = quality_bins(df, "s", 4, exact=True)
+    p = _plan(out)
+    # edges were collected during the call; the RETURNED frame is a pure
+    # projection — no shuffle, no join, no Python
+    assert "Exchange" not in p and "Join" not in p and "Python" not in p
