@@ -1802,6 +1802,59 @@ FROM (
 """
 
 
+_ASPECT_BUCKETS = [(64, 64), (80, 48), (48, 80), (96, 32), (32, 96)]
+
+
+def q_aspect_buckets_documents(spark, sf_dir):
+    """Multi-resolution bucketing (operators/multimodal.py aspect_buckets):
+    nearest aspect-ratio bucket per image in EXACT cross-multiplied integer
+    arithmetic (no float parity risk), ties to the lowest index, curated
+    buckets inlined as a codegen'd fold — map-only. Dims derive from
+    doc_id like header_documents (w = id%97+32, h = id%53+16); the fixture
+    includes an exact tie (doc 32: aspect 4/3 equidistant from 1:1 and
+    5:3), which the oracle's (distance, idx) ranking must break the same
+    way."""
+    from mdvalidate_spark.operators.multimodal import aspect_buckets
+
+    dims = _load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("image_id"),
+        (F.col("doc_id") % 97 + 32).cast("int").alias("w"),
+        (F.col("doc_id") % 53 + 16).cast("int").alias("h"),
+    )
+    return aspect_buckets(dims, "w", "h", _ASPECT_BUCKETS).select(
+        "image_id", "w", "h", "bucket_idx", "bucket_w", "bucket_h"
+    )
+
+
+def _aspect_buckets_sql() -> str:
+    values = ", ".join(
+        f"({i}, {bw}, {bh})" for i, (bw, bh) in enumerate(_ASPECT_BUCKETS)
+    )
+    return f"""
+WITH dims AS (
+  SELECT CAST(doc_id AS BIGINT) AS image_id,
+         CAST(doc_id % 97 + 32 AS INT) AS w,
+         CAST(doc_id % 53 + 16 AS INT) AS h
+  FROM documents
+),
+b(idx, bw, bh) AS (VALUES {values}),
+d AS (
+  SELECT image_id, w, h, idx, bw, bh,
+         abs(CAST(w AS BIGINT) * bh - CAST(bw AS BIGINT) * h) AS num
+  FROM dims CROSS JOIN b
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY image_id ORDER BY num * 1.0 / bh, idx
+  ) AS rn
+  FROM d
+)
+SELECT image_id, w, h, CAST(idx AS INT) AS bucket_idx,
+       CAST(bw AS INT) AS bucket_w, CAST(bh AS INT) AS bucket_h
+FROM r WHERE rn = 1
+"""
+
+
 def q_quality_bins_documents(spark, sf_dir):
     """Curriculum binning (operators/outliers.py quality_bins): quartile
     buckets of the composite quality score — one exact-percentile edge
@@ -2611,6 +2664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries touched this round must come first, stable legacy last.
     return {
         # -- round 4: new/rewritten ------------------------------------
+        "aspect_buckets_documents": q_aspect_buckets_documents,
         "quality_bins_documents": q_quality_bins_documents,
         "leakage_documents": q_leakage_documents,
         "pack_documents": q_pack_documents,
@@ -4101,6 +4155,7 @@ SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.9
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "aspect_buckets_documents": _aspect_buckets_sql(),
         "quality_bins_documents": _quality_bins_sql(),
         "leakage_documents": _leakage_sql(),
         "pack_documents": _pack_sql(),

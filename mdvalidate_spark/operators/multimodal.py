@@ -169,3 +169,69 @@ def video_frame_sample(
             yield pd.DataFrame(rows, columns=["video_id", "frame_idx", "ok", "frame"])
 
     return cols.mapInPandas(sample, schema=FRAME_SAMPLE_SCHEMA)
+
+
+def aspect_buckets(
+    df: DataFrame,
+    w_col: str,
+    h_col: str,
+    buckets,
+    *,
+    idx_col: str = "bucket_idx",
+) -> DataFrame:
+    """Multi-resolution training buckets (the SDXL-style bucketing step):
+    assign each image the nearest aspect-ratio bucket from a curated
+    ``buckets`` list of (bw, bh) pairs, so batches group by bucket and
+    tensors stack without padding or distortion.
+
+    Nearest is decided in EXACT integer arithmetic — the candidate
+    minimizing |w·bh − bw·h| / (h·bh), compared cross-multiplied so no
+    float ever enters (u16 dims × u16 buckets stay far inside int64) —
+    ties go to the lowest bucket index. The curated list is inlined as
+    literals: a codegen'd comparison fold, map-only, no join, no shuffle,
+    no UDF. Rows with NULL/non-positive dims get a NULL bucket (a
+    RangeRule/NotNullRule owns rejecting them).
+
+    Returns df + (idx_col, bucket_w, bucket_h)."""
+    from ..errors import SchemaError
+
+    buckets = [(int(bw), int(bh)) for bw, bh in buckets]
+    if not buckets:
+        raise SchemaError("aspect_buckets needs at least one (bw, bh) bucket")
+    for bw, bh in buckets:
+        if bw <= 0 or bh <= 0:
+            raise SchemaError(f"bucket dims must be positive, got ({bw}, {bh})")
+
+    w = F.col(w_col).cast("long")
+    h = F.col(h_col).cast("long")
+
+    def num(i):
+        bw, bh = buckets[i]
+        return F.abs(w * F.lit(bh) - F.lit(bw) * h)
+
+    best_num, best_bh, best_i = num(0), F.lit(buckets[0][1]), F.lit(0)
+    for i in range(1, len(buckets)):
+        # num_i/bh_i < best_num/best_bh, cross-multiplied (strict: ties
+        # keep the earlier index)
+        better = num(i) * best_bh < best_num * F.lit(buckets[i][1])
+        best_num = F.when(better, num(i)).otherwise(best_num)
+        best_bh = F.when(better, F.lit(buckets[i][1])).otherwise(best_bh)
+        best_i = F.when(better, F.lit(i)).otherwise(best_i)
+
+    valid = w.isNotNull() & h.isNotNull() & (w > 0) & (h > 0)
+    idx = F.when(valid, best_i)
+    bws = F.array(*[F.lit(bw) for bw, _ in buckets])
+    bhs = F.array(*[F.lit(bh) for _, bh in buckets])
+    # explicit when(): constant folding of a literal single-bucket array
+    # can otherwise short-circuit element_at past the NULL index
+    return (
+        df.withColumn(idx_col, idx)
+        .withColumn(
+            "bucket_w",
+            F.when(valid, F.element_at(bws, best_i + 1)),
+        )
+        .withColumn(
+            "bucket_h",
+            F.when(valid, F.element_at(bhs, best_i + 1)),
+        )
+    )

@@ -69,3 +69,96 @@ def test_video_stub_flatmap_shape(spark, images):
     rows = out.collect()
     assert len(rows) == 4
     assert all(r["frame_idx"] == -1 and not r["ok"] for r in rows)
+
+
+# ------------------------------------------------------- aspect buckets
+
+
+def test_aspect_buckets_exact_nearest_and_ties(spark):
+    from mdvalidate_spark.operators.multimodal import aspect_buckets
+
+    buckets = [(64, 64), (80, 48), (48, 80)]
+    df = spark.createDataFrame(
+        [
+            (1, 100, 100),   # square → bucket 0
+            (2, 160, 96),    # exactly 80:48 → bucket 1
+            (3, 96, 160),    # exactly 48:80 → bucket 2
+            (4, 110, 100),   # slightly landscape, nearest square
+        ],
+        "image_id long, w int, h int",
+    )
+    out = {r.image_id: r for r in aspect_buckets(df, "w", "h", buckets).collect()}
+    assert out[1].bucket_idx == 0 and out[1].bucket_w == 64
+    assert out[2].bucket_idx == 1
+    assert out[3].bucket_idx == 2
+    assert out[4].bucket_idx == 0
+
+
+def test_aspect_buckets_tie_goes_to_lowest_index(spark):
+    from mdvalidate_spark.operators.multimodal import aspect_buckets
+
+    # aspect 1:1 sits exactly between 5:4 (1.25) and 3:4 (0.75)
+    df = spark.createDataFrame([(1, 50, 50)], "image_id long, w int, h int")
+    out = aspect_buckets(df, "w", "h", [(5, 4), (3, 4)]).first()
+    assert out.bucket_idx == 0
+
+
+def test_aspect_buckets_matches_bruteforce(spark):
+    from fractions import Fraction
+
+    from mdvalidate_spark.operators.multimodal import aspect_buckets
+
+    buckets = [(64, 64), (80, 48), (48, 80), (96, 32), (32, 96)]
+    df = spark.range(500).select(
+        F.col("id").alias("image_id"),
+        (F.col("id") % 97 + 32).cast("int").alias("w"),
+        (F.col("id") % 53 + 16).cast("int").alias("h"),
+    )
+    got = {r.image_id: r.bucket_idx for r in aspect_buckets(df, "w", "h", buckets).collect()}
+    for i in range(500):
+        w, h = i % 97 + 32, i % 53 + 16
+        dists = [abs(Fraction(w, h) - Fraction(bw, bh)) for bw, bh in buckets]
+        assert got[i] == dists.index(min(dists)), (i, w, h)
+
+
+def test_aspect_buckets_null_and_invalid_dims(spark):
+    from mdvalidate_spark.operators.multimodal import aspect_buckets
+
+    df = spark.createDataFrame(
+        [(1, None, 50), (2, 0, 50), (3, 50, -1), (4, 50, 50)],
+        "image_id long, w int, h int",
+    )
+    out = {r.image_id: r for r in aspect_buckets(df, "w", "h", [(1, 1)]).collect()}
+    for i in (1, 2, 3):
+        assert out[i].bucket_idx is None and out[i].bucket_w is None
+    assert out[4].bucket_idx == 0
+
+
+def test_aspect_buckets_plan_map_only(spark):
+    from mdvalidate_spark.operators.multimodal import aspect_buckets
+
+    df = spark.range(100).select(
+        F.col("id").alias("image_id"),
+        F.lit(64).alias("w"),
+        F.lit(48).alias("h"),
+    )
+    p = (
+        aspect_buckets(df, "w", "h", [(64, 64), (80, 48)])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in p and "Join" not in p and "Python" not in p
+
+
+def test_aspect_buckets_refusals(spark):
+    from mdvalidate_spark.errors import SchemaError
+    from mdvalidate_spark.operators.multimodal import aspect_buckets
+
+    df = spark.createDataFrame([(1, 10, 10)], "image_id long, w int, h int")
+    import pytest as _pt
+
+    with _pt.raises(SchemaError, match="at least one"):
+        aspect_buckets(df, "w", "h", [])
+    with _pt.raises(SchemaError, match="positive"):
+        aspect_buckets(df, "w", "h", [(0, 64)])
