@@ -599,3 +599,37 @@ def test_stream_quality_gates(spark, tmp_path):
         (r["image_id"], r["rule_id"]) for r in spark.read.parquet(out).collect()
     }
     assert got == {("1", "no_pii"), ("2", "rep")}
+
+
+def test_holdout_split_is_streaming_stateless(spark, tmp_path):
+    # the extraction predicates are pure column expressions, so the same
+    # split/sample runs unchanged on a stream — and micro-batch boundaries
+    # cannot change membership (hash of the key, not of arrival order)
+    from mdvalidate_spark.operators.sampling import holdout_split, sample_hash
+
+    src = str(tmp_path / "hs-src")
+    out = str(tmp_path / "hs-out")
+    ck = str(tmp_path / "hs-ck")
+    df = spark.range(1000).select(F.col("id").alias("k"))
+    df.write.parquet(src)
+
+    stream = spark.readStream.schema("k long").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    flagged = holdout_split(stream, ["k"], 0.25, method="md5")
+    assert flagged.isStreaming
+    q = (
+        flagged.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 1000
+    stream_held = {r.k for r in got.where("is_holdout").collect()}
+    batch_held = {
+        r.k for r in sample_hash(df, ["k"], 0.25, method="md5").collect()
+    }
+    assert stream_held == batch_held
