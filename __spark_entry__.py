@@ -1802,6 +1802,47 @@ FROM (
 """
 
 
+def q_caption_collisions_documents(spark, sf_dir):
+    """Pair-integrity check for image+caption corpora (dedup.py
+    cross_field_duplicates): captions attached to >1 distinct phash.
+    De-vacuated deterministically — caption = doc_id%40 bucket; members of
+    buckets 0..11 with doc_id>=200 get a unique phash (relabel plant),
+    everyone else shares the bucket phash — so exactly buckets 0..11 are
+    flagged, with the shared value as example_lo and a planted unique as
+    example_hi, all value-checked."""
+    from mdvalidate_spark.operators.dedup import cross_field_duplicates
+
+    docs = _load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    pairs = docs.select(
+        F.concat(F.lit("cap-"), (F.col("doc_id") % 40).cast("string")).alias(
+            "caption"
+        ),
+        F.when(
+            ((F.col("doc_id") % 40) < 12) & (F.col("doc_id") >= 200),
+            F.col("doc_id"),
+        )
+        .otherwise(F.col("doc_id") % 40)
+        .alias("phash"),
+    )
+    return cross_field_duplicates(pairs, "caption", "phash")
+
+
+_CAPTION_COLLISIONS_SQL = """
+WITH pairs AS (
+  SELECT 'cap-' || CAST(doc_id % 40 AS VARCHAR) AS caption,
+         CASE WHEN doc_id % 40 < 12 AND doc_id >= 200
+              THEN CAST(doc_id AS BIGINT)
+              ELSE CAST(doc_id % 40 AS BIGINT) END AS phash
+  FROM documents
+)
+SELECT caption, count(*) AS n_rows, count(DISTINCT phash) AS n_distinct,
+       min(phash) AS example_lo, max(phash) AS example_hi
+FROM pairs GROUP BY caption HAVING count(DISTINCT phash) > 1
+"""
+
+
 _ASPECT_BUCKETS = [(64, 64), (80, 48), (48, 80), (96, 32), (32, 96)]
 
 
@@ -2664,6 +2705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries touched this round must come first, stable legacy last.
     return {
         # -- round 4: new/rewritten ------------------------------------
+        "caption_collisions_documents": q_caption_collisions_documents,
         "aspect_buckets_documents": q_aspect_buckets_documents,
         "quality_bins_documents": q_quality_bins_documents,
         "leakage_documents": q_leakage_documents,
@@ -4155,6 +4197,7 @@ SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.9
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "caption_collisions_documents": _CAPTION_COLLISIONS_SQL,
         "aspect_buckets_documents": _aspect_buckets_sql(),
         "quality_bins_documents": _quality_bins_sql(),
         "leakage_documents": _leakage_sql(),

@@ -128,6 +128,39 @@ def dedup_survivors(
     return df.join(drops, id_col, "left_anti")
 
 
+def cross_field_duplicates(
+    df: DataFrame,
+    group_col: str,
+    distinct_col: str,
+) -> DataFrame:
+    """Same-A-different-B integrity: groups sharing ``group_col`` whose
+    ``distinct_col`` is NOT constant. For an image+caption corpus this is
+    both directions of the classic pair-integrity check — same caption
+    fingerprint attached to >1 distinct phash (stock captions / alt-text
+    spam), and same phash carrying >1 distinct caption (relabeled crops) —
+    one operator, arguments swapped.
+
+    Output is one BOUNDED row per offending group: (group value, n_rows,
+    n_distinct, lo/hi example of the distinct values) — min/max as the two
+    examples keeps a viral group's output fixed-width where a member
+    sample would balloon. Plan: one groupBy on ``group_col`` (uniform hash
+    key), count_distinct's standard two-phase expansion — no windows, no
+    arrays, NULL ``distinct_col`` values ignored (NotNullRule owns them)."""
+    g = F.col(group_col)
+    d = F.col(distinct_col)
+    return (
+        df.where(g.isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct(d).alias("n_distinct"),
+            F.min(d).alias("example_lo"),
+            F.max(d).alias("example_hi"),
+        )
+        .where(F.col("n_distinct") > 1)
+    )
+
+
 # ------------------------------------------------------------ minhash + LSH
 
 # deterministic seeds for the minhash permutations

@@ -731,3 +731,36 @@ def test_dedup_survivors_stale_clusters_never_orphan(spark):
     )
     surv = D.dedup_survivors(df, clusters)
     assert [r.doc_id for r in surv.collect()] == [2]
+
+
+def test_cross_field_duplicates_both_directions(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "capA", 10),
+            (2, "capA", 10),   # same caption, same image → clean
+            (3, "capB", 20),
+            (4, "capB", 21),   # same caption, DIFFERENT images → flagged
+            (5, None, 30),     # NULL group ignored
+            (6, "capC", 20),   # phash 20 under two captions (B and C)
+        ],
+        "doc_id long, caption string, phash long",
+    )
+    from mdvalidate_spark.operators.dedup import cross_field_duplicates
+
+    by_cap = {r.caption: r for r in cross_field_duplicates(df, "caption", "phash").collect()}
+    assert set(by_cap) == {"capB"}
+    assert by_cap["capB"].n_rows == 2 and by_cap["capB"].n_distinct == 2
+    assert (by_cap["capB"].example_lo, by_cap["capB"].example_hi) == (20, 21)
+
+    by_ph = {r.phash: r for r in cross_field_duplicates(df, "phash", "caption").collect()}
+    assert set(by_ph) == {20}  # image 20 carries captions capB and capC
+
+
+def test_cross_field_duplicates_null_distinct_ignored(spark):
+    from mdvalidate_spark.operators.dedup import cross_field_duplicates
+
+    df = spark.createDataFrame(
+        [(1, "c", 5), (2, "c", None), (3, "c", 5)], "k long, g string, v int"
+    )
+    # only one non-NULL distinct value → clean
+    assert cross_field_duplicates(df, "g", "v").count() == 0
