@@ -53,7 +53,12 @@ def pack_sequences(
     is the place to reject such rows. ``shard_method='md5'`` swaps the
     shard hash to a 60-bit md5 prefix reproducible in any engine (the
     DuckDB oracle re-derives the same shards); xxhash64 stays the cheap
-    JVM default for production."""
+    JVM default for production.
+
+    Contract: ``id_col`` must be unique — packing order within a shard is
+    (id ascending), so duplicate ids would make pack composition depend on
+    arrival order and break the determinism this operator exists to
+    provide (a UniqueRule on the id upstream is the enforcement point)."""
     from ..errors import SchemaError
 
     if budget <= 0:

@@ -340,6 +340,13 @@ def sample_weighted(
                 f"sample_weighted: more than {max_groups} rate groups — "
                 "mixing weights must be a bounded curated dimension"
             )
+        for r in rows:
+            if r["fraction"] is None:
+                raise SchemaError(
+                    "sample_weighted: NULL fraction for group "
+                    f"{tuple(r[c] for c in group_cols)!r} — rates must be "
+                    "explicit (use default_fraction for unlisted groups)"
+                )
         pairs = [
             (tuple(r[c] for c in group_cols), float(r["fraction"])) for r in rows
         ]

@@ -293,3 +293,13 @@ def test_sample_weighted_duplicate_rate_rows_refused(spark, corpus):
     )
     with pytest.raises(SchemaError, match="duplicate rate"):
         sample_weighted(corpus, "grp", rates, key_cols=["k"])
+
+
+def test_sample_weighted_null_fraction_refused(spark, corpus):
+    from mdvalidate_spark.operators.sampling import sample_weighted
+
+    rates = spark.createDataFrame(
+        [("1", None)], "grp string, fraction double"
+    )
+    with pytest.raises(SchemaError, match="NULL fraction"):
+        sample_weighted(corpus, "grp", rates, key_cols=["k"])
