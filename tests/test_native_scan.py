@@ -248,3 +248,40 @@ def test_footer_stats_cached_across_batches(spark, px_parquet, monkeypatch):
     )
     b.count()
     assert opened["n"] == first  # second batch: zero new driver footer reads
+
+
+def test_layout_report_flags_small_files(spark, tmp_path):
+    from mdvalidate_spark.sources.layout import layout_report
+
+    src = str(tmp_path / "shattered")
+    # 40 tiny files: the classic streaming-sink dribble
+    spark.range(4000).repartition(40).write.parquet(src)
+    rep = layout_report(spark.read.parquet(src), target_file_bytes=1 << 20)
+    assert rep["n_files"] == 40
+    assert rep["total_rows"] == 4000
+    assert rep["n_small_files"] == 40 and rep["small_bytes_frac"] == 1.0
+    assert rep["suggested_partitions"] == 1  # everything fits one target file
+    assert len(rep["smallest_files"]) == 10
+    # a compacted rewrite at the suggestion is no longer flagged
+    dst = str(tmp_path / "compacted")
+    spark.read.parquet(src).repartition(rep["suggested_partitions"]).write.parquet(dst)
+    rep2 = layout_report(
+        spark.read.parquet(dst),
+        target_file_bytes=1 << 20,
+        small_file_bytes=1024,
+    )
+    assert rep2["n_files"] == 1 and rep2["n_small_files"] == 0
+
+
+def test_layout_report_refusals(spark, tmp_path):
+    from mdvalidate_spark.errors import SchemaError
+    from mdvalidate_spark.sources.layout import layout_report
+
+    import pytest as _pt
+
+    with _pt.raises(SchemaError, match="file list"):
+        layout_report([])
+    src = str(tmp_path / "many")
+    spark.range(100).repartition(8).write.parquet(src)
+    with _pt.raises(SchemaError, match="max_files"):
+        layout_report(spark.read.parquet(src), max_files=4)
