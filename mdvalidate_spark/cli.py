@@ -37,7 +37,19 @@ from .spec_io import load_spec
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(prog="mdvalidate-spark", description=__doc__)
-    p.add_argument("--spec", required=True, help="JSON constraint spec file")
+    p.add_argument(
+        "--spec",
+        default=None,
+        help="JSON constraint spec file (required except with "
+        "--layout-report)",
+    )
+    p.add_argument(
+        "--layout-report",
+        action="store_true",
+        help="audit-only mode: print the parquet small-file/compaction "
+        "report for --table as one JSON line (footer metadata only, no "
+        "validation run; sources/layout.py) and exit",
+    )
     p.add_argument(
         "--table",
         required=True,
@@ -126,6 +138,14 @@ def parse_args(argv=None):
 
 def main(argv=None) -> int:
     args = parse_args(argv)
+    if args.layout_report:
+        return _layout_main(args)
+    if args.spec is None:
+        print(
+            "schema error: --spec is required (except with --layout-report)",
+            file=sys.stderr,
+        )
+        return 2
     if args.suggest_key is not None:
         return _suggest_main(args)
     try:
@@ -226,6 +246,29 @@ def main(argv=None) -> int:
     finally:
         # only tear down a session this invocation created (embedders — tests,
         # notebooks — keep theirs)
+        if not pre_existing:
+            spark.stop()
+
+
+def _layout_main(args) -> int:
+    import json
+
+    from pyspark.sql import SparkSession
+
+    pre_existing = SparkSession.getActiveSession() is not None
+    spark = get_spark(app_name="mdvalidate-spark", master=args.master)
+    try:
+        from .sources.layout import layout_report
+        from .sources.table_io import read_table
+
+        try:
+            rep = layout_report(read_table(spark, args.table))
+        except SchemaError as e:
+            print(f"schema error: {e}", file=sys.stderr)
+            return 2
+        print(json.dumps(rep))
+        return 0
+    finally:
         if not pre_existing:
             spark.stop()
 

@@ -371,3 +371,25 @@ def test_cli_suggest_format_gates(spark, tmp_path, capsys):
 
     code = cli.main(["--spec", specp, "--table", table, "--master", "local[4]"])
     assert code == 0  # ratchet holds through the JSON roundtrip
+
+
+def test_cli_layout_report_mode(spark, tmp_path, capsys):
+    import json
+
+    from mdvalidate_spark import cli
+
+    table = str(tmp_path / "layout-imgs")
+    spark.range(500).repartition(10).write.parquet(table)
+    code = cli.main(["--layout-report", "--table", table])
+    assert code == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_files"] == 10 and rep["total_rows"] == 500
+    assert rep["n_small_files"] == 10  # tiny fixture files
+
+
+def test_cli_spec_required_without_layout_mode(tmp_path, capsys):
+    from mdvalidate_spark import cli
+
+    code = cli.main(["--table", str(tmp_path)])
+    assert code == 2
+    assert "--spec is required" in capsys.readouterr().err
