@@ -101,6 +101,54 @@ def image_resize(
     return cols.mapInPandas(resize, schema=RESIZE_SCHEMA)
 
 
+def image_resize_bucketed(
+    df: DataFrame,
+    bytes_col: str = "bytes",
+    id_col: str = "image_id",
+    w_col: str = "bucket_w",
+    h_col: str = "bucket_h",
+    fmt: str = "png",
+) -> DataFrame:
+    """Multi-resolution resize: each image resized to ITS OWN target dims
+    from ``w_col``/``h_col`` — the stage after ``aspect_buckets`` assigns
+    them, so a whole corpus normalizes to its bucket set in one pass
+    instead of one job per bucket. Same Arrow kernel shape as
+    ``image_resize``; rows with NULL/invalid targets (unbucketable dims
+    upstream) yield ok=false rather than failing the task. Output keeps
+    the bucket dims columns so the writer can partition by bucket — the
+    layout a bucketed training loader reads back without shuffling."""
+    cols = df.select(
+        F.col(id_col).cast("string").alias("image_id"),
+        F.col(bytes_col).alias("b"),
+        F.col(w_col).cast("int").alias("tw"),
+        F.col(h_col).cast("int").alias("th"),
+    )
+
+    def resize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for iid, data, tw, th in zip(
+                pdf["image_id"], pdf["b"], pdf["tw"], pdf["th"]
+            ):
+                if pd.isna(tw) or pd.isna(th) or tw <= 0 or th <= 0:
+                    rows.append((iid, False, None, None, None))
+                    continue
+                tw, th = int(tw), int(th)
+                try:
+                    arr, _, w, h = codec.decode(bytes(data))
+                    yi = (np.arange(th) * h // th).clip(0, h - 1)
+                    xi = (np.arange(tw) * w // tw).clip(0, w - 1)
+                    out = arr[yi][:, xi]
+                    rows.append((iid, True, codec.encode(out, fmt), tw, th))
+                except Exception:
+                    rows.append((iid, False, None, None, None))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "ok", "bytes", "w", "h"]
+            )
+
+    return cols.mapInPandas(resize, schema=RESIZE_SCHEMA)
+
+
 AUDIO_FEATURES_SCHEMA = (
     "clip_id string, ok boolean, n_samples long, sample_rate int, rms double"
 )

@@ -162,3 +162,43 @@ def test_aspect_buckets_refusals(spark):
         aspect_buckets(df, "w", "h", [])
     with _pt.raises(SchemaError, match="positive"):
         aspect_buckets(df, "w", "h", [(0, 64)])
+
+
+def test_bucketed_resize_end_to_end(spark):
+    # the full multi-resolution pipeline: dims → nearest bucket → per-row
+    # resize to the bucket, one pass, mixed targets in one batch
+    from mdvalidate_spark.functions import codec
+    from mdvalidate_spark.operators.multimodal import (
+        aspect_buckets,
+        image_resize_bucketed,
+    )
+
+    import numpy as np
+
+    buckets = [(16, 16), (24, 12), (12, 24)]
+    rows = []
+    for i, (w, h) in enumerate([(30, 31), (50, 24), (13, 29), (16, 16)]):
+        arr = np.full((h, w, 3), (i * 40) % 255, dtype=np.uint8)
+        rows.append((str(i), codec.encode(arr, "png"), w, h))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, w int, h int")
+
+    bucketed = aspect_buckets(df, "w", "h", buckets)
+    out = image_resize_bucketed(bucketed)
+    got = {r.image_id: r for r in out.collect()}
+    exp = {r.image_id: (r.bucket_w, r.bucket_h) for r in bucketed.collect()}
+    assert all(g.ok for g in got.values())
+    for iid, (bw, bh) in exp.items():
+        assert (got[iid].w, got[iid].h) == (bw, bh)
+        arr, _, w, h = codec.decode(bytes(got[iid].bytes))
+        assert (w, h) == (bw, bh)
+
+
+def test_bucketed_resize_null_targets_yield_not_ok(spark):
+    from mdvalidate_spark.operators.multimodal import image_resize_bucketed
+
+    df = spark.createDataFrame(
+        [("a", bytearray(b"junk"), None, None)],
+        "image_id string, bytes binary, bucket_w int, bucket_h int",
+    )
+    r = image_resize_bucketed(df).first()
+    assert r.ok is False and r.bytes is None
