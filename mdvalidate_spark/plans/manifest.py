@@ -47,6 +47,7 @@ class Manifest:
         rows: int | None = None,
         violations: int | None = None,
         started_at: str | None = None,
+        seconds: float | None = None,
     ) -> None:
         """Advance a partition's status (monotone — a lower-ranked status
         never overwrites a higher one, the keep_farther_pos rule). Counters
@@ -70,6 +71,11 @@ class Manifest:
             started_at=started_at or (prev or {}).get("started_at") or _now(),
             finished_at=_now(),
         )
+        if seconds is not None:
+            # batch wall-clock attributed to every partition validated in
+            # that batch (shared, not divided — the number an operator needs
+            # to spot a slow shard/skewed batch in the lineage)
+            entry["seconds"] = round(float(seconds), 3)
         self.entries[partition_id] = entry
 
     def pending(self, all_partitions: list[int]) -> list[int]:

@@ -343,6 +343,7 @@ class ValidationRun:
         return self
 
     def _validate_batch(self, partitions: list[int]) -> int:
+        batch_t0 = time.time()
         prog, spec = self.program, self.spec
         batch_df = self.df.where(F.col("partition_id").isin(partitions))
 
@@ -501,6 +502,7 @@ class ValidationRun:
         self._violation_dfs.append(batch_viol)
         self._metric_dfs.append(batch_met)
 
+        batch_seconds = time.time() - batch_t0
         for pid in partitions:
             nv = viol_counts.get(pid, 0)
             self.manifest.mark(
@@ -508,6 +510,7 @@ class ValidationRun:
                 FAILED if nv > 0 else VALIDATED,
                 rows=row_counts.get(pid, 0),
                 violations=nv,
+                seconds=batch_seconds,
             )
         # a failed partition is still *validated* for resume purposes — it
         # won't be re-run; FAILED only affects the report flag. Promote:

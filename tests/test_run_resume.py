@@ -321,3 +321,24 @@ def test_null_partition_values_land_in_reserved_partition(spark, tmp_path):
     assert report.exit_code == 1
     manifest_parts = {r["partition_id"] for r in report.manifest.collect()}
     assert -1 in manifest_parts
+
+
+def test_manifest_lineage_records_batch_seconds(spark, tmp_path):
+    from mdvalidate_spark.run import ValidationRun
+    from mdvalidate_spark.sources.synthetic import (
+        dim_source,
+        full_images_spec,
+        synthetic_images,
+    )
+
+    df = synthetic_images(spark, 200, with_bytes=False)
+    run = ValidationRun(
+        spark, full_images_spec(with_pixel=False), df,
+        dims={"dim_source": dim_source(spark)},
+        checkpoint_dir=str(tmp_path / "ck"),
+    ).validate_pending()
+    entries = run.manifest.entries
+    assert entries and all(
+        isinstance(e.get("seconds"), float) and e["seconds"] > 0
+        for e in entries.values()
+    )
