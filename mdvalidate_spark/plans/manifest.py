@@ -145,6 +145,7 @@ class Manifest:
                 e["violations"],
                 e["started_at"],
                 e["finished_at"],
+                e.get("seconds"),
             )
             for pid, e in sorted(self.entries.items())
         ]

@@ -1032,7 +1032,8 @@ class ValidationRun:
         manifest_df = self.spark.createDataFrame(
             self.manifest.rows(),
             "run_id string, partition_id int, status string, rows long, "
-            "violations long, started_at string, finished_at string",
+            "violations long, started_at string, finished_at string, "
+            "seconds double",
         )
         soft = {
             r.id: r.max_violation_rate

@@ -342,3 +342,21 @@ def test_manifest_lineage_records_batch_seconds(spark, tmp_path):
         isinstance(e.get("seconds"), float) and e["seconds"] > 0
         for e in entries.values()
     )
+
+
+def test_report_manifest_exposes_seconds_column(spark, tmp_path):
+    from mdvalidate_spark.run import ValidationRun
+    from mdvalidate_spark.sources.synthetic import (
+        dim_source,
+        full_images_spec,
+        synthetic_images,
+    )
+
+    df = synthetic_images(spark, 150, with_bytes=False)
+    run = ValidationRun(
+        spark, full_images_spec(with_pixel=False), df,
+        dims={"dim_source": dim_source(spark)},
+    ).validate_pending()
+    man = run.report().manifest
+    assert "seconds" in man.columns
+    assert man.where("seconds IS NULL OR seconds <= 0").count() == 0
