@@ -81,24 +81,20 @@ def image_resize(
     fmt: str = "png",
 ) -> DataFrame:
     """Deterministic nearest-neighbor resize, re-encoded with the codec —
-    the thumbnail/normalize stage. Pure numpy index math per batch."""
-    cols = df.select(F.col(id_col).cast("string").alias("image_id"), F.col(bytes_col).alias("b"))
-
-    def resize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            rows = []
-            for iid, data in zip(pdf["image_id"], pdf["b"]):
-                try:
-                    arr, _, w, h = codec.decode(bytes(data))
-                    yi = (np.arange(target_h) * h // target_h).clip(0, h - 1)
-                    xi = (np.arange(target_w) * w // target_w).clip(0, w - 1)
-                    out = arr[yi][:, xi]
-                    rows.append((iid, True, codec.encode(out, fmt), target_w, target_h))
-                except Exception:
-                    rows.append((iid, False, None, None, None))
-            yield pd.DataFrame(rows, columns=["image_id", "ok", "bytes", "w", "h"])
-
-    return cols.mapInPandas(resize, schema=RESIZE_SCHEMA)
+    the thumbnail/normalize stage. One kernel serves both this fixed-target
+    form and the per-row bucketed form: this delegates to
+    ``image_resize_bucketed`` with the target inlined as literal columns,
+    so the resize math and error rows can never diverge between the two."""
+    return image_resize_bucketed(
+        df.withColumn("__tw", F.lit(int(target_w))).withColumn(
+            "__th", F.lit(int(target_h))
+        ),
+        bytes_col=bytes_col,
+        id_col=id_col,
+        w_col="__tw",
+        h_col="__th",
+        fmt=fmt,
+    )
 
 
 def image_resize_bucketed(
@@ -257,14 +253,32 @@ def aspect_buckets(
         bw, bh = buckets[i]
         return F.abs(w * F.lit(bh) - F.lit(bw) * h)
 
-    best_num, best_bh, best_i = num(0), F.lit(buckets[0][1]), F.lit(0)
-    for i in range(1, len(buckets)):
-        # num_i/bh_i < best_num/best_bh, cross-multiplied (strict: ties
-        # keep the earlier index)
-        better = num(i) * best_bh < best_num * F.lit(buckets[i][1])
-        best_num = F.when(better, num(i)).otherwise(best_num)
-        best_bh = F.when(better, F.lit(buckets[i][1])).otherwise(best_bh)
-        best_i = F.when(better, F.lit(i)).otherwise(best_i)
+    # linear-size fold: an aggregate() over (num, bh, idx) structs keeps the
+    # Catalyst tree O(n_buckets) — a chained when() fold triples the tree per
+    # bucket (~3^n nodes) and OOMs the driver at ~10 buckets, far below real
+    # SDXL bucket lists (20-40). Comparison stays exact cross-multiplied
+    # int64; strict < keeps the earlier index on ties.
+    items = F.array(
+        *[
+            F.struct(
+                num(i).alias("n"),
+                F.lit(buckets[i][1]).cast("long").alias("b"),
+                F.lit(i).alias("i"),
+            )
+            for i in range(len(buckets))
+        ]
+    )
+    if len(buckets) == 1:
+        best = F.element_at(items, 1)
+    else:
+        best = F.aggregate(
+            F.slice(items, 2, len(buckets) - 1),
+            F.element_at(items, 1),
+            lambda acc, x: F.when(
+                x["n"] * acc["b"] < acc["n"] * x["b"], x
+            ).otherwise(acc),
+        )
+    best_i = best["i"]
 
     valid = w.isNotNull() & h.isNotNull() & (w > 0) & (h > 0)
     idx = F.when(valid, best_i)

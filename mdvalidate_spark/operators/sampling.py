@@ -351,6 +351,13 @@ def sample_weighted(
             (tuple(r[c] for c in group_cols), float(r["fraction"])) for r in rows
         ]
     else:
+        for k, v in rates.items():
+            if v is None:
+                raise SchemaError(
+                    f"sample_weighted: NULL fraction for group {k!r} — "
+                    "rates must be explicit (use default_fraction for "
+                    "unlisted groups)"
+                )
         pairs = [
             ((k if isinstance(k, tuple) else (k,)), float(v))
             for k, v in rates.items()

@@ -25,7 +25,16 @@ from .native_scan import parquet_files
 def _file_size(path: str) -> int:
     import os
 
-    if "://" not in path or path.startswith("file:"):
+    if path.startswith("file:"):
+        # raw inputFiles() URIs are percent-encoded file: URIs —
+        # os.path.getsize wants a plain path (same normalization as
+        # native_scan.parquet_files)
+        from urllib.parse import unquote
+
+        return os.path.getsize(
+            unquote(path.removeprefix("file://").removeprefix("file:"))
+        )
+    if "://" not in path:
         return os.path.getsize(path)
     from pyarrow import fs as pafs
 

@@ -110,6 +110,14 @@ def write_table(
         if partition_by:
             w = w.partitionedBy(*[F.col(c) for c in partition_by])
         if mode == "append":
+            # results schemas grow over engine versions (e.g. the manifest
+            # gained a lineage `seconds` column) — ask Iceberg to evolve the
+            # table on append instead of failing a finished run at the write
+            # step. Both option spellings are set (Iceberg accepted
+            # `merge-schema` before standardizing on `mergeSchema`); on an
+            # Iceberg build that honors neither, the operator fallback is
+            # ALTER TABLE ... ADD COLUMN before the run.
+            w = w.option("mergeSchema", "true").option("merge-schema", "true")
             w.append()  # partitioning comes from the existing table
         elif mode == "overwrite":
             w.createOrReplace()

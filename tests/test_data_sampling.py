@@ -303,3 +303,10 @@ def test_sample_weighted_null_fraction_refused(spark, corpus):
     )
     with pytest.raises(SchemaError, match="NULL fraction"):
         sample_weighted(corpus, "grp", rates, key_cols=["k"])
+
+
+def test_sample_weighted_null_dict_rate_refused(corpus):
+    from mdvalidate_spark.operators.sampling import sample_weighted
+
+    with pytest.raises(SchemaError, match="NULL fraction"):
+        sample_weighted(corpus, "grp", {"1": None}, key_cols=["k"])

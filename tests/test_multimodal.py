@@ -202,3 +202,24 @@ def test_bucketed_resize_null_targets_yield_not_ok(spark):
     )
     r = image_resize_bucketed(df).first()
     assert r.ok is False and r.bytes is None
+
+
+def test_aspect_buckets_scales_to_real_bucket_lists(spark):
+    # regression: the chained-when fold grew the Catalyst tree ~3^n and
+    # OOM'd the driver at ~10 buckets; the aggregate() fold is linear —
+    # a real SDXL-sized list (40 buckets) must both build and be correct
+    from fractions import Fraction
+
+    from mdvalidate_spark.operators.multimodal import aspect_buckets
+
+    buckets = [(64 + 8 * i, 64 + 8 * ((i * 7) % 13)) for i in range(40)]
+    df = spark.range(200).select(
+        F.col("id").alias("image_id"),
+        (F.col("id") % 89 + 40).cast("int").alias("w"),
+        (F.col("id") % 47 + 24).cast("int").alias("h"),
+    )
+    got = {r.image_id: r.bucket_idx for r in aspect_buckets(df, "w", "h", buckets).collect()}
+    for i in range(200):
+        w, h = i % 89 + 40, i % 47 + 24
+        dists = [abs(Fraction(w, h) - Fraction(bw, bh)) for bw, bh in buckets]
+        assert got[i] == dists.index(min(dists)), (i, w, h)

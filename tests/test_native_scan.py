@@ -285,3 +285,16 @@ def test_layout_report_refusals(spark, tmp_path):
     spark.range(100).repartition(8).write.parquet(src)
     with _pt.raises(SchemaError, match="max_files"):
         layout_report(spark.read.parquet(src), max_files=4)
+
+
+def test_layout_report_accepts_file_scheme_uris(spark, tmp_path):
+    # regression: raw inputFiles() URIs ('file:/...') hit os.path.getsize
+    # unstripped and always raised FileNotFoundError
+    from mdvalidate_spark.sources.layout import layout_report
+
+    src = str(tmp_path / "uris")
+    spark.range(100).repartition(2).write.parquet(src)
+    uris = spark.read.parquet(src).inputFiles()
+    assert all(u.startswith("file:") for u in uris)
+    rep = layout_report(list(uris))
+    assert rep["n_files"] == 2 and rep["total_rows"] == 100
