@@ -195,7 +195,14 @@ def main() -> None:
     # kept out of the headline total so `value` stays comparable across
     # rounds; timed the same way and reported under extra_queries.
     extra: dict[str, float] = {}
-    for name in ("quality_spec_documents", "gopher_gate_documents"):
+    for name in (
+        "quality_spec_documents",
+        "gopher_gate_documents",
+        # round-4 extraction family: packing (one shuffle + Arrow kernel)
+        # and post-dedup materialization (aggregation + anti-join)
+        "pack_documents",
+        "dedup_survivors_documents",
+    ):
         if name not in qs:
             continue
         for trial in range(-warmup, trials):
