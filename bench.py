@@ -137,6 +137,11 @@ def main() -> None:
         # suite claim is "full constraint suite", not violations-only
         if trial >= 0:
             _best(times, "images_validate", time.time() - t0)
+        # untimed, AFTER the clock stops: free this trial's persisted frames
+        # so (a) a later trial can't plan-match run_id-free partials in the
+        # CacheManager and skip real work, and (b) cached blocks don't leak
+        # memory pressure into the remaining queries' timings
+        run.release()
 
     # -- 2. pixel stage over pre-materialized bytes -------------------------
     px_dir = os.environ.get("MDV_BENCH_PX_DIR", f"/tmp/mdv-bench-px-{n_pixel}")

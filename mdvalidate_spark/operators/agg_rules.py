@@ -1082,7 +1082,7 @@ def quantile_drift_from_partials(
 
 
 def metric_bound_results(
-    df: DataFrame, rules, run_id: str
+    df: DataFrame, rules, run_id: str, keep=None
 ) -> tuple[DataFrame, DataFrame]:
     """Evaluate every MetricBoundRule in ONE fused aggregation pass and
     return (violations, metrics): the metric rows report each observed
@@ -1143,6 +1143,12 @@ def metric_bound_results(
                 "min/max — a boundless bound asserts nothing"
             )
 
+    # ``keep``: caller-owned persist hook (ValidationRun passes its tracked
+    # _keep so release() can free these frames); direct API callers get the
+    # old behavior — a plain persist they own the lifecycle of
+    if keep is None:
+        keep = lambda f: f.persist()  # noqa: E731
+
     grouped: dict[str, list] = {}
     for r in rules:
         if getattr(r, "group_by", ""):
@@ -1151,7 +1157,7 @@ def metric_bound_results(
 
     g_viols, g_mets = [], []
     for gcol, grules in grouped.items():
-        gv, gm = _metric_bounds_grouped(df, gcol, tuple(grules), run_id)
+        gv, gm = _metric_bounds_grouped(df, gcol, tuple(grules), run_id, keep)
         g_viols.append(gv)
         g_mets.append(gm)
 
@@ -1164,9 +1170,9 @@ def metric_bound_results(
         )
 
     # 1-row wide frame; persisted so metrics + violations share ONE scan
-    wide = df.agg(
-        *[_metric_bound_agg(df, r).alias(f"{r.id}__val") for r in rules]
-    ).persist()
+    wide = keep(
+        df.agg(*[_metric_bound_agg(df, r).alias(f"{r.id}__val") for r in rules])
+    )
 
     def _fmt(x):
         return "None" if x is None else f"{float(x):g}"
@@ -1268,7 +1274,7 @@ def _metric_bound_agg(df: DataFrame, r) -> "F.Column":
 
 
 def _metric_bounds_grouped(
-    df: DataFrame, group_col: str, rules, run_id: str
+    df: DataFrame, group_col: str, rules, run_id: str, keep=None
 ) -> tuple[DataFrame, DataFrame]:
     """Per-group metric bounds: one groupBy aggregation for all rules
     sharing ``group_by`` (see metric_bound_results docs). Returns
@@ -1346,7 +1352,9 @@ def _metric_bounds_grouped(
         ]
     # 1-row frame, persisted like the global path's wide row (negligible)
     # so the summary metrics and the emptiness check share one scan
-    summary = wide.agg(*sums).persist()
+    if keep is None:
+        keep = lambda f: f.persist()  # noqa: E731
+    summary = keep(wide.agg(*sums))
     # empty-table contract: zero groups means the assertion was made of
     # nothing — same loudness as the ungrouped path's NULL-metric 'no
     # value' violation, never a silent green run on total data loss

@@ -104,6 +104,7 @@ def pixel_check_results(
     key_column: str,
     partitions: list[int] | None = None,
     cache: dict | None = None,
+    scan_df: DataFrame | None = None,
 ) -> DataFrame:
     """Decode + verify every image → one result row per image.
 
@@ -113,6 +114,16 @@ def pixel_check_results(
     bytes flow through the standard Arrow exchange. `partitions` optionally
     restricts to a set of engine partitions (the incremental-batch case).
 
+    ``scan_df`` is the PRE-normalization input frame (ValidationRun passes
+    the user's frame from before with_partition_id rewrote partition_id to
+    ``coalesce(cast(pid as int), -1)``). The gate must probe THIS frame: the
+    engine's own pid normalization reads as a recomputed column in the
+    analyzed plan and would otherwise push every data-partitioned table onto
+    the 5x-slower Arrow path. Reading the raw files stays sound because the
+    native kernel replicates exactly that normalization (``_norm_pid``) on
+    the pids it reads — NULL/uncastable → reserved partition -1, int32 — so
+    native and Arrow emit identical rows. Defaults to ``df``.
+
     ``cache`` (any mutable dict, owned by the caller — ValidationRun passes
     one per run) memoizes the driver-side gate probing (file listing, footer
     schema, analyzed-plan allowlist) AND per-file row-group statistics, so a
@@ -121,6 +132,7 @@ def pixel_check_results(
     cannot go stale within one cache's lifetime.
     """
     t0 = time.time()
+    gate_df = scan_df if scan_df is not None else df
     # the decision depends on the RULE's column bindings too: a second
     # PixelRule with different columns must not reuse the first rule's gate
     # (its own column-presence / computed-column checks would be skipped)
@@ -130,7 +142,10 @@ def pixel_check_results(
     )
     gate = cache.get(gate_key) if cache is not None else None
     if gate is None:
-        gate = _gate_decision(df, rule, key_column)
+        gate = _gate_decision(
+            gate_df, rule, key_column,
+            need_pid="partition_id" in df.columns,
+        )
         if cache is not None:
             cache[gate_key] = gate
         if os.environ.get("MDV_PROFILE"):
@@ -150,10 +165,16 @@ def pixel_check_results(
 
 
 def _gate_decision(
-    df: DataFrame, rule: PixelRule, key_column: str
+    df: DataFrame, rule: PixelRule, key_column: str, need_pid: bool = True
 ) -> tuple[bool, list[str], set]:
     """(use_native, files, cols_in_file) — the driver-side probe, separated
-    so callers can cache it per run."""
+    so callers can cache it per run. ``df`` is the frame whose files the
+    native path would read (pixel_check_results passes the caller's
+    pre-normalization ``scan_df`` when it has one). ``need_pid``: the RUN
+    frame carries partition_id, so the files must physically carry it too —
+    an ENGINE-DERIVED id (pmod(xxhash64)) cannot be recomputed by the native
+    reader, and emitting NULL ids would desynchronize the manifest
+    bookkeeping from the verdict."""
     from ..sources.native_scan import parquet_columns, parquet_files
 
     needed = {
@@ -169,13 +190,17 @@ def _gate_decision(
         files = parquet_files(df)
         if files and _native_safe(df, needed):
             cols_in_file = set(parquet_columns(files))
-            if needed <= cols_in_file and (
-                # if the frame carries partition_id, the files must too —
-                # an ENGINE-DERIVED id (pmod(xxhash64)) cannot be recomputed
-                # by the native reader, and emitting NULL ids would
-                # desynchronize the manifest bookkeeping from the verdict
-                "partition_id" not in df.columns
-                or "partition_id" in cols_in_file
+            if (
+                needed <= cols_in_file
+                and (not need_pid or "partition_id" in cols_in_file)
+                # whenever the files carry partition_id the kernel will
+                # _norm_pid it, which replicates with_partition_id's
+                # coalesce(cast(pid as int), -1) only for integer physical
+                # types — a string/float pid would need Spark's full cast
+                # semantics, so fall back rather than approximate them
+                and (
+                    "partition_id" not in cols_in_file or _pid_integer(files)
+                )
             ):
                 return True, files, cols_in_file
     except Exception as e:  # noqa: BLE001 - fall back, but observably
@@ -186,6 +211,21 @@ def _gate_decision(
             e,
         )
     return False, [], set()
+
+
+def _pid_integer(files: list[str]) -> bool:
+    """True iff every file's physical partition_id column is an integer type
+    (the only shape _norm_pid can normalize exactly like Spark's cast). One
+    footer-schema read per file, driver-side — the same footers
+    parquet_columns just read."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for f in files:
+        field = pq.read_schema(f).field("partition_id")
+        if not pa.types.is_integer(field.type):
+            return False
+    return True
 
 
 def _native_safe(df: DataFrame, needed: set) -> bool:
@@ -225,10 +265,14 @@ def _overlapping_splits(
     only the row groups the batch touches, not its whole byte payload.
     Missing/disabled statistics keep the row group (pruning is an
     optimization, never a correctness decision — the per-batch arrow_filter
-    still runs); a schema-evolved file without the column is kept whole."""
+    still runs); a schema-evolved file without the column is kept whole.
+    A batch targeting the reserved partition -1 (NULL pids normalized by
+    _norm_pid) also keeps any row group whose stats report nulls — min/max
+    ignore NULL values, so they alone can't rule -1 out."""
     from ..sources.native_scan import footer_meta
 
     lo, hi = min(pset), max(pset)
+    want_null = -1 in pset
     splits: list[tuple[str, int, int]] = []
     for f in sorted(files):
         stats = footer_meta(f, footer_cache)["pid_stats"]
@@ -236,10 +280,16 @@ def _overlapping_splits(
             splits.append((f, 0, -1))  # schema-evolved file without the column
             continue
         run_start = None
-        for rg, (mn, mx) in enumerate(stats):
+        for rg, (mn, mx, nulls) in enumerate(stats):
             keep = (
                 mn is None
+                # raw stats outside int32: _norm_pid wraps such values, so
+                # min/max no longer bound the normalized ids — keep the row
+                # group and let the arrow_filter decide per batch
+                or mn < -(1 << 31)
+                or mx >= (1 << 31)
                 or (mn <= hi and mx >= lo and any(mn <= p <= mx for p in pset))
+                or (want_null and (nulls is None or nulls > 0))
             )
             if keep and run_start is None:
                 run_start = rg
@@ -249,6 +299,19 @@ def _overlapping_splits(
         if run_start is not None:
             splits.append((f, run_start, len(stats)))
     return splits
+
+
+def _norm_pid(col):
+    """Replicate with_partition_id's data-supplied normalization
+    (row_rules.py) on a pid column read raw from parquet: NULL → reserved
+    partition -1, int32 width, wrap-around cast matching Spark's non-ANSI
+    int cast. The gate (_pid_integer) guarantees an integer input type."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return pc.fill_null(col.cast(pa.int32(), safe=False), -1)
 
 
 def _pixel_native(spark, files, rule: PixelRule, key_column: str, partitions,
@@ -290,7 +353,9 @@ def _pixel_native(spark, files, rule: PixelRule, key_column: str, partitions,
             rb.column(w_c).to_numpy(zero_copy_only=False),
             rb.column(h_c).to_numpy(zero_copy_only=False),
             rb.column(ph_c).to_numpy(zero_copy_only=False),
-            rb.column("partition_id").to_numpy(zero_copy_only=False)
+            _norm_pid(rb.column("partition_id")).to_numpy(
+                zero_copy_only=False
+            )
             if have_part
             else None,
             psnr_min,
@@ -304,8 +369,13 @@ def _pixel_native(spark, files, rule: PixelRule, key_column: str, partitions,
         pset = list(partitions)
 
         def arrow_filter(rb):
-            col = rb.column("partition_id")
-            mask = pc.is_in(col, value_set=pa.array(pset).cast(col.type))
+            # normalize BEFORE filtering: a raw NULL pid never matches
+            # is_in, which would silently drop the reserved -1 partition's
+            # rows from the very batch that targets them
+            mask = pc.is_in(
+                _norm_pid(rb.column("partition_id")),
+                value_set=pa.array(pset, type=pa.int32()),
+            )
             return rb.filter(mask)
 
     return native_parquet_map(

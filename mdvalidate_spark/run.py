@@ -104,6 +104,13 @@ class ValidationRun:
             "partition_id" in df.columns or bool(spec.partition_column)
         )
         self._discovered_partitions: list[int] | None = None
+        # the user's frame from BEFORE pid normalization: the pixel native
+        # gate probes this one — with_partition_id's coalesce(cast(pid), -1)
+        # rewrite reads as a recomputed column in the analyzed plan and would
+        # push every data-partitioned table onto the 5x-slower Arrow path
+        # (the native kernel replicates the normalization itself, see
+        # operators/pixel.py::_norm_pid)
+        self._scan_df = df
         self.df = with_partition_id(df, spec)
         # compile against the frame the rules actually run over — AFTER the
         # engine attaches partition_id, so a rule targeting it (e.g. drift
@@ -267,6 +274,13 @@ class ValidationRun:
         # the run, so re-probing per batch is pure repeated driver latency —
         # the r2 bench regression's prime suspect (VERDICT r2 #1)
         self._pixel_cache: dict = {}
+        # every frame this run persists, so release() can free the executor
+        # blocks: a long-lived session validating many runs would otherwise
+        # accumulate cached frames without bound (and, because a persisted
+        # plan with no run_id literal — e.g. the pixel checks frame — is
+        # plan-matched by Spark's CacheManager, a LATER run over the same
+        # input silently reuses this run's blocks instead of re-reading)
+        self._persisted: list[DataFrame] = []
         if checkpoint_dir:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
             self._reload_persisted()
@@ -295,6 +309,32 @@ class ValidationRun:
 
     def pending_partitions(self) -> list[int]:
         return self.manifest.pending(self.all_partitions())
+
+    # ------------------------------------------------------------ lifecycle
+
+    def _keep(self, frame: DataFrame) -> DataFrame:
+        """persist(MEMORY_AND_DISK) + track for release()."""
+        frame = frame.persist(StorageLevel.MEMORY_AND_DISK)
+        self._persisted.append(frame)
+        return frame
+
+    def release(self) -> None:
+        """Unpersist every frame this run cached on the executors.
+
+        Call after the report's frames are consumed (counted, written,
+        collected). A long-lived session running many validations MUST call
+        this between runs or cached blocks accumulate without bound; it also
+        guarantees a later run over the same input re-reads the data instead
+        of plan-matching this run's blocks through Spark's CacheManager
+        (correct, but it makes repeat-run timings measure the cache, not the
+        engine — this corrupted a scaling measurement once). Reading the
+        report's DataFrames after release() recomputes them from source."""
+        for frame in self._persisted:
+            try:
+                frame.unpersist()
+            except Exception:  # noqa: BLE001 - session may already be gone
+                pass
+        self._persisted.clear()
 
     # ------------------------------------------------------------ execution
 
@@ -403,19 +443,21 @@ class ValidationRun:
             # itself (a .where() on batch_df would be silently ignored there)
             all_parts = set(self.all_partitions())
             part_arg = None if set(partitions) >= all_parts else partitions
-            pixel_checks = pixel_ops.pixel_check_results(
-                self.df, pr, spec.key_column, partitions=part_arg,
-                cache=self._pixel_cache,
-            ).persist(StorageLevel.MEMORY_AND_DISK)
+            pixel_checks = self._keep(
+                pixel_ops.pixel_check_results(
+                    self.df, pr, spec.key_column, partitions=part_arg,
+                    cache=self._pixel_cache, scan_df=self._scan_df,
+                )
+            )
             pv, pm = pixel_ops.pixel_outputs(pixel_checks, pr, self.run_id)
             viols.append(pv)
             mets.append(pm)
 
         for dr in (r for r in prog.drift_rules if r.incremental):
             edges = self._frozen_edges(dr, batch_df)
-            partial = drift_ops.sweep_histogram_partials(
-                batch_df, dr, edges
-            ).persist(StorageLevel.MEMORY_AND_DISK)
+            partial = self._keep(
+                drift_ops.sweep_histogram_partials(batch_df, dr, edges)
+            )
             self._drift_partials.setdefault(dr.id, []).append(partial)
             if self.checkpoint_dir:
                 partial.write.mode("overwrite").partitionBy(
@@ -424,9 +466,9 @@ class ValidationRun:
 
         inc_stats = tuple(r for r in prog.stats_rules if r.incremental)
         if inc_stats:
-            partials = agg_rules.column_stats_partials(
-                batch_df, inc_stats, self.run_id
-            ).persist(StorageLevel.MEMORY_AND_DISK)
+            partials = self._keep(
+                agg_rules.column_stats_partials(batch_df, inc_stats, self.run_id)
+            )
             self._stats_partials.append(partials)
             if self.checkpoint_dir:
                 # dynamic partition overwrite → re-validating a partition
@@ -447,20 +489,16 @@ class ValidationRun:
             # input row.
             from .operators import sampling
 
-            viol_totals = sampling.violation_count_metrics(
-                full_viol, self.run_id
-            ).persist(StorageLevel.MEMORY_AND_DISK)
-            mets.append(viol_totals)
-            batch_viol = sampling.cap_violations(full_viol, cap).persist(
-                StorageLevel.MEMORY_AND_DISK
+            viol_totals = self._keep(
+                sampling.violation_count_metrics(full_viol, self.run_id)
             )
+            mets.append(viol_totals)
+            batch_viol = self._keep(sampling.cap_violations(full_viol, cap))
         else:
-            batch_viol = full_viol.persist(StorageLevel.MEMORY_AND_DISK)
+            batch_viol = self._keep(full_viol)
         # metric frames are small aggregates — persist so report-time reads
         # never re-run the capture groupBys / pixel derivations
-        batch_met = _union(mets, self.spark, _METRICS_DDL).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        batch_met = self._keep(_union(mets, self.spark, _METRICS_DDL))
 
         # per-partition bookkeeping in ONE aggregation each; the two collects
         # are independent → submitted concurrently (row-count scan overlaps
@@ -687,7 +725,7 @@ class ValidationRun:
             # all bounds fuse into one aggregation pass; the 1-row result
             # feeds both the violation and the metric frames
             mb_viol, mb_met = agg_rules.metric_bound_results(
-                self.df, prog.metric_bound_rules, self.run_id
+                self.df, prog.metric_bound_rules, self.run_id, keep=self._keep
             )
             viols.append(mb_viol)
             mets.append(mb_met)
@@ -825,9 +863,9 @@ class ValidationRun:
             # same bounded-sink treatment as the batch stage
             from .operators import sampling
 
-            uc_totals = sampling.violation_count_metrics(
-                full_uc, self.run_id
-            ).persist(StorageLevel.MEMORY_AND_DISK)
+            uc_totals = self._keep(
+                sampling.violation_count_metrics(full_uc, self.run_id)
+            )
             mets.append(uc_totals)
         # consolidate the accumulated per-batch pieces into ONE compact
         # cached frame each, materialized CONCURRENTLY with the global jobs:
@@ -839,15 +877,11 @@ class ValidationRun:
         # counts a ~width·2-task cached scan.
         width = 2 * self.spark.sparkContext.defaultParallelism
         old_viols, old_mets = list(self._violation_dfs), list(self._metric_dfs)
-        batch_viol_c = (
-            _union(old_viols, self.spark, _VIOLATIONS_DDL)
-            .coalesce(width)
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        batch_viol_c = self._keep(
+            _union(old_viols, self.spark, _VIOLATIONS_DDL).coalesce(width)
         )
-        batch_met_c = (
-            _union(old_mets, self.spark, _METRICS_DDL)
-            .coalesce(width)
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        batch_met_c = self._keep(
+            _union(old_mets, self.spark, _METRICS_DDL).coalesce(width)
         )
         with ThreadPoolExecutor(max_workers=4 + len(prog.drift_rules)) as pool:
             def _run_drift(dr):
@@ -943,17 +977,13 @@ class ValidationRun:
             # instead of a trailing serial job
             met_fut = None
             if mets:
-                pre_met = _union(mets, self.spark, _METRICS_DDL).persist(
-                    StorageLevel.MEMORY_AND_DISK
-                )
+                pre_met = self._keep(_union(mets, self.spark, _METRICS_DDL))
                 met_fut = pool.submit(pre_met.count)
             if viols:
                 if cap is not None:
                     from .operators import sampling
 
-                    uc_viol = sampling.cap_violations(full_uc, cap).persist(
-                        StorageLevel.MEMORY_AND_DISK
-                    )
+                    uc_viol = self._keep(sampling.cap_violations(full_uc, cap))
                     pool.submit(uc_viol.count)  # materialize the sample
                     n_uc = int(
                         sum(
@@ -964,7 +994,7 @@ class ValidationRun:
                         )
                     )
                 else:
-                    uc_viol = full_uc.persist(StorageLevel.MEMORY_AND_DISK)
+                    uc_viol = self._keep(full_uc)
                     n_uc = pool.submit(uc_viol.count).result()
             drift_results = [f.result() for f in drift_futs]
             if met_fut is not None:
@@ -988,9 +1018,7 @@ class ValidationRun:
             n_drift += n_dv  # counted driver-side when the rows were built
             mets.append(dm)
 
-        g_viol = _union(viols, self.spark, _VIOLATIONS_DDL).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        g_viol = self._keep(_union(viols, self.spark, _VIOLATIONS_DDL))
         g_met = _union(mets, self.spark, _METRICS_DDL)
         n_global = n_uc + n_drift
 

@@ -73,8 +73,11 @@ def parquet_columns(files: list[str]) -> list[str]:
 
 def footer_meta(path: str, cache: dict | None = None) -> dict:
     """One footer read per file: row-group count, per-row-group row counts,
-    and per-row-group (min, max) statistics of partition_id (None when the
-    file lacks the column; (None, None) entries when stats are absent).
+    and per-row-group (min, max, null_count) statistics of partition_id
+    (None when the file lacks the column; (None, None, None) entries when
+    stats are absent). null_count matters because the engine normalizes NULL
+    pids to the reserved partition -1 — min/max alone would let the pruner
+    drop a row group whose only members of partition -1 are NULL-pid rows.
     Driver-side and tiny, memoized in ``cache`` so batched runs pay once."""
     key = ("footer", path)
     if cache is not None and key in cache:
@@ -91,9 +94,10 @@ def footer_meta(path: str, cache: dict | None = None) -> dict:
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx).statistics
             if st is None or not st.has_min_max:
-                pid_stats.append((None, None))
+                pid_stats.append((None, None, None))
             else:
-                pid_stats.append((st.min, st.max))
+                nulls = st.null_count if st.has_null_count else None
+                pid_stats.append((st.min, st.max, nulls))
     meta = {"rows": rows, "pid_stats": pid_stats}
     if cache is not None:
         cache[key] = meta

@@ -56,6 +56,17 @@ class FileIncrementalValidator:
         self._load_state()
         self.program = None  # compiled lazily on first data
 
+    def release(self) -> None:
+        """Unpersist the accumulated per-batch violation frames (same
+        lifecycle contract as ValidationRun.release): a long-polling
+        validator would otherwise pin one cached frame per poll() forever.
+        Frames read after release() recompute from the source files."""
+        for frame in self._viols:
+            try:
+                frame.unpersist()
+            except Exception:  # noqa: BLE001 - session may already be gone
+                pass
+
     # ------------------------------------------------------------ state
 
     def _state_path(self) -> str | None:

@@ -298,3 +298,102 @@ def test_layout_report_accepts_file_scheme_uris(spark, tmp_path):
     assert all(u.startswith("file:") for u in uris)
     rep = layout_report(list(uris))
     assert rep["n_files"] == 2 and rep["total_rows"] == 100
+
+
+def test_run_normalized_pid_keeps_native_path(spark, px_parquet):
+    """REGRESSION: with_partition_id rewrites a data-supplied partition_id to
+    coalesce(cast(pid as int), -1) (reserved partition for NULLs), which
+    reads as a recomputed column in the analyzed plan. The run must still
+    take the native pixel path — it probes its PRE-normalization scan frame
+    and the native kernel replicates the normalization itself (_norm_pid).
+    This silently cost ~5x for every data-partitioned table once."""
+    from mdvalidate_spark.run import ValidationRun
+    from mdvalidate_spark.sources.synthetic import dim_source, full_images_spec
+
+    df = spark.read.parquet(px_parquet)
+    run = ValidationRun(
+        spark, full_images_spec(with_pixel=True), df,
+        dims={"dim_source": dim_source(spark)}, run_id="normpid",
+    )
+    needed = {"image_id", "bytes", "w", "h", "fmt", "phash"}
+    # the run frame IS normalized — its plan recomputes partition_id ...
+    assert not pixel_ops._native_safe(run.df, needed)
+    # ... but the gate, fed the scan frame like _validate_batch does, stays
+    # native; assert through the public entry the run itself uses
+    cache: dict = {}
+    out = pixel_ops.pixel_check_results(
+        run.df, PixelRule("px"), "image_id", cache=cache, scan_df=run._scan_df
+    )
+    gate_keys = [k for k in cache if isinstance(k, tuple) and k[0] == "gate"]
+    assert cache[gate_keys[0]][0] is True, "native gate must engage"
+    assert out.count() == ROWS
+    run.release()
+
+
+def test_null_pid_rows_validate_in_reserved_partition_native(spark, tmp_path):
+    """NULL partition_id rows belong to the reserved partition -1. The
+    native path must agree end-to-end: the kernel normalizes raw file pids,
+    the batch filter matches -1, and the row-group pruner keeps null-bearing
+    row groups (min/max statistics ignore NULLs)."""
+    from mdvalidate_spark.run import ValidationRun
+    from mdvalidate_spark.sources.synthetic import dim_source, full_images_spec
+
+    src = str(tmp_path / "nullpid")
+    base = synthetic_images(spark, 60, with_bytes=True)
+    base.withColumn(
+        "partition_id",
+        F.when(F.crc32(F.col("image_id")) % 4 == 0, F.lit(None)).otherwise(
+            F.col("partition_id")
+        ),
+    ).write.mode("overwrite").parquet(src)
+    df = spark.read.parquet(src)
+    n_null = df.where(F.col("partition_id").isNull()).count()
+    assert n_null > 0, "fixture must plant NULL pids"
+
+    # direct batch targeting the reserved partition reaches the NULL rows
+    checks = pixel_ops.pixel_check_results(
+        df, PixelRule("px"), "image_id", partitions=[-1]
+    )
+    rows = checks.collect()
+    assert len(rows) == n_null
+    assert all(r["partition_id"] == -1 for r in rows)
+
+    # and the full run books them in the manifest under -1, natively
+    run = ValidationRun(
+        spark, full_images_spec(with_pixel=True), df,
+        dims={"dim_source": dim_source(spark)}, run_id="nullpid",
+    )
+    run.validate()
+    gate_keys = [
+        k for k in run._pixel_cache if isinstance(k, tuple) and k[0] == "gate"
+    ]
+    assert gate_keys and run._pixel_cache[gate_keys[0]][0] is True
+    assert run.manifest.entries[-1]["rows"] == n_null
+    run.release()
+
+
+def test_release_frees_every_cached_frame(spark, px_parquet):
+    """A long-lived session validating many runs must be able to free the
+    blocks a run persisted — and, because the pixel checks plan carries no
+    run_id literal, an un-released run's blocks are silently plan-matched by
+    the NEXT identical run (it measures the cache, not the engine; this
+    corrupted a scaling measurement once)."""
+    from mdvalidate_spark.run import ValidationRun
+    from mdvalidate_spark.sources.synthetic import dim_source, full_images_spec
+
+    jsc = spark.sparkContext._jsc.sc()
+    # delta-based: earlier tests in the shared session may hold blocks
+    # clearCache can't touch (localCheckpoint) — measure only OUR frames
+    baseline = {i.id() for i in jsc.getRDDStorageInfo()}
+    df = spark.read.parquet(px_parquet)
+    run = ValidationRun(
+        spark, full_images_spec(with_pixel=True), df,
+        dims={"dim_source": dim_source(spark)}, run_id="rel",
+    )
+    rep = run.validate()
+    rep.violations.count()
+    ours = {i.id() for i in jsc.getRDDStorageInfo()} - baseline
+    assert ours, "run persists frames"
+    run.release()
+    left = {i.id() for i in jsc.getRDDStorageInfo()} - baseline
+    assert not left, f"release must free every run-persisted frame: {left}"
