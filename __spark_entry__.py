@@ -2679,6 +2679,81 @@ def q_image_features_synthetic(spark, sf_dir):
     )
 
 
+_PX_ORACLE_ROWS = 4000
+_PX_ORACLE_DIR = f"/tmp/mdv-oracle-px-{_PX_ORACLE_ROWS}"
+
+
+def q_pixel_manifest_agreement(spark, sf_dir):
+    """Pixel-stage manifest oracle (VERDICT r3 #7): the REAL pixel kernel —
+    decode, container-fmt check, dims check, phash recompute, PSNR — runs
+    over a deterministic MDV image fixture written to parquet
+    (sources/synthetic.py; reference analog: the fenced-code body kernel,
+    walkers/validators/code.rs:189-205), and its per-partition verdict
+    counts are value-hash-compared against a DuckDB oracle that RE-EXTRACTS
+    the container header fields byte-by-byte from the very same parquet
+    files (hex(bytes): magic, fmt code, LE16 dims — codec.py:120-130 layout)
+    and replays the kernel's early-exit precedence (fmt before dims). The
+    fixture's planted pixel violations are all header-expressible by
+    construction (the encoder clamps out-of-range dims and unknown fmts, so
+    bytes always hold a VALID container whose header may disagree with the
+    fmt/w/h COLUMNS), which is what makes the full kernel — including the
+    phash and PSNR passes every clean row must survive — oracle-comparable;
+    only the PSNR arithmetic itself stays no-oracle (pixel_validation_*).
+    The fixture is independent of sf_dir (the sf tables carry no image
+    bytes); both engines read the same deterministic /tmp path."""
+    import os as _os
+
+    from mdvalidate_spark.operators.pixel import pixel_check_results
+    from mdvalidate_spark.sources.synthetic import synthetic_images
+    from mdvalidate_spark.spec import PixelRule
+
+    if not _os.path.exists(_PX_ORACLE_DIR):
+        synthetic_images(spark, _PX_ORACLE_ROWS, with_bytes=True).write.mode(
+            "overwrite"
+        ).parquet(_PX_ORACLE_DIR)
+    df = spark.read.parquet(_PX_ORACLE_DIR)
+    checks = pixel_check_results(df, PixelRule("px"), "image_id")
+    klass = (
+        F.when(F.col("ok"), F.lit("pass"))
+        .when(F.col("expected").startswith("payload fmt"), F.lit("fmt_mismatch"))
+        .when(F.col("expected").startswith("dims"), F.lit("dims_mismatch"))
+        .otherwise(F.lit("other"))  # any drift in kernel semantics lands
+        # here and hash-mismatches loudly instead of hiding in a bucket
+    )
+    return checks.groupBy(
+        F.col("partition_id"), klass.alias("class")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+_PIXEL_MANIFEST_SQL = f"""
+WITH t AS (
+  SELECT partition_id, fmt, w, h, hex(bytes) AS hx
+  FROM read_parquet('{_PX_ORACLE_DIR}/*.parquet')
+), d AS (
+  -- byte-level re-extraction of the MDV container header: 3-byte magic,
+  -- u8 fmt code, u16-LE width, u16-LE height (codec.py:130 layout) —
+  -- never derived from the arithmetic that generated the fixture
+  SELECT partition_id, w, h,
+         TRY_CAST('0x' || substring(hx, 7, 2) AS INT) AS hcode,
+         TRY_CAST('0x' || substring(hx, 9, 2) AS INT)
+           + 256 * TRY_CAST('0x' || substring(hx, 11, 2) AS INT) AS hw,
+         TRY_CAST('0x' || substring(hx, 13, 2) AS INT)
+           + 256 * TRY_CAST('0x' || substring(hx, 15, 2) AS INT) AS hh,
+         CASE fmt WHEN 'png' THEN 0 WHEN 'jpeg' THEN 1
+                  WHEN 'webp' THEN 2 ELSE -1 END AS want_code
+  FROM t
+), c AS (
+  -- the kernel's early-exit precedence: container fmt first, then dims
+  SELECT partition_id,
+         CASE WHEN hcode <> want_code THEN 'fmt_mismatch'
+              WHEN hw <> w OR hh <> h THEN 'dims_mismatch'
+              ELSE 'pass' END AS class
+  FROM d
+)
+SELECT partition_id, class, COUNT(*) AS n FROM c GROUP BY 1, 2
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full constraint engine validating the sf0.001 star
     schema — row + unique + referential + count families in one run,
@@ -2705,6 +2780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries touched this round must come first, stable legacy last.
     return {
         # -- round 4: new/rewritten ------------------------------------
+        "pixel_manifest_agreement": q_pixel_manifest_agreement,
         "caption_collisions_documents": q_caption_collisions_documents,
         "aspect_buckets_documents": q_aspect_buckets_documents,
         "quality_bins_documents": q_quality_bins_documents,
@@ -4197,6 +4273,7 @@ SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.9
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "pixel_manifest_agreement": _PIXEL_MANIFEST_SQL,
         "caption_collisions_documents": _CAPTION_COLLISIONS_SQL,
         "aspect_buckets_documents": _aspect_buckets_sql(),
         "quality_bins_documents": _quality_bins_sql(),
