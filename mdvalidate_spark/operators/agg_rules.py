@@ -1274,7 +1274,7 @@ def _metric_bound_agg(df: DataFrame, r) -> "F.Column":
 
 
 def _metric_bounds_grouped(
-    df: DataFrame, group_col: str, rules, run_id: str, keep=None
+    df: DataFrame, group_col: str, rules, run_id: str, keep
 ) -> tuple[DataFrame, DataFrame]:
     """Per-group metric bounds: one groupBy aggregation for all rules
     sharing ``group_by`` (see metric_bound_results docs). Returns
@@ -1352,8 +1352,6 @@ def _metric_bounds_grouped(
         ]
     # 1-row frame, persisted like the global path's wide row (negligible)
     # so the summary metrics and the emptiness check share one scan
-    if keep is None:
-        keep = lambda f: f.persist()  # noqa: E731
     summary = keep(wide.agg(*sums))
     # empty-table contract: zero groups means the assertion was made of
     # nothing — same loudness as the ungrouped path's NULL-metric 'no

@@ -59,6 +59,7 @@ def partition_overlap(
     lg_k: int = 12,
     max_groups: int = 256,
     n_groups: int | None = None,
+    keep=None,
 ) -> DataFrame:
     """Estimated distinct-set overlap for every group pair (i < j):
     (g_a, g_b, n_a, n_b, n_common, jaccard). Estimates are EXACT while each
@@ -72,7 +73,13 @@ def partition_overlap(
     job and the whole audit stays LAZY, so finalize can overlap its scan
     with the other global stages instead of paying an eager guard count
     serially."""
-    sks = group_sketches(df, column, group_col, lg_k).persist()
+    # ``keep``: caller-owned persist hook (ValidationRun passes its tracked
+    # _keep so release() frees this frame; an untracked persist with no
+    # run_id in its plan would leak AND be plan-matched by the next
+    # identical run through Spark's CacheManager)
+    if keep is None:
+        keep = lambda f: f.persist()  # noqa: E731
+    sks = keep(group_sketches(df, column, group_col, lg_k))
     n = n_groups if n_groups is not None else sks.count()
     if n > max_groups:
         sks.unpersist()
@@ -101,7 +108,7 @@ from ..errors import KIND_OVERLAP  # noqa: E402  (taxonomy lives in errors.py)
 
 
 def overlap_violations(
-    df: DataFrame, rule, run_id: str, n_groups: int | None = None
+    df: DataFrame, rule, run_id: str, n_groups: int | None = None, keep=None
 ) -> DataFrame:
     """OverlapRule executor (finalize stage): one violation row per group
     pair breaching max_jaccard / max_common. image_id carries the pair key
@@ -116,6 +123,7 @@ def overlap_violations(
         lg_k=rule.lg_k,
         max_groups=rule.max_groups,
         n_groups=n_groups,
+        keep=keep,
     )
     fail = F.lit(False)
     expected = []

@@ -142,10 +142,18 @@ def pixel_check_results(
     )
     gate = cache.get(gate_key) if cache is not None else None
     if gate is None:
-        gate = _gate_decision(
-            gate_df, rule, key_column,
-            need_pid="partition_id" in df.columns,
-        )
+        # when the RUN frame carries partition_id, the native path may engage
+        # only if the run's ids are FILE-SOURCED — i.e. the scan frame itself
+        # carries the column (with_partition_id passes a pre-existing column
+        # through). A file that happens to contain a partition_id column
+        # while the run DERIVED its ids (pmod(xxhash64) / partition_column)
+        # would otherwise feed stale file ids to the batch filter and
+        # manifest — rows silently skipped or mis-attributed.
+        need_pid = "partition_id" in df.columns
+        if need_pid and "partition_id" not in gate_df.columns:
+            gate = (False, [], set())
+        else:
+            gate = _gate_decision(gate_df, rule, key_column, need_pid=need_pid)
         if cache is not None:
             cache[gate_key] = gate
         if os.environ.get("MDV_PROFILE"):
@@ -175,7 +183,9 @@ def _gate_decision(
     an ENGINE-DERIVED id (pmod(xxhash64)) cannot be recomputed by the native
     reader, and emitting NULL ids would desynchronize the manifest
     bookkeeping from the verdict."""
-    from ..sources.native_scan import parquet_columns, parquet_files
+    import pyarrow as pa
+
+    from ..sources.native_scan import common_columns, parquet_files
 
     needed = {
         key_column, rule.bytes_column, rule.w_column, rule.h_column,
@@ -189,7 +199,10 @@ def _gate_decision(
     try:
         files = parquet_files(df)
         if files and _native_safe(df, needed):
-            cols_in_file = set(parquet_columns(files))
+            # ONE footer pass gives names AND types (a column whose type
+            # differs across schema-evolved files is treated as absent)
+            schema = common_columns(files)
+            cols_in_file = set(schema)
             if (
                 needed <= cols_in_file
                 and (not need_pid or "partition_id" in cols_in_file)
@@ -199,7 +212,8 @@ def _gate_decision(
                 # types — a string/float pid would need Spark's full cast
                 # semantics, so fall back rather than approximate them
                 and (
-                    "partition_id" not in cols_in_file or _pid_integer(files)
+                    "partition_id" not in cols_in_file
+                    or pa.types.is_integer(schema["partition_id"])
                 )
             ):
                 return True, files, cols_in_file
@@ -211,21 +225,6 @@ def _gate_decision(
             e,
         )
     return False, [], set()
-
-
-def _pid_integer(files: list[str]) -> bool:
-    """True iff every file's physical partition_id column is an integer type
-    (the only shape _norm_pid can normalize exactly like Spark's cast). One
-    footer-schema read per file, driver-side — the same footers
-    parquet_columns just read."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    for f in files:
-        field = pq.read_schema(f).field("partition_id")
-        if not pa.types.is_integer(field.type):
-            return False
-    return True
 
 
 def _native_safe(df: DataFrame, needed: set) -> bool:
@@ -389,10 +388,16 @@ def _pixel_arrow(
     df: DataFrame, rule: PixelRule, key_column: str, partitions: list[int] | None
 ) -> DataFrame:
     psnr_min = rule.psnr_min
+    # same pid normalization as the native kernel's _norm_pid (and as
+    # with_partition_id): NULL → reserved partition -1, BEFORE the batch
+    # filter — a raw NULL never matches isin, which would silently drop the
+    # -1 partition's rows when a direct caller passes an un-normalized
+    # frame. Idempotent on already-normalized run frames.
+    pid = F.coalesce(F.col("partition_id").cast("int"), F.lit(-1))
     if partitions is not None:
-        df = df.where(F.col("partition_id").isin(partitions))
+        df = df.where(pid.isin(partitions))
     cols = df.select(
-        F.col("partition_id").cast("int"),
+        pid.alias("partition_id"),
         F.col(key_column).cast("string").alias("image_id"),
         F.col(rule.bytes_column).alias("bytes"),
         F.col(rule.w_column).cast("int").alias("w"),

@@ -769,7 +769,9 @@ class ValidationRun:
                 else None
             )
             viols.append(
-                overlap_violations(self.df, ov, self.run_id, n_groups=hint)
+                overlap_violations(
+                    self.df, ov, self.run_id, n_groups=hint, keep=self._keep
+                )
             )
 
         if prog.volume_rules:

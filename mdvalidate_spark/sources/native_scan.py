@@ -55,20 +55,34 @@ def parquet_files(df: DataFrame) -> list[str]:
     return out
 
 
-def parquet_columns(files: list[str]) -> list[str]:
-    """Columns present in EVERY file (schema-evolution-safe): a column the
-    first file has but an older file lacks would pass a files[0]-only probe
-    and then KeyError in the worker when pyarrow silently omits it from
-    iter_batches. One footer read per file, driver-side — the same footers
-    the row-group pruner reads anyway."""
+def common_columns(files: list[str]) -> dict:
+    """Columns present in EVERY file (schema-evolution-safe), with their
+    arrow types — ``{name: pa.DataType}``. A column the first file has but
+    an older file lacks would pass a files[0]-only probe and then KeyError
+    in the worker when pyarrow silently omits it from iter_batches; a column
+    whose TYPE differs across files keeps the first file's type (callers
+    probing types — the pixel gate's integer-pid check — must treat a
+    mismatching file as disqualifying, so the entry is dropped instead).
+    One footer read per file, driver-side — the same footers the row-group
+    pruner reads anyway."""
     import pyarrow.parquet as pq
 
     if not files:
-        return []
-    common = set(pq.read_schema(files[0]).names)
+        return {}
+    schema = pq.read_schema(files[0])
+    common = dict(zip(schema.names, schema.types))
     for f in files[1:]:
-        common &= set(pq.read_schema(f).names)
-    return list(common)
+        s = pq.read_schema(f)
+        types = dict(zip(s.names, s.types))
+        common = {
+            n: t for n, t in common.items() if types.get(n) == t
+        }
+    return common
+
+
+def parquet_columns(files: list[str]) -> list[str]:
+    """Names-only view of common_columns (kept for API stability)."""
+    return list(common_columns(files))
 
 
 def footer_meta(path: str, cache: dict | None = None) -> dict:

@@ -51,6 +51,7 @@ class FileIncrementalValidator:
         self.checkpoint_dir = checkpoint_dir
         self._validated_files: set[str] = set()
         self._viols: list[DataFrame] = []
+        self._released_upto = 0  # release() high-water mark into _viols
         self._mets: list[DataFrame] = []
         self._red = False
         self._load_state()
@@ -60,12 +61,16 @@ class FileIncrementalValidator:
         """Unpersist the accumulated per-batch violation frames (same
         lifecycle contract as ValidationRun.release): a long-polling
         validator would otherwise pin one cached frame per poll() forever.
-        Frames read after release() recompute from the source files."""
-        for frame in self._viols:
+        The frames stay in self._viols — finalize()'s report must still
+        union every batch (they recompute from the source files lazily) —
+        but a high-water mark keeps repeated release() calls from
+        re-issuing unpersist RPCs for every historical batch."""
+        for frame in self._viols[self._released_upto:]:
             try:
                 frame.unpersist()
             except Exception:  # noqa: BLE001 - session may already be gone
                 pass
+        self._released_upto = len(self._viols)
 
     # ------------------------------------------------------------ state
 
@@ -115,7 +120,8 @@ class FileIncrementalValidator:
         new = self.pending_files()
         if not new:
             return 0
-        df = with_partition_id(self.spark.read.parquet(*new), self.spec)
+        raw = self.spark.read.parquet(*new)
+        df = with_partition_id(raw, self.spec)
         if self.program is None:
             self.program = compile_spec(self.spec, df.columns)
         prog = self.program
@@ -141,7 +147,15 @@ class FileIncrementalValidator:
         for cr in prog.count_rules:
             viols.append(agg_rules.count_violations(df, cr, self.run_id))
         for pr in prog.pixel_rules:
-            checks = pixel_ops.pixel_check_results(df, pr, self.spec.key_column)
+            # scan_df = the pre-normalization frame, same contract as
+            # ValidationRun: probing the normalized frame would read the
+            # engine's own pid rewrite as a recomputed column and pin every
+            # poll on the ~5x-slower Arrow path. No gate cache across polls
+            # on purpose — each poll reads a DIFFERENT file set, so a
+            # memoized file list would go stale.
+            checks = pixel_ops.pixel_check_results(
+                df, pr, self.spec.key_column, scan_df=raw
+            )
             pv, pm = pixel_ops.pixel_outputs(checks, pr, self.run_id)
             viols.append(pv)
             mets.append(pm)

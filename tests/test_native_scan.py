@@ -397,3 +397,56 @@ def test_release_frees_every_cached_frame(spark, px_parquet):
     run.release()
     left = {i.id() for i in jsc.getRDDStorageInfo()} - baseline
     assert not left, f"release must free every run-persisted frame: {left}"
+
+
+def test_derived_pid_over_pid_bearing_files_uses_arrow(spark, px_parquet, tmp_path):
+    """A frame that DROPPED the files' physical partition_id (run ids then
+    engine-derived via pmod) must NOT take the native path even though the
+    footers still carry the column — the kernel would emit the stale file
+    ids and desynchronize batch filtering + manifest bookkeeping from the
+    run's partition space."""
+    from mdvalidate_spark.run import ValidationRun
+    from mdvalidate_spark.sources.synthetic import dim_source, full_images_spec
+
+    df = spark.read.parquet(px_parquet).drop("partition_id")
+    run = ValidationRun(
+        spark, full_images_spec(with_pixel=True, n_partitions=4), df,
+        dims={"dim_source": dim_source(spark)}, run_id="droppid",
+    )
+    rep = run.validate()
+    gate_keys = [
+        k for k in run._pixel_cache if isinstance(k, tuple) and k[0] == "gate"
+    ]
+    assert gate_keys and run._pixel_cache[gate_keys[0]][0] is False
+    # every row still validated, booked under the DERIVED partition space
+    assert sum(e["rows"] for e in run.manifest.entries.values()) == ROWS
+    assert set(run.manifest.entries) == set(range(4))
+    assert rep.violations.where(F.col("rule_id") == "pixel").count() > 0
+    run.release()
+
+
+def test_arrow_path_normalizes_null_pids(spark, tmp_path):
+    """The Arrow fallback must route NULL pids to the reserved partition -1
+    exactly like the native kernel — a raw NULL never matches isin, which
+    would silently drop the -1 partition's rows from the batch that targets
+    them whenever the gate falls back."""
+    src = str(tmp_path / "nullpid_arrow")
+    base = synthetic_images(spark, 40, with_bytes=True)
+    base.withColumn(
+        "partition_id",
+        F.when(F.crc32(F.col("image_id")) % 4 == 0, F.lit(None)).otherwise(
+            F.col("partition_id")
+        ),
+    ).write.mode("overwrite").parquet(src)
+    df = spark.read.parquet(src)
+    n_null = df.where(F.col("partition_id").isNull()).count()
+    assert n_null > 0
+    out = pixel_ops._pixel_arrow(df, PixelRule("px"), "image_id", [-1])
+    rows = out.collect()
+    assert len(rows) == n_null
+    assert all(r["partition_id"] == -1 for r in rows)
+    # and parity: arrow agrees with the native path on the same batch
+    native = pixel_ops.pixel_check_results(
+        df, PixelRule("px"), "image_id", partitions=[-1]
+    )
+    assert checks_set(out) == checks_set(native)
