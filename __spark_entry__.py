@@ -2679,6 +2679,61 @@ def q_image_features_synthetic(spark, sf_dir):
     )
 
 
+def q_line_dedup_documents(spark, sf_dir):
+    """CCNet-style corpus-level line dedup (boilerplate removal): lines
+    appearing in more than max_df distinct documents are stripped and the
+    survivors rejoined in order — the de-vacuated multiline corpus plants a
+    'footer line' in EVERY doc, the exact shape the operator exists to
+    remove. Count-first document frequency (no posting arrays), portable
+    md5 line keys, per-doc bounded reassembly; the oracle re-derives every
+    cleaned document with the same precedence in DuckDB."""
+    from mdvalidate_spark.operators.dedup import boilerplate_line_removal
+
+    docs = _augment_multiline(_load(spark, sf_dir, "documents"))
+    return boilerplate_line_removal(
+        docs, "text", "doc_id", max_df=2, min_chars=1
+    )
+
+
+def _line_dedup_sql(aug: str | None = None) -> str:
+    """DuckDB replica of boilerplate_line_removal over the multiline
+    de-vacuation source (composable aug, same pattern as _repetition_sql)."""
+    return _LINE_DEDUP_SQL_TMPL.format(aug=aug or _MULTI_AUG)
+
+
+_LINE_DEDUP_SQL_TMPL = """
+WITH aug AS ({aug}),
+L AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, chr(10)), 1) - 1 AS pos,
+         unnest(string_split(text, chr(10))) AS line
+  FROM aug
+),
+N AS (
+  SELECT doc_id, pos, line, lower(trim(line)) AS norm FROM L
+),
+DFREQ AS (
+  SELECT md5(norm) AS k, COUNT(DISTINCT doc_id) AS dfreq
+  FROM N WHERE length(norm) >= 1
+  GROUP BY 1
+),
+M AS (
+  SELECT n.doc_id, n.pos, n.line,
+         COALESCE(length(n.norm) >= 1 AND d.dfreq > 2, FALSE) AS removed
+  FROM N n
+  LEFT JOIN DFREQ d ON length(n.norm) >= 1 AND md5(n.norm) = d.k
+)
+SELECT doc_id,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       COALESCE(
+         string_agg(CASE WHEN NOT removed THEN line END, chr(10) ORDER BY pos),
+         ''
+       ) AS cleaned_text
+FROM M GROUP BY doc_id
+"""
+
+
 _PX_ORACLE_ROWS = 4000
 _PX_ORACLE_DIR = f"/tmp/mdv-oracle-px-{_PX_ORACLE_ROWS}"
 
@@ -2780,6 +2835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries touched this round must come first, stable legacy last.
     return {
         # -- round 4: new/rewritten ------------------------------------
+        "line_dedup_documents": q_line_dedup_documents,
         "pixel_manifest_agreement": q_pixel_manifest_agreement,
         "caption_collisions_documents": q_caption_collisions_documents,
         "aspect_buckets_documents": q_aspect_buckets_documents,
@@ -4273,6 +4329,7 @@ SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.9
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "line_dedup_documents": _line_dedup_sql(),
         "pixel_manifest_agreement": _PIXEL_MANIFEST_SQL,
         "caption_collisions_documents": _CAPTION_COLLISIONS_SQL,
         "aspect_buckets_documents": _aspect_buckets_sql(),

@@ -128,6 +128,78 @@ def dedup_survivors(
     return df.join(drops, id_col, "left_anti")
 
 
+def boilerplate_line_removal(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    max_df: int = 2,
+    min_chars: int = 1,
+) -> DataFrame:
+    """CCNet-style corpus-level LINE dedup: split every document into lines,
+    count each normalized line's document frequency across the WHOLE corpus,
+    and strip lines appearing in more than ``max_df`` distinct documents —
+    navigation bars, cookie banners, repeated footers. The step between raw
+    scrape and training set that document-level dedup cannot express (two
+    docs sharing a footer are not duplicates of each other).
+
+    Returns one row per input document: (id, n_lines, n_removed,
+    cleaned_text) with surviving lines rejoined in original order. Lines
+    whose normalized form is shorter than ``min_chars`` are exempt (kept,
+    never counted) — with the default 1 that exempts blank lines only.
+
+    Scale shape (same posting discipline as ngram_jaccard_pairs): document
+    frequency is COUNT-FIRST — distinct (line, doc) pairs then a groupBy
+    count with map-side partial combine — so no per-line doc-id array ever
+    materializes; a cookie banner present in 10^9 docs is one counter, not
+    one buffer. The stop set joins back as a plain shuffle equi-join on a
+    constant-width md5 line key (AQE-splittable; the same sha-per-line key
+    CCNet shards on — md5 here because it is bit-identical in the DuckDB
+    oracle), and reassembly is a per-document sort_array over that
+    document's own lines — bounded by document size, never corpus-wide.
+    The source is scanned twice (frequency pass + reassembly pass); callers
+    with an expensive upstream plan should persist it first."""
+    lines = df.select(
+        F.col(id_column),
+        F.posexplode(F.split(F.col(text_column), "\n", -1)).alias(
+            "__pos", "__line"
+        ),
+    )
+    norm = F.lower(F.trim(F.col("__line")))
+    lines = lines.withColumn(
+        "__key",
+        F.when(F.length(norm) >= min_chars, F.md5(norm.cast("binary"))),
+    )
+    dfreq = (
+        lines.where(F.col("__key").isNotNull())
+        .select("__key", id_column)
+        .distinct()
+        .groupBy("__key")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    stop = dfreq.where(F.col("__df") > max_df).select(
+        "__key", F.lit(True).alias("__stop")
+    )
+    marked = lines.join(stop, "__key", "left")
+    removed = F.coalesce(F.col("__stop"), F.lit(False))
+    return marked.groupBy(id_column).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(removed.cast("int")).cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~removed, F.struct(F.col("__pos"), F.col("__line"))
+                        )
+                    )
+                ),
+                lambda s: s["__line"],
+            ),
+            "\n",
+        ).alias("cleaned_text"),
+    )
+
+
 def cross_field_duplicates(
     df: DataFrame,
     group_col: str,

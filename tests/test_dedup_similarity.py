@@ -764,3 +764,50 @@ def test_cross_field_duplicates_null_distinct_ignored(spark):
     )
     # only one non-NULL distinct value → clean
     assert cross_field_duplicates(df, "g", "v").count() == 0
+
+
+def test_boilerplate_line_removal_strips_corpus_frequent_lines(spark):
+    """CCNet-style line dedup: a footer present in >max_df docs is stripped
+    from every doc (all its copies), rarer lines survive in order, blank
+    lines are exempt, and a doc whose every line was boilerplate comes back
+    empty (still one output row)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nFooter Line\n\nbody one\nfooter line"),
+            (2, "beta\nfooter line\n\nbody two"),
+            (3, "gamma\nFOOTER LINE \nbody three"),
+            (4, "footer line"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in D.boilerplate_line_removal(
+            docs, "text", "doc_id", max_df=2, min_chars=1
+        ).collect()
+    }
+    # normalization: case/trim variants all count as ONE line, df=4 > 2
+    assert out[1]["cleaned_text"] == "alpha\n\nbody one"
+    assert out[1]["n_lines"] == 5 and out[1]["n_removed"] == 2
+    assert out[2]["cleaned_text"] == "beta\n\nbody two"
+    assert out[3]["cleaned_text"] == "gamma\nbody three"
+    # all-boilerplate doc: present, empty, fully counted
+    assert out[4]["cleaned_text"] == "" and out[4]["n_removed"] == 1
+    # blank lines exempt: df of "" is 2 docs but they were never counted
+    assert "\n\n" in out[1]["cleaned_text"]
+
+
+def test_boilerplate_line_removal_respects_max_df(spark):
+    """A line in exactly max_df docs is KEPT (strictly-greater contract)."""
+    docs = spark.createDataFrame(
+        [(1, "shared\nu1"), (2, "shared\nu2"), (3, "solo\nu3")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["cleaned_text"]
+        for r in D.boilerplate_line_removal(
+            docs, "text", "doc_id", max_df=2
+        ).collect()
+    }
+    assert out[1] == "shared\nu1" and out[2] == "shared\nu2"
+    assert out[3] == "solo\nu3"
