@@ -2697,20 +2697,24 @@ def q_line_dedup_documents(spark, sf_dir):
 
 def _line_dedup_sql(aug: str | None = None) -> str:
     """DuckDB replica of boilerplate_line_removal over the multiline
-    de-vacuation source (composable aug, same pattern as _repetition_sql)."""
-    return _LINE_DEDUP_SQL_TMPL.format(aug=aug or _MULTI_AUG)
+    de-vacuation source (composable aug, same pattern as _repetition_sql).
+    Line keys reuse the shared _NORM canon (the operator keys on
+    normalize_text) and the split is the same CRLF-safe regex."""
+    return _LINE_DEDUP_SQL_TMPL.format(
+        aug=aug or _MULTI_AUG, norm=_NORM.format(t="line")
+    )
 
 
-_LINE_DEDUP_SQL_TMPL = """
+_LINE_DEDUP_SQL_TMPL = r"""
 WITH aug AS ({aug}),
 L AS (
   SELECT doc_id,
-         generate_subscripts(string_split(text, chr(10)), 1) - 1 AS pos,
-         unnest(string_split(text, chr(10))) AS line
+         generate_subscripts(string_split_regex(coalesce(text, ''), '\r?\n'), 1) - 1 AS pos,
+         unnest(string_split_regex(coalesce(text, ''), '\r?\n')) AS line
   FROM aug
 ),
 N AS (
-  SELECT doc_id, pos, line, lower(trim(line)) AS norm FROM L
+  SELECT doc_id, pos, line, {norm} AS norm FROM L
 ),
 DFREQ AS (
   SELECT md5(norm) AS k, COUNT(DISTINCT doc_id) AS dfreq

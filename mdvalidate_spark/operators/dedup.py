@@ -143,9 +143,14 @@ def boilerplate_line_removal(
     docs sharing a footer are not duplicates of each other).
 
     Returns one row per input document: (id, n_lines, n_removed,
-    cleaned_text) with surviving lines rejoined in original order. Lines
-    whose normalized form is shorter than ``min_chars`` are exempt (kept,
-    never counted) — with the default 1 that exempts blank lines only.
+    cleaned_text) with surviving lines rejoined in original order — a NULL
+    text coalesces to '' (one exempt blank line), never a dropped document.
+    Lines are keyed by their ``normalize_text`` form (the corpus-wide
+    fingerprint canon: lowercase, whitespace runs collapsed, trimmed), so a
+    CRLF document's footer and its LF twin's footer count as ONE line, and
+    the split itself is CRLF-safe (``\\r?\\n``). Lines whose normalized
+    form is shorter than ``min_chars`` are exempt (kept, never counted) —
+    with the default 1 that exempts blank/whitespace-only lines only.
 
     Scale shape (same posting discipline as ngram_jaccard_pairs): document
     frequency is COUNT-FIRST — distinct (line, doc) pairs then a groupBy
@@ -160,14 +165,14 @@ def boilerplate_line_removal(
     with an expensive upstream plan should persist it first."""
     lines = df.select(
         F.col(id_column),
-        F.posexplode(F.split(F.col(text_column), "\n", -1)).alias(
-            "__pos", "__line"
-        ),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_column), F.lit("")), "\\r?\\n", -1)
+        ).alias("__pos", "__line"),
     )
-    norm = F.lower(F.trim(F.col("__line")))
+    norm = normalize_text(F.col("__line"))
     lines = lines.withColumn(
         "__key",
-        F.when(F.length(norm) >= min_chars, F.md5(norm.cast("binary"))),
+        F.when(F.length(norm) >= min_chars, F.md5(norm)),
     )
     dfreq = (
         lines.where(F.col("__key").isNotNull())

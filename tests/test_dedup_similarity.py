@@ -811,3 +811,35 @@ def test_boilerplate_line_removal_respects_max_df(spark):
     }
     assert out[1] == "shared\nu1" and out[2] == "shared\nu2"
     assert out[3] == "solo\nu3"
+
+
+def test_boilerplate_line_removal_crlf_and_null(spark):
+    """CRLF twins of a line share the LF line's frequency key (split is
+    \\r?\\n and keys come from normalize_text, so '\\tfooter' == 'footer'),
+    CRLF blank lines stay exempt, and a NULL-text document is returned as
+    one blank-line row — never silently dropped from the output corpus."""
+    docs = spark.createDataFrame(
+        [
+            (1, "footer\r\n\r\nkeep one"),   # CRLF doc, CRLF blank line
+            (2, "\tfooter \nkeep two"),      # LF doc, tab-indented footer
+            (3, "Footer\nkeep three"),
+            (4, None),                       # NULL text
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in D.boilerplate_line_removal(
+            docs, "text", "doc_id", max_df=2, min_chars=1
+        ).collect()
+    }
+    assert len(out) == 4  # NULL doc present
+    # footer df=3 across CRLF/tab/case variants -> stripped everywhere
+    assert out[1]["cleaned_text"] == "\nkeep one" and out[1]["n_removed"] == 1
+    assert out[2]["cleaned_text"] == "keep two"
+    assert out[3]["cleaned_text"] == "keep three"
+    # CRLF blank line exempt (not counted, kept): n_lines counts it
+    assert out[1]["n_lines"] == 3
+    # NULL text -> one exempt blank line, nothing removed
+    assert out[4]["n_lines"] == 1 and out[4]["n_removed"] == 0
+    assert out[4]["cleaned_text"] == ""
