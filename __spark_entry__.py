@@ -2679,6 +2679,132 @@ def q_image_features_synthetic(spark, sf_dir):
     )
 
 
+def q_association_orders(spark, sf_dir):
+    """Chi-squared / Cramér's V association profile between order status and
+    priority — the joint-distribution statistic the per-column drift suite
+    cannot see (operators/association.py; for the image table the same call
+    profiles fmt × caption-lang coupling). One groupBy bounded by distinct
+    cells, full-grid chi2 (zero cells included) on the driver, NULL a
+    first-class category."""
+    from mdvalidate_spark.operators.association import association_profile
+
+    orders = _load(spark, sf_dir, "orders")
+    return association_profile(orders, "o_orderstatus", "o_orderpriority")
+
+
+def _association_profile_sql(table: str, a: str, b: str) -> str:
+    """DuckDB replica of association_profile: same injective null-safe cell
+    encoding, full card_a x card_b grid (zero cells contribute e), chi2
+    rounded 3dp / V 6dp like the drift oracles."""
+    return f"""
+WITH cells AS (
+  SELECT COALESCE('v:' || CAST({a} AS VARCHAR), 'null') AS a,
+         COALESCE('v:' || CAST({b} AS VARCHAR), 'null') AS b,
+         COUNT(*) AS c
+  FROM {table} GROUP BY 1, 2
+),
+tot AS (SELECT SUM(c) AS n, COUNT(*) AS n_cells FROM cells),
+ra AS (SELECT a, SUM(c) AS rt FROM cells GROUP BY 1),
+cb AS (SELECT b, SUM(c) AS ct FROM cells GROUP BY 1),
+grid AS (
+  SELECT ra.a, cb.b, ra.rt, cb.ct, COALESCE(cells.c, 0) AS o
+  FROM ra CROSS JOIN cb LEFT JOIN cells USING (a, b)
+),
+stat AS (
+  SELECT SUM(POWER(CAST(o AS DOUBLE) * n - CAST(rt AS DOUBLE) * ct, 2)
+             / (CAST(n AS DOUBLE) * rt * ct)) AS chi2
+  FROM grid CROSS JOIN tot
+)
+SELECT '{a}' AS col_a, '{b}' AS col_b,
+       tot.n AS n_rows, tot.n_cells AS n_cells,
+       (SELECT COUNT(*) FROM ra) AS card_a,
+       (SELECT COUNT(*) FROM cb) AS card_b,
+       ((SELECT COUNT(*) FROM ra) - 1) * ((SELECT COUNT(*) FROM cb) - 1)
+         AS dof,
+       round(stat.chi2, 3) AS chi2,
+       round(sqrt(stat.chi2 / (tot.n * (least((SELECT COUNT(*) FROM ra),
+                                              (SELECT COUNT(*) FROM cb))
+                                        - 1))), 6) AS cramers_v
+FROM stat CROSS JOIN tot
+"""
+
+
+_ASSOC_SPLIT = "l_shipdate < DATE '1996-01-01'"
+
+
+def q_association_drift_lineitem(spark, sf_dir):
+    """Coupling drift: PSI of the JOINT (returnflag, linestatus)
+    distribution between pre-1996 and 1996+ lineitems, next to each
+    marginal PSI and the coupling excess. TPC-H couples both columns to
+    ship time (old rows are R/A+F, recent N+O), so the joint genuinely
+    moves — the re-pairing signal a marginal-only drift suite under-reads
+    (the image-table call: fmt × caption-lang between ingest batches)."""
+    from mdvalidate_spark.operators.association import association_drift
+
+    li = _load(spark, sf_dir, "lineitem")
+    ref = li.where(_ASSOC_SPLIT)
+    cand = li.where(f"NOT ({_ASSOC_SPLIT})")
+    return association_drift(ref, cand, "l_returnflag", "l_linestatus")
+
+
+def _association_drift_sql() -> str:
+    """DuckDB replica of association_drift on the lineitem time split: PSI
+    with the shared 1e-6 eps clamp over the union of cells (absent side ->
+    probability 0), marginals aggregated from the same cell frames."""
+    enc_a = "COALESCE('v:' || CAST(l_returnflag AS VARCHAR), 'null')"
+    enc_b = "COALESCE('v:' || CAST(l_linestatus AS VARCHAR), 'null')"
+    return f"""
+WITH rc AS (
+  SELECT {enc_a} AS a, {enc_b} AS b, COUNT(*) AS c
+  FROM lineitem WHERE {_ASSOC_SPLIT} GROUP BY 1, 2
+),
+cc AS (
+  SELECT {enc_a} AS a, {enc_b} AS b, COUNT(*) AS c
+  FROM lineitem WHERE NOT ({_ASSOC_SPLIT}) GROUP BY 1, 2
+),
+nr AS (SELECT SUM(c) AS n FROM rc),
+nc AS (SELECT SUM(c) AS n FROM cc),
+ju AS (SELECT a, b FROM rc UNION SELECT a, b FROM cc),
+j AS (
+  SELECT ju.a, ju.b,
+         COALESCE(rc.c, 0) * 1.0 / (SELECT n FROM nr) AS dr,
+         COALESCE(cc.c, 0) * 1.0 / (SELECT n FROM nc) AS dc
+  FROM ju LEFT JOIN rc USING (a, b) LEFT JOIN cc USING (a, b)
+),
+joint AS (
+  SELECT SUM((dc - dr) * ln((dc + 1e-6) / (dr + 1e-6))) AS s,
+         COUNT(*) AS k
+  FROM j
+),
+ma AS (
+  SELECT a,
+         SUM(COALESCE(r, 0)) * 1.0 / (SELECT n FROM nr) AS dr,
+         SUM(COALESCE(c2, 0)) * 1.0 / (SELECT n FROM nc) AS dc
+  FROM (SELECT a, c AS r, NULL AS c2 FROM rc
+        UNION ALL SELECT a, NULL, c FROM cc)
+  GROUP BY 1
+),
+mb AS (
+  SELECT b,
+         SUM(COALESCE(r, 0)) * 1.0 / (SELECT n FROM nr) AS dr,
+         SUM(COALESCE(c2, 0)) * 1.0 / (SELECT n FROM nc) AS dc
+  FROM (SELECT b, c AS r, NULL AS c2 FROM rc
+        UNION ALL SELECT b, NULL, c FROM cc)
+  GROUP BY 1
+),
+pa AS (SELECT SUM((dc - dr) * ln((dc + 1e-6) / (dr + 1e-6))) AS s FROM ma),
+pb AS (SELECT SUM((dc - dr) * ln((dc + 1e-6) / (dr + 1e-6))) AS s FROM mb)
+SELECT 'l_returnflag' AS col_a, 'l_linestatus' AS col_b,
+       (SELECT n FROM nr) AS n_ref, (SELECT n FROM nc) AS n_cand,
+       joint.k AS n_cells,
+       round(joint.s, 3) AS joint_psi,
+       round(pa.s, 3) AS marginal_psi_a,
+       round(pb.s, 3) AS marginal_psi_b,
+       round(joint.s - greatest(pa.s, pb.s), 3) AS coupling_excess
+FROM joint CROSS JOIN pa CROSS JOIN pb
+"""
+
+
 def q_line_dedup_documents(spark, sf_dir):
     """CCNet-style corpus-level line dedup (boilerplate removal): lines
     appearing in more than max_df distinct documents are stripped and the
@@ -2839,6 +2965,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries touched this round must come first, stable legacy last.
     return {
         # -- round 4: new/rewritten ------------------------------------
+        "association_orders": q_association_orders,
+        "association_drift_lineitem": q_association_drift_lineitem,
         "line_dedup_documents": q_line_dedup_documents,
         "pixel_manifest_agreement": q_pixel_manifest_agreement,
         "caption_collisions_documents": q_caption_collisions_documents,
@@ -4333,6 +4461,10 @@ SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.9
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "association_orders": _association_profile_sql(
+            "orders", "o_orderstatus", "o_orderpriority"
+        ),
+        "association_drift_lineitem": _association_drift_sql(),
         "line_dedup_documents": _line_dedup_sql(),
         "pixel_manifest_agreement": _PIXEL_MANIFEST_SQL,
         "caption_collisions_documents": _CAPTION_COLLISIONS_SQL,

@@ -207,6 +207,8 @@ def main() -> None:
         # and post-dedup materialization (aggregation + anti-join)
         "pack_documents",
         "dedup_survivors_documents",
+        # joint-distribution coupling drift (two cell-bounded lineitem scans)
+        "association_drift_lineitem",
     ):
         if name not in qs:
             continue
