@@ -2729,6 +2729,47 @@ FROM stat CROSS JOIN tot
 """
 
 
+def q_association_spec_orders(spark, sf_dir):
+    """AssociationRule metric surface (spec-level gate, finalize stage):
+    the rule's (chi2, cramers_v, assoc_cells, assoc_dof) metric rows for a
+    status×priority coupling floor — the same numbers the report's metrics
+    table carries when the rule rides validate_table."""
+    from mdvalidate_spark.operators.association import (
+        association_rule_results,
+    )
+    from mdvalidate_spark.spec import AssociationRule
+
+    orders = _load(spark, sf_dir, "orders")
+    _, metrics = association_rule_results(
+        orders,
+        AssociationRule(
+            "assoc", col_a="o_orderstatus", col_b="o_orderpriority",
+            min_v=0.0,
+        ),
+        "q",
+    )
+    return metrics
+
+
+def _association_spec_sql() -> str:
+    p = _association_profile_sql("orders", "o_orderstatus", "o_orderpriority")
+    return f"""
+WITH p AS ({p})
+SELECT 'q' AS run_id, CAST(NULL AS INTEGER) AS partition_id,
+       'assoc' AS rule_id, 'chi2' AS metric, chi2 AS value,
+       CAST(NULL AS VARCHAR) AS value_str FROM p
+UNION ALL
+SELECT 'q', CAST(NULL AS INTEGER), 'assoc', 'cramers_v', cramers_v,
+       CAST(NULL AS VARCHAR) FROM p
+UNION ALL
+SELECT 'q', CAST(NULL AS INTEGER), 'assoc', 'assoc_cells',
+       CAST(n_cells AS DOUBLE), CAST(NULL AS VARCHAR) FROM p
+UNION ALL
+SELECT 'q', CAST(NULL AS INTEGER), 'assoc', 'assoc_dof',
+       CAST(dof AS DOUBLE), CAST(NULL AS VARCHAR) FROM p
+"""
+
+
 _ASSOC_SPLIT = "l_shipdate < DATE '1996-01-01'"
 
 
@@ -2967,6 +3008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round 4: new/rewritten ------------------------------------
         "association_orders": q_association_orders,
         "association_drift_lineitem": q_association_drift_lineitem,
+        "association_spec_orders": q_association_spec_orders,
         "line_dedup_documents": q_line_dedup_documents,
         "pixel_manifest_agreement": q_pixel_manifest_agreement,
         "caption_collisions_documents": q_caption_collisions_documents,
@@ -4465,6 +4507,7 @@ def oracle_sql() -> dict[str, str]:
             "orders", "o_orderstatus", "o_orderpriority"
         ),
         "association_drift_lineitem": _association_drift_sql(),
+        "association_spec_orders": _association_spec_sql(),
         "line_dedup_documents": _line_dedup_sql(),
         "pixel_manifest_agreement": _PIXEL_MANIFEST_SQL,
         "caption_collisions_documents": _CAPTION_COLLISIONS_SQL,

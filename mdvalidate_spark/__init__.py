@@ -24,6 +24,7 @@ from .errors import MdvSparkError, SchemaError
 from .run import Report, ValidationRun, smoke_validate, validate_table
 from .session import get_spark
 from .spec import (
+    AssociationRule,
     CaptureRule,
     ColumnStatsRule,
     CompositeRegexRule,
@@ -58,6 +59,7 @@ from .spec import (
 )
 
 __all__ = [
+    "AssociationRule",
     "CaptureRule",
     "ColumnStatsRule",
     "CompositeRegexRule",

@@ -40,6 +40,7 @@ from .errors import (
     SchemaError,
 )
 from .spec import (
+    AssociationRule,
     CaptureRule,
     ColumnStatsRule,
     CompositeRegexRule,
@@ -715,6 +716,38 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
                             f"numeric for an outlier rule, got {t.simpleString()}"
                         )
 
+        if isinstance(r, AssociationRule):
+            if not r.col_a or not r.col_b or r.col_a == r.col_b:
+                raise SchemaError(
+                    f"rule {r.id!r}: association needs two DISTINCT columns "
+                    f"(got col_a={r.col_a!r}, col_b={r.col_b!r}) — a column "
+                    "is perfectly associated with itself"
+                )
+            if r.min_v is None and r.max_v is None:
+                raise SchemaError(
+                    f"rule {r.id!r}: association rule asserts nothing "
+                    "without min_v and/or max_v (Cramér's V band)"
+                )
+            for name, bound in (("min_v", r.min_v), ("max_v", r.max_v)):
+                if bound is not None and not (0.0 <= bound <= 1.0):
+                    raise SchemaError(
+                        f"rule {r.id!r}: {name} must be in [0, 1], "
+                        f"got {bound}"
+                    )
+            if (
+                r.min_v is not None
+                and r.max_v is not None
+                and r.min_v > r.max_v
+            ):
+                raise SchemaError(
+                    f"rule {r.id!r}: min_v {r.min_v} > max_v {r.max_v} — "
+                    "an empty band can never pass"
+                )
+            if r.max_cells < 0:
+                raise SchemaError(
+                    f"rule {r.id!r}: max_cells must be >= 0, got {r.max_cells}"
+                )
+
         if isinstance(r, OverlapRule):
             if r.max_jaccard is None and r.max_common is None:
                 raise SchemaError(
@@ -756,6 +789,7 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
                 FreshnessRule,
                 OutlierRule,
                 MonotonicRule,
+                AssociationRule,
             ),
         )
         or (isinstance(r, CountRule) and r.group_by)

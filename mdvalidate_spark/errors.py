@@ -122,6 +122,7 @@ KIND_REPETITION = "repetition"  # Gopher repetition metric above its gate
 KIND_QUALITY = "quality"  # Gopher quality metric outside its envelope
 KIND_OUTLIER = "outlier"  # value outside the robust IQR/MAD envelope (OutlierRule)
 KIND_ORDER = "order"  # value regressed within its ordered group (MonotonicRule)
+KIND_ASSOCIATION = "association"  # Cramér's V outside its declared band (AssociationRule)
 KIND_FD = "fd"  # functional dependency violated (determinant maps to >1 dependent)
 KIND_STALE = "stale"  # freshness bound violated (max timestamp older than allowed)
 KIND_METRIC_BOUND = "metric_bound"  # aggregate metric outside its declared bounds

@@ -145,6 +145,70 @@ def association_profile(
     )
 
 
+def association_rule_results(
+    df: DataFrame, rule, run_id: str
+) -> tuple[DataFrame, DataFrame]:
+    """Finalize-stage evaluation of an AssociationRule: (violations,
+    metrics) frames in the run's shared schemas. The verdict compares the
+    ROUNDED V (6dp — the value reported) against the band, so a replayed
+    run can never flip on float dust. Degenerate contract per the rule's
+    docstring: empty table always violates; dof = 0 violates only an
+    asserted coupling floor."""
+    from ..errors import KIND_ASSOCIATION
+
+    spark = df.sparkSession
+    max_cells = rule.max_cells or MAX_ASSOC_CELLS
+    what = f"rule {rule.id!r}"
+    cells = _cells(df, rule.col_a, rule.col_b, max_cells, what)
+    n, n_a, n_b, dof, chi2, v = _chi2(cells, max_cells, what)
+    v_r = round(v, 6)
+
+    if rule.min_v is not None and rule.max_v is not None:
+        expected = f"cramers_v in [{rule.min_v}, {rule.max_v}]"
+    elif rule.min_v is not None:
+        expected = f"cramers_v >= {rule.min_v}"
+    else:
+        expected = f"cramers_v <= {rule.max_v}"
+    col_desc = f"({rule.col_a}, {rule.col_b})"
+
+    viol_rows = []
+    if n == 0:
+        viol_rows.append(
+            (run_id, None, rule.id, None, col_desc,
+             "non-empty joint distribution", "0 rows", KIND_ASSOCIATION)
+        )
+    elif dof == 0 and rule.min_v is not None:
+        viol_rows.append(
+            (run_id, None, rule.id, None, col_desc, expected,
+             f"unmeasurable: constant column (dof=0, card {n_a}x{n_b})",
+             KIND_ASSOCIATION)
+        )
+    elif (rule.min_v is not None and v_r < rule.min_v) or (
+        rule.max_v is not None and v_r > rule.max_v
+    ):
+        viol_rows.append(
+            (run_id, None, rule.id, None, col_desc, expected,
+             f"{v_r:.6f}", KIND_ASSOCIATION)
+        )
+
+    metrics = spark.createDataFrame(
+        [
+            (run_id, None, rule.id, "chi2", round(chi2, 3), None),
+            (run_id, None, rule.id, "cramers_v", v_r, None),
+            (run_id, None, rule.id, "assoc_cells", float(len(cells)), None),
+            (run_id, None, rule.id, "assoc_dof", float(dof), None),
+        ],
+        "run_id string, partition_id int, rule_id string, metric string, "
+        "value double, value_str string",
+    )
+    violations = spark.createDataFrame(
+        viol_rows,
+        "run_id string, partition_id int, rule_id string, image_id string, "
+        "column string, expected string, actual string, kind string",
+    )
+    return violations, metrics
+
+
 def association_drift(
     ref: DataFrame,
     cand: DataFrame,

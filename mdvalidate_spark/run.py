@@ -683,6 +683,7 @@ class ValidationRun:
 
         for gr in prog.group_rules:
             from .spec import CountRule, FunctionalDependencyRule, UniqueRule
+            from .spec import AssociationRule as _AssociationRule
             from .spec import FreshnessRule as _FreshnessRule
             from .spec import MonotonicRule as _MonotonicRule
             from .spec import OutlierRule as _OutlierRule
@@ -709,6 +710,14 @@ class ValidationRun:
                 )
             elif isinstance(gr, FunctionalDependencyRule):
                 viols.append(agg_rules.fd_violations(self.df, gr, self.run_id))
+            elif isinstance(gr, _AssociationRule):
+                from .operators.association import association_rule_results
+
+                a_viol, a_met = association_rule_results(
+                    self.df, gr, self.run_id
+                )
+                viols.append(a_viol)
+                mets.append(a_met)
             elif isinstance(gr, _FreshnessRule):
                 viols.append(
                     agg_rules.freshness_violations(self.df, gr, self.run_id)

@@ -669,6 +669,38 @@ class OutlierRule(Rule):
 
 
 @dataclass(frozen=True)
+class AssociationRule(Rule):
+    """Cramér's V band between two categorical columns — the
+    joint-distribution gate the per-column families cannot express.
+    ``min_v`` is a coupling floor (an image table's fmt must track its
+    container's magic bytes; a caption's language should associate with its
+    source domain), ``max_v`` an independence ceiling (a quality score
+    leaking the holdout split is a labeling bug). V ∈ [0, 1]: 0 =
+    independent, 1 = one column determines the other.
+
+    Evaluated at finalize over the whole table (a batch-local contingency
+    table would make the verdict depend on batch boundaries, the OutlierRule
+    argument): ONE groupBy bounded by distinct (a, b) cells — loudly refused
+    above ``max_cells`` — then O(cells) driver math over the FULL category
+    grid (see operators/association.py). NULL is a first-class category.
+
+    Degenerate contract: an EMPTY table violates loudly (no distribution
+    statement from no rows); a CONSTANT column (dof = 0) violates when
+    ``min_v`` is set (asserted coupling is unmeasurable) and passes a bare
+    ``max_v`` with V = 0 (a constant column is vacuously independent)."""
+
+    col_a: str = ""
+    col_b: str = ""
+    min_v: float | None = None
+    max_v: float | None = None
+    max_cells: int = 0  # 0 → operators.association.MAX_ASSOC_CELLS
+    kind: str = field(default="association", init=False)
+
+    def targets(self):
+        return (self.col_a, self.col_b)
+
+
+@dataclass(frozen=True)
 class FreshnessRule(Rule):
     """Staleness bound on a timestamp column: ``max(column)`` must lie
     within ``max_age_seconds`` of ``as_of`` — the data-recency contract an

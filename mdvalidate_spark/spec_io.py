@@ -17,6 +17,7 @@ import json
 from .errors import SchemaError
 from .spec import (
     CaptureRule,
+    AssociationRule,
     ColumnStatsRule,
     CompositeRegexRule,
     CountRule,
@@ -71,6 +72,7 @@ RULE_KINDS: dict[str, type] = {
     "format": FormatRule,
     "outlier": OutlierRule,
     "monotonic": MonotonicRule,
+    "association": AssociationRule,
     "pii": PiiRule,
     "repetition": RepetitionRule,
     "text_quality": TextQualityRule,

@@ -97,6 +97,105 @@ def test_association_drift_empty_side_refuses(spark):
         A.association_drift(df, empty, "a", "b")
 
 
+def test_association_rule_compile_lints(spark):
+    from mdvalidate_spark import AssociationRule, Spec, compile_spec
+
+    def _compile(rule):
+        compile_spec(Spec(key_column="id", rules=(rule,)))
+
+    with pytest.raises(SchemaError, match="DISTINCT columns"):
+        _compile(AssociationRule("r", col_a="a", col_b="a", max_v=0.5))
+    with pytest.raises(SchemaError, match="asserts nothing"):
+        _compile(AssociationRule("r", col_a="a", col_b="b"))
+    with pytest.raises(SchemaError, match="must be in"):
+        _compile(AssociationRule("r", col_a="a", col_b="b", max_v=1.5))
+    with pytest.raises(SchemaError, match="empty band"):
+        _compile(
+            AssociationRule("r", col_a="a", col_b="b", min_v=0.8, max_v=0.2)
+        )
+    # valid spec compiles and classifies as a group rule
+    prog = compile_spec(
+        Spec(
+            key_column="id",
+            rules=(AssociationRule("r", col_a="a", col_b="b", max_v=0.5),),
+        )
+    )
+    assert any(r.id == "r" for r in prog.group_rules)
+
+
+def test_association_rule_results_band_and_degenerate(spark):
+    coupled = _pairs_df(spark, [("p", "u")] * 6 + [("q", "v")] * 6)
+    from mdvalidate_spark import AssociationRule
+
+    # independence ceiling violated by coupled data; rounded V reported
+    v, m = A.association_rule_results(
+        coupled, AssociationRule("r", col_a="a", col_b="b", max_v=0.2), "run"
+    )
+    [viol] = v.collect()
+    assert viol["kind"] == "association" and viol["actual"] == "1.000000"
+    assert viol["expected"] == "cramers_v <= 0.2"
+    met = {r["metric"]: r["value"] for r in m.collect()}
+    assert met["cramers_v"] == 1.0 and met["assoc_dof"] == 1.0
+
+    # coupling floor satisfied by the same data
+    v, _ = A.association_rule_results(
+        coupled, AssociationRule("r", col_a="a", col_b="b", min_v=0.9), "run"
+    )
+    assert v.count() == 0
+
+    # constant column: floor unmeasurable -> violation; bare ceiling passes
+    const = _pairs_df(spark, [("p", "u"), ("q", "u")])
+    v, _ = A.association_rule_results(
+        const, AssociationRule("r", col_a="a", col_b="b", min_v=0.5), "run"
+    )
+    assert "dof=0" in v.collect()[0]["actual"]
+    v, _ = A.association_rule_results(
+        const, AssociationRule("r", col_a="a", col_b="b", max_v=0.5), "run"
+    )
+    assert v.count() == 0
+
+    # empty table: loud either way
+    empty = coupled.where("id < 0")
+    v, _ = A.association_rule_results(
+        empty, AssociationRule("r", col_a="a", col_b="b", max_v=0.5), "run"
+    )
+    assert v.collect()[0]["actual"] == "0 rows"
+
+
+def test_association_rule_spec_io_roundtrip(tmp_path):
+    from mdvalidate_spark import AssociationRule
+    from mdvalidate_spark.spec_io import rule_from_dict, rule_to_dict
+
+    r = AssociationRule(
+        "fmt_lang", col_a="fmt", col_b="lang", min_v=0.1, max_v=0.9,
+        max_cells=500,
+    )
+    assert rule_from_dict(rule_to_dict(r)) == r
+
+
+def test_association_rule_in_validate_table(spark, tmp_path):
+    """End-to-end: an AssociationRule rides the finalize stage — verdict,
+    violation row, and metrics all land in the report."""
+    from mdvalidate_spark import AssociationRule, Spec, validate_table
+
+    df = _pairs_df(spark, [("p", "u")] * 8 + [("q", "v")] * 8)
+    spec = Spec(
+        key_column="id",
+        rules=(AssociationRule("indep", col_a="a", col_b="b", max_v=0.3),),
+    )
+    report = validate_table(
+        spark, df, spec, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    assert report.exit_code != 0
+    viols = report.violations.where("rule_id = 'indep'").collect()
+    assert len(viols) == 1 and viols[0]["kind"] == "association"
+    met = {
+        r["metric"]: r["value"]
+        for r in report.metrics.where("rule_id = 'indep'").collect()
+    }
+    assert met["cramers_v"] == 1.0
+
+
 def test_association_matches_scipy_formula(spark):
     """chi2 against the hand-computed textbook value on an unbalanced 2x2
     table (o=observed, e=row·col/n)."""
