@@ -2729,6 +2729,75 @@ FROM stat CROSS JOIN tot
 """
 
 
+def q_semantic_decontam_embeddings(spark, sf_dir):
+    """Semantic (embedding-space) decontamination: every 50th vector is the
+    'benchmark' eval set, the rest plus PLANTED near-copies of the bench
+    vectors (the same deterministic perturbation as the neardup oracle,
+    keyed on the original id) are the corpus — broadcast bench, one corpus
+    scan, per-doc (hits, max cos, deterministic nearest) at 6dp
+    (operators/decontam.py semantic_contamination)."""
+    from mdvalidate_spark.operators.decontam import semantic_contamination
+
+    emb = _load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    bench = emb.where("vec_id % 50 = 0")
+    # perturb FIRST (keyed on the ORIGINAL vec_id), re-id in a second
+    # select: Spark's lateral-column-alias resolution makes a same-select
+    # lambda see the ALIASED vec_id (+1000000) — the exact shadowing the
+    # DuckDB replica's comment warns about, on the Spark side
+    planted = bench.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x
+            + F.lit(0.001)
+            * ((F.col("vec_id") * 31 + i + 1) % 7 - 3).cast("double"),
+        ).alias("embedding"),
+    ).select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    corpus = emb.where("vec_id % 50 != 0").unionByName(planted)
+    return semantic_contamination(corpus, bench, threshold=0.9)
+
+
+_SEMANTIC_DECONTAM_SQL = """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+bench AS (SELECT vec_id AS bench_id, v AS bv FROM base WHERE vec_id % 50 = 0),
+planted AS (
+  SELECT vec_id + 1000000 AS corpus_id,
+         list_transform(range(1, len(v) + 1),
+                        i -> v[i] + 0.001 * CAST((vec_id * 31 + i) % 7 - 3 AS DOUBLE)) AS cv
+  FROM base WHERE vec_id % 50 = 0
+),
+corpus AS (
+  SELECT vec_id AS corpus_id, v AS cv FROM base WHERE vec_id % 50 != 0
+  UNION ALL SELECT corpus_id, cv FROM planted
+),
+scored AS (
+  SELECT corpus_id, bench_id,
+         round(
+           list_aggregate(list_transform(range(1, len(cv) + 1), i -> cv[i] * bv[i]), 'sum')
+           / (sqrt(list_aggregate(list_transform(cv, x -> x * x), 'sum'))
+              * sqrt(list_aggregate(list_transform(bv, x -> x * x), 'sum'))), 6) AS cos_r
+  FROM corpus CROSS JOIN bench
+),
+hit AS (SELECT * FROM scored WHERE cos_r >= 0.9),
+agg AS (
+  SELECT corpus_id, COUNT(*) AS n_bench_hits, MAX(cos_r) AS max_cos
+  FROM hit GROUP BY 1
+),
+nearest AS (
+  SELECT h.corpus_id, MIN(h.bench_id) AS nearest_bench_id
+  FROM hit h JOIN agg a ON h.corpus_id = a.corpus_id AND h.cos_r = a.max_cos
+  GROUP BY 1
+)
+SELECT a.corpus_id, a.n_bench_hits, a.max_cos, n.nearest_bench_id
+FROM agg a JOIN nearest n USING (corpus_id)
+"""
+
+
 def q_association_spec_orders(spark, sf_dir):
     """AssociationRule metric surface (spec-level gate, finalize stage):
     the rule's (chi2, cramers_v, assoc_cells, assoc_dof) metric rows for a
@@ -3009,6 +3078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "association_orders": q_association_orders,
         "association_drift_lineitem": q_association_drift_lineitem,
         "association_spec_orders": q_association_spec_orders,
+        "semantic_decontam_embeddings": q_semantic_decontam_embeddings,
         "line_dedup_documents": q_line_dedup_documents,
         "pixel_manifest_agreement": q_pixel_manifest_agreement,
         "caption_collisions_documents": q_caption_collisions_documents,
@@ -4508,6 +4578,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "association_drift_lineitem": _association_drift_sql(),
         "association_spec_orders": _association_spec_sql(),
+        "semantic_decontam_embeddings": _SEMANTIC_DECONTAM_SQL,
         "line_dedup_documents": _line_dedup_sql(),
         "pixel_manifest_agreement": _PIXEL_MANIFEST_SQL,
         "caption_collisions_documents": _CAPTION_COLLISIONS_SQL,

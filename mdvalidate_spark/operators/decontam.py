@@ -112,6 +112,66 @@ def contamination_violations(
     )
 
 
+def semantic_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-space decontamination: corpus docs whose embedding sits at
+    cosine ≥ ``threshold`` to ANY benchmark item — the paraphrase /
+    translation / near-rewrite contamination the k-gram pass above cannot
+    see (the semantic analog modern pipelines run next to n-gram
+    decontamination).
+
+    Scale shape: a benchmark is an eval set — 10³–10⁵ rows against a 10¹²
+    corpus — so the bench side BROADCASTS and the corpus pays ONE map-only
+    scan with per-doc aggregation: no corpus shuffle, no LSH. (That
+    asymmetry is the design: contamination is corpus × small-benchmark;
+    corpus × corpus near-dup belongs to dedup.embedding_near_duplicates'
+    SRP-LSH.) Cosines round to 6dp BEFORE thresholding so a replayed run
+    and the DuckDB oracle agree at the boundary.
+
+    Returns one row per CONTAMINATED corpus doc: (corpus_id, n_bench_hits,
+    max_cos, nearest_bench_id) — nearest = min bench id among max-cos ties,
+    deterministic under any parallelism. Clean docs emit nothing.
+    Mismatched-dimension or NULL vectors drop out via NULL-cosine
+    propagation (never a fabricated 0-similarity verdict)."""
+    from .dedup import cosine
+
+    c = docs.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    b = benchmark.select(
+        F.col(id_col).alias("bench_id"),
+        F.col(vec_col).cast("array<double>").alias("bv"),
+    )
+    scored = (
+        c.join(F.broadcast(b))
+        .select(
+            "corpus_id",
+            "bench_id",
+            F.round(cosine(F.col("cv"), F.col("bv")), 6).alias("cos_r"),
+        )
+        .where(F.col("cos_r") >= threshold)
+    )
+    hits = scored.groupBy("corpus_id").agg(
+        F.count(F.lit(1)).alias("n_bench_hits"),
+        F.max("cos_r").alias("max_cos"),
+    )
+    # ties broken toward the smallest bench id: a second pass over the
+    # (tiny, already-thresholded) hits frame, never over the corpus
+    nearest = (
+        scored.join(hits.select("corpus_id", "max_cos"), "corpus_id")
+        .where(F.col("cos_r") == F.col("max_cos"))
+        .groupBy("corpus_id")
+        .agg(F.min("bench_id").alias("nearest_bench_id"))
+    )
+    return hits.join(nearest, "corpus_id")
+
+
 def split_leakage(
     df: DataFrame,
     key_cols,

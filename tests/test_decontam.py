@@ -125,3 +125,57 @@ def test_split_leakage_clean_when_no_duplicates(spark):
         "doc_id long, text string",
     )
     assert split_leakage(df, ["doc_id"], 0.3).count() == 0
+
+
+def test_semantic_contamination_detects_planted_near_copy(spark):
+    """A corpus vector that is a tiny perturbation of a bench vector is
+    flagged with max_cos ≈ 1 and the right nearest id; orthogonal corpus
+    vectors emit nothing."""
+    bench = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, [0.999, 0.01, 0.0]),   # near bench 1
+            (11, [0.0, 0.0, 1.0]),      # orthogonal to both
+            (12, [0.01, 0.995, 0.0]),   # near bench 2
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["corpus_id"]: r
+        for r in DC.semantic_contamination(corpus, bench, 0.95).collect()
+    }
+    assert set(out) == {10, 12}
+    assert out[10]["nearest_bench_id"] == 1 and out[10]["max_cos"] > 0.99
+    assert out[12]["nearest_bench_id"] == 2
+    assert out[10]["n_bench_hits"] == 1
+
+
+def test_semantic_contamination_tie_breaks_to_min_bench_id(spark):
+    """Two identical bench vectors: nearest_bench_id is the SMALLER id and
+    both count as hits — deterministic at any parallelism."""
+    bench = spark.createDataFrame(
+        [(7, [1.0, 0.0]), (3, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [(99, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    [r] = DC.semantic_contamination(corpus, bench, 0.9).collect()
+    assert r["nearest_bench_id"] == 3 and r["n_bench_hits"] == 2
+    assert r["max_cos"] == 1.0
+
+
+def test_semantic_contamination_null_and_ragged_drop_out(spark):
+    """NULL and dimension-mismatched vectors never fabricate a verdict."""
+    bench = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    corpus = spark.createDataFrame(
+        [(10, None), (11, [1.0, 0.0, 0.0]), (12, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = DC.semantic_contamination(corpus, bench, 0.5).collect()
+    assert {r["corpus_id"] for r in out} == {12}
