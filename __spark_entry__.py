@@ -2729,6 +2729,38 @@ FROM stat CROSS JOIN tot
 """
 
 
+def q_suggest_assoc_orders(spark, sf_dir):
+    """Suggestion ratchet extended to COLUMN PAIRS: profile orders once and
+    draft an AssociationRule Cramér's-V band for the (priority, status)
+    domain-column pair — observed V ± max(15%, 0.05 slack) in integer
+    micro-units, clamped to [0, 1]. The oracle re-derives the full-grid V
+    and the exact band arithmetic."""
+    from mdvalidate_spark.operators.suggest import suggest_spec, suggestion_rows
+
+    orders = _load(spark, sf_dir, "orders")
+    spec = suggest_spec(
+        orders, "o_orderkey", exact=True, association_gates=True
+    )
+    return suggestion_rows(spark, spec).where("kind = 'association'")
+
+
+def _suggest_assoc_sql() -> str:
+    p = _association_profile_sql("orders", "o_orderpriority", "o_orderstatus")
+    return f"""
+WITH p AS ({p}),
+m AS (SELECT CAST(round(cramers_v * 1e6) AS BIGINT) AS v_m FROM p),
+s AS (SELECT v_m,
+             greatest(CAST(ceil(v_m * 0.15) AS BIGINT), 50000) AS slack
+      FROM m)
+SELECT 'o_orderpriority,o_orderstatus' AS column_name,
+       'association' AS kind,
+       printf('cramers_v in [%.6f, %.6f]',
+              greatest(0, v_m - slack) / 1000000.0,
+              least(1000000, v_m + slack) / 1000000.0) AS detail
+FROM s
+"""
+
+
 def q_semantic_decontam_embeddings(spark, sf_dir):
     """Semantic (embedding-space) decontamination: every 50th vector is the
     'benchmark' eval set, the rest plus PLANTED near-copies of the bench
@@ -3079,6 +3111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "association_drift_lineitem": q_association_drift_lineitem,
         "association_spec_orders": q_association_spec_orders,
         "semantic_decontam_embeddings": q_semantic_decontam_embeddings,
+        "suggest_assoc_orders": q_suggest_assoc_orders,
         "line_dedup_documents": q_line_dedup_documents,
         "pixel_manifest_agreement": q_pixel_manifest_agreement,
         "caption_collisions_documents": q_caption_collisions_documents,
@@ -4579,6 +4612,7 @@ def oracle_sql() -> dict[str, str]:
         "association_drift_lineitem": _association_drift_sql(),
         "association_spec_orders": _association_spec_sql(),
         "semantic_decontam_embeddings": _SEMANTIC_DECONTAM_SQL,
+        "suggest_assoc_orders": _suggest_assoc_sql(),
         "line_dedup_documents": _line_dedup_sql(),
         "pixel_manifest_agreement": _PIXEL_MANIFEST_SQL,
         "caption_collisions_documents": _CAPTION_COLLISIONS_SQL,

@@ -133,6 +133,13 @@ def parse_args(argv=None):
         "bool/double) holds for every non-null value "
         "(operators/suggest.py format_gates)",
     )
+    p.add_argument(
+        "--suggest-assoc-gates",
+        action="store_true",
+        help="with --suggest-key: also draft AssociationRule Cramér's-V "
+        "bands for every pair of domain-sized string columns — the "
+        "coupling ratchet (operators/suggest.py association_gates)",
+    )
     return p.parse_args(argv)
 
 
@@ -315,6 +322,7 @@ def _suggest_main(args) -> int:
             drift=args.suggest_drift is not None,
             text_gates=args.suggest_text_gates,
             format_gates=args.suggest_format_gates,
+            association_gates=args.suggest_assoc_gates,
         )
         save_spec(spec, args.spec)
         if args.suggest_drift is not None:

@@ -74,6 +74,19 @@ the default candidates: try_parse_json accepts any scalar literal, so it
 would blanket-match numeric-ish columns, and DuckDB's json_valid disagrees
 with it on bare ``nan``/``inf`` (FormatRule docstring) — opt in per table.
 
+``association_gates=True`` extends the ratchet to COLUMN PAIRS: for every
+pair of domain-sized string columns the observed Cramér's V (full-grid
+chi2, operators/association.py) becomes a drafted ``AssociationRule``
+band — V ± max(``association_headroom``·V, ``association_min_slack``),
+clamped to [0, 1] in integer micro-units. Coupling is an invariant in both
+directions: a pair that is independent today acquiring association (a
+quality score leaking the split) and a pair that is coupled today losing
+it (fmt drifting off its container magic) are BOTH regressions. Pairs
+with dof = 0 (a constant column) make no statement and draft nothing.
+Each pair costs one cell-bounded groupBy — pairs are C(#domains, 2) of
+small-cardinality columns, so the extra passes are few and each is
+shuffle-bounded by ≤ domain_max_distinct² cells.
+
 All bounds are computed so the draft still VALIDATES CLEAN on the
 profiled table (ceil/floor always rounds the permissive way).
 """
@@ -99,6 +112,7 @@ from pyspark.sql.types import (
 
 from ..spec import (
     FORMATS,
+    AssociationRule,
     DomainRule,
     DriftRule,
     FormatRule,
@@ -142,6 +156,9 @@ def suggest_spec(
     text_min_avg_len: float = 50.0,
     text_headroom: float = 0.25,
     text_min_words: int = 20,
+    association_gates: bool = False,
+    association_headroom: float = 0.15,
+    association_min_slack: float = 0.05,
     format_gates: bool = False,
     format_candidates: tuple[str, ...] = (
         "int",
@@ -436,6 +453,34 @@ def suggest_spec(
             )
         if c in unique_cols:
             rules.append(UniqueRule(f"suggest_unique_{c}", columns=(c,)))
+    if association_gates and len(domains) >= 2:
+        # pairwise coupling ratchet over the domain-sized columns: observed
+        # V (rounded 6dp, the value AssociationRule compares) ± headroom in
+        # integer micro-units, clamped to [0, 1]; min_slack keeps a
+        # near-independent pair from drafting a zero-width band
+        from itertools import combinations
+
+        from .association import MAX_ASSOC_CELLS, _cells, _chi2
+
+        slack_floor = int(round(association_min_slack * 1e6))
+        for a, b in combinations(sorted(domains), 2):
+            what = f"suggest_assoc_{a}__{b}"
+            cells = _cells(df, a, b, MAX_ASSOC_CELLS, what)
+            _, _, _, dof, _, v = _chi2(cells, MAX_ASSOC_CELLS, what)
+            if dof == 0:
+                continue  # constant column: no association statement
+            v_m = int(round(round(v, 6) * 1e6))
+            slack = max(int(math.ceil(v_m * association_headroom)), slack_floor)
+            rules.append(
+                AssociationRule(
+                    what,
+                    col_a=a,
+                    col_b=b,
+                    min_v=max(0, v_m - slack) / 1e6,
+                    max_v=min(1_000_000, v_m + slack) / 1e6,
+                )
+            )
+
     if gates and n_rows > 0:
         # volume floor: growth is fine, silent truncation is the failure mode
         rules.append(
@@ -526,6 +571,14 @@ def suggestion_rows(spark, spec: Spec) -> DataFrame:
             )
         elif isinstance(r, FormatRule):
             rows.append((r.column, "format", f"format = {r.format}"))
+        elif isinstance(r, AssociationRule):
+            rows.append(
+                (
+                    f"{r.col_a},{r.col_b}",
+                    "association",
+                    f"cramers_v in [{r.min_v:.6f}, {r.max_v:.6f}]",
+                )
+            )
         elif isinstance(r, PiiRule):
             rows.append((r.column, "pii", f"pii_total <= {r.max_total}"))
         elif isinstance(r, RepetitionRule):

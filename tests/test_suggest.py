@@ -413,3 +413,65 @@ def test_format_gates_unknown_candidate_raises(spark, frame):
             frame, "id", exact=True, format_gates=True,
             format_candidates=("int", "ipv6"),
         )
+
+
+def test_association_gates_drafted_and_clean(spark):
+    """Pairs of domain-sized columns draft an AssociationRule band around
+    the observed V; the draft validates CLEAN on the profiled table (the
+    ratchet property), and the band has at least min_slack width even at
+    V = 0 or V = 1."""
+    from mdvalidate_spark.spec import AssociationRule
+    from mdvalidate_spark import validate_table
+
+    df = spark.createDataFrame(
+        [(i, "p" if i % 2 == 0 else "q", "u" if i % 2 == 0 else "w")
+         for i in range(24)],
+        "id long, a string, b string",
+    )
+    spec = suggest_spec(df, "id", exact=True, association_gates=True)
+    assoc = [r for r in spec.rules if isinstance(r, AssociationRule)]
+    assert len(assoc) == 1
+    [r] = assoc
+    assert r.id == "suggest_assoc_a__b"
+    # b fully determined by a: V = 1 -> band [1 - slack, 1]
+    assert r.max_v == 1.0 and 0.8 <= r.min_v < 1.0
+    report = validate_table(spark, df, spec)
+    assert report.exit_code == 0
+
+    # independent balanced pair: V = 0 -> band [0, slack], still clean
+    df2 = spark.createDataFrame(
+        [(i, "p" if i % 2 == 0 else "q", "u" if i < 12 else "w")
+         for i in range(24)],
+        "id long, a string, b string",
+    )
+    spec2 = suggest_spec(df2, "id", exact=True, association_gates=True)
+    [r2] = [r for r in spec2.rules if isinstance(r, AssociationRule)]
+    assert r2.min_v == 0.0 and r2.max_v == pytest.approx(0.05)
+    assert validate_table(spark, df2, spec2).exit_code == 0
+
+
+def test_association_gates_skip_constant_and_off_by_default(spark, frame):
+    from mdvalidate_spark.spec import AssociationRule
+
+    # off by default
+    spec = suggest_spec(frame, "id", exact=True)
+    assert not any(isinstance(r, AssociationRule) for r in spec.rules)
+    # constant column pair -> dof 0 -> nothing drafted
+    df = spark.createDataFrame(
+        [(1, "p", "u"), (2, "q", "u")], "id long, a string, b string"
+    )
+    spec = suggest_spec(df, "id", exact=True, association_gates=True)
+    assert not any(isinstance(r, AssociationRule) for r in spec.rules)
+
+
+def test_association_gates_render_in_suggestion_rows(spark):
+    df = spark.createDataFrame(
+        [(i, "p" if i % 2 == 0 else "q", "u" if i % 2 == 0 else "w")
+         for i in range(10)],
+        "id long, a string, b string",
+    )
+    spec = suggest_spec(df, "id", exact=True, association_gates=True)
+    rows = suggestion_rows(spark, spec).where("kind = 'association'").collect()
+    assert len(rows) == 1
+    assert rows[0]["column_name"] == "a,b"
+    assert rows[0]["detail"].startswith("cramers_v in [")
