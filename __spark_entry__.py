@@ -2729,6 +2729,35 @@ FROM stat CROSS JOIN tot
 """
 
 
+def q_association_partials_orders(spark, sf_dir):
+    """INCREMENTAL association: per-batch contingency cell partials
+    (batches = orderkey residues, the manifest-partial pattern) merged to
+    the profile — the oracle is the FULL-SCAN profile SQL, value-checking
+    that the incremental path is bit-identical to a rescan."""
+    from mdvalidate_spark.operators.association import (
+        association_cell_partials,
+        association_from_partials,
+    )
+
+    orders = _load(spark, sf_dir, "orders").withColumn(
+        "partition_id", (F.col("o_orderkey") % 4).cast("int")
+    )
+    parts = [
+        association_cell_partials(
+            orders.where(F.col("o_orderkey") % 4 == b),
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        for b in (0, 1, 2, 3)
+    ]
+    partials = parts[0]
+    for p in parts[1:]:
+        partials = partials.unionByName(p)
+    return association_from_partials(
+        partials, "o_orderstatus", "o_orderpriority"
+    )
+
+
 def q_suggest_assoc_orders(spark, sf_dir):
     """Suggestion ratchet extended to COLUMN PAIRS: profile orders once and
     draft an AssociationRule Cramér's-V band for the (priority, status)
@@ -3112,6 +3141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "association_spec_orders": q_association_spec_orders,
         "semantic_decontam_embeddings": q_semantic_decontam_embeddings,
         "suggest_assoc_orders": q_suggest_assoc_orders,
+        "association_partials_orders": q_association_partials_orders,
         "line_dedup_documents": q_line_dedup_documents,
         "pixel_manifest_agreement": q_pixel_manifest_agreement,
         "caption_collisions_documents": q_caption_collisions_documents,
@@ -4613,6 +4643,9 @@ def oracle_sql() -> dict[str, str]:
         "association_spec_orders": _association_spec_sql(),
         "semantic_decontam_embeddings": _SEMANTIC_DECONTAM_SQL,
         "suggest_assoc_orders": _suggest_assoc_sql(),
+        "association_partials_orders": _association_profile_sql(
+            "orders", "o_orderstatus", "o_orderpriority"
+        ),
         "line_dedup_documents": _line_dedup_sql(),
         "pixel_manifest_agreement": _PIXEL_MANIFEST_SQL,
         "caption_collisions_documents": _CAPTION_COLLISIONS_SQL,

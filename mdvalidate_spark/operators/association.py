@@ -112,20 +112,10 @@ def _chi2(
     return n, n_a, n_b, dof, chi2, v
 
 
-def association_profile(
-    df: DataFrame,
-    col_a: str,
-    col_b: str,
-    max_cells: int = MAX_ASSOC_CELLS,
+def _profile_frame(
+    spark, cells: list, col_a: str, col_b: str, max_cells: int, what: str
 ) -> DataFrame:
-    """One-row association profile of two categorical columns: contingency
-    size, chi-squared independence statistic, and Cramér's V (0 =
-    independent, 1 = one column determines the other). Degenerate tables
-    (either column constant, or empty) report chi2 = V = 0 with dof 0 —
-    a vacuous association, visible as such, never a crash."""
-    spark = df.sparkSession
-    cells = _cells(df, col_a, col_b, max_cells, "association_profile")
-    n, n_a, n_b, dof, chi2, v = _chi2(cells, max_cells, "association_profile")
+    n, n_a, n_b, dof, chi2, v = _chi2(cells, max_cells, what)
     return spark.createDataFrame(
         [
             (
@@ -142,6 +132,74 @@ def association_profile(
         ],
         "col_a string, col_b string, n_rows long, n_cells long, "
         "card_a long, card_b long, dof long, chi2 double, cramers_v double",
+    )
+
+
+def association_profile(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    max_cells: int = MAX_ASSOC_CELLS,
+) -> DataFrame:
+    """One-row association profile of two categorical columns: contingency
+    size, chi-squared independence statistic, and Cramér's V (0 =
+    independent, 1 = one column determines the other). Degenerate tables
+    (either column constant, or empty) report chi2 = V = 0 with dof 0 —
+    a vacuous association, visible as such, never a crash."""
+    cells = _cells(df, col_a, col_b, max_cells, "association_profile")
+    return _profile_frame(
+        df.sparkSession, cells, col_a, col_b, max_cells, "association_profile"
+    )
+
+
+def association_cell_partials(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    partition_col: str = "partition_id",
+) -> DataFrame:
+    """MERGEABLE per-partition contingency partials: one row per
+    (partition, a_key, b_key) with its count — the association analog of
+    sweep_histogram_partials. Counts merge by plain summation, so a
+    checkpointed run appends each batch's partials (idempotent
+    dynamic-overwrite keyed on the partition, like every other partial in
+    the manifest) and the EOF profile never rescans the table. Size bound:
+    O(partitions × cells) rows of three small values."""
+    return df.groupBy(
+        F.col(partition_col).cast("int").alias("partition_id"),
+        _cat_key(F.col(col_a)).alias("_a"),
+        _cat_key(F.col(col_b)).alias("_b"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def association_from_partials(
+    partials: DataFrame,
+    col_a: str,
+    col_b: str,
+    max_cells: int = MAX_ASSOC_CELLS,
+) -> DataFrame:
+    """Merge accumulated cell partials (sum per cell — distributed, before
+    anything reaches the driver) and compute the IDENTICAL one-row profile
+    association_profile produces from a full scan. The incremental EOF
+    pass for coupling: bit-identical to the full-scan result because both
+    paths feed the same full-grid chi2 the same integer cell counts."""
+    what = "association_from_partials"
+    rows = (
+        partials.groupBy("_a", "_b")
+        .agg(F.sum("n").alias("_n"))
+        .limit(max_cells + 1)
+        .collect()
+    )
+    if len(rows) > max_cells:
+        raise SchemaError(
+            f"{what}: ({col_a!r}, {col_b!r}) has more than {max_cells} "
+            "distinct cells — association over key-like columns is "
+            "meaningless and unbounded; pick categorical columns or raise "
+            "max_cells deliberately"
+        )
+    cells = sorted((r["_a"], r["_b"], r["_n"]) for r in rows)
+    return _profile_frame(
+        partials.sparkSession, cells, col_a, col_b, max_cells, what
     )
 
 

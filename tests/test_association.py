@@ -196,6 +196,40 @@ def test_association_rule_in_validate_table(spark, tmp_path):
     assert met["cramers_v"] == 1.0
 
 
+def test_association_partials_merge_equals_full_scan(spark):
+    """Cell partials accumulated over two disjoint batches merge to the
+    BIT-IDENTICAL profile a full scan produces — the incremental EOF
+    contract (same integer cells -> same full-grid chi2)."""
+    from pyspark.sql import functions as F
+
+    pairs = (
+        [("p", "u")] * 10 + [("p", "v")] * 20
+        + [("q", "u")] * 30 + [("q", "v")] * 41
+    )
+    df = _pairs_df(spark, pairs).withColumn(
+        "partition_id", (F.col("id") % 3).cast("int")
+    )
+    batch0 = df.where("partition_id = 0")
+    rest = df.where("partition_id != 0")
+    partials = A.association_cell_partials(
+        batch0, "a", "b"
+    ).unionByName(A.association_cell_partials(rest, "a", "b"))
+    merged = A.association_from_partials(partials, "a", "b").collect()[0]
+    full = A.association_profile(df, "a", "b").collect()[0]
+    assert merged.asDict() == full.asDict()
+
+
+def test_association_partials_cap_refuses(spark):
+    from pyspark.sql import functions as F
+
+    df = _pairs_df(spark, [(str(i), str(i)) for i in range(10)]).withColumn(
+        "partition_id", F.lit(0)
+    )
+    partials = A.association_cell_partials(df, "a", "b")
+    with pytest.raises(SchemaError, match="distinct cells"):
+        A.association_from_partials(partials, "a", "b", max_cells=5)
+
+
 def test_association_matches_scipy_formula(spark):
     """chi2 against the hand-computed textbook value on an unbalanced 2x2
     table (o=observed, e=row·col/n)."""
