@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..errors import SchemaError
-from .drift import _EPS, psi
+from .drift import psi
 
 # contingency cells above this are a refusal, not a silent truncation: two
 # key-like columns produce O(rows) cells and the statistic is meaningless
@@ -214,6 +214,13 @@ def association_rule_results(
     asserted coupling floor."""
     from ..errors import KIND_ASSOCIATION
 
+    # public operator API, callable without compile_spec (the metric_bounds
+    # precedent): guard the vacuous band here too, not just in the lint
+    if rule.min_v is None and rule.max_v is None:
+        raise SchemaError(
+            f"rule {rule.id!r}: association rule asserts nothing without "
+            "min_v and/or max_v (Cramér's V band)"
+        )
     spark = df.sparkSession
     max_cells = rule.max_cells or MAX_ASSOC_CELLS
     what = f"rule {rule.id!r}"

@@ -148,6 +148,8 @@ def semantic_contamination(
         F.col(id_col).alias("bench_id"),
         F.col(vec_col).cast("array<double>").alias("bv"),
     )
+    from pyspark.storagelevel import StorageLevel
+
     scored = (
         c.join(F.broadcast(b))
         .select(
@@ -156,6 +158,10 @@ def semantic_contamination(
             F.round(cosine(F.col("cv"), F.col("bv")), 6).alias("cos_r"),
         )
         .where(F.col("cos_r") >= threshold)
+        # both the hits aggregate and the nearest tie-break read this frame:
+        # persist the (small, post-threshold) scores so the corpus×bench
+        # cosine scan runs ONCE, not once per consumer
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     hits = scored.groupBy("corpus_id").agg(
         F.count(F.lit(1)).alias("n_bench_hits"),

@@ -162,6 +162,18 @@ def test_association_rule_results_band_and_degenerate(spark):
     assert v.collect()[0]["actual"] == "0 rows"
 
 
+def test_association_rule_results_boundless_refused(spark):
+    """Direct operator call without compile_spec still refuses a vacuous
+    band with a typed error (the metric_bounds precedent)."""
+    from mdvalidate_spark import AssociationRule
+
+    df = _pairs_df(spark, [("p", "u")])
+    with pytest.raises(SchemaError, match="asserts nothing"):
+        A.association_rule_results(
+            df, AssociationRule("r", col_a="a", col_b="b"), "run"
+        )
+
+
 def test_association_rule_spec_io_roundtrip(tmp_path):
     from mdvalidate_spark import AssociationRule
     from mdvalidate_spark.spec_io import rule_from_dict, rule_to_dict
