@@ -2729,6 +2729,48 @@ FROM stat CROSS JOIN tot
 """
 
 
+_MIX_TARGETS = (("de", 0.15), ("en", 0.40), ("es", 0.20), ("fr", 0.15), ("ja", 0.10))
+
+
+def q_mixture_documents(spark, sf_dir):
+    """Corpus-mix validation: per-language CHAR-weighted share of the
+    documents corpus vs a curated target mix (operators/mixture.py) —
+    'ja' is targeted but absent (dead feed), 'zh' present but unplanned
+    (implicit target 0): both edge directions land in the report. One
+    bounded groupBy, O(groups) driver math, 6dp share rounding."""
+    from mdvalidate_spark.operators.mixture import mixture_report
+
+    docs = _load(spark, sf_dir, "documents")
+    return mixture_report(
+        docs, "lang", dict(_MIX_TARGETS), weight_col="n_chars", tol=0.05
+    )
+
+
+def _mixture_sql() -> str:
+    target_rows = ", ".join(f"('{g}', {t})" for g, t in _MIX_TARGETS)
+    return f"""
+WITH obs AS (
+  SELECT CAST(lang AS VARCHAR) AS g,
+         COALESCE(SUM(CAST(n_chars AS DOUBLE)), 0.0) AS w
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT SUM(w) AS t FROM obs),
+tgt AS (SELECT g, CAST(target AS DOUBLE) AS target
+        FROM (VALUES {target_rows}) AS v(g, target)),
+uni AS (
+  SELECT COALESCE(o.g, t.g) AS group_value,
+         COALESCE(o.w, 0.0) AS observed_weight,
+         round(COALESCE(o.w, 0.0) / (SELECT t FROM tot), 6) AS observed_share,
+         round(COALESCE(t.target, 0.0), 6) AS target_share
+  FROM obs o FULL OUTER JOIN tgt t ON o.g = t.g
+)
+SELECT group_value, observed_weight, observed_share, target_share,
+       round(abs(observed_share - target_share), 6) AS abs_dev,
+       round(abs(observed_share - target_share), 6) <= 0.05 AS within_tol
+FROM uni
+"""
+
+
 def q_association_partials_orders(spark, sf_dir):
     """INCREMENTAL association: per-batch contingency cell partials
     (batches = orderkey residues, the manifest-partial pattern) merged to
@@ -3142,6 +3184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_decontam_embeddings": q_semantic_decontam_embeddings,
         "suggest_assoc_orders": q_suggest_assoc_orders,
         "association_partials_orders": q_association_partials_orders,
+        "mixture_documents": q_mixture_documents,
         "line_dedup_documents": q_line_dedup_documents,
         "pixel_manifest_agreement": q_pixel_manifest_agreement,
         "caption_collisions_documents": q_caption_collisions_documents,
@@ -4646,6 +4689,7 @@ def oracle_sql() -> dict[str, str]:
         "association_partials_orders": _association_profile_sql(
             "orders", "o_orderstatus", "o_orderpriority"
         ),
+        "mixture_documents": _mixture_sql(),
         "line_dedup_documents": _line_dedup_sql(),
         "pixel_manifest_agreement": _PIXEL_MANIFEST_SQL,
         "caption_collisions_documents": _CAPTION_COLLISIONS_SQL,
