@@ -2402,6 +2402,63 @@ def q_outlier_orders(spark, sf_dir):
     return _viol_out(a.unionByName(b))
 
 
+def q_outlier_expr_lineitem(spark, sf_dir):
+    """OutlierRule.expr: a DERIVED-metric envelope — unit price
+    (extendedprice/quantity) per returnflag, the metadata-only corruption
+    triage (the image-table twin is length(bytes)/(w·h) per fmt, catching
+    truncated payloads before any decode). De-vacuated with ×1000
+    fat-finger prices by key residue; MAD fences, exact quantiles for the
+    DuckDB replica."""
+    from mdvalidate_spark.operators.outliers import outlier_violations
+    from mdvalidate_spark.spec import OutlierRule
+
+    li = _load(spark, sf_dir, "lineitem").withColumn(
+        "l_extendedprice",
+        F.when(
+            F.col("l_orderkey") % 499 == 7, F.col("l_extendedprice") * 1000
+        ).otherwise(F.col("l_extendedprice")),
+    )
+    v = outlier_violations(
+        li,
+        OutlierRule(
+            "unit_price",
+            expr="l_extendedprice / l_quantity",
+            group_by=("l_returnflag",),
+            method="mad",
+            exact=True,
+        ),
+        "q",
+        "l_orderkey",
+    )
+    return _viol_out(v)
+
+
+def _outlier_expr_sql() -> str:
+    return """
+WITH base AS (
+  SELECT l_orderkey, l_returnflag AS g,
+         CAST(CASE WHEN l_orderkey % 499 = 7 THEN l_extendedprice * 1000
+                   ELSE l_extendedprice END / l_quantity AS DOUBLE) AS x
+  FROM lineitem
+  WHERE (CASE WHEN l_orderkey % 499 = 7 THEN l_extendedprice * 1000
+              ELSE l_extendedprice END / l_quantity) IS NOT NULL
+),
+med AS (SELECT g, quantile_cont(x, 0.5) AS m FROM base GROUP BY g),
+madt AS (
+  SELECT b.g, med.m,
+         round(med.m - 3.5 * 1.4826 * quantile_cont(abs(b.x - med.m), 0.5), 6) AS lo,
+         round(med.m + 3.5 * 1.4826 * quantile_cont(abs(b.x - med.m), 0.5), 6) AS hi
+  FROM base b JOIN med ON b.g = med.g
+  GROUP BY b.g, med.m
+)
+SELECT 'unit_price' AS rule_id, CAST(l_orderkey AS VARCHAR) AS row_key,
+       'l_extendedprice / l_quantity' AS col_name,
+       printf('in [%.6f, %.6f] (mad k=3.5) by l_returnflag', madt.lo, madt.hi) AS expected,
+       printf('%.6f', x) AS actual, 'outlier' AS kind
+FROM base JOIN madt ON base.g = madt.g WHERE x < madt.lo OR x > madt.hi
+"""
+
+
 def q_contamination_documents(spark, sf_dir):
     """Benchmark decontamination report: corpus docs sharing word k-grams
     with a small 'benchmark' subset (doc_id % 17), benchmark shingle set
@@ -3185,6 +3242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_assoc_orders": q_suggest_assoc_orders,
         "association_partials_orders": q_association_partials_orders,
         "mixture_documents": q_mixture_documents,
+        "outlier_expr_lineitem": q_outlier_expr_lineitem,
         "line_dedup_documents": q_line_dedup_documents,
         "pixel_manifest_agreement": q_pixel_manifest_agreement,
         "caption_collisions_documents": q_caption_collisions_documents,
@@ -4690,6 +4748,7 @@ def oracle_sql() -> dict[str, str]:
             "orders", "o_orderstatus", "o_orderpriority"
         ),
         "mixture_documents": _mixture_sql(),
+        "outlier_expr_lineitem": _outlier_expr_sql(),
         "line_dedup_documents": _line_dedup_sql(),
         "pixel_manifest_agreement": _PIXEL_MANIFEST_SQL,
         "caption_collisions_documents": _CAPTION_COLLISIONS_SQL,

@@ -703,9 +703,16 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
                 )
             if r.k <= 0:
                 raise SchemaError(f"rule {r.id!r}: k must be > 0, got {r.k}")
+            if bool(r.column) == bool(r.expr):
+                raise SchemaError(
+                    f"rule {r.id!r}: outlier rule needs exactly one of "
+                    "column or expr"
+                )
             # quantiles of strings are meaningless; a silent cast("double")
             # would yield an all-NULL envelope that flags nothing
-            if available_columns is not None:
+            # (expr-typed rules are analyzed at run init instead — the
+            # DriftRule.expr discipline)
+            if r.column and available_columns is not None:
                 t = _column_type(available_columns, r.column)
                 if t is not None:
                     from pyspark.sql.types import NumericType

@@ -44,10 +44,16 @@ from ..spec import OutlierRule
 MAD_SIGMA = 1.4826
 
 
+def _value(rule: OutlierRule):
+    """The enveloped value: a raw column or a derived SQL expression
+    (``expr="length(bytes)/(w*h)"`` — analyzed at run init)."""
+    return F.expr(rule.expr) if rule.expr else F.col(rule.column)
+
+
 def _scoped(df: DataFrame, rule: OutlierRule) -> DataFrame:
     if rule.when:
         df = df.where(F.expr(rule.when))
-    return df.where(F.col(rule.column).isNotNull())
+    return df.where(_value(rule).isNotNull())
 
 
 def _quantiles(df: DataFrame, value_col, group_by, fractions, exact: bool):
@@ -78,7 +84,7 @@ def outlier_bounds(df: DataFrame, rule: OutlierRule) -> DataFrame:
     (one row total when ungrouped). Bounds rounded to 6 dp (parity
     convention). Tiny by construction — #groups rows."""
     gb = list(rule.group_by)
-    c = F.col(rule.column).cast("double")
+    c = _value(rule).cast("double")
     scoped = _scoped(df, rule)
     if rule.method == "iqr":
         q = _quantiles(scoped, c, gb, (0.25, 0.75), rule.exact)
@@ -118,7 +124,7 @@ def outlier_violations(
         scoped.join(F.broadcast(bounds), on=gb) if gb
         else scoped.crossJoin(F.broadcast(bounds))
     )
-    c = F.col(rule.column).cast("double")
+    c = _value(rule).cast("double")
     expected = F.format_string(
         f"in [%.6f, %.6f] ({rule.method} k={rule.k:g})"
         + (f" by {','.join(gb)}" if gb else ""),
@@ -132,7 +138,7 @@ def outlier_violations(
             F.lit(None).cast("int").alias("partition_id"),
             F.lit(rule.id).alias("rule_id"),
             F.col(key_column).cast("string").alias("image_id"),
-            F.lit(rule.column).alias("column"),
+            F.lit(rule.expr or rule.column).alias("column"),
             expected.alias("expected"),
             F.format_string("%.6f", c).alias("actual"),
             F.lit(KIND_OUTLIER).alias("kind"),

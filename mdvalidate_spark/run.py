@@ -133,6 +133,31 @@ class ValidationRun:
                         f"rule {dr.id!r}: drift expr {dr.expr!r} does not "
                         f"resolve against the input schema: {e}"
                     ) from e
+        # OutlierRule.expr has the same opacity (a derived numeric metric,
+        # e.g. bytes-per-pixel) — analyze now and require a NUMERIC result,
+        # so a typo'd expr or a string-typed metric fails before any job
+        # instead of yielding an all-NULL envelope that flags nothing
+        from .spec import OutlierRule as _OutlierRuleInit
+
+        for orr in self.program.group_rules:
+            if not isinstance(orr, _OutlierRuleInit) or not orr.expr:
+                continue
+            from .errors import SchemaError
+            from pyspark.sql.types import NumericType
+
+            try:
+                analyzed = self.df.select(F.expr(orr.expr).alias("_o"))
+            except Exception as e:
+                raise SchemaError(
+                    f"rule {orr.id!r}: outlier expr {orr.expr!r} does not "
+                    f"resolve against the input schema: {e}"
+                ) from e
+            if not isinstance(analyzed.schema["_o"].dataType, NumericType):
+                raise SchemaError(
+                    f"rule {orr.id!r}: outlier expr {orr.expr!r} is not "
+                    "numeric (got "
+                    f"{analyzed.schema['_o'].dataType.simpleString()})"
+                )
         # ExprRule expressions are SQL with a declared-column contract:
         # analyze each against the frame PRUNED to its declared columns so
         # an undeclared read (or a typo) is a SchemaError at init, and

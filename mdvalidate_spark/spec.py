@@ -647,12 +647,20 @@ class OutlierRule(Rule):
     interpolated percentiles (Spark buffers each group's values in one
     aggregation buffer — small/medium tables and oracle comparison only).
 
+    ``expr`` (mutually exclusive with ``column``) envelopes a DERIVED
+    numeric metric instead of a raw column — the image-table shape is
+    ``expr="length(bytes) / (w * h)"`` grouped by fmt: a bytes-per-pixel
+    envelope catches truncated or padded payloads from METADATA alone,
+    before any decode. Analyzed against the real schema at run init (the
+    DriftRule.expr discipline) and must resolve numeric.
+
     Violations are per ROW (kind=outlier), scoped by ``when`` like every row
     rule; NULLs are out of scope (NotNullRule owns missing values). Runs at
     finalize over the whole table — a batch-local envelope would make
     verdicts depend on batch boundaries."""
 
     column: str = ""
+    expr: str = ""  # derived-metric alternative to column (SQL expression)
     method: str = "iqr"  # iqr | mad
     k: float = 0.0  # 0.0 → method default (iqr 1.5, mad 3.5)
     group_by: tuple[str, ...] = ()
@@ -665,6 +673,8 @@ class OutlierRule(Rule):
             object.__setattr__(self, "k", 1.5 if self.method == "iqr" else 3.5)
 
     def targets(self):
+        # expr inputs are opaque here (run init analyzes them, the
+        # DriftRule.expr pattern); empty column is skipped by the lint
         return (self.column, *self.group_by)
 
 

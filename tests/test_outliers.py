@@ -164,3 +164,49 @@ def test_quality_bins_refusals(spark):
         quality_bins(df, "s", 1)
     with _pt.raises(SchemaError, match="non-NULL"):
         quality_bins(df, "s", 2, exact=True)
+
+
+# ---------------------------------------------------- derived-metric expr
+
+
+def test_expr_envelope_bytes_per_pixel(spark):
+    """OutlierRule.expr: bytes-per-pixel envelope per fmt from metadata
+    alone — a truncated payload (tiny size for its dims) flags without any
+    decode; identical-ratio rows stay clean."""
+    rows = [
+        (f"img{i}", "png", 100, 100, bytearray(b"x" * 30000)) for i in range(30)
+    ]
+    rows.append(("truncated", "png", 100, 100, bytearray(b"x" * 10)))
+    df = spark.createDataFrame(
+        rows, "image_id string, fmt string, w int, h int, bytes binary"
+    )
+    rule = OutlierRule(
+        "bpp", expr="length(bytes) / (w * h)", group_by=("fmt",),
+        method="mad", exact=True,
+    )
+    got = {
+        r["image_id"]: r
+        for r in outlier_violations(df, rule, "t", "image_id").collect()
+    }
+    assert set(got) == {"truncated"}
+    assert got["truncated"]["column"] == "length(bytes) / (w * h)"
+    assert got["truncated"]["actual"] == "0.001000"
+
+
+def test_expr_lints_and_run_init_analysis(spark):
+    from mdvalidate_spark import validate_table
+
+    df_schema = "image_id string, x double, s string"
+    empty = spark.createDataFrame([], df_schema)
+    # exactly one of column/expr
+    with pytest.raises(SchemaError, match="exactly one"):
+        compile_spec(_spec(OutlierRule("o", column="x", expr="x + 1")),
+                     empty.schema)
+    with pytest.raises(SchemaError, match="exactly one"):
+        compile_spec(_spec(OutlierRule("o")), empty.schema)
+    # run init: unresolvable expr and non-numeric expr are typed errors
+    df = spark.createDataFrame([("a", 1.0, "s")], df_schema)
+    with pytest.raises(SchemaError, match="does not resolve"):
+        validate_table(spark, df, _spec(OutlierRule("o", expr="lenght(s)")))
+    with pytest.raises(SchemaError, match="not numeric"):
+        validate_table(spark, df, _spec(OutlierRule("o", expr="concat(s, s)")))
