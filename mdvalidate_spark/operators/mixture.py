@@ -26,6 +26,8 @@ boundary.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -34,14 +36,24 @@ from ..errors import SchemaError
 MAX_MIX_GROUPS = 100_000
 
 
+def _r6(x: float) -> float:
+    # Half-away-from-zero at 6dp — matches Spark F.round / DuckDB round();
+    # Python's builtin round() is banker's and flips dyadic ties.
+    return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+
+def _norm_key(k):
+    # Observed groups arrive via Spark cast-to-string; target keys must
+    # render identically (Spark: booleans are 'true'/'false', not 'True').
+    if k is None:
+        return None
+    if isinstance(k, bool):
+        return "true" if k else "false"
+    return str(k)
+
+
 def _target_map(targets, max_groups: int) -> dict:
     if isinstance(targets, DataFrame):
-        rows = targets.limit(max_groups + 1).collect()
-        if len(rows) > max_groups:
-            raise SchemaError(
-                f"mixture targets: more than {max_groups} rows — a mix is "
-                "a curated dimension, not data"
-            )
         cols = targets.columns
         if "target" not in cols or len(cols) != 2:
             raise SchemaError(
@@ -49,9 +61,50 @@ def _target_map(targets, max_groups: int) -> dict:
                 f"'target') — got {cols}"
             )
         gcol = next(c for c in cols if c != "target")
-        tmap = {r[gcol]: float(r["target"]) for r in rows}
+        rows = (
+            targets.select(
+                F.col(gcol).cast("string").alias("_g"),
+                F.col("target").cast("double").alias("_t"),
+            )
+            .limit(max_groups + 1)
+            .collect()
+        )
+        if len(rows) > max_groups:
+            raise SchemaError(
+                f"mixture targets: more than {max_groups} rows — a mix is "
+                "a curated dimension, not data"
+            )
+        tmap: dict = {}
+        for r in rows:
+            if r["_t"] is None:
+                raise SchemaError(
+                    f"mixture target for group {r['_g']!r} is NULL — every "
+                    "declared group needs an explicit share"
+                )
+            if r["_g"] in tmap:
+                raise SchemaError(
+                    f"mixture targets frame declares group {r['_g']!r} more "
+                    "than once — duplicate rows make the declared mix "
+                    "ambiguous"
+                )
+            tmap[r["_g"]] = float(r["_t"])
     else:
-        tmap = {k: float(v) for k, v in dict(targets).items()}
+        raw = dict(targets)
+        tmap = {}
+        for k, v in raw.items():
+            if v is None:
+                raise SchemaError(
+                    f"mixture target for group {k!r} is None — every "
+                    "declared group needs an explicit share"
+                )
+            nk = _norm_key(k)
+            if nk in tmap:
+                raise SchemaError(
+                    f"mixture targets declare group {nk!r} more than once "
+                    "after string normalization — keys must be distinct as "
+                    "strings (observed groups compare as strings)"
+                )
+            tmap[nk] = float(v)
     if not tmap:
         raise SchemaError("mixture targets: empty — the check asserts nothing")
     for k, v in tmap.items():
@@ -88,6 +141,11 @@ def mixture_report(
     share unit from rows to sum(weight_col) — token or char counts, the
     unit a training mix is specified in. NULL weights count 0 (visible in
     the group's weight, never a NULL share)."""
+    if not (0.0 <= tol < 1.0):
+        raise SchemaError(
+            f"mixture tol must be in [0, 1) (a share deviation), got {tol} "
+            "— negative tol violates every group, tol >= 1 asserts nothing"
+        )
     tmap = _target_map(targets, max_groups)
     w = (
         F.count(F.lit(1)).cast("double")
@@ -109,14 +167,14 @@ def mixture_report(
     obs = {r["_g"]: float(r["_w"]) for r in rows}
     total = sum(obs.values())
     out = []
-    for g in sorted(set(tmap) | set(obs), key=lambda x: (x is None, x)):
+    for g in sorted(set(tmap) | set(obs), key=lambda x: (x is None, x or "")):
         weight = obs.get(g, 0.0)
-        share = round(weight / total, 6) if total > 0 else 0.0
-        target = tmap.get(g, 0.0)
-        dev = round(abs(share - target), 6)
-        out.append(
-            (g, weight, share, round(target, 6), dev, dev <= tol)
-        )
+        share = _r6(weight / total) if total > 0 else 0.0
+        target = _r6(tmap.get(g, 0.0))
+        # dev from the ROUNDED shares, like the oracle — the boundary
+        # compare must see exactly the numbers the report prints.
+        dev = _r6(abs(share - target))
+        out.append((g, weight, share, target, dev, dev <= tol))
     spark = df.sparkSession
     return spark.createDataFrame(
         out,
@@ -135,7 +193,12 @@ def mixture_violations(
     max_groups: int = MAX_MIX_GROUPS,
     rule_id: str = "mixture",
 ) -> DataFrame:
-    """Engine-shape violation rows for every group outside tolerance."""
+    """Violation-style rows for every group outside tolerance.
+
+    Group-level, NOT engine-shape: a mix deviation is a corpus property,
+    so rows carry (group_value, rule_id, column, expected, actual, kind)
+    with no run/partition/image identity — do not union with the engine's
+    per-row violation frames (those lead with run_id/partition_id/image_id)."""
     rep = mixture_report(
         df, group_col, targets,
         weight_col=weight_col, tol=tol, max_groups=max_groups,

@@ -83,6 +83,32 @@ def _union(dfs: list[DataFrame], spark: SparkSession, ddl: str) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), dfs)
 
 
+def _analyze_expr(df, rule_id, expr, label, context, required_type=None):
+    """Driver-side analysis (no job) of a spec-supplied SQL expression:
+    raise a typed SchemaError if it fails to resolve against ``df`` or —
+    when ``required_type`` is given — if the result type mismatches.
+    Shared by every expr-bearing rule family (drift, outlier, ExprRule)
+    so a typo'd expression is a SchemaError at run init, not an
+    AnalysisException mid-job. Returns the resolved DataType."""
+    from .errors import SchemaError
+
+    try:
+        analyzed = df.select(F.expr(expr).alias("_x"))
+    except Exception as e:
+        raise SchemaError(
+            f"rule {rule_id!r}: {label} {expr!r} does not resolve against "
+            f"{context}: {e}"
+        ) from e
+    dt = analyzed.schema["_x"].dataType
+    if required_type is not None and not isinstance(dt, required_type):
+        kind = required_type.__name__.replace("Type", "").lower()
+        raise SchemaError(
+            f"rule {rule_id!r}: {label} {expr!r} is not {kind} "
+            f"(got {dt.simpleString()})"
+        )
+    return dt
+
+
 class ValidationRun:
     def __init__(
         self,
@@ -124,39 +150,21 @@ class ValidationRun:
         # SchemaError before any job instead of an AnalysisException mid-run
         for dr in self.program.drift_rules:
             if dr.expr:
-                try:
-                    self.df.select(F.expr(dr.expr))  # analysis only, no job
-                except Exception as e:
-                    from .errors import SchemaError
-
-                    raise SchemaError(
-                        f"rule {dr.id!r}: drift expr {dr.expr!r} does not "
-                        f"resolve against the input schema: {e}"
-                    ) from e
+                _analyze_expr(
+                    self.df, dr.id, dr.expr, "drift expr", "the input schema"
+                )
         # OutlierRule.expr has the same opacity (a derived numeric metric,
         # e.g. bytes-per-pixel) — analyze now and require a NUMERIC result,
         # so a typo'd expr or a string-typed metric fails before any job
         # instead of yielding an all-NULL envelope that flags nothing
         from .spec import OutlierRule as _OutlierRuleInit
+        from pyspark.sql.types import BooleanType, NumericType
 
         for orr in self.program.group_rules:
-            if not isinstance(orr, _OutlierRuleInit) or not orr.expr:
-                continue
-            from .errors import SchemaError
-            from pyspark.sql.types import NumericType
-
-            try:
-                analyzed = self.df.select(F.expr(orr.expr).alias("_o"))
-            except Exception as e:
-                raise SchemaError(
-                    f"rule {orr.id!r}: outlier expr {orr.expr!r} does not "
-                    f"resolve against the input schema: {e}"
-                ) from e
-            if not isinstance(analyzed.schema["_o"].dataType, NumericType):
-                raise SchemaError(
-                    f"rule {orr.id!r}: outlier expr {orr.expr!r} is not "
-                    "numeric (got "
-                    f"{analyzed.schema['_o'].dataType.simpleString()})"
+            if isinstance(orr, _OutlierRuleInit) and orr.expr:
+                _analyze_expr(
+                    self.df, orr.id, orr.expr, "outlier expr",
+                    "the input schema", required_type=NumericType,
                 )
         # ExprRule expressions are SQL with a declared-column contract:
         # analyze each against the frame PRUNED to its declared columns so
@@ -167,31 +175,14 @@ class ValidationRun:
         for er in self.program.row_rules:
             if not isinstance(er, _ExprRule):
                 continue
-            from .errors import SchemaError
-            from pyspark.sql.types import BooleanType
-
             pruned = self.df.select(*[F.col(c) for c in er.columns])
-            try:
-                analyzed = pruned.select(F.expr(er.expr).alias("_e"))
-            except Exception as e:
-                raise SchemaError(
-                    f"rule {er.id!r}: expr {er.expr!r} does not resolve "
-                    f"against the declared columns {er.columns}: {e}"
-                ) from e
-            if not isinstance(analyzed.schema["_e"].dataType, BooleanType):
-                raise SchemaError(
-                    f"rule {er.id!r}: expr {er.expr!r} is not boolean "
-                    f"(got {analyzed.schema['_e'].dataType.simpleString()})"
-                )
+            ctx = f"the declared columns {er.columns}"
+            _analyze_expr(
+                pruned, er.id, er.expr, "expr", ctx,
+                required_type=BooleanType,
+            )
             if er.actual_expr:
-                try:
-                    pruned.select(F.expr(er.actual_expr))
-                except Exception as e:
-                    raise SchemaError(
-                        f"rule {er.id!r}: actual_expr {er.actual_expr!r} does "
-                        f"not resolve against the declared columns "
-                        f"{er.columns}: {e}"
-                    ) from e
+                _analyze_expr(pruned, er.id, er.actual_expr, "actual_expr", ctx)
         # `when` predicates are SQL exprs with the same opacity —
         # analyze each against the real schema now (driver-side, no job) and
         # require a BOOLEAN result, so a typo'd or non-predicate `when` is a

@@ -649,10 +649,15 @@ class OutlierRule(Rule):
 
     ``expr`` (mutually exclusive with ``column``) envelopes a DERIVED
     numeric metric instead of a raw column — the image-table shape is
-    ``expr="length(bytes) / (w * h)"`` grouped by fmt: a bytes-per-pixel
-    envelope catches truncated or padded payloads from METADATA alone,
-    before any decode. Analyzed against the real schema at run init (the
-    DriftRule.expr discipline) and must resolve numeric.
+    ``expr="try_divide(length(bytes), w * h)"`` grouped by fmt: a
+    bytes-per-pixel envelope catches truncated or padded payloads from
+    METADATA alone, before any decode. Use ``try_divide`` (not ``/``) for
+    ratio metrics: under ANSI SQL a plain division throws mid-job on the
+    very corrupt rows (w·h = 0) a validator must survive, while try_divide
+    yields NULL — and NULL metric rows are out of scope here by the NULL
+    contract (RangeRule/NotNullRule own zero dims and missing values).
+    Analyzed against the real schema at run init (the DriftRule.expr
+    discipline) and must resolve numeric.
 
     Violations are per ROW (kind=outlier), scoped by ``when`` like every row
     rule; NULLs are out of scope (NotNullRule owns missing values). Runs at

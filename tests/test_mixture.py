@@ -79,6 +79,55 @@ def test_mixture_target_lints(spark, corpus):
         M.mixture_report(corpus, "id", {"1": 1.0}, max_groups=5)
 
 
+def test_mixture_non_string_target_keys_normalized(spark):
+    """Int/bool dict keys must join against Spark's cast-to-string groups
+    (booleans render 'true'/'false' in Spark, not Python's 'True')."""
+    df = spark.createDataFrame(
+        [(1, 1, True), (2, 1, True), (3, 2, False), (4, 2, True)],
+        "id long, bin int, flag boolean",
+    )
+    rep = {
+        r["group_value"]: r
+        for r in M.mixture_report(df, "bin", {1: 0.5, 2: 0.5}, tol=0.01).collect()
+    }
+    assert set(rep) == {"1", "2"}
+    assert rep["1"]["within_tol"] and rep["2"]["within_tol"]
+    rep = {
+        r["group_value"]: r
+        for r in M.mixture_report(
+            df, "flag", {True: 0.75, False: 0.25}, tol=0.01
+        ).collect()
+    }
+    assert set(rep) == {"true", "false"}
+    assert rep["true"]["observed_share"] == 0.75
+
+
+def test_mixture_rounding_half_away_from_zero(spark):
+    """A dyadic share (exact 6dp tie) must round like Spark/DuckDB
+    (half-away-from-zero), not Python's banker's rounding."""
+    assert M._r6(0.0078125) == 0.007813  # round() would give 0.007812
+    assert M._r6(-0.0078125) == -0.007813
+
+
+def test_mixture_param_lints(spark, corpus):
+    with pytest.raises(SchemaError, match="tol must be in"):
+        M.mixture_report(corpus, "lang", {"en": 1.0}, tol=-0.01)
+    with pytest.raises(SchemaError, match="tol must be in"):
+        M.mixture_report(corpus, "lang", {"en": 1.0}, tol=5)
+    with pytest.raises(SchemaError, match="is None"):
+        M.mixture_report(corpus, "lang", {"en": 0.5, "fr": None})
+    tgt_null = spark.createDataFrame(
+        [("en", 0.5), ("fr", None)], "lang string, target double"
+    )
+    with pytest.raises(SchemaError, match="is NULL"):
+        M.mixture_report(corpus, "lang", tgt_null)
+    tgt_dup = spark.createDataFrame(
+        [("en", 0.5), ("en", 0.5)], "lang string, target double"
+    )
+    with pytest.raises(SchemaError, match="more than once"):
+        M.mixture_report(corpus, "lang", tgt_dup)
+
+
 def test_mixture_violations_shape(spark, corpus):
     viols = M.mixture_violations(
         corpus, "lang", {"en": 0.6, "fr": 0.4}, tol=0.02

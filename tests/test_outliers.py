@@ -177,11 +177,14 @@ def test_expr_envelope_bytes_per_pixel(spark):
         (f"img{i}", "png", 100, 100, bytearray(b"x" * 30000)) for i in range(30)
     ]
     rows.append(("truncated", "png", 100, 100, bytearray(b"x" * 10)))
+    # zero-dims row: the canonical try_divide form must NULL it out of
+    # scope (RangeRule owns w=0) instead of ANSI-crashing the whole job
+    rows.append(("zerodims", "png", 0, 100, bytearray(b"x" * 10)))
     df = spark.createDataFrame(
         rows, "image_id string, fmt string, w int, h int, bytes binary"
     )
     rule = OutlierRule(
-        "bpp", expr="length(bytes) / (w * h)", group_by=("fmt",),
+        "bpp", expr="try_divide(length(bytes), w * h)", group_by=("fmt",),
         method="mad", exact=True,
     )
     got = {
@@ -189,7 +192,7 @@ def test_expr_envelope_bytes_per_pixel(spark):
         for r in outlier_violations(df, rule, "t", "image_id").collect()
     }
     assert set(got) == {"truncated"}
-    assert got["truncated"]["column"] == "length(bytes) / (w * h)"
+    assert got["truncated"]["column"] == "try_divide(length(bytes), w * h)"
     assert got["truncated"]["actual"] == "0.001000"
 
 
