@@ -2828,6 +2828,116 @@ FROM uni
 """
 
 
+def q_benford_orders(spark, sf_dir):
+    """Benford first-significant-digit conformance on o_totalprice (an
+    organic magnitude column spanning orders of magnitude): one scan,
+    <=9-group aggregation, O(9) driver math (operators/digits.py). The
+    digit is extracted from a fixed '%.6f' rendering, never log10 math,
+    so Spark and DuckDB agree bit-for-bit at exact powers of ten."""
+    from mdvalidate_spark.operators.digits import benford_report
+
+    orders = _load(spark, sf_dir, "orders")
+    return benford_report(orders, "o_totalprice")
+
+
+def _benford_sql() -> str:
+    from mdvalidate_spark.operators.digits import BENFORD_EXPECTED
+
+    vals = ", ".join(f"({d}, {v})" for d, v in BENFORD_EXPECTED.items())
+    fd = "regexp_extract(printf('%.6f', abs(CAST(o_totalprice AS DOUBLE))), '[1-9]')"
+    return f"""
+WITH fd AS (
+  SELECT CAST({fd} AS INT) AS d FROM orders WHERE {fd} <> ''
+),
+tot AS (
+  SELECT (SELECT COUNT(*) FROM orders) AS n_rows, COUNT(*) AS scoped FROM fd
+),
+expd AS (SELECT * FROM (VALUES {vals}) AS e(digit, expected_share)),
+cnt AS (SELECT d AS digit, COUNT(*) AS n FROM fd GROUP BY 1)
+SELECT CAST(e.digit AS INT) AS digit,
+       CAST(t.n_rows AS BIGINT) AS rows,
+       CAST(t.scoped AS BIGINT) AS n_scoped,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+       round(CAST(COALESCE(c.n, 0) AS DOUBLE) / t.scoped, 6) AS observed_share,
+       CAST(e.expected_share AS DOUBLE) AS expected_share,
+       round(abs(round(CAST(COALESCE(c.n, 0) AS DOUBLE) / t.scoped, 6)
+                 - e.expected_share), 6) AS abs_dev,
+       round(abs(round(CAST(COALESCE(c.n, 0) AS DOUBLE) / t.scoped, 6)
+                 - e.expected_share), 6) <= 0.015 AS within_tol
+FROM expd e CROSS JOIN tot t LEFT JOIN cnt c ON c.digit = e.digit
+"""
+
+
+def q_null_correlation_documents(spark, sf_dir):
+    """Co-missingness profile (operators/missingness.py): the fixture has
+    no NULLs, so a deterministic broken-extraction aug NULLs text+n_chars
+    together (doc_id % 13 — one upstream cause) and lang independently
+    (doc_id % 7); the coupled pair must read phi 1.0, the organic pairs
+    near 0. ONE full-scan agg (3 null sums + 3 pair sums), 1 row
+    collected, O(pairs) driver math."""
+    from mdvalidate_spark.operators.missingness import null_correlation
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 13 == 0, F.lit(None)).otherwise(
+            F.col("text")
+        ).alias("text"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("lang")
+        ).alias("lang"),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(None)).otherwise(
+            F.col("n_chars")
+        ).alias("n_chars"),
+    )
+    return null_correlation(docs, ["text", "lang", "n_chars"])
+
+
+def _null_correlation_sql() -> str:
+    def pair(a, b, ma, mb, both):
+        num = f"(m.n * m.{both} - m.{ma} * m.{mb})"
+        den = (
+            f"(CAST(m.{ma} AS DOUBLE) * m.{mb} * (m.n - m.{ma}) "
+            f"* (m.n - m.{mb}))"
+        )
+        either = f"(m.{ma} + m.{mb} - m.{both})"
+        return f"""
+  SELECT '{a}' AS col_a, '{b}' AS col_b,
+         CAST(m.n AS BIGINT) AS rows,
+         CAST(m.{ma} AS BIGINT) AS null_a,
+         CAST(m.{mb} AS BIGINT) AS null_b,
+         CAST(m.{both} AS BIGINT) AS null_both,
+         CASE WHEN {either} > 0
+              THEN round(CAST(m.{both} AS DOUBLE) / {either}, 6) END AS jaccard,
+         CASE WHEN {den} > 0
+              THEN round({num} / sqrt({den}), 6) END AS phi
+  FROM m"""
+
+    # pairs in the operator's lexicographic order of the sorted columns
+    return f"""
+WITH aug AS (
+  SELECT CASE WHEN doc_id % 13 = 0 THEN NULL ELSE text END AS text,
+         CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
+         CASE WHEN doc_id % 13 = 0 THEN NULL ELSE n_chars END AS n_chars
+  FROM documents
+),
+m AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS m_l,
+         SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS m_n,
+         SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS m_t,
+         SUM(CASE WHEN lang IS NULL AND n_chars IS NULL THEN 1 ELSE 0 END) AS b_ln,
+         SUM(CASE WHEN lang IS NULL AND text IS NULL THEN 1 ELSE 0 END) AS b_lt,
+         SUM(CASE WHEN n_chars IS NULL AND text IS NULL THEN 1 ELSE 0 END) AS b_nt
+  FROM aug
+)
+{pair('lang', 'n_chars', 'm_l', 'm_n', 'b_ln')}
+UNION ALL
+{pair('lang', 'text', 'm_l', 'm_t', 'b_lt')}
+UNION ALL
+{pair('n_chars', 'text', 'm_n', 'm_t', 'b_nt')}
+"""
+
+
 def q_association_partials_orders(spark, sf_dir):
     """INCREMENTAL association: per-batch contingency cell partials
     (batches = orderkey residues, the manifest-partial pattern) merged to
@@ -3235,6 +3345,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries touched this round must come first, stable legacy last.
     return {
         # -- round 4: new/rewritten ------------------------------------
+        "benford_orders": q_benford_orders,
+        "null_correlation_documents": q_null_correlation_documents,
         "association_orders": q_association_orders,
         "association_drift_lineitem": q_association_drift_lineitem,
         "association_spec_orders": q_association_spec_orders,
@@ -4737,6 +4849,8 @@ SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.9
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "benford_orders": _benford_sql(),
+        "null_correlation_documents": _null_correlation_sql(),
         "association_orders": _association_profile_sql(
             "orders", "o_orderstatus", "o_orderpriority"
         ),

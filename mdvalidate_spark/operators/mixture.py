@@ -26,20 +26,13 @@ boundary.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..errors import SchemaError
+from .util import round6 as _r6
 
 MAX_MIX_GROUPS = 100_000
-
-
-def _r6(x: float) -> float:
-    # Half-away-from-zero at 6dp — matches Spark F.round / DuckDB round();
-    # Python's builtin round() is banker's and flips dyadic ties.
-    return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
 
 
 def _norm_key(k):

@@ -2,7 +2,16 @@
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
+
+
+def round6(x: float) -> float:
+    """Half-away-from-zero rounding at 6dp — matches Spark F.round and
+    DuckDB round(); Python's builtin round() is banker's and flips dyadic
+    ties, which hash-mismatches the oracle at the boundary."""
+    return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
