@@ -2938,6 +2938,82 @@ UNION ALL
 """
 
 
+def q_gaps_events(spark, sf_dir):
+    """Feed-silence detection (operators/gaps.py): per-event-type gaps
+    over 2h between consecutive distinct timestamps. Spark runs the
+    BUCKETED decomposition (1h buckets — smaller than the threshold, so
+    every reported gap crosses buckets and the boundary stitching is what
+    the oracle actually checks); DuckDB runs the naive global LAG, i.e.
+    the semantic definition."""
+    from mdvalidate_spark.operators.gaps import time_gap_report
+
+    ev = _load(spark, sf_dir, "events")
+    return time_gap_report(
+        ev, "ts", group_by=("event_type",),
+        min_gap_seconds=7200, bucket_seconds=3600,
+    )
+
+
+_GAPS_D = """
+d AS (SELECT DISTINCT event_type, ts FROM events WHERE ts IS NOT NULL),
+w AS (
+  SELECT event_type,
+         lag(epoch_ms(ts)) OVER (PARTITION BY event_type ORDER BY ts)
+           AS prev_epoch_ms,
+         epoch_ms(ts) AS next_epoch_ms
+  FROM d
+)"""
+
+
+def _gaps_sql() -> str:
+    return f"""
+WITH {_GAPS_D}
+SELECT event_type,
+       CAST(prev_epoch_ms AS BIGINT) AS prev_epoch_ms,
+       CAST(next_epoch_ms AS BIGINT) AS next_epoch_ms,
+       (next_epoch_ms - prev_epoch_ms) / 1000.0 AS gap_seconds
+FROM w
+WHERE prev_epoch_ms IS NOT NULL
+  AND next_epoch_ms - prev_epoch_ms > 7200000
+"""
+
+
+def q_gap_stats_events(spark, sf_dir):
+    """Rollup of q_gaps_events: one row per feed with series extent and
+    the silence profile (gap count + worst gap at the 2h threshold);
+    gap-free feeds report 0/NULL, never dropped."""
+    from mdvalidate_spark.operators.gaps import time_gap_stats
+
+    ev = _load(spark, sf_dir, "events")
+    return time_gap_stats(
+        ev, "ts", group_by=("event_type",),
+        min_gap_seconds=7200, bucket_seconds=3600,
+    )
+
+
+def _gap_stats_sql() -> str:
+    return f"""
+WITH {_GAPS_D},
+ext AS (
+  SELECT event_type, COUNT(*) AS n_distinct_ts,
+         CAST(min(epoch_ms(ts)) AS BIGINT) AS first_epoch_ms,
+         CAST(max(epoch_ms(ts)) AS BIGINT) AS last_epoch_ms
+  FROM d GROUP BY 1
+),
+g AS (
+  SELECT event_type, COUNT(*) AS n_gaps,
+         max((next_epoch_ms - prev_epoch_ms) / 1000.0) AS max_gap_seconds
+  FROM w
+  WHERE prev_epoch_ms IS NOT NULL
+    AND next_epoch_ms - prev_epoch_ms > 7200000
+  GROUP BY 1
+)
+SELECT e.event_type, e.n_distinct_ts, e.first_epoch_ms, e.last_epoch_ms,
+       CAST(COALESCE(g.n_gaps, 0) AS BIGINT) AS n_gaps, g.max_gap_seconds
+FROM ext e LEFT JOIN g ON e.event_type = g.event_type
+"""
+
+
 def q_association_partials_orders(spark, sf_dir):
     """INCREMENTAL association: per-batch contingency cell partials
     (batches = orderkey residues, the manifest-partial pattern) merged to
@@ -3347,6 +3423,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round 4: new/rewritten ------------------------------------
         "benford_orders": q_benford_orders,
         "null_correlation_documents": q_null_correlation_documents,
+        "gaps_events": q_gaps_events,
+        "gap_stats_events": q_gap_stats_events,
         "association_orders": q_association_orders,
         "association_drift_lineitem": q_association_drift_lineitem,
         "association_spec_orders": q_association_spec_orders,
@@ -4851,6 +4929,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "benford_orders": _benford_sql(),
         "null_correlation_documents": _null_correlation_sql(),
+        "gaps_events": _gaps_sql(),
+        "gap_stats_events": _gap_stats_sql(),
         "association_orders": _association_profile_sql(
             "orders", "o_orderstatus", "o_orderpriority"
         ),

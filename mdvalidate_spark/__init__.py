@@ -25,7 +25,9 @@ from .run import Report, ValidationRun, smoke_validate, validate_table
 from .session import get_spark
 from .spec import (
     AssociationRule,
+    BenfordRule,
     CaptureRule,
+    GapRule,
     ColumnStatsRule,
     CompositeRegexRule,
     CountRule,
@@ -60,7 +62,9 @@ from .spec import (
 
 __all__ = [
     "AssociationRule",
+    "BenfordRule",
     "CaptureRule",
+    "GapRule",
     "ColumnStatsRule",
     "CompositeRegexRule",
     "ConstraintProgram",

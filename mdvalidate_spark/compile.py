@@ -41,7 +41,9 @@ from .errors import (
 )
 from .spec import (
     AssociationRule,
+    BenfordRule,
     CaptureRule,
+    GapRule,
     ColumnStatsRule,
     CompositeRegexRule,
     CountRule,
@@ -412,6 +414,56 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
 
         if isinstance(r, UniqueRule) and not r.columns:
             raise SchemaError(f"rule {r.id!r}: unique rule needs >=1 column")
+
+        if isinstance(r, BenfordRule):
+            if not r.column:
+                raise SchemaError(f"rule {r.id!r}: benford rule needs a column")
+            if not (0.0 < r.max_mad < 1.0):
+                raise SchemaError(
+                    f"rule {r.id!r}: max_mad must be in (0, 1) (a share "
+                    f"deviation), got {r.max_mad}"
+                )
+            if r.min_rows < 1:
+                raise SchemaError(
+                    f"rule {r.id!r}: min_rows must be >= 1, got {r.min_rows}"
+                )
+            if available_columns is not None:
+                t = _column_type(available_columns, r.column)
+                if t is not None:
+                    from pyspark.sql.types import NumericType
+
+                    if not isinstance(t, NumericType):
+                        raise SchemaError(
+                            f"rule {r.id!r}: column {r.column!r} must be "
+                            "numeric for a benford rule, got "
+                            f"{t.simpleString()}"
+                        )
+
+        if isinstance(r, GapRule):
+            if not r.column:
+                raise SchemaError(f"rule {r.id!r}: gap rule needs a column")
+            if r.min_gap_seconds <= 0:
+                raise SchemaError(
+                    f"rule {r.id!r}: min_gap_seconds must be > 0, got "
+                    f"{r.min_gap_seconds} — every consecutive pair has "
+                    "gap >= 0; a zero threshold reports the entire series"
+                )
+            if r.bucket_seconds <= 0:
+                raise SchemaError(
+                    f"rule {r.id!r}: bucket_seconds must be > 0, "
+                    f"got {r.bucket_seconds}"
+                )
+            if available_columns is not None:
+                t = _column_type(available_columns, r.column)
+                if t is not None:
+                    from pyspark.sql.types import DateType, TimestampType
+
+                    if not isinstance(t, (DateType, TimestampType)):
+                        raise SchemaError(
+                            f"rule {r.id!r}: column {r.column!r} must be a "
+                            "timestamp/date for a gap rule, got "
+                            f"{t.simpleString()}"
+                        )
 
         if isinstance(r, FreshnessRule):
             if not r.column:
@@ -797,6 +849,8 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
                 OutlierRule,
                 MonotonicRule,
                 AssociationRule,
+                BenfordRule,
+                GapRule,
             ),
         )
         or (isinstance(r, CountRule) and r.group_by)

@@ -125,6 +125,8 @@ KIND_ORDER = "order"  # value regressed within its ordered group (MonotonicRule)
 KIND_ASSOCIATION = "association"  # Cramér's V outside its declared band (AssociationRule)
 KIND_FD = "fd"  # functional dependency violated (determinant maps to >1 dependent)
 KIND_STALE = "stale"  # freshness bound violated (max timestamp older than allowed)
+KIND_BENFORD = "benford"  # first-digit distribution outside its MAD conformity band
+KIND_GAP = "gap"  # silence between consecutive timestamps above the declared bound
 KIND_METRIC_BOUND = "metric_bound"  # aggregate metric outside its declared bounds
 # binary payload header rules (HeaderRule — container integrity sans decode)
 KIND_TRUNCATED = "truncated"  # payload shorter than the declared header

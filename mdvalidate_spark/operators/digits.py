@@ -65,6 +65,23 @@ def first_digit_expr(column: str):
     return F.when(d != "", d.cast("int"))
 
 
+def _digit_counts(df: DataFrame, column: str) -> tuple[int, dict]:
+    """ONE full-scan aggregation (map-side combined, 1 row collected):
+    total row count and the per-digit counts of ``column``'s first
+    significant digits."""
+    agg = df.agg(
+        F.count(F.lit(1)).alias("_rows"),
+        *[
+            F.sum(
+                F.when(first_digit_expr(column) == d, F.lit(1)).otherwise(0)
+            ).alias(f"_d{d}")
+            for d in range(1, 10)
+        ],
+    ).collect()[0]
+    rows = int(agg["_rows"])
+    return rows, {d: int(agg[f"_d{d}"]) for d in range(1, 10)}
+
+
 def benford_report(
     df: DataFrame,
     column: str,
@@ -85,17 +102,7 @@ def benford_report(
         raise SchemaError(
             f"benford tol must be in (0, 1) (a share deviation), got {tol}"
         )
-    agg = df.agg(
-        F.count(F.lit(1)).alias("_rows"),
-        *[
-            F.sum(
-                F.when(first_digit_expr(column) == d, F.lit(1)).otherwise(0)
-            ).alias(f"_d{d}")
-            for d in range(1, 10)
-        ],
-    ).collect()[0]
-    rows = int(agg["_rows"])
-    counts = {d: int(agg[f"_d{d}"]) for d in range(1, 10)}
+    rows, counts = _digit_counts(df, column)
     scoped = sum(counts.values())
     if scoped < min_rows:
         raise SchemaError(
@@ -116,6 +123,75 @@ def benford_report(
         "digit int, rows long, n_scoped long, n long, observed_share double, "
         "expected_share double, abs_dev double, within_tol boolean",
     )
+
+
+def benford_rule_results(df, rule, run_id: str):
+    """Finalize-stage evaluation of a BenfordRule: (violations, metrics)
+    frames in the run's shared schemas. The verdict compares the ROUNDED
+    MAD (6dp — the value reported) against ``max_mad``, so a replayed run
+    can never flip on float dust. Degenerate contract per the rule's
+    docstring: fewer than ``min_rows`` in-scope values violates loudly
+    ('unmeasurable'), never passes silently."""
+    from ..errors import KIND_BENFORD
+
+    if not (0.0 < rule.max_mad < 1.0):
+        # public operator API, callable without compile_spec — guard the
+        # vacuous band here too, not just in the lint
+        raise SchemaError(
+            f"rule {rule.id!r}: max_mad must be in (0, 1), got {rule.max_mad}"
+        )
+    scoped_df = df.where(F.expr(rule.when)) if rule.when else df
+    rows, counts = _digit_counts(scoped_df, rule.column)
+    scoped = sum(counts.values())
+    expected = f"benford mad <= {rule.max_mad}"
+
+    viol_rows = []
+    mad = None
+    if scoped < rule.min_rows:
+        viol_rows.append(
+            (run_id, None, rule.id, None, rule.column, expected,
+             f"unmeasurable: {scoped} in-scope values < min_rows="
+             f"{rule.min_rows}", KIND_BENFORD)
+        )
+    else:
+        # per-digit devs rounded first, like benford_report/benford_mad —
+        # the rule's metric must equal the report's rollup exactly
+        mad = _r6(
+            sum(
+                _r6(abs(_r6(counts[d] / scoped) - BENFORD_EXPECTED[d]))
+                for d in range(1, 10)
+            )
+            / 9.0
+        )
+        if mad > rule.max_mad:
+            worst = max(
+                range(1, 10),
+                key=lambda d: abs(_r6(counts[d] / scoped) - BENFORD_EXPECTED[d]),
+            )
+            viol_rows.append(
+                (run_id, None, rule.id, None, rule.column, expected,
+                 f"mad={mad:.6f} (worst digit {worst}: share "
+                 f"{_r6(counts[worst] / scoped):.6f} vs "
+                 f"{BENFORD_EXPECTED[worst]:.6f})", KIND_BENFORD)
+            )
+
+    spark = df.sparkSession
+    ddl_v = (
+        "run_id string, partition_id int, rule_id string, image_id string, "
+        "column string, expected string, actual string, kind string"
+    )
+    ddl_m = (
+        "run_id string, partition_id int, rule_id string, metric string, "
+        "value double, value_str string"
+    )
+    metrics = spark.createDataFrame(
+        [
+            (run_id, None, rule.id, "benford_mad", mad, None),
+            (run_id, None, rule.id, "benford_n_scoped", float(scoped), None),
+        ],
+        ddl_m,
+    )
+    return spark.createDataFrame(viol_rows, ddl_v), metrics
 
 
 def benford_mad(

@@ -1,0 +1,202 @@
+"""Time-series continuity: gap / silence detection on an event stream.
+
+Freshness (agg_rules.freshness_violations) asks "has the feed produced
+RECENTLY?"; this module asks "did the feed ever go QUIET in the middle?"
+— an ingest outage that recovered before the freshness check ran is
+invisible to max(ts) but leaves a hole between consecutive timestamps
+that a volume check per coarse partition can also miss (the surrounding
+hours absorb the dip).
+
+Scale shape — the naive definition (LAG over all rows ordered by ts) is
+a single-partition global sort at 10^12 rows, so the operator runs a
+bucketed decomposition that is EXACTLY equivalent:
+
+1. shrink to DISTINCT (group, ts) first — gaps depend only on the set of
+   distinct timestamps, and the dedup is a map-side-combined groupBy;
+2. bucket by ``floor(epoch_ms / bucket_ms)`` and LAG within (group,
+   bucket) — every partition sorts only its own bucket, fully parallel;
+3. stitch bucket boundaries from the per-bucket (min, max) summary — a
+   LAG over #non-empty-buckets rows per group (bounded by span/bucket,
+   e.g. ~3.7k day-buckets per decade), skipping empty buckets naturally.
+
+Every consecutive distinct-timestamp pair appears exactly once: in step 2
+when both ends share a bucket, in step 3 when they straddle. The DuckDB
+oracle runs the NAIVE global LAG, value-checking the decomposition
+against the semantic definition.
+
+Parity: gaps in exact integer epoch milliseconds (unix_millis /
+epoch_ms), surfaced as ``gap_seconds`` = ms / 1000.0 (exact in double);
+timestamps surfaced as epoch-ms BIGINTs, never engine-rendered strings.
+NULL timestamps are out of scope (NotNullRule owns missing values); NULL
+group values participate under the NULL key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..errors import SchemaError
+
+DEFAULT_BUCKET_SECONDS = 86_400
+
+
+def _distinct_ms(df: DataFrame, ts_col: str, group_by: tuple):
+    ms = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    return (
+        df.where(F.col(ts_col).isNotNull())
+        .select(*[F.col(g) for g in group_by], ms.alias("_ms"))
+        .distinct()
+    )
+
+
+def time_gap_report(
+    df: DataFrame,
+    ts_col: str,
+    *,
+    group_by: tuple = (),
+    min_gap_seconds: float,
+    bucket_seconds: int = DEFAULT_BUCKET_SECONDS,
+) -> DataFrame:
+    """One row per silence: consecutive distinct timestamps (per group)
+    more than ``min_gap_seconds`` apart — (group columns, prev_epoch_ms,
+    next_epoch_ms, gap_seconds). ``bucket_seconds`` sizes the parallel
+    decomposition (default 1 day) and never changes the result; it must
+    exceed ``min_gap_seconds`` only for efficiency, not correctness."""
+    if min_gap_seconds <= 0:
+        raise SchemaError(
+            f"min_gap_seconds must be > 0, got {min_gap_seconds} — every "
+            "consecutive pair has gap >= 0; a zero threshold reports the "
+            "entire series"
+        )
+    if bucket_seconds <= 0:
+        raise SchemaError(f"bucket_seconds must be > 0, got {bucket_seconds}")
+    gb = list(group_by)
+    d = _distinct_ms(df, ts_col, tuple(gb)).withColumn(
+        "_b", F.floor(F.col("_ms") / F.lit(int(bucket_seconds) * 1000))
+    )
+    thr_ms = int(min_gap_seconds * 1000)
+
+    within_w = Window.partitionBy(*gb, "_b").orderBy("_ms")
+    within = d.select(
+        *gb,
+        F.lag("_ms").over(within_w).alias("prev_epoch_ms"),
+        F.col("_ms").alias("next_epoch_ms"),
+    )
+
+    bsum = d.groupBy(*gb, "_b").agg(
+        F.min("_ms").alias("_mn"), F.max("_ms").alias("_mx")
+    )
+    bound_w = Window.partitionBy(*gb).orderBy("_b")
+    boundary = bsum.select(
+        *gb,
+        F.lag("_mx").over(bound_w).alias("prev_epoch_ms"),
+        F.col("_mn").alias("next_epoch_ms"),
+    )
+
+    gaps = within.unionByName(boundary).where(
+        F.col("prev_epoch_ms").isNotNull()
+        & (F.col("next_epoch_ms") - F.col("prev_epoch_ms") > F.lit(thr_ms))
+    )
+    return gaps.select(
+        *gb,
+        "prev_epoch_ms",
+        "next_epoch_ms",
+        (
+            (F.col("next_epoch_ms") - F.col("prev_epoch_ms")) / F.lit(1000.0)
+        ).alias("gap_seconds"),
+    )
+
+
+def gap_violations(df: DataFrame, rule, run_id: str) -> DataFrame:
+    """Finalize-stage evaluation of a GapRule: one engine-shape violation
+    row per silence (kind=gap), keyed by the group (the freshness
+    convention — '*' for the ungrouped global series). Fully distributed:
+    the violation frame IS the gap frame projected, never collected."""
+    from ..errors import KIND_GAP
+    from .agg_rules import _key_expr
+
+    scoped = df.where(F.expr(rule.when)) if rule.when else df
+    gaps = time_gap_report(
+        scoped,
+        rule.column,
+        group_by=tuple(rule.group_by),
+        min_gap_seconds=rule.min_gap_seconds,
+        bucket_seconds=rule.bucket_seconds,
+    )
+    gb = list(rule.group_by)
+    key = _key_expr(tuple(gb)) if gb else F.lit("*")
+    return gaps.select(
+        F.lit(run_id).alias("run_id"),
+        F.lit(None).cast("int").alias("partition_id"),
+        F.lit(rule.id).alias("rule_id"),
+        key.alias("image_id"),
+        F.lit(rule.column).alias("column"),
+        F.lit(
+            f"no silence > {rule.min_gap_seconds}s between consecutive "
+            f"{rule.column} values"
+        ).alias("expected"),
+        F.format_string(
+            "gap_s=%.3f [%d .. %d]",
+            F.col("gap_seconds"),
+            F.col("prev_epoch_ms"),
+            F.col("next_epoch_ms"),
+        ).alias("actual"),
+        F.lit(KIND_GAP).alias("kind"),
+    )
+
+
+def time_gap_stats(
+    df: DataFrame,
+    ts_col: str,
+    *,
+    group_by: tuple = (),
+    min_gap_seconds: float,
+    bucket_seconds: int = DEFAULT_BUCKET_SECONDS,
+) -> DataFrame:
+    """One row per group: series extent (distinct timestamps, epoch-ms
+    span) plus the silence profile at the threshold — number of gaps and
+    the worst gap (NULL when the group never went quiet; groups with a
+    single distinct timestamp have no pairs and report zero gaps). The
+    rollup of ``time_gap_report`` for dashboards/specs; same bucketed
+    decomposition underneath."""
+    gb = list(group_by)
+    base = _distinct_ms(df, ts_col, tuple(gb))
+    ext = base.groupBy(*[F.col(g) for g in gb]).agg(
+        F.count(F.lit(1)).alias("n_distinct_ts"),
+        F.min("_ms").alias("first_epoch_ms"),
+        F.max("_ms").alias("last_epoch_ms"),
+    )
+    gaps = time_gap_report(
+        df,
+        ts_col,
+        group_by=tuple(gb),
+        min_gap_seconds=min_gap_seconds,
+        bucket_seconds=bucket_seconds,
+    )
+    gagg = gaps.groupBy(*[F.col(g) for g in gb]).agg(
+        F.count(F.lit(1)).alias("_n_gaps"),
+        F.max("gap_seconds").alias("_max_gap"),
+    )
+    if gb:
+        # eqNullSafe, not on=gb: NULL group values are legitimate
+        # participants and a null-unsafe equijoin would silently drop them
+        cond = None
+        for g in gb:
+            c = ext[g].eqNullSafe(gagg[g])
+            cond = c if cond is None else (cond & c)
+        joined = ext.join(gagg, cond, "left")
+        lead = [ext[g] for g in gb]
+    else:
+        joined = ext.crossJoin(gagg)  # both are exactly one row
+        lead = []
+    return joined.select(
+        *lead,
+        ext["n_distinct_ts"],
+        ext["first_epoch_ms"],
+        ext["last_epoch_ms"],
+        F.coalesce(gagg["_n_gaps"] if gb else F.col("_n_gaps"), F.lit(0))
+        .cast("long")
+        .alias("n_gaps"),
+        (gagg["_max_gap"] if gb else F.col("_max_gap")).alias("max_gap_seconds"),
+    )

@@ -700,7 +700,9 @@ class ValidationRun:
         for gr in prog.group_rules:
             from .spec import CountRule, FunctionalDependencyRule, UniqueRule
             from .spec import AssociationRule as _AssociationRule
+            from .spec import BenfordRule as _BenfordRule
             from .spec import FreshnessRule as _FreshnessRule
+            from .spec import GapRule as _GapRule
             from .spec import MonotonicRule as _MonotonicRule
             from .spec import OutlierRule as _OutlierRule
 
@@ -738,6 +740,16 @@ class ValidationRun:
                 viols.append(
                     agg_rules.freshness_violations(self.df, gr, self.run_id)
                 )
+            elif isinstance(gr, _BenfordRule):
+                from .operators.digits import benford_rule_results
+
+                b_viol, b_met = benford_rule_results(self.df, gr, self.run_id)
+                viols.append(b_viol)
+                mets.append(b_met)
+            elif isinstance(gr, _GapRule):
+                from .operators.gaps import gap_violations
+
+                viols.append(gap_violations(self.df, gr, self.run_id))
             elif isinstance(gr, CountRule):
                 viols.append(
                     agg_rules.count_violations(

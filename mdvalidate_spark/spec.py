@@ -716,6 +716,64 @@ class AssociationRule(Rule):
 
 
 @dataclass(frozen=True)
+class BenfordRule(Rule):
+    """First-significant-digit conformance gate on an organic magnitude
+    column (file sizes, byte lengths, totals spanning orders of
+    magnitude): the observed digit distribution's mean absolute deviation
+    from Benford's log10(1 + 1/d) must stay within ``max_mad`` (default =
+    Nigrini's marginally-acceptable band, 0.015). Constant-fill bugs,
+    truncation at an ingest boundary, and record duplication all bend this
+    histogram before any mean/quantile gate moves.
+
+    Evaluated at finalize over the whole table (a batch-local histogram
+    would make the verdict depend on batch boundaries): ONE full scan with
+    map-side combine, O(9) driver math — see operators/digits.py.
+
+    Degenerate contract: fewer than ``min_rows`` in-scope values (non-NULL,
+    nonzero) is a VIOLATION ('unmeasurable'), not a pass — a spec that
+    asserts a distribution on data that cannot exhibit one should be loud.
+    NOT for ID sequences, bounded scores, or assigned prices; the rule
+    gates organic magnitudes only, and that judgment is the spec author's.
+    """
+
+    column: str = ""
+    max_mad: float = 0.015
+    min_rows: int = 1000
+    when: str = ""  # optional row-scope predicate (see NotNullRule.when)
+    kind: str = field(default="benford", init=False)
+
+    def targets(self):
+        return (self.column,)
+
+
+@dataclass(frozen=True)
+class GapRule(Rule):
+    """Time-series continuity gate: no two consecutive DISTINCT values of
+    timestamp ``column`` (per ``group_by`` series) may be more than
+    ``min_gap_seconds`` apart — the mid-series ingest outage that
+    recovered before a freshness check looked, and that coarse volume
+    envelopes absorb. One violation row per silence, keyed by the group.
+
+    Evaluated at finalize via the bucketed decomposition in
+    operators/gaps.py (DISTINCT-shrink → LAG within ``bucket_seconds``
+    epoch buckets → boundary stitch over the per-bucket min/max summary) —
+    bit-identical to the naive global sort at any bucket size, but every
+    partition sorts only its own bucket. Groups with fewer than two
+    distinct timestamps have no pairs and pass vacuously (VolumeRule /
+    CountRule own emptiness)."""
+
+    column: str = ""
+    min_gap_seconds: float = 0.0
+    group_by: tuple = ()
+    bucket_seconds: int = 86_400
+    when: str = ""  # optional row-scope predicate (see NotNullRule.when)
+    kind: str = field(default="gap", init=False)
+
+    def targets(self):
+        return (self.column, *self.group_by)
+
+
+@dataclass(frozen=True)
 class FreshnessRule(Rule):
     """Staleness bound on a timestamp column: ``max(column)`` must lie
     within ``max_age_seconds`` of ``as_of`` — the data-recency contract an

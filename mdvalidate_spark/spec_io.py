@@ -18,6 +18,8 @@ from .errors import SchemaError
 from .spec import (
     CaptureRule,
     AssociationRule,
+    BenfordRule,
+    GapRule,
     ColumnStatsRule,
     CompositeRegexRule,
     CountRule,
@@ -73,6 +75,8 @@ RULE_KINDS: dict[str, type] = {
     "outlier": OutlierRule,
     "monotonic": MonotonicRule,
     "association": AssociationRule,
+    "benford": BenfordRule,
+    "gap": GapRule,
     "pii": PiiRule,
     "repetition": RepetitionRule,
     "text_quality": TextQualityRule,
