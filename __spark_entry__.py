@@ -2832,8 +2832,10 @@ def q_benford_orders(spark, sf_dir):
     """Benford first-significant-digit conformance on o_totalprice (an
     organic magnitude column spanning orders of magnitude): one scan,
     <=9-group aggregation, O(9) driver math (operators/digits.py). The
-    digit is extracted from a fixed '%.6f' rendering, never log10 math,
-    so Spark and DuckDB agree bit-for-bit at exact powers of ten."""
+    digit is extracted from a fixed '%.6e' scientific rendering (the
+    normalized mantissa's lead digit), never log10 math, so Spark and
+    DuckDB agree bit-for-bit at exact powers of ten and every nonzero
+    finite magnitude is in scope."""
     from mdvalidate_spark.operators.digits import benford_report
 
     orders = _load(spark, sf_dir, "orders")
@@ -2844,7 +2846,7 @@ def _benford_sql() -> str:
     from mdvalidate_spark.operators.digits import BENFORD_EXPECTED
 
     vals = ", ".join(f"({d}, {v})" for d, v in BENFORD_EXPECTED.items())
-    fd = "regexp_extract(printf('%.6f', abs(CAST(o_totalprice AS DOUBLE))), '[1-9]')"
+    fd = "regexp_extract(printf('%.6e', abs(CAST(o_totalprice AS DOUBLE))), '[1-9]')"
     return f"""
 WITH fd AS (
   SELECT CAST({fd} AS INT) AS d FROM orders WHERE {fd} <> ''

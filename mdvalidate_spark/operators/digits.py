@@ -12,11 +12,21 @@ shuffle moves ≤ 9·P rows), O(9) driver arithmetic. Scale-safe at any row
 count by construction.
 
 Parity discipline: the first significant digit is extracted from a FIXED
-'%.6f' rendering (format_string in Spark, printf in DuckDB) — never via
-log10/pow, whose floating-point at exact powers of ten can disagree
-between engines (log10(1000) = 2.9999999… → digit 9 instead of 1).
-Values that render without a nonzero digit (0, NULL, |x| < 5e-7) are out
-of scope, and that exclusion is visible in ``n_scoped`` vs ``rows``.
+'%.6e' scientific rendering (format_string in Spark, printf in DuckDB) —
+never via log10/pow, whose floating-point at exact powers of ten can
+disagree between engines (log10(1000) = 2.9999999… → digit 9 instead of
+1). The normalized mantissa makes every nonzero finite double in scope at
+any magnitude (a '%.6f' rendering silently mapped all of [5e-7, 1e-6) to
+digit 1 and excluded |x| < 5e-7 entirely); only 0, NULL, NaN and ±inf are
+out of scope, visible in ``n_scoped`` vs ``rows``. Two documented edges
+of the fixed 7-significant-digit rendering: (a) values within a RELATIVE
+5e-8 below a power of ten round up to mantissa 1.000000 and report digit
+1 — identically in both engines; (b) doubles whose shortest decimal repr
+is exactly ``9.9999995e±k`` (at most one per exponent, a few hundred in
+the whole double space) diverge — Java's Formatter rounds the shortest
+repr HALF_UP (digit 1) while C-style printf rounds the exact binary
+value (digit 9). No organically-generated column hits (b); it is a
+rendering-tie pathology, not a data regime.
 
 Applicability is the caller's judgment: ID sequences, bounded scores, and
 assigned values (prices ending .99) are NOT Benford-distributed — the
@@ -55,10 +65,13 @@ MIN_BENFORD_ROWS = 1000
 
 def first_digit_expr(column: str):
     """First significant digit of ``column`` as an int (NULL when none):
-    the first [1-9] in the fixed 6-decimal rendering of |x| — rendering,
-    not log10 math, so Spark and any ANSI-SQL oracle agree bit-for-bit."""
+    the first [1-9] in the fixed '%.6e' scientific rendering of |x| — the
+    normalized mantissa's lead digit, so every nonzero finite value is in
+    scope at any magnitude. Rendering, not log10 math, so Spark and any
+    ANSI-SQL oracle agree (module docstring documents the two rendering
+    edges of the fixed 7-significant-digit precision)."""
     d = F.regexp_extract(
-        F.format_string("%.6f", F.abs(F.col(column).cast("double"))),
+        F.format_string("%.6e", F.abs(F.col(column).cast("double"))),
         "[1-9]",
         0,
     )
@@ -72,8 +85,14 @@ def _digit_counts(df: DataFrame, column: str) -> tuple[int, dict]:
     agg = df.agg(
         F.count(F.lit(1)).alias("_rows"),
         *[
-            F.sum(
-                F.when(first_digit_expr(column) == d, F.lit(1)).otherwise(0)
+            # coalesce: SUM over zero rows is NULL, and an empty frame (or
+            # a `when` predicate matching nothing) must degrade to all-zero
+            # counts, not int(None) at the driver
+            F.coalesce(
+                F.sum(
+                    F.when(first_digit_expr(column) == d, F.lit(1)).otherwise(0)
+                ),
+                F.lit(0),
             ).alias(f"_d{d}")
             for d in range(1, 10)
         ],
@@ -102,6 +121,10 @@ def benford_report(
         raise SchemaError(
             f"benford tol must be in (0, 1) (a share deviation), got {tol}"
         )
+    if min_rows < 1:
+        # public operator API, callable without compile_spec — min_rows=0
+        # with zero in-scope values would divide by scoped=0 below
+        raise SchemaError(f"benford min_rows must be >= 1, got {min_rows}")
     rows, counts = _digit_counts(df, column)
     scoped = sum(counts.values())
     if scoped < min_rows:
@@ -139,6 +162,12 @@ def benford_rule_results(df, rule, run_id: str):
         # vacuous band here too, not just in the lint
         raise SchemaError(
             f"rule {rule.id!r}: max_mad must be in (0, 1), got {rule.max_mad}"
+        )
+    if rule.min_rows < 1:
+        # re-guard the compile lint for the direct-call path: min_rows=0
+        # with zero in-scope values would divide by scoped=0 below
+        raise SchemaError(
+            f"rule {rule.id!r}: min_rows must be >= 1, got {rule.min_rows}"
         )
     scoped_df = df.where(F.expr(rule.when)) if rule.when else df
     rows, counts = _digit_counts(scoped_df, rule.column)

@@ -50,19 +50,7 @@ def _distinct_ms(df: DataFrame, ts_col: str, group_by: tuple):
     )
 
 
-def time_gap_report(
-    df: DataFrame,
-    ts_col: str,
-    *,
-    group_by: tuple = (),
-    min_gap_seconds: float,
-    bucket_seconds: int = DEFAULT_BUCKET_SECONDS,
-) -> DataFrame:
-    """One row per silence: consecutive distinct timestamps (per group)
-    more than ``min_gap_seconds`` apart — (group columns, prev_epoch_ms,
-    next_epoch_ms, gap_seconds). ``bucket_seconds`` sizes the parallel
-    decomposition (default 1 day) and never changes the result; it must
-    exceed ``min_gap_seconds`` only for efficiency, not correctness."""
+def _check_gap_params(min_gap_seconds: float, bucket_seconds: int) -> None:
     if min_gap_seconds <= 0:
         raise SchemaError(
             f"min_gap_seconds must be > 0, got {min_gap_seconds} — every "
@@ -71,11 +59,24 @@ def time_gap_report(
         )
     if bucket_seconds <= 0:
         raise SchemaError(f"bucket_seconds must be > 0, got {bucket_seconds}")
-    gb = list(group_by)
-    d = _distinct_ms(df, ts_col, tuple(gb)).withColumn(
+
+
+def _gaps_from_distinct(
+    d: DataFrame,
+    gb: list,
+    min_gap_seconds: float,
+    bucket_seconds: int,
+) -> DataFrame:
+    """The bucketed gap decomposition over an already-distinct
+    (group…, _ms) frame — shared by report and stats so a rollup never
+    pays the dedup twice."""
+    d = d.withColumn(
         "_b", F.floor(F.col("_ms") / F.lit(int(bucket_seconds) * 1000))
     )
-    thr_ms = int(min_gap_seconds * 1000)
+    # round, not int(): int() truncates the float product, silently
+    # lowering e.g. 32.3s to 32299 ms and breaking the documented
+    # strictly-greater-than threshold semantics
+    thr_ms = int(round(min_gap_seconds * 1000))
 
     within_w = Window.partitionBy(*gb, "_b").orderBy("_ms")
     within = d.select(
@@ -105,6 +106,26 @@ def time_gap_report(
         (
             (F.col("next_epoch_ms") - F.col("prev_epoch_ms")) / F.lit(1000.0)
         ).alias("gap_seconds"),
+    )
+
+
+def time_gap_report(
+    df: DataFrame,
+    ts_col: str,
+    *,
+    group_by: tuple = (),
+    min_gap_seconds: float,
+    bucket_seconds: int = DEFAULT_BUCKET_SECONDS,
+) -> DataFrame:
+    """One row per silence: consecutive distinct timestamps (per group)
+    more than ``min_gap_seconds`` apart — (group columns, prev_epoch_ms,
+    next_epoch_ms, gap_seconds). ``bucket_seconds`` sizes the parallel
+    decomposition (default 1 day) and never changes the result; it must
+    exceed ``min_gap_seconds`` only for efficiency, not correctness."""
+    _check_gap_params(min_gap_seconds, bucket_seconds)
+    gb = list(group_by)
+    return _gaps_from_distinct(
+        _distinct_ms(df, ts_col, tuple(gb)), gb, min_gap_seconds, bucket_seconds
     )
 
 
@@ -153,27 +174,31 @@ def time_gap_stats(
     group_by: tuple = (),
     min_gap_seconds: float,
     bucket_seconds: int = DEFAULT_BUCKET_SECONDS,
+    keep=None,
 ) -> DataFrame:
     """One row per group: series extent (distinct timestamps, epoch-ms
     span) plus the silence profile at the threshold — number of gaps and
     the worst gap (NULL when the group never went quiet; groups with a
     single distinct timestamp have no pairs and report zero gaps). The
     rollup of ``time_gap_report`` for dashboards/specs; same bucketed
-    decomposition underneath."""
+    decomposition underneath, and the SAME distinct frame feeds both the
+    extent aggregation and the gap decomposition (persisted via ``keep``)
+    — the rollup never scans or dedups the input twice.
+
+    ``keep``: caller-owned persist hook (a run lifecycle passes its
+    tracked ``_keep`` so release() frees the frame; the overlap-audit
+    convention). Default persists MEMORY_AND_DISK untracked."""
+    _check_gap_params(min_gap_seconds, bucket_seconds)
+    if keep is None:
+        keep = lambda f: f.persist()  # noqa: E731
     gb = list(group_by)
-    base = _distinct_ms(df, ts_col, tuple(gb))
+    base = keep(_distinct_ms(df, ts_col, tuple(gb)))
     ext = base.groupBy(*[F.col(g) for g in gb]).agg(
         F.count(F.lit(1)).alias("n_distinct_ts"),
         F.min("_ms").alias("first_epoch_ms"),
         F.max("_ms").alias("last_epoch_ms"),
     )
-    gaps = time_gap_report(
-        df,
-        ts_col,
-        group_by=tuple(gb),
-        min_gap_seconds=min_gap_seconds,
-        bucket_seconds=bucket_seconds,
-    )
+    gaps = _gaps_from_distinct(base, gb, min_gap_seconds, bucket_seconds)
     gagg = gaps.groupBy(*[F.col(g) for g in gb]).agg(
         F.count(F.lit(1)).alias("_n_gaps"),
         F.max("gap_seconds").alias("_max_gap"),

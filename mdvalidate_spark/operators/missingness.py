@@ -76,11 +76,13 @@ def null_correlation(
         for (i, a), (j, b) in combinations(enumerate(cols), 2)
     ]
     row = df.agg(*exprs).collect()[0]
+    # SUM over zero rows is NULL: an empty frame must degrade to the
+    # documented degenerate rows (n=0, jaccard/phi NULL), not int(None)
     n = int(row["_n"])
-    m = {i: int(row[f"_m_{i}"]) for i in range(len(cols))}
+    m = {i: int(row[f"_m_{i}"] or 0) for i in range(len(cols))}
     out = []
     for (i, a), (j, b) in combinations(enumerate(cols), 2):
-        both = int(row[f"_p_{i}_{j}"])
+        both = int(row[f"_p_{i}_{j}"] or 0)
         na, nb = m[i], m[j]
         either = na + nb - both
         jac = _r6(both / either) if either > 0 else None

@@ -47,14 +47,18 @@ def test_benford_constant_fill_fails_loudly(spark):
     assert not D.benford_mad(df, "v").collect()[0]["conforms"]
 
 
-def test_benford_scope_excludes_null_zero_subunit(spark):
+def test_benford_scope_excludes_only_null_zero_nonfinite(spark):
     rows = [(x,) for x in _benford_sample(1200)]
-    rows += [(None,), (0.0,), (1e-9,), (-3.5,)]  # negative IS in scope
+    # negative and tiny magnitudes ARE in scope ('%.6e' mantissa lead
+    # digit: 1e-9 -> 1, 8e-7 -> 8); only NULL/0/NaN/inf fall out
+    rows += [(None,), (0.0,), (1e-9,), (8e-7,), (-3.5,),
+             (float("nan"),), (float("inf"),)]
     df = spark.createDataFrame(rows, "v double")
     rep = D.benford_report(df, "v").collect()
-    assert rep[0]["rows"] == 1204
-    assert rep[0]["n_scoped"] == 1201  # NULL, 0, 1e-9 excluded; -3.5 kept
-    assert {r["digit"]: r["n"] for r in rep}[3] >= 1
+    assert rep[0]["rows"] == 1207
+    assert rep[0]["n_scoped"] == 1203  # NULL, 0, nan, inf excluded
+    counts = {r["digit"]: r["n"] for r in rep}
+    assert counts[3] >= 1 and counts[8] >= 1
 
 
 def test_benford_min_rows_and_tol_lints(spark):
@@ -63,9 +67,35 @@ def test_benford_min_rows_and_tol_lints(spark):
         D.benford_report(df, "v")
     with pytest.raises(SchemaError, match="tol must be in"):
         D.benford_report(df, "v", tol=0.0, min_rows=1)
+    with pytest.raises(SchemaError, match="min_rows must be >= 1"):
+        D.benford_report(df, "v", min_rows=0)
     # fixture-scale override works
     rep = D.benford_report(df, "v", min_rows=10).collect()
     assert sum(r["n"] for r in rep) == 10
+
+
+def test_benford_rule_empty_scope_is_unmeasurable_not_crash(spark):
+    # SUM over zero rows is NULL: a `when` matching nothing (or an empty
+    # table) must emit the documented 'unmeasurable' violation, never
+    # raise int(None) at finalize
+    from mdvalidate_spark.spec import BenfordRule
+
+    df = spark.createDataFrame(
+        [(f"f{i}", 100.0 + i) for i in range(5)], "feed string, v double"
+    )
+    rule = BenfordRule("bz", column="v", when="feed = 'ZZZ'")
+    viols, mets = D.benford_rule_results(df, rule, "r1")
+    v = viols.collect()
+    assert len(v) == 1 and v[0]["actual"].startswith("unmeasurable: 0")
+    m = {r["metric"]: r["value"] for r in mets.collect()}
+    assert m["benford_n_scoped"] == 0.0 and m["benford_mad"] is None
+    # empty INPUT frame, same contract
+    viols2, _ = D.benford_rule_results(df.limit(0), rule, "r1")
+    assert viols2.count() == 1
+    with pytest.raises(SchemaError, match="min_rows must be >= 1"):
+        D.benford_rule_results(
+            df, BenfordRule("b0", column="v", min_rows=0), "r1"
+        )
 
 
 # -------------------------------------------------------- missingness
@@ -105,6 +135,18 @@ def test_null_correlation_degenerate_mask_is_null_not_zero(spark):
     # y always NULL, x never NULL: no variance on either side
     r = M.null_correlation(df.select("x", "y"), ["x", "y"]).collect()[0]
     assert r["phi"] is None and r["null_both"] == 0 and r["jaccard"] == 0.0
+
+
+def test_null_correlation_empty_frame_degenerate_not_crash(spark):
+    # SUM over zero rows is NULL: an empty partition/table must yield the
+    # degenerate rows (n=0, jaccard/phi NULL), not int(None)
+    df = _mdf(spark).limit(0)
+    rep = M.null_correlation(df, ["a", "b"]).collect()
+    assert len(rep) == 1
+    r = rep[0]
+    assert r["rows"] == 0 and r["null_both"] == 0
+    assert r["jaccard"] is None and r["phi"] is None
+    assert M.null_correlation_violations(df, ["a", "b"]).count() == 0
 
 
 def test_null_correlation_lints(spark):

@@ -123,6 +123,31 @@ def test_gap_ungrouped_global_series(spark, series):
     assert st[0]["n_gaps"] == 0
 
 
+def test_fractional_threshold_is_rounded_not_truncated(spark):
+    # 32.3 * 1000 = 32299.999999999996: int() would truncate to 32299 ms
+    # and report a gap of EXACTLY 32300 ms, breaking strict-> semantics
+    rows = [("A", _ts(0)), ("A", T0 + timedelta(milliseconds=32_300))]
+    df = spark.createDataFrame(rows, "feed string, ts timestamp")
+    rep = G.time_gap_report(
+        df, "ts", group_by=("feed",), min_gap_seconds=32.3
+    ).collect()
+    assert rep == []  # gap == threshold -> not a silence
+    rep = G.time_gap_report(
+        df, "ts", group_by=("feed",), min_gap_seconds=32.299
+    ).collect()
+    assert len(rep) == 1 and rep[0]["gap_seconds"] == 32.3
+
+
+def test_gap_stats_shares_one_distinct_frame(spark, series):
+    # the extent agg and the gap decomposition must consume the SAME
+    # persisted distinct frame (one scan + one dedup shuffle, not two)
+    out = G.time_gap_stats(
+        series, "ts", group_by=("feed",), min_gap_seconds=3600
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan  # tiny test frame; leak is fine here
+
+
 def test_gap_lints(spark, series):
     with pytest.raises(SchemaError, match="min_gap_seconds"):
         G.time_gap_report(series, "ts", min_gap_seconds=0)
