@@ -2828,6 +2828,33 @@ FROM uni
 """
 
 
+def q_benford_partials_orders(spark, sf_dir):
+    """INCREMENTAL Benford: per-batch digit-histogram partials (batches =
+    orderkey residues, the manifest-partial pattern) merged to the
+    conformance report — the oracle is the FULL-SCAN report SQL,
+    value-checking that the incremental path is bit-identical to a
+    rescan (operators/digits.py benford_digit_partials /
+    benford_from_partials)."""
+    from mdvalidate_spark.operators.digits import (
+        benford_digit_partials,
+        benford_from_partials,
+    )
+
+    orders = _load(spark, sf_dir, "orders").withColumn(
+        "partition_id", (F.col("o_orderkey") % 4).cast("int")
+    )
+    parts = [
+        benford_digit_partials(
+            orders.where(F.col("o_orderkey") % 4 == b), "o_totalprice"
+        )
+        for b in (0, 1, 2, 3)
+    ]
+    partials = parts[0]
+    for p in parts[1:]:
+        partials = partials.unionByName(p)
+    return benford_from_partials(partials, "o_totalprice")
+
+
 def q_benford_orders(spark, sf_dir):
     """Benford first-significant-digit conformance on o_totalprice (an
     organic magnitude column spanning orders of magnitude): one scan,
@@ -3424,6 +3451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- round 4: new/rewritten ------------------------------------
         "benford_orders": q_benford_orders,
+        "benford_partials_orders": q_benford_partials_orders,
         "null_correlation_documents": q_null_correlation_documents,
         "gaps_events": q_gaps_events,
         "gap_stats_events": q_gap_stats_events,
@@ -3469,18 +3497,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_ratchet_orders": q_drift_ratchet_orders,
         "pixel_manifest_documents": q_pixel_manifest_documents,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
+        # -- round 3: rewritten late families (driver never reached them
+        # in CORRECTNESS_r03 — judge-verified only), kept inside the
+        # driver's 50-entry window --------------------------------------
+        "dedup_exact_documents": q_dedup_exact_documents,
+        "topk_ivf_embeddings": q_topk_ivf_embeddings,
+        "phash_neardup": q_phash_neardup,
         "dup_clusters_documents": q_dup_clusters_documents,
+        # -- stable r3 queries, driver-green in CORRECTNESS_r03 ----------
         "embedding_clusters": q_embedding_clusters,
         "embedding_neardup": q_embedding_neardup,
         "table_ratio_lineitem": q_table_ratio_lineitem,
         "suggest_orders": q_suggest_orders,
         "suggest_gates_documents": q_suggest_gates_documents,
         "volume_anomaly_orders": q_volume_anomaly_orders,
-        # -- round 3: rewritten late families (driver never reached them
-        # in CORRECTNESS_r03 — judge-verified only) ---------------------
-        "dedup_exact_documents": q_dedup_exact_documents,
-        "topk_ivf_embeddings": q_topk_ivf_embeddings,
-        "phash_neardup": q_phash_neardup,
         "minhash_pairs_documents": q_minhash_pairs_documents,
         "simhash_documents": q_simhash_documents,
         "similar_count_embeddings": q_similar_count_embeddings,
@@ -4930,6 +4960,7 @@ SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.9
 def oracle_sql() -> dict[str, str]:
     return {
         "benford_orders": _benford_sql(),
+        "benford_partials_orders": _benford_sql(),
         "null_correlation_documents": _null_correlation_sql(),
         "gaps_events": _gaps_sql(),
         "gap_stats_events": _gap_stats_sql(),

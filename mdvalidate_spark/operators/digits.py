@@ -101,6 +101,44 @@ def _digit_counts(df: DataFrame, column: str) -> tuple[int, dict]:
     return rows, {d: int(agg[f"_d{d}"]) for d in range(1, 10)}
 
 
+def _check_report_params(tol: float, min_rows: int) -> None:
+    if not (0.0 < tol < 1.0):
+        raise SchemaError(
+            f"benford tol must be in (0, 1) (a share deviation), got {tol}"
+        )
+    if min_rows < 1:
+        # public operator API, callable without compile_spec — min_rows=0
+        # with zero in-scope values would divide by scoped=0 below
+        raise SchemaError(f"benford min_rows must be >= 1, got {min_rows}")
+
+
+def _report_frame(spark, rows: int, counts: dict, column: str, tol: float,
+                  min_rows: int) -> DataFrame:
+    """Shared report builder: the full-scan and merged-partials paths feed
+    the SAME integer counts into the same arithmetic, so the incremental
+    result is bit-identical to a rescan by construction."""
+    scoped = sum(counts.values())
+    if scoped < min_rows:
+        raise SchemaError(
+            f"benford_report({column!r}): only {scoped} values in scope "
+            f"(non-NULL, nonzero) of {rows} rows — below min_rows="
+            f"{min_rows}; a first-digit histogram this small asserts "
+            "noise, not conformity (lower min_rows deliberately for "
+            "fixtures)"
+        )
+    out = []
+    for d in range(1, 10):
+        share = _r6(counts[d] / scoped)
+        exp = BENFORD_EXPECTED[d]
+        dev = _r6(abs(share - exp))
+        out.append((d, rows, scoped, counts[d], share, exp, dev, dev <= tol))
+    return spark.createDataFrame(
+        out,
+        "digit int, rows long, n_scoped long, n long, observed_share double, "
+        "expected_share double, abs_dev double, within_tol boolean",
+    )
+
+
 def benford_report(
     df: DataFrame,
     column: str,
@@ -117,34 +155,62 @@ def benford_report(
     Refuses loudly when fewer than ``min_rows`` values are in scope — a
     digit histogram over a handful of rows asserts noise, not conformity.
     """
-    if not (0.0 < tol < 1.0):
-        raise SchemaError(
-            f"benford tol must be in (0, 1) (a share deviation), got {tol}"
-        )
-    if min_rows < 1:
-        # public operator API, callable without compile_spec — min_rows=0
-        # with zero in-scope values would divide by scoped=0 below
-        raise SchemaError(f"benford min_rows must be >= 1, got {min_rows}")
+    _check_report_params(tol, min_rows)
     rows, counts = _digit_counts(df, column)
-    scoped = sum(counts.values())
-    if scoped < min_rows:
-        raise SchemaError(
-            f"benford_report({column!r}): only {scoped} values in scope "
-            f"(non-NULL, nonzero) of {rows} rows — below min_rows="
-            f"{min_rows}; a first-digit histogram this small asserts "
-            "noise, not conformity (lower min_rows deliberately for "
-            "fixtures)"
-        )
-    out = []
-    for d in range(1, 10):
-        share = _r6(counts[d] / scoped)
-        exp = BENFORD_EXPECTED[d]
-        dev = _r6(abs(share - exp))
-        out.append((d, rows, scoped, counts[d], share, exp, dev, dev <= tol))
-    return df.sparkSession.createDataFrame(
-        out,
-        "digit int, rows long, n_scoped long, n long, observed_share double, "
-        "expected_share double, abs_dev double, within_tol boolean",
+    return _report_frame(df.sparkSession, rows, counts, column, tol, min_rows)
+
+
+def benford_digit_partials(
+    df: DataFrame,
+    column: str,
+    partition_col: str = "partition_id",
+) -> DataFrame:
+    """MERGEABLE per-partition first-digit histogram partials: one row per
+    partition with its row count and nine digit counts — the Benford
+    analog of association_cell_partials. Counts merge by plain summation,
+    so a checkpointed run appends each batch's partials (idempotent
+    dynamic-overwrite keyed on the partition, like every other partial in
+    the manifest) and the EOF conformance gate never rescans the table.
+    Size bound: O(partitions) rows of eleven small integers."""
+    return df.groupBy(
+        F.col(partition_col).cast("int").alias("partition_id")
+    ).agg(
+        F.count(F.lit(1)).alias("rows"),
+        *[
+            F.coalesce(
+                F.sum(
+                    F.when(first_digit_expr(column) == d, F.lit(1)).otherwise(0)
+                ),
+                F.lit(0),
+            ).alias(f"d{d}")
+            for d in range(1, 10)
+        ],
+    )
+
+
+def benford_from_partials(
+    partials: DataFrame,
+    column: str,
+    *,
+    tol: float = 0.015,
+    min_rows: int = MIN_BENFORD_ROWS,
+) -> DataFrame:
+    """Merge accumulated digit partials (sum per digit — one distributed
+    aggregation, one row collected) and build the IDENTICAL report
+    ``benford_report`` produces from a full scan: both paths feed the same
+    integer counts into ``_report_frame``. The incremental EOF pass for
+    Benford conformance."""
+    _check_report_params(tol, min_rows)
+    agg = partials.agg(
+        F.coalesce(F.sum("rows"), F.lit(0)).alias("rows"),
+        *[
+            F.coalesce(F.sum(f"d{d}"), F.lit(0)).alias(f"d{d}")
+            for d in range(1, 10)
+        ],
+    ).collect()[0]
+    counts = {d: int(agg[f"d{d}"]) for d in range(1, 10)}
+    return _report_frame(
+        partials.sparkSession, int(agg["rows"]), counts, column, tol, min_rows
     )
 
 

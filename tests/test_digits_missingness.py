@@ -5,6 +5,7 @@ import math
 import random
 
 import pytest
+from pyspark.sql import functions as F
 
 from mdvalidate_spark.errors import SchemaError
 from mdvalidate_spark.operators import digits as D
@@ -96,6 +97,40 @@ def test_benford_rule_empty_scope_is_unmeasurable_not_crash(spark):
         D.benford_rule_results(
             df, BenfordRule("b0", column="v", min_rows=0), "r1"
         )
+
+
+def test_benford_partials_merge_equals_full_scan(spark):
+    """Digit partials accumulated over disjoint batches merge to the
+    bit-identical full-scan report (the manifest-partial pattern)."""
+    rows = [(i, x) for i, x in enumerate(_benford_sample(3000))]
+    rows.append((3000, None))
+    rows.append((3001, 0.0))
+    df = spark.createDataFrame(rows, "id long, v double").withColumn(
+        "partition_id", (F.col("id") % 3).cast("int")
+    )
+    partials = None
+    for b in range(3):
+        p = D.benford_digit_partials(df.where(F.col("id") % 3 == b), "v")
+        partials = p if partials is None else partials.unionByName(p)
+    inc = D.benford_from_partials(partials, "v").collect()
+    full = D.benford_report(df, "v").collect()
+    assert [tuple(r) for r in inc] == [tuple(r) for r in full]
+
+
+def test_benford_partials_guards_and_empty(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0)], "partition_id int, v double"
+    )
+    partials = D.benford_digit_partials(df, "v")
+    with pytest.raises(SchemaError, match="below min_rows"):
+        D.benford_from_partials(partials, "v")
+    with pytest.raises(SchemaError, match="min_rows must be >= 1"):
+        D.benford_from_partials(partials, "v", min_rows=0)
+    rep = D.benford_from_partials(partials, "v", min_rows=1).collect()
+    assert {r["digit"]: r["n"] for r in rep}[5] == 1
+    # zero accumulated partials: loud unmeasurable, not int(None)
+    with pytest.raises(SchemaError, match="below min_rows"):
+        D.benford_from_partials(partials.limit(0), "v", min_rows=1)
 
 
 # -------------------------------------------------------- missingness

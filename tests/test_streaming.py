@@ -205,6 +205,144 @@ def test_stateful_duplicate_violations_across_batches(spark, tmp_path):
     assert got2 == {("a", "occurrence=2"), ("b", "occurrence=2")}
 
 
+def test_stream_gap_violations_across_batches(spark, tmp_path):
+    """Streaming silence detection (applyInPandasWithState): the gap
+    between a feed's last timestamp in one micro-batch and its first in a
+    later one must flag — state survives the batch boundary. Same strict->
+    threshold semantics as the batch operator, late arrivals ignored."""
+    from datetime import datetime, timedelta
+
+    from mdvalidate_spark.streaming.stateful import stream_gap_violations
+
+    T0 = datetime(2026, 1, 1)
+    src = str(tmp_path / "gap-src")
+    out = str(tmp_path / "gap-out")
+    ck = str(tmp_path / "gap-ck")
+
+    def drain():
+        stream = spark.readStream.schema("feed string, ts timestamp").parquet(src)
+        v = stream_gap_violations(
+            stream, "ts", "gap_stream", "s1",
+            min_gap_seconds=3600, group_column="feed",
+        )
+        assert v.isStreaming
+        q = (
+            v.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: A minute-cadence then a 2h in-batch hole; B steady
+    rows = [("A", T0 + timedelta(minutes=m)) for m in (0, 1, 2, 122)]
+    rows += [("B", T0 + timedelta(minutes=m)) for m in (0, 30)]
+    spark.createDataFrame(rows, "feed string, ts timestamp").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+    got1 = spark.read.parquet(out).collect()
+    assert len(got1) == 1
+    assert got1[0]["image_id"] == "A" and got1[0]["kind"] == "gap"
+    assert "gap_s=7200.000" in got1[0]["actual"]
+
+    # batch 2: A resumes right away (no gap); B resumes after 90 min
+    # (cross-BATCH gap via state); a late A row (before batch-1 max) is
+    # ignored, and an exactly-1h B gap is NOT a violation (strict >)
+    rows2 = [("A", T0 + timedelta(minutes=123)),
+             ("A", T0 + timedelta(minutes=50)),   # late: ignored
+             ("B", T0 + timedelta(minutes=120)),  # 30 -> 120 = 90min gap
+             ("B", T0 + timedelta(minutes=180))]  # exactly 60min: clean
+    spark.createDataFrame(rows2, "feed string, ts timestamp").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+    got2 = {(r["image_id"], r["actual"]) for r in spark.read.parquet(out).collect()}
+    assert (len(got2)) == 2
+    assert any(k == "B" and "gap_s=5400.000" in a for k, a in got2)
+
+
+def test_stream_gap_idle_alert_fires_while_feed_is_down(spark, tmp_path):
+    """alert_idle=True: a feed quiet for min_gap_seconds of WALL time
+    raises ONE open-silence alert (next NULL, 'ongoing…') before any
+    recovery row arrives — the capability the batch operator cannot have;
+    the alerted flag suppresses repeats while the silence continues. On
+    recovery the closed gap is still reported with exact event-time
+    bounds. One long-lived query (the TTL-test pattern): processing-time
+    timers need the stream's own batch cadence to fire."""
+    import time as _time
+    from datetime import datetime, timedelta
+
+    from mdvalidate_spark.errors import SchemaError
+    from mdvalidate_spark.streaming.stateful import stream_gap_violations
+
+    T0 = datetime(2026, 1, 1)
+    src = str(tmp_path / "idle-src")
+    out = str(tmp_path / "idle-out")
+    ck = str(tmp_path / "idle-ck")
+
+    def write(rows):
+        spark.createDataFrame(rows, "feed string, ts timestamp").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def rows():
+        try:
+            return [
+                (r["image_id"], r["actual"])
+                for r in spark.read.parquet(out).collect()
+            ]
+        except Exception:  # sink dir not created yet
+            return []
+
+    def wait_for(pred, timeout=60):
+        deadline = _time.time() + timeout
+        while _time.time() < deadline:
+            if pred(rows()):
+                return
+            _time.sleep(0.5)
+        raise AssertionError(f"timed out waiting; last rows: {rows()}")
+
+    write([("A", T0)])
+    stream = spark.readStream.schema("feed string, ts timestamp").parquet(src)
+    v = stream_gap_violations(
+        stream, "ts", "gap_idle", "s1",
+        min_gap_seconds=5, group_column="feed", alert_idle=True,
+    )
+    q = (
+        v.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        # phase A: the open-silence alert fires ~5s of WALL quiet after
+        # A's only row — before any recovery data exists
+        wait_for(
+            lambda r: [x for x in r if "ongoing" in x[1]]
+            == [("A", "ongoing: silent > 5.000s since 1767225600000")]
+        )
+        # phase B: silence continues well past a second threshold — the
+        # alerted flag suppresses a repeat alert
+        _time.sleep(7.0)
+        assert len([x for x in rows() if "ongoing" in x[1]]) == 1
+        # phase C: recovery at T0+30s closes the gap with exact
+        # event-time bounds (one row), independent of the wall clock
+        write([("A", T0 + timedelta(seconds=30))])
+        wait_for(
+            lambda r: [x for x in r if x[1].startswith("gap_s=")]
+            == [("A", "gap_s=30.000 [1767225600000 .. 1767225630000]")]
+        )
+    finally:
+        q.stop()
+
+    with pytest.raises(SchemaError, match="min_gap_seconds must be > 0"):
+        stream2 = spark.readStream.schema("feed string, ts timestamp").parquet(src)
+        stream_gap_violations(stream2, "ts", "g", "s", min_gap_seconds=0)
+
+
 def test_stateful_duplicate_ttl_evicts_idle_keys(spark, tmp_path):
     """VERDICT r3 #4: ttl_seconds bounds uniqueness state on unbounded key
     spaces. A key idle past the TTL is evicted (ProcessingTimeTimeout), and
