@@ -214,15 +214,7 @@ def benford_from_partials(
     )
 
 
-def benford_rule_results(df, rule, run_id: str):
-    """Finalize-stage evaluation of a BenfordRule: (violations, metrics)
-    frames in the run's shared schemas. The verdict compares the ROUNDED
-    MAD (6dp — the value reported) against ``max_mad``, so a replayed run
-    can never flip on float dust. Degenerate contract per the rule's
-    docstring: fewer than ``min_rows`` in-scope values violates loudly
-    ('unmeasurable'), never passes silently."""
-    from ..errors import KIND_BENFORD
-
+def _check_rule_params(rule) -> None:
     if not (0.0 < rule.max_mad < 1.0):
         # public operator API, callable without compile_spec — guard the
         # vacuous band here too, not just in the lint
@@ -235,8 +227,56 @@ def benford_rule_results(df, rule, run_id: str):
         raise SchemaError(
             f"rule {rule.id!r}: min_rows must be >= 1, got {rule.min_rows}"
         )
+
+
+def benford_rule_partials(df: DataFrame, rule) -> DataFrame:
+    """Per-batch digit partials for an incremental BenfordRule: the rule's
+    ``when`` scope applied first, then ``benford_digit_partials`` — what
+    the run lifecycle persists under the checkpoint per validated batch."""
+    scoped = df.where(F.expr(rule.when)) if rule.when else df
+    return benford_digit_partials(scoped, rule.column)
+
+
+def benford_rule_results_from_partials(partials: DataFrame, rule, run_id: str):
+    """The incremental EOF pass for a BenfordRule: merge accumulated digit
+    partials (one distributed summation, one row collected) and build the
+    IDENTICAL (violations, metrics) frames ``benford_rule_results``
+    produces from a full scan — both paths feed the same integer counts
+    into ``_rule_results_from_counts``. Never rescans the table."""
+    _check_rule_params(rule)
+    agg = partials.agg(
+        F.coalesce(F.sum("rows"), F.lit(0)).alias("rows"),
+        *[
+            F.coalesce(F.sum(f"d{d}"), F.lit(0)).alias(f"d{d}")
+            for d in range(1, 10)
+        ],
+    ).collect()[0]
+    counts = {d: int(agg[f"d{d}"]) for d in range(1, 10)}
+    return _rule_results_from_counts(
+        partials.sparkSession, int(agg["rows"]), counts, rule, run_id
+    )
+
+
+def benford_rule_results(df, rule, run_id: str):
+    """Finalize-stage evaluation of a BenfordRule: (violations, metrics)
+    frames in the run's shared schemas. The verdict compares the ROUNDED
+    MAD (6dp — the value reported) against ``max_mad``, so a replayed run
+    can never flip on float dust. Degenerate contract per the rule's
+    docstring: fewer than ``min_rows`` in-scope values violates loudly
+    ('unmeasurable'), never passes silently."""
+    _check_rule_params(rule)
     scoped_df = df.where(F.expr(rule.when)) if rule.when else df
     rows, counts = _digit_counts(scoped_df, rule.column)
+    return _rule_results_from_counts(
+        df.sparkSession, rows, counts, rule, run_id
+    )
+
+
+def _rule_results_from_counts(spark, rows: int, counts: dict, rule, run_id: str):
+    """Shared verdict builder: full-scan and merged-partials paths feed the
+    same integer counts into the same arithmetic."""
+    from ..errors import KIND_BENFORD
+
     scoped = sum(counts.values())
     expected = f"benford mad <= {rule.max_mad}"
 
@@ -270,7 +310,6 @@ def benford_rule_results(df, rule, run_id: str):
                  f"{BENFORD_EXPECTED[worst]:.6f})", KIND_BENFORD)
             )
 
-    spark = df.sparkSession
     ddl_v = (
         "run_id string, partition_id int, rule_id string, image_id string, "
         "column string, expected string, actual string, kind string"

@@ -279,6 +279,8 @@ class ValidationRun:
         # accumulated per-batch histogram partial frames per rule
         self._drift_frozen_edges: dict[str, list] = {}
         self._drift_partials: dict[str, list[DataFrame]] = {}
+        # accumulated per-batch Benford digit partials per incremental rule
+        self._benford_partials: dict[str, list[DataFrame]] = {}
         self._finalized = False
         self._schema_checked = False
         self._schema_violations = 0
@@ -492,6 +494,21 @@ class ValidationRun:
                 partials.write.mode("overwrite").partitionBy(
                     "partition_id"
                 ).parquet(self._sink("stats_partials"))
+
+        from .spec import BenfordRule as _BenfordRule
+
+        for br in (
+            r for r in prog.group_rules
+            if isinstance(r, _BenfordRule) and r.incremental
+        ):
+            from .operators.digits import benford_rule_partials
+
+            bp = self._keep(benford_rule_partials(batch_df, br))
+            self._benford_partials.setdefault(br.id, []).append(bp)
+            if self.checkpoint_dir:
+                bp.write.mode("overwrite").partitionBy("partition_id").parquet(
+                    self._sink(f"benford_partials/{br.id}")
+                )
 
         cap = spec.max_violations_per_rule
         full_viol = _union(viols, self.spark, _VIOLATIONS_DDL)
@@ -741,9 +758,23 @@ class ValidationRun:
                     agg_rules.freshness_violations(self.df, gr, self.run_id)
                 )
             elif isinstance(gr, _BenfordRule):
-                from .operators.digits import benford_rule_results
+                from .operators.digits import (
+                    benford_rule_results,
+                    benford_rule_results_from_partials,
+                )
 
-                b_viol, b_met = benford_rule_results(self.df, gr, self.run_id)
+                pieces = self._benford_partials.get(gr.id, [])
+                if gr.incremental and pieces:
+                    # merge the persisted digit partials — O(#partitions),
+                    # never a table rescan (the incremental EOF pass)
+                    merged = reduce(lambda a, b: a.unionByName(b), pieces)
+                    b_viol, b_met = benford_rule_results_from_partials(
+                        merged, gr, self.run_id
+                    )
+                else:
+                    b_viol, b_met = benford_rule_results(
+                        self.df, gr, self.run_id
+                    )
                 viols.append(b_viol)
                 mets.append(b_met)
             elif isinstance(gr, _GapRule):
@@ -1221,6 +1252,19 @@ class ValidationRun:
             if dp and os.path.exists(dp) and done:
                 self._drift_partials.setdefault(dr.id, []).append(
                     self.spark.read.parquet(dp).where(
+                        F.col("partition_id").isin(list(done))
+                    )
+                )
+        # incremental Benford digit partials: one dir per rule
+        from .spec import BenfordRule as _BenfordRule
+
+        for br in self.program.group_rules:
+            if not (isinstance(br, _BenfordRule) and br.incremental):
+                continue
+            bp = self._sink(f"benford_partials/{br.id}")
+            if bp and os.path.exists(bp) and done:
+                self._benford_partials.setdefault(br.id, []).append(
+                    self.spark.read.parquet(bp).where(
                         F.col("partition_id").isin(list(done))
                     )
                 )

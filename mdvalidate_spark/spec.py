@@ -740,6 +740,16 @@ class BenfordRule(Rule):
     max_mad: float = 0.015
     min_rows: int = 1000
     when: str = ""  # optional row-scope predicate (see NotNullRule.when)
+    # incremental=True switches this rule to MERGEABLE PER-PARTITION
+    # PARTIALS (the ColumnStatsRule.incremental pattern): each validated
+    # batch emits one row per partition with its row count and nine digit
+    # counts, persisted under the checkpoint; the finalize pass merges by
+    # summation WITHOUT rescanning the table — bit-identical to the full
+    # scan because both paths feed the same integer counts into the same
+    # arithmetic (operators/digits.py). On a resumed 10^12-row run where
+    # one partition arrived, the Benford cost is that partition's scan
+    # plus an O(#partitions) merge.
+    incremental: bool = False
     kind: str = field(default="benford", init=False)
 
     def targets(self):

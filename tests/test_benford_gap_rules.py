@@ -130,6 +130,87 @@ def test_benford_unmeasurable_violates_loudly(spark, tmp_path):
     assert rep.exit_code == 1
 
 
+def test_benford_incremental_through_run_and_resume(spark, tmp_path):
+    """incremental=True rides the manifest-partial lifecycle: per-batch
+    digit partials persist under the checkpoint, a RESUMED run reloads the
+    validated partitions' partials and finalizes without rescanning them,
+    and the merged verdict + metrics are bit-identical to the full-scan
+    rule (same integer counts, same arithmetic). The ColumnStatsRule
+    incremental contract, applied to Benford."""
+    from mdvalidate_spark.run import ValidationRun
+
+    df = _table(spark)
+    rules = [
+        BenfordRule(
+            "sz_inc", column="size", max_mad=0.02, min_rows=500,
+            when="size > 1.0", incremental=True,
+        )
+    ]
+    spec = Spec(key_column="image_id", n_partitions=8, rules=rules)
+    ckpt = str(tmp_path / "ck")
+
+    run1 = ValidationRun(spark, spec, df, run_id="r-b", checkpoint_dir=ckpt)
+    pending = run1.pending_partitions()
+    run1._validate_batch(pending[:3])
+    assert sorted(run1.pending_partitions()) == sorted(pending[3:])
+
+    # resume in a NEW run object: reloads the 3 persisted digit partials,
+    # validates the rest, merges at finalize
+    run2 = ValidationRun(spark, spec, df, run_id="r-b", checkpoint_dir=ckpt)
+    assert sorted(run2.pending_partitions()) == sorted(pending[3:])
+    report = run2.validate()
+
+    full = validate_table(
+        spark, df,
+        Spec(
+            key_column="image_id", n_partitions=8,
+            rules=[
+                BenfordRule(
+                    "sz_inc", column="size", max_mad=0.02, min_rows=500,
+                    when="size > 1.0",
+                )
+            ],
+        ),
+        run_id="r-full",
+    )
+
+    def mm(rep):
+        return sorted(
+            (r["metric"], r["value"])
+            for r in rep.metrics.collect()
+            if r["rule_id"] == "sz_inc"
+        )
+
+    assert mm(report) == mm(full)
+    assert report.violations.where("rule_id = 'sz_inc'").count() == 0
+    assert full.violations.where("rule_id = 'sz_inc'").count() == 0
+
+    # degenerate magnitudes trip the gate identically on both paths
+    bad = _table(spark, benford_ok=False)
+    inc_bad = validate_table(
+        spark, bad,
+        Spec(key_column="image_id", n_partitions=8, rules=rules),
+        run_id="r-bad-inc", checkpoint_dir=str(tmp_path / "ck2"),
+    )
+    full_bad = validate_table(
+        spark, bad,
+        Spec(
+            key_column="image_id", n_partitions=8,
+            rules=[
+                BenfordRule(
+                    "sz_inc", column="size", max_mad=0.02, min_rows=500,
+                    when="size > 1.0",
+                )
+            ],
+        ),
+        run_id="r-bad-full",
+    )
+    vi = inc_bad.violations.where("rule_id = 'sz_inc'").collect()
+    vf = full_bad.violations.where("rule_id = 'sz_inc'").collect()
+    assert len(vi) == 1 and vi[0]["actual"] == vf[0]["actual"]
+    assert mm(inc_bad) == mm(full_bad)
+
+
 def test_gap_rule_when_scope_and_global_series(spark, tmp_path):
     # when= scopes to feed B (steady minute cadence): no violations; the
     # ungrouped global series over feed A alone shows the hole
