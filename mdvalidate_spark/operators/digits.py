@@ -160,6 +160,17 @@ def benford_report(
     return _report_frame(df.sparkSession, rows, counts, column, tol, min_rows)
 
 
+# Fixed partials schema: reloading a checkpointed partials dir MUST pass
+# this explicitly (never infer) — a rule whose `when` scope matched zero
+# rows in its first validated batch writes a directory with no part files,
+# and schema inference on it raises, making the checkpoint unresumable.
+BENFORD_PARTIALS_DDL = (
+    "rows bigint, "
+    + ", ".join(f"d{d} bigint" for d in range(1, 10))
+    + ", partition_id int"
+)
+
+
 def benford_digit_partials(
     df: DataFrame,
     column: str,
@@ -201,6 +212,17 @@ def benford_from_partials(
     integer counts into ``_report_frame``. The incremental EOF pass for
     Benford conformance."""
     _check_report_params(tol, min_rows)
+    rows, counts = _merge_digit_partials(partials)
+    return _report_frame(
+        partials.sparkSession, rows, counts, column, tol, min_rows
+    )
+
+
+def _merge_digit_partials(partials: DataFrame) -> tuple[int, dict[int, int]]:
+    """Sum accumulated digit partials — ONE distributed aggregation, one
+    row collected. The single merge point for both the report and the
+    rule-results incremental paths, so the partials schema and the merge
+    arithmetic can never drift apart between them."""
     agg = partials.agg(
         F.coalesce(F.sum("rows"), F.lit(0)).alias("rows"),
         *[
@@ -208,10 +230,7 @@ def benford_from_partials(
             for d in range(1, 10)
         ],
     ).collect()[0]
-    counts = {d: int(agg[f"d{d}"]) for d in range(1, 10)}
-    return _report_frame(
-        partials.sparkSession, int(agg["rows"]), counts, column, tol, min_rows
-    )
+    return int(agg["rows"]), {d: int(agg[f"d{d}"]) for d in range(1, 10)}
 
 
 def _check_rule_params(rule) -> None:
@@ -244,16 +263,9 @@ def benford_rule_results_from_partials(partials: DataFrame, rule, run_id: str):
     produces from a full scan — both paths feed the same integer counts
     into ``_rule_results_from_counts``. Never rescans the table."""
     _check_rule_params(rule)
-    agg = partials.agg(
-        F.coalesce(F.sum("rows"), F.lit(0)).alias("rows"),
-        *[
-            F.coalesce(F.sum(f"d{d}"), F.lit(0)).alias(f"d{d}")
-            for d in range(1, 10)
-        ],
-    ).collect()[0]
-    counts = {d: int(agg[f"d{d}"]) for d in range(1, 10)}
+    rows, counts = _merge_digit_partials(partials)
     return _rule_results_from_counts(
-        partials.sparkSession, int(agg["rows"]), counts, rule, run_id
+        partials.sparkSession, rows, counts, rule, run_id
     )
 
 

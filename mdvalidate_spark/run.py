@@ -1255,7 +1255,12 @@ class ValidationRun:
                         F.col("partition_id").isin(list(done))
                     )
                 )
-        # incremental Benford digit partials: one dir per rule
+        # incremental Benford digit partials: one dir per rule. Explicit
+        # schema (never infer): a `when`-scoped rule whose first validated
+        # batch had zero in-scope rows leaves a part-file-less directory
+        # that schema inference refuses, which would make the checkpoint
+        # unresumable.
+        from .operators.digits import BENFORD_PARTIALS_DDL
         from .spec import BenfordRule as _BenfordRule
 
         for br in self.program.group_rules:
@@ -1264,9 +1269,9 @@ class ValidationRun:
             bp = self._sink(f"benford_partials/{br.id}")
             if bp and os.path.exists(bp) and done:
                 self._benford_partials.setdefault(br.id, []).append(
-                    self.spark.read.parquet(bp).where(
-                        F.col("partition_id").isin(list(done))
-                    )
+                    self.spark.read.schema(BENFORD_PARTIALS_DDL)
+                    .parquet(bp)
+                    .where(F.col("partition_id").isin(list(done)))
                 )
 
     def _save_manifest(self) -> None:

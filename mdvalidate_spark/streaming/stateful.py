@@ -118,19 +118,30 @@ def _make_gap_fn(thr_ms: int, alert_idle: bool):
             {int(v) for p in pdfs for v in p["_ms"].dropna().tolist()}
         )
         last = int(state.get[0]) if state.exists else None
-        if not ms_vals:
-            return
         # late arrivals (ts <= last) are IGNORED for gap formation: the
         # stream detector is the low-latency alert path and assumes
         # per-key arrival roughly follows event time; exact retrospective
         # analysis (any order, any lateness) is the batch operator
         # (operators/gaps.py) over the landed table.
         fresh = [v for v in ms_vals if last is None or v > last]
+        if not fresh:
+            # nothing NEW this batch (all NULL, or a pure redelivery of
+            # ts <= last). Do not touch (last, alerted): resetting the
+            # alerted flag here would re-emit the open-silence alert on
+            # every at-least-once redelivery while the feed is still
+            # down. But any invocation cancels a key's pending timeout,
+            # so a not-yet-fired alert must be re-registered (its clock
+            # restarts from now — the documented processing-time
+            # approximation); an already-fired one stays suppressed
+            # until genuinely fresh data arrives.
+            if alert_idle and state.exists and not int(state.get[1]):
+                state.setTimeoutDuration(max(1, thr_ms))
+            return
         seq = ([last] if last is not None else []) + fresh
         new_last = seq[-1]
         state.update((new_last, 0))
         if alert_idle:
-            state.setTimeoutDuration(thr_ms)
+            state.setTimeoutDuration(max(1, thr_ms))
         gaps = [(a, b) for a, b in zip(seq, seq[1:]) if b - a > thr_ms]
         if gaps:
             yield pd.DataFrame(
@@ -175,7 +186,11 @@ def stream_gap_violations(
             f"stream gap {rule_id!r}: min_gap_seconds must be > 0, "
             f"got {min_gap_seconds}"
         )
-    thr_ms = max(1, int(round(min_gap_seconds * 1000)))
+    # SAME rounding as the batch twin (operators/gaps.py): a
+    # sub-millisecond threshold rounds to 0 and flags every 1 ms gap in
+    # BOTH paths. The max(1, ...) floor that setTimeoutDuration needs is
+    # applied only at the arm sites inside _make_gap_fn.
+    thr_ms = int(round(min_gap_seconds * 1000))
     key = (
         F.col(group_column).cast("string")
         if group_column

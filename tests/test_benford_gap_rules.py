@@ -243,3 +243,33 @@ def test_gap_rule_when_scope_and_global_series(spark, tmp_path):
     rows = rep2.violations.where("rule_id = 'quiet_a'").collect()
     assert len(rows) == 1 and rows[0]["image_id"] == "*"
     assert rows[0]["actual"].startswith("gap_s=")
+
+
+def test_benford_incremental_resume_with_empty_scope_first_batch(spark, tmp_path):
+    """A `when`-scoped incremental BenfordRule whose first validated batch
+    has ZERO in-scope rows writes a partials directory with no part files;
+    resuming from that checkpoint must reload it (explicit schema — never
+    inference, which refuses an empty dir) and finalize on the degrade
+    path instead of crashing at ValidationRun.__init__."""
+    from mdvalidate_spark.run import ValidationRun
+
+    df = _table(spark)
+    rules = [
+        BenfordRule(
+            "never", column="size", min_rows=1,
+            when="size > 1e18", incremental=True,  # matches nothing
+        )
+    ]
+    spec = Spec(key_column="image_id", n_partitions=6, rules=rules)
+    ckpt = str(tmp_path / "ck-empty")
+
+    run1 = ValidationRun(spark, spec, df, run_id="r-e", checkpoint_dir=ckpt)
+    pending = run1.pending_partitions()
+    run1._validate_batch(pending[:2])  # persists a part-file-less dir
+
+    # pre-fix this raised AnalysisException (schema inference on an
+    # empty parquet directory) before any validation could resume
+    run2 = ValidationRun(spark, spec, df, run_id="r-e", checkpoint_dir=ckpt)
+    rep = run2.validate()
+    v = [r for r in rep.violations.collect() if r["rule_id"] == "never"]
+    assert len(v) == 1 and "unmeasurable" in v[0]["actual"]

@@ -771,3 +771,93 @@ def test_holdout_split_is_streaming_stateless(spark, tmp_path):
         r.k for r in sample_hash(df, ["k"], 0.25, method="md5").collect()
     }
     assert stream_held == batch_held
+
+
+class _FakeGroupState:
+    """Minimal stand-in for GroupState: enough to unit-test the gap
+    closure's state transitions deterministically (the wall-clock
+    alert_idle integration is test_stream_gap_open_silence_alert)."""
+
+    def __init__(self, value=None):
+        self._v = value
+        self.hasTimedOut = False
+        self.updates = []
+        self.timeouts = []
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+        self.updates.append(tuple(v))
+
+    def setTimeoutDuration(self, ms):
+        self.timeouts.append(ms)
+
+
+def _run_gap_fn(fn, state, ms_vals):
+    import pandas as pd
+
+    return list(fn(("A",), [pd.DataFrame({"_ms": ms_vals})], state))
+
+
+def test_stream_gap_redelivery_does_not_rearm_fired_alert():
+    """An at-least-once redelivery (every ts <= last) after the
+    open-silence alert fired must NOT reset the alerted flag or re-arm
+    the timer — one continuing silence is ONE alert, no matter how many
+    times the source replays old rows."""
+    from mdvalidate_spark.streaming.stateful import _make_gap_fn
+
+    fn = _make_gap_fn(3000, alert_idle=True)
+    st = _FakeGroupState((1000, 1))  # alert already fired
+    out = _run_gap_fn(fn, st, [900, 1000])
+    assert out == []
+    assert st.updates == [] and st.timeouts == []
+    assert st.get == (1000, 1)
+
+    # but a pending (not-yet-fired) alert must be re-registered: any
+    # invocation cancels the key's timeout, so skipping the re-arm here
+    # would silently kill the open-silence alert while the feed is down
+    st2 = _FakeGroupState((1000, 0))
+    out2 = _run_gap_fn(fn, st2, [900])
+    assert out2 == [] and st2.updates == []
+    assert st2.timeouts == [3000] and st2.get == (1000, 0)
+
+    # fresh data after a fired alert: flag the closing gap, reset the
+    # flag, re-arm — the next silence alerts again
+    st3 = _FakeGroupState((1000, 1))
+    out3 = _run_gap_fn(fn, st3, [999, 5000])
+    assert len(out3) == 1
+    row = out3[0].iloc[0]
+    assert (row["prev_epoch_ms"], row["next_epoch_ms"]) == (1000, 5000)
+    assert st3.get == (5000, 0) and st3.timeouts == [3000]
+
+
+def test_stream_gap_submillisecond_threshold_matches_batch(spark):
+    """min_gap_seconds=0.0004 rounds to thr_ms=0 in the batch operator
+    (strict >, so every 1 ms step flags); the stream twin must use the
+    SAME rounding — the max(1, …) floor belongs to setTimeoutDuration
+    only, not to gap comparison."""
+    from datetime import datetime, timedelta
+
+    from mdvalidate_spark.operators.gaps import gap_violations
+    from mdvalidate_spark.spec import GapRule
+    from mdvalidate_spark.streaming.stateful import _make_gap_fn
+
+    fn = _make_gap_fn(0, alert_idle=False)  # int(round(0.0004 * 1000))
+    out = _run_gap_fn(fn, _FakeGroupState(), [0, 1])
+    assert len(out) == 1 and len(out[0]) == 1  # 1 ms gap flags
+
+    T0 = datetime(2026, 1, 1)
+    df = spark.createDataFrame(
+        [(T0,), (T0 + timedelta(milliseconds=1),)], "ts timestamp"
+    )
+    batch = gap_violations(
+        df, GapRule("g", column="ts", min_gap_seconds=0.0004), "s"
+    )
+    assert batch.count() == 1
