@@ -209,6 +209,8 @@ def main() -> None:
         "dedup_survivors_documents",
         # joint-distribution coupling drift (two cell-bounded lineitem scans)
         "association_drift_lineitem",
+        # value-dominance gate (groupBy + 1-row aggregate, integer micro-units)
+        "concentration_gate_documents",
     ):
         if name not in qs:
             continue

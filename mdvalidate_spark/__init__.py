@@ -27,6 +27,7 @@ from .spec import (
     AssociationRule,
     BenfordRule,
     CaptureRule,
+    ConcentrationRule,
     GapRule,
     ColumnStatsRule,
     CompositeRegexRule,
@@ -64,6 +65,7 @@ __all__ = [
     "AssociationRule",
     "BenfordRule",
     "CaptureRule",
+    "ConcentrationRule",
     "GapRule",
     "ColumnStatsRule",
     "CompositeRegexRule",

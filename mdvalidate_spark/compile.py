@@ -43,6 +43,7 @@ from .spec import (
     AssociationRule,
     BenfordRule,
     CaptureRule,
+    ConcentrationRule,
     GapRule,
     ColumnStatsRule,
     CompositeRegexRule,
@@ -438,6 +439,31 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
                             "numeric for a benford rule, got "
                             f"{t.simpleString()}"
                         )
+
+        if isinstance(r, ConcentrationRule):
+            if not r.column:
+                raise SchemaError(
+                    f"rule {r.id!r}: concentration rule needs a column"
+                )
+            if r.max_top_share is None and r.max_hhi is None:
+                raise SchemaError(
+                    f"rule {r.id!r}: concentration rule needs max_top_share "
+                    "and/or max_hhi — with neither bound set the rule can "
+                    "never fire"
+                )
+            for nm, b in (
+                ("max_top_share", r.max_top_share),
+                ("max_hhi", r.max_hhi),
+            ):
+                if b is not None and not (0.0 < b <= 1.0):
+                    raise SchemaError(
+                        f"rule {r.id!r}: {nm} must be in (0, 1] (a share), "
+                        f"got {b}"
+                    )
+            if r.min_rows < 1:
+                raise SchemaError(
+                    f"rule {r.id!r}: min_rows must be >= 1, got {r.min_rows}"
+                )
 
         if isinstance(r, GapRule):
             if not r.column:
@@ -850,6 +876,7 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
                 MonotonicRule,
                 AssociationRule,
                 BenfordRule,
+                ConcentrationRule,
                 GapRule,
             ),
         )

@@ -128,6 +128,7 @@ KIND_STALE = "stale"  # freshness bound violated (max timestamp older than allow
 KIND_BENFORD = "benford"  # first-digit distribution outside its MAD conformity band
 KIND_GAP = "gap"  # silence between consecutive timestamps above the declared bound
 KIND_METRIC_BOUND = "metric_bound"  # aggregate metric outside its declared bounds
+KIND_CONCENTRATION = "concentration"  # one value dominates a column beyond its share/HHI bound
 # binary payload header rules (HeaderRule — container integrity sans decode)
 KIND_TRUNCATED = "truncated"  # payload shorter than the declared header
 KIND_FMT_CODE = "fmt_code"  # header format-code byte contradicts the fmt column
@@ -164,6 +165,7 @@ ALL_KINDS = (
     KIND_FD,
     KIND_STALE,
     KIND_METRIC_BOUND,
+    KIND_CONCENTRATION,
     KIND_TRUNCATED,
     KIND_FMT_CODE,
     KIND_OVER_VOLUME,

@@ -165,3 +165,149 @@ def volume_anomaly_from_counts(
             "kind",
         )
     )
+
+
+def _concentration_scan(df: DataFrame, column: str, when: str | None):
+    """ONE aggregation over the per-value counts frame: total rows
+    (in-scope, NULLs included), non-NULL scoped rows, distinct non-NULL
+    values, the hottest value's count, the exact integer sum of squared
+    counts (decimal(18)² → decimal(38) — never floats, so the HHI is
+    reproducible bit-for-bit on any engine), and the top value itself
+    (ties broken value-ASC via a min_by struct key, total order). The
+    counts frame is one shuffle with map-side combine — a 10^9-distinct
+    column costs O(distinct) rows streaming through a 1-row aggregate,
+    never a driver-side array."""
+    scoped = df.where(F.expr(when)) if when else df
+    counts = (
+        scoped.groupBy(F.col(column).cast("string").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ok = F.col("v").isNotNull()
+    nd = F.col("n").cast("decimal(18,0)")
+    row = counts.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).alias("rows"),
+        F.coalesce(F.sum(F.when(ok, F.col("n")).otherwise(0)), F.lit(0)).alias(
+            "scoped"
+        ),
+        F.coalesce(F.sum(F.when(ok, 1).otherwise(0)), F.lit(0)).alias(
+            "distinct_values"
+        ),
+        F.max(F.when(ok, F.col("n"))).alias("max_n"),
+        F.sum(F.when(ok, nd * nd)).alias("sum_sq"),
+        F.min_by(
+            F.col("v"),
+            F.when(ok, F.struct((-F.col("n")).alias("a"), F.col("v").alias("b"))),
+        ).alias("top_value"),
+    ).collect()[0]
+    sum_sq = int(row["sum_sq"]) if row["sum_sq"] is not None else 0
+    return (
+        int(row["rows"]),
+        int(row["scoped"]),
+        int(row["distinct_values"]),
+        int(row["max_n"]) if row["max_n"] is not None else 0,
+        sum_sq,
+        row["top_value"],
+    )
+
+
+def _micro(num: int, den: int) -> int:
+    """round-half-up of 1e6·num/den in pure integer arithmetic — the
+    6-decimal share convention every oracle-compared fraction in this repo
+    uses, with zero float-summation-order risk."""
+    return (2 * num * 1_000_000 + den) // (2 * den)
+
+
+def concentration_report(
+    df: DataFrame, column: str, when: str | None = None
+) -> DataFrame:
+    """One-row value-concentration profile of ``column``: top value and
+    its corpus share, plus the Herfindahl–Hirschman index of value shares
+    (HHI = Σ share² — 1.0 means one value IS the column, 1/distinct means
+    uniform). The boilerplate-dominance detector for caption/text corpora:
+    a scrape where 40% of captions read 'thumbnail' passes every row rule
+    and null gate but jumps out here. Shares are exact integer micro-units
+    rounded half-up then divided by 1e6, so Spark and any SQL oracle agree
+    bit-for-bit. NULLs are out of scope (NotNullRule owns nullness)."""
+    rows, scoped, distinct, max_n, sum_sq, top = _concentration_scan(
+        df, column, when
+    )
+    top_share = _micro(max_n, scoped) / 1e6 if scoped else None
+    hhi = _micro(sum_sq, scoped * scoped) / 1e6 if scoped else None
+    return df.sparkSession.createDataFrame(
+        [(column, rows, scoped, distinct, top, top_share, hhi)],
+        "column string, rows bigint, n_scoped bigint, distinct_values bigint, "
+        "top_value string, top_share double, hhi double",
+    )
+
+
+def concentration_rule_results(df: DataFrame, rule, run_id: str):
+    """Verdict for a ConcentrationRule (finalize-stage spec gate): one
+    violation row per exceeded bound (top_share / hhi), an 'unmeasurable'
+    violation when fewer than ``min_rows`` non-NULL values are in scope
+    (a dominance claim on data that cannot exhibit one should be loud —
+    the BenfordRule degenerate contract), and the profile as metric rows
+    either way."""
+    from ..errors import KIND_CONCENTRATION, SchemaError
+
+    if rule.max_top_share is None and rule.max_hhi is None:
+        # public operator API, callable without compile_spec
+        raise SchemaError(
+            f"rule {rule.id!r}: concentration rule needs max_top_share "
+            "and/or max_hhi"
+        )
+    rows, scoped, distinct, max_n, sum_sq, top = _concentration_scan(
+        df, rule.column, rule.when or None
+    )
+    top_share = _micro(max_n, scoped) / 1e6 if scoped else None
+    hhi = _micro(sum_sq, scoped * scoped) / 1e6 if scoped else None
+
+    viol_rows = []
+    if scoped < rule.min_rows:
+        bounds = []
+        if rule.max_top_share is not None:
+            bounds.append(f"top_share <= {rule.max_top_share}")
+        if rule.max_hhi is not None:
+            bounds.append(f"hhi <= {rule.max_hhi}")
+        viol_rows.append(
+            (run_id, None, rule.id, None, rule.column, ", ".join(bounds),
+             f"unmeasurable: {scoped} in-scope values < min_rows="
+             f"{rule.min_rows}", KIND_CONCENTRATION)
+        )
+    else:
+        if rule.max_top_share is not None and top_share > rule.max_top_share:
+            viol_rows.append(
+                (run_id, None, rule.id, None, rule.column,
+                 f"top_share <= {rule.max_top_share}",
+                 f"top value {top!r} share={top_share:.6f} "
+                 f"({max_n} of {scoped})", KIND_CONCENTRATION)
+            )
+        if rule.max_hhi is not None and hhi > rule.max_hhi:
+            viol_rows.append(
+                (run_id, None, rule.id, None, rule.column,
+                 f"hhi <= {rule.max_hhi}",
+                 f"hhi={hhi:.6f} over {distinct} distinct values",
+                 KIND_CONCENTRATION)
+            )
+
+    spark = df.sparkSession
+    ddl_v = (
+        "run_id string, partition_id int, rule_id string, image_id string, "
+        "column string, expected string, actual string, kind string"
+    )
+    ddl_m = (
+        "run_id string, partition_id int, rule_id string, metric string, "
+        "value double, value_str string"
+    )
+    metrics = spark.createDataFrame(
+        [
+            (run_id, None, rule.id, "concentration_top_share", top_share, None),
+            (run_id, None, rule.id, "concentration_hhi", hhi, None),
+            (run_id, None, rule.id, "concentration_distinct",
+             float(distinct), None),
+            (run_id, None, rule.id, "concentration_n_scoped",
+             float(scoped), None),
+            (run_id, None, rule.id, "concentration_top_value", None, top),
+        ],
+        ddl_m,
+    )
+    return spark.createDataFrame(viol_rows, ddl_v), metrics

@@ -718,6 +718,7 @@ class ValidationRun:
             from .spec import CountRule, FunctionalDependencyRule, UniqueRule
             from .spec import AssociationRule as _AssociationRule
             from .spec import BenfordRule as _BenfordRule
+            from .spec import ConcentrationRule as _ConcentrationRule
             from .spec import FreshnessRule as _FreshnessRule
             from .spec import GapRule as _GapRule
             from .spec import MonotonicRule as _MonotonicRule
@@ -777,6 +778,14 @@ class ValidationRun:
                     )
                 viols.append(b_viol)
                 mets.append(b_met)
+            elif isinstance(gr, _ConcentrationRule):
+                from .operators.skew import concentration_rule_results
+
+                c_viol, c_met = concentration_rule_results(
+                    self.df, gr, self.run_id
+                )
+                viols.append(c_viol)
+                mets.append(c_met)
             elif isinstance(gr, _GapRule):
                 from .operators.gaps import gap_violations
 

@@ -784,6 +784,40 @@ class GapRule(Rule):
 
 
 @dataclass(frozen=True)
+class ConcentrationRule(Rule):
+    """Value-dominance gate on a column: the most frequent value's corpus
+    share must stay within ``max_top_share``, and/or the Herfindahl–
+    Hirschman index of value shares (HHI = Σ share²) within ``max_hhi`` —
+    the boilerplate-caption / sentinel-value detector. A scrape where 40%
+    of captions read 'thumbnail', or a join default flooding a column
+    with 'unknown', passes every row rule, null gate, and domain check;
+    this is the gate that catches it. At least one bound must be set.
+
+    Evaluated at finalize over the whole table: one groupBy(column) count
+    (map-side combine) streamed through a 1-row aggregate — a hot value
+    costs one count row, never a buffer (operators/skew.py). Shares are
+    exact integer micro-units (sum of squared counts in decimal(38,0)
+    arithmetic), so the verdict is engine-reproducible bit-for-bit.
+
+    NULLs are OUT of scope (NotNullRule owns nullness); fewer than
+    ``min_rows`` in-scope values is a VIOLATION ('unmeasurable'), the
+    BenfordRule degenerate contract. Bounds are shares in (0, 1]; note
+    HHI ≥ 1/distinct always and HHI ≥ top_share² — a max_hhi below
+    1/expected-cardinality is unsatisfiable by construction, and that
+    judgment is the spec author's."""
+
+    column: str = ""
+    max_top_share: float | None = None  # share of the single hottest value
+    max_hhi: float | None = None  # Herfindahl–Hirschman index of shares
+    min_rows: int = 1
+    when: str = ""  # optional row-scope predicate (see NotNullRule.when)
+    kind: str = field(default="concentration", init=False)
+
+    def targets(self):
+        return (self.column,)
+
+
+@dataclass(frozen=True)
 class FreshnessRule(Rule):
     """Staleness bound on a timestamp column: ``max(column)`` must lie
     within ``max_age_seconds`` of ``as_of`` — the data-recency contract an

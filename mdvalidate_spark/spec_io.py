@@ -19,6 +19,7 @@ from .spec import (
     CaptureRule,
     AssociationRule,
     BenfordRule,
+    ConcentrationRule,
     GapRule,
     ColumnStatsRule,
     CompositeRegexRule,
@@ -76,6 +77,7 @@ RULE_KINDS: dict[str, type] = {
     "monotonic": MonotonicRule,
     "association": AssociationRule,
     "benford": BenfordRule,
+    "concentration": ConcentrationRule,
     "gap": GapRule,
     "pii": PiiRule,
     "repetition": RepetitionRule,

@@ -95,3 +95,137 @@ def test_volume_anomaly_min_partitions_empty(spark):
     df = _parted(spark, {"a": 100, "b": 5, "c": 100})
     assert volume_anomaly(df, "day", min_partitions=4).count() == 0
     assert volume_anomaly(df, "day", min_partitions=3).count() == 1
+
+
+# ---------------------------------------------------------------- concentration
+
+
+def test_concentration_report_exact_and_tiebreak(spark):
+    from mdvalidate_spark.operators.skew import concentration_report
+
+    # 4x a, 3x b, 3x c, one NULL: top=a share=4/10, hhi=(16+9+9)/100
+    rows = [("a",)] * 4 + [("b",)] * 3 + [("c",)] * 3 + [(None,)]
+    df = spark.createDataFrame(rows, "v string")
+    r = concentration_report(df, "v").collect()[0]
+    assert (r["rows"], r["n_scoped"], r["distinct_values"]) == (11, 10, 3)
+    assert r["top_value"] == "a" and r["top_share"] == 0.4
+    assert r["hhi"] == 0.34
+    # tie on count -> lowest value wins (total order, deterministic)
+    tie = spark.createDataFrame([("z",), ("b",), ("z",), ("b",)], "v string")
+    assert concentration_report(tie, "v").collect()[0]["top_value"] == "b"
+    # non-string columns go through a string cast for reporting
+    ints = spark.createDataFrame([(7,), (7,), (3,)], "v int")
+    ri = concentration_report(ints, "v").collect()[0]
+    assert ri["top_value"] == "7" and ri["distinct_values"] == 2
+
+
+def test_concentration_rule_results_bounds_and_when(spark):
+    from mdvalidate_spark.errors import KIND_CONCENTRATION, SchemaError
+    from mdvalidate_spark.operators.skew import concentration_rule_results
+    from mdvalidate_spark.spec import ConcentrationRule
+
+    rows = [("a", 1)] * 6 + [("b", 1)] * 2 + [("c", 0)] * 2
+    df = spark.createDataFrame(rows, "v string, flag int")
+
+    # top_share 0.6 fires the share bound, hhi (0.36+0.04+0.04=0.44) the hhi bound
+    v, m = concentration_rule_results(
+        df, ConcentrationRule("c1", column="v", max_top_share=0.5, max_hhi=0.4),
+        "r",
+    )
+    got = {r["expected"]: r["actual"] for r in v.collect()}
+    assert set(got) == {"top_share <= 0.5", "hhi <= 0.4"}
+    assert "top value 'a' share=0.600000 (6 of 10)" in got["top_share <= 0.5"]
+    assert "hhi=0.440000" in got["hhi <= 0.4"]
+    assert all(r["kind"] == KIND_CONCENTRATION for r in v.collect())
+    mm = {r["metric"]: (r["value"], r["value_str"]) for r in m.collect()}
+    assert mm["concentration_top_share"] == (0.6, None)
+    assert mm["concentration_hhi"] == (0.44, None)
+    assert mm["concentration_top_value"] == (None, "a")
+
+    # `when` scope: flag=1 only -> shares over 8 rows (a 6/8, b 2/8)
+    v2, m2 = concentration_rule_results(
+        df,
+        ConcentrationRule("c2", column="v", max_top_share=0.7, when="flag = 1"),
+        "r",
+    )
+    assert v2.count() == 1  # 0.75 > 0.7
+    mm2 = {r["metric"]: r["value"] for r in m2.collect()}
+    assert mm2["concentration_n_scoped"] == 8.0
+    assert mm2["concentration_distinct"] == 2.0
+
+    # passing bounds -> no violations, metrics still emitted
+    v3, m3 = concentration_rule_results(
+        df, ConcentrationRule("c3", column="v", max_top_share=0.61), "r"
+    )
+    assert v3.count() == 0 and m3.count() == 5
+
+    # boundless rule refused at the operator API (no compile needed)
+    import pytest as _pt
+
+    with _pt.raises(SchemaError):
+        concentration_rule_results(
+            df, ConcentrationRule("c4", column="v"), "r"
+        )
+
+
+def test_concentration_unmeasurable_and_empty_scope(spark):
+    from mdvalidate_spark.operators.skew import (
+        concentration_report,
+        concentration_rule_results,
+    )
+    from mdvalidate_spark.spec import ConcentrationRule
+
+    df = spark.createDataFrame([("a",)] * 3, "v string")
+    v, m = concentration_rule_results(
+        df, ConcentrationRule("c", column="v", max_hhi=0.9, min_rows=100), "r"
+    )
+    rows = v.collect()
+    assert len(rows) == 1 and "unmeasurable: 3 in-scope" in rows[0]["actual"]
+
+    # zero in-scope rows (all NULL): loud, no division by zero anywhere
+    nulls = spark.createDataFrame([(None,)] * 4, "v string")
+    v2, m2 = concentration_rule_results(
+        nulls, ConcentrationRule("c", column="v", max_top_share=0.5), "r"
+    )
+    assert "unmeasurable: 0 in-scope" in v2.collect()[0]["actual"]
+    mm = {r["metric"]: r["value"] for r in m2.collect()}
+    assert mm["concentration_top_share"] is None
+    assert mm["concentration_hhi"] is None
+    rep = concentration_report(nulls, "v").collect()[0]
+    assert rep["top_value"] is None and rep["hhi"] is None
+
+
+def test_concentration_through_spec_compile_and_run(spark):
+    from mdvalidate_spark import validate_table
+    from mdvalidate_spark.compile import compile_spec
+    from mdvalidate_spark.errors import SchemaError
+    from mdvalidate_spark.spec import ConcentrationRule, Spec
+    from mdvalidate_spark.spec_io import rule_from_dict, rule_to_dict
+
+    r = ConcentrationRule(
+        "dom", column="v", max_top_share=0.5, max_hhi=0.3, min_rows=2
+    )
+    assert rule_from_dict(rule_to_dict(r)) == r
+
+    df = spark.createDataFrame(
+        [("a", f"k{i}") for i in range(7)] + [("b", "k7"), ("c", "k8")],
+        "v string, k string",
+    )
+    import pytest as _pt
+
+    for bad in (
+        ConcentrationRule("x", column="v"),  # no bound
+        ConcentrationRule("x", column="v", max_top_share=0.0),  # not a share
+        ConcentrationRule("x", column="v", max_hhi=1.5),
+        ConcentrationRule("x", column="v", max_top_share=0.5, min_rows=0),
+        ConcentrationRule("x", column="", max_top_share=0.5),
+    ):
+        with _pt.raises(SchemaError):
+            compile_spec(Spec(rules=[bad]), df.schema)
+
+    spec = Spec(key_column="k", rules=[r])
+    rep = validate_table(spark, df, spec, run_id="rc")
+    v = [x for x in rep.violations.collect() if x["rule_id"] == "dom"]
+    assert len(v) == 2 and rep.exit_code == 1  # 7/9 share + hhi both fire
+    mets = rep.metrics.where("rule_id = 'dom'").count()
+    assert mets == 5
