@@ -3552,6 +3552,72 @@ WHERE hhi > {max_hhi}"""
     )
 
 
+def q_concentration_group_documents(spark, sf_dir):
+    """Grouped ConcentrationRule: per-source lang dominance — the
+    broken-feed detector a global gate dilutes away (a feed at 5% of the
+    corpus emitting one caption per image is invisible globally, 100%
+    dominant within its group). Violations built distributively from the
+    per-group stats frame (no collect, integer `div` micro-unit shares —
+    the exact arithmetic twin of the global path's Python integers)."""
+    from mdvalidate_spark.operators.skew import concentration_rule_results
+    from mdvalidate_spark.spec import ConcentrationRule
+
+    docs = _load(spark, sf_dir, "documents")
+    v, _ = concentration_rule_results(
+        docs,
+        ConcentrationRule(
+            "by_src", column="lang", group_by=("source",),
+            max_top_share=0.5, max_hhi=0.35,
+        ),
+        "q",
+    )
+    return v
+
+
+def _concentration_group_sql() -> str:
+    return """
+WITH c AS (
+  SELECT source AS g, CAST(lang AS VARCHAR) AS v, COUNT(*) AS n
+  FROM documents GROUP BY 1, 2
+),
+s AS (
+  SELECT g,
+         COALESCE(SUM(n) FILTER (v IS NOT NULL), 0) AS scoped,
+         COALESCE(COUNT(*) FILTER (v IS NOT NULL), 0) AS dv,
+         MAX(n) FILTER (v IS NOT NULL) AS mx,
+         SUM(n * n) FILTER (v IS NOT NULL) AS ssq
+  FROM c GROUP BY 1
+),
+top AS (
+  SELECT g, v FROM (
+    SELECT g, v,
+           ROW_NUMBER() OVER (PARTITION BY g ORDER BY n DESC, v ASC) AS rn
+    FROM c WHERE v IS NOT NULL
+  ) WHERE rn = 1
+),
+m AS (
+  SELECT s.g, s.scoped, s.dv, s.mx, top.v AS top_v,
+         CAST((2 * s.mx * 1000000 + s.scoped) // (2 * s.scoped)
+              AS BIGINT) / 1000000.0 AS top_share,
+         CAST((2 * s.ssq * 1000000 + s.scoped * s.scoped)
+              // (2 * s.scoped * s.scoped) AS BIGINT) / 1000000.0 AS hhi
+  FROM s JOIN top ON s.g = top.g
+)
+SELECT 'q' AS run_id, CAST(NULL AS INTEGER) AS partition_id,
+       'by_src' AS rule_id, g AS image_id, 'lang' AS "column",
+       'top_share <= 0.5' AS expected,
+       'top value ''' || top_v || ''' share=' || printf('%.6f', top_share)
+         || ' (' || mx || ' of ' || scoped || ')' AS actual,
+       'concentration' AS kind
+FROM m WHERE top_share > 0.5
+UNION ALL
+SELECT 'q', CAST(NULL AS INTEGER), 'by_src', g, 'lang', 'hhi <= 0.35',
+       'hhi=' || printf('%.6f', hhi) || ' over ' || dv || ' distinct values',
+       'concentration'
+FROM m WHERE hhi > 0.35
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERED most-recently-changed first (VERDICT r3 #2): the driver's
     # correctness harness checks entries positionally from the top, so the
@@ -3560,6 +3626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round 4: new/rewritten ------------------------------------
         "concentration_documents": q_concentration_documents,
         "concentration_gate_documents": q_concentration_gate_documents,
+        "concentration_group_documents": q_concentration_group_documents,
         "benford_orders": q_benford_orders,
         "null_correlation_documents": q_null_correlation_documents,
         "gaps_events": q_gaps_events,
@@ -3598,7 +3665,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_gate_documents": q_contamination_gate_documents,
         "pii_documents": q_pii_documents,
         "pii_gate_documents": q_pii_gate_documents,
-        "pii_redact_documents": q_pii_redact_documents,
         "repetition_documents": q_repetition_documents,
         "repetition_gate_documents": q_repetition_gate_documents,
         "drift_ratchet_orders": q_drift_ratchet_orders,
@@ -3621,6 +3687,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified_orders": q_sample_stratified_orders,
         "benford_partials_orders": q_benford_partials_orders,
         "association_partials_orders": q_association_partials_orders,
+        # pii_redact is the same shared pattern set as pii/pii_gate (both
+        # in-window), applied through chained regexp_replace
+        "pii_redact_documents": q_pii_redact_documents,
         # -- stable r3 queries, driver-green in CORRECTNESS_r03 ----------
         "embedding_clusters": q_embedding_clusters,
         "embedding_neardup": q_embedding_neardup,
@@ -5078,6 +5147,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "concentration_documents": _concentration_sql(),
         "concentration_gate_documents": _concentration_gate_sql(),
+        "concentration_group_documents": _concentration_group_sql(),
         "benford_orders": _benford_sql(),
         "benford_partials_orders": _benford_sql(),
         "null_correlation_documents": _null_correlation_sql(),

@@ -464,6 +464,12 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
                 raise SchemaError(
                     f"rule {r.id!r}: min_rows must be >= 1, got {r.min_rows}"
                 )
+            if r.column in r.group_by:
+                raise SchemaError(
+                    f"rule {r.id!r}: column {r.column!r} cannot also be a "
+                    "group_by key — every group would be perfectly "
+                    "concentrated by construction"
+                )
 
         if isinstance(r, GapRule):
             if not r.column:

@@ -240,13 +240,78 @@ def concentration_report(
     )
 
 
+def concentration_by_group(
+    df: DataFrame,
+    column: str,
+    group_by: tuple,
+    when: str | None = None,
+) -> DataFrame:
+    """Per-group value-concentration profile: one row per group with its
+    in-scope count, distinct values, top value (value-ASC tie-break), and
+    the micro-unit-exact top_share / hhi — :func:`concentration_report`
+    evaluated within every ``group_by`` group at once. Pure frame
+    algebra, never a collect: per-(group, value) counts (one shuffle,
+    map-side combine) → per-group stats (second keyed aggregation) →
+    integer `div` micro-unit shares, so 10^8 groups cost shuffle rows,
+    not driver memory, and the arithmetic is bit-identical to the global
+    path's Python integers. Groups with zero in-scope values carry NULL
+    top/share/hhi (callers gate on n_scoped)."""
+    scoped = df.where(F.expr(when)) if when else df
+    counts = scoped.groupBy(
+        *[F.col(g) for g in group_by],
+        F.col(column).cast("string").alias("_cv"),
+    ).agg(F.count(F.lit(1)).alias("_cn"))
+    ok = F.col("_cv").isNotNull()
+    nd = F.col("_cn").cast("decimal(18,0)")
+    stats = counts.groupBy(*group_by).agg(
+        F.coalesce(
+            F.sum(F.when(ok, F.col("_cn")).otherwise(0)), F.lit(0)
+        ).alias("n_scoped"),
+        F.coalesce(F.sum(F.when(ok, 1).otherwise(0)), F.lit(0)).alias(
+            "distinct_values"
+        ),
+        F.max(F.when(ok, F.col("_cn"))).alias("_mx"),
+        F.sum(F.when(ok, nd * nd)).alias("_ssq"),
+        F.min_by(
+            F.col("_cv"),
+            F.when(
+                ok, F.struct((-F.col("_cn")).alias("a"), F.col("_cv").alias("b"))
+            ),
+        ).alias("top_value"),
+    )
+    # round-half-up micro-unit shares in integer `div` arithmetic — the
+    # exact twin of _micro(); decimal operands so a 10^12-row group's
+    # sum-of-squares never overflows, the quotient always fits a long
+    share_micro = F.expr(
+        "(2 * CAST(_mx AS DECIMAL(20,0)) * 1000000 + n_scoped) "
+        "div (2 * n_scoped)"
+    )
+    hhi_micro = F.expr(
+        "(2 * _ssq * 1000000 "
+        " + CAST(n_scoped AS DECIMAL(19,0)) * CAST(n_scoped AS DECIMAL(19,0))) "
+        "div (2 * CAST(n_scoped AS DECIMAL(19,0)) * CAST(n_scoped AS DECIMAL(19,0)))"
+    )
+    gate = F.col("n_scoped") > 0
+    return stats.select(
+        *group_by,
+        "n_scoped",
+        "distinct_values",
+        "top_value",
+        F.when(gate, share_micro / F.lit(1e6)).alias("top_share"),
+        F.when(gate, hhi_micro / F.lit(1e6)).alias("hhi"),
+        F.col("_mx").alias("top_count"),
+    )
+
+
 def concentration_rule_results(df: DataFrame, rule, run_id: str):
     """Verdict for a ConcentrationRule (finalize-stage spec gate): one
     violation row per exceeded bound (top_share / hhi), an 'unmeasurable'
     violation when fewer than ``min_rows`` non-NULL values are in scope
     (a dominance claim on data that cannot exhibit one should be loud —
     the BenfordRule degenerate contract), and the profile as metric rows
-    either way."""
+    either way. With ``rule.group_by`` the bounds hold PER GROUP and the
+    violation frame is built distributively (no collect, no metric rows —
+    see ConcentrationRule's docstring)."""
     from ..errors import KIND_CONCENTRATION, SchemaError
 
     if rule.max_top_share is None and rule.max_hhi is None:
@@ -255,6 +320,8 @@ def concentration_rule_results(df: DataFrame, rule, run_id: str):
             f"rule {rule.id!r}: concentration rule needs max_top_share "
             "and/or max_hhi"
         )
+    if rule.group_by:
+        return _concentration_grouped(df, rule, run_id)
     rows, scoped, distinct, max_n, sum_sq, top = _concentration_scan(
         df, rule.column, rule.when or None
     )
@@ -278,7 +345,7 @@ def concentration_rule_results(df: DataFrame, rule, run_id: str):
             viol_rows.append(
                 (run_id, None, rule.id, None, rule.column,
                  f"top_share <= {rule.max_top_share}",
-                 f"top value {top!r} share={top_share:.6f} "
+                 f"top value '{top}' share={top_share:.6f} "
                  f"({max_n} of {scoped})", KIND_CONCENTRATION)
             )
         if rule.max_hhi is not None and hhi > rule.max_hhi:
@@ -311,3 +378,91 @@ def concentration_rule_results(df: DataFrame, rule, run_id: str):
         ddl_m,
     )
     return spark.createDataFrame(viol_rows, ddl_v), metrics
+
+
+def _concentration_grouped(df: DataFrame, rule, run_id: str):
+    """Grouped ConcentrationRule verdict: violation rows straight from the
+    per-group stats frame — three filtered projections unioned, zero
+    driver round-trips. The group key is rendered into image_id with the
+    same NULL-safe encoding grouped CountRule uses."""
+    from ..errors import KIND_CONCENTRATION
+    from .agg_rules import _key_expr
+
+    stats = concentration_by_group(
+        df, rule.column, tuple(rule.group_by), rule.when or None
+    )
+    key = _key_expr(tuple(rule.group_by))
+
+    def head(expected):
+        return [
+            F.lit(run_id).alias("run_id"),
+            F.lit(None).cast("int").alias("partition_id"),
+            F.lit(rule.id).alias("rule_id"),
+            key.alias("image_id"),
+            F.lit(rule.column).alias("column"),
+            F.lit(expected).alias("expected"),
+        ]
+
+    kind = F.lit(KIND_CONCENTRATION).alias("kind")
+    bounds = []
+    if rule.max_top_share is not None:
+        bounds.append(f"top_share <= {rule.max_top_share}")
+    if rule.max_hhi is not None:
+        bounds.append(f"hhi <= {rule.max_hhi}")
+
+    measurable = F.col("n_scoped") >= rule.min_rows
+    pieces = [
+        stats.where(~measurable).select(
+            *head(", ".join(bounds)),
+            F.concat(
+                F.lit("unmeasurable: "),
+                F.col("n_scoped").cast("string"),
+                F.lit(f" in-scope values < min_rows={rule.min_rows}"),
+            ).alias("actual"),
+            kind,
+        )
+    ]
+    if rule.max_top_share is not None:
+        pieces.append(
+            stats.where(
+                measurable & (F.col("top_share") > rule.max_top_share)
+            ).select(
+                *head(f"top_share <= {rule.max_top_share}"),
+                F.concat(
+                    F.lit("top value '"),
+                    F.col("top_value"),
+                    F.lit("' share="),
+                    F.format_string("%.6f", F.col("top_share")),
+                    F.lit(" ("),
+                    F.col("top_count").cast("string"),
+                    F.lit(" of "),
+                    F.col("n_scoped").cast("string"),
+                    F.lit(")"),
+                ).alias("actual"),
+                kind,
+            )
+        )
+    if rule.max_hhi is not None:
+        pieces.append(
+            stats.where(measurable & (F.col("hhi") > rule.max_hhi)).select(
+                *head(f"hhi <= {rule.max_hhi}"),
+                F.concat(
+                    F.lit("hhi="),
+                    F.format_string("%.6f", F.col("hhi")),
+                    F.lit(" over "),
+                    F.col("distinct_values").cast("string"),
+                    F.lit(" distinct values"),
+                ).alias("actual"),
+                kind,
+            )
+        )
+    from functools import reduce as _reduce
+
+    viol = _reduce(lambda a, b: a.unionByName(b), pieces)
+    spark = df.sparkSession
+    metrics = spark.createDataFrame(
+        [],
+        "run_id string, partition_id int, rule_id string, metric string, "
+        "value double, value_str string",
+    )
+    return viol, metrics

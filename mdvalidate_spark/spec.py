@@ -804,17 +804,32 @@ class ConcentrationRule(Rule):
     BenfordRule degenerate contract. Bounds are shares in (0, 1]; note
     HHI ≥ 1/distinct always and HHI ≥ top_share² — a max_hhi below
     1/expected-cardinality is unsatisfiable by construction, and that
-    judgment is the spec author's."""
+    judgment is the spec author's.
+
+    ``group_by`` evaluates the bounds PER GROUP — the broken-feed
+    detector a global gate dilutes away (a source at 5% of the corpus
+    emitting one caption for every image is invisible globally but 100%
+    dominant within its group). The grouped path is pure frame algebra:
+    per-(group, value) counts → per-group 1-row stats → violation rows,
+    never a driver collect, so 10^8 groups cost shuffle rows, not
+    memory; one violation row per (group, exceeded bound), the group key
+    rendered into image_id exactly like grouped CountRule. Groups with
+    zero in-scope rows but surviving NULL rows are loudly unmeasurable;
+    groups entirely absent from the table have no row at all (absence
+    detection is CountRule.universe's contract). Grouped mode emits no
+    metric rows (O(groups) metrics belong in a report, not the run's
+    metric frame — use operators/skew.py concentration_by_group)."""
 
     column: str = ""
     max_top_share: float | None = None  # share of the single hottest value
     max_hhi: float | None = None  # Herfindahl–Hirschman index of shares
     min_rows: int = 1
+    group_by: tuple = ()  # () = whole table; else bounds hold per group
     when: str = ""  # optional row-scope predicate (see NotNullRule.when)
     kind: str = field(default="concentration", init=False)
 
     def targets(self):
-        return (self.column,)
+        return (self.column, *self.group_by)
 
 
 @dataclass(frozen=True)

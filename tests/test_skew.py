@@ -229,3 +229,98 @@ def test_concentration_through_spec_compile_and_run(spark):
     assert len(v) == 2 and rep.exit_code == 1  # 7/9 share + hhi both fire
     mets = rep.metrics.where("rule_id = 'dom'").count()
     assert mets == 5
+
+
+def test_concentration_grouped_bounds_and_edges(spark):
+    from mdvalidate_spark.operators.skew import (
+        concentration_by_group,
+        concentration_rule_results,
+    )
+    from mdvalidate_spark.spec import ConcentrationRule
+
+    rows = (
+        [("f1", "a")] * 4 + [("f1", "b")]          # f1: a 4/5 dominant
+        + [("f2", "x"), ("f2", "y"), ("f2", "z")]  # f2: uniform 1/3
+        + [("f3", None), ("f3", None)]             # f3: zero in-scope
+        + [(None, "a"), (None, "a"), (None, "c")]  # NULL group is real
+    )
+    df = spark.createDataFrame(rows, "feed string, v string")
+
+    prof = {r["feed"]: r for r in concentration_by_group(df, "v", ("feed",)).collect()}
+    assert prof["f1"]["top_share"] == 0.8 and prof["f1"]["top_value"] == "a"
+    assert prof["f1"]["hhi"] == 0.68  # (16+1)/25
+    assert prof["f2"]["top_value"] == "x"  # tie -> value ASC
+    assert prof["f3"]["n_scoped"] == 0 and prof["f3"]["hhi"] is None
+    assert prof[None]["top_share"] == 0.666667  # round-half-up micro units
+
+    v, m = concentration_rule_results(
+        df,
+        ConcentrationRule(
+            "g", column="v", group_by=("feed",), max_top_share=0.7, max_hhi=0.6
+        ),
+        "r",
+    )
+    got = {(r["image_id"], r["expected"]): r["actual"] for r in v.collect()}
+    assert got[("f1", "top_share <= 0.7")] == (
+        "top value 'a' share=0.800000 (4 of 5)"
+    )
+    assert got[("f1", "hhi <= 0.6")] == "hhi=0.680000 over 2 distinct values"
+    # f3 has rows but zero in-scope values: loudly unmeasurable per group
+    assert "unmeasurable: 0 in-scope" in got[("f3", "top_share <= 0.7, hhi <= 0.6")]
+    # NULL group flagged under its own key (0.666667 < 0.7 but hhi 0.555556 < 0.6: quiet)
+    assert (None, "top_share <= 0.7") not in got
+    assert len(got) == 3
+    assert m.count() == 0  # grouped mode emits no metric rows by contract
+
+    # grouped matches the global operator run per group (arithmetic twin)
+    from mdvalidate_spark.operators.skew import concentration_report
+
+    for feed in ("f1", "f2"):
+        g = concentration_report(
+            df.where(F.col("feed") == feed), "v"
+        ).collect()[0]
+        assert (g["top_share"], g["hhi"]) == (
+            prof[feed]["top_share"], prof[feed]["hhi"]
+        )
+
+
+def test_concentration_grouped_through_run_and_lints(spark):
+    from mdvalidate_spark import validate_table
+    from mdvalidate_spark.compile import compile_spec
+    from mdvalidate_spark.errors import SchemaError
+    from mdvalidate_spark.spec import ConcentrationRule, Spec
+    from mdvalidate_spark.spec_io import rule_from_dict, rule_to_dict
+
+    r = ConcentrationRule(
+        "g", column="v", group_by=("feed",), max_top_share=0.5, when="ok"
+    )
+    assert rule_from_dict(rule_to_dict(r)) == r
+
+    df = spark.createDataFrame(
+        [("f1", "a", True, f"k{i}") for i in range(3)]
+        + [("f1", "b", False, "k3"), ("f2", "a", True, "k4"),
+           ("f2", "b", True, "k5")],
+        "feed string, v string, ok boolean, k string",
+    )
+    import pytest as _pt
+
+    with _pt.raises(SchemaError):  # column doubling as group key
+        compile_spec(
+            Spec(rules=[ConcentrationRule(
+                "x", column="v", group_by=("v",), max_hhi=0.5)]),
+            df.schema,
+        )
+    with _pt.raises(SchemaError):  # unknown group column
+        compile_spec(
+            Spec(rules=[ConcentrationRule(
+                "x", column="v", group_by=("nope",), max_hhi=0.5)]),
+            df.schema,
+        )
+
+    rep = validate_table(spark, df, Spec(key_column="k", rules=[r]), run_id="rg")
+    v = [x for x in rep.violations.collect() if x["rule_id"] == "g"]
+    # when="ok" drops f1's b row: f1 in-scope is 3x a -> share 1.0 fires;
+    # f2 is a/b uniform -> 0.5 does not exceed 0.5 (strict >)
+    assert len(v) == 1 and v[0]["image_id"] == "f1"
+    assert "share=1.000000 (3 of 3)" in v[0]["actual"]
+    assert rep.exit_code == 1
