@@ -3618,6 +3618,48 @@ FROM m WHERE hhi > 0.35
 """
 
 
+def q_suggest_concentration_documents(spark, sf_dir):
+    """Dominance ratchet drafting (suggest_spec concentration_gates): the
+    domain-sized lang column gets a ConcentrationRule at the observed
+    top_share/hhi plus 25% headroom — micro-unit arithmetic, ceil'd the
+    permissive way so the draft validates clean-by-construction on the
+    profiled table. One fused conditional-count pass over the already-
+    enumerated domain values (no extra groupBy). source has 20 values
+    (> domain_max_distinct=16) and drafts nothing, at every SF."""
+    from mdvalidate_spark.operators.suggest import suggest_spec, suggestion_rows
+
+    docs = _load(spark, sf_dir, "documents")
+    spec = suggest_spec(docs, "doc_id", exact=True, concentration_gates=True)
+    return suggestion_rows(spark, spec).where(F.col("kind") == "concentration")
+
+
+def _suggest_concentration_sql() -> str:
+    return """
+WITH c AS (
+  SELECT CAST(lang AS VARCHAR) AS v, COUNT(*) AS n
+  FROM documents WHERE lang IS NOT NULL GROUP BY 1
+),
+a AS (
+  SELECT SUM(n) AS scoped, MAX(n) AS mx, SUM(n * n) AS ssq FROM c
+),
+m AS (
+  SELECT (2 * mx * 1000000 + scoped) // (2 * scoped) AS top_m,
+         (2 * ssq * 1000000 + scoped * scoped)
+           // (2 * scoped * scoped) AS hhi_m
+  FROM a
+),
+b AS (
+  SELECT LEAST(1000000, (top_m * 125 + 99) // 100) AS bs,
+         LEAST(1000000, (hhi_m * 125 + 99) // 100) AS bh
+  FROM m
+)
+SELECT 'lang' AS column_name, 'concentration' AS kind,
+       'top_share <= ' || printf('%.6f', bs / 1000000.0)
+         || ', hhi <= ' || printf('%.6f', bh / 1000000.0) AS detail
+FROM b
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERED most-recently-changed first (VERDICT r3 #2): the driver's
     # correctness harness checks entries positionally from the top, so the
@@ -3627,6 +3669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concentration_documents": q_concentration_documents,
         "concentration_gate_documents": q_concentration_gate_documents,
         "concentration_group_documents": q_concentration_group_documents,
+        "suggest_concentration_documents": q_suggest_concentration_documents,
         "benford_orders": q_benford_orders,
         "null_correlation_documents": q_null_correlation_documents,
         "gaps_events": q_gaps_events,
@@ -3666,7 +3709,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_documents": q_pii_documents,
         "pii_gate_documents": q_pii_gate_documents,
         "repetition_documents": q_repetition_documents,
-        "repetition_gate_documents": q_repetition_gate_documents,
         "drift_ratchet_orders": q_drift_ratchet_orders,
         "pixel_manifest_documents": q_pixel_manifest_documents,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
@@ -3690,6 +3732,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pii_redact is the same shared pattern set as pii/pii_gate (both
         # in-window), applied through chained regexp_replace
         "pii_redact_documents": q_pii_redact_documents,
+        # repetition_gate thresholds the same run-length metrics as the
+        # in-window repetition_documents profile
+        "repetition_gate_documents": q_repetition_gate_documents,
         # -- stable r3 queries, driver-green in CORRECTNESS_r03 ----------
         "embedding_clusters": q_embedding_clusters,
         "embedding_neardup": q_embedding_neardup,
@@ -5148,6 +5193,7 @@ def oracle_sql() -> dict[str, str]:
         "concentration_documents": _concentration_sql(),
         "concentration_gate_documents": _concentration_gate_sql(),
         "concentration_group_documents": _concentration_group_sql(),
+        "suggest_concentration_documents": _suggest_concentration_sql(),
         "benford_orders": _benford_sql(),
         "benford_partials_orders": _benford_sql(),
         "null_correlation_documents": _null_correlation_sql(),

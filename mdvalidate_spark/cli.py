@@ -140,6 +140,14 @@ def parse_args(argv=None):
         "bands for every pair of domain-sized string columns — the "
         "coupling ratchet (operators/suggest.py association_gates)",
     )
+    p.add_argument(
+        "--suggest-concentration-gates",
+        action="store_true",
+        help="with --suggest-key: also draft ConcentrationRule dominance "
+        "ratchets (top-value share + HHI at the observed mix plus "
+        "headroom) for domain-sized string columns "
+        "(operators/suggest.py concentration_gates)",
+    )
     return p.parse_args(argv)
 
 
@@ -323,6 +331,7 @@ def _suggest_main(args) -> int:
             text_gates=args.suggest_text_gates,
             format_gates=args.suggest_format_gates,
             association_gates=args.suggest_assoc_gates,
+            concentration_gates=args.suggest_concentration_gates,
         )
         save_spec(spec, args.spec)
         if args.suggest_drift is not None:

@@ -113,6 +113,7 @@ from pyspark.sql.types import (
 from ..spec import (
     FORMATS,
     AssociationRule,
+    ConcentrationRule,
     DomainRule,
     DriftRule,
     FormatRule,
@@ -159,6 +160,8 @@ def suggest_spec(
     association_gates: bool = False,
     association_headroom: float = 0.15,
     association_min_slack: float = 0.05,
+    concentration_gates: bool = False,
+    concentration_headroom: float = 0.25,
     format_gates: bool = False,
     format_candidates: tuple[str, ...] = (
         "int",
@@ -225,6 +228,38 @@ def suggest_spec(
             # the sketch may have undercounted — keep the suggestion honest
             if len(vals) <= domain_max_distinct:
                 domains[c] = vals
+
+    # concentration-gate ceilings: the domain pass already enumerated every
+    # value of the domain-sized columns, so ONE fused conditional-count
+    # pass (count per (column, value) — no groupBy, no extra shuffle)
+    # yields exact per-value counts; top_share/hhi then ratchet in the
+    # same integer micro-units the ConcentrationRule verdict uses, so a
+    # drafted gate is clean-by-construction on the profiled table.
+    conc_bounds: dict[str, tuple[float, float]] = {}
+    if concentration_gates and domains:
+        from .skew import _micro
+
+        caggs = []
+        for c, vals in sorted(domains.items()):
+            for i, v in enumerate(vals):
+                caggs.append(
+                    F.count(F.when(F.col(c) == F.lit(v), 1)).alias(
+                        f"cc_{i}__{c}"
+                    )
+                )
+        crow = df.agg(*caggs).collect()[0].asDict()
+        for c, vals in sorted(domains.items()):
+            ns = [int(crow[f"cc_{i}__{c}"]) for i in range(len(vals))]
+            scoped = sum(ns)
+            if scoped == 0:
+                continue
+            top_m = _micro(max(ns), scoped)
+            hhi_m = _micro(sum(n * n for n in ns), scoped * scoped)
+            pad = 1.0 + concentration_headroom
+            conc_bounds[c] = (
+                min(1.0, math.ceil(top_m * pad) / 1e6),
+                min(1.0, math.ceil(hhi_m * pad) / 1e6),
+            )
 
     # text-gate ceilings: ONE extra aggregation pass over ONLY the free-text
     # columns (string, not domain-sized, avg length over the threshold) —
@@ -334,6 +369,19 @@ def suggest_spec(
         if c in domains:
             rules.append(
                 DomainRule(f"suggest_domain_{c}", column=c, values=domains[c])
+            )
+        if c in conc_bounds:
+            # dominance ratchet on the enumerable column: DomainRule pins
+            # WHICH values may appear, this pins how lopsided their mix
+            # may get (the boilerplate-caption / dying-variant detector)
+            b_share, b_hhi = conc_bounds[c]
+            rules.append(
+                ConcentrationRule(
+                    f"suggest_concentration_{c}",
+                    column=c,
+                    max_top_share=b_share,
+                    max_hhi=b_hhi,
+                )
             )
         if n_rows > 0 and nn == n_rows:
             rules.append(NotNullRule(f"suggest_not_null_{c}", column=c))
@@ -577,6 +625,15 @@ def suggestion_rows(spark, spec: Spec) -> DataFrame:
                     f"{r.col_a},{r.col_b}",
                     "association",
                     f"cramers_v in [{r.min_v:.6f}, {r.max_v:.6f}]",
+                )
+            )
+        elif isinstance(r, ConcentrationRule):
+            rows.append(
+                (
+                    r.column,
+                    "concentration",
+                    f"top_share <= {r.max_top_share:.6f}, "
+                    f"hhi <= {r.max_hhi:.6f}",
                 )
             )
         elif isinstance(r, PiiRule):

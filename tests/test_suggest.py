@@ -475,3 +475,63 @@ def test_association_gates_render_in_suggestion_rows(spark):
     assert len(rows) == 1
     assert rows[0]["column_name"] == "a,b"
     assert rows[0]["detail"].startswith("cramers_v in [")
+
+
+def test_concentration_gates_drafted_clean_and_fire_on_shift(spark):
+    """Domain-sized columns draft a ConcentrationRule dominance ratchet at
+    the observed top_share/hhi plus headroom; the draft validates CLEAN on
+    the profiled table, and FIRES when the mix collapses toward one value
+    — the profile-once-ratchet-everything contract."""
+    from mdvalidate_spark import validate_table
+    from mdvalidate_spark.spec import ConcentrationRule
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else ("b" if i % 4 == 1 else "c"))
+         for i in range(40)],
+        "id long, cat string",
+    )  # shares: a 0.5, b 0.25, c 0.25 -> hhi 0.375
+    spec = suggest_spec(df, "id", exact=True, concentration_gates=True)
+    conc = [r for r in spec.rules if isinstance(r, ConcentrationRule)]
+    assert len(conc) == 1
+    [r] = conc
+    assert r.id == "suggest_concentration_cat" and r.column == "cat"
+    assert r.max_top_share == 0.625  # ceil(500000 * 1.25) / 1e6
+    assert r.max_hhi == 0.46875
+    assert validate_table(spark, df, spec).exit_code == 0
+
+    # the mix collapses: 90% 'a' (still a legal domain!) -> gate fires
+    shifted = spark.createDataFrame(
+        [(i, "a" if i % 10 != 9 else "b") for i in range(40)],
+        "id long, cat string",
+    )
+    rep = validate_table(spark, shifted, spec)
+    fired = [
+        v for v in rep.violations.collect()
+        if v["rule_id"] == "suggest_concentration_cat"
+    ]
+    assert len(fired) == 2 and rep.exit_code == 1  # share AND hhi
+
+    # off by default; capped at 1.0 even with headroom on a hot mix
+    assert not any(
+        isinstance(r, ConcentrationRule)
+        for r in suggest_spec(df, "id", exact=True).rules
+    )
+    hot = spark.createDataFrame(
+        [(i, "x" if i else "y") for i in range(30)], "id long, cat string"
+    )
+    [rh] = [
+        r for r in suggest_spec(
+            hot, "id", exact=True, concentration_gates=True
+        ).rules
+        if isinstance(r, ConcentrationRule)
+    ]
+    assert rh.max_top_share == 1.0 and rh.max_hhi == 1.0
+
+    rows = suggestion_rows(
+        spark, suggest_spec(df, "id", exact=True, concentration_gates=True)
+    )
+    det = {
+        r["column_name"]: r["detail"]
+        for r in rows.where("kind = 'concentration'").collect()
+    }
+    assert det == {"cat": "top_share <= 0.625000, hhi <= 0.468750"}
