@@ -3660,6 +3660,58 @@ FROM b
 """
 
 
+def q_concentration_partials_documents(spark, sf_dir):
+    """INCREMENTAL concentration: per-batch value-count partials (batches
+    = doc_id residues, the manifest-partial pattern) merged to the
+    same violation verdict the full scan produces — the oracle is the
+    FULL-SCAN gate SQL, value-checking that the incremental path is
+    bit-identical to a rescan (operators/skew.py concentration_partials /
+    concentration_rule_results_from_partials)."""
+    from mdvalidate_spark.operators.skew import (
+        concentration_partials,
+        concentration_rule_results_from_partials,
+    )
+    from mdvalidate_spark.spec import ConcentrationRule
+
+    rule = ConcentrationRule(
+        "lang_dom", column="lang", max_top_share=0.3, max_hhi=0.2,
+        incremental=True,
+    )
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "partition_id", F.pmod(F.col("doc_id"), F.lit(4)).cast("int")
+    )
+    parts = [
+        concentration_partials(docs.where(F.col("partition_id") == b), rule)
+        for b in (0, 1, 2, 3)
+    ]
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    v, _ = concentration_rule_results_from_partials(merged, rule, "q")
+    return v
+
+
+def _concentration_partials_sql() -> str:
+    # the merged-partials verdict must equal the full-scan gate verdict
+    # for the same single rule — reuse the lang_dom half of the gate SQL
+    return f"""
+WITH {_concentration_core_sql("lang").lstrip()}
+SELECT 'q' AS run_id, CAST(NULL AS INTEGER) AS partition_id,
+       'lang_dom' AS rule_id, CAST(NULL AS VARCHAR) AS image_id,
+       'lang' AS "column", 'top_share <= 0.3' AS expected,
+       'top value ''' || top_v || ''' share=' || printf('%.6f', top_share)
+         || ' (' || mx || ' of ' || scoped || ')' AS actual,
+       'concentration' AS kind
+FROM m WHERE top_share > 0.3
+UNION ALL
+SELECT 'q', CAST(NULL AS INTEGER), 'lang_dom', CAST(NULL AS VARCHAR),
+       'lang', 'hhi <= 0.2',
+       'hhi=' || printf('%.6f', hhi) || ' over ' || dv || ' distinct values',
+       'concentration'
+FROM m WHERE hhi > 0.2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERED most-recently-changed first (VERDICT r3 #2): the driver's
     # correctness harness checks entries positionally from the top, so the
@@ -3735,6 +3787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # repetition_gate thresholds the same run-length metrics as the
         # in-window repetition_documents profile
         "repetition_gate_documents": q_repetition_gate_documents,
+        "concentration_partials_documents": q_concentration_partials_documents,
         # -- stable r3 queries, driver-green in CORRECTNESS_r03 ----------
         "embedding_clusters": q_embedding_clusters,
         "embedding_neardup": q_embedding_neardup,
@@ -5194,6 +5247,7 @@ def oracle_sql() -> dict[str, str]:
         "concentration_gate_documents": _concentration_gate_sql(),
         "concentration_group_documents": _concentration_group_sql(),
         "suggest_concentration_documents": _suggest_concentration_sql(),
+        "concentration_partials_documents": _concentration_partials_sql(),
         "benford_orders": _benford_sql(),
         "benford_partials_orders": _benford_sql(),
         "null_correlation_documents": _null_correlation_sql(),

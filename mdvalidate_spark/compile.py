@@ -470,6 +470,12 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
                     "group_by key — every group would be perfectly "
                     "concentrated by construction"
                 )
+            if r.incremental and r.group_by:
+                raise SchemaError(
+                    f"rule {r.id!r}: incremental concentration does not "
+                    "support group_by (partials are keyed per value; "
+                    "grouped partials would need (group, value) keys)"
+                )
 
         if isinstance(r, GapRule):
             if not r.column:

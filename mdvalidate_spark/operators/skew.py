@@ -182,6 +182,14 @@ def _concentration_scan(df: DataFrame, column: str, when: str | None):
         scoped.groupBy(F.col(column).cast("string").alias("v"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    return _concentration_scan_counts(counts)
+
+
+def _concentration_scan_counts(counts: DataFrame):
+    """The 1-row reduction of an already-built ``(v string, n bigint)``
+    per-value counts frame — the SINGLE merge point shared by the
+    full-scan and merged-partials paths, so the verdict arithmetic can
+    never drift between them (the benford _merge_digit_partials lesson)."""
     ok = F.col("v").isNotNull()
     nd = F.col("n").cast("decimal(18,0)")
     row = counts.agg(
@@ -312,7 +320,7 @@ def concentration_rule_results(df: DataFrame, rule, run_id: str):
     either way. With ``rule.group_by`` the bounds hold PER GROUP and the
     violation frame is built distributively (no collect, no metric rows —
     see ConcentrationRule's docstring)."""
-    from ..errors import KIND_CONCENTRATION, SchemaError
+    from ..errors import SchemaError
 
     if rule.max_top_share is None and rule.max_hhi is None:
         # public operator API, callable without compile_spec
@@ -322,9 +330,64 @@ def concentration_rule_results(df: DataFrame, rule, run_id: str):
         )
     if rule.group_by:
         return _concentration_grouped(df, rule, run_id)
-    rows, scoped, distinct, max_n, sum_sq, top = _concentration_scan(
-        df, rule.column, rule.when or None
+    scan = _concentration_scan(df, rule.column, rule.when or None)
+    return _concentration_verdict(df.sparkSession, scan, rule, run_id)
+
+
+def concentration_partials(
+    df: DataFrame, rule, partition_col: str = "partition_id"
+) -> DataFrame:
+    """MERGEABLE per-partition value-count partials for an incremental
+    ConcentrationRule: the rule's ``when`` scope applied first, then one
+    row per (partition, non-NULL value) with its count — what the run
+    lifecycle persists under the checkpoint per validated batch (the
+    benford_digit_partials pattern, keyed by value instead of digit).
+    Counts merge by plain summation. Size bound: O(partitions × distinct
+    values) rows — the rule targets enumerable columns (the same ones
+    you'd bound), and compile refuses incremental on group_by."""
+    scoped = df.where(F.expr(rule.when)) if rule.when else df
+    return (
+        scoped.where(F.col(rule.column).isNotNull())
+        .groupBy(
+            F.col(partition_col).cast("int").alias("partition_id"),
+            F.col(rule.column).cast("string").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+#: explicit reload schema — NEVER infer: a `when`-scoped rule whose first
+#: validated batch had zero in-scope rows writes a part-file-less
+#: directory that schema inference refuses (the Benford resume lesson)
+CONCENTRATION_PARTIALS_DDL = "v string, n bigint, partition_id int"
+
+
+def concentration_rule_results_from_partials(
+    partials: DataFrame, rule, run_id: str
+):
+    """The incremental EOF pass for a ConcentrationRule: merge accumulated
+    value-count partials (one groupBy summation — no table rescan) and
+    feed the merged counts through the IDENTICAL reduction + verdict the
+    full scan uses (`_concentration_scan_counts`), so both paths are
+    bit-identical by construction."""
+    from ..errors import SchemaError
+
+    if rule.max_top_share is None and rule.max_hhi is None:
+        raise SchemaError(
+            f"rule {rule.id!r}: concentration rule needs max_top_share "
+            "and/or max_hhi"
+        )
+    counts = partials.groupBy("v").agg(F.sum("n").alias("n"))
+    scan = _concentration_scan_counts(counts)
+    return _concentration_verdict(partials.sparkSession, scan, rule, run_id)
+
+
+def _concentration_verdict(spark, scan, rule, run_id: str):
+    """Shared verdict builder: full-scan and merged-partials paths feed the
+    same integer counts into the same micro-unit arithmetic."""
+    from ..errors import KIND_CONCENTRATION
+
+    rows, scoped, distinct, max_n, sum_sq, top = scan
     top_share = _micro(max_n, scoped) / 1e6 if scoped else None
     hhi = _micro(sum_sq, scoped * scoped) / 1e6 if scoped else None
 
@@ -356,7 +419,6 @@ def concentration_rule_results(df: DataFrame, rule, run_id: str):
                  KIND_CONCENTRATION)
             )
 
-    spark = df.sparkSession
     ddl_v = (
         "run_id string, partition_id int, rule_id string, image_id string, "
         "column string, expected string, actual string, kind string"

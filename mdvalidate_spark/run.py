@@ -281,6 +281,7 @@ class ValidationRun:
         self._drift_partials: dict[str, list[DataFrame]] = {}
         # accumulated per-batch Benford digit partials per incremental rule
         self._benford_partials: dict[str, list[DataFrame]] = {}
+        self._concentration_partials: dict[str, list[DataFrame]] = {}
         self._finalized = False
         self._schema_checked = False
         self._schema_violations = 0
@@ -508,6 +509,21 @@ class ValidationRun:
             if self.checkpoint_dir:
                 bp.write.mode("overwrite").partitionBy("partition_id").parquet(
                     self._sink(f"benford_partials/{br.id}")
+                )
+
+        from .spec import ConcentrationRule as _ConcRule
+
+        for cr in (
+            r for r in prog.group_rules
+            if isinstance(r, _ConcRule) and r.incremental
+        ):
+            from .operators.skew import concentration_partials
+
+            cp = self._keep(concentration_partials(batch_df, cr))
+            self._concentration_partials.setdefault(cr.id, []).append(cp)
+            if self.checkpoint_dir:
+                cp.write.mode("overwrite").partitionBy("partition_id").parquet(
+                    self._sink(f"concentration_partials/{cr.id}")
                 )
 
         cap = spec.max_violations_per_rule
@@ -779,11 +795,23 @@ class ValidationRun:
                 viols.append(b_viol)
                 mets.append(b_met)
             elif isinstance(gr, _ConcentrationRule):
-                from .operators.skew import concentration_rule_results
-
-                c_viol, c_met = concentration_rule_results(
-                    self.df, gr, self.run_id
+                from .operators.skew import (
+                    concentration_rule_results,
+                    concentration_rule_results_from_partials,
                 )
+
+                pieces = self._concentration_partials.get(gr.id, [])
+                if gr.incremental and pieces:
+                    # merge the persisted value-count partials —
+                    # O(partitions × values), never a table rescan
+                    merged = reduce(lambda a, b: a.unionByName(b), pieces)
+                    c_viol, c_met = concentration_rule_results_from_partials(
+                        merged, gr, self.run_id
+                    )
+                else:
+                    c_viol, c_met = concentration_rule_results(
+                        self.df, gr, self.run_id
+                    )
                 viols.append(c_viol)
                 mets.append(c_met)
             elif isinstance(gr, _GapRule):
@@ -1280,6 +1308,21 @@ class ValidationRun:
                 self._benford_partials.setdefault(br.id, []).append(
                     self.spark.read.schema(BENFORD_PARTIALS_DDL)
                     .parquet(bp)
+                    .where(F.col("partition_id").isin(list(done)))
+                )
+        # incremental concentration value-count partials: one dir per
+        # rule, same explicit-schema reload contract as Benford
+        from .operators.skew import CONCENTRATION_PARTIALS_DDL
+        from .spec import ConcentrationRule as _ConcRule
+
+        for cr in self.program.group_rules:
+            if not (isinstance(cr, _ConcRule) and cr.incremental):
+                continue
+            cp = self._sink(f"concentration_partials/{cr.id}")
+            if cp and os.path.exists(cp) and done:
+                self._concentration_partials.setdefault(cr.id, []).append(
+                    self.spark.read.schema(CONCENTRATION_PARTIALS_DDL)
+                    .parquet(cp)
                     .where(F.col("partition_id").isin(list(done)))
                 )
 

@@ -826,6 +826,18 @@ class ConcentrationRule(Rule):
     min_rows: int = 1
     group_by: tuple = ()  # () = whole table; else bounds hold per group
     when: str = ""  # optional row-scope predicate (see NotNullRule.when)
+    # incremental=True switches to MERGEABLE PER-PARTITION value-count
+    # partials (the BenfordRule.incremental pattern, keyed by value
+    # instead of digit): each validated batch persists one row per
+    # (partition, value) under the checkpoint; the finalize pass merges
+    # by summation WITHOUT rescanning the table — bit-identical to the
+    # full scan because both paths feed the same merged counts into the
+    # same reduction (operators/skew.py _concentration_scan_counts).
+    # Partials cost O(partitions × distinct values): right for the
+    # enumerable columns this rule targets, wrong for id-like ones —
+    # that judgment is the spec author's. Not combinable with group_by
+    # (compile refuses; grouped partials would key on (group, value)).
+    incremental: bool = False
     kind: str = field(default="concentration", init=False)
 
     def targets(self):

@@ -324,3 +324,87 @@ def test_concentration_grouped_through_run_and_lints(spark):
     assert len(v) == 1 and v[0]["image_id"] == "f1"
     assert "share=1.000000 (3 of 3)" in v[0]["actual"]
     assert rep.exit_code == 1
+
+
+def test_concentration_incremental_through_run_and_resume(spark, tmp_path):
+    """incremental=True rides the manifest-partial lifecycle: per-batch
+    value-count partials persist under the checkpoint, a RESUMED run
+    reloads the validated partitions' partials and finalizes without
+    rescanning them, and the merged verdict + metrics are bit-identical
+    to the full-scan rule (same merged counts through the same
+    reduction). The BenfordRule incremental contract, keyed by value."""
+    from mdvalidate_spark import validate_table
+    from mdvalidate_spark.run import ValidationRun
+    from mdvalidate_spark.spec import ConcentrationRule, Spec
+
+    rows = [
+        (f"k{i}", "en" if i % 3 else ("de" if i % 2 else "fr"), float(i))
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "k string, lang string, x double")
+    inc = ConcentrationRule(
+        "mix", column="lang", max_top_share=0.5, max_hhi=0.6,
+        when="x >= 0.0", incremental=True,
+    )
+    spec = Spec(key_column="k", n_partitions=6, rules=[inc])
+    ckpt = str(tmp_path / "ck")
+
+    run1 = ValidationRun(spark, spec, df, run_id="r-c", checkpoint_dir=ckpt)
+    pending = run1.pending_partitions()
+    run1._validate_batch(pending[:3])
+
+    run2 = ValidationRun(spark, spec, df, run_id="r-c", checkpoint_dir=ckpt)
+    assert sorted(run2.pending_partitions()) == sorted(pending[3:])
+    report = run2.validate()
+
+    full = validate_table(
+        spark, df,
+        Spec(key_column="k", n_partitions=6, rules=[
+            ConcentrationRule("mix", column="lang", max_top_share=0.5,
+                              max_hhi=0.6, when="x >= 0.0"),
+        ]),
+        run_id="r-full",
+    )
+
+    def mm(rep):
+        return sorted(
+            (r["metric"], r["value"], r["value_str"])
+            for r in rep.metrics.collect() if r["rule_id"] == "mix"
+        )
+
+    def vv(rep):
+        return sorted(
+            (r["expected"], r["actual"])
+            for r in rep.violations.collect() if r["rule_id"] == "mix"
+        )
+
+    assert mm(report) == mm(full) and vv(report) == vv(full)
+    # en is 2/3 dominant: the share bound fires identically on both paths
+    assert len(vv(report)) == 1 and "share=0.666667" in vv(report)[0][1]
+
+    # empty-scope first batch: part-file-less partials dir must reload
+    # (explicit schema) and finalize on the loud degrade path
+    never = Spec(key_column="k", n_partitions=6, rules=[
+        ConcentrationRule("never", column="lang", max_hhi=0.9,
+                          min_rows=10, when="x > 1e18", incremental=True),
+    ])
+    ck2 = str(tmp_path / "ck2")
+    ra = ValidationRun(spark, never, df, run_id="r-e", checkpoint_dir=ck2)
+    ra._validate_batch(ra.pending_partitions()[:2])
+    rb = ValidationRun(spark, never, df, run_id="r-e", checkpoint_dir=ck2)
+    rep2 = rb.validate()
+    v = [r for r in rep2.violations.collect() if r["rule_id"] == "never"]
+    assert len(v) == 1 and "unmeasurable: 0 in-scope" in v[0]["actual"]
+
+    # incremental + group_by is refused at compile
+    from mdvalidate_spark.compile import compile_spec
+    from mdvalidate_spark.errors import SchemaError
+    import pytest as _pt
+
+    with _pt.raises(SchemaError):
+        compile_spec(
+            Spec(rules=[ConcentrationRule(
+                "x", column="lang", group_by=("k",), max_hhi=0.5,
+                incremental=True)]),
+            df.schema,
+        )
