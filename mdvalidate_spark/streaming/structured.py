@@ -301,3 +301,158 @@ def stream_volume_anomaly(
     return volume_anomaly_from_counts(
         counts, k=k, abs_tol=abs_tol, min_partitions=min_batches
     )
+
+
+def windowed_concentration_rule(
+    stream_df: DataFrame,
+    rule,
+    values: list[str],
+    ts_column: str,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    run_id: str = "stream",
+) -> DataFrame:
+    """Per-window value dominance vs a FROZEN value set (the streaming
+    re-expression of ConcentrationRule; ``values`` from the profiled
+    domain, e.g. suggest_spec's DomainRule values) — "the last minute of
+    ingest was 90% one caption" while the feed is still live.
+
+    Streaming DataFrames allow ONE aggregation, so the per-value counts
+    are pivoted conditional sums over the literal value set in a single
+    watermarked groupBy(window) — the windowed_drift_rule shape keyed by
+    value instead of bin. Values OUTSIDE the frozen set pool into one
+    ``__other__`` bucket: they count toward the total, the bucket itself
+    competes for dominance (a NEW value flooding the stream alerts), but
+    its constituent values are indistinguishable (DomainRule owns that).
+    top_share/hhi use the same integer `div` micro-unit arithmetic as
+    the batch rule, on the SAME bound semantics (strict >). Windows with
+    fewer than ``rule.min_rows`` in-scope rows are SILENT — the stream
+    is the low-latency alert path; loud unmeasurability is the batch
+    rule's finalize contract. Append mode: one violation row per closed
+    window per exceeded bound, no Python anywhere."""
+    from ..errors import KIND_CONCENTRATION, SchemaError
+
+    if rule.max_top_share is None and rule.max_hhi is None:
+        raise SchemaError(
+            f"rule {rule.id!r}: concentration rule needs max_top_share "
+            "and/or max_hhi"
+        )
+    if not values:
+        raise SchemaError(f"rule {rule.id!r}: frozen value set is empty")
+    vals = sorted({str(v) for v in values})
+    if "__other__" in vals:
+        raise SchemaError(
+            f"rule {rule.id!r}: value set collides with the reserved "
+            "'__other__' bucket"
+        )
+    x = F.col(rule.column).cast("string")
+    scoped = stream_df.where(F.expr(rule.when)) if rule.when else stream_df
+    counted = (
+        scoped.where(x.isNotNull())
+        .withWatermark(ts_column, watermark)
+        .groupBy(F.window(F.col(ts_column), window).alias("win"))
+        .agg(
+            *[
+                F.sum(F.when(x == F.lit(v), 1).otherwise(0)).alias(f"_c{i}")
+                for i, v in enumerate(vals)
+            ],
+            F.sum(
+                F.when(~x.isin(list(vals)), 1).otherwise(0)
+            ).alias("_other"),
+        )
+    )
+    names = [f"_c{i}" for i in range(len(vals))] + ["_other"]
+    labels = vals + ["__other__"]
+    total = sum([F.col(n) for n in names], F.lit(0))
+    # min of struct(-count, value) = max count, ties -> lowest value: the
+    # same total order as the batch min_by key, over a literal-sized array
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct((-F.col(n)).alias("a"), F.lit(v).alias("b"))
+                for n, v in zip(names, labels)
+            ]
+        )
+    )
+    top_n = -best["a"]
+    top_v = best["b"]
+    ssq = sum(
+        [
+            F.col(n).cast("decimal(18,0)") * F.col(n).cast("decimal(18,0)")
+            for n in names
+        ],
+        F.lit(0).cast("decimal(18,0)"),
+    )
+    stats = counted.select(
+        "win",
+        total.alias("_t"),
+        top_n.alias("_mx"),
+        top_v.alias("_tv"),
+        ssq.alias("_ssq"),
+    ).select(
+        "win",
+        "_t",
+        "_mx",
+        "_tv",
+        (
+            F.expr("(2 * CAST(_mx AS DECIMAL(20,0)) * 1000000 + _t) div (2 * _t)")
+            / F.lit(1e6)
+        ).alias("top_share"),
+        (
+            F.expr(
+                "(2 * _ssq * 1000000 "
+                " + CAST(_t AS DECIMAL(19,0)) * CAST(_t AS DECIMAL(19,0))) "
+                "div (2 * CAST(_t AS DECIMAL(19,0)) * CAST(_t AS DECIMAL(19,0)))"
+            )
+            / F.lit(1e6)
+        ).alias("hhi"),
+    ).where(F.col("_t") >= F.lit(int(rule.min_rows)))
+
+    share_actual = F.concat(
+        F.lit("top value '"), F.col("_tv"), F.lit("' share="),
+        F.format_string("%.6f", F.col("top_share")),
+        F.lit(" ("), F.col("_mx").cast("string"),
+        F.lit(" of "), F.col("_t").cast("string"), F.lit(")"),
+    )
+    hhi_actual = F.concat(
+        F.lit("hhi="), F.format_string("%.6f", F.col("hhi")),
+    )
+    exprs = []
+    if rule.max_top_share is not None:
+        exprs.append(
+            F.when(
+                F.col("top_share") > rule.max_top_share,
+                F.struct(
+                    F.lit(f"top_share <= {rule.max_top_share}").alias("e"),
+                    share_actual.alias("a"),
+                ),
+            ).alias("_v_share")
+        )
+    if rule.max_hhi is not None:
+        exprs.append(
+            F.when(
+                F.col("hhi") > rule.max_hhi,
+                F.struct(
+                    F.lit(f"hhi <= {rule.max_hhi}").alias("e"),
+                    hhi_actual.alias("a"),
+                ),
+            ).alias("_v_hhi")
+        )
+    # one row per exceeded bound, from one streaming aggregation: pack the
+    # (expected, actual) candidates into an array, explode the non-NULLs
+    packed = stats.select(
+        "win",
+        F.explode(
+            F.filter(F.array(*exprs), lambda s: s.isNotNull())
+        ).alias("_v"),
+    )
+    return packed.select(
+        F.lit(run_id).alias("run_id"),
+        F.lit(None).cast("int").alias("partition_id"),
+        F.lit(rule.id).alias("rule_id"),
+        F.col("win.start").cast("string").alias("image_id"),
+        F.lit(rule.column).alias("column"),
+        F.col("_v.e").alias("expected"),
+        F.col("_v.a").alias("actual"),
+        F.lit(KIND_CONCENTRATION).alias("kind"),
+    )

@@ -861,3 +861,84 @@ def test_stream_gap_submillisecond_threshold_matches_batch(spark):
         df, GapRule("g", column="ts", min_gap_seconds=0.0004), "s"
     )
     assert batch.count() == 1
+
+
+def test_windowed_concentration_rule(spark, tmp_path):
+    """Per-window dominance over a frozen value set: a window where one
+    caption floods the stream alerts (share AND hhi rows), a balanced
+    window is quiet, an under-min_rows window is silent by contract, and
+    a NEW out-of-set value competes through the __other__ bucket."""
+    from datetime import datetime, timedelta
+
+    from mdvalidate_spark.spec import ConcentrationRule
+    from mdvalidate_spark.streaming.structured import (
+        windowed_concentration_rule,
+    )
+
+    T0 = datetime(2026, 1, 1)
+    rows = []
+    # window 0: balanced a/b/c (12 rows) -> quiet at 0.5/0.5
+    for i in range(12):
+        rows.append((["a", "b", "c"][i % 3], T0 + timedelta(seconds=i)))
+    # window 1: 9x 'a' + 1x 'b' -> share 0.9, hhi 0.82 -> both fire
+    for i in range(10):
+        rows.append(
+            ("a" if i else "b", T0 + timedelta(minutes=1, seconds=i))
+        )
+    # window 2: only 2 rows -> under min_rows=4, silent
+    rows.append(("a", T0 + timedelta(minutes=2)))
+    rows.append(("a", T0 + timedelta(minutes=2, seconds=1)))
+    # window 3: flood of a NEW value 'zzz' (not in the frozen set) -> the
+    # __other__ bucket dominates and alerts
+    for i in range(8):
+        rows.append(
+            ("zzz" if i < 7 else "a", T0 + timedelta(minutes=3, seconds=i))
+        )
+    # sentinel far in the future so the watermark closes all earlier
+    # windows (its own window is 1 row < min_rows: silent)
+    rows.append(("a", T0 + timedelta(minutes=30)))
+    src = str(tmp_path / "conc-src")
+    spark.createDataFrame(rows, "cap string, ts timestamp").coalesce(
+        1
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema("cap string, ts timestamp").parquet(src)
+    rule = ConcentrationRule(
+        "cap_mix", column="cap", max_top_share=0.5, max_hhi=0.5, min_rows=4
+    )
+    v = windowed_concentration_rule(
+        stream, rule, ["a", "b", "c"], "ts",
+        window="1 minute", watermark="0 seconds",
+    )
+    assert v.isStreaming
+    out = str(tmp_path / "conc-out")
+    q = (
+        v.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "conc-ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).collect()
+    by_win = {}
+    for r in got:
+        by_win.setdefault(r["image_id"][14:16], []).append(r)
+    assert set(by_win) == {"01", "03"}  # windows 1 and 3 only
+    w1 = {r["expected"]: r["actual"] for r in by_win["01"]}
+    assert w1["top_share <= 0.5"] == "top value 'a' share=0.900000 (9 of 10)"
+    assert w1["hhi <= 0.5"] == "hhi=0.820000"
+    w3 = {r["expected"]: r["actual"] for r in by_win["03"]}
+    assert "top value '__other__' share=0.875000 (7 of 8)" in w3.values()
+
+    # boundless / empty / reserved-collision value sets refused up front
+    import pytest as _pt
+    from mdvalidate_spark.errors import SchemaError
+
+    for bad_rule, bad_vals in (
+        (ConcentrationRule("x", column="cap"), ["a"]),
+        (ConcentrationRule("x", column="cap", max_hhi=0.5), []),
+        (ConcentrationRule("x", column="cap", max_hhi=0.5), ["a", "__other__"]),
+    ):
+        with _pt.raises(SchemaError):
+            windowed_concentration_rule(stream, bad_rule, bad_vals, "ts")
