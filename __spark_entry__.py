@@ -3596,22 +3596,35 @@ top AS (
   ) WHERE rn = 1
 ),
 m AS (
+  -- null-safe group join (a NULL source group is a real group in the
+  -- engine) + measurability gate BEFORE the division; all-NULL-lang
+  -- groups (scoped = 0) fall to the unmeasurable branch instead
   SELECT s.g, s.scoped, s.dv, s.mx, top.v AS top_v,
          CAST((2 * s.mx * 1000000 + s.scoped) // (2 * s.scoped)
               AS BIGINT) / 1000000.0 AS top_share,
          CAST((2 * s.ssq * 1000000 + s.scoped * s.scoped)
               // (2 * s.scoped * s.scoped) AS BIGINT) / 1000000.0 AS hhi
-  FROM s JOIN top ON s.g = top.g
+  FROM s LEFT JOIN top ON s.g IS NOT DISTINCT FROM top.g
+  WHERE s.scoped >= 1
 )
 SELECT 'q' AS run_id, CAST(NULL AS INTEGER) AS partition_id,
-       'by_src' AS rule_id, g AS image_id, 'lang' AS "column",
-       'top_share <= 0.5' AS expected,
-       'top value ''' || top_v || ''' share=' || printf('%.6f', top_share)
-         || ' (' || mx || ' of ' || scoped || ')' AS actual,
+       'by_src' AS rule_id, CAST(g AS VARCHAR) AS image_id,
+       'lang' AS "column",
+       'top_share <= 0.5, hhi <= 0.35' AS expected,
+       'unmeasurable: ' || scoped || ' in-scope values < min_rows=1'
+         AS actual,
        'concentration' AS kind
+FROM s WHERE scoped < 1
+UNION ALL
+SELECT 'q', CAST(NULL AS INTEGER), 'by_src', CAST(g AS VARCHAR), 'lang',
+       'top_share <= 0.5',
+       'top value ''' || top_v || ''' share=' || printf('%.6f', top_share)
+         || ' (' || mx || ' of ' || scoped || ')',
+       'concentration'
 FROM m WHERE top_share > 0.5
 UNION ALL
-SELECT 'q', CAST(NULL AS INTEGER), 'by_src', g, 'lang', 'hhi <= 0.35',
+SELECT 'q', CAST(NULL AS INTEGER), 'by_src', CAST(g AS VARCHAR), 'lang',
+       'hhi <= 0.35',
        'hhi=' || printf('%.6f', hhi) || ' over ' || dv || ' distinct values',
        'concentration'
 FROM m WHERE hhi > 0.35

@@ -225,6 +225,31 @@ def _micro(num: int, den: int) -> int:
     return (2 * num * 1_000_000 + den) // (2 * den)
 
 
+def micro_share_expr(num: str, den: str):
+    """Round-half-up micro-unit share ``num/den`` as one integer ``div``
+    SQL expression — the column-algebra twin of :func:`_micro`. Decimal
+    operands so a 10^12-row group's numerator never overflows; the
+    quotient always fits a long. The SINGLE source of truth for share
+    arithmetic in frames: the grouped batch path and the streaming
+    windowed rule both call this, so a precision fix can never drift
+    between batch and stream."""
+    return F.expr(
+        f"(2 * CAST({num} AS DECIMAL(20,0)) * 1000000 + {den}) "
+        f"div (2 * {den})"
+    )
+
+
+def micro_hhi_expr(ssq: str, den: str):
+    """Round-half-up micro-unit HHI (``ssq/den²``) as one integer ``div``
+    SQL expression — see :func:`micro_share_expr` for the sharing
+    contract. ``ssq`` must already be a decimal sum of squared counts."""
+    return F.expr(
+        f"(2 * {ssq} * 1000000 "
+        f" + CAST({den} AS DECIMAL(19,0)) * CAST({den} AS DECIMAL(19,0))) "
+        f"div (2 * CAST({den} AS DECIMAL(19,0)) * CAST({den} AS DECIMAL(19,0)))"
+    )
+
+
 def concentration_report(
     df: DataFrame, column: str, when: str | None = None
 ) -> DataFrame:
@@ -287,18 +312,8 @@ def concentration_by_group(
             ),
         ).alias("top_value"),
     )
-    # round-half-up micro-unit shares in integer `div` arithmetic — the
-    # exact twin of _micro(); decimal operands so a 10^12-row group's
-    # sum-of-squares never overflows, the quotient always fits a long
-    share_micro = F.expr(
-        "(2 * CAST(_mx AS DECIMAL(20,0)) * 1000000 + n_scoped) "
-        "div (2 * n_scoped)"
-    )
-    hhi_micro = F.expr(
-        "(2 * _ssq * 1000000 "
-        " + CAST(n_scoped AS DECIMAL(19,0)) * CAST(n_scoped AS DECIMAL(19,0))) "
-        "div (2 * CAST(n_scoped AS DECIMAL(19,0)) * CAST(n_scoped AS DECIMAL(19,0)))"
-    )
+    share_micro = micro_share_expr("_mx", "n_scoped")
+    hhi_micro = micro_hhi_expr("_ssq", "n_scoped")
     gate = F.col("n_scoped") > 0
     return stats.select(
         *group_by,
@@ -327,6 +342,12 @@ def concentration_rule_results(df: DataFrame, rule, run_id: str):
         raise SchemaError(
             f"rule {rule.id!r}: concentration rule needs max_top_share "
             "and/or max_hhi"
+        )
+    if rule.min_rows < 1:
+        # mirror the compile lint: min_rows=0 would let a zero-scope scan
+        # reach the bound comparison with NULL shares (None > float)
+        raise SchemaError(
+            f"rule {rule.id!r}: min_rows must be >= 1, got {rule.min_rows}"
         )
     if rule.group_by:
         return _concentration_grouped(df, rule, run_id)
@@ -376,6 +397,10 @@ def concentration_rule_results_from_partials(
         raise SchemaError(
             f"rule {rule.id!r}: concentration rule needs max_top_share "
             "and/or max_hhi"
+        )
+    if rule.min_rows < 1:
+        raise SchemaError(
+            f"rule {rule.id!r}: min_rows must be >= 1, got {rule.min_rows}"
         )
     counts = partials.groupBy("v").agg(F.sum("n").alias("n"))
     scan = _concentration_scan_counts(counts)

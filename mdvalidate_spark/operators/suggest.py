@@ -620,22 +620,24 @@ def suggestion_rows(spark, spec: Spec) -> DataFrame:
         elif isinstance(r, FormatRule):
             rows.append((r.column, "format", f"format = {r.format}"))
         elif isinstance(r, AssociationRule):
-            rows.append(
-                (
-                    f"{r.col_a},{r.col_b}",
-                    "association",
-                    f"cramers_v in [{r.min_v:.6f}, {r.max_v:.6f}]",
-                )
-            )
+            # min_v / max_v are independently optional — render open
+            # bounds the CountRule way instead of formatting None
+            if r.min_v is not None and r.max_v is not None:
+                band = f"cramers_v in [{r.min_v:.6f}, {r.max_v:.6f}]"
+            elif r.min_v is not None:
+                band = f"cramers_v >= {r.min_v:.6f}"
+            else:
+                band = f"cramers_v <= {r.max_v:.6f}"
+            rows.append((f"{r.col_a},{r.col_b}", "association", band))
         elif isinstance(r, ConcentrationRule):
-            rows.append(
-                (
-                    r.column,
-                    "concentration",
-                    f"top_share <= {r.max_top_share:.6f}, "
-                    f"hhi <= {r.max_hhi:.6f}",
-                )
-            )
+            # single-bound rules are a legal configuration ("max_top_share
+            # and/or max_hhi") — render only the bounds that are set
+            bounds = []
+            if r.max_top_share is not None:
+                bounds.append(f"top_share <= {r.max_top_share:.6f}")
+            if r.max_hhi is not None:
+                bounds.append(f"hhi <= {r.max_hhi:.6f}")
+            rows.append((r.column, "concentration", ", ".join(bounds)))
         elif isinstance(r, PiiRule):
             rows.append((r.column, "pii", f"pii_total <= {r.max_total}"))
         elif isinstance(r, RepetitionRule):

@@ -331,6 +331,7 @@ def windowed_concentration_rule(
     rule's finalize contract. Append mode: one violation row per closed
     window per exceeded bound, no Python anywhere."""
     from ..errors import KIND_CONCENTRATION, SchemaError
+    from ..operators.skew import micro_hhi_expr, micro_share_expr
 
     if rule.max_top_share is None and rule.max_hhi is None:
         raise SchemaError(
@@ -364,12 +365,19 @@ def windowed_concentration_rule(
     names = [f"_c{i}" for i in range(len(vals))] + ["_other"]
     labels = vals + ["__other__"]
     total = sum([F.col(n) for n in names], F.lit(0))
-    # min of struct(-count, value) = max count, ties -> lowest value: the
-    # same total order as the batch min_by key, over a literal-sized array
+    # min of struct(-count, other-rank, value) = max count, ties -> any
+    # REAL frozen value before the synthetic '__other__' bucket (whose
+    # label would otherwise win ties against every lowercase value:
+    # '_' 0x5F < 'a'), then lowest value — the batch min_by total order,
+    # over a literal-sized array
     best = F.array_min(
         F.array(
             *[
-                F.struct((-F.col(n)).alias("a"), F.lit(v).alias("b"))
+                F.struct(
+                    (-F.col(n)).alias("a"),
+                    F.lit(1 if v == "__other__" else 0).alias("o"),
+                    F.lit(v).alias("b"),
+                )
                 for n, v in zip(names, labels)
             ]
         )
@@ -394,18 +402,8 @@ def windowed_concentration_rule(
         "_t",
         "_mx",
         "_tv",
-        (
-            F.expr("(2 * CAST(_mx AS DECIMAL(20,0)) * 1000000 + _t) div (2 * _t)")
-            / F.lit(1e6)
-        ).alias("top_share"),
-        (
-            F.expr(
-                "(2 * _ssq * 1000000 "
-                " + CAST(_t AS DECIMAL(19,0)) * CAST(_t AS DECIMAL(19,0))) "
-                "div (2 * CAST(_t AS DECIMAL(19,0)) * CAST(_t AS DECIMAL(19,0)))"
-            )
-            / F.lit(1e6)
-        ).alias("hhi"),
+        (micro_share_expr("_mx", "_t") / F.lit(1e6)).alias("top_share"),
+        (micro_hhi_expr("_ssq", "_t") / F.lit(1e6)).alias("hhi"),
     ).where(F.col("_t") >= F.lit(int(rule.min_rows)))
 
     share_actual = F.concat(

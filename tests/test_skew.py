@@ -194,6 +194,24 @@ def test_concentration_unmeasurable_and_empty_scope(spark):
     rep = concentration_report(nulls, "v").collect()[0]
     assert rep["top_value"] is None and rep["hhi"] is None
 
+    # min_rows < 1 refused at the operator API (the compile-lint mirror):
+    # min_rows=0 would let a zero-scope scan reach the bound comparison
+    # with NULL shares instead of a verdict
+    import pytest as _pt
+
+    from mdvalidate_spark.errors import SchemaError
+    from mdvalidate_spark.operators.skew import (
+        CONCENTRATION_PARTIALS_DDL,
+        concentration_rule_results_from_partials,
+    )
+
+    bad = ConcentrationRule("c", column="v", max_top_share=0.5, min_rows=0)
+    with _pt.raises(SchemaError, match="min_rows must be >= 1"):
+        concentration_rule_results(nulls, bad, "r")
+    empty_partials = spark.createDataFrame([], CONCENTRATION_PARTIALS_DDL)
+    with _pt.raises(SchemaError, match="min_rows must be >= 1"):
+        concentration_rule_results_from_partials(empty_partials, bad, "r")
+
 
 def test_concentration_through_spec_compile_and_run(spark):
     from mdvalidate_spark import validate_table
@@ -282,6 +300,60 @@ def test_concentration_grouped_bounds_and_edges(spark):
         assert (g["top_share"], g["hhi"]) == (
             prof[feed]["top_share"], prof[feed]["hhi"]
         )
+
+
+def test_concentration_grouped_oracle_parity_with_nulls(spark):
+    """The driver fixtures carry no NULL source/lang, so the grouped
+    oracle SQL's NULL-group join and unmeasurable branch never execute
+    there — lock engine/DuckDB agreement on a frame that exercises BOTH:
+    a NULL group key (null-safe join) and an all-NULL-value group
+    (unmeasurable branch), so a fixture regeneration with NULLs cannot
+    make the oracle silently diverge."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry
+    from mdvalidate_spark.operators.skew import concentration_rule_results
+    from mdvalidate_spark.spec import ConcentrationRule
+
+    rows = (
+        [("f1", "a")] * 4 + [("f1", "b")]          # dominant: fires both
+        + [("f2", "x"), ("f2", "y"), ("f2", "z")]  # uniform: quiet
+        + [("f3", None), ("f3", None)]             # all-NULL: unmeasurable
+        + [(None, "a"), (None, "a"), (None, "c")]  # NULL group: fires share
+    )
+    df = spark.createDataFrame(rows, "source string, lang string")
+    v, _ = concentration_rule_results(
+        df,
+        ConcentrationRule(
+            "by_src", column="lang", group_by=("source",),
+            max_top_share=0.5, max_hhi=0.35,
+        ),
+        "q",
+    )
+    def key(t):
+        return (t[0] is None, t[0] or "", t[1], t[2])
+
+    got = sorted(
+        ((r["image_id"], r["expected"], r["actual"]) for r in v.collect()),
+        key=key,
+    )
+
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(rows, columns=["source", "lang"])
+    )
+    want = sorted(
+        (
+            (r[3], r[5], r[6])
+            for r in con.execute(entry._concentration_group_sql()).fetchall()
+        ),
+        key=key,
+    )
+    assert got == want
+    # the NULL group and the unmeasurable group are both present
+    assert any(k is None for k, _, _ in got)
+    assert any("unmeasurable" in a for _, _, a in got)
 
 
 def test_concentration_grouped_through_run_and_lints(spark):

@@ -942,3 +942,51 @@ def test_windowed_concentration_rule(spark, tmp_path):
     ):
         with _pt.raises(SchemaError):
             windowed_concentration_rule(stream, bad_rule, bad_vals, "ts")
+
+
+def test_windowed_concentration_tie_prefers_real_value(spark, tmp_path):
+    """A count tie between a frozen value and the synthetic '__other__'
+    bucket attributes dominance to the REAL value: '_' sorts before every
+    lowercase letter, so a bare value-ASC tie-break would misreport
+    '__other__' as the top value whenever the pool merely ties."""
+    from datetime import datetime, timedelta
+
+    from mdvalidate_spark.spec import ConcentrationRule
+    from mdvalidate_spark.streaming.structured import (
+        windowed_concentration_rule,
+    )
+
+    T0 = datetime(2026, 1, 1)
+    rows = [
+        ("a" if i % 2 == 0 else "qqq", T0 + timedelta(seconds=i))
+        for i in range(8)  # 4x 'a' ties 4x out-of-set 'qqq'
+    ]
+    rows.append(("a", T0 + timedelta(minutes=30)))  # watermark sentinel
+    src = str(tmp_path / "tie-src")
+    spark.createDataFrame(rows, "cap string, ts timestamp").coalesce(
+        1
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema("cap string, ts timestamp").parquet(src)
+    rule = ConcentrationRule(
+        "tie", column="cap", max_top_share=0.3, min_rows=4
+    )
+    v = windowed_concentration_rule(
+        stream, rule, ["a", "b"], "ts", window="1 minute",
+        watermark="0 seconds",
+    )
+    out = str(tmp_path / "tie-out")
+    q = (
+        v.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "tie-ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [
+        r["actual"]
+        for r in spark.read.parquet(out).collect()
+        if r["expected"] == "top_share <= 0.3"
+    ]
+    assert got == ["top value 'a' share=0.500000 (4 of 8)"]

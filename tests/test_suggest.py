@@ -477,6 +477,30 @@ def test_association_gates_render_in_suggestion_rows(spark):
     assert rows[0]["detail"].startswith("cramers_v in [")
 
 
+def test_suggestion_rows_render_single_bound_rules(spark):
+    """Single-bound ConcentrationRule / AssociationRule are advertised
+    configurations ('and/or') — rendering a hand-written spec with only
+    one bound set must not format None."""
+    from mdvalidate_spark.spec import AssociationRule, ConcentrationRule, Spec
+
+    spec = Spec(
+        rules=(
+            ConcentrationRule("c1", column="lang", max_hhi=0.3),
+            ConcentrationRule("c2", column="src", max_top_share=0.4),
+            AssociationRule("a1", col_a="x", col_b="y", min_v=0.2),
+            AssociationRule("a2", col_a="x", col_b="z", max_v=0.8),
+        )
+    )
+    got = {
+        r["column_name"]: r["detail"]
+        for r in suggestion_rows(spark, spec).collect()
+    }
+    assert got["lang"] == "hhi <= 0.300000"
+    assert got["src"] == "top_share <= 0.400000"
+    assert got["x,y"] == "cramers_v >= 0.200000"
+    assert got["x,z"] == "cramers_v <= 0.800000"
+
+
 def test_concentration_gates_drafted_clean_and_fire_on_shift(spark):
     """Domain-sized columns draft a ConcentrationRule dominance ratchet at
     the observed top_share/hhi plus headroom; the draft validates CLEAN on
