@@ -3792,6 +3792,82 @@ def q_reconcile_rows_orders(spark, sf_dir):
     return R.reconcile_rows(old, new, ["k"], n_buckets=512, buckets=buckets)
 
 
+def q_reconcile_gate_orders(spark, sf_dir):
+    """Content-gated revalidation, END TO END (run.py fingerprint_gate):
+    a gated run over the old snapshot persists per-partition
+    fingerprints; a second gated run over the mutated snapshot
+    re-validates ONLY the partitions whose content moved and carries the
+    rest from the first run's lineage. Output = the second run's
+    manifest: per data-supplied partition (k mod 16), whether it was
+    carried (fingerprint_skipped) and its row/violation counters — the
+    oracle re-derives BOTH halves in SQL: carried ⟺ the partition's
+    60-bit hash-sum fingerprint is unchanged, and the counters from
+    evaluating the same Range+Domain rules on the new snapshot (for
+    carried partitions the carried counters equal a fresh evaluation
+    because the content is provably identical — that equality IS the
+    correctness claim of the gate)."""
+    import shutil
+    import tempfile
+
+    from mdvalidate_spark.run import ValidationRun
+    from mdvalidate_spark.spec import DomainRule, RangeRule, Spec
+
+    old, _ = _recon_snapshots(spark, sf_dir)
+    old = old.withColumn(
+        "partition_id", F.pmod(F.col("k"), F.lit(16)).cast("int")
+    )
+    # pid-ALIGNED edits so both gate paths run at every scale factor:
+    # k%160==7 keys all live in partition 7 (mutated), k%320==16 keys all
+    # in partition 0 (removed) — exactly 2 partitions revalidate, 14 carry
+    new = old.where(F.col("k") % 320 != 16).withColumn(
+        "priority",
+        F.when(F.col("k") % 160 == 7, F.lit("MUTATED")).otherwise(
+            F.col("priority")
+        ),
+    )
+    spec = Spec(
+        rules=(
+            RangeRule("cents_max", column="cents", min=1, max=30_000_000),
+            DomainRule(
+                "priority_domain",
+                column="priority",
+                values=(
+                    "1-URGENT", "2-HIGH", "3-MEDIUM",
+                    "4-NOT SPECIFIED", "5-LOW",
+                ),
+            ),
+        ),
+        key_column="k",
+        n_partitions=16,
+    )
+    ck = tempfile.mkdtemp(prefix="mdv-gate-q-")
+    try:
+        ValidationRun(
+            spark, spec, old, run_id="gate-q-1", checkpoint_dir=ck,
+            fingerprint_gate=True,
+        ).validate()
+        run2 = ValidationRun(
+            spark, spec, new, run_id="gate-q-2", checkpoint_dir=ck,
+            fingerprint_gate=True,
+        )
+        run2.validate()
+        rows = [
+            (
+                int(pid),
+                bool(e.get("fingerprint_skipped", False)),
+                int(e.get("rows", 0)),
+                int(e.get("violations", 0)),
+            )
+            for pid, e in sorted(run2.manifest.entries.items())
+        ]
+        return spark.createDataFrame(
+            rows, "partition_id int, carried boolean, n_rows bigint, "
+            "violations bigint"
+        )
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+
+
 _RECON_SNAPSHOT_SQL = """
 base AS (
   SELECT o_orderkey AS k,
@@ -3894,6 +3970,79 @@ SELECT * FROM (
 """
 
 
+def _reconcile_gate_sql() -> str:
+    # carried ⟺ per-partition (n, key_sum, row_sum) unchanged between the
+    # snapshots; counters re-derived from the same rules on the new rows.
+    # the gate query's own snapshot pair (pid-aligned edits): removed
+    # k%320==16 (partition 0), mutated k%160==7 (partition 7)
+    return f"""
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderpriority AS priority,
+         o_orderstatus AS status
+  FROM orders
+),
+oldrows AS (SELECT * FROM base),
+newrows AS (
+  SELECT k, cents,
+         CASE WHEN k % 160 = 7 THEN 'MUTATED' ELSE priority END AS priority,
+         status
+  FROM base WHERE k % 320 <> 16
+),
+oenc AS (
+  SELECT k,
+         CAST(concat('0x', substring(md5(CAST(k AS VARCHAR)), 1, 15))
+              AS BIGINT) AS kh,
+         CAST(concat('0x', substring(md5(concat_ws(chr(1),
+              CAST(k AS VARCHAR), CAST(cents AS VARCHAR), priority,
+              status)), 1, 15)) AS BIGINT) AS rh
+  FROM oldrows
+),
+nenc AS (
+  SELECT k,
+         CAST(concat('0x', substring(md5(CAST(k AS VARCHAR)), 1, 15))
+              AS BIGINT) AS kh,
+         CAST(concat('0x', substring(md5(concat_ws(chr(1),
+              CAST(k AS VARCHAR), CAST(cents AS VARCHAR), priority,
+              status)), 1, 15)) AS BIGINT) AS rh
+  FROM newrows
+),
+op AS (
+  SELECT ((k % 16) + 16) % 16 AS pid, kh, rh FROM oenc
+),
+np AS (
+  SELECT ((k % 16) + 16) % 16 AS pid, kh, rh FROM nenc
+),
+ofp AS (
+  SELECT pid, COUNT(*) AS n, CAST(SUM(kh) AS DECIMAL(38,0)) AS ks,
+         CAST(SUM(rh) AS DECIMAL(38,0)) AS rs
+  FROM op GROUP BY pid
+),
+nfp AS (
+  SELECT pid, COUNT(*) AS n, CAST(SUM(kh) AS DECIMAL(38,0)) AS ks,
+         CAST(SUM(rh) AS DECIMAL(38,0)) AS rs
+  FROM np GROUP BY pid
+),
+viol AS (
+  SELECT ((k % 16) + 16) % 16 AS pid, COUNT(*) AS n_rows,
+         COUNT(*) FILTER (cents < 1 OR cents > 30000000)
+           + COUNT(*) FILTER (priority NOT IN
+               ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED',
+                '5-LOW')) AS violations
+  FROM newrows GROUP BY 1
+)
+SELECT CAST(n.pid AS INTEGER) AS partition_id,
+       (o.pid IS NOT NULL AND o.n = n.n AND o.ks = n.ks AND o.rs = n.rs)
+         AS carried,
+       v.n_rows AS n_rows,
+       v.violations AS violations
+FROM nfp n
+LEFT JOIN ofp o ON o.pid = n.pid
+JOIN viol v ON v.pid = n.pid
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERED most-recently-changed first (VERDICT r3 #2): the driver's
     # correctness harness checks entries positionally from the top, so the
@@ -3902,6 +4051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round 4: new/rewritten ------------------------------------
         "reconcile_fp_orders": q_reconcile_fp_orders,
         "reconcile_rows_orders": q_reconcile_rows_orders,
+        "reconcile_gate_orders": q_reconcile_gate_orders,
         "concentration_documents": q_concentration_documents,
         "concentration_gate_documents": q_concentration_gate_documents,
         "concentration_group_documents": q_concentration_group_documents,
@@ -5429,6 +5579,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "reconcile_fp_orders": _reconcile_fp_sql(),
         "reconcile_rows_orders": _reconcile_rows_sql(),
+        "reconcile_gate_orders": _reconcile_gate_sql(),
         "concentration_documents": _concentration_sql(),
         "concentration_gate_documents": _concentration_gate_sql(),
         "concentration_group_documents": _concentration_group_sql(),

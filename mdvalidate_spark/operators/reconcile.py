@@ -60,6 +60,11 @@ FINGERPRINT_DDL = (
     "row_sum decimal(38,0)"
 )
 
+PARTITION_FINGERPRINT_DDL = (
+    "partition_id int, n_rows bigint, key_sum decimal(38,0), "
+    "row_sum decimal(38,0)"
+)
+
 
 def _enc(columns) -> F.Column:
     """NULL-safe canonical row encoding: each column cast to string with
@@ -142,6 +147,56 @@ def table_fingerprint(
             rh.alias("_rh"),
         )
         .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("_kh").cast("decimal(38,0)").alias("key_sum"),
+            F.sum("_rh").cast("decimal(38,0)").alias("row_sum"),
+        )
+    )
+
+
+def partition_fingerprint(
+    df: DataFrame,
+    key_columns,
+    value_columns=None,
+    partition_column: str = "partition_id",
+) -> DataFrame:
+    """Per-PARTITION content fingerprint: ``PARTITION_FINGERPRINT_DDL``,
+    one row per logical partition — the unit the run manifest tracks.
+
+    Same hash algebra as :func:`table_fingerprint`, but grouped by the
+    engine's partition id instead of a key-hash bucket, so the result
+    aligns 1:1 with manifest entries: a later run diffs this against a
+    persisted snapshot and re-validates ONLY the partitions whose
+    content moved (run.py fingerprint_gate). One map-only scan reduced
+    to #partitions rows. ``partition_column`` is excluded from the
+    hashed value set by default (it is positional bookkeeping; a row
+    that MOVES partition changes both partitions' ``n_rows``/``key_sum``
+    anyway)."""
+    from ..errors import SchemaError
+
+    if partition_column not in df.columns:
+        raise SchemaError(
+            f"reconcile: partition column {partition_column!r} not in frame "
+            "— attach it first (run.py with_partition_id)"
+        )
+    keys, vals = _check_cols(df, key_columns, value_columns)
+    if value_columns is None:
+        vals = [c for c in vals if c != partition_column]
+    elif partition_column in vals:
+        raise SchemaError(
+            f"reconcile: partition column {partition_column!r} cannot be a "
+            "fingerprint value column"
+        )
+    kh = _h60(_enc(keys))
+    rh = _h60(_enc(keys + vals))
+    return (
+        df.select(
+            F.col(partition_column).cast("int").alias("partition_id"),
+            kh.alias("_kh"),
+            rh.alias("_rh"),
+        )
+        .groupBy("partition_id")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.sum("_kh").cast("decimal(38,0)").alias("key_sum"),

@@ -25,7 +25,10 @@ finalize is the canonical EOF pass.
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
+import tempfile
 import time
 import uuid
 from dataclasses import dataclass
@@ -118,6 +121,8 @@ class ValidationRun:
         dims: dict[str, DataFrame] | None = None,
         run_id: str | None = None,
         checkpoint_dir: str | None = None,
+        fingerprint_gate: bool = False,
+        fingerprint_columns: tuple | None = None,
     ):
         self.spark = spark
         self.spec = spec
@@ -300,8 +305,22 @@ class ValidationRun:
         # plan-matched by Spark's CacheManager, a LATER run over the same
         # input silently reuses this run's blocks instead of re-reading)
         self._persisted: list[DataFrame] = []
+        # content-gated revalidation (operators/reconcile.py): with
+        # fingerprint_gate=True and a checkpointed prior run, partitions
+        # whose per-partition content fingerprint is UNCHANGED are marked
+        # validated up front (one decode-free column scan instead of full
+        # revalidation) and their persisted lineage/violations carry
+        # forward through the ordinary resume reload below
+        self.fingerprint_gate = bool(fingerprint_gate)
+        self._fingerprint_columns = (
+            tuple(fingerprint_columns) if fingerprint_columns else None
+        )
+        self._fingerprint_df: DataFrame | None = None
+        self.gate_skipped: list[int] = []
         if checkpoint_dir:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            if self.fingerprint_gate:
+                self._apply_fingerprint_gate()
             self._reload_persisted()
 
     # ------------------------------------------------------------ discovery
@@ -356,6 +375,169 @@ class ValidationRun:
         self._persisted.clear()
 
     # ------------------------------------------------------------ execution
+
+    # ------------------------------------------------- fingerprint gate
+
+    def _fingerprint_value_columns(self) -> list[str]:
+        """Columns hashed into the per-partition content fingerprint.
+
+        Default: every column except the key, partition_id, and BINARY
+        columns — fingerprinting `bytes` would read every image byte on
+        both the snapshot write and every gated run, turning the cheap
+        metadata scan into a full 100 TB read. The trade is explicit: a
+        byte-level corruption that changes NOTHING else is invisible to
+        the default gate (the pixel stage catches it when the partition
+        revalidates for any other reason); pass
+        ``fingerprint_columns=(..., "bytes")`` to pay the full read and
+        close that window."""
+        if self._fingerprint_columns is not None:
+            return sorted(self._fingerprint_columns)
+        from pyspark.sql.types import BinaryType
+
+        skip = {self.spec.key_column, "partition_id"}
+        return sorted(
+            f.name
+            for f in self.df.schema.fields
+            if f.name not in skip and not isinstance(f.dataType, BinaryType)
+        )
+
+    def partition_fingerprints(self) -> DataFrame:
+        """Per-partition content fingerprints of THIS run's input (ONE
+        map-only scan reduced to #partitions rows; computed once and
+        cached for the run)."""
+        if self._fingerprint_df is None:
+            from .operators.reconcile import partition_fingerprint
+
+            self._fingerprint_df = self._keep(
+                partition_fingerprint(
+                    self.df,
+                    [self.spec.key_column],
+                    self._fingerprint_value_columns(),
+                )
+            )
+        return self._fingerprint_df
+
+    def _spec_hash(self) -> str:
+        from .spec_io import spec_to_dict
+
+        return hashlib.md5(
+            json.dumps(spec_to_dict(self.spec), sort_keys=True).encode()
+        ).hexdigest()
+
+    def _dim_fingerprints(self) -> dict:
+        """1-bucket whole-table fingerprint per dimension table (dims are
+        broadcast-sized — each costs one tiny job). Sums rendered as
+        strings for exact JSON round-tripping."""
+        from .operators.reconcile import table_fingerprint
+
+        out = {}
+        for name in sorted(self.dims):
+            d = self.dims[name]
+            rows = table_fingerprint(
+                d, sorted(d.columns), n_buckets=1
+            ).collect()
+            out[name] = (
+                [str(rows[0]["n_rows"]), str(rows[0]["key_sum"]),
+                 str(rows[0]["row_sum"])]
+                if rows
+                else ["0", "0", "0"]
+            )
+        return out
+
+    def _fingerprint_dir(self) -> str:
+        return self._sink("fingerprint")
+
+    def _apply_fingerprint_gate(self) -> None:
+        """Mark partitions whose content fingerprint matches the persisted
+        snapshot as VALIDATED, carrying the prior run's per-partition
+        rows/violations from its manifest — the subsequent resume reload
+        then restores their persisted violations/metrics/partials exactly
+        as if this run had validated them (the engine is deterministic:
+        same content + same spec + same dims ⇒ same verdicts). Carried
+        violation rows keep their ORIGINAL run_id — honest lineage: that
+        run computed the verdict, this one only proved it still holds.
+
+        The gate stands down ENTIRELY (full revalidation, no error) when
+        anything that could change a verdict moved: the spec (hash of its
+        canonical dict), the fingerprinted column set, or any dimension
+        table (1-bucket fingerprints — a dim edit can flip per-partition
+        ref verdicts without touching the fact table)."""
+        from .operators.reconcile import PARTITION_FINGERPRINT_DDL
+
+        meta_path = os.path.join(self._fingerprint_dir(), "meta.json")
+        if not os.path.exists(meta_path):
+            return  # first gated run: finalize() writes the snapshot
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if (
+            meta.get("spec_hash") != self._spec_hash()
+            or meta.get("columns") != self._fingerprint_value_columns()
+            or meta.get("dims") != self._dim_fingerprints()
+        ):
+            return
+        prev_fp = {
+            r["partition_id"]: r
+            for r in self.spark.read.schema(PARTITION_FINGERPRINT_DDL)
+            .parquet(os.path.join(self._fingerprint_dir(), "partitions"))
+            .collect()
+        }
+        # prior run's manifest regardless of run_id: the carried
+        # per-partition rows/violations counters live there
+        prev_entries: dict[int, dict] = {}
+        mpath = Manifest._path(self.checkpoint_dir)
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                doc = json.load(f)
+            prev_entries = {
+                int(k): v for k, v in doc.get("entries", {}).items()
+            }
+        cur = {
+            r["partition_id"]: r
+            for r in self.partition_fingerprints().collect()
+        }
+        for pid, c in cur.items():
+            p = prev_fp.get(pid)
+            e = prev_entries.get(pid)
+            if p is None or e is None or e.get("status") not in (
+                VALIDATED,
+                FINALIZED,
+            ):
+                continue
+            if (p["n_rows"], p["key_sum"], p["row_sum"]) != (
+                c["n_rows"],
+                c["key_sum"],
+                c["row_sum"],
+            ):
+                continue
+            self.manifest.mark(
+                pid,
+                VALIDATED,
+                rows=e.get("rows"),
+                violations=e.get("violations"),
+            )
+            self.manifest.entries[pid]["fingerprint_skipped"] = True
+            self.gate_skipped.append(pid)
+        self.gate_skipped.sort()
+
+    def _save_fingerprint_snapshot(self) -> None:
+        """Persist this run's per-partition fingerprints + gate metadata.
+        meta.json is written LAST (tmp + rename) as the commit point — a
+        crash mid-write leaves the old meta, and the next gated run either
+        matches the old snapshot or revalidates; never a torn gate."""
+        fdir = self._fingerprint_dir()
+        self.partition_fingerprints().write.mode("overwrite").parquet(
+            os.path.join(fdir, "partitions")
+        )
+        meta = {
+            "spec_hash": self._spec_hash(),
+            "columns": self._fingerprint_value_columns(),
+            "dims": self._dim_fingerprints(),
+            "run_id": self.run_id,
+        }
+        fd, tmp = tempfile.mkstemp(dir=fdir, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(meta, f, indent=1)
+        os.replace(tmp, os.path.join(fdir, "meta.json"))
 
     def _check_schema(self) -> int:
         """Schema-drift rules run ONCE per run, BEFORE any data stage — the
@@ -1138,6 +1320,8 @@ class ValidationRun:
                 self.manifest.mark(pid, FINALIZED)
         self.manifest.complete = True
         self._save_manifest()
+        if self.fingerprint_gate and self.checkpoint_dir:
+            self._save_fingerprint_snapshot()
         self._finalized = True
         self._global_violations = n_global
         return self.report()
@@ -1338,10 +1522,19 @@ def validate_table(
     dims: dict[str, DataFrame] | None = None,
     run_id: str | None = None,
     checkpoint_dir: str | None = None,
+    fingerprint_gate: bool = False,
+    fingerprint_columns: tuple | None = None,
 ) -> Report:
-    """One-call API (reference examples/simple.rs:1-43)."""
+    """One-call API (reference examples/simple.rs:1-43).
+
+    ``fingerprint_gate=True`` (requires ``checkpoint_dir``): persist
+    per-partition content fingerprints at finalize; a LATER gated run over
+    a new snapshot of the same table re-validates only the partitions
+    whose fingerprint moved and carries the rest forward — see
+    ValidationRun._apply_fingerprint_gate."""
     return ValidationRun(
-        spark, spec, df, dims=dims, run_id=run_id, checkpoint_dir=checkpoint_dir
+        spark, spec, df, dims=dims, run_id=run_id, checkpoint_dir=checkpoint_dir,
+        fingerprint_gate=fingerprint_gate, fingerprint_columns=fingerprint_columns,
     ).validate()
 
 
