@@ -19,8 +19,12 @@ Python). The bucket id is key-hash mod ``n_buckets``, derived from the
 KEY columns only, so a VALUE change never moves a row across buckets
 and the diff localizes. Per bucket the fingerprint keeps
 ``(n_rows, key_sum, row_sum)`` as exact decimal(38,0): a sum of 10^12
-60-bit terms stays < 10^31, far inside exact decimal range on both
-engines (DuckDB sums the same BIGINT terms in int128). A corrupted
+60-bit terms stays < 10^31, inside decimal(38,0)'s exact range on both
+engines — PROVIDED the terms are decimal(38,0) BEFORE the sum (Spark
+widens a sum intermediate only by 10 digits of precision, so summing
+decimal(20,0) terms overflows to NULL near 10^30; `_h60` therefore
+emits decimal(38,0) terms; DuckDB sums the same BIGINT terms in
+int128). A corrupted
 value flips ``row_sum`` but not ``key_sum`` (``values_changed``); an
 added/removed/re-keyed row flips both (``membership_changed``);
 matching sums miss a random corruption with probability ~2^-60 per
@@ -78,9 +82,18 @@ def _enc(columns) -> F.Column:
 
 
 def _h60(col: F.Column) -> F.Column:
-    """Portable 60-bit hash of a string column as decimal(20,0)."""
+    """Portable 60-bit hash of a string column as decimal(38,0).
+
+    decimal(38,0) — not the minimal decimal(20,0) — because the terms are
+    SUMMED: Spark's sum over decimal(20,0) widens the intermediate only to
+    decimal(30,0) (precision+10), and at the module's own envelope (10^12
+    rows/bucket × ~1.15e18 worst-case term ≈ 1.15e30) that intermediate
+    overflows to NULL under non-ANSI mode — which fingerprint_diff's
+    coalesce-to-0 would then silently classify as 'match'. Summing
+    decimal(38,0) keeps the exact-integer headroom at ~1e38, eight orders
+    of magnitude above the envelope."""
     return F.conv(F.substring(F.md5(col), 1, _HEX_DIGITS), 16, 10).cast(
-        "decimal(20,0)"
+        "decimal(38,0)"
     )
 
 
@@ -257,12 +270,18 @@ def _bucket_filter(df: DataFrame, keys, n_buckets: int, buckets) -> DataFrame:
     ids = sorted({int(x) for x in buckets})
     if len(ids) <= _IN_LITERAL_BUDGET:
         return df.where(b.isin(ids))
+    # collision-proof temp name + frame-qualified probe column: the
+    # reconciled table may itself carry 'bucket' or '_b' columns (bucketed
+    # tables commonly do), which an unqualified F.col would resolve
+    # ambiguously or silently clobber
+    tmp = "__mdv_reconcile_b"
     frame = df.sparkSession.createDataFrame(
-        [(i,) for i in ids], "bucket int"
+        [(i,) for i in ids], f"{tmp}_probe int"
     )
-    return df.withColumn("_b", b).join(
-        F.broadcast(frame), F.col("_b") == F.col("bucket"), "left_semi"
-    ).drop("_b")
+    left = df.withColumn(tmp, b)
+    return left.join(
+        F.broadcast(frame), left[tmp] == frame[f"{tmp}_probe"], "left_semi"
+    ).drop(tmp)
 
 
 def reconcile_rows(
@@ -277,16 +296,17 @@ def reconcile_rows(
     ``changed``. With ``buckets`` (an iterable of changed bucket ids,
     normally straight from :func:`fingerprint_diff`) BOTH sides are
     pre-filtered to those buckets before anything joins — the filter is
-    an IN-literal over the key-hash expression (≤ %d ids) or a broadcast
-    semi-join, so the join input is the changed slice, not the table.
-    ``buckets=None`` skips the pre-filter (full reconciliation — only
-    for small tables or when most buckets changed).
+    an IN-literal over the key-hash expression (up to
+    ``_IN_LITERAL_BUDGET`` = 256 ids) or a broadcast semi-join, so the
+    join input is the changed slice, not the table. ``buckets=None``
+    skips the pre-filter (full reconciliation — only for small tables or
+    when most buckets changed).
 
     Each side is first reduced PER KEY (count + content-hash sum), so
     duplicate keys never explode the join into pairs: a key whose
     multiplicity or content multiset differs reports ``changed``.
     Output: the key columns + status + per-side row counts.
-    """ % _IN_LITERAL_BUDGET
+    """
     keys, vals = _check_cols(old_df, key_columns, value_columns)
     # both snapshots must agree on the value-column set or every row
     # would trivially differ; surface the asymmetry loudly instead

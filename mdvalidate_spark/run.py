@@ -42,7 +42,7 @@ from .compile import ConstraintProgram, compile_spec
 from .operators import agg_rules, drift as drift_ops, pixel as pixel_ops
 from .operators.ref_rules import ref_violations
 from .operators.row_rules import row_violations, with_partition_id
-from .errors import KIND_OVER_VOLUME, KIND_UNDER_VOLUME
+from .errors import KIND_OVER_VOLUME, KIND_UNDER_VOLUME, SchemaError
 from .plans.manifest import FAILED, FINALIZED, Manifest, VALIDATED
 from .spec import Spec
 
@@ -204,8 +204,6 @@ class ValidationRun:
             w = getattr(rr, "when", "")
             if not w:
                 continue
-            from .errors import SchemaError
-
             try:
                 analyzed = self.df.select(F.expr(w).alias("_w"))
             except Exception as e:
@@ -235,23 +233,17 @@ class ValidationRun:
                 agg_rules._require_numeric(self.df, mb, mb.metric)
         for r in self.program.ref_rules:
             if r.dim_name not in self.dims:
-                from .errors import SchemaError
-
-                raise SchemaError(
+                    raise SchemaError(
                     f"rule {r.id!r}: dimension table {r.dim_name!r} not provided"
                 )
         for r in (*self.program.group_rules, *self.program.volume_rules):
             if getattr(r, "universe", "") and r.universe not in self.dims:
-                from .errors import SchemaError
-
-                raise SchemaError(
+                    raise SchemaError(
                     f"rule {r.id!r}: universe table {r.universe!r} not provided"
                 )
         for r in self.program.drift_rules:
             if r.reference and r.reference not in self.dims:
-                from .errors import SchemaError
-
-                raise SchemaError(
+                    raise SchemaError(
                     f"rule {r.id!r}: reference table {r.reference!r} not "
                     "provided (pass it in the dims dict)"
                 )
@@ -260,9 +252,7 @@ class ValidationRun:
                 and r.sweep_by
                 and drift_ops.is_snapshot(self.dims[r.reference])
             ):
-                from .errors import SchemaError
-
-                raise SchemaError(
+                    raise SchemaError(
                     f"rule {r.id!r}: a profile snapshot is a whole-table "
                     "profile — sweep_by needs a live reference table with "
                     "the group column"
@@ -312,10 +302,19 @@ class ValidationRun:
         # revalidation) and their persisted lineage/violations carry
         # forward through the ordinary resume reload below
         self.fingerprint_gate = bool(fingerprint_gate)
+        if self.fingerprint_gate and not checkpoint_dir:
+            # refuse loudly (the n_buckets convention): a gate with nowhere
+            # to persist its snapshot would silently full-revalidate every
+            # run while the caller believes content gating is active
+            raise SchemaError(
+                "fingerprint_gate=True requires checkpoint_dir — the gate "
+                "persists per-partition fingerprints there at finalize"
+            )
         self._fingerprint_columns = (
             tuple(fingerprint_columns) if fingerprint_columns else None
         )
         self._fingerprint_df: DataFrame | None = None
+        self._dim_fp_cache: dict | None = None
         self.gate_skipped: list[int] = []
         if checkpoint_dir:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -427,9 +426,14 @@ class ValidationRun:
     def _dim_fingerprints(self) -> dict:
         """1-bucket whole-table fingerprint per dimension table (dims are
         broadcast-sized — each costs one tiny job). Sums rendered as
-        strings for exact JSON round-tripping."""
+        strings for exact JSON round-tripping. Memoized: dims are fixed for
+        the life of a run (the gate relies on that), and the gate check at
+        init plus the snapshot write at finalize would otherwise each pay
+        one collect per dim."""
         from .operators.reconcile import table_fingerprint
 
+        if self._dim_fp_cache is not None:
+            return self._dim_fp_cache
         out = {}
         for name in sorted(self.dims):
             d = self.dims[name]
@@ -442,6 +446,7 @@ class ValidationRun:
                 if rows
                 else ["0", "0", "0"]
             )
+        self._dim_fp_cache = out
         return out
 
     def _fingerprint_dir(self) -> str:
@@ -461,7 +466,13 @@ class ValidationRun:
         anything that could change a verdict moved: the spec (hash of its
         canonical dict), the fingerprinted column set, or any dimension
         table (1-bucket fingerprints — a dim edit can flip per-partition
-        ref verdicts without touching the fact table)."""
+        ref verdicts without touching the fact table) — or when the
+        checkpoint's manifest was not written by the SAME run that wrote
+        the fingerprint snapshot, or that run never finalized: an
+        interrupted gated run leaves the prior snapshot but a newer
+        manifest (and overwritten per-partition violations), so pairing
+        them would carry counters measured on content the snapshot does
+        not describe."""
         from .operators.reconcile import PARTITION_FINGERPRINT_DDL
 
         meta_path = os.path.join(self._fingerprint_dir(), "meta.json")
@@ -475,22 +486,29 @@ class ValidationRun:
             or meta.get("dims") != self._dim_fingerprints()
         ):
             return
+        # the carried per-partition rows/violations counters come from the
+        # prior manifest — but ONLY if it was written by the same run that
+        # committed the fingerprint snapshot AND that run finalized; any
+        # other pairing (an interrupted later run, a non-gated run's
+        # manifest) can describe different content than the snapshot does
+        mpath = Manifest._path(self.checkpoint_dir)
+        if not os.path.exists(mpath):
+            return
+        with open(mpath) as f:
+            doc = json.load(f)
+        if doc.get("run_id") != meta.get("run_id") or not doc.get(
+            "complete"
+        ):
+            return
+        prev_entries = {
+            int(k): v for k, v in doc.get("entries", {}).items()
+        }
         prev_fp = {
             r["partition_id"]: r
             for r in self.spark.read.schema(PARTITION_FINGERPRINT_DDL)
             .parquet(os.path.join(self._fingerprint_dir(), "partitions"))
             .collect()
         }
-        # prior run's manifest regardless of run_id: the carried
-        # per-partition rows/violations counters live there
-        prev_entries: dict[int, dict] = {}
-        mpath = Manifest._path(self.checkpoint_dir)
-        if os.path.exists(mpath):
-            with open(mpath) as f:
-                doc = json.load(f)
-            prev_entries = {
-                int(k): v for k, v in doc.get("entries", {}).items()
-            }
         cur = {
             r["partition_id"]: r
             for r in self.partition_fingerprints().collect()
@@ -516,6 +534,11 @@ class ValidationRun:
                 violations=e.get("violations"),
             )
             self.manifest.entries[pid]["fingerprint_skipped"] = True
+            if e.get("failed"):
+                # carry the red-partition annotation with the counters —
+                # ops tooling listing failed partitions must see carried
+                # red partitions exactly like freshly revalidated ones
+                self.manifest.entries[pid]["failed"] = True
             self.gate_skipped.append(pid)
         self.gate_skipped.sort()
 

@@ -207,3 +207,80 @@ def test_first_gated_run_writes_snapshot(spark, images, ck):
     )
     assert os.path.exists(f"{ck}/fingerprint/meta.json")
     assert os.path.exists(f"{ck}/fingerprint/partitions")
+
+
+def test_gate_requires_checkpoint_dir(spark, images):
+    from mdvalidate_spark.errors import SchemaError
+
+    # a gate with nowhere to persist its snapshot would silently
+    # full-revalidate forever — refused at construction, not ignored
+    with pytest.raises(SchemaError, match="checkpoint_dir"):
+        ValidationRun(
+            spark, base_spec(), images,
+            dims={"dim_source": dim_source(spark)},
+            fingerprint_gate=True,
+        )
+
+
+def test_gate_stands_down_after_interrupted_run(spark, images, ck):
+    """A gated run that persisted its manifest but never finalized leaves
+    the PRIOR run's fingerprint snapshot next to a NEWER manifest (and
+    overwritten per-partition violations). A later gated run must not
+    pair them — even when its content matches the snapshot exactly."""
+    dims = {"dim_source": dim_source(spark)}
+    validate_table(
+        spark, images, base_spec(), dims=dims, run_id="g1",
+        checkpoint_dir=ck, fingerprint_gate=True,
+    )
+    mutated = images.withColumn(
+        "w",
+        F.when(F.col("image_id") == "img0000000007", F.lit(-5)).otherwise(
+            F.col("w")
+        ),
+    )
+    run2 = ValidationRun(
+        spark, base_spec(), mutated, dims=dims, run_id="g2",
+        checkpoint_dir=ck, fingerprint_gate=True,
+    )
+    # interrupted: batches validated + manifest saved, finalize never runs
+    run2.validate_pending()
+    # content now REVERTS to the original snapshot: every partition
+    # fingerprint matches g1's snapshot, but the checkpoint's manifest
+    # belongs to g2 (incomplete) whose persisted violations describe the
+    # mutated content — the gate must stand down and revalidate everything
+    run3 = ValidationRun(
+        spark, base_spec(), images, dims=dims, run_id="g3",
+        checkpoint_dir=ck, fingerprint_gate=True,
+    )
+    assert run3.gate_skipped == []
+    assert run3.pending_partitions() == run3.all_partitions()
+    r3 = run3.validate()
+    fresh = validate_table(
+        spark, images, base_spec(), dims=dims, run_id="fresh-i"
+    )
+    assert vset(r3) == vset(fresh)
+
+
+def test_gate_carries_failed_annotation(spark, images, ck):
+    """Carried red partitions must keep the manifest's 'failed' marker —
+    ops tooling listing failed partitions sees carried and freshly
+    revalidated red partitions identically."""
+    dims = {"dim_source": dim_source(spark)}
+    run1 = ValidationRun(
+        spark, base_spec(), images, dims=dims, run_id="g1",
+        checkpoint_dir=ck, fingerprint_gate=True,
+    )
+    run1.validate()
+    failed1 = {
+        p for p, e in run1.manifest.entries.items() if e.get("failed")
+    }
+    assert failed1, "fixture must inject violations somewhere"
+    run2 = ValidationRun(
+        spark, base_spec(), images, dims=dims, run_id="g2",
+        checkpoint_dir=ck, fingerprint_gate=True,
+    )
+    assert sorted(run2.gate_skipped) == run2.all_partitions()
+    failed2 = {
+        p for p, e in run2.manifest.entries.items() if e.get("failed")
+    }
+    assert failed2 == failed1

@@ -198,3 +198,64 @@ def test_fingerprint_plan_is_one_scan_no_python(spark, snap):
     plan = table_fingerprint(old, ["k"], n_buckets=8)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
     assert plan.count("HashAggregate") == 2  # partial + final, nothing more
+
+
+def test_hash_terms_are_decimal38_before_summation(spark, snap):
+    """Regression: Spark widens a sum intermediate by only 10 digits of
+    precision, so summing decimal(20,0) hash terms overflows to NULL near
+    10^30 — within the module's own 10^12-rows-per-bucket envelope — and
+    fingerprint_diff's coalesce-to-0 would classify the corrupted bucket
+    as a match. The terms must be decimal(38,0) BEFORE the sum."""
+    from pyspark.sql.types import DecimalType
+
+    from mdvalidate_spark.operators.reconcile import (
+        _enc,
+        _h60,
+        partition_fingerprint,
+    )
+
+    old, _ = snap
+    term = old.select(_h60(_enc(["k"])).alias("h")).schema["h"].dataType
+    assert term == DecimalType(38, 0)
+    fp = table_fingerprint(old, ["k"], n_buckets=4)
+    for c in ("key_sum", "row_sum"):
+        assert fp.schema[c].dataType == DecimalType(38, 0)
+    pf = partition_fingerprint(
+        old.withColumn("partition_id", (F.col("k") % 4).cast("int")), ["k"]
+    )
+    for c in ("key_sum", "row_sum"):
+        assert pf.schema[c].dataType == DecimalType(38, 0)
+    # and the analyzed sum plan must not contain a narrower decimal sum
+    plan = fp._jdf.queryExecution().analyzed().toString()
+    assert "decimal(30,0)" not in plan
+
+
+def test_bucket_prefilter_survives_conflicting_column_names(spark):
+    """The reconciled table may itself carry 'bucket'/'_b' columns (common
+    in bucketed tables) — the broadcast-semi-join pre-filter must neither
+    clobber them nor produce an ambiguous join condition."""
+    rows = [(i, i % 7, i % 3, f"v{i}") for i in range(1, 401)]
+    ddl = "k bigint, bucket bigint, _b bigint, val string"
+    old = spark.createDataFrame(rows, ddl)
+    new_rows = [
+        (k, b, b2, "MUTATED" if k in (5, 105) else v)
+        for (k, b, b2, v) in rows
+        if k != 33
+    ]
+    new = spark.createDataFrame(new_rows, ddl)
+    # >256 bucket ids forces the broadcast-semi-join path
+    got = reconcile_rows(
+        old, new, ["k"], n_buckets=1024, buckets=range(1024)
+    )
+    full = reconcile_rows(old, new, ["k"], n_buckets=1024, buckets=None)
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in full.collect()
+    }
+    assert {r["k"] for r in got.collect()} == {5, 105, 33}
+
+
+def test_reconcile_rows_has_docstring(spark):
+    # regression: a `"""...""" % const` first statement is an expression,
+    # not a docstring — help()/autodoc saw None
+    assert reconcile_rows.__doc__ is not None
+    assert "broadcast semi-join" in reconcile_rows.__doc__
