@@ -141,6 +141,16 @@ def parse_args(argv=None):
         "coupling ratchet (operators/suggest.py association_gates)",
     )
     p.add_argument(
+        "--fingerprint-gate",
+        action="store_true",
+        help="with --checkpoint: content-gated revalidation — persist "
+        "per-partition fingerprints at finalize and, on later gated "
+        "invocations over a new snapshot of the same table, re-validate "
+        "only the partitions whose content moved, carrying the rest from "
+        "the prior run's lineage (run.py fingerprint_gate; binary columns "
+        "excluded from the fingerprint by default)",
+    )
+    p.add_argument(
         "--suggest-concentration-gates",
         action="store_true",
         help="with --suggest-key: also draft ConcentrationRule dominance "
@@ -197,6 +207,17 @@ def main(argv=None) -> int:
             dims[name] = read_table(spark, path)
         try:
             if args.smoke_fraction is not None:
+                if args.fingerprint_gate:
+                    # a sampled run's verdicts must never seed (or consume)
+                    # the full-table fingerprint snapshot — refuse instead
+                    # of silently ignoring the flag
+                    print(
+                        "schema error: --fingerprint-gate cannot combine "
+                        "with --smoke-fraction (a sampled run's verdicts "
+                        "are not carryable full-table verdicts)",
+                        file=sys.stderr,
+                    )
+                    return 2
                 from .run import smoke_validate
 
                 try:
@@ -214,6 +235,7 @@ def main(argv=None) -> int:
                 run = ValidationRun(
                     spark, spec, df, dims=dims, run_id=args.run_id,
                     checkpoint_dir=args.checkpoint,
+                    fingerprint_gate=args.fingerprint_gate,
                 )
                 report = run.validate(batch_size=args.batch_size)
                 run_id = run.run_id

@@ -393,3 +393,57 @@ def test_cli_spec_required_without_layout_mode(tmp_path, capsys):
     code = cli.main(["--table", str(tmp_path)])
     assert code == 2
     assert "--spec is required" in capsys.readouterr().err
+
+
+def test_cli_fingerprint_gate_lifecycle(spark, tmp_path, capsys):
+    """--fingerprint-gate end-to-end on the CLI surface: invocation 1
+    writes the snapshot; invocation 2 over identical content carries every
+    partition (manifest rows annotated fingerprint_skipped upstream, same
+    violation totals); --smoke-fraction + gate is refused."""
+    from mdvalidate_spark import cli
+
+    table = str(tmp_path / "imgs")
+    synthetic_images(spark, 300, with_bytes=False).write.parquet(table)
+    dimp = str(tmp_path / "dim_source")
+    dim_source(spark).write.parquet(dimp)
+    spec = full_images_spec(with_pixel=False)
+    specp = str(tmp_path / "spec.json")
+    save_spec(spec, specp)
+    ck = str(tmp_path / "ck")
+
+    base = [
+        "--spec", specp, "--table", table,
+        "--dim", f"dim_source={dimp}",
+        "--checkpoint", ck, "--fingerprint-gate",
+        "--master", "local[4]",
+    ]
+    code1 = cli.main(base + ["--run-id", "cg1"])
+    out1 = capsys.readouterr().out
+    assert code1 == 1  # injected violations → red
+    import os
+
+    assert os.path.exists(f"{ck}/fingerprint/meta.json")
+    code2 = cli.main(base + ["--run-id", "cg2"])
+    out2 = capsys.readouterr().out
+    assert code2 == 1
+    # carried verdicts: identical per-rule counts on both invocations
+    assert out1.split("\n", 1)[1] == out2.split("\n", 1)[1]
+
+    # gate + smoke is refused loudly, not silently ignored
+    code3 = cli.main(base + ["--run-id", "cg3", "--smoke-fraction", "0.2"])
+    err = capsys.readouterr().err
+    assert code3 == 2
+    assert "fingerprint-gate" in err
+
+    # gate without --checkpoint is the library-level SchemaError → exit 2
+    code4 = cli.main(
+        [
+            "--spec", specp, "--table", table,
+            "--dim", f"dim_source={dimp}",
+            "--fingerprint-gate", "--master", "local[4]",
+            "--run-id", "cg4",
+        ]
+    )
+    err = capsys.readouterr().err
+    assert code4 == 2
+    assert "checkpoint_dir" in err
