@@ -211,6 +211,9 @@ def main() -> None:
         "association_drift_lineitem",
         # value-dominance gate (groupBy + 1-row aggregate, integer micro-units)
         "concentration_gate_documents",
+        # snapshot reconciliation: two map-only fingerprint scans + a
+        # bucket diff, never joining the snapshots
+        "reconcile_fp_orders",
     ):
         if name not in qs:
             continue
