@@ -4051,15 +4051,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round 4: new/rewritten ------------------------------------
         "reconcile_fp_orders": q_reconcile_fp_orders,
         "reconcile_rows_orders": q_reconcile_rows_orders,
-        "reconcile_gate_orders": q_reconcile_gate_orders,
         "concentration_documents": q_concentration_documents,
         "concentration_gate_documents": q_concentration_gate_documents,
         "concentration_group_documents": q_concentration_group_documents,
-        "suggest_concentration_documents": q_suggest_concentration_documents,
         "benford_orders": q_benford_orders,
         "null_correlation_documents": q_null_correlation_documents,
         "gaps_events": q_gaps_events,
-        "gap_stats_events": q_gap_stats_events,
         "association_orders": q_association_orders,
         "association_drift_lineitem": q_association_drift_lineitem,
         "association_spec_orders": q_association_spec_orders,
@@ -4122,6 +4119,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window repetition_documents profile
         "repetition_gate_documents": q_repetition_gate_documents,
         "concentration_partials_documents": q_concentration_partials_documents,
+        # reconcile_gate thresholds the same bucket-diff frame as the
+        # in-window reconcile_fp/reconcile_rows pair; gap_stats aggregates
+        # the same bucketed gaps as the in-window gaps_events scan;
+        # suggest_concentration drafts gates from the same dominance
+        # profile as the in-window concentration trio
+        "reconcile_gate_orders": q_reconcile_gate_orders,
+        "gap_stats_events": q_gap_stats_events,
+        "suggest_concentration_documents": q_suggest_concentration_documents,
         # -- stable r3 queries, driver-green in CORRECTNESS_r03 ----------
         "embedding_clusters": q_embedding_clusters,
         "embedding_neardup": q_embedding_neardup,
