@@ -4052,7 +4052,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reconcile_fp_orders": q_reconcile_fp_orders,
         "reconcile_rows_orders": q_reconcile_rows_orders,
         "concentration_documents": q_concentration_documents,
-        "concentration_gate_documents": q_concentration_gate_documents,
+        # reconcile_gate is the end-to-end ValidationRun fingerprint-gate
+        # run (run.py _apply_fingerprint_gate / manifest carry) — the
+        # round-4 flagship — so it stays inside the driver window; the
+        # machinery is also pytest-locked in test_fingerprint_gate.py
+        "reconcile_gate_orders": q_reconcile_gate_orders,
         "concentration_group_documents": q_concentration_group_documents,
         "benford_orders": q_benford_orders,
         "null_correlation_documents": q_null_correlation_documents,
@@ -4119,12 +4123,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window repetition_documents profile
         "repetition_gate_documents": q_repetition_gate_documents,
         "concentration_partials_documents": q_concentration_partials_documents,
-        # reconcile_gate thresholds the same bucket-diff frame as the
-        # in-window reconcile_fp/reconcile_rows pair; gap_stats aggregates
-        # the same bucketed gaps as the in-window gaps_events scan;
-        # suggest_concentration drafts gates from the same dominance
-        # profile as the in-window concentration trio
-        "reconcile_gate_orders": q_reconcile_gate_orders,
+        # concentration_gate thresholds the same dominance profile as the
+        # in-window concentration_documents scan, and its thresholding
+        # core (concentration_rule_results) is pytest-locked in
+        # test_skew.py; gap_stats aggregates the same bucketed gaps as
+        # the in-window gaps_events scan; suggest_concentration drafts
+        # gates from the same dominance profile as the in-window
+        # concentration pair
+        "concentration_gate_documents": q_concentration_gate_documents,
         "gap_stats_events": q_gap_stats_events,
         "suggest_concentration_documents": q_suggest_concentration_documents,
         # -- stable r3 queries, driver-green in CORRECTNESS_r03 ----------

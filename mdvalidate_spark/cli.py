@@ -148,7 +148,18 @@ def parse_args(argv=None):
         "invocations over a new snapshot of the same table, re-validate "
         "only the partitions whose content moved, carrying the rest from "
         "the prior run's lineage (run.py fingerprint_gate; binary columns "
-        "excluded from the fingerprint by default)",
+        "excluded from the fingerprint by default — override with "
+        "--fingerprint-columns)",
+    )
+    p.add_argument(
+        "--fingerprint-columns",
+        default=None,
+        metavar="COL,COL,...",
+        help="with --fingerprint-gate: exact comma-separated column set to "
+        "hash into the per-partition content fingerprint, replacing the "
+        "default (every non-binary, non-key column). Include the binary "
+        "column to pay the full read and make byte-level corruption gate "
+        "a revalidation (run.py fingerprint_columns)",
     )
     p.add_argument(
         "--suggest-concentration-gates",
@@ -171,6 +182,36 @@ def main(argv=None) -> int:
             file=sys.stderr,
         )
         return 2
+    # flag conflicts knowable from argv alone are refused HERE, before any
+    # Spark session or table read is paid for (a refusal must be instant)
+    if args.fingerprint_gate and args.smoke_fraction is not None:
+        # a sampled run's verdicts must never seed (or consume) the
+        # full-table fingerprint snapshot — refuse instead of silently
+        # ignoring the flag
+        print(
+            "schema error: --fingerprint-gate cannot combine with "
+            "--smoke-fraction (a sampled run's verdicts are not carryable "
+            "full-table verdicts)",
+            file=sys.stderr,
+        )
+        return 2
+    if args.fingerprint_columns is not None:
+        if not args.fingerprint_gate:
+            print(
+                "schema error: --fingerprint-columns requires "
+                "--fingerprint-gate (it only parameterizes the gate's "
+                "content fingerprint)",
+                file=sys.stderr,
+            )
+            return 2
+        if not [c for c in args.fingerprint_columns.split(",") if c]:
+            # an empty list would silently fall back to the default column
+            # set — the opposite of what an explicit override asks for
+            print(
+                "schema error: --fingerprint-columns is empty",
+                file=sys.stderr,
+            )
+            return 2
     if args.suggest_key is not None:
         return _suggest_main(args)
     try:
@@ -207,17 +248,6 @@ def main(argv=None) -> int:
             dims[name] = read_table(spark, path)
         try:
             if args.smoke_fraction is not None:
-                if args.fingerprint_gate:
-                    # a sampled run's verdicts must never seed (or consume)
-                    # the full-table fingerprint snapshot — refuse instead
-                    # of silently ignoring the flag
-                    print(
-                        "schema error: --fingerprint-gate cannot combine "
-                        "with --smoke-fraction (a sampled run's verdicts "
-                        "are not carryable full-table verdicts)",
-                        file=sys.stderr,
-                    )
-                    return 2
                 from .run import smoke_validate
 
                 try:
@@ -236,6 +266,13 @@ def main(argv=None) -> int:
                     spark, spec, df, dims=dims, run_id=args.run_id,
                     checkpoint_dir=args.checkpoint,
                     fingerprint_gate=args.fingerprint_gate,
+                    fingerprint_columns=(
+                        tuple(
+                            c for c in args.fingerprint_columns.split(",") if c
+                        )
+                        if args.fingerprint_columns is not None
+                        else None
+                    ),
                 )
                 report = run.validate(batch_size=args.batch_size)
                 run_id = run.run_id

@@ -313,6 +313,18 @@ class ValidationRun:
         self._fingerprint_columns = (
             tuple(fingerprint_columns) if fingerprint_columns else None
         )
+        if self._fingerprint_columns is not None:
+            missing = sorted(
+                c for c in self._fingerprint_columns if c not in df.columns
+            )
+            if missing:
+                # typed refusal now beats an AnalysisException from the
+                # fingerprint scan later (the gate would otherwise fail on
+                # the FIRST gated run, after the snapshot write started)
+                raise SchemaError(
+                    f"fingerprint_columns not in table: {missing} "
+                    f"(table columns: {sorted(df.columns)})"
+                )
         self._fingerprint_df: DataFrame | None = None
         self._dim_fp_cache: dict | None = None
         self.gate_skipped: list[int] = []
@@ -1357,6 +1369,22 @@ class ValidationRun:
             self.manifest.total_violations > 0 or self._schema_violations > 0
         ):
             self._cancel_drift_prefetch()
+            if self.fingerprint_gate:
+                # finalize() is the only place the fingerprint snapshot is
+                # written, so a fast-fail abort leaves the gate unarmed —
+                # say so loudly, or every later gated run over a red table
+                # fully revalidates while the caller believes content
+                # gating is active (the same silent-stand-down class the
+                # smoke+gate combination is refused for)
+                import warnings
+
+                warnings.warn(
+                    "fingerprint_gate: fast_fail aborted the run before "
+                    "finalize, so no fingerprint snapshot was written — "
+                    "the next gated run will fully revalidate. Fix the "
+                    "violations (or drop fast_fail) to arm the gate.",
+                    stacklevel=2,
+                )
             return self.report()
         return self.finalize()
 

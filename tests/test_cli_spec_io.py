@@ -428,9 +428,29 @@ def test_cli_fingerprint_gate_lifecycle(spark, tmp_path, capsys):
     assert code2 == 1
     # carried verdicts: identical per-rule counts on both invocations
     assert out1.split("\n", 1)[1] == out2.split("\n", 1)[1]
+    # ...and the counts being equal is NOT enough (the engine is
+    # deterministic, so a silent full revalidation prints the same
+    # numbers): run 2's persisted manifest must show every partition was
+    # actually CARRIED through the gate, not recomputed
+    import json
 
-    # gate + smoke is refused loudly, not silently ignored
-    code3 = cli.main(base + ["--run-id", "cg3", "--smoke-fraction", "0.2"])
+    with open(f"{ck}/manifest.json") as f:
+        doc2 = json.load(f)
+    assert doc2["run_id"] == "cg2" and doc2["complete"]
+    assert doc2["entries"] and all(
+        e.get("fingerprint_skipped") for e in doc2["entries"].values()
+    )
+
+    # gate + smoke is refused loudly, not silently ignored — and from argv
+    # alone: a nonexistent --table proves the refusal happens before any
+    # Spark session is built or the table is read
+    code3 = cli.main(
+        [
+            "--spec", specp, "--table", str(tmp_path / "no-such-table"),
+            "--checkpoint", ck, "--fingerprint-gate",
+            "--smoke-fraction", "0.2", "--run-id", "cg3",
+        ]
+    )
     err = capsys.readouterr().err
     assert code3 == 2
     assert "fingerprint-gate" in err
@@ -447,3 +467,54 @@ def test_cli_fingerprint_gate_lifecycle(spark, tmp_path, capsys):
     err = capsys.readouterr().err
     assert code4 == 2
     assert "checkpoint_dir" in err
+
+
+def test_cli_fingerprint_columns_flag(spark, tmp_path, capsys):
+    """--fingerprint-columns: requires the gate and a non-empty list (both
+    refused from argv alone, before Spark work), and a valid override lands
+    verbatim in the snapshot's meta.json column set."""
+    import json
+    import os
+
+    from mdvalidate_spark import cli
+
+    specp = str(tmp_path / "spec.json")
+    save_spec(full_images_spec(with_pixel=False), specp)
+    missing = str(tmp_path / "no-such-table")
+
+    # without the gate the flag is meaningless — refuse, don't ignore
+    code = cli.main(
+        ["--spec", specp, "--table", missing, "--fingerprint-columns", "w,h"]
+    )
+    assert code == 2
+    assert "requires" in capsys.readouterr().err
+
+    # explicit-but-empty would silently fall back to the default set
+    code = cli.main(
+        [
+            "--spec", specp, "--table", missing, "--checkpoint",
+            str(tmp_path / "ck0"), "--fingerprint-gate",
+            "--fingerprint-columns", ",",
+        ]
+    )
+    assert code == 2
+    assert "empty" in capsys.readouterr().err
+
+    table = str(tmp_path / "imgs")
+    synthetic_images(spark, 120, with_bytes=False).write.parquet(table)
+    dimp = str(tmp_path / "dim_source")
+    dim_source(spark).write.parquet(dimp)
+    ck = str(tmp_path / "ck")
+    code = cli.main(
+        [
+            "--spec", specp, "--table", table,
+            "--dim", f"dim_source={dimp}",
+            "--checkpoint", ck, "--fingerprint-gate",
+            "--fingerprint-columns", "w,h,fmt",
+            "--master", "local[4]", "--run-id", "fc1",
+        ]
+    )
+    capsys.readouterr()
+    assert code == 1  # injected violations; the run still finalizes
+    meta = json.load(open(os.path.join(ck, "fingerprint", "meta.json")))
+    assert meta["columns"] == ["fmt", "h", "w"]  # sorted override, verbatim

@@ -284,3 +284,39 @@ def test_gate_carries_failed_annotation(spark, images, ck):
         p for p, e in run2.manifest.entries.items() if e.get("failed")
     }
     assert failed2 == failed1
+
+
+def test_gate_fast_fail_warns_and_writes_no_snapshot(spark, images, ck):
+    """fast_fail aborts before finalize — the only place the snapshot is
+    written — so a gated fast-fail run on a red table leaves the gate
+    unarmed. That must be LOUD (warning), never silent: the caller would
+    otherwise believe content gating is active while every later gated run
+    fully revalidates."""
+    import dataclasses
+    import os
+
+    dims = {"dim_source": dim_source(spark)}
+    spec = dataclasses.replace(base_spec(), fast_fail=True)
+    run = ValidationRun(
+        spark, spec, images, dims=dims, run_id="gff1",
+        checkpoint_dir=ck, fingerprint_gate=True,
+    )
+    with pytest.warns(UserWarning, match="no fingerprint snapshot"):
+        rep = run.validate()
+    assert rep.exit_code == 1
+    assert not os.path.exists(os.path.join(ck, "fingerprint", "meta.json"))
+
+
+def test_gate_unknown_fingerprint_column_refused(spark, images, ck):
+    """A typo'd fingerprint_columns entry is a typed SchemaError at init,
+    not an AnalysisException from the fingerprint scan after the snapshot
+    write has started."""
+    from mdvalidate_spark.errors import SchemaError
+
+    with pytest.raises(SchemaError, match="fingerprint_columns"):
+        ValidationRun(
+            spark, base_spec(), images,
+            dims={"dim_source": dim_source(spark)}, run_id="gbad",
+            checkpoint_dir=ck, fingerprint_gate=True,
+            fingerprint_columns=("w", "nope"),
+        )
