@@ -2039,6 +2039,49 @@ FROM fill
 """
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Sliding-window chunking (operators/packing.py chunk_text) — the
+    SPLITTING side of context-window prep: every doc longer than 120 chars
+    fans out to overlapping chunks starting every 90 chars, full coverage,
+    map-only (explode of a bounded sequence — no shuffle, no Python, plan
+    test-locked). The oracle replays the identical integer chunk-count
+    formula and every substring in DuckDB, so chunk boundaries and text are
+    value-checked byte-for-byte."""
+    from mdvalidate_spark.operators.packing import chunk_text
+
+    docs = _load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return chunk_text(docs, "text", 120, 90, id_col="doc_id")
+
+
+def _chunk_sql() -> str:
+    # n_extra = trunc((ln - w + s - 1) / s): DuckDB // floors where Spark's
+    # cast-trunc rounds toward zero, but they only disagree on NEGATIVE
+    # values and greatest(0, ...) erases exactly those in both engines
+    return """
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+         CAST(length(text) AS BIGINT) AS ln,
+         CAST(1 + greatest(0, (length(text) - 120 + 90 - 1) // 90) AS BIGINT)
+           AS n_chunks
+  FROM documents WHERE text IS NOT NULL
+),
+fan AS (
+  SELECT doc_id, text, ln, n_chunks,
+         unnest(range(n_chunks)) AS chunk_index
+  FROM base
+)
+SELECT doc_id,
+       CAST(chunk_index AS BIGINT) AS chunk_index,
+       n_chunks,
+       CAST(chunk_index * 90 AS BIGINT) AS start,
+       least(CAST(120 AS BIGINT), ln - chunk_index * 90) AS chunk_len,
+       substring(text, CAST(chunk_index * 90 + 1 AS INT), 120) AS chunk
+FROM fan
+"""
+
+
 _MIX_RATES = {"O": 0.2, "F": 0.05, "P": 1.0}
 
 
@@ -4049,6 +4092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries touched this round must come first, stable legacy last.
     return {
         # -- round 4: new/rewritten ------------------------------------
+        "chunk_documents": q_chunk_documents,
         "reconcile_fp_orders": q_reconcile_fp_orders,
         "reconcile_rows_orders": q_reconcile_rows_orders,
         "concentration_documents": q_concentration_documents,
@@ -4092,7 +4136,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_text_documents": q_suggest_text_documents,
         "quality_spec_documents": q_quality_spec_documents,
         "contamination_documents": q_contamination_documents,
-        "contamination_gate_documents": q_contamination_gate_documents,
         "pii_documents": q_pii_documents,
         "pii_gate_documents": q_pii_gate_documents,
         "repetition_documents": q_repetition_documents,
@@ -4131,6 +4174,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gates from the same dominance profile as the in-window
         # concentration pair
         "concentration_gate_documents": q_concentration_gate_documents,
+        # contamination_gate thresholds the same shingle-overlap counts as
+        # the in-window contamination_documents scan; its thresholding core
+        # (contamination_violations) is pytest-locked in test_decontam.py
+        "contamination_gate_documents": q_contamination_gate_documents,
         "gap_stats_events": q_gap_stats_events,
         "suggest_concentration_documents": q_suggest_concentration_documents,
         # -- stable r3 queries, driver-green in CORRECTNESS_r03 ----------
@@ -5588,6 +5635,7 @@ SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.9
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "chunk_documents": _chunk_sql(),
         "reconcile_fp_orders": _reconcile_fp_sql(),
         "reconcile_rows_orders": _reconcile_rows_sql(),
         "reconcile_gate_orders": _reconcile_gate_sql(),

@@ -214,6 +214,8 @@ def main() -> None:
         # snapshot reconciliation: two map-only fingerprint scans + a
         # bucket diff, never joining the snapshots
         "reconcile_fp_orders",
+        # sliding-window chunking (map-only explode, zero shuffle/Python)
+        "chunk_documents",
     ):
         if name not in qs:
             continue

@@ -140,3 +140,108 @@ def pack_stats(packed: DataFrame, budget: int) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+def chunk_text(
+    df: DataFrame,
+    text_col: str,
+    window: int,
+    stride: int,
+    *,
+    id_col: str = "doc_id",
+    unit: str = "char",
+) -> DataFrame:
+    """Deterministic sliding-window chunking — the SPLITTING side of
+    context-window prep (``pack_sequences`` is the assembly side): every
+    document longer than ``window`` units becomes overlapping chunks that
+    start every ``stride`` units, so a downstream trainer/embedder sees
+    bounded inputs with no text ever dropped. (An empty-but-non-null
+    document keeps one empty chunk — rows are never silently lost.)
+
+    Semantics (identical for both units):
+
+    - ``n_chunks = 1 + max(0, ceil((len - window) / stride))`` — one chunk
+      for anything that fits, and chunk ``i`` covers ``[i*stride,
+      i*stride + window)``; the last chunk may be shorter
+      and always reaches the end of the document (full coverage).
+    - ``unit='char'``: positions are characters, pure ``substring``.
+    - ``unit='token'``: the text is whitespace-tokenized
+      (``split(trim(text), '[ \\t\\n\\r]+')`` — an explicit ASCII class,
+      reproducible in any regex engine), windows slide over tokens, and
+      chunks re-join with single spaces (whitespace runs are NOT
+      preserved — documented normalization, same family as
+      ``normalize_text``).
+    - NULL text produces no chunks (nothing to train on, and a
+      NotNullRule upstream is where missing text is policed).
+
+    Scale shape: one map-only pass — ``explode(sequence(0, n_chunks-1))``
+    fans each doc out to its chunk indices WITHOUT a shuffle, and the
+    fan-out per row is bounded by ``len/stride`` (a 1 MB doc at
+    window=2048/stride=1536 is ~680 rows), so there is no hot key and no
+    aggregation buffer; the plan stays whole-stage codegen with zero
+    Python. ``1 <= stride <= window`` is enforced — a stride beyond the
+    window would silently leave unvalidated gaps between chunks, which is
+    exactly the failure mode a validation engine must refuse.
+
+    Returns (id, chunk_index, n_chunks, start, chunk_len, chunk) with
+    ``start`` in the chosen unit, 0-based.
+    """
+    from ..errors import SchemaError
+
+    if window <= 0:
+        raise SchemaError(f"chunk window must be positive, got {window}")
+    if not (1 <= stride <= window):
+        raise SchemaError(
+            f"chunk stride must be in [1, window={window}], got {stride} "
+            "(stride > window would leave uncovered gaps between chunks)"
+        )
+    if unit not in ("char", "token"):
+        raise SchemaError(f"unknown chunk unit {unit!r}; use 'char' or 'token'")
+    for c in (id_col, text_col):
+        if c not in df.columns:
+            raise SchemaError(f"chunk column {c!r} not in {sorted(df.columns)}")
+
+    w, s = int(window), int(stride)
+    if unit == "char":
+        ln = F.length(F.col(text_col))
+    else:
+        # split('') yields one empty token — a blank doc is 1 token long,
+        # one empty chunk, never a divide-by-zero or a dropped row
+        tokens = F.split(F.trim(F.col(text_col)), "[ \t\n\r]+")
+        ln = F.size(tokens)
+    # ceil((ln-w)/s) as pure integer math: trunc-vs-floor division only
+    # disagrees on negatives, and greatest(0, ...) erases exactly those
+    n_extra = F.greatest(
+        F.lit(0), ((ln - w + s - 1).cast("long") / s).cast("long")
+    )
+    base = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.col(text_col),
+        *([tokens.alias("__toks")] if unit == "token" else []),
+        ln.cast("long").alias("__len"),
+        (F.lit(1) + n_extra).alias("n_chunks"),
+    )
+    idx = F.explode(F.sequence(F.lit(0).cast("long"), F.col("n_chunks") - 1))
+    exploded = base.select(
+        F.col(id_col),
+        F.col("n_chunks"),
+        F.col("__len"),
+        *([F.col("__toks")] if unit == "token" else [F.col(text_col)]),
+        idx.alias("chunk_index"),
+    )
+    start = (F.col("chunk_index") * s).alias("start")
+    if unit == "char":
+        chunk = F.substring(F.col(text_col), F.col("chunk_index") * s + 1, w)
+    else:
+        chunk = F.array_join(
+            F.slice(F.col("__toks"), F.col("chunk_index") * s + 1, w), " "
+        )
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_index"),
+        F.col("n_chunks"),
+        start,
+        F.least(F.lit(w).cast("long"), F.col("__len") - F.col("chunk_index") * s)
+        .alias("chunk_len"),
+        chunk.alias("chunk"),
+    )

@@ -103,3 +103,118 @@ def test_refusals(docs):
         pack_sequences(docs, "n_tok", 256, n_shards=0)
     with pytest.raises(SchemaError, match="shard_method"):
         pack_sequences(docs, "n_tok", 256, shard_method="crc")
+
+
+# ---------------------------------------------------------------- chunking
+
+
+def _chunk_fixture(spark):
+    return spark.createDataFrame(
+        [
+            ("a", "abcdefghij"),  # len 10 → 3 chunks at w=4, s=3
+            ("b", "abc"),  # fits in one window
+            ("c", ""),  # empty-but-non-null: one empty chunk
+            ("d", None),  # NULL: no chunks
+            ("e", "abcdefgh"),  # len 8: short tail chunk
+        ],
+        "doc_id string, body string",
+    )
+
+
+def test_chunk_char_exact(spark):
+    from mdvalidate_spark.operators.packing import chunk_text
+
+    got = [
+        tuple(r)
+        for r in chunk_text(_chunk_fixture(spark), "body", 4, 3)
+        .orderBy("doc_id", "chunk_index")
+        .collect()
+    ]
+    assert got == [
+        ("a", 0, 3, 0, 4, "abcd"),
+        ("a", 1, 3, 3, 4, "defg"),
+        ("a", 2, 3, 6, 4, "ghij"),
+        ("b", 0, 1, 0, 3, "abc"),
+        ("c", 0, 1, 0, 0, ""),
+        ("e", 0, 3, 0, 4, "abcd"),
+        ("e", 1, 3, 3, 4, "defg"),
+        ("e", 2, 3, 6, 2, "gh"),
+    ]
+
+
+def test_chunk_token_exact(spark):
+    from mdvalidate_spark.operators.packing import chunk_text
+
+    df = spark.createDataFrame(
+        [("x", "  one two  three four five ")],  # messy whitespace
+        "doc_id string, body string",
+    )
+    got = [
+        tuple(r)
+        for r in chunk_text(df, "body", 3, 2, unit="token")
+        .orderBy("chunk_index")
+        .collect()
+    ]
+    assert got == [
+        ("x", 0, 2, 0, 3, "one two three"),
+        ("x", 1, 2, 2, 3, "three four five"),
+    ]
+
+
+@pytest.mark.parametrize("window,stride", [(4, 3), (5, 5), (7, 2), (16, 9)])
+def test_chunk_full_coverage_and_overlap(spark, window, stride):
+    """Every character of every doc lands in ≥1 chunk, consecutive chunks
+    abut or overlap (no gaps), and the final chunk reaches the end."""
+    from mdvalidate_spark.operators.packing import chunk_text
+
+    docs = spark.createDataFrame(
+        [(f"d{n}", "x" * n) for n in (1, 2, 5, 7, 16, 17, 33)],
+        "doc_id string, body string",
+    )
+    rows = (
+        chunk_text(docs, "body", window, stride)
+        .orderBy("doc_id", "chunk_index")
+        .collect()
+    )
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc) == 7
+    for did, chunks in by_doc.items():
+        n = len(chunks[0].body) if hasattr(chunks[0], "body") else None
+        ln = int(did[1:])
+        assert [c.chunk_index for c in chunks] == list(range(len(chunks)))
+        assert chunks[0].start == 0
+        for prev, cur in zip(chunks, chunks[1:]):
+            assert cur.start <= prev.start + prev.chunk_len  # no gap
+        last = chunks[-1]
+        assert last.start + last.chunk_len == ln  # reaches the end
+        for c in chunks:
+            assert len(c.chunk) == c.chunk_len
+
+
+def test_chunk_refusals(spark):
+    from mdvalidate_spark.operators.packing import chunk_text
+
+    df = _chunk_fixture(spark)
+    with pytest.raises(SchemaError, match="window"):
+        chunk_text(df, "body", 0, 1)
+    with pytest.raises(SchemaError, match="stride"):
+        chunk_text(df, "body", 4, 5)  # stride > window → coverage gaps
+    with pytest.raises(SchemaError, match="stride"):
+        chunk_text(df, "body", 4, 0)
+    with pytest.raises(SchemaError, match="unit"):
+        chunk_text(df, "body", 4, 3, unit="byte")
+    with pytest.raises(SchemaError, match="not in"):
+        chunk_text(df, "nope", 4, 3)
+
+
+def test_chunk_plan_is_map_only(spark):
+    """The fan-out is explode(sequence(...)) — one map-only codegen stage:
+    no Exchange (shuffle) and no Python anywhere in the plan."""
+    from mdvalidate_spark.operators.packing import chunk_text
+
+    out = chunk_text(_chunk_fixture(spark), "body", 4, 3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan
