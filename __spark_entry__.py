@@ -3086,6 +3086,57 @@ FROM ext e LEFT JOIN g ON e.event_type = g.event_type
 """
 
 
+def q_sessions_events(spark, sf_dir):
+    """Gap-based sessionization (operators/gaps.py sessionize /
+    session_stats): per-user sessions split at 6 h of silence, one shuffle
+    partitioned by user (fully parallel across keys), ordering
+    tie-broken by event_id so the assignment is deterministic in any
+    engine. Time stays exact integer epoch micros end-to-end —
+    duration_us is a BIGINT, never a float. The oracle replays the same
+    lag + running-sum recursion per user in DuckDB."""
+    from mdvalidate_spark.operators.gaps import session_stats
+
+    events = _load(spark, sf_dir, "events")
+    return session_stats(
+        events, "ts", 21600, key_cols=("user_id",), id_col="event_id"
+    )
+
+
+def _sessions_sql() -> str:
+    return """
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+  FROM events WHERE ts IS NOT NULL
+),
+lagged AS (
+  SELECT user_id, event_id, ts_us,
+         lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+           AS prev_us
+  FROM base
+),
+flagged AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN prev_us IS NULL OR ts_us - prev_us > 21600000000
+              THEN 1 ELSE 0 END AS is_start
+  FROM lagged
+),
+idx AS (
+  SELECT user_id, ts_us,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_index
+  FROM flagged
+)
+SELECT user_id,
+       CAST(session_index AS BIGINT) AS session_index,
+       count(*) AS n_events,
+       min(ts_us) AS start_us,
+       max(ts_us) AS end_us,
+       max(ts_us) - min(ts_us) AS duration_us
+FROM idx
+GROUP BY user_id, session_index
+"""
+
+
 def q_association_partials_orders(spark, sf_dir):
     """INCREMENTAL association: per-batch contingency cell partials
     (batches = orderkey residues, the manifest-partial pattern) merged to
@@ -4092,6 +4143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries touched this round must come first, stable legacy last.
     return {
         # -- round 4: new/rewritten ------------------------------------
+        "sessions_events": q_sessions_events,
         "chunk_documents": q_chunk_documents,
         "reconcile_fp_orders": q_reconcile_fp_orders,
         "reconcile_rows_orders": q_reconcile_rows_orders,
@@ -4137,7 +4189,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_spec_documents": q_quality_spec_documents,
         "contamination_documents": q_contamination_documents,
         "pii_documents": q_pii_documents,
-        "pii_gate_documents": q_pii_gate_documents,
         "repetition_documents": q_repetition_documents,
         "drift_ratchet_orders": q_drift_ratchet_orders,
         "pixel_manifest_documents": q_pixel_manifest_documents,
@@ -4178,6 +4229,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the in-window contamination_documents scan; its thresholding core
         # (contamination_violations) is pytest-locked in test_decontam.py
         "contamination_gate_documents": q_contamination_gate_documents,
+        # pii_gate thresholds the same typed match counts as the in-window
+        # pii_documents profile; pii_violations is pytest-locked in
+        # test_pii_ops.py (threshold + shape + masked-count cases)
+        "pii_gate_documents": q_pii_gate_documents,
         "gap_stats_events": q_gap_stats_events,
         "suggest_concentration_documents": q_suggest_concentration_documents,
         # -- stable r3 queries, driver-green in CORRECTNESS_r03 ----------
@@ -5635,6 +5690,7 @@ SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.9
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "sessions_events": _sessions_sql(),
         "chunk_documents": _chunk_sql(),
         "reconcile_fp_orders": _reconcile_fp_sql(),
         "reconcile_rows_orders": _reconcile_rows_sql(),

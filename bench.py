@@ -216,6 +216,8 @@ def main() -> None:
         "reconcile_fp_orders",
         # sliding-window chunking (map-only explode, zero shuffle/Python)
         "chunk_documents",
+        # sessionization (one key-partitioned shuffle, two fused windows)
+        "sessions_events",
     ):
         if name not in qs:
             continue

@@ -225,3 +225,113 @@ def time_gap_stats(
         .alias("n_gaps"),
         (gagg["_max_gap"] if gb else F.col("_max_gap")).alias("max_gap_seconds"),
     )
+
+
+# ------------------------------------------------------------ sessionization
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str,
+    gap_seconds: float,
+    *,
+    key_cols: tuple = ("user_id",),
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Gap-based session assignment: within each key, a new session starts
+    whenever the silence since the previous event exceeds ``gap_seconds``
+    (the inverse view of this module's gap detection — a gap SPLITS the
+    series instead of flagging it). The step between a raw event table and
+    any per-session validation: session volume rules, duration drift,
+    funnel integrity.
+
+    Determinism: events order by ``(ts, id_col)`` within a key, so ties on
+    the timestamp break identically in any engine; the id column should be
+    unique per event (a UniqueRule upstream is the enforcement point).
+    Time is exact integer epoch MICROSECONDS (``unix_micros``) — the gap
+    comparison is integer-only, never float. NULL timestamps are out of
+    scope (NotNullRule owns missing values); NULL keys participate under
+    the NULL key.
+
+    Scale shape: ONE shuffle, partitioned by the session keys — every
+    key's event sequence sorts independently, fully parallel across 10^8
+    users. The declared limit: sessionization is inherently sequential
+    PER KEY, so a single pathological key holding a material fraction of
+    all events (a bot, a default id) serializes in one task — police such
+    keys upstream (ConcentrationRule / heavy_hitters are the detectors).
+
+    Returns the key columns + (id, ts_us, prev_gap_us, is_session_start,
+    session_index, session_id): session_index is 1-based per key,
+    session_id a portable ``key|index`` string, prev_gap_us NULL for each
+    key's first event."""
+    if gap_seconds <= 0:
+        raise SchemaError(
+            f"session gap_seconds must be > 0, got {gap_seconds}"
+        )
+    for c in (*key_cols, id_col, ts_col):
+        if c not in df.columns:
+            raise SchemaError(
+                f"session column {c!r} not in {sorted(df.columns)}"
+            )
+    gap_us = int(round(float(gap_seconds) * 1_000_000))
+    kc = [F.col(c) for c in key_cols]
+    base = df.where(F.col(ts_col).isNotNull()).select(
+        *kc,
+        F.col(id_col),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
+    )
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(
+        F.col("ts_us"), F.col(id_col)
+    )
+    prev = F.lag("ts_us").over(w)
+    with_gap = base.select(
+        *[F.col(c) for c in key_cols],
+        F.col(id_col),
+        F.col("ts_us"),
+        (F.col("ts_us") - prev).alias("prev_gap_us"),
+        (prev.isNull() | ((F.col("ts_us") - prev) > gap_us)).alias(
+            "is_session_start"
+        ),
+    )
+    # running count of session starts over the SAME window ordering — one
+    # pass, no second shuffle (the sort is already established)
+    idx = F.sum(F.col("is_session_start").cast("long")).over(
+        Window.partitionBy(*[F.col(c) for c in key_cols])
+        .orderBy(F.col("ts_us"), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return with_gap.select(
+        *[F.col(c) for c in key_cols],
+        F.col(id_col),
+        F.col("ts_us"),
+        F.col("prev_gap_us"),
+        F.col("is_session_start"),
+        idx.alias("session_index"),
+        F.concat_ws(
+            "|", *[F.col(c).cast("string") for c in key_cols], idx.cast("string")
+        ).alias("session_id"),
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    ts_col: str,
+    gap_seconds: float,
+    *,
+    key_cols: tuple = ("user_id",),
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-session rollup over ``sessionize``: one row per (key, session)
+    with event count and exact integer extent — ``duration_us`` stays a
+    BIGINT (micros), never a float, so the numbers are bit-identical in
+    any engine. Plain aggregation with map-side combine on top of the
+    single sessionize shuffle."""
+    s = sessionize(
+        df, ts_col, gap_seconds, key_cols=key_cols, id_col=id_col
+    )
+    return s.groupBy(*[F.col(c) for c in key_cols], F.col("session_index")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+    )

@@ -454,3 +454,49 @@ def windowed_concentration_rule(
         F.col("_v.a").alias("actual"),
         F.lit(KIND_CONCENTRATION).alias("kind"),
     )
+
+
+def stream_session_stats(
+    stream_df: DataFrame,
+    ts_column: str,
+    gap: str = "30 minutes",
+    *,
+    key_cols: tuple = ("user_id",),
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming sessionization: Spark-native ``session_window`` — a
+    session extends while events keep arriving within ``gap`` of the last
+    one, and CLOSES once the watermark passes the session end, so each
+    emitted row is a final, complete session (output mode 'append', no
+    retractions). The streaming twin of operators/gaps.py
+    ``session_stats``: same gap semantics, state bounded by the watermark
+    (Spark evicts closed-session state automatically — no unbounded key
+    growth; the state-TTL story the stateful uniqueness operator wires by
+    hand comes built in here).
+
+    Emits one row per closed (key, session). ``session_end`` is Spark's
+    window end (last event + gap); ``duration_us`` is the exact integer
+    extent of the EVENTS (last - first), matching the batch operator —
+    the gap padding never inflates it."""
+    agg = (
+        stream_df.withWatermark(ts_column, watermark)
+        .groupBy(
+            *[F.col(c) for c in key_cols],
+            F.session_window(F.col(ts_column), gap).alias("win"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(F.col(ts_column)).alias("first_event"),
+            F.max(F.col(ts_column)).alias("last_event"),
+        )
+    )
+    return agg.select(
+        *[F.col(c) for c in key_cols],
+        F.col("win.start").alias("session_start"),
+        F.col("win.end").alias("session_end"),
+        F.col("n_events"),
+        (
+            F.unix_micros(F.col("last_event"))
+            - F.unix_micros(F.col("first_event"))
+        ).alias("duration_us"),
+    )

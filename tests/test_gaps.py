@@ -153,3 +153,93 @@ def test_gap_lints(spark, series):
         G.time_gap_report(series, "ts", min_gap_seconds=0)
     with pytest.raises(SchemaError, match="bucket_seconds"):
         G.time_gap_report(series, "ts", min_gap_seconds=60, bucket_seconds=0)
+
+
+# ---------------------------------------------------------------- sessions
+
+
+def test_sessionize_exact(spark):
+    from mdvalidate_spark.operators.gaps import sessionize
+
+    base = T0
+    rows = [
+        # user u1: two sessions split by a 2h gap; a ts TIE inside
+        ("e1", "u1", _ts(0)),
+        ("e2", "u1", _ts(5)),
+        ("e0", "u1", _ts(5)),  # tie with e2 — id breaks order: e0 < e2
+        ("e3", "u1", _ts(150)),  # 145 min after → new session at gap=60min
+        # user u2: single event; NULL ts dropped
+        ("e4", "u2", _ts(1)),
+        ("e5", "u2", None),
+    ]
+    df = spark.createDataFrame(rows, "event_id string, user_id string, ts timestamp")
+    got = {
+        r.event_id: (r.session_index, r.is_session_start, r.prev_gap_us)
+        for r in sessionize(df, "ts", 3600, key_cols=("user_id",), id_col="event_id").collect()
+    }
+    assert got["e1"] == (1, True, None)
+    assert got["e0"] == (1, False, 5 * 60 * 1_000_000)
+    assert got["e2"] == (1, False, 0)  # tie: zero gap, same session
+    assert got["e3"] == (2, True, 145 * 60 * 1_000_000)
+    assert got["e4"] == (1, True, None)
+    assert "e5" not in got  # NULL ts out of scope
+
+
+def test_sessionize_boundary_is_strict(spark):
+    """gap EXACTLY equal to the threshold does NOT split — the split
+    condition is strictly greater (silence must exceed the gap)."""
+    from mdvalidate_spark.operators.gaps import sessionize
+
+    df = spark.createDataFrame(
+        [("a", "u", _ts(0)), ("b", "u", _ts(60)), ("c", "u", _ts(121))],
+        "event_id string, user_id string, ts timestamp",
+    )
+    got = {
+        r.event_id: r.session_index
+        for r in sessionize(df, "ts", 3600, key_cols=("user_id",), id_col="event_id").collect()
+    }
+    assert got == {"a": 1, "b": 1, "c": 2}  # 60min == gap stays; 61min splits
+
+
+def test_session_stats_rollup_and_null_key(spark):
+    from mdvalidate_spark.operators.gaps import session_stats
+
+    df = spark.createDataFrame(
+        [
+            ("a", "u", _ts(0)),
+            ("b", "u", _ts(10)),
+            ("c", "u", _ts(200)),
+            ("d", None, _ts(0)),  # NULL key participates under NULL
+            ("e", None, _ts(500)),
+        ],
+        "event_id string, user_id string, ts timestamp",
+    )
+    rows = {
+        (r.user_id, r.session_index): (r.n_events, r.duration_us)
+        for r in session_stats(df, "ts", 3600, key_cols=("user_id",), id_col="event_id").collect()
+    }
+    assert rows[("u", 1)] == (2, 10 * 60 * 1_000_000)
+    assert rows[("u", 2)] == (1, 0)
+    assert rows[(None, 1)] == (1, 0)
+    assert rows[(None, 2)] == (1, 0)
+
+
+def test_sessionize_refusals_and_single_shuffle(spark):
+    from mdvalidate_spark.operators.gaps import sessionize
+
+    df = spark.createDataFrame(
+        [("a", "u", _ts(0))], "event_id string, user_id string, ts timestamp"
+    )
+    with pytest.raises(SchemaError, match="gap_seconds"):
+        sessionize(df, "ts", 0)
+    with pytest.raises(SchemaError, match="not in"):
+        sessionize(df, "ts", 60, key_cols=("nope",))
+    # both window passes share (partition, order): exactly ONE Exchange
+    plan = (
+        sessionize(df, "ts", 60, key_cols=("user_id",), id_col="event_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "Python" not in plan

@@ -990,3 +990,54 @@ def test_windowed_concentration_tie_prefers_real_value(spark, tmp_path):
         if r["expected"] == "top_share <= 0.3"
     ]
     assert got == ["top value 'a' share=0.500000 (4 of 8)"]
+
+
+def test_stream_session_stats(spark, tmp_path):
+    """Native session_window sessionization: sessions close when the
+    watermark passes; duration is the exact event extent (last - first),
+    not the gap-padded window."""
+    import datetime as dt
+
+    from mdvalidate_spark.streaming.structured import stream_session_stats
+
+    src = str(tmp_path / "ss-src")
+    out = str(tmp_path / "ss-out")
+    ck = str(tmp_path / "ss-ck")
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        # u1 session 1: three events within 5 min of each other
+        (1, base, "u1"),
+        (2, base + dt.timedelta(minutes=3), "u1"),
+        (3, base + dt.timedelta(minutes=6), "u1"),
+        # u1 session 2: after a 30-min silence (> 10-min gap)
+        (4, base + dt.timedelta(minutes=36), "u1"),
+        # u2: one event
+        (5, base + dt.timedelta(minutes=1), "u2"),
+        # sentinel far ahead so the watermark closes everything earlier
+        (99, base + dt.timedelta(hours=6), "u1"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id string")
+    df.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    sess = stream_session_stats(
+        stream, "ts", gap="10 minutes", key_cols=("user_id",),
+        watermark="0 seconds",
+    )
+    assert sess.isStreaming
+    q = (
+        sess.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start.isoformat()): (r.n_events, r.duration_us)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[("u1", "2026-01-01T00:00:00")] == (3, 6 * 60 * 1_000_000)
+    assert got[("u1", "2026-01-01T00:36:00")] == (1, 0)
+    assert got[("u2", "2026-01-01T00:01:00")] == (1, 0)
