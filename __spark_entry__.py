@@ -1592,6 +1592,36 @@ def q_text_profile_documents(spark, sf_dir):
     return T.text_profile(docs, "text", "doc_id")
 
 
+def q_zipf_documents(spark, sf_dir):
+    """Corpus token-frequency power-law head (operators/text.py
+    zipf_profile): top-60 normalized tokens with exact counts and
+    deterministic (count desc, token asc) ranks — map-side-combined
+    wordcount + TakeOrdered heap (plan test-locked), rank window over the
+    60-row head only. The scalar zipf_slope gate stays engine-side
+    (float least-squares, pytest-locked against numpy); the profile rows
+    here are integer-exact and value-hash-compared."""
+    docs = _load(spark, sf_dir, "documents")
+    return T.zipf_profile(docs, "text", top_n=60, min_count=2)
+
+
+def _zipf_sql() -> str:
+    norm = _NORM.format(t="text")
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split({norm}, ' ')) AS token
+  FROM documents WHERE text IS NOT NULL
+),
+c AS (
+  SELECT token, count(*) AS n FROM toks WHERE token <> ''
+  GROUP BY token HAVING count(*) >= 2
+),
+top AS (SELECT token, n FROM c ORDER BY n DESC, token ASC LIMIT 60)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS BIGINT) AS rank,
+       token, n
+FROM top
+"""
+
+
 def _augment_multiline(docs):
     """De-vacuate line-based repetition metrics: the fixture's documents are
     single-line, so deterministically split them on a literal (' table ' →
@@ -4143,6 +4173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries touched this round must come first, stable legacy last.
     return {
         # -- round 4: new/rewritten ------------------------------------
+        "zipf_documents": q_zipf_documents,
         "sessions_events": q_sessions_events,
         "chunk_documents": q_chunk_documents,
         "reconcile_fp_orders": q_reconcile_fp_orders,
@@ -4184,7 +4215,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_counts_documents": q_domain_counts_documents,
         "blocklist_gate_documents": q_blocklist_gate_documents,
         "gopher_quality_documents": q_gopher_quality_documents,
-        "gopher_gate_documents": q_gopher_gate_documents,
         "suggest_text_documents": q_suggest_text_documents,
         "quality_spec_documents": q_quality_spec_documents,
         "contamination_documents": q_contamination_documents,
@@ -4233,6 +4263,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pii_documents profile; pii_violations is pytest-locked in
         # test_pii_ops.py (threshold + shape + masked-count cases)
         "pii_gate_documents": q_pii_gate_documents,
+        # gopher_gate thresholds the same §A1.1 metrics as the in-window
+        # gopher_quality_documents profile; gopher_quality_violations is
+        # pytest-locked in test_text_ops.py
+        "gopher_gate_documents": q_gopher_gate_documents,
         "gap_stats_events": q_gap_stats_events,
         "suggest_concentration_documents": q_suggest_concentration_documents,
         # -- stable r3 queries, driver-green in CORRECTNESS_r03 ----------
@@ -5690,6 +5724,7 @@ SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.9
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "zipf_documents": _zipf_sql(),
         "sessions_events": _sessions_sql(),
         "chunk_documents": _chunk_sql(),
         "reconcile_fp_orders": _reconcile_fp_sql(),

@@ -218,6 +218,8 @@ def main() -> None:
         "chunk_documents",
         # sessionization (one key-partitioned shuffle, two fused windows)
         "sessions_events",
+        # corpus zipf head (wordcount + TakeOrdered heap)
+        "zipf_documents",
     ):
         if name not in qs:
             continue

@@ -569,3 +569,77 @@ def gopher_quality_violations(
             F.col("v.kind").alias("kind"),
         )
     )
+
+
+# ------------------------------------------------------------- zipf profile
+
+
+def zipf_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    top_n: int = 100,
+    min_count: int = 1,
+) -> DataFrame:
+    """Token-frequency power-law profile: the ``top_n`` most frequent
+    normalized tokens with exact counts and a deterministic 1-based rank
+    (count desc, token asc). Natural-language corpora follow Zipf's law
+    (frequency ∝ 1/rank); a head that flattens or collapses flags
+    boilerplate floods, template spam, or a corpus-composition shift that
+    per-document quality gates can't see — feed the rows to
+    ``zipf_slope`` for the scalar gate, or drift-compare the token head
+    across snapshots like any categorical profile.
+
+    Scale shape: tokenize → groupBy(token) is the classic map-side-
+    combined wordcount (no hot key: the combiner collapses each
+    partition's counts first); the head extraction is orderBy+limit —
+    Spark plans TakeOrdered, a per-partition heap, never a full sort
+    shuffle — and the rank window runs over ≤ ``top_n`` rows. Tokens use
+    the shared ``normalize_text`` canon (lowercase, collapsed ASCII
+    whitespace), so the oracle splits on a single space, exactly."""
+    from pyspark.sql import Window
+
+    from ..errors import SchemaError
+
+    if top_n <= 0:
+        raise SchemaError(f"zipf top_n must be positive, got {top_n}")
+    if min_count < 1:
+        raise SchemaError(f"zipf min_count must be >= 1, got {min_count}")
+    if text_col not in df.columns:
+        raise SchemaError(
+            f"zipf column {text_col!r} not in {sorted(df.columns)}"
+        )
+    counts = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias(
+                "token"
+            )
+        )
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= min_count)
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return counts.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.col("token"),
+        F.col("n"),
+    )
+
+
+def zipf_slope(profile: DataFrame) -> DataFrame:
+    """Least-squares slope of ln(count) vs ln(rank) over a
+    ``zipf_profile`` frame — one tiny aggregation (the profile is ≤ top_n
+    rows). A healthy natural-language head sits near -1 (Zipf); values
+    near 0 mean a flat, template-dominated head. Returns one row:
+    (slope, r2, n_ranks). Float math over a bounded row set — gate it
+    with a tolerance band, not exact equality."""
+    return profile.agg(
+        F.expr("regr_slope(ln(n), ln(rank))").alias("slope"),
+        F.expr("regr_r2(ln(n), ln(rank))").alias("r2"),
+        F.count(F.lit(1)).alias("n_ranks"),
+    )

@@ -303,3 +303,76 @@ def test_quality_rule_skips_null_text(spark):
     )
     prog = compile_spec(spec, df.schema)
     assert row_violations(with_partition_id(df, spec), prog, "t").count() == 0
+
+
+# ------------------------------------------------------------ zipf profile
+
+
+def test_zipf_profile_exact_counts_and_tiebreak(spark):
+    from mdvalidate_spark.operators.text import zipf_profile
+
+    df = spark.createDataFrame(
+        [
+            ("a", "the cat the dog THE  bird"),  # normalize: case + runs
+            ("b", "the fish\ncat"),
+            ("c", None),  # NULL doc dropped
+            ("d", ""),  # empty doc contributes nothing
+        ],
+        "doc_id string, text string",
+    )
+    got = [tuple(r) for r in zipf_profile(df, "text", top_n=4).collect()]
+    # 'the' x4; tie at 2 ('cat') then ties at 1 break token-ascending
+    assert got == [(1, "the", 4), (2, "cat", 2), (3, "bird", 1), (4, "dog", 1)]
+    # min_count filters the singleton tail before ranking
+    got2 = [
+        tuple(r)
+        for r in zipf_profile(df, "text", top_n=4, min_count=2).collect()
+    ]
+    assert got2 == [(1, "the", 4), (2, "cat", 2)]
+
+
+def test_zipf_slope_matches_numpy(spark):
+    import math
+
+    import numpy as np
+
+    from mdvalidate_spark.operators.text import zipf_profile, zipf_slope
+
+    # synthetic corpus with a known head: token t_i appears ~ 1000/i times
+    rows = []
+    for i in range(1, 21):
+        rows.extend(("d", f"t{i:02d}") for _ in range(1000 // i))
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    prof = zipf_profile(df, "text", top_n=20)
+    row = zipf_slope(prof).collect()[0]
+    ranks = np.log(np.arange(1, 21))
+    counts = np.log(np.array([1000 // i for i in range(1, 21)]))
+    slope_np = np.polyfit(ranks, counts, 1)[0]
+    assert math.isclose(row.slope, slope_np, rel_tol=1e-9)
+    assert row.n_ranks == 20
+    assert 0.99 < row.r2 <= 1.0  # near-perfect power law by construction
+
+
+def test_zipf_refusals_and_plan(spark):
+    import pytest
+
+    from mdvalidate_spark.errors import SchemaError
+    from mdvalidate_spark.operators.text import zipf_profile
+
+    df = spark.createDataFrame([("a", "x")], "doc_id string, text string")
+    with pytest.raises(SchemaError, match="top_n"):
+        zipf_profile(df, "text", top_n=0)
+    with pytest.raises(SchemaError, match="min_count"):
+        zipf_profile(df, "text", min_count=0)
+    with pytest.raises(SchemaError, match="not in"):
+        zipf_profile(df, "body")
+    # head extraction must be a TakeOrdered heap, never a global sort
+    plan = (
+        zipf_profile(df, "text", top_n=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange") == 1  # the wordcount shuffle only
+    assert "Python" not in plan
