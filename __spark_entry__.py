@@ -1622,6 +1622,150 @@ FROM top
 """
 
 
+# winnowing span-dedup query params: char-20-grams, window 40 → any
+# cross-doc repeated normalized substring of >= 59 chars is guaranteed
+# detected (k=20, w=40 keeps the fixture discriminative: ~half the docs)
+_SPAN_K, _SPAN_W = 20, 40
+
+
+def q_span_dedup_documents(spark, sf_dir):
+    """Span-level (exact-substring) dedup per doc (dedup.py repeated_spans):
+    winnowed char-k-gram fingerprints — EVERY sliding window's min hash, so
+    any shared normalized substring >= window+k-1 chars shares a fingerprint
+    by the winnowing theorem (deterministic recall, not probabilistic).
+    Count-first postings (no per-fingerprint doc arrays), one corpus scan,
+    portable 15-hex md5 hashes — the whole pipeline (gram hash, window min,
+    doc frequency, per-doc rollup, witness election) replays in DuckDB."""
+    docs = _load(spark, sf_dir, "documents")
+    return D.repeated_spans(docs, k=_SPAN_K, window=_SPAN_W)
+
+
+def q_span_report_documents(spark, sf_dir):
+    """Corpus view of the same postings: top-50 most widely shared span
+    fingerprints, (n_docs desc, fp) deterministic cut, witness = the
+    minimal doc's first occurrence."""
+    docs = _load(spark, sf_dir, "documents")
+    return D.repeated_span_report(docs, k=_SPAN_K, window=_SPAN_W, top_n=50)
+
+
+def _span_posts_sql(k: int, w: int) -> str:
+    """Shared CTE body: distinct (doc_id, fp) winnow postings with first
+    window pos + span slice — the exact algebra of dedup._span_postings."""
+    norm = _NORM.format(t="text")
+    span_len = w + k - 1
+    return f"""
+d AS (SELECT doc_id, {norm} AS t FROM documents),
+g AS (
+  SELECT doc_id, t, unnest(generate_series(1, length(t) - {k - 1})) AS gpos
+  FROM d WHERE length(t) >= {span_len}
+),
+h AS (
+  SELECT doc_id, t, gpos,
+         substr(md5(substr(t, gpos::INT, {k})), 1, 15) AS h
+  FROM g
+),
+w AS (
+  SELECT doc_id, t, gpos AS pos,
+         min(h) OVER (PARTITION BY doc_id ORDER BY gpos
+                      ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp,
+         count(*) OVER (PARTITION BY doc_id) AS n_grams
+  FROM h
+  QUALIFY pos <= n_grams - {w - 1}
+),
+posts AS (
+  SELECT doc_id, fp, CAST(min(pos) AS INTEGER) AS pos,
+         substr(any_value(t), CAST(min(pos) AS INT), {span_len}) AS span
+  FROM w GROUP BY doc_id, fp
+)"""
+
+
+def _span_dedup_sql() -> str:
+    return f"""
+WITH {_span_posts_sql(_SPAN_K, _SPAN_W)},
+counts AS (SELECT fp, count(*) AS n_docs FROM posts GROUP BY fp),
+marked AS (
+  SELECT p.doc_id, p.fp, p.pos, p.span,
+         CASE WHEN c.n_docs >= 2 THEN c.n_docs END AS n_docs
+  FROM posts p LEFT JOIN counts c ON p.fp = c.fp
+),
+per_doc AS (
+  SELECT doc_id,
+         count(*) AS n_fps,
+         CAST(sum(CASE WHEN n_docs IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_repeated,
+         max(n_docs) AS max_span_docs,
+         min(CASE WHEN n_docs IS NOT NULL THEN fp END) AS example_fp
+  FROM marked GROUP BY doc_id HAVING n_repeated > 0
+)
+SELECT pd.doc_id, pd.n_fps, pd.n_repeated,
+       round(CAST(pd.n_repeated AS DOUBLE) / pd.n_fps, 6) AS repeated_frac,
+       pd.max_span_docs, pd.example_fp,
+       p.pos AS example_pos, p.span AS example_span
+FROM per_doc pd
+JOIN posts p ON p.doc_id = pd.doc_id AND p.fp = pd.example_fp
+"""
+
+
+def _span_report_sql() -> str:
+    return f"""
+WITH {_span_posts_sql(_SPAN_K, _SPAN_W)},
+rep AS (
+  SELECT fp, count(*) AS n_docs, min(doc_id) AS example_doc
+  FROM posts GROUP BY fp HAVING count(*) >= 2
+),
+top AS (SELECT * FROM rep ORDER BY n_docs DESC, fp LIMIT 50)
+SELECT t.fp, t.n_docs, t.example_doc,
+       p.pos AS example_pos, p.span AS example_span
+FROM top t JOIN posts p ON p.doc_id = t.example_doc AND p.fp = t.fp
+"""
+
+
+def q_phash_bits_documents(spark, sf_dir):
+    """Signature bit-balance audit (multimodal.py signature_bit_balance):
+    per-bit ones-rate of a phash-like int64 signature — the corpus-shape
+    gate for the image axis (a stuck bit = broken hasher; corpus-wide skew
+    = degenerate/duplicated corpus). ONE aggregation pass (64 conditional
+    sums map-side combined into a single row), exploded into the 64-row
+    profile. Fixture phash is the portable md5-derived 60-bit value (the
+    phash_neardup convention, unperturbed, all docs): bits 0-59 sit near
+    0.5, bits 60-63 are structurally stuck at 0 — the profile itself
+    demonstrates the stuck-bit detection, and every rate is value-checked
+    bit-for-bit in DuckDB (arithmetic >> parity probed in tests)."""
+    from mdvalidate_spark.operators.multimodal import signature_bit_balance
+
+    docs = _load(spark, sf_dir, "documents")
+    sig = docs.select(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 2, 15), 16, 10
+        )
+        .cast("long")
+        .alias("phash")
+    )
+    return signature_bit_balance(sig, sig_col="phash", bits=64)
+
+
+def _phash_bits_sql() -> str:
+    return """
+WITH sig AS (
+  SELECT CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 2, 15))
+              AS BIGINT) AS phash
+  FROM documents
+),
+b AS (SELECT CAST(unnest(generate_series(0, 63)) AS INTEGER) AS bit),
+j AS (
+  SELECT b.bit, (s.phash >> b.bit) & 1 AS v
+  FROM sig s CROSS JOIN b
+)
+SELECT bit,
+       CAST(sum(v) AS BIGINT) AS ones,
+       count(*) AS "rows",
+       round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS ones_rate,
+       round(abs(round(CAST(sum(v) AS DOUBLE) / count(*), 6) - 0.5), 6)
+         AS deviation
+FROM j GROUP BY bit
+"""
+
+
 def _augment_multiline(docs):
     """De-vacuate line-based repetition metrics: the fixture's documents are
     single-line, so deterministically split them on a literal (' table ' →
@@ -4173,6 +4317,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries touched this round must come first, stable legacy last.
     return {
         # -- round 4: new/rewritten ------------------------------------
+        "span_dedup_documents": q_span_dedup_documents,
+        "span_report_documents": q_span_report_documents,
+        "phash_bits_documents": q_phash_bits_documents,
         "zipf_documents": q_zipf_documents,
         "sessions_events": q_sessions_events,
         "chunk_documents": q_chunk_documents,
@@ -5724,6 +5871,9 @@ SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.9
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "span_dedup_documents": _span_dedup_sql(),
+        "span_report_documents": _span_report_sql(),
+        "phash_bits_documents": _phash_bits_sql(),
         "zipf_documents": _zipf_sql(),
         "sessions_events": _sessions_sql(),
         "chunk_documents": _chunk_sql(),

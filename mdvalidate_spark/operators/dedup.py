@@ -1148,3 +1148,231 @@ def edit_distance_duplicates(
     inv.unpersist()
     docs.unpersist()
     return result
+
+
+# ------------------------------------------------- repeated spans (winnow)
+
+
+def span_fingerprints(text: Column, k: int = 16, window: int = 32) -> Column:
+    """Winnowed span fingerprints of the normalized text, with positions:
+    ``array<struct<fp:string, pos:int>>`` — one entry per sliding window of
+    ``window`` consecutive character-``k``-gram hashes, ``fp`` = the window's
+    minimal hash, ``pos`` = the window's 1-based start offset in the
+    normalized text.
+
+    The winnowing guarantee (Schleimer/Wilkerson/Aiken, MOSS): because EVERY
+    window is enumerated and fingerprints are compared by VALUE, any two
+    documents whose normalized texts share a substring of length
+    ≥ ``window + k − 1`` chars share at least one fingerprint — the shared
+    region contains ≥ ``window`` consecutive identical gram hashes, the
+    window aligned with the region's start exists in both documents, and its
+    min is the same hash value in both. Detection is therefore deterministic,
+    not probabilistic (modulo 60-bit md5-prefix collisions).
+
+    Hash = first 15 hex digits of md5 over the k-char gram — the portable
+    convention (reconcile.py/sampling.py), byte-identical in DuckDB, and
+    lexicographic min over fixed-length lowercase hex equals numeric min.
+    Pure column algebra (sequence/transform/slice/array_min) — codegen, no
+    UDF, no shuffle. Documents shorter than ``window + k − 1`` normalized
+    chars emit an empty array: they are below the span-length floor this
+    operator detects (exact/minhash dedup own whole-short-doc duplication).
+
+    This single expression is the SEMANTIC SPEC (and the parity-test
+    subject): as one nested expression, Catalyst re-evaluates the captured
+    gram-hash array inside the per-window lambda — O(n²·window) per doc.
+    The production path is _span_postings, which evaluates the identical
+    algebra staged behind Generate boundaries at the intended
+    O(n·window); do not apply this column to real corpora directly."""
+    t = normalize_text(text)
+    n = F.length(t)
+    n_grams = n - (k - 1)
+    hashes = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.substring(F.md5(t.substr(i, F.lit(k))), 1, 15),
+    )
+    n_wins = n_grams - (window - 1)
+    empty = F.array().cast("array<struct<fp:string,pos:int>>")
+    return F.when(n < k + window - 1, empty).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_wins),
+            lambda j: F.struct(
+                F.array_min(F.slice(hashes, j, window)).alias("fp"),
+                j.cast("int").alias("pos"),
+            ),
+        )
+    )
+
+
+def _span_postings(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    window: int,
+) -> DataFrame:
+    """Distinct (doc_id, fp) posting rows with the doc's FIRST occurrence:
+    pos + the example span text (the ``window + k − 1``-char window slice at
+    that pos). Count-first discipline throughout (the ngram_jaccard lesson):
+    fingerprints explode to ROWS and every downstream stage aggregates
+    counts — no per-fingerprint doc-id array ever materializes, so a
+    boilerplate span shared by 10^9 documents costs rows, never one
+    aggregation buffer.
+
+    Evaluation is STAGED, not one nested expression: inside a higher-order
+    lambda Catalyst re-evaluates captured subexpressions PER ELEMENT, so
+    the naive single-expression form (span_fingerprints) recomputes the
+    normalize-regex per gram and the whole O(n) md5 gram array per window —
+    O(n²·window) per document, pathological already at kilobyte docs. Each
+    stage here materializes its column behind a Generate boundary
+    (CollapseProject cannot merge projections across a Generate), so the
+    normalized text is computed once per doc, each gram hashed once, and
+    the window pass costs the intended O(n·window) array slices."""
+    span_len = window + k - 1
+    t = normalize_text(F.col(text_col))
+    staged = (
+        df.select(F.col(id_col).alias("doc_id"), t.alias("__t"))
+        .where(F.length("__t") >= span_len)
+        # dummy 1-element explode = a Generate node: a projection barrier
+        # that pins __t as a materialized attribute (evaluated once per doc)
+        .select(
+            "doc_id", "__t", F.explode(F.array(F.lit(1))).alias("__pin")
+        )
+    )
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.length("__t") - (k - 1)),
+        lambda i: F.substring(F.md5(F.col("__t").substr(i, F.lit(k))), 1, 15),
+    )
+    wins = F.transform(
+        F.sequence(F.lit(1), F.size("__h") - (window - 1)),
+        lambda j: F.struct(
+            F.array_min(F.slice(F.col("__h"), j, window)).alias("fp"),
+            j.cast("int").alias("pos"),
+        ),
+    )
+    raw = (
+        staged.select("doc_id", "__t", hashes.alias("__h"))
+        # the window explode is itself the Generate boundary pinning __h
+        .select("doc_id", "__t", F.explode(wins).alias("__w"))
+        .select(
+            "doc_id",
+            F.col("__w.fp").alias("fp"),
+            F.col("__w.pos").alias("pos"),
+            # projected in the same codegen stage as the explode — the full
+            # normalized text never reaches the shuffle, only this slice
+            F.col("__t").substr(F.col("__w.pos"), F.lit(span_len)).alias("span"),
+        )
+    )
+    return raw.groupBy("doc_id", "fp").agg(
+        F.min(F.struct("pos", "span")).alias("__first")
+    ).select(
+        "doc_id",
+        "fp",
+        F.col("__first.pos").alias("pos"),
+        F.col("__first.span").alias("span"),
+    )
+
+
+def repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    window: int = 32,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Span-level (exact-substring) duplication per document — the
+    Lee-et-al-style dedup tier BETWEEN line-level boilerplate removal
+    (full lines only) and document-level near-dup (whole-doc similarity):
+    a licence header, quoted paragraph, or templated sentence repeated
+    across otherwise-distinct documents is invisible to both, but inflates
+    a training corpus all the same.
+
+    One row per document that shares ≥1 winnowed span fingerprint with
+    ≥ ``min_docs − 1`` OTHER documents (``min_docs`` counts distinct docs
+    per fingerprint, this one included): (doc_id, n_fps, n_repeated,
+    repeated_frac, max_span_docs, example_fp/pos/span — the lexicographically
+    first repeated fingerprint's first occurrence). Any cross-doc repeated
+    normalized substring of length ≥ ``window + k − 1`` chars (default 47)
+    is GUARANTEED to be caught (see span_fingerprints).
+
+    Scale shape: one corpus scan builds posting rows (map-only explode →
+    one (doc_id, fp) aggregation); document frequencies are a count
+    aggregation over postings (map-side combine — never an id array); the
+    repeated-fp set LEFT-joins back onto postings as rows (AQE handles a
+    hot fingerprint) and ONE per-doc aggregation produces totals, repeated
+    counts, and the example together — postings have exactly two consumers.
+    The postings frame (~2·n_chars/(window+1) rows per doc — winnowing's
+    expected density — of fixed ~80-byte width) is persisted across them
+    and released before return; at full corpus scale persist it to a table
+    instead (the write_dedup_index pattern) or drop the span column."""
+    from pyspark.storagelevel import StorageLevel
+
+    if min_docs < 2:
+        raise ValueError("repeated_spans: min_docs must be >= 2")
+    posts = _span_postings(df, text_col, id_col, k, window).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    counts = posts.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs"))
+    repeated = counts.where(F.col("n_docs") >= min_docs)
+    marked = posts.join(repeated, "fp", "left")
+    rep = F.col("n_docs").isNotNull()
+    result = (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fps"),
+            F.sum(rep.cast("int")).cast("long").alias("n_repeated"),
+            F.max("n_docs").alias("max_span_docs"),
+            F.min(F.when(rep, F.struct("fp", "pos", "span"))).alias("__ex"),
+        )
+        .where(F.col("n_repeated") > 0)
+        .select(
+            "doc_id",
+            "n_fps",
+            "n_repeated",
+            F.round(F.col("n_repeated") / F.col("n_fps"), 6).alias(
+                "repeated_frac"
+            ),
+            "max_span_docs",
+            F.col("__ex.fp").alias("example_fp"),
+            F.col("__ex.pos").alias("example_pos"),
+            F.col("__ex.span").alias("example_span"),
+        )
+    )
+    out = result.localCheckpoint(eager=True)
+    posts.unpersist()
+    return out
+
+
+def repeated_span_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    window: int = 32,
+    min_docs: int = 2,
+    top_n: int = 100,
+) -> DataFrame:
+    """Corpus-level view of the same postings: the ``top_n`` most widely
+    shared span fingerprints — (fp, n_docs, example doc/pos/span, taken as
+    the lexicographically first occurrence so both engines elect the same
+    witness). One aggregation per fingerprint + a TakeOrdered top-N
+    (per-partition heaps — never a full sort shuffle); ties broken by fp so
+    the cut is deterministic."""
+    posts = _span_postings(df, text_col, id_col, k, window)
+    return (
+        posts.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(F.struct("doc_id", "pos", "span")).alias("__ex"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+        .select(
+            "fp",
+            "n_docs",
+            F.col("__ex.doc_id").alias("example_doc"),
+            F.col("__ex.pos").alias("example_pos"),
+            F.col("__ex.span").alias("example_span"),
+        )
+        .orderBy(F.col("n_docs").desc(), "fp")
+        .limit(top_n)
+    )

@@ -297,3 +297,91 @@ def aspect_buckets(
             F.when(valid, F.element_at(bhs, best_i + 1)),
         )
     )
+
+
+# ------------------------------------------------ signature bit balance
+
+
+def signature_bit_balance(
+    df: DataFrame,
+    sig_col: str = "phash",
+    bits: int = 64,
+) -> DataFrame:
+    """Per-bit ones-rate of an integer signature column — the corpus-health
+    audit for phash-like signatures (north star: "uniqueness checks on
+    image_id and phash"): over a diverse image corpus every phash bit should
+    sit near 50% ones. A bit stuck at 0/1 means a broken hasher build or a
+    truncated signature pipeline; a strong corpus-wide skew means a
+    degenerate corpus (solid-color thumbnails, one template) or mass
+    duplication — each invisible to per-image checks and to uniqueness
+    (distinct-but-degenerate signatures pass both). The image-axis sibling
+    of the Benford / Zipf distribution-shape gates.
+
+    One aggregation pass: ``bits`` conditional sums (``shiftright & 1`` —
+    arithmetic shift, identical for negative int64 in Spark and DuckDB)
+    plus a non-NULL count, all map-side combined into ONE row, then exploded
+    driver-free into the ``bits``-row profile. No shuffle beyond the global
+    aggregation's single-partition exchange; NULL signatures are excluded
+    from the denominator (NotNullRule owns them). Empty scope yields NULL
+    rates — loud, never a fake 0.5.
+
+    Output: (bit, ones, rows, ones_rate, deviation) with rate/deviation
+    rounded to 6 dp (the engine↔oracle parity convention)."""
+    if not 1 <= bits <= 64:
+        raise ValueError(f"signature_bit_balance: bits must be in [1, 64], got {bits}")
+    s = F.col(sig_col)
+    aggs = [F.count(s).alias("__rows")] + [
+        F.sum(F.shiftright(s, i).bitwiseAND(F.lit(1))).alias(f"__b{i}")
+        for i in range(bits)
+    ]
+    one = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("bit"),
+                F.coalesce(F.col(f"__b{i}"), F.lit(0)).cast("long").alias("ones"),
+            )
+            for i in range(bits)
+        ]
+    )
+    rate = F.when(
+        F.col("rows") > 0, F.round(F.col("ones") / F.col("rows"), 6)
+    )
+    return (
+        one.select(
+            F.explode(entries).alias("__e"), F.col("__rows").alias("rows")
+        )
+        .select(
+            F.col("__e.bit").alias("bit"),
+            F.col("__e.ones").alias("ones"),
+            "rows",
+        )
+        .select(
+            "bit",
+            "ones",
+            "rows",
+            rate.alias("ones_rate"),
+            F.round(F.abs(rate - F.lit(0.5)), 6).alias("deviation"),
+        )
+    )
+
+
+def signature_bit_violations(
+    df: DataFrame,
+    sig_col: str = "phash",
+    bits: int = 64,
+    max_deviation: float = 0.2,
+) -> DataFrame:
+    """Gate form: the profile rows whose deviation exceeds
+    ``max_deviation`` — plus, loudly, every bit when the scope was empty
+    (NULL rate must alert, not silently pass: an all-NULL signature column
+    is the worst version of the failure this audit exists to catch)."""
+    if not 0 <= max_deviation < 0.5:
+        raise ValueError(
+            "signature_bit_violations: max_deviation must be in [0, 0.5), "
+            f"got {max_deviation}"
+        )
+    prof = signature_bit_balance(df, sig_col, bits)
+    return prof.where(
+        F.col("deviation").isNull() | (F.col("deviation") > max_deviation)
+    )

@@ -843,3 +843,160 @@ def test_boilerplate_line_removal_crlf_and_null(spark):
     # NULL text -> one exempt blank line, nothing removed
     assert out[4]["n_lines"] == 1 and out[4]["n_removed"] == 0
     assert out[4]["cleaned_text"] == ""
+
+
+# ------------------------------------------------- repeated spans (winnow)
+
+
+def _py_span_fps(text, k, window):
+    """Independent Python replica of span_fingerprints (md5 winnowing)."""
+    import hashlib
+    import re
+
+    t = re.sub(r"[ \t\r\n]+", " ", (text or "").lower()).strip()
+    n = len(t)
+    if n < k + window - 1:
+        return {}
+    hs = [
+        hashlib.md5(t[i : i + k].encode()).hexdigest()[:15]
+        for i in range(n - k + 1)
+    ]
+    out = {}
+    for j in range(len(hs) - window + 1):
+        fp = min(hs[j : j + window])
+        out.setdefault(fp, j + 1)  # first window pos, 1-based
+    return out
+
+
+def test_span_fingerprints_match_python_replica(spark):
+    import random
+
+    rnd = random.Random(41)
+    rows = [
+        (i, " ".join(f"t{rnd.randint(0, 50)}" for _ in range(40)))
+        for i in range(6)
+    ] + [(6, "Tabs\tand\r\nnewlines   collapse  HERE exactly once in a doc")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (
+        df.select(
+            "doc_id",
+            F.explode(D.span_fingerprints(F.col("text"), 5, 7)).alias("w"),
+        )
+        .groupBy("doc_id", "w.fp")
+        .agg(F.min("w.pos").alias("pos"))
+        .collect()
+    )
+    eng = {}
+    for r in got:
+        eng.setdefault(r["doc_id"], {})[r["fp"]] = r["pos"]
+    for i, text in rows:
+        assert eng.get(i, {}) == _py_span_fps(text, 5, 7), i
+
+
+def test_repeated_spans_winnowing_guarantee(spark):
+    """Plant a shared span of EXACTLY window+k-1 normalized chars at
+    different offsets inside otherwise-disjoint random docs: detection is
+    guaranteed by the winnowing theorem, not probabilistic."""
+    import random
+
+    k, w = 8, 12
+    rnd = random.Random(99)
+
+    def junk(n, tag):
+        return " ".join(f"{tag}{rnd.randint(0, 9999)}" for _ in range(n))
+
+    span = "x" * 5
+    while len(span) < w + k - 1:
+        span += f" y{rnd.randint(0, 9)}"
+    span = span[: w + k - 1]
+    rows = [
+        (1, junk(10, "a") + " " + span + " " + junk(3, "b")),
+        (2, junk(2, "c") + " " + span + " " + junk(12, "d")),
+        (3, junk(20, "e")),
+        (4, None),
+        (5, "tiny"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in D.repeated_spans(df, k=k, window=w).collect()}
+    assert set(out) == {1, 2}  # only the planted pair; no false positives
+    for r in out.values():
+        assert r["n_repeated"] >= 1 and r["max_span_docs"] == 2
+        assert 0 < r["repeated_frac"] <= 1
+    # both docs elect the same (lexicographically first) repeated fp
+    assert out[1]["example_fp"] == out[2]["example_fp"]
+    # the example span is a real slice of the normalized text at example_pos
+    norm1 = " ".join((rows[0][1]).lower().split())
+    p = out[1]["example_pos"]
+    assert out[1]["example_span"] == norm1[p - 1 : p - 1 + w + k - 1]
+
+
+def test_span_postings_staged_evaluation(spark):
+    """Plan lock for the O(n²·window) trap: inside a higher-order lambda
+    Catalyst re-evaluates captured subexpressions PER ELEMENT, so the
+    normalize regex and the md5 gram array must be materialized in their
+    own Project stages (pinned behind Generate boundaries), never inlined
+    into a Generate's generator expression."""
+    df = spark.createDataFrame([(1, "abc " * 40)], "doc_id long, text string")
+    plan = (
+        D._span_postings(df, "text", "doc_id", 8, 12)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    gen_lines = [
+        line for line in plan.splitlines() if line.strip().startswith(("Generate", "+- Generate"))
+    ]
+    assert gen_lines, "expected Generate nodes in the postings plan"
+    for line in gen_lines:
+        assert "md5" not in line and "regexp_replace" not in line, line
+    # normalize evaluated once per doc in a Project (plus once in the
+    # pushed-down length Filter — also per-doc); gram hashing staged in
+    # its own Project
+    project_lines = [line for line in plan.splitlines() if "Project" in line]
+    assert sum("regexp_replace" in line for line in project_lines) == 1
+    assert sum("md5" in line for line in project_lines) == 1
+
+
+def test_repeated_spans_no_arrays_and_min_docs(spark):
+    import random
+
+    rnd = random.Random(7)
+    shared = "this exact licence header paragraph is repeated verbatim"
+    rows = [
+        (i, shared + " " + " ".join(f"u{i}v{rnd.randint(0,99)}" for _ in range(8)))
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = D.repeated_spans(df, k=8, window=12, min_docs=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # count-first postings: never a per-fingerprint doc-id array
+    assert "collect_set" not in plan and "collect_list" not in plan
+    assert out.count() == 5  # shared by all 5 -> passes min_docs=5
+    assert D.repeated_spans(df, k=8, window=12, min_docs=6).count() == 0
+    with pytest.raises(ValueError):
+        D.repeated_spans(df, min_docs=1)
+
+
+def test_repeated_span_report_top_and_ties(spark):
+    a = "alpha beta gamma delta epsilon zeta eta theta"
+    b = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, a + " filler11 filler12"),
+        (2, a + " filler21 filler22"),
+        (3, a + " " + b),
+        (4, b + " tailword41"),
+        (5, b + " tailword51"),
+        (6, "nothing shared here at all qq ww ee rr tt yy uu ii"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    rep = D.repeated_span_report(df, k=8, window=12, top_n=3).collect()
+    assert len(rep) == 3
+    # ordered by n_docs desc then fp asc; every row names a real witness
+    assert [r["n_docs"] for r in rep] == sorted(
+        [r["n_docs"] for r in rep], reverse=True
+    )
+    assert all(r["n_docs"] >= 2 for r in rep)
+    fps = [r["fp"] for r in rep]
+    same = [r["fp"] for r in rep if r["n_docs"] == rep[0]["n_docs"]]
+    assert same == sorted(same)
+    assert len(set(fps)) == 3

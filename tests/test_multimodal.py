@@ -223,3 +223,62 @@ def test_aspect_buckets_scales_to_real_bucket_lists(spark):
         w, h = i % 89 + 40, i % 47 + 24
         dists = [abs(Fraction(w, h) - Fraction(bw, bh)) for bw, bh in buckets]
         assert got[i] == dists.index(min(dists)), (i, w, h)
+
+
+# ------------------------------------------------ signature bit balance
+
+
+def test_bit_balance_exact_counts(spark):
+    from mdvalidate_spark.operators.multimodal import signature_bit_balance
+
+    # 0b0110 (=6), 0b0011 (=3), -1 (all 64 bits set), NULL (excluded)
+    df = spark.createDataFrame(
+        [(6,), (3,), (-1,), (None,)], "phash long"
+    )
+    prof = {r["bit"]: r for r in signature_bit_balance(df, bits=4).collect()}
+    assert set(prof) == {0, 1, 2, 3}
+    assert all(r["rows"] == 3 for r in prof.values())
+    # bit0: 6->0, 3->1, -1->1 = 2; bit1: 1+1+1=3; bit2: 1+0+1=2; bit3: 0+0+1=1
+    assert [prof[i]["ones"] for i in range(4)] == [2, 3, 2, 1]
+    assert prof[1]["ones_rate"] == 1.0 and prof[1]["deviation"] == 0.5
+    assert prof[3]["ones_rate"] == pytest.approx(0.333333)
+
+
+def test_bit_balance_negative_top_bit_and_plan(spark):
+    from mdvalidate_spark.operators.multimodal import signature_bit_balance
+
+    df = spark.createDataFrame([(-1,), (1,)], "phash long")
+    prof = {r["bit"]: r for r in signature_bit_balance(df).collect()}
+    assert len(prof) == 64
+    assert prof[63]["ones"] == 1  # arithmetic shift: sign bit of -1
+    assert prof[0]["ones"] == 2
+    plan = (
+        signature_bit_balance(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one global aggregation, no window/join/Python on the path
+    assert "collect_set" not in plan and "BatchEvalPython" not in plan
+
+
+def test_bit_violations_stuck_and_empty_loud(spark):
+    from mdvalidate_spark.operators.multimodal import (
+        signature_bit_violations,
+    )
+
+    import random
+
+    rnd = random.Random(3)
+    # healthy 6-bit random signatures, but bit 2 forced to 0 (stuck)
+    rows = [(rnd.getrandbits(6) & ~4,) for _ in range(400)]
+    df = spark.createDataFrame(rows, "phash long")
+    bad = signature_bit_violations(df, bits=6, max_deviation=0.2).collect()
+    assert [r["bit"] for r in bad] == [2] and bad[0]["ones"] == 0
+    # empty scope: every bit alerts with NULL rate (loud, not a silent pass)
+    empty = spark.createDataFrame([], "phash long")
+    out = signature_bit_violations(empty, bits=6, max_deviation=0.2).collect()
+    assert len(out) == 6
+    assert all(r["ones_rate"] is None and r["rows"] == 0 for r in out)
+    with pytest.raises(ValueError):
+        signature_bit_violations(df, max_deviation=0.5)
