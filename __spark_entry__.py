@@ -28,6 +28,7 @@ from mdvalidate_spark.operators.agg_rules import (
 from mdvalidate_spark.operators.ref_rules import ref_violations
 from mdvalidate_spark.operators.row_rules import row_violations, with_partition_id
 from mdvalidate_spark.spec import (
+    AlignmentRule,
     CompositeRegexRule,
     CountRule,
     DomainRule,
@@ -1717,6 +1718,89 @@ top AS (SELECT * FROM rep ORDER BY n_docs DESC, fp LIMIT 50)
 SELECT t.fp, t.n_docs, t.example_doc,
        p.pos AS example_pos, p.span AS example_span
 FROM top t JOIN posts p ON p.doc_id = t.example_doc AND p.fp = t.fp
+"""
+
+
+def q_alignment_embeddings(spark, sf_dir):
+    """AlignmentRule: row-wise cosine between two embedding columns — the
+    CLIP-score-shaped image↔caption pair gate. One codegen'd
+    zip_with/aggregate expression in the fused row pass; cosine rounded to
+    6 dp BEFORE thresholding so verdicts are engine-reproducible. The
+    second vector is synthesized deterministically (vector_embeddings
+    precedent): %11==5 → truncated (dim_mismatch), %13==7 → NaN element
+    (undefined cosine), %7==3 → negated (cos −1, below floor), %5==4 →
+    all-zero (zero norm, undefined), else ×2 (cos 1, passes); first
+    matching mutation wins, CASE order mirrored in the oracle."""
+    emb = _load(spark, sf_dir, "embeddings")
+    c = F.col("embedding")
+    vid = F.col("vec_id")
+    cap = (
+        F.when(vid % 11 == 5, F.slice(c, 1, 32))
+        .when(
+            vid % 13 == 7,
+            F.concat(
+                F.slice(c, 2, 63),
+                F.array(F.lit(float("nan")).cast("float")),
+            ),
+        )
+        .when(vid % 7 == 3, F.transform(c, lambda x: (-x).cast("float")))
+        .when(vid % 5 == 4, F.transform(c, lambda x: F.lit(0.0).cast("float")))
+        .otherwise(F.transform(c, lambda x: (x * 2).cast("float")))
+    )
+    df = emb.select(F.col("vec_id"), c.alias("embedding"), cap.alias("cap_emb"))
+    spec = Spec(
+        rules=(
+            AlignmentRule(
+                "pair_cos",
+                column_a="embedding",
+                column_b="cap_emb",
+                min_cos=0.5,
+            ),
+        ),
+        key_column="vec_id",
+        n_partitions=8,
+    )
+    prog = compile_spec(spec, df.columns)
+    return _viol_out(row_violations(with_partition_id(df, spec), prog, "q"))
+
+
+_ALIGNMENT_EMBEDDINGS_SQL = """
+WITH m AS (
+  SELECT vec_id, embedding AS a,
+    CASE WHEN vec_id % 11 = 5 THEN embedding[1:32]
+         WHEN vec_id % 13 = 7
+           THEN list_concat(embedding[2:64], [CAST('NaN' AS FLOAT)])
+         WHEN vec_id % 7 = 3
+           THEN list_transform(embedding, x -> CAST(-x AS FLOAT))
+         WHEN vec_id % 5 = 4
+           THEN list_transform(embedding, x -> CAST(0 AS FLOAT))
+         ELSE list_transform(embedding, x -> CAST(x * 2 AS FLOAT)) END AS b
+  FROM embeddings
+),
+c AS (
+  SELECT vec_id, len(a) AS da, len(b) AS db,
+    len(list_filter(a, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0
+      OR len(list_filter(b, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 AS bad,
+    sqrt(list_sum(list_transform(a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      * sqrt(list_sum(list_transform(b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      AS denom,
+    CASE WHEN len(a) = len(b)
+         THEN list_dot_product(a::DOUBLE[], b::DOUBLE[]) END AS dot
+  FROM m
+)
+SELECT 'pair_cos' AS rule_id, CAST(vec_id AS VARCHAR) AS row_key,
+  'embedding~cap_emb' AS col_name,
+  CASE WHEN da <> db THEN 'equal dims'
+       WHEN bad OR denom = 0 THEN 'defined cosine'
+       ELSE 'cos >= 0.5' END AS expected,
+  CASE WHEN da <> db THEN concat(da, '!=', db)
+       WHEN bad OR denom = 0 THEN 'no cosine (bad element or zero norm)'
+       ELSE printf('%.6f', round(dot / denom, 6)) END AS actual,
+  CASE WHEN da <> db THEN 'dim_mismatch'
+       WHEN bad OR denom = 0 THEN 'nan'
+       ELSE 'alignment' END AS kind
+FROM c
+WHERE da <> db OR bad OR denom = 0 OR round(dot / denom, 6) < 0.5
 """
 
 
@@ -4320,6 +4404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup_documents": q_span_dedup_documents,
         "span_report_documents": q_span_report_documents,
         "phash_bits_documents": q_phash_bits_documents,
+        "alignment_embeddings": q_alignment_embeddings,
         "zipf_documents": q_zipf_documents,
         "sessions_events": q_sessions_events,
         "chunk_documents": q_chunk_documents,
@@ -5874,6 +5959,7 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup_documents": _span_dedup_sql(),
         "span_report_documents": _span_report_sql(),
         "phash_bits_documents": _phash_bits_sql(),
+        "alignment_embeddings": _ALIGNMENT_EMBEDDINGS_SQL,
         "zipf_documents": _zipf_sql(),
         "sessions_events": _sessions_sql(),
         "chunk_documents": _chunk_sql(),

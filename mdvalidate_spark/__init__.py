@@ -57,6 +57,7 @@ from .spec import (
     TextQualityRule,
     UniqueRule,
     HeaderRule,
+    AlignmentRule,
     VectorRule,
     VolumeRule,
 )
@@ -100,6 +101,7 @@ __all__ = [
     "UniqueRule",
     "ValidationRun",
     "HeaderRule",
+    "AlignmentRule",
     "VectorRule",
     "VolumeRule",
     "compile_spec",

@@ -40,6 +40,7 @@ from .errors import (
     SchemaError,
 )
 from .spec import (
+    AlignmentRule,
     AssociationRule,
     BenfordRule,
     CaptureRule,
@@ -86,6 +87,7 @@ ROW_KINDS = (
     RangeRule,
     DomainRule,
     VectorRule,
+    AlignmentRule,
     ExprRule,
     FormatRule,
     HeaderRule,
@@ -412,6 +414,33 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
                 and r.min_norm > r.max_norm
             ):
                 raise InvalidBoundsError(r.id, r.min_norm, r.max_norm)
+
+        if isinstance(r, AlignmentRule):
+            if not r.column_a or not r.column_b:
+                raise SchemaError(
+                    f"rule {r.id!r}: alignment rule needs column_a and column_b"
+                )
+            if r.column_a == r.column_b:
+                raise SchemaError(
+                    f"rule {r.id!r}: alignment of a column with itself is "
+                    "vacuous (cos = 1 wherever defined)"
+                )
+            if r.min_cos is None and r.max_cos is None:
+                raise SchemaError(
+                    f"rule {r.id!r}: alignment rule needs min_cos and/or "
+                    "max_cos (a band-less cosine checks nothing)"
+                )
+            for name, v in (("min_cos", r.min_cos), ("max_cos", r.max_cos)):
+                if v is not None and not -1.0 <= v <= 1.0:
+                    raise SchemaError(
+                        f"rule {r.id!r}: {name} must be in [-1, 1], got {v}"
+                    )
+            if (
+                r.min_cos is not None
+                and r.max_cos is not None
+                and r.min_cos > r.max_cos
+            ):
+                raise InvalidBoundsError(r.id, r.min_cos, r.max_cos)
 
         if isinstance(r, UniqueRule) and not r.columns:
             raise SchemaError(f"rule {r.id!r}: unique rule needs >=1 column")

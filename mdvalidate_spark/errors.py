@@ -117,6 +117,7 @@ KIND_DIM = "dim_mismatch"
 KIND_NAN = "nan"
 KIND_EXPR = "expr"  # cross-column row invariant (ExprRule) evaluated FALSE
 KIND_FORMAT = "format"  # string value fails its declared typed format (FormatRule)
+KIND_ALIGNMENT = "alignment"  # cross-modal pair cosine outside its band (AlignmentRule)
 KIND_PII = "pii"  # typed PII matches above the declared budget (PiiRule)
 KIND_REPETITION = "repetition"  # Gopher repetition metric above its gate
 KIND_QUALITY = "quality"  # Gopher quality metric outside its envelope

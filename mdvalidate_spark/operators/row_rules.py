@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..compile import ConstraintProgram
 from ..errors import (
+    KIND_ALIGNMENT,
     KIND_DIM,
     KIND_DOMAIN,
     KIND_EXPR,
@@ -45,6 +46,7 @@ from ..errors import (
 from ..spec import (
     FORMAT_BOOL_VALUES,
     FORMAT_REGEX,
+    AlignmentRule,
     CompositeRegexRule,
     DomainRule,
     ExprRule,
@@ -272,6 +274,90 @@ def _check_applies(rule) -> Column:
                     ),
                 )
             )
+        out = F.when(branches[0][0], branches[0][1])
+        for cond, viol in branches[1:]:
+            out = out.when(cond, viol)
+        return out
+    if isinstance(rule, AlignmentRule):
+        # cross-modal pair cosine: len mismatch → undefined cosine (bad
+        # element / zero norm) → rounded cosine outside the band, first
+        # failure only. zip_with/aggregate higher-order functions — one
+        # codegen'd expression, JVM-side. NULL vector either side → every
+        # condition NULL → pass (NotNullRule's job).
+        a, b = F.col(rule.column_a), F.col(rule.column_b)
+        target = f"{rule.column_a}~{rule.column_b}"
+
+        def _bad(v: Column) -> Column:
+            return F.exists(
+                v,
+                lambda x: x.isNull()
+                | F.isnan(x)
+                | (F.abs(x.cast("double")) == F.lit(float("inf"))),
+            )
+
+        def _sq(v: Column) -> Column:
+            return F.aggregate(
+                v,
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+
+        dot = F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        denom = F.sqrt(_sq(a)) * F.sqrt(_sq(b))
+        # 6 dp rounding BEFORE thresholding: the cross-engine determinism
+        # convention (semantic_decontam) — a last-ulp float disagreement
+        # must not flip a verdict
+        cos = F.round(dot / denom, 6)
+        branches = [
+            (
+                F.size(a) != F.size(b),
+                _viol(
+                    rule.id,
+                    target,
+                    F.lit("equal dims"),
+                    F.concat_ws("!=", F.size(a), F.size(b)),
+                    KIND_DIM,
+                ),
+            ),
+            (
+                _bad(a) | _bad(b) | (denom == F.lit(0.0)),
+                _viol(
+                    rule.id,
+                    target,
+                    F.lit("defined cosine"),
+                    F.lit("no cosine (bad element or zero norm)"),
+                    KIND_NAN,
+                ),
+            ),
+        ]
+        conds = []
+        if rule.min_cos is not None:
+            conds.append(cos < F.lit(rule.min_cos))
+        if rule.max_cos is not None:
+            conds.append(cos > F.lit(rule.max_cos))
+        fail = conds[0] if len(conds) == 1 else (conds[0] | conds[1])
+        if rule.min_cos is not None and rule.max_cos is not None:
+            expected = f"cos in [{rule.min_cos}, {rule.max_cos}]"
+        elif rule.min_cos is not None:
+            expected = f"cos >= {rule.min_cos}"
+        else:
+            expected = f"cos <= {rule.max_cos}"
+        branches.append(
+            (
+                fail,
+                _viol(
+                    rule.id,
+                    target,
+                    F.lit(expected),
+                    F.format_string("%.6f", cos),
+                    KIND_ALIGNMENT,
+                ),
+            )
+        )
         out = F.when(branches[0][0], branches[0][1])
         for cond, viol in branches[1:]:
             out = out.when(cond, viol)

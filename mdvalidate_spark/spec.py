@@ -238,6 +238,38 @@ class VectorRule(Rule):
 
 
 @dataclass(frozen=True)
+class AlignmentRule(Rule):
+    """Cross-modal pair alignment: row-wise cosine similarity between two
+    embedding columns (the CLIP-score-shaped gate of an image+caption
+    corpus — image embedding vs caption embedding) must sit inside
+    [min_cos, max_cos]. A floor catches mispaired rows (caption belongs to
+    a different image); a ceiling catches degenerate near-identity (both
+    encoders fed the same input, or a copied column).
+
+    Checks run in pipeline order, FIRST failure only ("one error once",
+    cmd.rs:368-398): length mismatch between the two vectors
+    (kind=dim_mismatch), then an undefined cosine — NULL/NaN/±Inf element
+    on either side or a zero-norm vector (kind=nan; 'no cosine' is loud,
+    never a fabricated verdict), then the rounded cosine outside the bounds
+    (kind=alignment, actual formatted %.6f). The cosine is rounded to 6 dp
+    BEFORE thresholding (the semantic_decontam determinism convention) so
+    the verdict is reproducible across engines. A NULL vector on either
+    side is out of scope (NotNullRule's job). One codegen'd
+    zip_with/aggregate expression in the fused row pass — no Python, no
+    shuffle."""
+
+    column_a: str = ""
+    column_b: str = ""
+    min_cos: Optional[float] = None
+    max_cos: Optional[float] = None
+    when: str = ""  # optional row-scope predicate (see NotNullRule.when)
+    kind: str = field(default="alignment", init=False)
+
+    def targets(self):
+        return (self.column_a, self.column_b)
+
+
+@dataclass(frozen=True)
 class HeaderRule(Rule):
     """Structural integrity of a binary payload column WITHOUT decoding it:
     container magic bytes, format-code byte vs the declared ``fmt`` column,

@@ -42,6 +42,7 @@ from .spec import (
     RangeRule,
     RefIntegrityRule,
     RegexRule,
+    AlignmentRule,
     RepetitionRule,
     Rule,
     TextQualityRule,
@@ -71,6 +72,7 @@ RULE_KINDS: dict[str, type] = {
     "pixel": PixelRule,
     "schema": SchemaRule,
     "vector": VectorRule,
+    "alignment": AlignmentRule,
     "expr": ExprRule,
     "format": FormatRule,
     "outlier": OutlierRule,

@@ -296,6 +296,25 @@ def test_round3_fields_round_trip():
     assert loaded.rules[2].fact_keys() == ("a", "b")
 
 
+def test_alignment_rule_round_trip():
+    """AlignmentRule (kind 'alignment') survives the JSON round-trip."""
+    from mdvalidate_spark.spec import AlignmentRule, Spec
+    from mdvalidate_spark.spec_io import spec_from_dict, spec_to_dict
+
+    spec = Spec(
+        key_column="image_id",
+        rules=(
+            AlignmentRule(
+                "al", column_a="img_emb", column_b="cap_emb",
+                min_cos=0.35, max_cos=0.999, when="fmt = 'jpeg'",
+            ),
+        ),
+    )
+    loaded = spec_from_dict(spec_to_dict(spec))
+    assert loaded == spec
+    assert loaded.rules[0].targets() == ("img_emb", "cap_emb")
+
+
 def test_cli_suggest_drift_ratchet_loop(spark, tmp_path, capsys):
     """Full CLI drift-ratchet loop (VERDICT r3 #3): --suggest-drift drafts
     PSI gates + persists the profile snapshot; a validate run with

@@ -399,6 +399,90 @@ def test_vector_rule_single_stage_no_python(spark):
     assert "PythonUDF" not in plan
 
 
+def _pair_df(spark):
+    nan, inf = float("nan"), float("inf")
+    rows = [
+        ("ok", [1.0, 0.0], [1.0, 0.0]),          # cos 1.0
+        ("mis", [1.0, 0.0], [0.0, 1.0]),         # cos 0.0 -> below floor
+        ("anti", [1.0, 0.0], [-1.0, 0.0]),       # cos -1.0 -> below floor
+        ("short", [1.0, 0.0], [1.0]),            # dim mismatch
+        ("nan", [1.0, nan], [1.0, 0.0]),         # bad element side a
+        ("inf", [1.0, 0.0], [inf, 0.0]),         # bad element side b
+        ("zero", [0.0, 0.0], [1.0, 0.0]),        # zero norm -> no cosine
+        ("nulla", None, [1.0, 0.0]),             # NULL vector -> out of scope
+        ("nullelem", [1.0, None], [1.0, 0.0]),   # NULL element -> no cosine
+    ]
+    return with_partition_id(
+        spark.createDataFrame(
+            rows, "image_id string, a array<double>, b array<double>"
+        ),
+        base_spec([]),
+    )
+
+
+def test_alignment_rule_taxonomy_and_precedence(spark):
+    """len mismatch → undefined cosine → band, first failure only; NULL
+    vectors pass (NotNullRule's job); cosine rounded to 6 dp before the
+    threshold compare."""
+    from mdvalidate_spark.spec import AlignmentRule
+
+    rule = AlignmentRule("al", column_a="a", column_b="b", min_cos=0.5)
+    v = {r["image_id"]: r for r in run_rows(spark, _pair_df(spark), [rule]).collect()}
+    assert set(v) == {"mis", "anti", "short", "nan", "inf", "zero", "nullelem"}
+    assert v["short"]["kind"] == "dim_mismatch" and v["short"]["actual"] == "2!=1"
+    for key in ("nan", "inf", "zero", "nullelem"):
+        assert v[key]["kind"] == "nan", key
+    assert v["mis"]["kind"] == "alignment" and v["mis"]["actual"] == "0.000000"
+    assert v["anti"]["actual"] == "-1.000000"
+    assert v["mis"]["expected"] == "cos >= 0.5"
+    assert all(r["column"] == "a~b" for r in v.values())
+
+
+def test_alignment_rule_ceiling_and_lints(spark):
+    from mdvalidate_spark.errors import InvalidBoundsError, SchemaError
+    from mdvalidate_spark.spec import AlignmentRule
+
+    # ceiling: near-identity pairs are the violation (copied column)
+    rule = AlignmentRule("al", column_a="a", column_b="b", max_cos=0.99)
+    v = {r["image_id"]: r for r in run_rows(spark, _pair_df(spark), [rule]).collect()}
+    assert v["ok"]["kind"] == "alignment" and v["ok"]["expected"] == "cos <= 0.99"
+    assert "mis" not in v and "anti" not in v
+    cols = ["image_id", "a", "b"]
+    for bad in (
+        AlignmentRule("b0", column_a="a", column_b="b"),           # band-less
+        AlignmentRule("b1", column_a="a", column_b="a", min_cos=0.5),  # self
+        AlignmentRule("b2", column_a="a", column_b="b", min_cos=1.5),  # range
+        AlignmentRule("b3", column_a="a", column_b="", min_cos=0.5),   # empty
+    ):
+        with pytest.raises(SchemaError):
+            compile_spec(base_spec([bad]), cols)
+    with pytest.raises(InvalidBoundsError):
+        compile_spec(
+            base_spec(
+                [AlignmentRule("b4", column_a="a", column_b="b",
+                               min_cos=0.9, max_cos=0.1)]
+            ),
+            cols,
+        )
+    with pytest.raises(SchemaError):  # unknown column caught at compile
+        compile_spec(
+            base_spec(
+                [AlignmentRule("b5", column_a="a", column_b="nope", min_cos=0.5)]
+            ),
+            cols,
+        )
+
+
+def test_alignment_rule_single_stage_no_python(spark):
+    from mdvalidate_spark.spec import AlignmentRule
+
+    rule = AlignmentRule("al", column_a="a", column_b="b", min_cos=0.5, max_cos=1.0)
+    v = run_rows(spark, _pair_df(spark), [rule])
+    plan = v._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "PythonUDF" not in plan
+
+
 # ---------------------------------------------------- valid/quarantine split
 
 
