@@ -1721,6 +1721,81 @@ FROM top t JOIN posts p ON p.doc_id = t.example_doc AND p.fp = t.fp
 """
 
 
+def q_canonical_urls_documents(spark, sf_dir):
+    """Canonical-URL dedup (pii.py canonical_url / url_duplicates): the
+    same page arriving via tracking links, mixed-case hosts, default ports,
+    and fragments must collapse to ONE dedup key. Fixture URLs are
+    synthesized from doc_id (base host = doc_id % 25, variant = doc_id % 4)
+    so variants 0 (www + utm param) and 1 (uppercase scheme + :80) MERGE
+    into one canonical group with two raw spellings, while variants 2/3
+    form their own exact-raw groups; the whole regex chain is RE2/Java
+    parity-shared and replayed verbatim in DuckDB."""
+    from mdvalidate_spark.operators.pii import url_duplicates
+
+    docs = _load(spark, sf_dir, "documents")
+    base = F.concat(
+        F.lit("example"), (F.col("doc_id") % 25).cast("string"), F.lit(".com")
+    )
+    v = F.col("doc_id") % 4
+    url = (
+        F.when(v == 0, F.concat(F.lit("http://www."), base, F.lit("/p?a=1&utm_source=x")))
+        .when(v == 1, F.concat(F.lit("HTTP://"), base, F.lit(":80/p?a=1")))
+        .when(v == 2, F.concat(F.lit("https://"), base, F.lit("/p/?fbclid=z#f")))
+        .otherwise(F.concat(F.lit("http://"), base, F.lit("/p")))
+    )
+    return url_duplicates(docs.select("doc_id", url.alias("url")))
+
+
+def _canonical_urls_sql() -> str:
+    from mdvalidate_spark.operators.pii import TRACKING_PARAMS as TP
+
+    return f"""
+WITH raw AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 4 = 0
+           THEN 'http://www.example' || CAST(doc_id % 25 AS VARCHAR) || '.com/p?a=1&utm_source=x'
+         WHEN doc_id % 4 = 1
+           THEN 'HTTP://example' || CAST(doc_id % 25 AS VARCHAR) || '.com:80/p?a=1'
+         WHEN doc_id % 4 = 2
+           THEN 'https://example' || CAST(doc_id % 25 AS VARCHAR) || '.com/p/?fbclid=z#f'
+         ELSE 'http://example' || CAST(doc_id % 25 AS VARCHAR) || '.com/p' END AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(url, '^(?i)(https?)://', 1)) AS scheme,
+    regexp_replace(lower(regexp_extract(url,
+      '^(?i)https?://(?:[^/@?#]*@)?([^/:?#]+)', 1)), '^www\\.', '') AS host,
+    regexp_extract(url, '^(?i)https?://(?:[^/@?#]*@)?[^/:?#]+:([0-9]+)', 1) AS port,
+    regexp_replace(regexp_extract(url,
+      '^(?i)https?://(?:[^/@?#]*@)?[^/?#]*(.*)$', 1), '#.*$', '') AS rest0
+  FROM raw
+),
+canon AS (
+  SELECT doc_id, url,
+    CASE WHEN scheme <> '' AND host <> ''
+      THEN regexp_replace(
+        scheme || '://' || host ||
+        CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                  OR (scheme = 'https' AND port = '443')
+             THEN '' ELSE ':' || port END ||
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(rest0,
+            '&{TP}=[^&]*', '', 'g'),
+            '\\?{TP}=[^&]*&', '?'),
+            '\\?{TP}=[^&]*$', ''),
+            '\\?$', ''),
+        '/+$', '') END AS canonical
+  FROM parts
+)
+SELECT canonical, count(*) AS n_rows,
+       count(DISTINCT url) AS n_raw_variants,
+       min(doc_id) AS representative,
+       min(url) AS example_lo, max(url) AS example_hi
+FROM canon WHERE canonical IS NOT NULL
+GROUP BY canonical HAVING count(*) > 1
+"""
+
+
 def q_alignment_embeddings(spark, sf_dir):
     """AlignmentRule: row-wise cosine between two embedding columns — the
     CLIP-score-shaped image↔caption pair gate. One codegen'd
@@ -4405,6 +4480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_report_documents": q_span_report_documents,
         "phash_bits_documents": q_phash_bits_documents,
         "alignment_embeddings": q_alignment_embeddings,
+        "canonical_urls_documents": q_canonical_urls_documents,
         "zipf_documents": q_zipf_documents,
         "sessions_events": q_sessions_events,
         "chunk_documents": q_chunk_documents,
@@ -5960,6 +6036,7 @@ def oracle_sql() -> dict[str, str]:
         "span_report_documents": _span_report_sql(),
         "phash_bits_documents": _phash_bits_sql(),
         "alignment_embeddings": _ALIGNMENT_EMBEDDINGS_SQL,
+        "canonical_urls_documents": _canonical_urls_sql(),
         "zipf_documents": _zipf_sql(),
         "sessions_events": _sessions_sql(),
         "chunk_documents": _chunk_sql(),

@@ -236,3 +236,85 @@ def blocklist_violations(
         F.col("domain").alias("actual"),
         F.lit("blocklist").alias("kind"),
     )
+
+
+# ------------------------------------------------- URL canonicalization
+
+#: query params that never change the resource: analytics/click-tracking ids.
+#: One alternation fragment shared by engine and oracle (RE2- and Java-safe:
+#: no lookaround, plain classes only).
+TRACKING_PARAMS = "(?:utm_[a-z]+|fbclid|gclid|msclkid|mc_eid|igshid|ref_src)"
+
+# component extractors — (?i) inline flag works in both Java regex and RE2
+_SCHEME_RE = "^(?i)(https?)://"
+_HOST_RE = "^(?i)https?://(?:[^/@?#]*@)?([^/:?#]+)"
+_PORT_RE = "^(?i)https?://(?:[^/@?#]*@)?[^/:?#]+:([0-9]+)"
+_REST_RE = "^(?i)https?://(?:[^/@?#]*@)?[^/?#]*(.*)$"
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of an http(s) URL — the dedup key of every web-corpus
+    pipeline (the same page arrives via tracking links, mixed-case hosts,
+    default ports, and fragments; URL-level dedup without canonicalization
+    undercounts duplicates by whole crawl batches).
+
+    Steps, all pure column algebra over shared RE2/Java-parity regexes (no
+    lookaround, so the identical patterns replay in DuckDB): lowercase
+    scheme + host, drop userinfo, drop a leading ``www.``, drop the scheme's
+    default port (http:80 / https:443, other ports kept), drop the
+    ``#fragment``, strip tracking query params (TRACKING_PARAMS), drop an
+    emptied ``?``, and strip trailing slashes at the end of the result
+    (a pre-query trailing slash is kept — RE2 has no lookahead; declared).
+    Percent-encoding and path dot-segments are NOT normalized (that needs a
+    real parser; documented limit). Non-http(s) / unparseable input → NULL,
+    never a half-canonical value."""
+    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(url, _HOST_RE, 1)), "^www\\.", ""
+    )
+    port = F.regexp_extract(url, _PORT_RE, 1)
+    default_port = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
+    portpart = F.when(
+        (port == "") | default_port, F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+    rest = F.regexp_extract(url, _REST_RE, 1)
+    rest = F.regexp_replace(rest, "#.*$", "")  # fragment first
+    # tracking params: mid-query '&p=v', leading '?p=v&', then a sole '?p=v'
+    rest = F.regexp_replace(rest, "&" + TRACKING_PARAMS + "=[^&]*", "")
+    rest = F.regexp_replace(rest, "\\?" + TRACKING_PARAMS + "=[^&]*&", "?")
+    rest = F.regexp_replace(rest, "\\?" + TRACKING_PARAMS + "=[^&]*$", "")
+    rest = F.regexp_replace(rest, "\\?$", "")
+    out = F.concat(scheme, F.lit("://"), host, portpart, rest)
+    out = F.regexp_replace(out, "/+$", "")
+    return F.when((scheme != "") & (host != ""), out)
+
+
+def url_duplicates(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Canonical-URL duplicate groups: rows whose URLs canonicalize to the
+    same resource. One groupBy on the canonical key (uniform hash — the
+    canonical string), bounded fixed-width output per group (count,
+    distinct raw variants, min/max raw examples, min id as representative)
+    — a viral URL costs one row, never a member array. Rows whose URL does
+    not canonicalize (NULL) are excluded: un-parseable URLs are a
+    FormatRule/PiiRule concern, not a dedup key."""
+    canon = canonical_url(F.col(url_col))
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.col(url_col).alias("__raw"),
+                  canon.alias("canonical"))
+        .where(F.col("canonical").isNotNull())
+        .groupBy("canonical")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct(F.col("__raw")).alias("n_raw_variants"),
+            F.min("doc_id").alias("representative"),
+            F.min("__raw").alias("example_lo"),
+            F.max("__raw").alias("example_hi"),
+        )
+        .where(F.col("n_rows") > 1)
+    )

@@ -177,3 +177,53 @@ def test_blocklist_violations_broadcast(spark, dom_docs):
     assert all(r["actual"] == "ads.example.org" and r["kind"] == "blocklist" for r in rows)
     plan = v._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# ------------------------------------------------- URL canonicalization
+
+
+def test_canonical_url_cases(spark):
+    from mdvalidate_spark.operators.pii import canonical_url
+
+    cases = [
+        ("HTTP://WWW.Example.COM:80/Path/To?a=1&utm_source=x&b=2#frag",
+         "http://example.com/Path/To?a=1&b=2"),
+        ("https://example.com:443/", "https://example.com"),
+        ("https://example.com:8443/x", "https://example.com:8443/x"),
+        ("http://user:pw@example.com/x?utm_campaign=z", "http://example.com/x"),
+        ("http://example.com/path/?fbclid=abc", "http://example.com/path"),
+        ("http://example.com/?utm_a=1&utm_b=2", "http://example.com"),
+        ("ftp://example.com/x", None),      # non-http(s) -> NULL, not partial
+        ("not a url", None),
+        (None, None),
+        ("http://sub.www.example.com/x?ref_src=tw&q=1",
+         "http://sub.www.example.com/x?q=1"),  # www stripped at prefix only
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(canonical_url(F.col("url"))).collect()]
+    for (u, want), g in zip(cases, got):
+        assert g == want, (u, g, want)
+
+
+def test_url_duplicates_groups(spark):
+    from mdvalidate_spark.operators.pii import url_duplicates
+
+    rows = [
+        (1, "http://www.a.com/p?utm_source=x"),
+        (2, "HTTP://A.com:80/p"),
+        (3, "http://a.com/p"),          # 1,2,3 -> same canonical, 3 raws
+        (4, "http://b.com/q"),
+        (5, "http://b.com/q"),          # 4,5 -> same canonical, 1 raw
+        (6, "http://c.com/solo"),       # singleton -> excluded
+        (7, "garbage"),                 # NULL canonical -> excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["canonical"]: r for r in url_duplicates(df).collect()}
+    assert set(out) == {"http://a.com/p", "http://b.com/q"}
+    a = out["http://a.com/p"]
+    assert a["n_rows"] == 3 and a["n_raw_variants"] == 3
+    assert a["representative"] == 1
+    b = out["http://b.com/q"]
+    assert b["n_rows"] == 2 and b["n_raw_variants"] == 1
+    plan = url_duplicates(df)._jdf.queryExecution().executedPlan().toString()
+    assert "PythonUDF" not in plan and "collect_set" not in plan
