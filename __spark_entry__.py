@@ -1721,6 +1721,58 @@ FROM top t JOIN posts p ON p.doc_id = t.example_doc AND p.fp = t.fp
 """
 
 
+def q_suggest_align_embeddings(spark, sf_dir):
+    """Suggestion ratchet extended to EMBEDDING PAIRS: profile once, draft
+    an AlignmentRule cosine floor at the observed per-row minimum (rounded
+    6 dp) minus the 0.05 headroom, in integer micro-units. The second
+    vector is synthesized with a data-dependent but deterministic minimum:
+    %3==0 rows keep only the first 32 components (cos = sqrt of the kept
+    energy share), the rest scale ×2 (cos exactly 1) — no dirty rows, so
+    the draft fires; the oracle re-derives the observed min and the exact
+    micro-unit band arithmetic."""
+    from mdvalidate_spark.operators.suggest import suggest_spec, suggestion_rows
+
+    emb = _load(spark, sf_dir, "embeddings")
+    c = F.col("embedding")
+    half = F.concat(
+        F.slice(c, 1, 32),
+        F.transform(F.slice(c, 33, 32), lambda x: F.lit(0.0).cast("float")),
+    )
+    cap = F.when(F.col("vec_id") % 3 == 0, half).otherwise(
+        F.transform(c, lambda x: (x * 2).cast("float"))
+    )
+    df = emb.select(F.col("vec_id"), c.alias("embedding"), cap.alias("cap_emb"))
+    spec = suggest_spec(
+        df, "vec_id", exact=True,
+        alignment_pairs=(("embedding", "cap_emb"),),
+    )
+    return suggestion_rows(spark, spec).where("kind = 'alignment'")
+
+
+_SUGGEST_ALIGN_SQL = """
+WITH m AS (
+  SELECT embedding AS a,
+    CASE WHEN vec_id % 3 = 0
+         THEN list_concat(embedding[1:32],
+                          list_transform(embedding[33:64], x -> CAST(0 AS FLOAT)))
+         ELSE list_transform(embedding, x -> CAST(x * 2 AS FLOAT)) END AS b
+  FROM embeddings
+),
+c AS (
+  SELECT round(
+    list_dot_product(a::DOUBLE[], b::DOUBLE[]) /
+    (sqrt(list_sum(list_transform(a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+     * sqrt(list_sum(list_transform(b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+    6) AS cosr
+  FROM m
+),
+s AS (SELECT CAST(round(min(cosr) * 1e6) AS BIGINT) - 50000 AS f_m FROM c)
+SELECT 'embedding,cap_emb' AS column_name, 'alignment' AS kind,
+       printf('cos >= %.6f', greatest(-1000000, f_m) / 1000000.0) AS detail
+FROM s
+"""
+
+
 def q_canonical_urls_documents(spark, sf_dir):
     """Canonical-URL dedup (pii.py canonical_url / url_duplicates): the
     same page arriving via tracking links, mixed-case hosts, default ports,
@@ -4480,6 +4532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_report_documents": q_span_report_documents,
         "phash_bits_documents": q_phash_bits_documents,
         "alignment_embeddings": q_alignment_embeddings,
+        "suggest_align_embeddings": q_suggest_align_embeddings,
         "canonical_urls_documents": q_canonical_urls_documents,
         "zipf_documents": q_zipf_documents,
         "sessions_events": q_sessions_events,
@@ -6036,6 +6089,7 @@ def oracle_sql() -> dict[str, str]:
         "span_report_documents": _span_report_sql(),
         "phash_bits_documents": _phash_bits_sql(),
         "alignment_embeddings": _ALIGNMENT_EMBEDDINGS_SQL,
+        "suggest_align_embeddings": _SUGGEST_ALIGN_SQL,
         "canonical_urls_documents": _canonical_urls_sql(),
         "zipf_documents": _zipf_sql(),
         "sessions_events": _sessions_sql(),

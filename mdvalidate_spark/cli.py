@@ -169,6 +169,16 @@ def parse_args(argv=None):
         "headroom) for domain-sized string columns "
         "(operators/suggest.py concentration_gates)",
     )
+    p.add_argument(
+        "--suggest-align",
+        action="append",
+        default=[],
+        metavar="COL_A:COL_B",
+        help="with --suggest-key: also draft an AlignmentRule cosine floor "
+        "for this embedding-column pair at the observed per-row minimum "
+        "minus headroom (repeatable; operators/suggest.py alignment_pairs). "
+        "Pairs with dim-mismatch or undefined-cosine rows draft nothing",
+    )
     return p.parse_args(argv)
 
 
@@ -382,16 +392,32 @@ def _suggest_main(args) -> int:
                 file=sys.stderr,
             )
             return 2
-        spec = suggest_spec(
-            df,
-            args.suggest_key,
-            exact=args.suggest_exact,
-            drift=args.suggest_drift is not None,
-            text_gates=args.suggest_text_gates,
-            format_gates=args.suggest_format_gates,
-            association_gates=args.suggest_assoc_gates,
-            concentration_gates=args.suggest_concentration_gates,
-        )
+        pairs = []
+        for raw in args.suggest_align:
+            a, sep, b = raw.partition(":")
+            if not sep or not a or not b:
+                print(
+                    f"schema error: --suggest-align needs COL_A:COL_B, "
+                    f"got {raw!r}",
+                    file=sys.stderr,
+                )
+                return 2
+            pairs.append((a, b))
+        try:
+            spec = suggest_spec(
+                df,
+                args.suggest_key,
+                exact=args.suggest_exact,
+                drift=args.suggest_drift is not None,
+                text_gates=args.suggest_text_gates,
+                format_gates=args.suggest_format_gates,
+                association_gates=args.suggest_assoc_gates,
+                concentration_gates=args.suggest_concentration_gates,
+                alignment_pairs=tuple(pairs),
+            )
+        except SchemaError as e:  # e.g. a bad --suggest-align column
+            print(f"schema error: {e}", file=sys.stderr)
+            return 2
         save_spec(spec, args.spec)
         if args.suggest_drift is not None:
             from .operators.suggest import suggest_profile_snapshot

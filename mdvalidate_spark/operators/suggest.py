@@ -112,6 +112,7 @@ from pyspark.sql.types import (
 
 from ..spec import (
     FORMATS,
+    AlignmentRule,
     AssociationRule,
     ConcentrationRule,
     DomainRule,
@@ -162,6 +163,8 @@ def suggest_spec(
     association_min_slack: float = 0.05,
     concentration_gates: bool = False,
     concentration_headroom: float = 0.25,
+    alignment_pairs: tuple[tuple[str, str], ...] = (),
+    alignment_headroom: float = 0.05,
     format_gates: bool = False,
     format_candidates: tuple[str, ...] = (
         "int",
@@ -529,6 +532,92 @@ def suggest_spec(
                 )
             )
 
+    if alignment_pairs:
+        # cross-modal cosine floor ratchet: observed MIN rounded cosine per
+        # declared (a, b) embedding pair, minus absolute headroom (floored
+        # to 6 dp the permissive way, clamped to [-1, 1]). Drafted ONLY when
+        # the profile saw zero dim-mismatch / undefined-cosine rows — those
+        # violate an AlignmentRule regardless of band, so a draft over dirty
+        # pairs would fail immediately (not a ratchet; fix the pairs first).
+        from pyspark.sql.types import ArrayType
+
+        from ..errors import SchemaError
+
+        ftypes = {f.name: f.dataType for f in fields}
+        for a, b in alignment_pairs:
+            if a == b:
+                raise SchemaError(
+                    f"alignment pair ({a!r}, {a!r}): self-alignment is vacuous"
+                )
+            for c in (a, b):
+                if c not in ftypes:
+                    raise SchemaError(f"alignment pair column {c!r} not in df")
+                if not isinstance(ftypes[c], ArrayType):
+                    raise SchemaError(
+                        f"alignment pair column {c!r} is "
+                        f"{ftypes[c].simpleString()}, need an array column"
+                    )
+
+        def _albad(v):
+            return F.exists(
+                v,
+                lambda x: x.isNull()
+                | F.isnan(x)
+                | (F.abs(x.cast("double")) == F.lit(float("inf"))),
+            )
+
+        def _alsq(v):
+            return F.aggregate(
+                v,
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+
+        alaggs = []
+        for i, (a, b) in enumerate(alignment_pairs):
+            ca, cb = F.col(a), F.col(b)
+            dot = F.aggregate(
+                F.zip_with(
+                    ca, cb, lambda x, y: x.cast("double") * y.cast("double")
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            denom = F.sqrt(_alsq(ca)) * F.sqrt(_alsq(cb))
+            in_scope = ca.isNotNull() & cb.isNotNull()
+            mismatch = F.size(ca) != F.size(cb)
+            undef = _albad(ca) | _albad(cb) | (denom == F.lit(0.0))
+            cosr = F.round(dot / denom, 6)
+            alaggs += [
+                F.count(F.when(in_scope & mismatch, 1)).alias(f"al_mis__{i}"),
+                F.count(F.when(in_scope & ~mismatch & undef, 1)).alias(
+                    f"al_bad__{i}"
+                ),
+                F.min(
+                    F.when(in_scope & ~mismatch & ~undef, cosr)
+                ).alias(f"al_min__{i}"),
+            ]
+        arow = df.agg(*alaggs).collect()[0].asDict()
+        for i, (a, b) in enumerate(alignment_pairs):
+            if arow[f"al_mis__{i}"] or arow[f"al_bad__{i}"]:
+                continue  # dirty pair: any band fails on day one
+            mn = arow[f"al_min__{i}"]
+            if mn is None:
+                continue  # no in-scope pairs: nothing observed to ratchet
+            # integer micro-units: (0.6 - 0.05)*1e6 floats to 549999.999…,
+            # which a naive floor would turn into an off-by-one-micro band
+            mn_m = int(round(mn * 1e6))
+            hr_m = int(round(alignment_headroom * 1e6))
+            floor = max(-1_000_000, mn_m - hr_m) / 1e6
+            rules.append(
+                AlignmentRule(
+                    f"suggest_align_{a}__{b}",
+                    column_a=a,
+                    column_b=b,
+                    min_cos=floor,
+                )
+            )
+
     if gates and n_rows > 0:
         # volume floor: growth is fine, silent truncation is the failure mode
         rules.append(
@@ -638,6 +727,14 @@ def suggestion_rows(spark, spec: Spec) -> DataFrame:
             if r.max_hhi is not None:
                 bounds.append(f"hhi <= {r.max_hhi:.6f}")
             rows.append((r.column, "concentration", ", ".join(bounds)))
+        elif isinstance(r, AlignmentRule):
+            rows.append(
+                (
+                    f"{r.column_a},{r.column_b}",
+                    "alignment",
+                    f"cos >= {r.min_cos:.6f}",
+                )
+            )
         elif isinstance(r, PiiRule):
             rows.append((r.column, "pii", f"pii_total <= {r.max_total}"))
         elif isinstance(r, RepetitionRule):

@@ -537,3 +537,43 @@ def test_cli_fingerprint_columns_flag(spark, tmp_path, capsys):
     assert code == 1  # injected violations; the run still finalizes
     meta = json.load(open(os.path.join(ck, "fingerprint", "meta.json")))
     assert meta["columns"] == ["fmt", "h", "w"]  # sorted override, verbatim
+
+
+def test_cli_suggest_align_pairs(spark, tmp_path, capsys):
+    """--suggest-align COL_A:COL_B drafts an AlignmentRule floor through the
+    CLI; malformed pair syntax and unknown columns are exit-2 refusals."""
+    from mdvalidate_spark import cli
+    from mdvalidate_spark.spec import AlignmentRule
+    from mdvalidate_spark.spec_io import load_spec
+
+    table = str(tmp_path / "pairs.parquet")
+    spark.createDataFrame(
+        [(i, [1.0, 0.0], [0.6, 0.8]) for i in range(6)],
+        "id long, a array<double>, b array<double>",
+    ).write.parquet(table)
+    spec_path = str(tmp_path / "draft.json")
+    code = cli.main([
+        "--table", table, "--spec", spec_path,
+        "--suggest-key", "id", "--suggest-exact",
+        "--suggest-align", "a:b",
+    ])
+    assert code == 0
+    drafted = [r for r in load_spec(spec_path).rules
+               if isinstance(r, AlignmentRule)]
+    assert len(drafted) == 1 and drafted[0].min_cos == 0.55
+    capsys.readouterr()
+
+    # malformed pair syntax: refused from argv parsing, exit 2
+    code = cli.main([
+        "--table", table, "--spec", str(tmp_path / "d2.json"),
+        "--suggest-key", "id", "--suggest-align", "a=b",
+    ])
+    assert code == 2
+    # unknown pair column: typed SchemaError -> exit 2, no traceback
+    code = cli.main([
+        "--table", table, "--spec", str(tmp_path / "d3.json"),
+        "--suggest-key", "id", "--suggest-align", "a:nope",
+    ])
+    assert code == 2
+    err = capsys.readouterr().err
+    assert "schema error" in err

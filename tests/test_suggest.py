@@ -559,3 +559,67 @@ def test_concentration_gates_drafted_clean_and_fire_on_shift(spark):
         for r in rows.where("kind = 'concentration'").collect()
     }
     assert det == {"cat": "top_share <= 0.625000, hhi <= 0.468750"}
+
+
+def test_alignment_pairs_drafted_clean_and_fire_on_shift(spark):
+    """Declared embedding pairs draft an AlignmentRule cosine floor at the
+    observed minimum minus headroom; the draft validates CLEAN on the
+    profiled table and FIRES on a mispaired batch."""
+    from mdvalidate_spark import validate_table
+    from mdvalidate_spark.spec import AlignmentRule
+
+    # pairs with cosines 1.0 (identical) and ~0.6 (planted angle)
+    rows = [(i, [1.0, 0.0], [1.0, 0.0]) for i in range(8)]
+    rows += [(8 + i, [1.0, 0.0], [0.6, 0.8]) for i in range(4)]  # cos 0.6
+    rows.append((99, None, [1.0, 0.0]))  # NULL vector: out of scope
+    df = spark.createDataFrame(rows, "id long, a array<double>, b array<double>")
+    spec = suggest_spec(
+        df, "id", exact=True, alignment_pairs=(("a", "b"),),
+        alignment_headroom=0.05,
+    )
+    al = [r for r in spec.rules if isinstance(r, AlignmentRule)]
+    assert len(al) == 1
+    [r] = al
+    assert r.id == "suggest_align_a__b"
+    assert r.min_cos == 0.55  # floor((0.6 - 0.05) * 1e6) / 1e6
+    assert validate_table(spark, df, spec).exit_code == 0
+
+    # mispaired batch: orthogonal vectors -> floor fires
+    shifted = spark.createDataFrame(
+        [(i, [1.0, 0.0], [0.0, 1.0]) for i in range(5)],
+        "id long, a array<double>, b array<double>",
+    )
+    rep = validate_table(spark, shifted, spec)
+    fired = [
+        v for v in rep.violations.collect()
+        if v["rule_id"] == "suggest_align_a__b"
+    ]
+    assert len(fired) == 5 and all(v["kind"] == "alignment" for v in fired)
+
+
+def test_alignment_pairs_dirty_skipped_and_lints(spark):
+    """A pair with dim-mismatch or undefined-cosine rows drafts NOTHING (a
+    band would fail on day one regardless of floor); declared-pair mistakes
+    are typed SchemaErrors before any Spark work on the pair pass."""
+    from mdvalidate_spark.errors import SchemaError
+    from mdvalidate_spark.spec import AlignmentRule
+
+    dirty = spark.createDataFrame(
+        [(1, [1.0, 0.0], [1.0, 0.0]), (2, [1.0, 0.0], [0.0, 0.0])],  # zero norm
+        "id long, a array<double>, b array<double>",
+    )
+    spec = suggest_spec(dirty, "id", exact=True, alignment_pairs=(("a", "b"),))
+    assert not any(isinstance(r, AlignmentRule) for r in spec.rules)
+    mism = spark.createDataFrame(
+        [(1, [1.0, 0.0], [1.0])],
+        "id long, a array<double>, b array<double>",
+    )
+    spec = suggest_spec(mism, "id", exact=True, alignment_pairs=(("a", "b"),))
+    assert not any(isinstance(r, AlignmentRule) for r in spec.rules)
+    ok = spark.createDataFrame(
+        [(1, [1.0, 0.0], [1.0, 0.0])],
+        "id long, a array<double>, b array<double>",
+    )
+    for pairs in ((("a", "a"),), (("a", "nope"),), (("a", "id"),)):
+        with pytest.raises(SchemaError):
+            suggest_spec(ok, "id", exact=True, alignment_pairs=pairs)
