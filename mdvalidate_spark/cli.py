@@ -51,6 +51,15 @@ def parse_args(argv=None):
         "validation run; sources/layout.py) and exit",
     )
     p.add_argument(
+        "--column-report",
+        action="store_true",
+        help="audit-only mode: print the per-COLUMN physical report for "
+        "--table as one JSON line — compressed/uncompressed bytes, "
+        "compression ratio, codecs, encodings, chunks without min/max "
+        "stats (unprunable) — footer metadata only (sources/layout.py "
+        "column_report) and exit",
+    )
+    p.add_argument(
         "--table",
         required=True,
         help="input table: parquet dir/URI, catalog identifier, or "
@@ -184,11 +193,12 @@ def parse_args(argv=None):
 
 def main(argv=None) -> int:
     args = parse_args(argv)
-    if args.layout_report:
+    if args.layout_report or args.column_report:
         return _layout_main(args)
     if args.spec is None:
         print(
-            "schema error: --spec is required (except with --layout-report)",
+            "schema error: --spec is required (except with --layout-report/"
+            "--column-report)",
             file=sys.stderr,
         )
         return 2
@@ -342,11 +352,14 @@ def _layout_main(args) -> int:
     pre_existing = SparkSession.getActiveSession() is not None
     spark = get_spark(app_name="mdvalidate-spark", master=args.master)
     try:
-        from .sources.layout import layout_report
+        from .sources.layout import column_report, layout_report
         from .sources.table_io import read_table
 
         try:
-            rep = layout_report(read_table(spark, args.table))
+            df = read_table(spark, args.table)
+            rep = (
+                column_report(df) if args.column_report else layout_report(df)
+            )
         except SchemaError as e:
             print(f"schema error: {e}", file=sys.stderr)
             return 2

@@ -99,3 +99,84 @@ def layout_report(
         "suggested_partitions": max(1, math.ceil(total / target_file_bytes)),
         "smallest_files": [(f, s) for s, f in sizes[:10]],
     }
+
+
+def column_report(
+    source,
+    *,
+    max_files: int = 10_000,
+) -> dict:
+    """Per-COLUMN physical audit from the same parquet footers: where the
+    bytes actually live and whether the layout can prune.
+
+    For each leaf column, aggregated over every row-group chunk:
+    ``compressed_bytes`` / ``uncompressed_bytes`` / ``ratio`` (≈1.0 on a
+    large column = UNCOMPRESSED or incompressible payload — at 100 TB the
+    difference between shipping 1× and 3× the bytes), the ``codecs`` and
+    ``encodings`` actually used (a string column whose chunks carry no
+    RLE_DICTIONARY encoding re-writes every repeated value — the classic
+    silent 5× table bloat), ``n_chunks``, and ``n_chunks_without_stats``
+    (chunks missing min/max statistics cannot be pruned by predicate
+    pushdown OR by the native row-group-range scan — a scan that should
+    read 1% reads 100%).
+
+    Driver-side footer metadata only — no Spark job, no data read; refuses
+    above ``max_files`` like layout_report (catalog territory). Returns
+    {"columns": {name: {...}}, "n_files", "total_compressed_bytes"}."""
+    from ..errors import SchemaError
+
+    files = parquet_files(source) if isinstance(source, DataFrame) else list(source)
+    if not files:
+        raise SchemaError(
+            "column_report needs a parquet-file-backed DataFrame or a "
+            "non-empty file list"
+        )
+    if len(files) > max_files:
+        raise SchemaError(
+            f"column_report: {len(files)} files exceeds max_files="
+            f"{max_files} — read these numbers from the table catalog "
+            "(Iceberg manifests) instead of a driver footer loop"
+        )
+    import pyarrow.parquet as pq
+
+    cols: dict[str, dict] = {}
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            for i in range(rg.num_columns):
+                ch = rg.column(i)
+                name = ch.path_in_schema
+                d = cols.setdefault(
+                    name,
+                    {
+                        "compressed_bytes": 0,
+                        "uncompressed_bytes": 0,
+                        "n_chunks": 0,
+                        "n_chunks_without_stats": 0,
+                        "codecs": set(),
+                        "encodings": set(),
+                    },
+                )
+                d["compressed_bytes"] += ch.total_compressed_size
+                d["uncompressed_bytes"] += ch.total_uncompressed_size
+                d["n_chunks"] += 1
+                if ch.statistics is None or not ch.statistics.has_min_max:
+                    d["n_chunks_without_stats"] += 1
+                d["codecs"].add(ch.compression)
+                d["encodings"].update(ch.encodings)
+    for d in cols.values():
+        d["codecs"] = sorted(d["codecs"])
+        d["encodings"] = sorted(d["encodings"])
+        d["ratio"] = (
+            round(d["compressed_bytes"] / d["uncompressed_bytes"], 4)
+            if d["uncompressed_bytes"]
+            else None
+        )
+    return {
+        "columns": cols,
+        "n_files": len(files),
+        "total_compressed_bytes": sum(
+            d["compressed_bytes"] for d in cols.values()
+        ),
+    }

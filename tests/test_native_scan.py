@@ -450,3 +450,58 @@ def test_arrow_path_normalizes_null_pids(spark, tmp_path):
         df, PixelRule("px"), "image_id", partitions=[-1]
     )
     assert checks_set(out) == checks_set(native)
+
+
+def test_column_report_bytes_and_encodings(spark, tmp_path):
+    """Per-column footer audit: byte attribution, dictionary encodings,
+    stats presence — all from metadata, no data read."""
+    from pyspark.sql import functions as F
+
+    from mdvalidate_spark.errors import SchemaError
+    from mdvalidate_spark.sources.layout import column_report
+
+    src = str(tmp_path / "cols")
+    (
+        spark.range(5000)
+        .select(
+            F.col("id"),
+            # highly repetitive string -> dictionary-encodable, high ratio
+            (F.col("id") % 3).cast("string").alias("cat"),
+        )
+        .repartition(2)
+        .write.parquet(src)
+    )
+    rep = column_report(spark.read.parquet(src))
+    assert rep["n_files"] == 2
+    cols = rep["columns"]
+    assert set(cols) == {"id", "cat"}
+    for d in cols.values():
+        assert d["compressed_bytes"] > 0 and d["n_chunks"] >= 2
+        assert d["ratio"] is not None
+        # Spark writes min/max statistics -> every chunk prunable
+        assert d["n_chunks_without_stats"] == 0
+        assert d["codecs"]  # codec recorded (snappy by default)
+    # the 3-value string column dictionary-encodes
+    assert any("DICTIONARY" in e for e in cols["cat"]["encodings"])
+    assert rep["total_compressed_bytes"] == sum(
+        d["compressed_bytes"] for d in cols.values()
+    )
+    with pytest.raises(SchemaError):
+        column_report([])
+    with pytest.raises(SchemaError):
+        column_report(spark.read.parquet(src), max_files=1)
+
+
+def test_cli_column_report(spark, tmp_path, capsys):
+    import json
+
+    from mdvalidate_spark import cli
+
+    src = str(tmp_path / "clitable")
+    spark.range(1000).selectExpr("id", "cast(id % 5 as string) as cat") \
+        .write.parquet(src)
+    code = cli.main(["--table", src, "--column-report", "--master", "local[2]"])
+    assert code == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(rep["columns"]) == {"id", "cat"}
+    assert rep["total_compressed_bytes"] > 0
