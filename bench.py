@@ -220,6 +220,8 @@ def main() -> None:
         "sessions_events",
         # corpus zipf head (wordcount + TakeOrdered heap)
         "zipf_documents",
+        # span-level dedup: staged winnow fingerprints + count-first postings
+        "span_dedup_documents",
     ):
         if name not in qs:
             continue

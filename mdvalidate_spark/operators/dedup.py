@@ -1227,10 +1227,15 @@ def _span_postings(
     (CollapseProject cannot merge projections across a Generate), so the
     normalized text is computed once per doc, each gram hashed once, and
     the window pass costs the intended O(n·window) array slices."""
+    from .util import ensure_parallelism
+
     span_len = window + k - 1
     t = normalize_text(F.col(text_col))
     staged = (
-        df.select(F.col(id_col).alias("doc_id"), t.alias("__t"))
+        # the gram-hash stage is CPU-bound per char — a single-file input
+        # must not serialize it (same insurance as the minhash signature)
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("doc_id"), t.alias("__t"))
         .where(F.length("__t") >= span_len)
         # dummy 1-element explode = a Generate node: a projection barrier
         # that pins __t as a materialized attribute (evaluated once per doc)

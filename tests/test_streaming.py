@@ -1041,3 +1041,39 @@ def test_stream_session_stats(spark, tmp_path):
     assert got[("u1", "2026-01-01T00:00:00")] == (3, 6 * 60 * 1_000_000)
     assert got[("u1", "2026-01-01T00:36:00")] == (1, 0)
     assert got[("u2", "2026-01-01T00:01:00")] == (1, 0)
+
+
+def test_stream_alignment_rule(spark, tmp_path):
+    """AlignmentRule is a plain row rule, so it rides the stateless
+    streaming row pass unchanged: mispaired embedding rows violate per
+    micro-batch, no state, no watermark."""
+    from mdvalidate_spark.spec import AlignmentRule, Spec
+
+    src = str(tmp_path / "al-src")
+    out = str(tmp_path / "al-out")
+    ck = str(tmp_path / "al-ck")
+    rows = [(i, [1.0, 0.0], [1.0, 0.0]) for i in range(6)]
+    rows += [(10 + i, [1.0, 0.0], [0.0, 1.0]) for i in range(3)]  # cos 0
+    df = spark.createDataFrame(
+        rows, "image_id long, a array<double>, b array<double>"
+    )
+    df.write.mode("overwrite").parquet(src)
+    spec = Spec(
+        rules=(AlignmentRule("al", column_a="a", column_b="b", min_cos=0.5),),
+        key_column="image_id",
+        n_partitions=4,
+    )
+    prog = compile_spec(spec, df.columns)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        stream_row_violations(stream, prog, "al1")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 3
+    assert {r["kind"] for r in got.collect()} == {"alignment"}
