@@ -1649,34 +1649,37 @@ def q_span_report_documents(spark, sf_dir):
     return D.repeated_span_report(docs, k=_SPAN_K, window=_SPAN_W, top_n=50)
 
 
-def _span_posts_sql(k: int, w: int) -> str:
+def _span_posts_sql(k: int, w: int, where: str = "TRUE", prefix: str = "") -> str:
     """Shared CTE body: distinct (doc_id, fp) winnow postings with first
-    window pos + span slice — the exact algebra of dedup._span_postings."""
+    window pos + span slice — the exact algebra of dedup._span_postings.
+    ``where`` filters the source docs; ``prefix`` namespaces the CTE names
+    so two posting sets (corpus + batch) can coexist in one query."""
     norm = _NORM.format(t="text")
     span_len = w + k - 1
+    p = prefix
     return f"""
-d AS (SELECT doc_id, {norm} AS t FROM documents),
-g AS (
+{p}d AS (SELECT doc_id, {norm} AS t FROM documents WHERE {where}),
+{p}g AS (
   SELECT doc_id, t, unnest(generate_series(1, length(t) - {k - 1})) AS gpos
-  FROM d WHERE length(t) >= {span_len}
+  FROM {p}d WHERE length(t) >= {span_len}
 ),
-h AS (
+{p}h AS (
   SELECT doc_id, t, gpos,
          substr(md5(substr(t, gpos::INT, {k})), 1, 15) AS h
-  FROM g
+  FROM {p}g
 ),
-w AS (
+{p}w AS (
   SELECT doc_id, t, gpos AS pos,
          min(h) OVER (PARTITION BY doc_id ORDER BY gpos
                       ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp,
          count(*) OVER (PARTITION BY doc_id) AS n_grams
-  FROM h
+  FROM {p}h
   QUALIFY pos <= n_grams - {w - 1}
 ),
-posts AS (
+{p}posts AS (
   SELECT doc_id, fp, CAST(min(pos) AS INTEGER) AS pos,
          substr(any_value(t), CAST(min(pos) AS INT), {span_len}) AS span
-  FROM w GROUP BY doc_id, fp
+  FROM {p}w GROUP BY doc_id, fp
 )"""
 
 
@@ -1928,6 +1931,64 @@ SELECT 'pair_cos' AS rule_id, CAST(vec_id AS VARCHAR) AS row_key,
        ELSE 'alignment' END AS kind
 FROM c
 WHERE da <> db OR bad OR denom = 0 OR round(dot / denom, 6) < 0.5
+"""
+
+
+def q_span_probe_documents(spark, sf_dir):
+    """Incremental SPAN-level dedup (dedup_index.py write_span_index /
+    probe_spans): persist the kept corpus's winnow-span postings once
+    (doc_id >= 250 half), then probe the 'new batch' (doc_id < 250 half)
+    for span contamination — batch postings broadcast, index streamed
+    map-side, corpus TEXT never read (plan test-locked). The oracle
+    winnows BOTH halves with the shared SQL and replays the join +
+    per-doc rollup."""
+    import tempfile
+
+    from mdvalidate_spark.operators import dedup_index as DI
+
+    docs = _load(spark, sf_dir, "documents")
+    index_dir = tempfile.mkdtemp(prefix="mdv-span-index-")
+    DI.write_span_index(
+        docs.where("doc_id >= 250"), index_dir,
+        span_k=_SPAN_K, span_window=_SPAN_W,
+    )
+    return DI.probe_spans(
+        docs.where("doc_id < 250"), index_dir,
+        span_k=_SPAN_K, span_window=_SPAN_W,
+    )
+
+
+def _span_probe_sql() -> str:
+    corpus = _span_posts_sql(_SPAN_K, _SPAN_W, where="doc_id >= 250", prefix="c_")
+    batch = _span_posts_sql(_SPAN_K, _SPAN_W, where="doc_id < 250", prefix="b_")
+    return f"""
+WITH {corpus},
+{batch},
+totals AS (SELECT doc_id, count(*) AS n_fps FROM b_posts GROUP BY doc_id),
+hits AS (
+  SELECT b.doc_id, b.fp, b.pos, b.span, c.doc_id AS known_id
+  FROM b_posts b JOIN c_posts c ON b.fp = c.fp
+),
+per_doc AS (
+  SELECT doc_id,
+         count(DISTINCT fp) AS n_known,
+         count(*) AS n_known_postings,
+         min(fp || '|' || lpad(CAST(known_id AS VARCHAR), 20, '0')) AS ex_key
+  FROM hits GROUP BY doc_id
+),
+ex AS (
+  SELECT p.doc_id, p.n_known, p.n_known_postings,
+         h.fp AS example_fp, h.known_id AS example_known_id,
+         h.pos AS example_pos, h.span AS example_span
+  FROM per_doc p
+  JOIN hits h ON h.doc_id = p.doc_id
+   AND h.fp || '|' || lpad(CAST(h.known_id AS VARCHAR), 20, '0') = p.ex_key
+)
+SELECT e.doc_id, t.n_fps, e.n_known,
+       round(CAST(e.n_known AS DOUBLE) / t.n_fps, 6) AS known_frac,
+       e.n_known_postings,
+       e.example_fp, e.example_known_id, e.example_pos, e.example_span
+FROM ex e JOIN totals t ON e.doc_id = t.doc_id
 """
 
 
@@ -4530,6 +4591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round 4: new/rewritten ------------------------------------
         "span_dedup_documents": q_span_dedup_documents,
         "span_report_documents": q_span_report_documents,
+        "span_probe_documents": q_span_probe_documents,
         "phash_bits_documents": q_phash_bits_documents,
         "alignment_embeddings": q_alignment_embeddings,
         "suggest_align_embeddings": q_suggest_align_embeddings,
@@ -6087,6 +6149,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "span_dedup_documents": _span_dedup_sql(),
         "span_report_documents": _span_report_sql(),
+        "span_probe_documents": _span_probe_sql(),
         "phash_bits_documents": _phash_bits_sql(),
         "alignment_embeddings": _ALIGNMENT_EMBEDDINGS_SQL,
         "suggest_align_embeddings": _SUGGEST_ALIGN_SQL,

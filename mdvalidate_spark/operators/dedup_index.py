@@ -169,3 +169,96 @@ def probe_near(
     return cand.select(
         "doc_id", "known_id", est.alias("est_jaccard")
     ).where(F.col("est_jaccard") >= threshold)
+
+
+def _span_rows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    span_k: int,
+    span_window: int,
+) -> DataFrame:
+    """Narrow (doc_id, fp) winnow-span postings for the index — the span
+    text/pos columns are probe-side concerns and stay out of the persisted
+    rows."""
+    from .dedup import _span_postings
+
+    return _span_postings(df, text_col, id_col, span_k, span_window).select(
+        "doc_id", "fp"
+    )
+
+
+def write_span_index(
+    df: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_k: int = 16,
+    span_window: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Persist (or grow, ``mode="append"``) the SPAN-level arm of the dedup
+    index under ``index_dir/spans``: one (doc_id, fp) row per distinct
+    winnow fingerprint per kept document, so later batches can be probed
+    for span-level contamination (licence headers, quoted paragraphs,
+    templated boilerplate shared with the kept corpus) without ever
+    rescanning corpus text.
+
+    Cost is declared, not hidden: winnowing selects ~2/(window+1)
+    fingerprints per character, so this arm is roughly corpus-text-scale
+    on disk (parquet fp dictionaries compress it well) — the trade is
+    storage once vs a 100 TB text rescan per ingestion batch. It is
+    therefore a SEPARATE writer from write_dedup_index, opted into where
+    span-level dedup is actually run. Raw postings (not per-fp aggregates)
+    so append mode stays trivially correct: new kept docs append exactly
+    their own rows. ``span_k``/``span_window`` must match between writer
+    and probe — fingerprints are window-parameterized, a mismatch yields
+    silent misses."""
+    _span_rows(df, text_col, id_col, span_k, span_window).write.mode(
+        mode
+    ).parquet(f"{index_dir}/spans")
+
+
+def probe_spans(
+    new_df: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_k: int = 16,
+    span_window: int = 32,
+) -> DataFrame:
+    """New documents sharing winnow-span fingerprints with the indexed
+    corpus: one row per batch doc with ≥1 known span — (doc_id, n_fps,
+    n_known, known_frac, n_known_postings, example_fp/known_id/pos/span).
+    The batch side is winnowed once (staged evaluation, dedup.py) and
+    BROADCAST; the index streams map-side through the join on ``fp`` — the
+    corpus text is never read, only the narrow postings. ``n_known`` counts
+    the batch doc's distinct fingerprints found in the index,
+    ``n_known_postings`` how many (fp, corpus doc) rows they matched; the
+    example is the lexicographically first (fp, known_id) witness with the
+    batch-side span slice for triage."""
+    from .dedup import _span_postings
+
+    spark = new_df.sparkSession
+    idx = spark.read.parquet(f"{index_dir}/spans").select(
+        F.col("doc_id").alias("known_id"), "fp"
+    )
+    bp = _span_postings(new_df, text_col, id_col, span_k, span_window)
+    totals = bp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fps"))
+    hits = F.broadcast(bp).join(idx, "fp")
+    per_doc = hits.groupBy("doc_id").agg(
+        F.count_distinct("fp").alias("n_known"),
+        F.count(F.lit(1)).alias("n_known_postings"),
+        F.min(F.struct("fp", "known_id", "pos", "span")).alias("__ex"),
+    )
+    return per_doc.join(totals, "doc_id").select(
+        "doc_id",
+        "n_fps",
+        "n_known",
+        F.round(F.col("n_known") / F.col("n_fps"), 6).alias("known_frac"),
+        "n_known_postings",
+        F.col("__ex.fp").alias("example_fp"),
+        F.col("__ex.known_id").alias("example_known_id"),
+        F.col("__ex.pos").alias("example_pos"),
+        F.col("__ex.span").alias("example_span"),
+    )

@@ -93,3 +93,58 @@ def test_short_docs_never_enter_band_index(spark, tmp_path):
     assert set(r["doc_id"] for r in bands.select("doc_id").distinct().collect()) == {4}
     # probing a batch of short docs yields no near candidates, not a blowup
     assert DI.probe_near(df.where("doc_id < 4"), d).count() == 0
+
+
+def test_span_index_probe_and_append(spark, tmp_path):
+    """Span-level contamination probe: a batch doc quoting a kept doc's
+    span is flagged with the right witness; clean/short docs stay silent;
+    append mode grows the index by exactly the new rows; the corpus text
+    is never read by the probe."""
+    from mdvalidate_spark.operators import dedup_index as DI
+
+    shared = "this licence header paragraph travels between documents verbatim"
+    corpus = spark.createDataFrame(
+        [
+            (1, shared + " plus corpus-only tail content one"),
+            (2, "entirely unrelated corpus document text zz yy xx ww vv uu"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    DI.write_span_index(corpus, idx, span_k=8, span_window=12)
+
+    batch = spark.createDataFrame(
+        [
+            (100, "fresh intro then " + shared + " then fresh outro"),
+            (101, "completely new material nothing shared at all qq rr ss tt"),
+            (102, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    out = DI.probe_spans(batch, idx, span_k=8, span_window=12)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {100}
+    r = rows[100]
+    assert r["n_known"] >= 1 and r["example_known_id"] == 1
+    assert 0 < r["known_frac"] <= 1
+    # the probe never reads the corpus TEXT — the only FileScans are the
+    # narrow (doc_id, fp) postings (batch side is an in-memory frame here)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "spans" in plan
+    for frag in plan.split("FileScan parquet"):
+        if "ReadSchema" in frag and "text" in frag.split("ReadSchema")[1][:200]:
+            raise AssertionError("span probe plan reads a corpus text column")
+
+    # append: a new kept doc becomes probe-able
+    kept = spark.createDataFrame(
+        [(3, "brand new kept doc with its own repeated span payload here")],
+        "doc_id long, text string",
+    )
+    DI.write_span_index(kept, idx, span_k=8, span_window=12, mode="append")
+    batch2 = spark.createDataFrame(
+        [(200, "prefix " + "brand new kept doc with its own repeated span payload here")],
+        "doc_id long, text string",
+    )
+    out2 = {r["doc_id"]: r for r in
+            DI.probe_spans(batch2, idx, span_k=8, span_window=12).collect()}
+    assert 200 in out2 and out2[200]["example_known_id"] == 3
