@@ -1153,6 +1153,16 @@ def edit_distance_duplicates(
 # ------------------------------------------------- repeated spans (winnow)
 
 
+def _check_span_params(k: int, window: int) -> None:
+    if k < 2:
+        raise ValueError(f"span dedup: k must be >= 2 chars, got {k}")
+    if window < 2:
+        raise ValueError(
+            f"span dedup: window must be >= 2 grams, got {window} "
+            "(window=1 is every gram — use exact/minhash dedup instead)"
+        )
+
+
 def span_fingerprints(text: Column, k: int = 16, window: int = 32) -> Column:
     """Winnowed span fingerprints of the normalized text, with positions:
     ``array<struct<fp:string, pos:int>>`` — one entry per sliding window of
@@ -1183,6 +1193,7 @@ def span_fingerprints(text: Column, k: int = 16, window: int = 32) -> Column:
     The production path is _span_postings, which evaluates the identical
     algebra staged behind Generate boundaries at the intended
     O(n·window); do not apply this column to real corpora directly."""
+    _check_span_params(k, window)
     t = normalize_text(text)
     n = F.length(t)
     n_grams = n - (k - 1)
@@ -1229,6 +1240,7 @@ def _span_postings(
     the window pass costs the intended O(n·window) array slices."""
     from .util import ensure_parallelism
 
+    _check_span_params(k, window)
     span_len = window + k - 1
     t = normalize_text(F.col(text_col))
     staged = (

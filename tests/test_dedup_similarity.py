@@ -1000,3 +1000,11 @@ def test_repeated_span_report_top_and_ties(spark):
     same = [r["fp"] for r in rep if r["n_docs"] == rep[0]["n_docs"]]
     assert same == sorted(same)
     assert len(set(fps)) == 3
+
+
+def test_span_param_guards(spark):
+    df = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        D.repeated_spans(df, k=1, window=12)
+    with pytest.raises(ValueError):
+        D.repeated_span_report(df, k=8, window=1)

@@ -1042,3 +1042,16 @@ def test_format_fused_plan_no_shuffle_no_python(spark):
     plan = v._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "PythonUDF" not in plan
+
+
+def test_alignment_rule_when_scope(spark):
+    """AlignmentRule rides the generic row-scope gate: out-of-scope rows
+    pass regardless of cosine."""
+    from mdvalidate_spark.spec import AlignmentRule
+
+    rule = AlignmentRule(
+        "al", column_a="a", column_b="b", min_cos=0.5,
+        when="image_id != 'mis'",
+    )
+    v = {r["image_id"] for r in run_rows(spark, _pair_df(spark), [rule]).collect()}
+    assert "mis" not in v and "anti" in v
