@@ -1724,6 +1724,77 @@ FROM top t JOIN posts p ON p.doc_id = t.example_doc AND p.fp = t.fp
 """
 
 
+def q_drift_alignment_embeddings(spark, sf_dir):
+    """Family composition: DRIFT over the cross-modal ALIGNMENT expression —
+    the distribution of pair cosines for the probe slice vs the rest
+    (DriftRule.expr with the cosine as the derived quantity). Pairing
+    quality can rot without any single row crossing the AlignmentRule
+    floor; the PSI/KS of the cosine distribution is the early-warning
+    version. Fixture: cap_emb keeps the first m components of the
+    embedding (m varies per row for spread); probe rows (vec_id%5==0) keep
+    far fewer (systematically lower cosine), so both statistics fire.
+    Exact percentile edges + 6dp-rounded x for engine-exact binning."""
+    from mdvalidate_spark.operators.drift import drift_check
+    from mdvalidate_spark.spec import DriftRule
+
+    emb = _load(spark, sf_dir, "embeddings")
+    c = F.col("embedding")
+    vid = F.col("vec_id")
+    m = F.when(vid % 5 == 0, (vid % 13) + 4).otherwise((vid % 33) + 16)
+    cap = F.concat(
+        F.slice(c, 1, m),
+        F.transform(
+            F.slice(c, m + 1, F.lit(64) - m), lambda x: F.lit(0.0).cast("float")
+        ),
+    )
+    grp = F.when(vid % 5 == 0, F.lit("probe")).otherwise(F.lit("ref"))
+    df = emb.select(
+        vid, c.alias("embedding"), cap.alias("cap_emb"), grp.alias("grp")
+    )
+    cos_expr = (
+        "round(aggregate(zip_with(embedding, cap_emb,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        " / (sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE),"
+        " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+        " * sqrt(aggregate(cap_emb, CAST(0.0 AS DOUBLE),"
+        " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6)"
+    )
+    out = []
+    for method in ("psi", "ks"):
+        rule = DriftRule(
+            f"dcos_{method}", expr=cos_expr, group_column="grp",
+            group_value="probe", method=method, threshold=10.0,
+            exact_edges=True,
+        )
+        _, met, _n = drift_check(df, rule, "q")
+        out.append(
+            met.select("rule_id", "metric", F.round("value", 3).alias("value"))
+        )
+    return out[0].unionByName(out[1])
+
+
+# DuckDB replica of the fixture + cosine (cap_emb rebuilt inline from
+# vec_id; same fold arithmetic via list algebra, same 6dp rounding)
+_DRIFT_ALIGN_X = (
+    "round(list_dot_product(embedding::DOUBLE[],"
+    " list_concat(embedding[1:(CASE WHEN vec_id % 5 = 0"
+    " THEN (vec_id % 13) + 4 ELSE (vec_id % 33) + 16 END)],"
+    " list_transform(embedding[(CASE WHEN vec_id % 5 = 0"
+    " THEN (vec_id % 13) + 4 ELSE (vec_id % 33) + 16 END) + 1:64],"
+    " x -> CAST(0 AS FLOAT)))::DOUBLE[])"
+    " / (sqrt(list_sum(list_transform(embedding,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform(list_concat("
+    "embedding[1:(CASE WHEN vec_id % 5 = 0"
+    " THEN (vec_id % 13) + 4 ELSE (vec_id % 33) + 16 END)],"
+    " list_transform(embedding[(CASE WHEN vec_id % 5 = 0"
+    " THEN (vec_id % 13) + 4 ELSE (vec_id % 33) + 16 END) + 1:64],"
+    " x -> CAST(0 AS FLOAT))),"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"
+)
+
+
 def q_suggest_align_embeddings(spark, sf_dir):
     """Suggestion ratchet extended to EMBEDDING PAIRS: profile once, draft
     an AlignmentRule cosine floor at the observed per-row minimum (rounded
@@ -4595,6 +4666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_bits_documents": q_phash_bits_documents,
         "alignment_embeddings": q_alignment_embeddings,
         "suggest_align_embeddings": q_suggest_align_embeddings,
+        "drift_alignment_embeddings": q_drift_alignment_embeddings,
         "canonical_urls_documents": q_canonical_urls_documents,
         "zipf_documents": q_zipf_documents,
         "sessions_events": q_sessions_events,
@@ -6905,6 +6977,10 @@ FROM d
         "drift_expr_documents": _drift_sql(
             32, table="documents", x_expr="length(text)",
             probe_cond="CAST(lang AS VARCHAR) = 'en'", rule_prefix="dlen",
+        ),
+        "drift_alignment_embeddings": _drift_sql(
+            32, table="embeddings", x_expr=_DRIFT_ALIGN_X,
+            probe_cond="vec_id % 5 = 0", rule_prefix="dcos",
         ),
         "drift_sweep_events": _drift_sweep_sql(32),
         "drift_sweep_ref_events": """

@@ -128,12 +128,15 @@ def test_span_index_probe_and_append(spark, tmp_path):
     assert r["n_known"] >= 1 and r["example_known_id"] == 1
     assert 0 < r["known_frac"] <= 1
     # the probe never reads the corpus TEXT — the only FileScans are the
-    # narrow (doc_id, fp) postings (batch side is an in-memory frame here)
+    # narrow (doc_id, fp) postings (batch side is an in-memory frame here;
+    # the index path itself is truncated in the AQE final-plan string, so
+    # assert on the scanned COLUMNS, not the location)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "spans" in plan
-    for frag in plan.split("FileScan parquet"):
-        if "ReadSchema" in frag and "text" in frag.split("ReadSchema")[1][:200]:
-            raise AssertionError("span probe plan reads a corpus text column")
+    frags = plan.split("FileScan parquet")
+    assert len(frags) > 1, "expected the spans index FileScan"
+    for frag in frags[1:]:
+        cols = frag.split("]")[0]  # "FileScan parquet [col1,col2" prefix
+        assert "text" not in cols, cols
 
     # append: a new kept doc becomes probe-able
     kept = spark.createDataFrame(
