@@ -1724,6 +1724,16 @@ FROM top t JOIN posts p ON p.doc_id = t.example_doc AND p.fp = t.fp
 """
 
 
+def q_compressibility_documents(spark, sf_dir):
+    """zlib compressibility signal (text.py compressibility): the
+    corpus-quality heuristic with NO SQL equivalent by construction
+    (DEFLATE) — rows-only driver check; determinism is pytest-locked
+    (fixed level, byte-exact across calls). Arrow-batched pandas UDF,
+    the module's one declared Python kernel."""
+    docs = _load(spark, sf_dir, "documents")
+    return T.compressibility(docs)
+
+
 def q_drift_alignment_embeddings(spark, sf_dir):
     """Family composition: DRIFT over the cross-modal ALIGNMENT expression —
     the distribution of pair cosines for the probe slice vs the rest
@@ -4830,9 +4840,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_profile_lineitem": q_group_profile_lineitem,
         "events_profile": q_events_profile,
         "windowed_count_events": q_windowed_count_events,
-        # -- no_oracle by design (pixel kernels) ------------------------
+        # -- no_oracle by design (pixel kernels + DEFLATE) ---------------
         "pixel_validation_synthetic": q_pixel_validation_synthetic,
         "image_features_synthetic": q_image_features_synthetic,
+        "compressibility_documents": q_compressibility_documents,
     }
 
 

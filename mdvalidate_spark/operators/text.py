@@ -643,3 +643,92 @@ def zipf_slope(profile: DataFrame) -> DataFrame:
         F.expr("regr_r2(ln(n), ln(rank))").alias("r2"),
         F.count(F.lit(1)).alias("n_ranks"),
     )
+
+
+# ------------------------------------------------- compressibility signal
+
+
+def compressibility(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compressibility — the classic corpus-quality
+    heuristic the regex/ratio gates cannot express: highly compressible
+    text (ratio → 0) is templated/repetitive boilerplate beyond what the
+    Gopher n-gram walks see; incompressible text (ratio ≥ ~1) is
+    random-looking junk (binary spill, encrypted blobs, base64 dumps).
+
+    This is the module's ONE Python kernel, and deliberately so: DEFLATE
+    has no column-algebra or SQL equivalent, so it runs as an Arrow-batched
+    pandas UDF (one zlib.compress per doc inside a batch loop — C-speed per
+    call, vectorized transfer) and the driver's correctness harness records
+    it rows-only (no DuckDB oracle exists by construction; determinism is
+    pytest-locked instead — fixed level, byte-exact across calls).
+
+    Output: (doc_id, n_bytes, n_compressed, compression_ratio) over the
+    utf-8 encoding of the RAW text (normalization would hide the very
+    whitespace floods this signal exists to catch); NULL text → NULL
+    metrics (out of scope, NotNullRule's job)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _comp_fn(s):
+        import zlib
+
+        nb, nc = [], []
+        for t in s:
+            if t is None:
+                nb.append(None)
+                nc.append(None)
+            else:
+                raw = t.encode("utf-8")
+                nb.append(len(raw))
+                nc.append(len(zlib.compress(raw, level)))
+        return pd.DataFrame({"n_bytes": nb, "n_compressed": nc})
+
+    # no type hints on purpose: the hint-inference path rejects the
+    # Series -> DataFrame (struct-returning scalar) shape; the explicit
+    # returnType form accepts it
+    _comp = pandas_udf(_comp_fn, "n_bytes long, n_compressed long")
+
+    out = df.select(
+        F.col(id_col).alias("doc_id"), _comp(F.col(text_col)).alias("__c")
+    )
+    nb, nc = F.col("__c.n_bytes"), F.col("__c.n_compressed")
+    return out.select(
+        "doc_id",
+        nb.alias("n_bytes"),
+        nc.alias("n_compressed"),
+        F.when(nb > 0, F.round(nc / nb, 6)).alias("compression_ratio"),
+    )
+
+
+def compressibility_violations(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_ratio: float = 0.15,
+    max_ratio: float = 1.05,
+    min_bytes: int = 256,
+    level: int = 6,
+) -> DataFrame:
+    """Gate form: documents whose compression ratio falls outside
+    [min_ratio, max_ratio] — below = repetitive boilerplate, above =
+    random-looking junk. Documents shorter than ``min_bytes`` are skipped
+    (zlib overhead dominates tiny inputs; ratios there are header noise,
+    not a content signal), as are NULL/empty texts."""
+    if not 0 <= min_ratio < max_ratio:
+        raise ValueError(
+            f"compressibility_violations: need 0 <= min_ratio < max_ratio, "
+            f"got [{min_ratio}, {max_ratio}]"
+        )
+    prof = compressibility(df, text_col, id_col, level)
+    r = F.col("compression_ratio")
+    return prof.where(
+        (F.col("n_bytes") >= min_bytes) & ((r < min_ratio) | (r > max_ratio))
+    ).withColumn(
+        "kind",
+        F.when(r < min_ratio, F.lit("boilerplate")).otherwise(F.lit("junk")),
+    )

@@ -376,3 +376,45 @@ def test_zipf_refusals_and_plan(spark):
     assert "TakeOrderedAndProject" in plan
     assert plan.count("Exchange") == 1  # the wordcount shuffle only
     assert "Python" not in plan
+
+
+# ------------------------------------------------- compressibility signal
+
+
+def test_compressibility_signal_and_gate(spark):
+    from mdvalidate_spark.operators.text import (
+        compressibility,
+        compressibility_violations,
+    )
+
+    import random
+
+    rnd = random.Random(5)
+    boiler = "spam " * 200                      # ratio -> ~0
+    junk = "".join(chr(rnd.randint(33, 0x2FFF)) for _ in range(800))
+    normal = " ".join(
+        f"w{rnd.randint(0, 5000)} token{rnd.randint(0, 99)}" for _ in range(80)
+    )
+    df = spark.createDataFrame(
+        [(1, boiler), (2, junk), (3, normal), (4, None), (5, "tiny")],
+        "doc_id long, text string",
+    )
+    prof = {r["doc_id"]: r for r in compressibility(df).collect()}
+    assert prof[4]["compression_ratio"] is None  # NULL text out of scope
+    assert prof[1]["compression_ratio"] < 0.1
+    assert prof[2]["compression_ratio"] > prof[3]["compression_ratio"]
+    assert prof[3]["n_bytes"] == len(normal.encode())
+    # determinism: byte-exact across calls (fixed level)
+    again = {r["doc_id"]: r for r in compressibility(df).collect()}
+    assert all(
+        prof[k]["n_compressed"] == again[k]["n_compressed"] for k in (1, 2, 3)
+    )
+    bad = {r["doc_id"]: r["kind"]
+           for r in compressibility_violations(
+               df, min_ratio=0.15, max_ratio=0.6).collect()}
+    assert bad.get(1) == "boilerplate"
+    assert bad.get(2) == "junk"
+    assert 3 not in bad and 5 not in bad  # normal passes; tiny skipped
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        compressibility_violations(df, min_ratio=0.9, max_ratio=0.5)
