@@ -4016,6 +4016,49 @@ def q_pixel_manifest_agreement(spark, sf_dir):
     ).agg(F.count(F.lit(1)).alias("n"))
 
 
+_QUAL_ORACLE_ROWS = 1200
+_QUAL_ORACLE_DIR = f"/tmp/mdv-oracle-quality-{_QUAL_ORACLE_ROWS}"
+
+
+def q_degenerate_images(spark, sf_dir):
+    """Blank / saturated / undecodable image detection: the full decode
+    kernel (operators/multimodal.py image_quality_stats) runs over a
+    deterministic planted fixture (sources/synthetic.py
+    synthetic_quality_images) and degenerate_image_violations classifies the
+    stats frame. Oracle form: the payload is zlib-compressed, so unlike
+    pixel_manifest_agreement DuckDB cannot re-derive pixel values byte-level;
+    the oracle instead replays the fixture's injection contract (precedence-
+    ordered modular plants on the id embedded in image_id) — a golden-value
+    oracle that still catches any drift in the decode kernel, the stats math,
+    or the classification thresholds, since every planted class must surface
+    with exactly the predicted label and nothing else may."""
+    import os as _os
+
+    from mdvalidate_spark.operators.multimodal import degenerate_image_violations
+    from mdvalidate_spark.sources.synthetic import synthetic_quality_images
+
+    if not _os.path.exists(_QUAL_ORACLE_DIR):
+        synthetic_quality_images(spark, _QUAL_ORACLE_ROWS).write.mode(
+            "overwrite"
+        ).parquet(_QUAL_ORACLE_DIR)
+    df = spark.read.parquet(_QUAL_ORACLE_DIR)
+    return degenerate_image_violations(df).select("image_id", "class")
+
+
+_DEGENERATE_SQL = f"""
+WITH t AS (
+  SELECT image_id, CAST(substring(image_id, 5) AS BIGINT) AS i
+  FROM read_parquet('{_QUAL_ORACLE_DIR}/*.parquet')
+)
+SELECT image_id,
+       CASE WHEN i % 23 = 11 THEN 'undecodable'
+            WHEN i % 13 = 5 OR i % 17 = 7 THEN 'blank_image'
+            WHEN i % 19 = 3 THEN 'saturated_image' END AS class
+FROM t
+WHERE i % 23 = 11 OR i % 13 = 5 OR i % 17 = 7 OR i % 19 = 3
+"""
+
+
 _PIXEL_MANIFEST_SQL = f"""
 WITH t AS (
   SELECT partition_id, fmt, w, h, hex(bytes) AS hx
@@ -4670,6 +4713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries touched this round must come first, stable legacy last.
     return {
         # -- round 4: new/rewritten ------------------------------------
+        "degenerate_images": q_degenerate_images,
         "span_dedup_documents": q_span_dedup_documents,
         "span_report_documents": q_span_report_documents,
         "span_probe_documents": q_span_probe_documents,
@@ -6230,6 +6274,7 @@ SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.9
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "degenerate_images": _DEGENERATE_SQL,
         "span_dedup_documents": _span_dedup_sql(),
         "span_report_documents": _span_report_sql(),
         "span_probe_documents": _span_probe_sql(),

@@ -136,6 +136,7 @@ KIND_FMT_CODE = "fmt_code"  # header format-code byte contradicts the fmt column
 # volume anomaly (VolumeRule / volume_anomaly / stream_volume_anomaly)
 KIND_OVER_VOLUME = "over_volume"  # partition/batch row count above the envelope
 KIND_UNDER_VOLUME = "under_volume"  # partition/batch row count below the envelope
+KIND_DEGENERATE = "degenerate"  # decoded image is blank/saturated/undecodable
 
 ALL_KINDS = (
     KIND_LITERAL,
@@ -171,4 +172,5 @@ ALL_KINDS = (
     KIND_FMT_CODE,
     KIND_OVER_VOLUME,
     KIND_UNDER_VOLUME,
+    KIND_DEGENERATE,
 )

@@ -385,3 +385,160 @@ def signature_bit_violations(
     return prof.where(
         F.col("deviation").isNull() | (F.col("deviation") > max_deviation)
     )
+
+
+# ------------------------------------------------ image quality / degeneracy
+
+
+IMAGE_QUALITY_SCHEMA_BASE = (
+    "image_id string, ok boolean, w int, h int, fmt string, "
+    "brightness double, contrast double, min_px int, max_px int, "
+    "saturated_frac double"
+)
+
+
+def image_quality_stats(
+    df: DataFrame,
+    bytes_col: str = "bytes",
+    id_col: str = "image_id",
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-image pixel-space quality statistics — the decode-once input to
+    blank-image detection and pixel-stat drift: brightness (global mean),
+    contrast (global std), min/max pixel level, and saturated_frac (share of
+    samples pinned at 0 or 255). Undecodable payloads yield ok=false rows
+    with NULL stats rather than failing the task (the classification layer
+    owns reporting them).
+
+    ``passthrough`` carries extra columns (e.g. partition_id) through the
+    kernel unchanged so the stats frame can feed DriftRule sweeps without a
+    join back to the source.
+
+    Scale shape: one Arrow-batched mapInPandas pass, partition-parallel, no
+    shuffle; per-image work is vectorized numpy over the decoded array and
+    the output is a few doubles per image — the 100 TB corpus reduces to a
+    stats table ~10^5x smaller before any aggregation runs. Reference
+    analog: the fenced-code body kernel (walkers/validators/code.rs:189-205)
+    — opaque payload, dedicated vectorized kernel, typed verdict columns."""
+    passthrough = tuple(passthrough)
+    sel = [
+        F.col(id_col).cast("string").alias("image_id"),
+        F.col(bytes_col).alias("b"),
+    ] + [F.col(c) for c in passthrough]
+    cols = df.select(*sel)
+    pass_schema = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in cols.schema.fields[2:]
+    )
+    out_cols = [
+        "image_id", "ok", "w", "h", "fmt",
+        "brightness", "contrast", "min_px", "max_px", "saturated_frac",
+    ] + list(passthrough)
+
+    def extract(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            extras = [pdf[c] for c in passthrough]
+            for iid, data, *rest in zip(pdf["image_id"], pdf["b"], *extras):
+                try:
+                    arr, fmt, w, h = codec.decode(data)
+                except Exception:
+                    rows.append(
+                        (iid, False, None, None, None,
+                         None, None, None, None, None, *rest)
+                    )
+                    continue
+                f64 = arr.astype(np.float64)
+                sat = float(
+                    (np.count_nonzero(arr == 0) + np.count_nonzero(arr == 255))
+                    / arr.size
+                )
+                rows.append(
+                    (
+                        iid, True, w, h, fmt,
+                        float(f64.mean()), float(f64.std()),
+                        int(arr.min()), int(arr.max()), sat, *rest,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return cols.mapInPandas(
+        extract, schema=IMAGE_QUALITY_SCHEMA_BASE + pass_schema
+    )
+
+
+def degenerate_image_violations(
+    df: DataFrame,
+    bytes_col: str = "bytes",
+    id_col: str = "image_id",
+    contrast_floor: float = 1.0,
+    saturated_ceiling: float = 0.95,
+    rule_id: str = "degenerate_image",
+) -> DataFrame:
+    """Blank / degenerate image detection: one violation row per image whose
+    decoded pixels carry (almost) no signal — the corpus-poisoning rows a
+    schema-level validator never sees because their headers, dims, captions
+    and even phashes all look healthy. Three classes, checked in order:
+
+      undecodable     payload fails to decode at all
+      blank_image     contrast (global std) < ``contrast_floor`` — a solid
+                      or near-solid color (covers all-black AND all-white;
+                      a solid image has zero variance whatever its level)
+      saturated_image ``saturated_frac`` > ``saturated_ceiling`` — nearly
+                      every sample pinned at 0/255 (binary clip art, broken
+                      tone mapping) while still technically having contrast
+
+    The decode runs ONCE (image_quality_stats); classification is pure
+    column algebra over the tiny stats frame, so the expensive pass stays a
+    shuffle-free map and thresholds can be retuned without re-decoding.
+    Output shape matches the engine's violation convention:
+    (image_id, rule_id, kind, class, expected, actual)."""
+    from ..errors import KIND_DEGENERATE, SchemaError
+
+    if contrast_floor < 0:
+        raise SchemaError(
+            f"degenerate_image_violations: contrast_floor must be >= 0, "
+            f"got {contrast_floor}"
+        )
+    if not 0 < saturated_ceiling <= 1:
+        raise SchemaError(
+            f"degenerate_image_violations: saturated_ceiling must be in "
+            f"(0, 1], got {saturated_ceiling}"
+        )
+    stats = image_quality_stats(df, bytes_col=bytes_col, id_col=id_col)
+    klass = (
+        F.when(~F.col("ok"), F.lit("undecodable"))
+        .when(F.col("contrast") < contrast_floor, F.lit("blank_image"))
+        .when(
+            F.col("saturated_frac") > saturated_ceiling,
+            F.lit("saturated_image"),
+        )
+    )
+    expected = (
+        F.when(~F.col("ok"), F.lit("decodable"))
+        .when(
+            F.col("contrast") < contrast_floor,
+            F.lit(f"contrast >= {contrast_floor}"),
+        )
+        .otherwise(F.lit(f"saturated_frac <= {saturated_ceiling}"))
+    )
+    actual = F.when(~F.col("ok"), F.lit("decode error")).otherwise(
+        F.concat(
+            F.lit("contrast="),
+            F.round(F.col("contrast"), 4).cast("string"),
+            F.lit(" saturated_frac="),
+            F.round(F.col("saturated_frac"), 4).cast("string"),
+        )
+    )
+    return (
+        stats.withColumn("class", klass)
+        .where(F.col("class").isNotNull())
+        .select(
+            "image_id",
+            F.lit(rule_id).alias("rule_id"),
+            F.lit(KIND_DEGENERATE).alias("kind"),
+            "class",
+            expected.alias("expected"),
+            actual.alias("actual"),
+        )
+    )

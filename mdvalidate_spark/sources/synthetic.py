@@ -203,3 +203,85 @@ def full_images_spec(
         n_partitions=n_partitions,
         fast_fail=fast_fail,
     )
+
+
+def synthetic_quality_images(
+    spark: SparkSession,
+    rows: int,
+    n_partitions: int = 8,
+    n_patterns: int = 8,
+    size: int = 48,
+) -> DataFrame:
+    """Deterministic image fixture for the pixel-QUALITY family (blank /
+    saturated / undecodable detection + brightness drift) — separate from
+    ``synthetic_images`` so the canonical golden violation counts stay
+    untouched. Injection contract (disjoint by check order):
+
+      i % 23 == 11                 → undecodable payload (wrong magic)
+      else i % 13 == 5             → solid near-black (level 3): blank
+      else i % 17 == 7             → solid white (level 255): blank
+      else i % 19 == 3             → binary 0/255 noise: saturated, NOT blank
+      else partition == P-1        → noise >> 1 + 128: bright-shifted
+                                     (brightness ~191 vs ~127) — drift probe
+      else                         → full-range noise (clean)
+
+    Planted rows always encode png (lossless) so 0/255 levels survive the
+    codec exactly; clean rows cycle fmts. The w/h columns always agree with
+    the container (header integrity is synthetic_images' fixture's job).
+    Everything derives from (i, pattern_id) — byte-identical across runs,
+    partitions and engines."""
+    num_tasks = max(spark.sparkContext.defaultParallelism, n_partitions)
+    df = spark.range(0, rows, 1, num_tasks).withColumnRenamed("id", "i")
+    i = F.col("i")
+    df = (
+        df.withColumn("image_id", F.format_string("qimg%09d", i))
+        .withColumn("pattern_id", i % n_patterns)
+        .withColumn(
+            "partition_id",
+            F.pmod(F.xxhash64(F.col("image_id")), F.lit(n_partitions)).cast("int"),
+        )
+        .withColumn("w", F.lit(size))
+        .withColumn("h", F.lit(size))
+    )
+    fmt_cycle = F.element_at(
+        F.array(F.lit("jpeg"), F.lit("png"), F.lit("webp")), (i % 3 + 1).cast("int")
+    )
+    planted = (i % 23 == 11) | (i % 13 == 5) | (i % 17 == 7) | (i % 19 == 3)
+    df = df.withColumn("fmt", F.when(planted, F.lit("png")).otherwise(fmt_cycle))
+    last = n_partitions - 1
+
+    @F.pandas_udf(T.BinaryType())
+    def encode_udf(
+        ii: pd.Series, pid: pd.Series, fmt: pd.Series, part: pd.Series
+    ) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for iv, pv, fv, gv in zip(ii, pid, fmt, part):
+            iv = int(iv)
+            if iv % 23 == 11:
+                out.append(b"JUNK" + iv.to_bytes(8, "little") * 4)
+                continue
+            if iv % 13 == 5:
+                arr = np.full((size, size, 3), 3, dtype=np.uint8)
+            elif iv % 17 == 7:
+                arr = np.full((size, size, 3), 255, dtype=np.uint8)
+            elif iv % 19 == 3:
+                rng = np.random.default_rng(iv)
+                arr = (
+                    rng.integers(0, 2, size=(size, size, 3), dtype=np.uint8) * 255
+                )
+            else:
+                arr = codec.base_image(int(pv), size, size).copy()
+                if int(gv) == last:
+                    arr = (arr >> 1) + 128  # brightness shift, clip-free
+            out.append(codec.encode(arr, str(fv)))
+        return pd.Series(out)
+
+    df = df.withColumn(
+        "bytes",
+        encode_udf(i, F.col("pattern_id"), F.col("fmt"), F.col("partition_id")),
+    )
+    return df.select(
+        "image_id", "bytes", "w", "h", "fmt", "partition_id", "pattern_id", "i"
+    )
