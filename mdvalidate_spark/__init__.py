@@ -45,6 +45,7 @@ from .spec import (
     OutlierRule,
     OverlapRule,
     PiiRule,
+    DegenerateImageRule,
     PixelRule,
     RangeRule,
     RefIntegrityRule,
@@ -86,6 +87,7 @@ __all__ = [
     "OutlierRule",
     "OverlapRule",
     "PiiRule",
+    "DegenerateImageRule",
     "PixelRule",
     "RangeRule",
     "RefIntegrityRule",

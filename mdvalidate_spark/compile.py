@@ -65,6 +65,7 @@ from .spec import (
     OutlierRule,
     OverlapRule,
     PiiRule,
+    DegenerateImageRule,
     PixelRule,
     RangeRule,
     RefIntegrityRule,
@@ -109,6 +110,7 @@ class ConstraintProgram:
     stats_rules: tuple[ColumnStatsRule, ...] = ()
     metric_bound_rules: tuple[MetricBoundRule, ...] = ()
     pixel_rules: tuple[PixelRule, ...] = ()
+    degenerate_rules: tuple[DegenerateImageRule, ...] = ()
     drift_rules: tuple[DriftRule, ...] = ()
     overlap_rules: tuple[OverlapRule, ...] = ()
     capture_rules: tuple[CaptureRule, ...] = ()
@@ -668,6 +670,30 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
                             "character offsets)"
                         )
 
+        if isinstance(r, DegenerateImageRule):
+            if r.contrast_floor < 0:
+                raise SchemaError(
+                    f"rule {r.id!r}: contrast_floor must be >= 0, got "
+                    f"{r.contrast_floor}"
+                )
+            if not 0 < r.saturated_ceiling <= 1:
+                raise SchemaError(
+                    f"rule {r.id!r}: saturated_ceiling must be in (0, 1], "
+                    f"got {r.saturated_ceiling} (it is a fraction of samples)"
+                )
+            if available_columns is not None:
+                t = _column_type(available_columns, r.bytes_column)
+                if t is not None:
+                    from pyspark.sql.types import BinaryType
+
+                    if not isinstance(t, BinaryType):
+                        raise SchemaError(
+                            f"rule {r.id!r}: degenerate-image column "
+                            f"{r.bytes_column!r} must be BINARY, got "
+                            f"{t.simpleString()} (the payload is decoded "
+                            "as image bytes)"
+                        )
+
         if isinstance(r, VolumeRule):
             if r.k <= 0:
                 raise SchemaError(f"rule {r.id!r}: k must be > 0, got {r.k}")
@@ -932,6 +958,9 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
         r for r in spec.rules if isinstance(r, MetricBoundRule)
     )
     pixel = tuple(r for r in spec.rules if isinstance(r, PixelRule))
+    degenerate = tuple(
+        r for r in spec.rules if isinstance(r, DegenerateImageRule)
+    )
     drift = tuple(r for r in spec.rules if isinstance(r, DriftRule))
     overlaps = tuple(r for r in spec.rules if isinstance(r, OverlapRule))
     captures = tuple(r for r in spec.rules if isinstance(r, CaptureRule))
@@ -956,6 +985,7 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
         stats_rules=stats,
         metric_bound_rules=metric_bounds,
         pixel_rules=pixel,
+        degenerate_rules=degenerate,
         drift_rules=drift,
         overlap_rules=overlaps,
         capture_rules=captures,

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import codec
+from .pixel import quality_stats
 
 IMAGE_FEATURES_SCHEMA = (
     "image_id string, ok boolean, w int, h int, fmt string, "
@@ -448,16 +449,11 @@ def image_quality_stats(
                          None, None, None, None, None, *rest)
                     )
                     continue
-                f64 = arr.astype(np.float64)
-                sat = float(
-                    (np.count_nonzero(arr == 0) + np.count_nonzero(arr == 255))
-                    / arr.size
-                )
+                b, c, sat = quality_stats(arr)  # shared with the pixel stage
                 rows.append(
                     (
                         iid, True, w, h, fmt,
-                        float(f64.mean()), float(f64.std()),
-                        int(arr.min()), int(arr.max()), sat, *rest,
+                        b, c, int(arr.min()), int(arr.max()), sat, *rest,
                     )
                 )
             yield pd.DataFrame(rows, columns=out_cols)

@@ -34,7 +34,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..errors import KIND_PIXEL
+from ..errors import KIND_DEGENERATE, KIND_PIXEL
 from ..functions import codec
 from ..spec import PixelRule
 
@@ -45,48 +45,83 @@ CHECK_SCHEMA = (
     "actual string, psnr double"
 )
 
+# appended when the run also declares a DegenerateImageRule on the same
+# bytes column: the pixel stage's decode is the expensive pass, so quality
+# stats ride along instead of paying a second full decode of the corpus
+CHECK_QUALITY_SCHEMA = CHECK_SCHEMA + (
+    ", decoded boolean, brightness double, contrast double, "
+    "saturated_frac double"
+)
 
-def _check_one(data, fmt, w, h, phash, psnr_min: float):
-    """Returns (ok, expected, actual, psnr). `data` is any buffer (bytes or a
-    zero-copy arrow memoryview)."""
+_NO_QUALITY = (None, None, None, None)
+
+
+def quality_stats(arr) -> tuple:
+    """(brightness, contrast, saturated_frac) of a decoded HxWx3 uint8 array
+    — global mean, global std, share of samples pinned at 0/255. Shared by
+    the pixel stage's ride-along quality pass and the standalone
+    image-quality operators (operators/multimodal.py)."""
+    f64 = arr.astype(np.float64)
+    sat = float(
+        (np.count_nonzero(arr == 0) + np.count_nonzero(arr == 255)) / arr.size
+    )
+    return float(f64.mean()), float(f64.std()), sat
+
+
+def _check_one(data, fmt, w, h, phash, psnr_min: float, quality: bool = False):
+    """Returns (ok, expected, actual, psnr, qstats). `data` is any buffer
+    (bytes or a zero-copy arrow memoryview). ``qstats`` is
+    (decoded, brightness, contrast, saturated_frac) when ``quality`` is
+    requested — computed right after a successful decode so a row that later
+    fails a fmt/dims/phash/psnr check still carries its pixel-space stats
+    (those checks are independent verdicts; the degenerate classifier must
+    see every decodable image exactly once)."""
     if data is None:
-        return True, None, None, None  # missing payload is NotNullRule's job
+        # missing payload is NotNullRule's job; NULL-decoded (not False)
+        # keeps the degenerate classifier from mislabeling it undecodable
+        return True, None, None, None, _NO_QUALITY
     try:
         arr, dfmt, dw, dh = codec.decode(data)
     except Exception as e:  # noqa: BLE001 - any decode failure is a violation
-        return False, "decodable", f"decode error: {type(e).__name__}", None
+        q = (False, None, None, None) if quality else _NO_QUALITY
+        return False, "decodable", f"decode error: {type(e).__name__}", None, q
+    q = (True, *quality_stats(arr)) if quality else _NO_QUALITY
     if dfmt != fmt:
-        return False, f"payload fmt {fmt}", dfmt, None
+        return False, f"payload fmt {fmt}", dfmt, None, q
     if (dw, dh) != (w, h):
-        return False, f"dims ({w}, {h})", f"({dw}, {dh})", None
+        return False, f"dims ({w}, {h})", f"({dw}, {dh})", None, q
     pid = codec.read_pattern_id(arr)
     if codec.phash_of_pattern(pid) != phash:
-        return False, f"phash {phash}", str(codec.phash_of_pattern(pid)), None
+        return False, f"phash {phash}", str(codec.phash_of_pattern(pid)), None, q
     orig = codec.base_image(pid, dw, dh)
     if codec.is_lossless(dfmt):
         # equality fast path (memcmp): a passing lossless image never pays
         # for a PSNR computation
         if np.array_equal(arr, orig):
-            return True, None, None, None
+            return True, None, None, None, q
         p = codec.psnr(arr, orig)
-        return False, "exact pixels (lossless)", f"psnr={p:.2f}", p
+        return False, "exact pixels (lossless)", f"psnr={p:.2f}", p, q
     p = codec.psnr(arr, orig)
     if p < psnr_min:
-        return False, f"psnr >= {psnr_min}", f"psnr={p:.2f}", p
-    return True, None, None, (None if p == float("inf") else p)
+        return False, f"psnr >= {psnr_min}", f"psnr={p:.2f}", p, q
+    return True, None, None, (None if p == float("inf") else p), q
 
 
-def _check_columns(ids, datas, fmts, ws, hs, phashes, parts, psnr_min: float):
+def _check_columns(
+    ids, datas, fmts, ws, hs, phashes, parts, psnr_min: float,
+    quality: bool = False,
+):
     """Columnar check loop shared by both input paths."""
     n = len(ids)
-    ok_l, exp_l, act_l, psnr_l = [], [], [], []
+    ok_l, exp_l, act_l, psnr_l, q_l = [], [], [], [], []
     for data, fmt, w, h, ph in zip(datas, fmts, ws, hs, phashes):
-        ok, exp, act, p = _check_one(data, fmt, w, h, ph, psnr_min)
+        ok, exp, act, p, q = _check_one(data, fmt, w, h, ph, psnr_min, quality)
         ok_l.append(ok)
         exp_l.append(exp)
         act_l.append(act)
         psnr_l.append(p)
-    return pd.DataFrame(
+        q_l.append(q)
+    out = pd.DataFrame(
         {
             "partition_id": parts if parts is not None else [None] * n,
             "image_id": ids,
@@ -96,6 +131,12 @@ def _check_columns(ids, datas, fmts, ws, hs, phashes, parts, psnr_min: float):
             "psnr": psnr_l,
         }
     )
+    if quality:
+        for j, col in enumerate(
+            ("decoded", "brightness", "contrast", "saturated_frac")
+        ):
+            out[col] = [q[j] for q in q_l]
+    return out
 
 
 def pixel_check_results(
@@ -105,8 +146,17 @@ def pixel_check_results(
     partitions: list[int] | None = None,
     cache: dict | None = None,
     scan_df: DataFrame | None = None,
+    quality: bool = False,
 ) -> DataFrame:
     """Decode + verify every image → one result row per image.
+
+    ``quality=True`` appends pixel-space quality stats (decoded, brightness,
+    contrast, saturated_frac — CHECK_QUALITY_SCHEMA) to every row, computed
+    on the array the verify pass already decoded: when a run declares both
+    PixelRule and DegenerateImageRule on the same bytes column, the corpus
+    is decoded ONCE (at 100 TB the decode IS the stage cost; a second pass
+    would double it). The native/Arrow gate decision is independent of the
+    flag (same columns, same files).
 
     When the source is parquet-backed AND physically carries partition_id,
     the stage runs on the native scan path (workers pyarrow-read their own
@@ -168,8 +218,9 @@ def pixel_check_results(
         return _pixel_native(
             df.sparkSession, files, rule, key_column, partitions, cols_in_file,
             footer_cache=None if cache is None else cache.setdefault("footers", {}),
+            quality=quality,
         )
-    return _pixel_arrow(df, rule, key_column, partitions)
+    return _pixel_arrow(df, rule, key_column, partitions, quality=quality)
 
 
 def _gate_decision(
@@ -314,7 +365,8 @@ def _norm_pid(col):
 
 
 def _pixel_native(spark, files, rule: PixelRule, key_column: str, partitions,
-                  cols_in_file: set, footer_cache: dict | None = None):
+                  cols_in_file: set, footer_cache: dict | None = None,
+                  quality: bool = False):
     """Native-scan pixel stage: workers pyarrow-read their own splits and the
     `bytes` column never becomes a Python bytes object — each payload is a
     zero-copy memoryview into the arrow data buffer (sources/native_scan.py
@@ -330,6 +382,7 @@ def _pixel_native(spark, files, rule: PixelRule, key_column: str, partitions,
     have_part = "partition_id" in cols_in_file
     if not have_part:
         cols = cols[1:]
+    schema = CHECK_QUALITY_SCHEMA if quality else CHECK_SCHEMA
     splits = None
     if partitions is not None and have_part:
         # row-group-level pruning for incremental batches: emit splits only
@@ -338,7 +391,7 @@ def _pixel_native(spark, files, rule: PixelRule, key_column: str, partitions,
         # of a batched run streams the WHOLE table's bytes through workers
         splits = _overlapping_splits(files, set(partitions), footer_cache)
         if not splits:
-            return spark.createDataFrame([], CHECK_SCHEMA)
+            return spark.createDataFrame([], schema)
     key_c, bytes_c = key_column, rule.bytes_column
     w_c, h_c, fmt_c, ph_c = (
         rule.w_column, rule.h_column, rule.fmt_column, rule.phash_column,
@@ -358,6 +411,7 @@ def _pixel_native(spark, files, rule: PixelRule, key_column: str, partitions,
             if have_part
             else None,
             psnr_min,
+            quality,
         )
 
     arrow_filter = None
@@ -378,14 +432,15 @@ def _pixel_native(spark, files, rule: PixelRule, key_column: str, partitions,
             return rb.filter(mask)
 
     return native_parquet_map(
-        spark, files, cols, None, CHECK_SCHEMA,
+        spark, files, cols, None, schema,
         arrow_kernel=arrow_kernel, arrow_filter=arrow_filter,
         splits=splits, footer_cache=footer_cache,
     )
 
 
 def _pixel_arrow(
-    df: DataFrame, rule: PixelRule, key_column: str, partitions: list[int] | None
+    df: DataFrame, rule: PixelRule, key_column: str,
+    partitions: list[int] | None, quality: bool = False,
 ) -> DataFrame:
     psnr_min = rule.psnr_min
     # same pid normalization as the native kernel's _norm_pid (and as
@@ -417,9 +472,12 @@ def _pixel_arrow(
                 pdf["phash"].to_numpy(),
                 pdf["partition_id"].to_numpy(),
                 psnr_min,
+                quality,
             )
 
-    return cols.mapInPandas(run_batches, schema=CHECK_SCHEMA)
+    return cols.mapInPandas(
+        run_batches, schema=CHECK_QUALITY_SCHEMA if quality else CHECK_SCHEMA
+    )
 
 
 def pixel_outputs(
@@ -463,6 +521,163 @@ def pixel_outputs(
                     F.struct(
                         F.lit("avg_psnr").alias("metric"),
                         F.col("avg_psnr").cast("double").alias("value"),
+                    ),
+                )
+            ).alias("m"),
+        )
+        .select(
+            "run_id",
+            "partition_id",
+            F.lit(rule.id).alias("rule_id"),
+            F.col("m.metric").alias("metric"),
+            F.col("m.value").alias("value"),
+            F.lit(None).cast("string").alias("value_str"),
+        )
+    )
+    return violations, metrics
+
+
+# ------------------------------------------------- degenerate-image stage
+
+
+def quality_only_results(
+    df: DataFrame,
+    rule,
+    key_column: str,
+    partitions: list[int] | None = None,
+) -> DataFrame:
+    """Standalone decode→quality-stats pass for a run that declares a
+    DegenerateImageRule WITHOUT a PixelRule on the same bytes column (no
+    verify columns needed, so the frame is just key + bytes + pid). Emits
+    CHECK_QUALITY_SCHEMA with the verify columns neutral (ok=decoded,
+    expected/actual/psnr NULL) so degenerate_outputs consumes both shapes
+    identically. When a PixelRule shares the bytes column, the run layer
+    rides quality on that rule's decode instead — never call both."""
+    pid = F.coalesce(F.col("partition_id").cast("int"), F.lit(-1))
+    if partitions is not None:
+        df = df.where(pid.isin(partitions))
+    cols = df.select(
+        pid.alias("partition_id"),
+        F.col(key_column).cast("string").alias("image_id"),
+        F.col(rule.bytes_column).alias("bytes"),
+    )
+
+    def run_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for pid_v, iid, data in zip(
+                pdf["partition_id"], pdf["image_id"], pdf["bytes"]
+            ):
+                if data is None:  # NotNullRule's job
+                    rows.append((pid_v, iid, True, None, None, None,
+                                 None, None, None, None))
+                    continue
+                try:
+                    arr, _, _, _ = codec.decode(data)
+                except Exception:  # noqa: BLE001 - undecodable is a verdict
+                    rows.append((pid_v, iid, False, None, None, None,
+                                 False, None, None, None))
+                    continue
+                b, c, s = quality_stats(arr)
+                rows.append((pid_v, iid, True, None, None, None,
+                             True, b, c, s))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "partition_id", "image_id", "ok", "expected", "actual",
+                    "psnr", "decoded", "brightness", "contrast",
+                    "saturated_frac",
+                ],
+            )
+
+    return cols.mapInPandas(run_batches, schema=CHECK_QUALITY_SCHEMA)
+
+
+def degenerate_outputs(
+    checks: DataFrame, rule, run_id: str
+) -> tuple[DataFrame, DataFrame]:
+    """(violations, per-partition metrics) for a DegenerateImageRule from a
+    CHECK_QUALITY_SCHEMA frame (the pixel stage's ride-along stats or
+    quality_only_results). Classification is pure column algebra on the
+    already-persisted checks frame — retuning thresholds never re-decodes:
+
+      undecodable      decoded = false
+      blank_image      contrast < contrast_floor (solid/near-solid color —
+                       zero variance whatever the level, so all-black AND
+                       all-white both land here)
+      saturated_image  saturated_frac > saturated_ceiling (nearly every
+                       sample pinned at 0/255 while still having contrast)
+
+    Rows with decoded NULL (missing payload) are NotNullRule's job and are
+    skipped."""
+    klass = (
+        F.when(~F.col("decoded"), F.lit("undecodable"))
+        .when(F.col("contrast") < rule.contrast_floor, F.lit("blank_image"))
+        .when(
+            F.col("saturated_frac") > rule.saturated_ceiling,
+            F.lit("saturated_image"),
+        )
+    )
+    flagged = checks.where(F.col("decoded").isNotNull()).withColumn(
+        "__class", klass
+    )
+    expected = (
+        F.when(~F.col("decoded"), F.lit("decodable"))
+        .when(
+            F.col("contrast") < rule.contrast_floor,
+            F.lit(f"contrast >= {rule.contrast_floor}"),
+        )
+        .otherwise(F.lit(f"saturated_frac <= {rule.saturated_ceiling}"))
+    )
+    actual = F.when(~F.col("decoded"), F.lit("decode error")).otherwise(
+        F.concat(
+            F.lit("class="), F.col("__class"),
+            F.lit(" contrast="),
+            F.round(F.col("contrast"), 4).cast("string"),
+            F.lit(" saturated_frac="),
+            F.round(F.col("saturated_frac"), 4).cast("string"),
+        )
+    )
+    violations = flagged.where(F.col("__class").isNotNull()).select(
+        F.lit(run_id).alias("run_id"),
+        F.col("partition_id"),
+        F.lit(rule.id).alias("rule_id"),
+        F.col("image_id"),
+        F.lit(rule.bytes_column).alias("column"),
+        expected.alias("expected"),
+        actual.alias("actual"),
+        F.lit(KIND_DEGENERATE).alias("kind"),
+    )
+    metrics = (
+        flagged.groupBy("partition_id")
+        .agg(
+            F.count(F.lit(1)).alias("checked"),
+            F.sum(
+                F.when(F.col("__class").isNotNull(), 1).otherwise(0)
+            ).alias("failed"),
+            F.avg("brightness").alias("avg_brightness"),
+            F.avg("contrast").alias("avg_contrast"),
+        )
+        .select(
+            F.lit(run_id).alias("run_id"),
+            F.col("partition_id"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("degenerate_checked").alias("metric"),
+                        F.col("checked").cast("double").alias("value"),
+                    ),
+                    F.struct(
+                        F.lit("degenerate_failed").alias("metric"),
+                        F.col("failed").cast("double").alias("value"),
+                    ),
+                    F.struct(
+                        F.lit("avg_brightness").alias("metric"),
+                        F.col("avg_brightness").cast("double").alias("value"),
+                    ),
+                    F.struct(
+                        F.lit("avg_contrast").alias("metric"),
+                        F.col("avg_contrast").cast("double").alias("value"),
                     ),
                 )
             ).alias("m"),

@@ -673,21 +673,51 @@ class ValidationRun:
                 )
 
         pixel_checks = None
+        quality_checks_by_bytes: dict = {}
         for pr in prog.pixel_rules:
             # pass the UNfiltered frame + the partition list: the native scan
             # path re-reads files directly and must apply the batch filter
             # itself (a .where() on batch_df would be silently ignored there)
             all_parts = set(self.all_partitions())
             part_arg = None if set(partitions) >= all_parts else partitions
+            # decode-once: a DegenerateImageRule on the same bytes column
+            # rides its quality stats on THIS rule's decode pass instead of
+            # paying a second full decode of the corpus
+            want_quality = (
+                pr.bytes_column not in quality_checks_by_bytes
+                and any(
+                    dr.bytes_column == pr.bytes_column
+                    for dr in prog.degenerate_rules
+                )
+            )
             pixel_checks = self._keep(
                 pixel_ops.pixel_check_results(
                     self.df, pr, spec.key_column, partitions=part_arg,
                     cache=self._pixel_cache, scan_df=self._scan_df,
+                    quality=want_quality,
                 )
             )
+            if want_quality:
+                quality_checks_by_bytes[pr.bytes_column] = pixel_checks
             pv, pm = pixel_ops.pixel_outputs(pixel_checks, pr, self.run_id)
             viols.append(pv)
             mets.append(pm)
+
+        for dgr in prog.degenerate_rules:
+            checks = quality_checks_by_bytes.get(dgr.bytes_column)
+            if checks is None:
+                # no PixelRule shares this payload column: standalone
+                # decode→stats pass (same batch-filter semantics)
+                all_parts = set(self.all_partitions())
+                part_arg = None if set(partitions) >= all_parts else partitions
+                checks = self._keep(
+                    pixel_ops.quality_only_results(
+                        self.df, dgr, spec.key_column, partitions=part_arg
+                    )
+                )
+            dv, dm = pixel_ops.degenerate_outputs(checks, dgr, self.run_id)
+            viols.append(dv)
+            mets.append(dm)
 
         for dr in (r for r in prog.drift_rules if r.incremental):
             edges = self._frozen_edges(dr, batch_df)

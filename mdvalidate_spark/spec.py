@@ -1388,6 +1388,36 @@ class PixelRule(Rule):
         )
 
 
+@dataclass(frozen=True)
+class DegenerateImageRule(Rule):
+    """Pixel-space degeneracy gate: flag images whose decoded pixels carry
+    (almost) no signal — the corpus-poisoning rows a schema-level validator
+    never sees because their headers, dims, captions and even phashes all
+    look healthy. Three classes, checked in precedence order:
+
+      undecodable      payload fails to decode at all
+      blank_image      contrast (global std) < ``contrast_floor`` — a solid
+                       or near-solid color (covers all-black AND all-white)
+      saturated_image  ``saturated_frac`` > ``saturated_ceiling`` — nearly
+                       every sample pinned at 0/255 (binary clip art, broken
+                       tone mapping) while still technically having contrast
+
+    Decode-once contract: when the spec also declares a PixelRule on the
+    same ``bytes_column``, the quality stats ride along on that rule's
+    decode pass (operators/pixel.py CHECK_QUALITY_SCHEMA) — the run never
+    decodes the corpus twice. Standalone, it runs its own Arrow-batched
+    decode→stats map (quality_only_results). Classification is column
+    algebra over the tiny stats frame either way."""
+
+    bytes_column: str = "bytes"
+    contrast_floor: float = 1.0
+    saturated_ceiling: float = 0.95
+    kind: str = field(default="degenerate", init=False)
+
+    def targets(self):
+        return (self.bytes_column,)
+
+
 # ------------------------------------------------------------------- spec
 
 

@@ -134,3 +134,145 @@ def test_brightness_drift_probe_partition(spark, qimages):
     shifted = by_pid.pop(N_PARTS - 1)
     assert shifted > 175
     assert all(110 < v < 145 for v in by_pid.values())
+
+
+# --------------------------------------------- spec-level DegenerateImageRule
+
+
+def test_degenerate_rule_compile_lints(spark):
+    from mdvalidate_spark import DegenerateImageRule, Spec
+    from mdvalidate_spark.compile import compile_spec
+
+    with pytest.raises(SchemaError, match="contrast_floor"):
+        compile_spec(
+            Spec(rules=(DegenerateImageRule("d", contrast_floor=-1),))
+        )
+    with pytest.raises(SchemaError, match="saturated_ceiling"):
+        compile_spec(
+            Spec(rules=(DegenerateImageRule("d", saturated_ceiling=1.5),))
+        )
+
+
+def test_degenerate_rule_requires_binary_column(spark, qimages):
+    from mdvalidate_spark import DegenerateImageRule, Spec
+    from mdvalidate_spark.compile import compile_spec
+
+    bad = qimages.withColumn("bytes", F.lit("not binary"))
+    with pytest.raises(SchemaError, match="BINARY"):
+        compile_spec(
+            Spec(rules=(DegenerateImageRule("d"),)), available_columns=bad.schema
+        )
+    # binary column compiles clean and stages into degenerate_rules
+    prog = compile_spec(
+        Spec(rules=(DegenerateImageRule("d"),)), available_columns=qimages.schema
+    )
+    assert len(prog.degenerate_rules) == 1 and not prog.row_rules
+
+
+def _classes_from_report(report):
+    out = {}
+    for r in report.violations.where("kind = 'degenerate'").collect():
+        if r["expected"] == "decodable":
+            out[r["image_id"]] = "undecodable"
+        elif r["expected"].startswith("contrast"):
+            out[r["image_id"]] = "blank_image"
+        else:
+            out[r["image_id"]] = "saturated_image"
+    return out
+
+
+def test_degenerate_rule_standalone_run(spark, qimages, tmp_path):
+    """DegenerateImageRule without a PixelRule: standalone decode→stats pass,
+    violations match the fixture plant exactly, metrics land per partition."""
+    from mdvalidate_spark import DegenerateImageRule, Spec
+    from mdvalidate_spark.run import validate_table
+
+    spec = Spec(
+        rules=(DegenerateImageRule("degen"),),
+        key_column="image_id",
+        partition_column="partition_id",
+        n_partitions=N_PARTS,
+    )
+    report = validate_table(spark, qimages, spec)
+    got = _classes_from_report(report)
+    want = {
+        f"qimg{i:09d}": expected_class(i)
+        for i in range(ROWS)
+        if expected_class(i) is not None
+    }
+    assert got == want
+    assert report.exit_code != 0
+    mets = report.metrics.where("metric = 'degenerate_checked'").collect()
+    assert sum(int(m["value"]) for m in mets) == ROWS
+    failed = report.metrics.where("metric = 'degenerate_failed'").collect()
+    assert sum(int(m["value"]) for m in failed) == len(want)
+
+
+def test_degenerate_rides_pixel_decode(spark, monkeypatch):
+    """With a PixelRule on the same bytes column the degenerate stage must
+    consume the pixel stage's ride-along stats — the standalone decode path
+    must never run (decode-once at corpus scale)."""
+    import numpy as np
+
+    from mdvalidate_spark import DegenerateImageRule, PixelRule, Spec
+    from mdvalidate_spark.functions import codec
+    from mdvalidate_spark.operators import pixel as pixel_ops
+    from mdvalidate_spark.run import validate_table
+    from mdvalidate_spark.sources.synthetic import synthetic_images
+
+    def boom(*a, **k):
+        raise AssertionError(
+            "quality_only_results called despite a shared PixelRule decode"
+        )
+
+    monkeypatch.setattr(pixel_ops, "quality_only_results", boom)
+
+    imgs = synthetic_images(spark, 400, with_bytes=True)
+    solid = codec.encode(np.full((32, 32, 3), 9, dtype=np.uint8), "png")
+    planted = imgs.withColumn(
+        "bytes",
+        F.when(F.col("i") % 50 == 7, F.lit(solid)).otherwise(F.col("bytes")),
+    )
+    spec = Spec(
+        rules=(PixelRule("px"), DegenerateImageRule("degen")),
+        key_column="image_id",
+        n_partitions=4,
+    )
+    report = validate_table(spark, planted, spec)
+    got = _classes_from_report(report)
+    want = {
+        r["image_id"]: "blank_image"
+        for r in planted.where("i % 50 = 7").select("image_id").collect()
+    }
+    assert got == want
+    # the pixel stage still emits its own verdicts from the same decode
+    assert report.violations.where("kind = 'pixel'").count() > 0
+
+
+def test_quality_native_arrow_parity(spark, tmp_path):
+    """quality=True must emit identical stats on the native row-group scan
+    and the Arrow exchange path."""
+    from mdvalidate_spark.operators import pixel as pixel_ops
+    from mdvalidate_spark.spec import PixelRule
+    from mdvalidate_spark.sources.synthetic import synthetic_images
+
+    path = str(tmp_path / "imgs")
+    synthetic_images(spark, 300, with_bytes=True).write.parquet(path)
+    df = spark.read.parquet(path)
+    rule = PixelRule("px")
+    native = pixel_ops.pixel_check_results(df, rule, "image_id", quality=True)
+    assert "brightness" in native.columns
+    arrow = pixel_ops._pixel_arrow(df, rule, "image_id", None, quality=True)
+
+    def qset(frame):
+        return {
+            (
+                r["image_id"], r["decoded"],
+                None if r["brightness"] is None else round(r["brightness"], 9),
+                None if r["contrast"] is None else round(r["contrast"], 9),
+                None if r["saturated_frac"] is None else round(r["saturated_frac"], 9),
+            )
+            for r in frame.collect()
+        }
+
+    assert qset(native) == qset(arrow)
