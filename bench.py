@@ -200,6 +200,19 @@ def main() -> None:
     # kept out of the headline total so `value` stays comparable across
     # rounds; timed the same way and reported under extra_queries.
     extra: dict[str, float] = {}
+    # ride-along quality stats (the decode-once DegenerateImageRule path):
+    # same table, same gate cache — the delta vs images_pixel IS the marginal
+    # cost of computing brightness/contrast/saturation on the already-decoded
+    # arrays instead of paying a second full decode of the corpus
+    for trial in range(-warmup, trials):
+        t0 = time.time()
+        _noop_sink(
+            pixel_check_results(
+                px_df, PixelRule("px"), "image_id", cache=px_cache, quality=True
+            )
+        )
+        if trial >= 0:
+            _best(extra, "images_pixel_quality", time.time() - t0)
     for name in (
         "quality_spec_documents",
         "gopher_gate_documents",

@@ -500,3 +500,33 @@ def stream_session_stats(
             - F.unix_micros(F.col("first_event"))
         ).alias("duration_us"),
     )
+
+
+def stream_degenerate_violations(
+    stream_df: DataFrame,
+    rule,
+    run_id: str,
+    key_column: str = "image_id",
+    n_partitions: int = 8,
+) -> DataFrame:
+    """Degenerate-image gate (DegenerateImageRule) on an unbounded stream of
+    image rows. The decode→stats kernel is a STATELESS Arrow mapInPandas (no
+    watermark, no state store — each micro-batch decodes independently), so
+    the batch engine's quality_only_results applies to a streaming frame
+    unchanged; only the micro-batch-stable partition id is attached here.
+    Emits the same violation shape as the batch stage (run_id, partition_id,
+    rule_id, image_id, column, expected, actual, kind=degenerate) so a
+    parquet/Kafka sink of stream and batch verdicts can be unioned.
+
+    Per-partition metrics are an aggregation (stateful on a stream) and are
+    intentionally NOT emitted here — aggregate the sunk violations with the
+    batch degenerate_outputs on a bounded replay instead."""
+    from ..operators.pixel import degenerate_outputs, quality_only_results
+
+    with_pid = stream_df.withColumn(
+        "partition_id",
+        F.pmod(F.xxhash64(F.col(key_column)), F.lit(n_partitions)).cast("int"),
+    )
+    checks = quality_only_results(with_pid, rule, key_column)
+    violations, _ = degenerate_outputs(checks, rule, run_id)
+    return violations

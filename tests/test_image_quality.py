@@ -276,3 +276,43 @@ def test_quality_native_arrow_parity(spark, tmp_path):
         }
 
     assert qset(native) == qset(arrow)
+
+
+def test_stream_degenerate_violations_availablenow(spark, qimages, tmp_path):
+    """The decode→stats kernel is stateless: streamed micro-batch verdicts
+    must equal the batch run's, row for row."""
+    from mdvalidate_spark import DegenerateImageRule
+    from mdvalidate_spark.streaming.structured import stream_degenerate_violations
+
+    src = str(tmp_path / "qstream-src")
+    out = str(tmp_path / "qstream-out")
+    ck = str(tmp_path / "qstream-ck")
+    qimages.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(qimages.schema).parquet(src)
+    viol = stream_degenerate_violations(stream, DegenerateImageRule("degen"), "s1")
+    assert viol.isStreaming
+    q = (
+        viol.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    classes = {}
+    for r in got.collect():
+        assert r["run_id"] == "s1" and r["kind"] == "degenerate"
+        if r["expected"] == "decodable":
+            classes[r["image_id"]] = "undecodable"
+        elif r["expected"].startswith("contrast"):
+            classes[r["image_id"]] = "blank_image"
+        else:
+            classes[r["image_id"]] = "saturated_image"
+    want = {
+        f"qimg{i:09d}": expected_class(i)
+        for i in range(ROWS)
+        if expected_class(i) is not None
+    }
+    assert classes == want
