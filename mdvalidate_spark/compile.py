@@ -670,6 +670,13 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
                             "character offsets)"
                         )
 
+        if isinstance(r, (PixelRule, DegenerateImageRule)):
+            if not 0 < r.sample_rate <= 1:
+                raise SchemaError(
+                    f"rule {r.id!r}: sample_rate must be in (0, 1], got "
+                    f"{r.sample_rate} (1.0 decodes every row)"
+                )
+
         if isinstance(r, DegenerateImageRule):
             if r.contrast_floor < 0:
                 raise SchemaError(
@@ -928,6 +935,24 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
     for col, ids in pattern_rules_by_col.items():
         if len(ids) > 1:
             raise ConflictingRulesError(col, ids)
+
+    # decode-once compatibility: a DegenerateImageRule rides the PixelRule's
+    # decode when they share a bytes column, so there is ONE decode sample —
+    # differing sample_rates would silently narrow (or widen) one rule's
+    # declared coverage. Loud at compile, not a surprise in the metrics.
+    pix_by_bytes = {
+        r.bytes_column: r for r in spec.rules if isinstance(r, PixelRule)
+    }
+    for r in spec.rules:
+        if isinstance(r, DegenerateImageRule):
+            pr = pix_by_bytes.get(r.bytes_column)
+            if pr is not None and pr.sample_rate != r.sample_rate:
+                raise SchemaError(
+                    f"rule {r.id!r}: sample_rate {r.sample_rate} differs "
+                    f"from PixelRule {pr.id!r}'s {pr.sample_rate} on the "
+                    f"shared column {r.bytes_column!r} — the two rules share "
+                    "one decode pass, so they must share one sample"
+                )
 
     row = tuple(r for r in spec.rules if isinstance(r, ROW_KINDS))
     group = tuple(

@@ -107,15 +107,45 @@ def _check_one(data, fmt, w, h, phash, psnr_min: float, quality: bool = False):
     return True, None, None, (None if p == float("inf") else p), q
 
 
+_SAMPLE_SEED = 0x5A4D1E
+_SAMPLE_MOD = 1_000_000
+
+
+def sample_threshold(rate: float) -> int | None:
+    """Micro-unit threshold for a sample rate (None = decode every row)."""
+    return None if rate >= 1.0 else int(round(rate * _SAMPLE_MOD))
+
+
+def sample_keep(key, threshold: int) -> bool:
+    """Deterministic content-keyed sample membership: FNV-1a 64 over the key
+    string's utf-8 bytes, finalized with splitmix64. Pure-Python arithmetic
+    (no Spark/pyarrow hash dependency) so the native and Arrow kernels — and
+    any external auditor — choose EXACTLY the same rows; the cost is trivial
+    next to the decode it replaces."""
+    h = 0xCBF29CE484222325
+    for b in str(key).encode():
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return codec.splitmix64(h ^ _SAMPLE_SEED) % _SAMPLE_MOD < threshold
+
+
 def _check_columns(
     ids, datas, fmts, ws, hs, phashes, parts, psnr_min: float,
-    quality: bool = False,
+    quality: bool = False, threshold: int | None = None,
 ):
-    """Columnar check loop shared by both input paths."""
-    n = len(ids)
-    ok_l, exp_l, act_l, psnr_l, q_l = [], [], [], [], []
-    for data, fmt, w, h, ph in zip(datas, fmts, ws, hs, phashes):
+    """Columnar check loop shared by both input paths. ``threshold``
+    (sample_threshold of the rule's sample_rate) drops non-sampled rows
+    BEFORE decode — they emit no output row, so downstream counts ('checked')
+    reflect the sample denominator honestly."""
+    ok_l, exp_l, act_l, psnr_l, q_l, id_l, part_l = [], [], [], [], [], [], []
+    part_iter = parts if parts is not None else [None] * len(ids)
+    for iid, data, fmt, w, h, ph, part in zip(
+        ids, datas, fmts, ws, hs, phashes, part_iter
+    ):
+        if threshold is not None and not sample_keep(iid, threshold):
+            continue
         ok, exp, act, p, q = _check_one(data, fmt, w, h, ph, psnr_min, quality)
+        id_l.append(iid)
+        part_l.append(part)
         ok_l.append(ok)
         exp_l.append(exp)
         act_l.append(act)
@@ -123,8 +153,8 @@ def _check_columns(
         q_l.append(q)
     out = pd.DataFrame(
         {
-            "partition_id": parts if parts is not None else [None] * n,
-            "image_id": ids,
+            "partition_id": part_l,
+            "image_id": id_l,
             "ok": ok_l,
             "expected": exp_l,
             "actual": act_l,
@@ -375,6 +405,7 @@ def _pixel_native(spark, files, rule: PixelRule, key_column: str, partitions,
     from ..sources.native_scan import binary_views, native_parquet_map
 
     psnr_min = rule.psnr_min
+    thr = sample_threshold(getattr(rule, "sample_rate", 1.0))
     cols = [
         "partition_id", key_column, rule.bytes_column, rule.w_column,
         rule.h_column, rule.fmt_column, rule.phash_column,
@@ -412,6 +443,7 @@ def _pixel_native(spark, files, rule: PixelRule, key_column: str, partitions,
             else None,
             psnr_min,
             quality,
+            thr,
         )
 
     arrow_filter = None
@@ -443,6 +475,7 @@ def _pixel_arrow(
     partitions: list[int] | None, quality: bool = False,
 ) -> DataFrame:
     psnr_min = rule.psnr_min
+    thr = sample_threshold(getattr(rule, "sample_rate", 1.0))
     # same pid normalization as the native kernel's _norm_pid (and as
     # with_partition_id): NULL → reserved partition -1, BEFORE the batch
     # filter — a raw NULL never matches isin, which would silently drop the
@@ -473,6 +506,7 @@ def _pixel_arrow(
                 pdf["partition_id"].to_numpy(),
                 psnr_min,
                 quality,
+                thr,
             )
 
     return cols.mapInPandas(
@@ -562,12 +596,16 @@ def quality_only_results(
         F.col(rule.bytes_column).alias("bytes"),
     )
 
+    thr = sample_threshold(getattr(rule, "sample_rate", 1.0))
+
     def run_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for pid_v, iid, data in zip(
                 pdf["partition_id"], pdf["image_id"], pdf["bytes"]
             ):
+                if thr is not None and not sample_keep(iid, thr):
+                    continue
                 if data is None:  # NotNullRule's job
                     rows.append((pid_v, iid, True, None, None, None,
                                  None, None, None, None))

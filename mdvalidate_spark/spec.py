@@ -1376,6 +1376,16 @@ class PixelRule(Rule):
     fmt_column: str = "fmt"
     phash_column: str = "phash"
     psnr_min: float = 40.0
+    # Deterministic content-keyed decode sampling: decode only rows whose
+    # key hash falls under the rate (1.0 = every row). At 10^12 images the
+    # decode is the stage cost — a 1% sample gives per-partition decode
+    # verdicts at 1% of the CPU while metadata-level rules still see every
+    # row. Key-hashed (never random()): the SAME rows are chosen on the
+    # native and Arrow paths, across resumed batches, and across runs, so
+    # sampled verdicts are reproducible and manifest-stable. Saves decode
+    # CPU, not scan IO (the bytes still stream through the reader) — for
+    # IO-level reduction validate a partition subset instead.
+    sample_rate: float = 1.0
     kind: str = field(default="pixel", init=False)
 
     def targets(self):
@@ -1412,6 +1422,10 @@ class DegenerateImageRule(Rule):
     bytes_column: str = "bytes"
     contrast_floor: float = 1.0
     saturated_ceiling: float = 0.95
+    # deterministic content-keyed decode sampling (see PixelRule.sample_rate).
+    # When the quality stats ride a PixelRule's decode, THAT rule's
+    # sample_rate governs (one decode pass, one sample).
+    sample_rate: float = 1.0
     kind: str = field(default="degenerate", init=False)
 
     def targets(self):

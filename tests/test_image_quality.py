@@ -316,3 +316,89 @@ def test_stream_degenerate_violations_availablenow(spark, qimages, tmp_path):
         if expected_class(i) is not None
     }
     assert classes == want
+
+
+# ------------------------------------------------- deterministic decode sample
+
+
+def test_sample_rate_lints(spark):
+    from mdvalidate_spark import DegenerateImageRule, PixelRule, Spec
+    from mdvalidate_spark.compile import compile_spec
+
+    with pytest.raises(SchemaError, match="sample_rate"):
+        compile_spec(Spec(rules=(PixelRule("px", sample_rate=0.0),)))
+    with pytest.raises(SchemaError, match="sample_rate"):
+        compile_spec(Spec(rules=(DegenerateImageRule("d", sample_rate=1.5),)))
+    # shared bytes column with differing samples = one decode, two claims
+    with pytest.raises(SchemaError, match="share one sample"):
+        compile_spec(
+            Spec(
+                rules=(
+                    PixelRule("px", sample_rate=0.5),
+                    DegenerateImageRule("d", sample_rate=1.0),
+                )
+            )
+        )
+
+
+def test_sampled_pixel_equals_full_restricted(spark, tmp_path):
+    """sample_rate must pick exactly the sample_keep ids (no randomness) and
+    the sampled verdicts must equal the full run's on those ids — on BOTH
+    decode paths."""
+    from mdvalidate_spark.operators import pixel as pixel_ops
+    from mdvalidate_spark.spec import PixelRule
+    from mdvalidate_spark.sources.synthetic import synthetic_images
+
+    path = str(tmp_path / "imgs")
+    synthetic_images(spark, 400, with_bytes=True).write.parquet(path)
+    df = spark.read.parquet(path)
+
+    full = {
+        r["image_id"]: (r["ok"], r["expected"])
+        for r in pixel_ops.pixel_check_results(
+            df, PixelRule("px"), "image_id"
+        ).collect()
+    }
+    thr = pixel_ops.sample_threshold(0.3)
+    want_ids = {k for k in full if pixel_ops.sample_keep(k, thr)}
+    assert 0 < len(want_ids) < len(full)  # a real, nontrivial sample
+
+    rule = PixelRule("px", sample_rate=0.3)
+    native = pixel_ops.pixel_check_results(df, rule, "image_id")
+    arrow = pixel_ops._pixel_arrow(df, rule, "image_id", None)
+    for frame in (native, arrow):
+        got = {r["image_id"]: (r["ok"], r["expected"]) for r in frame.collect()}
+        assert set(got) == want_ids
+        assert got == {k: full[k] for k in want_ids}
+
+
+def test_sampled_degenerate_run_metrics_denominator(spark, qimages):
+    """A sampled DegenerateImageRule's checked metric must equal the sample
+    size, and its violations must be the full plant restricted to the
+    sample."""
+    from mdvalidate_spark import DegenerateImageRule, Spec
+    from mdvalidate_spark.operators import pixel as pixel_ops
+    from mdvalidate_spark.run import validate_table
+
+    spec = Spec(
+        rules=(DegenerateImageRule("degen", sample_rate=0.4),),
+        key_column="image_id",
+        partition_column="partition_id",
+        n_partitions=N_PARTS,
+    )
+    report = validate_table(spark, qimages, spec)
+    thr = pixel_ops.sample_threshold(0.4)
+    sampled = {
+        f"qimg{i:09d}"
+        for i in range(ROWS)
+        if pixel_ops.sample_keep(f"qimg{i:09d}", thr)
+    }
+    got = _classes_from_report(report)
+    want = {
+        f"qimg{i:09d}": expected_class(i)
+        for i in range(ROWS)
+        if expected_class(i) is not None and f"qimg{i:09d}" in sampled
+    }
+    assert got == want
+    mets = report.metrics.where("metric = 'degenerate_checked'").collect()
+    assert sum(int(m["value"]) for m in mets) == len(sampled)
