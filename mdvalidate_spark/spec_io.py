@@ -38,6 +38,7 @@ from .spec import (
     OutlierRule,
     OverlapRule,
     PiiRule,
+    DegenerateImageRule,
     PixelRule,
     RangeRule,
     RefIntegrityRule,
@@ -70,6 +71,7 @@ RULE_KINDS: dict[str, type] = {
     "drift": DriftRule,
     "overlap": OverlapRule,
     "pixel": PixelRule,
+    "degenerate": DegenerateImageRule,
     "schema": SchemaRule,
     "vector": VectorRule,
     "alignment": AlignmentRule,

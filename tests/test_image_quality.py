@@ -402,3 +402,19 @@ def test_sampled_degenerate_run_metrics_denominator(spark, qimages):
     assert got == want
     mets = report.metrics.where("metric = 'degenerate_checked'").collect()
     assert sum(int(m["value"]) for m in mets) == len(sampled)
+
+
+def test_degenerate_rule_json_round_trip(spark):
+    from mdvalidate_spark import DegenerateImageRule, PixelRule, Spec
+    from mdvalidate_spark.spec_io import spec_from_dict, spec_to_dict
+
+    s = Spec(
+        rules=(
+            PixelRule("px", sample_rate=0.25),
+            DegenerateImageRule(
+                "d", contrast_floor=2.0, saturated_ceiling=0.9, sample_rate=0.25
+            ),
+        ),
+        key_column="image_id",
+    )
+    assert spec_from_dict(spec_to_dict(s)) == s
