@@ -150,6 +150,22 @@ def parse_args(argv=None):
         "coupling ratchet (operators/suggest.py association_gates)",
     )
     p.add_argument(
+        "--suggest-pixel-gates",
+        action="store_true",
+        help="with --suggest-key: also draft image-payload gates "
+        "(DegenerateImageRule per binary column; plus a PixelRule when the "
+        "full w/h/fmt/phash contract is present) ratcheted from ONE sampled "
+        "decode profile (operators/suggest.py pixel_gates)",
+    )
+    p.add_argument(
+        "--suggest-pixel-sample",
+        type=float,
+        default=1.0,
+        metavar="RATE",
+        help="with --suggest-pixel-gates: deterministic decode sample rate "
+        "for the profile AND the drafted rules (default 1.0 = every row)",
+    )
+    p.add_argument(
         "--fingerprint-gate",
         action="store_true",
         help="with --checkpoint: content-gated revalidation — persist "
@@ -427,6 +443,8 @@ def _suggest_main(args) -> int:
                 association_gates=args.suggest_assoc_gates,
                 concentration_gates=args.suggest_concentration_gates,
                 alignment_pairs=tuple(pairs),
+                pixel_gates=args.suggest_pixel_gates,
+                pixel_sample_rate=args.suggest_pixel_sample,
             )
         except SchemaError as e:  # e.g. a bad --suggest-align column
             print(f"schema error: {e}", file=sys.stderr)

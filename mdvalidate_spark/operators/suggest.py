@@ -174,6 +174,9 @@ def suggest_spec(
         "bool",
         "double",
     ),
+    pixel_gates: bool = False,
+    pixel_sample_rate: float = 1.0,
+    pixel_headroom: float = 0.10,
 ) -> Spec:
     """Profile ``df`` and return a draft Spec (see module docstring).
 
@@ -617,6 +620,126 @@ def suggest_spec(
                     min_cos=floor,
                 )
             )
+
+    if pixel_gates and n_rows > 0:
+        # Image-payload gates, drafted from ONE sampled decode pass per
+        # binary column (the user's pixel_sample_rate IS the profile budget;
+        # the drafted rules carry the SAME rate, and the kernel's
+        # content-keyed sample picks the SAME rows, so every threshold below
+        # was observed on exactly the population the gate will judge —
+        # clean-by-construction). When the schema carries the full pixel
+        # contract (w/h int, fmt string, phash long alongside the payload),
+        # the stats ride the pixel verify (quality=True): one decode drafts
+        # BOTH rules.
+        from pyspark.sql.types import BinaryType, IntegerType, LongType
+
+        from ..spec import DegenerateImageRule, PixelRule
+        from . import pixel as _pixel
+
+        types = {f.name: f.dataType for f in fields}
+
+        def _is_int(t):
+            return isinstance(t, (IntegerType, LongType))
+
+        src_df = (
+            df
+            if "partition_id" in df.columns
+            else df.withColumn("partition_id", F.lit(-1))
+        )
+        for c in sorted(f.name for f in fields if isinstance(f.dataType, BinaryType)):
+            full_contract = (
+                _is_int(types.get("w"))
+                and _is_int(types.get("h"))
+                and isinstance(types.get("fmt"), StringType)
+                and isinstance(types.get("phash"), LongType)
+            )
+            if full_contract:
+                checks = _pixel.pixel_check_results(
+                    src_df,
+                    PixelRule(
+                        f"__profile_{c}",
+                        bytes_column=c,
+                        sample_rate=pixel_sample_rate,
+                    ),
+                    key_column,
+                    quality=True,
+                )
+            else:
+                checks = _pixel.quality_only_results(
+                    src_df,
+                    DegenerateImageRule(
+                        f"__profile_{c}",
+                        bytes_column=c,
+                        sample_rate=pixel_sample_rate,
+                    ),
+                    key_column,
+                )
+            crow = checks.agg(
+                F.count(F.when(F.col("decoded").isNotNull(), 1)).alias("n"),
+                F.count(F.when(~F.col("decoded"), 1)).alias("n_undec"),
+                F.count(F.when(~F.col("ok"), 1)).alias("n_px_fail"),
+                F.min("contrast").alias("mn_c"),
+                F.max("saturated_frac").alias("mx_s"),
+            ).collect()[0]
+            if crow["n"] == 0:
+                continue  # empty sample: nothing observed to ratchet
+            # contrast floor: just under the least-contrasty observed image
+            # (an observed blank drags it to 0 — the ratchet can't gate what
+            # is already present; 0 disables the blank class, loudly visible
+            # in the drafted value). saturated ceiling: padded observed max,
+            # never ratcheted below 0.05 (normal corpora sit near 0.01 — a
+            # micro-ceiling would page on the first binary logo).
+            mn_c = crow["mn_c"]
+            floor = (
+                0.0
+                if mn_c is None
+                else max(
+                    0.0, math.floor(mn_c * (1.0 - pixel_headroom) * 1e6) / 1e6
+                )
+            )
+            mx_s = crow["mx_s"] or 0.0
+            ceil_s = min(
+                1.0,
+                max(0.05, math.ceil(mx_s * (1.0 + pixel_headroom) * 1e6) / 1e6),
+            )
+            undec_rate = crow["n_undec"] / crow["n"]
+            tol = (
+                None
+                if undec_rate == 0
+                else min(
+                    0.999999,
+                    math.ceil(undec_rate * (1.0 + pixel_headroom) * 1e6) / 1e6,
+                )
+            )
+            rules.append(
+                DegenerateImageRule(
+                    f"suggest_degenerate_{c}",
+                    bytes_column=c,
+                    contrast_floor=floor,
+                    saturated_ceiling=ceil_s,
+                    sample_rate=pixel_sample_rate,
+                    max_violation_rate=tol,
+                )
+            )
+            if full_contract:
+                fail_rate = crow["n_px_fail"] / crow["n"]
+                px_tol = (
+                    None
+                    if fail_rate == 0
+                    else min(
+                        0.999999,
+                        math.ceil(fail_rate * (1.0 + pixel_headroom) * 1e6)
+                        / 1e6,
+                    )
+                )
+                rules.append(
+                    PixelRule(
+                        f"suggest_pixel_{c}",
+                        bytes_column=c,
+                        sample_rate=pixel_sample_rate,
+                        max_violation_rate=px_tol,
+                    )
+                )
 
     if gates and n_rows > 0:
         # volume floor: growth is fine, silent truncation is the failure mode

@@ -418,3 +418,81 @@ def test_degenerate_rule_json_round_trip(spark):
         key_column="image_id",
     )
     assert spec_from_dict(spec_to_dict(s)) == s
+
+
+# ------------------------------------------------------- suggest pixel gates
+
+
+def test_suggest_pixel_gates_quality_only_table(spark, qimages):
+    """No pixel contract columns: suggest drafts ONE DegenerateImageRule per
+    binary column, ratcheted on the sampled decode profile, and the draft
+    validates clean on the profiled table (observed blanks drag the contrast
+    floor to 0; observed undecodables become a rate tolerance)."""
+    from mdvalidate_spark import DegenerateImageRule, PixelRule
+    from mdvalidate_spark.operators.suggest import suggest_spec
+    from mdvalidate_spark.run import validate_table
+
+    spec = suggest_spec(qimages, "image_id", pixel_gates=True)
+    degs = [r for r in spec.rules if isinstance(r, DegenerateImageRule)]
+    assert len(degs) == 1 and degs[0].bytes_column == "bytes"
+    assert degs[0].contrast_floor == 0.0  # blanks observed in the profile
+    assert degs[0].saturated_ceiling == 1.0  # fully-saturated plants observed
+    assert degs[0].max_violation_rate and degs[0].max_violation_rate > 0
+    assert not [r for r in spec.rules if isinstance(r, PixelRule)]
+    report = validate_table(spark, qimages, spec)
+    assert report.exit_code == 0  # ratchet: clean on the profiled table
+
+
+def test_suggest_pixel_gates_full_contract(spark):
+    """Full pixel contract (w/h/fmt/phash): one decode pass drafts BOTH
+    rules; a healthy corpus yields real (nonzero) thresholds and the planted
+    header clashes become a pixel rate tolerance that validates clean."""
+    from mdvalidate_spark import DegenerateImageRule, PixelRule
+    from mdvalidate_spark.operators.suggest import suggest_spec
+    from mdvalidate_spark.run import validate_table
+    from mdvalidate_spark.sources.synthetic import synthetic_images
+
+    imgs = synthetic_images(spark, 500, with_bytes=True).cache()
+    imgs.count()
+    spec = suggest_spec(
+        imgs, "image_id", pixel_gates=True, pixel_sample_rate=0.5
+    )
+    degs = [r for r in spec.rules if isinstance(r, DegenerateImageRule)]
+    pxs = [r for r in spec.rules if isinstance(r, PixelRule)]
+    assert len(degs) == 1 and len(pxs) == 1
+    assert degs[0].contrast_floor > 10  # noise corpus: real contrast floor
+    assert degs[0].max_violation_rate is None  # nothing undecodable observed
+    assert pxs[0].max_violation_rate  # planted header clashes -> tolerance
+    assert degs[0].sample_rate == pxs[0].sample_rate == 0.5
+    # drafted gates survive their own compile (incl. shared-sample lint)
+    # and validate clean on the profiled table
+    report = validate_table(spark, imgs, spec)
+    deg_viols = report.violations.where("kind = 'degenerate'").count()
+    assert deg_viols == 0
+    assert report.exit_code == 0
+    imgs.unpersist()
+
+
+def test_cli_suggest_pixel_gates_roundtrip(spark, qimages, tmp_path):
+    """--suggest-pixel-gates drafts the payload gates through the CLI and the
+    saved spec validates clean on the same table via a plain CLI run."""
+    from mdvalidate_spark import cli
+    from mdvalidate_spark.spec_io import load_spec
+
+    table = str(tmp_path / "qimgs")
+    qimages.write.parquet(table)
+    specp = str(tmp_path / "suggested.json")
+
+    code = cli.main(
+        ["--spec", specp, "--table", table,
+         "--suggest-key", "image_id",
+         "--suggest-pixel-gates", "--suggest-pixel-sample", "0.5",
+         "--master", "local[4]"]
+    )
+    assert code == 0
+    drafted = load_spec(specp)
+    degs = [r for r in drafted.rules if r.kind == "degenerate"]
+    assert len(degs) == 1 and degs[0].sample_rate == 0.5
+
+    code = cli.main(["--spec", specp, "--table", table, "--master", "local[4]"])
+    assert code == 0
