@@ -4017,7 +4017,9 @@ def q_pixel_manifest_agreement(spark, sf_dir):
 
 
 _QUAL_ORACLE_ROWS = 1200
-_QUAL_ORACLE_DIR = f"/tmp/mdv-oracle-quality-{_QUAL_ORACLE_ROWS}"
+# v2: generator grew the grayscale plant class (i%29==13) — the dir is
+# content-versioned so a stale fixture from an older generator never mixes
+_QUAL_ORACLE_DIR = f"/tmp/mdv-oracle-quality-v2-{_QUAL_ORACLE_ROWS}"
 
 
 def q_degenerate_images(spark, sf_dir):
@@ -4042,7 +4044,9 @@ def q_degenerate_images(spark, sf_dir):
             "overwrite"
         ).parquet(_QUAL_ORACLE_DIR)
     df = spark.read.parquet(_QUAL_ORACLE_DIR)
-    return degenerate_image_violations(df).select("image_id", "class")
+    return degenerate_image_violations(df, grayscale_floor=5.0).select(
+        "image_id", "class"
+    )
 
 
 _DEGENERATE_SQL = f"""
@@ -4053,9 +4057,10 @@ WITH t AS (
 SELECT image_id,
        CASE WHEN i % 23 = 11 THEN 'undecodable'
             WHEN i % 13 = 5 OR i % 17 = 7 THEN 'blank_image'
-            WHEN i % 19 = 3 THEN 'saturated_image' END AS class
+            WHEN i % 19 = 3 THEN 'saturated_image'
+            WHEN i % 29 = 13 THEN 'grayscale_image' END AS class
 FROM t
-WHERE i % 23 = 11 OR i % 13 = 5 OR i % 17 = 7 OR i % 19 = 3
+WHERE i % 23 = 11 OR i % 13 = 5 OR i % 17 = 7 OR i % 19 = 3 OR i % 29 = 13
 """
 
 

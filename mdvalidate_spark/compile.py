@@ -688,6 +688,11 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
                     f"rule {r.id!r}: saturated_ceiling must be in (0, 1], "
                     f"got {r.saturated_ceiling} (it is a fraction of samples)"
                 )
+            if r.grayscale_floor is not None and r.grayscale_floor < 0:
+                raise SchemaError(
+                    f"rule {r.id!r}: grayscale_floor must be >= 0, got "
+                    f"{r.grayscale_floor}"
+                )
             if available_columns is not None:
                 t = _column_type(available_columns, r.bytes_column)
                 if t is not None:

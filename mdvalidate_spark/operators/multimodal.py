@@ -394,7 +394,7 @@ def signature_bit_violations(
 IMAGE_QUALITY_SCHEMA_BASE = (
     "image_id string, ok boolean, w int, h int, fmt string, "
     "brightness double, contrast double, min_px int, max_px int, "
-    "saturated_frac double"
+    "saturated_frac double, channel_diff double"
 )
 
 
@@ -434,6 +434,7 @@ def image_quality_stats(
     out_cols = [
         "image_id", "ok", "w", "h", "fmt",
         "brightness", "contrast", "min_px", "max_px", "saturated_frac",
+        "channel_diff",
     ] + list(passthrough)
 
     def extract(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -446,14 +447,14 @@ def image_quality_stats(
                 except Exception:
                     rows.append(
                         (iid, False, None, None, None,
-                         None, None, None, None, None, *rest)
+                         None, None, None, None, None, None, *rest)
                     )
                     continue
-                b, c, sat = quality_stats(arr)  # shared with the pixel stage
+                b, c, sat, cd = quality_stats(arr)  # shared with pixel stage
                 rows.append(
                     (
                         iid, True, w, h, fmt,
-                        b, c, int(arr.min()), int(arr.max()), sat, *rest,
+                        b, c, int(arr.min()), int(arr.max()), sat, cd, *rest,
                     )
                 )
             yield pd.DataFrame(rows, columns=out_cols)
@@ -469,6 +470,7 @@ def degenerate_image_violations(
     id_col: str = "image_id",
     contrast_floor: float = 1.0,
     saturated_ceiling: float = 0.95,
+    grayscale_floor: float | None = None,
     rule_id: str = "degenerate_image",
 ) -> DataFrame:
     """Blank / degenerate image detection: one violation row per image whose
@@ -483,6 +485,11 @@ def degenerate_image_violations(
       saturated_image ``saturated_frac`` > ``saturated_ceiling`` — nearly
                       every sample pinned at 0/255 (binary clip art, broken
                       tone mapping) while still technically having contrast
+      grayscale_image (opt-in: ``grayscale_floor`` is not None) mean
+                      inter-channel difference < floor — color collapsed to
+                      gray while stored as RGB (a broken conversion stage);
+                      off by default because a grayscale corpus is a mix
+                      question, not poison
 
     The decode runs ONCE (image_quality_stats); classification is pure
     column algebra over the tiny stats frame, so the expensive pass stays a
@@ -501,6 +508,11 @@ def degenerate_image_violations(
             f"degenerate_image_violations: saturated_ceiling must be in "
             f"(0, 1], got {saturated_ceiling}"
         )
+    if grayscale_floor is not None and grayscale_floor < 0:
+        raise SchemaError(
+            f"degenerate_image_violations: grayscale_floor must be >= 0, "
+            f"got {grayscale_floor}"
+        )
     stats = image_quality_stats(df, bytes_col=bytes_col, id_col=id_col)
     klass = (
         F.when(~F.col("ok"), F.lit("undecodable"))
@@ -510,13 +522,21 @@ def degenerate_image_violations(
             F.lit("saturated_image"),
         )
     )
+    if grayscale_floor is not None:
+        klass = klass.when(
+            F.col("channel_diff") < grayscale_floor, F.lit("grayscale_image")
+        )
     expected = (
         F.when(~F.col("ok"), F.lit("decodable"))
         .when(
             F.col("contrast") < contrast_floor,
             F.lit(f"contrast >= {contrast_floor}"),
         )
-        .otherwise(F.lit(f"saturated_frac <= {saturated_ceiling}"))
+        .when(
+            F.col("saturated_frac") > saturated_ceiling,
+            F.lit(f"saturated_frac <= {saturated_ceiling}"),
+        )
+        .otherwise(F.lit(f"channel_diff >= {grayscale_floor}"))
     )
     actual = F.when(~F.col("ok"), F.lit("decode error")).otherwise(
         F.concat(
@@ -524,6 +544,10 @@ def degenerate_image_violations(
             F.round(F.col("contrast"), 4).cast("string"),
             F.lit(" saturated_frac="),
             F.round(F.col("saturated_frac"), 4).cast("string"),
+            F.lit(" channel_diff="),
+            F.coalesce(
+                F.round(F.col("channel_diff"), 4).cast("string"), F.lit("NA")
+            ),
         )
     )
     return (

@@ -50,22 +50,36 @@ CHECK_SCHEMA = (
 # stats ride along instead of paying a second full decode of the corpus
 CHECK_QUALITY_SCHEMA = CHECK_SCHEMA + (
     ", decoded boolean, brightness double, contrast double, "
-    "saturated_frac double"
+    "saturated_frac double, channel_diff double"
 )
 
-_NO_QUALITY = (None, None, None, None)
+_NO_QUALITY = (None, None, None, None, None)
 
 
 def quality_stats(arr) -> tuple:
-    """(brightness, contrast, saturated_frac) of a decoded HxWx3 uint8 array
-    — global mean, global std, share of samples pinned at 0/255. Shared by
-    the pixel stage's ride-along quality pass and the standalone
-    image-quality operators (operators/multimodal.py)."""
+    """(brightness, contrast, saturated_frac, channel_diff) of a decoded
+    HxWx3 uint8 array — global mean, global std, share of samples pinned at
+    0/255, and the mean absolute inter-channel difference (average of
+    |R−G| and |G−B| per pixel: ~85 for independent noise, ~0 for grayscale
+    stored as RGB — the color-collapse signal a channel-MEAN spread cannot
+    see, since every channel of RGB noise averages ≈127.5). Shared by the
+    pixel stage's ride-along quality pass and the standalone image-quality
+    operators (operators/multimodal.py)."""
     f64 = arr.astype(np.float64)
     sat = float(
         (np.count_nonzero(arr == 0) + np.count_nonzero(arr == 255)) / arr.size
     )
-    return float(f64.mean()), float(f64.std()), sat
+    if arr.ndim == 3 and arr.shape[2] >= 3:
+        cdiff = float(
+            (
+                np.abs(f64[..., 0] - f64[..., 1]).mean()
+                + np.abs(f64[..., 1] - f64[..., 2]).mean()
+            )
+            / 2.0
+        )
+    else:  # single-channel payloads: color collapse is undefined
+        cdiff = None
+    return float(f64.mean()), float(f64.std()), sat, cdiff
 
 
 def _check_one(data, fmt, w, h, phash, psnr_min: float, quality: bool = False):
@@ -83,7 +97,7 @@ def _check_one(data, fmt, w, h, phash, psnr_min: float, quality: bool = False):
     try:
         arr, dfmt, dw, dh = codec.decode(data)
     except Exception as e:  # noqa: BLE001 - any decode failure is a violation
-        q = (False, None, None, None) if quality else _NO_QUALITY
+        q = (False, None, None, None, None) if quality else _NO_QUALITY
         return False, "decodable", f"decode error: {type(e).__name__}", None, q
     q = (True, *quality_stats(arr)) if quality else _NO_QUALITY
     if dfmt != fmt:
@@ -163,7 +177,8 @@ def _check_columns(
     )
     if quality:
         for j, col in enumerate(
-            ("decoded", "brightness", "contrast", "saturated_frac")
+            ("decoded", "brightness", "contrast", "saturated_frac",
+             "channel_diff")
         ):
             out[col] = [q[j] for q in q_l]
     return out
@@ -608,23 +623,23 @@ def quality_only_results(
                     continue
                 if data is None:  # NotNullRule's job
                     rows.append((pid_v, iid, True, None, None, None,
-                                 None, None, None, None))
+                                 None, None, None, None, None))
                     continue
                 try:
                     arr, _, _, _ = codec.decode(data)
                 except Exception:  # noqa: BLE001 - undecodable is a verdict
                     rows.append((pid_v, iid, False, None, None, None,
-                                 False, None, None, None))
+                                 False, None, None, None, None))
                     continue
-                b, c, s = quality_stats(arr)
+                b, c, s, cd = quality_stats(arr)
                 rows.append((pid_v, iid, True, None, None, None,
-                             True, b, c, s))
+                             True, b, c, s, cd))
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "partition_id", "image_id", "ok", "expected", "actual",
                     "psnr", "decoded", "brightness", "contrast",
-                    "saturated_frac",
+                    "saturated_frac", "channel_diff",
                 ],
             )
 
@@ -645,6 +660,8 @@ def degenerate_outputs(
                        all-white both land here)
       saturated_image  saturated_frac > saturated_ceiling (nearly every
                        sample pinned at 0/255 while still having contrast)
+      grayscale_image  (opt-in, rule.grayscale_floor set) channel_diff <
+                       floor — color collapsed to gray while stored as RGB
 
     Rows with decoded NULL (missing payload) are NotNullRule's job and are
     skipped."""
@@ -656,6 +673,11 @@ def degenerate_outputs(
             F.lit("saturated_image"),
         )
     )
+    gf = getattr(rule, "grayscale_floor", None)
+    if gf is not None:
+        klass = klass.when(
+            F.col("channel_diff") < gf, F.lit("grayscale_image")
+        )
     flagged = checks.where(F.col("decoded").isNotNull()).withColumn(
         "__class", klass
     )
@@ -665,7 +687,11 @@ def degenerate_outputs(
             F.col("contrast") < rule.contrast_floor,
             F.lit(f"contrast >= {rule.contrast_floor}"),
         )
-        .otherwise(F.lit(f"saturated_frac <= {rule.saturated_ceiling}"))
+        .when(
+            F.col("saturated_frac") > rule.saturated_ceiling,
+            F.lit(f"saturated_frac <= {rule.saturated_ceiling}"),
+        )
+        .otherwise(F.lit(f"channel_diff >= {gf}"))
     )
     actual = F.when(~F.col("decoded"), F.lit("decode error")).otherwise(
         F.concat(

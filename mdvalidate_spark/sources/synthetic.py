@@ -221,6 +221,9 @@ def synthetic_quality_images(
       else i % 13 == 5             → solid near-black (level 3): blank
       else i % 17 == 7             → solid white (level 255): blank
       else i % 19 == 3             → binary 0/255 noise: saturated, NOT blank
+      else i % 29 == 13            → grayscale noise stored as RGB
+                                     (channel_diff 0; flagged only when a
+                                     grayscale_floor is opted into)
       else partition == P-1        → noise >> 1 + 128: bright-shifted
                                      (brightness ~191 vs ~127) — drift probe
       else                         → full-range noise (clean)
@@ -246,7 +249,10 @@ def synthetic_quality_images(
     fmt_cycle = F.element_at(
         F.array(F.lit("jpeg"), F.lit("png"), F.lit("webp")), (i % 3 + 1).cast("int")
     )
-    planted = (i % 23 == 11) | (i % 13 == 5) | (i % 17 == 7) | (i % 19 == 3)
+    planted = (
+        (i % 23 == 11) | (i % 13 == 5) | (i % 17 == 7) | (i % 19 == 3)
+        | (i % 29 == 13)
+    )
     df = df.withColumn("fmt", F.when(planted, F.lit("png")).otherwise(fmt_cycle))
     last = n_partitions - 1
 
@@ -271,6 +277,11 @@ def synthetic_quality_images(
                 arr = (
                     rng.integers(0, 2, size=(size, size, 3), dtype=np.uint8) * 255
                 )
+            elif iv % 29 == 13:
+                rng = np.random.default_rng(iv)
+                arr = rng.integers(
+                    0, 256, size=(size, size, 1), dtype=np.uint8
+                ).repeat(3, axis=2)
             else:
                 arr = codec.base_image(int(pv), size, size).copy()
                 if int(gv) == last:

@@ -1422,6 +1422,10 @@ class DegenerateImageRule(Rule):
     bytes_column: str = "bytes"
     contrast_floor: float = 1.0
     saturated_ceiling: float = 0.95
+    # opt-in 4th class: mean inter-channel difference < floor flags color
+    # collapsed to gray while stored as RGB (a broken conversion stage).
+    # None disables it — a grayscale corpus is a mix question, not poison.
+    grayscale_floor: Optional[float] = None
     # deterministic content-keyed decode sampling (see PixelRule.sample_rate).
     # When the quality stats ride a PixelRule's decode, THAT rule's
     # sample_rate governs (one decode pass, one sample).

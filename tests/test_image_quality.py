@@ -496,3 +496,90 @@ def test_cli_suggest_pixel_gates_roundtrip(spark, qimages, tmp_path):
 
     code = cli.main(["--spec", specp, "--table", table, "--master", "local[4]"])
     assert code == 0
+
+
+# ------------------------------------------------------ grayscale collapse
+
+
+def expected_class_gray(i: int) -> str | None:
+    """expected_class plus the opt-in grayscale class (fixture i%29==13)."""
+    c = expected_class(i)
+    if c is None and i % 29 == 13:
+        return "grayscale_image"
+    return c
+
+
+def test_channel_diff_signal(spark, qimages):
+    stats = image_quality_stats(qimages)
+    rows = {r["image_id"]: r for r in stats.where("ok").collect()}
+    for i in range(ROWS):
+        r = rows.get(f"qimg{i:09d}")
+        if r is None:
+            continue
+        if expected_class_gray(i) == "grayscale_image":
+            assert r["channel_diff"] == 0.0
+        elif expected_class(i) is None:
+            # clean RGB noise ~88; the bright-shifted partition halves the
+            # inter-channel gaps (~44) — both far above any sane floor
+            assert r["channel_diff"] > 20
+
+
+def test_grayscale_class_operator_and_spec(spark, qimages):
+    from mdvalidate_spark import DegenerateImageRule, Spec
+    from mdvalidate_spark.run import validate_table
+
+    got = {
+        r["image_id"]: r["class"]
+        for r in degenerate_image_violations(
+            qimages, grayscale_floor=5.0
+        ).collect()
+    }
+    want = {
+        f"qimg{i:09d}": expected_class_gray(i)
+        for i in range(ROWS)
+        if expected_class_gray(i) is not None
+    }
+    assert got == want
+    # spec-level: same classes through the run lifecycle
+    spec = Spec(
+        rules=(DegenerateImageRule("degen", grayscale_floor=5.0),),
+        key_column="image_id",
+        partition_column="partition_id",
+        n_partitions=N_PARTS,
+    )
+    report = validate_table(spark, qimages, spec)
+    spec_got = {}
+    for r in report.violations.where("kind = 'degenerate'").collect():
+        if r["expected"] == "decodable":
+            spec_got[r["image_id"]] = "undecodable"
+        elif r["expected"].startswith("contrast"):
+            spec_got[r["image_id"]] = "blank_image"
+        elif r["expected"].startswith("saturated"):
+            spec_got[r["image_id"]] = "saturated_image"
+        else:
+            spec_got[r["image_id"]] = "grayscale_image"
+    assert spec_got == want
+
+
+def test_grayscale_off_by_default(spark, qimages):
+    got = {
+        r["image_id"] for r in degenerate_image_violations(qimages).collect()
+    }
+    grays = {
+        f"qimg{i:09d}"
+        for i in range(ROWS)
+        if expected_class_gray(i) == "grayscale_image"
+    }
+    assert not (got & grays)
+
+
+def test_grayscale_floor_lints(spark, qimages):
+    from mdvalidate_spark import DegenerateImageRule, Spec
+    from mdvalidate_spark.compile import compile_spec
+
+    with pytest.raises(SchemaError, match="grayscale_floor"):
+        degenerate_image_violations(qimages, grayscale_floor=-1.0)
+    with pytest.raises(SchemaError, match="grayscale_floor"):
+        compile_spec(
+            Spec(rules=(DegenerateImageRule("d", grayscale_floor=-0.5),))
+        )
