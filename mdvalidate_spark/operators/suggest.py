@@ -680,6 +680,7 @@ def suggest_spec(
                 F.count(F.when(~F.col("ok"), 1)).alias("n_px_fail"),
                 F.min("contrast").alias("mn_c"),
                 F.max("saturated_frac").alias("mx_s"),
+                F.min("channel_diff").alias("mn_cd"),
             ).collect()[0]
             if crow["n"] == 0:
                 continue  # empty sample: nothing observed to ratchet
@@ -702,6 +703,19 @@ def suggest_spec(
                 1.0,
                 max(0.05, math.ceil(mx_s * (1.0 + pixel_headroom) * 1e6) / 1e6),
             )
+            # grayscale floor: just under the least-colorful observed image
+            # (an observed grayscale drags it to 0 = class disabled, loudly
+            # visible in the drafted value; an all-color corpus gets a real
+            # color-collapse tripwire)
+            mn_cd = crow["mn_cd"]
+            gray_floor = (
+                None
+                if mn_cd is None
+                else max(
+                    0.0,
+                    math.floor(mn_cd * (1.0 - pixel_headroom) * 1e6) / 1e6,
+                )
+            )
             undec_rate = crow["n_undec"] / crow["n"]
             tol = (
                 None
@@ -717,6 +731,7 @@ def suggest_spec(
                     bytes_column=c,
                     contrast_floor=floor,
                     saturated_ceiling=ceil_s,
+                    grayscale_floor=gray_floor,
                     sample_rate=pixel_sample_rate,
                     max_violation_rate=tol,
                 )

@@ -437,6 +437,7 @@ def test_suggest_pixel_gates_quality_only_table(spark, qimages):
     assert len(degs) == 1 and degs[0].bytes_column == "bytes"
     assert degs[0].contrast_floor == 0.0  # blanks observed in the profile
     assert degs[0].saturated_ceiling == 1.0  # fully-saturated plants observed
+    assert degs[0].grayscale_floor == 0.0  # grayscale plants: class disabled
     assert degs[0].max_violation_rate and degs[0].max_violation_rate > 0
     assert not [r for r in spec.rules if isinstance(r, PixelRule)]
     report = validate_table(spark, qimages, spec)
@@ -461,6 +462,7 @@ def test_suggest_pixel_gates_full_contract(spark):
     pxs = [r for r in spec.rules if isinstance(r, PixelRule)]
     assert len(degs) == 1 and len(pxs) == 1
     assert degs[0].contrast_floor > 10  # noise corpus: real contrast floor
+    assert degs[0].grayscale_floor and degs[0].grayscale_floor > 20
     assert degs[0].max_violation_rate is None  # nothing undecodable observed
     assert pxs[0].max_violation_rate  # planted header clashes -> tolerance
     assert degs[0].sample_rate == pxs[0].sample_rate == 0.5
