@@ -671,10 +671,14 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
                         )
 
         if isinstance(r, (PixelRule, DegenerateImageRule)):
-            if not 0 < r.sample_rate <= 1:
+            # lower bound 1e-6: the kernel's sample threshold is integer
+            # micro-units, so a smaller rate rounds to ZERO kept rows — a
+            # gate that can never fire while claiming a sampled verdict
+            if not 1e-6 <= r.sample_rate <= 1:
                 raise SchemaError(
-                    f"rule {r.id!r}: sample_rate must be in (0, 1], got "
-                    f"{r.sample_rate} (1.0 decodes every row)"
+                    f"rule {r.id!r}: sample_rate must be in [1e-6, 1], got "
+                    f"{r.sample_rate} (1.0 decodes every row; the sample "
+                    "threshold has micro-unit resolution)"
                 )
 
         if isinstance(r, DegenerateImageRule):
@@ -941,22 +945,22 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
         if len(ids) > 1:
             raise ConflictingRulesError(col, ids)
 
-    # decode-once compatibility: a DegenerateImageRule rides the PixelRule's
-    # decode when they share a bytes column, so there is ONE decode sample —
-    # differing sample_rates would silently narrow (or widen) one rule's
-    # declared coverage. Loud at compile, not a surprise in the metrics.
-    pix_by_bytes = {
-        r.bytes_column: r for r in spec.rules if isinstance(r, PixelRule)
-    }
+    # decode-once compatibility: every decode rule (PixelRule and
+    # DegenerateImageRule alike) on one bytes column shares ONE decode pass
+    # and therefore ONE sample — differing sample_rates would silently
+    # narrow (or widen) one rule's declared coverage. Loud at compile, not
+    # a surprise in the metrics.
+    decode_by_bytes: dict[str, Rule] = {}
     for r in spec.rules:
-        if isinstance(r, DegenerateImageRule):
-            pr = pix_by_bytes.get(r.bytes_column)
-            if pr is not None and pr.sample_rate != r.sample_rate:
+        if isinstance(r, (PixelRule, DegenerateImageRule)):
+            first = decode_by_bytes.setdefault(r.bytes_column, r)
+            if first is not r and first.sample_rate != r.sample_rate:
                 raise SchemaError(
                     f"rule {r.id!r}: sample_rate {r.sample_rate} differs "
-                    f"from PixelRule {pr.id!r}'s {pr.sample_rate} on the "
-                    f"shared column {r.bytes_column!r} — the two rules share "
-                    "one decode pass, so they must share one sample"
+                    f"from rule {first.id!r}'s {first.sample_rate} on the "
+                    f"shared column {r.bytes_column!r} — decode rules on "
+                    "one column share one decode pass, so they must share "
+                    "one sample"
                 )
 
     row = tuple(r for r in spec.rules if isinstance(r, ROW_KINDS))

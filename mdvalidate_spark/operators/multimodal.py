@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import codec
-from .pixel import quality_stats
+from .pixel import degenerate_class_exprs, quality_stats
 
 IMAGE_FEATURES_SCHEMA = (
     "image_id string, ok boolean, w int, h int, fmt string, "
@@ -442,6 +442,17 @@ def image_quality_stats(
             rows = []
             extras = [pdf[c] for c in passthrough]
             for iid, data, *rest in zip(pdf["image_id"], pdf["b"], *extras):
+                if data is None:
+                    # missing payload is NotNullRule's job: ok stays NULL so
+                    # the degenerate classifier skips it — same contract as
+                    # the spec-rule form (pixel.py _check_one /
+                    # quality_only_results), keeping the two surfaces in
+                    # verdict parity on identical input
+                    rows.append(
+                        (iid, None, None, None, None,
+                         None, None, None, None, None, None, *rest)
+                    )
+                    continue
                 try:
                     arr, fmt, w, h = codec.decode(data)
                 except Exception:
@@ -514,44 +525,12 @@ def degenerate_image_violations(
             f"got {grayscale_floor}"
         )
     stats = image_quality_stats(df, bytes_col=bytes_col, id_col=id_col)
-    klass = (
-        F.when(~F.col("ok"), F.lit("undecodable"))
-        .when(F.col("contrast") < contrast_floor, F.lit("blank_image"))
-        .when(
-            F.col("saturated_frac") > saturated_ceiling,
-            F.lit("saturated_image"),
-        )
-    )
-    if grayscale_floor is not None:
-        klass = klass.when(
-            F.col("channel_diff") < grayscale_floor, F.lit("grayscale_image")
-        )
-    expected = (
-        F.when(~F.col("ok"), F.lit("decodable"))
-        .when(
-            F.col("contrast") < contrast_floor,
-            F.lit(f"contrast >= {contrast_floor}"),
-        )
-        .when(
-            F.col("saturated_frac") > saturated_ceiling,
-            F.lit(f"saturated_frac <= {saturated_ceiling}"),
-        )
-        .otherwise(F.lit(f"channel_diff >= {grayscale_floor}"))
-    )
-    actual = F.when(~F.col("ok"), F.lit("decode error")).otherwise(
-        F.concat(
-            F.lit("contrast="),
-            F.round(F.col("contrast"), 4).cast("string"),
-            F.lit(" saturated_frac="),
-            F.round(F.col("saturated_frac"), 4).cast("string"),
-            F.lit(" channel_diff="),
-            F.coalesce(
-                F.round(F.col("channel_diff"), 4).cast("string"), F.lit("NA")
-            ),
-        )
+    klass, expected, actual = degenerate_class_exprs(
+        "ok", contrast_floor, saturated_ceiling, grayscale_floor
     )
     return (
-        stats.withColumn("class", klass)
+        stats.where(F.col("ok").isNotNull())
+        .withColumn("class", klass)
         .where(F.col("class").isNotNull())
         .select(
             "image_id",

@@ -65,21 +65,23 @@ def quality_stats(arr) -> tuple:
     see, since every channel of RGB noise averages ≈127.5). Shared by the
     pixel stage's ride-along quality pass and the standalone image-quality
     operators (operators/multimodal.py)."""
-    f64 = arr.astype(np.float64)
+    # no full float64 copy: np.mean/np.std on uint8 already accumulate in
+    # float64 (this loop rides the 100 TB decode pass — an 8x scratch buffer
+    # per image is exactly the memory traffic the zero-copy scan avoids)
     sat = float(
         (np.count_nonzero(arr == 0) + np.count_nonzero(arr == 255)) / arr.size
     )
     if arr.ndim == 3 and arr.shape[2] >= 3:
-        cdiff = float(
-            (
-                np.abs(f64[..., 0] - f64[..., 1]).mean()
-                + np.abs(f64[..., 1] - f64[..., 2]).mean()
-            )
-            / 2.0
-        )
+        c01 = np.abs(
+            arr[..., 0].astype(np.int16) - arr[..., 1].astype(np.int16)
+        ).mean()
+        c12 = np.abs(
+            arr[..., 1].astype(np.int16) - arr[..., 2].astype(np.int16)
+        ).mean()
+        cdiff = float((c01 + c12) / 2.0)
     else:  # single-channel payloads: color collapse is undefined
         cdiff = None
-    return float(f64.mean()), float(f64.std()), sat, cdiff
+    return float(arr.mean()), float(arr.std()), sat, cdiff
 
 
 def _check_one(data, fmt, w, h, phash, psnr_min: float, quality: bool = False):
@@ -126,8 +128,11 @@ _SAMPLE_MOD = 1_000_000
 
 
 def sample_threshold(rate: float) -> int | None:
-    """Micro-unit threshold for a sample rate (None = decode every row)."""
-    return None if rate >= 1.0 else int(round(rate * _SAMPLE_MOD))
+    """Micro-unit threshold for a sample rate (None = decode every row).
+    Floored at 1 for direct operator callers — a sub-micro rate must never
+    silently keep ZERO rows (compile_spec additionally rejects rates below
+    1e-6 loudly before a run starts)."""
+    return None if rate >= 1.0 else max(1, int(round(rate * _SAMPLE_MOD)))
 
 
 def sample_keep(key, threshold: int) -> bool:
@@ -646,6 +651,59 @@ def quality_only_results(
     return cols.mapInPandas(run_batches, schema=CHECK_QUALITY_SCHEMA)
 
 
+def degenerate_class_exprs(
+    decoded_col: str,
+    contrast_floor: float,
+    saturated_ceiling: float,
+    grayscale_floor: float | None,
+) -> tuple:
+    """(klass, expected, actual) column trio for degenerate-image
+    classification — THE single definition of the class precedence and the
+    violation strings, shared by the spec-rule form (degenerate_outputs)
+    and the operator form (operators/multimodal.py
+    degenerate_image_violations) so the two surfaces can never drift.
+    ``decoded_col`` names the boolean decode-success column (NULL = missing
+    payload, the caller filters those out — NotNullRule's job)."""
+    d = F.col(decoded_col)
+    klass = (
+        F.when(~d, F.lit("undecodable"))
+        .when(F.col("contrast") < contrast_floor, F.lit("blank_image"))
+        .when(
+            F.col("saturated_frac") > saturated_ceiling,
+            F.lit("saturated_image"),
+        )
+    )
+    if grayscale_floor is not None:
+        klass = klass.when(
+            F.col("channel_diff") < grayscale_floor, F.lit("grayscale_image")
+        )
+    expected = (
+        F.when(~d, F.lit("decodable"))
+        .when(
+            F.col("contrast") < contrast_floor,
+            F.lit(f"contrast >= {contrast_floor}"),
+        )
+        .when(
+            F.col("saturated_frac") > saturated_ceiling,
+            F.lit(f"saturated_frac <= {saturated_ceiling}"),
+        )
+        .otherwise(F.lit(f"channel_diff >= {grayscale_floor}"))
+    )
+    actual = F.when(~d, F.lit("decode error")).otherwise(
+        F.concat(
+            F.lit("contrast="),
+            F.round(F.col("contrast"), 4).cast("string"),
+            F.lit(" saturated_frac="),
+            F.round(F.col("saturated_frac"), 4).cast("string"),
+            F.lit(" channel_diff="),
+            F.coalesce(
+                F.round(F.col("channel_diff"), 4).cast("string"), F.lit("NA")
+            ),
+        )
+    )
+    return klass, expected, actual
+
+
 def degenerate_outputs(
     checks: DataFrame, rule, run_id: str
 ) -> tuple[DataFrame, DataFrame]:
@@ -665,42 +723,14 @@ def degenerate_outputs(
 
     Rows with decoded NULL (missing payload) are NotNullRule's job and are
     skipped."""
-    klass = (
-        F.when(~F.col("decoded"), F.lit("undecodable"))
-        .when(F.col("contrast") < rule.contrast_floor, F.lit("blank_image"))
-        .when(
-            F.col("saturated_frac") > rule.saturated_ceiling,
-            F.lit("saturated_image"),
-        )
+    klass, expected, actual = degenerate_class_exprs(
+        "decoded",
+        rule.contrast_floor,
+        rule.saturated_ceiling,
+        getattr(rule, "grayscale_floor", None),
     )
-    gf = getattr(rule, "grayscale_floor", None)
-    if gf is not None:
-        klass = klass.when(
-            F.col("channel_diff") < gf, F.lit("grayscale_image")
-        )
     flagged = checks.where(F.col("decoded").isNotNull()).withColumn(
         "__class", klass
-    )
-    expected = (
-        F.when(~F.col("decoded"), F.lit("decodable"))
-        .when(
-            F.col("contrast") < rule.contrast_floor,
-            F.lit(f"contrast >= {rule.contrast_floor}"),
-        )
-        .when(
-            F.col("saturated_frac") > rule.saturated_ceiling,
-            F.lit(f"saturated_frac <= {rule.saturated_ceiling}"),
-        )
-        .otherwise(F.lit(f"channel_diff >= {gf}"))
-    )
-    actual = F.when(~F.col("decoded"), F.lit("decode error")).otherwise(
-        F.concat(
-            F.lit("class="), F.col("__class"),
-            F.lit(" contrast="),
-            F.round(F.col("contrast"), 4).cast("string"),
-            F.lit(" saturated_frac="),
-            F.round(F.col("saturated_frac"), 4).cast("string"),
-        )
     )
     violations = flagged.where(F.col("__class").isNotNull()).select(
         F.lit(run_id).alias("run_id"),

@@ -621,6 +621,14 @@ def suggest_spec(
                 )
             )
 
+    if pixel_gates and not 1e-6 <= pixel_sample_rate <= 1:
+        from ..errors import SchemaError
+
+        raise SchemaError(
+            f"pixel_sample_rate must be in [1e-6, 1], got "
+            f"{pixel_sample_rate} — the drafted rules embed this rate and "
+            "their compile would reject it"
+        )
     if pixel_gates and n_rows > 0:
         # Image-payload gates, drafted from ONE sampled decode pass per
         # binary column (the user's pixel_sample_rate IS the profile budget;
@@ -647,7 +655,13 @@ def suggest_spec(
             else df.withColumn("partition_id", F.lit(-1))
         )
         for c in sorted(f.name for f in fields if isinstance(f.dataType, BinaryType)):
-            full_contract = (
+            # the w/h/fmt/phash contract columns describe THE payload column
+            # ("bytes" by convention) — verifying a second binary column
+            # (thumbnails, previews) against the main image's dims/phash
+            # would profile a ~100% fail rate and draft a vacuous tolerance,
+            # so other binary columns get the payload-agnostic quality
+            # profile only
+            full_contract = c == "bytes" and (
                 _is_int(types.get("w"))
                 and _is_int(types.get("h"))
                 and isinstance(types.get("fmt"), StringType)

@@ -707,7 +707,10 @@ class ValidationRun:
             checks = quality_checks_by_bytes.get(dgr.bytes_column)
             if checks is None:
                 # no PixelRule shares this payload column: standalone
-                # decode→stats pass (same batch-filter semantics)
+                # decode→stats pass (same batch-filter semantics), memoized
+                # per bytes column so N degenerate rules on one payload
+                # still decode the corpus ONCE (compile guarantees they
+                # share one sample_rate)
                 all_parts = set(self.all_partitions())
                 part_arg = None if set(partitions) >= all_parts else partitions
                 checks = self._keep(
@@ -715,6 +718,7 @@ class ValidationRun:
                         self.df, dgr, spec.key_column, partitions=part_arg
                     )
                 )
+                quality_checks_by_bytes[dgr.bytes_column] = checks
             dv, dm = pixel_ops.degenerate_outputs(checks, dgr, self.run_id)
             viols.append(dv)
             mets.append(dm)
@@ -1465,9 +1469,15 @@ class ValidationRun:
         sums wherever those exist — under max_violations_per_rule the frame
         is a bounded sample, but the metrics carry the exact counts, so the
         verdict never degrades to sampled arithmetic. Denominator: the
-        manifest's validated row sum (one shared, unambiguous meaning across
-        rule families). Cost: two tiny aggregations over already-cached
-        frames, paid only when a tolerance is declared."""
+        manifest's validated row sum — EXCEPT for decode-sampled rules
+        (pixel/degenerate with sample_rate < 1), whose own
+        ``pixel_checked``/``degenerate_checked`` metric sums ARE the honest
+        denominator: those kernels only emit (and can only violate on) the
+        sampled rows, so dividing by the full corpus would deflate the
+        observed rate by the sample factor and let a poisoned corpus
+        validate clean under its tolerance. Cost: three tiny aggregations
+        over already-cached frames, paid only when a tolerance is
+        declared."""
         if self._schema_violations > 0:
             return True  # schema rules are metadata-level, always hard
         totals = {
@@ -1483,6 +1493,15 @@ class ValidationRun:
             .collect()
         ):
             totals[r["rule_id"]] = int(r["n"])
+        checked = {
+            r["rule_id"]: int(r["n"])
+            for r in metrics.where(
+                F.col("metric").isin("pixel_checked", "degenerate_checked")
+            )
+            .groupBy("rule_id")
+            .agg(F.sum("value").cast("long").alias("n"))
+            .collect()
+        }
         rows_total = self.manifest.total_rows
         for rid, n in totals.items():
             if n <= 0:
@@ -1490,7 +1509,8 @@ class ValidationRun:
             rate = soft.get(rid)
             if rate is None:
                 return True  # hard rule with violations
-            if rows_total <= 0 or n / rows_total > rate:
+            denom = checked.get(rid, rows_total)
+            if denom <= 0 or n / denom > rate:
                 return True  # soft rule over budget
         return False
 

@@ -585,3 +585,149 @@ def test_grayscale_floor_lints(spark, qimages):
         compile_spec(
             Spec(rules=(DegenerateImageRule("d", grayscale_floor=-0.5),))
         )
+
+
+# ---------------------------------------------------------- review-batch locks
+
+
+def test_sampled_tolerance_uses_checked_denominator(spark, qimages):
+    """A sampled rule's max_violation_rate must divide by the SAMPLE's
+    checked count, not the corpus row count — otherwise a poisoned corpus
+    validates clean at 1/sample_rate times the declared tolerance."""
+    from mdvalidate_spark import DegenerateImageRule, Spec
+    from mdvalidate_spark.operators import pixel as pixel_ops
+    from mdvalidate_spark.run import validate_table
+
+    thr = pixel_ops.sample_threshold(0.4)
+    sampled = [
+        f"qimg{i:09d}"
+        for i in range(ROWS)
+        if pixel_ops.sample_keep(f"qimg{i:09d}", thr)
+    ]
+    bad = [k for k in sampled if expected_class(int(k[4:])) is not None]
+    rate = len(bad) / len(sampled)
+    assert rate > 0
+
+    def run(tol):
+        spec = Spec(
+            rules=(
+                DegenerateImageRule(
+                    "degen", sample_rate=0.4, max_violation_rate=tol
+                ),
+            ),
+            key_column="image_id",
+            partition_column="partition_id",
+            n_partitions=N_PARTS,
+        )
+        return validate_table(spark, qimages, spec).exit_code
+
+    assert run(min(0.999, rate * 1.05)) == 0  # within budget on the sample
+    # just under the sampled rate: MUST fail — under the old corpus-rows
+    # denominator this computed rate*0.4 and wrongly passed
+    assert run(rate * 0.95) == 1
+
+
+def test_degenerate_pair_shared_sample_lint_and_decode_once(
+    spark, qimages, monkeypatch
+):
+    from mdvalidate_spark import DegenerateImageRule, Spec
+    from mdvalidate_spark.compile import compile_spec
+    from mdvalidate_spark.operators import pixel as pixel_ops
+    from mdvalidate_spark.run import validate_table
+
+    with pytest.raises(SchemaError, match="share one sample"):
+        compile_spec(
+            Spec(
+                rules=(
+                    DegenerateImageRule("a", sample_rate=0.5),
+                    DegenerateImageRule("b", sample_rate=1.0),
+                )
+            )
+        )
+    calls = {"n": 0}
+    real = pixel_ops.quality_only_results
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(pixel_ops, "quality_only_results", counting)
+    spec = Spec(
+        rules=(
+            DegenerateImageRule("strict", contrast_floor=5.0),
+            DegenerateImageRule("lenient", contrast_floor=0.5),
+        ),
+        key_column="image_id",
+        partition_column="partition_id",
+        n_partitions=N_PARTS,
+    )
+    report = validate_table(spark, qimages, spec)
+    assert calls["n"] == 1  # two rules, ONE decode of the shared column
+    assert report.violations.where("rule_id = 'strict'").count() > 0
+
+
+def test_sub_micro_sample_rate_rejected(spark):
+    from mdvalidate_spark import DegenerateImageRule, PixelRule, Spec
+    from mdvalidate_spark.compile import compile_spec
+    from mdvalidate_spark.errors import SchemaError as SE
+    from mdvalidate_spark.operators.suggest import suggest_spec
+
+    with pytest.raises(SE, match="1e-6"):
+        compile_spec(Spec(rules=(PixelRule("px", sample_rate=1e-7),)))
+    # and the operator-level floor keeps direct callers at >= 1 micro-row
+    from mdvalidate_spark.operators.pixel import sample_threshold
+
+    assert sample_threshold(1e-9) == 1
+    assert suggest_spec is not None  # suggest path: see the next test
+
+
+def test_suggest_rate_validated_before_decode(spark, qimages):
+    from mdvalidate_spark.errors import SchemaError as SE
+    from mdvalidate_spark.operators.suggest import suggest_spec
+
+    with pytest.raises(SE, match="pixel_sample_rate"):
+        suggest_spec(
+            qimages, "image_id", pixel_gates=True, pixel_sample_rate=1.5
+        )
+    with pytest.raises(SE, match="pixel_sample_rate"):
+        suggest_spec(
+            qimages, "image_id", pixel_gates=True, pixel_sample_rate=0.0
+        )
+
+
+def test_null_payload_parity_operator_vs_spec(spark, qimages):
+    """A NULL bytes row is NotNullRule's job on BOTH surfaces: the operator
+    form must not classify it undecodable (it used to), matching the
+    spec-rule form."""
+    withnull = qimages.withColumn(
+        "bytes",
+        F.when(F.col("i") == 0, F.lit(None).cast("binary")).otherwise(
+            F.col("bytes")
+        ),
+    )
+    stats = image_quality_stats(withnull)
+    row = stats.where("image_id = 'qimg000000000'").first()
+    assert row["ok"] is None and row["brightness"] is None
+    flagged = {
+        r["image_id"]
+        for r in degenerate_image_violations(withnull).collect()
+    }
+    assert "qimg000000000" not in flagged
+
+
+def test_suggest_second_binary_column_gets_no_pixel_rule(spark):
+    """Contract columns describe THE payload ('bytes'): a second binary
+    column must draft a quality gate only, never a PixelRule judging it
+    against the main image's dims/phash."""
+    from mdvalidate_spark import DegenerateImageRule, PixelRule
+    from mdvalidate_spark.operators.suggest import suggest_spec
+    from mdvalidate_spark.sources.synthetic import synthetic_images
+
+    imgs = synthetic_images(spark, 300, with_bytes=True).withColumn(
+        "thumb", F.col("bytes")
+    )
+    spec = suggest_spec(imgs, "image_id", pixel_gates=True)
+    pxs = [r for r in spec.rules if isinstance(r, PixelRule)]
+    degs = [r for r in spec.rules if isinstance(r, DegenerateImageRule)]
+    assert len(pxs) == 1 and pxs[0].bytes_column == "bytes"
+    assert sorted(d.bytes_column for d in degs) == ["bytes", "thumb"]
