@@ -530,3 +530,31 @@ def stream_degenerate_violations(
     checks = quality_only_results(with_pid, rule, key_column)
     violations, _ = degenerate_outputs(checks, rule, run_id)
     return violations
+
+
+def stream_pixel_violations(
+    stream_df: DataFrame,
+    rule,
+    run_id: str,
+    key_column: str = "image_id",
+    n_partitions: int = 8,
+) -> DataFrame:
+    """PixelRule verify (decode + fmt + dims + phash + PSNR) on an unbounded
+    stream of image rows — the at-ingest twin of the batch pixel stage. The
+    verify kernel is a STATELESS Arrow mapInPandas, so each micro-batch
+    decodes independently (no watermark, no state store); the native
+    row-group scan path is a batch-only optimization (it re-reads parquet
+    files, which a stream has no stable set of), so the stream always takes
+    the Arrow exchange path explicitly. ``rule.sample_rate`` applies
+    unchanged — content-keyed membership is engine- and batch-independent,
+    so a sampled stream verdict matches the batch verdict on the same rows.
+    Emits the batch stage's violation shape (kind=pixel)."""
+    from ..operators.pixel import _pixel_arrow, pixel_outputs
+
+    with_pid = stream_df.withColumn(
+        "partition_id",
+        F.pmod(F.xxhash64(F.col(key_column)), F.lit(n_partitions)).cast("int"),
+    )
+    checks = _pixel_arrow(with_pid, rule, key_column, None)
+    violations, _ = pixel_outputs(checks, rule, run_id)
+    return violations

@@ -731,3 +731,44 @@ def test_suggest_second_binary_column_gets_no_pixel_rule(spark):
     degs = [r for r in spec.rules if isinstance(r, DegenerateImageRule)]
     assert len(pxs) == 1 and pxs[0].bytes_column == "bytes"
     assert sorted(d.bytes_column for d in degs) == ["bytes", "thumb"]
+
+
+def test_stream_pixel_violations_matches_batch(spark, tmp_path):
+    """Streamed pixel verdicts must equal the batch stage's, row for row —
+    including under a decode sample (content-keyed membership is
+    batch-boundary-independent)."""
+    from mdvalidate_spark.operators import pixel as pixel_ops
+    from mdvalidate_spark.spec import PixelRule
+    from mdvalidate_spark.sources.synthetic import synthetic_images
+    from mdvalidate_spark.streaming.structured import stream_pixel_violations
+
+    src = str(tmp_path / "pxstream-src")
+    out = str(tmp_path / "pxstream-out")
+    ck = str(tmp_path / "pxstream-ck")
+    df = synthetic_images(spark, 400, with_bytes=True)
+    df.write.mode("overwrite").parquet(src)
+
+    rule = PixelRule("px", sample_rate=0.6)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    viol = stream_pixel_violations(stream, rule, "s1")
+    assert viol.isStreaming
+    q = (
+        viol.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["image_id"], r["expected"])
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = pixel_ops.pixel_check_results(
+        spark.read.parquet(src), rule, "image_id"
+    )
+    want = {
+        (r["image_id"], r["expected"])
+        for r in batch.where("NOT ok").collect()
+    }
+    assert got == want and got  # nonempty: the fixture plants violations
