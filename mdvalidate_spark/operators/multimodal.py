@@ -541,3 +541,63 @@ def degenerate_image_violations(
             actual.alias("actual"),
         )
     )
+
+
+def quality_drift_sweep(
+    df: DataFrame,
+    group_col: str,
+    metric: str = "brightness",
+    bytes_col: str = "bytes",
+    id_col: str = "image_id",
+    method: str = "psi",
+    threshold: float = 0.2,
+    n_bins: int = 16,
+    run_id: str = "quality_drift",
+):
+    """Pixel-stat drift BETWEEN partitions — the north rule's KS/PSI sweep
+    applied to a DECODED statistic (brightness / contrast / saturated_frac /
+    channel_diff) instead of a stored column: the one-decode
+    ``image_quality_stats`` pass reduces the corpus to a few doubles per
+    image, then the standard leave-one-out sweep (operators/drift.py
+    drift_sweep: bins once from the global distribution, ONE
+    groupBy(group, bin) pass) flags the shards whose pixel distribution
+    diverged — a re-encoded feed, a tone-mapping regression, a camera white-
+    balance drift that every header/metadata check waves through.
+
+    Returns (violations, metrics, n_violations) exactly like
+    ``drift_sweep`` (the flagged group is in the violation's image_id slot
+    as ``<group_col>=<value>``, matching the sweep convention).
+    Cost shape: the decode pass dominates and is shuffle-free; the sweep
+    itself runs on the stats frame (10^5x smaller) — retuning the drift
+    threshold or bins re-runs only the cheap half."""
+    from ..errors import SchemaError
+    from ..spec import DriftRule
+    from .drift import drift_sweep
+
+    allowed = ("brightness", "contrast", "saturated_frac", "channel_diff")
+    if metric not in allowed:
+        raise SchemaError(
+            f"quality_drift_sweep: metric must be one of {allowed}, "
+            f"got {metric!r}"
+        )
+    # degenerate rows (blank/saturated extremes, at the DEFAULT class
+    # thresholds) are excluded: they are the degenerate RULE's verdict, and
+    # their pinned values would smear the healthy population's histogram
+    # tails with cross-partition noise — the sweep judges the distribution
+    # of images that are individually fine
+    stats = image_quality_stats(
+        df, bytes_col=bytes_col, id_col=id_col, passthrough=(group_col,)
+    ).where(
+        F.col("ok")
+        & (F.col("contrast") >= F.lit(1.0))
+        & (F.col("saturated_frac") <= F.lit(0.95))
+    )
+    rule = DriftRule(
+        f"quality_drift_{metric}",
+        column=metric,
+        sweep_by=group_col,
+        method=method,
+        threshold=threshold,
+        n_bins=n_bins,
+    )
+    return drift_sweep(stats, rule, run_id)

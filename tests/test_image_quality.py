@@ -772,3 +772,25 @@ def test_stream_pixel_violations_matches_batch(spark, tmp_path):
         for r in batch.where("NOT ok").collect()
     }
     assert got == want and got  # nonempty: the fixture plants violations
+
+
+def test_quality_drift_sweep_flags_shifted_partition(spark, qimages):
+    """The decode→stats→leave-one-out composition must flag exactly the
+    brightness-shifted partition (fixture plants +64 on P-1)."""
+    from mdvalidate_spark.errors import SchemaError as SE
+    from mdvalidate_spark.operators.multimodal import quality_drift_sweep
+
+    # threshold sits between the small-sample noise floor (~2 PSI at ~60
+    # rows/partition x 16 bins) and the planted shift (~21) — at corpus
+    # scale the floor collapses toward 0 and the default 0.2 is right
+    viol, mets, n_viol = quality_drift_sweep(
+        qimages, "partition_id", metric="brightness", threshold=5.0
+    )
+    flagged = {r["image_id"] for r in viol.collect()}
+    assert flagged == {f"partition_id={N_PARTS - 1}"}
+    assert n_viol == 1
+    # every partition got a stat row; only the shifted one crossed it
+    stats = {r["value_str"]: r["value"] for r in mets.collect()}
+    assert len(stats) == N_PARTS
+    with pytest.raises(SE, match="metric"):
+        quality_drift_sweep(qimages, "partition_id", metric="nope")
