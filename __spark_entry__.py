@@ -4712,12 +4712,114 @@ JOIN viol v ON v.pid = n.pid
 """
 
 
+def _health_mutated(spark, sf_dir):
+    """Shared fixture mutation for the embedding-health queries: %13==7 rows
+    get a trailing NaN (excluded — VectorRule's verdict), every other row
+    gets dimension 7 pinned to 0.25 (a planted DEAD dimension). CASE order
+    mirrored exactly in the oracles."""
+    emb = _load(spark, sf_dir, "embeddings")
+    c = F.col("embedding")
+    vid = F.col("vec_id")
+    mut = F.when(
+        vid % 13 == 7,
+        F.concat(
+            F.slice(c, 2, 63), F.array(F.lit(float("nan")).cast("float"))
+        ),
+    ).otherwise(
+        F.concat(
+            F.slice(c, 1, 7),
+            F.array(F.lit(0.25).cast("float")),
+            F.slice(c, 9, 56),
+        )
+    )
+    return emb.select("vec_id", mut.alias("embedding"))
+
+
+def q_embedding_health_embeddings(spark, sf_dir):
+    """Per-dimension encoder-collapse audit (similarity.embedding_health):
+    ONE map-side-combined aggregation row (2·dim conditional sums) exploded
+    into the 64-row (dim_idx, mean, variance, dead) profile — the
+    embedding-axis sibling of phash bit balance. The planted constant
+    dimension 7 must surface as the only dead=true row; NaN rows are
+    excluded from every statistic, not averaged into them."""
+    return S.embedding_health(_health_mutated(spark, sf_dir), dim=64)
+
+
+def q_embedding_anisotropy_embeddings(spark, sf_dir):
+    """Corpus-geometry summary from the same single-scan aggregation:
+    anisotropy = ‖mean vector‖ / mean row norm (→1 = collapsed encoder),
+    plus used/excluded/dead-dimension counts — one row, all engine↔oracle
+    rounded at 6 dp."""
+    return S.embedding_anisotropy(_health_mutated(spark, sf_dir), dim=64)
+
+
+_HEALTH_MUT_SQL = """
+  SELECT vec_id,
+    CASE WHEN vec_id % 13 = 7
+         THEN list_concat(embedding[2:64], [CAST('NaN' AS FLOAT)])
+         ELSE embedding[1:7] || [CAST(0.25 AS FLOAT)] || embedding[9:64]
+    END AS v
+  FROM embeddings
+"""
+
+_EMBEDDING_HEALTH_SQL = f"""
+WITH m AS ({_HEALTH_MUT_SQL}),
+ok AS (
+  SELECT list_transform(v, x -> CAST(x AS DOUBLE)) AS dv FROM m
+  WHERE v IS NOT NULL AND len(v) = 64
+    AND len(list_filter(v, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+),
+e AS (SELECT unnest(dv) AS x, unnest(range(0, 64)) AS i FROM ok)
+SELECT CAST(i AS INT) AS dim_idx,
+  round(avg(x), 6) AS mean,
+  round(sum(x*x)/count(*) - avg(x)*avg(x), 6) AS variance,
+  round(sum(x*x)/count(*) - avg(x)*avg(x), 6) <= 0.0 AS dead
+FROM e GROUP BY i
+"""
+
+_EMBEDDING_ANISOTROPY_SQL = f"""
+WITH m AS ({_HEALTH_MUT_SQL}),
+flag AS (
+  SELECT (v IS NOT NULL AND len(v) = 64
+          AND len(list_filter(v, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+         ) AS ok,
+         list_transform(v, x -> CAST(x AS DOUBLE)) AS dv
+  FROM m
+),
+norms AS (
+  SELECT count(*) FILTER (ok) AS n,
+         count(*) FILTER (NOT ok) AS nx,
+         sum(CASE WHEN ok
+             THEN sqrt(list_sum(list_transform(dv, x -> x*x))) END) AS snorm
+  FROM flag
+),
+e AS (SELECT unnest(dv) AS x, unnest(range(0, 64)) AS i FROM flag WHERE ok),
+dims AS (
+  SELECT i, avg(x) AS mu,
+         round(sum(x*x)/count(*) - avg(x)*avg(x), 6) AS var
+  FROM e GROUP BY i
+),
+agg AS (
+  SELECT sqrt(sum(mu*mu)) AS mvn,
+         sum(CASE WHEN var <= 0.0 THEN 1 ELSE 0 END) AS dd
+  FROM dims
+)
+SELECT CAST(n AS BIGINT) AS rows_used, CAST(nx AS BIGINT) AS rows_excluded,
+  CAST(dd AS BIGINT) AS dead_dims,
+  round(snorm/n, 6) AS mean_norm, round(mvn, 6) AS mean_vector_norm,
+  round(mvn/(snorm/n), 6) AS anisotropy
+FROM norms, agg
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERED most-recently-changed first (VERDICT r3 #2): the driver's
     # correctness harness checks entries positionally from the top, so the
     # queries touched this round must come first, stable legacy last.
     return {
         # -- round 4: new/rewritten ------------------------------------
+        "embedding_health_embeddings": q_embedding_health_embeddings,
+        "embedding_anisotropy_embeddings": q_embedding_anisotropy_embeddings,
         "degenerate_images": q_degenerate_images,
         "span_dedup_documents": q_span_dedup_documents,
         "span_report_documents": q_span_report_documents,
@@ -6284,6 +6386,8 @@ def oracle_sql() -> dict[str, str]:
         "span_report_documents": _span_report_sql(),
         "span_probe_documents": _span_probe_sql(),
         "phash_bits_documents": _phash_bits_sql(),
+        "embedding_health_embeddings": _EMBEDDING_HEALTH_SQL,
+        "embedding_anisotropy_embeddings": _EMBEDDING_ANISOTROPY_SQL,
         "alignment_embeddings": _ALIGNMENT_EMBEDDINGS_SQL,
         "suggest_align_embeddings": _SUGGEST_ALIGN_SQL,
         "canonical_urls_documents": _canonical_urls_sql(),

@@ -436,3 +436,147 @@ def topk_ivf_indexed(
         )
     )
     return _rank_topk(scored, k)
+
+
+# -------------------------------------------------- embedding-matrix health
+
+
+#: unrolled per-dimension aggregation budget: 2 conditional sums per
+#: dimension in ONE aggregation row — above this the expression tree is
+#: Janino-hostile (same discipline as _LITERAL_BUDGET / _SRP_LITERAL_BUDGET)
+_HEALTH_DIM_BUDGET = 512
+
+
+def _health_agg(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """ONE full-scan aggregation row carrying everything the health audits
+    derive: rows used/excluded, per-dimension sum and sum-of-squares, and the
+    row-norm sum. All sums are conditional on the row being usable (non-NULL,
+    exactly ``dim`` elements, every element finite) — VectorRule owns
+    FLAGGING those rows; the health profile excludes them so one poisoned
+    NaN cannot wipe the corpus statistics. Map-side combined: the driver
+    sees one row of 2·dim+3 doubles at any corpus size."""
+    from ..errors import SchemaError
+
+    if not 1 <= dim <= _HEALTH_DIM_BUDGET:
+        raise SchemaError(
+            f"embedding_health: dim must be in [1, {_HEALTH_DIM_BUDGET}], "
+            f"got {dim} — wider vectors need a chunked profile, not a "
+            f"wider aggregation row"
+        )
+    v = F.col(vec_col)
+    bad_el = lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == float("inf"))
+    ok = v.isNotNull() & (F.size(v) == dim) & ~F.exists(v, bad_el)
+    dv = F.transform(v, lambda x: x.cast("double"))
+    aggs = [
+        # sum over zero rows is NULL — an empty frame still reports 0/0 counts
+        F.coalesce(F.sum(F.when(ok, 1).otherwise(0)), F.lit(0)).alias("__n"),
+        F.coalesce(F.sum(F.when(~ok, 1).otherwise(0)), F.lit(0)).alias("__nx"),
+        F.sum(
+            F.when(
+                ok,
+                F.sqrt(F.aggregate(dv, F.lit(0.0), lambda a, x: a + x * x)),
+            )
+        ).alias("__snorm"),
+    ]
+    for i in range(dim):
+        el = F.element_at(dv, i + 1)
+        aggs.append(F.sum(F.when(ok, el)).alias(f"__s{i}"))
+        aggs.append(F.sum(F.when(ok, el * el)).alias(f"__q{i}"))
+    return df.agg(*aggs)
+
+
+def embedding_health(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    dead_eps: float = 0.0,
+) -> DataFrame:
+    """Per-dimension health profile of an embedding column — the
+    encoder-collapse audit. A healthy encoder spreads variance across every
+    dimension; a DEAD dimension (variance ~0: a stuck projection row, a
+    truncated checkpoint, an upstream fp16 underflow) and a corpus-wide
+    variance collapse are invisible to VectorRule (each row individually
+    valid), to uniqueness (vectors still distinct), and to bit-balance
+    (which audits the int64 signature, not the float matrix). The
+    embedding-axis sibling of signature_bit_balance — same plan shape: ONE
+    map-side-combined aggregation row exploded driver-free into the
+    ``dim``-row profile, no shuffle beyond the global aggregation's single
+    exchange.
+
+    Rows excluded (NULL / wrong dim / non-finite element) are VectorRule's
+    verdict, not this profile's; an empty usable scope yields NULL stats and
+    dead=true on every dimension — loud, never a fake 0.
+
+    Output: (dim_idx, mean, variance, dead) with mean/variance rounded to
+    6 dp (engine↔oracle parity convention); ``dead`` compares the ROUNDED
+    variance to ``dead_eps`` so verdicts are engine-reproducible."""
+    one = _health_agg(df, vec_col, dim)
+    n = F.col("__n")
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("dim_idx"),
+                F.col(f"__s{i}").alias("s"),
+                F.col(f"__q{i}").alias("q"),
+            )
+            for i in range(dim)
+        ]
+    )
+    mean_raw = F.when(n > 0, F.col("__e.s") / n)
+    var_raw = F.when(n > 0, F.col("__e.q") / n - mean_raw * mean_raw)
+    variance = F.round(var_raw, 6)
+    return (
+        one.select(F.explode(entries).alias("__e"), n.alias("__n"))
+        .select(
+            F.col("__e.dim_idx").alias("dim_idx"),
+            F.round(mean_raw, 6).alias("mean"),
+            variance.alias("variance"),
+            F.coalesce(variance <= F.lit(dead_eps), F.lit(True)).alias(
+                "dead"
+            ),
+        )
+    )
+
+
+def embedding_anisotropy(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    dead_eps: float = 0.0,
+) -> DataFrame:
+    """Corpus-level embedding-geometry summary from the SAME single-scan
+    aggregation as embedding_health: anisotropy = ‖mean vector‖ / mean row
+    norm — ~0 for a centered, well-spread corpus; → 1 when the encoder has
+    collapsed every input toward one direction (mass duplication, a dead
+    encoder returning its bias, a normalization bug), long before cosine
+    near-dup pairs make the collapse obvious pair-by-pair. One row out:
+    (rows_used, rows_excluded, dead_dims, mean_norm, mean_vector_norm,
+    anisotropy), floats rounded to 6 dp."""
+    one = _health_agg(df, vec_col, dim)
+    n = F.col("__n")
+    sumsq_of_means = None
+    dead_terms = []
+    for i in range(dim):
+        m = F.col(f"__s{i}") / n
+        term = m * m
+        sumsq_of_means = term if sumsq_of_means is None else sumsq_of_means + term
+        var_i = F.round(F.col(f"__q{i}") / n - m * m, 6)
+        dead_terms.append(
+            F.when(var_i <= F.lit(dead_eps), 1).otherwise(0)
+        )
+    mean_norm = F.when(n > 0, F.col("__snorm") / n)
+    mv_norm = F.when(n > 0, F.sqrt(sumsq_of_means))
+    dead_dims = F.when(
+        n > 0,
+        sum(dead_terms[1:], dead_terms[0]),
+    ).otherwise(F.lit(dim))
+    return one.select(
+        n.cast("long").alias("rows_used"),
+        F.col("__nx").cast("long").alias("rows_excluded"),
+        dead_dims.cast("long").alias("dead_dims"),
+        F.round(mean_norm, 6).alias("mean_norm"),
+        F.round(mv_norm, 6).alias("mean_vector_norm"),
+        F.when(
+            mean_norm > 0, F.round(mv_norm / mean_norm, 6)
+        ).alias("anisotropy"),
+    )

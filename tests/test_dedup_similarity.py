@@ -1008,3 +1008,97 @@ def test_span_param_guards(spark):
         D.repeated_spans(df, k=1, window=12)
     with pytest.raises(ValueError):
         D.repeated_span_report(df, k=8, window=1)
+
+
+# ---------------------------------------------- embedding-matrix health
+
+
+@pytest.fixture(scope="module")
+def health_vecs(spark):
+    """8 hand-built dim-4 vectors: one NULL, one wrong-dim, one NaN element
+    (all three excluded), dim 2 constant 0.5 across every usable row (dead),
+    the rest spread."""
+    rows = [
+        (0, [1.0, 0.0, 0.5, 2.0]),
+        (1, [-1.0, 2.0, 0.5, 0.0]),
+        (2, [3.0, -2.0, 0.5, 1.0]),
+        (3, [0.0, 4.0, 0.5, -1.0]),
+        (4, [2.0, 1.0, 0.5, 3.0]),
+        (5, None),                          # NULL vector
+        (6, [9.0, 9.0]),                    # wrong dim
+        (7, [1.0, float("nan"), 0.5, 1.0]), # non-finite element
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_embedding_health_exact_values(spark, health_vecs):
+    import numpy as np
+
+    prof = {r["dim_idx"]: r for r in S.embedding_health(health_vecs, dim=4).collect()}
+    M = np.array(
+        [[1, 0, 0.5, 2], [-1, 2, 0.5, 0], [3, -2, 0.5, 1], [0, 4, 0.5, -1], [2, 1, 0.5, 3]],
+        dtype=np.float64,
+    )
+    means, var = M.mean(0), (M * M).mean(0) - M.mean(0) ** 2
+    assert set(prof) == {0, 1, 2, 3}
+    for i in range(4):
+        assert prof[i]["mean"] == pytest.approx(round(means[i], 6), abs=1e-6)
+        assert prof[i]["variance"] == pytest.approx(round(var[i], 6), abs=1e-6)
+    # the constant dimension is dead, the spread ones are not
+    assert prof[2]["dead"] is True
+    assert [prof[i]["dead"] for i in (0, 1, 3)] == [False, False, False]
+
+
+def test_embedding_anisotropy_summary(spark, health_vecs):
+    import numpy as np
+
+    row = S.embedding_anisotropy(health_vecs, dim=4).collect()[0]
+    M = np.array(
+        [[1, 0, 0.5, 2], [-1, 2, 0.5, 0], [3, -2, 0.5, 1], [0, 4, 0.5, -1], [2, 1, 0.5, 3]],
+        dtype=np.float64,
+    )
+    assert row["rows_used"] == 5 and row["rows_excluded"] == 3
+    assert row["dead_dims"] == 1
+    mean_norm = np.linalg.norm(M, axis=1).mean()
+    mv = np.linalg.norm(M.mean(0))
+    assert row["mean_norm"] == pytest.approx(round(mean_norm, 6), abs=1e-6)
+    assert row["mean_vector_norm"] == pytest.approx(round(mv, 6), abs=1e-6)
+    assert row["anisotropy"] == pytest.approx(round(mv / mean_norm, 6), abs=1e-6)
+
+
+def test_embedding_health_collapse_detected(spark):
+    """A collapsed encoder (every vector = one direction + tiny jitter)
+    drives anisotropy toward 1; a spread corpus stays low."""
+    import hashlib
+
+    def jit(i, j):  # deterministic tiny jitter
+        return (hashlib.md5(f"{i}:{j}".encode()).digest()[0] / 255.0 - 0.5) * 0.01
+
+    collapsed = spark.createDataFrame(
+        [(i, [1.0 + jit(i, 0), 2.0 + jit(i, 1), -1.0 + jit(i, 2)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    spread = spark.createDataFrame(
+        [(i, [jit(i, 0) * 100, jit(i, 1) * 100, jit(i, 2) * 100]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    a_col = S.embedding_anisotropy(collapsed, dim=3).collect()[0]["anisotropy"]
+    a_spr = S.embedding_anisotropy(spread, dim=3).collect()[0]["anisotropy"]
+    assert a_col > 0.99
+    assert a_spr < 0.5
+
+
+def test_embedding_health_empty_and_guards(spark):
+    from mdvalidate_spark.errors import SchemaError
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    prof = S.embedding_health(empty, dim=3).collect()
+    assert len(prof) == 3
+    assert all(r["mean"] is None and r["variance"] is None and r["dead"] for r in prof)
+    row = S.embedding_anisotropy(empty, dim=3).collect()[0]
+    assert row["rows_used"] == 0 and row["dead_dims"] == 3
+    assert row["anisotropy"] is None
+    with pytest.raises(SchemaError):
+        S.embedding_health(empty, dim=0)
+    with pytest.raises(SchemaError):
+        S.embedding_anisotropy(empty, dim=513)
