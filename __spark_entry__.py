@@ -4812,6 +4812,77 @@ FROM norms, agg
 """
 
 
+def q_embedding_gate_embeddings(spark, sf_dir):
+    """EmbeddingHealthRule as a finalize-stage spec gate
+    (similarity.embedding_health_rule_results — the form validate_table
+    dispatches): on the mutated fixture the planted dead dimension breaks
+    max_dead_dims=0 AND the pinned constant drags anisotropy above 0.2, so
+    the gate emits BOTH violation rows; the oracle re-derives the full
+    violation text (counts, 6dp-rounded statistics) from its own
+    anisotropy replay."""
+    from mdvalidate_spark.operators.similarity import (
+        embedding_health_rule_results,
+    )
+    from mdvalidate_spark.spec import EmbeddingHealthRule
+
+    viol, _ = embedding_health_rule_results(
+        _health_mutated(spark, sf_dir),
+        EmbeddingHealthRule(
+            "emb_gate", column="embedding", dim=64,
+            max_dead_dims=0, max_anisotropy=0.2, min_rows=10,
+        ),
+        "q",
+    )
+    return viol
+
+
+_EMBEDDING_GATE_SQL = f"""
+WITH m AS ({_HEALTH_MUT_SQL}),
+flag AS (
+  SELECT (v IS NOT NULL AND len(v) = 64
+          AND len(list_filter(v, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+         ) AS ok,
+         list_transform(v, x -> CAST(x AS DOUBLE)) AS dv
+  FROM m
+),
+norms AS (
+  SELECT count(*) FILTER (ok) AS n,
+         sum(CASE WHEN ok
+             THEN sqrt(list_sum(list_transform(dv, x -> x*x))) END) AS snorm
+  FROM flag
+),
+e AS (SELECT unnest(dv) AS x, unnest(range(0, 64)) AS i FROM flag WHERE ok),
+dims AS (
+  SELECT i, avg(x) AS mu,
+         round(sum(x*x)/count(*) - avg(x)*avg(x), 6) AS var
+  FROM e GROUP BY i
+),
+agg AS (
+  SELECT sqrt(sum(mu*mu)) AS mvn,
+         sum(CASE WHEN var <= 0.0 THEN 1 ELSE 0 END) AS dd
+  FROM dims
+),
+s AS (
+  SELECT n, dd, round(snorm/n, 6) AS mn, round(mvn, 6) AS mvn6,
+         round(mvn/(snorm/n), 6) AS anis
+  FROM norms, agg
+)
+SELECT 'q' AS run_id, CAST(NULL AS INT) AS partition_id,
+  'emb_gate' AS rule_id, CAST(NULL AS VARCHAR) AS image_id,
+  'embedding' AS "column", 'dead_dims <= 0' AS expected,
+  'dead_dims=' || dd || ' of 64 (variance <= 0.0 at 6dp)' AS actual,
+  'embedding_health' AS kind
+FROM s WHERE n >= 10 AND dd > 0
+UNION ALL
+SELECT 'q', CAST(NULL AS INT), 'emb_gate', CAST(NULL AS VARCHAR),
+  'embedding', 'anisotropy <= 0.2',
+  printf('anisotropy=%.6f (mean_norm=%.6f, mean_vector_norm=%.6f)',
+         anis, mn, mvn6),
+  'embedding_health'
+FROM s WHERE n >= 10 AND anis > 0.2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERED most-recently-changed first (VERDICT r3 #2): the driver's
     # correctness harness checks entries positionally from the top, so the
@@ -4820,6 +4891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round 4: new/rewritten ------------------------------------
         "embedding_health_embeddings": q_embedding_health_embeddings,
         "embedding_anisotropy_embeddings": q_embedding_anisotropy_embeddings,
+        "embedding_gate_embeddings": q_embedding_gate_embeddings,
         "degenerate_images": q_degenerate_images,
         "span_dedup_documents": q_span_dedup_documents,
         "span_report_documents": q_span_report_documents,
@@ -6388,6 +6460,7 @@ def oracle_sql() -> dict[str, str]:
         "phash_bits_documents": _phash_bits_sql(),
         "embedding_health_embeddings": _EMBEDDING_HEALTH_SQL,
         "embedding_anisotropy_embeddings": _EMBEDDING_ANISOTROPY_SQL,
+        "embedding_gate_embeddings": _EMBEDDING_GATE_SQL,
         "alignment_embeddings": _ALIGNMENT_EMBEDDINGS_SQL,
         "suggest_align_embeddings": _SUGGEST_ALIGN_SQL,
         "canonical_urls_documents": _canonical_urls_sql(),

@@ -28,6 +28,7 @@ from .spec import (
     BenfordRule,
     CaptureRule,
     ConcentrationRule,
+    EmbeddingHealthRule,
     GapRule,
     ColumnStatsRule,
     CompositeRegexRule,
@@ -73,6 +74,7 @@ __all__ = [
     "CompositeRegexRule",
     "ConstraintProgram",
     "CountRule",
+    "EmbeddingHealthRule",
     "DomainRule",
     "DriftRule",
     "ExprRule",

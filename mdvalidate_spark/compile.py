@@ -45,6 +45,7 @@ from .spec import (
     BenfordRule,
     CaptureRule,
     ConcentrationRule,
+    EmbeddingHealthRule,
     GapRule,
     ColumnStatsRule,
     CompositeRegexRule,
@@ -469,6 +470,52 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
                             f"rule {r.id!r}: column {r.column!r} must be "
                             "numeric for a benford rule, got "
                             f"{t.simpleString()}"
+                        )
+
+        if isinstance(r, EmbeddingHealthRule):
+            if not r.column:
+                raise SchemaError(
+                    f"rule {r.id!r}: embedding_health rule needs a column"
+                )
+            from .operators.similarity import _HEALTH_DIM_BUDGET
+
+            if not 1 <= r.dim <= _HEALTH_DIM_BUDGET:
+                raise SchemaError(
+                    f"rule {r.id!r}: dim must be in [1, {_HEALTH_DIM_BUDGET}]"
+                    f", got {r.dim}"
+                )
+            if r.max_dead_dims is None and r.max_anisotropy is None:
+                raise SchemaError(
+                    f"rule {r.id!r}: embedding_health rule needs "
+                    "max_dead_dims and/or max_anisotropy — with neither "
+                    "bound set the rule can never fire"
+                )
+            if r.max_dead_dims is not None and not 0 <= r.max_dead_dims <= r.dim:
+                raise SchemaError(
+                    f"rule {r.id!r}: max_dead_dims must be in [0, dim="
+                    f"{r.dim}], got {r.max_dead_dims}"
+                )
+            # anisotropy = ||mean vec|| / mean norm <= 1 by the triangle
+            # inequality — a bound above 1 is unsatisfiable-proof vacuity
+            if r.max_anisotropy is not None and not 0.0 < r.max_anisotropy <= 1.0:
+                raise SchemaError(
+                    f"rule {r.id!r}: max_anisotropy must be in (0, 1], "
+                    f"got {r.max_anisotropy}"
+                )
+            if r.min_rows < 1:
+                raise SchemaError(
+                    f"rule {r.id!r}: min_rows must be >= 1, got {r.min_rows}"
+                )
+            if available_columns is not None:
+                t = _column_type(available_columns, r.column)
+                if t is not None:
+                    from pyspark.sql.types import ArrayType
+
+                    if not isinstance(t, ArrayType):
+                        raise SchemaError(
+                            f"rule {r.id!r}: column {r.column!r} must be "
+                            "an array type for an embedding_health rule, "
+                            f"got {t.simpleString()}"
                         )
 
         if isinstance(r, ConcentrationRule):
@@ -978,6 +1025,7 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
                 AssociationRule,
                 BenfordRule,
                 ConcentrationRule,
+                EmbeddingHealthRule,
                 GapRule,
             ),
         )

@@ -137,6 +137,7 @@ KIND_FMT_CODE = "fmt_code"  # header format-code byte contradicts the fmt column
 KIND_OVER_VOLUME = "over_volume"  # partition/batch row count above the envelope
 KIND_UNDER_VOLUME = "under_volume"  # partition/batch row count below the envelope
 KIND_DEGENERATE = "degenerate"  # decoded image is blank/saturated/undecodable
+KIND_EMBEDDING_HEALTH = "embedding_health"  # embedding matrix has dead dims / collapsed anisotropy
 
 ALL_KINDS = (
     KIND_LITERAL,
@@ -173,4 +174,9 @@ ALL_KINDS = (
     KIND_OVER_VOLUME,
     KIND_UNDER_VOLUME,
     KIND_DEGENERATE,
+    KIND_ALIGNMENT,
+    KIND_ASSOCIATION,
+    KIND_BENFORD,
+    KIND_GAP,
+    KIND_EMBEDDING_HEALTH,
 )

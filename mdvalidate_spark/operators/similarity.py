@@ -580,3 +580,83 @@ def embedding_anisotropy(
             mean_norm > 0, F.round(mv_norm / mean_norm, 6)
         ).alias("anisotropy"),
     )
+
+
+def embedding_health_rule_results(df: DataFrame, rule, run_id: str):
+    """Finalize-stage evaluation of an EmbeddingHealthRule: (violations,
+    metrics) frames in the run's shared schemas. One full scan folded into
+    the single health-aggregation row (embedding_anisotropy), ONE row
+    collected, O(dim) driver math. Verdicts compare the ROUNDED statistics
+    (6 dp — the values reported), so a replayed run can never flip on float
+    dust. Degenerate contract per the rule's docstring: fewer than
+    ``min_rows`` usable vectors violates loudly ('unmeasurable')."""
+    from ..errors import KIND_EMBEDDING_HEALTH
+
+    scoped = df.where(F.expr(rule.when)) if rule.when else df
+    row = embedding_anisotropy(
+        scoped, vec_col=rule.column, dim=rule.dim, dead_eps=rule.dead_eps
+    ).collect()[0]
+
+    viol_rows = []
+    if row["rows_used"] < rule.min_rows:
+        bounds = []
+        if rule.max_dead_dims is not None:
+            bounds.append(f"dead_dims <= {rule.max_dead_dims}")
+        if rule.max_anisotropy is not None:
+            bounds.append(f"anisotropy <= {rule.max_anisotropy}")
+        viol_rows.append(
+            (run_id, None, rule.id, None, rule.column, " and ".join(bounds),
+             f"unmeasurable: {row['rows_used']} usable vectors < min_rows="
+             f"{rule.min_rows}", KIND_EMBEDDING_HEALTH)
+        )
+    else:
+        if (
+            rule.max_dead_dims is not None
+            and row["dead_dims"] > rule.max_dead_dims
+        ):
+            viol_rows.append(
+                (run_id, None, rule.id, None, rule.column,
+                 f"dead_dims <= {rule.max_dead_dims}",
+                 f"dead_dims={row['dead_dims']} of {rule.dim} (variance <= "
+                 f"{rule.dead_eps} at 6dp)", KIND_EMBEDDING_HEALTH)
+            )
+        if (
+            rule.max_anisotropy is not None
+            and row["anisotropy"] is not None
+            and row["anisotropy"] > rule.max_anisotropy
+        ):
+            viol_rows.append(
+                (run_id, None, rule.id, None, rule.column,
+                 f"anisotropy <= {rule.max_anisotropy}",
+                 f"anisotropy={row['anisotropy']:.6f} (mean_norm="
+                 f"{row['mean_norm']:.6f}, mean_vector_norm="
+                 f"{row['mean_vector_norm']:.6f})", KIND_EMBEDDING_HEALTH)
+            )
+
+    ddl_v = (
+        "run_id string, partition_id int, rule_id string, image_id string, "
+        "column string, expected string, actual string, kind string"
+    )
+    ddl_m = (
+        "run_id string, partition_id int, rule_id string, metric string, "
+        "value double, value_str string"
+    )
+    spark = df.sparkSession
+    metrics = spark.createDataFrame(
+        [
+            (run_id, None, rule.id, "health_rows_used",
+             float(row["rows_used"]), None),
+            (run_id, None, rule.id, "health_rows_excluded",
+             float(row["rows_excluded"]), None),
+            (run_id, None, rule.id, "health_dead_dims",
+             float(row["dead_dims"]), None),
+            (run_id, None, rule.id, "health_mean_norm",
+             row["mean_norm"], None),
+            (run_id, None, rule.id, "health_mean_vector_norm",
+             row["mean_vector_norm"], None),
+            (run_id, None, rule.id, "health_anisotropy",
+             row["anisotropy"], None),
+        ],
+        ddl_m,
+    )
+    return spark.createDataFrame(viol_rows, ddl_v), metrics

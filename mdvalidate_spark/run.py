@@ -986,6 +986,7 @@ class ValidationRun:
             from .spec import AssociationRule as _AssociationRule
             from .spec import BenfordRule as _BenfordRule
             from .spec import ConcentrationRule as _ConcentrationRule
+            from .spec import EmbeddingHealthRule as _EmbeddingHealthRule
             from .spec import FreshnessRule as _FreshnessRule
             from .spec import GapRule as _GapRule
             from .spec import MonotonicRule as _MonotonicRule
@@ -1065,6 +1066,16 @@ class ValidationRun:
                     )
                 viols.append(c_viol)
                 mets.append(c_met)
+            elif isinstance(gr, _EmbeddingHealthRule):
+                from .operators.similarity import (
+                    embedding_health_rule_results,
+                )
+
+                e_viol, e_met = embedding_health_rule_results(
+                    self.df, gr, self.run_id
+                )
+                viols.append(e_viol)
+                mets.append(e_met)
             elif isinstance(gr, _GapRule):
                 from .operators.gaps import gap_violations
 

@@ -877,6 +877,44 @@ class ConcentrationRule(Rule):
 
 
 @dataclass(frozen=True)
+class EmbeddingHealthRule(Rule):
+    """Encoder-health gate on an ``array<float>`` embedding column: the
+    corpus-level matrix statistics (operators/similarity.py
+    embedding_health / embedding_anisotropy) must stay inside declared
+    bounds — at most ``max_dead_dims`` dimensions with ~zero variance
+    (a stuck projection row, a truncated checkpoint, fp16 underflow) and
+    anisotropy (‖mean vector‖ / mean row norm) at most ``max_anisotropy``
+    (→ 1 = the encoder collapsed every input toward one direction).
+    VectorRule gates each ROW's shape; this rule gates the MATRIX the rows
+    form — a corpus where every vector is individually valid can still be
+    useless for training. At least one bound must be set (compile lint).
+
+    Evaluated at finalize over the whole table: ONE full scan folded into
+    a single map-side-combined aggregation row (2·dim conditional sums,
+    ``dim`` ≤ 512 loudly bounded), O(dim) driver math — the BenfordRule
+    plan shape on a wider row. Rows with NULL / wrong-dimension /
+    non-finite vectors are EXCLUDED from the statistics (VectorRule owns
+    flagging them) but counted and reported in the metrics.
+
+    Degenerate contract (BenfordRule precedent): fewer than ``min_rows``
+    usable vectors is a VIOLATION ('unmeasurable'), never a silent pass.
+    ``dead_eps`` compares the 6dp-ROUNDED per-dimension variance, so the
+    verdict is engine-reproducible."""
+
+    column: str = ""
+    dim: int = 0  # required: vector dimensionality (unrolls the aggregation)
+    max_dead_dims: Optional[int] = None
+    max_anisotropy: Optional[float] = None
+    dead_eps: float = 0.0
+    min_rows: int = 1000
+    when: str = ""  # optional row-scope predicate (see NotNullRule.when)
+    kind: str = field(default="embedding_health", init=False)
+
+    def targets(self):
+        return (self.column,)
+
+
+@dataclass(frozen=True)
 class FreshnessRule(Rule):
     """Staleness bound on a timestamp column: ``max(column)`` must lie
     within ``max_age_seconds`` of ``as_of`` — the data-recency contract an

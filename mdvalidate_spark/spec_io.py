@@ -20,6 +20,7 @@ from .spec import (
     AssociationRule,
     BenfordRule,
     ConcentrationRule,
+    EmbeddingHealthRule,
     GapRule,
     ColumnStatsRule,
     CompositeRegexRule,
@@ -82,6 +83,7 @@ RULE_KINDS: dict[str, type] = {
     "association": AssociationRule,
     "benford": BenfordRule,
     "concentration": ConcentrationRule,
+    "embedding_health": EmbeddingHealthRule,
     "gap": GapRule,
     "pii": PiiRule,
     "repetition": RepetitionRule,

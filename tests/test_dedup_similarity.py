@@ -1102,3 +1102,107 @@ def test_embedding_health_empty_and_guards(spark):
         S.embedding_health(empty, dim=0)
     with pytest.raises(SchemaError):
         S.embedding_anisotropy(empty, dim=513)
+
+
+def test_embedding_health_rule_clean_and_fires(spark):
+    from mdvalidate_spark import validate_table
+    from mdvalidate_spark.spec import EmbeddingHealthRule, Spec
+
+    spec = Spec(
+        key_column="image_id",
+        rules=(
+            EmbeddingHealthRule(
+                "emb_health", column="embedding", dim=3,
+                max_dead_dims=0, max_anisotropy=0.99, min_rows=5,
+            ),
+        ),
+    )
+    import hashlib
+
+    def jit(i, j):
+        return (hashlib.md5(f"{i}:{j}".encode()).digest()[0] / 255.0 - 0.5) * 2
+
+    healthy = spark.createDataFrame(
+        [(str(i), [jit(i, 0), jit(i, 1), jit(i, 2)]) for i in range(20)],
+        "image_id string, embedding array<double>",
+    )
+    rep = validate_table(spark, healthy, spec)
+    assert rep.exit_code == 0
+    mets = {
+        r["metric"]: r["value"]
+        for r in rep.metrics.where(F.col("rule_id") == "emb_health").collect()
+    }
+    assert mets["health_rows_used"] == 20.0
+    assert mets["health_dead_dims"] == 0.0
+
+    # dim 1 pinned constant (dead) + heavy common direction (anisotropy up)
+    bad = spark.createDataFrame(
+        [
+            (str(i), [5.0 + jit(i, 0) * 0.01, 0.25, 3.0 + jit(i, 1) * 0.01])
+            for i in range(20)
+        ],
+        "image_id string, embedding array<double>",
+    )
+    rep2 = validate_table(spark, bad, spec)
+    assert rep2.exit_code == 1
+    viols = rep2.violations.collect()
+    kinds = {v["expected"] for v in viols}
+    assert "dead_dims <= 0" in kinds
+    assert "anisotropy <= 0.99" in kinds
+    assert all(v["kind"] == "embedding_health" for v in viols)
+
+
+def test_embedding_health_rule_unmeasurable_loud(spark):
+    from mdvalidate_spark import validate_table
+    from mdvalidate_spark.spec import EmbeddingHealthRule, Spec
+
+    few = spark.createDataFrame(
+        [("a", [1.0, 2.0]), ("b", None)],
+        "image_id string, embedding array<double>",
+    )
+    rep = validate_table(
+        spark,
+        few,
+        Spec(
+            key_column="image_id",
+            rules=(
+                EmbeddingHealthRule(
+                    "emb_health", column="embedding", dim=2,
+                    max_dead_dims=0, min_rows=100,
+                ),
+            ),
+        ),
+    )
+    assert rep.exit_code == 1
+    v = rep.violations.collect()
+    assert len(v) == 1 and "unmeasurable" in v[0]["actual"]
+    # the NULL vector is excluded and reported, not silently averaged
+    mets = {r["metric"]: r["value"] for r in rep.metrics.collect()}
+    assert mets["health_rows_excluded"] == 1.0
+
+
+def test_embedding_health_rule_lints_and_roundtrip(spark):
+    from mdvalidate_spark import validate_table
+    from mdvalidate_spark.errors import SchemaError
+    from mdvalidate_spark.spec import EmbeddingHealthRule, Spec
+    from mdvalidate_spark.spec_io import rule_from_dict, rule_to_dict
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 2.0])], "image_id string, embedding array<double>"
+    )
+    for bad in (
+        EmbeddingHealthRule("x", column="embedding", dim=2),  # boundless
+        EmbeddingHealthRule("x", column="embedding", dim=0, max_dead_dims=0),
+        EmbeddingHealthRule("x", column="embedding", dim=2, max_anisotropy=1.5),
+        EmbeddingHealthRule("x", column="embedding", dim=2, max_dead_dims=3),
+        EmbeddingHealthRule("x", column="image_id", dim=2, max_dead_dims=0),
+        EmbeddingHealthRule("x", column="embedding", dim=2, max_dead_dims=0, min_rows=0),
+    ):
+        with pytest.raises(SchemaError):
+            validate_table(spark, df, Spec(key_column="image_id", rules=(bad,)))
+
+    rule = EmbeddingHealthRule(
+        "emb_health", column="embedding", dim=2,
+        max_dead_dims=1, max_anisotropy=0.9, min_rows=7, when="1=1",
+    )
+    assert rule_from_dict(rule_to_dict(rule)) == rule
