@@ -4883,6 +4883,64 @@ FROM s WHERE n >= 10 AND anis > 0.2
 """
 
 
+def q_suggest_embedding_embeddings(spark, sf_dir):
+    """Suggestion ratchet extended to the EMBEDDING MATRIX: profile the
+    fixture's embedding column once (similarity.embedding_anisotropy — one
+    aggregation row) and draft an EmbeddingHealthRule pinning today's dead
+    dimensions and anisotropy + 0.05 headroom in integer micro-units
+    (clamped to the lint-satisfiable (0, 1]); min_rows ratchets to the
+    observed usable-row count capped at 1000. The oracle re-derives the
+    full detail string from its own matrix replay."""
+    from mdvalidate_spark.operators.suggest import suggest_spec, suggestion_rows
+
+    emb = _load(spark, sf_dir, "embeddings")
+    spec = suggest_spec(
+        emb.select(F.col("vec_id"), "embedding"), "vec_id", exact=True,
+        embedding_health_columns=("embedding",),
+    )
+    return suggestion_rows(spark, spec).where("kind = 'embedding_health'")
+
+
+_SUGGEST_EMBEDDING_SQL = """
+WITH flag AS (
+  SELECT (embedding IS NOT NULL AND len(embedding) = 64
+          AND len(list_filter(embedding,
+                              x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+         ) AS ok,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+  FROM embeddings
+),
+norms AS (
+  SELECT count(*) FILTER (ok) AS n,
+         sum(CASE WHEN ok
+             THEN sqrt(list_sum(list_transform(dv, x -> x*x))) END) AS snorm
+  FROM flag
+),
+e AS (SELECT unnest(dv) AS x, unnest(range(0, 64)) AS i FROM flag WHERE ok),
+dims AS (
+  SELECT i, avg(x) AS mu,
+         round(sum(x*x)/count(*) - avg(x)*avg(x), 6) AS var
+  FROM e GROUP BY i
+),
+agg AS (
+  SELECT sqrt(sum(mu*mu)) AS mvn,
+         sum(CASE WHEN var <= 0.0 THEN 1 ELSE 0 END) AS dd
+  FROM dims
+),
+s AS (
+  -- engine order of operations: anisotropy rounded to 6 dp FIRST
+  -- (embedding_anisotropy's reported value), THEN micro-unit conversion
+  SELECT n, dd, round(round(mvn/(snorm/n), 6) * 1e6) AS an_m FROM norms, agg
+)
+SELECT 'embedding' AS column_name, 'embedding_health' AS kind,
+  printf('dim=64, dead_dims <= %d, anisotropy <= %.6f (min_rows=%d)',
+         CAST(dd AS BIGINT),
+         least(1000000, greatest(1, CAST(an_m AS BIGINT) + 50000)) / 1e6,
+         CAST(least(1000, n) AS BIGINT)) AS detail
+FROM s WHERE n > 0
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERED most-recently-changed first (VERDICT r3 #2): the driver's
     # correctness harness checks entries positionally from the top, so the
@@ -4892,6 +4950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_health_embeddings": q_embedding_health_embeddings,
         "embedding_anisotropy_embeddings": q_embedding_anisotropy_embeddings,
         "embedding_gate_embeddings": q_embedding_gate_embeddings,
+        "suggest_embedding_embeddings": q_suggest_embedding_embeddings,
         "degenerate_images": q_degenerate_images,
         "span_dedup_documents": q_span_dedup_documents,
         "span_report_documents": q_span_report_documents,
@@ -6461,6 +6520,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_health_embeddings": _EMBEDDING_HEALTH_SQL,
         "embedding_anisotropy_embeddings": _EMBEDDING_ANISOTROPY_SQL,
         "embedding_gate_embeddings": _EMBEDDING_GATE_SQL,
+        "suggest_embedding_embeddings": _SUGGEST_EMBEDDING_SQL,
         "alignment_embeddings": _ALIGNMENT_EMBEDDINGS_SQL,
         "suggest_align_embeddings": _SUGGEST_ALIGN_SQL,
         "canonical_urls_documents": _canonical_urls_sql(),

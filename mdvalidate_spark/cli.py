@@ -204,6 +204,17 @@ def parse_args(argv=None):
         "minus headroom (repeatable; operators/suggest.py alignment_pairs). "
         "Pairs with dim-mismatch or undefined-cosine rows draft nothing",
     )
+    p.add_argument(
+        "--suggest-embedding-health",
+        action="append",
+        default=[],
+        metavar="COLUMN",
+        help="with --suggest-key: also draft an EmbeddingHealthRule pinning "
+        "this embedding column's observed dead-dimension count and "
+        "anisotropy + headroom (repeatable; operators/suggest.py "
+        "embedding_health_columns). Columns with mixed dimensionality or "
+        "no usable vectors draft nothing",
+    )
     return p.parse_args(argv)
 
 
@@ -443,6 +454,9 @@ def _suggest_main(args) -> int:
                 association_gates=args.suggest_assoc_gates,
                 concentration_gates=args.suggest_concentration_gates,
                 alignment_pairs=tuple(pairs),
+                embedding_health_columns=tuple(
+                    args.suggest_embedding_health
+                ),
                 pixel_gates=args.suggest_pixel_gates,
                 pixel_sample_rate=args.suggest_pixel_sample,
             )

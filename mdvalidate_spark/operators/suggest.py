@@ -117,6 +117,7 @@ from ..spec import (
     ConcentrationRule,
     DomainRule,
     DriftRule,
+    EmbeddingHealthRule,
     FormatRule,
     MetricBoundRule,
     NotNullRule,
@@ -165,6 +166,8 @@ def suggest_spec(
     concentration_headroom: float = 0.25,
     alignment_pairs: tuple[tuple[str, str], ...] = (),
     alignment_headroom: float = 0.05,
+    embedding_health_columns: tuple[str, ...] = (),
+    embedding_health_headroom: float = 0.05,
     format_gates: bool = False,
     format_candidates: tuple[str, ...] = (
         "int",
@@ -621,6 +624,63 @@ def suggest_spec(
                 )
             )
 
+    if embedding_health_columns:
+        # encoder-health ratchet: observe the matrix statistics once per
+        # declared embedding column (operators/similarity.py — one
+        # map-side-combined aggregation row each) and pin them: no NEW dead
+        # dimensions beyond today's (max_dead_dims = observed) and
+        # anisotropy at most observed + headroom (integer micro-units, the
+        # alignment-ratchet float-epsilon discipline; clamped to the
+        # lint-satisfiable (0, 1]). A column whose usable rows disagree on
+        # dimensionality, sits outside the aggregation budget, or has no
+        # usable vectors at all is SKIPPED — a matrix profile over mixed
+        # shapes describes nothing, and that dirtiness is VectorRule's job
+        # to flag, not this ratchet's to average away.
+        from pyspark.sql.types import ArrayType
+
+        from ..errors import SchemaError
+        from ..spec import EmbeddingHealthRule
+        from .similarity import _HEALTH_DIM_BUDGET, embedding_anisotropy
+
+        ftypes = {f.name: f.dataType for f in fields}
+        for c in embedding_health_columns:
+            if c not in ftypes:
+                raise SchemaError(f"embedding_health column {c!r} not in df")
+            if not isinstance(ftypes[c], ArrayType):
+                raise SchemaError(
+                    f"embedding_health column {c!r} is "
+                    f"{ftypes[c].simpleString()}, need an array column"
+                )
+        # one cheap size probe for ALL declared columns (fused aggregation)
+        szaggs = []
+        for i, c in enumerate(embedding_health_columns):
+            sz = F.size(F.col(c))
+            szaggs += [
+                F.min(F.when(F.col(c).isNotNull(), sz)).alias(f"eh_lo__{i}"),
+                F.max(F.when(F.col(c).isNotNull(), sz)).alias(f"eh_hi__{i}"),
+            ]
+        szrow = df.agg(*szaggs).collect()[0].asDict()
+        for i, c in enumerate(embedding_health_columns):
+            lo, hi = szrow[f"eh_lo__{i}"], szrow[f"eh_hi__{i}"]
+            if lo is None or lo != hi or not 1 <= lo <= _HEALTH_DIM_BUDGET:
+                continue  # mixed/absent/over-budget dims: not ratchetable
+            hrow = embedding_anisotropy(df, vec_col=c, dim=int(lo)).collect()[0]
+            if hrow["rows_used"] == 0 or hrow["anisotropy"] is None:
+                continue
+            an_m = int(round(hrow["anisotropy"] * 1e6))
+            hr_m = int(round(embedding_health_headroom * 1e6))
+            bound = min(1_000_000, max(1, an_m + hr_m)) / 1e6
+            rules.append(
+                EmbeddingHealthRule(
+                    f"suggest_embedding_health_{c}",
+                    column=c,
+                    dim=int(lo),
+                    max_dead_dims=int(hrow["dead_dims"]),
+                    max_anisotropy=bound,
+                    min_rows=min(1000, int(hrow["rows_used"])),
+                )
+            )
+
     if pixel_gates and not 1e-6 <= pixel_sample_rate <= 1:
         from ..errors import SchemaError
 
@@ -885,6 +945,16 @@ def suggestion_rows(spark, spec: Spec) -> DataFrame:
                     f"{r.column_a},{r.column_b}",
                     "alignment",
                     f"cos >= {r.min_cos:.6f}",
+                )
+            )
+        elif isinstance(r, EmbeddingHealthRule):
+            rows.append(
+                (
+                    r.column,
+                    "embedding_health",
+                    f"dim={r.dim}, dead_dims <= {r.max_dead_dims}, "
+                    f"anisotropy <= {r.max_anisotropy:.6f} "
+                    f"(min_rows={r.min_rows})",
                 )
             )
         elif isinstance(r, PiiRule):

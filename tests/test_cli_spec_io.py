@@ -577,3 +577,39 @@ def test_cli_suggest_align_pairs(spark, tmp_path, capsys):
     assert code == 2
     err = capsys.readouterr().err
     assert "schema error" in err
+
+
+def test_cli_suggest_embedding_health(spark, tmp_path, capsys):
+    """--suggest-embedding-health COLUMN drafts an EmbeddingHealthRule
+    ratchet through the CLI (JSON round-trip included); a non-array column
+    is an exit-2 refusal."""
+    from mdvalidate_spark import cli
+    from mdvalidate_spark.spec import EmbeddingHealthRule
+    from mdvalidate_spark.spec_io import load_spec
+
+    table = str(tmp_path / "vecs.parquet")
+    spark.createDataFrame(
+        [(i, [1.0 + i, float(i % 3), 2.0 - i]) for i in range(8)],
+        "id long, v array<double>",
+    ).write.parquet(table)
+    spec_path = str(tmp_path / "draft.json")
+    code = cli.main([
+        "--table", table, "--spec", spec_path,
+        "--suggest-key", "id", "--suggest-exact",
+        "--suggest-embedding-health", "v",
+    ])
+    assert code == 0
+    drafted = [r for r in load_spec(spec_path).rules
+               if isinstance(r, EmbeddingHealthRule)]
+    assert len(drafted) == 1
+    assert drafted[0].dim == 3 and drafted[0].min_rows == 8
+    assert drafted[0].max_dead_dims == 0
+    capsys.readouterr()
+
+    # non-array column: typed SchemaError -> exit 2, no traceback
+    code = cli.main([
+        "--table", table, "--spec", str(tmp_path / "d2.json"),
+        "--suggest-key", "id", "--suggest-embedding-health", "id",
+    ])
+    assert code == 2
+    assert "schema error" in capsys.readouterr().err

@@ -623,3 +623,73 @@ def test_alignment_pairs_dirty_skipped_and_lints(spark):
     for pairs in ((("a", "a"),), (("a", "nope"),), (("a", "id"),)):
         with pytest.raises(SchemaError):
             suggest_spec(ok, "id", exact=True, alignment_pairs=pairs)
+
+
+def test_embedding_health_gates_drafted_clean_and_fire(spark):
+    """The encoder-health ratchet: draft from the observed matrix, validate
+    clean on the profiled table, fire on a collapsed batch."""
+    import hashlib
+
+    from mdvalidate_spark.run import validate_table
+    from mdvalidate_spark.spec import Spec
+
+    from pyspark.sql import functions as F
+
+    def jit(i, j):
+        return (hashlib.md5(f"{i}:{j}".encode()).digest()[0] / 255.0 - 0.5) * 2
+
+    df = spark.createDataFrame(
+        [(i, [jit(i, 0), jit(i, 1), jit(i, 2)]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    spec = suggest_spec(
+        df, "vec_id", exact=True, embedding_health_columns=("embedding",)
+    )
+    eh = [r for r in spec.rules if r.kind == "embedding_health"]
+    assert len(eh) == 1
+    rule = eh[0]
+    assert rule.dim == 3 and rule.max_dead_dims == 0
+    assert rule.min_rows == 30  # min(1000, rows_used)
+    rows = suggestion_rows(spark, spec).where(
+        "kind = 'embedding_health'"
+    ).collect()
+    assert len(rows) == 1 and rows[0]["column_name"] == "embedding"
+    assert "dead_dims <= 0" in rows[0]["detail"]
+
+    keyed = df.select(
+        F.col("vec_id").cast("string").alias("image_id"), "embedding"
+    )
+    rep = validate_table(
+        spark, keyed, Spec(key_column="image_id", rules=tuple(eh))
+    )
+    assert rep.exit_code == 0  # ratchet: clean on the profiled table
+    collapsed = keyed.select(
+        "image_id",
+        F.transform("embedding", lambda x: F.lit(0.5)).alias("embedding"),
+    )
+    rep2 = validate_table(
+        spark, collapsed, Spec(key_column="image_id", rules=tuple(eh))
+    )
+    assert rep2.exit_code == 1
+
+
+def test_embedding_health_gates_skip_dirty_and_lints(spark):
+    from mdvalidate_spark.errors import SchemaError
+
+    mixed = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0])],  # disagreeing dims
+        "vec_id long, a array<double>",
+    )
+    spec = suggest_spec(
+        mixed, "vec_id", exact=True, embedding_health_columns=("a",)
+    )
+    assert not [r for r in spec.rules if r.kind == "embedding_health"]
+
+    with pytest.raises(SchemaError):
+        suggest_spec(
+            mixed, "vec_id", exact=True, embedding_health_columns=("missing",)
+        )
+    with pytest.raises(SchemaError):
+        suggest_spec(
+            mixed, "vec_id", exact=True, embedding_health_columns=("vec_id",)
+        )
