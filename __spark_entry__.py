@@ -4883,6 +4883,33 @@ FROM s WHERE n >= 10 AND anis > 0.2
 """
 
 
+def q_embedding_gate_partials_embeddings(spark, sf_dir):
+    """The INCREMENTAL path of the embedding-health gate: per-partition
+    matrix partials (vec_id%8 shards) merged by summation, then the same
+    verdict arithmetic — must reproduce the full-scan gate's violation
+    rows byte-for-byte (shared _anisotropy_from_one + verdict builder;
+    double sums rounded at 6 dp before any rendering). Same oracle as
+    embedding_gate_embeddings: the partials lifecycle is invisible to the
+    result, which is the contract."""
+    from mdvalidate_spark.operators.similarity import (
+        embedding_health_partials,
+        embedding_health_rule_results_from_partials,
+    )
+    from mdvalidate_spark.spec import EmbeddingHealthRule
+
+    rule = EmbeddingHealthRule(
+        "emb_gate", column="embedding", dim=64,
+        max_dead_dims=0, max_anisotropy=0.2, min_rows=10, incremental=True,
+    )
+    df = _health_mutated(spark, sf_dir).withColumn(
+        "partition_id", (F.col("vec_id") % 8).cast("int")
+    )
+    viol, _ = embedding_health_rule_results_from_partials(
+        embedding_health_partials(df, rule), rule, "q"
+    )
+    return viol
+
+
 def q_suggest_embedding_embeddings(spark, sf_dir):
     """Suggestion ratchet extended to the EMBEDDING MATRIX: profile the
     fixture's embedding column once (similarity.embedding_anisotropy — one
@@ -4950,6 +4977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_health_embeddings": q_embedding_health_embeddings,
         "embedding_anisotropy_embeddings": q_embedding_anisotropy_embeddings,
         "embedding_gate_embeddings": q_embedding_gate_embeddings,
+        "embedding_gate_partials_embeddings": q_embedding_gate_partials_embeddings,
         "suggest_embedding_embeddings": q_suggest_embedding_embeddings,
         "degenerate_images": q_degenerate_images,
         "span_dedup_documents": q_span_dedup_documents,
@@ -6520,6 +6548,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_health_embeddings": _EMBEDDING_HEALTH_SQL,
         "embedding_anisotropy_embeddings": _EMBEDDING_ANISOTROPY_SQL,
         "embedding_gate_embeddings": _EMBEDDING_GATE_SQL,
+        "embedding_gate_partials_embeddings": _EMBEDDING_GATE_SQL,
         "suggest_embedding_embeddings": _SUGGEST_EMBEDDING_SQL,
         "alignment_embeddings": _ALIGNMENT_EMBEDDINGS_SQL,
         "suggest_align_embeddings": _SUGGEST_ALIGN_SQL,

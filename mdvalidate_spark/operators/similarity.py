@@ -447,14 +447,13 @@ def topk_ivf_indexed(
 _HEALTH_DIM_BUDGET = 512
 
 
-def _health_agg(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
-    """ONE full-scan aggregation row carrying everything the health audits
-    derive: rows used/excluded, per-dimension sum and sum-of-squares, and the
-    row-norm sum. All sums are conditional on the row being usable (non-NULL,
-    exactly ``dim`` elements, every element finite) — VectorRule owns
-    FLAGGING those rows; the health profile excludes them so one poisoned
-    NaN cannot wipe the corpus statistics. Map-side combined: the driver
-    sees one row of 2·dim+3 doubles at any corpus size."""
+def _health_agg_exprs(vec_col: str, dim: int) -> list:
+    """The shared aggregate-expression list behind every health path (full
+    scan, per-partition partials): rows used/excluded, per-dimension sum
+    and sum-of-squares, and the row-norm sum. All sums are conditional on
+    the row being usable (non-NULL, exactly ``dim`` elements, every element
+    finite) — VectorRule owns FLAGGING those rows; the health profile
+    excludes them so one poisoned NaN cannot wipe the corpus statistics."""
     from ..errors import SchemaError
 
     if not 1 <= dim <= _HEALTH_DIM_BUDGET:
@@ -482,7 +481,14 @@ def _health_agg(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
         el = F.element_at(dv, i + 1)
         aggs.append(F.sum(F.when(ok, el)).alias(f"__s{i}"))
         aggs.append(F.sum(F.when(ok, el * el)).alias(f"__q{i}"))
-    return df.agg(*aggs)
+    return aggs
+
+
+def _health_agg(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """ONE full-scan aggregation row carrying everything the health audits
+    derive (see _health_agg_exprs). Map-side combined: the driver sees one
+    row of 2·dim+3 doubles at any corpus size."""
+    return df.agg(*_health_agg_exprs(vec_col, dim))
 
 
 def embedding_health(
@@ -552,7 +558,14 @@ def embedding_anisotropy(
     near-dup pairs make the collapse obvious pair-by-pair. One row out:
     (rows_used, rows_excluded, dead_dims, mean_norm, mean_vector_norm,
     anisotropy), floats rounded to 6 dp."""
-    one = _health_agg(df, vec_col, dim)
+    return _anisotropy_from_one(_health_agg(df, vec_col, dim), dim, dead_eps)
+
+
+def _anisotropy_from_one(one: DataFrame, dim: int, dead_eps: float) -> DataFrame:
+    """Summary projection over a pre-aggregated health row — the single
+    arithmetic both the full-scan path and the merged-partials path feed,
+    so their verdicts can never diverge on formula or rounding (all
+    rounding is Spark-side HALF_UP at 6 dp in both)."""
     n = F.col("__n")
     sumsq_of_means = None
     dead_terms = []
@@ -590,12 +603,17 @@ def embedding_health_rule_results(df: DataFrame, rule, run_id: str):
     (6 dp — the values reported), so a replayed run can never flip on float
     dust. Degenerate contract per the rule's docstring: fewer than
     ``min_rows`` usable vectors violates loudly ('unmeasurable')."""
-    from ..errors import KIND_EMBEDDING_HEALTH
-
     scoped = df.where(F.expr(rule.when)) if rule.when else df
     row = embedding_anisotropy(
         scoped, vec_col=rule.column, dim=rule.dim, dead_eps=rule.dead_eps
     ).collect()[0]
+    return _health_rule_verdict(df.sparkSession, row, rule, run_id)
+
+
+def _health_rule_verdict(spark, row, rule, run_id: str):
+    """Shared verdict builder: the full-scan and merged-partials paths feed
+    the same summary row into the same bound checks and rendering."""
+    from ..errors import KIND_EMBEDDING_HEALTH
 
     viol_rows = []
     if row["rows_used"] < rule.min_rows:
@@ -641,7 +659,6 @@ def embedding_health_rule_results(df: DataFrame, rule, run_id: str):
         "run_id string, partition_id int, rule_id string, metric string, "
         "value double, value_str string"
     )
-    spark = df.sparkSession
     metrics = spark.createDataFrame(
         [
             (run_id, None, rule.id, "health_rows_used",
@@ -660,3 +677,74 @@ def embedding_health_rule_results(df: DataFrame, rule, run_id: str):
         ddl_m,
     )
     return spark.createDataFrame(viol_rows, ddl_v), metrics
+
+
+def health_partials_ddl(dim: int) -> str:
+    """Explicit schema for persisted health partials (never infer — a
+    `when`-scoped rule whose first batch had zero in-scope rows leaves a
+    part-file-less directory that inference refuses, the Benford reload
+    contract)."""
+    return (
+        "n bigint, nx bigint, snorm double, "
+        + ", ".join(f"s{i} double, q{i} double" for i in range(dim))
+        + ", partition_id int"
+    )
+
+
+def embedding_health_partials(
+    df: DataFrame, rule, partition_col: str = "partition_id"
+) -> DataFrame:
+    """MERGEABLE per-partition matrix partials for an incremental
+    EmbeddingHealthRule: one row per partition carrying the SAME sums the
+    full-scan aggregation folds (usable/excluded counts, per-dimension sum
+    and sum-of-squares, row-norm sum) — 2·dim+3 small values, the Benford
+    partial on a wider row. Counts and sums merge by plain summation, so a
+    checkpointed run persists each batch's partials and the EOF gate never
+    rescans the table. Honesty note: the merged DOUBLE sums add in a
+    different order than the one-pass scan's, so the two paths can differ
+    in the last floating-point bits; every reported statistic is rounded
+    at 6 dp before any verdict, and batch-merged ≡ full-scan is
+    test-locked on multi-partition fixtures."""
+    scoped = df.where(F.expr(rule.when)) if rule.when else df
+    exprs = _health_agg_exprs(rule.column, rule.dim)
+    out = scoped.groupBy(
+        F.col(partition_col).cast("int").alias("partition_id")
+    ).agg(*exprs)
+    # persisted partials use bare names (parquet-friendly, DDL above)
+    renames = [F.col("partition_id")]
+    for c in out.columns:
+        if c != "partition_id":
+            renames.append(F.col(c).alias(c.lstrip("_")))
+    return out.select(
+        *[r for r in renames[1:]], F.col("partition_id")
+    )
+
+
+def _merge_health_partials(partials: DataFrame, dim: int) -> DataFrame:
+    """Sum accumulated partials into the one-row health frame the summary
+    projection expects — ONE distributed aggregation. The single merge
+    point for the incremental path, aliased back to the full-scan agg's
+    column names so _anisotropy_from_one is shared verbatim."""
+    aggs = [
+        F.coalesce(F.sum("n"), F.lit(0)).alias("__n"),
+        F.coalesce(F.sum("nx"), F.lit(0)).alias("__nx"),
+        F.sum("snorm").alias("__snorm"),
+    ]
+    for i in range(dim):
+        aggs.append(F.sum(f"s{i}").alias(f"__s{i}"))
+        aggs.append(F.sum(f"q{i}").alias(f"__q{i}"))
+    return partials.agg(*aggs)
+
+
+def embedding_health_rule_results_from_partials(
+    partials: DataFrame, rule, run_id: str
+):
+    """The incremental EOF pass for an EmbeddingHealthRule: merge the
+    accumulated matrix partials (one distributed summation, one row
+    collected) and build the same (violations, metrics) frames the
+    full-scan path produces — both paths feed _anisotropy_from_one, so
+    formula and rounding are shared verbatim. Never rescans the table."""
+    row = _anisotropy_from_one(
+        _merge_health_partials(partials, rule.dim), rule.dim, rule.dead_eps
+    ).collect()[0]
+    return _health_rule_verdict(partials.sparkSession, row, rule, run_id)

@@ -277,6 +277,8 @@ class ValidationRun:
         # accumulated per-batch Benford digit partials per incremental rule
         self._benford_partials: dict[str, list[DataFrame]] = {}
         self._concentration_partials: dict[str, list[DataFrame]] = {}
+        # accumulated per-batch embedding-matrix partials per incremental rule
+        self._health_partials: dict[str, list[DataFrame]] = {}
         self._finalized = False
         self._schema_checked = False
         self._schema_violations = 0
@@ -777,6 +779,21 @@ class ValidationRun:
                     self._sink(f"concentration_partials/{cr.id}")
                 )
 
+        from .spec import EmbeddingHealthRule as _EmbHealthRule
+
+        for hr in (
+            r for r in prog.group_rules
+            if isinstance(r, _EmbHealthRule) and r.incremental
+        ):
+            from .operators.similarity import embedding_health_partials
+
+            hp = self._keep(embedding_health_partials(batch_df, hr))
+            self._health_partials.setdefault(hr.id, []).append(hp)
+            if self.checkpoint_dir:
+                hp.write.mode("overwrite").partitionBy("partition_id").parquet(
+                    self._sink(f"health_partials/{hr.id}")
+                )
+
         cap = spec.max_violations_per_rule
         full_viol = _union(viols, self.spark, _VIOLATIONS_DDL)
         if cap is not None:
@@ -1069,11 +1086,21 @@ class ValidationRun:
             elif isinstance(gr, _EmbeddingHealthRule):
                 from .operators.similarity import (
                     embedding_health_rule_results,
+                    embedding_health_rule_results_from_partials,
                 )
 
-                e_viol, e_met = embedding_health_rule_results(
-                    self.df, gr, self.run_id
-                )
+                pieces = self._health_partials.get(gr.id, [])
+                if gr.incremental and pieces:
+                    # merge the persisted matrix partials — O(#partitions),
+                    # never a table rescan (the incremental EOF pass)
+                    merged = reduce(lambda a, b: a.unionByName(b), pieces)
+                    e_viol, e_met = embedding_health_rule_results_from_partials(
+                        merged, gr, self.run_id
+                    )
+                else:
+                    e_viol, e_met = embedding_health_rule_results(
+                        self.df, gr, self.run_id
+                    )
                 viols.append(e_viol)
                 mets.append(e_met)
             elif isinstance(gr, _GapRule):
@@ -1619,6 +1646,21 @@ class ValidationRun:
                 self._concentration_partials.setdefault(cr.id, []).append(
                     self.spark.read.schema(CONCENTRATION_PARTIALS_DDL)
                     .parquet(cp)
+                    .where(F.col("partition_id").isin(list(done)))
+                )
+        # incremental embedding-matrix partials: one dir per rule, same
+        # explicit-schema reload contract (the DDL is dim-dependent)
+        from .operators.similarity import health_partials_ddl
+        from .spec import EmbeddingHealthRule as _EmbHealthRule
+
+        for hr in self.program.group_rules:
+            if not (isinstance(hr, _EmbHealthRule) and hr.incremental):
+                continue
+            hp = self._sink(f"health_partials/{hr.id}")
+            if hp and os.path.exists(hp) and done:
+                self._health_partials.setdefault(hr.id, []).append(
+                    self.spark.read.schema(health_partials_ddl(hr.dim))
+                    .parquet(hp)
                     .where(F.col("partition_id").isin(list(done)))
                 )
 

@@ -908,6 +908,18 @@ class EmbeddingHealthRule(Rule):
     dead_eps: float = 0.0
     min_rows: int = 1000
     when: str = ""  # optional row-scope predicate (see NotNullRule.when)
+    # incremental=True switches to MERGEABLE PER-PARTITION matrix partials
+    # (the BenfordRule.incremental pattern on a wider row): each validated
+    # batch persists one row per partition with its usable/excluded counts,
+    # per-dimension sum + sum-of-squares, and row-norm sum (2·dim+3 small
+    # values) under the checkpoint; the finalize pass merges by summation
+    # WITHOUT rescanning the table. Unlike Benford's integer counts these
+    # are DOUBLE sums, so merged totals can differ from the one-pass scan
+    # in the last floating-point bits (addition order); every reported
+    # statistic is rounded at 6 dp before any verdict, and batch-merged ≡
+    # full-scan is test-locked (operators/similarity.py
+    # embedding_health_partials).
+    incremental: bool = False
     kind: str = field(default="embedding_health", init=False)
 
     def targets(self):

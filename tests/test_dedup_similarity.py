@@ -1206,3 +1206,138 @@ def test_embedding_health_rule_lints_and_roundtrip(spark):
         max_dead_dims=1, max_anisotropy=0.9, min_rows=7, when="1=1",
     )
     assert rule_from_dict(rule_to_dict(rule)) == rule
+
+
+def test_embedding_health_incremental_through_run_and_resume(spark, tmp_path):
+    """incremental=True rides the manifest-partial lifecycle: per-batch
+    matrix partials persist under the checkpoint, a RESUMED run reloads the
+    validated partitions' partials and finalizes without rescanning them,
+    and the merged verdict + metrics equal the full-scan rule's (same
+    summary arithmetic; double sums merged in a different order are rounded
+    at 6 dp before any verdict). The BenfordRule incremental contract,
+    applied to the embedding matrix."""
+    import hashlib
+
+    from mdvalidate_spark.run import ValidationRun, validate_table
+    from mdvalidate_spark.spec import EmbeddingHealthRule, Spec
+
+    def jit(i, j):
+        return (hashlib.md5(f"{i}:{j}".encode()).digest()[0] / 255.0 - 0.5) * 2
+
+    df = spark.createDataFrame(
+        [
+            (str(i), [jit(i, 0), jit(i, 1), 0.25, jit(i, 2)])
+            for i in range(200)
+        ]
+        + [(str(900), None), (str(901), [1.0, float("nan"), 0.25, 1.0])],
+        "image_id string, embedding array<double>",
+    )
+
+    def rules(inc):
+        return (
+            EmbeddingHealthRule(
+                "emb_inc", column="embedding", dim=4,
+                max_dead_dims=0, max_anisotropy=0.9, min_rows=10,
+                incremental=inc,
+            ),
+        )
+
+    spec = Spec(key_column="image_id", n_partitions=8, rules=rules(True))
+    ckpt = str(tmp_path / "ck")
+
+    run1 = ValidationRun(spark, spec, df, run_id="r-eh", checkpoint_dir=ckpt)
+    pending = run1.pending_partitions()
+    run1._validate_batch(pending[:3])
+    assert sorted(run1.pending_partitions()) == sorted(pending[3:])
+
+    # resume in a NEW run object: reloads the 3 persisted matrix partials,
+    # validates the rest, merges at finalize
+    run2 = ValidationRun(spark, spec, df, run_id="r-eh", checkpoint_dir=ckpt)
+    assert sorted(run2.pending_partitions()) == sorted(pending[3:])
+    report = run2.validate()
+
+    full = validate_table(
+        spark, df,
+        Spec(key_column="image_id", n_partitions=8, rules=rules(False)),
+        run_id="r-eh-full",
+    )
+
+    def mm(rep):
+        return sorted(
+            (r["metric"], r["value"])
+            for r in rep.metrics.collect()
+            if r["rule_id"] == "emb_inc"
+        )
+
+    assert mm(report) == mm(full)
+    # the planted dead dim (index 2) fires identically on both paths
+    assert report.exit_code == full.exit_code == 1
+    v_inc = sorted(r["expected"] for r in report.violations.collect()
+                   if r["rule_id"] == "emb_inc")
+    v_full = sorted(r["expected"] for r in full.violations.collect()
+                    if r["rule_id"] == "emb_inc")
+    assert v_inc == v_full == ["dead_dims <= 0"]
+    mets = dict(mm(report))
+    assert mets["health_rows_used"] == 200.0
+    assert mets["health_rows_excluded"] == 2.0
+
+
+def test_embedding_health_partials_merge_matches_full_scan(spark):
+    """Operator-level parity: partials summed across partitions feed the
+    same summary arithmetic as the one-pass aggregation — identical rounded
+    statistics on a multi-partition frame."""
+    import hashlib
+
+    from mdvalidate_spark.spec import EmbeddingHealthRule
+
+    def jit(i, j):
+        return (hashlib.md5(f"{i}:{j}".encode()).digest()[0] / 255.0 - 0.5) * 2
+
+    rule = EmbeddingHealthRule(
+        "eh", column="embedding", dim=3, max_dead_dims=0, min_rows=1
+    )
+    df = spark.createDataFrame(
+        [(i, i % 7, [jit(i, 0), jit(i, 1), jit(i, 2)]) for i in range(140)],
+        "id long, partition_id int, embedding array<double>",
+    ).repartition(5)
+    parts = S.embedding_health_partials(df, rule)
+    assert parts.count() == 7  # one row per data partition id
+    merged = S._anisotropy_from_one(
+        S._merge_health_partials(parts, 3), 3, 0.0
+    ).collect()[0]
+    full = S.embedding_anisotropy(df, dim=3).collect()[0]
+    assert merged.asDict() == full.asDict()
+
+
+def test_embedding_health_incremental_empty_scope_first_batch(spark, tmp_path):
+    """A `when`-scoped incremental rule whose first validated batch has
+    ZERO in-scope rows writes a part-file-less partials directory; resume
+    must reload it via the explicit dim-dependent schema (never inference)
+    and finalize on the degrade path instead of crashing."""
+    from mdvalidate_spark.run import ValidationRun
+    from mdvalidate_spark.spec import EmbeddingHealthRule, Spec
+
+    df = spark.createDataFrame(
+        [(str(i), i, [1.0 * i, 2.0]) for i in range(40)],
+        "image_id string, seq long, embedding array<double>",
+    )
+    spec = Spec(
+        key_column="image_id", n_partitions=4,
+        rules=(
+            EmbeddingHealthRule(
+                "eh_w", column="embedding", dim=2, max_dead_dims=2,
+                min_rows=100, when="seq >= 10000",  # nothing in scope
+                incremental=True,
+            ),
+        ),
+    )
+    ckpt = str(tmp_path / "ck")
+    run1 = ValidationRun(spark, spec, df, run_id="r-ew", checkpoint_dir=ckpt)
+    pending = run1.pending_partitions()
+    run1._validate_batch(pending[:1])
+
+    run2 = ValidationRun(spark, spec, df, run_id="r-ew", checkpoint_dir=ckpt)
+    report = run2.validate()
+    # zero in-scope vectors < min_rows: loud unmeasurable, never a pass
+    v = [r for r in report.violations.collect() if r["rule_id"] == "eh_w"]
+    assert len(v) == 1 and "unmeasurable" in v[0]["actual"]
