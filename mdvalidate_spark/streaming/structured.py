@@ -558,3 +558,61 @@ def stream_pixel_violations(
     checks = _pixel_arrow(with_pid, rule, key_column, None)
     violations, _ = pixel_outputs(checks, rule, run_id)
     return violations
+
+
+def stream_health_partials(
+    stream_df: DataFrame,
+    rule,
+    partials_dir: str,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+):
+    """Continuous embedding-matrix health: each micro-batch appends ONE
+    mergeable matrix-partials row (usable/excluded counts, per-dimension
+    sum + sum-of-squares, row-norm sum — the EmbeddingHealthRule
+    incremental partial) keyed by the micro-batch id, so "is the encoder
+    drifting toward collapse on the live feed" merges on demand with
+    ``merged_stream_health`` in O(#batches), never replaying the stream.
+
+    Exactly-once: dynamic partition overwrite on partition_id = batch_id —
+    a replayed micro-batch (foreachBatch replays after failure) overwrites
+    its own partial instead of double-counting (the stream_stats_partials
+    contract). Returns the started StreamingQuery."""
+    from ..operators.similarity import embedding_health_partials
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        p = embedding_health_partials(
+            batch_df.withColumn(
+                "partition_id", F.lit(int(batch_id)).cast("int")
+            ),
+            rule,
+        )
+        (
+            p.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("partition_id")
+            .parquet(partials_dir)
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(**(trigger or {"availableNow": True}))
+    )
+    return writer.start()
+
+
+def merged_stream_health(spark, rule, partials_dir: str, run_id: str = "stream"):
+    """Merge everything ``stream_health_partials`` accumulated so far into
+    the rule's standard (violations, metrics) frames — O(#micro-batches),
+    no stream replay, same arithmetic as the batch paths (explicit
+    dim-dependent schema so an empty first batch stays readable)."""
+    from ..operators.similarity import (
+        embedding_health_rule_results_from_partials,
+        health_partials_ddl,
+    )
+
+    partials = spark.read.schema(health_partials_ddl(rule.dim)).parquet(
+        partials_dir
+    )
+    return embedding_health_rule_results_from_partials(partials, rule, run_id)

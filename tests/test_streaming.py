@@ -1077,3 +1077,67 @@ def test_stream_alignment_rule(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 3
     assert {r["kind"] for r in got.collect()} == {"alignment"}
+
+
+def test_stream_health_partials_accumulate_and_merge(spark, tmp_path):
+    """Continuous embedding-matrix health: two availableNow drains over a
+    growing directory leave one matrix-partials row per micro-batch; the
+    merge equals the batch rule on the full data — without replaying the
+    stream."""
+    from mdvalidate_spark.operators.similarity import (
+        embedding_health_rule_results,
+    )
+    from mdvalidate_spark.spec import EmbeddingHealthRule
+    from mdvalidate_spark.streaming.structured import (
+        merged_stream_health,
+        stream_health_partials,
+    )
+
+    src = str(tmp_path / "eh-src")
+    pdir = str(tmp_path / "eh-partials")
+    ck = str(tmp_path / "eh-ck")
+    rule = EmbeddingHealthRule(
+        "eh_s", column="embedding", dim=3, max_dead_dims=0,
+        max_anisotropy=0.99, min_rows=2, incremental=True,
+    )
+    schema = "image_id string, embedding array<double>"
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = stream_health_partials(stream, rule, pdir, ck)
+        q.awaitTermination(120)
+
+    # batch 1: spread vectors + dim 1 pinned (dead); batch 2 adds a NULL
+    spark.createDataFrame(
+        [("a", [1.0, 0.5, 2.0]), ("b", [-1.0, 0.5, 0.0]),
+         ("c", [3.0, 0.5, 1.0])],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    spark.createDataFrame(
+        [("d", [0.0, 0.5, -1.0]), ("e", None)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    drain()
+
+    partials = spark.read.parquet(pdir)
+    assert partials.count() == 2  # one matrix-partial row per micro-batch
+
+    viol, mets = merged_stream_health(spark, rule, pdir, "s1")
+    batch_df = spark.createDataFrame(
+        [("a", [1.0, 0.5, 2.0]), ("b", [-1.0, 0.5, 0.0]),
+         ("c", [3.0, 0.5, 1.0]), ("d", [0.0, 0.5, -1.0]), ("e", None)],
+        schema,
+    )
+    b_viol, b_mets = embedding_health_rule_results(batch_df, rule, "s1")
+
+    def mm(df):
+        return sorted((r["metric"], r["value"]) for r in df.collect())
+
+    assert mm(mets) == mm(b_mets)
+    m = dict(mm(mets))
+    assert m["health_rows_used"] == 4.0
+    assert m["health_rows_excluded"] == 1.0
+    assert m["health_dead_dims"] == 1.0  # the pinned dim 1
+    sv = sorted(r["expected"] for r in viol.collect())
+    assert sv == sorted(r["expected"] for r in b_viol.collect())
+    assert sv == ["dead_dims <= 0"]
