@@ -613,7 +613,17 @@ def embedding_health_rule_results(df: DataFrame, rule, run_id: str):
 def _health_rule_verdict(spark, row, rule, run_id: str):
     """Shared verdict builder: the full-scan and merged-partials paths feed
     the same summary row into the same bound checks and rendering."""
-    from ..errors import KIND_EMBEDDING_HEALTH
+    from ..errors import KIND_EMBEDDING_HEALTH, SchemaError
+
+    if rule.max_dead_dims is None and rule.max_anisotropy is None:
+        # public operator API, callable without compile_spec — re-guard the
+        # vacuity lint here too (the metric_bounds precedent): a boundless
+        # rule asserts nothing and would render an empty expected string
+        raise SchemaError(
+            f"rule {rule.id!r}: embedding_health rule needs max_dead_dims "
+            "and/or max_anisotropy — with neither bound set the rule can "
+            "never fire"
+        )
 
     viol_rows = []
     if row["rows_used"] < rule.min_rows:

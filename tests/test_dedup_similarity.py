@@ -1341,3 +1341,23 @@ def test_embedding_health_incremental_empty_scope_first_batch(spark, tmp_path):
     # zero in-scope vectors < min_rows: loud unmeasurable, never a pass
     v = [r for r in report.violations.collect() if r["rule_id"] == "eh_w"]
     assert len(v) == 1 and "unmeasurable" in v[0]["actual"]
+
+
+def test_embedding_health_rule_boundless_refused_at_operator_api(spark):
+    """The results builders are public operator APIs callable without
+    compile_spec — a boundless rule must be a typed SchemaError on BOTH
+    paths, not an empty-expected no-op (the metric_bounds precedent)."""
+    from mdvalidate_spark.errors import SchemaError
+    from mdvalidate_spark.spec import EmbeddingHealthRule
+
+    df = spark.createDataFrame(
+        [("a", 0, [1.0, 2.0])],
+        "image_id string, partition_id int, embedding array<double>",
+    )
+    rule = EmbeddingHealthRule("x", column="embedding", dim=2)
+    with pytest.raises(SchemaError):
+        S.embedding_health_rule_results(df, rule, "r")
+    with pytest.raises(SchemaError):
+        S.embedding_health_rule_results_from_partials(
+            S.embedding_health_partials(df, rule), rule, "r"
+        )
