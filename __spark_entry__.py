@@ -4910,6 +4910,43 @@ def q_embedding_gate_partials_embeddings(spark, sf_dir):
     return viol
 
 
+def q_payload_dups_documents(spark, sf_dir):
+    """Byte-exact duplicate payloads (dedup.payload_duplicates): blobs
+    synthesized deterministically from doc_id residues (the header_documents
+    fixture discipline — documents carries no bytes column), so ids sharing
+    doc_id % 37 share a payload byte-for-byte and every residue class with
+    ≥2 members must surface as exactly one bounded group row. The
+    fingerprint is md5(hex(payload)) — hex first so the identical digest
+    arithmetic runs in DuckDB (no blob-md5 there), which the oracle
+    exploits to replay fp, representative, size, and the sorted capped
+    member sample."""
+    from mdvalidate_spark.operators.dedup import payload_duplicates
+
+    docs = _load(spark, sf_dir, "documents")
+    payload = F.unhex(
+        F.md5((F.col("doc_id") % 37).cast("string"))
+    )
+    df = docs.select(F.col("doc_id").alias("image_id"), payload.alias("bytes"))
+    return payload_duplicates(df, sample_size=4)
+
+
+_PAYLOAD_DUPS_SQL = """
+WITH p AS (
+  SELECT doc_id,
+    unhex(md5(CAST(doc_id % 37 AS VARCHAR))) AS payload
+  FROM documents
+),
+r AS (
+  SELECT doc_id, md5(hex(payload)) AS fp,
+    row_number() OVER (PARTITION BY md5(hex(payload)) ORDER BY doc_id) AS rn
+  FROM p
+)
+SELECT fp, count(*) AS group_size, min(doc_id) AS representative,
+  list_sort(list(doc_id) FILTER (rn <= 4)) AS member_sample
+FROM r GROUP BY fp HAVING count(*) > 1
+"""
+
+
 def q_suggest_embedding_embeddings(spark, sf_dir):
     """Suggestion ratchet extended to the EMBEDDING MATRIX: profile the
     fixture's embedding column once (similarity.embedding_anisotropy — one
@@ -4979,6 +5016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_gate_embeddings": q_embedding_gate_embeddings,
         "embedding_gate_partials_embeddings": q_embedding_gate_partials_embeddings,
         "suggest_embedding_embeddings": q_suggest_embedding_embeddings,
+        "payload_dups_documents": q_payload_dups_documents,
         "degenerate_images": q_degenerate_images,
         "span_dedup_documents": q_span_dedup_documents,
         "span_report_documents": q_span_report_documents,
@@ -6550,6 +6588,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_gate_embeddings": _EMBEDDING_GATE_SQL,
         "embedding_gate_partials_embeddings": _EMBEDDING_GATE_SQL,
         "suggest_embedding_embeddings": _SUGGEST_EMBEDDING_SQL,
+        "payload_dups_documents": _PAYLOAD_DUPS_SQL,
         "alignment_embeddings": _ALIGNMENT_EMBEDDINGS_SQL,
         "suggest_align_embeddings": _SUGGEST_ALIGN_SQL,
         "canonical_urls_documents": _canonical_urls_sql(),

@@ -73,6 +73,57 @@ def exact_duplicates(
     )
 
 
+def payload_duplicates(
+    df: DataFrame,
+    bytes_col: str = "bytes",
+    id_col: str = "image_id",
+    sample_size: int = 16,
+) -> DataFrame:
+    """Byte-exact duplicate PAYLOADS stored under different ids — the first
+    dedup pass of any image corpus, below phash near-dup (re-encoded /
+    resized copies) and beside caption collisions (cross-field integrity):
+    the same blob ingested twice passes uniqueness on image_id, pixel
+    verification, and every header check, and silently double-weights its
+    content in training. exact_duplicates is its TEXT sibling and is wrong
+    for binary (its normalization lowercases/collapses whitespace — byte
+    semantics demand identity).
+
+    Fingerprint = md5(hex(payload)) — hex first, deliberately: Spark's md5
+    accepts BINARY but DuckDB's does not, and this engine's contract is
+    that every operator's arithmetic is replayable in the SQL oracle;
+    hex() is bit-identical uppercase in both engines, so the fingerprint
+    is portable. Cost: the hash input transiently doubles per row in the
+    map stage — no extra scan, shuffle, or memory shape change (the
+    shuffle key is the 32-char digest either way). NULL payloads are out
+    of scope (NotNullRule owns them).
+
+    Same bounded-output shape as exact_duplicates: one row per duplicate
+    group (fp, group_size, representative = min id, first ``sample_size``
+    member ids via a sort-based spilling window) — a viral blob with 10^8
+    copies costs one count row, never an id-array buffer."""
+    fp_docs = df.where(F.col(bytes_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.hex(F.col(bytes_col))).alias("fp"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        fp_docs.withColumn("_rn", F.row_number().over(w))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.min("doc_id").alias("representative"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("_rn") <= sample_size, F.col("doc_id"))
+                )
+            ).alias("member_sample"),
+        )
+        .where(F.col("group_size") > 1)
+    )
+
+
 def dedup_survivors(
     df: DataFrame,
     clusters: DataFrame,

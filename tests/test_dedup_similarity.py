@@ -1361,3 +1361,32 @@ def test_embedding_health_rule_boundless_refused_at_operator_api(spark):
         S.embedding_health_rule_results_from_partials(
             S.embedding_health_partials(df, rule), rule, "r"
         )
+
+
+def test_payload_duplicates_byte_exact(spark):
+    """Byte-exact payload dedup: identical blobs group regardless of id;
+    near-identical bytes (one bit off) do NOT; NULL payloads are out of
+    scope; member sample bounded and sorted."""
+    rows = [
+        (1, bytes([1, 2, 3, 4])),
+        (2, bytes([1, 2, 3, 4])),     # exact dup of 1
+        (7, bytes([1, 2, 3, 4])),     # and another
+        (3, bytes([1, 2, 3, 5])),     # one byte off: NOT a dup
+        (4, None),
+        (5, b""),                      # empty payloads...
+        (6, b""),                      # ...are byte-identical to each other
+    ]
+    df = spark.createDataFrame(rows, "image_id long, bytes binary")
+    got = {
+        r["representative"]: r
+        for r in D.payload_duplicates(df, sample_size=2).collect()
+    }
+    assert set(got) == {1, 5}
+    assert got[1]["group_size"] == 3
+    assert got[1]["member_sample"] == [1, 2]  # bounded to sample_size, sorted
+    assert got[5]["group_size"] == 2
+    # text normalization must NOT apply: case-differing text bytes stay distinct
+    tdf = spark.createDataFrame(
+        [(1, b"ABC"), (2, b"abc")], "image_id long, bytes binary"
+    )
+    assert D.payload_duplicates(tdf).collect() == []
