@@ -3343,7 +3343,7 @@ stat AS (
   FROM grid CROSS JOIN tot
 )
 SELECT '{a}' AS col_a, '{b}' AS col_b,
-       tot.n AS n_rows, tot.n_cells AS n_cells,
+       CAST(tot.n AS BIGINT) AS n_rows, tot.n_cells AS n_cells,
        (SELECT COUNT(*) FROM ra) AS card_a,
        (SELECT COUNT(*) FROM cb) AS card_b,
        ((SELECT COUNT(*) FROM ra) - 1) * ((SELECT COUNT(*) FROM cb) - 1)
@@ -3901,7 +3901,8 @@ mb AS (
 pa AS (SELECT SUM((dc - dr) * ln((dc + 1e-6) / (dr + 1e-6))) AS s FROM ma),
 pb AS (SELECT SUM((dc - dr) * ln((dc + 1e-6) / (dr + 1e-6))) AS s FROM mb)
 SELECT 'l_returnflag' AS col_a, 'l_linestatus' AS col_b,
-       (SELECT n FROM nr) AS n_ref, (SELECT n FROM nc) AS n_cand,
+       CAST((SELECT n FROM nr) AS BIGINT) AS n_ref,
+       CAST((SELECT n FROM nc) AS BIGINT) AS n_cand,
        joint.k AS n_cells,
        round(joint.s, 3) AS joint_psi,
        round(pa.s, 3) AS marginal_psi_a,
@@ -4919,7 +4920,10 @@ def q_payload_dups_documents(spark, sf_dir):
     fingerprint is md5(hex(payload)) — hex first so the identical digest
     arithmetic runs in DuckDB (no blob-md5 there), which the oracle
     exploits to replay fp, representative, size, and the sorted capped
-    member sample."""
+    member sample. member_sample is emitted as a comma-joined string
+    (numerically sorted, THEN stringified, on both engines): the driver's
+    canonicalizer sorts rows through pandas and cannot hash list-valued
+    cells (r4 red row)."""
     from mdvalidate_spark.operators.dedup import payload_duplicates
 
     docs = _load(spark, sf_dir, "documents")
@@ -4927,7 +4931,10 @@ def q_payload_dups_documents(spark, sf_dir):
         F.md5((F.col("doc_id") % 37).cast("string"))
     )
     df = docs.select(F.col("doc_id").alias("image_id"), payload.alias("bytes"))
-    return payload_duplicates(df, sample_size=4)
+    return payload_duplicates(df, sample_size=4).withColumn(
+        "member_sample",
+        F.concat_ws(",", F.col("member_sample").cast("array<string>")),
+    )
 
 
 _PAYLOAD_DUPS_SQL = """
@@ -4942,7 +4949,8 @@ r AS (
   FROM p
 )
 SELECT fp, count(*) AS group_size, min(doc_id) AS representative,
-  list_sort(list(doc_id) FILTER (rn <= 4)) AS member_sample
+  array_to_string(list_sort(list(doc_id) FILTER (rn <= 4)), ',')
+    AS member_sample
 FROM r GROUP BY fp HAVING count(*) > 1
 """
 
@@ -5469,7 +5477,11 @@ centers AS (
 SELECT cur.rule_id, cur.metric, CAST(NULL AS VARCHAR) AS value_str,
        c.n_runs, c.center, s.spread,
        cur.value AS current_value,
-       greatest(0.0, 3.0 * 1.4826 * s.spread) AS bound,
+       -- parenthesized k*(1.4826*spread), matching the operator's float
+       -- association (sigma first) bit-for-bit: (3.0*1.4826)*spread
+       -- differs in the last ulp and fails the driver's strict
+       -- stringified-double comparison (r5 strict-sweep finding)
+       greatest(0.0, 3.0 * (1.4826 * s.spread)) AS bound,
        CASE WHEN 1.4826 * s.spread > 0
             THEN abs(cur.value - c.center) / (1.4826 * s.spread) END AS score,
        'anomalous' AS kind
@@ -5477,7 +5489,7 @@ FROM cur
 JOIN centers c USING (rule_id, metric)
 JOIN spreads s USING (rule_id, metric)
 WHERE c.n_runs >= 3
-  AND abs(cur.value - c.center) > greatest(0.0, 3.0 * 1.4826 * s.spread)
+  AND abs(cur.value - c.center) > greatest(0.0, 3.0 * (1.4826 * s.spread))
 """
 
 _HEADER_DOCUMENTS_SQL = """

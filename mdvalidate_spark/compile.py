@@ -477,11 +477,15 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
                 raise SchemaError(
                     f"rule {r.id!r}: embedding_health rule needs a column"
                 )
-            from .operators.similarity import _HEALTH_DIM_BUDGET
+            from .operators.similarity import _HEALTH_DIM_MAX
 
-            if not 1 <= r.dim <= _HEALTH_DIM_BUDGET:
+            # dim <= 512 runs as one unrolled codegen'd aggregation;
+            # wider (768/1024/1536-class encoders) dispatches to the
+            # Arrow-kernel wide path — both one-scan. Beyond the absolute
+            # cap the column is not an embedding axis; refuse loudly.
+            if not 1 <= r.dim <= _HEALTH_DIM_MAX:
                 raise SchemaError(
-                    f"rule {r.id!r}: dim must be in [1, {_HEALTH_DIM_BUDGET}]"
+                    f"rule {r.id!r}: dim must be in [1, {_HEALTH_DIM_MAX}]"
                     f", got {r.dim}"
                 )
             if r.max_dead_dims is None and r.max_anisotropy is None:

@@ -36,6 +36,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+#: in-kernel shard-size refusal (rows): a shard arrives at the packing
+#: kernel as ONE pandas frame, so an undersized n_shards at corpus scale
+#: is an executor OOM waiting to happen — refuse loudly before it is.
+_MAX_SHARD_ROWS = 5_000_000
+
+
 def pack_sequences(
     df: DataFrame,
     token_col: str,
@@ -43,6 +49,8 @@ def pack_sequences(
     *,
     id_col: str = "doc_id",
     n_shards: int = 256,
+    rows_per_shard: int | None = None,
+    max_shard_rows: int = _MAX_SHARD_ROWS,
     shard_method: str = "xxhash64",
 ) -> DataFrame:
     """Assign every row a (shard, pack_id) so that each pack's total
@@ -58,13 +66,40 @@ def pack_sequences(
     Contract: ``id_col`` must be unique — packing order within a shard is
     (id ascending), so duplicate ids would make pack composition depend on
     arrival order and break the determinism this operator exists to
-    provide (a UniqueRule on the id upstream is the enforcement point)."""
+    provide (a UniqueRule on the id upstream is the enforcement point).
+
+    Shard sizing is ENFORCED, not advisory (each shard is one in-memory
+    pandas frame inside the kernel): pass ``rows_per_shard`` to derive
+    ``n_shards = ceil(count / rows_per_shard)`` from one count() of the
+    input (one extra metadata-cheap scan, paid only when asked for), and
+    regardless of how ``n_shards`` was chosen the kernel REFUSES any shard
+    over ``max_shard_rows`` with a sizing hint — a 10^12-row corpus on the
+    default 256 shards dies loudly at the first oversized shard instead of
+    OOMing an executor. Note ``rows_per_shard`` must stay ≤
+    ``max_shard_rows`` or the derived shards would refuse by construction.
+    """
     from ..errors import SchemaError
 
     if budget <= 0:
         raise SchemaError(f"pack budget must be positive, got {budget}")
+    if rows_per_shard is not None:
+        if rows_per_shard <= 0:
+            raise SchemaError(
+                f"rows_per_shard must be positive, got {rows_per_shard}"
+            )
+        if rows_per_shard > max_shard_rows:
+            raise SchemaError(
+                f"rows_per_shard={rows_per_shard} exceeds max_shard_rows="
+                f"{max_shard_rows} — derived shards would refuse by "
+                "construction"
+            )
+        n_shards = max(1, -(-df.count() // rows_per_shard))
     if n_shards <= 0:
         raise SchemaError(f"n_shards must be positive, got {n_shards}")
+    if max_shard_rows <= 0:
+        raise SchemaError(
+            f"max_shard_rows must be positive, got {max_shard_rows}"
+        )
     if shard_method == "md5":
         shard = F.pmod(
             F.conv(
@@ -95,7 +130,17 @@ def pack_sequences(
     )
     b = int(budget)
 
+    cap = int(max_shard_rows)
+    ns = int(n_shards)
+
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > cap:
+            raise ValueError(
+                f"pack_sequences: shard {int(pdf['shard'].iloc[0])} holds "
+                f"{len(pdf)} rows > max_shard_rows={cap} with n_shards="
+                f"{ns} — raise n_shards (or pass rows_per_shard to derive "
+                "it); each shard is one in-memory kernel group"
+            )
         pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
         toks = pdf["__tok"].to_numpy()
         pack_ids = [0] * len(toks)

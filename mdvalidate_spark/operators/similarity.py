@@ -446,6 +446,12 @@ def topk_ivf_indexed(
 #: Janino-hostile (same discipline as _LITERAL_BUDGET / _SRP_LITERAL_BUDGET)
 _HEALTH_DIM_BUDGET = 512
 
+#: absolute width refusal for the WIDE (Arrow-kernel) health path: above
+#: this a "dimension" column is almost certainly a schema mistake (a
+#: flattened patch grid, a serialized tensor), and per-dim statistics stop
+#: being a meaningful collapse audit. Refused loudly, never truncated.
+_HEALTH_DIM_MAX = 8192
+
 
 def _health_agg_exprs(vec_col: str, dim: int) -> list:
     """The shared aggregate-expression list behind every health path (full
@@ -458,9 +464,9 @@ def _health_agg_exprs(vec_col: str, dim: int) -> list:
 
     if not 1 <= dim <= _HEALTH_DIM_BUDGET:
         raise SchemaError(
-            f"embedding_health: dim must be in [1, {_HEALTH_DIM_BUDGET}], "
-            f"got {dim} — wider vectors need a chunked profile, not a "
-            f"wider aggregation row"
+            f"embedding_health: unrolled aggregation requires dim in "
+            f"[1, {_HEALTH_DIM_BUDGET}], got {dim} — the public entry "
+            "points dispatch wider vectors to the Arrow-kernel wide path"
         )
     v = F.col(vec_col)
     bad_el = lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == float("inf"))
@@ -491,6 +497,178 @@ def _health_agg(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
     return df.agg(*_health_agg_exprs(vec_col, dim))
 
 
+# ------------------------- wide (dim > 512) path: Arrow kernel partials
+
+
+def _check_health_dim(dim: int) -> None:
+    from ..errors import SchemaError
+
+    if not 1 <= dim <= _HEALTH_DIM_MAX:
+        raise SchemaError(
+            f"embedding_health: dim must be in [1, {_HEALTH_DIM_MAX}], "
+            f"got {dim} — a wider column is not an embedding axis this "
+            "profile can meaningfully audit; refuse loudly, never truncate"
+        )
+
+
+def _wide_accumulate(cells, dim: int):
+    """Shared accumulation core of the wide kernels: fold one pandas Series
+    of array cells into (n, nx, snorm, s[dim], q[dim]). Row validity is the
+    SAME contract as the unrolled path (non-NULL, exactly ``dim`` elements,
+    every element finite; invalid rows are VectorRule's verdict, counted
+    here as excluded). The per-cell filter is a Python comprehension only
+    because embedding cells are ragged (lengths vary on bad rows); every
+    arithmetic op — squares, sums, norms — is a vectorized numpy matmul
+    over the stacked valid block, Arrow-batched end to end."""
+    import numpy as np
+
+    n = 0
+    nx = 0
+    snorm = 0.0
+    s = np.zeros(dim, dtype=np.float64)
+    q = np.zeros(dim, dtype=np.float64)
+    valid = []
+    for v in cells:
+        if v is None or len(v) != dim:
+            nx += 1
+        else:
+            valid.append(v)
+    if valid:
+        m = np.asarray(valid, dtype=np.float64)
+        finite = np.isfinite(m).all(axis=1)
+        nx += int((~finite).sum())
+        m = m[finite]
+        n += int(m.shape[0])
+        if m.shape[0]:
+            sq = m * m
+            s += m.sum(axis=0)
+            q += sq.sum(axis=0)
+            snorm += float(np.sqrt(sq.sum(axis=1)).sum())
+    return n, nx, snorm, s, q
+
+
+def _wide_health_partials_scan(
+    df: DataFrame, vec_col: str, dim: int
+) -> DataFrame:
+    """ONE scan of the corpus through a mapInPandas kernel, emitting one
+    partial row PER TASK: (n, nx, snorm, s array<double>, q array<double>).
+    The wide twin of _health_agg's map-side combine — partial rows are
+    O(tasks), each 2·dim+3 doubles, and the arrays merge by elementwise
+    summation (see _merge_wide_partial_rows). No per-row Python in the
+    arithmetic: the kernel stacks each Arrow batch into a numpy matrix."""
+    import pandas as pd
+
+    _check_health_dim(dim)
+
+    def kernel(batches):
+        import numpy as np
+
+        n = 0
+        nx = 0
+        snorm = 0.0
+        s = np.zeros(dim, dtype=np.float64)
+        q = np.zeros(dim, dtype=np.float64)
+        for pdf in batches:
+            bn, bnx, bsn, bs, bq = _wide_accumulate(pdf.iloc[:, 0], dim)
+            n += bn
+            nx += bnx
+            snorm += bsn
+            s += bs
+            q += bq
+        yield pd.DataFrame(
+            {
+                "n": [n],
+                "nx": [nx],
+                "snorm": [snorm],
+                "s": [s.tolist()],
+                "q": [q.tolist()],
+            }
+        )
+
+    return df.select(F.col(vec_col)).mapInPandas(
+        kernel,
+        "n bigint, nx bigint, snorm double, s array<double>, q array<double>",
+    )
+
+
+def _merge_wide_partial_rows(partials: DataFrame, dim: int):
+    """Distributed merge of wide partial rows into the summary numbers: the
+    scalar sums are one aggregation row; the per-dimension arrays merge via
+    posexplode(arrays_zip) + groupBy(dim_idx) — a shuffle of
+    (#partials · dim) tiny rows, scalable to any partial count (no driver
+    array buffering), collected only at the final dim-row granularity.
+    Returns (n, nx, snorm, s[dim], q[dim]) as plain Python/numpy."""
+    import numpy as np
+
+    scal = partials.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).alias("n"),
+        F.coalesce(F.sum("nx"), F.lit(0)).alias("nx"),
+        F.coalesce(F.sum("snorm"), F.lit(0.0)).alias("snorm"),
+    ).collect()[0]
+    per_dim = (
+        partials.select(F.posexplode(F.arrays_zip("s", "q")).alias("i", "sq"))
+        .groupBy("i")
+        .agg(F.sum("sq.s").alias("s"), F.sum("sq.q").alias("q"))
+        .collect()
+    )
+    s = np.zeros(dim, dtype=np.float64)
+    q = np.zeros(dim, dtype=np.float64)
+    for r in per_dim:
+        s[r["i"]] = r["s"] if r["s"] is not None else 0.0
+        q[r["i"]] = r["q"] if r["q"] is not None else 0.0
+    return int(scal["n"]), int(scal["nx"]), float(scal["snorm"]), s, q
+
+
+def _round6(x):
+    """Driver-side replica of Spark's F.round(col, 6) on DoubleType:
+    BigDecimal.valueOf(double) parses Double.toString (== Python repr for
+    shortest-roundtrip doubles), then setScale(6, HALF_UP). Used only in
+    the wide path so its verdicts and reported values are bit-identical to
+    the unrolled path's Spark-side rounding."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if x is None or not math.isfinite(x):
+        return None if x is None else x
+    return float(
+        Decimal(repr(float(x))).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+def _wide_summary_row(n, nx, snorm, s, q, dim: int, dead_eps: float) -> dict:
+    """Summary arithmetic for the wide path — the same formulas and 6 dp
+    HALF_UP rounding as _anisotropy_from_one, evaluated in numpy over the
+    merged 2·dim+3 numbers (O(dim) driver math on an already-collapsed
+    profile, the 'O(cells) driver math' discipline)."""
+    import numpy as np
+
+    if n > 0:
+        mean = s / n
+        var6 = [_round6(v) for v in (q / n - mean * mean)]
+        dead_dims = sum(1 for v in var6 if v is not None and v <= dead_eps)
+        mean_norm = snorm / n
+        mv_norm = float(np.sqrt((mean * mean).sum()))
+        aniso = _round6(mv_norm / mean_norm) if mean_norm > 0 else None
+        return {
+            "rows_used": n,
+            "rows_excluded": nx,
+            "dead_dims": dead_dims,
+            "mean_norm": _round6(mean_norm),
+            "mean_vector_norm": _round6(mv_norm),
+            "anisotropy": aniso,
+        }
+    return {
+        "rows_used": 0,
+        "rows_excluded": nx,
+        "dead_dims": dim,
+        "mean_norm": None,
+        "mean_vector_norm": None,
+        "anisotropy": None,
+    }
+
+
 def embedding_health(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -515,7 +693,32 @@ def embedding_health(
 
     Output: (dim_idx, mean, variance, dead) with mean/variance rounded to
     6 dp (engine↔oracle parity convention); ``dead`` compares the ROUNDED
-    variance to ``dead_eps`` so verdicts are engine-reproducible."""
+    variance to ``dead_eps`` so verdicts are engine-reproducible.
+
+    dim ≤ 512 runs as one unrolled codegen'd aggregation row; wider
+    vectors (768/1024/1536-class encoders) dispatch to the Arrow-kernel
+    wide path — same one-scan property, same validity contract, same
+    6 dp HALF_UP rounding, profile materialized from the merged partials
+    (O(dim) rows)."""
+    _check_health_dim(dim)
+    if dim > _HEALTH_DIM_BUDGET:
+        n, nx, snorm, s, q = _merge_wide_partial_rows(
+            _wide_health_partials_scan(df, vec_col, dim), dim
+        )
+        rows = []
+        for i in range(dim):
+            if n > 0:
+                m = s[i] / n
+                var6 = _round6(q[i] / n - m * m)
+                rows.append(
+                    (i, _round6(m), var6,
+                     var6 is None or var6 <= dead_eps)
+                )
+            else:
+                rows.append((i, None, None, True))
+        return df.sparkSession.createDataFrame(
+            rows, "dim_idx int, mean double, variance double, dead boolean"
+        )
     one = _health_agg(df, vec_col, dim)
     n = F.col("__n")
     entries = F.array(
@@ -557,7 +760,25 @@ def embedding_anisotropy(
     encoder returning its bias, a normalization bug), long before cosine
     near-dup pairs make the collapse obvious pair-by-pair. One row out:
     (rows_used, rows_excluded, dead_dims, mean_norm, mean_vector_norm,
-    anisotropy), floats rounded to 6 dp."""
+    anisotropy), floats rounded to 6 dp. Wide dims (> 512) dispatch to the
+    Arrow-kernel path; verdict arithmetic and rounding are shared."""
+    _check_health_dim(dim)
+    if dim > _HEALTH_DIM_BUDGET:
+        row = _wide_summary_row(
+            *_merge_wide_partial_rows(
+                _wide_health_partials_scan(df, vec_col, dim), dim
+            ),
+            dim,
+            dead_eps,
+        )
+        return df.sparkSession.createDataFrame(
+            [tuple(row[k] for k in (
+                "rows_used", "rows_excluded", "dead_dims", "mean_norm",
+                "mean_vector_norm", "anisotropy",
+            ))],
+            "rows_used bigint, rows_excluded bigint, dead_dims bigint, "
+            "mean_norm double, mean_vector_norm double, anisotropy double",
+        )
     return _anisotropy_from_one(_health_agg(df, vec_col, dim), dim, dead_eps)
 
 
@@ -660,6 +881,18 @@ def _health_rule_verdict(spark, row, rule, run_id: str):
                  f"{row['mean_norm']:.6f}, mean_vector_norm="
                  f"{row['mean_vector_norm']:.6f})", KIND_EMBEDDING_HEALTH)
             )
+        elif rule.max_anisotropy is not None and row["anisotropy"] is None:
+            # mean_norm = 0 over >= min_rows usable vectors: every vector
+            # is the zero vector — the MOST collapsed corpus possible.
+            # An anisotropy-only rule must not silently pass it (the
+            # 'loud, never a fake 0' contract): the bound is unmeasurable,
+            # which is itself the violation.
+            viol_rows.append(
+                (run_id, None, rule.id, None, rule.column,
+                 f"anisotropy <= {rule.max_anisotropy}",
+                 f"unmeasurable: mean_norm=0 over {row['rows_used']} "
+                 "usable vectors (all-zero corpus)", KIND_EMBEDDING_HEALTH)
+            )
 
     ddl_v = (
         "run_id string, partition_id int, rule_id string, image_id string, "
@@ -693,7 +926,15 @@ def health_partials_ddl(dim: int) -> str:
     """Explicit schema for persisted health partials (never infer — a
     `when`-scoped rule whose first batch had zero in-scope rows leaves a
     part-file-less directory that inference refuses, the Benford reload
-    contract)."""
+    contract). Wide dims persist the per-dimension sums as two array
+    columns instead of 2·dim unrolled doubles (parquet-friendly either
+    way; the unrolled narrow layout is kept for checkpoint compatibility)."""
+    _check_health_dim(dim)
+    if dim > _HEALTH_DIM_BUDGET:
+        return (
+            "n bigint, nx bigint, snorm double, s array<double>, "
+            "q array<double>, partition_id int"
+        )
     return (
         "n bigint, nx bigint, snorm double, "
         + ", ".join(f"s{i} double, q{i} double" for i in range(dim))
@@ -714,8 +955,40 @@ def embedding_health_partials(
     different order than the one-pass scan's, so the two paths can differ
     in the last floating-point bits; every reported statistic is rounded
     at 6 dp before any verdict, and batch-merged ≡ full-scan is
-    test-locked on multi-partition fixtures."""
+    test-locked on multi-partition fixtures.
+
+    Wide dims (> 512) emit one row per partition with the per-dimension
+    sums as array columns (health_partials_ddl's wide layout), computed by
+    the same Arrow kernel as the wide full scan via applyInPandas over the
+    partition key."""
     scoped = df.where(F.expr(rule.when)) if rule.when else df
+    if rule.dim > _HEALTH_DIM_BUDGET:
+        import pandas as pd
+
+        _check_health_dim(rule.dim)
+        dim, vec_col = rule.dim, rule.column
+
+        def per_group(key, pdf):
+            n, nx, snorm, s, q = _wide_accumulate(pdf[vec_col], dim)
+            return pd.DataFrame(
+                {
+                    "n": [n],
+                    "nx": [nx],
+                    "snorm": [snorm],
+                    "s": [s.tolist()],
+                    "q": [q.tolist()],
+                    "partition_id": [key[0]],
+                }
+            )
+
+        return (
+            scoped.select(
+                F.col(partition_col).cast("int").alias("partition_id"),
+                F.col(vec_col),
+            )
+            .groupBy("partition_id")
+            .applyInPandas(per_group, health_partials_ddl(dim))
+        )
     exprs = _health_agg_exprs(rule.column, rule.dim)
     out = scoped.groupBy(
         F.col(partition_col).cast("int").alias("partition_id")
@@ -753,8 +1026,17 @@ def embedding_health_rule_results_from_partials(
     accumulated matrix partials (one distributed summation, one row
     collected) and build the same (violations, metrics) frames the
     full-scan path produces — both paths feed _anisotropy_from_one, so
-    formula and rounding are shared verbatim. Never rescans the table."""
-    row = _anisotropy_from_one(
-        _merge_health_partials(partials, rule.dim), rule.dim, rule.dead_eps
-    ).collect()[0]
+    formula and rounding are shared verbatim. Never rescans the table.
+    Wide dims merge the array-typed partials distributedly
+    (_merge_wide_partial_rows) and feed the shared wide summary."""
+    if rule.dim > _HEALTH_DIM_BUDGET:
+        row = _wide_summary_row(
+            *_merge_wide_partial_rows(partials, rule.dim),
+            rule.dim,
+            rule.dead_eps,
+        )
+    else:
+        row = _anisotropy_from_one(
+            _merge_health_partials(partials, rule.dim), rule.dim, rule.dead_eps
+        ).collect()[0]
     return _health_rule_verdict(partials.sparkSession, row, rule, run_id)

@@ -640,7 +640,7 @@ def suggest_spec(
 
         from ..errors import SchemaError
         from ..spec import EmbeddingHealthRule
-        from .similarity import _HEALTH_DIM_BUDGET, embedding_anisotropy
+        from .similarity import _HEALTH_DIM_MAX, embedding_anisotropy
 
         ftypes = {f.name: f.dataType for f in fields}
         for c in embedding_health_columns:
@@ -662,8 +662,9 @@ def suggest_spec(
         szrow = df.agg(*szaggs).collect()[0].asDict()
         for i, c in enumerate(embedding_health_columns):
             lo, hi = szrow[f"eh_lo__{i}"], szrow[f"eh_hi__{i}"]
-            if lo is None or lo != hi or not 1 <= lo <= _HEALTH_DIM_BUDGET:
-                continue  # mixed/absent/over-budget dims: not ratchetable
+            if lo is None or lo != hi or not 1 <= lo <= _HEALTH_DIM_MAX:
+                continue  # mixed/absent/over-cap dims: not ratchetable
+                # (512 < dim <= cap now profiles via the wide path)
             hrow = embedding_anisotropy(df, vec_col=c, dim=int(lo)).collect()[0]
             if hrow["rows_used"] == 0 or hrow["anisotropy"] is None:
                 continue

@@ -1100,8 +1100,12 @@ def test_embedding_health_empty_and_guards(spark):
     assert row["anisotropy"] is None
     with pytest.raises(SchemaError):
         S.embedding_health(empty, dim=0)
+    # 513..8192 now dispatches to the wide Arrow-kernel path; beyond the
+    # absolute cap the refusal stays loud
     with pytest.raises(SchemaError):
-        S.embedding_anisotropy(empty, dim=513)
+        S.embedding_anisotropy(empty, dim=8193)
+    with pytest.raises(SchemaError):
+        S.embedding_health(empty, dim=8193)
 
 
 def test_embedding_health_rule_clean_and_fires(spark):
@@ -1390,3 +1394,124 @@ def test_payload_duplicates_byte_exact(spark):
         [(1, b"ABC"), (2, b"abc")], "image_id long, bytes binary"
     )
     assert D.payload_duplicates(tdf).collect() == []
+
+
+# ------------------------------------- wide (dim > 512) health path
+
+
+def _wide_fixture(spark, dim=600, n=50):
+    """Deterministic n×dim matrix in exact-double rational arithmetic:
+    value(i, j) = ((i*31 + j*7) % 97) / 97, dim 17 pinned constant (dead),
+    plus one NULL row, one wrong-dim row, one NaN row (excluded)."""
+    rows = []
+    for i in range(n):
+        v = [0.5 if j == 17 else ((i * 31 + j * 7) % 97) / 97.0 for j in range(dim)]
+        rows.append((i, v))
+    rows.append((n, None))
+    rows.append((n + 1, [1.0] * (dim - 1)))
+    bad = [1.0] * dim
+    bad[3] = float("nan")
+    rows.append((n + 2, bad))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_wide_health_matches_numpy(spark):
+    import numpy as np
+
+    dim, n = 600, 50
+    df = _wide_fixture(spark, dim, n)
+    row = S.embedding_anisotropy(df, dim=dim).collect()[0]
+    M = np.array(
+        [[0.5 if j == 17 else ((i * 31 + j * 7) % 97) / 97.0 for j in range(dim)]
+         for i in range(n)]
+    )
+    assert row["rows_used"] == n and row["rows_excluded"] == 3
+    assert row["dead_dims"] == 1
+    mean_norm = np.linalg.norm(M, axis=1).mean()
+    mv = np.linalg.norm(M.mean(0))
+    assert row["mean_norm"] == pytest.approx(round(mean_norm, 6), abs=1e-6)
+    assert row["mean_vector_norm"] == pytest.approx(round(mv, 6), abs=1e-6)
+    assert row["anisotropy"] == pytest.approx(round(mv / mean_norm, 6), abs=1e-6)
+
+    prof = {r["dim_idx"]: r for r in S.embedding_health(df, dim=dim).collect()}
+    assert len(prof) == dim
+    assert prof[17]["dead"] is True and prof[17]["variance"] == 0.0
+    for j in (0, 299, 599):
+        assert prof[j]["mean"] == pytest.approx(round(M[:, j].mean(), 6), abs=1e-6)
+        assert prof[j]["dead"] is False
+
+
+def test_wide_kernel_parity_with_unrolled_path(spark, health_vecs):
+    """The wide Arrow kernel run at a NARROW dim must reproduce the
+    unrolled codegen aggregation bit-for-bit (same validity contract, same
+    formulas, same 6 dp HALF_UP rounding) — the guarantee that 512 is a
+    plan boundary, not a semantics boundary."""
+    narrow = S.embedding_anisotropy(health_vecs, dim=4).collect()[0].asDict()
+    wide = S._wide_summary_row(
+        *S._merge_wide_partial_rows(
+            S._wide_health_partials_scan(health_vecs, "embedding", 4), 4
+        ),
+        4,
+        0.0,
+    )
+    assert wide == narrow
+
+
+def test_wide_health_rule_and_partials(spark):
+    """EmbeddingHealthRule at dim=600 compiles, fires on the planted dead
+    dim through BOTH the full-scan and the merged-partials path, and the
+    two paths agree exactly."""
+    from mdvalidate_spark.spec import EmbeddingHealthRule
+
+    dim = 600
+    rule = EmbeddingHealthRule(
+        "eh_wide", column="embedding", dim=dim,
+        max_dead_dims=0, max_anisotropy=1.0, min_rows=10, incremental=True,
+    )
+    df = _wide_fixture(spark, dim).withColumn(
+        "partition_id", (F.col("vec_id") % 4).cast("int")
+    )
+    viol_full, met_full = S.embedding_health_rule_results(df, rule, "r")
+    parts = S.embedding_health_partials(df, rule)
+    assert parts.count() == 4
+    viol_inc, met_inc = S.embedding_health_rule_results_from_partials(
+        parts, rule, "r"
+    )
+    vf = sorted(r.asDict() for r in viol_full.collect())
+    vi = sorted(r.asDict() for r in viol_inc.collect())
+    assert vf == vi
+    assert len(vf) == 1 and "dead_dims=1 of 600" in vf[0]["actual"]
+    mf = {r["metric"]: r["value"] for r in met_full.collect()}
+    mi = {r["metric"]: r["value"] for r in met_inc.collect()}
+    assert mf == mi and mf["health_dead_dims"] == 1.0
+
+    # partials round-trip through the explicit wide DDL (parquet reload)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        parts.write.parquet(f"{td}/p")
+        re = spark.read.schema(S.health_partials_ddl(dim)).parquet(f"{td}/p")
+        viol_re, met_re = S.embedding_health_rule_results_from_partials(
+            re, rule, "r"
+        )
+        assert sorted(r.asDict() for r in viol_re.collect()) == vf
+
+
+def test_anisotropy_only_rule_all_zero_corpus_is_loud(spark):
+    """ADVICE r4: an anisotropy-only rule over an all-zero corpus (the most
+    collapsed corpus possible) must emit an 'unmeasurable: mean_norm=0'
+    violation, not silently pass on the NULL anisotropy."""
+    from mdvalidate_spark.spec import EmbeddingHealthRule
+
+    df = spark.createDataFrame(
+        [(i, [0.0, 0.0, 0.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    rule = EmbeddingHealthRule(
+        "eh_zero", column="embedding", dim=3, max_anisotropy=0.5, min_rows=5
+    )
+    viol, _ = S.embedding_health_rule_results(df, rule, "r")
+    v = viol.collect()
+    assert len(v) == 1
+    assert "unmeasurable: mean_norm=0" in v[0]["actual"]
+    assert "20 usable vectors" in v[0]["actual"]

@@ -103,6 +103,43 @@ def test_refusals(docs):
         pack_sequences(docs, "n_tok", 256, n_shards=0)
     with pytest.raises(SchemaError, match="shard_method"):
         pack_sequences(docs, "n_tok", 256, shard_method="crc")
+    with pytest.raises(SchemaError, match="rows_per_shard"):
+        pack_sequences(docs, "n_tok", 256, rows_per_shard=0)
+    with pytest.raises(SchemaError, match="max_shard_rows"):
+        pack_sequences(docs, "n_tok", 256, max_shard_rows=0)
+    with pytest.raises(SchemaError, match="exceeds max_shard_rows"):
+        pack_sequences(
+            docs, "n_tok", 256, rows_per_shard=100, max_shard_rows=50
+        )
+
+
+def test_rows_per_shard_derives_n_shards(docs):
+    """Shard count derived from a rows-per-shard target: 1200 rows at
+    rows_per_shard=100 → 12 hash shards, packing semantics unchanged."""
+    packed = pack_sequences(
+        docs, "n_tok", 256, rows_per_shard=100, max_shard_rows=1000
+    ).cache()
+    assert packed.count() == 1200
+    shards = {r["shard"] for r in packed.select("shard").distinct().collect()}
+    assert shards <= set(range(12)) and len(shards) > 1
+    fills = packed.groupBy("shard", "pack_id").agg(
+        F.sum("n_tokens").alias("fill"), F.count("*").alias("n")
+    )
+    assert fills.where("fill > 256 AND n > 1").count() == 0
+    packed.unpersist()
+
+
+def test_shard_over_row_budget_refuses_loudly(docs):
+    """An undersized n_shards must die with a sizing hint, not OOM: one
+    shard holding all 1200 rows against max_shard_rows=500 refuses inside
+    the kernel (the short_block_cap precedent: enforced, not a docstring
+    promise)."""
+    from py4j.protocol import Py4JJavaError
+
+    packed = pack_sequences(docs, "n_tok", 256, n_shards=1, max_shard_rows=500)
+    with pytest.raises(Exception) as ei:
+        packed.collect()
+    assert "max_shard_rows" in str(ei.value)
 
 
 # ---------------------------------------------------------------- chunking

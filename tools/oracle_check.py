@@ -2,6 +2,17 @@
 entry on Spark AND its oracle_sql() on DuckDB at a given sf dir, compare
 row-count + schema + order-insensitive value hash.
 
+STRICT by construction (round 5): canonicalization replicates the
+driver's pandas-based `_canon` — results land in a pandas DataFrame
+(Spark via toPandas, DuckDB via .df()), columns sorted by name, rows
+sorted with DataFrame.sort_values over the raw values, then every cell
+stringified with plain str() and hashed. No float trimming, no
+list-joining: a DuckDB HUGEINT that arrives as float ("150000.0") will
+mismatch a Spark long ("150000"), and an array-typed column will crash
+sort_values with `unhashable type: 'list'` — exactly as the driver's
+harness behaves (both classes shipped as r4 red rows because the old
+replica canonicalizer was laxer).
+
 Usage: python tools/oracle_check.py [sf_dir] [query_name ...]
 """
 
@@ -11,6 +22,7 @@ import hashlib
 import sys
 
 import duckdb
+import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
@@ -19,23 +31,18 @@ TABLES = (
 ).split()
 
 
-def canon(rows: list[dict], columns: list[str]) -> str:
-    cols = sorted(columns)
-    out = []
-    for r in rows:
-        vals = []
-        for c in cols:
-            v = r[c]
-            if isinstance(v, float):
-                v = f"{v:.6f}".rstrip("0").rstrip(".")
-                if v == "-0":
-                    v = "0"
-            elif isinstance(v, (list, tuple)):
-                v = "[" + ",".join(str(x) for x in v) + "]"
-            vals.append(str(v))
-        out.append("\x01".join(vals))
-    out.sort()
-    return hashlib.md5("\x02".join(out).encode()).hexdigest()
+def canon(df: pd.DataFrame) -> str:
+    """Driver-replica canonical hash: sorted columns, sort_values over the
+    raw cell values (raises TypeError on unhashable cells, like the
+    driver), then str() every cell. Intentionally NOT forgiving."""
+    df = df[sorted(df.columns)]
+    if len(df):
+        df = df.sort_values(list(df.columns), kind="mergesort")
+    out = "\x02".join(
+        "\x01".join(str(v) for v in row)
+        for row in df.itertuples(index=False, name=None)
+    )
+    return hashlib.md5(out.encode()).hexdigest()
 
 
 def main():
@@ -58,44 +65,58 @@ def main():
             continue
         try:
             sdf = fn(spark, sf_dir)
-            srows = [r.asDict() for r in sdf.collect()]
-            scols = sdf.columns
+            spdf = sdf.toPandas()
         except Exception as e:
             print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
             n_fail += 1
             continue
         if name not in oracles:
-            print(f"ROWS  {name}: {len(srows)} rows (no oracle)")
+            print(f"ROWS  {name}: {len(spdf)} rows (no oracle)")
             continue
         try:
-            ddf = con.sql(oracles[name])
-            dcols = [d[0] for d in ddf.description]
-            drows = [dict(zip(dcols, row)) for row in ddf.fetchall()]
+            dpdf = con.sql(oracles[name]).df()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error {e}")
             n_fail += 1
             continue
-        ok_count = len(srows) == len(drows)
-        ok_schema = sorted(scols) == sorted(dcols)
-        ok_hash = canon(srows, scols) == canon(drows, dcols) if ok_schema else False
+        ok_count = len(spdf) == len(dpdf)
+        ok_schema = sorted(spdf.columns) == sorted(dpdf.columns)
+        if ok_schema:
+            try:
+                ok_hash = canon(spdf) == canon(dpdf)
+                hash_err = None
+            except Exception as e:  # driver would crash here too -> red row
+                ok_hash = False
+                hash_err = f"{type(e).__name__}: {e}"
+        else:
+            ok_hash, hash_err = False, None
         status = "OK  " if (ok_count and ok_schema and ok_hash) else "FAIL"
         if status == "FAIL":
             n_fail += 1
         print(
-            f"{status}  {name}: spark={len(srows)} duck={len(drows)} "
-            f"schema={'=' if ok_schema else sorted(scols) + sorted(dcols)} hash={'=' if ok_hash else '!'}"
+            f"{status}  {name}: spark={len(spdf)} duck={len(dpdf)} "
+            f"schema={'=' if ok_schema else [sorted(spdf.columns), sorted(dpdf.columns)]} "
+            f"hash={'=' if ok_hash else '!'}"
+            + (f" canon-crash={hash_err}" if hash_err else "")
         )
-        if not ok_hash and ok_schema and srows and drows:
-            sset = {canon([r], scols): r for r in srows}
-            dset = {canon([r], dcols): r for r in drows}
-            for h, r in list(sset.items())[:200]:
-                if h not in dset:
-                    print(f"    spark-only: {r}")
+        if not ok_hash and ok_schema and hash_err is None and len(spdf) and len(dpdf):
+            cols = sorted(spdf.columns)
+            srow_set = {canon(spdf.iloc[[i]]) for i in range(len(spdf))}
+            drow_set = {canon(dpdf.iloc[[i]]) for i in range(len(dpdf))}
+            for i in range(len(spdf)):
+                if canon(spdf.iloc[[i]]) not in drow_set:
+                    print(f"    spark-only: {spdf.iloc[i][cols].to_dict()}")
                     break
-            for h, r in list(dset.items())[:200]:
-                if h not in sset:
-                    print(f"    duck-only:  {r}")
+            for i in range(len(dpdf)):
+                if canon(dpdf.iloc[[i]]) not in srow_set:
+                    print(f"    duck-only:  {dpdf.iloc[i][cols].to_dict()}")
                     break
+            # dtype drift is the usual culprit under strict mode
+            sd = {c: str(spdf[c].dtype) for c in cols}
+            dd = {c: str(dpdf[c].dtype) for c in cols}
+            drift = {c: (sd[c], dd[c]) for c in cols if sd[c] != dd[c]}
+            if drift:
+                print(f"    dtype-drift: {drift}")
     spark.stop()
     sys.exit(1 if n_fail else 0)
 
