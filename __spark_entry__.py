@@ -5013,18 +5013,126 @@ FROM s WHERE n > 0
 """
 
 
+def q_embedding_health_wide_embeddings(spark, sf_dir):
+    """WIDE embedding-matrix health (dim > 512 Arrow-kernel path,
+    similarity.py _wide_health_partials_scan): a 1024-dim matrix
+    synthesized deterministically from vec_id in exact-double rational
+    arithmetic (value(i,j) = ((vec_id*31 + j*7) % 97) / 97, dim 1000
+    pinned constant — the planted dead dimension) profiled through the
+    SAME public embedding_anisotropy entry the ≤512 path uses. The oracle
+    replays the whole matrix in DuckDB via a range() cross join and
+    re-derives rows_used / dead_dims / mean_norm / mean_vector_norm /
+    anisotropy with the shared 6 dp rounding — value-checking the wide
+    kernel's validity contract, per-dimension sums, and summary math."""
+    from mdvalidate_spark.operators.similarity import embedding_anisotropy
+
+    emb = _load(spark, sf_dir, "embeddings")
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(1023)),
+        lambda j: F.when(j == 1000, F.lit(0.5)).otherwise(
+            ((F.col("vec_id") * 31 + j * 7) % 97) / 97.0
+        ),
+    )
+    df = emb.select(F.col("vec_id"), vec.alias("embedding"))
+    return embedding_anisotropy(df, dim=1024)
+
+
+_EMB_HEALTH_WIDE_SQL = """
+WITH d AS (SELECT CAST(r.range AS BIGINT) AS j FROM range(0, 1024) r),
+v AS (
+  SELECT e.vec_id, d.j,
+         CASE WHEN d.j = 1000 THEN 0.5
+              ELSE CAST((e.vec_id * 31 + d.j * 7) % 97 AS DOUBLE) / 97.0
+         END AS x
+  FROM embeddings e CROSS JOIN d
+),
+n AS (SELECT COUNT(*) AS n FROM embeddings),
+pd AS (SELECT j, SUM(x) AS s, SUM(x * x) AS q FROM v GROUP BY j),
+rn AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM v GROUP BY vec_id),
+agg AS (
+  SELECT
+    (SELECT SUM(CASE WHEN round(q / (SELECT n FROM n)
+                             - (s / (SELECT n FROM n))
+                             * (s / (SELECT n FROM n)), 6) <= 0
+                     THEN 1 ELSE 0 END)
+     FROM pd) AS dead_dims,
+    (SELECT SUM(nrm) FROM rn) / (SELECT n FROM n) AS mean_norm_raw,
+    (SELECT sqrt(SUM((s / (SELECT n FROM n))
+                     * (s / (SELECT n FROM n)))) FROM pd) AS mv_raw
+)
+SELECT CAST(n.n AS BIGINT) AS rows_used,
+       CAST(0 AS BIGINT) AS rows_excluded,
+       CAST(agg.dead_dims AS BIGINT) AS dead_dims,
+       round(agg.mean_norm_raw, 6) AS mean_norm,
+       round(agg.mv_raw, 6) AS mean_vector_norm,
+       round(agg.mv_raw / agg.mean_norm_raw, 6) AS anisotropy
+FROM agg, n
+"""
+
+
+def q_compress_manifest_documents(spark, sf_dir):
+    """Compressibility MANIFEST agreement (VERDICT r4 #4, the
+    pixel_manifest_agreement pattern): oracle the SQL-expressible halves of
+    the zlib kernel so no-oracle coverage shrinks to DEFLATE math alone.
+    Per lang: doc count, total utf-8 bytes as the KERNEL measured them
+    (value-checked against octet_length replayed in DuckDB), per-doc byte
+    agreement, and the provable zlib compressBound invariant
+    (n_compressed <= n + (n>>12) + (n>>14) + (n>>25) + 13 — a documented
+    upper bound, so the oracle asserts within_bound = n_docs exactly).
+    A broken Arrow batch shape, wrong encoding, or dropped/duplicated row
+    in the kernel flips one of these aggregates and lands red."""
+    docs = _load(spark, sf_dir, "documents")
+    prof = T.compressibility(docs)
+    j = docs.select("doc_id", "lang", "text").join(prof, "doc_id")
+    nb = F.col("n_bytes")
+    bound = (
+        nb
+        + F.shiftright(nb, 12)
+        + F.shiftright(nb, 14)
+        + F.shiftright(nb, 25)
+        + F.lit(13)
+    )
+    return j.groupBy("lang").agg(
+        F.count("text").alias("n_docs"),
+        F.coalesce(F.sum(nb), F.lit(0)).cast("long").alias("total_bytes"),
+        F.sum(
+            F.when(nb == F.octet_length(F.col("text")), 1).otherwise(0)
+        ).cast("long").alias("bytes_agree"),
+        F.sum(
+            F.when(F.col("n_compressed") <= bound, 1).otherwise(0)
+        ).cast("long").alias("within_bound"),
+    )
+
+
+_COMPRESS_MANIFEST_SQL = """
+SELECT lang,
+  COUNT(text) AS n_docs,
+  CAST(COALESCE(SUM(octet_length(encode(text))), 0) AS BIGINT)
+    AS total_bytes,
+  CAST(COUNT(text) AS BIGINT) AS bytes_agree,
+  CAST(COUNT(text) AS BIGINT) AS within_bound
+FROM documents GROUP BY lang
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERED most-recently-changed first (VERDICT r3 #2): the driver's
     # correctness harness checks entries positionally from the top, so the
     # queries touched this round must come first, stable legacy last.
     return {
+        # -- round 5: new/rewritten ------------------------------------
+        "embedding_health_wide_embeddings": q_embedding_health_wide_embeddings,
+        "compress_manifest_documents": q_compress_manifest_documents,
+        "payload_dups_documents": q_payload_dups_documents,
+        "association_orders": q_association_orders,
+        "association_drift_lineitem": q_association_drift_lineitem,
+        "metric_anomaly_orders": q_metric_anomaly_orders,
         # -- round 4: new/rewritten ------------------------------------
         "embedding_health_embeddings": q_embedding_health_embeddings,
         "embedding_anisotropy_embeddings": q_embedding_anisotropy_embeddings,
         "embedding_gate_embeddings": q_embedding_gate_embeddings,
         "embedding_gate_partials_embeddings": q_embedding_gate_partials_embeddings,
         "suggest_embedding_embeddings": q_suggest_embedding_embeddings,
-        "payload_dups_documents": q_payload_dups_documents,
         "degenerate_images": q_degenerate_images,
         "span_dedup_documents": q_span_dedup_documents,
         "span_report_documents": q_span_report_documents,
@@ -5049,8 +5157,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_orders": q_benford_orders,
         "null_correlation_documents": q_null_correlation_documents,
         "gaps_events": q_gaps_events,
-        "association_orders": q_association_orders,
-        "association_drift_lineitem": q_association_drift_lineitem,
         "association_spec_orders": q_association_spec_orders,
         "semantic_decontam_embeddings": q_semantic_decontam_embeddings,
         "suggest_assoc_orders": q_suggest_assoc_orders,
@@ -5161,7 +5267,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freshness_events": q_freshness_events,
         "vector_embeddings": q_vector_embeddings,
         "header_documents": q_header_documents,
-        "metric_anomaly_orders": q_metric_anomaly_orders,
         "row_part": q_row_part,
         "row_customer": q_row_customer,
         "composite_documents": q_composite_documents,
@@ -6590,6 +6695,8 @@ SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.9
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "embedding_health_wide_embeddings": _EMB_HEALTH_WIDE_SQL,
+        "compress_manifest_documents": _COMPRESS_MANIFEST_SQL,
         "degenerate_images": _DEGENERATE_SQL,
         "span_dedup_documents": _span_dedup_sql(),
         "span_report_documents": _span_report_sql(),

@@ -731,6 +731,25 @@ def compile_spec(spec: Spec, available_columns=None) -> ConstraintProgram:
                     f"{r.sample_rate} (1.0 decodes every row; the sample "
                     "threshold has micro-unit resolution)"
                 )
+            # sampled decode membership hashes the STRINGIFIED key, and the
+            # native kernel sees raw arrow values while the Arrow path sees
+            # Spark's string cast — for non-string keys whose Python repr
+            # differs from Spark's cast (binary -> "b'..'", large floats ->
+            # '1e+20' vs '1.0E20') the two paths would pick DIFFERENT
+            # sample rows. Demand a string key when sampling is on and a
+            # typed schema is available (ADVICE r4); cast upstream.
+            if r.sample_rate < 1 and available_columns is not None:
+                kt = _column_type(available_columns, spec.key_column)
+                if kt is not None:
+                    from pyspark.sql.types import StringType
+
+                    if not isinstance(kt, StringType):
+                        raise SchemaError(
+                            f"rule {r.id!r}: sample_rate < 1 requires a "
+                            f"STRING key column for path-identical sample "
+                            f"membership; key {spec.key_column!r} is "
+                            f"{kt.simpleString()} — cast it upstream"
+                        )
 
         if isinstance(r, DegenerateImageRule):
             if r.contrast_floor < 0:

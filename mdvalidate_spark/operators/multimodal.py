@@ -553,6 +553,8 @@ def quality_drift_sweep(
     threshold: float = 0.2,
     n_bins: int = 16,
     run_id: str = "quality_drift",
+    contrast_floor: float = 1.0,
+    saturated_ceiling: float = 0.95,
 ):
     """Pixel-stat drift BETWEEN partitions — the north rule's KS/PSI sweep
     applied to a DECODED statistic (brightness / contrast / saturated_frac /
@@ -569,7 +571,13 @@ def quality_drift_sweep(
     as ``<group_col>=<value>``, matching the sweep convention).
     Cost shape: the decode pass dominates and is shuffle-free; the sweep
     itself runs on the stats frame (10^5x smaller) — retuning the drift
-    threshold or bins re-runs only the cheap half."""
+    threshold or bins re-runs only the cheap half.
+
+    ``contrast_floor``/``saturated_ceiling`` define which rows count as
+    degenerate and are excluded from the sweep; pass the SAME values your
+    DegenerateImageRule uses so the swept "individually fine" population
+    matches the run's own degeneracy verdicts (defaults mirror the rule's
+    defaults)."""
     from ..errors import SchemaError
     from ..spec import DriftRule
     from .drift import drift_sweep
@@ -580,17 +588,17 @@ def quality_drift_sweep(
             f"quality_drift_sweep: metric must be one of {allowed}, "
             f"got {metric!r}"
         )
-    # degenerate rows (blank/saturated extremes, at the DEFAULT class
-    # thresholds) are excluded: they are the degenerate RULE's verdict, and
-    # their pinned values would smear the healthy population's histogram
-    # tails with cross-partition noise — the sweep judges the distribution
-    # of images that are individually fine
+    # degenerate rows (blank/saturated extremes, at the CALLER-declared
+    # class thresholds) are excluded: they are the degenerate RULE's
+    # verdict, and their pinned values would smear the healthy population's
+    # histogram tails with cross-partition noise — the sweep judges the
+    # distribution of images that are individually fine
     stats = image_quality_stats(
         df, bytes_col=bytes_col, id_col=id_col, passthrough=(group_col,)
     ).where(
         F.col("ok")
-        & (F.col("contrast") >= F.lit(1.0))
-        & (F.col("saturated_frac") <= F.lit(0.95))
+        & (F.col("contrast") >= F.lit(float(contrast_floor)))
+        & (F.col("saturated_frac") <= F.lit(float(saturated_ceiling)))
     )
     rule = DriftRule(
         f"quality_drift_{metric}",

@@ -154,12 +154,20 @@ def _check_columns(
     """Columnar check loop shared by both input paths. ``threshold``
     (sample_threshold of the rule's sample_rate) drops non-sampled rows
     BEFORE decode — they emit no output row, so downstream counts ('checked')
-    reflect the sample denominator honestly."""
+    reflect the sample denominator honestly. NULL payloads are dropped the
+    same way (NotNullRule owns flagging them): a check row the kernel could
+    never judge would inflate 'pixel_checked' while 'degenerate_checked'
+    excludes it, silently deflating the pixel rule's soft-failure rate on
+    NULL-heavy corpora relative to the degenerate rule's on the same
+    sample — both denominators must mean 'rows the kernel actually
+    judged'."""
     ok_l, exp_l, act_l, psnr_l, q_l, id_l, part_l = [], [], [], [], [], [], []
     part_iter = parts if parts is not None else [None] * len(ids)
     for iid, data, fmt, w, h, ph, part in zip(
         ids, datas, fmts, ws, hs, phashes, part_iter
     ):
+        if data is None:
+            continue
         if threshold is not None and not sample_keep(iid, threshold):
             continue
         ok, exp, act, p, q = _check_one(data, fmt, w, h, ph, psnr_min, quality)
@@ -187,6 +195,33 @@ def _check_columns(
         ):
             out[col] = [q[j] for q in q_l]
     return out
+
+
+def _guard_sampled_key(df: DataFrame, rule, key_column: str) -> None:
+    """Public-operator re-guard of the compile_spec lint (ADVICE r4): a
+    SAMPLED decode rule hashes the stringified key for membership, and the
+    native kernel sees raw arrow values while the Arrow path sees Spark's
+    string cast — non-string keys whose Python repr differs from Spark's
+    cast (binary, large floats) would make the two paths pick DIFFERENT
+    sample rows, breaking the documented path-identical sampling
+    guarantee. Refuse loudly; cast the key upstream."""
+    if sample_threshold(getattr(rule, "sample_rate", 1.0)) is None:
+        return
+    from pyspark.sql.types import StringType
+
+    from ..errors import SchemaError
+
+    try:
+        kt = df.schema[key_column].dataType
+    except Exception:
+        return  # unresolvable here; compile_spec owns the typed lint
+    if not isinstance(kt, StringType):
+        raise SchemaError(
+            f"sampled decode rule {getattr(rule, 'id', '?')!r} "
+            f"(sample_rate < 1) requires a STRING key column for "
+            f"path-identical sample membership; key {key_column!r} is "
+            f"{kt.simpleString()} — cast it upstream"
+        )
 
 
 def pixel_check_results(
@@ -232,6 +267,7 @@ def pixel_check_results(
     cannot go stale within one cache's lifetime.
     """
     t0 = time.time()
+    _guard_sampled_key(df, rule, key_column)
     gate_df = scan_df if scan_df is not None else df
     # the decision depends on the RULE's column bindings too: a second
     # PixelRule with different columns must not reuse the first rule's gate
@@ -607,6 +643,7 @@ def quality_only_results(
     expected/actual/psnr NULL) so degenerate_outputs consumes both shapes
     identically. When a PixelRule shares the bytes column, the run layer
     rides quality on that rule's decode instead — never call both."""
+    _guard_sampled_key(df, rule, key_column)
     pid = F.coalesce(F.col("partition_id").cast("int"), F.lit(-1))
     if partitions is not None:
         df = df.where(pid.isin(partitions))

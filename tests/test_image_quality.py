@@ -794,3 +794,109 @@ def test_quality_drift_sweep_flags_shifted_partition(spark, qimages):
     assert len(stats) == N_PARTS
     with pytest.raises(SE, match="metric"):
         quality_drift_sweep(qimages, "partition_id", metric="nope")
+
+
+def test_quality_drift_sweep_thresholds_match_declared_rule(spark, qimages):
+    """ADVICE r4: the sweep's degeneracy exclusion must follow the SAME
+    thresholds as the run's DegenerateImageRule, not hardcoded defaults —
+    a stricter contrast_floor shrinks the swept 'individually fine'
+    population accordingly."""
+    from mdvalidate_spark.operators.multimodal import (
+        image_quality_stats,
+        quality_drift_sweep,
+    )
+
+    # count how many decodable rows each floor admits
+    stats = image_quality_stats(qimages).where("ok").cache()
+    n_default = stats.where("contrast >= 1.0 AND saturated_frac <= 0.95").count()
+    strict_floor = 40.0
+    n_strict = stats.where(
+        f"contrast >= {strict_floor} AND saturated_frac <= 0.95"
+    ).count()
+    assert n_strict < n_default  # the fixture has mid-contrast rows
+
+    _, mets_default, _ = quality_drift_sweep(
+        qimages, "partition_id", metric="brightness", threshold=5.0
+    )
+    _, mets_strict, _ = quality_drift_sweep(
+        qimages, "partition_id", metric="brightness", threshold=5.0,
+        contrast_floor=strict_floor,
+    )
+    # binning population differs -> the per-group stat rows must differ
+    d = {r["value_str"]: r["value"] for r in mets_default.collect()}
+    s = {r["value_str"]: r["value"] for r in mets_strict.collect()}
+    assert set(d) == set(s)
+    assert d != s
+    stats.unpersist()
+
+
+def test_checked_denominators_exclude_null_payloads(spark):
+    """ADVICE r4: pixel_checked and degenerate_checked must both mean
+    'rows the kernel could actually judge' — NULL payloads (NotNullRule's
+    job) appear in NEITHER denominator, so a NULL-heavy corpus cannot
+    deflate the pixel rule's soft-failure rate relative to the degenerate
+    rule's on the same sample."""
+    from mdvalidate_spark import DegenerateImageRule, PixelRule
+    from mdvalidate_spark.operators import pixel as pixel_ops
+    from mdvalidate_spark.sources.synthetic import synthetic_images
+
+    n_null = 7
+    base = synthetic_images(spark, 200, with_bytes=True)
+    withnull = base.withColumn(
+        "bytes",
+        F.when(F.col("i") < n_null, F.lit(None).cast("binary")).otherwise(
+            F.col("bytes")
+        ),
+    )
+    total = withnull.count()
+    rule = PixelRule("px")
+    checks = pixel_ops.pixel_check_results(
+        withnull, rule, "image_id", quality=True
+    ).cache()
+    # no check row at all for NULL payloads
+    assert checks.count() == total - n_null
+    _, pm = pixel_ops.pixel_outputs(checks, rule, "t")
+    pixel_checked = sum(
+        r["value"] for r in pm.collect() if r["metric"] == "pixel_checked"
+    )
+    drule = DegenerateImageRule("deg")
+    _, dm = pixel_ops.degenerate_outputs(checks, drule, "t")
+    deg_checked = sum(
+        r["value"] for r in dm.collect() if r["metric"] == "degenerate_checked"
+    )
+    assert pixel_checked == deg_checked == total - n_null
+    checks.unpersist()
+
+
+def test_sampled_decode_requires_string_key(spark):
+    """ADVICE r4: sampled decode membership hashes the stringified key and
+    the native/Arrow paths stringify non-string keys differently — a
+    sampled rule on a non-string key must refuse loudly at compile AND at
+    the operator API; rate=1.0 keys of any type stay fine."""
+    from mdvalidate_spark import DegenerateImageRule, PixelRule, Spec
+    from mdvalidate_spark.compile import compile_spec
+    from mdvalidate_spark.errors import SchemaError
+    from mdvalidate_spark.operators import pixel as pixel_ops
+    from mdvalidate_spark.sources.synthetic import synthetic_images
+
+    base = synthetic_images(spark, 60, with_bytes=True)
+    intkey = base.drop("image_id").withColumn(
+        "image_id", F.col("i").cast("long")
+    )
+    sampled = PixelRule("px", sample_rate=0.5)
+    with pytest.raises(SchemaError, match="STRING key"):
+        pixel_ops.pixel_check_results(intkey, sampled, "image_id")
+    with pytest.raises(SchemaError, match="STRING key"):
+        pixel_ops.quality_only_results(
+            intkey, DegenerateImageRule("deg", sample_rate=0.5), "image_id"
+        )
+    with pytest.raises(SchemaError, match="STRING key"):
+        compile_spec(
+            Spec(key_column="image_id", rules=(sampled,)), intkey.schema
+        )
+    # unsampled: non-string key is fine (membership hash never runs)
+    assert pixel_ops.pixel_check_results(
+        intkey.limit(20), PixelRule("px2"), "image_id"
+    ).count() == 20
+    # sampled + string key is fine
+    compile_spec(Spec(key_column="image_id", rules=(sampled,)), base.schema)
