@@ -588,6 +588,19 @@ def quality_drift_sweep(
             f"quality_drift_sweep: metric must be one of {allowed}, "
             f"got {metric!r}"
         )
+    # re-guard the DegenerateImageRule compile lints these thresholds
+    # mirror (the _guard_sampled_key precedent for public operator APIs):
+    # out-of-range values silently sweep an empty/meaningless population
+    if contrast_floor < 0:
+        raise SchemaError(
+            f"quality_drift_sweep: contrast_floor must be >= 0, got "
+            f"{contrast_floor}"
+        )
+    if not 0 < saturated_ceiling <= 1:
+        raise SchemaError(
+            f"quality_drift_sweep: saturated_ceiling must be in (0, 1], "
+            f"got {saturated_ceiling}"
+        )
     # degenerate rows (blank/saturated extremes, at the CALLER-declared
     # class thresholds) are excluded: they are the degenerate RULE's
     # verdict, and their pinned values would smear the healthy population's

@@ -51,6 +51,7 @@ def pack_sequences(
     n_shards: int = 256,
     rows_per_shard: int | None = None,
     max_shard_rows: int = _MAX_SHARD_ROWS,
+    precheck_shards: bool | None = None,
     shard_method: str = "xxhash64",
 ) -> DataFrame:
     """Assign every row a (shard, pack_id) so that each pack's total
@@ -69,37 +70,49 @@ def pack_sequences(
     provide (a UniqueRule on the id upstream is the enforcement point).
 
     Shard sizing is ENFORCED, not advisory (each shard is one in-memory
-    pandas frame inside the kernel): pass ``rows_per_shard`` to derive
-    ``n_shards = ceil(count / rows_per_shard)`` from one count() of the
-    input (one extra metadata-cheap scan, paid only when asked for), and
-    regardless of how ``n_shards`` was chosen the kernel REFUSES any shard
-    over ``max_shard_rows`` with a sizing hint — a 10^12-row corpus on the
-    default 256 shards dies loudly at the first oversized shard instead of
-    OOMing an executor. Note ``rows_per_shard`` must stay ≤
-    ``max_shard_rows`` or the derived shards would refuse by construction.
-    """
+    pandas frame inside the kernel), with three layers:
+
+    - ``rows_per_shard`` derives ``n_shards = ceil(count/rows_per_shard)``
+      from one count() of the input, and must sit at or below 90% of
+      ``max_shard_rows``: the derivation targets MEAN occupancy, and hash
+      skew puts real shards above the mean (binomial spread is
+      ~sqrt(rows/shard), so 10% headroom is orders of magnitude beyond
+      what xxhash skew produces — a derived sizing can never trip its own
+      cap).
+    - ``precheck_shards`` (default: on exactly when ``rows_per_shard`` was
+      passed, i.e. when the call is already eager) runs one map-side
+      combined groupBy(shard).count() and refuses BEFORE any kernel group
+      materializes — at extreme scale an oversized group can OOM the
+      executor during applyInPandas buffering, before any in-kernel check
+      runs, so the only refusal that is loud by construction is one that
+      happens before the shuffle.
+    - The kernel itself still refuses any shard over ``max_shard_rows``
+      with a sizing hint (covers the lazy path, where the frame fits
+      memory but exceeds the declared budget)."""
     from ..errors import SchemaError
 
     if budget <= 0:
         raise SchemaError(f"pack budget must be positive, got {budget}")
+    if max_shard_rows <= 0:
+        raise SchemaError(
+            f"max_shard_rows must be positive, got {max_shard_rows}"
+        )
     if rows_per_shard is not None:
         if rows_per_shard <= 0:
             raise SchemaError(
                 f"rows_per_shard must be positive, got {rows_per_shard}"
             )
-        if rows_per_shard > max_shard_rows:
+        if rows_per_shard > 0.9 * max_shard_rows:
             raise SchemaError(
                 f"rows_per_shard={rows_per_shard} exceeds max_shard_rows="
-                f"{max_shard_rows} — derived shards would refuse by "
-                "construction"
+                f"{max_shard_rows} minus the 10% skew headroom — the "
+                "derivation targets mean shard occupancy, so shards above "
+                "the mean would refuse by construction; lower "
+                "rows_per_shard or raise max_shard_rows"
             )
         n_shards = max(1, -(-df.count() // rows_per_shard))
     if n_shards <= 0:
         raise SchemaError(f"n_shards must be positive, got {n_shards}")
-    if max_shard_rows <= 0:
-        raise SchemaError(
-            f"max_shard_rows must be positive, got {max_shard_rows}"
-        )
     if shard_method == "md5":
         shard = F.pmod(
             F.conv(
@@ -132,6 +145,26 @@ def pack_sequences(
 
     cap = int(max_shard_rows)
     ns = int(n_shards)
+
+    if precheck_shards is None:
+        precheck_shards = rows_per_shard is not None
+    if precheck_shards:
+        over = (
+            base.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > cap)
+            .orderBy(F.col("n").desc())
+            .limit(5)
+            .collect()
+        )
+        if over:
+            worst = ", ".join(f"shard {r['shard']}={r['n']}" for r in over)
+            raise SchemaError(
+                f"pack_sequences: {len(over)}+ shard(s) exceed "
+                f"max_shard_rows={cap} with n_shards={ns} ({worst}) — "
+                "raise n_shards (or lower rows_per_shard); refused before "
+                "any kernel group materializes"
+            )
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) > cap:

@@ -597,20 +597,34 @@ def _merge_wide_partial_rows(partials: DataFrame, dim: int):
     posexplode(arrays_zip) + groupBy(dim_idx) — a shuffle of
     (#partials · dim) tiny rows, scalable to any partial count (no driver
     array buffering), collected only at the final dim-row granularity.
-    Returns (n, nx, snorm, s[dim], q[dim]) as plain Python/numpy."""
-    import numpy as np
+    Returns (n, nx, snorm, s[dim], q[dim]) as plain Python/numpy.
 
-    scal = partials.agg(
-        F.coalesce(F.sum("n"), F.lit(0)).alias("n"),
-        F.coalesce(F.sum("nx"), F.lit(0)).alias("nx"),
-        F.coalesce(F.sum("snorm"), F.lit(0.0)).alias("snorm"),
-    ).collect()[0]
-    per_dim = (
-        partials.select(F.posexplode(F.arrays_zip("s", "q")).alias("i", "sq"))
-        .groupBy("i")
-        .agg(F.sum("sq.s").alias("s"), F.sum("sq.q").alias("q"))
-        .collect()
-    )
+    The partials frame is PERSISTED across the two merge actions: without
+    it each .collect() re-executes the whole upstream scan + Arrow kernel
+    (double full-table cost on an uncached input), which would silently
+    break the wide path's one-scan contract. The cached rows are O(tasks)
+    × 2·dim doubles — tiny. Reloaded parquet partials pay only the cache
+    write either way."""
+    import numpy as np
+    from pyspark import StorageLevel
+
+    partials = partials.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        scal = partials.agg(
+            F.coalesce(F.sum("n"), F.lit(0)).alias("n"),
+            F.coalesce(F.sum("nx"), F.lit(0)).alias("nx"),
+            F.coalesce(F.sum("snorm"), F.lit(0.0)).alias("snorm"),
+        ).collect()[0]
+        per_dim = (
+            partials.select(
+                F.posexplode(F.arrays_zip("s", "q")).alias("i", "sq")
+            )
+            .groupBy("i")
+            .agg(F.sum("sq.s").alias("s"), F.sum("sq.q").alias("q"))
+            .collect()
+        )
+    finally:
+        partials.unpersist()
     s = np.zeros(dim, dtype=np.float64)
     q = np.zeros(dim, dtype=np.float64)
     for r in per_dim:
@@ -619,53 +633,64 @@ def _merge_wide_partial_rows(partials: DataFrame, dim: int):
     return int(scal["n"]), int(scal["nx"]), float(scal["snorm"]), s, q
 
 
-def _round6(x):
-    """Driver-side replica of Spark's F.round(col, 6) on DoubleType:
-    BigDecimal.valueOf(double) parses Double.toString (== Python repr for
-    shortest-roundtrip doubles), then setScale(6, HALF_UP). Used only in
-    the wide path so its verdicts and reported values are bit-identical to
-    the unrolled path's Spark-side rounding."""
-    import math
-    from decimal import ROUND_HALF_UP, Decimal
-
-    if x is None or not math.isfinite(x):
-        return None if x is None else x
-    return float(
-        Decimal(repr(float(x))).quantize(
-            Decimal("0.000001"), rounding=ROUND_HALF_UP
-        )
-    )
+def _wide_dims_frame(spark, s, q, dim: int) -> DataFrame:
+    """The merged per-dimension sums as a tiny single-partition frame
+    (dim rows × 2 doubles), so every derived statistic — rounding
+    included — is computed by the SAME Spark expressions the unrolled
+    path uses. coalesce(1) pins the aggregation's addition order to
+    dim_idx order, matching the narrow path's chained-expression order
+    bit-for-bit (and keeping the result independent of local
+    parallelism)."""
+    rows = [(i, float(s[i]), float(q[i])) for i in range(dim)]
+    return spark.createDataFrame(
+        rows, "dim_idx int, s double, q double"
+    ).coalesce(1)
 
 
-def _wide_summary_row(n, nx, snorm, s, q, dim: int, dead_eps: float) -> dict:
-    """Summary arithmetic for the wide path — the same formulas and 6 dp
-    HALF_UP rounding as _anisotropy_from_one, evaluated in numpy over the
-    merged 2·dim+3 numbers (O(dim) driver math on an already-collapsed
-    profile, the 'O(cells) driver math' discipline)."""
-    import numpy as np
-
-    if n > 0:
-        mean = s / n
-        var6 = [_round6(v) for v in (q / n - mean * mean)]
-        dead_dims = sum(1 for v in var6 if v is not None and v <= dead_eps)
-        mean_norm = snorm / n
-        mv_norm = float(np.sqrt((mean * mean).sum()))
-        aniso = _round6(mv_norm / mean_norm) if mean_norm > 0 else None
+def _wide_summary_row(spark, n, nx, snorm, s, q, dim: int, dead_eps: float) -> dict:
+    """Summary arithmetic for the wide path — the same formulas AND the
+    same engine rounding as _anisotropy_from_one: the merged 2·dim+3
+    numbers are re-entered into a tiny Spark frame and every reported
+    value goes through Spark's own F.round (BigDecimal HALF_UP), so wide
+    verdicts can never diverge from the unrolled path on a rounding
+    implementation detail (Java Double.toString vs Python repr)."""
+    if n <= 0:
         return {
-            "rows_used": n,
+            "rows_used": 0,
             "rows_excluded": nx,
-            "dead_dims": dead_dims,
-            "mean_norm": _round6(mean_norm),
-            "mean_vector_norm": _round6(mv_norm),
-            "anisotropy": aniso,
+            "dead_dims": dim,
+            "mean_norm": None,
+            "mean_vector_norm": None,
+            "anisotropy": None,
         }
+    nn = F.lit(n).cast("long")
+    m = F.col("s") / nn
+    var6 = F.round(F.col("q") / nn - m * m, 6)
+    mean_norm_raw = F.lit(float(snorm)) / nn
+    row = (
+        _wide_dims_frame(spark, s, q, dim)
+        .agg(
+            F.sum((var6 <= F.lit(dead_eps)).cast("int")).alias("dd"),
+            F.sum(m * m).alias("ssq"),
+        )
+        .select(
+            F.col("dd").cast("long").alias("dead_dims"),
+            F.round(mean_norm_raw, 6).alias("mean_norm"),
+            F.round(F.sqrt(F.col("ssq")), 6).alias("mean_vector_norm"),
+            F.when(
+                mean_norm_raw > 0,
+                F.round(F.sqrt(F.col("ssq")) / mean_norm_raw, 6),
+            ).alias("anisotropy"),
+        )
+        .collect()[0]
+    )
     return {
-        "rows_used": 0,
+        "rows_used": n,
         "rows_excluded": nx,
-        "dead_dims": dim,
-        "mean_norm": None,
-        "mean_vector_norm": None,
-        "anisotropy": None,
+        "dead_dims": row["dead_dims"],
+        "mean_norm": row["mean_norm"],
+        "mean_vector_norm": row["mean_vector_norm"],
+        "anisotropy": row["anisotropy"],
     }
 
 
@@ -705,19 +730,22 @@ def embedding_health(
         n, nx, snorm, s, q = _merge_wide_partial_rows(
             _wide_health_partials_scan(df, vec_col, dim), dim
         )
-        rows = []
-        for i in range(dim):
-            if n > 0:
-                m = s[i] / n
-                var6 = _round6(q[i] / n - m * m)
-                rows.append(
-                    (i, _round6(m), var6,
-                     var6 is None or var6 <= dead_eps)
-                )
-            else:
-                rows.append((i, None, None, True))
-        return df.sparkSession.createDataFrame(
-            rows, "dim_idx int, mean double, variance double, dead boolean"
+        base = _wide_dims_frame(df.sparkSession, s, q, dim)
+        if n <= 0:
+            return base.select(
+                "dim_idx",
+                F.lit(None).cast("double").alias("mean"),
+                F.lit(None).cast("double").alias("variance"),
+                F.lit(True).alias("dead"),
+            )
+        nn = F.lit(n).cast("long")
+        mean_raw = F.col("s") / nn
+        var6 = F.round(F.col("q") / nn - mean_raw * mean_raw, 6)
+        return base.select(
+            "dim_idx",
+            F.round(mean_raw, 6).alias("mean"),
+            var6.alias("variance"),
+            F.coalesce(var6 <= F.lit(dead_eps), F.lit(True)).alias("dead"),
         )
     one = _health_agg(df, vec_col, dim)
     n = F.col("__n")
@@ -765,6 +793,7 @@ def embedding_anisotropy(
     _check_health_dim(dim)
     if dim > _HEALTH_DIM_BUDGET:
         row = _wide_summary_row(
+            df.sparkSession,
             *_merge_wide_partial_rows(
                 _wide_health_partials_scan(df, vec_col, dim), dim
             ),
@@ -957,10 +986,16 @@ def embedding_health_partials(
     at 6 dp before any verdict, and batch-merged ≡ full-scan is
     test-locked on multi-partition fixtures.
 
-    Wide dims (> 512) emit one row per partition with the per-dimension
-    sums as array columns (health_partials_ddl's wide layout), computed by
-    the same Arrow kernel as the wide full scan via applyInPandas over the
-    partition key."""
+    Wide dims (> 512) emit partial rows with the per-dimension sums as
+    array columns (health_partials_ddl's wide layout) via a streaming
+    mapInPandas kernel: one row per (Arrow batch × partition id present in
+    it), NEVER one pandas frame per partition — a grouped applyInPandas
+    would materialize a whole partition's vector matrix on one executor
+    (the streaming path stamps an entire micro-batch with one constant
+    partition_id, making that a guaranteed single-group OOM at scale).
+    Multiple rows per partition are by design: the merge sums them, the
+    persisted layout is unchanged, and memory stays bounded by one Arrow
+    batch."""
     scoped = df.where(F.expr(rule.when)) if rule.when else df
     if rule.dim > _HEALTH_DIM_BUDGET:
         import pandas as pd
@@ -968,27 +1003,27 @@ def embedding_health_partials(
         _check_health_dim(rule.dim)
         dim, vec_col = rule.dim, rule.column
 
-        def per_group(key, pdf):
-            n, nx, snorm, s, q = _wide_accumulate(pdf[vec_col], dim)
-            return pd.DataFrame(
-                {
-                    "n": [n],
-                    "nx": [nx],
-                    "snorm": [snorm],
-                    "s": [s.tolist()],
-                    "q": [q.tolist()],
-                    "partition_id": [key[0]],
-                }
-            )
+        def kernel(batches):
+            for pdf in batches:
+                for pid, g in pdf.groupby("partition_id", dropna=False):
+                    n, nx, snorm, s, q = _wide_accumulate(g[vec_col], dim)
+                    yield pd.DataFrame(
+                        {
+                            "n": [n],
+                            "nx": [nx],
+                            "snorm": [snorm],
+                            "s": [s.tolist()],
+                            "q": [q.tolist()],
+                            "partition_id": [
+                                None if pd.isna(pid) else int(pid)
+                            ],
+                        }
+                    )
 
-        return (
-            scoped.select(
-                F.col(partition_col).cast("int").alias("partition_id"),
-                F.col(vec_col),
-            )
-            .groupBy("partition_id")
-            .applyInPandas(per_group, health_partials_ddl(dim))
-        )
+        return scoped.select(
+            F.col(partition_col).cast("int").alias("partition_id"),
+            F.col(vec_col),
+        ).mapInPandas(kernel, health_partials_ddl(dim))
     exprs = _health_agg_exprs(rule.column, rule.dim)
     out = scoped.groupBy(
         F.col(partition_col).cast("int").alias("partition_id")
@@ -1031,6 +1066,7 @@ def embedding_health_rule_results_from_partials(
     (_merge_wide_partial_rows) and feed the shared wide summary."""
     if rule.dim > _HEALTH_DIM_BUDGET:
         row = _wide_summary_row(
+            partials.sparkSession,
             *_merge_wide_partial_rows(partials, rule.dim),
             rule.dim,
             rule.dead_eps,

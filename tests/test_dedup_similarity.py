@@ -1448,6 +1448,7 @@ def test_wide_kernel_parity_with_unrolled_path(spark, health_vecs):
     plan boundary, not a semantics boundary."""
     narrow = S.embedding_anisotropy(health_vecs, dim=4).collect()[0].asDict()
     wide = S._wide_summary_row(
+        health_vecs.sparkSession,
         *S._merge_wide_partial_rows(
             S._wide_health_partials_scan(health_vecs, "embedding", 4), 4
         ),
@@ -1473,7 +1474,11 @@ def test_wide_health_rule_and_partials(spark):
     )
     viol_full, met_full = S.embedding_health_rule_results(df, rule, "r")
     parts = S.embedding_health_partials(df, rule)
-    assert parts.count() == 4
+    # one partial row per (Arrow batch x partition) — multiple rows per
+    # partition merge by summation; all 4 partitions must be represented
+    assert parts.count() >= 4
+    pids = {r["partition_id"] for r in parts.select("partition_id").collect()}
+    assert pids == {0, 1, 2, 3}
     viol_inc, met_inc = S.embedding_health_rule_results_from_partials(
         parts, rule, "r"
     )

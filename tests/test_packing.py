@@ -134,12 +134,26 @@ def test_shard_over_row_budget_refuses_loudly(docs):
     shard holding all 1200 rows against max_shard_rows=500 refuses inside
     the kernel (the short_block_cap precedent: enforced, not a docstring
     promise)."""
-    from py4j.protocol import Py4JJavaError
-
     packed = pack_sequences(docs, "n_tok", 256, n_shards=1, max_shard_rows=500)
     with pytest.raises(Exception) as ei:
         packed.collect()
     assert "max_shard_rows" in str(ei.value)
+
+
+def test_precheck_refuses_before_kernel(docs):
+    """precheck_shards=True refuses EAGERLY (one groupBy(shard).count(),
+    before any kernel group materializes) — the only refusal that stays
+    loud when a shard is too big to even buffer; names the worst shards."""
+    with pytest.raises(SchemaError, match="refused before"):
+        pack_sequences(
+            docs, "n_tok", 256, n_shards=1, max_shard_rows=500,
+            precheck_shards=True,
+        )
+    # derived sizing runs the precheck by default and passes when sized
+    packed = pack_sequences(
+        docs, "n_tok", 256, rows_per_shard=100, max_shard_rows=1000
+    )
+    assert packed.count() == 1200
 
 
 # ---------------------------------------------------------------- chunking
