@@ -51,7 +51,7 @@ def pack_sequences(
     n_shards: int = 256,
     rows_per_shard: int | None = None,
     max_shard_rows: int = _MAX_SHARD_ROWS,
-    precheck_shards: bool | None = None,
+    precheck_shards: bool = False,
     shard_method: str = "xxhash64",
 ) -> DataFrame:
     """Assign every row a (shard, pack_id) so that each pack's total
@@ -79,13 +79,15 @@ def pack_sequences(
       ~sqrt(rows/shard), so 10% headroom is orders of magnitude beyond
       what xxhash skew produces — a derived sizing can never trip its own
       cap).
-    - ``precheck_shards`` (default: on exactly when ``rows_per_shard`` was
-      passed, i.e. when the call is already eager) runs one map-side
-      combined groupBy(shard).count() and refuses BEFORE any kernel group
-      materializes — at extreme scale an oversized group can OOM the
-      executor during applyInPandas buffering, before any in-kernel check
-      runs, so the only refusal that is loud by construction is one that
-      happens before the shuffle.
+    - ``precheck_shards=True`` (opt-in: it costs one eager map-side
+      combined groupBy(shard).count() scan of the input) refuses BEFORE
+      any kernel group materializes — at extreme scale an oversized group
+      can OOM the executor during applyInPandas buffering, before any
+      in-kernel check runs, so the only refusal that is loud by
+      construction is one that happens before the shuffle. Recommended
+      whenever ``n_shards`` was chosen by hand for a corpus-scale input;
+      derived sizing doesn't need it (the headroom makes an overflow
+      impossible by construction).
     - The kernel itself still refuses any shard over ``max_shard_rows``
       with a sizing hint (covers the lazy path, where the frame fits
       memory but exceeds the declared budget)."""
@@ -146,8 +148,6 @@ def pack_sequences(
     cap = int(max_shard_rows)
     ns = int(n_shards)
 
-    if precheck_shards is None:
-        precheck_shards = rows_per_shard is not None
     if precheck_shards:
         over = (
             base.groupBy("shard")

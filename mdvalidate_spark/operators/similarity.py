@@ -974,11 +974,13 @@ def health_partials_ddl(dim: int) -> str:
 def embedding_health_partials(
     df: DataFrame, rule, partition_col: str = "partition_id"
 ) -> DataFrame:
-    """MERGEABLE per-partition matrix partials for an incremental
-    EmbeddingHealthRule: one row per partition carrying the SAME sums the
-    full-scan aggregation folds (usable/excluded counts, per-dimension sum
-    and sum-of-squares, row-norm sum) — 2·dim+3 small values, the Benford
-    partial on a wider row. Counts and sums merge by plain summation, so a
+    """MERGEABLE matrix partials keyed by partition for an incremental
+    EmbeddingHealthRule, carrying the SAME sums the full-scan aggregation
+    folds (usable/excluded counts, per-dimension sum and sum-of-squares,
+    row-norm sum) — 2·dim+3 small values, the Benford partial on a wider
+    row. The narrow path emits one row per partition; consumers must NOT
+    assume that (the wide path emits several — see below), only that rows
+    sharing a partition_id sum. Counts and sums merge by plain summation, so a
     checkpointed run persists each batch's partials and the EOF gate never
     rescans the table. Honesty note: the merged DOUBLE sums add in a
     different order than the one-pass scan's, so the two paths can differ

@@ -567,12 +567,16 @@ def stream_health_partials(
     checkpoint_dir: str,
     trigger: dict | None = None,
 ):
-    """Continuous embedding-matrix health: each micro-batch appends ONE
-    mergeable matrix-partials row (usable/excluded counts, per-dimension
+    """Continuous embedding-matrix health: each micro-batch appends its
+    mergeable matrix-partials rows (usable/excluded counts, per-dimension
     sum + sum-of-squares, row-norm sum — the EmbeddingHealthRule
     incremental partial) keyed by the micro-batch id, so "is the encoder
     drifting toward collapse on the live feed" merges on demand with
-    ``merged_stream_health`` in O(#batches), never replaying the stream.
+    ``merged_stream_health`` in O(partial rows), never replaying the
+    stream. Narrow rules (dim ≤ 512) write one row per batch; wide rules
+    write one row per Arrow batch within it (the mapInPandas kernel —
+    deliberately never one pandas frame per batch), all summed by the
+    merge.
 
     Exactly-once: dynamic partition overwrite on partition_id = batch_id —
     a replayed micro-batch (foreachBatch replays after failure) overwrites
