@@ -5127,6 +5127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "association_orders": q_association_orders,
         "association_drift_lineitem": q_association_drift_lineitem,
         "metric_anomaly_orders": q_metric_anomaly_orders,
+        "suggest_orders": q_suggest_orders,
         # -- round 4: new/rewritten ------------------------------------
         "embedding_health_embeddings": q_embedding_health_embeddings,
         "embedding_anisotropy_embeddings": q_embedding_anisotropy_embeddings,
@@ -5240,7 +5241,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_clusters": q_embedding_clusters,
         "embedding_neardup": q_embedding_neardup,
         "table_ratio_lineitem": q_table_ratio_lineitem,
-        "suggest_orders": q_suggest_orders,
         "suggest_gates_documents": q_suggest_gates_documents,
         "volume_anomaly_orders": q_volume_anomaly_orders,
         "minhash_pairs_documents": q_minhash_pairs_documents,
@@ -5414,6 +5414,22 @@ SELECT c AS column_name, k AS kind, d AS detail FROM (
   UNION ALL
   SELECT 'o_orderkey', 'unique', ''
   WHERE (SELECT count(DISTINCT o_orderkey) FROM orders) = (SELECT n FROM n)
+  UNION ALL
+  -- scale-robust: the ratchet drafts unique for ANY no-null column whose
+  -- exact distinct count equals the row count (suggest.py unique_candidates
+  -- has no type filter) — at tiny scales o_totalprice/o_custkey/o_orderdate
+  -- can be fully distinct, so their arms must be conditional, not absent
+  SELECT 'o_totalprice', 'unique', ''
+  WHERE (SELECT count(o_totalprice) FROM orders) = (SELECT n FROM n)
+    AND (SELECT count(DISTINCT o_totalprice) FROM orders) = (SELECT n FROM n)
+  UNION ALL
+  SELECT 'o_custkey', 'unique', ''
+  WHERE (SELECT count(o_custkey) FROM orders) = (SELECT n FROM n)
+    AND (SELECT count(DISTINCT o_custkey) FROM orders) = (SELECT n FROM n)
+  UNION ALL
+  SELECT 'o_orderdate', 'unique', ''
+  WHERE (SELECT count(o_orderdate) FROM orders) = (SELECT n FROM n)
+    AND (SELECT count(DISTINCT o_orderdate) FROM orders) = (SELECT n FROM n)
   UNION ALL
   SELECT 'o_orderpriority', 'domain',
     'in {' || (SELECT string_agg(v, ', ' ORDER BY v)
