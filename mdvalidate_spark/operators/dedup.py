@@ -1265,6 +1265,77 @@ def span_fingerprints(text: Column, k: int = 16, window: int = 32) -> Column:
     )
 
 
+def _span_postings_kernel(k: int, window: int):
+    """Per-batch numpy winnowing kernel (module-level so executors import it
+    instead of re-pickling a closure chain): normalized text in → distinct
+    (doc_id, fp, pos) postings out. Identical algebra to span_fingerprints
+    (the semantic spec): md5 over each char-k-gram, 15-hex prefix, min per
+    sliding window of ``window`` gram hashes, first window pos per distinct
+    fingerprint. The 15-hex prefix maps to a 60-bit integer whose numeric
+    order equals the lexicographic order of lowercase hex, so the window
+    min and the per-doc dedup run as vectorized int64 reductions."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    swv = np.lib.stride_tricks.sliding_window_view
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, fps, poss = [], [], []
+            for did, t in zip(pdf["doc_id"], pdf["__t"]):
+                b = t.encode("utf-8")
+                if len(b) == len(t):
+                    # ASCII fast path: grams are byte windows; hash only the
+                    # DISTINCT grams (repetitive text shares most grams)
+                    u8 = np.frombuffer(b, dtype=np.uint8)
+                    grams = (
+                        swv(u8, k).copy().view(f"S{k}").ravel()
+                    )
+                    ug, inv = np.unique(grams, return_inverse=True)
+                    uh = np.fromiter(
+                        (
+                            int(hashlib.md5(g).hexdigest()[:15], 16)
+                            for g in ug.tolist()
+                        ),
+                        dtype=np.int64,
+                        count=len(ug),
+                    )
+                    h = uh[inv]
+                else:
+                    # non-ASCII: per-CHARACTER gram semantics (matches Spark
+                    # substr and DuckDB substr), plain loop
+                    h = np.fromiter(
+                        (
+                            int(
+                                hashlib.md5(t[i : i + k].encode()).hexdigest()[
+                                    :15
+                                ],
+                                16,
+                            )
+                            for i in range(len(t) - k + 1)
+                        ),
+                        dtype=np.int64,
+                        count=len(t) - k + 1,
+                    )
+                wins = swv(h, window).min(axis=1)
+                ufp, first = np.unique(wins, return_index=True)
+                n = len(ufp)
+                ids.extend([did] * n)
+                fps.extend(format(v, "015x") for v in ufp.tolist())
+                poss.extend((first + 1).tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype=pdf["doc_id"].dtype),
+                    "fp": fps,
+                    "pos": pd.Series(poss, dtype="int32"),
+                }
+            )
+
+    return kernel
+
+
 def _span_postings(
     df: DataFrame,
     text_col: str,
@@ -1272,23 +1343,23 @@ def _span_postings(
     k: int,
     window: int,
 ) -> DataFrame:
-    """Distinct (doc_id, fp) posting rows with the doc's FIRST occurrence:
-    pos + the example span text (the ``window + k − 1``-char window slice at
-    that pos). Count-first discipline throughout (the ngram_jaccard lesson):
-    fingerprints explode to ROWS and every downstream stage aggregates
-    counts — no per-fingerprint doc-id array ever materializes, so a
-    boilerplate span shared by 10^9 documents costs rows, never one
-    aggregation buffer.
+    """NARROW distinct (doc_id, fp, pos) posting rows — the doc's FIRST
+    window position per winnowed fingerprint. Count-first discipline
+    throughout (the ngram_jaccard lesson): fingerprints are ROWS and every
+    downstream stage aggregates counts — no per-fingerprint doc-id array
+    ever materializes, so a boilerplate span shared by 10^9 documents costs
+    rows, never one aggregation buffer.
 
-    Evaluation is STAGED, not one nested expression: inside a higher-order
-    lambda Catalyst re-evaluates captured subexpressions PER ELEMENT, so
-    the naive single-expression form (span_fingerprints) recomputes the
-    normalize-regex per gram and the whole O(n) md5 gram array per window —
-    O(n²·window) per document, pathological already at kilobyte docs. Each
-    stage here materializes its column behind a Generate boundary
-    (CollapseProject cannot merge projections across a Generate), so the
-    normalized text is computed once per doc, each gram hashed once, and
-    the window pass costs the intended O(n·window) array slices."""
+    The gram-hash + window-min walk runs as ONE mapInPandas pass over
+    (doc_id, normalized text): md5 per distinct gram and the sliding-window
+    min are numpy int64 kernels instead of interpreted CodegenFallback
+    expressions (the prior staged-Generate form paid O(n·window)
+    per-element `array_min(slice(...))` object churn — guide §4.2: hand
+    whole batches to vectorized native code). Postings deliberately carry
+    NO span text: every shuffle downstream moves ~25-byte rows, and the
+    example span slice is re-derived for final winner rows only via
+    ``_attach_span`` (guide §8: decide with small rows, move heavy bytes
+    once)."""
     from .util import ensure_parallelism
 
     _check_span_params(k, window)
@@ -1300,44 +1371,36 @@ def _span_postings(
         ensure_parallelism(df)
         .select(F.col(id_col).alias("doc_id"), t.alias("__t"))
         .where(F.length("__t") >= span_len)
-        # dummy 1-element explode = a Generate node: a projection barrier
-        # that pins __t as a materialized attribute (evaluated once per doc)
-        .select(
-            "doc_id", "__t", F.explode(F.array(F.lit(1))).alias("__pin")
-        )
     )
-    hashes = F.transform(
-        F.sequence(F.lit(1), F.length("__t") - (k - 1)),
-        lambda i: F.substring(F.md5(F.col("__t").substr(i, F.lit(k))), 1, 15),
+    id_type = staged.schema["doc_id"].dataType.simpleString()
+    return staged.mapInPandas(
+        _span_postings_kernel(k, window),
+        f"doc_id {id_type}, fp string, pos int",
     )
-    wins = F.transform(
-        F.sequence(F.lit(1), F.size("__h") - (window - 1)),
-        lambda j: F.struct(
-            F.array_min(F.slice(F.col("__h"), j, window)).alias("fp"),
-            j.cast("int").alias("pos"),
-        ),
+
+
+def _attach_span(
+    result: DataFrame,
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    window: int,
+    doc_col: str,
+    pos_col: "Column",
+) -> tuple[DataFrame, "Column"]:
+    """Re-derive the example span text for FINAL winner rows: join the
+    (small) result frame back to the corpus on the witness doc id and slice
+    the normalized text at the winning position. Returns (joined frame,
+    span Column). This keeps span bytes out of every posting shuffle — the
+    one place the text is moved is this winners-only join."""
+    span_len = window + k - 1
+    docs = df.select(
+        F.col(id_col).alias(doc_col),
+        normalize_text(F.col(text_col)).alias("__t"),
     )
-    raw = (
-        staged.select("doc_id", "__t", hashes.alias("__h"))
-        # the window explode is itself the Generate boundary pinning __h
-        .select("doc_id", "__t", F.explode(wins).alias("__w"))
-        .select(
-            "doc_id",
-            F.col("__w.fp").alias("fp"),
-            F.col("__w.pos").alias("pos"),
-            # projected in the same codegen stage as the explode — the full
-            # normalized text never reaches the shuffle, only this slice
-            F.col("__t").substr(F.col("__w.pos"), F.lit(span_len)).alias("span"),
-        )
-    )
-    return raw.groupBy("doc_id", "fp").agg(
-        F.min(F.struct("pos", "span")).alias("__first")
-    ).select(
-        "doc_id",
-        "fp",
-        F.col("__first.pos").alias("pos"),
-        F.col("__first.span").alias("span"),
-    )
+    joined = result.join(docs, doc_col)
+    return joined, F.col("__t").substr(pos_col, F.lit(span_len))
 
 
 def repeated_spans(
@@ -1363,16 +1426,19 @@ def repeated_spans(
     normalized substring of length ≥ ``window + k − 1`` chars (default 47)
     is GUARANTEED to be caught (see span_fingerprints).
 
-    Scale shape: one corpus scan builds posting rows (map-only explode →
-    one (doc_id, fp) aggregation); document frequencies are a count
+    Scale shape: one corpus scan builds NARROW posting rows (one
+    mapInPandas winnow kernel → distinct ~25-byte (doc_id, fp, pos) rows,
+    no span text anywhere in flight); document frequencies are a count
     aggregation over postings (map-side combine — never an id array); the
     repeated-fp set LEFT-joins back onto postings as rows (AQE handles a
     hot fingerprint) and ONE per-doc aggregation produces totals, repeated
-    counts, and the example together — postings have exactly two consumers.
-    The postings frame (~2·n_chars/(window+1) rows per doc — winnowing's
-    expected density — of fixed ~80-byte width) is persisted across them
-    and released before return; at full corpus scale persist it to a table
-    instead (the write_dedup_index pattern) or drop the span column."""
+    counts, and the example witness together — postings have exactly two
+    consumers. The postings frame (~2·n_chars/(window+1) rows per doc —
+    winnowing's expected density) is persisted across them and released
+    before return; the example span TEXT is re-derived at the end for
+    winner docs only (one narrow join back to the corpus — guide §8:
+    decide with small rows, move heavy bytes once). At full corpus scale
+    persist postings to a table instead (the write_dedup_index pattern)."""
     from pyspark.storagelevel import StorageLevel
 
     if min_docs < 2:
@@ -1390,23 +1456,25 @@ def repeated_spans(
             F.count(F.lit(1)).alias("n_fps"),
             F.sum(rep.cast("int")).cast("long").alias("n_repeated"),
             F.max("n_docs").alias("max_span_docs"),
-            F.min(F.when(rep, F.struct("fp", "pos", "span"))).alias("__ex"),
+            F.min(F.when(rep, F.struct("fp", "pos"))).alias("__ex"),
         )
         .where(F.col("n_repeated") > 0)
-        .select(
-            "doc_id",
-            "n_fps",
-            "n_repeated",
-            F.round(F.col("n_repeated") / F.col("n_fps"), 6).alias(
-                "repeated_frac"
-            ),
-            "max_span_docs",
-            F.col("__ex.fp").alias("example_fp"),
-            F.col("__ex.pos").alias("example_pos"),
-            F.col("__ex.span").alias("example_span"),
-        )
     )
-    out = result.localCheckpoint(eager=True)
+    joined, span = _attach_span(
+        result, df, text_col, id_col, k, window, "doc_id", F.col("__ex.pos")
+    )
+    out = joined.select(
+        "doc_id",
+        "n_fps",
+        "n_repeated",
+        F.round(F.col("n_repeated") / F.col("n_fps"), 6).alias(
+            "repeated_frac"
+        ),
+        "max_span_docs",
+        F.col("__ex.fp").alias("example_fp"),
+        F.col("__ex.pos").alias("example_pos"),
+        span.alias("example_span"),
+    ).localCheckpoint(eager=True)
     posts.unpersist()
     return out
 
@@ -1425,13 +1493,15 @@ def repeated_span_report(
     the lexicographically first occurrence so both engines elect the same
     witness). One aggregation per fingerprint + a TakeOrdered top-N
     (per-partition heaps — never a full sort shuffle); ties broken by fp so
-    the cut is deterministic."""
+    the cut is deterministic. The witness span text is re-derived for the
+    ``top_n`` winner rows only (one broadcast-sized join back to the
+    corpus) — postings stay narrow end to end."""
     posts = _span_postings(df, text_col, id_col, k, window)
-    return (
+    top = (
         posts.groupBy("fp")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.min(F.struct("doc_id", "pos", "span")).alias("__ex"),
+            F.min(F.struct("doc_id", "pos")).alias("__ex"),
         )
         .where(F.col("n_docs") >= min_docs)
         .select(
@@ -1439,8 +1509,18 @@ def repeated_span_report(
             "n_docs",
             F.col("__ex.doc_id").alias("example_doc"),
             F.col("__ex.pos").alias("example_pos"),
-            F.col("__ex.span").alias("example_span"),
         )
         .orderBy(F.col("n_docs").desc(), "fp")
         .limit(top_n)
     )
+    joined, span = _attach_span(
+        top, df, text_col, id_col, k, window, "example_doc",
+        F.col("example_pos"),
+    )
+    return joined.select(
+        "fp",
+        "n_docs",
+        "example_doc",
+        "example_pos",
+        span.alias("example_span"),
+    ).orderBy(F.col("n_docs").desc(), "fp")

@@ -237,7 +237,7 @@ def probe_spans(
     ``n_known_postings`` how many (fp, corpus doc) rows they matched; the
     example is the lexicographically first (fp, known_id) witness with the
     batch-side span slice for triage."""
-    from .dedup import _span_postings
+    from .dedup import _attach_span, _span_postings
 
     spark = new_df.sparkSession
     idx = spark.read.parquet(f"{index_dir}/spans").select(
@@ -249,9 +249,16 @@ def probe_spans(
     per_doc = hits.groupBy("doc_id").agg(
         F.count_distinct("fp").alias("n_known"),
         F.count(F.lit(1)).alias("n_known_postings"),
-        F.min(F.struct("fp", "known_id", "pos", "span")).alias("__ex"),
+        F.min(F.struct("fp", "known_id", "pos")).alias("__ex"),
     )
-    return per_doc.join(totals, "doc_id").select(
+    result = per_doc.join(totals, "doc_id")
+    # batch-side witness span re-derived for winner rows only — postings
+    # stay narrow through the broadcast join and both aggregations
+    joined, span = _attach_span(
+        result, new_df, text_col, id_col, span_k, span_window, "doc_id",
+        F.col("__ex.pos"),
+    )
+    return joined.select(
         "doc_id",
         "n_fps",
         "n_known",
@@ -260,5 +267,5 @@ def probe_spans(
         F.col("__ex.fp").alias("example_fp"),
         F.col("__ex.known_id").alias("example_known_id"),
         F.col("__ex.pos").alias("example_pos"),
-        F.col("__ex.span").alias("example_span"),
+        span.alias("example_span"),
     )

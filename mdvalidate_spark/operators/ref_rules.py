@@ -74,6 +74,65 @@ def ref_violations(
     )
 
 
+def ref_fused_check(
+    df: DataFrame,
+    rule: RefIntegrityRule,
+    dim: DataFrame,
+    idx: int,
+):
+    """Fuse one broadcast-dim referential rule into the row pass: attach a
+    broadcast LEFT OUTER join marking dimension membership and return
+    (joined frame, nullable violation-struct Column) shaped exactly like a
+    row rule's ``_check`` output, so the orphan check rides the SAME scan
+    as every fused row rule instead of paying its own full pass over the
+    fact table (guide §1.2: remove passes; round-6 plan diff — the batch
+    stage's `Union(row scan, ref scan)` becomes one scan with a
+    BroadcastHashJoin in the same WholeStageCodegen span).
+
+    Semantics are identical to ``ref_violations``: deduplicated dim keys,
+    NULL fact-key components skip the row, ``when`` scope-gates the check;
+    the emitted struct fields match field-for-field. Only
+    ``broadcast_dim=True`` rules are fusable — a huge dim needs a real
+    shuffle join and keeps the standalone path."""
+    fact_keys = rule.fact_keys()
+    dim_key_names = rule.dim_keys()
+    pref = f"__ref{idx}_k"
+    dim_keys = dim.select(
+        *[
+            F.col(d).alias(f"{pref}{i}")
+            for i, d in enumerate(dim_key_names)
+        ]
+    ).dropDuplicates()
+    not_null = F.lit(True)
+    cond = F.lit(True)
+    for i, c in enumerate(fact_keys):
+        not_null = not_null & F.col(c).isNotNull()
+        cond = cond & (F.col(c) == F.col(f"{pref}{i}"))
+    joined = df.join(F.broadcast(dim_keys), on=cond, how="left")
+    if len(fact_keys) == 1:
+        col_label = rule.column
+        expected = f"exists in {rule.dim_name}.{rule.dim_column}"
+        actual = F.col(fact_keys[0]).cast("string")
+    else:
+        col_label = ",".join(fact_keys)
+        expected = f"exists in {rule.dim_name}.({','.join(dim_key_names)})"
+        actual = F.concat_ws(
+            "|", *[F.col(c).cast("string") for c in fact_keys]
+        )
+    fail = not_null & F.col(f"{pref}0").isNull()
+    viol = F.struct(
+        F.lit(rule.id).alias("rule_id"),
+        F.lit(col_label).alias("column"),
+        F.lit(expected).cast("string").alias("expected"),
+        actual.cast("string").alias("actual"),
+        F.lit(KIND_ORPHAN).alias("kind"),
+    )
+    check = F.when(fail, viol)
+    if rule.when:
+        check = F.when(F.expr(rule.when), check)
+    return joined, check
+
+
 def table_ratio_check(
     fact: DataFrame,
     other: DataFrame,

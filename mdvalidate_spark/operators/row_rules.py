@@ -571,19 +571,29 @@ def _check_applies(rule) -> Column:
     raise TypeError(f"not a row rule: {rule!r}")
 
 
-def row_violations(df: DataFrame, program: ConstraintProgram, run_id: str) -> DataFrame:
+def row_violations(
+    df: DataFrame,
+    program: ConstraintProgram,
+    run_id: str,
+    extra_checks: tuple = (),
+) -> DataFrame:
     """Evaluate all row rules in one pass → violations DataFrame.
 
     ``df`` must already carry ``partition_id`` (see with_partition_id).
     Returns an empty-but-typed frame when the program has no row rules.
+
+    ``extra_checks`` are additional nullable violation-struct Columns shaped
+    like ``_check`` output that ride the same fused pass — the hook the run
+    lifecycle uses to fuse broadcast-dim referential checks into this scan
+    (see ref_rules.ref_fused_check) instead of paying a second pass.
     """
     spec = program.spec
     key = F.col(spec.key_column).cast("string")
 
-    if not program.row_rules:
+    if not program.row_rules and not extra_checks:
         return df.sparkSession.createDataFrame([], _violations_ddl())
 
-    checks = [_check(r) for r in program.row_rules]
+    checks = [_check(r) for r in program.row_rules] + list(extra_checks)
     rows = (
         df.select(
             F.col("partition_id"),

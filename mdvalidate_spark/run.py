@@ -628,9 +628,39 @@ class ValidationRun:
         viols: list[DataFrame] = []
         mets: list[DataFrame] = []
 
+        # NOTE (round 6): riding these row counts on the violations pass via
+        # df.observe was tried and reverted — the CollectMetrics node lands
+        # inside the persisted union's InMemoryRelation, and the first
+        # cache-mediated action latches the one-shot Observation with an
+        # EMPTY row. The standalone count job below is column-pruned to the
+        # key and runs CONCURRENTLY with the violations job (same pool).
+        #
+        # Broadcast-dim referential rules FUSE into the row pass: the orphan
+        # check becomes one more violation struct evaluated in the same scan
+        # (left broadcast join + fused checks — one pass over the fact table
+        # instead of one per family). Huge dims (broadcast_dim=False) and
+        # specs with no row rules keep the standalone anti-join path.
+        from .operators.ref_rules import ref_fused_check
+
+        fused_refs = (
+            [rr for rr in prog.ref_rules if rr.broadcast_dim]
+            if prog.row_rules
+            else []
+        )
         if prog.row_rules:
-            viols.append(row_violations(batch_df, prog, self.run_id))
+            src = batch_df
+            extra = []
+            for i, rr in enumerate(fused_refs):
+                src, chk = ref_fused_check(
+                    src, rr, self.dims[rr.dim_name], i
+                )
+                extra.append(chk)
+            viols.append(
+                row_violations(src, prog, self.run_id, extra_checks=extra)
+            )
         for rr in prog.ref_rules:
+            if rr in fused_refs:
+                continue
             viols.append(
                 ref_violations(
                     batch_df, rr, self.dims[rr.dim_name], self.run_id, spec.key_column
@@ -824,7 +854,9 @@ class ValidationRun:
 
         t0 = time.time()
 
-        def _collect_counts(frame: DataFrame) -> dict:
+        def _collect_counts(frame: DataFrame, label: str) -> dict:
+            # job description is thread-local — label inside the pooled task
+            self.spark.sparkContext.setJobDescription(label)
             return {
                 r["partition_id"]: r["n"]
                 for r in frame.groupBy("partition_id")
@@ -835,6 +867,7 @@ class ValidationRun:
         def _collect_totals() -> dict:
             # manifest counts must stay EXACT under a row cap — sum the
             # violations_total metric rows instead of counting sampled rows
+            self.spark.sparkContext.setJobDescription("batch: violation totals")
             return {
                 r["partition_id"]: r["n"]
                 for r in viol_totals.groupBy("partition_id")
@@ -845,9 +878,11 @@ class ValidationRun:
         with ThreadPoolExecutor(max_workers=2) as pool:
             viol_fut = pool.submit(
                 _collect_totals if cap is not None else
-                lambda: _collect_counts(batch_viol)
+                lambda: _collect_counts(batch_viol, "batch: violations")
             )
-            rows_fut = pool.submit(_collect_counts, batch_df)
+            rows_fut = pool.submit(
+                _collect_counts, batch_df, "batch: per-partition row counts"
+            )
             viol_counts = viol_fut.result()
             row_counts = rows_fut.result()
         _prof("batch violations + row counts (row+ref+count+pixel)", t0)
@@ -1273,16 +1308,31 @@ class ValidationRun:
         # counts a ~width·2-task cached scan.
         width = 2 * self.spark.sparkContext.defaultParallelism
         old_viols, old_mets = list(self._violation_dfs), list(self._metric_dfs)
-        batch_viol_c = self._keep(
-            _union(old_viols, self.spark, _VIOLATIONS_DDL).coalesce(width)
-        )
-        batch_met_c = self._keep(
-            _union(old_mets, self.spark, _METRICS_DDL).coalesce(width)
-        )
+
+        def _consolidate(pieces: list[DataFrame], ddl: str) -> DataFrame:
+            # a single-batch run has nothing to consolidate: its one piece is
+            # already a persisted (and counted) frame — re-caching a coalesced
+            # copy would pay a full extra pass for an identical cache
+            if len(pieces) == 1:
+                return pieces[0]
+            return self._keep(
+                _union(pieces, self.spark, ddl).coalesce(width)
+            )
+
+        batch_viol_c = _consolidate(old_viols, _VIOLATIONS_DDL)
+        batch_met_c = _consolidate(old_mets, _METRICS_DDL)
+        def _desc(label, fn, *a):
+            # job description is thread-local — label inside the pooled task
+            self.spark.sparkContext.setJobDescription(label)
+            return fn(*a)
+
         with ThreadPoolExecutor(max_workers=4 + len(prog.drift_rules)) as pool:
             def _run_drift(dr):
                 # resolve the prefetched edges INSIDE the pooled task so a
                 # still-running edge job never blocks submission of the rest
+                self.spark.sparkContext.setJobDescription(
+                    f"finalize: drift {dr.id}"
+                )
                 return drift_ops.drift_check(
                     self.df, dr, self.run_id, self._drift_edges(dr)
                 )
@@ -1365,8 +1415,14 @@ class ValidationRun:
                 pool.submit(_run_drift_ref, name, drs)
                 for name, drs in ref_groups.items()
             ]
-            bv_fut = pool.submit(batch_viol_c.count)
-            bm_fut = pool.submit(batch_met_c.count)
+            bv_fut = pool.submit(
+                _desc, "finalize: consolidate batch violations",
+                batch_viol_c.count,
+            )
+            bm_fut = pool.submit(
+                _desc, "finalize: consolidate batch metrics",
+                batch_met_c.count,
+            )
             # the stats aggregation (the one real job among the metric
             # frames) materializes HERE, overlapped with the unique/count and
             # drift jobs — report-time metrics reads become cache hits
@@ -1374,13 +1430,18 @@ class ValidationRun:
             met_fut = None
             if mets:
                 pre_met = self._keep(_union(mets, self.spark, _METRICS_DDL))
-                met_fut = pool.submit(pre_met.count)
+                met_fut = pool.submit(
+                    _desc, "finalize: global metrics (stats)", pre_met.count
+                )
             if viols:
                 if cap is not None:
                     from .operators import sampling
 
                     uc_viol = self._keep(sampling.cap_violations(full_uc, cap))
-                    pool.submit(uc_viol.count)  # materialize the sample
+                    pool.submit(
+                        _desc, "finalize: capped global violations",
+                        uc_viol.count,
+                    )  # materialize the sample
                     n_uc = int(
                         sum(
                             r["n"] or 0
@@ -1391,7 +1452,10 @@ class ValidationRun:
                     )
                 else:
                     uc_viol = self._keep(full_uc)
-                    n_uc = pool.submit(uc_viol.count).result()
+                    n_uc = pool.submit(
+                        _desc, "finalize: global violations (unique/count)",
+                        uc_viol.count,
+                    ).result()
             drift_results = [f.result() for f in drift_futs]
             if met_fut is not None:
                 met_fut.result()
@@ -1402,8 +1466,11 @@ class ValidationRun:
             self._drift_pool.shutdown(wait=False)
             self._drift_pool = None
         # the consolidated frames now hold the data — release the per-batch
-        # piece caches (their checkpoint parquet, if any, is already written)
+        # piece caches (their checkpoint parquet, if any, is already written);
+        # a piece REUSED as the consolidated frame stays cached
         for piece in old_viols + old_mets:
+            if piece is batch_viol_c or piece is batch_met_c:
+                continue
             piece.unpersist()  # no-op on never-persisted pieces (schema sv)
 
         viols = [uc_viol] if uc_viol is not None else []

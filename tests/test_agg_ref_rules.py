@@ -40,9 +40,9 @@ def test_unique_rule_finds_injected_duplicates(spark, images):
 
 
 def test_unique_rule_on_hot_phash_counts_exactly(spark, images):
-    """phash is hot-keyed by design — salted two-phase count must still be
-    exact: sum over salted partials equals the true per-key count."""
-    v = agg_rules.unique_violations(images, UniqueRule("uq", columns=("phash",)), "t", salt=16)
+    """phash is hot-keyed by design — the single-exchange count (hot keys
+    bounded by map-side partial aggregation) must still be exact."""
+    v = agg_rules.unique_violations(images, UniqueRule("uq", columns=("phash",)), "t")
     got = {r["image_id"]: int(r["actual"].removeprefix("count=")) for r in v.collect()}
     truth = {
         str(r["phash"]): r["n"]

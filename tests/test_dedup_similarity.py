@@ -930,31 +930,32 @@ def test_repeated_spans_winnowing_guarantee(spark):
     assert out[1]["example_span"] == norm1[p - 1 : p - 1 + w + k - 1]
 
 
-def test_span_postings_staged_evaluation(spark):
-    """Plan lock for the O(n²·window) trap: inside a higher-order lambda
-    Catalyst re-evaluates captured subexpressions PER ELEMENT, so the
-    normalize regex and the md5 gram array must be materialized in their
-    own Project stages (pinned behind Generate boundaries), never inlined
-    into a Generate's generator expression."""
-    df = spark.createDataFrame([(1, "abc " * 40)], "doc_id long, text string")
-    plan = (
-        D._span_postings(df, "text", "doc_id", 8, 12)
-        ._jdf.queryExecution()
-        .optimizedPlan()
-        .toString()
-    )
-    gen_lines = [
-        line for line in plan.splitlines() if line.strip().startswith(("Generate", "+- Generate"))
+def test_span_postings_kernel_parity(spark):
+    """The numpy winnow kernel (_span_postings) must produce EXACTLY the
+    postings of the semantic spec (span_fingerprints / _py_span_fps):
+    same fingerprints, same first-window positions — across ASCII text,
+    repetitive text (the distinct-gram fast path), non-ASCII text (the
+    per-character fallback), and too-short/NULL docs."""
+    import random
+
+    rnd = random.Random(17)
+    rows = [
+        (i, " ".join(f"t{rnd.randint(0, 30)}" for _ in range(40)))
+        for i in range(5)
+    ] + [
+        (5, "abab" * 30),  # highly repetitive: few distinct grams
+        (6, "café naïve résumé " * 12),  # non-ASCII chars
+        (7, "Tabs\tand\r\nnewlines   collapse  HERE exactly once in a doc"),
+        (8, "tiny"),
+        (9, None),
     ]
-    assert gen_lines, "expected Generate nodes in the postings plan"
-    for line in gen_lines:
-        assert "md5" not in line and "regexp_replace" not in line, line
-    # normalize evaluated once per doc in a Project (plus once in the
-    # pushed-down length Filter — also per-doc); gram hashing staged in
-    # its own Project
-    project_lines = [line for line in plan.splitlines() if "Project" in line]
-    assert sum("regexp_replace" in line for line in project_lines) == 1
-    assert sum("md5" in line for line in project_lines) == 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = D._span_postings(df, "text", "doc_id", 5, 7).collect()
+    eng = {}
+    for r in got:
+        eng.setdefault(r["doc_id"], {})[r["fp"]] = r["pos"]
+    for i, text in rows:
+        assert eng.get(i, {}) == _py_span_fps(text, 5, 7), i
 
 
 def test_repeated_spans_no_arrays_and_min_docs(spark):

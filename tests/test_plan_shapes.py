@@ -77,6 +77,54 @@ def test_ref_join_broadcasts_dimension(spark, tmp_path):
     assert "SortMergeJoin" not in plan
 
 
+def test_fused_row_ref_pass_single_scan(spark, tmp_path):
+    """Round-6 fusion: a broadcast-dim referential check rides the fused
+    row pass as one more violation struct — ONE scan of the fact table
+    (no Union of a row branch and a ref branch), the dim side broadcast,
+    no shuffle exchange anywhere, and identical violation rows to the
+    standalone anti-join path."""
+    from mdvalidate_spark.operators.ref_rules import ref_fused_check
+
+    src = str(tmp_path / "fact_fused")
+    spark.range(0, 1000, 1, 4).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 50).cast("string").alias("fk"),
+        F.lit("O").alias("status"),
+    ).write.parquet(src)
+    fact = spark.read.parquet(src)
+    dim = spark.range(40).select(F.col("id").cast("string").alias("fk"))
+    spec = Spec(
+        rules=(DomainRule("d", column="status", values=("O", "F")),),
+        key_column="k",
+    )
+    prog = compile_spec(spec, fact.columns)
+    rule = RefIntegrityRule("ref", column="fk", dim_name="dim", dim_column="fk")
+    df = with_partition_id(fact, spec)
+    joined, chk = ref_fused_check(df, rule, dim, 0)
+    fused = row_violations(joined, prog, "q", extra_checks=(chk,))
+    plan = _plan(fused)
+    assert "BroadcastHashJoin" in plan
+    assert "Union" not in plan, "fused pass must be one scan, not a union"
+    # the only exchange allowed is the dim-key dedup (tiny, broadcast side);
+    # the fact side must never shuffle
+    assert "Exchange hashpartitioning(fk#" not in plan, (
+        "fact side must not shuffle"
+    )
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert plan.count("FileScan") == 1, "fact table scanned exactly once"
+    # value parity with the standalone anti-join path
+    standalone = ref_violations(df, rule, dim, "q", "k")
+    fused_rows = {
+        (r["rule_id"], r["image_id"], r["actual"])
+        for r in fused.where(F.col("rule_id") == "ref").collect()
+    }
+    standalone_rows = {
+        (r["rule_id"], r["image_id"], r["actual"])
+        for r in standalone.collect()
+    }
+    assert fused_rows == standalone_rows and len(fused_rows) == 200
+
+
 def test_cap_violations_two_phase_windows_partitioned(spark):
     """The violation cap must stay a TWO-PHASE rank: phase 1 shuffles on
     (rule, partition, input split) so a hot rule spreads over splits, and
