@@ -50,6 +50,20 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _par(df: DataFrame) -> DataFrame:
+    """Spread an unsplittable input across the cluster before a CPU-bound
+    per-row pass (guide §2.5: the sf fixtures are single-file single-row-
+    group parquet, so every scan is ONE task and a regex/array-algebra pass
+    runs single-core). Round-robin repartition to defaultParallelism; a
+    production input with thousands of splits passes through untouched.
+    Only applied to queries whose outputs are per-row or integer-exact —
+    never to cross-row float aggregations, where summation order could
+    flip a 6dp rounding at a tie boundary."""
+    from mdvalidate_spark.operators.util import ensure_parallelism
+
+    return ensure_parallelism(df)
+
+
 def _viol_out(v: DataFrame) -> DataFrame:
     """Project engine violations to the oracle-comparable shape (drop run/
     partition bookkeeping, which DuckDB cannot reproduce)."""
@@ -2246,7 +2260,7 @@ def q_gopher_quality_documents(spark, sf_dir):
 def q_gopher_gate_documents(spark, sf_dir):
     """Gopher QUALITY GATE: violation rows for docs outside the published
     envelopes, same single-scan plan."""
-    docs = _load(spark, sf_dir, "documents")
+    docs = _par(_load(spark, sf_dir, "documents"))
     return T.gopher_quality_violations(_augment_quality(docs), "text", "doc_id")
 
 
@@ -2779,7 +2793,7 @@ def q_quality_spec_documents(spark, sf_dir):
     into the engine's fused row pass (one scan, no shuffle, no Python) over
     the multiline+PII augmented documents, emitting standard violation rows —
     the spec-level integration of the training-data quality gates."""
-    docs = _augment_pii(_augment_multiline(_load(spark, sf_dir, "documents")))
+    docs = _augment_pii(_augment_multiline(_par(_load(spark, sf_dir, "documents"))))
     spec = Spec(
         rules=(
             PiiRule("no_pii", column="text"),
@@ -3230,7 +3244,7 @@ def q_similar_count_embeddings(spark, sf_dir):
 def q_topk_embeddings(spark, sf_dir):
     emb = _load(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 10)
-    return S.topk_bruteforce(emb, q, k=3)
+    return S.topk_bruteforce(_par(emb), q, k=3)
 
 
 def q_embedding_neardup(spark, sf_dir):
@@ -4178,21 +4192,30 @@ def q_concentration_gate_documents(spark, sf_dir):
     from mdvalidate_spark.operators.skew import concentration_rule_results
     from mdvalidate_spark.spec import ConcentrationRule
 
+    from concurrent.futures import ThreadPoolExecutor
+
     docs = _load(spark, sf_dir, "documents")
-    v1, _ = concentration_rule_results(
-        docs,
-        ConcentrationRule(
-            "lang_dom", column="lang", max_top_share=0.3, max_hhi=0.2
-        ),
-        "q",
-    )
-    v2, _ = concentration_rule_results(
-        docs,
-        ConcentrationRule(
-            "src_ok", column="source", max_top_share=0.2, max_hhi=0.2
-        ),
-        "q",
-    )
+    # each rule evaluation blocks on its own 1-row collect — submit the two
+    # independent scans from driver threads so they overlap (guide §2.6)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f1 = pool.submit(
+            concentration_rule_results,
+            docs,
+            ConcentrationRule(
+                "lang_dom", column="lang", max_top_share=0.3, max_hhi=0.2
+            ),
+            "q",
+        )
+        f2 = pool.submit(
+            concentration_rule_results,
+            docs,
+            ConcentrationRule(
+                "src_ok", column="source", max_top_share=0.2, max_hhi=0.2
+            ),
+            "q",
+        )
+        v1, _ = f1.result()
+        v2, _ = f2.result()
     return v1.unionByName(v2)
 
 

@@ -507,7 +507,15 @@ def column_stats_metrics(
             "run_id string, partition_id int, rule_id string, metric string, "
             "value double, value_str string",
         )
+    wide = df.agg(*stats_agg_columns(df, rules))
+    return stats_melt_from_wide(wide, rules, run_id)
 
+
+def stats_agg_columns(df: DataFrame, rules: tuple[ColumnStatsRule, ...]) -> list:
+    """The aggregate expressions of ``column_stats_metrics``, exposed so the
+    run lifecycle can fuse them into ONE global aggregation with other
+    whole-table reductions (drift histograms) — one scan for the whole
+    global-metrics stage instead of one per family (guide §1.2)."""
     aggs = []
     for r in rules:
         c = _scope_gate(F.col(r.column), r)
@@ -541,9 +549,14 @@ def column_stats_metrics(
                 else F.approx_percentile(c, qarr, F.lit(10000))
             )
             aggs.append(qagg.alias(f"{r.id}__q"))
-    wide = df.agg(*aggs)
+    return aggs
 
-    # melt wide → long metrics rows
+
+def stats_melt_from_wide(
+    wide: DataFrame, rules: tuple[ColumnStatsRule, ...], run_id: str
+) -> DataFrame:
+    """Melt the 1-row wide aggregate (``stats_agg_columns`` layout, possibly
+    carrying extra fused columns it simply ignores) into metric rows."""
     parts = []
     for r in rules:
         rows = F.col(f"{r.id}__rows").cast("double")

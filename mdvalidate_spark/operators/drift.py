@@ -217,6 +217,82 @@ def drift_check(
         return drift_sweep(df, rule, run_id, edges)
     spark: SparkSession = df.sparkSession
     probe_h, ref_h, empty_probe, empty_ref = _histograms(df, rule, edges)
+    return _drift_verdict(spark, rule, run_id, probe_h, ref_h, empty_probe, empty_ref)
+
+
+def fused_hist_aggs(
+    rule: DriftRule, edges: list, prefix: str
+) -> tuple[list[Column], int]:
+    """Aggregate-expression form of the ``_histograms`` groupBy pass on
+    FROZEN edges: 2·nb ``count_if`` columns (probe side then reference
+    side, bin-major) that the run lifecycle appends to another global
+    aggregation — the histogram then rides an existing full-table scan
+    instead of paying its own (guide §1.2: remove passes). The counts are
+    the SAME integers the groupBy pass produces: ``count_if`` over
+    (in-scope ∧ side ∧ bin) replicates `_base`'s NULL-scope filter (NULL
+    value or NULL group membership counts for neither side)."""
+    probe_cond = (
+        F.col(rule.group_column).cast("string") == str(rule.group_value)
+    )
+    val = F.expr(rule.expr) if rule.expr else F.col(rule.column)
+    x = val.cast("string") if rule.categorical else val.cast("double")
+    nb, bin_expr = _hist_nb_bin(x, rule, edges)
+    in_scope = x.isNotNull() & probe_cond.isNotNull()
+    aggs = []
+    for side, side_cond in (("p", probe_cond), ("r", ~probe_cond)):
+        for b in range(nb):
+            aggs.append(
+                F.count_if(in_scope & side_cond & (bin_expr == F.lit(b))).alias(
+                    f"{prefix}_{side}{b}"
+                )
+            )
+    return aggs, nb
+
+
+def _hist_nb_bin(x: Column, rule: DriftRule, edges: list) -> tuple[int, Column]:
+    """(bin count, bin expression over ``x``) on frozen edges — the one
+    definition shared by the groupBy histogram and the fused-agg form."""
+    if rule.categorical:
+        bins = list(edges)
+        return len(bins) + 1, _bin_expr(x, bins, categorical=True).cast("int")
+    inner = _dedupe_edges(edges)
+    return len(inner) + 1, _bin_expr(x, inner, categorical=False)
+
+
+def drift_check_from_counts(
+    spark: SparkSession,
+    rule: DriftRule,
+    run_id: str,
+    counts: list,
+    nb: int,
+) -> tuple[DataFrame, DataFrame, int]:
+    """Finish one drift rule from fused-agg histogram counts (the
+    ``fused_hist_aggs`` layout: probe bins 0..nb-1 then reference bins) —
+    identical normalization and verdict math to ``drift_check``."""
+    probe = [float(c or 0) for c in counts[:nb]]
+    ref = [float(c or 0) for c in counts[nb:]]
+    empty_probe, empty_ref = sum(probe) == 0, sum(ref) == 0
+    p_tot, r_tot = sum(probe) or 1.0, sum(ref) or 1.0
+    return _drift_verdict(
+        spark,
+        rule,
+        run_id,
+        [v / p_tot for v in probe],
+        [v / r_tot for v in ref],
+        empty_probe,
+        empty_ref,
+    )
+
+
+def _drift_verdict(
+    spark: SparkSession,
+    rule: DriftRule,
+    run_id: str,
+    probe_h: list[float],
+    ref_h: list[float],
+    empty_probe: bool,
+    empty_ref: bool,
+) -> tuple[DataFrame, DataFrame, int]:
     stat = psi(probe_h, ref_h) if rule.method == "psi" else ks(probe_h, ref_h)
 
     metrics = spark.createDataFrame(

@@ -594,13 +594,18 @@ def row_violations(
         return df.sparkSession.createDataFrame([], _violations_ddl())
 
     checks = [_check(r) for r in program.row_rules] + list(extra_checks)
+    # NO pre-filter on size(_v): explode already drops empty arrays, and a
+    # where() here is pushed below the Project by PushDownPredicates with
+    # the alias substituted — the ENTIRE fused check expression would be
+    # evaluated twice per row (once in the pushed Filter, once feeding the
+    # Generate), and below any upstream repartition to boot (single-task).
+    # Round-6 plan diff: Filter(size(<full expr>)>0) node removed.
     rows = (
         df.select(
             F.col("partition_id"),
             key.alias("_key"),
             F.array_compact(F.array(*checks)).alias("_v"),
         )
-        .where(F.size("_v") > 0)
         .select(
             F.lit(run_id).alias("run_id"),
             F.col("partition_id"),

@@ -1159,12 +1159,12 @@ class ValidationRun:
             viols.append(mb_viol)
             mets.append(mb_met)
 
+        # full-scan stats and plain drift histograms FUSE into one global
+        # aggregation job (see _run_fused_global below) — the stats rules
+        # are pulled out of `mets` here and merged back after the fused job
+        # resolves, so the whole global-metrics stage costs ONE table scan
         full_stats = tuple(r for r in prog.stats_rules if not r.incremental)
         inc_stats = tuple(r for r in prog.stats_rules if r.incremental)
-        if full_stats:
-            mets.append(
-                agg_rules.column_stats_metrics(self.df, full_stats, self.run_id)
-            )
         vp = tuple(r for r in full_stats if r.top_values or r.entropy)
         if vp:  # exact value-distribution metrics: one shared grouped pass
             mets.append(agg_rules.value_profile_metrics(self.df, vp, self.run_id))
@@ -1326,7 +1326,7 @@ class ValidationRun:
             self.spark.sparkContext.setJobDescription(label)
             return fn(*a)
 
-        with ThreadPoolExecutor(max_workers=4 + len(prog.drift_rules)) as pool:
+        with ThreadPoolExecutor(max_workers=6 + len(prog.drift_rules)) as pool:
             def _run_drift(dr):
                 # resolve the prefetched edges INSIDE the pooled task so a
                 # still-running edge job never blocks submission of the rest
@@ -1401,6 +1401,48 @@ class ValidationRun:
                     n,
                 )
 
+            def _run_fused_global():
+                # ONE aggregation job covers every full-scan global metric:
+                # the fused stats aggregates PLUS a frozen-edge histogram
+                # per plain drift rule (count_if columns) — the stage that
+                # used to pay one full scan per family now pays one total
+                # (guide §1.2; plan diff: stats agg + drift groupBy → one
+                # Aggregate). Edges resolve here so a still-running
+                # prefetch job never blocks submission of the other tasks.
+                self.spark.sparkContext.setJobDescription(
+                    "finalize: fused global stats + drift histograms"
+                )
+                aggs = (
+                    agg_rules.stats_agg_columns(self.df, full_stats)
+                    if full_stats
+                    else []
+                )
+                specs = []
+                for j, dr in enumerate(fusable_drift):
+                    edges = self._drift_edges(dr)
+                    if edges is None:
+                        edges = drift_ops.compute_edges(self.df, dr)
+                    h, nb = drift_ops.fused_hist_aggs(dr, edges, f"__h{j}")
+                    specs.append((dr, nb, len(aggs), len(h)))
+                    aggs += h
+                wide = self._keep(self.df.agg(*aggs))
+                row = wide.collect()[0]
+                results = [
+                    drift_ops.drift_check_from_counts(
+                        self.spark, dr, self.run_id,
+                        [row[i] for i in range(off, off + width)], nb,
+                    )
+                    for dr, nb, off, width in specs
+                ]
+                stats_met = (
+                    agg_rules.stats_melt_from_wide(
+                        wide, full_stats, self.run_id
+                    )
+                    if full_stats
+                    else None
+                )
+                return stats_met, results
+
             ref_groups: dict[str, list] = {}
             plain_drift = []
             for dr in prog.drift_rules:
@@ -1408,9 +1450,22 @@ class ValidationRun:
                     ref_groups.setdefault(dr.reference, []).append(dr)
                 else:
                     plain_drift.append(dr)
+            # plain non-incremental, non-sweep rules ride the fused global
+            # aggregation; sweeps need their per-group histogram pass and
+            # incremental rules merge persisted partials
+            fusable_drift = [
+                dr for dr in plain_drift
+                if not dr.incremental and not dr.sweep_by
+            ]
+            fused_fut = (
+                pool.submit(_run_fused_global)
+                if (full_stats or fusable_drift)
+                else None
+            )
             drift_futs = [
                 pool.submit(_run_drift_inc if dr.incremental else _run_drift, dr)
                 for dr in plain_drift
+                if dr not in fusable_drift
             ] + [
                 pool.submit(_run_drift_ref, name, drs)
                 for name, drs in ref_groups.items()
@@ -1423,16 +1478,32 @@ class ValidationRun:
                 _desc, "finalize: consolidate batch metrics",
                 batch_met_c.count,
             )
-            # the stats aggregation (the one real job among the metric
-            # frames) materializes HERE, overlapped with the unique/count and
-            # drift jobs — report-time metrics reads become cache hits
-            # instead of a trailing serial job
-            met_fut = None
-            if mets:
-                pre_met = self._keep(_union(mets, self.spark, _METRICS_DDL))
-                met_fut = pool.submit(
-                    _desc, "finalize: global metrics (stats)", pre_met.count
+
+            # the metrics union (the one real job among the metric frames)
+            # materializes HERE, overlapped with the unique/count and drift
+            # jobs — report-time metrics reads become cache hits instead of
+            # a trailing serial job. The fused job's stats frame joins the
+            # union as soon as it resolves (its melt is a cached 1-row read).
+            def _build_met():
+                pieces = list(mets)
+                if fused_fut is not None:
+                    stats_met, _ = fused_fut.result()
+                    if stats_met is not None:
+                        pieces.append(stats_met)
+                if not pieces:
+                    return None
+                pm = self._keep(_union(pieces, self.spark, _METRICS_DDL))
+                self.spark.sparkContext.setJobDescription(
+                    "finalize: global metrics union"
                 )
+                pm.count()
+                return pm
+
+            met_fut = (
+                pool.submit(_build_met)
+                if (mets or fused_fut is not None)
+                else None
+            )
             if viols:
                 if cap is not None:
                     from .operators import sampling
@@ -1457,8 +1528,10 @@ class ValidationRun:
                         uc_viol.count,
                     ).result()
             drift_results = [f.result() for f in drift_futs]
+            if fused_fut is not None:
+                drift_results += fused_fut.result()[1]
             if met_fut is not None:
-                met_fut.result()
+                pre_met = met_fut.result()
             bv_fut.result()
             bm_fut.result()
         _prof("global pass (unique+count ∥ stats ∥ drift ∥ consolidate)", t0)

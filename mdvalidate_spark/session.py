@@ -35,6 +35,23 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # InferFiltersFromGenerate rewrites every Generate(explode(e)) into
+        # Filter(size(e)>0) + Generate(e); PushDownPredicates then substitutes
+        # the alias, so an expensive generator input (this engine's dominant
+        # plan shape: fused violation-check arrays, winnow fingerprints,
+        # chunk windows) is evaluated TWICE per row — and, when the input was
+        # repartitioned for CPU spreading, the inferred filter lands BELOW
+        # the exchange and serializes the whole expression onto the
+        # unsplittable scan task. Explode already drops empty arrays; the
+        # inferred filter buys nothing for computed arrays (size() cannot
+        # reach parquet PushedFilters) and costs a full duplicate evaluation.
+        # Scale-independent: this is about expression-evaluation count, not
+        # local core counts (measured 2.03s -> 1.13s on the PII+repetition
+        # fused pass, round 6).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
