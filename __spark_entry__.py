@@ -46,8 +46,23 @@ from mdvalidate_spark.spec import (
 )
 
 
+_LOAD_CACHE: dict = {}
+
+
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read a fixture table, memoizing the (lazy) DataFrame per session:
+    ``spark.read.parquet`` pays file listing + footer schema inference on
+    every call (~0.1 s of driver latency per query construction — measured
+    round 6). The cached object is an unexecuted plan — every action still
+    scans the parquet files; only the listing/schema step is reused (the
+    same thing Spark's own filesourcePartitionFileCache does for repeated
+    scans of one table)."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _LOAD_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _LOAD_CACHE[key] = df
+    return df
 
 
 def _par(df: DataFrame) -> DataFrame:

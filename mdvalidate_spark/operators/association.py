@@ -289,9 +289,21 @@ def association_drift(
     joint-only. Cells/categories absent on one side get probability 0 and
     the same eps clamp as drift.psi — appearing or vanishing cells are
     drift, not errors."""
+    from concurrent.futures import ThreadPoolExecutor
+
     spark = ref.sparkSession
-    rc = _cells(ref, col_a, col_b, max_cells, "association_drift(ref)")
-    cc = _cells(cand, col_a, col_b, max_cells, "association_drift(cand)")
+    # the two cell collects are independent full-table aggregations — submit
+    # them from driver threads so the scans overlap (guide §2.6) instead of
+    # paying the two blocking collects back to back
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        rc_fut = pool.submit(
+            _cells, ref, col_a, col_b, max_cells, "association_drift(ref)"
+        )
+        cc_fut = pool.submit(
+            _cells, cand, col_a, col_b, max_cells, "association_drift(cand)"
+        )
+        rc = rc_fut.result()
+        cc = cc_fut.result()
     n_ref = sum(c[2] for c in rc)
     n_cand = sum(c[2] for c in cc)
     if n_ref == 0 or n_cand == 0:

@@ -21,6 +21,8 @@ new capability mandated by the training-data-pipeline brief.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -313,6 +315,41 @@ def minhash_signature(shingle_arr: Column, num_hashes: int) -> Column:
     return F.array(*[perm_min(j) for j in range(num_hashes)])
 
 
+@lru_cache(maxsize=32)
+def _minhash_signature_cached(col_name: str, num_hashes: int) -> Column:
+    """Module-level memo of the signature Column over a NAMED input column:
+    building it costs ~10·num_hashes py4j round trips (~0.3 s of pure
+    driver latency per query construction at 32 hashes — measured round 6);
+    Column trees are immutable, so one instance serves every plan. Same
+    expression, same hashes — this only removes repeated construction."""
+    return minhash_signature(F.col(col_name), num_hashes)
+
+
+@lru_cache(maxsize=32)
+def _band_structs_cached(num_hashes: int, bands: int) -> Column:
+    """Memoized per-band bucket structs over the named 'sig' column (the
+    companion of _minhash_signature_cached — ~10·bands py4j calls saved)."""
+    r = num_hashes // bands
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.lit(b),
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at("sig", b * r + j + 1).cast("string")
+                            for j in range(r)
+                        ],
+                    ),
+                ).alias("h"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def _canonical_pairs(cand: DataFrame) -> DataFrame:
     """bucketed self-join → distinct candidate (id_a < id_b) pairs."""
     left = cand.select(F.col("bucket"), F.col("doc_id").alias("id_a"))
@@ -367,20 +404,13 @@ def minhash_lsh_duplicates(
         # join — persist so the codegen'd shingle expression runs once
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sigs = docs.select("doc_id", "sh", minhash_signature(F.col("sh"), num_hashes).alias("sig"))
+    sigs = docs.select(
+        "doc_id", "sh",
+        _minhash_signature_cached("sh", num_hashes).alias("sig"),
+    )
 
     # explode into one row per band: bucket key = hash of the band's slice
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    F.lit(b), F.concat_ws(",", *[F.element_at("sig", b * r + j + 1).cast("string") for j in range(r)])
-                ).alias("h"),
-            )
-            for b in range(bands)
-        ]
-    )
+    band_structs = _band_structs_cached(num_hashes, bands)
     buckets = sigs.select(
         "doc_id",
         F.explode(band_structs).alias("bb"),

@@ -27,6 +27,8 @@ plumbing as the multimodal kernels.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -96,6 +98,15 @@ def pii_counts(text: Column) -> dict[str, Column]:
         name: pii_count(text if name == "url" else masked, pat)
         for name, pat, _ in PII_PATTERNS
     }
+
+
+@lru_cache(maxsize=64)
+def pii_counts_for(col_name: str) -> dict[str, Column]:
+    """``pii_counts`` over a NAMED column, memoized at module level: the
+    six-pattern expression tree costs ~100 py4j round trips to build, and
+    Column trees are immutable — one instance serves every plan (pure
+    construction-latency fix, identical expressions)."""
+    return pii_counts(F.col(col_name))
 
 
 def pii_total_from_counts(counts: dict[str, Column]) -> Column:

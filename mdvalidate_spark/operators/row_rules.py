@@ -62,8 +62,8 @@ from ..spec import (
     TextQualityRule,
     VectorRule,
 )
-from .pii import PII_KINDS, pii_counts, pii_total_from_counts
-from .text import gopher_quality_metrics, repetition_metrics
+from .pii import PII_KINDS, pii_counts_for, pii_total_from_counts
+from .text import gopher_quality_metrics_for, repetition_metrics_for
 
 
 def format_ok(c: Column, fmt: str) -> Column:
@@ -491,7 +491,7 @@ def _check_applies(rule) -> Column:
         # matcher; actual renders the per-kind breakdown like
         # operators/pii.pii_violations ("3 (ssn=1,cc=2)")
         kinds = rule.kinds or tuple(k for k in PII_KINDS if k != "url")
-        all_counts = pii_counts(F.col(rule.column))
+        all_counts = pii_counts_for(rule.column)
         counts = {k: all_counts[k] for k in kinds}
         if rule.kinds:
             total = None
@@ -525,7 +525,7 @@ def _check_applies(rule) -> Column:
         # NULL text is OUT OF SCOPE like every other content rule ("one
         # error once", cmd.rs:368-398) — a missing value is NotNullRule's
         # report, not a zero-valued quality failure.
-        m = gopher_quality_metrics(F.col(rule.column))[rule.metric]
+        m = gopher_quality_metrics_for(rule.column)[rule.metric]
         conds = []
         if rule.min is not None:
             conds.append(m < rule.min)
@@ -555,7 +555,7 @@ def _check_applies(rule) -> Column:
         # Gopher repetition gate: the run-length walk is pure column
         # algebra, so the metric evaluates inside the fused pass; rows
         # shorter than min_words are out of scope (Gopher's length filter)
-        m = repetition_metrics(F.col(rule.column))
+        m = repetition_metrics_for(rule.column)
         metric = m[rule.metric]
         in_scope = m["n_words"] >= rule.min_words
         return F.when(

@@ -16,6 +16,8 @@ walkers/validators/matchers.rs:38-431) and are designed twice over:
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -322,6 +324,14 @@ def repetition_metrics(text: Column) -> dict[str, Column]:
     }
 
 
+@lru_cache(maxsize=64)
+def repetition_metrics_for(col_name: str) -> dict[str, Column]:
+    """``repetition_metrics`` over a NAMED column, memoized: the sorted-walk
+    expression tree costs ~150 py4j round trips to build and Column trees
+    are immutable (construction-latency fix only, identical expressions)."""
+    return repetition_metrics(F.col(col_name))
+
+
 #: gateable metric names (excludes the n_words/n_lines scalars)
 REPETITION_METRICS: tuple[str, ...] = (
     "dup_word_frac",
@@ -338,7 +348,7 @@ def repetition_profile(
 ) -> DataFrame:
     """Per-document repetition signals (Gopher §A1.1 family), one scan —
     see repetition_metrics for the signal definitions."""
-    m = repetition_metrics(F.col(text_col))
+    m = repetition_metrics_for(text_col)
     return df.select(
         F.col(id_col),
         *[m[k].alias(k) for k in ("n_words", "n_lines", *REPETITION_METRICS)],
@@ -482,6 +492,13 @@ def gopher_quality_metrics(text: Column) -> dict[str, Column]:
     }
 
 
+@lru_cache(maxsize=64)
+def gopher_quality_metrics_for(col_name: str) -> dict[str, Column]:
+    """``gopher_quality_metrics`` over a NAMED column, memoized (same
+    construction-latency rationale as repetition_metrics_for)."""
+    return gopher_quality_metrics(F.col(col_name))
+
+
 _QUALITY_COLS = (
     "n_words",
     "n_lines",
@@ -498,7 +515,7 @@ def gopher_quality_profile(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Per-document Gopher quality signals, one scan."""
-    m = gopher_quality_metrics(F.col(text_col))
+    m = gopher_quality_metrics_for(text_col)
     return df.select(F.col(id_col), *[m[k].alias(k) for k in _QUALITY_COLS])
 
 
