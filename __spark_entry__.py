@@ -1618,7 +1618,7 @@ def q_topk_ivf_embeddings(spark, sf_dir):
 
 
 def q_text_profile_documents(spark, sf_dir):
-    docs = _load(spark, sf_dir, "documents")
+    docs = _par(_load(spark, sf_dir, "documents"))
     return T.text_profile(docs, "text", "doc_id")
 
 
