@@ -72,12 +72,12 @@ def quality_stats(arr) -> tuple:
         (np.count_nonzero(arr == 0) + np.count_nonzero(arr == 255)) / arr.size
     )
     if arr.ndim == 3 and arr.shape[2] >= 3:
-        c01 = np.abs(
-            arr[..., 0].astype(np.int16) - arr[..., 1].astype(np.int16)
-        ).mean()
-        c12 = np.abs(
-            arr[..., 1].astype(np.int16) - arr[..., 2].astype(np.int16)
-        ).mean()
+        # one int16 conversion shared by both channel diffs (integer
+        # arithmetic — means of |int| sums are exact, so any evaluation
+        # order yields bit-identical results)
+        a16 = arr.astype(np.int16)
+        c01 = np.abs(a16[..., 0] - a16[..., 1]).mean()
+        c12 = np.abs(a16[..., 1] - a16[..., 2]).mean()
         cdiff = float((c01 + c12) / 2.0)
     else:  # single-channel payloads: color collapse is undefined
         cdiff = None
