@@ -919,25 +919,34 @@ def q_stats_lineitem(spark, sf_dir):
     cross-engine comparison (no string formatting of floats)."""
     li = _load(spark, sf_dir, "lineitem")
     cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    # round 6: the old single aggregate mixed THREE count_distincts (Spark
+    # plans an Expand — every input row duplicated once per distinct
+    # column) with NINE separate exact-percentile buffers (each holding the
+    # full column). Split: percentile ARRAYS (one sort buffer per column,
+    # same linear-interpolation values) in one clean agg, the distincts in
+    # their own agg without the percentile buffers, 1-row crossJoin to
+    # reassemble. 14.8s -> ~1.5s at sf0.1, identical output.
+    qarr = F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))
     aggs = []
     for c in cols:
         aggs += [
             F.count(F.lit(1)).alias(f"{c}__rows"),
             F.count(F.col(c)).alias(f"{c}__nonnull"),
-            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
             F.round(F.min(F.col(c)), 4).alias(f"{c}__min"),
             F.round(F.max(F.col(c)), 4).alias(f"{c}__max"),
             # exact percentiles for oracle parity (linear interpolation —
             # DuckDB quantile_cont uses the same definition); the engine's
             # scale path is the approx_percentile sketch (ColumnStatsRule)
-            *[
-                F.round(F.percentile(F.col(c), F.lit(q)), 4).alias(
-                    f"{c}__p{int(q * 100)}"
-                )
-                for q in (0.5, 0.95, 0.99)
-            ],
+            F.percentile(F.col(c), qarr).alias(f"{c}__q"),
         ]
     wide = li.agg(*aggs)
+    distincts = li.agg(
+        *[
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct")
+            for c in cols
+        ]
+    )
+    wide = wide.crossJoin(distincts)
     parts = [
         F.struct(
             F.lit(c).alias("col_name"),
@@ -946,9 +955,12 @@ def q_stats_lineitem(spark, sf_dir):
             F.col(f"{c}__distinct").cast("long").alias("n_distinct"),
             F.col(f"{c}__min").cast("double").alias("min_val"),
             F.col(f"{c}__max").cast("double").alias("max_val"),
-            F.col(f"{c}__p50").cast("double").alias("p50"),
-            F.col(f"{c}__p95").cast("double").alias("p95"),
-            F.col(f"{c}__p99").cast("double").alias("p99"),
+            *[
+                F.round(F.element_at(F.col(f"{c}__q"), j + 1), 4)
+                .cast("double")
+                .alias(f"p{int(q * 100)}")
+                for j, q in enumerate((0.5, 0.95, 0.99))
+            ],
         )
         for c in cols
     ]
@@ -2167,7 +2179,7 @@ def q_repetition_documents(spark, sf_dir):
     """Gopher-family repetition profile (dup word/line fractions, top n-gram
     char coverage) — pure column algebra, one scan, value-checked against a
     DuckDB list-lambda re-derivation."""
-    docs = _load(spark, sf_dir, "documents")
+    docs = _par(_load(spark, sf_dir, "documents"))
     return T.repetition_profile(_augment_multiline(docs), "text", "doc_id")
 
 
@@ -2175,7 +2187,7 @@ def q_repetition_gate_documents(spark, sf_dir):
     """Gopher repetition QUALITY GATE: violation rows for docs exceeding the
     published thresholds (with the min-length pre-filter), same one-scan
     plan as the profile."""
-    docs = _load(spark, sf_dir, "documents")
+    docs = _par(_load(spark, sf_dir, "documents"))
     return T.repetition_violations(
         _augment_multiline(docs), "text", "doc_id", min_words=20
     )
@@ -2796,7 +2808,7 @@ def q_suggest_text_documents(spark, sf_dir):
     re-derivation of the same integer-micro bound arithmetic."""
     from mdvalidate_spark.operators.suggest import suggest_spec, suggestion_rows
 
-    docs = _augment_pii(_augment_multiline(_load(spark, sf_dir, "documents")))
+    docs = _augment_pii(_augment_multiline(_par(_load(spark, sf_dir, "documents"))))
     spec = suggest_spec(docs, "doc_id", exact=True, text_gates=True)
     return suggestion_rows(spark, spec).where(
         F.col("kind").isin("pii", "repetition")
@@ -3158,7 +3170,7 @@ def q_dedup_exact_documents(spark, sf_dir):
 
 
 def q_fingerprint_documents(spark, sf_dir):
-    docs = _load(spark, sf_dir, "documents")
+    docs = _par(_load(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         T.fingerprint_md5(F.col("text")).alias("fp_md5"),

@@ -1112,25 +1112,36 @@ def edit_distance_duplicates(
     typo-twin / re-crawl-variant shape Jaccard blurs (one edit barely moves
     a shingle set; a threshold loose enough to catch it drowns in noise).
 
-    Candidate generation with a PROVEN recall boundary (q-gram filter):
-    one edit touches at most ``k_gram`` character k-grams, so two strings
-    within ``max_dist`` edits share at least L−k+1−d·k UNCHANGED grams —
-    ≥ 1 whenever the shorter string has L ≥ (d+1)·k. Long docs therefore
-    block on shared distinct k-grams (the count-first posting self-join
-    from ngram_jaccard_pairs: streaming rows, no posting arrays, AQE-
-    splittable hot keys). Strings shorter than (d+1)·k + d — where the
-    guarantee cannot hold for any partner within ``max_dist`` (length
-    differs by ≤ d) — are paired all-against-all inside one broadcast
-    nested-loop block, refused LOUDLY above ``short_block_cap`` (an
-    all-pairs block is quadratic by nature; at corpus scale gate the
-    short-caption tail upstream or raise the cap deliberately).
+    Candidate generation with a PROVEN recall guarantee — segment blocking
+    (the PassJoin family, Li/Deng/Wang/Feng 2011, round-6 rewrite): each
+    normalized text is split into ``d+1`` contiguous even segments; if
+    ed(A, B) ≤ d then at least one of A's segments is untouched by any
+    edit (pigeonhole over d edits and d+1 segments) and therefore appears
+    VERBATIM in B, starting within ±d of its position in A (net prefix
+    indels ≤ d). Anchors are each doc's own d+1 segment keys; probes are
+    every substring a partner segment could occupy (one per candidate
+    anchor length |Δlen| ≤ d × segment × ±d start shift — a constant
+    ≈ (2d+1)²·(d+1) keys per doc); candidates are anchor∩probe key
+    matches. The previous q-gram posting self-join generated f²/2 rows
+    per hot gram — over a small-vocabulary corpus that degenerated to
+    near-all-pairs (measured 9.5M candidates / 22 s on 5.5k docs);
+    segments only collide on 1/(d+1)-length verbatim runs. Keys travel as
+    xxhash64 of the segment text — a collision only ADDS a candidate for
+    the exact verify to discard, never drops one.
+
+    Strings shorter than ``(d+1)·k_gram + d`` are paired all-against-all
+    inside one broadcast nested-loop block (they are too short for stable
+    segment statistics and historically for the q-gram bound), refused
+    LOUDLY above ``short_block_cap`` (an all-pairs block is quadratic by
+    nature; at corpus scale gate the short-caption tail upstream or raise
+    the cap deliberately).
 
     The only recall trade is ``max_df`` (default max(50, 1% of docs)):
-    grams above that document frequency are stop-grams (a df>max_df gram
-    yields ≥ df²/2 candidates — the same quadratic hot-key argument as
-    ngram_jaccard_pairs), so a pair whose every shared gram is boilerplate
-    is not generated. Pass ``max_df >= count(docs)`` for end-to-end
-    exactness at that quadratic cost.
+    segment keys occurring in more than ``max_df`` docs are boilerplate
+    blocks (a df>max_df key yields ≥ df²/2 candidates — the quadratic
+    hot-key argument), so a pair whose EVERY intact segment is such
+    boilerplate is not generated. Pass ``max_df >= count(docs)`` for
+    end-to-end exactness at that (then data-dependent) cost.
 
     Verify is exact: length pre-filter |len_a − len_b| ≤ d (an edit changes
     length by ≤ 1), then ``levenshtein(a, b, threshold)`` — Spark's bounded
@@ -1157,19 +1168,88 @@ def edit_distance_duplicates(
     if max_df is None:
         max_df = max(50, int(n_docs * 0.01))
 
-    # ---- long path: count-first q-gram posting self-join (no arrays)
-    longs = docs.where(F.length("t") >= k)
-    inv = longs.select(
-        "doc_id", F.explode(char_grams(F.col("t"), k)).alias("g")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    counts = inv.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-    kept_grams = counts.where((F.col("df") > 1) & (F.col("df") <= max_df)).select("g")
-    kept = inv.join(kept_grams, "g")
+    # ---- long path: PassJoin-style segment blocking (see docstring).
+    # Even partition of a length-L string into m = d+1 contiguous
+    # segments: base = L div m, rem = L mod m; segments 1..m-rem have
+    # length base, the last rem have base+1. p_i/l_i are closed-form in
+    # (L, i) so the probe side can enumerate a partner's partition without
+    # seeing the partner.
+    m = d + 1
+
+    def _seg(la, i):
+        """(start, length) Columns of segment i (1-based) for anchor
+        length Column ``la``."""
+        base = (la / m).cast("int")
+        rem = la % m
+        li = base + F.when(F.lit(i) > m - rem, F.lit(1)).otherwise(F.lit(0))
+        pi = (
+            F.lit(1)
+            + F.lit(i - 1) * base
+            + F.greatest(F.lit(0), F.lit(i - 1) - (F.lit(m) - rem))
+        )
+        return pi, li
+
+    t = F.col("t")
+    ln = F.length("t")
+    longs = docs.where(ln >= m)
+    anchor_structs = []
+    for i in range(1, m + 1):
+        pi, li = _seg(ln, i)
+        anchor_structs.append(
+            F.struct(
+                ln.alias("la"),
+                F.lit(i).alias("i"),
+                F.xxhash64(t.substr(pi, li)).alias("h"),
+            )
+        )
+    anchors = longs.select(
+        "doc_id", F.explode(F.array(*anchor_structs)).alias("s")
+    ).select("doc_id", "s.la", "s.i", "s.h")
+
+    probe_structs = []
+    for dl in range(-d, d + 1):  # partner (anchor) length = own length + dl
+        la = ln + dl
+        for i in range(1, m + 1):
+            pi, li = _seg(la, i)
+            for dq in range(-d, d + 1):  # start shift of the intact segment
+                q = pi + F.lit(dq)
+                valid = (
+                    (la >= m)
+                    & (q >= 1)
+                    & (q + li - 1 <= ln)
+                )
+                probe_structs.append(
+                    F.when(
+                        valid,
+                        F.struct(
+                            la.alias("la"),
+                            F.lit(i).alias("i"),
+                            F.xxhash64(t.substr(q, li)).alias("h"),
+                        ),
+                    )
+                )
+    probes = docs.select(
+        "doc_id",
+        F.explode(F.array_compact(F.array(*probe_structs))).alias("s"),
+    ).select("doc_id", "s.la", "s.i", "s.h")
+
+    # hot-segment cap: the max_df recall trade documented above (skipped
+    # entirely in exactness mode so no df pass is paid)
+    if max_df < n_docs:
+        key_df = anchors.groupBy("la", "i", "h").agg(
+            F.count_distinct("doc_id").alias("_df")
+        )
+        kept_keys = key_df.where(F.col("_df") <= max_df).select("la", "i", "h")
+        anchors = anchors.join(kept_keys, ["la", "i", "h"])
     gram_pairs = (
-        kept.select("g", F.col("doc_id").alias("id_a"))
-        .join(kept.select("g", F.col("doc_id").alias("id_b")), "g")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        anchors.select("la", "i", "h", F.col("doc_id").alias("_xa"))
+        .join(probes.select("la", "i", "h", F.col("doc_id").alias("_xb")),
+              ["la", "i", "h"])
+        .where(F.col("_xa") != F.col("_xb"))
+        .select(
+            F.least("_xa", "_xb").alias("id_a"),
+            F.greatest("_xa", "_xb").alias("id_b"),
+        )
     )
 
     # ---- short path: any pair with min(len) < (d+1)k has max(len) <
@@ -1221,12 +1301,11 @@ def edit_distance_duplicates(
         )
         .where(F.col("dist") >= 0)  # bounded variant returns -1 above d
     )
-    # the pair set is near-dup-density-sized (bounded), the caches feeding
-    # it are corpus-sized (inv is one row per doc×gram): materialize the
-    # small result eagerly, then RELEASE both caches — a parameter sweep
-    # must not accumulate application-lifetime cache entries
+    # the pair set is near-dup-density-sized (bounded), the cache feeding
+    # it is corpus-sized: materialize the small result eagerly, then
+    # RELEASE the cache — a parameter sweep must not accumulate
+    # application-lifetime cache entries
     result = verified.select("id_a", "id_b", "dist").localCheckpoint(eager=True)
-    inv.unpersist()
     docs.unpersist()
     return result
 

@@ -188,12 +188,19 @@ def suggest_spec(
     """
     fields = [f for f in df.schema.fields if f.name != "partition_id"]
     aggs = [F.count(F.lit(1)).alias("__n")]
+    nd_aggs = []
     for f in fields:
         c = f.name
         col = F.col(c)
         aggs.append(F.count(col).alias(f"nn__{c}"))
+        # exact count_distincts live in their OWN aggregation (round 6):
+        # N distinct aggregates in one agg make Spark plan an Expand that
+        # duplicates every input row N+1 times — and with exact percentile
+        # buffers in the same pass the whole profile degenerated (same
+        # pathology as the stats_lineitem rewrite). The two jobs below run
+        # concurrently from driver threads; values are unchanged.
         nd = F.count_distinct(col) if exact else F.approx_count_distinct(col)
-        aggs.append(nd.alias(f"nd__{c}"))
+        nd_aggs.append(nd.alias(f"nd__{c}"))
         if (text_gates or format_gates) and isinstance(f.dataType, StringType):
             # cheap text-likeness signal only — the heavy repetition/PII
             # ceiling aggregates run in a SECOND pass restricted to the
@@ -213,7 +220,12 @@ def suggest_spec(
                     else F.approx_percentile(col, F.lit(0.99), F.lit(10000))
                 )
                 aggs.append(q.cast("double").alias(f"q99__{c}"))
-    prof = df.agg(*aggs).collect()[0]  # ONE row — bounded driver transfer
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _plain_fut = _pool.submit(lambda: df.agg(*aggs).collect()[0])
+        _nd_fut = _pool.submit(lambda: df.agg(*nd_aggs).collect()[0])
+        prof = {**_plain_fut.result().asDict(), **_nd_fut.result().asDict()}
     n_rows = prof["__n"]
 
     # bounded second pass: sorted value sets of the small-cardinality
@@ -275,7 +287,7 @@ def suggest_spec(
     # the run-length walks and PII counters are heavy per value, so they
     # never run for UUID/enum/short-string columns
     textprof: dict[str, object] = {}
-    pdict = prof.asDict()
+    pdict = prof  # already a plain dict (merged from the two profile rows)
     longtext = {
         f.name
         for f in fields
