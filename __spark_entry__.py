@@ -2250,7 +2250,9 @@ def q_dedup_probe_documents(spark, sf_dir):
 
     docs = _load(spark, sf_dir, "documents")
     index_dir = tempfile.mkdtemp(prefix="mdv-dedup-index-")
-    DI.write_dedup_index(docs, index_dir)
+    # exact-probe workflow: build only the arm this probe reads (the bands
+    # arm is the near-dup probe's concern and costs the full minhash pass)
+    DI.write_dedup_index(docs, index_dir, arms=("exact",))
     new = docs.where("doc_id % 7 = 0").select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
     )

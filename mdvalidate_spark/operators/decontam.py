@@ -66,10 +66,14 @@ def contamination(
     n_bench_docs = distinct benchmark docs hit, example_gram = lexicographic
     min shared k-gram). Clean documents emit nothing.
     """
+    from .util import ensure_parallelism
+
     bench = benchmark_shingles(benchmark, text_col, id_col, k)
     if broadcast_benchmark:
         bench = F.broadcast(bench)
-    postings = docs.select(
+    # the corpus-side shingle explode is CPU-bound per row — spread an
+    # unsplittable input first (no-op on real multi-split corpora)
+    postings = ensure_parallelism(docs).select(
         F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("shingle")
     )
     return (

@@ -829,6 +829,27 @@ def _srp_planes(dim: int, n_planes: int) -> list[list[float]]:
     ]
 
 
+@lru_cache(maxsize=16)
+def _srp_bits_column(dim: int, n_planes: int) -> Column:
+    """Memoized literal-plane SRP sketch Column over the fixed 'v' input:
+    building it costs dim × n_planes F.lit py4j round trips (~1 s of pure
+    driver latency at 64×16 — measured round 6); planes are deterministic
+    in (dim, n_planes) and Column trees immutable, so one instance serves
+    every plan. Identical expression, identical bits."""
+    planes = _srp_planes(dim, n_planes)
+
+    def srp_bit(j: int) -> Column:
+        lit_plane = F.array(*[F.lit(c) for c in planes[j]])
+        dot = F.aggregate(
+            F.zip_with(F.col("v"), lit_plane, lambda x, p: x * p),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(dot > 0, F.lit("1")).otherwise(F.lit("0"))
+
+    return F.concat(*[srp_bit(j) for j in range(n_planes)])
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -878,18 +899,8 @@ def embedding_near_duplicates(
     )
 
     if strategy == "literal":
-
-        def srp_bit(j: int) -> Column:
-            lit_plane = F.array(*[F.lit(c) for c in planes[j]])
-            dot = F.aggregate(
-                F.zip_with(F.col("v"), lit_plane, lambda x, p: x * p),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            return F.when(dot > 0, F.lit("1")).otherwise(F.lit("0"))
-
         sk = vecs.select(
-            "doc_id", F.concat(*[srp_bit(j) for j in range(n_planes)]).alias("bits")
+            "doc_id", _srp_bits_column(dim, n_planes).alias("bits")
         )
     else:
         import numpy as np

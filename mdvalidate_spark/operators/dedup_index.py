@@ -58,8 +58,13 @@ def _band_rows(
     # — a size-num_hashes all-null signature that would put every short doc
     # in one identical null-derived bucket per band (a mega-bucket that
     # explodes the probe join and verifies to nothing)
+    from .util import ensure_parallelism
+
     sigs = (
-        df.select(
+        # signature work is CPU-bound per row — spread an unsplittable
+        # input before it (no-op on real multi-split corpora)
+        ensure_parallelism(df)
+        .select(
             F.col(id_col).alias("doc_id"),
             shingles(F.col(text_col), k_shingle).alias("sh"),
         )
@@ -91,13 +96,21 @@ def write_dedup_index(
     num_hashes: int = 32,
     bands: int = 8,
     mode: str = "overwrite",
+    arms: tuple[str, ...] = ("exact", "bands"),
 ) -> None:
     """Persist (or with ``mode="append"`` grow) the dedup index under
-    ``index_dir``: ``exact/`` fingerprints and ``bands/`` LSH buckets."""
-    _exact_rows(df, text_col, id_col).write.mode(mode).parquet(f"{index_dir}/exact")
-    _band_rows(df, text_col, id_col, k_shingle, num_hashes, bands).write.mode(
-        mode
-    ).parquet(f"{index_dir}/bands")
+    ``index_dir``: ``exact/`` fingerprints and ``bands/`` LSH buckets.
+    ``arms`` selects which arms to build — a pipeline that only probes
+    exact twins should not pay the minhash signature pass for a bands arm
+    it never reads (guide §1.2: don't compute things you throw away)."""
+    if "exact" in arms:
+        _exact_rows(df, text_col, id_col).write.mode(mode).parquet(
+            f"{index_dir}/exact"
+        )
+    if "bands" in arms:
+        _band_rows(df, text_col, id_col, k_shingle, num_hashes, bands).write.mode(
+            mode
+        ).parquet(f"{index_dir}/bands")
 
 
 def probe_exact(
