@@ -326,6 +326,25 @@ def _minhash_signature_cached(col_name: str, num_hashes: int) -> Column:
 
 
 @lru_cache(maxsize=32)
+def _minhash_sig_from_hashes_cached(col_name: str, num_hashes: int) -> Column:
+    """Signature over a column that ALREADY holds the base shingle hashes
+    (``xxhash64(shingle, _MINHASH_SEED)`` values, deduplicated). Permutation
+    values are bit-identical to :func:`minhash_signature` over the shingle
+    strings: each perm re-hashes the same 64-bit base values, and
+    ``array_min`` is invariant under both the dedup and the element order of
+    ``array_distinct`` — so banding (and therefore candidate recall) is
+    unchanged when callers switch to hashed-shingle inputs."""
+    base = F.col(col_name)
+
+    def perm_min(j: int) -> Column:
+        return F.array_min(
+            F.transform(base, lambda h: F.xxhash64(h, F.lit(_MINHASH_SEED + j)))
+        )
+
+    return F.array(*[perm_min(j) for j in range(num_hashes)])
+
+
+@lru_cache(maxsize=32)
 def _band_structs_cached(num_hashes: int, bands: int) -> Column:
     """Memoized per-band bucket structs over the named 'sig' column (the
     companion of _minhash_signature_cached — ~10·bands py4j calls saved)."""
@@ -393,20 +412,37 @@ def minhash_lsh_duplicates(
 
     from .util import ensure_parallelism
 
+    # Round 6 (guide §2.3 "shuffle keys and metadata instead of payloads"):
+    # the shingle STRINGS never need to leave this projection. Hash each
+    # shingle once (the exact base value minhash_signature computed anyway,
+    # so banding is bit-identical) and carry only the deduplicated int64
+    # array: the persisted cache, the signature pass and both sides of the
+    # verify join all shrink from ~20-60-byte strings to 8-byte longs, and
+    # exact Jaccard on the hashed sets equals Jaccard on the string sets
+    # (|A∩B|/|A∪B| is preserved by an injective map; a 64-bit collision
+    # inside one pair's union is ~1e-12 — and the oracle hash check at
+    # three scale factors pins the fixture results exactly).
+    # The emptiness filter sits ABOVE the persist: below it, predicate
+    # pushdown substitutes the alias and evaluates the whole shingle
+    # expression a second time per row (same pathology as the fused row
+    # pass' size()>0 filter, OPTIMIZATION_r06 §3).
     docs = (
         ensure_parallelism(df)
         .select(
             F.col(id_col).alias("doc_id"),
-            shingles(F.col(text_col), k_shingle).alias("sh"),
+            F.array_distinct(
+                F.transform(
+                    shingles(F.col(text_col), k_shingle),
+                    lambda s: F.xxhash64(s, F.lit(_MINHASH_SEED)),
+                )
+            ).alias("shh"),
         )
-        .where(F.size("sh") > 0)
-        # shingle arrays feed the signature pass AND both sides of the verify
-        # join — persist so the codegen'd shingle expression runs once
         .persist(StorageLevel.MEMORY_AND_DISK)
+        .where(F.size("shh") > 0)
     )
     sigs = docs.select(
-        "doc_id", "sh",
-        _minhash_signature_cached("sh", num_hashes).alias("sig"),
+        "doc_id",
+        _minhash_sig_from_hashes_cached("shh", num_hashes).alias("sig"),
     )
 
     # explode into one row per band: bucket key = hash of the band's slice
@@ -420,9 +456,10 @@ def minhash_lsh_duplicates(
 
     pairs = _canonical_pairs(buckets)
 
-    # verify: join shingle sets back (shuffle on doc_id) and compute exact J
-    sh_a = docs.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sh_b = docs.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # verify: join hashed shingle sets back (shuffle on doc_id) and compute
+    # exact J — int64 set algebra, ~3-7x fewer shuffle bytes than strings
+    sh_a = docs.select(F.col("doc_id").alias("id_a"), F.col("shh").alias("sh_a"))
+    sh_b = docs.select(F.col("doc_id").alias("id_b"), F.col("shh").alias("sh_b"))
     verified = (
         pairs.join(sh_a, "id_a")
         .join(sh_b, "id_b")

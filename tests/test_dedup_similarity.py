@@ -64,6 +64,37 @@ def test_minhash_lsh_recall_vs_exact(spark, corpus):
     assert recall >= 0.9, (recall, exact - approx)
 
 
+def test_minhash_hashed_base_signature_identical_to_string_path(spark, corpus):
+    """Round-6 optimization invariant: the int64 hashed-shingle pipeline must
+    produce BIT-IDENTICAL minhash signatures to the original string-shingle
+    path — that equality is what keeps banding (and candidate recall)
+    unchanged. array_min over re-hashed base values is invariant under
+    array_distinct, so both columns below must agree on every doc."""
+    from mdvalidate_spark.operators.dedup import (
+        _MINHASH_SEED,
+        _minhash_sig_from_hashes_cached,
+        minhash_signature,
+    )
+    from mdvalidate_spark.operators.text import shingles
+
+    docs = corpus.select(
+        "doc_id",
+        shingles(F.col("text"), 3).alias("sh"),
+        F.array_distinct(
+            F.transform(
+                shingles(F.col("text"), 3),
+                lambda s: F.xxhash64(s, F.lit(_MINHASH_SEED)),
+            )
+        ).alias("shh"),
+    ).where(F.size("sh") > 0)
+    cmp = docs.select(
+        minhash_signature(F.col("sh"), 32).alias("sig_str"),
+        _minhash_sig_from_hashes_cached("shh", 32).alias("sig_hash"),
+    )
+    assert cmp.where(F.col("sig_str") != F.col("sig_hash")).count() == 0
+    assert cmp.count() > 0
+
+
 def test_minhash_no_false_positives_below_threshold(spark, corpus):
     pairs = D.minhash_lsh_duplicates(corpus, threshold=0.7).collect()
     for r in pairs:
