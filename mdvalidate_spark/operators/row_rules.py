@@ -132,6 +132,15 @@ def _viol(rule_id: str, column: str, expected: Column, actual: Column, kind: str
     )
 
 
+#: rule → built check Column. Rules are frozen dataclasses (value-hashable)
+#: and Column trees are immutable, so one tree serves every batch and every
+#: run over the same spec — building the fused row pass cost ~0.3 s of py4j
+#: round trips per ValidationRun before this (construction latency only;
+#: identical expressions). Falls back to building uncached if a rule carries
+#: an unhashable field.
+_CHECK_CACHE: dict = {}
+
+
 def _check(rule) -> Column:
     """One rule → nullable violation struct (NULL ⇒ pass).
 
@@ -141,11 +150,21 @@ def _check(rule) -> Column:
     the nodes its schema position selects (containers.rs:212-230). The gate
     is part of the same codegen'd expression; no extra scan or filter stage.
     """
+    try:
+        cached = _CHECK_CACHE.get(rule)
+    except TypeError:  # unhashable field somewhere in the rule
+        cached = None
+        hashable = False
+    else:
+        hashable = True
+    if cached is not None:
+        return cached
     inner = _check_applies(rule)
     when = getattr(rule, "when", "")
-    if when:
-        return F.when(F.expr(when), inner)
-    return inner
+    built = F.when(F.expr(when), inner) if when else inner
+    if hashable:
+        _CHECK_CACHE[rule] = built
+    return built
 
 
 def _check_applies(rule) -> Column:

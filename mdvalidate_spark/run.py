@@ -351,11 +351,13 @@ class ValidationRun:
         if not self._data_partitioned:
             return list(range(self.spec.n_partitions))
         if self._discovered_partitions is None:
+            self.spark.sparkContext.setJobDescription("partition discovery")
             self._discovered_partitions = sorted(
                 r["partition_id"]
                 for r in self.df.select("partition_id").distinct().collect()
                 if r["partition_id"] is not None
             )
+            self.spark.sparkContext.setJobDescription(None)
         return self._discovered_partitions
 
     def pending_partitions(self) -> list[int]:
@@ -606,6 +608,33 @@ class ValidationRun:
         if self._check_schema() > 0 and self.spec.fast_fail:
             return self
         self._prefetch_drift_edges()
+        # Whole-table fast path (round 6): a FRESH one-shot run over a
+        # data-partitioned input validates every partition in one batch, and
+        # every normalized partition_id is by construction a member of the
+        # discovered id set — so the discovery scan (a full pid-column
+        # distinct + collect, a serial job on the critical path before any
+        # batch can be planned) and the isin() batch filter are both no-ops.
+        # Skip them: the per-partition row counts the batch collects anyway
+        # define the id set (guide §1.2: don't compute things you throw
+        # away). Excluded: resumed/checkpointed runs (manifest knows prior
+        # ids), explicit batch_size (ids are needed up front to slice
+        # batches), and per-partition min-count rules (a partition with zero
+        # IN-SCOPE rows after the rule's `when` filter is only detectable
+        # against the enumerated id universe).
+        if (
+            batch_size is None
+            and self._data_partitioned
+            and self._discovered_partitions is None
+            and not self.manifest.entries
+            and not any(
+                cr.min is not None and not cr.group_by
+                for cr in self.program.count_rules
+            )
+        ):
+            n_viol = self._validate_batch(None)
+            if self.spec.fast_fail and n_viol > 0:
+                self._cancel_drift_prefetch()
+            return self
         pending = self.pending_partitions()
         batch_size = batch_size or len(pending) or 1
         for start in range(0, len(pending), batch_size):
@@ -620,10 +649,18 @@ class ValidationRun:
                 break
         return self
 
-    def _validate_batch(self, partitions: list[int]) -> int:
+    def _validate_batch(self, partitions: list[int] | None) -> int:
+        """Validate one batch. ``partitions=None`` is the whole-table fast
+        path (see validate_pending): no isin filter, and the partition id
+        set is derived from the per-partition row counts afterwards."""
         batch_t0 = time.time()
         prog, spec = self.program, self.spec
-        batch_df = self.df.where(F.col("partition_id").isin(partitions))
+        whole = partitions is None
+        batch_df = (
+            self.df
+            if whole
+            else self.df.where(F.col("partition_id").isin(partitions))
+        )
 
         viols: list[DataFrame] = []
         mets: list[DataFrame] = []
@@ -710,8 +747,11 @@ class ValidationRun:
             # pass the UNfiltered frame + the partition list: the native scan
             # path re-reads files directly and must apply the batch filter
             # itself (a .where() on batch_df would be silently ignored there)
-            all_parts = set(self.all_partitions())
-            part_arg = None if set(partitions) >= all_parts else partitions
+            if whole:
+                part_arg = None
+            else:
+                all_parts = set(self.all_partitions())
+                part_arg = None if set(partitions) >= all_parts else partitions
             # decode-once: a DegenerateImageRule on the same bytes column
             # rides its quality stats on THIS rule's decode pass instead of
             # paying a second full decode of the corpus
@@ -743,8 +783,13 @@ class ValidationRun:
                 # per bytes column so N degenerate rules on one payload
                 # still decode the corpus ONCE (compile guarantees they
                 # share one sample_rate)
-                all_parts = set(self.all_partitions())
-                part_arg = None if set(partitions) >= all_parts else partitions
+                if whole:
+                    part_arg = None
+                else:
+                    all_parts = set(self.all_partitions())
+                    part_arg = (
+                        None if set(partitions) >= all_parts else partitions
+                    )
                 checks = self._keep(
                     pixel_ops.quality_only_results(
                         self.df, dgr, spec.key_column, partitions=part_arg
@@ -893,6 +938,12 @@ class ValidationRun:
         self._metric_dfs.append(batch_met)
 
         batch_seconds = time.time() - batch_t0
+        if whole:
+            # the row counts define the id set (every discovered id carries
+            # >= 1 row by construction; violation pids are a subset) — latch
+            # it so all_partitions() never pays its discovery scan
+            partitions = sorted(set(row_counts) | set(viol_counts))
+            self._discovered_partitions = partitions
         for pid in partitions:
             nv = viol_counts.get(pid, 0)
             self.manifest.mark(

@@ -360,3 +360,88 @@ def test_report_manifest_exposes_seconds_column(spark, tmp_path):
     man = run.report().manifest
     assert "seconds" in man.columns
     assert man.where("seconds IS NULL OR seconds <= 0").count() == 0
+
+
+def test_whole_table_fast_path_equals_batched_run(spark, tmp_path):
+    """Round 6: a FRESH one-shot run over a data-partitioned table skips the
+    partition-discovery scan and the isin() batch filter (both no-ops for a
+    whole-table batch) and derives the id set from the per-partition row
+    counts. It must be observationally identical to the explicit-batch path:
+    same discovered ids (including the NULL→-1 reserved bucket), same
+    manifest rows, same violation rows."""
+    from pyspark.sql import functions as F
+
+    from mdvalidate_spark.run import ValidationRun
+    from mdvalidate_spark.sources.synthetic import synthetic_images
+    from mdvalidate_spark.spec import NotNullRule, Spec
+
+    src = str(tmp_path / "imgs_fp")
+    base = synthetic_images(spark, 600, with_bytes=False, n_partitions=8)
+    # plant a NULL partition_id (normalizes to the reserved -1 bucket)
+    base.withColumn(
+        "partition_id",
+        F.when(F.col("i") == 3, F.lit(None).cast("int")).otherwise(
+            F.col("partition_id")
+        ),
+    ).write.parquet(src)
+    df = spark.read.parquet(src)
+    spec = Spec(
+        rules=(NotNullRule("nn", column="caption"),),
+        key_column="image_id",
+        n_partitions=8,
+    )
+
+    fast = ValidationRun(spark, spec, df, run_id="fp-fast")
+    rep_fast = fast.validate()
+    # the fast path latched the id set without a discovery scan
+    assert fast._discovered_partitions is not None
+    assert fast.all_partitions() == sorted(
+        r["pid"]
+        for r in df.select(
+            F.coalesce(F.col("partition_id"), F.lit(-1)).alias("pid")
+        ).distinct().collect()
+    )
+
+    slow = ValidationRun(spark, spec, df, run_id="fp-slow")
+    slow.all_partitions()  # force discovery -> explicit-batch path
+    rep_slow = slow.validate(batch_size=3)
+
+    assert fast.all_partitions() == slow.all_partitions()
+    fm = {p: e["rows"] for p, e in fast.manifest.entries.items()}
+    sm = {p: e["rows"] for p, e in slow.manifest.entries.items()}
+    assert fm == sm and sum(fm.values()) == 600
+    a = sorted(map(tuple, rep_fast.violations.drop("run_id").collect()))
+    b = sorted(map(tuple, rep_slow.violations.drop("run_id").collect()))
+    assert a == b
+    fast.release()
+    slow.release()
+
+
+def test_fast_path_guard_min_count_rule_zero_in_scope_partition(spark, tmp_path):
+    """The whole-table fast path must NOT apply when a per-partition
+    min-count rule exists: a partition with zero IN-SCOPE rows (after the
+    rule's `when` filter) is only detectable against the enumerated id
+    universe. The count-0 violation must survive a fresh one-shot run."""
+    from pyspark.sql import functions as F
+
+    from mdvalidate_spark.run import ValidationRun
+    from mdvalidate_spark.spec import CountRule, Spec
+
+    src = str(tmp_path / "cnt_fp")
+    rows = [(f"k{p}-{i}", p, "err" if p == 2 else "ok") for p in range(4) for i in range(10)]
+    spark.createDataFrame(
+        rows, "image_id string, partition_id int, status string"
+    ).write.parquet(src)
+    df = spark.read.parquet(src)
+    spec = Spec(
+        rules=(
+            CountRule("min_ok", min=1, when="status = 'ok'"),
+        ),
+        key_column="image_id",
+        n_partitions=4,
+    )
+    run = ValidationRun(spark, spec, df, run_id="cnt-guard")
+    rep = run.validate()
+    v = rep.violations.where(F.col("rule_id") == "min_ok").collect()
+    assert [r["partition_id"] for r in v] == [2]  # zero in-scope rows
+    run.release()
