@@ -601,10 +601,20 @@ class ValidationRun:
             sv.write.mode("overwrite").parquet(self._sink("violations_schema"))
         return self._schema_violations
 
-    def validate_pending(self, batch_size: int | None = None) -> "ValidationRun":
+    def validate_pending(
+        self, batch_size: int | None = None, _defer_counts: bool = False
+    ) -> "ValidationRun":
         """Validate all pending partitions in batches; fast-fail stops
         scheduling after the first batch with violations — and schema drift,
-        checked first, fast-fails before any partition is scanned."""
+        checked first, fast-fails before any partition is scanned.
+
+        ``_defer_counts`` (internal, set by validate()): on the whole-table
+        fast path, leave the batch's two bookkeeping count jobs in flight so
+        finalize's global jobs overlap them instead of following them —
+        finalize joins the futures before anything reads the manifest. Only
+        taken when nothing needs the counts early: no fast_fail (its verdict
+        is the violation count), no row cap, and no volume/overlap rules
+        (manifest rows / discovered ids feed their evaluation)."""
         if self._check_schema() > 0 and self.spec.fast_fail:
             return self
         self._prefetch_drift_edges()
@@ -631,7 +641,14 @@ class ValidationRun:
                 for cr in self.program.count_rules
             )
         ):
-            n_viol = self._validate_batch(None)
+            defer = (
+                _defer_counts
+                and not self.spec.fast_fail
+                and self.spec.max_violations_per_rule is None
+                and not self.program.volume_rules
+                and not self.program.overlap_rules
+            )
+            n_viol = self._validate_batch(None, defer=defer)
             if self.spec.fast_fail and n_viol > 0:
                 self._cancel_drift_prefetch()
             return self
@@ -649,10 +666,14 @@ class ValidationRun:
                 break
         return self
 
-    def _validate_batch(self, partitions: list[int] | None) -> int:
+    def _validate_batch(
+        self, partitions: list[int] | None, defer: bool = False
+    ) -> int:
         """Validate one batch. ``partitions=None`` is the whole-table fast
         path (see validate_pending): no isin filter, and the partition id
-        set is derived from the per-partition row counts afterwards."""
+        set is derived from the per-partition row counts afterwards.
+        ``defer=True`` (whole-table only) skips waiting on the bookkeeping
+        count jobs — finalize joins them via _join_deferred_counts()."""
         batch_t0 = time.time()
         prog, spec = self.program, self.spec
         whole = partitions is None
@@ -920,25 +941,42 @@ class ValidationRun:
                 .collect()
             }
 
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            viol_fut = pool.submit(
-                _collect_totals if cap is not None else
-                lambda: _collect_counts(batch_viol, "batch: violations")
-            )
-            rows_fut = pool.submit(
-                _collect_counts, batch_df, "batch: per-partition row counts"
-            )
-            viol_counts = viol_fut.result()
-            row_counts = rows_fut.result()
-        _prof("batch violations + row counts (row+ref+count+pixel)", t0)
-        n_viol = sum(viol_counts.values())
+        pool = ThreadPoolExecutor(max_workers=2)
+        viol_fut = pool.submit(
+            _collect_totals if cap is not None else
+            lambda: _collect_counts(batch_viol, "batch: violations")
+        )
+        rows_fut = pool.submit(
+            _collect_counts, batch_df, "batch: per-partition row counts"
+        )
 
         self._persist_batch(batch_viol, batch_met)
         self._violation_dfs.append(batch_viol)
         self._metric_dfs.append(batch_met)
 
+        if defer:
+            # whole-table deferral (see validate()): leave the two count
+            # jobs in flight and let finalize's global jobs overlap them —
+            # _join_deferred_counts() marks the manifest once they resolve
+            self._deferred_counts = (pool, viol_fut, rows_fut, batch_t0, t0)
+            return 0
+        viol_counts = viol_fut.result()
+        row_counts = rows_fut.result()
+        pool.shutdown(wait=False)
+        _prof("batch violations + row counts (row+ref+count+pixel)", t0)
+        self._mark_batch(partitions, viol_counts, row_counts, batch_t0)
+        return sum(viol_counts.values())
+
+    def _mark_batch(
+        self,
+        partitions: list[int] | None,
+        viol_counts: dict,
+        row_counts: dict,
+        batch_t0: float,
+    ) -> None:
+        """Manifest bookkeeping for one batch's resolved counts."""
         batch_seconds = time.time() - batch_t0
-        if whole:
+        if partitions is None:
             # the row counts define the id set (every discovered id carries
             # >= 1 row by construction; violation pids are a subset) — latch
             # it so all_partitions() never pays its discovery scan
@@ -960,10 +998,21 @@ class ValidationRun:
                 self.manifest.entries[pid]["status"] = VALIDATED
                 self.manifest.entries[pid]["failed"] = True
         self._save_manifest()
-        # NOTE: pixel_checks stays persisted — unpersisting here cascades into
-        # the dependent batch_viol cache (Spark re-derives it from scratch on
-        # the next report access). The checks frame is narrow; LRU handles it.
-        return n_viol
+
+    def _join_deferred_counts(self) -> None:
+        """Resolve a deferred whole-table batch's count futures (no-op when
+        nothing was deferred). Called by finalize before anything reads the
+        manifest or the discovered id set."""
+        deferred = getattr(self, "_deferred_counts", None)
+        if deferred is None:
+            return
+        self._deferred_counts = None
+        pool, viol_fut, rows_fut, batch_t0, t0 = deferred
+        viol_counts = viol_fut.result()
+        row_counts = rows_fut.result()
+        pool.shutdown(wait=False)
+        _prof("batch violations + row counts (deferred join)", t0)
+        self._mark_batch(None, viol_counts, row_counts, batch_t0)
 
     def _frozen_edges(self, rule, batch_df: DataFrame) -> list:
         """Frozen bin edges for an incremental sweep rule: loaded from the
@@ -1555,6 +1604,11 @@ class ValidationRun:
                 if (mets or fused_fut is not None)
                 else None
             )
+            # a deferred whole-table batch's count jobs have been in flight
+            # since the batch stage — join them now that every global job is
+            # submitted, so they resolve WHILE the pool works instead of
+            # before it starts (guide §2.6)
+            self._join_deferred_counts()
             if viols:
                 if cap is not None:
                     from .operators import sampling
@@ -1627,7 +1681,7 @@ class ValidationRun:
     def validate(self, batch_size: int | None = None) -> Report:
         """One-shot: validate everything then finalize (the library one-shot
         entry, reference examples/simple.rs)."""
-        self.validate_pending(batch_size)
+        self.validate_pending(batch_size, _defer_counts=True)
         if self.spec.fast_fail and (
             self.manifest.total_violations > 0 or self._schema_violations > 0
         ):
