@@ -387,9 +387,20 @@ def ivf_index_write(
     )
     assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
     spark = corpus.sparkSession
+    # pandas/Arrow transport (not a list of tuples): a local list is
+    # parallelized into defaultParallelism pickled partitions and the
+    # coalesce(1) write would drain one Python-worker pipeline per
+    # partition serially in a single task (see _wide_dims_frame)
+    import pandas as pd
+
+    cent_pdf = pd.DataFrame(
+        {
+            "cell": pd.Series(range(len(cents)), dtype="int32"),
+            "centroid": [list(map(float, c)) for c in cents],
+        }
+    )
     spark.createDataFrame(
-        [(i, list(map(float, c))) for i, c in enumerate(cents)],
-        "cell int, centroid array<double>",
+        cent_pdf, "cell int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     return cents
 
@@ -667,10 +678,23 @@ def _wide_dims_frame(spark, s, q, dim: int) -> DataFrame:
     dim_idx order, matching the narrow path's chained-expression order
     bit-for-bit (and keeping the result independent of local
     parallelism)."""
-    rows = [(i, float(s[i]), float(q[i])) for i in range(dim)]
-    return spark.createDataFrame(
-        rows, "dim_idx int, s double, q double"
-    ).coalesce(1)
+    # ship through Arrow (pandas) rather than a list-of-tuples: a local list
+    # is parallelized into defaultParallelism PICKLED partitions, and the
+    # coalesce(1) below then drains that many Python-worker pipelines
+    # serially inside one task (~150 ms each — measured 4.7 s of the wide
+    # summary's 5.5 s at local[32]); Arrow batches are read JVM-side, so the
+    # same drain is pure JVM (guide §4: control how bytes cross the
+    # boundary). Values are bit-identical float64 either way.
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "dim_idx": pd.Series(range(dim), dtype="int32"),
+            "s": pd.Series(s, dtype="float64"),
+            "q": pd.Series(q, dtype="float64"),
+        }
+    )
+    return spark.createDataFrame(pdf).coalesce(1)
 
 
 def _wide_summary_row(spark, n, nx, snorm, s, q, dim: int, dead_eps: float) -> dict:
