@@ -1487,7 +1487,16 @@ def test_wide_kernel_parity_with_unrolled_path(spark, health_vecs):
         4,
         0.0,
     )
-    assert wide == narrow
+    # tolerance, not dict equality (round-6 ADVICE): both paths round to
+    # 6 dp, but a value landing ON a rounding-tie boundary could flip with
+    # partitioning/BLAS summation-order differences — compare post-round
+    # values within 1e-9 so the test locks semantics, not fp addition order
+    assert set(wide) == set(narrow)
+    for k, v in narrow.items():
+        if isinstance(v, float):
+            assert wide[k] == pytest.approx(v, abs=1e-9), k
+        else:
+            assert wide[k] == v, k
 
 
 def test_wide_health_rule_and_partials(spark):
